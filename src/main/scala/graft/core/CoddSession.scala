@@ -1,0 +1,294 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+import scala.collection.immutable.SortedSet
+import scala.collection.mutable
+import scala.reflect.ClassTag
+
+/** The engine's database: a registry of base relations and materialized views
+  * plus the two evaluators (full + delta), mirroring the reference's
+  * `Database` (reference: core/src/database.rs:162-336) on top of Spark.
+  *
+  * Responsibilities:
+  *  - relation registry with runtime type checks (the analog of the
+  *    `DynInstance` downcasts, database.rs:213-225);
+  *  - lazy insert staging (inserts never run Spark jobs);
+  *  - ad-hoc evaluation: stabilize dependencies, then compile the expression
+  *    tree bottom-up to a `Dataset[T]` (database.rs:179-185,
+  *    evaluate.rs:491-740);
+  *  - materialized views kept incrementally up to date by per-operator delta
+  *    rules — semi-naive evaluation, work proportional to delta size
+  *    (evaluate.rs:25-260);
+  *  - stabilization with cycle guards cascading deltas down the view DAG
+  *    (database.rs:287-336).
+  *
+  * Scale note: all per-epoch state lives in distributed Datasets; the driver
+  * only keeps names, counts and flags. Delta joins (δL⋈Rˢ etc.) are ordinary
+  * Spark joins, so AQE/broadcast/skew handling apply unchanged on a cluster.
+  */
+final class CoddSession(val spark: SparkSession) {
+
+  private final class RelEntry(val instance: Instance[Any], val tag: ClassTag[_]) {
+    var dependents: SortedSet[Int] = SortedSet.empty
+    var stabilizing = false
+  }
+
+  private final class ViewEntry(
+      val instance: Instance[Any],
+      val expr: Expr[Any],
+      val tag: ClassTag[_],
+      val dependeeRels: Set[String],
+      val dependeeViews: Set[Int]) {
+    var dependents: SortedSet[Int] = SortedSet.empty
+    var stabilizing = false
+  }
+
+  private val relations = mutable.Map.empty[String, RelEntry]
+  private val views = mutable.Map.empty[Int, ViewEntry]
+  private var viewCounter = 0
+
+  // ---------------------------------------------------------------- registry
+
+  /** Register a base relation of `T`-tuples (reference: database.rs:189-200). */
+  def addRelation[T](name: String)(implicit enc: Encoder[T], tag: ClassTag[T]): Rel[T] = {
+    if (relations.contains(name)) throw CoddError.InstanceExists(name)
+    relations(name) =
+      new RelEntry(new Instance[Any](spark.emptyDataset(enc).asInstanceOf[Dataset[Any]]), tag)
+    Rel[T](name)
+  }
+
+  /** Stage tuples for insertion; lazy, no Spark job
+    * (reference: database.rs:203-210).
+    */
+  def insert[T](rel: Rel[T], data: Seq[T]): Unit =
+    insert(rel, spark.createDataset(data)(rel.enc))
+
+  /** Stage a whole Dataset batch for insertion; lazy. */
+  def insert[T](rel: Rel[T], ds: Dataset[T]): Unit =
+    relEntry(rel).instance.insert(ds.asInstanceOf[Dataset[Any]])
+
+  private def relEntry(rel: Rel[_]): RelEntry = {
+    val e = relations.getOrElse(rel.name, throw CoddError.InstanceNotFound(rel.name))
+    if (e.tag != rel.tag) throw CoddError.InstanceNotFound(rel.name)
+    e
+  }
+
+  private def viewEntry(v: ViewExpr[_]): ViewEntry = {
+    val e = views.getOrElse(v.ref.id, throw CoddError.InstanceNotFound(v.ref.toString))
+    if (e.tag != v.tag) throw CoddError.InstanceNotFound(v.ref.toString)
+    e
+  }
+
+  // ------------------------------------------------------------------- views
+
+  /** Register a materialized view over `expr` (reference: database.rs:229-266).
+    * Rejects non-monotone expressions (`Difference`) — their one-sided delta
+    * rule is unsound under IVM (reference: core/src/database/validate.rs).
+    * The view is initialized from current *stable* content; staged-but-not-yet
+    * -stabilized inserts reach it later as ordinary deltas
+    * (reference: core/src/database/instance.rs:274-282).
+    */
+  def storeView[T](expr: Expr[T])(implicit tag: ClassTag[T]): ViewExpr[T] = {
+    if (Expr.containsDifference(expr))
+      throw CoddError.UnsupportedExpression("Difference", "View")
+    val anyExpr = expr.asInstanceOf[Expr[Any]]
+    val inst = new Instance[Any](spark.emptyDataset(expr.enc).asInstanceOf[Dataset[Any]])
+    val ref = viewCounter
+    viewCounter += 1
+    val entry = new ViewEntry(inst, anyExpr, tag, expr.relDeps, expr.viewDeps)
+    expr.relDeps.foreach(n => relations.get(n).foreach(_.dependents += ref))
+    expr.viewDeps.foreach(i => views.get(i).foreach(_.dependents += ref))
+    inst.insert(collectStable(anyExpr))
+    views(ref) = entry
+    ViewExpr[T](ViewRef(ref))(expr.enc, tag)
+  }
+
+  // -------------------------------------------------------------- evaluation
+
+  /** Ad-hoc evaluation: stabilize every dependency, then return the full
+    * current content of `expr` as a distinct Dataset
+    * (reference: database.rs:179-185; evaluate.rs:491-740 — the result is
+    * `collect_stable ∪ collect_recent` after stabilization).
+    */
+  def evaluate[T](expr: Expr[T]): Dataset[T] = {
+    expr.relDeps.toSeq.sorted.foreach(stabilizeRelation)
+    expr.viewDeps.toSeq.sorted.foreach(stabilizeView)
+    val s = collectStable(expr)
+    val r = collectRecent(expr)
+    expr match {
+      // Leaf instances keep stable/recent disjoint and distinct already.
+      case _: Rel[_] | _: ViewExpr[_] | _: EmptyRel[_] | _: Singleton[_] => s.union(r)
+      case _ => s.union(r).distinct()
+    }
+  }
+
+  /** Evaluate and collect, sorted by `Ordering[T]` — the reference returns
+    * sorted, dedup'd `Vec<T>` (reference: instance.rs:15-28, 47-49).
+    */
+  def evaluateSorted[T](expr: Expr[T])(implicit ord: Ordering[T]): Seq[T] =
+    evaluate(expr).collect().toSeq.sorted
+
+  // ------------------------------------------------------------ stabilization
+
+  /** Reference: database.rs:317-336. Missing names are ignored here; the
+    * collector raises `InstanceNotFound` when the leaf is actually read —
+    * matching the reference's behavior.
+    */
+  private def stabilizeRelation(name: String): Unit =
+    relations.get(name).foreach { e =>
+      if (!e.stabilizing) {
+        e.stabilizing = true
+        try while (e.instance.changed()) e.dependents.foreach(viewDeltaStep)
+        finally e.stabilizing = false
+      }
+    }
+
+  /** Reference: database.rs:287-314. */
+  private def stabilizeView(ref: Int): Unit =
+    views.get(ref).foreach { v =>
+      if (!v.stabilizing) {
+        v.stabilizing = true
+        try {
+          v.dependeeRels.toSeq.sorted.foreach(stabilizeRelation)
+          v.dependeeViews.toSeq.sorted.foreach(stabilizeView)
+          while (v.instance.changed()) v.dependents.foreach(viewDeltaStep)
+        } finally v.stabilizing = false
+      }
+    }
+
+  /** One maintenance step of a view: compute the delta of its defining
+    * expression and stage it (reference: instance.rs:284-290). Duplicate
+    * delivery is harmless: promotion anti-joins against the view's stable set.
+    */
+  private def viewDeltaStep(ref: Int): Unit = {
+    val v = views(ref)
+    v.instance.insert(collectRecent(v.expr))
+  }
+
+  // ---------------------------------------------------- delta (recent) rules
+
+  /** Per-operator delta rules — semi-naive evaluation
+    * (reference: evaluate.rs:25-260, `IncrementalCollector`).
+    */
+  private def collectRecent[T](e: Expr[T]): Dataset[T] = (e match {
+    case r: Rel[_]      => relEntry(r).instance.recent
+    case v: ViewExpr[_] => viewEntry(v).instance.recent
+    case _: EmptyRel[_] => empty(e)
+    case _: FullRel[_]  => throw CoddError.UnsupportedExpression("Full", "Evaluate")
+    // Constants are born stable: empty delta (reference: evaluate.rs:43-48).
+    case _: Singleton[_] => empty(e)
+    case s: Select[_] =>
+      val ss = s.asInstanceOf[Select[Any]]
+      collectRecent(ss.child).filter(ss.p)
+    case p: Project[_, _] =>
+      val pp = p.asInstanceOf[Project[Any, Any]]
+      collectRecent(pp.child).map(pp.f)(pp.enc).distinct()
+    case u: Union[_] =>
+      val uu = u.asInstanceOf[Union[Any]]
+      collectRecent(uu.left).union(collectRecent(uu.right)).distinct()
+    case i: Intersect[_] =>
+      // δ = (δL ∩ Rˢ) ∪ (Lˢ ∩ δR) ∪ (δL ∩ δR)   (evaluate.rs:95-119)
+      val ii = i.asInstanceOf[Intersect[Any]]
+      val dl = collectRecent(ii.left); val dr = collectRecent(ii.right)
+      val sl = collectStable(ii.left); val sr = collectStable(ii.right)
+      dl.intersect(sr).union(sl.intersect(dr)).union(dl.intersect(dr)).distinct()
+    case d: Difference[_] =>
+      // δ = (Lˢ − Rˢ) ∪ (δL − Rˢ); right-side deltas ignored — sound only
+      // because stored views reject Difference (evaluate.rs:121-146).
+      val dd = d.asInstanceOf[Difference[Any]]
+      val dl = collectRecent(dd.left)
+      val sl = collectStable(dd.left); val sr = collectStable(dd.right)
+      sl.except(sr).union(dl.except(sr)).distinct()
+    case p: Prod[_, _, _] =>
+      // δ = δL×Rˢ ∪ Lˢ×δR ∪ δL×δR, fused with the mapper (evaluate.rs:162-196)
+      val pp = p.asInstanceOf[Prod[Any, Any, Any]]
+      val dl = collectRecent(pp.left); val dr = collectRecent(pp.right)
+      val sl = collectStable(pp.left); val sr = collectStable(pp.right)
+      prodDs(pp, dl, sr).union(prodDs(pp, sl, dr)).union(prodDs(pp, dl, dr)).distinct()
+    case j: EquiJoin[_, _, _, _] =>
+      // δ = δL⋈Rˢ ∪ Lˢ⋈δR ∪ δL⋈δR (evaluate.rs:198-250)
+      val jj = j.asInstanceOf[EquiJoin[Any, Any, Any, Any]]
+      val dl = collectRecent(jj.left); val dr = collectRecent(jj.right)
+      val sl = collectStable(jj.left); val sr = collectStable(jj.right)
+      joinDs(jj, dl, sr).union(joinDs(jj, sl, dr)).union(joinDs(jj, dl, dr)).distinct()
+  }).asInstanceOf[Dataset[T]]
+
+  // ----------------------------------------------------------- stable rules
+
+  /** Stable-content rules (reference: evaluate.rs:263-487). The reference
+    * returns per-batch lists; a single union Dataset is equivalent because
+    * stable batches are disjoint.
+    */
+  private def collectStable[T](e: Expr[T]): Dataset[T] = (e match {
+    case r: Rel[_]      => relEntry(r).instance.stable
+    case v: ViewExpr[_] => viewEntry(v).instance.stable
+    case _: EmptyRel[_] => empty(e)
+    case _: FullRel[_]  => throw CoddError.UnsupportedExpression("Full", "Evaluate")
+    case s: Singleton[_] =>
+      val sg = s.asInstanceOf[Singleton[Any]]
+      spark.createDataset(Seq(sg.tuple))(sg.enc)
+    case s: Select[_] =>
+      val ss = s.asInstanceOf[Select[Any]]
+      collectStable(ss.child).filter(ss.p)
+    case p: Project[_, _] =>
+      val pp = p.asInstanceOf[Project[Any, Any]]
+      collectStable(pp.child).map(pp.f)(pp.enc).distinct()
+    case u: Union[_] =>
+      val uu = u.asInstanceOf[Union[Any]]
+      collectStable(uu.left).union(collectStable(uu.right)).distinct()
+    case i: Intersect[_] =>
+      val ii = i.asInstanceOf[Intersect[Any]]
+      collectStable(ii.left).intersect(collectStable(ii.right))
+    case d: Difference[_] =>
+      val dd = d.asInstanceOf[Difference[Any]]
+      collectStable(dd.left).except(collectStable(dd.right))
+    case p: Prod[_, _, _] =>
+      val pp = p.asInstanceOf[Prod[Any, Any, Any]]
+      prodDs(pp, collectStable(pp.left), collectStable(pp.right)).distinct()
+    case j: EquiJoin[_, _, _, _] =>
+      val jj = j.asInstanceOf[EquiJoin[Any, Any, Any, Any]]
+      joinDs(jj, collectStable(jj.left), collectStable(jj.right)).distinct()
+  }).asInstanceOf[Dataset[T]]
+
+  // ----------------------------------------------------------------- kernels
+
+  private def empty[T](e: Expr[T]): Dataset[Any] =
+    spark.emptyDataset(e.enc).asInstanceOf[Dataset[Any]]
+
+  /** Cartesian product fused with the mapper. `joinWith` keeps the typed pair;
+    * Catalyst will broadcast the smaller side under AQE.
+    */
+  private def prodDs(
+      p: Prod[Any, Any, Any],
+      l: Dataset[Any],
+      r: Dataset[Any]): Dataset[Any] = {
+    val f = p.f
+    l.joinWith(r, lit(true), "cross").map { t => f(t._1, t._2) }(p.enc)
+  }
+
+  /** Typed equi-join on computed keys, fused with the mapper. `cogroup`
+    * shuffles both sides by the extracted key — the Spark analog of the
+    * reference's sort-merge join over extracted-key runs
+    * (reference: core/src/database/helpers.rs:58-87). Reference semantics:
+    * keys compare by `Ord`, so e.g. `None == None` matches — `cogroup`
+    * (grouping on the encoded key) preserves exactly that, where a Column
+    * `===` join would drop null keys.
+    */
+  private def joinDs(
+      j: EquiJoin[Any, Any, Any, Any],
+      l: Dataset[Any],
+      r: Dataset[Any]): Dataset[Any] = {
+    val f = j.f
+    val lg = l.groupByKey(j.leftKey)(j.kEnc)
+    val rg = r.groupByKey(j.rightKey)(j.kEnc)
+    lg.cogroup(rg) { (k, ls, rs) =>
+      if (ls.isEmpty || rs.isEmpty) Iterator.empty
+      else {
+        val rv = rs.toVector
+        ls.flatMap(lt => rv.iterator.map(rt => f(k, lt, rt)))
+      }
+    }(j.enc)
+  }
+}
