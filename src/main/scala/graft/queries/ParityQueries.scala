@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.core._
+import graft.core.Expr._
+import graft.tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One query per reference operator (SURVEY §2), each expressed through the
+  * `graft.core` engine and paired with an ANSI-SQL oracle for the driver's
+  * DuckDB comparison. Column names are aligned between the Spark result and
+  * the oracle SQL (the driver sorts columns by name before hashing).
+  */
+object ParityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** #1 Relation: base table scan (reference: relation.rs:20-57). */
+  val relationScan: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val region = db.addRelation[Region]("region")
+    db.insert(region, Tables.region(spark, dir))
+    db.evaluate(region).toDF()
+  }
+
+  /** #2 Select: σ with an arbitrary closure (reference: select.rs:28-63),
+    * then #3 Project to drop the timestamp column.
+    */
+  val selectFilter: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val li = db.addRelation[Lineitem]("lineitem")
+    db.insert(li, Tables.lineitem(spark, dir))
+    val q = li
+      .select(l => l.l_quantity < 10.0 && l.l_returnflag == "R")
+      .project(l => (l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_returnflag))
+    db.evaluate(q).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+  }
+
+  /** #3 Project: computing mapper — type-changing projection
+    * (reference: project.rs:28-65). Set semantics: result is distinct.
+    */
+  val projectMap: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val li = db.addRelation[Lineitem]("lineitem")
+    db.insert(li, Tables.lineitem(spark, dir))
+    val q = li.project(l => (l.l_orderkey, l.l_extendedprice * (1.0 - l.l_discount)))
+    db.evaluate(q).toDF("l_orderkey", "revenue")
+  }
+
+  /** #4 Product: Cartesian product fused with a mapper
+    * (reference: product.rs:27-73).
+    */
+  val productCross: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val region = db.addRelation[Region]("region")
+    val nation = db.addRelation[Nation]("nation")
+    db.insert(region, Tables.region(spark, dir))
+    db.insert(nation, Tables.nation(spark, dir))
+    val q = region.product(nation).on((r, n) => (r.r_name, n.n_name))
+    db.evaluate(q).toDF("r_name", "n_name")
+  }
+
+  /** #5 Join: equi-join on computed keys with fused mapper
+    * (reference: join.rs:42-148).
+    */
+  val joinEqui: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val cust = db.addRelation[Customer]("customer")
+    val ord = db.addRelation[Order]("orders")
+    db.insert(cust, Tables.customer(spark, dir))
+    db.insert(ord, Tables.orders(spark, dir))
+    val q = ord
+      .withKey(_.o_custkey)
+      .join(cust.withKey(_.c_custkey))
+      .on((k, o, c) => (o.o_orderkey, k, c.c_name, o.o_totalprice))
+    db.evaluate(q).toDF("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+  }
+
+  /** #6 Union (reference: union.rs:23-64). */
+  val unionSet: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val cust = db.addRelation[Customer]("customer")
+    val supp = db.addRelation[Supplier]("supplier")
+    db.insert(cust, Tables.customer(spark, dir))
+    db.insert(supp, Tables.supplier(spark, dir))
+    val q = cust.project(_.c_nationkey).union(supp.project(_.s_nationkey))
+    db.evaluate(q).toDF("nkey")
+  }
+
+  /** #7 Intersect (reference: intersect.rs:23-64). */
+  val intersectSet: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val cust = db.addRelation[Customer]("customer")
+    val ord = db.addRelation[Order]("orders")
+    db.insert(cust, Tables.customer(spark, dir))
+    db.insert(ord, Tables.orders(spark, dir))
+    val q = cust
+      .select(_.c_acctbal > 5000.0)
+      .project(_.c_custkey)
+      .intersect(ord.select(_.o_totalprice > 200000.0).project(_.o_custkey))
+    db.evaluate(q).toDF("key")
+  }
+
+  /** #8 Difference — ad-hoc only; rejected in views
+    * (reference: difference.rs:25-67, validate.rs:21-33).
+    * Customers who never placed an order above 350k.
+    */
+  val differenceSet: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val cust = db.addRelation[Customer]("customer")
+    val ord = db.addRelation[Order]("orders")
+    db.insert(cust, Tables.customer(spark, dir))
+    db.insert(ord, Tables.orders(spark, dir))
+    val q = cust
+      .project(_.c_custkey)
+      .difference(ord.select(_.o_totalprice > 350000.0).project(_.o_custkey))
+    db.evaluate(q).toDF("key")
+  }
+
+  /** #9 Empty: constant ∅ (reference: empty.rs:17-52). */
+  val emptyRel: Q = (spark, _) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    db.evaluate(EmptyRel[Long]()).toDF("key")
+  }
+
+  /** #11 Singleton: constant one-tuple relation (reference: singleton.rs:16-49),
+    * composed under Project to prove constants are born stable
+    * (reference: evaluate.rs:43-48, 281-286).
+    */
+  val singletonConst: Q = (spark, _) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val q = Singleton((1, "graft")).project(t => (t._1, t._2))
+    db.evaluate(q).toDF("x", "s")
+  }
+
+  /** #12 View with IVM: the view is created mid-stream and maintained
+    * incrementally across three insert epochs; the oracle recomputes from
+    * scratch — incremental ≡ full (reference: evaluate.rs:1409-1436).
+    */
+  val viewIvm: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val ev = db.addRelation[Event]("events")
+    val all = Tables.events(spark, dir)
+    db.insert(ev, all.filter(_.event_id % 3 == 0))
+    val v = db.storeView(
+      ev.select(_.value > 100.0).project(e => (e.user_id, e.event_type)))
+    db.evaluate(v).count() // stabilize epoch 1
+    db.insert(ev, all.filter(_.event_id % 3 == 1))
+    db.evaluate(v).count() // stabilize epoch 2
+    db.insert(ev, all.filter(_.event_id % 3 == 2))
+    db.evaluate(v).toDF("user_id", "event_type")
+  }
+
+  /** #12b View over a join, maintained while the fact side grows in batches
+    * (delta rules δL⋈Rˢ ∪ Lˢ⋈δR ∪ δL⋈δR, reference: evaluate.rs:198-250).
+    */
+  val viewJoinIvm: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val cust = db.addRelation[Customer]("customer")
+    val ord = db.addRelation[Order]("orders")
+    db.insert(cust, Tables.customer(spark, dir))
+    val all = Tables.orders(spark, dir)
+    db.insert(ord, all.filter(_.o_orderkey % 3 == 0))
+    val expr = ord
+      .select(_.o_totalprice > 300000.0)
+      .withKey(_.o_custkey)
+      .join(cust.withKey(_.c_custkey))
+      .on((k, o, c) => (k, c.c_name, o.o_orderkey))
+    val v = db.storeView(expr)
+    db.evaluate(v).count()
+    db.insert(ord, all.filter(_.o_orderkey % 3 == 1))
+    db.evaluate(v).count()
+    db.insert(ord, all.filter(_.o_orderkey % 3 == 2))
+    db.evaluate(v).toDF("c_custkey", "c_name", "o_orderkey")
+  }
+
+  /** #12c View over view: deltas cascade down the view DAG
+    * (reference: evaluate.rs:1372-1383, database.rs:287-314).
+    */
+  val viewChainIvm: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val ev = db.addRelation[Event]("events")
+    val all = Tables.events(spark, dir)
+    db.insert(ev, all.filter(_.event_id % 2 == 0))
+    val v1 = db.storeView(
+      ev.select(_.value > 100.0).project(e => (e.user_id, e.event_type)))
+    val v2 = db.storeView(v1.select(_._2 == "click").project(_._1))
+    db.evaluate(v2).count()
+    db.insert(ev, all.filter(_.event_id % 2 == 1))
+    db.evaluate(v2).toDF("user_id")
+  }
+
+  /** #13 Mono: dynamic composition of heterogeneous nodes in one tree
+    * (reference: mono.rs:10-26) — union ∘ select ∘ project ∘ intersect.
+    */
+  val monoCompose: Q = (spark, dir) => {
+    import spark.implicits._
+    val db = new CoddSession(spark)
+    val cust = db.addRelation[Customer]("customer")
+    val ord = db.addRelation[Order]("orders")
+    db.insert(cust, Tables.customer(spark, dir))
+    db.insert(ord, Tables.orders(spark, dir))
+    val building = cust.select(_.c_mktsegment == "BUILDING").project(_.c_custkey)
+    val rich = cust.select(_.c_acctbal > 9000.0).project(_.c_custkey)
+    val openOrders = ord.select(_.o_orderstatus == "O").project(_.o_custkey)
+    val q: Expr[Long] = Union(building, rich).intersect(openOrders)
+    db.evaluate(q).toDF("key")
+  }
+
+  val all: Map[String, Q] = Map(
+    "relation_scan" -> relationScan,
+    "select_filter" -> selectFilter,
+    "project_map" -> projectMap,
+    "product_cross" -> productCross,
+    "join_equi" -> joinEqui,
+    "union_set" -> unionSet,
+    "intersect_set" -> intersectSet,
+    "difference_set" -> differenceSet,
+    "empty_rel" -> emptyRel,
+    "singleton_const" -> singletonConst,
+    "view_ivm" -> viewIvm,
+    "view_join_ivm" -> viewJoinIvm,
+    "view_chain_ivm" -> viewChainIvm,
+    "mono_compose" -> monoCompose
+  )
+
+  val oracles: Map[String, String] = Map(
+    "relation_scan" -> "SELECT r_regionkey, r_name FROM region",
+    "select_filter" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity < 10 AND l_returnflag = 'R'""".stripMargin,
+    "project_map" ->
+      """SELECT DISTINCT l_orderkey, l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem""".stripMargin,
+    "product_cross" -> "SELECT DISTINCT r_name, n_name FROM region CROSS JOIN nation",
+    "join_equi" ->
+      """SELECT DISTINCT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "union_set" ->
+      "SELECT c_nationkey AS nkey FROM customer UNION SELECT s_nationkey FROM supplier",
+    "intersect_set" ->
+      """SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
+    "difference_set" ->
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 350000""".stripMargin,
+    "empty_rel" -> "SELECT c_custkey AS key FROM customer WHERE 1 = 0",
+    "singleton_const" -> "SELECT CAST(1 AS INTEGER) AS x, 'graft' AS s",
+    "view_ivm" ->
+      "SELECT DISTINCT user_id, event_type FROM events WHERE value > 100",
+    "view_join_ivm" ->
+      """SELECT DISTINCT c_custkey, c_name, o_orderkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 300000""".stripMargin,
+    "view_chain_ivm" ->
+      "SELECT DISTINCT user_id FROM events WHERE value > 100 AND event_type = 'click'",
+    "mono_compose" ->
+      """SELECT key FROM (
+        |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+  )
+}
