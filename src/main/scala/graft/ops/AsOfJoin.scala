@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — an operator the reference lacks (SURVEY §2 lists
+  * joins as inner-equi only) and Spark's DataFrame API doesn't expose.
+  *
+  * For each left row, attach the latest right row with the same key whose
+  * time is `<=` the left row's time (DuckDB `ASOF JOIN` semantics).
+  *
+  * Implementation is the union+window technique rather than a range join:
+  * tag both inputs, union them, and take `last(right, ignoreNulls)` over a
+  * `(key)` window ordered by `(time, tag)`. Right rows sort before left rows
+  * at equal timestamps, giving `>=` matching. Cost model at scale: ONE
+  * shuffle of |L|+|R| rows by key plus a per-key sort — no range-explosion,
+  * no broadcast requirement, and AQE handles key skew. That is the plan
+  * you'd want on 100 TB; a Catalyst range-join strategy would only help for
+  * band predicates, not as-of.
+  */
+object AsOfJoin {
+
+  /** @param leftTime/rightTime columns of identical orderable type
+    * @param rightPrefix prefix applied to right columns in the output
+    * @param inner when true, left rows with no match are dropped
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPrefix: String = "r_",
+      inner: Boolean = true): DataFrame = {
+    val lStruct = struct(left.columns.map(left(_)).toIndexedSeq: _*)
+    val rStruct = struct(right.columns.map(right(_)).toIndexedSeq: _*)
+    val l2 = left.select(
+      left(leftKey).as("__k"),
+      left(leftTime).as("__t"),
+      lit(1).as("__src"),
+      lStruct.as("__l"),
+      lit(null).cast(right.schema).as("__r"))
+    val r2 = right.select(
+      right(rightKey).as("__k"),
+      right(rightTime).as("__t"),
+      lit(0).as("__src"),
+      lit(null).cast(left.schema).as("__l"),
+      rStruct.as("__r"))
+    // Deterministic even under duplicate right timestamps: the struct itself
+    // is the final tiebreaker.
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__t").asc, col("__src").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l2
+      .unionByName(r2)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+    val kept = if (inner) matched.filter(col("__m").isNotNull) else matched
+    val outCols: Seq[Column] =
+      left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
+        right.columns.toIndexedSeq.map(c => col(s"__m.$c").as(s"$rightPrefix$c"))
+    kept.select(outCols: _*)
+  }
+}

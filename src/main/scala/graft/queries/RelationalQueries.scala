@@ -1,0 +1,372 @@
+package graft.queries
+
+import graft.ops.AsOfJoin
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver-mandated extensions beyond the reference surface (SURVEY §7 step 8):
+  * aggregation, windows, sort/limit, outer/semi/anti/as-of joins, rollup/cube/
+  * pivot, sessionization, JSON — all as native Column expressions so Catalyst
+  * gets pushdown/pruning/broadcast and whole-stage codegen (unlike the
+  * closure-opaque parity layer, which matches the reference's opacity).
+  *
+  * Cross-engine float discipline (the oracle hash-compares values):
+  *  - raw parquet doubles pass through untouched (bit-identical),
+  *  - integral-valued doubles (l_quantity) sum exactly in double,
+  *  - money terms are cast to DECIMAL before summing — 2/4/6-decimal
+  *    rationals are exact, so Spark and DuckDB agree to the last digit,
+  *  - rankings order by exact types (decimal/raw column) + unique tiebreak.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
+  private def sumDec(c: Column, scale: Int): Column = sum(dec(c, scale)).cast(DecimalType(18, scale))
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1 shape: scan-heavy multi-aggregate. Partial aggregation happens
+    * map-side; only 4-ish groups shuffle.
+    */
+  val q1Agg: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sumDec(col("l_extendedprice"), 2).as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6))
+          .cast(DecimalType(18, 6)).as("sum_charge"),
+        round(sum("l_quantity") / count(lit(1)), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3 shape: selective dim filter → join → top-k by exact revenue. */
+  val q3Top10: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        .cast(DecimalType(18, 4)).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way join with co-location predicate, dims broadcast. */
+  val q5Local: Q = (spark, dir) => {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val l = t(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast(DecimalType(18, 4)).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Ranking window: top-3 orders per customer, deterministic tiebreak. */
+  val windowRank: Q = (spark, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+  }
+
+  /** Running-total window over exact decimals. */
+  val windowRunning: Q = (spark, dir) => {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        sum(dec(col("o_totalprice"), 2)).over(w).cast(DecimalType(18, 2)).as("run_total"))
+  }
+
+  /** Global top-k: sort + limit with unique tiebreak. */
+  val sortLimit: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_totalprice")
+
+  /** EXISTS as left-semi join. */
+  val semiJoin: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    t(spark, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** NOT EXISTS as left-anti join. */
+  val antiJoin: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    t(spark, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Left outer join + aggregate; customers with zero orders keep 0 totals. */
+  val outerCount: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    t(spark, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(col("o_totalprice"), 2)), lit(0))
+          .cast(DecimalType(18, 2)).as("total_spend"))
+  }
+
+  /** DISTINCT aggregation per group. */
+  val aggDistinct: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_cust"),
+        min("c_acctbal").as("min_bal"),
+        max("c_acctbal").as("max_bal"))
+
+  /** ROLLUP over the region→nation hierarchy. */
+  val rollupAgg: Q = (spark, dir) => {
+    t(spark, dir, "orders").createOrReplaceTempView("g_orders")
+    t(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    t(spark, dir, "nation").createOrReplaceTempView("g_nation")
+    t(spark, dir, "region").createOrReplaceTempView("g_region")
+    // SQL path: Column-based rollup over this join trips Spark's
+    // ambiguous-self-join heuristic; the SQL analyzer resolves it cleanly.
+    spark.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM g_orders
+        |JOIN g_customer ON o_custkey = c_custkey
+        |JOIN g_nation ON c_nationkey = n_nationkey
+        |JOIN g_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
+
+  /** CUBE over two independent dimensions. */
+  val cubeAgg: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sumDec(col("o_totalprice"), 2).as("total"))
+
+  /** Pivot with a fixed value list (deterministic column order). */
+  val pivotSegment: Q = (spark, dir) => {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val p = t(spark, dir, "customer")
+      .groupBy("c_nationkey")
+      .pivot("c_mktsegment", segs)
+      .count()
+    p.select(
+      col("c_nationkey") +:
+        segs.map(s => coalesce(col(s"`$s`"), lit(0L)).as(s.toLowerCase)): _*)
+  }
+
+  /** Tumbling-hour aggregation over the event stream table. */
+  val eventsHourly: Q = (spark, dir) =>
+    Tables.eventsDf(spark, dir)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
+
+  /** Gap-based sessionization via `session_window` (30-minute inactivity). */
+  val eventsSessionize: Q = (spark, dir) =>
+    Tables.eventsDf(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
+
+  /** JSON extraction from the props payload. */
+  val eventsJson: Q = (spark, dir) =>
+    Tables.events(spark, dir).toDF()
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
+
+  /** As-of join: each error event matched to the user's latest click at or
+    * before it (raw epoch-nanos ordering; no timestamp conversion needed).
+    */
+  val asofClicks: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    AsOfJoin
+      .backward(errors, clicks, "user_id", "user_id", "ts", "ts", rightPrefix = "c_")
+      .select(col("event_id"), col("c_event_id").as("click_id"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_top10" -> q3Top10,
+    "q5_local" -> q5Local,
+    "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
+    "sort_limit" -> sortLimit,
+    "semi_join" -> semiJoin,
+    "anti_join" -> antiJoin,
+    "outer_count" -> outerCount,
+    "agg_distinct" -> aggDistinct,
+    "rollup_agg" -> rollupAgg,
+    "cube_agg" -> cubeAgg,
+    "pivot_segment" -> pivotSegment,
+    "events_hourly" -> eventsHourly,
+    "events_sessionize" -> eventsSessionize,
+    "events_json" -> eventsJson,
+    "asof_clicks" -> asofClicks
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        |  round(SUM(l_quantity) / COUNT(*), 2) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top10" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+        |FROM orders""".stripMargin,
+    "sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "outer_count" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "agg_distinct" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_cust, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "rollup_agg" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "pivot_segment" ->
+      """SELECT c_nationkey,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS furniture,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS household,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM g)
+        |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin,
+    "events_json" ->
+      """SELECT CAST(props->>'k' AS INTEGER) AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "asof_clicks" ->
+      """SELECT e.event_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin
+  )
+}
