@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ParityQueries, RelationalQueries}
+import graft.queries.{ParityQueries, PipelineQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,11 +15,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (plus extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.all ++ RelationalQueries.all
+    ParityQueries.all ++ RelationalQueries.all ++ PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ RelationalQueries.oracles
+    ParityQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata structs; decode / feature-extraction runs as
+  * partition-batched iterators (`mapPartitions`), the Scala analog of a
+  * vectorized decode UDF — the Spark-side schema, batching, and partitioning
+  * are real, the codec itself is STUBBED (no image/audio libraries in this
+  * environment) behind a deterministic fake.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + metadata, the schema a 100 TB
+    * image/audio table would use (payload column stays pruned away unless a
+    * stage actually decodes).
+    */
+  case class MediaRecord(media_id: Long, content: Array[Byte], mime: String, source: String)
+
+  /** Extracted features: fixed-shape metadata a decoder would emit. */
+  case class MediaFeature(
+      media_id: Long,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      aspect: Double,
+      n_frames: Long)
+
+  /** STUB decode: deterministic pseudo-features from the payload size.
+    * A real deployment swaps this body for an image/audio codec; the
+    * surrounding batching/schema stays identical.
+    */
+  def decodeStub(id: Long, content: Array[Byte]): MediaFeature = {
+    val n = content.length.toLong
+    val width = 16L + n % 64L
+    val height = 16L + (n * 7L) % 64L
+    val aspect = BigDecimal(width.toDouble / height)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    MediaFeature(id, n, width, height, aspect, 1L + n % 10L)
+  }
+
+  /** Build a media table from the documents fixture: text bytes stand in
+    * for an image payload (UTF-8 encode), mime/source carried as metadata.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("application/octet-stream").as("mime"),
+        col("source"))
+      .as[MediaRecord]
+  }
+
+  /** Feature extraction over partition-sized batches. `grouped(batchSize)`
+    * mirrors the batch shape a vectorized decoder wants (amortized codec
+    * init per batch, bounded memory); partition parallelism is Spark's.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would init once here, then decode the whole batch
+        batch.iterator.map(r => decodeStub(r.media_id, r.content))
+      }
+    }
+  }
+
+  /** Metadata-only pass: payload column is never decoded, only measured —
+    * the plan should show the binary column pruned into a cheap projection.
+    */
+  def metadata(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF().select(
+      col("media_id"),
+      octet_length(col("content")).cast("long").as("n_bytes"),
+      md5(col("content")).as("content_md5"),
+      col("mime"),
+      col("source"))
+}

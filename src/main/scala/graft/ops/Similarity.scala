@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane-LSH bucketed variant as the scale path.
+  * Vector math is `zip_with`/`aggregate` over array columns in double
+  * precision — codegen'd, sequential accumulation (deterministic), no UDFs.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double; inputs may be float arrays (cast exact). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k nearest neighbors by cosine for each query vector.
+    * The query set is broadcast (it is small by construction); the corpus
+    * streams through map-side — the cross product never shuffles corpus
+    * rows, and per-query ranking is one window over k·|Q| candidates.
+    * At 100 TB corpus scale this is the right baseline: one scan, no
+    * corpus-side state.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `bits` rows of `dim` components in
+    * [-1, 1), seeded — the classic SimHash-for-vectors construction.
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** LSH bucket id: sign bit of the dot product against each hyperplane. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        when(dot(vec, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** IVF/LSH-bucketed approximate top-k: corpus and queries are hashed to
+    * hyperplane-sign buckets; each query searches only its own bucket.
+    * One shuffle on the bucket id instead of a full cross product —
+    * recall trades off with `bits` (more bits → smaller buckets).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(bits, dim, seed)
+    val q = queries.select(
+      col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(
+      col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c
+      .join(q, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Near-duplicate vector pairs: bucket by hyperplane signs, verify cosine
+    * within buckets (embedding-cosine near-dup for dedup pipelines).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bits, 64, seed)
+    val h = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val a = h.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = h.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting. All pure Column expressions
+  * (codegen'd, no UDFs) so they stay inside whole-stage codegen and scale
+  * embarrassingly — no shuffle, no state, applied at scan speed on 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped; the cross-engine-portable
+    * tokenization (DuckDB: `list_filter(string_split_regex(...))`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words plus extra tokens for every 4
+    * characters beyond the first 4 of each word (a common ~4-chars/token
+    * heuristic), digits and punctuation counted separately.
+    */
+  def tokenEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => acc + lit(1L) + floor((length(w) - 1) / lit(4)).cast("long")) +
+      length(regexp_replace(text, "[^0-9.,;:!?]", ""))
+
+  private val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "les", "des", "une", "du", "est", "dans", "et", "pour", "que"))
+
+  def stopwordScore(text: Column, lang: String): Column =
+    size(filter(tokens(text), w => w.isin(stop(lang).map(x => x: Any): _*)))
+
+  /** N-gram-heuristic language ID over stopword hit counts with a fixed
+    * tie-break order (en > es > de > fr). Returns "unknown" when no stopword
+    * of any list occurs — deterministic and SQL-expressible, so the DuckDB
+    * oracle can replicate it exactly.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordScore(text, "en")
+    val es = stopwordScore(text, "es")
+    val de = stopwordScore(text, "de")
+    val fr = stopwordScore(text, "fr")
+    when(en + es + de + fr === 0, "unknown")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Oracle SQL fragment equivalent to [[langId]] (DuckDB dialect). */
+  def langIdSql(textCol: String): String = {
+    def score(lang: String): String = {
+      val list = stop(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(list_filter(string_split_regex(lower($textCol), '\\s+'), w -> w != ''), w -> list_contains($list, w)))"
+    }
+    s"""CASE WHEN ${score("en")} + ${score("es")} + ${score("de")} + ${score("fr")} = 0 THEN 'unknown'
+       | WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("de")} AND ${score("en")} >= ${score("fr")} THEN 'en'
+       | WHEN ${score("es")} >= ${score("de")} AND ${score("es")} >= ${score("fr")} THEN 'es'
+       | WHEN ${score("de")} >= ${score("fr")} THEN 'de'
+       | ELSE 'fr' END""".stripMargin
+  }
+
+  /** Punctuation-character count (sentence-ish enders + separators). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", ""))
+
+  /** Mean token length — exact integer sums divided once, so Spark and the
+    * oracle produce bit-identical doubles.
+    */
+  def avgWordLen(text: Column): Column = {
+    val ws = tokens(text)
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / size(ws))
+  }
+
+  /** Quality heuristics bundle used by [[graft.queries.PipelineQueries]]. */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(stopwordScore(text, "en").cast("double") / n)
+  }
+
+  /** Canonical-form fingerprint: lowercase, collapse whitespace, md5. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Rolling (polynomial) content hash over tokens — order-sensitive,
+    * unlike [[fingerprint]]'s normalization: h ← (h·31 + xxhash64(w)) mod p
+    * with p = 1e9+7. The modulus keeps every intermediate ≤ 31·p + p, far
+    * from Long range, so ANSI-mode overflow checking never trips.
+    */
+  def rollingHash(text: Column): Column = {
+    val p = 1000000007L
+    aggregate(tokens(text), lit(0L), (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), lit(p)), lit(p)))
+  }
+
+  /** Character n-gram shingles of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(length(norm) - n, lit(0))),
+        i => norm.substr(i + 1, lit(n))))
+  }
+
+  /** Word n-gram shingles (the MinHash input). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) < n, array(concat_ws(" ", ws)))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * fixtures: dedup (exact + MinHash + SimHash + n-gram Jaccard + embedding
+  * cosine), similarity search (brute-force and LSH), text analysis, and
+  * multimodal plumbing.
+  *
+  * Oracle-able queries pair with DuckDB SQL; ops whose hashing scheme the
+  * oracle cannot replicate (xxhash64-based LSH) are covered by rows-only
+  * checks here plus brute-force-comparison specs in PipelineOpsSpec.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ------------------------------------------------------------------ dedup
+
+  val dedupExact: Q = (spark, dir) =>
+    Dedup.exact(docs(spark, dir), "text", "doc_id")
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification (rows-only:
+    * the oracle cannot reproduce xxhash64).
+    */
+  val dedupMinhash: Q = (spark, dir) =>
+    Dedup.minhashPairs(docs(spark, dir), "text", "doc_id", threshold = 0.5)
+
+  /** SimHash Hamming-≤3 candidate pairs via 16-bit chunk blocking. */
+  val dedupSimhash: Q = (spark, dir) =>
+    Dedup.simhashPairs(docs(spark, dir), "text", "doc_id", maxHamming = 3)
+
+  /** Exact char-5-gram Jaccard pairs within the natural source blocking. */
+  val dedupNgram: Q = (spark, dir) =>
+    Dedup.ngramJaccardPairs(docs(spark, dir), "text", "doc_id", "source", 5, 0.30)
+
+  /** Embedding-cosine near-duplicate pairs via hyperplane LSH buckets. */
+  val dedupEmbedding: Q = (spark, dir) =>
+    Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.30, bits = 4)
+
+  // ------------------------------------------------------------- similarity
+
+  /** Exact cosine top-10 for query vectors (vec_id < 8) over the corpus.
+    * Oracle-able: DuckDB list_dot_product over DOUBLE[] folds sequentially,
+    * bit-identical to Spark's zip_with/aggregate — verified empirically.
+    */
+  val knnBrute: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+  }
+
+  /** LSH-bucketed approximate top-10 (rows-only; recall measured in spec). */
+  val knnLsh: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10, bits = 4)
+  }
+
+  /** Exact L2 norms — raw doubles, bitwise-equal cross-engine. */
+  val embeddingNorm: Q = (spark, dir) =>
+    emb(spark, dir).select(
+      col("vec_id"),
+      sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("norm"))
+
+  // ------------------------------------------------------------------- text
+
+  val textTokens: Q = (spark, dir) =>
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextOps.tokenEstimate(col("text")).cast("long").as("n_tok_est"))
+
+  val textQuality: Q = (spark, dir) =>
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars2"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_words"),
+      TextOps.avgWordLen(col("text")).as("avg_wlen"),
+      TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+      TextOps.stopwordRatio(col("text")).as("stop_ratio"))
+
+  val textLangid: Q = (spark, dir) =>
+    docs(spark, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+
+  val textFingerprint: Q = (spark, dir) =>
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.rollingHash(col("text")).as("rolling"))
+
+  val docStats: Q = (spark, dir) =>
+    docs(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum("n_chars") / count(lit(1))).as("avg_chars"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+
+  // ------------------------------------------------------------- multimodal
+
+  val multimodalMeta: Q = (spark, dir) =>
+    Multimodal
+      .metadata(Multimodal.mediaFromDocuments(spark, dir))
+      .select("media_id", "n_bytes", "content_md5")
+
+  /** mapPartitions batch decode (stubbed codec) — oracle replays the stub's
+    * arithmetic on octet_length, validating the full binary→feature path.
+    */
+  val multimodalFeatures: Q = (spark, dir) =>
+    Multimodal
+      .extractFeatures(Multimodal.mediaFromDocuments(spark, dir))
+      .toDF()
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_embedding" -> dedupEmbedding,
+    "knn_brute" -> knnBrute,
+    "knn_lsh" -> knnLsh,
+    "embedding_norm" -> embeddingNorm,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "doc_stats" -> docStats,
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_features" -> multimodalFeatures
+  )
+
+  private val wordsSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+  private val enStopSql =
+    "['the', 'of', 'and', 'to', 'in', 'a', 'is', 'that', 'it', 'was']"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "knn_brute" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id)
+        |SELECT q_id, n_id, cos, rank FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+        |  FROM s)
+        |WHERE rank <= 10""".stripMargin,
+    "embedding_norm" ->
+      """SELECT vec_id,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+        |FROM embeddings""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  len($wordsSql) AS n_tokens,
+         |  list_sum(list_transform($wordsSql, w -> 1 + (length(w) - 1) // 4)) +
+         |    length(regexp_replace(text, '[^0-9.,;:!?]', '', 'g')) AS n_tok_est
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars2,
+         |  len($wordsSql) AS n_words,
+         |  CASE WHEN len($wordsSql) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS DOUBLE) / len($wordsSql)
+         |  END AS avg_wlen,
+         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         |  CASE WHEN len($wordsSql) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter($wordsSql, w -> list_contains($enStopSql, w))) AS DOUBLE) / len($wordsSql)
+         |  END AS stop_ratio
+         |FROM documents""".stripMargin,
+    "text_langid" ->
+      s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+    "text_fingerprint" -> null, // rolling hash uses xxhash64: rows-only
+    "doc_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  SUM(n_chars) / COUNT(*) AS avg_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  16 + (octet_length(encode(text)) % 64) AS width,
+        |  16 + ((octet_length(encode(text)) * 7) % 64) AS height,
+        |  round((16 + (octet_length(encode(text)) % 64)) /
+        |        CAST(16 + ((octet_length(encode(text)) * 7) % 64) AS DOUBLE), 4) AS aspect,
+        |  1 + (octet_length(encode(text)) % 10) AS n_frames
+        |FROM documents""".stripMargin
+  ).filter(_._2 != null)
+}

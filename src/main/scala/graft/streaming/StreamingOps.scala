@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event operators: the
+  * engine's IVM story for true streams. Batch `events` rows flow through
+  * `MemoryStream`/`readStream` unchanged — same schema, same results as the
+  * batch queries, which is how the specs pin them.
+  *
+  * The reference's own streaming model is monotone inserts + incremental
+  * views (SURVEY §4); these operators are the Spark-native generalization
+  * with event time, watermarks and bounded state.
+  */
+object StreamingOps {
+
+  /** Tumbling-hour counts with a watermark bounding state: late data beyond
+    * 1 hour is dropped, so state size is O(active hours × event types).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
+  /** Gap-based session aggregation via `session_window` — streaming-native
+    * sessionization with merging windows.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the escape hatch for stateful logic windows can't express. State is one
+    * small record per key; timeout-free (monotone, like the reference's
+    * grow-only instances).
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Flat-map variant emitting one record per completed session (30-minute
+    * inactivity on the nanosecond event clock, processing-time-free logic:
+    * sessions close when a later event proves the gap).
+    */
+  def sessionizeStateful(events: Dataset[UserEvent], gapNs: Long): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    // state: (session_start_ns, last_ts_ns, n_events)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[(Long, Long, Long)]) =>
+          val sorted = batch.toVector.sortBy(e => (e.ts_ns, e.value))
+          var out = Vector.empty[(Long, Long, Long)]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some((start, last, n)) if e.ts_ns - last < gapNs =>
+                cur = Some((start, e.ts_ns, n + 1))
+              case Some((start, _, n)) =>
+                out :+= ((uid, start, n))
+                cur = Some((e.ts_ns, e.ts_ns, 1L))
+              case None =>
+                cur = Some((e.ts_ns, e.ts_ns, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

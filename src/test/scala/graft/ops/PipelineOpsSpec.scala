@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force cross-checks for the LSH-based operators the DuckDB oracle
+  * cannot replicate (xxhash64-seeded hashing). Ground truth is computed in
+  * plain Scala over collected sf0.001 fixtures.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  // --- Scala-side ground-truth replicas -----------------------------------
+
+  private def tokensOf(s: String): Vector[String] =
+    s.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+
+  private def wordShingles(s: String, n: Int): Set[String] = {
+    val ws = tokensOf(s)
+    if (ws.length < n) Set(ws.mkString(" "))
+    else ws.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def charShingles(s: String, n: Int): Set[String] = {
+    val norm = s.toLowerCase.replaceAll("\\s+", " ").trim
+    (0 to math.max(norm.length - n, 0)).map(i => norm.slice(i, i + n)).toSet
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.union(b).isEmpty) 0.0 else a.intersect(b).size.toDouble / a.union(b).size
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // --- MinHash ------------------------------------------------------------
+
+  test("minhashPairs: verified pairs are exactly true-Jaccard>=t among its candidates") {
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = Dedup
+      .minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)]
+      .collect()
+    val truePairs = (for {
+      Seq(a, b) <- texts.keys.toSeq.sorted.combinations(2)
+      j = jaccard(wordShingles(texts(a), 3), wordShingles(texts(b), 3))
+      if j >= 0.5
+    } yield (a, b)).toSet
+    // no false positives: every emitted pair is a true near-dup pair
+    got.foreach { case (a, b, j) =>
+      val tj = jaccard(wordShingles(texts(a), 3), wordShingles(texts(b), 3))
+      assert(tj >= 0.5, s"pair ($a,$b) emitted with jaccard $j but true $tj")
+      assert(math.abs(tj - j) < 1e-3)
+    }
+    // recall sanity on this fixture (LSH 16x4 at j>=0.5 is probabilistic)
+    if (truePairs.nonEmpty) {
+      val recall = got.map(p => (p._1, p._2)).count(truePairs).toDouble / truePairs.size
+      assert(recall >= 0.4, s"recall $recall over ${truePairs.size} true pairs")
+    }
+  }
+
+  test("dedupByMinhash drops only rows with a smaller near-duplicate") {
+    val kept = Dedup.dedupByMinhash(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().toSet
+    val losers = Dedup.minhashPairs(docs, "text", "doc_id")
+      .select("id_b").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- losers)
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  test("simhashPairs: symmetric-unique, bounded hamming, exact dups at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id").as[(Long, Long, Int)].collect()
+    assert(pairs.forall { case (a, b, h) => a < b && h >= 0 && h <= 3 })
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // planted exact duplicates must surface with hamming 0
+    val planted = Seq((9001L, "alpha beta gamma delta epsilon"), (9002L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val dupPairs = Dedup.simhashPairs(planted, "text", "doc_id").as[(Long, Long, Int)].collect()
+    assert(dupPairs.toSeq == Seq((9001L, 9002L, 0)))
+  }
+
+  // --- n-gram Jaccard (fully deterministic → exact equality) --------------
+
+  test("ngramJaccardPairs equals Scala brute force within blocks") {
+    val rows = docs.select("doc_id", "text", "source").as[(Long, String, String)].collect()
+    val bySource = rows.groupBy(_._3)
+    val expected = (for {
+      (_, grp) <- bySource.toSeq
+      Seq((a, ta, _), (b, tb, _)) <- grp.sortBy(_._1).toSeq.combinations(2)
+      j = jaccard(charShingles(ta, 5), charShingles(tb, 5))
+      if j >= 0.30
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 5, 0.30)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  // --- Embedding near-dup + ANN -------------------------------------------
+
+  test("cosineNearDupPairs: no false positives; subset of brute force") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val got = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.30, bits = 4)
+      .as[(Long, Long, Double)].collect()
+    got.foreach { case (a, b, _) =>
+      assert(cosine(vecs(a), vecs(b)) >= 0.30 - 1e-9)
+    }
+  }
+
+  test("bruteForceTopK matches Scala brute force exactly") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val got = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    (0L until 3L).foreach { q =>
+      val expected = vecs.toSeq
+        .filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).map(_._1)
+      assert(got(q) == expected, s"query $q")
+    }
+  }
+
+  test("lshTopK: well-formed ranks, nonzero recall vs brute force") {
+    val brute = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity
+      .lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10, bits = 4)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect()
+    assert(approx.groupBy(_._1).forall(_._2.map(_._3).sorted.sameElements(1 to 10)) ||
+      approx.groupBy(_._1).forall(g => g._2.map(_._3).sorted.toSeq == (1 to g._2.length)))
+    val recall = approx.map(p => (p._1, p._2)).count(brute).toDouble / brute.size
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+
+  // --- Multimodal ---------------------------------------------------------
+
+  test("multimodal extractFeatures matches metadata arithmetic") {
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val feats = Multimodal.extractFeatures(media, batchSize = 7)
+      .as[Multimodal.MediaFeature].collect().map(f => f.media_id -> f).toMap
+    val meta = Multimodal.metadata(media)
+      .select("media_id", "n_bytes").as[(Long, Long)].collect().toMap
+    assert(feats.keySet == meta.keySet)
+    feats.values.foreach { f =>
+      val n = meta(f.media_id)
+      assert(f.n_bytes == n)
+      assert(f.width == 16 + n % 64)
+      assert(f.height == 16 + (n * 7) % 64)
+      assert(f.n_frames == 1 + n % 10)
+      assert(math.abs(f.aspect - f.width.toDouble / f.height) < 1e-4)
+    }
+  }
+
+  // --- TextOps sanity ------------------------------------------------------
+
+  test("text ops on known strings") {
+    val df = Seq(
+      (1L, "The cat sat on the mat. It was warm."),
+      (2L, "el gato y la casa de que en un los"),
+      (3L, ""),
+      (4L, "   spaced    out   words   ")).toDF("doc_id", "text")
+    val r = df.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, Int, String, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 9 && r(1L)._3 == "en")
+    assert(r(2L)._3 == "es")
+    assert(r(3L)._2 == 0 && r(3L)._3 == "unknown")
+    assert(r(4L)._2 == 3)
+    // fingerprint ignores whitespace differences
+    val fps = Seq((1L, "a  b\tc"), (2L, "a b c")).toDF("doc_id", "text")
+      .select(TextOps.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}

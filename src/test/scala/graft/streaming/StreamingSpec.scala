@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.tables.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming operators pinned against their batch equivalents: the same
+  * events produce the same aggregates whether they arrive as one batch or
+  * as a stream of micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly counts equal batch hourly counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables.eventsDf(spark, dir).select("ts", "event_type", "value")
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val in = stream.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.hourlyCounts(in)
+      .writeStream.outputMode("complete").format("memory").queryName("hourly").start()
+    // feed in three micro-batches
+    val (b1, rest) = batch.splitAt(batch.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    val got = spark.table("hourly")
+      .select("hour", "event_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    val expected = Tables.eventsDf(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("stateful running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.runningTotals(stream.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("running").start()
+    stream.addData(StreamingOps.UserEvent(1L, 10L, 2.0), StreamingOps.UserEvent(1L, 20L, 3.0))
+    q.processAllAvailable()
+    stream.addData(StreamingOps.UserEvent(1L, 30L, 5.0), StreamingOps.UserEvent(2L, 5L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("running").as[StreamingOps.UserRunning].collect()
+    q.stop()
+    // last update per user wins
+    val last = rows.groupBy(_.user_id).view.mapValues(_.last).toMap
+    assert(last(1L).n_events == 3 && math.abs(last(1L).total_value - 10.0) < 1e-9)
+    assert(last(2L).n_events == 1 && math.abs(last(2L).total_value - 1.0) < 1e-9)
+  }
+
+  test("stateful sessionizer emits completed sessions with correct bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1000L
+    val stream = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.sessionizeStateful(stream.toDS(), gap)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    // session 1: ts 0,500,900; gap; session 2: ts 3000 (still open at end)
+    stream.addData(
+      StreamingOps.UserEvent(7L, 0L, 0), StreamingOps.UserEvent(7L, 500L, 0))
+    q.processAllAvailable()
+    stream.addData(
+      StreamingOps.UserEvent(7L, 900L, 0), StreamingOps.UserEvent(7L, 3000L, 0))
+    q.processAllAvailable()
+    val done = spark.table("sessions").as[(Long, Long, Long)].collect().toSeq
+    q.stop()
+    assert(done == Seq((7L, 0L, 3L))) // first session: started at 0, 3 events
+  }
+}
