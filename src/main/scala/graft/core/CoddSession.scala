@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions.lit
 
 import scala.collection.immutable.SortedSet
@@ -29,21 +29,7 @@ import scala.reflect.ClassTag
   * Spark joins, so AQE/broadcast/skew handling apply unchanged on a cluster.
   */
 final class CoddSession(val spark: SparkSession) {
-
-  private final class RelEntry(val instance: Instance[Any], val tag: ClassTag[_]) {
-    var dependents: SortedSet[Int] = SortedSet.empty
-    var stabilizing = false
-  }
-
-  private final class ViewEntry(
-      val instance: Instance[Any],
-      val expr: Expr[Any],
-      val tag: ClassTag[_],
-      val dependeeRels: Set[String],
-      val dependeeViews: Set[Int]) {
-    var dependents: SortedSet[Int] = SortedSet.empty
-    var stabilizing = false
-  }
+  import CoddSession.{RelEntry, ViewEntry}
 
   private val relations = mutable.Map.empty[String, RelEntry]
   private val views = mutable.Map.empty[Int, ViewEntry]
@@ -129,6 +115,44 @@ final class CoddSession(val spark: SparkSession) {
     */
   def evaluateSorted[T](expr: Expr[T])(implicit ord: Ordering[T]): Seq[T] =
     evaluate(expr).collect().toSeq.sorted
+
+  /** Snapshot clone: a new session over the same SparkSession whose
+    * relations/views share the immutable batch Datasets but evolve
+    * independently from here on (reference: `impl Clone for Database`,
+    * database.rs:345-363; isolation test database.rs:410-441).
+    */
+  def fork(): CoddSession = {
+    val c = new CoddSession(spark)
+    relations.foreach { case (n, e) =>
+      val ne = new RelEntry(e.instance.snapshot(), e.tag)
+      ne.dependents = e.dependents
+      c.relations(n) = ne
+    }
+    views.foreach { case (id, v) =>
+      val nv = new ViewEntry(v.instance.snapshot(), v.expr, v.tag, v.dependeeRels, v.dependeeViews)
+      nv.dependents = v.dependents
+      c.views(id) = nv
+    }
+    c.viewCounter = viewCounter
+    c
+  }
+
+  /** Ad-hoc SQL over the engine's store — the Spark-native analog of the
+    * reference's unstable `query!` macro DSL (reference: core/src/macros.rs).
+    * Every relation is stabilized and exposed as a temp view named after it;
+    * stored views appear as `view_<id>`. Returns the lazy DataFrame.
+    */
+  def sql(query: String): DataFrame = {
+    relations.keys.toSeq.sorted.foreach { n =>
+      stabilizeRelation(n)
+      relations(n).instance.stable.toDF().createOrReplaceTempView(n)
+    }
+    views.keys.toSeq.sorted.foreach { id =>
+      stabilizeView(id)
+      views(id).instance.stable.toDF().createOrReplaceTempView(s"view_$id")
+    }
+    spark.sql(query)
+  }
 
   // ------------------------------------------------------------ stabilization
 
@@ -290,5 +314,23 @@ final class CoddSession(val spark: SparkSession) {
         ls.flatMap(lt => rv.iterator.map(rt => f(k, lt, rt)))
       }
     }(j.enc)
+  }
+}
+
+object CoddSession {
+
+  private final class RelEntry(val instance: Instance[Any], val tag: ClassTag[_]) {
+    var dependents: SortedSet[Int] = SortedSet.empty
+    var stabilizing = false
+  }
+
+  private final class ViewEntry(
+      val instance: Instance[Any],
+      val expr: Expr[Any],
+      val tag: ClassTag[_],
+      val dependeeRels: Set[String],
+      val dependeeViews: Set[Int]) {
+    var dependents: SortedSet[Int] = SortedSet.empty
+    var stabilizing = false
   }
 }

@@ -31,6 +31,18 @@ final class Instance[T](empty: => Dataset[T]) {
   /** Stage a batch; O(1), no Spark job (reference: instance.rs:127-131). */
   def insert(ds: Dataset[T]): Unit = synchronized { toAdd :+= ds }
 
+  /** Deep-copy the three sets. Batches are immutable checkpointed Datasets,
+    * so a snapshot shares them — O(#batches) driver work, zero data copied
+    * (the Spark analog of the reference's `Clone`, database.rs:345-363).
+    */
+  private[core] def snapshot(): Instance[T] = synchronized {
+    val c = new Instance[T](empty)
+    c.stableBatches = stableBatches
+    c.recentBatch = recentBatch
+    c.toAdd = toAdd
+    c
+  }
+
   def stable: Dataset[T] =
     stableBatches.map(_._1).reduceOption(_ union _).getOrElse(empty)
 
