@@ -20,14 +20,18 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("h"))
       .agg(min(col(idCol)).as(idCol))
 
-  /** MinHash signature of `numHashes` permutations over word 3-gram
-    * shingles. One xxhash64 family, seeded by position — the standard
+  /** MinHash signature of `numHashes` permutations over a **staged**
+    * shingles column. One xxhash64 family, seeded by position — the standard
     * "k independent hash functions" construction.
+    *
+    * `shingles` MUST be an attribute reference, not an inline expression:
+    * it sits inside the per-seed lambda, so an inline expression would be
+    * re-shingled `numHashes` times per row.
     */
-  def minhashSignature(text: Column, numHashes: Int): Column =
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(TextOps.wordShingles(text, 3), s => xxhash64(s, j))))
+      j => array_min(transform(shingles, s => xxhash64(s, j))))
 
   /** LSH banding: split the signature into `bands` bands and hash each,
     * producing (band_idx, band_hash) rows. Docs sharing any band bucket are
@@ -56,11 +60,17 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df
-      .select(
-        col(idCol).as("id"),
-        TextOps.wordShingles(col(textCol), 3).as("shingles"),
-        minhashSignature(col(textCol), numHashes).as("sig"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // repartition: signature computation is CPU-bound; small inputs arrive
+    // in one file split, and at cluster scale this spreads the scan anyway
+    val shingled = df
+      .repartition(par)
+      .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), 3).as("shingles"))
+    // `shingles` is kept in the output, so CollapseProject cannot inline the
+    // shingling into the per-seed signature lambda (which would re-shingle
+    // numHashes times per row)
+    val withSig = shingled
+      .select(col("id"), col("shingles"), minhashSignature(col("shingles"), numHashes).as("sig"))
       .withColumn("bandrow", explode(lshBands(col("sig"), bands, rowsPerBand)))
       .select(col("id"), col("shingles"), col("bandrow.band"), col("bandrow.bh"))
     val a = withSig.select(col("band"), col("bh"), col("id").as("id_a"), col("shingles").as("sh_a"))
@@ -97,28 +107,68 @@ object Dedup {
     * xxhash64, sign-aggregated into a bit vector. Pure higher-order Column
     * expressions; no UDF, no shuffle.
     */
-  def simhash64(text: Column): Column = {
-    // variable shift amounts need call_function: the Scala DSL's
-    // shiftrightunsigned/shiftleft only accept Int literals
-    def ushr(v: Column, bits: Column): Column = call_function("shiftrightunsigned", v, bits)
-    def shl(v: Column, bits: Column): Column = call_function("shiftleft", v, bits)
-    val hashes = transform(TextOps.tokens(text), w => xxhash64(w))
-    val votes = aggregate(
-      hashes,
+  // variable shift amounts need call_function: the Scala DSL's
+  // shiftrightunsigned/shiftleft only accept Int literals
+  private def ushr(v: Column, bits: Column): Column =
+    call_function("shiftrightunsigned", v, bits)
+  private def shl(v: Column, bits: Column): Column =
+    call_function("shiftleft", v, bits)
+
+  /** Per-bit ±1 vote array (length 64) of the tokens' xxhash64 values. */
+  def simhashVotes(toks: Column): Column =
+    aggregate(
+      transform(toks, w => xxhash64(w)),
       array_repeat(lit(0L), 64),
       (acc, h) =>
         zip_with(
           acc,
           transform(
             sequence(lit(0), lit(63)),
-            j => when(ushr(h, j.cast("int")) % 2 === 1, 1L).otherwise(-1L)),
+            // bitwiseAND, not `% 2`: an unshifted negative hash (j = 0)
+            // has remainder -1 even when its lowest bit is set
+            j => when(ushr(h, j.cast("int")).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)),
           (x, y) => x + y))
+
+  /** Fold a **staged** vote array into the 64-bit sign vector. `votes` must
+    * be an attribute reference: it sits inside the per-bit lambda and would
+    * otherwise be recomputed 64 times per row.
+    */
+  def simhashFromVotes(votes: Column): Column =
     aggregate(
       sequence(lit(0), lit(63)),
       lit(0L),
       (acc, j) =>
         acc + when(call_function("element_at", votes, j.cast("int") + 1) > 0,
           shl(lit(1L), j.cast("int"))).otherwise(0L))
+
+  def simhash64(text: Column): Column =
+    simhashFromVotes(simhashVotes(TextOps.tokens(text)))
+
+  /** Same SimHash in plain Scala (same tokenization, same xxhash64 family
+    * via Spark's XXH64 with the Column default seed 42). The interpreted
+    * higher-order-function form cannot be kept out of constraint-inferred
+    * filters — Catalyst substitutes the full expression into pushed-down
+    * `isnotnull` predicates, re-evaluating the 64×|tokens| vote loop per
+    * row per predicate — so the hot path hashes in compiled code instead.
+    */
+  def simhash64Scala(text: String): Long = {
+    val votes = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { w =>
+      if (w.nonEmpty) {
+        val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sh |= (1L << j); j += 1 }
+    sh
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
@@ -131,7 +181,17 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sp = df.sparkSession
+    import sp.implicits._
+    // typed map: compiled per-row hashing that no optimizer rule can clone
+    // into pushed-down predicates (see simhash64Scala)
+    val sh = df
+      .repartition(par)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64Scala(text)) }
+      .toDF("id", "sh")
     val chunked = sh.select(
       col("id"),
       col("sh"),
@@ -140,7 +200,8 @@ object Dedup {
           sequence(lit(0), lit(3)),
           c => struct(
             c.as("chunk"),
-            (call_function("shiftrightunsigned", col("sh"), c.cast("int") * 16) % 65536).as("ch"))))
+            call_function("shiftrightunsigned", col("sh"), c.cast("int") * 16)
+              .bitwiseAND(lit(65535L)).as("ch"))))
         .as("b"))
       .select(col("id"), col("sh"), col("b.chunk"), col("b.ch"))
     val a = chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sh").as("sh_a"))
@@ -163,20 +224,70 @@ object Dedup {
       blockCol: String,
       n: Int,
       threshold: Double): DataFrame = {
-    val s = df.select(
-      col(blockCol).as("blk"),
-      col(idCol).as("id"),
-      TextOps.charShingles(col(textCol), n).as("sh"))
-    val a = s.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = s.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    // normalize once, shuffle by block (the join needs that partitioning
+    // anyway), then shingle over the staged attribute — an inline normalize
+    // inside the shingle lambda would cost O(len²) regex per row
+    val normed = df
+      .select(
+        col(blockCol).as("blk"),
+        col(idCol).as("id"),
+        TextOps.normalize(col(textCol)).as("norm"))
+      .repartition(col("blk"))
+    // hash shingles to Longs: pairwise set ops on fixed-width longs are far
+    // cheaper than on strings, and 64-bit collisions are negligible for
+    // Jaccard (expected collisions ≈ |shingles|²/2⁶⁴ per doc)
+    // hash shingles to sorted Long arrays: 64-bit collisions are negligible
+    // for Jaccard, and the pair stage can then use a compiled two-pointer
+    // merge instead of per-pair interpreted array_intersect (≈40× cheaper —
+    // the pair count is inherently quadratic per block, so the per-pair
+    // constant is what decides throughput)
+    val s = normed.select(
+      col("blk"),
+      col("id"),
+      array_sort(
+        array_distinct(transform(TextOps.charShinglesOfNorm(col("norm"), n), sh => xxhash64(sh))))
+        .as("sh"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    // per-block compiled kernel: a self-join would materialize every pair
+    // with both 2KB arrays (O(pairs·|sh|) bytes through the pipeline);
+    // grouping deserializes each doc once and runs the O(pairs) double loop
+    // in compiled code. Requires a block to fit in executor memory — the
+    // blocking column is chosen for exactly that (same contract as any
+    // within-bucket brute-force stage).
+    s.select(col("blk").cast("string").as("blk"), col("id"), col("sh"))
+      .as[(String, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ds = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var x = 0
+        while (x < ds.length) {
+          var y = x + 1
+          val (ia, sa) = ds(x)
+          while (y < ds.length) {
+            val (ib, sb) = ds(y)
+            // size prefilter: jaccard >= t needs |A|/|B| within [t, 1/t]
+            val minLen = math.min(sa.length, sb.length).toDouble
+            val maxLen = math.max(sa.length, sb.length).toDouble
+            if (maxLen > 0 && minLen / maxLen >= threshold) {
+              var i = 0; var j = 0; var inter = 0
+              while (i < sa.length && j < sb.length) {
+                if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+                else if (sa(i) < sb(j)) i += 1
+                else j += 1
+              }
+              val jac = inter.toDouble / (sa.length + sb.length - inter)
+              if (jac >= threshold) out += ((ia, ib, jac))
+            }
+            y += 1
+          }
+          x += 1
+        }
+        out.result().iterator
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .withColumn("jaccard", round(col("jaccard"), 4))
   }
 
   /** Keep one row per exact-duplicate group, generic version: survivor is

@@ -35,11 +35,22 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    // stage per-vector norms on each side: computed once per row, not once
+    // per (query, neighbor) pair
+    val q = queries.select(
+      col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(
+      col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"))
     val scored = c
       .join(broadcast(q), col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -80,15 +91,20 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("q_id"),
       col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val c = corpus.select(
       col(idCol).as("n_id"),
       col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val scored = c
       .join(q, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -107,12 +123,13 @@ object Similarity {
     val h = df.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"),
       lshBucket(col(vecCol), planes).as("bucket"))
-    val a = h.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = h.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val a = h.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = h.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .dropDuplicates("id_a", "id_b")

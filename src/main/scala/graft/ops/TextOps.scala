@@ -101,14 +101,26 @@ object TextOps {
     aggregate(tokens(text), lit(0L), (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), lit(p)), lit(p)))
   }
 
-  /** Character n-gram shingles of the normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+  /** Whitespace-collapsed lowercase form — stage this as its own column
+    * before calling [[charShinglesOfNorm]]: an inline expression inside a
+    * lambda body is re-evaluated per element (O(len²) interpreted regex),
+    * an attribute reference is read from the row once.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Character n-gram shingles over an already-normalized column. */
+  def charShinglesOfNorm(norm: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(0), greatest(length(norm) - n, lit(0))),
         i => norm.substr(i + 1, lit(n))))
-  }
+
+  /** Character n-gram shingles of raw text (convenience; prefer staging
+    * [[normalize]] when the shingles feed pairwise comparisons).
+    */
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesOfNorm(normalize(text), n)
 
   /** Word n-gram shingles (the MinHash input). */
   def wordShingles(text: Column, n: Int): Column = {
