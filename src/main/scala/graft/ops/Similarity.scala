@@ -11,8 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double; inputs may be float arrays (cast exact). */
+  /** Σ aᵢ·bᵢ in double; inputs may be float arrays (cast exact).
+    * Delegates to the codegen'd native expression — same sequential double
+    * accumulation as the higher-order `zip_with`+`aggregate` form (bitwise
+    * identical results), minus the per-element interpreted dispatch.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProduct(a, b)
+
+  /** The higher-order-function formulation (kept as the portable reference
+    * implementation; [[dot]] must stay bitwise-equal to it).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

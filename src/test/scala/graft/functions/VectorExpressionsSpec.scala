@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd DotProduct must be bitwise-equal to the higher-order
+  * reference formulation — the kNN oracle depends on exact doubles.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("codegen dot == HOF dot bitwise on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .limit(2000)
+    val diff = pairs
+      .select(
+        VectorExpressions.dotProduct(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("null inputs and double arrays") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq(1.0)), None)).toDF("a", "b")
+    val r = df.select(VectorExpressions.dotProduct(col("a"), col("b"))).collect()
+    assert(r(0).getDouble(0) == 11.0)
+    assert(r(1).isNullAt(0) && r(2).isNullAt(0))
+  }
+
+  test("interpreted eval path matches codegen (eval vs doGenCode)") {
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))
+    val e = DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal(arr,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(arr,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null) == (1.0 + 4.0 + 9.0))
+  }
+}
