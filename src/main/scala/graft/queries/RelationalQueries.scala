@@ -229,7 +229,20 @@ object RelationalQueries {
       .select(col("event_id"), col("c_event_id").as("click_id"))
   }
 
+  /** Exact interpolated percentiles — `percentile` in Spark and
+    * `quantile_cont` in DuckDB both sort exactly and interpolate linearly;
+    * equality verified empirically on this data.
+    */
+  val quantilePrice: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5D)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9D)").as("p90_price"),
+        count(lit(1)).as("n"))
+
   val all: Map[String, Q] = Map(
+    "quantile_price" -> quantilePrice,
     "q1_agg" -> q1Agg,
     "q3_top10" -> q3Top10,
     "q5_local" -> q5Local,
@@ -250,6 +263,12 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "quantile_price" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-format and table-layout helpers — the source/sink surface the
+  * reference lacks entirely (memory-only, SURVEY §2 "explicitly absent"),
+  * provided Spark-first:
+  *
+  *  - schema-explicit CSV/JSON readers (schema inference is a full extra
+  *    pass over the data — never acceptable at 100 TB);
+  *  - partitioned parquet writes (partition pruning is the cheapest filter
+  *    there is: pruned directories are never listed, let alone read);
+  *  - bucketed tables for shuffle-free co-located joins: two tables
+  *    bucketed on the same key into the same bucket count sort-merge-join
+  *    without any Exchange — THE layout decision for repeatedly-joined
+  *    100 TB fact tables.
+  */
+object Sources {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .schema(schema)
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Partitioned parquet layout: directory per `partitionCols` value.
+    * Queries filtering on those columns list only matching directories
+    * (`PartitionFilters` in the scan, not even `PushedFilters`).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table. Joining two tables bucketed on the
+    * same key with the same `numBuckets` needs no shuffle — the join
+    * becomes a per-bucket merge.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a stale location (files from a previous session whose catalog entry is
+    // gone) makes saveAsTable fail with LOCATION_ALREADY_EXISTS — drop both
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("csv and json round-trip with explicit schema") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val expected = df.as[(Int, String, Int)].collect().toSet
+
+    val csvPath = tmp("csv") + "/nation"
+    Sources.writeCsv(df, csvPath)
+    val csvBack = Sources.readCsv(spark, csvPath, df.schema)
+    assert(csvBack.as[(Int, String, Int)].collect().toSet == expected)
+
+    val jsonPath = tmp("json") + "/nation"
+    Sources.writeJson(df, jsonPath)
+    val jsonBack = Sources.readJson(spark, jsonPath, df.schema)
+    assert(jsonBack.as[(Int, String, Int)].collect().toSet == expected)
+  }
+
+  test("partitioned write enables partition pruning") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val path = tmp("part") + "/customer"
+    Sources.writePartitioned(df, path, Seq("c_mktsegment"))
+    val pruned = spark.read.parquet(path).filter(col("c_mktsegment") === "BUILDING")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // pruning shows up as a PartitionFilters entry on the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("c_mktsegment"))
+    assert(pruned.count() ==
+      df.filter(col("c_mktsegment") === "BUILDING").count())
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    Sources.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    Sources.writeBucketed(l, "b_lineitem", "l_orderkey", 4)
+    // disable broadcast so the join must pick sort-merge: bucketing then
+    // means NO shuffle exchange on either side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() == l.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
