@@ -119,7 +119,41 @@ object PipelineQueries {
       .extractFeatures(Multimodal.mediaFromDocuments(spark, dir))
       .toDF()
 
+  /** Group-level MinHash via the custom typed Aggregator: per-source corpus
+    * signature (element-wise min of doc signatures). Rows-only: the oracle
+    * cannot replay xxhash64; pinned exactly by spec instead.
+    */
+  val sourceMinhash: Q = (spark, dir) => {
+    val shingled = docs(spark, dir)
+      .select(
+        col("source"),
+        TextOps.wordShingles(col("text"), 3).as("shingles"))
+    val sigs = shingled.select(
+      col("source"),
+      Dedup.minhashSignature(col("shingles"), 16).cast("array<bigint>").as("sig"))
+    sigs
+      .groupBy("source")
+      .agg(graft.functions.MinHashAggregator.groupSignature(col("sig"), 16).as("group_sig"))
+      .select(col("source"), col("group_sig"))
+  }
+
+  /** Sketch-based distinct counting next to the exact answer — the
+    * constant-memory path for 100 TB cardinalities (HLL++: one small buffer
+    * per group, order-independent merges). Rows-only: sketch estimates are
+    * engine-specific; the spec bounds the relative error instead.
+    */
+  val approxParts: Q = (spark, dir) =>
+    spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+
   val all: Map[String, Q] = Map(
+    "source_minhash" -> sourceMinhash,
+    "approx_parts" -> approxParts,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
