@@ -241,7 +241,31 @@ object RelationalQueries {
         expr("percentile(o_totalprice, 0.9D)").as("p90_price"),
         count(lit(1)).as("n"))
 
+  /** Top-3 orders per customer through the bounded-heap operator — same
+    * semantics as `window_rank` but shuffling only partial winners.
+    */
+  val topkPerKey: Q = (spark, dir) =>
+    graft.ops.TopK.perKey(
+      t(spark, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+
+  /** Interval join via bucket decomposition: orders classified into fixed
+    * price bands — equi-join on bucket + residual filter instead of a
+    * nested-loop range join.
+    */
+  val rangeBands: Q = (spark, dir) => {
+    val bands = (0 until 10).map(i => (i, i * 50000.0, (i + 1) * 50000.0))
+    val bandsDf = spark.createDataFrame(bands).toDF("band_id", "lo", "hi")
+    graft.ops.RangeJoin
+      .bandJoin(
+        t(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_totalprice", bandsDf, "lo", "hi", 50000.0)
+      .select("o_orderkey", "band_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "topk_per_key" -> topkPerKey,
+    "range_bands" -> rangeBands,
     "quantile_price" -> quantilePrice,
     "q1_agg" -> q1Agg,
     "q3_top10" -> q3Top10,
@@ -263,6 +287,17 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "range_bands" ->
+      ("""SELECT o_orderkey, band_id FROM orders JOIN (VALUES """ +
+        (0 until 10).map(i => s"($i, ${i * 50000.0}, ${(i + 1) * 50000.0})").mkString(", ") +
+        """) AS t(band_id, lo, hi) ON o_totalprice >= lo AND o_totalprice < hi"""),
     "quantile_price" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS median_price,

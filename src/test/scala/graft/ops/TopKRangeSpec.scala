@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKRangeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TopK.perKey equals the window formulation") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val got = TopK.perKey(o, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = o.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("TopK.perKey handles k larger than group size and single-row keys") {
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (2L, 20L, 1.0)).toDF("k", "id", "v")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == Set((1L, 11L, 7.0, 1), (1L, 10L, 5.0, 2), (2L, 20L, 1.0, 1)))
+  }
+
+  test("bandJoin equals predicate join, including boundary values") {
+    val left = Seq((1L, 0.0), (2L, 49999.999), (3L, 50000.0), (4L, 99999.0), (5L, 150000.0))
+      .toDF("id", "v")
+    val ranges = Seq((0, 0.0, 50000.0), (1, 50000.0, 100000.0)).toDF("band", "lo", "hi")
+    val got = RangeJoin.bandJoin(left, "v", ranges, "lo", "hi", 50000.0)
+      .select("id", "band").as[(Long, Int)].collect().toSet
+    val expected = left.crossJoin(ranges)
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "band").as[(Long, Int)].collect().toSet
+    assert(got == expected)
+    // lo inclusive, hi exclusive: 50000.0 lands in band 1; 150000 matches nothing
+    assert(got == Set((1L, 0), (2L, 0), (3L, 1), (4L, 1)))
+  }
+
+  test("bandJoin with ranges spanning multiple buckets") {
+    val left = Seq((1L, 25.0), (2L, 75.0), (3L, 125.0)).toDF("id", "v")
+    val ranges = Seq((0, 0.0, 130.0)).toDF("band", "lo", "hi") // spans 13 buckets of 10
+    val got = RangeJoin.bandJoin(left, "v", ranges, "lo", "hi", 10.0)
+      .select("id", "band").as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 0), (2L, 0), (3L, 0)))
+  }
+}
