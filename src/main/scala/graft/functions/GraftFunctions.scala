@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Multiply, Sqrt}
+
+/** SQL-surface registration for the graft native expressions, so
+  * `spark.sql("SELECT dot_product(a, b) ...")` and
+  * `cosine_sim(a, b)` work alongside the Column API.
+  */
+object GraftFunctions {
+
+  private def dotBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
+    DotProduct(args(0), args(1))
+  }
+
+  private def cosineBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
+    val (a, b) = (args(0), args(1))
+    org.apache.spark.sql.catalyst.expressions.Divide(
+      DotProduct(a, b),
+      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+  }
+
+  /** Register into an existing session (temp functions, session-scoped). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("dot_product", dotBuilder, "built-in")
+    registry.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
+  }
+
+  /** Builder-time form:
+    * `SparkSession.builder().withExtensions(new GraftExtensions)...` —
+    * registers the functions into every session created with the
+    * extensions, the deployment-grade path
+    * (runtime [[register]] covers already-built sessions).
+    */
+  final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+    override def apply(e: SparkSessionExtensions): Unit = {
+      e.injectFunction(
+        (new FunctionIdentifier("dot_product"),
+          new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+          dotBuilder _))
+      e.injectFunction(
+        (new FunctionIdentifier("cosine_sim"),
+          new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
+          cosineBuilder _))
+    }
+  }
+}

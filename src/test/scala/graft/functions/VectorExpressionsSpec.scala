@@ -45,4 +45,19 @@ class VectorExpressionsSpec extends AnyFunSuite {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
     assert(e.eval(null) == (1.0 + 4.0 + 9.0))
   }
+
+  test("SQL registration: dot_product and cosine_sim usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e.createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT vec_id, dot_product(embedding, embedding) AS d,
+        |       cosine_sim(embedding, embedding) AS c
+        |FROM emb_sql LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getDouble(1) > 0)
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-9) // self-cosine is 1
+    }
+  }
 }
