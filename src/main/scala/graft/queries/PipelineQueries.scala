@@ -151,7 +151,14 @@ object PipelineQueries {
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
 
+  /** Sliding-window token chunking (size 32, overlap 8) — the map-side
+    * generator every pretraining pipeline runs before tokenization.
+    */
+  val textChunks: Q = (spark, dir) =>
+    graft.ops.Chunker.chunkByTokens(docs(spark, dir), "text", "doc_id", 32, 8)
+
   val all: Map[String, Q] = Map(
+    "text_chunks" -> textChunks,
     "source_minhash" -> sourceMinhash,
     "approx_parts" -> approxParts,
     "dedup_exact" -> dedupExact,
@@ -177,6 +184,12 @@ object PipelineQueries {
     "['the', 'of', 'and', 'to', 'in', 'a', 'is', 'that', 'it', 'was']"
 
   val oracles: Map[String, String] = Map(
+    "text_chunks" ->
+      s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  array_to_string(list_slice(words, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
+         |  len(list_slice(words, i*24 + 1, i*24 + 32)) AS n_chunk_tokens
+         |FROM (SELECT doc_id, $wordsSql AS words FROM documents),
+         |  unnest(generate_series(0, (len(words) - 1) // 24)) AS t(i)""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
     "knn_brute" ->
