@@ -1,0 +1,70 @@
+package graft.core
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct three-set Instance behavior — port of the reference's
+  * instance-level tests (reference: core/src/database/instance.rs:300-481):
+  * staging, epoch transitions, dedup-on-merge, geometric compaction.
+  */
+class InstanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def inst = new Instance[Int](spark.emptyDataset[Int])
+  private def ds(xs: Int*) = spark.createDataset(xs)
+
+  test("insert stages only; changed() promotes; second changed() folds") {
+    val i = inst
+    i.insert(ds(1, 2, 2, 3))
+    assert(i.pendingCount == 1 && !i.hasRecent && i.stableCount == 0)
+    assert(i.changed()) // to_add -> recent (dedup'd)
+    assert(i.hasRecent && i.recent.collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(!i.changed()) // recent -> stable, nothing pending
+    assert(!i.hasRecent && i.stableCount == 3)
+    assert(i.stable.collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("promotion anti-joins against stable (dedup across epochs)") {
+    val i = inst
+    i.insert(ds(1, 2, 3)); i.changed(); i.changed()
+    i.insert(ds(2, 3, 4, 4))
+    assert(i.changed())
+    assert(i.recent.collect().sorted.toSeq == Seq(4)) // only the novel tuple
+    i.insert(ds(1, 2, 3, 4))
+    i.changed()
+    assert(!i.hasRecent || i.recent.isEmpty) // nothing genuinely new
+    assert(i.stableCount == 4)
+  }
+
+  test("geometric compaction: equal batches collapse, large batches persist") {
+    val i = inst
+    // equal 3-row batches, merging while last <= 2*recent:
+    // [3] → [6] → [9] → 9 > 6 ⇒ [9,3]
+    (0 until 4).foreach { k =>
+      i.insert(ds(k * 10 + 1, k * 10 + 2, k * 10 + 3))
+      i.changed(); i.changed()
+    }
+    assert(i.stableCount == 12)
+    assert(i.stableBatchCount == 2, s"expected runs [9,3], got ${i.stableBatchCount}")
+    // fifth batch cascades: 3<=6 ⇒ 6; 9<=12 ⇒ [15]
+    i.insert(ds(41, 42, 43))
+    i.changed(); i.changed()
+    assert(i.stableBatchCount == 1, s"expected cascade collapse, got ${i.stableBatchCount}")
+    assert(i.stableCount == 15)
+    // a 1-row batch does NOT merge into the 15-row run (15 > 2)
+    i.insert(ds(100))
+    i.changed(); i.changed()
+    assert(i.stableBatchCount == 2, s"expected separate run, got ${i.stableBatchCount}")
+    assert(i.stableCount == 16)
+  }
+
+  test("multiple staged batches drain in one epoch") {
+    val i = inst
+    i.insert(ds(1, 2)); i.insert(ds(2, 3)); i.insert(ds(3, 4))
+    assert(i.pendingCount == 3)
+    assert(i.changed())
+    assert(i.recent.collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(i.pendingCount == 0)
+  }
+}
