@@ -24,7 +24,9 @@ import org.apache.spark.sql.Dataset
   */
 final class Instance[T](empty: => Dataset[T]) {
 
-  private var stableBatches: Vector[(Dataset[T], Long)] = Vector.empty
+  import Instance.Run
+
+  private var stableBatches: Vector[Run[T]] = Vector.empty
   private var recentBatch: Option[(Dataset[T], Long)] = None
   private var toAdd: Vector[Dataset[T]] = Vector.empty
 
@@ -44,14 +46,14 @@ final class Instance[T](empty: => Dataset[T]) {
   }
 
   def stable: Dataset[T] =
-    stableBatches.map(_._1).reduceOption(_ union _).getOrElse(empty)
+    stableBatches.map(_.ds).reduceOption(_ union _).getOrElse(empty)
 
   def recent: Dataset[T] = recentBatch.map(_._1).getOrElse(empty)
 
   def hasRecent: Boolean = recentBatch.nonEmpty
   def pendingCount: Int = toAdd.size
   private[core] def stableBatchCount: Int = stableBatches.size
-  def stableCount: Long = stableBatches.map(_._2).sum
+  def stableCount: Long = stableBatches.map(_.count).sum
 
   /** Advance one epoch (reference: instance.rs:173-206):
     *  1. fold `recent` into `stable`, geometrically compacting trailing
@@ -62,18 +64,25 @@ final class Instance[T](empty: => Dataset[T]) {
     */
   def changed(): Boolean = synchronized {
     recentBatch.foreach { r =>
-      var merged = r
-      while (stableBatches.nonEmpty && stableBatches.last._2 <= 2 * merged._2) {
+      var merged: Run[T] = Run(r._1, r._2, 0)
+      while (stableBatches.nonEmpty && stableBatches.last.count <= 2 * merged.count) {
         val last = stableBatches.last
         stableBatches = stableBatches.init
-        // Batches are disjoint: plain union, no distinct needed.
-        merged = (last._1.union(merged._1).localCheckpoint(true), last._2 + merged._2)
+        // Batches are disjoint: plain union, no distinct needed; logical
+        // union only — counts add, no Spark job.
+        merged = Run(
+          last.ds.union(merged.ds),
+          last.count + merged.count,
+          math.max(last.depth, merged.depth) + 1)
       }
+      if (merged.depth > Instance.MaxUnionDepth)
+        merged = Run(merged.ds.localCheckpoint(true), merged.count, 0)
       stableBatches :+= merged
       recentBatch = None
     }
     if (toAdd.nonEmpty) {
-      val staged = toAdd.reduce(_ union _).distinct()
+      val staged =
+        (if (toAdd.size == 1) toAdd.head else toAdd.reduce(_ union _)).distinct()
       val novel =
         if (stableBatches.isEmpty) staged
         else staged.except(stable) // EXCEPT DISTINCT = the gallop anti-join's job
@@ -84,4 +93,21 @@ final class Instance[T](empty: => Dataset[T]) {
       else false
     } else false
   }
+}
+
+object Instance {
+
+  /** A stable run: dataset, row count, and union-lineage depth since the
+    * last checkpoint. Compaction merges are LOGICAL unions (free — counts
+    * add, no job); a merge only re-checkpoints once its lineage depth
+    * exceeds [[MaxUnionDepth]], bounding both plan size and the number of
+    * materialization jobs per epoch.
+    */
+  private[core] final case class Run[T](ds: Dataset[T], count: Long, depth: Int)
+
+  /** Max logical-union lineage depth of a stable run before it is
+    * re-checkpointed: folds below this depth cost zero Spark jobs; the
+    * checkpoint amortizes to O(1) per `MaxUnionDepth` merges.
+    */
+  val MaxUnionDepth = 4
 }
