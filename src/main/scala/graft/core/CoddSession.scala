@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions.lit
 
 import scala.collection.immutable.SortedSet
@@ -292,28 +292,28 @@ final class CoddSession(val spark: SparkSession) {
     l.joinWith(r, lit(true), "cross").map { t => f(t._1, t._2) }(p.enc)
   }
 
-  /** Typed equi-join on computed keys, fused with the mapper. `cogroup`
-    * shuffles both sides by the extracted key — the Spark analog of the
-    * reference's sort-merge join over extracted-key runs
-    * (reference: core/src/database/helpers.rs:58-87). Reference semantics:
-    * keys compare by `Ord`, so e.g. `None == None` matches — `cogroup`
-    * (grouping on the encoded key) preserves exactly that, where a Column
-    * `===` join would drop null keys.
+  /** Typed equi-join on computed keys, fused with the mapper. Keys are
+    * extracted into a column and joined with `<=>` (null-safe equality) —
+    * verified to preserve the reference's `Ord`-equality semantics where
+    * `None == None` matches (reference: core/src/database/helpers.rs:58-87;
+    * music.rs:163-175), including for struct keys with null fields.
+    *
+    * A relational join (not `cogroup`) on purpose: Catalyst sees the key
+    * column, so small sides — IVM deltas above all — broadcast instead of
+    * shuffling both inputs, and AQE handles skew. That is what makes the
+    * delta rules (δL⋈Rˢ etc.) cheap at scale: the delta side is batch-sized
+    * and rides a broadcast while the stable side never moves.
     */
   private def joinDs(
       j: EquiJoin[Any, Any, Any, Any],
       l: Dataset[Any],
       r: Dataset[Any]): Dataset[Any] = {
-    val f = j.f
-    val lg = l.groupByKey(j.leftKey)(j.kEnc)
-    val rg = r.groupByKey(j.rightKey)(j.kEnc)
-    lg.cogroup(rg) { (k, ls, rs) =>
-      if (ls.isEmpty || rs.isEmpty) Iterator.empty
-      else {
-        val rv = rs.toVector
-        ls.flatMap(lt => rv.iterator.map(rt => f(k, lt, rt)))
-      }
-    }(j.enc)
+    val lk = j.leftKey; val rk = j.rightKey; val f = j.f
+    val lKeyed = l.map(x => (lk(x), x))(Encoders.tuple(j.kEnc, j.left.enc))
+    val rKeyed = r.map(x => (rk(x), x))(Encoders.tuple(j.kEnc, j.right.enc))
+    lKeyed
+      .joinWith(rKeyed, lKeyed("_1") <=> rKeyed("_1"), "inner")
+      .map(t => f(t._1._1, t._1._2, t._2._2))(j.enc)
   }
 }
 
