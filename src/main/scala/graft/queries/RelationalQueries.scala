@@ -263,7 +263,21 @@ object RelationalQueries {
       .select("o_orderkey", "band_id")
   }
 
+  /** Event-stream enrichment against the customer dimension (batch form of
+    * the stream-static join in graft.streaming; the streaming spec pins
+    * stream == batch on the same data).
+    */
+  val eventsEnrich: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+    val cust = t(spark, dir, "customer")
+    graft.streaming.StreamingOps
+      .enrich(ev, cust, "user_id", "c_custkey")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
+  }
+
   val all: Map[String, Q] = Map(
+    "events_enrich" -> eventsEnrich,
     "topk_per_key" -> topkPerKey,
     "range_bands" -> rangeBands,
     "quantile_price" -> quantilePrice,
@@ -287,6 +301,11 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type""".stripMargin,
     "topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

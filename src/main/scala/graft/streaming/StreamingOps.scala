@@ -42,6 +42,15 @@ object StreamingOps {
         col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Stream-static enrichment: join each event against a broadcast
+    * dimension table. Stream-static joins are stateless in Structured
+    * Streaming — the dim is re-broadcast per micro-batch, so no watermark
+    * or state store is involved; at scale keep the dim broadcast-sized or
+    * pre-bucket both sides.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -73,4 +73,24 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(done == Seq((7L, 0L, 3L))) // first session: started at 0, 3 events
   }
+
+  test("stream-static enrichment equals batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    val batchEv = Tables.events(spark, dir).toDF()
+      .select("event_id", "user_id").as[(Long, Long)].collect().toSeq
+    val stream = MemoryStream[(Long, Long)]
+    val in = stream.toDF().toDF("event_id", "user_id")
+    val q = StreamingOps.enrich(in, dim, "user_id", "c_custkey")
+      .select("event_id", "c_mktsegment")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    batchEv.grouped(400).foreach { b => stream.addData(b); q.processAllAvailable() }
+    val got = spark.table("enriched").as[(Long, String)].collect().toSet
+    q.stop()
+    val expected = StreamingOps.enrich(
+        Tables.events(spark, dir).toDF(), dim, "user_id", "c_custkey")
+      .select("event_id", "c_mktsegment").as[(Long, String)].collect().toSet
+    assert(got == expected && got.size == batchEv.size)
+  }
 }
