@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.core.{CoddSession, Rel}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming counterparts of the batch event operators: the
   * engine's IVM story for true streams. Batch `events` rows flow through
@@ -50,6 +51,31 @@ object StreamingOps {
     */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Bridge a stream into the IVM engine: every micro-batch becomes a
+    * monotone insert into a `CoddSession` relation, and the session's
+    * stored views refresh incrementally on stabilization — the reference's
+    * own streaming model (inserts are the stream, views are the stateful
+    * operators; SURVEY §2 #12) driven by a real Structured Streaming
+    * source. `stabilizeEachBatch = true` propagates deltas eagerly per
+    * micro-batch; `false` leaves staging lazy until the next evaluate.
+    */
+  def ivmSink[T](
+      stream: Dataset[T],
+      db: CoddSession,
+      rel: Rel[T],
+      stabilizeEachBatch: Boolean = true)(
+      implicit enc: Encoder[T]): DataStreamWriter[T] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[T], _: Long) =>
+        // the micro-batch Dataset is only valid inside this callback:
+        // checkpoint it (distributed, block-manager-backed) so the staged
+        // batch outlives the callback without collecting to the driver
+        db.insert(rel, batch.localCheckpoint(true))
+        if (stabilizeEachBatch) db.evaluate(rel).count()
+        ()
+      }
 
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

@@ -93,4 +93,24 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id", "c_mktsegment").as[(Long, String)].collect().toSet
     assert(got == expected && got.size == batchEv.size)
   }
+
+  test("ivmSink: streamed inserts maintain a stored view incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.Expr._
+    val db = new graft.core.CoddSession(spark)
+    val rel = db.addRelation[StreamingOps.UserEvent]("stream_events")
+    val view = db.storeView(rel.select(_.value > 5.0).project(e => (e.user_id, e.ts_ns)))
+    val stream = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.ivmSink(stream.toDS(), db, rel).start()
+    stream.addData(
+      StreamingOps.UserEvent(1, 10, 9.0), StreamingOps.UserEvent(1, 20, 1.0))
+    q.processAllAvailable()
+    assert(db.evaluateSorted(view) == Seq((1L, 10L)))
+    stream.addData(
+      StreamingOps.UserEvent(2, 30, 7.0), StreamingOps.UserEvent(1, 10, 9.0)) // dup
+    q.processAllAvailable()
+    q.stop()
+    assert(db.evaluateSorted(view) == Seq((1L, 10L), (2L, 30L)))
+    assert(db.evaluateSorted(rel)(Ordering.by((e: StreamingOps.UserEvent) => (e.user_id, e.ts_ns))).size == 3)
+  }
 }
