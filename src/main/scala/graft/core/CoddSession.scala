@@ -41,7 +41,10 @@ final class CoddSession(val spark: SparkSession) {
   def addRelation[T](name: String)(implicit enc: Encoder[T], tag: ClassTag[T]): Rel[T] = {
     if (relations.contains(name)) throw CoddError.InstanceExists(name)
     relations(name) =
-      new RelEntry(new Instance[Any](spark.emptyDataset(enc).asInstanceOf[Dataset[Any]]), tag)
+      new RelEntry(
+        new Instance[Any](spark.emptyDataset(enc).asInstanceOf[Dataset[Any]]),
+        tag,
+        enc.schema)
     Rel[T](name)
   }
 
@@ -55,15 +58,20 @@ final class CoddSession(val spark: SparkSession) {
   def insert[T](rel: Rel[T], ds: Dataset[T]): Unit =
     relEntry(rel).instance.insert(ds.asInstanceOf[Dataset[Any]])
 
+  /** The analog of the reference's `DynInstance` downcast (database.rs:213-225).
+    * `ClassTag` alone is too coarse under erasure — `(Long, Long)` and
+    * `(Long, String)` both tag as `Tuple2` — so the encoder schema is compared
+    * too, which distinguishes any two types Spark can actually store.
+    */
   private def relEntry(rel: Rel[_]): RelEntry = {
     val e = relations.getOrElse(rel.name, throw CoddError.InstanceNotFound(rel.name))
-    if (e.tag != rel.tag) throw CoddError.InstanceNotFound(rel.name)
+    if (e.tag != rel.tag || e.schema != rel.enc.schema) throw CoddError.InstanceNotFound(rel.name)
     e
   }
 
   private def viewEntry(v: ViewExpr[_]): ViewEntry = {
     val e = views.getOrElse(v.ref.id, throw CoddError.InstanceNotFound(v.ref.toString))
-    if (e.tag != v.tag) throw CoddError.InstanceNotFound(v.ref.toString)
+    if (e.tag != v.tag || e.schema != v.enc.schema) throw CoddError.InstanceNotFound(v.ref.toString)
     e
   }
 
@@ -83,7 +91,7 @@ final class CoddSession(val spark: SparkSession) {
     val inst = new Instance[Any](spark.emptyDataset(expr.enc).asInstanceOf[Dataset[Any]])
     val ref = viewCounter
     viewCounter += 1
-    val entry = new ViewEntry(inst, anyExpr, tag, expr.relDeps, expr.viewDeps)
+    val entry = new ViewEntry(inst, anyExpr, tag, expr.enc.schema, expr.relDeps, expr.viewDeps)
     expr.relDeps.foreach(n => relations.get(n).foreach(_.dependents += ref))
     expr.viewDeps.foreach(i => views.get(i).foreach(_.dependents += ref))
     inst.insert(collectStable(anyExpr))
@@ -124,12 +132,13 @@ final class CoddSession(val spark: SparkSession) {
   def fork(): CoddSession = {
     val c = new CoddSession(spark)
     relations.foreach { case (n, e) =>
-      val ne = new RelEntry(e.instance.snapshot(), e.tag)
+      val ne = new RelEntry(e.instance.snapshot(), e.tag, e.schema)
       ne.dependents = e.dependents
       c.relations(n) = ne
     }
     views.foreach { case (id, v) =>
-      val nv = new ViewEntry(v.instance.snapshot(), v.expr, v.tag, v.dependeeRels, v.dependeeViews)
+      val nv = new ViewEntry(
+        v.instance.snapshot(), v.expr, v.tag, v.schema, v.dependeeRels, v.dependeeViews)
       nv.dependents = v.dependents
       c.views(id) = nv
     }
@@ -319,7 +328,10 @@ final class CoddSession(val spark: SparkSession) {
 
 object CoddSession {
 
-  private final class RelEntry(val instance: Instance[Any], val tag: ClassTag[_]) {
+  private final class RelEntry(
+      val instance: Instance[Any],
+      val tag: ClassTag[_],
+      val schema: org.apache.spark.sql.types.StructType) {
     var dependents: SortedSet[Int] = SortedSet.empty
     var stabilizing = false
   }
@@ -328,6 +340,7 @@ object CoddSession {
       val instance: Instance[Any],
       val expr: Expr[Any],
       val tag: ClassTag[_],
+      val schema: org.apache.spark.sql.types.StructType,
       val dependeeRels: Set[String],
       val dependeeViews: Set[Int]) {
     var dependents: SortedSet[Int] = SortedSet.empty

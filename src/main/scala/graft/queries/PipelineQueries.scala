@@ -134,7 +134,9 @@ object PipelineQueries {
     sigs
       .groupBy("source")
       .agg(graft.functions.MinHashAggregator.groupSignature(col("sig"), 16).as("group_sig"))
-      .select(col("source"), col("group_sig"))
+      // Driver-hashable scalar: the harness sorts/hashes cells with pandas,
+      // which cannot factorize array cells — ship the signature as a string.
+      .select(col("source"), concat_ws(",", col("group_sig")).as("group_sig"))
   }
 
   /** Sketch-based distinct counting next to the exact answer — the
@@ -212,8 +214,8 @@ object PipelineQueries {
     "text_tokens" ->
       s"""SELECT doc_id,
          |  len($wordsSql) AS n_tokens,
-         |  list_sum(list_transform($wordsSql, w -> 1 + (length(w) - 1) // 4)) +
-         |    length(regexp_replace(text, '[^0-9.,;:!?]', '', 'g')) AS n_tok_est
+         |  CAST(COALESCE(list_sum(list_transform($wordsSql, w -> 1 + (length(w) - 1) // 4)), 0) +
+         |    length(regexp_replace(text, '[^0-9.,;:!?]', '', 'g')) AS BIGINT) AS n_tok_est
          |FROM documents""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,

@@ -18,6 +18,11 @@ import org.apache.spark.sql.types.DecimalType
   *  - integral-valued doubles (l_quantity) sum exactly in double,
   *  - money terms are cast to DECIMAL before summing — 2/4/6-decimal
   *    rationals are exact, so Spark and DuckDB agree to the last digit,
+  *  - the final decimal is cast to DOUBLE on BOTH sides: exact-decimal→double
+  *    is correctly rounded and bitwise-identical across engines, while a
+  *    decimal OUTPUT column renders with trailing zeros in one engine and
+  *    without in the other ('1987976.20' vs 1987976.2), failing the value
+  *    hash on ~10% of rows (whenever the last scale digit is 0),
   *  - rankings order by exact types (decimal/raw column) + unique tiebreak.
   */
 object RelationalQueries {
@@ -25,7 +30,8 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
-  private def sumDec(c: Column, scale: Int): Column = sum(dec(c, scale)).cast(DecimalType(18, scale))
+  private def sumDec(c: Column, scale: Int): Column =
+    sum(dec(c, scale)).cast(DecimalType(18, scale)).cast("double")
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -42,9 +48,9 @@ object RelationalQueries {
         sum("l_quantity").as("sum_qty"),
         sumDec(col("l_extendedprice"), 2).as("sum_base_price"),
         sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
-          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          .cast(DecimalType(18, 4)).cast("double").as("sum_disc_price"),
         sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6))
-          .cast(DecimalType(18, 6)).as("sum_charge"),
+          .cast(DecimalType(18, 6)).cast("double").as("sum_charge"),
         round(sum("l_quantity") / count(lit(1)), 2).as("avg_qty"),
         count(lit(1)).as("count_order"))
   }
@@ -58,7 +64,7 @@ object RelationalQueries {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
-        .cast(DecimalType(18, 4)).as("revenue"))
+        .cast(DecimalType(18, 4)).cast("double").as("revenue"))
       .select(
         col("l_orderkey"),
         col("revenue"),
@@ -87,7 +93,7 @@ object RelationalQueries {
       .groupBy("n_name")
       .agg(
         sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
-          .cast(DecimalType(18, 4)).as("revenue"),
+          .cast(DecimalType(18, 4)).cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -110,7 +116,8 @@ object RelationalQueries {
       .select(
         col("o_custkey"),
         col("o_orderkey"),
-        sum(dec(col("o_totalprice"), 2)).over(w).cast(DecimalType(18, 2)).as("run_total"))
+        sum(dec(col("o_totalprice"), 2)).over(w)
+          .cast(DecimalType(18, 2)).cast("double").as("run_total"))
   }
 
   /** Global top-k: sort + limit with unique tiebreak. */
@@ -145,7 +152,7 @@ object RelationalQueries {
       .agg(
         count(col("o_orderkey")).as("n_orders"),
         coalesce(sum(dec(col("o_totalprice"), 2)), lit(0))
-          .cast(DecimalType(18, 2)).as("total_spend"))
+          .cast(DecimalType(18, 2)).cast("double").as("total_spend"))
   }
 
   /** DISTINCT aggregation per group. */
@@ -168,7 +175,7 @@ object RelationalQueries {
     // ambiguous-self-join heuristic; the SQL analyzer resolves it cleanly.
     spark.sql(
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM g_orders
         |JOIN g_customer ON o_custkey = c_custkey
         |JOIN g_nation ON c_nationkey = n_nationkey
@@ -303,7 +310,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "events_enrich" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type""".stripMargin,
     "topk_per_key" ->
@@ -326,9 +333,9 @@ object RelationalQueries {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
         |  round(SUM(l_quantity) / COUNT(*), 2) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -336,7 +343,7 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top10" ->
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
         |  o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
@@ -349,7 +356,7 @@ object RelationalQueries {
         |LIMIT 10""".stripMargin,
     "q5_local" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_rows
         |FROM customer
         |JOIN orders ON o_custkey = c_custkey
@@ -370,9 +377,9 @@ object RelationalQueries {
         |WHERE rn <= 3""".stripMargin,
     "window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS run_total
         |FROM orders""".stripMargin,
     "sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -387,7 +394,7 @@ object RelationalQueries {
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
     "outer_count" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spend
+        |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey""".stripMargin,
     "agg_distinct" ->
@@ -396,7 +403,7 @@ object RelationalQueries {
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "rollup_agg" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -404,7 +411,7 @@ object RelationalQueries {
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
     "cube_agg" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "pivot_segment" ->
       """SELECT c_nationkey,
@@ -417,7 +424,7 @@ object RelationalQueries {
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
         |  event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
@@ -434,7 +441,7 @@ object RelationalQueries {
         |FROM s GROUP BY user_id""".stripMargin,
     "events_json" ->
       """SELECT CAST(props->>'k' AS INTEGER) AS k, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
     "asof_clicks" ->
       """SELECT e.event_id, c.event_id AS click_id
