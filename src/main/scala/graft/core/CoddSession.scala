@@ -28,12 +28,35 @@ import scala.reflect.ClassTag
   * only keeps names, counts and flags. Delta joins (δL⋈Rˢ etc.) are ordinary
   * Spark joins, so AQE/broadcast/skew handling apply unchanged on a cluster.
   */
-final class CoddSession(val spark: SparkSession) {
+final class CoddSession private (
+    val spark: SparkSession,
+    storage: Instance.CheckpointPolicy,
+    dirSuffix: String) {
   import CoddSession.{RelEntry, ViewEntry}
+
+  /** Default: fast executor-local checkpoints (see [[Instance.LocalCheckpoint]]). */
+  def this(spark: SparkSession) = this(spark, Instance.LocalCheckpoint, "")
+
+  /** Engine state materialized per `storage` — pass
+    * [[Instance.ReliableStore]] for a store that survives executor loss and
+    * JVM restart (each relation's batches land under
+    * `dir/rel_<name>/batch_<n>`; recover with [[Instance.loadBatches]]).
+    */
+  def this(spark: SparkSession, storage: Instance.CheckpointPolicy) =
+    this(spark, storage, "")
 
   private val relations = mutable.Map.empty[String, RelEntry]
   private val views = mutable.Map.empty[Int, ViewEntry]
   private var viewCounter = 0
+  private var forkCounter = 0
+
+  /** Per-instance storage policy: reliable stores get a label-scoped subdir
+    * so relation/view/fork batch files never collide.
+    */
+  private def policyFor(label: String): Instance.CheckpointPolicy = storage match {
+    case Instance.LocalCheckpoint     => Instance.LocalCheckpoint
+    case Instance.ReliableStore(base) => Instance.ReliableStore(s"$base$dirSuffix/$label")
+  }
 
   // ---------------------------------------------------------------- registry
 
@@ -42,7 +65,9 @@ final class CoddSession(val spark: SparkSession) {
     if (relations.contains(name)) throw CoddError.InstanceExists(name)
     relations(name) =
       new RelEntry(
-        new Instance[Any](spark.emptyDataset(enc).asInstanceOf[Dataset[Any]]),
+        new Instance[Any](
+          spark.emptyDataset(enc).asInstanceOf[Dataset[Any]],
+          policyFor(s"rel_$name")),
         tag,
         enc.schema)
     Rel[T](name)
@@ -88,9 +113,11 @@ final class CoddSession(val spark: SparkSession) {
     if (Expr.containsDifference(expr))
       throw CoddError.UnsupportedExpression("Difference", "View")
     val anyExpr = expr.asInstanceOf[Expr[Any]]
-    val inst = new Instance[Any](spark.emptyDataset(expr.enc).asInstanceOf[Dataset[Any]])
     val ref = viewCounter
     viewCounter += 1
+    val inst = new Instance[Any](
+      spark.emptyDataset(expr.enc).asInstanceOf[Dataset[Any]],
+      policyFor(s"view_$ref"))
     val entry = new ViewEntry(inst, anyExpr, tag, expr.enc.schema, expr.relDeps, expr.viewDeps)
     expr.relDeps.foreach(n => relations.get(n).foreach(_.dependents += ref))
     expr.viewDeps.foreach(i => views.get(i).foreach(_.dependents += ref))
@@ -110,12 +137,19 @@ final class CoddSession(val spark: SparkSession) {
     expr.relDeps.toSeq.sorted.foreach(stabilizeRelation)
     expr.viewDeps.toSeq.sorted.foreach(stabilizeView)
     val s = collectStable(expr)
-    val r = collectRecent(expr)
-    expr match {
-      // Leaf instances keep stable/recent disjoint and distinct already.
-      case _: Rel[_] | _: ViewExpr[_] | _: EmptyRel[_] | _: Singleton[_] => s.union(r)
-      case _ => s.union(r).distinct()
-    }
+    // After stabilization every leaf's recent is provably empty (the driver
+    // knows via hasRecent) — composing and executing the full 3-term δ plans
+    // would only re-join/re-distinct data that cannot exist. Short-circuit:
+    // the answer is the stable content (reference asserts the same invariant,
+    // evaluate.rs:536-537, then merges a vacuous collect_recent).
+    if (deltaFree(expr)) s
+    else
+      expr match {
+        // Leaf instances keep stable/recent disjoint and distinct already.
+        case _: Rel[_] | _: ViewExpr[_] | _: EmptyRel[_] | _: Singleton[_] =>
+          s.union(collectRecent(expr))
+        case _ => s.union(collectRecent(expr)).distinct()
+      }
   }
 
   /** Evaluate and collect, sorted by `Ordering[T]` — the reference returns
@@ -130,15 +164,19 @@ final class CoddSession(val spark: SparkSession) {
     * database.rs:345-363; isolation test database.rs:410-441).
     */
   def fork(): CoddSession = {
-    val c = new CoddSession(spark)
+    forkCounter += 1
+    // A fork writes its future reliable batches under its own subdir; the
+    // already-materialized batches stay shared (immutable).
+    val c = new CoddSession(spark, storage, s"$dirSuffix/fork_$forkCounter")
     relations.foreach { case (n, e) =>
-      val ne = new RelEntry(e.instance.snapshot(), e.tag, e.schema)
+      val ne = new RelEntry(e.instance.snapshot(c.policyFor(s"rel_$n")), e.tag, e.schema)
       ne.dependents = e.dependents
       c.relations(n) = ne
     }
     views.foreach { case (id, v) =>
       val nv = new ViewEntry(
-        v.instance.snapshot(), v.expr, v.tag, v.schema, v.dependeeRels, v.dependeeViews)
+        v.instance.snapshot(c.policyFor(s"view_$id")),
+        v.expr, v.tag, v.schema, v.dependeeRels, v.dependeeViews)
       nv.dependents = v.dependents
       c.views(id) = nv
     }
@@ -202,8 +240,23 @@ final class CoddSession(val spark: SparkSession) {
 
   // ---------------------------------------------------- delta (recent) rules
 
+  /** True iff no leaf under `e` holds a recent batch — the expression's delta
+    * is provably empty, known driver-side without running a job. `Full` is
+    * never delta-free so its evaluation error path is preserved.
+    */
+  private def deltaFree(e: Expr[_]): Boolean = e match {
+    case r: Rel[_]                        => !relEntry(r).instance.hasRecent
+    case v: ViewExpr[_]                   => !viewEntry(v).instance.hasRecent
+    case _: FullRel[_]                    => false
+    case _: EmptyRel[_] | _: Singleton[_] => true
+    case other                            => other.children.forall(deltaFree)
+  }
+
   /** Per-operator delta rules — semi-naive evaluation
-    * (reference: evaluate.rs:25-260, `IncrementalCollector`).
+    * (reference: evaluate.rs:25-260, `IncrementalCollector`). Delta-free
+    * subtrees are pruned driver-side: Catalyst's PropagateEmptyRelation
+    * cannot see through the typed map/filter closures, so without pruning
+    * the provably-empty δ-join terms would still execute.
     */
   private def collectRecent[T](e: Expr[T]): Dataset[T] = (e match {
     case r: Rel[_]      => relEntry(r).instance.recent
@@ -211,7 +264,8 @@ final class CoddSession(val spark: SparkSession) {
     case _: EmptyRel[_] => empty(e)
     case _: FullRel[_]  => throw CoddError.UnsupportedExpression("Full", "Evaluate")
     // Constants are born stable: empty delta (reference: evaluate.rs:43-48).
-    case _: Singleton[_] => empty(e)
+    case _: Singleton[_]   => empty(e)
+    case _ if deltaFree(e) => empty(e)
     case s: Select[_] =>
       val ss = s.asInstanceOf[Select[Any]]
       collectRecent(ss.child).filter(ss.p)
@@ -220,33 +274,62 @@ final class CoddSession(val spark: SparkSession) {
       collectRecent(pp.child).map(pp.f)(pp.enc).distinct()
     case u: Union[_] =>
       val uu = u.asInstanceOf[Union[Any]]
-      collectRecent(uu.left).union(collectRecent(uu.right)).distinct()
+      unionDistinct(deltaTerm(uu.left), deltaTerm(uu.right), e)
     case i: Intersect[_] =>
-      // δ = (δL ∩ Rˢ) ∪ (Lˢ ∩ δR) ∪ (δL ∩ δR)   (evaluate.rs:95-119)
+      // δ = (δL ∩ Rˢ) ∪ (Lˢ ∩ δR) ∪ (δL ∩ δR)   (evaluate.rs:95-119);
+      // terms whose delta side is provably empty are never composed.
       val ii = i.asInstanceOf[Intersect[Any]]
-      val dl = collectRecent(ii.left); val dr = collectRecent(ii.right)
-      val sl = collectStable(ii.left); val sr = collectStable(ii.right)
-      dl.intersect(sr).union(sl.intersect(dr)).union(dl.intersect(dr)).distinct()
+      val dl = deltaTerm(ii.left); val dr = deltaTerm(ii.right)
+      unionDistinct(
+        dl.map(_.intersect(collectStable(ii.right))),
+        dr.map(collectStable(ii.left).intersect(_)),
+        (for (l <- dl; r <- dr) yield l.intersect(r)),
+        e)
     case d: Difference[_] =>
-      // δ = (Lˢ − Rˢ) ∪ (δL − Rˢ); right-side deltas ignored — sound only
-      // because stored views reject Difference (evaluate.rs:121-146).
+      // δ = δL − Rˢ; right-side deltas ignored — sound only because stored
+      // views reject Difference (evaluate.rs:121-146). The reference's extra
+      // Lˢ−Rˢ term belongs to the maintenance path it can never take; ad-hoc
+      // evaluation already unions collectStable's identical Lˢ−Rˢ, so
+      // computing it here would run the full EXCEPT twice.
       val dd = d.asInstanceOf[Difference[Any]]
-      val dl = collectRecent(dd.left)
-      val sl = collectStable(dd.left); val sr = collectStable(dd.right)
-      sl.except(sr).union(dl.except(sr)).distinct()
+      collectRecent(dd.left).except(collectStable(dd.right))
     case p: Prod[_, _, _] =>
       // δ = δL×Rˢ ∪ Lˢ×δR ∪ δL×δR, fused with the mapper (evaluate.rs:162-196)
       val pp = p.asInstanceOf[Prod[Any, Any, Any]]
-      val dl = collectRecent(pp.left); val dr = collectRecent(pp.right)
-      val sl = collectStable(pp.left); val sr = collectStable(pp.right)
-      prodDs(pp, dl, sr).union(prodDs(pp, sl, dr)).union(prodDs(pp, dl, dr)).distinct()
+      val dl = deltaTerm(pp.left); val dr = deltaTerm(pp.right)
+      unionDistinct(
+        dl.map(prodDs(pp, _, collectStable(pp.right))),
+        dr.map(prodDs(pp, collectStable(pp.left), _)),
+        (for (l <- dl; r <- dr) yield prodDs(pp, l, r)),
+        e)
     case j: EquiJoin[_, _, _, _] =>
       // δ = δL⋈Rˢ ∪ Lˢ⋈δR ∪ δL⋈δR (evaluate.rs:198-250)
       val jj = j.asInstanceOf[EquiJoin[Any, Any, Any, Any]]
-      val dl = collectRecent(jj.left); val dr = collectRecent(jj.right)
-      val sl = collectStable(jj.left); val sr = collectStable(jj.right)
-      joinDs(jj, dl, sr).union(joinDs(jj, sl, dr)).union(joinDs(jj, dl, dr)).distinct()
+      val dl = deltaTerm(jj.left); val dr = deltaTerm(jj.right)
+      unionDistinct(
+        dl.map(joinDs(jj, _, collectStable(jj.right))),
+        dr.map(joinDs(jj, collectStable(jj.left), _)),
+        (for (l <- dl; r <- dr) yield joinDs(jj, l, r)),
+        e)
   }).asInstanceOf[Dataset[T]]
+
+  /** The child's delta, or `None` when provably empty (driver-side). */
+  private def deltaTerm(e: Expr[Any]): Option[Dataset[Any]] =
+    if (deltaFree(e)) None else Some(collectRecent(e))
+
+  /** Distinct union of the present terms; empty when none are. */
+  private def unionDistinct(
+      t1: Option[Dataset[Any]],
+      t2: Option[Dataset[Any]],
+      of: Expr[_]): Dataset[Any] =
+    Seq(t1, t2).flatten.reduceOption(_ union _).map(_.distinct()).getOrElse(empty(of))
+
+  private def unionDistinct(
+      t1: Option[Dataset[Any]],
+      t2: Option[Dataset[Any]],
+      t3: Option[Dataset[Any]],
+      of: Expr[_]): Dataset[Any] =
+    Seq(t1, t2, t3).flatten.reduceOption(_ union _).map(_.distinct()).getOrElse(empty(of))
 
   // ----------------------------------------------------------- stable rules
 
