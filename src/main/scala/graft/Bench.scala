@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,12 +15,23 @@ object Bench {
     // the alphabetically-first query absorbs several seconds of startup
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    graft.queries.ParityQueries.releaseSessions()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s  ($n rows)")
-      name -> dt
+      // median-of-N: a single shared-JVM run is GC/page-cache noise — r2 saw
+      // 2.7× swings on untouched queries. Engine storage is released between
+      // runs so one query's checkpoints never pressure the next.
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.queries.ParityQueries.releaseSessions()
+        (dt, n)
+      }
+      val med = times.map(_._1).sorted.apply(times.size / 2)
+      System.err.println(
+        f"[bench] $name%-22s med $med%8.2f s  (${times.map(t => f"${t._1}%.2f").mkString("/")};" +
+          s" ${times.last._2} rows)")
+      name -> med
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

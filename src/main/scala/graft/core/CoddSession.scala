@@ -67,7 +67,11 @@ final class CoddSession private (
       new RelEntry(
         new Instance[Any](
           spark.emptyDataset(enc).asInstanceOf[Dataset[Any]],
-          policyFor(s"rel_$name")),
+          policyFor(s"rel_$name"),
+          // Base relations ingest straight from sources: their first batch
+          // is one scan + distinct, not worth copying through executor
+          // storage (views are derived plans and stay eager).
+          lazyFirstBatch = true),
         tag,
         enc.schema)
     Rel[T](name)
@@ -79,9 +83,17 @@ final class CoddSession private (
   def insert[T](rel: Rel[T], data: Seq[T]): Unit =
     insert(rel, spark.createDataset(data)(rel.enc))
 
-  /** Stage a whole Dataset batch for insertion; lazy. */
-  def insert[T](rel: Rel[T], ds: Dataset[T]): Unit =
-    relEntry(rel).instance.insert(ds.asInstanceOf[Dataset[Any]])
+  /** Stage a whole Dataset batch for insertion; lazy. Column names are
+    * normalized to the encoder's canonical field names: a parquet-derived
+    * `Dataset[(Long, String)]` arrives named (c_custkey, c_name) while a
+    * Seq-created one is (_1, _2), and batches of both provenances must union
+    * and anti-join against each other by position, not by accidental name.
+    */
+  def insert[T](rel: Rel[T], ds: Dataset[T]): Unit = {
+    val e = relEntry(rel)
+    val canon = ds.toDF(e.schema.fieldNames.toIndexedSeq: _*).as(rel.enc)
+    e.instance.insert(canon.asInstanceOf[Dataset[Any]])
+  }
 
   /** The analog of the reference's `DynInstance` downcast (database.rs:213-225).
     * `ClassTag` alone is too coarse under erasure — `(Long, Long)` and
@@ -137,18 +149,19 @@ final class CoddSession private (
     expr.relDeps.toSeq.sorted.foreach(stabilizeRelation)
     expr.viewDeps.toSeq.sorted.foreach(stabilizeView)
     val s = collectStable(expr)
+    val memo = newMemo
     // After stabilization every leaf's recent is provably empty (the driver
     // knows via hasRecent) — composing and executing the full 3-term δ plans
     // would only re-join/re-distinct data that cannot exist. Short-circuit:
     // the answer is the stable content (reference asserts the same invariant,
     // evaluate.rs:536-537, then merges a vacuous collect_recent).
-    if (deltaFree(expr)) s
+    if (deltaFree(expr, memo)) s
     else
       expr match {
         // Leaf instances keep stable/recent disjoint and distinct already.
         case _: Rel[_] | _: ViewExpr[_] | _: EmptyRel[_] | _: Singleton[_] =>
-          s.union(collectRecent(expr))
-        case _ => s.union(collectRecent(expr)).distinct()
+          s.union(collectRecent(expr, memo))
+        case _ => s.union(collectRecent(expr, memo)).distinct()
       }
   }
 
@@ -182,6 +195,17 @@ final class CoddSession private (
     }
     c.viewCounter = viewCounter
     c
+  }
+
+  /** Release all executor storage held by this session's relation and view
+    * instances (reliable parquet batches stay on disk). The session is empty
+    * afterwards; call when done with it — engine state is otherwise pinned in
+    * the block manager for the life of the JVM, which at cluster scale leaks
+    * executor storage without bound.
+    */
+  def close(): Unit = {
+    relations.valuesIterator.foreach(_.instance.close())
+    views.valuesIterator.foreach(_.instance.close())
   }
 
   /** Ad-hoc SQL over the engine's store — the Spark-native analog of the
@@ -235,22 +259,34 @@ final class CoddSession private (
     */
   private def viewDeltaStep(ref: Int): Unit = {
     val v = views(ref)
-    v.instance.insert(collectRecent(v.expr))
+    v.instance.insert(collectRecent(v.expr, newMemo))
   }
 
   // ---------------------------------------------------- delta (recent) rules
+
+  /** Delta-freeness memo, one per evaluation round: leaf `hasRecent` flags
+    * are fixed within a round, and without memoization every guard in
+    * [[collectRecent]] re-walks whole subtrees — O(n²) driver traversals on
+    * deep trees. Keyed by node identity (closure fields defeat structural
+    * equality anyway).
+    */
+  private type Memo = mutable.Map[Expr[_], Boolean]
+  private def newMemo: Memo = mutable.Map.empty
 
   /** True iff no leaf under `e` holds a recent batch — the expression's delta
     * is provably empty, known driver-side without running a job. `Full` is
     * never delta-free so its evaluation error path is preserved.
     */
-  private def deltaFree(e: Expr[_]): Boolean = e match {
-    case r: Rel[_]                        => !relEntry(r).instance.hasRecent
-    case v: ViewExpr[_]                   => !viewEntry(v).instance.hasRecent
-    case _: FullRel[_]                    => false
-    case _: EmptyRel[_] | _: Singleton[_] => true
-    case other                            => other.children.forall(deltaFree)
-  }
+  private def deltaFree(e: Expr[_], memo: Memo): Boolean =
+    memo.getOrElseUpdate(
+      e,
+      e match {
+        case r: Rel[_]                        => !relEntry(r).instance.hasRecent
+        case v: ViewExpr[_]                   => !viewEntry(v).instance.hasRecent
+        case _: FullRel[_]                    => false
+        case _: EmptyRel[_] | _: Singleton[_] => true
+        case other                            => other.children.forall(deltaFree(_, memo))
+      })
 
   /** Per-operator delta rules — semi-naive evaluation
     * (reference: evaluate.rs:25-260, `IncrementalCollector`). Delta-free
@@ -258,28 +294,28 @@ final class CoddSession private (
     * cannot see through the typed map/filter closures, so without pruning
     * the provably-empty δ-join terms would still execute.
     */
-  private def collectRecent[T](e: Expr[T]): Dataset[T] = (e match {
+  private def collectRecent[T](e: Expr[T], memo: Memo): Dataset[T] = (e match {
     case r: Rel[_]      => relEntry(r).instance.recent
     case v: ViewExpr[_] => viewEntry(v).instance.recent
     case _: EmptyRel[_] => empty(e)
     case _: FullRel[_]  => throw CoddError.UnsupportedExpression("Full", "Evaluate")
     // Constants are born stable: empty delta (reference: evaluate.rs:43-48).
-    case _: Singleton[_]   => empty(e)
-    case _ if deltaFree(e) => empty(e)
+    case _: Singleton[_]         => empty(e)
+    case _ if deltaFree(e, memo) => empty(e)
     case s: Select[_] =>
       val ss = s.asInstanceOf[Select[Any]]
-      collectRecent(ss.child).filter(ss.p)
+      collectRecent(ss.child, memo).filter(ss.p)
     case p: Project[_, _] =>
       val pp = p.asInstanceOf[Project[Any, Any]]
-      collectRecent(pp.child).map(pp.f)(pp.enc).distinct()
+      collectRecent(pp.child, memo).map(pp.f)(pp.enc).distinct()
     case u: Union[_] =>
       val uu = u.asInstanceOf[Union[Any]]
-      unionDistinct(deltaTerm(uu.left), deltaTerm(uu.right), e)
+      unionDistinct(deltaTerm(uu.left, memo), deltaTerm(uu.right, memo), e)
     case i: Intersect[_] =>
       // δ = (δL ∩ Rˢ) ∪ (Lˢ ∩ δR) ∪ (δL ∩ δR)   (evaluate.rs:95-119);
       // terms whose delta side is provably empty are never composed.
       val ii = i.asInstanceOf[Intersect[Any]]
-      val dl = deltaTerm(ii.left); val dr = deltaTerm(ii.right)
+      val dl = deltaTerm(ii.left, memo); val dr = deltaTerm(ii.right, memo)
       unionDistinct(
         dl.map(_.intersect(collectStable(ii.right))),
         dr.map(collectStable(ii.left).intersect(_)),
@@ -292,11 +328,11 @@ final class CoddSession private (
       // evaluation already unions collectStable's identical Lˢ−Rˢ, so
       // computing it here would run the full EXCEPT twice.
       val dd = d.asInstanceOf[Difference[Any]]
-      collectRecent(dd.left).except(collectStable(dd.right))
+      collectRecent(dd.left, memo).except(collectStable(dd.right))
     case p: Prod[_, _, _] =>
       // δ = δL×Rˢ ∪ Lˢ×δR ∪ δL×δR, fused with the mapper (evaluate.rs:162-196)
       val pp = p.asInstanceOf[Prod[Any, Any, Any]]
-      val dl = deltaTerm(pp.left); val dr = deltaTerm(pp.right)
+      val dl = deltaTerm(pp.left, memo); val dr = deltaTerm(pp.right, memo)
       unionDistinct(
         dl.map(prodDs(pp, _, collectStable(pp.right))),
         dr.map(prodDs(pp, collectStable(pp.left), _)),
@@ -305,7 +341,7 @@ final class CoddSession private (
     case j: EquiJoin[_, _, _, _] =>
       // δ = δL⋈Rˢ ∪ Lˢ⋈δR ∪ δL⋈δR (evaluate.rs:198-250)
       val jj = j.asInstanceOf[EquiJoin[Any, Any, Any, Any]]
-      val dl = deltaTerm(jj.left); val dr = deltaTerm(jj.right)
+      val dl = deltaTerm(jj.left, memo); val dr = deltaTerm(jj.right, memo)
       unionDistinct(
         dl.map(joinDs(jj, _, collectStable(jj.right))),
         dr.map(joinDs(jj, collectStable(jj.left), _)),
@@ -314,8 +350,8 @@ final class CoddSession private (
   }).asInstanceOf[Dataset[T]]
 
   /** The child's delta, or `None` when provably empty (driver-side). */
-  private def deltaTerm(e: Expr[Any]): Option[Dataset[Any]] =
-    if (deltaFree(e)) None else Some(collectRecent(e))
+  private def deltaTerm(e: Expr[Any], memo: Memo): Option[Dataset[Any]] =
+    if (deltaFree(e, memo)) None else Some(collectRecent(e, memo))
 
   /** Distinct union of the present terms; empty when none are. */
   private def unionDistinct(
@@ -401,10 +437,14 @@ final class CoddSession private (
       l: Dataset[Any],
       r: Dataset[Any]): Dataset[Any] = {
     val lk = j.leftKey; val rk = j.rightKey; val f = j.f
-    val lKeyed = l.map(x => (lk(x), x))(Encoders.tuple(j.kEnc, j.left.enc))
-    val rKeyed = r.map(x => (rk(x), x))(Encoders.tuple(j.kEnc, j.right.enc))
+    // Explicit aliases: both sides expose a `_1` key column, and unaliased
+    // `lKeyed("_1") <=> rKeyed("_1")` resolves same-named attributes into a
+    // trivially-true self-compare under Spark's ambiguity heuristic — noisy
+    // warnings and illegible plans.
+    val lKeyed = l.map(x => (lk(x), x))(Encoders.tuple(j.kEnc, j.left.enc)).alias("gl")
+    val rKeyed = r.map(x => (rk(x), x))(Encoders.tuple(j.kEnc, j.right.enc)).alias("gr")
     lKeyed
-      .joinWith(rKeyed, lKeyed("_1") <=> rKeyed("_1"), "inner")
+      .joinWith(rKeyed, org.apache.spark.sql.functions.col("gl._1") <=> org.apache.spark.sql.functions.col("gr._1"), "inner")
       .map(t => f(t._1._1, t._1._2, t._2._2))(j.enc)
   }
 }

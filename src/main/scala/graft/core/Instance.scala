@@ -1,7 +1,9 @@
 package graft.core
 
-import org.apache.spark.sql.{Dataset, SaveMode}
+import org.apache.spark.sql.{Dataset, GraftColumnBridge, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.broadcast
+
+import scala.collection.immutable.SortedSet
 
 /** The datafrog-style three-set relation instance, re-expressed over Spark
   * Datasets (reference: core/src/database/instance.rs:103-206).
@@ -18,10 +20,26 @@ import org.apache.spark.sql.functions.broadcast
   * epoch — the moral equivalent of the reference's sorted runs. Counts ride
   * along so the geometric-compaction rule can be applied without extra jobs.
   *
+  * Storage discipline:
+  *  - Staged intermediates (the dedup'd union of `toAdd`) are ALWAYS
+  *    transient (`localCheckpoint`): they exist only to be anti-joined and
+  *    are unpersisted as soon as the promoted batch is materialized. Only
+  *    promoted and compacted runs reach the durable store.
+  *  - A [[Instance.ReliableStore]] keeps a `_MANIFEST` of live batch ids,
+  *    rewritten once per epoch; superseded batch files are deleted after the
+  *    manifest commit, so [[Instance.loadBatches]] returns exactly
+  *    stable ∪ recent with no double-counting.
+  *  - Superseded transient runs are unpersisted on compaction, and
+  *    [[close]] releases everything — a long-lived session does not
+  *    accumulate executor storage. Both are suppressed after [[snapshot]]:
+  *    batches are shared with the clone and must outlive this instance.
+  *
   * Promotion is delta-proportional (reference: the gallop anti-join,
   * core/src/database/helpers.rs:7-26, is O(batch·log stable)): a small staged
   * batch is broadcast and stable is scanned map-side by a broadcast left-semi
-  * join — stable never shuffles. Only when the staged batch itself is huge
+  * join — stable never shuffles. The smallness test is the MEASURED block
+  * size of the staged checkpoint against a byte budget (a row count says
+  * nothing about wide rows). Only when the staged batch is genuinely big
   * (a bulk load into a non-empty store) does promotion fall back to a full
   * EXCEPT, which is then proportional to the data actually being loaded.
   *
@@ -32,14 +50,21 @@ import org.apache.spark.sql.functions.broadcast
   */
 final class Instance[T](
     empty: => Dataset[T],
-    policy: Instance.CheckpointPolicy = Instance.LocalCheckpoint) {
+    policy: Instance.CheckpointPolicy = Instance.LocalCheckpoint,
+    lazyFirstBatch: Boolean = false) {
 
-  import Instance.Run
+  import Instance.{Leaf, Run}
 
   private var stableBatches: Vector[Run[T]] = Vector.empty
-  private var recentBatch: Option[(Dataset[T], Long)] = None
+  private var recentBatch: Option[Run[T]] = None
   private var toAdd: Vector[Dataset[T]] = Vector.empty
   private var batchCounter = 0
+  private var counterInitialized = false
+  private var liveIds: SortedSet[Int] = SortedSet.empty
+  private var pendingDeletes: Vector[String] = Vector.empty
+  // Set once this instance has been snapshot()ed: its batches are shared
+  // with the clone, so neither side may unpersist or delete them.
+  private var shared = false
 
   /** Stage a batch; O(1), no Spark job (reference: instance.rs:127-131). */
   def insert(ds: Dataset[T]): Unit = synchronized { toAdd :+= ds }
@@ -47,46 +72,126 @@ final class Instance[T](
   /** Deep-copy the three sets. Batches are immutable materialized Datasets,
     * so a snapshot shares them — O(#batches) driver work, zero data copied
     * (the Spark analog of the reference's `Clone`, database.rs:345-363).
+    * Both sides stop retiring shared batches from here on.
     */
   private[core] def snapshot(
       newPolicy: Instance.CheckpointPolicy = policy): Instance[T] = synchronized {
-    val c = new Instance[T](empty, newPolicy)
+    val c = new Instance[T](empty, newPolicy, lazyFirstBatch)
     c.stableBatches = stableBatches
     c.recentBatch = recentBatch
     c.toAdd = toAdd
-    // Future materializations land in the snapshot's own directory, so the
-    // batch counter restarts; existing batches are shared and immutable.
-    c.batchCounter = if (newPolicy == policy) batchCounter else 0
+    shared = true
+    c.shared = true
     c
   }
 
   def stable: Dataset[T] =
     stableBatches.map(_.ds).reduceOption(_ union _).getOrElse(empty)
 
-  def recent: Dataset[T] = recentBatch.map(_._1).getOrElse(empty)
+  def recent: Dataset[T] = recentBatch.map(_.ds).getOrElse(empty)
 
   def hasRecent: Boolean = recentBatch.nonEmpty
   def pendingCount: Int = toAdd.size
   private[core] def stableBatchCount: Int = stableBatches.size
   def stableCount: Long = stableBatches.map(_.count).sum
 
-  /** Materialize a batch, truncating lineage per the checkpoint policy. */
-  private def materialize(ds: Dataset[T]): Dataset[T] = policy match {
-    case Instance.LocalCheckpoint =>
-      // Fast: blocks live in executor block managers. A lost executor loses
-      // the store — acceptable in local mode / recomputable pipelines.
-      ds.localCheckpoint(true)
-    case Instance.ReliableStore(dir) =>
-      // Durable: each batch is written to the store directory as parquet and
-      // read back, so state survives executor loss and JVM restart
-      // (re-attach via [[Instance.loadBatches]]).
-      val path = {
-        batchCounter += 1
-        s"$dir/batch_$batchCounter"
-      }
-      ds.write.mode(SaveMode.Overwrite).parquet(path)
-      ds.sparkSession.read.schema(ds.schema).parquet(path).as(ds.encoder)
+  /** Release every transient (block-manager) batch this instance holds.
+    * Durable parquet batches stay on disk — surviving close/restart is their
+    * point. No-op on shared batches (a fork still reads them). The instance
+    * is empty afterwards.
+    */
+  def close(): Unit = synchronized {
+    if (!shared)
+      (stableBatches ++ recentBatch.toVector)
+        .flatMap(_.leaves)
+        .foreach(l => if (l.durableId < 0) GraftColumnBridge.unpersistLocalCheckpoint(l.ds))
+    stableBatches = Vector.empty
+    recentBatch = None
+    toAdd = Vector.empty
   }
+
+  // ------------------------------------------------------------- persistence
+
+  private lazy val session: SparkSession = empty.sparkSession
+
+  private def hadoopPath(p: String) = new org.apache.hadoop.fs.Path(p)
+  private def fs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(session.sparkContext.hadoopConfiguration)
+
+  /** Executor-storage checkpoint: fast, lineage-truncating, transient. */
+  private def materializeTransient(ds: Dataset[T]): Leaf[T] =
+    Leaf(ds.localCheckpoint(true), -1)
+
+  /** Materialize a batch that becomes part of stable ∪ recent content —
+    * parquet under a [[Instance.ReliableStore]], block-manager otherwise.
+    * The manifest is committed once per epoch (see [[commitState]]), so a
+    * crash mid-epoch never exposes a half-promoted store.
+    */
+  private def materializeDurable(ds: Dataset[T]): Leaf[T] = policy match {
+    case Instance.LocalCheckpoint => materializeTransient(ds)
+    case Instance.ReliableStore(dir) =>
+      ensureCounter(dir)
+      batchCounter += 1
+      val id = batchCounter
+      val path = s"$dir/batch_$id"
+      ds.write.mode(SaveMode.Overwrite).parquet(path)
+      liveIds += id
+      Leaf(session.read.schema(ds.schema).parquet(path).as(ds.encoder), id)
+  }
+
+  /** Re-attaching to a non-empty store directory must not clobber batches a
+    * recovery DataFrame may still be lazily reading: resume the counter above
+    * the largest existing batch id.
+    */
+  private def ensureCounter(dir: String): Unit = if (!counterInitialized) {
+    counterInitialized = true
+    val base = hadoopPath(dir)
+    val f = fs(base)
+    if (f.exists(base))
+      batchCounter = f
+        .listStatus(base)
+        .flatMap(s => Instance.batchId(s.getPath.getName))
+        .foldLeft(0)(math.max)
+  }
+
+  /** Drop a batch that is no longer part of stable ∪ recent. Transient
+    * blocks are freed immediately; durable files are deleted only after the
+    * epoch's manifest commit no longer lists them.
+    */
+  private def retire(l: Leaf[T]): Unit =
+    if (!shared) {
+      if (l.durableId < 0) GraftColumnBridge.unpersistLocalCheckpoint(l.ds)
+      else
+        policy match {
+          case Instance.ReliableStore(dir) =>
+            liveIds -= l.durableId
+            pendingDeletes :+= s"$dir/batch_${l.durableId}"
+          case _ => ()
+        }
+    }
+
+  /** Epoch commit for reliable stores: rewrite the manifest to the current
+    * live set (near-atomic rename), THEN delete superseded batch files — a
+    * crash in between leaves orphaned files, never a lying manifest.
+    */
+  private def commitState(): Unit = policy match {
+    case Instance.ReliableStore(dir) =>
+      ensureCounter(dir)
+      val base = hadoopPath(dir)
+      val f = fs(base)
+      val tmp = new org.apache.hadoop.fs.Path(base, Instance.ManifestName + ".tmp")
+      val dst = new org.apache.hadoop.fs.Path(base, Instance.ManifestName)
+      val out = f.create(tmp, true)
+      out.write(liveIds.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      if (f.exists(dst)) f.delete(dst, false)
+      f.rename(tmp, dst)
+      pendingDeletes.foreach(p => f.delete(hadoopPath(p), true))
+      pendingDeletes = Vector.empty
+    case _ => ()
+  }
+
+  // ------------------------------------------------------------------ epochs
 
   /** Advance one epoch (reference: instance.rs:173-206):
     *  1. fold `recent` into `stable`, geometrically compacting trailing
@@ -94,11 +199,11 @@ final class Instance[T](
     *  2. drain ALL `toAdd` batches in one round, dedup, anti-join against
     *     stable (broadcast-semi, delta-proportional), and make the genuinely
     *     new tuples the new `recent`;
-    *  3. return whether `recent` is non-empty.
+    *  3. commit the durable manifest and return whether `recent` is non-empty.
     */
   def changed(): Boolean = synchronized {
     recentBatch.foreach { r =>
-      var merged: Run[T] = Run(r._1, r._2, 0)
+      var merged: Run[T] = r
       while (stableBatches.nonEmpty && stableBatches.last.count <= 2 * merged.count) {
         val last = stableBatches.last
         stableBatches = stableBatches.init
@@ -107,57 +212,124 @@ final class Instance[T](
         merged = Run(
           last.ds.union(merged.ds),
           last.count + merged.count,
-          math.max(last.depth, merged.depth) + 1)
+          math.max(last.depth, merged.depth) + 1,
+          last.leaves ++ merged.leaves)
       }
-      if (merged.depth > Instance.MaxUnionDepth)
-        merged = Run(materialize(merged.ds), merged.count, 0)
+      if (merged.depth > Instance.MaxUnionDepth) {
+        val leaf = materializeDurable(merged.ds)
+        merged.leaves.foreach(retire)
+        merged = Run(leaf.ds, merged.count, 0, Vector(leaf))
+      }
       stableBatches :+= merged
       recentBatch = None
     }
-    if (toAdd.nonEmpty) {
-      val staged =
-        (if (toAdd.size == 1) toAdd.head else toAdd.reduce(_ union _)).distinct()
-      toAdd = Vector.empty
-      val stagedCp = materialize(staged)
-      val stagedN = stagedCp.count()
-      val (cp, n) =
-        if (stableBatches.isEmpty || stagedN == 0) (stagedCp, stagedN)
-        else {
-          val novel =
-            if (stagedN <= Instance.BroadcastPromoteMaxRows) {
-              // Delta-proportional path: stable streams map-side against the
-              // broadcast staged batch; the duplicates found are at most
-              // |staged| rows, and the final EXCEPT runs on two batch-sized
-              // sets. Stable is never shuffled.
-              val sDf = stable.toDF()
-              val nDf = stagedCp.toDF()
-              val cond = sDf.columns
-                .map(c => sDf(c) <=> nDf(c))
-                .reduce(_ && _)
-              val dups = sDf.join(broadcast(nDf), cond, "left_semi").as(stagedCp.encoder)
-              stagedCp.except(dups)
-            } else
-              // Bulk load into a non-empty store: a broadcast would not fit;
-              // fall back to the full anti-join (work ∝ data being loaded).
-              stagedCp.except(stable)
-          val ncp = materialize(novel)
-          (ncp, ncp.count())
-        }
-      if (n > 0) { recentBatch = Some((cp, n)); true }
-      else false
-    } else false
+    val result =
+      if (toAdd.isEmpty) false
+      else {
+        val staged =
+          (if (toAdd.size == 1) toAdd.head else toAdd.reduce(_ union _)).distinct()
+        toAdd = Vector.empty
+        if (stableBatches.isEmpty) firstBatch(staged) else promote(staged)
+      }
+    commitState()
+    result
+  }
+
+  /** First batch into an empty store. Under a transient policy with
+    * [[lazyFirstBatch]] (base relations ingesting from sources) the batch is
+    * counted but NOT materialized: its lineage is one scan + distinct, so
+    * checkpointing would only copy the whole input through executor storage
+    * for nothing — the dominant cost of one-shot ingest-and-query. The run
+    * is re-materialized the moment a second batch arrives (see [[promote]]),
+    * bounding recomputation to the single-batch lifetime.
+    */
+  private def firstBatch(staged: Dataset[T]): Boolean = policy match {
+    case Instance.LocalCheckpoint if lazyFirstBatch =>
+      val n = staged.count()
+      if (n > 0) {
+        recentBatch = Some(Run(staged, n, Instance.MaxUnionDepth, Vector.empty))
+        true
+      } else false
+    case _ =>
+      val leaf = materializeDurable(staged)
+      val n = leaf.ds.count()
+      if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
+      else { retire(leaf); false }
+  }
+
+  /** Promote a staged batch into a non-empty store: dedup against stable
+    * (broadcast-semi when the measured staged size fits the byte budget,
+    * full EXCEPT otherwise) and durably materialize only the novel set.
+    */
+  private def promote(staged: Dataset[T]): Boolean = {
+    val stagedLeaf = materializeTransient(staged)
+    val stagedCp = stagedLeaf.ds
+    val stagedN = stagedCp.count()
+    if (stagedN == 0) { retire(stagedLeaf); false }
+    else {
+      // A lazily-ingested first run is about to be scanned every epoch from
+      // here on — materialize it once now.
+      stableBatches = stableBatches.map { run =>
+        if (run.leaves.isEmpty) {
+          val leaf = materializeDurable(run.ds)
+          Run(leaf.ds, run.count, 0, Vector(leaf))
+        } else run
+      }
+      val stagedBytes = GraftColumnBridge.storageBytes(stagedCp)
+      val broadcastable =
+        if (stagedBytes >= 0) stagedBytes <= Instance.BroadcastPromoteMaxBytes
+        else stagedN <= Instance.BroadcastPromoteMaxRows
+      val novel =
+        if (broadcastable) {
+          // Delta-proportional path: stable streams map-side against the
+          // broadcast staged batch; the duplicates found are at most
+          // |staged| rows, and the final EXCEPT runs on two batch-sized
+          // sets. Stable is never shuffled.
+          val sDf = stable.toDF()
+          val nDf = stagedCp.toDF()
+          // zip by position: batches of different provenance may carry
+          // different column names for the same tuple type (EXCEPT below is
+          // positional for the same reason)
+          val cond = sDf.columns
+            .zip(nDf.columns)
+            .map { case (sc, nc) => sDf(sc) <=> nDf(nc) }
+            .reduce(_ && _)
+          val dups = sDf.join(broadcast(nDf), cond, "left_semi").as(stagedCp.encoder)
+          stagedCp.except(dups)
+        } else
+          // Bulk load into a non-empty store: a broadcast would not fit;
+          // fall back to the full anti-join (work ∝ data being loaded).
+          stagedCp.except(stable)
+      val leaf = materializeDurable(novel)
+      val n = leaf.ds.count()
+      retire(stagedLeaf)
+      if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
+      else { retire(leaf); false }
+    }
   }
 }
 
 object Instance {
 
-  /** A stable run: dataset, row count, and union-lineage depth since the
-    * last materialization. Compaction merges are LOGICAL unions (free —
-    * counts add, no job); a merge only re-materializes once its lineage
-    * depth exceeds [[MaxUnionDepth]], bounding both plan size and the number
-    * of materialization jobs per epoch.
+  /** A materialized batch segment: `durableId >= 0` when it lives as
+    * `batch_<id>` parquet in a [[ReliableStore]], -1 for transient
+    * block-manager checkpoints.
     */
-  private[core] final case class Run[T](ds: Dataset[T], count: Long, depth: Int)
+  private[core] final case class Leaf[T](ds: Dataset[T], durableId: Int)
+
+  /** A stable run: dataset, row count, union-lineage depth since the last
+    * materialization, and the materialized leaves backing it (for
+    * retirement). Compaction merges are LOGICAL unions (free — counts add,
+    * no job); a merge only re-materializes once its lineage depth exceeds
+    * [[MaxUnionDepth]], bounding both plan size and the number of
+    * materialization jobs per epoch. `leaves` empty = lazily-ingested run
+    * (not yet materialized at all).
+    */
+  private[core] final case class Run[T](
+      ds: Dataset[T],
+      count: Long,
+      depth: Int,
+      leaves: Vector[Leaf[T]])
 
   /** Max logical-union lineage depth of a stable run before it is
     * re-materialized: folds below this depth cost zero Spark jobs; the
@@ -165,11 +337,24 @@ object Instance {
     */
   val MaxUnionDepth = 4
 
-  /** Largest staged batch (rows) promoted via the broadcast-semi path; bigger
-    * batches fall back to a full EXCEPT against stable. Guards driver/executor
-    * memory: a broadcast relation is built once per executor.
+  /** Broadcast budget for the promotion semi-join, against the MEASURED
+    * block size of the staged checkpoint (deserialized, i.e. an overestimate
+    * of the broadcast payload — conservative). Aligned with Spark's default
+    * `autoBroadcastJoinThreshold` order of magnitude; well under executor
+    * memory at 1000-way parallelism.
     */
+  val BroadcastPromoteMaxBytes: Long = 32L * 1024 * 1024
+
+  /** Row-count fallback when no measured size is available. */
   val BroadcastPromoteMaxRows: Long = 1L << 20
+
+  private[core] val ManifestName = "_MANIFEST"
+
+  private val BatchName = "batch_(\\d+)".r
+  private[core] def batchId(name: String): Option[Int] = name match {
+    case BatchName(n) => Some(n.toInt)
+    case _            => None
+  }
 
   /** Where epoch state lives once materialized. */
   sealed trait CheckpointPolicy extends Serializable
@@ -180,17 +365,34 @@ object Instance {
     */
   case object LocalCheckpoint extends CheckpointPolicy
 
-  /** Durable store: every materialized batch is persisted as parquet under
-    * `dir` and scanned back. Survives executor loss and JVM restart; an
+  /** Durable store: every promoted/compacted batch is persisted as parquet
+    * under `dir` and scanned back, with a `_MANIFEST` of live batch ids
+    * committed per epoch. Survives executor loss and JVM restart; an
     * instance's content can be re-attached with [[loadBatches]].
     */
   final case class ReliableStore(dir: String) extends CheckpointPolicy
 
   /** Re-read everything a [[ReliableStore]] instance persisted under `dir` —
-    * the restart-recovery path (stable ∪ recent content; staged-but-never-
-    * stabilized inserts were never materialized and are the caller's to
-    * replay, exactly like the reference's in-memory `to_add`).
+    * the restart-recovery path. Reads the live-batch manifest, so the result
+    * is exactly the stable ∪ recent content (superseded and mid-promotion
+    * files are never listed); staged-but-never-stabilized inserts were never
+    * durable and are the caller's to replay, exactly like the reference's
+    * in-memory `to_add`. Falls back to a `batch_*` glob for pre-manifest
+    * stores.
     */
-  def loadBatches(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    spark.read.parquet(s"$dir/batch_*")
+  def loadBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(base, ManifestName)
+    if (f.exists(manifest)) {
+      val in = f.open(manifest)
+      val ids =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
+        finally in.close()
+      if (ids.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(ids.map(i => s"$dir/batch_$i"): _*)
+    } else spark.read.parquet(s"$dir/batch_*")
+  }
 }

@@ -46,11 +46,65 @@ object Dedup {
           xxhash64(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))))
             .as("bh")))
 
+  /** Scala replica of [[minhashSignature]] over word `n`-shingles — same
+    * xxhash64 family and chaining as the Column form (`xxhash64(s, j)` =
+    * hash the int position `j` seeded by the string hash, outer seed 42),
+    * pinned bitwise by spec. Runs as a compiled per-row kernel: the
+    * higher-order-function form cannot be kept out of CollapseProject once
+    * the shingles column is pruned from the output (single reference →
+    * Catalyst inlines the shingling into the per-seed lambda, re-shingling
+    * `numHashes` times per row).
+    */
+  private[ops] def minhashSignatureScala(text: String, numHashes: Int, n: Int): Array[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val shingles: Iterator[String] =
+      if (toks.length < n) Iterator(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")) // duplicates cannot change a min
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h0 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, h0)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+    }
+    sig
+  }
+
+  /** Scala replica of [[lshBands]]: per-band hash of the comma-joined
+    * signature slice (matching `xxhash64(concat_ws(",", ...))`, seed 42).
+    */
+  private[ops] def bandHashesScala(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
+      val sb = new java.lang.StringBuilder
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) {
+        if (i > b * rowsPerBand) sb.append(',')
+        sb.append(sig(i))
+        i += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+    }
+
   /** Candidate pairs (idA < idB) via MinHash LSH, then exact-Jaccard
     * verification over the shingle sets; only pairs with
     * `jaccard >= threshold` survive. False positives are eliminated by the
     * verification join; false negatives are bounded by the (bands, rows)
     * choice — 16×4 gives ~64% detection at j=0.5 and >99.9% at j=0.9.
+    *
+    * Scale shape: candidate generation ships ONLY (band, bh, id) through the
+    * band explode and the (band, bh) shuffle — shuffle bytes ∝ bands × ids,
+    * not bands × corpus shingle volume. The shingle arrays re-join AFTER
+    * candidate dedup, so only surviving candidate pairs ever carry them
+    * (candidates are small by LSH construction, so AQE broadcasts them and
+    * the shingle table streams map-side).
     */
   def minhashPairs(
       df: DataFrame,
@@ -60,27 +114,33 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val par = df.sparkSession.sparkContext.defaultParallelism
     // repartition: signature computation is CPU-bound; small inputs arrive
     // in one file split, and at cluster scale this spreads the scan anyway
-    val shingled = df
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sp = df.sparkSession
+    import sp.implicits._
+    val banded = df
       .repartition(par)
-      .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), 3).as("shingles"))
-    // `shingles` is kept in the output, so CollapseProject cannot inline the
-    // shingling into the per-seed signature lambda (which would re-shingle
-    // numHashes times per row)
-    val withSig = shingled
-      .select(col("id"), col("shingles"), minhashSignature(col("shingles"), numHashes).as("sig"))
-      .withColumn("bandrow", explode(lshBands(col("sig"), bands, rowsPerBand)))
-      .select(col("id"), col("shingles"), col("bandrow.band"), col("bandrow.bh"))
-    val a = withSig.select(col("band"), col("bh"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = withSig.select(col("band"), col("bh"), col("id").as("id_b"), col("shingles").as("sh_b"))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        bandHashesScala(minhashSignatureScala(text, numHashes, 3), bands, rowsPerBand)
+          .iterator.zipWithIndex.map { case (bh, band) => (band, bh, id) }
+      }
+      .toDF("band", "bh", "id")
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     val candidates = a
       .join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val shingled = df
+      .repartition(par)
+      .select(col(idCol).cast("long").as("id"), TextOps.wordShingles(col(textCol), 3).as("shingles"))
     candidates
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

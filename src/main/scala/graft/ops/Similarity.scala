@@ -83,10 +83,20 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** Embedding dimensionality, read from the first row (one tiny driver job).
+    * Hyperplanes MUST match the data dim: planes wider than the vectors
+    * degenerate to dead components, narrower ones silently truncate the
+    * vectors against the planes — wrong buckets, recall collapse, no error.
+    */
+  private def inferDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+
   /** IVF/LSH-bucketed approximate top-k: corpus and queries are hashed to
     * hyperplane-sign buckets; each query searches only its own bucket.
     * One shuffle on the bucket id instead of a full cross product —
     * recall trades off with `bits` (more bits → smaller buckets).
+    * `dim` defaults to 0 = infer from the corpus; queries must match.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -95,9 +105,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       bits: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(bits, dim, seed)
+      seed: Long = 42L,
+      dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(corpus, vecCol)
+    val qd = inferDim(queries, vecCol)
+    require(qd == d, s"query embedding dim $qd != corpus dim $d")
+    val planes = hyperplanes(bits, d, seed)
     val q = queries.select(
       col(idCol).as("q_id"),
       col(vecCol).as("q_vec"),
@@ -128,8 +141,9 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       bits: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(bits, 64, seed)
+      seed: Long = 42L,
+      dim: Int = 0): DataFrame = {
+    val planes = hyperplanes(bits, if (dim > 0) dim else inferDim(df, vecCol), seed)
     val h = df.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),

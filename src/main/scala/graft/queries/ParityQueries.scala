@@ -14,10 +14,32 @@ object ParityQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Engine sessions opened by these queries, kept until the caller has
+    * consumed the returned DataFrame (which is backed by session state).
+    * [[releaseSessions]] frees their executor storage — without it a
+    * long-lived JVM running many queries (the bench, a notebook) pins every
+    * query's checkpointed batches in the block manager forever.
+    */
+  private val live = scala.collection.mutable.Buffer.empty[CoddSession]
+
+  private def session(spark: SparkSession): CoddSession = live.synchronized {
+    val s = new CoddSession(spark)
+    live += s
+    s
+  }
+
+  /** Close every session opened since the last release. Call only after the
+    * returned DataFrames have been fully consumed.
+    */
+  def releaseSessions(): Unit = live.synchronized {
+    live.foreach(_.close())
+    live.clear()
+  }
+
   /** #1 Relation: base table scan (reference: relation.rs:20-57). */
   val relationScan: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val region = db.addRelation[Region]("region")
     db.insert(region, Tables.region(spark, dir))
     db.evaluate(region).toDF()
@@ -28,7 +50,7 @@ object ParityQueries {
     */
   val selectFilter: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val li = db.addRelation[Lineitem]("lineitem")
     db.insert(li, Tables.lineitem(spark, dir))
     val q = li
@@ -42,7 +64,7 @@ object ParityQueries {
     */
   val projectMap: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val li = db.addRelation[Lineitem]("lineitem")
     db.insert(li, Tables.lineitem(spark, dir))
     val q = li.project(l => (l.l_orderkey, l.l_extendedprice * (1.0 - l.l_discount)))
@@ -54,7 +76,7 @@ object ParityQueries {
     */
   val productCross: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val region = db.addRelation[Region]("region")
     val nation = db.addRelation[Nation]("nation")
     db.insert(region, Tables.region(spark, dir))
@@ -68,7 +90,7 @@ object ParityQueries {
     */
   val joinEqui: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val cust = db.addRelation[Customer]("customer")
     val ord = db.addRelation[Order]("orders")
     db.insert(cust, Tables.customer(spark, dir))
@@ -83,7 +105,7 @@ object ParityQueries {
   /** #6 Union (reference: union.rs:23-64). */
   val unionSet: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val cust = db.addRelation[Customer]("customer")
     val supp = db.addRelation[Supplier]("supplier")
     db.insert(cust, Tables.customer(spark, dir))
@@ -95,7 +117,7 @@ object ParityQueries {
   /** #7 Intersect (reference: intersect.rs:23-64). */
   val intersectSet: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val cust = db.addRelation[Customer]("customer")
     val ord = db.addRelation[Order]("orders")
     db.insert(cust, Tables.customer(spark, dir))
@@ -113,7 +135,7 @@ object ParityQueries {
     */
   val differenceSet: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val cust = db.addRelation[Customer]("customer")
     val ord = db.addRelation[Order]("orders")
     db.insert(cust, Tables.customer(spark, dir))
@@ -127,7 +149,7 @@ object ParityQueries {
   /** #9 Empty: constant ∅ (reference: empty.rs:17-52). */
   val emptyRel: Q = (spark, _) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     db.evaluate(EmptyRel[Long]()).toDF("key")
   }
 
@@ -137,7 +159,7 @@ object ParityQueries {
     */
   val singletonConst: Q = (spark, _) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val q = Singleton((1, "graft")).project(t => (t._1, t._2))
     db.evaluate(q).toDF("x", "s")
   }
@@ -148,7 +170,7 @@ object ParityQueries {
     */
   val viewIvm: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val ev = db.addRelation[Event]("events")
     val all = Tables.events(spark, dir)
     db.insert(ev, all.filter(_.event_id % 3 == 0))
@@ -166,7 +188,7 @@ object ParityQueries {
     */
   val viewJoinIvm: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val cust = db.addRelation[Customer]("customer")
     val ord = db.addRelation[Order]("orders")
     db.insert(cust, Tables.customer(spark, dir))
@@ -190,7 +212,7 @@ object ParityQueries {
     */
   val viewChainIvm: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val ev = db.addRelation[Event]("events")
     val all = Tables.events(spark, dir)
     db.insert(ev, all.filter(_.event_id % 2 == 0))
@@ -207,7 +229,7 @@ object ParityQueries {
     */
   val monoCompose: Q = (spark, dir) => {
     import spark.implicits._
-    val db = new CoddSession(spark)
+    val db = session(spark)
     val cust = db.addRelation[Customer]("customer")
     val ord = db.addRelation[Order]("orders")
     db.insert(cust, Tables.customer(spark, dir))

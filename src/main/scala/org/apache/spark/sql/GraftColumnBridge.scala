@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Bridge to the `private[sql]` Column↔Expression conversions: Spark 4 hides
   * the Expression-backed Column constructor behind the classic module, and
@@ -9,4 +10,37 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The block-manager RDD behind a `localCheckpoint`ed Dataset, if any —
+    * checkpointing rewrites the plan to a bare [[LogicalRDD]] leaf.
+    */
+  private def checkpointRdd(ds: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    ds match {
+      case c: classic.Dataset[_] =>
+        c.queryExecution.analyzed match {
+          case lr: LogicalRDD => Some(lr.rdd)
+          case _              => None
+        }
+      case _ => None
+    }
+
+  /** Free the executor-storage blocks of a `localCheckpoint`ed Dataset.
+    * No-op for any other plan shape. Non-blocking.
+    */
+  def unpersistLocalCheckpoint(ds: Dataset[_]): Unit =
+    checkpointRdd(ds).foreach(_.unpersist(blocking = false))
+
+  /** Actual bytes a `localCheckpoint`ed Dataset occupies in executor storage
+    * (memory + disk), or -1 when unknown. This is the *measured* size — the
+    * right input for broadcast-budget decisions, unlike row counts or static
+    * schema estimates that ignore string/array payload width.
+    */
+  def storageBytes(ds: Dataset[_]): Long =
+    checkpointRdd(ds)
+      .flatMap { rdd =>
+        rdd.sparkContext.getRDDStorageInfo
+          .find(_.id == rdd.id)
+          .map(i => i.memSize + i.diskSize)
+      }
+      .getOrElse(-1L)
 }

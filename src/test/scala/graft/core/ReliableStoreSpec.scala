@@ -28,6 +28,42 @@ class ReliableStoreSpec extends AnyFunSuite {
     assert(Instance.loadBatches(spark, dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("recovery equals stable content after a compaction-triggering sequence") {
+    val dir = tmpDir()
+    val i = new Instance[Int](spark.emptyDataset[Int], Instance.ReliableStore(dir))
+    // Doubling batches force cascading merges: depth exceeds MaxUnionDepth
+    // after 6 batches, triggering a durable re-materialization that must
+    // retire (manifest-delist + delete) every superseded batch file.
+    var next = 0
+    (0 until 6).foreach { k =>
+      val batch = (0 until (1 << k)).map { _ => next += 1; next }
+      i.insert(spark.createDataset(batch))
+      assert(i.changed()); assert(!i.changed())
+    }
+    assert(i.stableCount == 63)
+    assert(i.stable.collect().sorted.toSeq == (1 to 63))
+    // recovery reads the manifest: exactly the stable ∪ recent content,
+    // no double-counting from staged intermediates or pre-compaction runs
+    assert(Instance.loadBatches(spark, dir).as[Int].collect().sorted.toSeq == (1 to 63))
+    // superseded batch files are deleted after the manifest commit
+    val batchDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("batch_"))
+    assert(batchDirs.length == 1, s"expected 1 live batch dir, got ${batchDirs.map(_.getName).toSeq}")
+  }
+
+  test("re-attaching to a non-empty store dir never clobbers existing batches") {
+    val dir = tmpDir()
+    val i1 = new Instance[Int](spark.emptyDataset[Int], Instance.ReliableStore(dir))
+    i1.insert(spark.createDataset(Seq(1, 2)))
+    i1.changed(); i1.changed()
+    // a second instance over the SAME dir (accidental reuse): its batch ids
+    // must start above the existing maximum, not overwrite batch_1
+    val i2 = new Instance[Int](spark.emptyDataset[Int], Instance.ReliableStore(dir))
+    i2.insert(spark.createDataset(Seq(7, 8)))
+    i2.changed(); i2.changed()
+    assert(i1.stable.collect().sorted.toSeq == Seq(1, 2), "first store intact")
+    assert(i2.stable.collect().sorted.toSeq == Seq(7, 8))
+  }
+
   test("restart survival: a fresh session re-attaches from the parquet store") {
     val base = tmpDir()
     // --- "first process": reliable session, insert, stabilize via evaluate

@@ -71,6 +71,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compiled minhash/band kernel is bitwise-equal to the Column HOF form") {
+    // the candidate path runs the Scala kernel; sourceMinhash runs the HOF
+    // form — they must stay the same hash family or LSH recall silently
+    // diverges between the two
+    val hof = docs
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("shingles"))
+      .select(
+        col("doc_id"),
+        col("shingles"),
+        Dedup.minhashSignature(col("shingles"), 64).as("sig"))
+      .select(
+        col("doc_id"),
+        col("sig"),
+        transform(Dedup.lshBands(col("sig"), 16, 4), b => b.getField("bh")).as("bhs"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val sig = Dedup.minhashSignatureScala(text, 64, 3)
+      assert(sig.toSeq == hof(id)._1, s"signature mismatch for doc $id")
+      assert(Dedup.bandHashesScala(sig, 16, 4).toSeq == hof(id)._2, s"band hash mismatch for doc $id")
+    }
+  }
+
   test("dedupByMinhash drops only rows with a smaller near-duplicate") {
     val kept = Dedup.dedupByMinhash(docs, "text", "doc_id").select("doc_id")
       .as[Long].collect().toSet
@@ -147,6 +172,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       approx.groupBy(_._1).forall(g => g._2.map(_._3).sorted.toSeq == (1 to g._2.length)))
     val recall = approx.map(p => (p._1, p._2)).count(brute).toDouble / brute.size
     assert(recall > 0.0 && recall <= 1.0)
+  }
+
+  test("lshTopK and cosineNearDupPairs adapt to non-64-dim embeddings") {
+    // 8-dim vectors: two aligned clusters plus an orthogonal singleton.
+    // With the r2 hardcoded dim=64 the planes were degenerate for d<64.
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(x => x + rnd.nextFloat() * 0.01f).toSeq
+    val up = Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f)
+    val side = Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)
+    val vecs = (0L until 6L).map(i => (i, jitter(up))) ++
+      (6L until 12L).map(i => (i, jitter(side)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.99, bits = 2)
+      .as[(Long, Long, Double)].collect()
+    val raw = vecs.toMap
+    pairs.foreach { case (a, b, _) =>
+      assert(cosine(raw(a), raw(b)) >= 0.99 - 1e-9, s"false positive ($a,$b)")
+    }
+    assert(pairs.nonEmpty, "same-cluster near-dups must surface in 8-dim space")
+    val topk = Similarity.lshTopK(df, df.filter(col("vec_id") === 0), "vec_id", "embedding", 3, bits = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(topk.nonEmpty && topk.forall(_._1 == 0L))
+    // mismatched query/corpus dims must fail loudly, not truncate silently
+    val bad = Seq((99L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(df, bad, "vec_id", "embedding", 3, bits = 2)
+    }
   }
 
   // --- Multimodal ---------------------------------------------------------
