@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session release intentionally unpersists locally-checkpointed engine
+    // state; Spark warns per RDD — noise at 50+ queries × 3 runs
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     // untimed warmup: JVM/JIT, session state, filesystem metadata — otherwise
     // the alphabetically-first query absorbs several seconds of startup
     try SparkEntry.entry(spark).count()

@@ -56,10 +56,9 @@ object Dedup {
     * `numHashes` times per row).
     */
   private[ops] def minhashSignatureScala(text: String, numHashes: Int, n: Int): Array[Long] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    val shingles: Iterator[String] =
-      if (toks.length < n) Iterator(toks.mkString(" "))
-      else toks.sliding(n).map(_.mkString(" ")) // duplicates cannot change a min
+    // deduped shingle set: duplicates cannot change a min, so skipping them
+    // saves their 64 rehashes; shares the exact shingling of the verify path
+    val shingles = TextOps.wordShinglesScala(text, n)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     shingles.foreach { s =>
       val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -137,7 +136,10 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val shingled = df
       .repartition(par)
-      .select(col(idCol).cast("long").as("id"), TextOps.wordShingles(col(textCol), 3).as("shingles"))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextOps.wordShinglesScala(text, 3)) }
+      .toDF("id", "shingles")
     candidates
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))

@@ -122,14 +122,35 @@ object TextOps {
   def charShingles(text: Column, n: Int): Column =
     charShinglesOfNorm(normalize(text), n)
 
-  /** Word n-gram shingles (the MinHash input). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  /** Word n-gram shingles over an already-staged tokens column. `ws` MUST be
+    * an attribute reference: `slice(ws, …)` sits inside the per-shingle
+    * lambda, so an inline `tokens(text)` is re-tokenized PER SHINGLE —
+    * O(words²) interpreted regex per row.
+    */
+  def wordShinglesOfTokens(ws: Column, n: Int): Column =
     when(size(ws) < n, array(concat_ws(" ", ws)))
       .otherwise(
         array_distinct(
           transform(
             sequence(lit(0), size(ws) - n),
             i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+
+  /** Word n-gram shingles of raw text (convenience; stage [[tokens]] as its
+    * own column and use [[wordShinglesOfTokens]] anywhere hot — see its doc).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOfTokens(tokens(text), n)
+
+  /** Compiled replica of [[wordShingles]] (same tokenization, same
+    * shorter-than-n fallback, distinct set) for per-row hot paths.
+    */
+  def wordShinglesScala(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
+      toks.sliding(n).foreach(w => seen += w.mkString(" "))
+      seen.toArray
+    }
   }
 }

@@ -89,10 +89,19 @@ object PipelineQueries {
   val textLangid: Q = (spark, dir) =>
     docs(spark, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
 
+  /** Canonical-form md5 fingerprint — oracle-able (DuckDB md5 over the same
+    * normalization); the xxhash64 rolling hash lives in [[textRolling]] so
+    * this query's whole row is oracle-checked.
+    */
   val textFingerprint: Q = (spark, dir) =>
     docs(spark, dir).select(
       col("doc_id"),
-      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.fingerprint(col("text")).as("fp"))
+
+  /** Order-sensitive rolling token hash (xxhash64-based: rows-only). */
+  val textRolling: Q = (spark, dir) =>
+    docs(spark, dir).select(
+      col("doc_id"),
       TextOps.rollingHash(col("text")).as("rolling"))
 
   val docStats: Q = (spark, dir) =>
@@ -124,10 +133,13 @@ object PipelineQueries {
     * cannot replay xxhash64; pinned exactly by spec instead.
     */
   val sourceMinhash: Q = (spark, dir) => {
+    // tokens staged as an attribute: an inline tokens(text) inside the
+    // shingle lambda re-tokenizes per shingle (O(words²) regex per row)
     val shingled = docs(spark, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
       .select(
         col("source"),
-        TextOps.wordShingles(col("text"), 3).as("shingles"))
+        TextOps.wordShinglesOfTokens(col("toks"), 3).as("shingles"))
     val sigs = shingled.select(
       col("source"),
       Dedup.minhashSignature(col("shingles"), 16).cast("array<bigint>").as("sig"))
@@ -175,6 +187,7 @@ object PipelineQueries {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures
@@ -184,6 +197,22 @@ object PipelineQueries {
     "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
   private val enStopSql =
     "['the', 'of', 'and', 'to', 'in', 'a', 'is', 'that', 'it', 'was']"
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** The deterministic hyperplanes as DuckDB DOUBLE[] literals — Scala
+    * Double.toString round-trips exactly, and DuckDB's sequential
+    * `list_dot_product` fold is bitwise-equal to the engine's DotProduct
+    * (proven by the knn_brute oracle), so LSH bucket ids replay exactly.
+    * Fixture embeddings are 64-dim (TESTDATA.md); [[Similarity]] infers the
+    * same from the data.
+    */
+  private def bucketSql(vecExpr: String, bits: Int): String =
+    Similarity.hyperplanes(bits, 64).toSeq.zipWithIndex
+      .map { case (p, i) =>
+        s"(CASE WHEN list_dot_product($vecExpr, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "text_chunks" ->
@@ -231,7 +260,51 @@ object PipelineQueries {
          |FROM documents""".stripMargin,
     "text_langid" ->
       s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
-    "text_fingerprint" -> null, // rolling hash uses xxhash64: rows-only
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "text_rolling" -> null, // rolling hash uses xxhash64: rows-only
+    "dedup_ngram" ->
+      // exact char-5-gram Jaccard within the source blocking — the engine
+      // hashes shingles to longs (collision odds ~|sh|²/2⁶⁴, vacuous at
+      // verify scale), so string-set Jaccard replays it exactly
+      s"""WITH s AS (
+         |  SELECT source, doc_id,
+         |    list_distinct(list_transform(
+         |      generate_series(0, greatest(length(n) - 5, 0)),
+         |      i -> substr(n, i + 1, 5))) AS sh
+         |  FROM (SELECT source, doc_id, $normSql AS n FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.30""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH h AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+         |    ${bucketSql("CAST(embedding AS DOUBLE[])", 4)} AS bucket
+         |  FROM embeddings)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |FROM h a JOIN h b ON a.bucket = b.bucket AND a.id < b.id
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH h AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+         |    ${bucketSql("CAST(embedding AS DOUBLE[])", 4)} AS bucket
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+         |  FROM h n JOIN h q ON n.bucket = q.bucket
+         |  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id)
+         |SELECT q_id, n_id, cos, rank FROM (
+         |  SELECT q_id, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+         |  FROM s)
+         |WHERE rank <= 10""".stripMargin,
     "doc_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  SUM(n_chars) / COUNT(*) AS avg_chars,
