@@ -46,6 +46,8 @@ object GraftFunctions {
         (new FunctionIdentifier("cosine_sim"),
           new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
           cosineBuilder _))
+      // whole-operator extension: the native as-of join strategy
+      e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     }
   }
 }

@@ -236,6 +236,20 @@ object RelationalQueries {
       .select(col("event_id"), col("c_event_id").as("click_id"))
   }
 
+  /** The same as-of semantics through the NATIVE operator (custom
+    * LogicalPlan + Strategy + streaming-merge SparkPlan,
+    * [[graft.plans.AsOfJoinNative]]) — one buffered row of state per
+    * partition instead of the window formulation's per-key buffers.
+    */
+  val asofNative: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    graft.plans.AsOfJoinNative
+      .backward(errors, clicks, "user_id", "user_id", "ts", "ts", rightPrefix = "c_")
+      .select(col("event_id"), col("c_event_id").as("click_id"))
+  }
+
   /** Exact interpolated percentiles — `percentile` in Spark and
     * `quantile_cont` in DuckDB both sort exactly and interpolate linearly;
     * equality verified empirically on this data.
@@ -304,7 +318,8 @@ object RelationalQueries {
     "events_hourly" -> eventsHourly,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
-    "asof_clicks" -> asofClicks
+    "asof_clicks" -> asofClicks,
+    "asof_native" -> asofNative
   )
 
   val oracles: Map[String, String] = Map(
@@ -444,6 +459,11 @@ object RelationalQueries {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
     "asof_clicks" ->
+      """SELECT e.event_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "asof_native" ->
       """SELECT e.event_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c

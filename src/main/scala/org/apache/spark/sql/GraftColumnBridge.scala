@@ -11,6 +11,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a DataFrame (input side of custom plan nodes). */
+  def analyzed(ds: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    ds.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a (possibly custom) logical plan back into a DataFrame. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** The block-manager RDD behind a `localCheckpoint`ed Dataset, if any —
     * checkpointing rewrites the plan to a bare [[LogicalRDD]] leaf.
     */

@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.ops.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of operator (LogicalPlan + Strategy + streaming-merge
+  * SparkPlan) must be semantically identical to the union+window
+  * formulation, which is itself oracle-checked against DuckDB ASOF JOIN.
+  */
+class AsOfJoinNativeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def eventSides() = {
+    val ev = graft.tables.Tables.events(spark, dir).toDF()
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    (errors, clicks)
+  }
+
+  test("native == window formulation on the events fixture (self-join shape)") {
+    val (errors, clicks) = eventSides()
+    val viaWindow = AsOfJoin
+      .backward(errors, clicks, "user_id", "user_id", "ts", "ts", rightPrefix = "c_")
+      .select("event_id", "c_event_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val viaNative = AsOfJoinNative
+      .backward(errors, clicks, "user_id", "user_id", "ts", "ts", rightPrefix = "c_")
+      .select("event_id", "c_event_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(viaNative.nonEmpty)
+    assert(viaNative == viaWindow)
+  }
+
+  test("physical plan is the custom exec (no window, no right-side buffer)") {
+    val (errors, clicks) = eventSides()
+    val df = AsOfJoinNative.backward(errors, clicks, "user_id", "user_id", "ts", "ts")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"), physical) // nodeName strips "Exec"
+    assert(!physical.contains("Window"), "native path must not plan a window")
+    assert(physical.contains("PushedFilters: [IsNotNull(event_type)"),
+      "filters must still reach the parquet scan under the custom node")
+  }
+
+  test("left-outer variant keeps unmatched left rows with null right") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 99L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((7L, 10L, 50L), (8L, 10L, 90L))
+      .toDF("rid", "k", "t")
+    val out = AsOfJoinNative
+      .backward(left, right, "k", "k", "t", "t", inner = false)
+      .select(col("id"), col("r_rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(8L), 2L -> None, 3L -> None))
+    val inner = AsOfJoinNative
+      .backward(left, right, "k", "k", "t", "t")
+      .select(col("id"), col("r_rid")).as[(Long, Long)].collect().toSeq
+    assert(inner == Seq((1L, 8L)))
+  }
+
+  test("equal timestamps match (>=), latest-of-equals wins deterministically") {
+    val left = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
+    val right = Seq((7L, 1L, 100L), (6L, 1L, 100L), (5L, 1L, 40L)).toDF("rid", "k", "t")
+    val got = AsOfJoinNative.backward(left, right, "k", "k", "t", "t")
+      .select("r_rid").as[Long].collect().toSeq
+    // ties on time: the merge keeps the LAST right row in (key, time) sort
+    // order; with equal (k, t) the physical sort breaks ties by input order,
+    // so assert membership of the tied set rather than a specific one
+    assert(got.length == 1 && Set(6L, 7L).contains(got.head))
+  }
+
+  test("strategy registers via SparkSessionExtensions too") {
+    // builder-time path: a throwaway session with the extensions installed
+    val s2 = spark.newSession()
+    AsOfJoinNative.ensureStrategy(s2)
+    val (errors, clicks) = eventSides()
+    assert(AsOfJoinNative
+      .backward(errors, clicks, "user_id", "user_id", "ts", "ts")
+      .count() > 0)
+  }
+}
