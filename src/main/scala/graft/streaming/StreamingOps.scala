@@ -77,6 +77,25 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming exact dedup: drop any document whose content fingerprint was
+    * already seen within the watermark delay. State is the fingerprint set
+    * of ONE watermark window — bounded, unlike a naive `dropDuplicates`
+    * whose state grows with the full stream history. The batch analog is
+    * [[graft.ops.Dedup.exact]]; at 100 TB/day of ingest this is the only
+    * viable shape for online dedup (near-dup variants bucket the same way
+    * with MinHash band keys as the dedup column).
+    */
+  def dedupStream(
+      docs: DataFrame,
+      contentCol: String,
+      timeCol: String,
+      delay: String): DataFrame =
+    docs
+      .withColumn("__fp", md5(col(contentCol)))
+      .withWatermark(timeCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -94,6 +94,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected && got.size == batchEv.size)
   }
 
+  test("streaming dedup drops within-watermark duplicates, keeps state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val in = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStream(in, "text", "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    stream.addData((1L, at(0), "aaa"), (2L, at(1), "bbb"))
+    q.processAllAvailable()
+    // same content arriving later within the watermark: dropped
+    stream.addData((3L, at(2), "aaa"), (4L, at(3), "ccc"))
+    q.processAllAvailable()
+    val got = spark.table("deduped").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 2L, 4L), s"doc 3 duplicates doc 1's content; got $got")
+  }
+
   test("ivmSink: streamed inserts maintain a stored view incrementally") {
     implicit val sqlCtx = spark.sqlContext
     import graft.core.Expr._
