@@ -369,6 +369,12 @@ object Instance {
     * under `dir` and scanned back, with a `_MANIFEST` of live batch ids
     * committed per epoch. Survives executor loss and JVM restart; an
     * instance's content can be re-attached with [[loadBatches]].
+    *
+    * One WRITER per directory: a second instance over the same `dir` will
+    * not clobber existing batch files (the id counter resumes above the
+    * existing max) but each writer maintains its own manifest, so recovery
+    * should replay `loadBatches` output into a FRESH directory rather than
+    * re-attach two writers to one store.
     */
   final case class ReliableStore(dir: String) extends CheckpointPolicy
 
