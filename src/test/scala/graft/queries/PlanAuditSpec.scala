@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the AUDITED physical-plan shapes in CI: a lost broadcast hint, an
+  * extra shuffle, or a window sneaking back where a bounded-heap/merge
+  * operator belongs is a scale regression even when sf0.001 timings look
+  * fine. Plan shape is SF-independent, so sf0.001 plans stand in for the
+  * 100 TB ones.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    try df.queryExecution.executedPlan.toString
+    finally ParityQueries.releaseSessions()
+  }
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q1_agg: one shuffle, shipdate filter pushed to the parquet scan") {
+    val p = plan("q1_agg")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q3_top10: dims broadcast, global top-k is TakeOrderedAndProject") {
+    val p = plan("q3_top10")
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), "limit+sort must fuse, not global-sort")
+  }
+
+  test("q5_local: every dimension joins broadcast; the only shuffle is the aggregate") {
+    val p = plan("q5_local")
+    assert(count(p, "BroadcastHashJoin") >= 4, p)
+    assert(!p.contains("SortMergeJoin"), "no dim may fall back to SMJ")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("rollup_agg: SQL path keeps dims on BroadcastHashJoin under ROLLUP's Expand") {
+    val p = plan("rollup_agg")
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(p.contains("Expand"), "ROLLUP lowers to Expand")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sort_limit: top-100 never globally sorts") {
+    val p = plan("sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "range-partitioned global sort is the anti-pattern")
+  }
+
+  test("topk_per_key: bounded-heap path plans no Window") {
+    val p = plan("topk_per_key")
+    assert(!p.contains("Window"), "window ranking would shuffle every row of every key")
+  }
+
+  test("range_bands: bucket decomposition avoids BroadcastNestedLoopJoin") {
+    val p = plan("range_bands")
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("knn_brute: query side broadcasts; corpus never hash-shuffles before scoring") {
+    val p = plan("knn_brute")
+    assert(p.contains("BroadcastExchange"), "query set must broadcast")
+    // the only hashpartitioning exchange is the per-query ranking window
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("asof_clicks (union+window): exactly one shuffle of |L|+|R| by key") {
+    val p = plan("asof_clicks")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("asof_native: custom merge node, no Window, both sides clustered") {
+    val p = plan("asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("dedup_exact: single shuffle of the 128-bit digests (map-side partials)") {
+    val p = plan("dedup_exact")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_"), "aggregate must have a map-side partial phase")
+  }
+}
