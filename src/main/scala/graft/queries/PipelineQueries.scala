@@ -63,6 +63,16 @@ object PipelineQueries {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10, bits = 4)
   }
 
+  /** IVF (k-means cells) approximate top-10 — rows-only (the quantizer is
+    * not DuckDB-replayable); the spec pins nprobe==nlist bitwise to brute
+    * force and bounds recall for partial probes.
+    */
+  val knnIvf: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10,
+      nlist = 8, nprobe = 3)
+  }
+
   /** Exact L2 norms — raw doubles, bitwise-equal cross-engine. */
   val embeddingNorm: Q = (spark, dir) =>
     emb(spark, dir).select(
@@ -182,6 +192,7 @@ object PipelineQueries {
     "dedup_embedding" -> dedupEmbedding,
     "knn_brute" -> knnBrute,
     "knn_lsh" -> knnLsh,
+    "knn_ivf" -> knnIvf,
     "embedding_norm" -> embeddingNorm,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

@@ -174,6 +174,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.0 && recall <= 1.0)
   }
 
+  test("ivfTopK: exhaustive probes equal brute force exactly; partial probes recall") {
+    val brute = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // nprobe == nlist: every cell searched — must be the exact answer
+    val exhaustive = Similarity
+      .ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 8)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(exhaustive == brute)
+    // partial probes: approximate, but well-formed and with useful recall
+    val approx = Similarity
+      .ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 3)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect()
+    assert(approx.groupBy(_._1).forall(g => g._2.map(_._3).sorted.toSeq == (1 to g._2.length)))
+    val recall = approx.map(p => (p._1, p._2)).count(p => brute.exists(b => (b._1, b._2) == p)).toDouble / brute.size
+    assert(recall > 0.3, s"IVF recall $recall with 3/8 probes")
+  }
+
   test("lshTopK and cosineNearDupPairs adapt to non-64-dim embeddings") {
     // 8-dim vectors: two aligned clusters plus an orthogonal singleton.
     // With the r2 hardcoded dim=64 the planes were degenerate for d<64.
