@@ -118,17 +118,24 @@ final class Instance[T](
   private def fs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(session.sparkContext.hadoopConfiguration)
 
-  /** Executor-storage checkpoint: fast, lineage-truncating, transient. */
-  private def materializeTransient(ds: Dataset[T]): Leaf[T] =
-    Leaf(ds.localCheckpoint(true), -1)
+  /** Executor-storage checkpoint: fast, lineage-truncating, transient.
+    * `eager = false` defers materialization to the caller's immediate
+    * `count()`, folding checkpoint + count into ONE Spark job — the epoch
+    * loop otherwise pays two jobs per batch. Callers that RETIRE the
+    * batch's inputs before any action (compaction) MUST pass `eager =
+    * true`: a lazy checkpoint would try to recompute from just-unpersisted,
+    * lineage-truncated blocks.
+    */
+  private def materializeTransient(ds: Dataset[T], eager: Boolean = false): Leaf[T] =
+    Leaf(ds.localCheckpoint(eager), -1)
 
   /** Materialize a batch that becomes part of stable ∪ recent content —
     * parquet under a [[Instance.ReliableStore]], block-manager otherwise.
     * The manifest is committed once per epoch (see [[commitState]]), so a
     * crash mid-epoch never exposes a half-promoted store.
     */
-  private def materializeDurable(ds: Dataset[T]): Leaf[T] = policy match {
-    case Instance.LocalCheckpoint => materializeTransient(ds)
+  private def materializeDurable(ds: Dataset[T], eager: Boolean = false): Leaf[T] = policy match {
+    case Instance.LocalCheckpoint => materializeTransient(ds, eager)
     case Instance.ReliableStore(dir) =>
       ensureCounter(dir)
       batchCounter += 1
@@ -216,7 +223,9 @@ final class Instance[T](
           last.leaves ++ merged.leaves)
       }
       if (merged.depth > Instance.MaxUnionDepth) {
-        val leaf = materializeDurable(merged.ds)
+        // eager: the superseded leaves are unpersisted right below, so the
+        // replacement must be fully materialized first
+        val leaf = materializeDurable(merged.ds, eager = true)
         merged.leaves.foreach(retire)
         merged = Run(leaf.ds, merged.count, 0, Vector(leaf))
       }
