@@ -62,6 +62,14 @@ final class Instance[T](
   private var counterInitialized = false
   private var liveIds: SortedSet[Int] = SortedSet.empty
   private var pendingDeletes: Vector[String] = Vector.empty
+  // Superseded-but-possibly-still-referenced storage, freed at close():
+  // checkpointed leaves have TRUNCATED lineage, and staged-but-unconsumed
+  // view-delta plans (or returned DataFrames) may still read them — an
+  // immediate unpersist turns those reads into checkpoint-block-not-found
+  // errors. Cached (persist) leaves are exempt: their lineage is intact,
+  // so an early unpersist only costs a recompute.
+  private var graveyard: Vector[Leaf[T]] = Vector.empty
+  private var graveyardPaths: Vector[String] = Vector.empty
   // Set once this instance has been snapshot()ed: its batches are shared
   // with the clone, so neither side may unpersist or delete them.
   private var shared = false
@@ -101,10 +109,19 @@ final class Instance[T](
     * is empty afterwards.
     */
   def close(): Unit = synchronized {
-    if (!shared)
-      (stableBatches ++ recentBatch.toVector)
-        .flatMap(_.leaves)
-        .foreach(l => if (l.durableId < 0) GraftColumnBridge.unpersistLocalCheckpoint(l.ds))
+    if (!shared) {
+      ((stableBatches ++ recentBatch.toVector).flatMap(_.leaves) ++ graveyard)
+        .foreach { l =>
+          if (l.durableId == Instance.CachedLeafId) l.ds.unpersist(false)
+          else if (l.durableId < 0) GraftColumnBridge.unpersistLocalCheckpoint(l.ds)
+        }
+      if (graveyardPaths.nonEmpty) {
+        val f = fs(hadoopPath(graveyardPaths.head))
+        graveyardPaths.foreach(p => f.delete(hadoopPath(p), true))
+      }
+    }
+    graveyard = Vector.empty
+    graveyardPaths = Vector.empty
     stableBatches = Vector.empty
     recentBatch = None
     toAdd = Vector.empty
@@ -161,18 +178,40 @@ final class Instance[T](
         .foldLeft(0)(math.max)
   }
 
-  /** Drop a batch that is no longer part of stable ∪ recent. Transient
-    * blocks are freed immediately; durable files are deleted only after the
-    * epoch's manifest commit no longer lists them.
+  /** Immediately free a batch PRIVATE to the current epoch step (staged
+    * intermediates, empty promotions) — nothing outside `changed()` can
+    * hold a reference. Durable files are deleted only after the epoch's
+    * manifest commit no longer lists them.
     */
   private def retire(l: Leaf[T]): Unit =
     if (!shared) {
-      if (l.durableId < 0) GraftColumnBridge.unpersistLocalCheckpoint(l.ds)
+      if (l.durableId == Instance.CachedLeafId) l.ds.unpersist(false)
+      else if (l.durableId < 0) GraftColumnBridge.unpersistLocalCheckpoint(l.ds)
       else
         policy match {
           case Instance.ReliableStore(dir) =>
             liveIds -= l.durableId
             pendingDeletes :+= s"$dir/batch_${l.durableId}"
+          case _ => ()
+        }
+    }
+
+  /** Mark an EXPOSED batch (a superseded stable/recent run) as dead.
+    * Staged-but-unconsumed view-delta plans and returned DataFrames may
+    * still read it, so checkpointed blocks and durable files outlive the
+    * epoch and are freed at [[close]]; only the manifest delisting (what
+    * recovery sees) happens now. Cached leaves unpersist immediately —
+    * their lineage is intact, so late readers just recompute.
+    */
+  private def condemn(l: Leaf[T]): Unit =
+    if (!shared) {
+      if (l.durableId == Instance.CachedLeafId) l.ds.unpersist(false)
+      else if (l.durableId < 0) graveyard :+= l
+      else
+        policy match {
+          case Instance.ReliableStore(dir) =>
+            liveIds -= l.durableId
+            graveyardPaths :+= s"$dir/batch_${l.durableId}"
           case _ => ()
         }
     }
@@ -223,10 +262,10 @@ final class Instance[T](
           last.leaves ++ merged.leaves)
       }
       if (merged.depth > Instance.MaxUnionDepth) {
-        // eager: the superseded leaves are unpersisted right below, so the
-        // replacement must be fully materialized first
+        // eager: the replacement must be fully materialized while its
+        // inputs are still certainly readable
         val leaf = materializeDurable(merged.ds, eager = true)
-        merged.leaves.foreach(retire)
+        merged.leaves.foreach(condemn)
         merged = Run(leaf.ds, merged.count, 0, Vector(leaf))
       }
       stableBatches :+= merged
@@ -246,19 +285,22 @@ final class Instance[T](
 
   /** First batch into an empty store. Under a transient policy with
     * [[lazyFirstBatch]] (base relations ingesting from sources) the batch is
-    * counted but NOT materialized: its lineage is one scan + distinct, so
-    * checkpointing would only copy the whole input through executor storage
-    * for nothing — the dominant cost of one-shot ingest-and-query. The run
-    * is re-materialized the moment a second batch arrives (see [[promote]]),
-    * bounding recomputation to the single-batch lifetime.
+    * NOT checkpointed — its lineage is one scan + distinct, so copying the
+    * whole input through executor storage buys nothing — but it IS
+    * `persist`ed: the count populates the cache in the same job, the
+    * consumer's plan hits the cached subtree instead of re-running the
+    * distinct, and [[close]]/retirement free it. Net: ONE execution of the
+    * ingest plan for the dominant one-shot ingest-and-query shape.
     */
   private def firstBatch(staged: Dataset[T]): Boolean = policy match {
     case Instance.LocalCheckpoint if lazyFirstBatch =>
-      val n = staged.count()
+      val cached = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = cached.count()
       if (n > 0) {
-        recentBatch = Some(Run(staged, n, Instance.MaxUnionDepth, Vector.empty))
+        recentBatch = Some(
+          Run(cached, n, Instance.MaxUnionDepth, Vector(Leaf(cached, Instance.CachedLeafId))))
         true
-      } else false
+      } else { cached.unpersist(false); false }
     case _ =>
       val leaf = materializeDurable(staged)
       val n = leaf.ds.count()
@@ -276,14 +318,6 @@ final class Instance[T](
     val stagedN = stagedCp.count()
     if (stagedN == 0) { retire(stagedLeaf); false }
     else {
-      // A lazily-ingested first run is about to be scanned every epoch from
-      // here on — materialize it once now.
-      stableBatches = stableBatches.map { run =>
-        if (run.leaves.isEmpty) {
-          val leaf = materializeDurable(run.ds)
-          Run(leaf.ds, run.count, 0, Vector(leaf))
-        } else run
-      }
       val stagedBytes = GraftColumnBridge.storageBytes(stagedCp)
       val broadcastable =
         if (stagedBytes >= 0) stagedBytes <= Instance.BroadcastPromoteMaxBytes
@@ -356,6 +390,11 @@ object Instance {
 
   /** Row-count fallback when no measured size is available. */
   val BroadcastPromoteMaxRows: Long = 1L << 20
+
+  /** Leaf id marking a cache-manager-persisted (not checkpointed) batch:
+    * the lazy first-ingest run, freed with `Dataset.unpersist`.
+    */
+  private[core] val CachedLeafId: Int = -2
 
   private[core] val ManifestName = "_MANIFEST"
 

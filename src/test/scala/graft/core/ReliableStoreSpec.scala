@@ -45,9 +45,14 @@ class ReliableStoreSpec extends AnyFunSuite {
     // recovery reads the manifest: exactly the stable ∪ recent content,
     // no double-counting from staged intermediates or pre-compaction runs
     assert(Instance.loadBatches(spark, dir).as[Int].collect().sorted.toSeq == (1 to 63))
-    // superseded batch files are deleted after the manifest commit
+    // superseded files are delisted immediately but deleted only at close()
+    // (unconsumed delta plans may still read them); the manifest already
+    // lists exactly one live batch
+    i.close()
     val batchDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("batch_"))
-    assert(batchDirs.length == 1, s"expected 1 live batch dir, got ${batchDirs.map(_.getName).toSeq}")
+    assert(batchDirs.length == 1, s"expected 1 live batch dir after close, got ${batchDirs.map(_.getName).toSeq}")
+    assert(Instance.loadBatches(spark, dir).as[Int].collect().sorted.toSeq == (1 to 63),
+      "the store remains recoverable after close")
   }
 
   test("re-attaching to a non-empty store dir never clobbers existing batches") {
