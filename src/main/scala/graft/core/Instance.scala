@@ -22,17 +22,21 @@ import scala.collection.immutable.SortedSet
   *
   * Storage discipline:
   *  - Staged intermediates (the dedup'd union of `toAdd`) are ALWAYS
-  *    transient (`localCheckpoint`): they exist only to be anti-joined and
-  *    are unpersisted as soon as the promoted batch is materialized. Only
-  *    promoted and compacted runs reach the durable store.
+  *    transient (`localCheckpoint`): they exist only to be anti-joined and,
+  *    being epoch-private, are unpersisted as soon as the promoted batch is
+  *    materialized. Only promoted and compacted runs reach the durable
+  *    store.
   *  - A [[Instance.ReliableStore]] keeps a `_MANIFEST` of live batch ids,
-  *    rewritten once per epoch; superseded batch files are deleted after the
-  *    manifest commit, so [[Instance.loadBatches]] returns exactly
-  *    stable ∪ recent with no double-counting.
-  *  - Superseded transient runs are unpersisted on compaction, and
-  *    [[close]] releases everything — a long-lived session does not
-  *    accumulate executor storage. Both are suppressed after [[snapshot]]:
-  *    batches are shared with the clone and must outlive this instance.
+  *    rewritten once per epoch, so [[Instance.loadBatches]] returns exactly
+  *    stable ∪ recent with no double-counting. Superseded batch files are
+  *    delisted at the epoch commit and physically deleted at [[close]].
+  *  - Runs superseded by compaction are EXPOSED (unconsumed view-delta
+  *    plans may still read them), so their truncated-lineage blocks are
+  *    condemned, not freed — [[close]] releases them together with live
+  *    state. A long-lived session holds current state plus the condemned
+  *    tail, never unbounded history. All freeing is suppressed after
+  *    [[snapshot]]: batches are shared with the clone and must outlive
+  *    this instance.
   *
   * Promotion is delta-proportional (reference: the gallop anti-join,
   * core/src/database/helpers.rs:7-26, is O(batch·log stable)): a small staged
