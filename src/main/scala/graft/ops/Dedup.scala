@@ -359,4 +359,62 @@ object Dedup {
     val w = Window.partitionBy(keyCols.map(col).toIndexedSeq: _*).orderBy(col(orderCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative min-label propagation — `label(x) ← min over neighbors ∪ x`
+    * until fixpoint. Greedy pair-dropping ([[dedupByMinhash]]) over-deletes
+    * transitive chains (B~A and C~B drops both B and C even when C≁A);
+    * cluster-then-keep-one is the standard resolution step, and label
+    * propagation is its scalable shape: each round is one join + min-agg on
+    * the PAIR graph (tiny next to the corpus), converging in
+    * O(cluster diameter) rounds. Per-round `localCheckpoint` truncates the
+    * iteration lineage; superseded rounds are unpersisted immediately (the
+    * loop is private to this call). The returned labels stay
+    * block-manager-resident; at 100 TB you'd write them to a table anyway.
+    *
+    * @param pairs near-dup pairs with `id_a`/`id_b` columns
+    * @return (id, cluster) — cluster is the component's minimum id; ids
+    *         absent from `pairs` are absent here (singletons keep
+    *         themselves, see [[dedupByClusters]])
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val next = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("cluster"))
+        .union(labels)
+        .groupBy("id")
+        .agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(labels)
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep exactly one survivor (the minimum id) per duplicate cluster:
+    * rows whose id is a cluster label survive, other clustered rows drop,
+    * singletons (no near-dup at all) pass through.
+    */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -105,6 +105,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == all -- losers)
   }
 
+  test("duplicateClusters equals Scala union-find; chains collapse to one survivor") {
+    // transitive chain 1-2-3 (3 never paired with 1), separate pair 5-6,
+    // singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val docs9 = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val kept = Dedup.dedupByClusters(docs9, "doc_id", pairs).as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 9L), "one survivor per cluster, singleton untouched")
+    // long path (worst-case diameter) still converges
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainLabels = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
+    assert(chainLabels.values.toSet == Set(1L) && chainLabels.size == 12)
+    // realistic graph: minhash pairs on the fixture vs brute-force union-find
+    val mh = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    if (mh.nonEmpty) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      mh.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = mh.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = ids.map(x => x -> find(x)).toMap
+      val got = Dedup.duplicateClusters(mh.toSeq.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   test("simhashPairs: symmetric-unique, bounded hamming, exact dups at distance 0") {
