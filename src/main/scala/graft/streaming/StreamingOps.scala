@@ -77,6 +77,36 @@ object StreamingOps {
         ()
       }
 
+  /** Stream-STREAM interval join: pair each left event with right events of
+    * the same key whose time falls in `[leftTime - lookback, leftTime]`.
+    * Watermarks on BOTH sides plus the time-bound join condition let Spark
+    * evict state — each side buffers only `delay + lookback` of history,
+    * the bounded-state shape of online event correlation (vs. the as-of
+    * operators, which are batch/latest-match). Output columns are the left
+    * columns plus `rightPrefix`-prefixed right columns.
+    */
+  def streamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      lookback: String,
+      delay: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(leftTime, delay).alias("gl")
+    val r = right
+      .select(right.columns.map(c => col(c).as(s"$rightPrefix$c")).toIndexedSeq: _*)
+      .withWatermark(s"$rightPrefix$rightTime", delay)
+      .alias("gr")
+    l.join(
+      r,
+      col(s"gl.$leftKey") === col(s"gr.$rightPrefix$rightKey") &&
+        col(s"gr.$rightPrefix$rightTime") >= col(s"gl.$leftTime") - expr(s"INTERVAL $lookback") &&
+        col(s"gr.$rightPrefix$rightTime") <= col(s"gl.$leftTime"))
+  }
+
   /** Streaming exact dedup: drop any document whose content fingerprint was
     * already seen within the watermark delay. State is the fingerprint set
     * of ONE watermark window — bounded, unlike a naive `dropDuplicates`

@@ -94,6 +94,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected && got.size == batchEv.size)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // errors at 10s/70s for user 1; clicks at 5s/8s/65s (user 1), 6s (user 2)
+    val errRows = Seq((100L, 1L, at(10)), (101L, 1L, at(70)), (102L, 2L, at(50)))
+    val clickRows = Seq((200L, 1L, at(5)), (201L, 1L, at(8)), (202L, 1L, at(65)), (203L, 2L, at(6)))
+    val errS = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clickS = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingOps.streamIntervalJoin(
+      errS.toDF().toDF("event_id", "user_id", "ts"),
+      clickS.toDF().toDF("event_id", "user_id", "ts"),
+      "user_id", "user_id", "ts", "ts",
+      lookback = "10 seconds", delay = "1 minute", rightPrefix = "c_")
+    val q = joined.select("event_id", "c_event_id")
+      .writeStream.outputMode("append").format("memory").queryName("sij").start()
+    errS.addData(errRows.take(2)); clickS.addData(clickRows.take(2))
+    q.processAllAvailable()
+    errS.addData(errRows.drop(2)); clickS.addData(clickRows.drop(2))
+    q.processAllAvailable()
+    val got = spark.table("sij").as[(Long, Long)].collect().toSet
+    q.stop()
+    val expected = StreamingOps.streamIntervalJoin(
+      errRows.toDF("event_id", "user_id", "ts"),
+      clickRows.toDF("event_id", "user_id", "ts"),
+      "user_id", "user_id", "ts", "ts",
+      lookback = "10 seconds", delay = "1 minute", rightPrefix = "c_")
+      .select("event_id", "c_event_id").as[(Long, Long)].collect().toSet
+    // error@10s matches clicks@5s,8s (within 10s lookback); error@70s matches
+    // click@65s; user-2 error@50s has no click in [40s, 50s]
+    assert(expected == Set((100L, 200L), (100L, 201L), (101L, 202L)))
+    assert(got == expected, s"stream result $got != batch $expected")
+  }
+
   test("streaming dedup drops within-watermark duplicates, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
