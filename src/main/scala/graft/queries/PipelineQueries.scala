@@ -181,7 +181,30 @@ object PipelineQueries {
   val textChunks: Q = (spark, dir) =>
     graft.ops.Chunker.chunkByTokens(docs(spark, dir), "text", "doc_id", 32, 8)
 
+  /** End-to-end pretraining-data pipeline in ONE composed query: language
+    * filter → quality gate → exact dedup (keep min id per content hash) →
+    * sliding-window chunking → per-document chunk/token stats. Everything
+    * stays declarative Column expressions, so the whole pipeline is one
+    * Catalyst plan (filters reach the scan, dedup is the only shuffle
+    * before the final aggregate) — and the DuckDB oracle replays it
+    * fully, making the composition itself a checked artifact.
+    */
+  val pipelineE2e: Q = (spark, dir) => {
+    val kept = docs(spark, dir)
+      .filter(TextOps.langId(col("text")) === "en")
+      .filter(TextOps.tokenCount(col("text")) >= 5)
+    val survivors = Dedup.exact(kept, "text", "doc_id").select("doc_id")
+    val deduped = kept.join(survivors, Seq("doc_id"), "left_semi")
+    graft.ops.Chunker
+      .chunkByTokens(deduped, "text", "doc_id", 32, 8)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_chunk_tokens").as("n_tokens"))
+  }
+
   val all: Map[String, Q] = Map(
+    "pipeline_e2e" -> pipelineE2e,
     "text_chunks" -> textChunks,
     "source_minhash" -> sourceMinhash,
     "approx_parts" -> approxParts,
@@ -226,6 +249,18 @@ object PipelineQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "pipeline_e2e" ->
+      s"""WITH en AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${TextOps.langIdSql("text")} = 'en' AND len($wordsSql) >= 5),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM en GROUP BY md5(text)),
+         |chunks AS (
+         |  SELECT e.doc_id, len(list_slice(e.words, i*24 + 1, i*24 + 32)) AS n
+         |  FROM (SELECT doc_id, $wordsSql AS words FROM en
+         |        WHERE doc_id IN (SELECT doc_id FROM keep)) e,
+         |    unnest(generate_series(0, (len(e.words) - 1) // 24)) AS t(i))
+         |SELECT doc_id, COUNT(*) AS n_chunks, CAST(SUM(n) AS BIGINT) AS n_tokens
+         |FROM chunks GROUP BY doc_id""".stripMargin,
     "text_chunks" ->
       s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          |  array_to_string(list_slice(words, i*24 + 1, i*24 + 32), ' ') AS chunk_text,

@@ -84,6 +84,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("pipeline_e2e: survivors broadcast into the semi-join; two shuffles total") {
+    val p = plan("pipeline_e2e")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "the dedup-survivor set must broadcast; the document table never shuffles for it")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"dedup digest shuffle + final agg shuffle only:\n$p")
+    assert(p.contains("Generate"), "chunking must stay a map-side generator")
+  }
+
   test("dedup_exact: single shuffle of the 128-bit digests (map-side partials)") {
     val p = plan("dedup_exact")
     assert(count(p, "Exchange hashpartitioning") == 1, p)
