@@ -86,7 +86,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("pipeline_e2e: survivors broadcast into the semi-join; two shuffles total") {
     val p = plan("pipeline_e2e")
-    assert(p.contains("BroadcastHashJoin LeftSemi"),
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       "the dedup-survivor set must broadcast; the document table never shuffles for it")
     assert(count(p, "Exchange hashpartitioning") == 2,
       s"dedup digest shuffle + final agg shuffle only:\n$p")
