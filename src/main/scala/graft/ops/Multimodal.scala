@@ -80,4 +80,18 @@ object Multimodal {
       md5(col("content")).as("content_md5"),
       col("mime"),
       col("source"))
+
+  /** Frame sampling: one row per sampled frame index, every `stride`-th
+    * frame of each medium (frame counts from the decode stub). A map-side
+    * generator — the fan-out step before per-frame decode/embedding in a
+    * video pipeline; no shuffle, output rows ∝ sampled frames.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    require(stride > 0)
+    extractFeatures(media).toDF()
+      .select(
+        col("media_id"),
+        col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+  }
 }

@@ -138,6 +138,10 @@ object PipelineQueries {
       .extractFeatures(Multimodal.mediaFromDocuments(spark, dir))
       .toDF()
 
+  /** Every-3rd-frame sampling fan-out (map-side generator). */
+  val multimodalFrames: Q = (spark, dir) =>
+    Multimodal.sampleFrames(Multimodal.mediaFromDocuments(spark, dir), 3)
+
   /** Group-level MinHash via the custom typed Aggregator: per-source corpus
     * signature (element-wise min of doc signatures). Rows-only: the oracle
     * cannot replay xxhash64; pinned exactly by spec instead.
@@ -224,7 +228,8 @@ object PipelineQueries {
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
-    "multimodal_features" -> multimodalFeatures
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_frames" -> multimodalFrames
   )
 
   private val wordsSql =
@@ -360,6 +365,13 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx
+        |FROM (SELECT doc_id AS media_id,
+        |        1 + (octet_length(encode(text)) % 10) AS n_frames
+        |      FROM documents),
+        |  unnest(generate_series(0, n_frames - 1, 3)) AS t(frame_idx)""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  16 + (octet_length(encode(text)) % 64) AS width,
