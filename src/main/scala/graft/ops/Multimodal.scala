@@ -81,6 +81,26 @@ object Multimodal {
       col("mime"),
       col("source"))
 
+  /** Resize planning: target dimensions fitting `maxDim` with aspect
+    * preserved — pure integer arithmetic (floor division) so the plan is
+    * engine-exact; a real pipeline hands (out_w, out_h) to the codec in the
+    * same batched decode pass as [[extractFeatures]]. Map-side projection,
+    * no shuffle.
+    */
+  def resizePlan(media: Dataset[MediaRecord], maxDim: Long): DataFrame = {
+    require(maxDim > 0)
+    // DIV, not `/`: the Column `/` is double division; DIV keeps the whole
+    // plan in integer arithmetic, bit-exact across engines
+    extractFeatures(media).toDF().selectExpr(
+      "media_id",
+      "width",
+      "height",
+      s"CAST(CASE WHEN greatest(width, height) <= $maxDim THEN width " +
+        s"ELSE width * $maxDim DIV greatest(width, height) END AS BIGINT) AS out_w",
+      s"CAST(CASE WHEN greatest(width, height) <= $maxDim THEN height " +
+        s"ELSE height * $maxDim DIV greatest(width, height) END AS BIGINT) AS out_h")
+  }
+
   /** Frame sampling: one row per sampled frame index, every `stride`-th
     * frame of each medium (frame counts from the decode stub). A map-side
     * generator — the fan-out step before per-frame decode/embedding in a

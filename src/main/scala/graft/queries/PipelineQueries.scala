@@ -142,6 +142,10 @@ object PipelineQueries {
   val multimodalFrames: Q = (spark, dir) =>
     Multimodal.sampleFrames(Multimodal.mediaFromDocuments(spark, dir), 3)
 
+  /** Aspect-preserving resize planning to a 48px bound (integer-exact). */
+  val multimodalResize: Q = (spark, dir) =>
+    Multimodal.resizePlan(Multimodal.mediaFromDocuments(spark, dir), 48)
+
   /** Group-level MinHash via the custom typed Aggregator: per-source corpus
     * signature (element-wise min of doc signatures). Rows-only: the oracle
     * cannot replay xxhash64; pinned exactly by spec instead.
@@ -229,7 +233,8 @@ object PipelineQueries {
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures,
-    "multimodal_frames" -> multimodalFrames
+    "multimodal_frames" -> multimodalFrames,
+    "multimodal_resize" -> multimodalResize
   )
 
   private val wordsSql =
@@ -365,6 +370,16 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT media_id, width, height,
+        |  CAST(CASE WHEN greatest(width, height) <= 48 THEN width
+        |       ELSE width * 48 // greatest(width, height) END AS BIGINT) AS out_w,
+        |  CAST(CASE WHEN greatest(width, height) <= 48 THEN height
+        |       ELSE height * 48 // greatest(width, height) END AS BIGINT) AS out_h
+        |FROM (SELECT doc_id AS media_id,
+        |        16 + (octet_length(encode(text)) % 64) AS width,
+        |        16 + ((octet_length(encode(text)) * 7) % 64) AS height
+        |      FROM documents)""".stripMargin,
     "multimodal_frames" ->
       """SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(frame_idx AS BIGINT) AS frame_idx
