@@ -126,6 +126,33 @@ class CoddDslSpec extends AnyFunSuite {
     assert(d.evaluateSorted(r minus s) == Seq("a"))
   }
 
+  test("non-monotone view definitions are rejected through the DSL too") {
+    val d = db
+    val r = d.createRelation[Int]("r")
+    val s = d.createRelation[Int]("s")
+    intercept[CoddError.UnsupportedExpression] {
+      d.createViewAs(selectAll from (r minus s))
+    }
+    intercept[CoddError.UnsupportedExpression] {
+      d.createViewAs(select((x: Int) => x + 1) from (r minus s) where (_ > 0))
+    }
+  }
+
+  test("fork of a fork stays isolated from both ancestors") {
+    val d1 = db
+    val r = d1.createRelation[Int]("r")
+    d1.insertValues(r)(1)
+    assert(d1.evaluateSorted(r) == Seq(1))
+    val d2 = d1.fork()
+    d2.insertValues(r)(2)
+    val d3 = d2.fork()
+    d3.insertValues(r)(3)
+    d1.insertValues(r)(10)
+    assert(d1.evaluateSorted(r) == Seq(1, 10))
+    assert(d2.evaluateSorted(r) == Seq(1, 2))
+    assert(d3.evaluateSorted(r) == Seq(1, 2, 3), "grandchild sees both ancestors' pre-fork state only")
+  }
+
   test("views queried through the DSL keep maintaining (macros.rs:370-381)") {
     val d = db
     val r = d.createRelation[Int]("r")
