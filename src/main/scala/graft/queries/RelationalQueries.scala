@@ -250,6 +250,22 @@ object RelationalQueries {
       .select(col("event_id"), col("c_event_id").as("click_id"))
   }
 
+  /** Skew-salted join facing the oracle: salting must be invisible in the
+    * result (the salt column exists only to spread a hot key across
+    * reducers), so the plain SQL join IS its oracle. Orders' totals joined
+    * to the per-priority count dimension — a genuinely skewed shape (five
+    * hot keys over 150k rows).
+    */
+  val skewJoin: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val dim = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("n_in_priority"))
+    graft.ops.Skew
+      .saltedJoin(o, dim, "o_orderpriority", "p", salts = 8)
+      .select("o_orderkey", "o_orderpriority", "n_in_priority")
+  }
+
   /** Exact interpolated percentiles — `percentile` in Spark and
     * `quantile_cont` in DuckDB both sort exactly and interpolate linearly;
     * equality verified empirically on this data.
@@ -319,7 +335,8 @@ object RelationalQueries {
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
-    "asof_native" -> asofNative
+    "asof_native" -> asofNative,
+    "skew_join" -> skewJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -467,6 +484,12 @@ object RelationalQueries {
       """SELECT e.event_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "skew_join" ->
+      """SELECT o_orderkey, o_orderpriority, n_in_priority
+        |FROM orders
+        |JOIN (SELECT o_orderpriority AS p, COUNT(*) AS n_in_priority
+        |      FROM orders GROUP BY o_orderpriority) d
+        |  ON o_orderpriority = d.p""".stripMargin
   )
 }
