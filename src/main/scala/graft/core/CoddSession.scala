@@ -55,7 +55,8 @@ final class CoddSession private (
     */
   private def policyFor(label: String): Instance.CheckpointPolicy = storage match {
     case Instance.LocalCheckpoint     => Instance.LocalCheckpoint
-    case Instance.ReliableStore(base) => Instance.ReliableStore(s"$base$dirSuffix/$label")
+    case Instance.ReliableStore(base, attach) =>
+      Instance.ReliableStore(s"$base$dirSuffix/$label", attach)
   }
 
   // ---------------------------------------------------------------- registry

@@ -26,10 +26,11 @@ import scala.collection.immutable.SortedSet
   *    being epoch-private, are unpersisted as soon as the promoted batch is
   *    materialized. Only promoted and compacted runs reach the durable
   *    store.
-  *  - A [[Instance.ReliableStore]] keeps a `_MANIFEST` of live batch ids,
-  *    rewritten once per epoch, so [[Instance.loadBatches]] returns exactly
-  *    stable ∪ recent with no double-counting. Superseded batch files are
-  *    delisted at the epoch commit and physically deleted at [[close]].
+  *  - A [[Instance.ReliableStore]] keeps a versioned `_MANIFEST.v<n>` of
+  *    live batch ids, written fresh each epoch (readers take the max), so
+  *    [[Instance.loadBatches]] returns exactly stable ∪ recent with no
+  *    double-counting. Superseded batch files are delisted at the epoch
+  *    commit and physically deleted at [[close]].
   *  - Runs superseded by compaction are EXPOSED (unconsumed view-delta
   *    plans may still read them), so their truncated-lineage blocks are
   *    condemned, not freed — [[close]] releases them together with live
@@ -63,6 +64,7 @@ final class Instance[T](
   private var recentBatch: Option[Run[T]] = None
   private var toAdd: Vector[Dataset[T]] = Vector.empty
   private var batchCounter = 0
+  private var manifestVersion = 0L
   private var counterInitialized = false
   private var liveIds: SortedSet[Int] = SortedSet.empty
   private var pendingDeletes: Vector[String] = Vector.empty
@@ -157,7 +159,7 @@ final class Instance[T](
     */
   private def materializeDurable(ds: Dataset[T], eager: Boolean = false): Leaf[T] = policy match {
     case Instance.LocalCheckpoint => materializeTransient(ds, eager)
-    case Instance.ReliableStore(dir) =>
+    case Instance.ReliableStore(dir, _) =>
       ensureCounter(dir)
       batchCounter += 1
       val id = batchCounter
@@ -167,19 +169,34 @@ final class Instance[T](
       Leaf(session.read.schema(ds.schema).parquet(path).as(ds.encoder), id)
   }
 
-  /** Re-attaching to a non-empty store directory must not clobber batches a
-    * recovery DataFrame may still be lazily reading: resume the counter above
-    * the largest existing batch id.
+  /** First touch of the store directory. Enforces the single-writer
+    * contract: a directory that already carries a manifest belongs to a
+    * previous writer, and silently becoming a second one would leave two
+    * interleaved manifests racing over the same files — refused unless the
+    * policy explicitly opted in with `attach = true` (the deliberate
+    * re-attach/recovery path). On attach, both counters resume above the
+    * existing maxima so old batches and manifests are never clobbered.
     */
   private def ensureCounter(dir: String): Unit = if (!counterInitialized) {
     counterInitialized = true
     val base = hadoopPath(dir)
     val f = fs(base)
-    if (f.exists(base))
-      batchCounter = f
-        .listStatus(base)
-        .flatMap(s => Instance.batchId(s.getPath.getName))
-        .foldLeft(0)(math.max)
+    if (f.exists(base)) {
+      val names = f.listStatus(base).map(_.getPath.getName)
+      val hasManifest =
+        names.contains(Instance.ManifestName) || names.exists(Instance.manifestVersion(_).nonEmpty)
+      val attach = policy match {
+        case Instance.ReliableStore(_, a) => a
+        case _                            => false
+      }
+      if (hasManifest && !attach)
+        throw new IllegalStateException(
+          s"reliable store at $dir already has a manifest (another writer's state). " +
+            "Pass ReliableStore(dir, attach = true) to deliberately take over the " +
+            "store, or replay Instance.loadBatches(dir) into a fresh directory.")
+      batchCounter = names.flatMap(Instance.batchId).foldLeft(0)(math.max)
+      manifestVersion = names.flatMap(Instance.manifestVersion).foldLeft(0L)(math.max)
+    }
   }
 
   /** Immediately free a batch PRIVATE to the current epoch step (staged
@@ -193,7 +210,7 @@ final class Instance[T](
       else if (l.durableId < 0) GraftColumnBridge.unpersistLocalCheckpoint(l.ds)
       else
         policy match {
-          case Instance.ReliableStore(dir) =>
+          case Instance.ReliableStore(dir, _) =>
             liveIds -= l.durableId
             pendingDeletes :+= s"$dir/batch_${l.durableId}"
           case _ => ()
@@ -213,29 +230,42 @@ final class Instance[T](
       else if (l.durableId < 0) graveyard :+= l
       else
         policy match {
-          case Instance.ReliableStore(dir) =>
+          case Instance.ReliableStore(dir, _) =>
             liveIds -= l.durableId
             graveyardPaths :+= s"$dir/batch_${l.durableId}"
           case _ => ()
         }
     }
 
-  /** Epoch commit for reliable stores: rewrite the manifest to the current
-    * live set (near-atomic rename), THEN delete superseded batch files — a
-    * crash in between leaves orphaned files, never a lying manifest.
+  /** Epoch commit for reliable stores: write the live set as a NEW
+    * `_MANIFEST.v<n>` (tmp-write + rename to a name that never pre-exists —
+    * no delete-then-rename window, so a valid manifest exists at every
+    * instant; readers take the max version), THEN garbage-collect older
+    * manifest versions, orphaned tmp files, and superseded batch files — a
+    * crash anywhere leaves orphans, never a lying or missing manifest.
     */
   private def commitState(): Unit = policy match {
-    case Instance.ReliableStore(dir) =>
+    case Instance.ReliableStore(dir, _) =>
       ensureCounter(dir)
       val base = hadoopPath(dir)
       val f = fs(base)
-      val tmp = new org.apache.hadoop.fs.Path(base, Instance.ManifestName + ".tmp")
-      val dst = new org.apache.hadoop.fs.Path(base, Instance.ManifestName)
+      manifestVersion += 1
+      val name = s"${Instance.ManifestName}.v$manifestVersion"
+      val tmp = new org.apache.hadoop.fs.Path(base, name + ".tmp")
+      val dst = new org.apache.hadoop.fs.Path(base, name)
       val out = f.create(tmp, true)
       out.write(liveIds.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
-      if (f.exists(dst)) f.delete(dst, false)
       f.rename(tmp, dst)
+      // the new manifest is live: everything older is garbage
+      f.listStatus(base).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val stale =
+          n == Instance.ManifestName ||
+            Instance.manifestVersion(n).exists(_ < manifestVersion) ||
+            (n.startsWith(Instance.ManifestName) && n.endsWith(".tmp"))
+        if (stale) f.delete(p, false)
+      }
       pendingDeletes.foreach(p => f.delete(hadoopPath(p), true))
       pendingDeletes = Vector.empty
     case _ => ()
@@ -408,6 +438,12 @@ object Instance {
     case _            => None
   }
 
+  private val VersionedManifest = "_MANIFEST\\.v(\\d+)".r
+  private[core] def manifestVersion(name: String): Option[Long] = name match {
+    case VersionedManifest(v) => Some(v.toLong)
+    case _                    => None
+  }
+
   /** Where epoch state lives once materialized. */
   sealed trait CheckpointPolicy extends Serializable
 
@@ -418,39 +454,51 @@ object Instance {
   case object LocalCheckpoint extends CheckpointPolicy
 
   /** Durable store: every promoted/compacted batch is persisted as parquet
-    * under `dir` and scanned back, with a `_MANIFEST` of live batch ids
-    * committed per epoch. Survives executor loss and JVM restart; an
-    * instance's content can be re-attached with [[loadBatches]].
+    * under `dir` and scanned back, with a versioned `_MANIFEST.v<n>` of live
+    * batch ids committed per epoch (readers take the max version — a valid
+    * manifest exists at every instant, no rename-over-destination window).
+    * Survives executor loss and JVM restart; an instance's content can be
+    * re-attached with [[loadBatches]].
     *
-    * One WRITER per directory: a second instance over the same `dir` will
-    * not clobber existing batch files (the id counter resumes above the
-    * existing max) but each writer maintains its own manifest, so recovery
-    * should replay `loadBatches` output into a FRESH directory rather than
-    * re-attach two writers to one store.
+    * One WRITER per directory — ENFORCED: constructing a writer over a `dir`
+    * that already carries a manifest throws unless `attach = true` is passed
+    * (the deliberate take-over path, e.g. a restart of the same logical
+    * writer; batch ids and manifest versions then resume above the existing
+    * maxima so nothing is clobbered). For read-only recovery, prefer
+    * replaying [[loadBatches]] output into a fresh directory.
     */
-  final case class ReliableStore(dir: String) extends CheckpointPolicy
+  final case class ReliableStore(dir: String, attach: Boolean = false) extends CheckpointPolicy
 
   /** Re-read everything a [[ReliableStore]] instance persisted under `dir` —
-    * the restart-recovery path. Reads the live-batch manifest, so the result
-    * is exactly the stable ∪ recent content (superseded and mid-promotion
-    * files are never listed); staged-but-never-stabilized inserts were never
-    * durable and are the caller's to replay, exactly like the reference's
-    * in-memory `to_add`. Falls back to a `batch_*` glob for pre-manifest
-    * stores.
+    * the restart-recovery path. Reads the highest-version live-batch
+    * manifest, so the result is exactly the stable ∪ recent content
+    * (superseded and mid-promotion files are never listed);
+    * staged-but-never-stabilized inserts were never durable and are the
+    * caller's to replay, exactly like the reference's in-memory `to_add`.
+    * Falls back to the legacy unversioned `_MANIFEST`, then to a `batch_*`
+    * glob for pre-manifest stores.
     */
   def loadBatches(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val base = new org.apache.hadoop.fs.Path(dir)
     val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = new org.apache.hadoop.fs.Path(base, ManifestName)
-    if (f.exists(manifest)) {
-      val in = f.open(manifest)
-      val ids =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
-        finally in.close()
-      if (ids.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(ids.map(i => s"$dir/batch_$i"): _*)
-    } else spark.read.parquet(s"$dir/batch_*")
+    val versioned = f
+      .listStatus(base)
+      .flatMap(s => manifestVersion(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(_._1)
+      .lastOption
+      .map(_._2)
+    val legacy = new org.apache.hadoop.fs.Path(base, ManifestName)
+    versioned.orElse(if (f.exists(legacy)) Some(legacy) else None) match {
+      case Some(manifest) =>
+        val in = f.open(manifest)
+        val ids =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
+          finally in.close()
+        if (ids.isEmpty) spark.emptyDataFrame
+        else spark.read.parquet(ids.map(i => s"$dir/batch_$i"): _*)
+      case None => spark.read.parquet(s"$dir/batch_*")
+    }
   }
 }

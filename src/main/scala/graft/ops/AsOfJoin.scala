@@ -24,6 +24,15 @@ object AsOfJoin {
   /** @param leftTime/rightTime columns of identical orderable type
     * @param rightPrefix prefix applied to right columns in the output
     * @param inner when true, left rows with no match are dropped
+    *
+    * Null semantics (shared with [[graft.plans.AsOfJoinNative.backward]]):
+    * a right row with NULL time never matches (SQL comparison — matches the
+    * DuckDB ASOF oracle), and a left row with NULL time matches nothing
+    * (dropped when `inner`, emitted with null right columns otherwise).
+    * NULL keys DO group together (Spark window/shuffle semantics) — a
+    * documented divergence from DuckDB, which never matches NULL keys.
+    * Ties on equal (key, time): the right row with the maximum remaining
+    * column values wins (full-struct tiebreak) — deterministic.
     */
   def backward(
       left: DataFrame,
@@ -42,7 +51,10 @@ object AsOfJoin {
       lit(1).as("__src"),
       lStruct.as("__l"),
       lit(null).cast(right.schema).as("__r"))
-    val r2 = right.select(
+    // NULL right time never matches: nulls-first ordering would otherwise
+    // make such a row the "earliest" of its key and a match for every left
+    // row — the opposite of SQL comparison (and the DuckDB ASOF oracle)
+    val r2 = right.filter(right(rightTime).isNotNull).select(
       right(rightKey).as("__k"),
       right(rightTime).as("__t"),
       lit(0).as("__src"),

@@ -92,6 +92,19 @@ object Dedup {
         .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
     }
 
+  /** The typed candidate kernels carry ids as Long. A silent `cast('long')`
+    * would turn non-numeric ids into NULLs — pairs vanish and dedup degrades
+    * to a no-op — so the id column must already be integral, checked loudly.
+    */
+  private[ops] def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(
+      dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+      s"id column '$idCol' must be an integral type (byte/short/int/long), got $dt; " +
+        "map string/uuid ids to a long surrogate first (e.g. xxhash64 or a dimension join)")
+  }
+
   /** Candidate pairs (idA < idB) via MinHash LSH, then exact-Jaccard
     * verification over the shingle sets; only pairs with
     * `jaccard >= threshold` survive. False positives are eliminated by the
@@ -112,15 +125,20 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
+    requireIntegralId(df, idCol)
     val rowsPerBand = numHashes / bands
     // repartition: signature computation is CPU-bound; small inputs arrive
     // in one file split, and at cluster scale this spreads the scan anyway
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sp = df.sparkSession
     import sp.implicits._
-    val banded = df
-      .repartition(par)
+    // null text cannot be a near-duplicate of anything (and would NPE the
+    // shingling kernel): such rows exit the candidate pipeline here
+    val rows = df
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val banded = rows
+      .repartition(par)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         bandHashesScala(minhashSignatureScala(text, numHashes, 3), bands, rowsPerBand)
@@ -134,9 +152,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val shingled = df
+    val shingled = rows
       .repartition(par)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, TextOps.wordShinglesScala(text, 3)) }
       .toDF("id", "shingles")
@@ -243,14 +260,17 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    requireIntegralId(df, idCol)
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sp = df.sparkSession
     import sp.implicits._
     // typed map: compiled per-row hashing that no optimizer rule can clone
-    // into pushed-down predicates (see simhash64Scala)
+    // into pushed-down predicates (see simhash64Scala); null text carries no
+    // tokens to hash, so those rows exit here instead of NPE-ing the kernel
     val sh = df
-      .repartition(par)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .repartition(par)
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64Scala(text)) }
       .toDF("id", "sh")

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Sequence packing: group documents into fixed token-budget bins — the
+  * step that turns a filtered corpus into dense fixed-context training
+  * batches. Two shapes:
+  *
+  *  - [[sequentialBins]]: streaming concat-and-chop — deterministic order,
+  *    bin boundary wherever the running token total crosses the budget.
+  *    One window over one shuffle by stream; SQL-replayable, the shape for
+  *    100 TB (each stream is independent, bins assign map-side after the
+  *    sort).
+  *  - [[greedyPack]]: first-fit-decreasing within a stream — tighter bins
+  *    (classic FFD ≤ 11/9·OPT + 6/9) at the cost of a compiled per-stream
+  *    kernel; the stream column bounds state exactly like
+  *    [[Dedup.ngramJaccardPairs]]'s block contract.
+  *
+  * No reference analog — pipeline-extension layer.
+  */
+object Packing {
+
+  /** Assign `bin = tokensBefore DIV budget` over rows ordered by `orderCol`
+    * within `streamCol` — integer arithmetic only (DIV, not `/`), so the
+    * assignment replays bit-exactly in any SQL engine. A document longer
+    * than the budget still lands in one bin (its own, usually): packing
+    * never splits documents; `truncate the outliers first` is the contract.
+    */
+  def sequentialBins(
+      df: DataFrame,
+      streamCol: String,
+      orderCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val before = sum(col(tokensCol)).over(
+      Window.partitionBy(streamCol).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    // integer DIV (the Column `/` is double division — see the resize op's
+    // same discipline): bit-exact replay in DuckDB's `//`
+    df.withColumn("__before", coalesce(before, lit(0L)))
+      .withColumn("bin", expr(s"__before div ${budget}L"))
+      .drop("__before")
+  }
+
+  /** First-fit-decreasing bin packing per stream: docs sorted by token count
+    * descending (id ascending on ties — deterministic), each placed in the
+    * lowest-numbered bin with room; docs over budget get a dedicated bin.
+    * Output: input rows plus `bin` (0-based within stream). A stream must
+    * fit in executor memory — choose `streamCol` accordingly (same contract
+    * as every within-block kernel here).
+    */
+  def greedyPack(
+      df: DataFrame,
+      streamCol: String,
+      idCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val schema = df.schema
+    val streamIdx = schema.fieldIndex(streamCol)
+    val idIdx = schema.fieldIndex(idCol)
+    val tokIdx = schema.fieldIndex(tokensCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "bin", org.apache.spark.sql.types.LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.repartition(col(streamCol))
+      .toDF()
+      .mapPartitions { it =>
+        val byStream = mutable.Map.empty[Any, mutable.ArrayBuffer[Row]]
+        it.foreach(r => byStream.getOrElseUpdate(r.get(streamIdx), mutable.ArrayBuffer.empty) += r)
+        byStream.valuesIterator.flatMap { rows =>
+          val sorted = rows.sortBy { r =>
+            (-r.getAs[Number](tokIdx).longValue(), r.getAs[Number](idIdx).longValue())
+          }
+          // open bins: remaining capacity per bin index; linear first-fit —
+          // bins per stream are few (≈ total/budget), so the scan is cheap
+          val remaining = mutable.ArrayBuffer.empty[Long]
+          sorted.iterator.map { r =>
+            val t = r.getAs[Number](tokIdx).longValue()
+            var b = 0
+            while (b < remaining.length && remaining(b) < t) b += 1
+            if (b == remaining.length) remaining += budget
+            remaining(b) -= math.min(t, budget)
+            Row.fromSeq(r.toSeq :+ b.toLong)
+          }
+        }
+      }(enc)
+  }
+}

@@ -158,8 +158,26 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    val train = corpus.select(
+    graft.ops.Dedup.requireIntegralId(corpus, idCol)
+    graft.ops.Dedup.requireIntegralId(queries, idCol)
+    // loud dim check, same contract as lshTopK: a centroid/vector mismatch
+    // must never silently truncate into wrong cells
+    val d = inferDim(corpus, vecCol)
+    val qd = inferDim(queries, vecCol)
+    require(qd == d, s"query embedding dim $qd != corpus dim $d")
+    // Train the coarse quantizer on a bounded seeded sample, NOT the full
+    // corpus: k-means is iterative (many passes over its input), and centroid
+    // quality saturates at a few hundred points per cell — at 100 TB a
+    // full-corpus fit is the scale-killer, a ~256·nlist-row sample is one
+    // cheap scan to draw and then all iterations run on a sliver.
+    val trainTarget = 256L * nlist
+    val corpusN = corpus.count()
+    val trainBase = corpus.select(
       org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
+    val train =
+      if (corpusN <= trainTarget) trainBase
+      else trainBase.sample(withReplacement = false,
+        math.min(1.0, trainTarget.toDouble * 1.2 / corpusN), seed)
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features")
       .fit(train)
@@ -169,9 +187,10 @@ object Similarity {
       val cs = bc.value
       val d2 = cs.indices.map { i =>
         val c = cs(i)
+        require(c.length == v.length,
+          s"vector dim ${v.length} != centroid dim ${c.length}")
         var s = 0.0; var j = 0
-        val m = math.min(c.length, v.length)
-        while (j < m) { val d = v(j) - c(j); s += d * d; j += 1 }
+        while (j < c.length) { val dd = v(j) - c(j); s += dd * dd; j += 1 }
         (s, i)
       }
       d2.sorted.take(n).map(_._2)

@@ -101,6 +101,32 @@ object TextOps {
     aggregate(tokens(text), lit(0L), (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), lit(p)), lit(p)))
   }
 
+  /** PII scrub patterns, applied in order (emails before IPs before
+    * phone-like digit runs, so the broad digit pattern never eats an
+    * address the earlier passes would have labeled). Deliberately restricted
+    * to syntax Java regex and RE2 share (character classes, bounded repeats,
+    * `\b` — no lookaround, no backrefs) so the DuckDB oracle replays them
+    * verbatim; the phone pattern is a ≥9-char digit-run heuristic by design.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d()\\-. ]{7,}\\d" -> "<PHONE>")
+
+  /** Redact emails / IPv4s / phone-like digit runs. Pure Column expression
+    * chain — scan-speed, no shuffle, stays in whole-stage codegen.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Oracle SQL fragment equivalent to [[redactPii]] (DuckDB needs the 'g'
+    * flag for replace-all; patterns are shared verbatim).
+    */
+  def redactPiiSql(textCol: String): String =
+    piiPatterns.foldLeft(textCol) { case (e, (p, r)) =>
+      s"regexp_replace($e, '${p.replace("\\", "\\\\")}', '$r', 'g')"
+    }
+
   /** Whitespace-collapsed lowercase form — stage this as its own column
     * before calling [[charShinglesOfNorm]]: an inline expression inside a
     * lambda body is re-evaluated per element (O(len²) interpreted regex),

@@ -31,6 +31,26 @@ object TopK {
       }
     }
 
+  /** The heap comparator casts external row values to `Comparable` — fine
+    * for every atomic column type (numeric, decimal, string, date,
+    * timestamp, boolean) but a struct/array/map/binary order column would
+    * surface as an opaque ClassCastException mid-job. Checked loudly here.
+    */
+  private def requireComparable(df: DataFrame, c: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    val ok = dt match {
+      case _: NumericType | StringType | DateType | TimestampType | TimestampNTZType |
+          BooleanType =>
+        true
+      case _ => false
+    }
+    require(ok,
+      s"TopK order/tie column '$c' must be an atomic comparable type " +
+        s"(numeric/decimal/string/date/timestamp/boolean), got $dt; " +
+        "project the ordering value into an atomic column first")
+  }
+
   /** @return input columns plus an IntegerType `rank` (1-based). */
   def perKey(
       df: DataFrame,
@@ -39,6 +59,8 @@ object TopK {
       tieCol: String,
       k: Int): DataFrame = {
     require(k > 0)
+    requireComparable(df, orderCol)
+    requireComparable(df, tieCol)
     val schema = df.schema
     val keyIdx = keyCols.map(schema.fieldIndex)
     val ord = rowOrdering(schema.fieldIndex(orderCol), schema.fieldIndex(tieCol))

@@ -85,10 +85,21 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    // Tie-break determinism: the merge keeps the LAST right row seen at equal
+    // (key, time), so the right sort must totally order ties — append the
+    // remaining right columns (ascending ⇒ the kept row is their max), which
+    // matches the window formulation's full-struct tiebreak exactly: within a
+    // tie the key/time fields compare equal, so struct comparison reduces to
+    // the other columns in declaration order. Non-orderable columns (maps)
+    // are skipped — same rows the struct sort would reject outright.
+    val tieBreak = right.output
+      .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType))
+      .map(SortOrder(_, Ascending))
     Seq(
       leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+      (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending)) ++ tieBreak)
+  }
 
   // left row order is preserved, so the left ordering/partitioning survive
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -119,12 +130,20 @@ case class AsOfJoinExec(
       var rRow: InternalRow = null
       var rKey: UnsafeRow = null
       var rTime: UnsafeRow = null
-      def advance(): Unit =
-        if (rIter.hasNext) {
-          rRow = rIter.next()
-          rKey = rKeyProj(rRow)
-          rTime = rTimeProj(rRow)
-        } else rRow = null
+      // NULL right time never matches (SQL comparison semantics, matching
+      // the DuckDB ASOF oracle): such rows are skipped outright — without
+      // this, RowOrdering's nulls-first order would make a null-time right
+      // row the "earliest" of its key and match every left row.
+      def advance(): Unit = {
+        var skip = true
+        while (skip)
+          if (rIter.hasNext) {
+            rRow = rIter.next()
+            rKey = rKeyProj(rRow)
+            rTime = rTimeProj(rRow)
+            skip = rTime.isNullAt(0)
+          } else { rRow = null; skip = false }
+      }
       advance()
 
       // the single buffered candidate: latest right row seen for its key
@@ -163,7 +182,11 @@ object AsOfJoinNative {
   /** Same contract as [[graft.ops.AsOfJoin.backward]] (column-name keys,
     * `rightPrefix` applied to right columns, `inner` drops unmatched left
     * rows), planned through [[AsOfJoinExec]] instead of union+window.
-    * Null keys group and match like the window formulation (NULL == NULL).
+    * Null semantics are identical to the window formulation: null keys group
+    * and match (NULL == NULL — documented divergence from DuckDB), null
+    * right times never match, null left times match nothing. Ties on equal
+    * (key, time) resolve to the right row with maximum remaining columns —
+    * same row both formulations (and reruns) pick.
     */
   def backward(
       left: DataFrame,

@@ -55,18 +55,24 @@ class ReliableStoreSpec extends AnyFunSuite {
       "the store remains recoverable after close")
   }
 
-  test("re-attaching to a non-empty store dir never clobbers existing batches") {
+  test("second writer over a manifested dir is refused; attach=true resumes above existing ids") {
     val dir = tmpDir()
     val i1 = new Instance[Int](spark.emptyDataset[Int], Instance.ReliableStore(dir))
     i1.insert(spark.createDataset(Seq(1, 2)))
     i1.changed(); i1.changed()
-    // a second instance over the SAME dir (accidental reuse): its batch ids
-    // must start above the existing maximum, not overwrite batch_1
+    // accidental reuse: the single-writer contract is enforced, not advisory
     val i2 = new Instance[Int](spark.emptyDataset[Int], Instance.ReliableStore(dir))
     i2.insert(spark.createDataset(Seq(7, 8)))
-    i2.changed(); i2.changed()
-    assert(i1.stable.collect().sorted.toSeq == Seq(1, 2), "first store intact")
-    assert(i2.stable.collect().sorted.toSeq == Seq(7, 8))
+    intercept[IllegalStateException] { i2.changed() }
+    // deliberate take-over: batch ids resume above the existing maximum, so
+    // batch_1 is never overwritten, and the manifest version advances
+    val i3 = new Instance[Int](spark.emptyDataset[Int], Instance.ReliableStore(dir, attach = true))
+    i3.insert(spark.createDataset(Seq(7, 8)))
+    i3.changed(); i3.changed()
+    assert(i1.stable.collect().sorted.toSeq == Seq(1, 2), "first writer's batches intact")
+    assert(i3.stable.collect().sorted.toSeq == Seq(7, 8))
+    // the take-over writer owns the manifest now: recovery sees ITS live set
+    assert(Instance.loadBatches(spark, dir).as[Int].collect().sorted.toSeq == Seq(7, 8))
   }
 
   test("restart survival: a fresh session re-attaches from the parquet store") {

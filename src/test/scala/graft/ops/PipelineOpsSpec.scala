@@ -138,6 +138,25 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // --- SimHash ------------------------------------------------------------
 
+  test("dedup kernels: null text rows are inert, non-integral ids are refused loudly") {
+    // null text can neither NPE the kernels nor produce pairs
+    val withNulls = docs.select(col("doc_id"), col("text"))
+      .union(Seq((100001L, null: String), (100002L, null: String)).toDF("doc_id", "text"))
+    val mh = Dedup.minhashPairs(withNulls, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!mh.exists(p => p._1 > 100000L || p._2 > 100000L), "null-text rows must pair with nothing")
+    val sh = Dedup.simhashPairs(withNulls, "text", "doc_id")
+      .as[(Long, Long, Int)].collect()
+    assert(!sh.exists(p => p._1 > 100000L || p._2 > 100000L))
+    // a string id would silently cast to NULL and vanish every pair — refused
+    val strIds = docs.select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(strIds, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(strIds, "text", "doc_id") }
+  }
+
   test("simhashPairs: symmetric-unique, bounded hamming, exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id").as[(Long, Long, Int)].collect()
     assert(pairs.forall { case (a, b, h) => a < b && h >= 0 && h <= 3 })

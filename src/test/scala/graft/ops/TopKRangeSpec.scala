@@ -27,6 +27,18 @@ class TopKRangeSpec extends AnyFunSuite {
     assert(got == Set((1L, 11L, 7.0, 1), (1L, 10L, 5.0, 2), (2L, 20L, 1.0, 1)))
   }
 
+  test("TopK.perKey refuses non-comparable order/tie columns with a typed message") {
+    val df = Seq((1L, 10L, 5.0)).toDF("k", "id", "v").withColumn("s", struct(col("v")))
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq("k"), "s", "id", 3)
+    }
+    assert(e.getMessage.contains("atomic comparable"), e.getMessage)
+    intercept[IllegalArgumentException] { TopK.perKey(df, Seq("k"), "v", "s", 3) }
+    // decimal order columns are fine (BigDecimal is Comparable)
+    val dec = df.withColumn("d", col("v").cast("decimal(10,2)"))
+    assert(TopK.perKey(dec, Seq("k"), "d", "id", 3).count() == 1)
+  }
+
   test("bandJoin equals predicate join, including boundary values") {
     val left = Seq((1L, 0.0), (2L, 49999.999), (3L, 50000.0), (4L, 99999.0), (5L, 150000.0))
       .toDF("id", "v")

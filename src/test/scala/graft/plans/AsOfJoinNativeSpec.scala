@@ -67,10 +67,31 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     val right = Seq((7L, 1L, 100L), (6L, 1L, 100L), (5L, 1L, 40L)).toDF("rid", "k", "t")
     val got = AsOfJoinNative.backward(left, right, "k", "k", "t", "t")
       .select("r_rid").as[Long].collect().toSeq
-    // ties on time: the merge keeps the LAST right row in (key, time) sort
-    // order; with equal (k, t) the physical sort breaks ties by input order,
-    // so assert membership of the tied set rather than a specific one
-    assert(got.length == 1 && Set(6L, 7L).contains(got.head))
+    // ties on (key, time): the required child ordering appends the remaining
+    // right columns, so the kept (last) row is their maximum — rid 7, the
+    // same row the window formulation's full-struct tiebreak picks
+    assert(got == Seq(7L))
+    val viaWindow = AsOfJoin.backward(left, right, "k", "k", "t", "t")
+      .select("r_rid").as[Long].collect().toSeq
+    assert(viaWindow == got, "native and window tiebreaks must agree")
+  }
+
+  test("null right time never matches; null left time matches nothing (both formulations)") {
+    val left = Seq((1L, 1L, Some(100L)), (2L, 1L, None)).toDF("id", "k", "t")
+    // rid=9 has the latest (null) time under nulls-first ordering — it must
+    // be skipped, not treated as the earliest match of the key
+    val right = Seq((7L, 1L, Some(50L)), (9L, 1L, None)).toDF("rid", "k", "t")
+    for (
+      f <- Seq(
+        AsOfJoinNative.backward(_: org.apache.spark.sql.DataFrame, _: org.apache.spark.sql.DataFrame,
+          "k", "k", "t", "t", "r_", false),
+        AsOfJoin.backward(_: org.apache.spark.sql.DataFrame, _: org.apache.spark.sql.DataFrame,
+          "k", "k", "t", "t", "r_", false))
+    ) {
+      val out = f(left, right)
+        .select(col("id"), col("r_rid")).as[(Long, Option[Long])].collect().toMap
+      assert(out == Map(1L -> Some(7L), 2L -> None))
+    }
   }
 
   test("strategy registers via SparkSessionExtensions too") {
