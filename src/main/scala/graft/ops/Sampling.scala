@@ -34,8 +34,11 @@ object Sampling {
     */
   def fractionThreshold(f: Double): String = {
     require(f >= 0.0 && f <= 1.0, s"fraction $f out of [0,1]")
-    val v = math.min((f * 4294967296.0).toLong, 4294967295L)
-    f"$v%08x"
+    // f == 1.0 must keep EVERY row: "g" sorts after every hex string, so
+    // `hashKey < "g"` is unconditionally true (plain "ffffffff" would drop
+    // the one-in-2³² row that hashes to the exact maximum)
+    if (f >= 1.0) "g"
+    else f"${(f * 4294967296.0).toLong}%08x"
   }
 
   /** Deterministic keep-with-probability-`f` filter on `idCol`. */

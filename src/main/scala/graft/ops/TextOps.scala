@@ -120,11 +120,13 @@ object TextOps {
     piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
   /** Oracle SQL fragment equivalent to [[redactPii]] (DuckDB needs the 'g'
-    * flag for replace-all; patterns are shared verbatim).
+    * flag for replace-all). Patterns embed VERBATIM: DuckDB single-quoted
+    * strings are raw — doubling backslashes would turn `\b` into a literal
+    * backslash for RE2.
     */
   def redactPiiSql(textCol: String): String =
     piiPatterns.foldLeft(textCol) { case (e, (p, r)) =>
-      s"regexp_replace($e, '${p.replace("\\", "\\\\")}', '$r', 'g')"
+      s"regexp_replace($e, '$p', '$r', 'g')"
     }
 
   /** Whitespace-collapsed lowercase form — stage this as its own column

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -183,6 +183,74 @@ object PipelineQueries {
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
 
+  // ------------------------------------------------- sampling / packing
+
+  /** Deterministic 80/10/10 train/val/test labels by salted md5 — pure
+    * map-side, id-stable under corpus growth, replayed verbatim by the
+    * oracle (md5 is the cross-engine hash; see [[Sampling]]).
+    */
+  val sampleSplit: Q = (spark, dir) =>
+    docs(spark, dir).select(
+      col("doc_id"),
+      Sampling.splitColumn(
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+
+  /** Mixture weights for [[sampleMixture]]: even-numbered sources kept at
+    * 0.9, odd at 0.3 — shared between the Spark query and the oracle CASE.
+    */
+  private val mixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.9 else 0.3)).toMap
+
+  /** Re-weight the corpus to a target source mixture: per-source keep
+    * probabilities via the broadcast weights dim — no shuffle of the corpus.
+    */
+  val sampleMixture: Q = (spark, dir) =>
+    Sampling.mixtureSample(
+      docs(spark, dir).select("doc_id", "source"), "doc_id", "source", mixWeights)
+
+  /** Exact 5-per-source stratified draw by hash order — rides the bounded
+    * TopK heaps, never a full per-stratum sort.
+    */
+  val sampleStratified: Q = (spark, dir) =>
+    Sampling.stratified(
+      docs(spark, dir).select("doc_id", "source"), Seq("source"), "doc_id", 5)
+
+  /** Sequential 512-token packing bins per source stream — the
+    * concat-and-chop batch builder; integer DIV arithmetic replays
+    * bit-exactly in the oracle.
+    */
+  val packBins: Q = (spark, dir) =>
+    Packing.sequentialBins(
+      docs(spark, dir).select(
+        col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+      "source", "doc_id", "n_tok", 512)
+
+  /** PII redaction over deterministically synthesized contact strings (the
+    * fixture text carries no PII, so the query plants an email + IPv4 +
+    * phone per row and the oracle replays the same construction + patterns).
+    */
+  val textRedact: Q = (spark, dir) =>
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextOps.redactPii(concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 tel 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("redacted"))
+
+  /** Eval-set decontamination: drop every document whose content (md5)
+    * appears in the reference slice (source = src0). Bloom prefilter +
+    * exact confirm — exact result, oracle-checkable.
+    */
+  val dedupAgainstRef: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    Dedup
+      .exceptContentOf(d, "text", d.filter(col("source") === "src0"), "text")
+      .select("doc_id", "source")
+  }
+
   /** Sliding-window token chunking (size 32, overlap 8) — the map-side
     * generator every pretraining pipeline runs before tokenization.
     */
@@ -212,6 +280,12 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "sample_split" -> sampleSplit,
+    "sample_mixture" -> sampleMixture,
+    "sample_stratified" -> sampleStratified,
+    "pack_bins" -> packBins,
+    "text_redact" -> textRedact,
+    "dedup_against_ref" -> dedupAgainstRef,
     "pipeline_e2e" -> pipelineE2e,
     "text_chunks" -> textChunks,
     "source_minhash" -> sourceMinhash,
@@ -258,7 +332,49 @@ object PipelineQueries {
       }
       .mkString(" + ")
 
+  /** `hashKey` replayed in DuckDB — same salt concat, same 8-hex prefix. */
+  private def hashKeySql(idExpr: String, salt: String): String =
+    s"substring(md5('$salt' || CAST($idExpr AS VARCHAR)), 1, 8)"
+
   val oracles: Map[String, String] = Map(
+    "sample_split" -> {
+      val h = hashKeySql("doc_id", "split")
+      s"""SELECT doc_id,
+         |  CASE WHEN $h < '${Sampling.fractionThreshold(0.8)}' THEN 'train'
+         |       WHEN $h < '${Sampling.fractionThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+    "sample_mixture" -> {
+      val cases = mixWeights.toSeq.sortBy(_._1)
+        .map { case (s, f) => s"WHEN '$s' THEN '${Sampling.fractionThreshold(f)}'" }
+        .mkString(" ")
+      s"""SELECT source, doc_id FROM documents
+         |WHERE ${hashKeySql("doc_id", "mix")} < (CASE source $cases END)""".stripMargin
+    },
+    "sample_stratified" ->
+      s"""SELECT doc_id, source, rank FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${hashKeySql("doc_id", "strat")} DESC, doc_id) AS INTEGER) AS rank
+         |  FROM documents)
+         |WHERE rank <= 5""".stripMargin,
+    "pack_bins" ->
+      s"""SELECT source, doc_id, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+         |FROM (SELECT source, doc_id, len($wordsSql) AS n_tok FROM documents)""".stripMargin,
+    "text_redact" -> {
+      val synth = "substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7 tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      s"SELECT doc_id, ${TextOps.redactPiiSql(s"($synth)")} AS redacted FROM documents"
+    },
+    "dedup_against_ref" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE text IS NULL
+        |   OR md5(text) NOT IN (SELECT md5(text) FROM documents
+        |                        WHERE source = 'src0' AND text IS NOT NULL)""".stripMargin,
     "pipeline_e2e" ->
       s"""WITH en AS (
          |  SELECT doc_id, text FROM documents

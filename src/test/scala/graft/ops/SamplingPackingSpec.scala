@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Determinism and contract checks for the hash-sampling and packing
+  * operators (value-level replay is covered by the DuckDB oracles; these
+  * pin the properties the oracle compare can't express).
+  */
+class SamplingPackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+
+  test("splitColumn: total partition, id-stable under corpus growth and repartitioning") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = docs.select(col("doc_id"), Sampling.splitColumn(col("doc_id"), splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(full.size == docs.count())
+    assert(full.values.toSet == Set("train", "val", "test"))
+    // growth stability: labels computed over a subset agree with the full run
+    val subset = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), Sampling.splitColumn(col("doc_id"), splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+    // partitioning independence
+    val shuffled = docs.repartition(13)
+      .select(col("doc_id"), Sampling.splitColumn(col("doc_id"), splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(shuffled == full)
+  }
+
+  test("sampleFraction: f=1 keeps everything, f=0 nothing, rate roughly honored") {
+    assert(Sampling.sampleFraction(docs, "doc_id", 1.0).count() == docs.count())
+    assert(Sampling.sampleFraction(docs, "doc_id", 0.0).count() == 0)
+    val half = Sampling.sampleFraction(docs, "doc_id", 0.5).count().toDouble / docs.count()
+    assert(half > 0.35 && half < 0.65, s"0.5-sample kept $half")
+    // different salts draw independent samples
+    val a = Sampling.sampleFraction(docs, "doc_id", 0.5, "a").select("doc_id").as[Long].collect().toSet
+    val b = Sampling.sampleFraction(docs, "doc_id", 0.5, "b").select("doc_id").as[Long].collect().toSet
+    assert(a != b && (a intersect b).nonEmpty)
+  }
+
+  test("mixtureSample: subset of input, per-source rates follow the weights") {
+    val w = Map("src0" -> 1.0, "src1" -> 0.2)
+    val in = docs.filter(col("source").isin("src0", "src1")).select("doc_id", "source")
+    val out = Sampling.mixtureSample(in, "doc_id", "source", w)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("src0") == 25, "weight 1.0 must keep every row")
+    assert(counts.getOrElse("src1", 0L) < 15, s"weight 0.2 kept ${counts.get("src1")} of 25")
+    // sampled rows are real input rows
+    assert(out.join(in, Seq("doc_id", "source"), "left_anti").count() == 0)
+  }
+
+  test("stratified: exactly min(k, |stratum|) per stratum, partitioning-invariant members") {
+    val got = Sampling.stratified(docs.select("doc_id", "source"), Seq("source"), "doc_id", 5)
+    val per = got.groupBy("source").count().as[(String, Long)].collect()
+    assert(per.length == 20 && per.forall(_._2 == 5))
+    assert(got.select("rank").as[Int].collect().forall(r => r >= 1 && r <= 5))
+    val again = Sampling
+      .stratified(docs.repartition(17).select("doc_id", "source"), Seq("source"), "doc_id", 5)
+    assert(
+      got.select("doc_id").as[Long].collect().sorted.toSeq ==
+        again.select("doc_id").as[Long].collect().sorted.toSeq,
+      "hash-ordered draw must not depend on physical layout")
+  }
+
+  test("sequentialBins equals the Scala running-total fold") {
+    val toks = docs
+      .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("t"))
+    val got = Packing.sequentialBins(toks, "source", "doc_id", "t", 512)
+      .select("source", "doc_id", "bin").as[(String, Long, Long)].collect()
+      .map { case (s, id, b) => (s, id) -> b }.toMap
+    val expected = toks.as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+      .flatMap { case (src, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).toSeq.map { case (_, id, t) =>
+          val bin = acc / 512; acc += t; (src, id) -> bin
+        }
+      }
+    assert(got == expected)
+  }
+
+  test("greedyPack: bins respect the budget, oversize docs isolate, count near optimal") {
+    val toks = docs
+      .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("t"))
+    val packed = Packing.greedyPack(toks, "source", "doc_id", "t", 512)
+    val bins = packed.groupBy("source", "bin")
+      .agg(sum("t").as("s"), count(lit(1)).as("n"), max("t").as("mx"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(bins.forall { case (_, _, s, n, _) => s <= 512 || n == 1 },
+      "only single-oversize-doc bins may exceed the budget")
+    // FFD can't use more than twice the fractional lower bound (loose check)
+    val bySrc = packed.groupBy("source")
+      .agg(sum("t").as("tot"), (max("bin") + 1).as("nbins"))
+      .as[(String, Long, Long)].collect()
+    assert(bySrc.forall { case (_, tot, nb) => nb <= 2 * (tot / 512 + 1) })
+    // determinism
+    val again = Packing.greedyPack(toks.repartition(11), "source", "doc_id", "t", 512)
+      .select("source", "doc_id", "bin").as[(String, Long, Long)].collect().toSet
+    assert(again == packed.select("source", "doc_id", "bin")
+      .as[(String, Long, Long)].collect().toSet)
+  }
+
+  test("exceptContentOf is exact at any fpp (bloom false positives confirmed away)") {
+    val ref = docs.filter(col("source") === "src0").select(col("text"))
+    val expected = docs
+      .join(docs.filter(col("source") === "src0").select(md5(col("text")).as("__r")),
+        md5(col("text")) === col("__r"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.exceptContentOf(docs, "text", ref, "text", fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == expected, s"fpp=$fpp must not change the (exact) result")
+    }
+    assert(expected.nonEmpty && expected.size < docs.count())
+  }
+
+  test("redactPii on adversarial strings") {
+    val cases = Seq(
+      "mail bob.smith@example.com now" -> "mail <EMAIL> now",
+      "ip 10.0.0.5 end" -> "ip <IP> end",
+      "tel +1 415-555-1234." -> "tel <PHONE>.",
+      "no pii here" -> "no pii here",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextOps.redactPii(col("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+}
