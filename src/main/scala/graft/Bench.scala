@@ -5,6 +5,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // iteration aid: regex over query names to bench a subset (full run when unset)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    // Per-query GC defaults ON — this is query isolation, not tuning:
+    // ContextCleaner frees shuffle files / broadcasts / RDD blocks only
+    // after their weak refs are GC'd, so in a shared JVM running 60+
+    // queries the cleanup debt of the allocation-heavy family lands as one
+    // multi-second pause on whichever query triggers the first major
+    // collection (r3: difference_set 6.97 s median with a 16.9 s outlier
+    // run, exonerated in a fresh JVM). An explicit collection in the
+    // UNTIMED gap between runs pays the debt where no query is being
+    // measured; per-query medians then reflect plans, not GC luck.
+    val doGc = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,7 +32,9 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
     graft.queries.ParityQueries.releaseSessions()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.findFirstIn(name).nonEmpty) }
+      .map { case (name, fn) =>
       // median-of-N: a single shared-JVM run is GC/page-cache noise — r2 saw
       // 2.7× swings on untouched queries. Engine storage is released between
       // runs so one query's checkpoints never pressure the next.
@@ -29,6 +43,7 @@ object Bench {
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.queries.ParityQueries.releaseSessions()
+        if (doGc) System.gc()
         (dt, n)
       }
       val med = times.map(_._1).sorted.apply(times.size / 2)

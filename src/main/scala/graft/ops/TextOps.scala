@@ -72,14 +72,15 @@ object TextOps {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?]", ""))
 
-  /** Mean token length — exact integer sums divided once, so Spark and the
-    * oracle produce bit-identical doubles.
+  /** Mean token length over a STAGED tokens column — exact integer sums
+    * divided once, so Spark and the oracle produce bit-identical doubles.
     */
-  def avgWordLen(text: Column): Column = {
-    val ws = tokens(text)
+  def avgWordLenOfTokens(ws: Column): Column =
     when(size(ws) === 0, lit(0.0))
       .otherwise(aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / size(ws))
-  }
+
+  /** Convenience over raw text (stage [[tokens]] anywhere hot). */
+  def avgWordLen(text: Column): Column = avgWordLenOfTokens(tokens(text))
 
   /** Quality heuristics bundle used by [[graft.queries.PipelineQueries]]. */
   def stopwordRatio(text: Column): Column = {
@@ -100,6 +101,22 @@ object TextOps {
     val p = 1000000007L
     aggregate(tokens(text), lit(0L), (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), lit(p)), lit(p)))
   }
+
+  /** Sentence-ish units: split on periods, trimmed, empties dropped. Stage
+    * the result as its own column before feeding [[dupUnitFraction]] — the
+    * usual HOF discipline (an inline expression re-splits per reference).
+    */
+  def sentenceUnits(text: Column): Column =
+    filter(transform(split(text, "\\."), u => trim(u)), u => u =!= "")
+
+  /** Fraction of repeated units in a STAGED units column — the
+    * intra-document repetition signal (Gopher-style "rep. removal" family):
+    * boilerplate and templated spam score high, prose scores ~0.
+    * Integer-count arithmetic divided once, so cross-engine bit-exact.
+    */
+  def dupUnitFraction(units: Column): Column =
+    when(size(units) === 0, lit(0.0))
+      .otherwise((size(units) - size(array_distinct(units))).cast("double") / size(units))
 
   /** PII scrub patterns, applied in order (emails before IPs before
     * phone-like digit runs, so the broad digit pattern never eats an

@@ -251,6 +251,33 @@ object PipelineQueries {
       .select("doc_id", "source")
   }
 
+  /** Gopher-style quality gate: each document gets its FIRST failing rule
+    * (length bounds, mean word length, intra-doc sentence repetition) or
+    * 'ok' — the filter stage of a pretraining pipeline with drop REASONS,
+    * which is what you audit at 100 TB. All signals are integer counts
+    * divided once, so the oracle replays the doubles bit-exactly; heavy
+    * producers are staged as attributes per the HOF discipline.
+    */
+  val qualityGate: Q = (spark, dir) => {
+    val staged = docs(spark, dir).select(
+      col("doc_id"),
+      TextOps.tokens(col("text")).as("ws"),
+      TextOps.sentenceUnits(col("text")).as("us"))
+    val scored = staged.select(
+      col("doc_id"),
+      size(col("ws")).as("nw"),
+      TextOps.avgWordLenOfTokens(col("ws")).as("awl"),
+      TextOps.dupUnitFraction(col("us")).as("dupf"))
+    scored.select(
+      col("doc_id"),
+      when(col("nw") < 5, "too_short")
+        .when(col("nw") > 1000, "too_long")
+        .when(col("awl") < 2.0, "short_words")
+        .when(col("awl") > 12.0, "long_words")
+        .when(col("dupf") > 0.3, "repetitive")
+        .otherwise("ok").as("verdict"))
+  }
+
   /** Sliding-window token chunking (size 32, overlap 8) — the map-side
     * generator every pretraining pipeline runs before tokenization.
     */
@@ -286,6 +313,7 @@ object PipelineQueries {
     "pack_bins" -> packBins,
     "text_redact" -> textRedact,
     "dedup_against_ref" -> dedupAgainstRef,
+    "quality_gate" -> qualityGate,
     "pipeline_e2e" -> pipelineE2e,
     "text_chunks" -> textChunks,
     "source_minhash" -> sourceMinhash,
@@ -375,6 +403,29 @@ object PipelineQueries {
         |WHERE text IS NULL
         |   OR md5(text) NOT IN (SELECT md5(text) FROM documents
         |                        WHERE source = 'src0' AND text IS NOT NULL)""".stripMargin,
+    "quality_gate" ->
+      s"""WITH staged AS (
+         |  SELECT doc_id, $wordsSql AS ws,
+         |    list_filter(list_transform(string_split_regex(text, '\\.'), u -> trim(u)),
+         |                u -> u != '') AS us
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, len(ws) AS nw,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)
+         |    END AS awl,
+         |    CASE WHEN len(us) = 0 THEN 0.0
+         |         ELSE CAST(len(us) - len(list_distinct(us)) AS DOUBLE) / len(us)
+         |    END AS dupf
+         |  FROM staged)
+         |SELECT doc_id,
+         |  CASE WHEN nw < 5 THEN 'too_short'
+         |       WHEN nw > 1000 THEN 'too_long'
+         |       WHEN awl < 2.0 THEN 'short_words'
+         |       WHEN awl > 12.0 THEN 'long_words'
+         |       WHEN dupf > 0.3 THEN 'repetitive'
+         |       ELSE 'ok' END AS verdict
+         |FROM scored""".stripMargin,
     "pipeline_e2e" ->
       s"""WITH en AS (
          |  SELECT doc_id, text FROM documents

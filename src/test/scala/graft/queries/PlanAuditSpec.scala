@@ -98,4 +98,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 1, p)
     assert(p.contains("partial_"), "aggregate must have a map-side partial phase")
   }
+
+  test("sample_split / sample_mixture: pure map-side — zero shuffles over the corpus") {
+    val ps = plan("sample_split")
+    assert(!ps.contains("Exchange"), s"hash split must not shuffle:\n$ps")
+    val pm = plan("sample_mixture")
+    assert(pm.contains("BroadcastHashJoin"), "weights dim must broadcast")
+    assert(!pm.contains("Exchange hashpartitioning"),
+      s"mixture sampling must not shuffle the corpus:\n$pm")
+  }
+
+  test("sample_stratified: bounded-heap draw plans no Window") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Window"), "stratified draw must ride the TopK heaps, not a window")
+  }
+
+  test("pack_bins: exactly the one per-stream shuffle the running sum needs") {
+    val p = plan("pack_bins")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("dedup_against_ref: reference digests aggregate once; corpus path is scan+filter") {
+    val p = plan("dedup_against_ref")
+    // the corpus legs (clean + flagged-survivors) must not hash-shuffle the
+    // documents table itself: the only exchanges belong to the reference
+    // digest distinct and the flagged-side confirm join
+    assert(p.contains("LeftAnti"), p)
+    assert(count(p, "Exchange hashpartitioning") <= 3,
+      s"corpus must stream map-side through the bloom prefilter:\n$p")
+  }
 }
