@@ -165,4 +165,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(db.evaluateSorted(view) == Seq((1L, 10L), (2L, 30L)))
     assert(db.evaluateSorted(rel)(Ordering.by((e: StreamingOps.UserEvent) => (e.user_id, e.ts_ns))).size == 3)
   }
+
+  test("stateless pipeline ops (redaction, hash split) apply to streams unchanged") {
+    // the sampling/redaction family is pure Column expressions — no state,
+    // no watermark, so the SAME code runs in a readStream pipeline; this
+    // pins that no op accidentally grows a streaming-incompatible shape
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().toDF("doc_id", "text")
+    val out = in.select(
+      col("doc_id"),
+      graft.ops.TextOps.redactPii(col("text")).as("clean"),
+      graft.ops.Sampling.splitColumn(
+        col("doc_id"), Seq("train" -> 0.9, "test" -> 0.1)).as("split"))
+    val q = out.writeStream.outputMode("append").format("memory").queryName("clean_docs").start()
+    stream.addData((1L, "reach me: a@b.co"), (2L, "plain"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("clean_docs").as[(Long, String, String)].collect().toMap2
+    val batch = Seq((1L, "reach me: a@b.co"), (2L, "plain")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.TextOps.redactPii(col("text")).as("clean"),
+        graft.ops.Sampling.splitColumn(
+          col("doc_id"), Seq("train" -> 0.9, "test" -> 0.1)).as("split"))
+      .as[(Long, String, String)].collect().toMap2
+    assert(got == batch && got(1L)._1 == "reach me: <EMAIL>")
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, String, String)]) {
+    def toMap2: Map[Long, (String, String)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
 }
