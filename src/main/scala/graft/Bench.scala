@@ -7,15 +7,18 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // iteration aid: regex over query names to bench a subset (full run when unset)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    // Per-query GC defaults ON — this is query isolation, not tuning:
+    // Per-QUERY GC defaults ON — this is query isolation, not tuning:
     // ContextCleaner frees shuffle files / broadcasts / RDD blocks only
     // after their weak refs are GC'd, so in a shared JVM running 60+
     // queries the cleanup debt of the allocation-heavy family lands as one
     // multi-second pause on whichever query triggers the first major
     // collection (r3: difference_set 6.97 s median with a 16.9 s outlier
-    // run, exonerated in a fresh JVM). An explicit collection in the
-    // UNTIMED gap between runs pays the debt where no query is being
-    // measured; per-query medians then reflect plans, not GC luck.
+    // run, exonerated in a fresh JVM). The collection runs in the UNTIMED
+    // gap AFTER a query's runs: debt never accumulates past one query, and
+    // only the next query's FIRST run sees post-full-GC state (cold code
+    // cache), which median-of-3 discards — A/B measured: per-RUN GC taxed
+    // every run ~11% (views worst), per-QUERY GC keeps nogc-level medians
+    // with the outlier pathology gone.
     val doGc = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,9 +46,9 @@ object Bench {
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.queries.ParityQueries.releaseSessions()
-        if (doGc) System.gc()
         (dt, n)
       }
+      if (doGc) System.gc()
       val med = times.map(_._1).sorted.apply(times.size / 2)
       System.err.println(
         f"[bench] $name%-22s med $med%8.2f s  (${times.map(t => f"${t._1}%.2f").mkString("/")};" +

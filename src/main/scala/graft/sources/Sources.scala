@@ -40,6 +40,42 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Compact a parquet directory into ~`targetBytes` output files —
+    * the maintenance pass every incremental sink needs: micro-batches leave
+    * a few KB per commit, and at cluster scale millions of tiny files make
+    * listing dominate job startup and one-row-group-per-file kill scan
+    * throughput. The output file count comes from the MEASURED input bytes
+    * (a guessed count is wrong the moment data skews), and the merge is a
+    * `coalesce` — partition-local concatenation, NO shuffle.
+    *
+    * @return number of output files written
+    */
+  def compactParquet(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0)
+    // Let the SCAN do the sizing: with maxPartitionBytes = target (and the
+    // per-file open-cost padding zeroed, which would otherwise split tiny
+    // files early), Spark packs input files into ~targetBytes splits — each
+    // becomes one output file. No coalesce arithmetic, no shuffle, and the
+    // split count tracks MEASURED bytes even under skewed file sizes.
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = spark.read.parquet(inDir)
+      val n = df.rdd.getNumPartitions
+      df.write.mode(SaveMode.Overwrite).parquet(outDir)
+      n
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
   /** Bucketed + sorted managed table. Joining two tables bucketed on the
     * same key with the same `numBuckets` needs no shuffle — the join
     * becomes a per-bucket merge.

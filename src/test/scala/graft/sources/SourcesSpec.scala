@@ -61,4 +61,23 @@ class SourcesSpec extends AnyFunSuite {
       assert(joined.count() == l.join(o, col("l_orderkey") === col("o_orderkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compactParquet merges small files to the byte target without losing rows") {
+    val src = tmp("frag") + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(40).write.parquet(src) // simulate micro-batch fragmentation
+    def parquetFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src).size == 40)
+    val out = tmp("compact") + "/docs"
+    val totalBytes = parquetFiles(src).map(_.length).sum
+    val target = totalBytes / 4 // force ~4-6 output files
+    val n = Sources.compactParquet(spark, src, out, target)
+    assert(parquetFiles(out).size == n && n >= 4 && n <= 6, s"wrote $n files")
+    assert(spark.read.parquet(out).as[(Long, String, String, String, Long)].collect().toSet ==
+      docs.as[(Long, String, String, String, Long)].collect().toSet)
+    // no-shuffle contract: scan-sized packing writes directly, no exchange
+    val plan = spark.read.parquet(src).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
