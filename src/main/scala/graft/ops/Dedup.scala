@@ -168,6 +168,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-duplicate pairs BETWEEN two corpora (id_a from `dfA`, id_b from
+    * `dfB`) — the incremental-ingest shape: band the small incoming batch
+    * and the big existing corpus with the SAME hash family, join on
+    * (band, hash), verify exact Jaccard on candidates. Identical LSH
+    * recall contract as [[minhashPairs]]; candidate shuffle ships
+    * (band, bh, id) triples only, so the corpus side costs bands × |B|
+    * short rows regardless of document sizes.
+    */
+  def minhashPairsBetween(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    requireIntegralId(dfA, idCol)
+    requireIntegralId(dfB, idCol)
+    val rowsPerBand = numHashes / bands
+    val sp = dfA.sparkSession
+    import sp.implicits._
+    def prep(df: DataFrame) = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .repartition(sp.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+    def banded(rows: org.apache.spark.sql.Dataset[(Long, String)]) = rows
+      .flatMap { case (id, text) =>
+        bandHashesScala(minhashSignatureScala(text, numHashes, 3), bands, rowsPerBand)
+          .iterator.zipWithIndex.map { case (bh, band) => (band, bh, id) }
+      }
+      .toDF("band", "bh", "id")
+    def shingled(rows: org.apache.spark.sql.Dataset[(Long, String)], idName: String, shName: String) =
+      rows.map { case (id, text) => (id, TextOps.wordShinglesScala(text, 3)) }
+        .toDF(idName, shName)
+    val a = prep(dfA)
+    val b = prep(dfB)
+    val candidates = banded(a).select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded(b).select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(shingled(a, "id_a", "sh_a"), Seq("id_a"))
+      .join(shingled(b, "id_b", "sh_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Drop every incoming row with a verified near-duplicate anywhere in the
+    * reference corpus — [[exceptContentOf]]'s fuzzy sibling (exact-content
+    * there, Jaccard-near here).
+    */
+  def dedupAgainstCorpus(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val losers = minhashPairsBetween(df, ref, textCol, idCol, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Drop every row that has a verified near-duplicate with a smaller id
     * (greedy keep-first; transitive chains collapse to their minimum over
     * repeated application).

@@ -34,6 +34,17 @@ object PipelineQueries {
   val dedupMinhash: Q = (spark, dir) =>
     Dedup.minhashPairs(docs(spark, dir), "text", "doc_id", threshold = 0.5)
 
+  /** Cross-corpus near-dup pairs: the incoming half of the corpus banded
+    * against the existing half (rows-only: xxhash64 family; the spec pins
+    * equivalence to the single-corpus pair set restricted to cross pairs).
+    */
+  val dedupCross: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    Dedup.minhashPairsBetween(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+      "text", "doc_id", threshold = 0.5)
+  }
+
   /** SimHash Hamming-≤3 candidate pairs via 16-bit chunk blocking. */
   val dedupSimhash: Q = (spark, dir) =>
     Dedup.simhashPairs(docs(spark, dir), "text", "doc_id", maxHamming = 3)
@@ -320,6 +331,7 @@ object PipelineQueries {
     "approx_parts" -> approxParts,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_cross" -> dedupCross,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_embedding" -> dedupEmbedding,

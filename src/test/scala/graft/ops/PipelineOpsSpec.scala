@@ -138,6 +138,26 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // --- SimHash ------------------------------------------------------------
 
+  test("minhashPairsBetween == single-corpus pairs restricted to cross pairs; corpus dedup drops them") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val cross = Dedup.minhashPairsBetween(a, b, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2), p._3)).toSet
+    val all = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => (p._1 % 2) != (p._2 % 2)) // pairs spanning the halves
+      .toSet
+    assert(cross == all, s"cross=${cross.size} vs single-corpus cross subset=${all.size}")
+    // planted near-dup across corpora is removed from the incoming side only
+    val planted = b.select(col("doc_id") + 100000L, col("text")).toDF("doc_id", "text")
+      .limit(3)
+    val incoming = a.select("doc_id", "text").union(planted)
+    val kept = Dedup.dedupAgainstCorpus(incoming, b, "text", "doc_id")
+    assert(kept.filter(col("doc_id") >= 100000L).count() == 0, "exact copies of corpus docs must drop")
+    assert(kept.count() >= a.count() - cross.size)
+  }
+
   test("dedup kernels: null text rows are inert, non-integral ids are refused loudly") {
     // null text can neither NPE the kernels nor produce pairs
     val withNulls = docs.select(col("doc_id"), col("text"))
