@@ -49,7 +49,9 @@ object Packing {
 
   /** First-fit-decreasing bin packing per stream: docs sorted by token count
     * descending (id ascending on ties — deterministic), each placed in the
-    * lowest-numbered bin with room; docs over budget get a dedicated bin.
+    * lowest-numbered bin with room; a doc over budget consumes one whole
+    * bin's capacity (so only zero-token docs can share its bin). Capacity
+    * invariant: Σ min(tokens, budget) ≤ budget per bin.
     * Output: input rows plus `bin` (0-based within stream). A stream must
     * fit in executor memory — choose `streamCol` accordingly (same contract
     * as every within-block kernel here).

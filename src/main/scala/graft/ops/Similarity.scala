@@ -178,8 +178,11 @@ object Similarity {
       if (corpusN <= trainTarget) trainBase
       else trainBase.sample(withReplacement = false,
         math.min(1.0, trainTarget.toDouble * 1.2 / corpusN), seed)
+    // A coarse quantizer needs cell SHAPE, not convergence: 10 iterations is
+    // standard IVF practice, and each iteration is a full pass (= a Spark
+    // job) over the training sample — half the default 20 is pure saving.
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .setK(nlist).setSeed(seed).setFeaturesCol("features").setMaxIter(10)
       .fit(train)
     val centers = model.clusterCenters.map(_.toArray)
     val bc = sp.sparkContext.broadcast(centers)

@@ -75,6 +75,29 @@ class ReliableStoreSpec extends AnyFunSuite {
     assert(Instance.loadBatches(spark, dir).as[Int].collect().sorted.toSeq == Seq(7, 8))
   }
 
+  test("crash debris is harmless: readers take the max manifest version, tmp files ignored") {
+    val dir = tmpDir()
+    val i = new Instance[Int](spark.emptyDataset[Int], Instance.ReliableStore(dir))
+    i.insert(spark.createDataset(Seq(1, 2))); i.changed(); i.changed()
+    i.insert(spark.createDataset(Seq(3))); i.changed(); i.changed()
+    // simulate a crash mid-commit of an EARLIER epoch: a stale lower-version
+    // manifest and an orphaned tmp survive on disk
+    val f = new java.io.File(dir)
+    val live = f.listFiles().map(_.getName).filter(_.startsWith("_MANIFEST")).toSeq
+    assert(live.size == 1, s"exactly one manifest after clean commits, got $live")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_MANIFEST.v1"),
+      "999".getBytes) // lies about a batch that never completed
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"${live.head}.tmp"),
+      "998".getBytes)
+    assert(Instance.loadBatches(spark, dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3),
+      "recovery must read the highest-version manifest, never stale/tmp debris")
+    // the next epoch commit garbage-collects the debris
+    i.insert(spark.createDataset(Seq(4))); i.changed()
+    val after = f.listFiles().map(_.getName).filter(_.startsWith("_MANIFEST")).toSeq
+    assert(after.size == 1 && !after.contains("_MANIFEST.v1"), s"debris must be collected, got $after")
+    assert(Instance.loadBatches(spark, dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("restart survival: a fresh session re-attaches from the parquet store") {
     val base = tmpDir()
     // --- "first process": reliable session, insert, stabilize via evaluate

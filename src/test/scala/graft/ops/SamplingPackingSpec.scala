@@ -120,6 +120,55 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(expected.nonEmpty && expected.size < docs.count())
   }
 
+  test("property: fractionThreshold is monotone with exact endpoints") {
+    import org.scalacheck.{Gen, Prop}
+    val genF = Gen.chooseNum(0.0, 1.0)
+    val prop = Prop.forAll(genF, genF) { (f1, f2) =>
+      val (lo, hi) = (math.min(f1, f2), math.max(f1, f2))
+      Sampling.fractionThreshold(lo) <= Sampling.fractionThreshold(hi)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+    assert(Sampling.fractionThreshold(0.0) == "00000000", "f=0 admits nothing")
+    assert(Sampling.fractionThreshold(1.0) == "g", "f=1 admits every hex string")
+  }
+
+  test("property: splitColumn totally partitions for arbitrary positive weights") {
+    import org.scalacheck.{Gen, Prop}
+    val genSplits = for {
+      n <- Gen.chooseNum(1, 5)
+      ws <- Gen.listOfN(n, Gen.chooseNum(0.05, 10.0))
+    } yield ws.zipWithIndex.map { case (w, i) => s"s$i" -> w }
+    val ids = (0L until 200L).toDF("id")
+    val prop = Prop.forAllNoShrink(genSplits) { splits =>
+      val labels = ids.select(Sampling.splitColumn(col("id"), splits).as("s"))
+        .as[String].collect()
+      labels.length == 200 && labels.toSet.subsetOf(splits.map(_._1).toSet)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: greedyPack is valid for arbitrary token distributions") {
+    import org.scalacheck.{Gen, Prop}
+    val genRows = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1200L))
+    val prop = Prop.forAllNoShrink(genRows) { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => ("s", i.toLong, t) }.toDF("k", "id", "t")
+      val packed = Packing.greedyPack(df, "k", "id", "t", 512)
+        .select("id", "t", "bin").as[(Long, Long, Long)].collect()
+      val byBin = packed.groupBy(_._3)
+      // capacity invariant: an oversize doc consumes exactly one bin's
+      // budget (zero-token docs may legally share it, adding nothing)
+      packed.length == toks.length &&
+        byBin.values.forall(rows => rows.map(r => math.min(r._2, 512L)).sum <= 512)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("redactPii on adversarial strings") {
     val cases = Seq(
       "mail bob.smith@example.com now" -> "mail <EMAIL> now",
