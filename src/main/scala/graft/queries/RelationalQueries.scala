@@ -278,6 +278,21 @@ object RelationalQueries {
         expr("percentile(o_totalprice, 0.9D)").as("p90_price"),
         count(lit(1)).as("n"))
 
+  /** Sketch quantiles next to the exact ones: `percentile` buffers EVERY
+    * group value in its final reducer — fine for parity, an OOM at 100 TB —
+    * while `approx_percentile` keeps a constant-size mergeable sketch with
+    * map-side partials (rank error ≤ 1/accuracy). Rows-only (sketch
+    * internals are engine-specific); the spec brackets each estimate
+    * between exact quantiles at q ± rank tolerance.
+    */
+  val approxQuantiles: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5D, 10000)").as("median_approx"),
+        expr("approx_percentile(o_totalprice, 0.9D, 10000)").as("p90_approx"),
+        count(lit(1)).as("n"))
+
   /** Top-3 orders per customer through the bounded-heap operator — same
     * semantics as `window_rank` but shuffling only partial winners.
     */
@@ -318,6 +333,7 @@ object RelationalQueries {
     "topk_per_key" -> topkPerKey,
     "range_bands" -> rangeBands,
     "quantile_price" -> quantilePrice,
+    "approx_quantiles" -> approxQuantiles,
     "q1_agg" -> q1Agg,
     "q3_top10" -> q3Top10,
     "q5_local" -> q5Local,

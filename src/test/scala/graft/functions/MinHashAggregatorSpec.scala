@@ -44,4 +44,20 @@ class MinHashAggregatorSpec extends AnyFunSuite {
       .as[(Long, Long)].head()
     assert(math.abs(r._1 - r._2).toDouble / r._2 < 0.05, r.toString)
   }
+
+  test("approx_percentile brackets between exact quantiles at q ± rank tolerance") {
+    // accuracy 10000 → rank error ≤ 1e-4·n; bracket with a generous ±0.01
+    // in quantile space so the bound is robust to ties
+    val q = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5D, 10000)").as("approx"),
+        expr("percentile(o_totalprice, 0.49D)").as("lo"),
+        expr("percentile(o_totalprice, 0.51D)").as("hi"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (g, a, lo, hi) =>
+      assert(a >= lo && a <= hi, s"group $g: approx $a outside [$lo, $hi]")
+    }
+  }
 }
