@@ -221,6 +221,21 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Unit-normalize an embedding column map-side (zero shuffle): after
+    * this, dot product IS cosine, which halves the arithmetic of every
+    * downstream similarity pass. The norm is staged as its own column —
+    * an inline `l2Norm` inside the per-element lambda would recompute the
+    * full reduction PER COMPONENT (the HOF trap). Zero vectors pass
+    * through unchanged (no NaN poisoning).
+    */
+  def unitNormalize(df: DataFrame, vecCol: String, outCol: String = "unit"): DataFrame =
+    df.withColumn("__n", l2Norm(col(vecCol)))
+      .withColumn(
+        outCol,
+        when(col("__n") === 0.0, transform(col(vecCol), v => v.cast("double")))
+          .otherwise(transform(col(vecCol), v => v.cast("double") / col("__n"))))
+      .drop("__n")
+
   /** Near-duplicate vector pairs: bucket by hyperplane signs, verify cosine
     * within buckets (embedding-cosine near-dup for dedup pipelines).
     */

@@ -90,6 +90,19 @@ object PipelineQueries {
       col("vec_id"),
       sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("norm"))
 
+  /** Unit-normalization checked by scalar projections (array cells don't
+    * survive the driver's pandas hashing, so the oracle compares the first
+    * and last components plus the post-normalization norm — all raw
+    * doubles, bit-exact per the division/fold discipline).
+    */
+  val embeddingUnit: Q = (spark, dir) =>
+    Similarity.unitNormalize(emb(spark, dir), "embedding")
+      .select(
+        col("vec_id"),
+        element_at(col("unit"), 1).as("u_first"),
+        element_at(col("unit"), -1).as("u_last"),
+        sqrt(Similarity.dot(col("unit"), col("unit"))).as("unit_norm"))
+
   // ------------------------------------------------------------------- text
 
   val textTokens: Q = (spark, dir) =>
@@ -339,6 +352,7 @@ object PipelineQueries {
     "knn_lsh" -> knnLsh,
     "knn_ivf" -> knnIvf,
     "embedding_norm" -> embeddingNorm,
+    "embedding_unit" -> embeddingUnit,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -475,6 +489,18 @@ object PipelineQueries {
       """SELECT vec_id,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
         |FROM embeddings""".stripMargin,
+    "embedding_unit" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id,
+        |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS unit
+        |  FROM s)
+        |SELECT vec_id, unit[1] AS u_first, unit[-1] AS u_last,
+        |  sqrt(list_dot_product(unit, unit)) AS unit_norm
+        |FROM u""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  len($wordsSql) AS n_tokens,
