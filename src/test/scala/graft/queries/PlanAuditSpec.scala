@@ -118,6 +118,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("embedding_unit: pure map-side projection, zero exchanges") {
+    val p = plan("embedding_unit")
+    assert(!p.contains("Exchange"), s"unit-normalization must not shuffle:\n$p")
+  }
+
+  test("approx_quantiles: one shuffle with map-side partial sketches") {
+    val p = plan("approx_quantiles")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_"), "sketch aggregate must have a map-side partial phase")
+  }
+
   test("dedup_against_ref: reference digests aggregate once; corpus path is scan+filter") {
     val p = plan("dedup_against_ref")
     // the corpus legs (clean + flagged-survivors) must not hash-shuffle the
