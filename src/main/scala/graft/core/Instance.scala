@@ -178,7 +178,6 @@ final class Instance[T](
     * existing maxima so old batches and manifests are never clobbered.
     */
   private def ensureCounter(dir: String): Unit = if (!counterInitialized) {
-    counterInitialized = true
     val base = hadoopPath(dir)
     val f = fs(base)
     if (f.exists(base)) {
@@ -189,6 +188,9 @@ final class Instance[T](
         case Instance.ReliableStore(_, a) => a
         case _                            => false
       }
+      // refusal must precede counterInitialized = true: a caught-and-retried
+      // operation on a refused instance would otherwise skip this check and
+      // overwrite the legitimate writer's batch_1 with a zeroed counter
       if (hasManifest && !attach)
         throw new IllegalStateException(
           s"reliable store at $dir already has a manifest (another writer's state). " +
@@ -197,6 +199,7 @@ final class Instance[T](
       batchCounter = names.flatMap(Instance.batchId).foldLeft(0)(math.max)
       manifestVersion = names.flatMap(Instance.manifestVersion).foldLeft(0L)(math.max)
     }
+    counterInitialized = true
   }
 
   /** Immediately free a batch PRIVATE to the current epoch step (staged
@@ -256,7 +259,14 @@ final class Instance[T](
       val out = f.create(tmp, true)
       out.write(liveIds.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
-      f.rename(tmp, dst)
+      // Hadoop rename REPORTS failure instead of throwing; garbage-collecting
+      // after a failed rename would delete the previous good manifest AND the
+      // tmp, leaving no manifest at all — the exact state this scheme exists
+      // to rule out. Fail the epoch loudly and leave old state readable.
+      if (!f.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"manifest commit failed: rename $tmp -> $dst returned false; " +
+            "previous manifest left intact")
       // the new manifest is live: everything older is garbage
       f.listStatus(base).map(_.getPath).foreach { p =>
         val n = p.getName

@@ -101,8 +101,8 @@ object Dedup {
     val dt = df.schema(idCol).dataType
     require(
       dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
-      s"id column '$idCol' must be an integral type (byte/short/int/long), got $dt; " +
-        "map string/uuid ids to a long surrogate first (e.g. xxhash64 or a dimension join)")
+      s"column '$idCol' must be an integral type (byte/short/int/long), got $dt; " +
+        "map string/uuid values to a long surrogate first (e.g. xxhash64 or a dimension join)")
   }
 
   /** Candidate pairs (idA < idB) via MinHash LSH, then exact-Jaccard
@@ -118,6 +118,65 @@ object Dedup {
     * (candidates are small by LSH construction, so AQE broadcasts them and
     * the shingle table streams map-side).
     */
+  // ---- shared MinHash pipeline stages: ONE implementation of the hash
+  // family / shingling / verification, so the single-corpus and
+  // cross-corpus formulations cannot drift (their equivalence is
+  // spec-pinned). Null text cannot be a near-duplicate of anything (and
+  // would NPE the kernels): such rows exit at prep. The repartition spreads
+  // CPU-bound signature work; at cluster scale it spreads the scan anyway.
+
+  private def minhashRows(df: DataFrame, textCol: String, idCol: String) = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .repartition(sp.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+  }
+
+  private def bandedOf(
+      rows: org.apache.spark.sql.Dataset[(Long, String)],
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sp = rows.sparkSession
+    import sp.implicits._
+    rows
+      .flatMap { case (id, text) =>
+        bandHashesScala(minhashSignatureScala(text, numHashes, 3), bands, rowsPerBand)
+          .iterator.zipWithIndex.map { case (bh, band) => (band, bh, id) }
+      }
+      .toDF("band", "bh", "id")
+  }
+
+  private def shingledOf(
+      rows: org.apache.spark.sql.Dataset[(Long, String)],
+      idName: String,
+      shName: String): DataFrame = {
+    val sp = rows.sparkSession
+    import sp.implicits._
+    rows.map { case (id, text) => (id, TextOps.wordShinglesScala(text, 3)) }
+      .toDF(idName, shName)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
+    * two shingle tables: false positives cannot survive it.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame,
+      shingledA: DataFrame,
+      shingledB: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(shingledA, Seq("id_a"))
+      .join(shingledB, Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
   def minhashPairs(
       df: DataFrame,
       textCol: String,
@@ -126,46 +185,18 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     requireIntegralId(df, idCol)
-    val rowsPerBand = numHashes / bands
-    // repartition: signature computation is CPU-bound; small inputs arrive
-    // in one file split, and at cluster scale this spreads the scan anyway
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val sp = df.sparkSession
-    import sp.implicits._
-    // null text cannot be a near-duplicate of anything (and would NPE the
-    // shingling kernel): such rows exit the candidate pipeline here
-    val rows = df
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    val banded = rows
-      .repartition(par)
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        bandHashesScala(minhashSignatureScala(text, numHashes, 3), bands, rowsPerBand)
-          .iterator.zipWithIndex.map { case (bh, band) => (band, bh, id) }
-      }
-      .toDF("band", "bh", "id")
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
-    val candidates = a
-      .join(b, Seq("band", "bh"))
+    val rows = minhashRows(df, textCol, idCol)
+    val banded = bandedOf(rows, numHashes, bands)
+    val candidates = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val shingled = rows
-      .repartition(par)
-      .as[(Long, String)]
-      .map { case (id, text) => (id, TextOps.wordShinglesScala(text, 3)) }
-      .toDF("id", "shingles")
-    candidates
-      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyJaccard(
+      candidates,
+      shingledOf(rows, "id_a", "sh_a"),
+      shingledOf(rows, "id_b", "sh_b"),
+      threshold)
   }
 
   /** Near-duplicate pairs BETWEEN two corpora (id_a from `dfA`, id_b from
@@ -186,38 +217,18 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     requireIntegralId(dfA, idCol)
     requireIntegralId(dfB, idCol)
-    val rowsPerBand = numHashes / bands
-    val sp = dfA.sparkSession
-    import sp.implicits._
-    def prep(df: DataFrame) = df
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .repartition(sp.sparkContext.defaultParallelism)
-      .as[(Long, String)]
-    def banded(rows: org.apache.spark.sql.Dataset[(Long, String)]) = rows
-      .flatMap { case (id, text) =>
-        bandHashesScala(minhashSignatureScala(text, numHashes, 3), bands, rowsPerBand)
-          .iterator.zipWithIndex.map { case (bh, band) => (band, bh, id) }
-      }
-      .toDF("band", "bh", "id")
-    def shingled(rows: org.apache.spark.sql.Dataset[(Long, String)], idName: String, shName: String) =
-      rows.map { case (id, text) => (id, TextOps.wordShinglesScala(text, 3)) }
-        .toDF(idName, shName)
-    val a = prep(dfA)
-    val b = prep(dfB)
-    val candidates = banded(a).select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(banded(b).select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+    val a = minhashRows(dfA, textCol, idCol)
+    val b = minhashRows(dfB, textCol, idCol)
+    val candidates = bandedOf(a, numHashes, bands).select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(bandedOf(b, numHashes, bands).select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(shingled(a, "id_a", "sh_a"), Seq("id_a"))
-      .join(shingled(b, "id_b", "sh_b"), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyJaccard(
+      candidates,
+      shingledOf(a, "id_a", "sh_a"),
+      shingledOf(b, "id_b", "sh_b"),
+      threshold)
   }
 
   /** Drop every incoming row with a verified near-duplicate anywhere in the
@@ -461,7 +472,12 @@ object Dedup {
       ref: DataFrame,
       refContentCol: String,
       fpp: Double = 0.01): DataFrame = {
+    // the digest set is read three times (count for bloom sizing, bloom
+    // build, confirm join) — cache it so the reference corpus is scanned
+    // once, not thrice; the blocks are reclaimed with the plan by the
+    // context cleaner
     val refH = ref.select(md5(col(refContentCol)).as("__h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(refH.count(), 1L)
     val bloom = refH.stat.bloomFilter("__h", expected, fpp)
     val bc = df.sparkSession.sparkContext.broadcast(bloom)

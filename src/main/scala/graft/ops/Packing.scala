@@ -63,6 +63,10 @@ object Packing {
       tokensCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // same loud-contract discipline as the dedup kernels: a string id or
+    // token column would ClassCastException mid-job otherwise
+    Dedup.requireIntegralId(df, idCol)
+    Dedup.requireIntegralId(df, tokensCol)
     val schema = df.schema
     val streamIdx = schema.fieldIndex(streamCol)
     val idIdx = schema.fieldIndex(idCol)
@@ -76,15 +80,19 @@ object Packing {
       .mapPartitions { it =>
         val byStream = mutable.Map.empty[Any, mutable.ArrayBuffer[Row]]
         it.foreach(r => byStream.getOrElseUpdate(r.get(streamIdx), mutable.ArrayBuffer.empty) += r)
+        // null tokens count as 0 — same "adds nothing" semantics the window
+        // sum gives sequentialBins, so the two packers agree on null rows
+        def tok(r: Row): Long =
+          if (r.isNullAt(tokIdx)) 0L else r.getAs[Number](tokIdx).longValue()
         byStream.valuesIterator.flatMap { rows =>
           val sorted = rows.sortBy { r =>
-            (-r.getAs[Number](tokIdx).longValue(), r.getAs[Number](idIdx).longValue())
+            (-tok(r), r.getAs[Number](idIdx).longValue())
           }
           // open bins: remaining capacity per bin index; linear first-fit —
           // bins per stream are few (≈ total/budget), so the scan is cheap
           val remaining = mutable.ArrayBuffer.empty[Long]
           sorted.iterator.map { r =>
-            val t = r.getAs[Number](tokIdx).longValue()
+            val t = tok(r)
             var b = 0
             while (b < remaining.length && remaining(b) < t) b += 1
             if (b == remaining.length) remaining += budget

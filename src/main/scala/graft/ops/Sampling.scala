@@ -68,19 +68,33 @@ object Sampling {
     * source's probability. The per-source fractions ride a broadcast join
     * against a rows-sized weights dim — at 100 TB the corpus streams
     * map-side, one comparison per row, no shuffle.
+    *
+    * Sources ABSENT from `weights` follow `defaultWeight`: `None` (the
+    * default) keeps the map as the complete specification of the mixture —
+    * unlisted sources are dropped, stated here loudly because a typo'd key
+    * or a source added upstream otherwise silently excludes a slice. Pass
+    * `Some(f)` to instead sample unlisted sources at `f` (e.g. `Some(1.0)`
+    * = pass through untouched).
     */
   def mixtureSample(
       df: DataFrame,
       idCol: String,
       sourceCol: String,
       weights: Map[String, Double],
-      salt: String = "mix"): DataFrame = {
+      salt: String = "mix",
+      defaultWeight: Option[Double] = None): DataFrame = {
     require(weights.nonEmpty, "empty mixture")
     val sp = df.sparkSession
     val dim = sp.createDataFrame(
       weights.toSeq.sortBy(_._1).map { case (s, f) => (s, fractionThreshold(f)) })
       .toDF(sourceCol, "__thresh")
-    df.join(broadcast(dim), Seq(sourceCol))
+    val joined = defaultWeight match {
+      case None => df.join(broadcast(dim), Seq(sourceCol))
+      case Some(f) =>
+        df.join(broadcast(dim), Seq(sourceCol), "left")
+          .withColumn("__thresh", coalesce(col("__thresh"), lit(fractionThreshold(f))))
+    }
+    joined
       .filter(hashKey(col(idCol), salt) < col("__thresh"))
       .drop("__thresh")
   }

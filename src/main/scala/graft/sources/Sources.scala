@@ -61,19 +61,17 @@ object Sources {
     // files early), Spark packs input files into ~targetBytes splits — each
     // becomes one output file. No coalesce arithmetic, no shuffle, and the
     // split count tracks MEASURED bytes even under skewed file sizes.
-    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
-    try {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-      spark.conf.set("spark.sql.files.openCostInBytes", "0")
-      val df = spark.read.parquet(inDir)
-      val n = df.rdd.getNumPartitions
-      df.write.mode(SaveMode.Overwrite).parquet(outDir)
-      n
-    } finally {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
-    }
+    // The sizing confs go on an ISOLATED session (same SparkContext, own
+    // SQLConf) so concurrent queries on the caller's session never see them.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    s.conf.set("spark.sql.files.openCostInBytes", "0")
+    s.read.parquet(inDir).write.mode(SaveMode.Overwrite).parquet(outDir)
+    // report files actually written (a split that contains no row-group
+    // start emits nothing, so counting scan splits would over-report)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(out).count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** Bucketed + sorted managed table. Joining two tables bucketed on the

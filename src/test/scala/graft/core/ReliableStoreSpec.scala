@@ -64,6 +64,12 @@ class ReliableStoreSpec extends AnyFunSuite {
     val i2 = new Instance[Int](spark.emptyDataset[Int], Instance.ReliableStore(dir))
     i2.insert(spark.createDataset(Seq(7, 8)))
     intercept[IllegalStateException] { i2.changed() }
+    // the refusal must hold on RETRY too — were the counter marked
+    // initialized before the throw, a caught-and-retried epoch would write
+    // batch_1 with a zeroed counter, clobbering the first writer
+    i2.insert(spark.createDataset(Seq(9)))
+    intercept[IllegalStateException] { i2.changed() }
+    assert(i1.stable.collect().sorted.toSeq == Seq(1, 2), "retry must not clobber either")
     // deliberate take-over: batch ids resume above the existing maximum, so
     // batch_1 is never overwritten, and the manifest version advances
     val i3 = new Instance[Int](spark.emptyDataset[Int], Instance.ReliableStore(dir, attach = true))

@@ -36,28 +36,4 @@ class MinHashAggregatorSpec extends AnyFunSuite {
     assert(MinHashAggregator.estimatedJaccard(a, Array(1L, 9L, 3L, 9L)) == 0.5)
   }
 
-  test("approx_count_distinct within 5% of exact on lineitem partkeys") {
-    val r = spark.read.parquet(s"$dir/lineitem.parquet")
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("a"),
-        countDistinct(col("l_partkey")).as("e"))
-      .as[(Long, Long)].head()
-    assert(math.abs(r._1 - r._2).toDouble / r._2 < 0.05, r.toString)
-  }
-
-  test("approx_percentile brackets between exact quantiles at q ± rank tolerance") {
-    // accuracy 10000 → rank error ≤ 1e-4·n; bracket with a generous ±0.01
-    // in quantile space so the bound is robust to ties
-    val q = spark.read.parquet(s"$dir/orders.parquet")
-      .groupBy("o_orderpriority")
-      .agg(
-        expr("approx_percentile(o_totalprice, 0.5D, 10000)").as("approx"),
-        expr("percentile(o_totalprice, 0.49D)").as("lo"),
-        expr("percentile(o_totalprice, 0.51D)").as("hi"))
-      .as[(String, Double, Double, Double)].collect()
-    assert(q.nonEmpty)
-    q.foreach { case (g, a, lo, hi) =>
-      assert(a >= lo && a <= hi, s"group $g: approx $a outside [$lo, $hi]")
-    }
-  }
 }
