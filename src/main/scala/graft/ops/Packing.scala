@@ -47,6 +47,32 @@ object Packing {
       .drop("__before")
   }
 
+  /** Assemble binned documents into one training blob per (stream, bin) —
+    * the artifact packing exists to produce. Documents concatenate in id
+    * order via `array_sort(collect_list(struct(id, text)))` (ids are
+    * unique, so the struct sort is total) — deterministic under any
+    * partitioning, and exactly replayable as SQL `string_agg(text, sep
+    * ORDER BY id)`. One shuffle on (stream, bin) with map-side partial
+    * collects; blob size is budget-bounded by construction.
+    */
+  def assembleBins(
+      binned: DataFrame,
+      streamCol: String,
+      idCol: String,
+      textCol: String,
+      tokensCol: String,
+      sep: String = "\n\n"): DataFrame =
+    binned
+      .groupBy(col(streamCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("n_tokens"),
+        concat_ws(
+          sep,
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            x => x.getField(textCol))).as("text"))
+
   /** First-fit-decreasing bin packing per stream: docs sorted by token count
     * descending (id ascending on ties — deterministic), each placed in the
     * lowest-numbered bin with room; a doc over budget consumes one whole

@@ -250,6 +250,23 @@ object PipelineQueries {
         TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
       "source", "doc_id", "n_tok", 512)
 
+  /** Packed-bin assembly: the 512-token bins concatenated into one training
+    * blob each, in doc-id order. The oracle replays the concatenation with
+    * `string_agg(... ORDER BY ...)` and compares blob md5s — whole-content
+    * equality without shipping megabyte cells through the driver's hasher.
+    */
+  val packAssemble: Q = (spark, dir) => {
+    val binned = Packing.sequentialBins(
+      docs(spark, dir).select(
+        col("source"), col("doc_id"), col("text"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+      "source", "doc_id", "n_tok", 512)
+    Packing.assembleBins(binned, "source", "doc_id", "text", "n_tok")
+      .select(
+        col("source"), col("bin"), col("n_docs"), col("n_tokens"),
+        md5(col("text")).as("blob_md5"))
+  }
+
   /** PII redaction over deterministically synthesized contact strings (the
     * fixture text carries no PII, so the query plants an email + IPv4 +
     * phone per row and the oracle replays the same construction + patterns).
@@ -335,6 +352,7 @@ object PipelineQueries {
     "sample_mixture" -> sampleMixture,
     "sample_stratified" -> sampleStratified,
     "pack_bins" -> packBins,
+    "pack_assemble" -> packAssemble,
     "text_redact" -> textRedact,
     "dedup_against_ref" -> dedupAgainstRef,
     "quality_gate" -> qualityGate,
@@ -418,6 +436,15 @@ object PipelineQueries {
          |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
          |FROM (SELECT source, doc_id, len($wordsSql) AS n_tok FROM documents)""".stripMargin,
+    "pack_assemble" ->
+      s"""WITH binned AS (
+         |  SELECT source, doc_id, text, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+         |  FROM (SELECT source, doc_id, text, len($wordsSql) AS n_tok FROM documents))
+         |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS blob_md5
+         |FROM binned GROUP BY source, bin""".stripMargin,
     "text_redact" -> {
       val synth = "substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) || " +
         "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +

@@ -85,6 +85,26 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("assembleBins: blobs are id-ordered and identical under any partitioning") {
+    val toks = docs.select(col("source"), col("doc_id"), col("text"),
+      TextOps.tokenCount(col("text")).cast("long").as("t"))
+    val binned = Packing.sequentialBins(toks, "source", "doc_id", "t", 512)
+    def blobs(df: org.apache.spark.sql.DataFrame) =
+      Packing.assembleBins(df, "source", "doc_id", "text", "t")
+        .select(col("source"), col("bin"), md5(col("text")).as("m"))
+        .as[(String, Long, String)].collect().toSet
+    val a = blobs(binned)
+    val b = blobs(binned.repartition(17))
+    assert(a == b, "collect_list order must not leak into the assembled blob")
+    // blob content = docs joined in id order
+    val one = Packing.assembleBins(binned.filter(col("source") === "src0"),
+      "source", "doc_id", "text", "t")
+      .filter(col("bin") === 0).select("text").as[String].head()
+    val expected = binned.filter(col("source") === "src0" && col("bin") === 0)
+      .orderBy("doc_id").select("text").as[String].collect().mkString("\n\n")
+    assert(one == expected)
+  }
+
   test("greedyPack: bins respect the budget, oversize docs isolate, count near optimal") {
     val toks = docs
       .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("t"))
