@@ -24,7 +24,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same extension surface as library users (SQL registry + as-of rule)
+      .withExtensions(new graft.functions.GraftFunctions.GraftExtensions)
       .getOrCreate()
+    System.err.println("[bench] GraftExtensions active")
     spark.sparkContext.setLogLevel("WARN")
     // session release intentionally unpersists locally-checkpointed engine
     // state; Spark warns per RDD — noise at 50+ queries × 3 runs

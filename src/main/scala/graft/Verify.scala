@@ -15,7 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver-side sessions run the injected extension surface (SQL
+      // function registry + native as-of strategy), same as library users
+      .withExtensions(new graft.functions.GraftFunctions.GraftExtensions)
       .getOrCreate()
+    System.err.println("[verify] GraftExtensions active")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

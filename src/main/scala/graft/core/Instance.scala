@@ -169,13 +169,17 @@ final class Instance[T](
       Leaf(session.read.schema(ds.schema).parquet(path).as(ds.encoder), id)
   }
 
-  /** First touch of the store directory. Enforces the single-writer
-    * contract: a directory that already carries a manifest belongs to a
-    * previous writer, and silently becoming a second one would leave two
-    * interleaved manifests racing over the same files — refused unless the
-    * policy explicitly opted in with `attach = true` (the deliberate
-    * re-attach/recovery path). On attach, both counters resume above the
-    * existing maxima so old batches and manifests are never clobbered.
+  /** First touch of the store directory. Best-effort guard for the
+    * single-writer contract: a directory that already carries a manifest
+    * belongs to a previous writer, and silently becoming a second one would
+    * leave two interleaved manifests racing over the same files — refused
+    * unless the policy explicitly opted in with `attach = true` (the
+    * deliberate re-attach/recovery path). On attach, both counters resume
+    * above the existing maxima so old batches and manifests are never
+    * clobbered. This is check-then-act at first materialization: writers
+    * racing on a still-manifest-less directory are NOT detected (see
+    * [[Instance.ReliableStore]] — concurrent-writer coordination is the
+    * caller's job).
     */
   private def ensureCounter(dir: String): Unit = if (!counterInitialized) {
     val base = hadoopPath(dir)
@@ -470,12 +474,17 @@ object Instance {
     * Survives executor loss and JVM restart; an instance's content can be
     * re-attached with [[loadBatches]].
     *
-    * One WRITER per directory — ENFORCED: constructing a writer over a `dir`
-    * that already carries a manifest throws unless `attach = true` is passed
-    * (the deliberate take-over path, e.g. a restart of the same logical
-    * writer; batch ids and manifest versions then resume above the existing
-    * maxima so nothing is clobbered). For read-only recovery, prefer
-    * replaying [[loadBatches]] output into a fresh directory.
+    * One WRITER per directory is the CONTRACT; the guard is BEST-EFFORT
+    * against accidental reuse, not a lock: at the writer's FIRST
+    * materialization (not construction) a `dir` that already carries a
+    * manifest throws unless `attach = true` is passed (the deliberate
+    * take-over path, e.g. a restart of the same logical writer; batch ids
+    * and manifest versions then resume above the existing maxima so nothing
+    * is clobbered). Two writers opened over the same fresh directory BEFORE
+    * either commits its first manifest both pass the check and interleave —
+    * coordinating concurrent writers is the caller's job. For read-only
+    * recovery, prefer replaying [[loadBatches]] output into a fresh
+    * directory.
     */
   final case class ReliableStore(dir: String, attach: Boolean = false) extends CheckpointPolicy
 

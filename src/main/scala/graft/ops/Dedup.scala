@@ -450,21 +450,36 @@ object Dedup {
       .withColumn("jaccard", round(col("jaccard"), 4))
   }
 
+  /** Digest sets up to this size take [[exceptContentOf]]'s exact broadcast
+    * path: 128 bits each, packed primitive, so the cap is a 64 MB broadcast.
+    */
+  val MaxExactDigests: Int = 4 * 1024 * 1024
+
   /** Remove rows whose content already appears in a REFERENCE corpus — the
     * eval-set-decontamination step every training pipeline runs. Equality is
     * md5-of-content (128-bit: collisions out of reach, and the oracle can
     * replay the digest verbatim).
     *
-    * Scale shape: a Bloom filter over the reference digests broadcasts to
-    * every task and prefilters MAP-SIDE — the big corpus never shuffles for
-    * the (vast majority of) rows that cannot be contaminated; only bloom
-    * hits pay the exact confirm join, which removes the filter's false
-    * positives, so the result is EXACT. At ~1% fpp the bloom is ~9.6 bits
-    * per reference doc vs 256 for raw digests — it extends the
-    * broadcast-don't-shuffle regime ~27× beyond shipping the digest set.
-    * The bloom probe is the one deliberate UDF in this codebase: a sketch
-    * lookup has no Column-expression form, and one primitive call per row
-    * beats shuffling the corpus.
+    * Scale shape, two regimes — both keep the big corpus map-side only
+    * (it never shuffles; only a broadcast ships):
+    *
+    *  - ref digest set ≤ [[MaxExactDigests]] (the normal shape — a
+    *    decontamination ref is an eval set, orders of magnitude smaller
+    *    than the corpus): ONE capped scan collects the digests, packed as
+    *    a sorted primitive `Array[Long]` of 128-bit pairs (~16 bytes each,
+    *    no per-String object tax) and broadcast; membership is a
+    *    binary-search probe per corpus row. Exact, one job over the ref,
+    *    NO cached/persisted state left behind.
+    *  - bigger refs: a Bloom filter (~9.6 bits per doc at 1% fpp, ~27×
+    *    smaller than raw digests) prefilters map-side and only bloom hits
+    *    pay an exact confirm join that removes the false positives. The
+    *    ref digest plan is scanned per pass, never persisted — pinning
+    *    cached blocks for the session's lifetime was the worse trade.
+    *
+    * The probe is the one deliberate UDF family in this codebase: sketch /
+    * packed-array lookups have no Column-expression form, and one primitive
+    * call per row beats shuffling the corpus. Broadcasts are reclaimed by
+    * the ContextCleaner once the returned plan is dropped.
     */
   def exceptContentOf(
       df: DataFrame,
@@ -472,23 +487,64 @@ object Dedup {
       ref: DataFrame,
       refContentCol: String,
       fpp: Double = 0.01): DataFrame = {
-    // the digest set is read three times (count for bloom sizing, bloom
-    // build, confirm join) — cache it so the reference corpus is scanned
-    // once, not thrice; the blocks are reclaimed with the plan by the
-    // context cleaner
     val refH = ref.select(md5(col(refContentCol)).as("__h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = math.max(refH.count(), 1L)
-    val bloom = refH.stat.bloomFilter("__h", expected, fpp)
-    val bc = df.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
     val withH = df.withColumn("__h", md5(col(contentCol)))
-    val clean = withH.filter(!mightContain(col("__h")))
-    val flagged = withH.filter(mightContain(col("__h")))
-    // exact confirm: only bloom hits (small by construction) reach this
-    // join; false positives survive it, true duplicates do not
-    val survivors = flagged.join(refH, Seq("__h"), "left_anti")
-    clean.unionByName(survivors).drop("__h")
+    // capped pull: one over the cap proves "too big" without an unbounded
+    // driver collect
+    val head = refH.limit(MaxExactDigests + 1).collect()
+      .map(_.getString(0)).filter(_ != null)
+    if (head.length <= MaxExactDigests) {
+      // exact path: digests as sorted (hi, lo) pairs at [2i], [2i+1]
+      // sort UNSIGNED to match the probe's compareUnsigned order (the
+      // default (Long, Long) ordering is signed and would break the search)
+      val packed = head
+        .map(h =>
+          (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
+            java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16)))
+        .sortWith { (x, y) =>
+          val c = java.lang.Long.compareUnsigned(x._1, y._1)
+          if (c != 0) c < 0 else java.lang.Long.compareUnsigned(x._2, y._2) < 0
+        }
+      val flat = new Array[Long](2 * packed.length)
+      var i = 0
+      while (i < packed.length) {
+        flat(2 * i) = packed(i)._1; flat(2 * i + 1) = packed(i)._2; i += 1
+      }
+      val bc = df.sparkSession.sparkContext.broadcast(flat)
+      val contains = udf { (h: String) =>
+        h != null && {
+          val arr = bc.value
+          val hi = java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16)
+          val lo = java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16)
+          var a = 0; var b = arr.length / 2 - 1; var found = false
+          while (a <= b && !found) {
+            val m = (a + b) >>> 1
+            val c = java.lang.Long.compareUnsigned(arr(2 * m), hi) match {
+              case 0 => java.lang.Long.compareUnsigned(arr(2 * m + 1), lo)
+              case x => x
+            }
+            if (c == 0) found = true else if (c < 0) a = m + 1 else b = m - 1
+          }
+          found
+        }
+      }
+      withH.filter(!contains(col("__h"))).drop("__h")
+    } else {
+      // big-ref fallback: bloom prefilter + exact confirm join. The digest
+      // plan is evaluated per pass (count, bloom, confirm) instead of
+      // persisted — decontamination refs this large are rare, and leaked
+      // cached blocks across a long session cost more than the rescans.
+      val expected = math.max(refH.count(), 1L)
+      val bloom = refH.stat.bloomFilter("__h", expected, fpp)
+      val bc = df.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
+      val clean = withH.filter(!mightContain(col("__h")))
+      val flagged = withH.filter(mightContain(col("__h")))
+      // exact confirm: only bloom hits (small by construction) reach this
+      // join; false positives survive it, true duplicates do not
+      val survivors = flagged.join(refH, Seq("__h"), "left_anti")
+      clean.unionByName(survivors).drop("__h")
+    }
   }
 
   /** Keep one row per exact-duplicate group, generic version: survivor is

@@ -80,7 +80,10 @@ object Packing {
     * invariant: Σ min(tokens, budget) ≤ budget per bin.
     * Output: input rows plus `bin` (0-based within stream). A stream must
     * fit in executor memory — choose `streamCol` accordingly (same contract
-    * as every within-block kernel here).
+    * as every within-block kernel here). Streams arrive CONTIGUOUS (hash
+    * repartition on the stream, then a partition-local sort), so the kernel
+    * buffers exactly one stream at a time: peak memory is the LARGEST
+    * stream, not the sum of every stream co-hashed to the partition.
     */
   def greedyPack(
       df: DataFrame,
@@ -102,15 +105,14 @@ object Packing {
         "bin", org.apache.spark.sql.types.LongType, nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.repartition(col(streamCol))
+      .sortWithinPartitions(col(streamCol))
       .toDF()
       .mapPartitions { it =>
-        val byStream = mutable.Map.empty[Any, mutable.ArrayBuffer[Row]]
-        it.foreach(r => byStream.getOrElseUpdate(r.get(streamIdx), mutable.ArrayBuffer.empty) += r)
         // null tokens count as 0 — same "adds nothing" semantics the window
         // sum gives sequentialBins, so the two packers agree on null rows
         def tok(r: Row): Long =
           if (r.isNullAt(tokIdx)) 0L else r.getAs[Number](tokIdx).longValue()
-        byStream.valuesIterator.flatMap { rows =>
+        def packStream(rows: mutable.ArrayBuffer[Row]): Iterator[Row] = {
           val sorted = rows.sortBy { r =>
             (-tok(r), r.getAs[Number](idIdx).longValue())
           }
@@ -124,6 +126,22 @@ object Packing {
             if (b == remaining.length) remaining += budget
             remaining(b) -= math.min(t, budget)
             Row.fromSeq(r.toSeq :+ b.toLong)
+          }
+        }
+        // streams are contiguous after the partition-local sort, so buffer
+        // one run (= one stream) at a time — never the whole partition
+        val in = it.buffered
+        new Iterator[Row] {
+          private var current: Iterator[Row] = Iterator.empty
+          def hasNext: Boolean = current.hasNext || in.hasNext
+          def next(): Row = {
+            if (!current.hasNext) {
+              val key = in.head.get(streamIdx)
+              val run = mutable.ArrayBuffer.empty[Row]
+              while (in.hasNext && in.head.get(streamIdx) == key) run += in.next()
+              current = packStream(run)
+            }
+            current.next()
           }
         }
       }(enc)

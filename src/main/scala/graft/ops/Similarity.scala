@@ -165,19 +165,23 @@ object Similarity {
     val d = inferDim(corpus, vecCol)
     val qd = inferDim(queries, vecCol)
     require(qd == d, s"query embedding dim $qd != corpus dim $d")
-    // Train the coarse quantizer on a bounded seeded sample, NOT the full
-    // corpus: k-means is iterative (many passes over its input), and centroid
+    // Train the coarse quantizer on a bounded draw, NOT the full corpus:
+    // k-means is iterative (many passes over its input), and centroid
     // quality saturates at a few hundred points per cell — at 100 TB a
-    // full-corpus fit is the scale-killer, a ~256·nlist-row sample is one
-    // cheap scan to draw and then all iterations run on a sliver.
-    val trainTarget = 256L * nlist
-    val corpusN = corpus.count()
+    // full-corpus fit is the scale-killer. The draw takes the HEAD of each
+    // input partition (one task per partition, each stops after its quota),
+    // so sizing needs NO count of the corpus — the previous exact
+    // `corpus.count()` was itself a full pass, undercutting the point.
+    // Spreading the quota across partitions (vs a plain `limit`) keeps the
+    // sample from collapsing onto whichever partitions a limit happens to
+    // drain first.
+    val trainTarget = 256 * nlist
     val trainBase = corpus.select(
       org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
-    val train =
-      if (corpusN <= trainTarget) trainBase
-      else trainBase.sample(withReplacement = false,
-        math.min(1.0, trainTarget.toDouble * 1.2 / corpusN), seed)
+    val parts = math.max(1, trainBase.rdd.getNumPartitions)
+    val perPart = math.max(1, (trainTarget + parts - 1) / parts)
+    val train = sp.createDataFrame(
+      trainBase.rdd.mapPartitions(_.take(perPart)), trainBase.schema)
     // A coarse quantizer needs cell SHAPE, not convergence: 10 iterations is
     // standard IVF practice, and each iteration is a full pass (= a Spark
     // job) over the training sample — half the default 20 is pure saving.

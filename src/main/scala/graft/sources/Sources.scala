@@ -45,8 +45,9 @@ object Sources {
     * a few KB per commit, and at cluster scale millions of tiny files make
     * listing dominate job startup and one-row-group-per-file kill scan
     * throughput. The output file count comes from the MEASURED input bytes
-    * (a guessed count is wrong the moment data skews), and the merge is a
-    * `coalesce` — partition-local concatenation, NO shuffle.
+    * (a guessed count is wrong the moment data skews): the scan itself packs
+    * input files into ~`targetBytes` splits via `maxPartitionBytes`, and
+    * each split writes straight through as one output file — NO shuffle.
     *
     * @return number of output files written
     */

@@ -45,6 +45,14 @@ object GraftColumnBridge {
     * right input for broadcast-budget decisions, unlike row counts or static
     * schema estimates that ignore string/array payload width.
     */
+  /** Block until the context's listener bus has delivered every queued
+    * event — support for listener-based "what actually executed" assertions
+    * (events are delivered async, so a listener read right after an action
+    * races the bus).
+    */
+  def flushListenerBus(spark: SparkSession, timeoutMillis: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
+
   def storageBytes(ds: Dataset[_]): Long =
     checkpointRdd(ds)
       .flatMap { rdd =>

@@ -72,12 +72,28 @@ class SourcesSpec extends AnyFunSuite {
     val out = tmp("compact") + "/docs"
     val totalBytes = parquetFiles(src).map(_.length).sum
     val target = totalBytes / 4 // force ~4-6 output files
-    val n = Sources.compactParquet(spark, src, out, target)
+    // no-shuffle contract: compaction runs on its own isolated session, so
+    // assert on what actually EXECUTED — a context-wide listener summing
+    // shuffle bytes over the jobs the call runs (a plan probe on the caller
+    // session would keep passing even if compaction grew a shuffle)
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten +
+            sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n =
+      try {
+        val n = Sources.compactParquet(spark, src, out, target)
+        org.apache.spark.sql.GraftColumnBridge.flushListenerBus(spark, 30000)
+        n
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(shuffled.get() == 0L, s"compaction shuffled ${shuffled.get()} bytes")
     assert(parquetFiles(out).size == n && n >= 4 && n <= 6, s"wrote $n files")
     assert(spark.read.parquet(out).as[(Long, String, String, String, Long)].collect().toSet ==
       docs.as[(Long, String, String, String, Long)].collect().toSet)
-    // no-shuffle contract: scan-sized packing writes directly, no exchange
-    val plan = spark.read.parquet(src).queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
   }
 }
