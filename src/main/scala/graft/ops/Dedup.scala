@@ -465,11 +465,14 @@ object Dedup {
     *
     *  - ref digest set ≤ [[MaxExactDigests]] (the normal shape — a
     *    decontamination ref is an eval set, orders of magnitude smaller
-    *    than the corpus): ONE capped scan collects the digests, packed as
-    *    a sorted primitive `Array[Long]` of 128-bit pairs (~16 bytes each,
-    *    no per-String object tax) and broadcast; membership is a
-    *    binary-search probe per corpus row. Exact, one job over the ref,
-    *    NO cached/persisted state left behind.
+    *    than the corpus): ONE capped scan parses and SORTS the digests
+    *    cluster-side, collects them as packed primitive `Array[Long]`
+    *    chunks of 128-bit pairs (~16 bytes each — the driver never holds
+    *    per-String objects) and broadcasts; membership is a binary-search
+    *    probe per corpus row. Exact, one pass over the ref, NO
+    *    cached/persisted state left behind. Null content rows in the ref
+    *    are dropped in the query (they can match nothing), so the cap
+    *    check is exact.
     *  - bigger refs: a Bloom filter (~9.6 bits per doc at 1% fpp, ~27×
     *    smaller than raw digests) prefilters map-side and only bloom hits
     *    pay an exact confirm join that removes the false positives. The
@@ -487,42 +490,57 @@ object Dedup {
       ref: DataFrame,
       refContentCol: String,
       fpp: Double = 0.01): DataFrame = {
-    val refH = ref.select(md5(col(refContentCol)).as("__h")).distinct()
+    // nulls out of the digest set IN THE QUERY, before the capped pull: a
+    // null content row digests to null and can match nothing, but if it
+    // survived to the driver-side filter it would eat one slot of the
+    // limit(cap+1) probe and make an over-cap ref look exactly-at-cap —
+    // silently truncating the digest set (rows beyond the cap would not
+    // be decontaminated)
+    val refH = ref.select(md5(col(refContentCol)).as("__h"))
+      .filter(col("__h").isNotNull).distinct()
     val withH = df.withColumn("__h", md5(col(contentCol)))
     // capped pull: one over the cap proves "too big" without an unbounded
-    // driver collect
-    val head = refH.limit(MaxExactDigests + 1).collect()
-      .map(_.getString(0)).filter(_ != null)
-    if (head.length <= MaxExactDigests) {
-      // exact path: digests as sorted (hi, lo) pairs at [2i], [2i+1]
-      // sort UNSIGNED to match the probe's compareUnsigned order (the
-      // default (Long, Long) ordering is signed and would break the search)
-      val packed = head
-        .map(h =>
-          (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
-            java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16)))
-        .sortWith { (x, y) =>
-          val c = java.lang.Long.compareUnsigned(x._1, y._1)
-          if (c != 0) c < 0 else java.lang.Long.compareUnsigned(x._2, y._2) < 0
-        }
-      val flat = new Array[Long](2 * packed.length)
-      var i = 0
-      while (i < packed.length) {
-        flat(2 * i) = packed(i)._1; flat(2 * i + 1) = packed(i)._2; i += 1
+    // driver collect. Parse AND sort distributed — the driver receives only
+    // packed primitive Array[Long] chunks (16 bytes per digest), never
+    // cap-many Row+String objects (~400 MB transient at the 4M cap).
+    val sp = df.sparkSession
+    import sp.implicits._
+    // sign-flip trick: signed order on (hi ^ MIN, lo ^ MIN) equals unsigned
+    // order on the raw bits, so the cluster-side orderBy, the concatenation
+    // below, and the probe's plain Long compares all agree on one order
+    val parts = refH.limit(MaxExactDigests + 1)
+      .as[String]
+      .map { h =>
+        (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16) ^ Long.MinValue,
+          java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16) ^ Long.MinValue)
       }
-      val bc = df.sparkSession.sparkContext.broadcast(flat)
+      .toDF("hi", "lo").orderBy("hi", "lo")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val b = Array.newBuilder[Long]
+        it.foreach { case (hi, lo) => b += hi; b += lo }
+        Iterator.single(b.result())
+      }
+      .collect() // range-sorted partitions collect in order ⇒ concat is globally sorted
+    val n = { var s = 0; parts.foreach(s += _.length); s / 2 }
+    if (n <= MaxExactDigests) {
+      // exact path: flipped digests as sorted (hi, lo) pairs at [2i], [2i+1]
+      val flat = new Array[Long](2 * n)
+      var off = 0
+      parts.foreach { a => System.arraycopy(a, 0, flat, off, a.length); off += a.length }
+      val bc = sp.sparkContext.broadcast(flat)
       val contains = udf { (h: String) =>
         h != null && {
           val arr = bc.value
-          val hi = java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16)
-          val lo = java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16)
+          val hi = java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16) ^ Long.MinValue
+          val lo = java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16) ^ Long.MinValue
           var a = 0; var b = arr.length / 2 - 1; var found = false
           while (a <= b && !found) {
             val m = (a + b) >>> 1
-            val c = java.lang.Long.compareUnsigned(arr(2 * m), hi) match {
-              case 0 => java.lang.Long.compareUnsigned(arr(2 * m + 1), lo)
-              case x => x
-            }
+            val mh = arr(2 * m)
+            val c =
+              if (mh != hi) java.lang.Long.compare(mh, hi)
+              else java.lang.Long.compare(arr(2 * m + 1), lo)
             if (c == 0) found = true else if (c < 0) a = m + 1 else b = m - 1
           }
           found

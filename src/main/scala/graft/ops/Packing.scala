@@ -96,6 +96,26 @@ object Packing {
     // token column would ClassCastException mid-job otherwise
     Dedup.requireIntegralId(df, idCol)
     Dedup.requireIntegralId(df, tokensCol)
+    // run detection below finds stream boundaries with Scala == on the key,
+    // while run CONTIGUITY comes from Spark's sort order — the two must
+    // agree on equality. Floating keys (interleaved -0.0/0.0, NaN: Spark
+    // sorts them equal, equals() does not) and binary keys (byte-array
+    // reference equality) disagree, silently splitting one sorted stream
+    // into several runs with different bin assignments — reject them loudly.
+    locally {
+      import org.apache.spark.sql.types._
+      df.schema(streamCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+            BooleanType | DateType | TimestampType | TimestampNTZType => ()
+        case _: DecimalType => () // fixed scale per column ⇒ equals == compareTo
+        case dt =>
+          throw new IllegalArgumentException(
+            s"greedyPack streamCol '$streamCol' must be an integral/string/" +
+              s"boolean/date/time/decimal column (sort-equality must match " +
+              s"equals()); got $dt — floating, binary and nested keys are " +
+              s"not supported")
+      }
+    }
     val schema = df.schema
     val streamIdx = schema.fieldIndex(streamCol)
     val idIdx = schema.fieldIndex(idCol)

@@ -168,20 +168,41 @@ object Similarity {
     // Train the coarse quantizer on a bounded draw, NOT the full corpus:
     // k-means is iterative (many passes over its input), and centroid
     // quality saturates at a few hundred points per cell — at 100 TB a
-    // full-corpus fit is the scale-killer. The draw takes the HEAD of each
-    // input partition (one task per partition, each stops after its quota),
-    // so sizing needs NO count of the corpus — the previous exact
-    // `corpus.count()` was itself a full pass, undercutting the point.
-    // Spreading the quota across partitions (vs a plain `limit`) keeps the
-    // sample from collapsing onto whichever partitions a limit happens to
-    // drain first.
+    // full-corpus fit is the scale-killer. The draw is a seeded
+    // per-partition RESERVOIR (one map-side pass, no count, no shuffle):
+    // taking partition HEADS would be systematically biased on
+    // sorted/clustered parquet layouts (typical), skewing centroids toward
+    // whatever the layout fronts; the reservoir sees every row of its
+    // partition once and keeps a uniform per-partition subsample, with the
+    // seed driving the draw deterministically. Tradeoff vs heads: the
+    // training draw reads each partition fully instead of stopping at the
+    // quota — still ONE pass where the old full-corpus fit paid
+    // maxIter passes, and the fit itself touches only the ~256·nlist
+    // sample. (Partitions still get equal quotas regardless of size;
+    // uniformity is per-partition, which is the right cheap compromise —
+    // exact global uniformity would need the row count we refuse to pay
+    // for.)
     val trainTarget = 256 * nlist
     val trainBase = corpus.select(
       org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
     val parts = math.max(1, trainBase.rdd.getNumPartitions)
     val perPart = math.max(1, (trainTarget + parts - 1) / parts)
     val train = sp.createDataFrame(
-      trainBase.rdd.mapPartitions(_.take(perPart)), trainBase.schema)
+      trainBase.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val rnd = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+        val res = new Array[org.apache.spark.sql.Row](perPart)
+        var seen = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (seen < perPart) res(seen.toInt) = r
+          else {
+            val j = rnd.nextLong(seen + 1)
+            if (j < perPart) res(j.toInt) = r
+          }
+          seen += 1
+        }
+        res.iterator.take(math.min(seen, perPart.toLong).toInt)
+      }, trainBase.schema)
     // A coarse quantizer needs cell SHAPE, not convergence: 10 iterations is
     // standard IVF practice, and each iteration is a full pass (= a Spark
     // job) over the training sample — half the default 20 is pure saving.

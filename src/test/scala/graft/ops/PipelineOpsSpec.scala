@@ -264,6 +264,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall $recall with 3/8 probes")
   }
 
+  test("ivfTopK: reservoir training draw is seed-deterministic") {
+    def run() = Similarity
+      .ivfTopK(emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding", 5,
+        nlist = 4, nprobe = 2, seed = 7L)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(run() == run(), "same corpus + seed must reproduce the same result")
+  }
+
   test("lshTopK and cosineNearDupPairs adapt to non-64-dim embeddings") {
     // 8-dim vectors: two aligned clusters plus an orthogonal singleton.
     // With the r2 hardcoded dim=64 the planes were degenerate for d<64.

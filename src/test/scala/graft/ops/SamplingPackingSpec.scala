@@ -140,6 +140,36 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(expected.nonEmpty && expected.size < docs.count())
   }
 
+  test("exceptContentOf: ref nulls can't eat cap slots; corpus nulls survive") {
+    val base = docs.limit(20).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      Seq((-1L, null.asInstanceOf[String]), (-2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val ref = base.limit(5).select(col("text")).unionByName(
+      Seq(null.asInstanceOf[String], null.asInstanceOf[String]).toDF("text"))
+    val expected = corpus
+      .join(base.limit(5).select(md5(col("text")).as("__r")).distinct(),
+        md5(col("text")) === col("__r"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val got = Dedup.exceptContentOf(corpus, "text", ref, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expected)
+    // md5(null) is null and matches nothing: the null-content corpus rows stay
+    assert(got.contains(-1L) && got.contains(-2L))
+  }
+
+  test("greedyPack rejects floating/binary stream keys (sort-equality contract)") {
+    val df = Seq((0.0, 1L, 10L), (-0.0, 2L, 10L)).toDF("stream", "doc_id", "t")
+    val e = intercept[IllegalArgumentException] {
+      Packing.greedyPack(df, "stream", "doc_id", "t", 512)
+    }
+    assert(e.getMessage.contains("streamCol"))
+    val b = Seq((Array[Byte](1), 1L, 10L)).toDF("stream", "doc_id", "t")
+    intercept[IllegalArgumentException] {
+      Packing.greedyPack(b, "stream", "doc_id", "t", 512)
+    }
+  }
+
   test("property: fractionThreshold is monotone with exact endpoints") {
     import org.scalacheck.{Gen, Prop}
     val genF = Gen.chooseNum(0.0, 1.0)
