@@ -377,72 +377,144 @@ object Dedup {
     * source) — the brute-force-within-bucket baseline for corpora where a
     * natural partition bounds the pair count.
     */
+  /** Sorted distinct xxhash64 values of the char n-gram shingles of `text`,
+    * in COMPILED code — bit-identical to the Column formulation
+    * `array_sort(array_distinct(transform(charShinglesOfNorm(normalize(t),n),
+    * xxhash64)))` (the DuckDB oracle replays that semantics), but without
+    * the per-shingle interpreted HOF dispatch that dominated the profile:
+    * same Locale.ROOT lowercase, same `\s+`→single-space regex, CODE-POINT
+    * windows (Spark's `substr`/`length` count code points, not UTF-16
+    * units), `len ≤ n` ⇒ the single shingle is the whole string, and the
+    * same XXH64 family with the Column default seed 42.
+    */
+  private[ops] def shingleHashes(text: String, n: Int): Array[Long] = {
+    val norm = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
+    val cps = norm.codePoints().toArray
+    val count = math.max(cps.length - n, 0) + 1
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, cps.length)
+      val s = new String(cps, i, end - i)
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var r = 0; var w = 0
+    while (r < hs.length) {
+      if (w == 0 || hs(w - 1) != hs(r)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** Sub-blocks a block of `cnt` docs splits into: 1 (no split) until the
+    * block outgrows `target`, then enough that each sub-block holds ~target
+    * docs, capped at `maxSplits` (shuffle volume grows linearly with the
+    * split factor — each doc ships to G tasks).
+    */
+  private[ops] def subBlocks(cnt: Long, target: Int, maxSplits: Int): Int =
+    math.min(maxSplits.toLong, math.max(1L, (cnt + target - 1) / target)).toInt
+
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       blockCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
-    // normalize once, shuffle by block (the join needs that partitioning
-    // anyway), then shingle over the staged attribute — an inline normalize
-    // inside the shingle lambda would cost O(len²) regex per row
-    val normed = df
-      .select(
-        col(blockCol).as("blk"),
-        col(idCol).as("id"),
-        TextOps.normalize(col(textCol)).as("norm"))
-      .repartition(col("blk"))
-    // hash shingles to Longs: pairwise set ops on fixed-width longs are far
-    // cheaper than on strings, and 64-bit collisions are negligible for
-    // Jaccard (expected collisions ≈ |shingles|²/2⁶⁴ per doc)
-    // hash shingles to sorted Long arrays: 64-bit collisions are negligible
-    // for Jaccard, and the pair stage can then use a compiled two-pointer
-    // merge instead of per-pair interpreted array_intersect (≈40× cheaper —
-    // the pair count is inherently quadratic per block, so the per-pair
-    // constant is what decides throughput)
-    val s = normed.select(
-      col("blk"),
-      col("id"),
-      array_sort(
-        array_distinct(transform(TextOps.charShinglesOfNorm(col("norm"), n), sh => xxhash64(sh))))
-        .as("sh"))
+      threshold: Double,
+      targetBlockSize: Int = 4096,
+      maxSplits: Int = 16): DataFrame = {
+    require(targetBlockSize > 0 && maxSplits > 0)
     val sp = df.sparkSession
     import sp.implicits._
-    // per-block compiled kernel: a self-join would materialize every pair
+    // shingle in a compiled typed map (see shingleHashes): hashes to sorted
+    // Long arrays, so the pair stage runs a compiled two-pointer merge
+    // instead of per-pair interpreted array_intersect (the pair count is
+    // inherently quadratic per block — the per-pair constant decides
+    // throughput). Null text/block rows drop here: SQL join semantics pair
+    // them with nothing.
+    val base = df
+      .select(col(blockCol).cast("string").as("blk"), col(idCol).cast("long").as("id"),
+        col(textCol).as("text"))
+      .filter(col("blk").isNotNull && col("text").isNotNull)
+    val s = base
+      .as[(String, Long, String)]
+      .mapPartitions(_.map { case (blk, id, text) => (blk, id, shingleHashes(text, n)) })
+      .toDF("blk", "id", "sh")
+    // TRIANGULAR sub-block decomposition for blocks above targetBlockSize:
+    // one giant block would otherwise serialize into a single task. Docs
+    // land in G = subBlocks(|block|) groups by id-hash; every unordered
+    // sub-block pair (ga ≤ gb) becomes its own task, so a block fans out to
+    // G(G+1)/2 tasks of ~(|block|/G)² pair work while each doc ships to
+    // exactly G of them. Pair coverage is exact and duplicate-free: a pair
+    // within one sub-block appears only in (g,g); across sub-blocks only in
+    // (min,max).
+    // per-block sizes from the CHEAP pre-shingle projection (counting off
+    // `s` would run the shingle map twice), broadcast back onto `s` so the
+    // shingled rows never shuffle for the join — the count relation is one
+    // row per distinct block
+    val counts = base.groupBy("blk").agg(count(lit(1)).as("__cnt"))
+    val tgt = lit(targetBlockSize.toLong); val mx = lit(maxSplits.toLong)
+    val keyed = s
+      .join(broadcast(counts), "blk")
+      .withColumn("__g", least(mx, greatest(lit(1L), ceil(col("__cnt") / tgt)))
+        .cast("int"))
+      .withColumn("g", pmod(xxhash64(col("id")), col("__g").cast("long")).cast("int"))
+      .select(
+        col("blk"), col("id"), col("sh"), col("g"),
+        explode(
+          array_distinct(transform(
+            sequence(lit(0), col("__g") - 1),
+            o => struct(least(col("g"), o).as("ga"), greatest(col("g"), o).as("gb")))))
+          .as("t"))
+      .select(col("blk"), col("t.ga"), col("t.gb"), col("g"), col("id"), col("sh"))
+    // per-task compiled kernel: a self-join would materialize every pair
     // with both 2KB arrays (O(pairs·|sh|) bytes through the pipeline);
     // grouping deserializes each doc once and runs the O(pairs) double loop
-    // in compiled code. Requires a block to fit in executor memory — the
-    // blocking column is chosen for exactly that (same contract as any
-    // within-bucket brute-force stage).
-    s.select(col("blk").cast("string").as("blk"), col("id"), col("sh"))
-      .as[(String, Long, Array[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val ds = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+    // in compiled code. A task buffers one sub-block pair (~2·targetBlockSize
+    // docs) — that, not the whole block, is the executor-memory contract.
+    keyed
+      .as[(String, Int, Int, Int, Long, Array[Long])]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key, it) =>
+        val (_, ga, gb) = key
         val out = Vector.newBuilder[(Long, Long, Double)]
-        var x = 0
-        while (x < ds.length) {
-          var y = x + 1
-          val (ia, sa) = ds(x)
-          while (y < ds.length) {
-            val (ib, sb) = ds(y)
-            // size prefilter: jaccard >= t needs |A|/|B| within [t, 1/t]
-            val minLen = math.min(sa.length, sb.length).toDouble
-            val maxLen = math.max(sa.length, sb.length).toDouble
-            if (maxLen > 0 && minLen / maxLen >= threshold) {
-              var i = 0; var j = 0; var inter = 0
-              while (i < sa.length && j < sb.length) {
-                if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
-                else if (sa(i) < sb(j)) i += 1
-                else j += 1
-              }
-              val jac = inter.toDouble / (sa.length + sb.length - inter)
-              if (jac >= threshold) out += ((ia, ib, jac))
+        def pair(ia: Long, sa: Array[Long], ib: Long, sb: Array[Long]): Unit = {
+          // size prefilter: jaccard >= t needs |A|/|B| within [t, 1/t]
+          val minLen = math.min(sa.length, sb.length).toDouble
+          val maxLen = math.max(sa.length, sb.length).toDouble
+          if (maxLen > 0 && minLen / maxLen >= threshold) {
+            var i = 0; var j = 0; var inter = 0
+            while (i < sa.length && j < sb.length) {
+              if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+              else if (sa(i) < sb(j)) i += 1
+              else j += 1
             }
-            y += 1
+            val jac = inter.toDouble / (sa.length + sb.length - inter)
+            if (jac >= threshold) out += ((math.min(ia, ib), math.max(ia, ib), jac))
           }
-          x += 1
+        }
+        if (ga == gb) {
+          val ds = it.map(t => (t._5, t._6)).toArray.sortBy(_._1)
+          var x = 0
+          while (x < ds.length) {
+            var y = x + 1
+            while (y < ds.length) { pair(ds(x)._1, ds(x)._2, ds(y)._1, ds(y)._2); y += 1 }
+            x += 1
+          }
+        } else {
+          val (as, bs) = it.toArray.partition(_._4 == ga)
+          var x = 0
+          while (x < as.length) {
+            var y = 0
+            while (y < bs.length) { pair(as(x)._5, as(x)._6, bs(y)._5, bs(y)._6); y += 1 }
+            x += 1
+          }
         }
         out.result().iterator
       }

@@ -204,6 +204,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ngramJaccardPairs: triangular sub-block split returns identical pairs") {
+    val whole = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 5, 0.30)
+      .as[(Long, Long, Double)].collect().toSet
+    // force every 30-doc block into the max 7 sub-blocks → 28 tasks/block
+    val split = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 5, 0.30,
+      targetBlockSize = 4, maxSplits = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(split == whole)
+    // no duplicate pair may survive the decomposition
+    val splitList = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 5, 0.30,
+      targetBlockSize = 4, maxSplits = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(splitList.length == splitList.toSet.size)
+    assert(Dedup.subBlocks(250, 4096, 16) == 1, "under target: no split")
+    assert(Dedup.subBlocks(10000, 1000, 16) == 10)
+    assert(Dedup.subBlocks(1000000, 1000, 16) == 16, "split factor is capped")
+  }
+
   // --- Embedding near-dup + ANN -------------------------------------------
 
   test("cosineNearDupPairs: no false positives; subset of brute force") {
