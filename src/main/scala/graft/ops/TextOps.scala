@@ -186,6 +186,20 @@ object TextOps {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesOfTokens(tokens(text), n)
 
+  /** ALL word n-grams of a STAGED tokens column, duplicates KEPT — the
+    * counting-mode companion of [[wordShinglesOfTokens]] (which dedups for
+    * set comparisons). Repetition signals need the multiset: the
+    * most-frequent n-gram's share of a document is a top Gopher-style
+    * boilerplate detector, and it is precisely the duplicates that carry
+    * the signal. Empty when the document has fewer than n tokens.
+    */
+  def wordNgramsAllOfTokens(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+
   /** Compiled replica of [[wordShingles]] (same tokenization, same
     * shorter-than-n fallback, distinct set) for per-row hot paths.
     */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,16 @@ object PipelineQueries {
   val dedupEmbedding: Q = (spark, dir) =>
     Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.30, bits = 4)
 
+  /** Duplicate CLUSTERS from the embedding near-dup pair graph: connected
+    * components by min-label propagation. Oracle-checked end-to-end — the
+    * pair graph replays via hyperplane literals and the component labels
+    * via a recursive transitive-closure CTE, so the iterative Spark graph
+    * loop is held to an exact algebraic answer.
+    */
+  val dedupComponents: Q = (spark, dir) =>
+    Dedup.duplicateClusters(
+      Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.30, bits = 4))
+
   // ------------------------------------------------------------- similarity
 
   /** Exact cosine top-10 for query vectors (vec_id < 8) over the corpus.
@@ -83,6 +93,29 @@ object PipelineQueries {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10,
       nlist = 8, nprobe = 3)
   }
+
+  /** Int8-quantized top-10 by integer dot product over unit-normalized
+    * vectors — fully oracle-checked (integer scores leave no float
+    * ambiguity), pinning the quantized ANN path end-to-end.
+    */
+  val knnInt8: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    Similarity.int8TopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+  }
+
+  /** Per-vector int8 quantization, projected to scalars for the oracle
+    * (array cells don't survive the driver's hashing): scale plus first/
+    * last codes and exact integer aggregates over the code array.
+    */
+  val embeddingQuantize: Q = (spark, dir) =>
+    Similarity.quantizeInt8(emb(spark, dir), "embedding")
+      .select(
+        col("vec_id"),
+        col("scale"),
+        element_at(col("q"), 1).as("q_first"),
+        element_at(col("q"), -1).as("q_last"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, v) => a + abs(v)).as("q_l1"))
 
   /** Exact L2 norms — raw doubles, bitwise-equal cross-engine. */
   val embeddingNorm: Q = (spark, dir) =>
@@ -122,6 +155,47 @@ object PipelineQueries {
 
   val textLangid: Q = (spark, dir) =>
     docs(spark, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+
+  /** Gopher-style intra-document repetition signals: duplicate-token
+    * fraction (map-side HOFs) and the most-frequent bigram's share of all
+    * bigrams. The bigram mode needs a count-per-(doc, bigram) aggregate —
+    * two narrow shuffles over (id, bigram) pairs, never the documents
+    * themselves — then folds back onto the map-side stats by doc id. All
+    * signals are integer counts divided once: bit-exact cross-engine.
+    */
+  val textRepetition: Q = (spark, dir) => {
+    val staged = docs(spark, dir).select(
+      col("doc_id"),
+      TextOps.tokens(col("text")).as("ws"))
+    val base = staged.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      TextOps.dupUnitFraction(col("ws")).as("dup_word_frac"),
+      TextOps.wordNgramsAllOfTokens(col("ws"), 2).as("bgs"))
+    val topBigram = base
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .groupBy("doc_id", "bg")
+      .count()
+      .groupBy("doc_id")
+      .agg(max("count").as("top_cnt"))
+    base
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("dup_word_frac"),
+        when(size(col("bgs")) === 0, 0.0)
+          .otherwise(coalesce(col("top_cnt"), lit(0L)).cast("double") / size(col("bgs")))
+          .as("top_bigram_frac"))
+  }
+
+  /** BM25 relevance over the corpus for a fixed query — the retrieval/
+    * data-selection scoring step, all map-side except one single-row
+    * statistics aggregate (see [[graft.ops.Ranking]]).
+    */
+  val bm25Terms = Seq("vector", "stream", "window")
+  val bm25Rank: Q = (spark, dir) =>
+    Ranking.bm25(docs(spark, dir), "text", "doc_id", bm25Terms)
 
   /** Canonical-form md5 fingerprint — oracle-able (DuckDB md5 over the same
     * normalization); the xxhash64 rolling hash lives in [[textRolling]] so
@@ -366,9 +440,14 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_components" -> dedupComponents,
     "knn_brute" -> knnBrute,
     "knn_lsh" -> knnLsh,
     "knn_ivf" -> knnIvf,
+    "knn_int8" -> knnInt8,
+    "embedding_quantize" -> embeddingQuantize,
+    "text_repetition" -> textRepetition,
+    "bm25_rank" -> bm25Rank,
     "embedding_norm" -> embeddingNorm,
     "embedding_unit" -> embeddingUnit,
     "text_tokens" -> textTokens,
@@ -577,6 +656,85 @@ object PipelineQueries {
          |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
          |FROM h a JOIN h b ON a.bucket = b.bucket AND a.id < b.id
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30""".stripMargin,
+    "dedup_components" ->
+      // the engine's iterative min-label propagation vs. the algebraic
+      // ground truth: transitive closure (recursive CTE) + min reachable id
+      s"""WITH RECURSIVE h AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+         |    ${bucketSql("CAST(embedding AS DOUBLE[])", 4)} AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM h a JOIN h b ON a.bucket = b.bucket AND a.id < b.id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src""".stripMargin,
+    "embedding_quantize" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM s),
+        |u AS (SELECT vec_id, CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END AS scale, v FROM t),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+        |      FROM u)
+        |SELECT vec_id, scale, q[1] AS q_first, q[-1] AS q_last,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+        |FROM q""".stripMargin,
+    "knn_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |unitized AS (
+        |  SELECT vec_id,
+        |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+        |  FROM s),
+        |qz AS (
+        |  SELECT vec_id,
+        |    list_transform(u, x -> CAST(floor(x *
+        |      (CASE WHEN list_max(list_transform(u, y -> abs(y))) = 0 THEN 1.0
+        |            ELSE 127.0 / list_max(list_transform(u, y -> abs(y))) END) + 0.5)
+        |      AS INTEGER)) AS q
+        |  FROM unitized),
+        |scored AS (
+        |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT) AS dot_q
+        |  FROM qz c JOIN qz qr ON qr.vec_id < 8 AND c.vec_id != qr.vec_id)
+        |SELECT q_id, n_id, dot_q, rank FROM (
+        |  SELECT q_id, n_id, dot_q,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+    "text_repetition" ->
+      s"""WITH staged AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |base AS (
+         |  SELECT doc_id, len(ws) AS n_tokens,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+         |    END AS dup_word_frac,
+         |    CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(generate_series(0, len(ws) - 2),
+         |                             i -> ws[i + 1] || ' ' || ws[i + 2])
+         |    END AS bgs
+         |  FROM staged),
+         |counted AS (
+         |  SELECT doc_id, bg, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+         |  GROUP BY doc_id, bg),
+         |top AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM counted GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup_word_frac,
+         |  CASE WHEN len(bgs) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(top_cnt, 0) AS DOUBLE) / len(bgs)
+         |  END AS top_bigram_frac
+         |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id""".stripMargin,
+    "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
     "knn_lsh" ->
       s"""WITH h AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

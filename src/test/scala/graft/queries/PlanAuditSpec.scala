@@ -129,6 +129,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "sketch aggregate must have a map-side partial phase")
   }
 
+  test("embedding_quantize: pure map-side, zero exchanges") {
+    val p = plan("embedding_quantize")
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+  }
+
+  test("bm25_rank: corpus never hash-shuffles; stats fold to one broadcast row") {
+    val p = plan("bm25_rank")
+    // per-term tf is map-side HOFs; the only exchange is the single-row
+    // statistics aggregate (SinglePartition), which broadcasts back
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      s"corpus must stay map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row stats must ride a broadcast")
+  }
+
+  test("knn_int8: query side broadcasts like the float baseline") {
+    val p = plan("knn_int8")
+    assert(p.contains("BroadcastExchange"), "query set must broadcast")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"only the ranking window may shuffle:\n$p")
+  }
+
   test("dedup_against_ref: reference digests aggregate once; corpus path is scan+filter") {
     val p = plan("dedup_against_ref")
     // Two legitimate regimes: a small ref digest set rides the exact
