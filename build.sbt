@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g on a 128 GiB machine: at 8g the bench showed multi-second G1
+  // mid-query pauses (a 10.9 s outlier on a 2.4 s query) from the
+  // allocation-heavy engine queries; doubling the heap halves collection
+  // frequency and the outlier pathology disappears from the medians.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
