@@ -561,7 +561,8 @@ object Dedup {
       contentCol: String,
       ref: DataFrame,
       refContentCol: String,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      maxExact: Int = MaxExactDigests): DataFrame = {
     // nulls out of the digest set IN THE QUERY, before the capped pull: a
     // null content row digests to null and can match nothing, but if it
     // survived to the driver-side filter it would eat one slot of the
@@ -580,7 +581,7 @@ object Dedup {
     // sign-flip trick: signed order on (hi ^ MIN, lo ^ MIN) equals unsigned
     // order on the raw bits, so the cluster-side orderBy, the concatenation
     // below, and the probe's plain Long compares all agree on one order
-    val parts = refH.limit(MaxExactDigests + 1)
+    val parts = refH.limit(maxExact + 1)
       .as[String]
       .map { h =>
         (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16) ^ Long.MinValue,
@@ -595,7 +596,7 @@ object Dedup {
       }
       .collect() // range-sorted partitions collect in order ⇒ concat is globally sorted
     val n = { var s = 0; parts.foreach(s += _.length); s / 2 }
-    if (n <= MaxExactDigests) {
+    if (n <= maxExact) {
       // exact path: flipped digests as sorted (hi, lo) pairs at [2i], [2i+1]
       val flat = new Array[Long](2 * n)
       var off = 0
@@ -645,50 +646,125 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Duplicate clusters from near-dup pairs: connected components by
-    * iterative min-label propagation — `label(x) ← min over neighbors ∪ x`
-    * until fixpoint. Greedy pair-dropping ([[dedupByMinhash]]) over-deletes
-    * transitive chains (B~A and C~B drops both B and C even when C≁A);
-    * cluster-then-keep-one is the standard resolution step, and label
-    * propagation is its scalable shape: each round is one join + min-agg on
-    * the PAIR graph (tiny next to the corpus), converging in
-    * O(cluster diameter) rounds. Per-round `localCheckpoint` truncates the
-    * iteration lineage; superseded rounds are unpersisted immediately (the
-    * loop is private to this call). The returned labels stay
-    * block-manager-resident; at 100 TB you'd write them to a table anyway.
+  /** A pair graph with at most this many (symmetric) edges resolves in ONE
+    * compiled union-find task (~16 bytes/edge ⇒ ≲ 512 MB task footprint)
+    * instead of the distributed loop — see [[duplicateClusters]].
+    */
+  val SingleTaskEdgeLimit: Long = 32L * 1024 * 1024
+
+  /** Duplicate clusters from near-dup pairs: connected components.
+    * Greedy pair-dropping ([[dedupByMinhash]]) over-deletes transitive
+    * chains (B~A and C~B drops both B and C even when C≁A);
+    * cluster-then-keep-one is the standard resolution step.
+    *
+    * Two regimes, chosen by measured edge count. The pair graph is tiny
+    * next to the corpus BY CONSTRUCTION (only near-duplicates pair), so
+    * the normal case — even at 100 TB corpus scale — is a graph that fits
+    * one task: a compiled path-compressed union-find over the edge
+    * iterator, one Spark job, exact. Distributed iteration only wins when
+    * the edge list itself is huge (≥ [[SingleTaskEdgeLimit]]); that path
+    * is min-label propagation with POINTER HALVING (label ← label(label)
+    * each round), converging in O(log diameter) rounds of small joins,
+    * each round `localCheckpoint`ed to truncate lineage and unpersisted
+    * when superseded. Convergence is detected by the label-sum checksum —
+    * labels only ever decrease, so an unchanged sum IS the fixpoint. The
+    * returned labels stay block-manager-resident; at 100 TB you'd write
+    * them to a table anyway.
     *
     * @param pairs near-dup pairs with `id_a`/`id_b` columns
     * @return (id, cluster) — cluster is the component's minimum id; ids
     *         absent from `pairs` are absent here (singletons keep
     *         themselves, see [[dedupByClusters]])
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      singleTaskLimit: Long = SingleTaskEdgeLimit): DataFrame = {
+    // Checkpoint the symmetric edge list ONCE: both regimes read it more
+    // than once, and without materialization every read re-executes the
+    // whole upstream pair-generation plan (e.g. the LSH bucket join).
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint(true)
+    if (edges.count() <= singleTaskLimit) {
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      val labels = edges
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          // path-compressed union-find; roots are component minima because
+          // union always points the LARGER root at the smaller one
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          val seen = scala.collection.mutable.LongMap.empty[Unit]
+          it.foreach { case (s, d) =>
+            seen.update(s, ())
+            val rs = find(s); val rd = find(d)
+            if (rs != rd) {
+              if (rs < rd) parent(rd) = rs else parent(rs) = rd
+            }
+          }
+          seen.keysIterator.map(n => (n, find(n)))
+        }
+        .toDF("id", "cluster")
+        .localCheckpoint(true) // edges are unpersisted below: sever the lineage
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(edges)
+      return labels
+    }
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
+    // Convergence via label checksum: min-label propagation only ever
+    // DECREASES labels, so the sum is strictly monotone until fixpoint —
+    // one tiny aggregate replaces the join-and-compare job. Decimal sum:
+    // immune to Long overflow at any node-id magnitude.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = checksum(labels)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val next = edges
+      val viaNbr = edges
         .join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("cluster"))
+      // materialized per round: the hop below reads it twice (self-join),
+      // and joining the raw union+agg plan against itself trips Catalyst's
+      // Union constraint rewriting besides re-executing the round's work
+      val cand = viaNbr
         .union(labels)
         .groupBy("id")
         .agg(min("cluster").as("cluster"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
+      // Pointer halving: follow each candidate label one hop through the
+      // candidate mapping itself (label ← label(label)). Chains contract
+      // geometrically — O(log diameter) rounds instead of O(diameter) —
+      // and each round is still just joins on the tiny label/edge sets.
+      val candB = cand.select(col("id").as("cid"), col("cluster").as("ccl"))
+      val next = cand
+        .join(candB, cand("cluster") === candB("cid"), "left")
+        .select(
+          cand("id"),
+          least(cand("cluster"), coalesce(col("ccl"), cand("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val s = checksum(next)
+      converged = s == prev
+      prev = s
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(cand)
       org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(labels)
       labels = next
       i += 1
     }
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(edges)
     labels
   }
 

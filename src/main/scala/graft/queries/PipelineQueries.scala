@@ -293,6 +293,19 @@ object PipelineQueries {
       Sampling.splitColumn(
         col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
 
+  /** GROUP-aware split: hash the source, not the document, so every
+    * document of a source lands in the same split — the leakage-safe
+    * variant when near-duplicates cluster within groups (same crawl
+    * domain, same book, same repo). Same stability property, one level up:
+    * adding documents never reassigns a group.
+    */
+  val sampleSplitGroup: Q = (spark, dir) =>
+    docs(spark, dir).select(
+      col("doc_id"),
+      col("source"),
+      Sampling.splitColumn(
+        col("source"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+
   /** Mixture weights for [[sampleMixture]]: even-numbered sources kept at
     * 0.9, odd at 0.3 — shared between the Spark query and the oracle CASE.
     */
@@ -366,6 +379,19 @@ object PipelineQueries {
       .select("doc_id", "source")
   }
 
+  /** The SAME decontamination through the big-ref regime (`maxExact = 0`
+    * forces the Bloom prefilter + exact confirm join): results are exact at
+    * any fpp, so the identical oracle faces the bloom path in the driver's
+    * gate — both regimes of [[Dedup.exceptContentOf]] stay correctness-
+    * checked, not just the one the fixture size happens to take.
+    */
+  val dedupBloom: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    Dedup
+      .exceptContentOf(d, "text", d.filter(col("source") === "src0"), "text", maxExact = 0)
+      .select("doc_id", "source")
+  }
+
   /** Gopher-style quality gate: each document gets its FIRST failing rule
     * (length bounds, mean word length, intra-doc sentence repetition) or
     * 'ok' — the filter stage of a pretraining pipeline with drop REASONS,
@@ -423,12 +449,14 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "sample_split" -> sampleSplit,
+    "sample_split_group" -> sampleSplitGroup,
     "sample_mixture" -> sampleMixture,
     "sample_stratified" -> sampleStratified,
     "pack_bins" -> packBins,
     "pack_assemble" -> packAssemble,
     "text_redact" -> textRedact,
     "dedup_against_ref" -> dedupAgainstRef,
+    "dedup_bloom" -> dedupBloom,
     "quality_gate" -> qualityGate,
     "pipeline_e2e" -> pipelineE2e,
     "text_chunks" -> textChunks,
@@ -496,6 +524,14 @@ object PipelineQueries {
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
     },
+    "sample_split_group" -> {
+      val h = hashKeySql("source", "split")
+      s"""SELECT doc_id, source,
+         |  CASE WHEN $h < '${Sampling.fractionThreshold(0.8)}' THEN 'train'
+         |       WHEN $h < '${Sampling.fractionThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
     "sample_mixture" -> {
       val cases = mixWeights.toSeq.sortBy(_._1)
         .map { case (s, f) => s"WHEN '$s' THEN '${Sampling.fractionThreshold(f)}'" }
@@ -531,6 +567,13 @@ object PipelineQueries {
       s"SELECT doc_id, ${TextOps.redactPiiSql(s"($synth)")} AS redacted FROM documents"
     },
     "dedup_against_ref" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE text IS NULL
+        |   OR md5(text) NOT IN (SELECT md5(text) FROM documents
+        |                        WHERE source = 'src0' AND text IS NOT NULL)""".stripMargin,
+    // the bloom regime is exact (confirm join removes false positives), so
+    // the decontamination oracle is IDENTICAL to the exact regime's
+    "dedup_bloom" ->
       """SELECT doc_id, source FROM documents
         |WHERE text IS NULL
         |   OR md5(text) NOT IN (SELECT md5(text) FROM documents

@@ -118,6 +118,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val chainLabels = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
     assert(chainLabels.values.toSet == Set(1L) && chainLabels.size == 12)
+    // the DISTRIBUTED regime (forced by a zero single-task limit) must give
+    // the identical answer, including on the worst-case chain where pointer
+    // halving does the work
+    val distLabels = Dedup.duplicateClusters(chain, singleTaskLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(distLabels == chainLabels, "distributed loop diverges from union-find")
+    val distPairs = Dedup.duplicateClusters(pairs, singleTaskLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(distPairs == labels)
     // realistic graph: minhash pairs on the fixture vs brute-force union-find
     val mh = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect()
