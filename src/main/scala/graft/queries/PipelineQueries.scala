@@ -379,6 +379,42 @@ object PipelineQueries {
       .select("doc_id", "source")
   }
 
+  /** Global token-frequency top-100 — vocabulary seeding for tokenizer
+    * training. One explode + one count aggregate (map-side partials), and
+    * the global top-k fuses into TakeOrderedAndProject: per-partition heaps
+    * ship k rows each, never a full sort — the same bounded-heap shape as
+    * [[graft.ops.TopK]], via Catalyst's own operator.
+    */
+  val vocabTopk: Q = (spark, dir) =>
+    docs(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+
+  /** Per-source contamination AUDIT: how much of each source's content
+    * appears in the reference slice — the report you read before dropping
+    * rows. Same digest semantics as [[dedupAgainstRef]], aggregated
+    * instead of filtered; the ref digest set aggregates once and
+    * broadcasts into the probe join, the corpus never shuffles before the
+    * final small per-source aggregate.
+    */
+  val contaminationReport: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    val refH = d.filter(col("source") === "src0")
+      .select(md5(col("text")).as("__h")).filter(col("__h").isNotNull).distinct()
+    d.withColumn("__h", md5(col("text")))
+      .join(broadcast(refH.withColumn("__hit", lit(1))), Seq("__h"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+      .withColumn(
+        "contamination_rate",
+        col("n_contaminated").cast("double") / col("n_docs"))
+  }
+
   /** The SAME decontamination through the big-ref regime (`maxExact = 0`
     * forces the Bloom prefilter + exact confirm join): results are exact at
     * any fpp, so the identical oracle faces the bloom path in the driver's
@@ -457,6 +493,8 @@ object PipelineQueries {
     "text_redact" -> textRedact,
     "dedup_against_ref" -> dedupAgainstRef,
     "dedup_bloom" -> dedupBloom,
+    "vocab_topk" -> vocabTopk,
+    "contamination_report" -> contaminationReport,
     "quality_gate" -> qualityGate,
     "pipeline_e2e" -> pipelineE2e,
     "text_chunks" -> textChunks,
@@ -571,6 +609,22 @@ object PipelineQueries {
         |WHERE text IS NULL
         |   OR md5(text) NOT IN (SELECT md5(text) FROM documents
         |                        WHERE source = 'src0' AND text IS NOT NULL)""".stripMargin,
+    "vocab_topk" ->
+      s"""SELECT token, COUNT(*) AS freq
+         |FROM (SELECT unnest($wordsSql) AS token FROM documents)
+         |GROUP BY token
+         |ORDER BY freq DESC, token
+         |LIMIT 100""".stripMargin,
+    "contamination_report" ->
+      """WITH refh AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE source = 'src0' AND text IS NOT NULL)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN md5(text) IN (SELECT h FROM refh) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(SUM(CASE WHEN md5(text) IN (SELECT h FROM refh) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS contamination_rate
+        |FROM documents GROUP BY source""".stripMargin,
     // the bloom regime is exact (confirm join removes false positives), so
     // the decontamination oracle is IDENTICAL to the exact regime's
     "dedup_bloom" ->

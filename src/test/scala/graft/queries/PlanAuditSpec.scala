@@ -129,6 +129,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "sketch aggregate must have a map-side partial phase")
   }
 
+  test("vocab_topk: global top-k fuses to TakeOrderedAndProject, one count shuffle") {
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), "limit+sort must fuse, not global-sort")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_"), "token counts must combine map-side")
+  }
+
+  test("contamination_report: ref digests broadcast; corpus aggregates without a probe shuffle") {
+    val p = plan("contamination_report")
+    assert(p.contains("BroadcastHashJoin"), "digest probe must broadcast")
+    // ref digest distinct + final per-source aggregate
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
   test("embedding_quantize: pure map-side, zero exchanges") {
     val p = plan("embedding_quantize")
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
