@@ -427,6 +427,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"int8 recall $recall vs float brute force")
   }
 
+  test("quantizeInt8 property: arbitrary float vectors stay bounded and reconstruct") {
+    import org.scalacheck.{Gen, Prop}
+    val genVec = for {
+      d <- Gen.chooseNum(1, 16)
+      v <- Gen.listOfN(d, Gen.chooseNum(-1e6f, 1e6f))
+    } yield v
+    val prop = Prop.forAll(Gen.listOfN(8, genVec)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+      val q = Similarity.quantizeInt8(df, "v")
+        .select("vec_id", "scale", "q").as[(Long, Double, Seq[Int])].collect()
+      q.forall { case (id, scale, codes) =>
+        val v = vecs(id.toInt)
+        scale > 0 &&
+          codes.forall(c => c.abs <= 127) &&
+          codes.indices.forall(i => math.abs(codes(i) / scale - v(i)) <= 0.5 / scale + 1e-9)
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // --- BM25 ----------------------------------------------------------------
 
   test("bm25 equals a Scala reference implementation exactly (pre-rounding tolerance)") {
