@@ -300,6 +300,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // zip_with pads the shorter side with nulls: a silent dim mismatch
+    // would null the products and poison every score — refuse loudly, the
+    // same contract lshTopK enforces
+    val d = inferDim(corpus, vecCol)
+    val qd = inferDim(queries, vecCol)
+    require(qd == d, s"query embedding dim $qd != corpus dim $d")
     def prep(df: DataFrame, idAs: String, qAs: String) =
       quantizeInt8(unitNormalize(df, vecCol, "__u"), "__u")
         .select(col(idCol).as(idAs), col("q").as(qAs))

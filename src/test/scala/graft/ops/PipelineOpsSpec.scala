@@ -427,6 +427,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"int8 recall $recall vs float brute force")
   }
 
+  test("int8TopK refuses mismatched query/corpus dims loudly") {
+    val short = Seq((100L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.int8TopK(emb, short, "vec_id", "embedding", 5)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
   test("quantizeInt8 property: arbitrary float vectors stay bounded and reconstruct") {
     import org.scalacheck.{Gen, Prop}
     val genVec = for {
