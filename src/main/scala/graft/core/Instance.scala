@@ -374,19 +374,28 @@ final class Instance[T](
         if (broadcastable) {
           // Delta-proportional path: stable streams map-side against the
           // broadcast staged batch; the duplicates found are at most
-          // |staged| rows, and the final EXCEPT runs on two batch-sized
-          // sets. Stable is never shuffled.
+          // |staged| rows, so they broadcast right back into an anti-join
+          // against the (already-distinct) staged batch. NOTHING in this
+          // plan shuffles: stable never moves, and both joins are
+          // broadcasts of batch-sized sets — at cluster scale the epoch
+          // cost is one pass over stable plus two tiny broadcasts.
           val sDf = stable.toDF()
           val nDf = stagedCp.toDF()
           // zip by position: batches of different provenance may carry
-          // different column names for the same tuple type (EXCEPT below is
-          // positional for the same reason)
+          // different column names for the same tuple type
           val cond = sDf.columns
             .zip(nDf.columns)
             .map { case (sc, nc) => sDf(sc) <=> nDf(nc) }
             .reduce(_ && _)
-          val dups = sDf.join(broadcast(nDf), cond, "left_semi").as(stagedCp.encoder)
-          stagedCp.except(dups)
+          val dups = sDf.join(broadcast(nDf), cond, "left_semi")
+          // fresh names on the dup side: staged and stable may share names,
+          // and the anti-join needs unambiguous column references
+          val dupR = dups.toDF(dups.columns.map(c => s"__dup_$c").toIndexedSeq: _*)
+          val anti = nDf.columns
+            .zip(dupR.columns)
+            .map { case (nc, dc) => nDf(nc) <=> dupR(dc) }
+            .reduce(_ && _)
+          nDf.join(broadcast(dupR), anti, "left_anti").as(stagedCp.encoder)
         } else
           // Bulk load into a non-empty store: a broadcast would not fit;
           // fall back to the full anti-join (work ∝ data being loaded).
