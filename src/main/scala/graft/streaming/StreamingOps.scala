@@ -126,6 +126,29 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming eval-set decontamination: drop any arriving document whose
+    * content digest appears in a STATIC reference corpus — the online
+    * counterpart of [[graft.ops.Dedup.exceptContentOf]]. The ref digest
+    * set is a static DataFrame, so Spark plans a stream-static LEFT ANTI
+    * join: the reference aggregates once, broadcasts when small, and NO
+    * per-stream state accrues (unlike dedup, membership needs no memory of
+    * the stream itself). Exact at any reference size.
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      contentCol: String,
+      ref: DataFrame,
+      refContentCol: String): DataFrame = {
+    val refH = ref
+      .select(md5(col(refContentCol)).as("__fp"))
+      .filter(col("__fp").isNotNull)
+      .distinct()
+    docs
+      .withColumn("__fp", md5(col(contentCol)))
+      .join(refH, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

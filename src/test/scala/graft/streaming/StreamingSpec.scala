@@ -146,6 +146,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 4L), s"doc 3 duplicates doc 1's content; got $got")
   }
 
+  test("streaming decontamination drops ref-corpus content, equals the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ref = Seq("known eval question", "another benchmark item").toDF("text")
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.decontaminateStream(in, "text", ref, "text")
+      .writeStream.outputMode("append").format("memory").queryName("decont").start()
+    val batch = Seq(
+      (1L, "fresh training text"),
+      (2L, "known eval question"), // contaminated
+      (3L, "another benchmark item"), // contaminated
+      (4L, "more fresh text"))
+    stream.addData(batch: _*)
+    q.processAllAvailable()
+    val got = spark.table("decont").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 4L), s"contaminated rows must drop; got $got")
+    // the static-batch op on the same data agrees
+    val batchGot = graft.ops.Dedup
+      .exceptContentOf(batch.toDF("doc_id", "text"), "text", ref, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchGot == got, "stream and batch decontamination diverge")
+  }
+
   test("ivmSink: streamed inserts maintain a stored view incrementally") {
     implicit val sqlCtx = spark.sqlContext
     import graft.core.Expr._
