@@ -483,6 +483,33 @@ object PipelineQueries {
         sum("n_chunk_tokens").as("n_tokens"))
   }
 
+  /** Second composed capstone, built from the round's curation ops: length
+    * + repetition gates → exact dedup (keep min id) → leakage-safe GROUP
+    * split (train slice) → token-budget sequence packing. Everything up to
+    * the packer is one Catalyst plan (filters at the scan, one digest
+    * shuffle); the packer adds its per-stream shuffle. The DuckDB oracle
+    * replays the full composition, so the pipeline — not just its parts —
+    * is a checked artifact.
+    */
+  val pipelineCurate: Q = (spark, dir) => {
+    val staged = docs(spark, dir).select(
+      col("doc_id"), col("source"), col("text"),
+      TextOps.tokens(col("text")).as("ws"))
+    val scored = staged.select(
+      col("doc_id"), col("source"), col("text"),
+      size(col("ws")).as("nw"),
+      TextOps.dupUnitFraction(col("ws")).as("dupw"))
+    val kept = scored.filter(col("nw") >= 5 && col("nw") <= 1000 && col("dupw") <= 0.3)
+    val survivors = Dedup.exact(kept, "text", "doc_id").select("doc_id")
+    val deduped = kept.join(survivors, Seq("doc_id"), "left_semi")
+    val train = deduped.filter(
+      Sampling.splitColumn(
+        col("source"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) === "train")
+    Packing.sequentialBins(
+      train.select(col("source"), col("doc_id"), col("nw").cast("long").as("n_tok")),
+      "source", "doc_id", "n_tok", 512)
+  }
+
   val all: Map[String, Q] = Map(
     "sample_split" -> sampleSplit,
     "sample_split_group" -> sampleSplitGroup,
@@ -497,6 +524,7 @@ object PipelineQueries {
     "contamination_report" -> contaminationReport,
     "quality_gate" -> qualityGate,
     "pipeline_e2e" -> pipelineE2e,
+    "pipeline_curate" -> pipelineCurate,
     "text_chunks" -> textChunks,
     "source_minhash" -> sourceMinhash,
     "approx_parts" -> approxParts,
@@ -667,6 +695,26 @@ object PipelineQueries {
          |    unnest(generate_series(0, (len(e.words) - 1) // 24)) AS t(i))
          |SELECT doc_id, COUNT(*) AS n_chunks, CAST(SUM(n) AS BIGINT) AS n_tokens
          |FROM chunks GROUP BY doc_id""".stripMargin,
+    "pipeline_curate" -> {
+      val thr = Sampling.fractionThreshold(0.8)
+      s"""WITH staged AS (SELECT doc_id, source, text, $wordsSql AS ws FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source, text, len(ws) AS nw,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+         |    END AS dupw
+         |  FROM staged),
+         |kept AS (SELECT * FROM scored WHERE nw >= 5 AND nw <= 1000 AND dupw <= 0.3),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |train AS (
+         |  SELECT source, doc_id, CAST(nw AS BIGINT) AS n_tok FROM kept
+         |  WHERE doc_id IN (SELECT doc_id FROM keep)
+         |    AND ${hashKeySql("source", "split")} < '$thr')
+         |SELECT source, doc_id, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+         |FROM train""".stripMargin
+    },
     "text_chunks" ->
       s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          |  array_to_string(list_slice(words, i*24 + 1, i*24 + 32), ' ') AS chunk_text,

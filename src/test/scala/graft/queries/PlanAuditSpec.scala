@@ -129,6 +129,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "sketch aggregate must have a map-side partial phase")
   }
 
+  test("pipeline_curate: survivors broadcast; only the digest and packer shuffles move data") {
+    val p = plan("pipeline_curate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "dedup survivors must broadcast into the semi-join")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"digest aggregate + per-stream packer window only:\n$p")
+  }
+
   test("vocab_topk: global top-k fuses to TakeOrderedAndProject, one count shuffle") {
     val p = plan("vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), "limit+sort must fuse, not global-sort")
