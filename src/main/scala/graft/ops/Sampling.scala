@@ -45,6 +45,27 @@ object Sampling {
   def sampleFraction(df: DataFrame, idCol: String, f: Double, salt: String = "s"): DataFrame =
     df.filter(hashKey(col(idCol), salt) < lit(fractionThreshold(f)))
 
+  /** Importance sampling: keep each row with its OWN probability, given as
+    * a Column in [0, 1] — the quality-weighted data-mixing primitive
+    * (score documents, then sample proportional to the score). Same
+    * deterministic salted-hash draw as [[sampleFraction]], so it is
+    * id-stable under corpus growth and engine-replayable: the per-row
+    * threshold is the probability scaled to the 32-bit hash space,
+    * rendered as the same 8-hex-digit string the hash key uses. Pure
+    * map-side — one comparison per row, no shuffle, no state.
+    *
+    * p ≥ 1 keeps the row unconditionally; p ≤ 0 (or null) drops it.
+    */
+  def importanceSample(
+      df: DataFrame,
+      idCol: String,
+      probCol: Column,
+      salt: String = "imp"): DataFrame = {
+    val h = hashKey(col(idCol), salt)
+    val thr = lpad(lower(hex(floor(probCol * 4294967296.0).cast("long"))), 8, "0")
+    df.filter(probCol >= 1.0 || (probCol > 0.0 && h < thr))
+  }
+
   /** Label every row with a split name by hash bucket: `splits` are
     * (name, weight) pairs, weights normalized to 1. A row's split is fixed
     * by its id alone — adding data never reassigns existing rows, the

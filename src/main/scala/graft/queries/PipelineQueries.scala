@@ -306,6 +306,18 @@ object PipelineQueries {
       Sampling.splitColumn(
         col("source"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
 
+  /** Quality-weighted importance sampling: keep probability proportional
+    * to a per-document score (here: length-based, capped at 1) — the
+    * data-mixing shape where quality scoring feeds sampling directly.
+    */
+  val sampleWeighted: Q = (spark, dir) => {
+    val scored = docs(spark, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_words"))
+    Sampling.importanceSample(
+      scored, "doc_id", least(lit(1.0), col("n_words") / 200.0))
+  }
+
   /** Mixture weights for [[sampleMixture]]: even-numbered sources kept at
     * 0.9, odd at 0.3 — shared between the Spark query and the oracle CASE.
     */
@@ -513,6 +525,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "sample_split" -> sampleSplit,
     "sample_split_group" -> sampleSplitGroup,
+    "sample_weighted" -> sampleWeighted,
     "sample_mixture" -> sampleMixture,
     "sample_stratified" -> sampleStratified,
     "pack_bins" -> packBins,
@@ -598,6 +611,13 @@ object PipelineQueries {
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
     },
+    "sample_weighted" ->
+      s"""WITH s AS (SELECT doc_id, len($wordsSql) AS n_words FROM documents),
+         |w AS (SELECT doc_id, n_words, least(1.0, n_words / 200.0) AS p FROM s)
+         |SELECT doc_id, n_words FROM w
+         |WHERE p >= 1.0 OR (p > 0 AND
+         |  ${hashKeySql("doc_id", "imp")} <
+         |  lpad(lower(hex(CAST(floor(p * 4294967296.0) AS BIGINT))), 8, '0'))""".stripMargin,
     "sample_mixture" -> {
       val cases = mixWeights.toSeq.sortBy(_._1)
         .map { case (s, f) => s"WHEN '$s' THEN '${Sampling.fractionThreshold(f)}'" }

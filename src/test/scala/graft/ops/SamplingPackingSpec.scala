@@ -44,6 +44,27 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(a != b && (a intersect b).nonEmpty)
   }
 
+  test("importanceSample: p edges exact, constant p equals sampleFraction, null p drops") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    assert(Sampling.importanceSample(docs, "doc_id", lit(1.0)).count() == docs.count())
+    assert(Sampling.importanceSample(docs, "doc_id", lit(0.0)).count() == 0)
+    assert(Sampling.importanceSample(docs, "doc_id", lit(null).cast("double")).count() == 0)
+    // a CONSTANT per-row probability must reproduce the scalar draw exactly
+    // (same salt, same hash space, same threshold rendering)
+    val viaImp = Sampling.importanceSample(docs, "doc_id", lit(0.37), salt = "s")
+      .select("doc_id").as[Long].collect().toSet
+    val viaFrac = Sampling.sampleFraction(docs, "doc_id", 0.37, salt = "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaImp == viaFrac, "importance draw diverges from the scalar draw")
+    // per-row probabilities: kept set is monotone in p (p and p/2 nest)
+    val p = when(col("doc_id") % 2 === 0, 0.8).otherwise(0.2)
+    val hi = Sampling.importanceSample(docs, "doc_id", p)
+      .select("doc_id").as[Long].collect().toSet
+    val lo = Sampling.importanceSample(docs, "doc_id", p / 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi), "halving every probability must only shrink the sample")
+  }
+
   test("mixtureSample: subset of input, per-source rates follow the weights") {
     val w = Map("src0" -> 1.0, "src1" -> 0.2)
     val in = docs.filter(col("source").isin("src0", "src1")).select("doc_id", "source")
