@@ -155,6 +155,21 @@ object RelationalQueries {
           .cast(DecimalType(18, 2)).cast("double").as("total_spend"))
   }
 
+  /** FULL OUTER join: suppliers ⟗ customers on nation — both unmatched
+    * sides survive with nulls (suppliers cover few nations, so customer
+    * rows in uncovered nations keep a null supplier and vice versa).
+    */
+  val fullOuter: Q = (spark, dir) =>
+    t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(
+        t(spark, dir, "customer")
+          .filter(col("c_acctbal") > 9900.0)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("s_nationkey") === col("c_nationkey"),
+        "full_outer")
+      .select("s_suppkey", "s_nationkey", "c_custkey", "c_nationkey")
+
   /** DISTINCT aggregation per group. */
   val aggDistinct: Q = (spark, dir) =>
     t(spark, dir, "customer")
@@ -343,6 +358,7 @@ object RelationalQueries {
     "semi_join" -> semiJoin,
     "anti_join" -> antiJoin,
     "outer_count" -> outerCount,
+    "full_outer" -> fullOuter,
     "agg_distinct" -> aggDistinct,
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
@@ -445,6 +461,12 @@ object RelationalQueries {
         |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey""".stripMargin,
+    "full_outer" ->
+      """SELECT s_suppkey, s_nationkey, c_custkey, c_nationkey
+        |FROM (SELECT s_suppkey, s_nationkey FROM supplier) s
+        |FULL OUTER JOIN (SELECT c_custkey, c_nationkey FROM customer
+        |                 WHERE c_acctbal > 9900) c
+        |ON s_nationkey = c_nationkey""".stripMargin,
     "agg_distinct" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
         |  COUNT(*) AS n_cust, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
