@@ -158,35 +158,36 @@ object PipelineQueries {
 
   /** Gopher-style intra-document repetition signals: duplicate-token
     * fraction (map-side HOFs) and the most-frequent bigram's share of all
-    * bigrams. The bigram mode needs a count-per-(doc, bigram) aggregate —
-    * two narrow shuffles over (id, bigram) pairs, never the documents
-    * themselves — then folds back onto the map-side stats by doc id. All
-    * signals are integer counts divided once: bit-exact cross-engine.
+    * bigrams. The bigram mode is PER-DOCUMENT work, so it runs as a
+    * compiled per-row kernel instead of an explode + two (doc, bigram)
+    * shuffles — the whole query is one scan with ZERO exchanges
+    * (plan-audited). All signals are integer counts divided once:
+    * bit-exact cross-engine.
     */
   val textRepetition: Q = (spark, dir) => {
-    val staged = docs(spark, dir).select(
-      col("doc_id"),
-      TextOps.tokens(col("text")).as("ws"))
-    val base = staged.select(
-      col("doc_id"),
-      size(col("ws")).cast("long").as("n_tokens"),
-      TextOps.dupUnitFraction(col("ws")).as("dup_word_frac"),
-      TextOps.wordNgramsAllOfTokens(col("ws"), 2).as("bgs"))
-    val topBigram = base
-      .select(col("doc_id"), explode(col("bgs")).as("bg"))
-      .groupBy("doc_id", "bg")
-      .count()
-      .groupBy("doc_id")
-      .agg(max("count").as("top_cnt"))
-    base
-      .join(topBigram, Seq("doc_id"), "left")
+    val sp = spark
+    import sp.implicits._
+    docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .select(
         col("doc_id"),
-        col("n_tokens"),
-        col("dup_word_frac"),
-        when(size(col("bgs")) === 0, 0.0)
-          .otherwise(coalesce(col("top_cnt"), lit(0L)).cast("double") / size(col("bgs")))
-          .as("top_bigram_frac"))
+        size(col("ws")).cast("long").as("n_tokens"),
+        TextOps.dupUnitFraction(col("ws")).as("dup_word_frac"),
+        TextOps.wordNgramsAllOfTokens(col("ws"), 2).as("bgs"))
+      .as[(Long, Long, Double, Seq[String])]
+      .map { case (id, n, dupf, bgs) =>
+        var best = 0
+        if (bgs.nonEmpty) {
+          val counts = scala.collection.mutable.HashMap.empty[String, Int]
+          bgs.foreach { bg =>
+            val c = counts.getOrElse(bg, 0) + 1
+            counts.update(bg, c)
+            if (c > best) best = c
+          }
+        }
+        (id, n, dupf, if (bgs.isEmpty) 0.0 else best.toDouble / bgs.size)
+      }
+      .toDF("doc_id", "n_tokens", "dup_word_frac", "top_bigram_frac")
   }
 
   /** BM25 relevance over the corpus for a fixed query — the retrieval/

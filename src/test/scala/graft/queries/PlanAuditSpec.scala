@@ -151,6 +151,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("text_repetition: per-doc kernel, zero exchanges") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"), s"repetition signals must not shuffle:\n$p")
+  }
+
   test("embedding_quantize: pure map-side, zero exchanges") {
     val p = plan("embedding_quantize")
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
