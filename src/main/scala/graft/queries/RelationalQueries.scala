@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, IncrementalAgg}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -343,6 +343,22 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
   }
 
+  /** Incrementally maintained per-user rollup: three insert epochs fold
+    * into a running sum/count (work ∝ batch + state per epoch, never the
+    * history) — the aggregate analog of the engine's IVM views, which the
+    * reference cannot express (it has no aggregates). Decimal addition
+    * makes the incremental result bit-identical to the full recompute the
+    * oracle runs, regardless of how the inserts were batched. The
+    * checkpointed state backs the returned frame (freed with the JVM,
+    * rollup-sized — one row per user).
+    */
+  val viewAggIvm: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+    val agg = IncrementalAgg(spark, Seq("user_id"), "value", scale = 2)
+    (0 to 2).foreach(i => agg.update(ev.filter(col("event_id") % 3 === i)))
+    agg.current("total_value", "n_events")
+  }
+
   val all: Map[String, Q] = Map(
     "events_enrich" -> eventsEnrich,
     "topk_per_key" -> topkPerKey,
@@ -359,6 +375,7 @@ object RelationalQueries {
     "anti_join" -> antiJoin,
     "outer_count" -> outerCount,
     "full_outer" -> fullOuter,
+    "view_agg_ivm" -> viewAggIvm,
     "agg_distinct" -> aggDistinct,
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
@@ -461,6 +478,11 @@ object RelationalQueries {
         |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey""".stripMargin,
+    "view_agg_ivm" ->
+      """SELECT user_id,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
     "full_outer" ->
       """SELECT s_suppkey, s_nationkey, c_custkey, c_nationkey
         |FROM (SELECT s_suppkey, s_nationkey FROM supplier) s

@@ -457,6 +457,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // --- incremental aggregate ----------------------------------------------
+
+  test("IncrementalAgg: any batching gives the exact full-recompute answer") {
+    val rows = (1L to 200L).map(i => (i, i % 7, (i * 37 % 1000) / 100.0)).toDF("id", "k", "v")
+    def run(splits: Seq[org.apache.spark.sql.Column]): Map[Long, (Double, Long)] = {
+      val agg = IncrementalAgg(spark, Seq("k"), "v", scale = 2)
+      splits.foreach(p => agg.update(rows.filter(p)))
+      agg.current().as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      // state backs the collected result; freed with the session
+    }
+    val oneShot = run(Seq(lit(true)))
+    val threeWay = run((0 to 2).map(i => col("id") % 3 === i))
+    assert(oneShot == threeWay, "incremental result must not depend on batching")
+    // against a plain Spark full recompute (decimal-exact)
+    val full = rows.groupBy("k")
+      .agg(
+        sum(col("v").cast("decimal(28,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(oneShot == full)
+  }
+
   // --- BM25 ----------------------------------------------------------------
 
   test("bm25 equals a Scala reference implementation exactly (pre-rounding tolerance)") {
