@@ -81,6 +81,11 @@ object Ranking {
       terms: Seq[String],
       k1: Double = K1,
       b: Double = B): String = {
+    // terms embed verbatim in generated SQL — restrict to token-safe
+    // characters so a quote can never break (or inject into) the oracle
+    require(
+      terms.forall(_.matches("[a-z0-9_-]+")),
+      s"bm25Sql terms must be lowercase token-safe: ${terms.mkString(", ")}")
     val ws = s"list_filter(string_split_regex(lower($textCol), '\\s+'), w -> w != '')"
     val tfCols = terms.zipWithIndex
       .map { case (t, i) => s"len(list_filter(ws, w -> w = '$t')) AS tf$i" }

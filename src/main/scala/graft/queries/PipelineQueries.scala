@@ -406,6 +406,28 @@ object PipelineQueries {
       .orderBy(col("freq").desc, col("token"))
       .limit(100)
 
+  /** Heavy hitters with a Count-Min sketch beside exact counts: the
+    * constant-memory frequency structure for streams/multi-pass-averse
+    * pipelines (sub-linear state, mergeable across partitions — Spark
+    * builds it with one map-side pass). Output pairs each exact top-20
+    * token with its CMS estimate; rows-only (the sketch's hash family
+    * isn't oracle-replayable) with the CMS guarantee — never an
+    * underestimate, overestimate ≤ ε·N w.h.p. — pinned in the spec.
+    */
+  val heavyHitters: Q = (spark, dir) => {
+    val toks = docs(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val cms = toks.stat.countMinSketch("token", 0.01, 0.99, 42)
+    val bc = spark.sparkContext.broadcast(cms)
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    toks
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+      .withColumn("cms_est", est(col("token")))
+  }
+
   /** Per-source contamination AUDIT: how much of each source's content
     * appears in the reference slice — the report you read before dropping
     * rows. Same digest semantics as [[dedupAgainstRef]], aggregated
@@ -535,6 +557,7 @@ object PipelineQueries {
     "dedup_against_ref" -> dedupAgainstRef,
     "dedup_bloom" -> dedupBloom,
     "vocab_topk" -> vocabTopk,
+    "heavy_hitters" -> heavyHitters,
     "contamination_report" -> contaminationReport,
     "quality_gate" -> qualityGate,
     "pipeline_e2e" -> pipelineE2e,

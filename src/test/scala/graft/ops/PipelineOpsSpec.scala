@@ -457,6 +457,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("heavy_hitters: CMS never underestimates, overestimate bounded") {
+    val got = graft.queries.PipelineQueries.heavyHitters(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 20)
+    val n = docs.select(org.apache.spark.sql.functions.explode(
+      TextOps.tokens(col("text")))).count()
+    got.foreach { case (tok, freq, est) =>
+      assert(est >= freq, s"CMS underestimated '$tok': $est < $freq")
+      assert(est <= freq + (3 * 0.01 * n).toLong, s"CMS blew the ε·N bound on '$tok'")
+    }
+  }
+
   // --- incremental aggregate ----------------------------------------------
 
   test("IncrementalAgg: any batching gives the exact full-recompute answer") {
