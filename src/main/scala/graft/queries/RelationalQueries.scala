@@ -343,6 +343,30 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
   }
 
+  /** Time-RANGE moving aggregate: per-user totals over the trailing hour,
+    * frame defined by timestamp distance (RANGE), not row count — the
+    * window family's time-based member beside rank (ROWS) and running
+    * sums. Partitioned by user: no global window, the 100 TB contract.
+    * Epoch-MICROsecond ordering keeps the frame arithmetic integer-exact
+    * AND cross-engine: DuckDB reads the nanos parquet at µs precision, so
+    * nanos would disagree in the last three digits (and at frame edges).
+    */
+  val eventsMovingAgg: Q = (spark, dir) => {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L) // trailing hour, inclusive
+    Tables.events(spark, dir).toDF()
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        sum(dec(col("value"), 2)).over(w)
+          .cast(DecimalType(18, 2)).cast("double").as("hour_total"),
+        count(lit(1)).over(w).as("hour_n"))
+  }
+
   /** Incrementally maintained per-user rollup: three insert epochs fold
     * into a running sum/count (work ∝ batch + state per epoch, never the
     * history) — the aggregate analog of the engine's IVM views, which the
@@ -376,6 +400,7 @@ object RelationalQueries {
     "outer_count" -> outerCount,
     "full_outer" -> fullOuter,
     "view_agg_ivm" -> viewAggIvm,
+    "events_moving" -> eventsMovingAgg,
     "agg_distinct" -> aggDistinct,
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
@@ -478,6 +503,13 @@ object RelationalQueries {
         |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey""".stripMargin,
+    "events_moving" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS hour_total,
+        |  COUNT(*) OVER w AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "view_agg_ivm" ->
       """SELECT user_id,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value,
