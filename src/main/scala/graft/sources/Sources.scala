@@ -33,6 +33,17 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC read/write — the second columnar format Spark ships natively.
+    * Same pushdown machinery as parquet (predicate pushdown, column
+    * pruning, partition layout all apply), so pipelines landing in
+    * ORC-based warehouses interoperate without conversion passes.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partitioned parquet layout: directory per `partitionCols` value.
     * Queries filtering on those columns list only matching directories
     * (`PartitionFilters` in the scan, not even `PushedFilters`).

@@ -29,6 +29,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(jsonBack.as[(Int, String, Int)].collect().toSet == expected)
   }
 
+  test("orc round-trip with predicate pushdown reaching the scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val path = tmp("orc") + "/customer"
+    Sources.writeOrc(df, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      df.as[(Long, String, Double)].collect().toSet)
+    // the same pushdown/pruning contract as parquet
+    val plan = back.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,5000.0)]"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_acctbal:double>"),
+      "column pruning must reach the ORC scan")
+  }
+
   test("partitioned write enables partition pruning") {
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val path = tmp("part") + "/customer"
