@@ -86,6 +86,28 @@ object Sources {
     fs.listStatus(out).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Parquet with column BLOOM FILTERS in the file footers: point lookups
+    * (`WHERE id = x`, digest probes, id anti-joins) skip whole row groups
+    * whose bloom says "definitely absent" — at 100 TB this turns a
+    * needle-in-haystack scan into reads of a handful of row groups. Costs
+    * ~1-2% file size per indexed column; worthless for range scans, so
+    * index only equality-probed columns.
+    */
+  def writeWithBloom(
+      df: DataFrame,
+      path: String,
+      bloomCols: Seq[String],
+      expectedDistinct: Long = 1000000L): Unit = {
+    require(bloomCols.nonEmpty, "name at least one column to index")
+    val w = df.write.mode(SaveMode.Overwrite)
+    val configured = bloomCols.foldLeft(w) { (acc, c) =>
+      acc
+        .option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedDistinct.toString)
+    }
+    configured.parquet(path)
+  }
+
   /** Bucketed + sorted managed table. Joining two tables bucketed on the
     * same key with the same `numBuckets` needs no shuffle — the join
     * becomes a per-bucket merge.

@@ -29,6 +29,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(jsonBack.as[(Int, String, Int)].collect().toSet == expected)
   }
 
+  test("writeWithBloom: footers carry a bloom filter for the indexed column only") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey", "c_name")
+    val path = tmp("bloom") + "/customer"
+    Sources.writeWithBloom(df, path, Seq("c_custkey"), expectedDistinct = 10000)
+    // inspect the actual parquet footers: the indexed column must carry a
+    // bloom filter offset, the unindexed one must not
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    var indexed = 0; var unindexed = 0
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try reader.getFooter.getBlocks.forEach { rg =>
+        rg.getColumns.forEach { c =>
+          val hasBloom = c.getBloomFilterOffset >= 0
+          if (c.getPath.toDotString == "c_custkey") { assert(hasBloom, s"$f"); indexed += 1 }
+          else { assert(!hasBloom, s"$f unexpectedly indexed ${c.getPath}"); unindexed += 1 }
+        }
+      } finally reader.close()
+    }
+    assert(indexed > 0 && unindexed > 0)
+    // and the data still round-trips
+    assert(spark.read.parquet(path).count() == df.count())
+  }
+
   test("orc round-trip with predicate pushdown reaching the scan") {
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .select("c_custkey", "c_name", "c_acctbal")
