@@ -58,10 +58,21 @@ object Bench {
           s" ${times.last._2} rows)")
       name -> med
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full JSON goes to BOTH stdout and a stable file: six rounds of
+    // driver-side "parsed": null proved sbt wraps/appends around the stdout
+    // line ([success] trailer, tail truncation mid-JSON), so the per-query
+    // map must survive somewhere tooling can always read it.
+    println(fullJson)
+    val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
+    // Short total-only line LAST: small enough that neither sbt's trailer
+    // nor a stored-tail truncation can corrupt a last-JSON-line parse.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

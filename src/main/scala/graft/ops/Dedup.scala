@@ -647,10 +647,17 @@ object Dedup {
   }
 
   /** A pair graph with at most this many (symmetric) edges resolves in ONE
-    * compiled union-find task (~16 bytes/edge ⇒ ≲ 512 MB task footprint)
-    * instead of the distributed loop — see [[duplicateClusters]].
+    * compiled union-find task instead of the distributed loop — see
+    * [[duplicateClusters]]. The task's memory is driven by NODES, not
+    * edges: the two open-addressed LongMaps (parent + seen) hold up to one
+    * entry per distinct node, and with power-of-two arrays at ≤½ load plus
+    * a transient doubling copy the realistic peak is ~100 bytes/node. In
+    * the worst case (every edge touching fresh nodes) distinct nodes ≈
+    * edge count, so 8M edges ⇒ ≲ 0.8 GB peak for the one task — safely
+    * inside an executor; beyond that the distributed min-label loop wins
+    * anyway because the single task is also a serial CPU bottleneck.
     */
-  val SingleTaskEdgeLimit: Long = 32L * 1024 * 1024
+  val SingleTaskEdgeLimit: Long = 8L * 1024 * 1024
 
   /** Duplicate clusters from near-dup pairs: connected components.
     * Greedy pair-dropping ([[dedupByMinhash]]) over-deletes transitive

@@ -31,8 +31,13 @@ final class IncrementalAgg private (
     valueCol: String,
     scale: Int) {
 
-  private def dec(c: Column): Column =
-    c.cast(org.apache.spark.sql.types.DecimalType(28, scale))
+  // Accumulate at the FULL widened precision: Spark's sum over decimal
+  // yields decimal(38, scale), and re-narrowing the running __sum to a
+  // smaller precision each epoch would overflow (silently null under
+  // non-ANSI semantics) once the rollup passes the narrow type's integer
+  // digits. Narrowing happens once, in current().
+  private def wide(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, scale))
 
   private var state: Option[DataFrame] = None
 
@@ -40,14 +45,14 @@ final class IncrementalAgg private (
   def update(batch: DataFrame): Unit = {
     val partial = batch
       .groupBy(keyCols.map(col): _*)
-      .agg(sum(dec(col(valueCol))).as("__sum"), count(lit(1)).as("__cnt"))
+      .agg(sum(wide(col(valueCol))).as("__sum"), count(lit(1)).as("__cnt"))
     val merged = state match {
       case None => partial
       case Some(prev) =>
         prev
           .unionByName(partial)
           .groupBy(keyCols.map(col): _*)
-          .agg(sum(dec(col("__sum"))).as("__sum"), sum(col("__cnt")).as("__cnt"))
+          .agg(sum(wide(col("__sum"))).as("__sum"), sum(col("__cnt")).as("__cnt"))
     }
     val next = merged.localCheckpoint(true)
     state.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint)
@@ -65,7 +70,7 @@ final class IncrementalAgg private (
       case df =>
         df.select(
           keyCols.map(col) :+
-            dec(col("__sum")).cast("double").as(sumAs) :+
+            wide(col("__sum")).cast("double").as(sumAs) :+
             col("__cnt").as(countAs): _*)
     }
 
@@ -79,7 +84,7 @@ final class IncrementalAgg private (
 object IncrementalAgg {
 
   /** A per-`keyCols` running sum/count over `valueCol`, summed in
-    * DECIMAL(28, `scale`) — match `scale` to the column's true precision
+    * DECIMAL(38, `scale`) — match `scale` to the column's true precision
     * (money: 2) so the incremental result replays exactly in any engine.
     */
   def apply(

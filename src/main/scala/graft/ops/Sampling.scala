@@ -62,7 +62,12 @@ object Sampling {
       probCol: Column,
       salt: String = "imp"): DataFrame = {
     val h = hashKey(col(idCol), salt)
-    val thr = lpad(lower(hex(floor(probCol * 4294967296.0).cast("long"))), 8, "0")
+    // Clamp to 2^32-1: for p just below 1 (e.g. the double 1-2^-53) the
+    // product p*2^32 ROUNDS to exactly 2^32, whose hex is 9 digits — lpad
+    // would truncate it to "10000000" and keep ~6% instead of ~100%. The
+    // p >= 1.0 branch does not cover that value.
+    val scaled = least(floor(probCol * 4294967296.0).cast("long"), lit(4294967295L))
+    val thr = lpad(lower(hex(scaled)), 8, "0")
     df.filter(probCol >= 1.0 || (probCol > 0.0 && h < thr))
   }
 

@@ -168,7 +168,12 @@ object PipelineQueries {
     val sp = spark
     import sp.implicits._
     docs(spark, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      // null text must stage as the EMPTY token list: tokens(null) is a
+      // null array, which nulls n_tokens and NPEs the typed kernel's
+      // non-nullable Long field (the sibling decontamination oracles make
+      // the same allowance)
+      .select(col("doc_id"),
+        coalesce(TextOps.tokens(col("text")), array().cast("array<string>")).as("ws"))
       .select(
         col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),
@@ -641,7 +646,7 @@ object PipelineQueries {
          |SELECT doc_id, n_words FROM w
          |WHERE p >= 1.0 OR (p > 0 AND
          |  ${hashKeySql("doc_id", "imp")} <
-         |  lpad(lower(hex(CAST(floor(p * 4294967296.0) AS BIGINT))), 8, '0'))""".stripMargin,
+         |  lpad(lower(hex(least(CAST(floor(p * 4294967296.0) AS BIGINT), 4294967295))), 8, '0'))""".stripMargin,
     "sample_mixture" -> {
       val cases = mixWeights.toSeq.sortBy(_._1)
         .map { case (s, f) => s"WHEN '$s' THEN '${Sampling.fractionThreshold(f)}'" }
@@ -902,7 +907,9 @@ object PipelineQueries {
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
     "text_repetition" ->
-      s"""WITH staged AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      s"""WITH staged AS (
+         |  SELECT doc_id, coalesce($wordsSql, CAST([] AS VARCHAR[])) AS ws
+         |  FROM documents),
          |base AS (
          |  SELECT doc_id, len(ws) AS n_tokens,
          |    CASE WHEN len(ws) = 0 THEN 0.0
