@@ -15,6 +15,11 @@ object GraftFunctions {
     DotProduct(args(0), args(1))
   }
 
+  private def intDotBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"int_dot_product expects 2 arguments, got ${args.length}")
+    IntDotProduct(args(0), args(1))
+  }
+
   private def cosineBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
     val (a, b) = (args(0), args(1))
@@ -27,6 +32,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("dot_product", dotBuilder, "built-in")
+    registry.createOrReplaceTempFunction("int_dot_product", intDotBuilder, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
   }
 
@@ -42,6 +48,10 @@ object GraftFunctions {
         (new FunctionIdentifier("dot_product"),
           new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
           dotBuilder _))
+      e.injectFunction(
+        (new FunctionIdentifier("int_dot_product"),
+          new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot_product"),
+          intDotBuilder _))
       e.injectFunction(
         (new FunctionIdentifier("cosine_sim"),
           new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),

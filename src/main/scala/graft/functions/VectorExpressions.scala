@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression: Σ aᵢ·bᵢ over two float/double array columns in
   * double precision, sequential accumulation — numerically identical to the
@@ -74,12 +74,75 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: Σ aᵢ·bᵢ over two int-array columns,
+  * accumulated in LONG — the integer-dot kernel of the int8-quantized ANN
+  * path. Each int8 product is ≤ 127², so a long accumulator is exact at any
+  * realistic dimension; the result is bitwise-identical to the
+  * `zip_with`+`aggregate` higher-order form (spec-pinned), but `doGenCode`
+  * emits a tight primitive loop where the HOF pays per-element interpreted
+  * lambda dispatch OUTSIDE whole-stage codegen — on the quantized path this
+  * per-pair kernel IS the throughput, and the quantized path must be the
+  * fast one.
+  */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int_dot_product expects array<int>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += xs.getInt(i).toLong * ys.getInt(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): IntDotProduct = copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Column wrapper: codegen'd dot product. */
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column wrapper: codegen'd integer dot product (long accumulator). */
+  def intDotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      IntDotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Codegen'd L2 norm. */
   def l2Norm(a: Column): Column =

@@ -26,6 +26,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("codegen intDot == HOF intDot bitwise on quantized embeddings") {
+    val e = Similarity.quantizeInt8(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), "embedding")
+    val pairs = e.select(col("vec_id").as("a_id"), col("q").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("q").as("b")))
+      .limit(2000)
+    val diff = pairs
+      .select(
+        Similarity.intDot(col("a"), col("b")).as("native"),
+        Similarity.intDotHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("intDot nulls, SQL registration, and interpreted eval") {
+    val df = Seq(
+      (Some(Seq(1, -2, 3)), Some(Seq(4, 5, -6))),
+      (None, Some(Seq(1))),
+      (Some(Seq(1)), None)).toDF("a", "b")
+    val r = df.select(Similarity.intDot(col("a"), col("b"))).collect()
+    assert(r(0).getLong(0) == (4 - 10 - 18).toLong)
+    assert(r(1).isNullAt(0) && r(2).isNullAt(0))
+    GraftFunctions.register(spark)
+    df.limit(1).createOrReplaceTempView("intdot_sql")
+    assert(spark.sql("SELECT int_dot_product(a, b) AS d FROM intdot_sql")
+      .head.getLong(0) == -24L)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(100, -100, 127))
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal(arr,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+    assert(IntDotProduct(lit, lit).eval(null) == (10000L + 10000L + 16129L))
+  }
+
   test("null inputs and double arrays") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),

@@ -428,11 +428,16 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("int8TopK refuses mismatched query/corpus dims loudly") {
+    // the guard now lives inside the plan (raise_error) so the former
+    // per-side driver probe jobs are gone — the failure surfaces at
+    // execution, still loudly
     val short = Seq((100L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
-      Similarity.int8TopK(emb, short, "vec_id", "embedding", 5)
+    val e = intercept[Exception] {
+      Similarity.int8TopK(emb, short, "vec_id", "embedding", 5).count()
     }
-    assert(e.getMessage.contains("dim"), e.getMessage)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dim")), e.getMessage)
   }
 
   test("quantizeInt8 property: arbitrary float vectors stay bounded and reconstruct") {
