@@ -355,6 +355,20 @@ object PipelineQueries {
         TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
       "source", "doc_id", "n_tok", 512)
 
+  /** First-fit-decreasing 512-token packing per source stream — the
+    * tighter-bins packer ([[Packing.greedyPack]]'s compiled per-stream
+    * kernel). The oracle replays FFD exactly in DuckDB: a recursive CTE
+    * carries each stream's open-bin remaining-capacity LIST and assigns
+    * docs in (tokens DESC, id ASC) order with `list_position` as the
+    * first-fit probe — procedural semantics, fully hash-checked.
+    */
+  val packGreedy: Q = (spark, dir) =>
+    Packing.greedyPack(
+      docs(spark, dir).select(
+        col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+      "source", "doc_id", "n_tok", 512)
+
   /** Packed-bin assembly: the 512-token bins concatenated into one training
     * blob each, in doc-id order. The oracle replays the concatenation with
     * `string_agg(... ORDER BY ...)` and compares blob md5s — whole-content
@@ -557,6 +571,7 @@ object PipelineQueries {
     "sample_mixture" -> sampleMixture,
     "sample_stratified" -> sampleStratified,
     "pack_bins" -> packBins,
+    "pack_greedy" -> packGreedy,
     "pack_assemble" -> packAssemble,
     "text_redact" -> textRedact,
     "dedup_against_ref" -> dedupAgainstRef,
@@ -666,6 +681,44 @@ object PipelineQueries {
          |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
          |FROM (SELECT source, doc_id, len($wordsSql) AS n_tok FROM documents)""".stripMargin,
+    "pack_greedy" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT source, doc_id, len($wordsSql) AS n_tok FROM documents),
+         |ordered AS (
+         |  SELECT source, doc_id, n_tok,
+         |    least(coalesce(n_tok, 0), 512) AS tt,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY coalesce(n_tok, 0) DESC, doc_id) AS rn
+         |  FROM toks),
+         |step AS (
+         |  SELECT source, CAST(0 AS BIGINT) AS rn,
+         |    CAST([] AS BIGINT[]) AS rem,
+         |    CAST([] AS BIGINT[]) AS ids,
+         |    CAST([] AS BIGINT[]) AS bins
+         |  FROM (SELECT DISTINCT source FROM ordered)
+         |  UNION ALL
+         |  SELECT s.source, d.rn,
+         |    CASE WHEN fit.i IS NULL
+         |         THEN list_append(s.rem, 512 - d.tt)
+         |         ELSE list_transform(range(1, len(s.rem) + 1),
+         |                j -> CASE WHEN j = fit.i THEN s.rem[j] - d.tt
+         |                          ELSE s.rem[j] END)
+         |    END AS rem,
+         |    list_append(s.ids, d.doc_id) AS ids,
+         |    list_append(s.bins, CAST(coalesce(fit.i, len(s.rem) + 1) - 1 AS BIGINT)) AS bins
+         |  FROM step s
+         |  JOIN ordered d ON d.source = s.source AND d.rn = s.rn + 1
+         |  -- list_position yields 0 (not NULL) for "not found": nullif maps
+         |  -- it to the append-new-bin branch
+         |  CROSS JOIN LATERAL (SELECT nullif(list_position(
+         |    list_transform(s.rem, r -> r >= coalesce(d.n_tok, 0)), true), 0) AS i) fit),
+         |last AS (
+         |  SELECT s.source, unnest(s.ids) AS doc_id, unnest(s.bins) AS bin
+         |  FROM step s
+         |  JOIN (SELECT source, max(rn) AS mrn FROM step GROUP BY source) m
+         |    ON s.source = m.source AND s.rn = m.mrn)
+         |SELECT f.source, f.doc_id, t.n_tok, f.bin
+         |FROM last f JOIN toks t ON f.source = t.source AND f.doc_id = t.doc_id""".stripMargin,
     "pack_assemble" ->
       s"""WITH binned AS (
          |  SELECT source, doc_id, text, n_tok,
