@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, TextOps}
+import graft.sources.Sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -249,6 +250,26 @@ object PipelineQueries {
   /** Aspect-preserving resize planning to a 48px bound (integer-exact). */
   val multimodalResize: Q = (spark, dir) =>
     Multimodal.resizePlan(Multimodal.mediaFromDocuments(spark, dir), 48)
+
+  /** Sink round-trip under the oracle gate: documents are WRITTEN to ORC,
+    * READ BACK, and aggregated — while the oracle aggregates the ORIGINAL
+    * parquet. Any loss or corruption in the write→read path (types,
+    * nulls, unicode, encoding) breaks the hash compare, so this covers
+    * the read-back path the plan-asserted SourcesSpec cannot. The filter
+    * after the read exercises ORC predicate pushdown on the replay.
+    */
+  val sourceRoundtrip: Q = (spark, dir) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_roundtrip_orc"
+    Sources.writeOrc(docs(spark, dir).select("doc_id", "source", "text"), path)
+    Sources.readOrc(spark, path)
+      .filter(length(col("text")) > 0)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
 
   /** Group-level MinHash via the custom typed Aggregator: per-source corpus
     * signature (element-wise min of doc signatures). Rows-only: the oracle
@@ -584,6 +605,7 @@ object PipelineQueries {
     "pipeline_curate" -> pipelineCurate,
     "text_chunks" -> textChunks,
     "source_minhash" -> sourceMinhash,
+    "source_roundtrip" -> sourceRoundtrip,
     "approx_parts" -> approxParts,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
@@ -681,6 +703,12 @@ object PipelineQueries {
          |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
          |FROM (SELECT source, doc_id, len($wordsSql) AS n_tok FROM documents)""".stripMargin,
+    "source_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE len(text) > 0
+        |GROUP BY source""".stripMargin,
     "pack_greedy" ->
       s"""WITH RECURSIVE toks AS (
          |  SELECT source, doc_id, len($wordsSql) AS n_tok FROM documents),
