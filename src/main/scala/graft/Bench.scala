@@ -51,7 +51,15 @@ object Bench {
         graft.queries.ParityQueries.releaseSessions()
         (dt, n)
       }
-      if (doGc) System.gc()
+      if (doGc) {
+        System.gc()
+        // ContextCleaner retires shuffle files/broadcasts ASYNCHRONOUSLY
+        // after the GC clears their weak refs — without a drain window the
+        // cleaner's backlog lands inside the NEXT query's timed runs
+        // (r6: project_map 5.18 s in-bench vs 2.44 s isolated, attribution
+        // in SCALE.md). 250 ms untimed is enough for the local queue.
+        Thread.sleep(250)
+      }
       val med = times.map(_._1).sorted.apply(times.size / 2)
       System.err.println(
         f"[bench] $name%-22s med $med%8.2f s  (${times.map(t => f"${t._1}%.2f").mkString("/")};" +
