@@ -23,6 +23,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing by TARGET SIZE, not parallelism-first (the setting
+      // Spark's own tuning guide recommends for production): delta-sized
+      // engine shuffles collapse to one reduce task instead of 32 tiny
+      // ones, and at cluster scale the 64 MB advisory target still yields
+      // full parallelism on real data volumes.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       // same extension surface as library users (SQL registry + as-of rule)
       .withExtensions(new graft.functions.GraftFunctions.GraftExtensions)

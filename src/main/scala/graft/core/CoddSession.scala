@@ -134,9 +134,34 @@ final class CoddSession private (
     val entry = new ViewEntry(inst, anyExpr, tag, expr.enc.schema, expr.relDeps, expr.viewDeps)
     expr.relDeps.foreach(n => relations.get(n).foreach(_.dependents += ref))
     expr.viewDeps.foreach(i => views.get(i).foreach(_.dependents += ref))
-    inst.insert(collectStable(anyExpr))
+    // Stable rules all end distinct — the init batch is a set by
+    // construction. When no dependency holds stable content yet (the
+    // create-view-then-stabilize shape), the init plan is PROVABLY empty:
+    // skip it so epoch 1 stages only the real delta. FullRel is never
+    // "provably empty" — its init insert must still throw on evaluation.
+    if (!provablyEmptyStable(anyExpr)) inst.insertDistinct(collectStable(anyExpr))
     views(ref) = entry
     ViewExpr[T](ViewRef(ref))(expr.enc, tag)
+  }
+
+  /** Driver-side proof that `collectStable(e)` is empty — no instance under
+    * `e` has promoted a batch yet and no constant contributes a tuple.
+    * Conservative: `FullRel` reports non-empty so its error path survives.
+    */
+  private def provablyEmptyStable(e: Expr[_]): Boolean = e match {
+    case r: Rel[_]        => relEntry(r).instance.stableBatchCount == 0
+    case v: ViewExpr[_]   => viewEntry(v).instance.stableBatchCount == 0
+    case _: EmptyRel[_]   => true
+    case _: Singleton[_]  => false
+    case _: FullRel[_]    => false
+    case s: Select[_]     => provablyEmptyStable(s.child)
+    case p: Project[_, _] => provablyEmptyStable(p.child)
+    case u: Union[_]      => provablyEmptyStable(u.left) && provablyEmptyStable(u.right)
+    case i: Intersect[_]  => provablyEmptyStable(i.left) || provablyEmptyStable(i.right)
+    case d: Difference[_] => provablyEmptyStable(d.left)
+    case p: Prod[_, _, _] => provablyEmptyStable(p.left) || provablyEmptyStable(p.right)
+    case j: EquiJoin[_, _, _, _] =>
+      provablyEmptyStable(j.left) || provablyEmptyStable(j.right)
   }
 
   // -------------------------------------------------------------- evaluation
@@ -260,7 +285,8 @@ final class CoddSession private (
     */
   private def viewDeltaStep(ref: Int): Unit = {
     val v = views(ref)
-    v.instance.insert(collectRecent(v.expr, newMemo))
+    // delta rules all end distinct — promotion may skip the re-distinct
+    v.instance.insertDistinct(collectRecent(v.expr, newMemo))
   }
 
   // ---------------------------------------------------- delta (recent) rules

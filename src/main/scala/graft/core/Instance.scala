@@ -62,7 +62,11 @@ final class Instance[T](
 
   private var stableBatches: Vector[Run[T]] = Vector.empty
   private var recentBatch: Option[Run[T]] = None
-  private var toAdd: Vector[Dataset[T]] = Vector.empty
+  // (batch, preDistinct): engine-internal inserts (view deltas, view init)
+  // are already sets — every delta/stable rule ends in distinct()/a set-op/
+  // the instance invariant — so a lone pre-distinct batch skips the staged
+  // re-distinct shuffle in [[changed]]. User inserts never carry the flag.
+  private var toAdd: Vector[(Dataset[T], Boolean)] = Vector.empty
   private var batchCounter = 0
   private var manifestVersion = 0L
   private var counterInitialized = false
@@ -81,7 +85,15 @@ final class Instance[T](
   private var shared = false
 
   /** Stage a batch; O(1), no Spark job (reference: instance.rs:127-131). */
-  def insert(ds: Dataset[T]): Unit = synchronized { toAdd :+= ds }
+  def insert(ds: Dataset[T]): Unit = synchronized { toAdd :+= (ds -> false) }
+
+  /** Stage a batch the CALLER guarantees is already distinct (engine-internal
+    * delta/init plans). When it is the epoch's only staged batch, promotion
+    * skips the redundant distinct shuffle.
+    */
+  private[core] def insertDistinct(ds: Dataset[T]): Unit = synchronized {
+    toAdd :+= (ds -> true)
+  }
 
   /** Deep-copy the three sets. Batches are immutable materialized Datasets,
     * so a snapshot shares them — O(#batches) driver work, zero data copied
@@ -322,8 +334,13 @@ final class Instance[T](
     val result =
       if (toAdd.isEmpty) false
       else {
+        // a single pre-distinct batch (the common view-delta epoch) needs no
+        // staged re-distinct; anything else unions and dedups
         val staged =
-          (if (toAdd.size == 1) toAdd.head else toAdd.reduce(_ union _)).distinct()
+          if (toAdd.size == 1 && toAdd.head._2) toAdd.head._1
+          else
+            (if (toAdd.size == 1) toAdd.head._1
+             else toAdd.map(_._1).reduce(_ union _)).distinct()
         toAdd = Vector.empty
         if (stableBatches.isEmpty) firstBatch(staged) else promote(staged)
       }
