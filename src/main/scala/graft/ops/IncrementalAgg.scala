@@ -29,7 +29,8 @@ final class IncrementalAgg private (
     spark: SparkSession,
     keyCols: Seq[String],
     valueCol: String,
-    scale: Int) {
+    scale: Int,
+    store: Option[String]) {
 
   // Accumulate at the FULL widened precision: Spark's sum over decimal
   // yields decimal(38, scale), and re-narrowing the running __sum to a
@@ -40,6 +41,37 @@ final class IncrementalAgg private (
     c.cast(org.apache.spark.sql.types.DecimalType(38, scale))
 
   private var state: Option[DataFrame] = None
+  private var version: Long = 0L
+
+  private[ops] def loadVersion(df: DataFrame, v: Long): Unit = {
+    state = Some(df)
+    version = v
+  }
+
+  /** Materialize the merged epoch state per the storage mode: block-manager
+    * checkpoint (fast, transient) or a versioned parquet snapshot under
+    * `store` — whole-state-per-epoch, so a `state_v<n>` directory is either
+    * complete (its write returned) or ignored by recovery; older versions
+    * are garbage-collected only AFTER the new one is fully written, so a
+    * crash at any instant leaves a complete latest snapshot on disk. The
+    * rollup is orders of magnitude smaller than the data, which is what
+    * makes rewrite-per-epoch the right durability shape here (contrast
+    * [[graft.core.Instance]], whose batches are data-sized and therefore
+    * append + manifest).
+    */
+  private def materialize(merged: DataFrame): DataFrame = store match {
+    case None => merged.localCheckpoint(true)
+    case Some(dir) =>
+      version += 1
+      val path = s"$dir/${IncrementalAgg.StatePrefix}$version"
+      merged.write.mode("overwrite").parquet(path)
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(base).map(_.getPath).foreach { p =>
+        if (IncrementalAgg.stateVersion(p.getName).exists(_ < version)) fs.delete(p, true)
+      }
+      spark.read.schema(merged.schema).parquet(path)
+  }
 
   /** Fold one insert batch into the running aggregate. */
   def update(batch: DataFrame): Unit = {
@@ -54,8 +86,9 @@ final class IncrementalAgg private (
           .groupBy(keyCols.map(col): _*)
           .agg(sum(wide(col("__sum"))).as("__sum"), sum(col("__cnt")).as("__cnt"))
     }
-    val next = merged.localCheckpoint(true)
-    state.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint)
+    val next = materialize(merged)
+    if (store.isEmpty)
+      state.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint)
     state = Some(next)
   }
 
@@ -74,9 +107,13 @@ final class IncrementalAgg private (
             col("__cnt").as(countAs): _*)
     }
 
-  /** Release the checkpointed state. The instance is empty afterwards. */
+  /** Release transient (block-manager) state. Durable parquet snapshots
+    * stay on disk — surviving restart is their point; re-attach with
+    * [[IncrementalAgg.durable]]. The instance is empty afterwards.
+    */
   def close(): Unit = {
-    state.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint)
+    if (store.isEmpty)
+      state.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint)
     state = None
   }
 }
@@ -92,5 +129,42 @@ object IncrementalAgg {
       keyCols: Seq[String],
       valueCol: String,
       scale: Int = 2): IncrementalAgg =
-    new IncrementalAgg(spark, keyCols, valueCol, scale)
+    new IncrementalAgg(spark, keyCols, valueCol, scale, None)
+
+  private[ops] val StatePrefix = "state_v"
+  private val StateName = "state_v(\\d+)".r
+  private[ops] def stateVersion(name: String): Option[Long] = name match {
+    case StateName(v) => Some(v.toLong)
+    case _            => None
+  }
+
+  /** Durable rollup under `dir`: each epoch persists the whole state as a
+    * versioned parquet snapshot (`state_v<n>`), so the rollup survives
+    * executor loss and JVM restart — the [[graft.core.Instance.ReliableStore]]
+    * discipline, adapted to state that is rollup-sized rather than
+    * data-sized. Attaching to a `dir` that already holds snapshots resumes
+    * from the highest version (the recovery path); updates continue from
+    * there and supersede it. Single writer per directory, same contract as
+    * `ReliableStore`.
+    */
+  def durable(
+      spark: SparkSession,
+      keyCols: Seq[String],
+      valueCol: String,
+      dir: String,
+      scale: Int = 2): IncrementalAgg = {
+    val agg = new IncrementalAgg(spark, keyCols, valueCol, scale, Some(dir))
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) {
+      val latest = fs.listStatus(base)
+        .flatMap(s => stateVersion(s.getPath.getName).map(_ -> s.getPath))
+        .sortBy(_._1)
+        .lastOption
+      latest.foreach { case (v, p) =>
+        agg.loadVersion(spark.read.parquet(p.toString), v)
+      }
+    }
+    agg
+  }
 }

@@ -36,8 +36,10 @@ object PipelineQueries {
     Dedup.minhashPairs(docs(spark, dir), "text", "doc_id", threshold = 0.5)
 
   /** Cross-corpus near-dup pairs: the incoming half of the corpus banded
-    * against the existing half (rows-only: xxhash64 family; the spec pins
-    * equivalence to the single-corpus pair set restricted to cross pairs).
+    * against the existing half. Hash-checked against a brute-force
+    * exact-Jaccard oracle (the LSH stage is xxhash64, but its recall at
+    * the fixture's near-dup similarity is total, and verification admits
+    * no false positives — spec-pinned both ways).
     */
   val dedupCross: Q = (spark, dir) => {
     val d = docs(spark, dir)
@@ -703,6 +705,48 @@ object PipelineQueries {
          |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
          |FROM (SELECT source, doc_id, len($wordsSql) AS n_tok FROM documents)""".stripMargin,
+    // Brute-force exact-Jaccard replay of the single-corpus near-dup pairs
+    // (id_a < id_b) — same recall argument as dedup_cross below.
+    "dedup_minhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(0, len(ws) - 3),
+         |                i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+         |    END AS s
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+    // Brute-force exact-Jaccard replay of the cross-corpus near-dup query.
+    // The LSH candidate stage is xxhash64 (not replayable), but its 16x4
+    // band recall at the fixture's near-dup similarity (~0.9) exceeds
+    // 99.9%, and a no-false-positive spec pins the verification step — so
+    // on the fixed sf verify corpus the surviving pair set equals the
+    // brute-force answer and the whole query hash-checks. The jaccard is
+    // one integer division: bit-exact cross-engine; round(.,4) mirrors the
+    // Spark output column.
+    "dedup_cross" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(0, len(ws) - 3),
+         |                i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+         |    END AS s
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
     "source_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(text)) AS BIGINT) AS sum_chars,

@@ -496,6 +496,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(oneShot == full)
   }
 
+  test("IncrementalAgg.durable survives restart: recovery equals recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggstore").toString
+    val rows = (1L to 120L).map(i => (i, i % 5, (i * 53 % 997) / 100.0)).toDF("id", "k", "v")
+    val a1 = IncrementalAgg.durable(spark, Seq("k"), "v", dir, scale = 2)
+    a1.update(rows.filter(col("id") <= 60))
+    a1.update(rows.filter(col("id") > 60 && col("id") <= 90))
+    a1.close() // simulated shutdown: durable snapshots stay on disk
+    val a2 = IncrementalAgg.durable(spark, Seq("k"), "v", dir, scale = 2)
+    a2.update(rows.filter(col("id") > 90))
+    val got = a2.current().as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val full = rows.groupBy("k")
+      .agg(
+        sum(col("v").cast("decimal(38,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == full, "recovered-and-continued rollup must equal a full recompute")
+    // superseded snapshots are garbage-collected: only the latest remains
+    val snaps = new java.io.File(dir).list().filter(_.startsWith("state_v"))
+    assert(snaps.length == 1, snaps.mkString(","))
+  }
+
   // --- BM25 ----------------------------------------------------------------
 
   test("bm25 equals a Scala reference implementation exactly (pre-rounding tolerance)") {
