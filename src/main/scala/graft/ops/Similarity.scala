@@ -311,9 +311,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // fused codegen'd prep — bitwise-equal to the staged HOF chain
+    // `quantizeInt8(unitNormalize(df), "__u")` (spec-pinned); the HOF chain
+    // pays three interpreted lambda transforms per corpus ROW, which at
+    // scale is the scan throughput
     def prep(df: DataFrame, idAs: String, qAs: String) =
-      quantizeInt8(unitNormalize(df, vecCol, "__u"), "__u")
-        .select(col(idCol).as(idAs), col("q").as(qAs))
+      df.select(
+        col(idCol).as(idAs),
+        graft.functions.VectorExpressions.int8UnitCodes(col(vecCol)).as(qAs))
     val q = prep(queries, "q_id", "q_q")
     val c = prep(corpus, "n_id", "n_q")
     // Dim guard INSIDE the plan: a silent dim mismatch would truncate the

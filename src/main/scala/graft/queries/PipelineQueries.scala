@@ -167,10 +167,16 @@ object PipelineQueries {
     * (plan-audited). All signals are integer counts divided once:
     * bit-exact cross-engine.
     */
-  val textRepetition: Q = (spark, dir) => {
-    val sp = spark
+  val textRepetition: Q = (spark, dir) =>
+    repetitionSignals(docs(spark, dir))
+
+  /** The repetition kernel over any (doc_id, text) frame — split out so the
+    * null-text contract is spec-testable on injected rows.
+    */
+  private[queries] def repetitionSignals(df: DataFrame): DataFrame = {
+    val sp = df.sparkSession
     import sp.implicits._
-    docs(spark, dir)
+    df
       // null text must stage as the EMPTY token list: tokens(null) is a
       // null array, which nulls n_tokens and NPEs the typed kernel's
       // non-nullable Long field (the sibling decontamination oracles make

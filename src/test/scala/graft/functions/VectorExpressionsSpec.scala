@@ -41,6 +41,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("fused int8UnitCodes == staged HOF unitNormalize+quantizeInt8 bitwise") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hof = Similarity
+      .quantizeInt8(Similarity.unitNormalize(e, "embedding", "__u"), "__u")
+      .select(col("vec_id"), col("q"))
+    val native = e.select(
+      col("vec_id"),
+      VectorExpressions.int8UnitCodes(col("embedding")).as("qn"))
+    val joined = hof.join(native, "vec_id")
+    assert(joined.filter(col("q") =!= col("qn")).count() == 0)
+    // zero vector and empty array edge cases
+    val edge = Seq(
+      (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val got = edge.select(VectorExpressions.int8UnitCodes(col("embedding")))
+      .as[Seq[Int]].collect()
+    assert(got(0) == Seq(0, 0) && got(1) == Seq.empty)
+  }
+
   test("intDot nulls, SQL registration, and interpreted eval") {
     val df = Seq(
       (Some(Seq(1, -2, 3)), Some(Seq(4, 5, -6))),

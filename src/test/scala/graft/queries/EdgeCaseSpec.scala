@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.ops.{IncrementalAgg, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression pins for the r6 advisory findings: each test fails on the
+  * pre-fix code, so the edge cases cannot silently reappear.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("importanceSample keeps ~all rows at p just below 1 (threshold clamp)") {
+    // the double just below 1.0: p * 2^32 ROUNDS to exactly 2^32, whose
+    // 9-digit hex a lpad-to-8 would truncate to "10000000" (~6% kept)
+    val p = math.nextDown(1.0)
+    val rows = (1L to 2000L).toDF("id")
+    val kept = Sampling.importanceSample(rows, "id", lit(p)).count()
+    assert(kept >= 1990, s"kept only $kept/2000 at p=1-2^-53 — threshold truncated")
+    // and p = 0 / null still drop
+    assert(Sampling.importanceSample(rows, "id", lit(0.0)).count() == 0)
+    assert(
+      Sampling.importanceSample(rows, "id", lit(null).cast("double")).count() == 0)
+  }
+
+  test("IncrementalAgg survives sums beyond 26 integer digits (wide accumulation)") {
+    // each batch sums to ~5e27 per key — past decimal(28,2)'s 26 integer
+    // digits after two epochs, which the old per-epoch re-narrowing nulled
+    val big = 1e27
+    val batch = Seq((1L, big), (1L, big * 2), (2L, big)).toDF("k", "v")
+    val agg = IncrementalAgg(spark, Seq("k"), "v", scale = 2)
+    agg.update(batch)
+    agg.update(batch)
+    val got = agg.current().as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    agg.close()
+    assert(got(1L)._1 == 6e27, s"key 1 sum ${got(1L)._1} — overflowed to null/garbage")
+    assert(got(2L)._1 == 2e27)
+    assert(got(1L)._2 == 4L && got(2L)._2 == 2L)
+  }
+
+  test("repetition signals tolerate null and empty text") {
+    val df = Seq(
+      (1L, "a a a b"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    val got = PipelineQueries.repetitionSignals(df)
+      .as[(Long, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 4L, 0.5, 2.0 / 3.0)))
+    // null and empty text: zero tokens, zero fractions — never null, never NPE
+    assert(got(2L) == ((2L, 0L, 0.0, 0.0)))
+    assert(got(3L) == ((3L, 0L, 0.0, 0.0)))
+  }
+}
