@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-conversion funnel over an event stream: how many users reached
+  * stage k having entered stage k-1 first. A user's entry time into stage k
+  * is their EARLIEST stage-k event at or after their stage k-1 entry —
+  * the standard product-analytics funnel semantics (strictly ordered,
+  * unbounded window).
+  *
+  * Scale shape: one filtered aggregate per stage, each shuffling only that
+  * stage's events by user; survivors shrink monotonically down the funnel
+  * and ride broadcast joins once small (AQE decides from measured sizes).
+  * The stage counts are 1-row aggregates unioned into a 3-row result — no
+  * driver-side actions inside the builder.
+  *
+  * No reference analog — pipeline-extension layer.
+  */
+object Funnel {
+
+  /** @param steps event-type names in funnel order (at least one)
+    * @return (stage, stage_idx, users) — one row per step, `users` = count
+    *         of users whose ordered entry reached that step
+    */
+  def stages(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val u = col(userCol)
+    def entries(step: String, prev: Option[DataFrame]): DataFrame = {
+      val events = df.filter(col(typeCol) === step)
+      val gated = prev match {
+        case None => events
+        case Some(p) =>
+          events.join(p, Seq(userCol)).filter(col(tsCol) >= col("__entry")).drop("__entry")
+      }
+      gated.groupBy(u).agg(min(col(tsCol)).as("__entry"))
+    }
+    val survivorChain = steps.tail.scanLeft(entries(steps.head, None)) {
+      case (prev, step) => entries(step, Some(prev))
+    }
+    survivorChain.zip(steps).zipWithIndex
+      .map { case ((surv, step), i) =>
+        surv.agg(count(lit(1)).as("users"))
+          .select(lit(step).as("stage"), lit(i).as("stage_idx"), col("users"))
+      }
+      .reduce(_ unionByName _)
+  }
+}

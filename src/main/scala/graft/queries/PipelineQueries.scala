@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, TextOps}
 import graft.sources.Sources
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -202,6 +203,71 @@ object PipelineQueries {
         (id, n, dupf, if (bgs.isEmpty) 0.0 else best.toDouble / bgs.size)
       }
       .toDF("doc_id", "n_tokens", "dup_word_frac", "top_bigram_frac")
+  }
+
+  /** Top-5 TF-IDF terms per document — keyword extraction over the corpus.
+    * One token-explode shuffle for tf, a vocab-sized aggregate for df, the
+    * corpus size as a 1-row broadcast (the BM25 stats pattern), bounded
+    * per-doc heaps for the top-k. Ranking orders by the ROUNDED score so
+    * libm ln last-ulp differences cannot flip cross-engine ranks.
+    */
+  val tfidfTopterms: Q = (spark, dir) => {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+  }
+
+  /** Bigram-LM quality score per document (the CCNet/Gopher-style
+    * perplexity filter): add-one-smoothed P(w₂|w₁) from corpus bigram/
+    * history counts, scored as the mean log-probability over each doc's
+    * bigrams. Per-bigram log-probs are FLOORED onto a 1e-6 grid and summed
+    * as integers, so the per-doc aggregation is order-independent and
+    * bit-exact cross-engine (a raw double sum would depend on partition
+    * order; the coarse grid absorbs libm ln last-ulp noise).
+    */
+  val textPerplexity: Q = (spark, dir) => {
+    val staged = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val bgs = staged
+      .select(
+        col("doc_id"),
+        explode(arrays_zip(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))).as("z"))
+      .select(col("doc_id"), col("z.0").as("w1"), col("z.1").as("w2"))
+    val hist = bgs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val pair = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = staged
+      .select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val contrib = bgs
+      .join(pair, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "lp_q",
+        floor(log((col("c12") + 1).cast("double") / (col("c1") + col("v"))) * 1000000.0))
+    contrib
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("__s"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        round(col("__s") / (col("n_bigrams") * 1000000.0), 4).as("logp_avg"))
   }
 
   /** BM25 relevance over the corpus for a fixed query — the retrieval/
@@ -612,6 +678,8 @@ object PipelineQueries {
     "pipeline_e2e" -> pipelineE2e,
     "pipeline_curate" -> pipelineCurate,
     "text_chunks" -> textChunks,
+    "tfidf_topterms" -> tfidfTopterms,
+    "text_perplexity" -> textPerplexity,
     "source_minhash" -> sourceMinhash,
     "source_roundtrip" -> sourceRoundtrip,
     "approx_parts" -> approxParts,
@@ -1061,6 +1129,39 @@ object PipelineQueries {
          |       ELSE CAST(COALESCE(top_cnt, 0) AS DOUBLE) / len(bgs)
          |  END AS top_bigram_frac
          |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id""".stripMargin,
+    "tfidf_topterms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, score, rank FROM (
+         |  SELECT doc_id, term, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "text_perplexity" ->
+      s"""WITH staged AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |bgs AS (
+         |  SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 2)) AS i
+         |        FROM staged WHERE len(ws) >= 2)),
+         |hist AS (SELECT w1, count(*) AS c1 FROM bgs GROUP BY w1),
+         |pair AS (SELECT w1, w2, count(*) AS c12 FROM bgs GROUP BY w1, w2),
+         |vocab AS (
+         |  SELECT count(DISTINCT w) AS v
+         |  FROM (SELECT unnest(ws) AS w FROM staged)),
+         |contrib AS (
+         |  SELECT doc_id,
+         |    CAST(floor(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) * 1000000.0) AS BIGINT) AS lp_q
+         |  FROM bgs JOIN pair USING (w1, w2) JOIN hist USING (w1) CROSS JOIN vocab)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(sum(lp_q) / (count(*) * 1000000.0), 4) AS logp_avg
+         |FROM contrib GROUP BY doc_id""".stripMargin,
     "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
     "knn_lsh" ->
       s"""WITH h AS (

@@ -383,7 +383,17 @@ object RelationalQueries {
     agg.current("total_value", "n_events")
   }
 
+  /** Ordered view→click→purchase conversion funnel over the event stream —
+    * the product-analytics staple. Entry to stage k = earliest stage-k
+    * event at/after the user's stage k-1 entry (see [[graft.ops.Funnel]]).
+    */
+  val eventsFunnel: Q = (spark, dir) =>
+    graft.ops.Funnel.stages(
+      Tables.events(spark, dir).toDF(),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
   val all: Map[String, Q] = Map(
+    "events_funnel" -> eventsFunnel,
     "events_enrich" -> eventsEnrich,
     "topk_per_key" -> topkPerKey,
     "range_bands" -> rangeBands,
@@ -414,6 +424,21 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(ts) AS t1 FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts >= t0 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts >= t1 GROUP BY e.user_id)
+        |SELECT 'view' AS stage, 0 AS stage_idx, count(*) AS users FROM v
+        |UNION ALL
+        |SELECT 'click', 1, count(*) FROM c
+        |UNION ALL
+        |SELECT 'purchase', 2, count(*) FROM p""".stripMargin,
     "events_enrich" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value

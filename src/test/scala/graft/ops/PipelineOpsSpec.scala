@@ -518,6 +518,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(snaps.length == 1, snaps.mkString(","))
   }
 
+  test("Funnel.stages counts only strictly-ordered conversions") {
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
+    val events = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      (2L, "click", t(1)), (2L, "view", t(2)), // click BEFORE view: stalls at view
+      (3L, "purchase", t(1)), (3L, "view", t(2)), (3L, "click", t(3)), // early purchase doesn't count
+      (4L, "click", t(1)) // never viewed: enters nothing
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel
+      .stages(events, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .as[(String, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
   // --- BM25 ----------------------------------------------------------------
 
   test("bm25 equals a Scala reference implementation exactly (pre-rounding tolerance)") {
