@@ -392,8 +392,27 @@ object RelationalQueries {
       Tables.events(spark, dir).toDF(),
       "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
 
+  /** Z-order layout under the oracle gate: events are written Z-ORDERED on
+    * (user_id, value), read back, and probed with a predicate on BOTH
+    * dimensions — the multi-column data-skipping layout
+    * ([[graft.sources.Sources.writeZOrdered]]; per-column file skipping is
+    * footer-asserted in SourcesSpec) while the oracle aggregates the
+    * original parquet, so the re-layout must be content-lossless.
+    */
+  val sourceZorder: Q = (spark, dir) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_zorder_events"
+    graft.sources.Sources.writeZOrdered(
+      Tables.eventsDf(spark, dir).select("event_id", "user_id", "ts", "value"),
+      path, Seq("user_id", "value"), numFiles = 16)
+    spark.read.parquet(path)
+      .filter(col("user_id").between(40, 80) && col("value").between(100.0, 300.0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
+  }
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
+    "source_zorder" -> sourceZorder,
     "events_enrich" -> eventsEnrich,
     "topk_per_key" -> topkPerKey,
     "range_bands" -> rangeBands,
@@ -424,6 +443,12 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "source_zorder" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 80 AND value BETWEEN 100.0 AND 300.0
+        |GROUP BY user_id""".stripMargin,
     "events_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t0 FROM events

@@ -108,6 +108,68 @@ object Sources {
     configured.parquet(path)
   }
 
+  /** Z-order clustered parquet: rows are range-partitioned and sorted by
+    * the BIT-INTERLEAVED bucket codes of `zCols`, so each output file
+    * covers a small rectangle of the multi-column value space instead of a
+    * stripe of one column — min/max row-group stats then skip files for
+    * predicates on ANY of the z columns (a single-column sort only skips
+    * for the leading column). This is the lakehouse layout lever for 100 TB
+    * fact tables probed on several dimensions.
+    *
+    * The per-column codes are 16-bit-per-dimension `width_bucket` codes
+    * against the MEASURED min/max (one 1-row aggregate job); interleaving
+    * is a static fold of codegen'd bit expressions — no UDF, scan-speed.
+    * Linear bucketing keeps the code engine-replayable; heavily skewed
+    * columns would prefer quantile cuts, stated here honestly.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2, "z-ordering needs at least two columns (sort for one)")
+    require(zCols.size <= 4, "more than 4 z columns dilutes per-column skipping")
+    val bits = 16
+    val n = zCols.size
+    val spark = df.sparkSession
+    val stats = df.agg(
+      min(col(zCols.head)).cast("double").as("mn0"),
+      (max(col(zCols.head)).cast("double").as("mx0") +:
+        zCols.tail.zipWithIndex.flatMap { case (c, i) =>
+          Seq(
+            min(col(c)).cast("double").as(s"mn${i + 1}"),
+            max(col(c)).cast("double").as(s"mx${i + 1}"))
+        }): _*).head()
+    val codes = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(stats.fieldIndex(s"mn$i"))
+      val mx = stats.getDouble(stats.fieldIndex(s"mx$i"))
+      val buckets = 1 << bits
+      // width_bucket maps v==max to buckets+1 and nulls to null: clamp into
+      // [0, 2^bits-1] so every row gets a code and file ranges stay tight
+      val wb =
+        if (mn == mx) lit(0L)
+        else
+          least(
+            greatest(
+              width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(buckets)) - 1,
+              lit(0L)),
+            lit((buckets - 1).toLong))
+      coalesce(wb, lit(0L))
+    }
+    val zval = (0 until bits)
+      .flatMap(b => codes.zipWithIndex.map { case (code, i) =>
+        shiftleft(shiftright(code, b).bitwiseAND(1L), b * n + i)
+      })
+      .reduce(_ + _)
+    val files = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
+    df.withColumn("__z", zval)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed + sorted managed table. Joining two tables bucketed on the
     * same key with the same `numBuckets` needs no shuffle — the join
     * becomes a per-bucket merge.

@@ -14,6 +14,63 @@ class SourcesSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("writeZOrdered: file stats skip on BOTH z columns; content survives") {
+    val events = graft.tables.Tables.eventsDf(spark, "/root/testdata/sf0.01")
+      .select("event_id", "user_id", "ts", "value")
+    val zPath = tmp("zorder") + "/events_z"
+    val sortedPath = tmp("zsorted") + "/events_s"
+    Sources.writeZOrdered(events, zPath, Seq("user_id", "value"), numFiles = 32)
+    // baseline: single-column sort — the layout z-order must beat on the
+    // NON-leading column
+    events.repartitionByRange(32, col("value")).sortWithinPartitions("value")
+      .write.mode("overwrite").parquet(sortedPath)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    // files whose [min,max] stats for `column` cover the probe value — the
+    // row groups a stats-pruning scan must read
+    def covering(path: String, column: String, probe: Double): (Int, Int) = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      val files = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      var cover = 0
+      files.foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try {
+          val covered = reader.getFooter.getBlocks.stream().anyMatch { rg =>
+            val c = rg.getColumns.stream()
+              .filter(_.getPath.toDotString == column).findFirst().get()
+            val st = c.getStatistics
+            def d(a: Any): Double = a match {
+              case l: java.lang.Long => l.toDouble
+              case x: java.lang.Double => x
+              case x => x.toString.toDouble
+            }
+            d(st.genericGetMin()) <= probe && probe <= d(st.genericGetMax())
+          }
+          if (covered) cover += 1
+        } finally reader.close()
+      }
+      (cover, files.length)
+    }
+    val uProbe = 75.0 // mid-range user_id (sf0.01: 0..149)
+    val vProbe = 245.0 // mid-range value (sf0.01: ~0..490)
+    val (zu, zn) = covering(zPath, "user_id", uProbe)
+    val (zv, _) = covering(zPath, "value", vProbe)
+    val (su, sn) = covering(sortedPath, "user_id", uProbe)
+    assert(zn >= 16, s"expected ~32 z files, got $zn")
+    // genuine 2-D clustering: BOTH columns skip more than half the files
+    assert(zu * 2 < zn, s"user_id covers $zu/$zn z-ordered files — no skipping")
+    assert(zv * 2 < zn, s"value covers $zv/$zn z-ordered files — no skipping")
+    // the value-sorted baseline cannot skip on user_id (covers ~all files)
+    assert(su * 2 >= sn, s"baseline unexpectedly skips user_id: $su/$sn")
+    // layout changes nothing about content
+    assert(
+      spark.read.parquet(zPath).as[(Long, Long, java.sql.Timestamp, Double)]
+        .collect().toSet ==
+        events.as[(Long, Long, java.sql.Timestamp, Double)].collect().toSet)
+  }
+
   test("csv and json round-trip with explicit schema") {
     val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
     val expected = df.as[(Int, String, Int)].collect().toSet
