@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy record linkage: candidate pairs share a cheap equality
+  * BLOCKING key (a prefix, a phonetic code, a normalized field), then exact
+  * edit distance decides within blocks — the classic dedup/linkage shape
+  * for entity records (names, addresses, identifiers), complementing the
+  * token-set (MinHash/Jaccard) family which ignores character-level edits.
+  *
+  * Scale shape: one shuffle on the block key ships (id, name) only; the
+  * quadratic work is confined within blocks exactly like
+  * [[Dedup.ngramJaccardPairs]]'s block contract — choose the key so blocks
+  * stay bounded. The distance is Spark's BANDED levenshtein (threshold
+  * form): the DP early-exits at `maxDist+1`, so per-pair cost is
+  * O(maxDist · len), not O(len²). Recall is exactly the blocking recall:
+  * pairs in different blocks are never compared, stated honestly — a
+  * multi-pass scheme (several keys, union) buys more recall at more cost.
+  */
+object Linkage {
+
+  /** Pairs (id_a < id_b) sharing `blockKey` with
+    * `levenshtein(name_a, name_b) <= maxDist`, plus the exact distance.
+    */
+  def fuzzyPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockKey: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    Dedup.requireIntegralId(df, idCol)
+    val a = df.select(
+      col(idCol).as("id_a"), col(nameCol).as("name_a"), blockKey.as("__blk"))
+    val b = df.select(
+      col(idCol).as("id_b"), col(nameCol).as("name_b"), blockKey.as("__blk"))
+    a.join(b, "__blk")
+      .filter(col("id_a") < col("id_b"))
+      // threshold form: banded DP, returns -1 when the distance exceeds it
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

@@ -410,9 +410,19 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
   }
 
+  /** Blocked edit-distance record linkage over customer names: blocks share
+    * the leading 6 id digits, levenshtein ≤ 1 decides within blocks
+    * (see [[graft.ops.Linkage]]).
+    */
+  val linkageFuzzy: Q = (spark, dir) =>
+    graft.ops.Linkage.fuzzyPairs(
+      t(spark, dir, "customer"), "c_custkey", "c_name",
+      substring(col("c_name"), 10, 6), maxDist = 1)
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "source_zorder" -> sourceZorder,
+    "linkage_fuzzy" -> linkageFuzzy,
     "events_enrich" -> eventsEnrich,
     "topk_per_key" -> topkPerKey,
     "range_bands" -> rangeBands,
@@ -443,6 +453,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "linkage_fuzzy" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, substring(c_name, 10, 6) AS blk FROM customer)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "source_zorder" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value

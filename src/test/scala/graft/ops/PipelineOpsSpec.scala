@@ -532,6 +532,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
   }
 
+  test("Linkage.fuzzyPairs: block gating, boundary distance, exact values") {
+    val recs = Seq(
+      (1L, "acme corp"), (2L, "acme korp"), // dist 1, same block 'a'
+      (3L, "acme co"), // dist 2 from #1: over maxDist=1
+      (4L, "beta llc"), (5L, "beta llc"), // dist 0, block 'b'
+      (6L, "aeta llc") // dist 1 from #4 BUT different block: never compared
+    ).toDF("id", "name")
+    val got = Linkage
+      .fuzzyPairs(recs, "id", "name", substring(col("name"), 1, 1), maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    // boundary dist == maxDist survives; cross-block near-match is honest recall loss
+    assert(got == Set((1L, 2L, 1), (4L, 5L, 0)))
+  }
+
   // --- BM25 ----------------------------------------------------------------
 
   test("bm25 equals a Scala reference implementation exactly (pre-rounding tolerance)") {
