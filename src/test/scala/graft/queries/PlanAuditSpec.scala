@@ -176,6 +176,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "query set must broadcast")
     assert(count(p, "Exchange hashpartitioning") == 1,
       s"only the ranking window may shuffle:\n$p")
+    // the fused prep and integer dot are native codegen'd expressions —
+    // an interpreted HOF lambda reappearing in the hot path is the exact
+    // regression the r6 verdict flagged (2.8× slower than float)
+    assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
+      s"interpreted HOF back in the int8 path:\n$p")
+    assert(p.contains("int8unitcodes") || p.contains("Int8UnitCodes"),
+      s"fused prep kernel missing:\n$p")
+  }
+
+  test("tfidf_topterms: corpus-size rides a 1-row broadcast; tf aggregates map-side") {
+    val p = plan("tfidf_topterms")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "n_docs must ride a broadcast, not a shuffle")
+    // explode-tf, df-per-term, the tf⋈df join, and the per-doc ranking
+    // window are the legitimate exchanges; the corpus text itself is
+    // projected away before any of them
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("text_perplexity: vocab scalar broadcasts; per-doc sum is an integer aggregate") {
+    val p = plan("text_perplexity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row vocab count must ride a broadcast")
+    // the per-doc aggregation sums the 1e-6-grid integer contributions —
+    // a raw double sum would be partition-order-dependent
+    assert(p.contains("sum(lp_q"), s"integer-grid sum missing:\n$p")
+  }
+
+  test("events_funnel: stage aggregates are partial-combined; no corpus-wide cross join") {
+    val p = plan("events_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"stage entries must combine map-side:\n$p")
   }
 
   test("dedup_against_ref: reference digests aggregate once; corpus path is scan+filter") {
