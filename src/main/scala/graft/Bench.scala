@@ -58,13 +58,16 @@ object Bench {
         (dt, n)
       }
       if (doGc) {
-        System.gc()
         // ContextCleaner retires shuffle files/broadcasts ASYNCHRONOUSLY
-        // after the GC clears their weak refs — without a drain window the
+        // after a GC clears their weak refs — without a drain window the
         // cleaner's backlog lands inside the NEXT query's timed runs
         // (r6: project_map 5.18 s in-bench vs 2.44 s isolated, attribution
-        // in SCALE.md). 250 ms untimed is enough for the local queue.
-        Thread.sleep(250)
+        // in SCALE.md). GC twice with drain gaps: the first collection
+        // ENQUEUES the weak refs and the cleaner drains them; the second
+        // collects what the cleaner just freed — a single GC leaves the
+        // late-alphabet queries (the view family) inheriting the backlog.
+        System.gc(); Thread.sleep(150)
+        System.gc(); Thread.sleep(150)
       }
       val med = times.map(_._1).sorted.apply(times.size / 2)
       System.err.println(
