@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -158,6 +158,38 @@ object Similarity {
     * exhaustive search — the spec pins that case bitwise to
     * [[bruteForceTopK]].
     */
+  /** A built IVF index: the coarse-quantizer centroids (driver-resident —
+    * nlist × dim doubles, tiny) plus the corpus with cell assignments.
+    * [[save]] persists it with the corpus PARTITIONED BY cell, so an
+    * [[ivfLoad]]ed index prunes to the probed cells at the FILE level —
+    * a search then reads ~nprobe/nlist of the corpus bytes, which at
+    * 100 TB is the entire point of IVF.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame) {
+    def save(path: String): Unit = {
+      val sp = assigned.sparkSession
+      import sp.implicits._
+      centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    }
+  }
+
+  /** Re-attach a saved [[IvfIndex]]. The corpus side stays a lazy
+    * partition-pruned scan — nothing is read until a search probes cells.
+    */
+  def ivfLoad(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select("cell", "centroid")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(centroids, spark.read.parquet(s"$path/corpus"))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -166,16 +198,23 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    ivfSearch(ivfBuild(corpus, idCol, vecCol, nlist, seed), queries, idCol, vecCol, k, nprobe)
+
+  /** Train the coarse quantizer and assign every corpus vector to its
+    * nearest cell — the build half of the IVF lifecycle. Build once,
+    * [[IvfIndex.save]], search many: refitting k-means per query batch
+    * (what a fused build+search does) is the anti-pattern at scale.
+    */
+  def ivfBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L): IvfIndex = {
     val sp = corpus.sparkSession
     import sp.implicits._
     graft.ops.Dedup.requireIntegralId(corpus, idCol)
-    graft.ops.Dedup.requireIntegralId(queries, idCol)
-    // loud dim check, same contract as lshTopK: a centroid/vector mismatch
-    // must never silently truncate into wrong cells
-    val d = inferDim(corpus, vecCol)
-    val qd = inferDim(queries, vecCol)
-    require(qd == d, s"query embedding dim $qd != corpus dim $d")
     // Train the coarse quantizer on a bounded draw, NOT the full corpus:
     // k-means is iterative (many passes over its input), and centroid
     // quality saturates at a few hundred points per cell — at 100 TB a
@@ -222,31 +261,47 @@ object Similarity {
       .fit(train)
     val centers = model.clusterCenters.map(_.toArray)
     val bc = sp.sparkContext.broadcast(centers)
-    def cellsFor(v: Seq[Float], n: Int): Seq[Int] = {
-      val cs = bc.value
-      val d2 = cs.indices.map { i =>
-        val c = cs(i)
-        require(c.length == v.length,
-          s"vector dim ${v.length} != centroid dim ${c.length}")
-        var s = 0.0; var j = 0
-        while (j < c.length) { val dd = v(j) - c(j); s += dd * dd; j += 1 }
-        (s, i)
-      }
-      d2.sorted.take(n).map(_._2)
-    }
-    val c = corpus
+    val assigned = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Seq[Float])]
-      .map { case (id, v) => (cellsFor(v, 1).head, id, v) }
+      .map { case (id, v) => (nearestCells(bc.value, v, 1).head, id, v) }
       .toDF("cell", "n_id", "n_vec")
       .select(col("cell"), col("n_id"), col("n_vec"), l2Norm(col("n_vec")).as("n_norm"))
+    IvfIndex(centers, assigned)
+  }
+
+  /** Probe a built/loaded [[IvfIndex]]: each query searches its `nprobe`
+    * nearest cells only. Over a [[IvfIndex.save]]d index the cell filter
+    * prunes at the partition level — the scan reads ~nprobe/nlist of the
+    * corpus files (plan-asserted in spec).
+    */
+  def ivfSearch(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    graft.ops.Dedup.requireIntegralId(queries, idCol)
+    // loud dim check against the INDEX, driver-side: a centroid/vector
+    // mismatch must never silently truncate into wrong cells
+    val qd = inferDim(queries, vecCol)
+    require(
+      qd == index.centroids.head.length,
+      s"query embedding dim $qd != index dim ${index.centroids.head.length}")
+    val bc = sp.sparkContext.broadcast(index.centroids)
+    val nprobeCapped = math.min(nprobe, index.centroids.length)
     val q = queries
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Seq[Float])]
-      .flatMap { case (id, v) => cellsFor(v, nprobe).map(cell => (cell, id, v)) }
+      .flatMap { case (id, v) =>
+        nearestCells(bc.value, v, nprobeCapped).map(cell => (cell, id, v))
+      }
       .toDF("cell", "q_id", "q_vec")
       .select(col("cell"), col("q_id"), col("q_vec"), l2Norm(col("q_vec")).as("q_norm"))
-    val scored = c
+    val scored = index.assigned
       .join(q, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(
@@ -255,6 +310,21 @@ object Similarity {
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Indices of the `n` nearest centroids by squared L2 — the shared cell
+    * router of build and search.
+    */
+  private def nearestCells(cs: Array[Array[Double]], v: Seq[Float], n: Int): Seq[Int] = {
+    val d2 = cs.indices.map { i =>
+      val c = cs(i)
+      require(c.length == v.length,
+        s"vector dim ${v.length} != centroid dim ${c.length}")
+      var s = 0.0; var j = 0
+      while (j < c.length) { val dd = v(j) - c(j); s += dd * dd; j += 1 }
+      (s, i)
+    }
+    d2.sorted.take(n).map(_._2)
   }
 
   /** Unit-normalize an embedding column map-side (zero shuffle): after

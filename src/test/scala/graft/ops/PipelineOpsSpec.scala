@@ -410,6 +410,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF lifecycle: save/load/search replays the fused path; cells prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val queries = emb.filter(col("vec_id") < 8)
+    val direct = Similarity
+      .ivfTopK(emb, queries, "vec_id", "embedding", 10, nlist = 8, nprobe = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 8).save(dir)
+    val loaded = Similarity.ivfLoad(spark, dir)
+    val replay = Similarity
+      .ivfSearch(loaded, queries, "vec_id", "embedding", 10, nprobe = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // same seed, same quantizer, same cells: the persisted index must
+    // reproduce the fused build+search answer exactly (cosines bitwise)
+    assert(replay == direct)
+    // the save layout is partitioned by cell: a cell filter prunes at the
+    // FILE level, which is why a probe reads ~nprobe/nlist of the corpus
+    val probe = loaded.assigned.filter(col("cell") === 3)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+    assert(probe.count() > 0)
+  }
+
   test("int8TopK: ranks well-formed, high recall vs float brute force") {
     val brute = Similarity
       .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
