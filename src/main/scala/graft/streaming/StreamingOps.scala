@@ -173,6 +173,46 @@ object StreamingOps {
       }
   }
 
+  final case class TypedEvent(user_id: Long, event_type: String, ts_ns: Long)
+  final case class FunnelProgress(user_id: Long, stage_idx: Int, entry_ns: Long)
+
+  /** Streaming conversion funnel: per-user stage progress as keyed state,
+    * emitting one record the moment a user ENTERS a stage — the online
+    * counterpart of [[graft.ops.Funnel.stages]] (count emitted rows per
+    * `stage_idx` for the live funnel report). State is one tiny vector of
+    * entry times per user, grow-only like the reference's instances.
+    *
+    * Semantics contract: events are processed in timestamp order WITHIN
+    * each micro-batch, so the result is exactly the batch funnel whenever
+    * each user's events arrive time-ordered ACROSS batches (the log-stream
+    * case, spec-pinned). A late out-of-order event that would lower an
+    * earlier stage's entry time is not retracted — exact late-data replay
+    * needs the batch operator over the full log.
+    */
+  def funnelStateful(
+      events: Dataset[TypedEvent],
+      steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[Long], FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent], state: GroupState[Vector[Long]]) =>
+          var entries = state.getOption.getOrElse(Vector.empty[Long])
+          val before = entries.length
+          batch.toVector.sortBy(e => (e.ts_ns, e.event_type)).foreach { e =>
+            val k = entries.length
+            if (k < steps.length && e.event_type == steps(k) &&
+              (k == 0 || e.ts_ns >= entries(k - 1)))
+              entries :+= e.ts_ns
+          }
+          if (entries.length > before) state.update(entries)
+          (before until entries.length).iterator
+            .map(k => FunnelProgress(uid, k, entries(k)))
+      }
+  }
+
   /** Flat-map variant emitting one record per completed session (30-minute
     * inactivity on the nanosecond event clock, processing-time-free logic:
     * sessions close when a later event proves the gap).

@@ -56,6 +56,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L).n_events == 1 && math.abs(last(2L).total_value - 1.0) < 1e-9)
   }
 
+  test("streaming funnel equals the batch funnel on time-ordered delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    // synthetic journeys incl. a stalled user and an out-of-order-within-
+    // batch pair (the kernel sorts within each micro-batch)
+    val evs = Seq(
+      StreamingOps.TypedEvent(1L, "view", 10L),
+      StreamingOps.TypedEvent(1L, "click", 30L),
+      StreamingOps.TypedEvent(2L, "click", 5L), // click before any view
+      StreamingOps.TypedEvent(2L, "view", 20L),
+      StreamingOps.TypedEvent(1L, "purchase", 50L),
+      StreamingOps.TypedEvent(2L, "click", 60L),
+      StreamingOps.TypedEvent(3L, "view", 70L))
+    val steps = Seq("view", "click", "purchase")
+    val stream = MemoryStream[StreamingOps.TypedEvent]
+    val q = StreamingOps.funnelStateful(stream.toDS(), steps)
+      .writeStream.outputMode("append").format("memory").queryName("funnel").start()
+    // time-ordered across batches; the second batch arrives ts-shuffled
+    stream.addData(evs.take(4): _*)
+    q.processAllAvailable()
+    stream.addData(evs.drop(4).reverse: _*)
+    q.processAllAvailable()
+    val got = spark.table("funnel").as[StreamingOps.FunnelProgress].collect()
+      .groupBy(_.stage_idx).view.mapValues(_.map(_.user_id).toSet).toMap
+    q.stop()
+    val batch = graft.ops.Funnel
+      .stages(
+        evs.map(e => (e.user_id, e.event_type, new java.sql.Timestamp(e.ts_ns)))
+          .toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps)
+      .as[(String, Int, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(got(0) == Set(1L, 2L, 3L) && got(1) == Set(1L, 2L) && got(2) == Set(1L))
+    assert(batch == Map(0 -> 3L, 1 -> 2L, 2 -> 1L), s"batch funnel drifted: $batch")
+    assert(got.view.mapValues(_.size.toLong).toMap == batch)
+  }
+
   test("stateful sessionizer emits completed sessions with correct bounds") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1000L
