@@ -422,10 +422,41 @@ object RelationalQueries {
       t(spark, dir, "customer"), "c_custkey", "c_name",
       substring(col("c_name"), 10, 7), maxDist = 1)
 
+  /** Per-column profile of the orders table — the describe-before-you-trust
+    * report ([[graft.ops.Checks.profile]]): row/null/distinct counts and
+    * min/max renderings. Doubles are excluded by choice: their string
+    * rendering is engine-specific (the op's scaladoc says cast to DECIMAL
+    * first), and the point here is the exactly-replayable core.
+    */
+  val profileOrders: Q = (spark, dir) =>
+    graft.ops.Checks.profile(
+      t(spark, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+
+  /** Expectations suite over the TPC-H core: primary-key uniqueness,
+    * two referential checks, completeness — each a rows-sized violation
+    * count ([[graft.ops.Checks]]).
+    */
+  val tableChecks: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val l = t(spark, dir, "lineitem")
+    graft.ops.Checks.duplicateKeys(o, Seq("o_orderkey"))
+      .select(lit("orders_pk_unique").as("check_name"), col("violations"))
+      .unionByName(graft.ops.Checks.orphans(o, c, "o_custkey", "c_custkey")
+        .select(lit("orders_custkey_fk").as("check_name"), col("violations")))
+      .unionByName(graft.ops.Checks.orphans(l, o, "l_orderkey", "o_orderkey")
+        .select(lit("lineitem_orderkey_fk").as("check_name"), col("violations")))
+      .unionByName(graft.ops.Checks.incomplete(o, Seq("o_orderkey", "o_orderdate"))
+        .select(lit("orders_complete").as("check_name"), col("violations")))
+  }
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
+    "profile_orders" -> profileOrders,
+    "table_checks" -> tableChecks,
     "events_enrich" -> eventsEnrich,
     "topk_per_key" -> topkPerKey,
     "range_bands" -> rangeBands,
@@ -456,6 +487,33 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_orders" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+    "table_checks" ->
+      """SELECT 'orders_pk_unique' AS check_name, count(*) AS violations
+        |FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', count(*)
+        |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk', count(*)
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'orders_complete', count(*)
+        |FROM orders WHERE o_orderkey IS NULL OR o_orderdate IS NULL""".stripMargin,
     "linkage_fuzzy" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name, substring(c_name, 10, 7) AS blk FROM customer)

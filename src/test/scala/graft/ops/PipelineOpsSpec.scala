@@ -540,6 +540,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(snaps.length == 1, snaps.mkString(","))
   }
 
+  test("Checks count violations on a dirty frame (fixture data is clean)") {
+    val child = Seq(
+      (1L, Some(10L), Some("a")),
+      (1L, Some(10L), Some("b")), // dup pk 1
+      (2L, Some(99L), None), // orphan fk + null col
+      (3L, None, Some("c")) // null fk (orphan by default)
+    ).toDF("id", "fk", "v")
+    val parent = Seq(10L).toDF("pk")
+    assert(Checks.duplicateKeys(child, Seq("id")).head.getLong(0) == 1L)
+    assert(Checks.orphans(child, parent, "fk", "pk").head.getLong(0) == 2L)
+    assert(
+      Checks.orphans(child, parent, "fk", "pk", countNullAsOrphan = false)
+        .head.getLong(0) == 1L)
+    assert(Checks.incomplete(child, Seq("fk", "v")).head.getLong(0) == 2L)
+    val prof = Checks.profile(child, Seq("fk"))
+      .as[(String, Long, Long, Long, String, String)].head()
+    assert(prof == (("fk", 4L, 1L, 2L, "10", "99")))
+  }
+
   test("Funnel.stages counts only strictly-ordered conversions") {
     def t(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
     val events = Seq(
