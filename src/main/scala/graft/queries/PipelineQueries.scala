@@ -345,6 +345,26 @@ object PipelineQueries {
         max(col("doc_id")).as("max_id"))
   }
 
+  /** Snapshot diff between two deterministic corpus versions — the
+    * change-data-capture report ([[graft.ops.Snapshot]]): version B drops
+    * every 97th doc, revises every 89th survivor, and adds re-keyed copies
+    * of every 101st; the diff must classify exactly those. Row-level,
+    * non-unchanged rows only.
+    */
+  val snapshotDiff: Q = (spark, dir) => {
+    val before = docs(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val after = before
+      .filter(col("doc_id") % 97 =!= 0)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 89 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .unionByName(before.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+    graft.ops.Snapshot.diff(before, after, Seq("doc_id"), Seq("text", "source"))
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** Group-level MinHash via the custom typed Aggregator: per-source corpus
     * signature (element-wise min of doc signatures). Rows-only: the oracle
     * cannot replay xxhash64; pinned exactly by spec instead.
@@ -682,6 +702,7 @@ object PipelineQueries {
     "text_perplexity" -> textPerplexity,
     "source_minhash" -> sourceMinhash,
     "source_roundtrip" -> sourceRoundtrip,
+    "snapshot_diff" -> snapshotDiff,
     "approx_parts" -> approxParts,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
@@ -821,6 +842,33 @@ object PipelineQueries {
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
          |  FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
          |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+    "snapshot_diff" ->
+      """WITH before_s AS (SELECT doc_id, text, source FROM documents),
+        |after_s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+        |    source
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 101 = 0),
+        |bh AS (
+        |  SELECT doc_id, md5(
+        |    (CASE WHEN text IS NULL THEN '0' ELSE '1' END) || coalesce(text, '') ||
+        |    (CASE WHEN source IS NULL THEN '0' ELSE '1' END) || coalesce(source, '')) AS hb
+        |  FROM before_s),
+        |ah AS (
+        |  SELECT doc_id, md5(
+        |    (CASE WHEN text IS NULL THEN '0' ELSE '1' END) || coalesce(text, '') ||
+        |    (CASE WHEN source IS NULL THEN '0' ELSE '1' END) || coalesce(source, '')) AS ha
+        |  FROM after_s)
+        |SELECT doc_id, status FROM (
+        |  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN 'added'
+        |         WHEN a.doc_id IS NULL THEN 'removed'
+        |         WHEN b.hb = a.ha THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM bh b FULL OUTER JOIN ah a ON b.doc_id = a.doc_id)
+        |WHERE status <> 'unchanged'""".stripMargin,
     "source_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(text)) AS BIGINT) AS sum_chars,

@@ -540,6 +540,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(snaps.length == 1, snaps.mkString(","))
   }
 
+  test("Snapshot.diff classifies all four transitions incl. null content") {
+    val before = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, None: Option[String]), (5L, Some(""))).toDF("id", "v")
+    val after = Seq(
+      (1L, Some("a")), // unchanged
+      (2L, Some("B")), // changed
+      // 3 removed
+      (4L, Some("")), // null -> empty IS a change (marker prefix)
+      (5L, Some("")), // unchanged empty
+      (6L, Some("new")) // added
+    ).toDF("id", "v")
+    val got = Snapshot.diff(before, after, Seq("id"), Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "unchanged", 6L -> "added"))
+    val summary = Snapshot.diffSummary(before, after, Seq("id"), Seq("v"))
+      .as[(String, Long)].collect().toMap
+    assert(summary == Map("unchanged" -> 2L, "changed" -> 2L, "removed" -> 1L, "added" -> 1L))
+  }
+
   test("Checks count violations on a dirty frame (fixture data is clean)") {
     val child = Seq(
       (1L, Some(10L), Some("a")),
