@@ -204,6 +204,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("sum(lp_q"), s"integer-grid sum missing:\n$p")
   }
 
+  test("snapshot_diff: only (key, digest) shuffles — content columns pruned before exchange") {
+    val p = plan("snapshot_diff")
+    // the md5 digest must be computed below the exchanges so the full-outer
+    // join ships 32-byte hashes, never document text
+    assert(!p.contains("CartesianProduct"), p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty, p)
+    assert(!exchangeLines.exists(_.contains("text")), s"text crossed an exchange:\n$p")
+  }
+
   test("events_funnel: stage aggregates are partial-combined; no corpus-wide cross join") {
     val p = plan("events_funnel")
     assert(!p.contains("CartesianProduct"), p)
