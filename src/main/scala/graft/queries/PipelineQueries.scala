@@ -402,6 +402,19 @@ object PipelineQueries {
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
 
+  /** Mergeable sketch rollup: a per-(source, lang) HLL sketch table of
+    * distinct texts, rolled up to per-source estimates by sketch UNION —
+    * no rescan ([[graft.ops.SketchRollup]]). Rows-only (sketch estimates
+    * are engine-specific); the lossless-merge property and error bound are
+    * spec-pinned.
+    */
+  val sketchRollup: Q = (spark, dir) => {
+    val fine = graft.ops.SketchRollup.build(
+      docs(spark, dir).filter(col("text").isNotNull), Seq("source", "lang"), "text")
+    graft.ops.SketchRollup.rollup(fine, Seq("source"))
+      .select(col("source"), col("distinct_est").cast("long").as("distinct_est"), col("n_rows"))
+  }
+
   // ------------------------------------------------- sampling / packing
 
   /** Deterministic 80/10/10 train/val/test labels by salted md5 — pure
@@ -703,6 +716,7 @@ object PipelineQueries {
     "source_minhash" -> sourceMinhash,
     "source_roundtrip" -> sourceRoundtrip,
     "snapshot_diff" -> snapshotDiff,
+    "sketch_rollup" -> sketchRollup,
     "approx_parts" -> approxParts,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,

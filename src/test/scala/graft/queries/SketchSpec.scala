@@ -24,6 +24,33 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(r._1 - r._2).toDouble / r._2 < 0.05, r.toString)
   }
 
+  test("sketch rollup: union of fine sketches equals direct coarse sketch exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val fine = graft.ops.SketchRollup.build(docs, Seq("source", "lang"), "text")
+    val rolled = graft.ops.SketchRollup.rollup(fine, Seq("source"))
+      .select(col("source"), col("distinct_est"), col("n_rows"))
+      .as[(String, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // the lossless-merge property: merging per-(source, lang) sketches must
+    // give the SAME estimate as sketching per-source directly
+    val direct = graft.ops.SketchRollup.build(docs, Seq("source"), "text")
+      .select(col("source"),
+        hll_sketch_estimate(col("sketch")).as("est"), col("n_rows"))
+      .as[(String, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(rolled == direct, "sketch union must be lossless vs direct build")
+    // and the estimates stay within HLL error of the exact answer
+    val exact = docs.groupBy("source").agg(countDistinct(col("text")).as("d"))
+      .as[(String, Long)].collect().toMap
+    rolled.foreach { case (src, (est, _)) =>
+      val e = exact(src).toDouble
+      assert(math.abs(est - e) / e <= 0.05, s"$src: est $est vs exact $e")
+    }
+    // row counts roll up exactly
+    val exactN = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(rolled.map { case (k, v) => k -> v._2 } == exactN)
+  }
+
   test("approx_percentile brackets between exact quantiles at q ± rank tolerance") {
     // accuracy 10000 → rank error ≤ 1e-4·n; bracket with a generous ±0.01
     // in quantile space so the bound is robust to ties
