@@ -20,6 +20,11 @@ object GraftFunctions {
     IntDotProduct(args(0), args(1))
   }
 
+  private def int8CodesBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"int8_unit_codes expects 1 argument, got ${args.length}")
+    Int8UnitCodes(args(0))
+  }
+
   private def cosineBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
     val (a, b) = (args(0), args(1))
@@ -33,6 +38,7 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("dot_product", dotBuilder, "built-in")
     registry.createOrReplaceTempFunction("int_dot_product", intDotBuilder, "built-in")
+    registry.createOrReplaceTempFunction("int8_unit_codes", int8CodesBuilder, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
   }
 
@@ -52,6 +58,10 @@ object GraftFunctions {
         (new FunctionIdentifier("int_dot_product"),
           new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot_product"),
           intDotBuilder _))
+      e.injectFunction(
+        (new FunctionIdentifier("int8_unit_codes"),
+          new ExpressionInfo(classOf[Int8UnitCodes].getName, "int8_unit_codes"),
+          int8CodesBuilder _))
       e.injectFunction(
         (new FunctionIdentifier("cosine_sim"),
           new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),

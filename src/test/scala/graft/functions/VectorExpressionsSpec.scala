@@ -72,6 +72,8 @@ class VectorExpressionsSpec extends AnyFunSuite {
     df.limit(1).createOrReplaceTempView("intdot_sql")
     assert(spark.sql("SELECT int_dot_product(a, b) AS d FROM intdot_sql")
       .head.getLong(0) == -24L)
+    assert(spark.sql("SELECT int8_unit_codes(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS q")
+      .head.getSeq[Int](0) == Seq(95, 127))
     val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(100, -100, 127))
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(arr,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
