@@ -141,9 +141,15 @@ object Sources {
             min(col(c)).cast("double").as(s"mn${i + 1}"),
             max(col(c)).cast("double").as(s"mx${i + 1}"))
         }): _*).head()
+    // empty input / all-null z column ⇒ null min/max: that column carries
+    // no ordering information, so its code degenerates to 0 (the rows
+    // still write; the OTHER z columns keep clustering)
+    def statOr0(name: String): Double =
+      if (stats.isNullAt(stats.fieldIndex(name))) 0.0
+      else stats.getDouble(stats.fieldIndex(name))
     val codes = zCols.zipWithIndex.map { case (c, i) =>
-      val mn = stats.getDouble(stats.fieldIndex(s"mn$i"))
-      val mx = stats.getDouble(stats.fieldIndex(s"mx$i"))
+      val mn = statOr0(s"mn$i")
+      val mx = statOr0(s"mx$i")
       val buckets = 1 << bits
       // width_bucket maps v==max to buckets+1 and nulls to null: clamp into
       // [0, 2^bits-1] so every row gets a code and file ranges stay tight

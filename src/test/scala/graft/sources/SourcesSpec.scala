@@ -71,6 +71,17 @@ class SourcesSpec extends AnyFunSuite {
         events.as[(Long, Long, java.sql.Timestamp, Double)].collect().toSet)
   }
 
+  test("writeZOrdered tolerates empty input and all-null z columns") {
+    val emptyPath = tmp("zempty") + "/e"
+    val empty = Seq.empty[(Long, Double)].toDF("a", "b")
+    Sources.writeZOrdered(empty, emptyPath, Seq("a", "b"), numFiles = 2)
+    assert(spark.read.parquet(emptyPath).count() == 0)
+    val nullPath = tmp("znull") + "/n"
+    val withNulls = Seq((1L, None: Option[Double]), (2L, None)).toDF("a", "b")
+    Sources.writeZOrdered(withNulls, nullPath, Seq("a", "b"), numFiles = 2)
+    assert(spark.read.parquet(nullPath).count() == 2)
+  }
+
   test("csv and json round-trip with explicit schema") {
     val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
     val expected = df.as[(Int, String, Int)].collect().toSet
