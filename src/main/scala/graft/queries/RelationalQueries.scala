@@ -451,12 +451,32 @@ object RelationalQueries {
         .select(lit("orders_complete").as("check_name"), col("violations")))
   }
 
+  /** Bucketed-layout round trip under the oracle gate: both join sides are
+    * written as bucketed tables on the join key, read back through the
+    * catalog, joined (bucketing makes the join exchange-free — SMJ shape
+    * plan-asserted in SourcesSpec), and aggregated; the oracle joins the
+    * original parquet, so the bucketed write→read path must be lossless.
+    */
+  val sourceBucketed: Q = (spark, dir) => {
+    graft.sources.Sources.writeBucketed(
+      t(spark, dir, "customer").select("c_custkey", "c_mktsegment"),
+      "graft_cust_bkt", "c_custkey", 8)
+    graft.sources.Sources.writeBucketed(
+      t(spark, dir, "orders").select("o_custkey", "o_totalprice"),
+      "graft_ord_bkt", "o_custkey", 8)
+    spark.table("graft_cust_bkt")
+      .join(spark.table("graft_ord_bkt"), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice"), 2).as("sum_price"))
+  }
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
     "profile_orders" -> profileOrders,
     "table_checks" -> tableChecks,
+    "source_bucketed" -> sourceBucketed,
     "events_enrich" -> eventsEnrich,
     "topk_per_key" -> topkPerKey,
     "range_bands" -> rangeBands,
@@ -487,6 +507,11 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "source_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "profile_orders" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
