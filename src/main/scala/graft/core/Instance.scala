@@ -373,55 +373,87 @@ final class Instance[T](
       else { retire(leaf); false }
   }
 
+  /** The delta-proportional dedup plan: stable streams map-side against the
+    * broadcast staged batch; the duplicates found are at most |staged|
+    * rows, so they broadcast right back into an anti-join against the
+    * (already-distinct) staged batch. NOTHING in this plan shuffles beyond
+    * what `stagedDf`'s own plan contains: stable never moves, and both
+    * joins are broadcasts of batch-sized sets — at cluster scale the epoch
+    * cost is one pass over stable plus two tiny broadcasts.
+    */
+  private def broadcastNovelPlan(stagedDf: Dataset[T]): Dataset[T] = {
+    val sDf = stable.toDF()
+    val nDf = stagedDf.toDF()
+    // zip by position: batches of different provenance may carry
+    // different column names for the same tuple type
+    val cond = sDf.columns
+      .zip(nDf.columns)
+      .map { case (sc, nc) => sDf(sc) <=> nDf(nc) }
+      .reduce(_ && _)
+    val dups = sDf.join(broadcast(nDf), cond, "left_semi")
+    // fresh names on the dup side: staged and stable may share names,
+    // and the anti-join needs unambiguous column references
+    val dupR = dups.toDF(dups.columns.map(c => s"__dup_$c").toIndexedSeq: _*)
+    val anti = nDf.columns
+      .zip(dupR.columns)
+      .map { case (nc, dc) => nDf(nc) <=> dupR(dc) }
+      .reduce(_ && _)
+    nDf.join(broadcast(dupR), anti, "left_anti").as(stagedDf.encoder)
+  }
+
   /** Promote a staged batch into a non-empty store: dedup against stable
-    * (broadcast-semi when the measured staged size fits the byte budget,
-    * full EXCEPT otherwise) and durably materialize only the novel set.
+    * and durably materialize only the novel set.
+    *
+    * Two regimes. When Catalyst's size ESTIMATE for the staged plan is
+    * small, the whole promotion is ONE job: the broadcast dedup plan is
+    * built directly over the staged plan (referenced twice — ReuseExchange
+    * dedupes its distinct shuffle) and materialized+counted in one pass.
+    * The estimate without CBO is an upper bound of the usual inputs (scan
+    * bytes, unreduced through filters/projections), so a small estimate
+    * PROVES the batch is broadcastable — no measurement job needed, and a
+    * big-but-actually-small batch merely falls through to the measured
+    * path, never the reverse. Otherwise: materialize + count + measure the
+    * staged batch (job 1), then broadcast-dedup or, for genuinely bulk
+    * loads, full EXCEPT (job 2) — exactly the r6 behavior.
+    *
+    * Reach, honestly: literal inserts (`LocalRelation` carries real bytes)
+    * and small scans fuse; view-delta plans usually do NOT, because
+    * localCheckpoint keeps ORIGIN stats, so a delta built over checkpointed
+    * recents inherits multiplied join estimates however small the actual
+    * batches are. Measured stats on checkpoint leaves would widen the fused
+    * regime — that needs a stats-bearing LogicalRDD bridge, noted for later.
     */
   private def promote(staged: Dataset[T]): Boolean = {
-    val stagedLeaf = materializeTransient(staged)
-    val stagedCp = stagedLeaf.ds
-    val stagedN = stagedCp.count()
-    if (stagedN == 0) { retire(stagedLeaf); false }
-    else {
-      val stagedBytes = GraftColumnBridge.storageBytes(stagedCp)
-      val broadcastable =
-        if (stagedBytes >= 0) stagedBytes <= Instance.BroadcastPromoteMaxBytes
-        else stagedN <= Instance.BroadcastPromoteMaxRows
-      val novel =
-        if (broadcastable) {
-          // Delta-proportional path: stable streams map-side against the
-          // broadcast staged batch; the duplicates found are at most
-          // |staged| rows, so they broadcast right back into an anti-join
-          // against the (already-distinct) staged batch. NOTHING in this
-          // plan shuffles: stable never moves, and both joins are
-          // broadcasts of batch-sized sets — at cluster scale the epoch
-          // cost is one pass over stable plus two tiny broadcasts.
-          val sDf = stable.toDF()
-          val nDf = stagedCp.toDF()
-          // zip by position: batches of different provenance may carry
-          // different column names for the same tuple type
-          val cond = sDf.columns
-            .zip(nDf.columns)
-            .map { case (sc, nc) => sDf(sc) <=> nDf(nc) }
-            .reduce(_ && _)
-          val dups = sDf.join(broadcast(nDf), cond, "left_semi")
-          // fresh names on the dup side: staged and stable may share names,
-          // and the anti-join needs unambiguous column references
-          val dupR = dups.toDF(dups.columns.map(c => s"__dup_$c").toIndexedSeq: _*)
-          val anti = nDf.columns
-            .zip(dupR.columns)
-            .map { case (nc, dc) => nDf(nc) <=> dupR(dc) }
-            .reduce(_ && _)
-          nDf.join(broadcast(dupR), anti, "left_anti").as(stagedCp.encoder)
-        } else
-          // Bulk load into a non-empty store: a broadcast would not fit;
-          // fall back to the full anti-join (work ∝ data being loaded).
-          stagedCp.except(stable)
-      val leaf = materializeDurable(novel)
+    val est =
+      try staged.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (est <= Instance.FusedPromoteMaxBytes) {
+      val leaf = materializeDurable(broadcastNovelPlan(staged))
       val n = leaf.ds.count()
-      retire(stagedLeaf)
       if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
       else { retire(leaf); false }
+    } else {
+      val stagedLeaf = materializeTransient(staged)
+      val stagedCp = stagedLeaf.ds
+      val stagedN = stagedCp.count()
+      if (stagedN == 0) { retire(stagedLeaf); false }
+      else {
+        val stagedBytes = GraftColumnBridge.storageBytes(stagedCp)
+        val broadcastable =
+          if (stagedBytes >= 0) stagedBytes <= Instance.BroadcastPromoteMaxBytes
+          else stagedN <= Instance.BroadcastPromoteMaxRows
+        val novel =
+          if (broadcastable) broadcastNovelPlan(stagedCp)
+          else
+            // Bulk load into a non-empty store: a broadcast would not fit;
+            // fall back to the full anti-join (work ∝ data being loaded).
+            stagedCp.except(stable)
+        val leaf = materializeDurable(novel)
+        val n = leaf.ds.count()
+        retire(stagedLeaf)
+        if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
+        else { retire(leaf); false }
+      }
     }
   }
 }
@@ -464,6 +496,15 @@ object Instance {
 
   /** Row-count fallback when no measured size is available. */
   val BroadcastPromoteMaxRows: Long = 1L << 20
+
+  /** Estimate budget for the FUSED one-job promotion: Catalyst's
+    * non-CBO sizeInBytes tracks COMPRESSED scan bytes unreduced through
+    * filters, while the broadcast payload is deserialized rows — a 4×
+    * headroom under [[BroadcastPromoteMaxBytes]] absorbs the
+    * representation gap, and an estimate over budget only costs the
+    * measurement job, never a wrong broadcast.
+    */
+  val FusedPromoteMaxBytes: BigInt = BigInt(8L * 1024 * 1024)
 
   /** Leaf id marking a cache-manager-persisted (not checkpointed) batch:
     * the lazy first-ingest run, freed with `Dataset.unpersist`.
