@@ -256,6 +256,21 @@ final class Instance[T](
         }
     }
 
+  /** Attach MEASURED statistics to a just-materialized transient leaf:
+    * a checkpointed delta otherwise keeps its origin plan's estimates
+    * (join products, unreduced filters — often orders of magnitude off),
+    * which would poison every downstream size decision that reads this
+    * batch: the fused-promotion gate, broadcast choices in the delta
+    * joins. Durable (parquet-scan) leaves pass through — their file-size
+    * stats are already real. Must be called AFTER the count() that
+    * materialized the checkpoint, when the block sizes exist.
+    */
+  private def measured(leaf: Leaf[T], rows: Long): Leaf[T] =
+    if (leaf.durableId >= 0 || leaf.durableId == Instance.CachedLeafId) leaf
+    else
+      leaf.copy(ds = GraftColumnBridge.withMeasuredStats(
+        leaf.ds, GraftColumnBridge.storageBytes(leaf.ds), rows))
+
   /** Epoch commit for reliable stores: write the live set as a NEW
     * `_MANIFEST.v<n>` (tmp-write + rename to a name that never pre-exists —
     * no delete-then-rename window, so a valid manifest exists at every
@@ -324,7 +339,7 @@ final class Instance[T](
       if (merged.depth > Instance.MaxUnionDepth) {
         // eager: the replacement must be fully materialized while its
         // inputs are still certainly readable
-        val leaf = materializeDurable(merged.ds, eager = true)
+        val leaf = measured(materializeDurable(merged.ds, eager = true), merged.count)
         merged.leaves.foreach(condemn)
         merged = Run(leaf.ds, merged.count, 0, Vector(leaf))
       }
@@ -367,8 +382,9 @@ final class Instance[T](
         true
       } else { cached.unpersist(false); false }
     case _ =>
-      val leaf = materializeDurable(staged)
-      val n = leaf.ds.count()
+      val raw = materializeDurable(staged)
+      val n = raw.ds.count()
+      val leaf = measured(raw, n)
       if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
       else { retire(leaf); false }
   }
@@ -428,8 +444,9 @@ final class Instance[T](
       try staged.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => BigInt(Long.MaxValue) }
     if (est <= Instance.FusedPromoteMaxBytes) {
-      val leaf = materializeDurable(broadcastNovelPlan(staged))
-      val n = leaf.ds.count()
+      val raw = materializeDurable(broadcastNovelPlan(staged))
+      val n = raw.ds.count()
+      val leaf = measured(raw, n)
       if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
       else { retire(leaf); false }
     } else {
@@ -448,8 +465,9 @@ final class Instance[T](
             // Bulk load into a non-empty store: a broadcast would not fit;
             // fall back to the full anti-join (work ∝ data being loaded).
             stagedCp.except(stable)
-        val leaf = materializeDurable(novel)
-        val n = leaf.ds.count()
+        val raw = materializeDurable(novel)
+        val n = raw.ds.count()
+        val leaf = measured(raw, n)
         retire(stagedLeaf)
         if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
         else { retire(leaf); false }

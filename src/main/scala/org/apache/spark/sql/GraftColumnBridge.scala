@@ -61,4 +61,30 @@ object GraftColumnBridge {
           .map(i => i.memSize + i.diskSize)
       }
       .getOrElse(-1L)
+
+  /** Rewrap a `localCheckpoint`ed Dataset so its [[LogicalRDD]] leaf carries
+    * MEASURED statistics instead of the origin plan's estimates. A
+    * checkpointed join/distinct otherwise keeps its pre-execution stats —
+    * often orders of magnitude above the materialized reality — which
+    * poisons every size-based planning decision downstream (broadcast
+    * choices, the engine's fused-promotion gate). Returns the input
+    * unchanged when the plan is not a bare checkpoint leaf.
+    */
+  def withMeasuredStats[T](ds: Dataset[T], bytes: Long, rows: Long): Dataset[T] =
+    ds match {
+      case c: classic.Dataset[T @unchecked] if bytes >= 0 =>
+        c.queryExecution.analyzed match {
+          case lr: LogicalRDD =>
+            val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+              sizeInBytes = BigInt(bytes),
+              rowCount = Some(BigInt(rows)))
+            val plan = LogicalRDD(
+              lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+              lr.isStreaming, lr.stream)(
+              c.sparkSession, Some(stats), None)
+            classic.Dataset.ofRows(c.sparkSession, plan).as(ds.encoder)
+          case _ => ds
+        }
+      case _ => ds
+    }
 }
