@@ -351,13 +351,15 @@ final class Instance[T](
       else {
         // a single pre-distinct batch (the common view-delta epoch) needs no
         // staged re-distinct; anything else unions and dedups
+        val engineBatch = toAdd.size == 1 && toAdd.head._2
         val staged =
-          if (toAdd.size == 1 && toAdd.head._2) toAdd.head._1
+          if (engineBatch) toAdd.head._1
           else
             (if (toAdd.size == 1) toAdd.head._1
              else toAdd.map(_._1).reduce(_ union _)).distinct()
         toAdd = Vector.empty
-        if (stableBatches.isEmpty) firstBatch(staged) else promote(staged)
+        if (stableBatches.isEmpty) firstBatch(staged)
+        else promote(staged, fusable = engineBatch || Instance.provablyFusable(staged))
       }
     commitState()
     result
@@ -432,17 +434,24 @@ final class Instance[T](
     * staged batch (job 1), then broadcast-dedup or, for genuinely bulk
     * loads, full EXCEPT (job 2) — exactly the r6 behavior.
     *
-    * Reach, honestly: literal inserts (`LocalRelation` carries real bytes)
-    * and small scans fuse; view-delta plans usually do NOT, because
-    * localCheckpoint keeps ORIGIN stats, so a delta built over checkpointed
-    * recents inherits multiplied join estimates however small the actual
-    * batches are. Measured stats on checkpoint leaves would widen the fused
-    * regime — that needs a stats-bearing LogicalRDD bridge, noted for later.
+    * The fused plan references `staged` TWICE (broadcast build side and
+    * anti-join probe side) without pinning one evaluation, so it is only
+    * sound for plans that evaluate identically on both sides: `fusable`
+    * is true for engine-internal pre-distinct batches (deterministic by
+    * construction — built over materialized recents) and for user plans
+    * [[Instance.provablyFusable]] certifies (no nondeterministic
+    * expressions, no Generate/typed-closure nodes). Generate is ALSO
+    * excluded because a row-expanding node breaks the "estimate is an
+    * upper bound" argument the one-job gate rests on. Everything else
+    * takes the measured path, which checkpoints staged first — exactly
+    * one evaluation, whatever the plan does.
     */
-  private def promote(staged: Dataset[T]): Boolean = {
+  private def promote(staged: Dataset[T], fusable: Boolean): Boolean = {
     val est =
-      try staged.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case _: Throwable => BigInt(Long.MaxValue) }
+      if (!fusable) BigInt(Long.MaxValue)
+      else
+        try staged.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case _: Throwable => BigInt(Long.MaxValue) }
     if (est <= Instance.FusedPromoteMaxBytes) {
       val raw = materializeDurable(broadcastNovelPlan(staged))
       val n = raw.ds.count()
@@ -523,6 +532,28 @@ object Instance {
     * measurement job, never a wrong broadcast.
     */
   val FusedPromoteMaxBytes: BigInt = BigInt(8L * 1024 * 1024)
+
+  /** Certify a USER insert plan for the fused one-job promotion, which
+    * evaluates the plan twice (broadcast build + anti-join probe sides).
+    * Sound only when both evaluations provably agree: rejects any
+    * nondeterministic expression (rand/uuid/monotonically_increasing_id —
+    * also AQE re-partitioning of a Sample), any Generate (explode breaks
+    * the estimate-upper-bound argument), and any typed-closure node
+    * (ObjectProducer/Consumer — map/flatMap/mapPartitions closures are
+    * opaque, so determinism cannot be certified). False = take the
+    * measured path (checkpoint pins one evaluation); never unsound,
+    * only ever slower by one job.
+    */
+  private[core] def provablyFusable(ds: Dataset[_]): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    try !ds.queryExecution.analyzed.exists {
+      case _: Generate => true
+      case _: Sample => true
+      case _: ObjectProducer => true
+      case _: ObjectConsumer => true
+      case p => p.expressions.exists(_.exists(!_.deterministic))
+    } catch { case _: Throwable => false }
+  }
 
   /** Leaf id marking a cache-manager-persisted (not checkpointed) batch:
     * the lazy first-ingest run, freed with `Dataset.unpersist`.

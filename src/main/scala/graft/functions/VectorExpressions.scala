@@ -12,10 +12,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * tight primitive loop instead of per-element interpreted lambda dispatch
   * (HOFs never participate in whole-stage codegen). On the ANN paths this is
   * the per-pair inner kernel, so the constant factor is the throughput.
+  *
+  * Mismatched lengths yield NULL — the same answer the HOF form gives
+  * (`zip_with` null-pads, so its `aggregate` folds a null), keeping the
+  * bitwise-equivalence claim total rather than equal-dims-only; a silent
+  * truncation would hand callers a plausible-looking wrong dot product.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean =
@@ -37,7 +43,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0.0
     var i = 0
     if (elemIsFloat(left) && elemIsFloat(right)) {
@@ -60,12 +67,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       def get(arr: String, e: Expression): String =
         if (elemIsFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, left)} * ${get(b, right)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${get(a, left)} * ${get(b, right)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -83,10 +94,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * lambda dispatch OUTSIDE whole-stage codegen — on the quantized path this
   * per-pair kernel IS the throughput, and the quantized path must be the
   * fast one.
+  *
+  * Mismatched lengths yield NULL, matching the HOF counterpart (`zip_with`
+  * null-pads ⇒ the fold is null) — see [[DotProduct]] for why truncation
+  * would be a trap.
   */
 case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes()
@@ -105,7 +121,8 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0L
     var i = 0
     while (i < n) { acc += xs.getInt(i).toLong * ys.getInt(i).toLong; i += 1 }
@@ -118,12 +135,16 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

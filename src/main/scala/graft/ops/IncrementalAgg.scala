@@ -143,9 +143,12 @@ object IncrementalAgg {
     * executor loss and JVM restart — the [[graft.core.Instance.ReliableStore]]
     * discipline, adapted to state that is rollup-sized rather than
     * data-sized. Attaching to a `dir` that already holds snapshots resumes
-    * from the highest version (the recovery path); updates continue from
-    * there and supersede it. Single writer per directory, same contract as
-    * `ReliableStore`.
+    * from the highest COMMITTED version (the recovery path): a snapshot
+    * counts only if its job-commit `_SUCCESS` marker exists, so a crash
+    * mid-write leaves a partial `state_v<n>` that recovery skips in favor
+    * of the intact `state_v<n-1>` (the next update overwrites the partial
+    * directory). Updates continue from there and supersede it. Single
+    * writer per directory, same contract as `ReliableStore`.
     */
   def durable(
       spark: SparkSession,
@@ -159,6 +162,10 @@ object IncrementalAgg {
     if (fs.exists(base)) {
       val latest = fs.listStatus(base)
         .flatMap(s => stateVersion(s.getPath.getName).map(_ -> s.getPath))
+        .filter { case (_, p) =>
+          // only fully committed snapshots are recovery candidates
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+        }
         .sortBy(_._1)
         .lastOption
       latest.foreach { case (v, p) =>

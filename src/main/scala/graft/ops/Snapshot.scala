@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Contract: `keyCols` identify a row in each snapshot (duplicate keys
   * within one snapshot make "changed" ill-posed — run
   * [[Checks.duplicateKeys]] first). Content equality is md5 over the
-  * concatenated `contentCols` with null marked distinctly, so a
-  * null→empty-string change IS a change.
+  * concatenated `contentCols`, each cell encoded injectively as
+  * `marker ++ length ++ ':' ++ value` (null marked distinctly, so a
+  * null→empty-string change IS a change; the length prefix keeps cell
+  * boundaries unambiguous, so ("a1","b") never collides with ("a","1b")).
   *
   * Scale shape: one digest projection per side (map-side), one full outer
   * join on the key — the minimum data motion any exact diff needs. The
@@ -31,14 +33,17 @@ object Snapshot {
       keyCols: Seq[String],
       contentCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && contentCols.nonEmpty, "need key and content columns")
-    // null-safe content digest: a literal null cell and the string "null"
-    // must hash differently, hence the marker prefix per cell
+    // null-safe, injective content digest: the marker distinguishes a null
+    // cell from any string, and the length prefix pins each cell boundary
+    // so adjacent cells cannot reassociate under concatenation
     def digest(df: DataFrame) = df.select(
       keyCols.map(col) :+
         md5(concat_ws("",
-          contentCols.map(c =>
+          contentCols.map { c =>
+            val s = coalesce(col(c).cast("string"), lit(""))
             concat(when(col(c).isNull, lit("0")).otherwise(lit("1")),
-              coalesce(col(c).cast("string"), lit("")))): _*)).as("__h"): _*)
+              length(s).cast("string"), lit(":"), s)
+          }: _*)).as("__h"): _*)
     val b = digest(before).withColumnRenamed("__h", "__hb")
     val a = digest(after).withColumnRenamed("__h", "__ha")
     b.join(a, keyCols, "full_outer")

@@ -867,13 +867,17 @@ object PipelineQueries {
         |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 101 = 0),
         |bh AS (
         |  SELECT doc_id, md5(
-        |    (CASE WHEN text IS NULL THEN '0' ELSE '1' END) || coalesce(text, '') ||
-        |    (CASE WHEN source IS NULL THEN '0' ELSE '1' END) || coalesce(source, '')) AS hb
+        |    (CASE WHEN text IS NULL THEN '0' ELSE '1' END) ||
+        |      len(coalesce(text, '')) || ':' || coalesce(text, '') ||
+        |    (CASE WHEN source IS NULL THEN '0' ELSE '1' END) ||
+        |      len(coalesce(source, '')) || ':' || coalesce(source, '')) AS hb
         |  FROM before_s),
         |ah AS (
         |  SELECT doc_id, md5(
-        |    (CASE WHEN text IS NULL THEN '0' ELSE '1' END) || coalesce(text, '') ||
-        |    (CASE WHEN source IS NULL THEN '0' ELSE '1' END) || coalesce(source, '')) AS ha
+        |    (CASE WHEN text IS NULL THEN '0' ELSE '1' END) ||
+        |      len(coalesce(text, '')) || ':' || coalesce(text, '') ||
+        |    (CASE WHEN source IS NULL THEN '0' ELSE '1' END) ||
+        |      len(coalesce(source, '')) || ':' || coalesce(source, '')) AS ha
         |  FROM after_s)
         |SELECT doc_id, status FROM (
         |  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,

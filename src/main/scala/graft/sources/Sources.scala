@@ -116,53 +116,98 @@ object Sources {
     * for the leading column). This is the lakehouse layout lever for 100 TB
     * fact tables probed on several dimensions.
     *
-    * The per-column codes are 16-bit-per-dimension `width_bucket` codes
-    * against the MEASURED min/max (one 1-row aggregate job); interleaving
-    * is a static fold of codegen'd bit expressions — no UDF, scan-speed.
-    * Linear bucketing keeps the code engine-replayable; heavily skewed
-    * columns would prefer quantile cuts, stated here honestly.
+    * Two bucketing schemes, both one extra 1-row aggregate job; the
+    * interleave itself is a static fold of codegen'd bit expressions — no
+    * UDF, scan-speed:
+    *
+    *  - LINEAR (default): `width_bucket` codes against the MEASURED
+    *    min/max. Right for roughly uniform columns; heavily skewed columns
+    *    collapse most rows into a few codes and the skipping dies.
+    *  - QUANTILE (`quantileCuts = true`): equal-FREQUENCY buckets from
+    *    `approx_percentile` boundaries, so every code covers ~the same
+    *    number of rows no matter how skewed the values — the standard fix
+    *    for power-law ids, timestamps with hot ranges, etc. Costs a
+    *    per-row `filter` HOF over the boundary array at write time (the
+    *    read side sees identical parquet), so quantile mode defaults to
+    *    8 bits/dimension — 256 frequency buckets saturate file-level
+    *    skipping at any realistic file count.
+    *
+    * Bits per dimension are capped so the top interleaved bit stays below
+    * the long's sign bit (n·bits ≤ 63): with 4 columns at 16 bits, bit 63
+    * would flip half the code space negative and range-partitioning would
+    * order the upper half of the z-curve before the lower, splitting
+    * locality at the sign boundary.
     */
   def writeZOrdered(
       df: DataFrame,
       path: String,
       zCols: Seq[String],
-      numFiles: Int = 0): Unit = {
+      numFiles: Int = 0,
+      quantileCuts: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     require(zCols.size >= 2, "z-ordering needs at least two columns (sort for one)")
     require(zCols.size <= 4, "more than 4 z columns dilutes per-column skipping")
-    val bits = 16
     val n = zCols.size
+    val bits = bitsPerDim(n, quantileCuts)
+    val buckets = 1 << bits
     val spark = df.sparkSession
-    val stats = df.agg(
-      min(col(zCols.head)).cast("double").as("mn0"),
-      (max(col(zCols.head)).cast("double").as("mx0") +:
-        zCols.tail.zipWithIndex.flatMap { case (c, i) =>
-          Seq(
-            min(col(c)).cast("double").as(s"mn${i + 1}"),
-            max(col(c)).cast("double").as(s"mx${i + 1}"))
-        }): _*).head()
-    // empty input / all-null z column ⇒ null min/max: that column carries
-    // no ordering information, so its code degenerates to 0 (the rows
-    // still write; the OTHER z columns keep clustering)
-    def statOr0(name: String): Double =
-      if (stats.isNullAt(stats.fieldIndex(name))) 0.0
-      else stats.getDouble(stats.fieldIndex(name))
-    val codes = zCols.zipWithIndex.map { case (c, i) =>
-      val mn = statOr0(s"mn$i")
-      val mx = statOr0(s"mx$i")
-      val buckets = 1 << bits
-      // width_bucket maps v==max to buckets+1 and nulls to null: clamp into
-      // [0, 2^bits-1] so every row gets a code and file ranges stay tight
-      val wb =
-        if (mn == mx) lit(0L)
-        else
-          least(
-            greatest(
-              width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(buckets)) - 1,
-              lit(0L)),
-            lit((buckets - 1).toLong))
-      coalesce(wb, lit(0L))
-    }
+    val codes: Seq[org.apache.spark.sql.Column] =
+      if (quantileCuts) {
+        // equal-frequency cut points, all columns in ONE aggregate job
+        val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+        val cutRow = df.agg(
+          percentile_approx(col(zCols.head).cast("double"), probs, lit(10000)).as("c0"),
+          zCols.tail.zipWithIndex.map { case (c, i) =>
+            percentile_approx(col(c).cast("double"), probs, lit(10000)).as(s"c${i + 1}")
+          }: _*).head()
+        zCols.indices.map { i =>
+          // null row (empty input / all-null column) ⇒ no ordering info
+          if (cutRow.isNullAt(i)) lit(0L)
+          else {
+            val cuts = cutRow.getSeq[Double](i).distinct.sorted
+            if (cuts.isEmpty) lit(0L)
+            else {
+              val arr = array(cuts.map(lit): _*)
+              // code = #cuts at or below v ∈ [0, buckets-1]; nulls → 0
+              val v = col(zCols(i)).cast("double")
+              coalesce(
+                when(v.isNull, lit(0L)).otherwise(
+                  size(filter(arr, b => b <= v)).cast("long")),
+                lit(0L))
+            }
+          }
+        }
+      } else {
+        val stats = df.agg(
+          min(col(zCols.head)).cast("double").as("mn0"),
+          (max(col(zCols.head)).cast("double").as("mx0") +:
+            zCols.tail.zipWithIndex.flatMap { case (c, i) =>
+              Seq(
+                min(col(c)).cast("double").as(s"mn${i + 1}"),
+                max(col(c)).cast("double").as(s"mx${i + 1}"))
+            }): _*).head()
+        // empty input / all-null z column ⇒ null min/max: that column carries
+        // no ordering information, so its code degenerates to 0 (the rows
+        // still write; the OTHER z columns keep clustering)
+        def statOr0(name: String): Double =
+          if (stats.isNullAt(stats.fieldIndex(name))) 0.0
+          else stats.getDouble(stats.fieldIndex(name))
+        zCols.zipWithIndex.map { case (c, i) =>
+          val mn = statOr0(s"mn$i")
+          val mx = statOr0(s"mx$i")
+          // width_bucket maps v==max to buckets+1 and nulls to null: clamp into
+          // [0, 2^bits-1] so every row gets a code and file ranges stay tight
+          val wb =
+            if (mn == mx) lit(0L)
+            else
+              least(
+                greatest(
+                  width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(buckets)) - 1,
+                  lit(0L)),
+                lit((buckets - 1).toLong))
+          coalesce(wb, lit(0L))
+        }
+      }
     val zval = (0 until bits)
       .flatMap(b => codes.zipWithIndex.map { case (code, i) =>
         shiftleft(shiftright(code, b).bitwiseAND(1L), b * n + i)
@@ -175,6 +220,14 @@ object Sources {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Bits per z dimension: 16 linear / 8 quantile, capped so the TOP
+    * interleaved bit position (n·bits − 1) stays below the long's sign
+    * bit — otherwise half the code space goes negative and the range
+    * partitioner orders the upper half of the z-curve first.
+    */
+  private[sources] def bitsPerDim(n: Int, quantileCuts: Boolean): Int =
+    math.min(if (quantileCuts) 8 else 16, 63 / n)
 
   /** Bucketed + sorted managed table. Joining two tables bucketed on the
     * same key with the same `numBuckets` needs no shuffle — the join

@@ -80,6 +80,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(IntDotProduct(lit, lit).eval(null) == (10000L + 10000L + 16129L))
   }
 
+  test("dim mismatch yields NULL (codegen + interpreted), matching the HOF") {
+    // the HOF zip_with null-pads the shorter side, so its fold is null;
+    // the native kernels must agree instead of silently truncating
+    val df = Seq(
+      (Seq(1, 2, 3), Seq(4, 5)),
+      (Seq(1, 2), Seq(4, 5))).toDF("a", "b")
+    val got = df.select(
+      Similarity.intDot(col("a"), col("b")).as("native"),
+      Similarity.intDotHof(col("a"), col("b")).as("hof")).collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(got(1).getLong(0) == 14L && got(1).getLong(1) == 14L)
+    val dd = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    val gd = dd.select(
+      VectorExpressions.dotProduct(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(gd(0).isNullAt(0) && gd(0).isNullAt(1))
+    // interpreted eval path
+    def intLit(xs: Array[Int]) = org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+    assert(IntDotProduct(intLit(Array(1, 2)), intLit(Array(1, 2, 3))).eval(null) == null)
+  }
+
   test("null inputs and double arrays") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),

@@ -540,6 +540,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(snaps.length == 1, snaps.mkString(","))
   }
 
+  test("IncrementalAgg.durable recovery skips a torn (no _SUCCESS) snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggstore_torn").toString
+    val rows = (1L to 80L).map(i => (i, i % 4, (i * 31 % 503) / 100.0)).toDF("id", "k", "v")
+    val a1 = IncrementalAgg.durable(spark, Seq("k"), "v", dir, scale = 2)
+    a1.update(rows)
+    a1.close()
+    // simulate a crash mid-write of the NEXT snapshot: a higher-versioned
+    // state_v dir exists without the job-commit _SUCCESS marker (reading it
+    // would throw — so this also proves recovery never touches it)
+    new java.io.File(dir, "state_v99").mkdirs()
+    val a2 = IncrementalAgg.durable(spark, Seq("k"), "v", dir, scale = 2)
+    val got = a2.current().as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val full = rows.groupBy("k")
+      .agg(
+        sum(col("v").cast("decimal(38,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == full, "recovery must fall back to the latest committed snapshot")
+  }
+
   test("Snapshot.diff classifies all four transitions incl. null content") {
     val before = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
@@ -560,6 +581,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val summary = Snapshot.diffSummary(before, after, Seq("id"), Seq("v"))
       .as[(String, Long)].collect().toMap
     assert(summary == Map("unchanged" -> 2L, "changed" -> 2L, "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("Snapshot.diff digest is injective across cell boundaries") {
+    // ("a1","b") vs ("a","1b") concatenate identically without a boundary
+    // marker; the length prefix must keep them distinct ⇒ status = changed
+    val before = Seq((1L, "a1", "b"), (2L, "x", "")).toDF("id", "u", "v")
+    val after = Seq((1L, "a", "1b"), (2L, "", "x")).toDF("id", "u", "v")
+    val got = Snapshot.diff(before, after, Seq("id"), Seq("u", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed"))
   }
 
   test("Checks count violations on a dirty frame (fixture data is clean)") {

@@ -71,6 +71,73 @@ class SourcesSpec extends AnyFunSuite {
         events.as[(Long, Long, java.sql.Timestamp, Double)].collect().toSet)
   }
 
+  test("writeZOrdered quantile cuts beat linear cuts on a skewed column") {
+    // power-law column: 99% of rows land in [0, 100), a thin tail reaches
+    // 10^9 — linear 16-bit buckets put ~all rows into bucket 0, so file
+    // min/max stats on `skew` cannot skip; equal-frequency cuts spread the
+    // dense region across the code space and skipping comes back
+    val rows = (1L to 40000L).map { i =>
+      val skew = if (i % 100 == 0) i * 50000.0 else (i % 9973).toDouble / 100.0
+      (i, skew, (i % 500).toDouble)
+    }.toDF("id", "skew", "other")
+    val linPath = tmp("zlin") + "/t"
+    val qPath = tmp("zq") + "/t"
+    Sources.writeZOrdered(rows, linPath, Seq("skew", "other"), numFiles = 32)
+    Sources.writeZOrdered(rows, qPath, Seq("skew", "other"), numFiles = 32, quantileCuts = true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def covering(path: String, column: String, probe: Double): (Int, Int) = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      val files = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      var cover = 0
+      files.foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try {
+          val covered = reader.getFooter.getBlocks.stream().anyMatch { rg =>
+            val c = rg.getColumns.stream()
+              .filter(_.getPath.toDotString == column).findFirst().get()
+            val st = c.getStatistics
+            def d(a: Any): Double = a.toString.toDouble
+            d(st.genericGetMin()) <= probe && probe <= d(st.genericGetMax())
+          }
+          if (covered) cover += 1
+        } finally reader.close()
+      }
+      (cover, files.length)
+    }
+    val probe = 42.0 // inside the dense region
+    val (linCover, linN) = covering(linPath, "skew", probe)
+    val (qCover, qN) = covering(qPath, "skew", probe)
+    // linear cuts collapse the dense region into one code: ~no skipping
+    assert(linCover * 2 >= linN, s"linear unexpectedly skipped: $linCover/$linN")
+    // quantile cuts must skip more than half the files on the same probe
+    assert(qCover * 2 < qN, s"quantile cuts cover $qCover/$qN — no skipping")
+    // layout changes nothing about content
+    assert(spark.read.parquet(qPath).as[(Long, Double, Double)].collect().toSet ==
+      rows.as[(Long, Double, Double)].collect().toSet)
+  }
+
+  test("z-code bits stay below the long sign bit for every column count") {
+    // 4 columns × 16 bits would place the top interleaved bit at position
+    // 63 (the sign bit), flipping half the code space negative
+    for (n <- 2 to 4; q <- Seq(false, true)) {
+      val bits = Sources.bitsPerDim(n, q)
+      assert(n * bits <= 63, s"n=$n quantile=$q: top bit ${n * bits - 1} >= 63")
+    }
+    assert(Sources.bitsPerDim(2, false) == 16)
+    assert(Sources.bitsPerDim(4, false) == 15)
+    // end-to-end: a 4-column z-write with corner values round-trips
+    val corners = Seq(
+      (0.0, 0.0, 0.0, 0.0),
+      (1e9, 1e9, 1e9, 1e9),
+      (0.0, 1e9, 0.0, 1e9)).toDF("a", "b", "c", "d")
+    val p = tmp("z4") + "/t"
+    Sources.writeZOrdered(corners, p, Seq("a", "b", "c", "d"), numFiles = 2)
+    assert(spark.read.parquet(p).as[(Double, Double, Double, Double)].collect().toSet ==
+      corners.as[(Double, Double, Double, Double)].collect().toSet)
+  }
+
   test("writeZOrdered tolerates empty input and all-null z columns") {
     val emptyPath = tmp("zempty") + "/e"
     val empty = Seq.empty[(Long, Double)].toDF("a", "b")
