@@ -17,22 +17,39 @@ object Checks {
   /** Per-column profile: row/null/distinct counts plus min/max rendered as
     * strings (dates ISO, decimals plain — deterministic renderings; raw
     * doubles format engine-specifically, cast them to DECIMAL first).
-    * One aggregate pass per column, unioned into a (columns × 6) report.
+    *
+    * ONE aggregate pass however many columns are profiled: a single `agg`
+    * computes every column's counters into a 1-row wide result, which is
+    * then unpivoted into the (columns × 6) report — a 20-column profile of
+    * a 100 TB table costs one scan, not twenty. Distinct counts are exact
+    * by default (several `countDistinct` in one agg plan through a single
+    * scan, but Catalyst's Expand multiplies the in-flight rows by the
+    * number of distinct aggregates); pass `approxDistinct = true` for the
+    * 100 TB path — `approx_count_distinct` (HLL++, ~2% error) keeps the
+    * pass expand-free and constant-memory per column.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    cols.map { c =>
-      df.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_s"),
-          max(col(c)).cast("string").as("max_s"))
-        .select(
-          lit(c).as("col_name"),
-          col("n_rows"), col("n_null"), col("n_distinct"),
-          col("min_s"), col("max_s"))
-    }.reduce(_ unionByName _)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the 1-row wide result — rows-sized, stays on the executors
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"),
+        col(s"__max_$c").as("max_s"))
+    }
+    wide.select(explode(array(perCol: _*)).as("__r")).select("__r.*")
   }
 
   /** Number of key VALUES appearing more than once (0 = the key is unique). */

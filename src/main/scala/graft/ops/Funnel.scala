@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: one filtered aggregate per stage, each shuffling only that
   * stage's events by user; survivors shrink monotonically down the funnel
   * and ride broadcast joins once small (AQE decides from measured sizes).
-  * The stage counts are 1-row aggregates unioned into a 3-row result — no
-  * driver-side actions inside the builder.
+  * Each survivor stage is MATERIALIZED (`localCheckpoint`, the engine's
+  * own epoch discipline) before the next stage builds on it: the N stage
+  * counts would otherwise each re-embed the full plan of stages 1..k, and
+  * without exchange reuse a deep funnel re-scans the events table
+  * O(N²)-ish times per action. Materialized, the events table is scanned
+  * exactly once per stage — N scans total — and the count branches read
+  * only the user-sized checkpoints.
   *
   * No reference analog — pipeline-extension layer.
   */
@@ -21,7 +26,9 @@ object Funnel {
 
   /** @param steps event-type names in funnel order (at least one)
     * @return (stage, stage_idx, users) — one row per step, `users` = count
-    *         of users whose ordered entry reached that step
+    *         of users whose ordered entry reached that step. Runs the N
+    *         stage jobs eagerly (survivor materialization); the returned
+    *         3-column frame reads only the checkpointed survivor sets.
     */
   def stages(
       df: DataFrame,
@@ -38,7 +45,9 @@ object Funnel {
         case Some(p) =>
           events.join(p, Seq(userCol)).filter(col(tsCol) >= col("__entry")).drop("__entry")
       }
-      gated.groupBy(u).agg(min(col(tsCol)).as("__entry"))
+      // survivors are user-sized (≤ one row per user) and feed both the
+      // next stage's gate and this stage's count: pin them once
+      gated.groupBy(u).agg(min(col(tsCol)).as("__entry")).localCheckpoint()
     }
     val survivorChain = steps.tail.scanLeft(entries(steps.head, None)) {
       case (prev, step) => entries(step, Some(prev))

@@ -612,6 +612,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(prof == (("fk", 4L, 1L, 2L, "10", "99")))
   }
 
+  test("Checks.profile is a single pass regardless of column count") {
+    // the nondeterministic marker counts rows each executed scan reads: the
+    // old per-column formulation cost 4 scans here, the single-agg form
+    // must cost exactly one (the exact-distinct Expand multiplies rows
+    // ABOVE the scan, not reads of it)
+    val acc = spark.sparkContext.longAccumulator("profile_rows_read")
+    val mark = udf { (_: Long) => { acc.add(1L); true } }.asNondeterministic()
+    val raw = (1L to 500L).map(i => (i, i % 7, s"s${i % 13}", i % 2 == 0))
+      .toDF("a", "b", "c", "d")
+    val df = raw.filter(mark(col("a")))
+    val exact = Checks.profile(df, Seq("a", "b", "c", "d"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(acc.value == 500, s"rows read ${acc.value}: profile must scan once for 4 columns")
+    val expected = Map("a" -> 500L, "b" -> 7L, "c" -> 13L, "d" -> 2L)
+    exact.foreach(r => assert(r._4 == expected(r._1), r.toString))
+    // approx mode (the expand-free 100 TB path): still one pass, estimates
+    // within HLL++ error
+    acc.reset()
+    val approx = Checks.profile(df, Seq("a", "b", "c", "d"), approxDistinct = true)
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(acc.value == 500, s"approx profile read ${acc.value} rows")
+    approx.foreach { r =>
+      assert(math.abs(r._4 - expected(r._1)) <= expected(r._1) / 10 + 1, r.toString)
+    }
+  }
+
   test("Funnel.stages counts only strictly-ordered conversions") {
     def t(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
     val events = Seq(
@@ -624,6 +650,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       .stages(events, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
       .as[(String, Int, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(got == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("Funnel.stages scans the events table exactly once per stage") {
+    // a nondeterministic marker filter cannot be reordered or deduplicated
+    // away, so the accumulator counts every row each executed scan reads;
+    // the un-materialized chain would re-embed stages 1..k in each count
+    // branch (1+2+3 = 6n reads for 3 stages) — materialized survivors must
+    // read exactly 3n
+    val acc = spark.sparkContext.longAccumulator("funnel_rows_read")
+    val mark = udf { (_: Long) => { acc.add(1L); true } }.asNondeterministic()
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
+    val raw = (1L to 300L).map { i =>
+      val stage = (i % 3) match {
+        case 0 => "view"; case 1 => "click"; case _ => "purchase"
+      }
+      (i % 50, stage, t((i % 60).toInt))
+    }.toDF("user_id", "event_type", "ts")
+    val events = raw.filter(mark(col("user_id")))
+    Funnel.stages(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).collect()
+    val n = raw.count()
+    assert(acc.value == 3 * n,
+      s"events rows read ${acc.value}, expected exactly ${3 * n} (one scan per stage)")
   }
 
   test("Linkage.fuzzyPairs: block gating, boundary distance, exact values") {
