@@ -337,8 +337,41 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsImpl(df, textCol, idCol, maxHamming, simhash64Scala, bits = 64)
+
+  /** [[simhashPairs]] over the md5-nibble simhash ([[simhash60Md5Scala]]) —
+    * IDENTICAL blocking, verification and pairing code, but every step of
+    * the hash is replayable in any engine with md5 (the DuckDB oracle
+    * recomputes the full pair set brute-force and hash-matches it), so the
+    * whole simhash pairing path sits under a cross-engine content check.
+    * Production corpora should prefer [[simhashPairs]]: xxhash64 is several
+    * times faster per token than MessageDigest md5, and at 100 TB the
+    * token-hash throughput is the cost of the signature scan.
+    */
+  def simhashPairsReplayable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsImpl(df, textCol, idCol, maxHamming, simhash60Md5Scala, bits = 60)
+
+  /** Shared pairing machinery: compiled per-row signature kernel, 4-chunk
+    * pigeonhole blocking (exact for `maxHamming` ≤ 3: a pair differing in
+    * ≤ 3 bits matches in at least one of 4 chunks), id-ordered verified
+    * pairs. `bits` must be divisible by 4.
+    */
+  private def simhashPairsImpl(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int,
+      kernel: String => Long,
+      bits: Int): DataFrame = {
     requireIntegralId(df, idCol)
+    require(maxHamming <= 3, s"4-chunk pigeonhole blocking is exact only for maxHamming <= 3")
+    val chunkBits = bits / 4
+    val mask = (1L << chunkBits) - 1
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sp = df.sparkSession
     import sp.implicits._
@@ -350,7 +383,7 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .repartition(par)
       .as[(Long, String)]
-      .map { case (id, text) => (id, simhash64Scala(text)) }
+      .map { case (id, text) => (id, kernel(text)) }
       .toDF("id", "sh")
     val chunked = sh.select(
       col("id"),
@@ -360,17 +393,55 @@ object Dedup {
           sequence(lit(0), lit(3)),
           c => struct(
             c.as("chunk"),
-            call_function("shiftrightunsigned", col("sh"), c.cast("int") * 16)
-              .bitwiseAND(lit(65535L)).as("ch"))))
+            call_function("shiftrightunsigned", col("sh"), c.cast("int") * chunkBits)
+              .bitwiseAND(lit(mask)).as("ch"))))
         .as("b"))
       .select(col("id"), col("sh"), col("b.chunk"), col("b.ch"))
     val a = chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ch"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "ch"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** 60-bit simhash whose token hash is the first 15 hex nibbles of md5 —
+    * every step (lowercase, `\s+` split, md5, nibble→bit mapping, ±1
+    * votes, sign fold) is exactly replayable in any SQL engine with md5,
+    * which is what puts [[simhashPairsReplayable]] under the DuckDB
+    * oracle. Bit position `4k + b` carries bit `b` (LSB-first) of hex
+    * nibble `k` (hex-string order), so the cross-engine mapping needs no
+    * integer parse of the digest. 60 bits = 4 pigeonhole chunks of 15.
+    */
+  def simhash60Md5Scala(text: String): Long = {
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    text.toLowerCase.split("\\s+").foreach { w =>
+      if (w.nonEmpty) {
+        md.reset()
+        val digest = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var k = 0
+        while (k < 15) {
+          // hex nibble k: high nibble of byte k/2 when k even, low when odd
+          val byte = digest(k / 2) & 0xff
+          val v = if (k % 2 == 0) byte >>> 4 else byte & 0xf
+          var b = 0
+          while (b < 4) {
+            if (((v >>> b) & 1) == 1) votes(4 * k + b) += 1 else votes(4 * k + b) -= 1
+            b += 1
+          }
+          k += 1
+        }
+      }
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) sh |= (1L << j); j += 1 }
+    sh
   }
 
   /** Exact n-gram Jaccard similarity pairs within a blocking key (e.g. same

@@ -49,9 +49,15 @@ object PipelineQueries {
       "text", "doc_id", threshold = 0.5)
   }
 
-  /** SimHash Hamming-≤3 candidate pairs via 16-bit chunk blocking. */
+  /** SimHash Hamming-≤3 pairs via 4-chunk pigeonhole blocking, on the
+    * md5-nibble signature so the FULL pair set hash-checks against a
+    * brute-force DuckDB replay (blocking is exact for Hamming ≤ 3 and
+    * verification admits no false positives, so blocked ≡ brute force).
+    * The xxhash64 production variant shares every line of pairing code
+    * and is spec-pinned to brute force separately.
+    */
   val dedupSimhash: Q = (spark, dir) =>
-    Dedup.simhashPairs(docs(spark, dir), "text", "doc_id", maxHamming = 3)
+    Dedup.simhashPairsReplayable(docs(spark, dir), "text", "doc_id", maxHamming = 3)
 
   /** Exact char-5-gram Jaccard pairs within the natural source blocking. */
   val dedupNgram: Q = (spark, dir) =>
@@ -856,6 +862,30 @@ object PipelineQueries {
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
          |  FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
          |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+    // Brute-force replay of the md5-nibble simhash pair set: the signature
+    // is recomputed from scratch (same lowercase/\s+ tokens, same md5, same
+    // nibble→bit mapping: bit 4k+b = bit b of hex nibble k, same ±1 votes
+    // and sign fold), then ALL pairs are Hamming-tested — no blocking. The
+    // Spark side's 4-chunk pigeonhole blocking is exact for Hamming ≤ 3,
+    // so blocked ≡ brute force and the full pair set hash-matches.
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |hs AS (
+         |  SELECT doc_id, list_transform(ws, w -> md5(w)) AS hl FROM toks),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(60), j ->
+         |      CASE WHEN 2 * len(list_filter(hl, h ->
+         |          ((strpos('0123456789abcdef',
+         |              substring(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |            >> CAST(j % 4 AS INT)) & 1 = 1)) > len(hl)
+         |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS sh
+         |  FROM hs)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "snapshot_diff" ->
       """WITH before_s AS (SELECT doc_id, text, source FROM documents),
         |after_s AS (

@@ -197,6 +197,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(dupPairs.toSeq == Seq((9001L, 9002L, 0)))
   }
 
+  test("simhashPairsReplayable: blocked pairs equal brute force exactly") {
+    // the 4-chunk pigeonhole is a proof, not a probability: any pair within
+    // Hamming 3 shares a chunk, and verification admits no false positives,
+    // so the blocked pair set must EQUAL the all-pairs answer — the same
+    // argument that lets the DuckDB oracle replay it brute-force
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    val shs = rows.map { case (id, t) => (id, Dedup.simhash60Md5Scala(t)) }
+    val expected = (for {
+      Seq((a, sa), (b, sb)) <- shs.sortBy(_._1).toSeq.combinations(2)
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashPairsReplayable(docs, "text", "doc_id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected, s"blocked=${got.size} brute=${expected.size}")
+    assert(got.nonEmpty, "fixture must surface planted near-dups")
+  }
+
   // --- n-gram Jaccard (fully deterministic → exact equality) --------------
 
   test("ngramJaccardPairs equals Scala brute force within blocks") {
