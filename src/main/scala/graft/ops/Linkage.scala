@@ -42,4 +42,46 @@ object Linkage {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Multi-pass blocking: candidates are pairs sharing ANY of `blockKeys`
+    * (each key is an independent pass — a prefix pass catches typos in the
+    * tail, a suffix or phonetic pass catches typos in the head), unioned
+    * and DEDUPLICATED before the levenshtein gate so a pair matching on
+    * several keys pays the edit-distance DP once. This is the standard
+    * recall lever over single-key blocking: a true pair is lost only if it
+    * disagrees on EVERY key.
+    *
+    * Scale shape: the explode ships each (id, name) once per key — k keys
+    * = k× the single-pass shuffle volume plus one dedup shuffle on the
+    * candidate ids; quadratic work remains confined within (key, value)
+    * blocks. Key values are compared as strings per key INDEX, so key 1's
+    * value "x" never blocks against key 2's "x"; null key values produce
+    * no candidates for that pass.
+    */
+  def fuzzyPairsMultiKey(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockKeys: Seq[Column],
+      maxDist: Int): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    Dedup.requireIntegralId(df, idCol)
+    val keyed = df.select(
+      col(idCol).as("id"),
+      col(nameCol).as("name"),
+      posexplode(array(blockKeys.map(_.cast("string")): _*)).as(Seq("__ki", "__blk")))
+      .filter(col("__blk").isNotNull)
+    val a = keyed.select(
+      col("__ki"), col("__blk"), col("id").as("id_a"), col("name").as("name_a"))
+    val b = keyed.select(
+      col("__ki"), col("__blk"), col("id").as("id_b"), col("name").as("name_b"))
+    a.join(b, Seq("__ki", "__blk"))
+      .filter(col("id_a") < col("id_b"))
+      // dedup BEFORE the DP: a pair found by several passes is gated once
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -260,14 +260,60 @@ object Similarity {
       .setK(nlist).setSeed(seed).setFeaturesCol("features").setMaxIter(10)
       .fit(train)
     val centers = model.clusterCenters.map(_.toArray)
+    IvfIndex(centers, assignCells(corpus, idCol, vecCol, centers))
+  }
+
+  /** Route rows to their nearest cell under an EXISTING quantizer — the
+    * shared assignment step of [[ivfBuild]] and [[ivfAppend]]. Compiled
+    * map over broadcast centroids; no shuffle.
+    */
+  private[ops] def assignCells(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]]): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
     val bc = sp.sparkContext.broadcast(centers)
-    val assigned = corpus
+    corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Seq[Float])]
       .map { case (id, v) => (nearestCells(bc.value, v, 1).head, id, v) }
       .toDF("cell", "n_id", "n_vec")
       .select(col("cell"), col("n_id"), col("n_vec"), l2Norm(col("n_vec")).as("n_norm"))
-    IvfIndex(centers, assigned)
+  }
+
+  /** Incrementally admit a new batch into a SAVED [[IvfIndex]] — the
+    * incremental-crawl ANN shape (the [[graft.ops.Dedup.dedupAgainstCorpus]]
+    * counterpart): assign the batch to cells with the EXISTING centroids
+    * and append the rows into the partitioned corpus layout. No rebuild,
+    * no rewrite of existing files — the batch's rows land as new files
+    * inside their cell directories, and the next [[ivfLoad]]+[[ivfSearch]]
+    * sees saved ∪ appended with the same file-level pruning.
+    *
+    * Centroids stay fixed, which is standard IVF practice for appends:
+    * cell quality degrades only as the data DISTRIBUTION drifts, at which
+    * point the answer is a periodic [[ivfBuild]] rebuild, not a per-batch
+    * refit. Appending batches whose vectors differ in dimension is refused
+    * loudly (same guard as search).
+    */
+  def ivfAppend(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    graft.ops.Dedup.requireIntegralId(batch, idCol)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select("cell", "centroid")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val bd = inferDim(batch, vecCol)
+    require(bd == centroids.head.length,
+      s"batch embedding dim $bd != index dim ${centroids.head.length}")
+    assignCells(batch, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
   /** Probe a built/loaded [[IvfIndex]]: each query searches its `nprobe`

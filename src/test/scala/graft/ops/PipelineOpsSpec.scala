@@ -451,6 +451,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(probe.count() > 0)
   }
 
+  test("ivfAppend: incremental batch equals assign-union under the same quantizer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.ivfBuild(seed, "vec_id", "embedding", nlist = 8)
+    idx.save(dir)
+    Similarity.ivfAppend(spark, dir, batch, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = Similarity
+      .ivfSearch(Similarity.ivfLoad(spark, dir), queries, "vec_id", "embedding", 10, nprobe = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // reference: the whole union assigned in one shot with the SAME
+    // centroids (append never refits the quantizer) — must match bitwise
+    val rebuilt = Similarity.IvfIndex(
+      idx.centroids, Similarity.assignCells(emb, "vec_id", "embedding", idx.centroids))
+    val want = Similarity
+      .ivfSearch(rebuilt, queries, "vec_id", "embedding", 10, nprobe = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+    // the appended batch is discoverable, and the layout still prunes
+    assert(got.exists(_._2 % 2 == 1), "appended vectors must be searchable")
+    val probe = Similarity.ivfLoad(spark, dir).assigned.filter(col("cell") === 3)
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // a mismatched-dim batch is refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(spark, dir,
+        Seq((9999L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+  }
+
   test("int8TopK: ranks well-formed, high recall vs float brute force") {
     val brute = Similarity
       .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
@@ -706,6 +736,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     // boundary dist == maxDist survives; cross-block near-match is honest recall loss
     assert(got == Set((1L, 2L, 1), (4L, 5L, 0)))
+  }
+
+  test("fuzzyPairsMultiKey recovers cross-block true pairs, gates each pair once") {
+    val recs = Seq(
+      (1L, "acme corp"), (2L, "acme korp"), // share prefix AND suffix blocks
+      (3L, "acme co"), // dist 2 from #1: over maxDist=1 in any block
+      (4L, "beta llc"), (5L, "beta llc"),
+      (6L, "aeta llc"), // head typo of #4: prefix block misses, suffix block catches
+      (7L, null: String) // null name: its keys are null, no candidates
+    ).toDF("id", "name")
+    val prefix = substring(col("name"), 1, 1)
+    val suffix = substring(col("name"), -1, 1)
+    // single-key recall loss, pinned: (4,6) lost on prefix alone
+    val single = Linkage.fuzzyPairs(recs, "id", "name", prefix, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(!single.exists(p => p._1 == 4L && p._2 == 6L))
+    val multi = Linkage
+      .fuzzyPairsMultiKey(recs, "id", "name", Seq(prefix, suffix), maxDist = 1)
+      .as[(Long, Long, Int)].collect()
+    // the union recovers it; pairs seen by both passes appear exactly once
+    assert(multi.map(p => (p._1, p._2)).distinct.length == multi.length)
+    assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
   // --- BM25 ----------------------------------------------------------------
