@@ -36,6 +36,14 @@ object ParityQueries {
     live.clear()
   }
 
+  /** Track a caller-constructed session (non-default storage policy) for
+    * [[releaseSessions]] cleanup.
+    */
+  private def register(s: CoddSession): CoddSession = live.synchronized {
+    live += s
+    s
+  }
+
   /** #1 Relation: base table scan (reference: relation.rs:20-57). */
   val relationScan: Q = (spark, dir) => {
     import spark.implicits._
@@ -224,6 +232,41 @@ object ParityQueries {
     db.evaluate(v2).toDF("user_id")
   }
 
+  /** #12d Durable restart: the end-to-end recovery path under the oracle
+    * gate. "Process 1" builds a [[Instance.ReliableStore]]-backed view,
+    * stabilizes it (batches + manifest become durable parquet), and CLOSES —
+    * dropping every byte of transient state. "Process 2" starts from the
+    * files alone: [[Instance.loadBatches]] replays the recovered relation
+    * content, `attach = true` deliberately takes over the store (batch ids
+    * resume above the existing maxima, reference: database.rs persistence
+    * contract), a new view initializes over the recovered content, and a
+    * post-restart delta batch is maintained incrementally. The oracle
+    * recomputes from scratch over ALL events — restart must be invisible.
+    */
+  val viewRestartIvm: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val all = Tables.events(spark, dir)
+    // --- "first process": reliable session, half the events, stabilized view
+    val s1 = new CoddSession(spark, Instance.ReliableStore(base))
+    val ev1 = s1.addRelation[Event]("events")
+    s1.insert(ev1, all.filter(_.event_id % 2 == 0))
+    val v1 = s1.storeView(
+      ev1.select(_.value > 150.0).project(e => (e.user_id, e.event_type)))
+    s1.evaluate(v1).count() // stabilize: store is now durable on disk
+    s1.close() // "crash/shutdown": only the parquet store survives
+    // --- "second process": recover from the files, take over, keep going
+    val recovered = Instance.loadBatches(spark, s"$base/rel_events").as[Event]
+    val s2 = register(new CoddSession(spark, Instance.ReliableStore(base, attach = true)))
+    val ev2 = s2.addRelation[Event]("events")
+    s2.insert(ev2, recovered)
+    val v2 = s2.storeView(
+      ev2.select(_.value > 150.0).project(e => (e.user_id, e.event_type)))
+    s2.evaluate(v2).count() // late-view init over recovered content
+    s2.insert(ev2, all.filter(_.event_id % 2 == 1))
+    s2.evaluate(v2).toDF("user_id", "event_type")
+  }
+
   /** #13 Mono: dynamic composition of heterogeneous nodes in one tree
     * (reference: mono.rs:10-26) — union ∘ select ∘ project ∘ intersect.
     */
@@ -255,6 +298,7 @@ object ParityQueries {
     "view_ivm" -> viewIvm,
     "view_join_ivm" -> viewJoinIvm,
     "view_chain_ivm" -> viewChainIvm,
+    "view_restart_ivm" -> viewRestartIvm,
     "mono_compose" -> monoCompose
   )
 
@@ -290,6 +334,8 @@ object ParityQueries {
         |WHERE o_totalprice > 300000""".stripMargin,
     "view_chain_ivm" ->
       "SELECT DISTINCT user_id FROM events WHERE value > 100 AND event_type = 'click'",
+    "view_restart_ivm" ->
+      "SELECT DISTINCT user_id, event_type FROM events WHERE value > 150",
     "mono_compose" ->
       """SELECT key FROM (
         |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -124,6 +124,21 @@ class ReliableStoreSpec extends AnyFunSuite {
       "recovered relation must equal the pre-restart stable content")
   }
 
+  test("view_restart_ivm query: recovery + take-over + post-restart delta ≡ full recompute") {
+    // the driver-gated end-to-end restart query, pinned here at fixture
+    // scale against a plain-Spark recompute over ALL events — a restart
+    // mid-stream must be invisible in the maintained view's content
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.ParityQueries.viewRestartIvm(spark, dir)
+      .as[(Long, String)].collect().toSet
+    graft.queries.ParityQueries.releaseSessions()
+    val want = graft.tables.Tables.events(spark, dir)
+      .filter(_.value > 150.0).map(e => (e.user_id, e.event_type))
+      .distinct().collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("fork of a reliable session writes new batches to its own subdir") {
     val base = tmpDir()
     val s1 = new CoddSession(spark, Instance.ReliableStore(base))
