@@ -856,4 +856,132 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** N-gram-overlap decontamination report — the published eval-leakage
+    * gate (GPT-3 appx C / PaLM style): a training document is contaminated
+    * when it shares at least `minOverlap` distinct word `n`-grams with the
+    * reference (eval) corpus. Exact-digest decontamination
+    * ([[exceptContentOf]]) only catches verbatim copies; the n-gram gate
+    * catches partial inclusions — an eval question quoted inside a longer
+    * page — which is what actually leaks benchmarks.
+    *
+    * Output: one row per corpus row — (id, n_hit_grams, contaminated) —
+    * the audit report; filter on `contaminated` to drop.
+    *
+    * Scale shape: the reference's distinct gram set is eval-set-sized
+    * (orders of magnitude smaller than the corpus) and is BROADCAST; the
+    * corpus tokenizes and explodes its grams map-side, probes the
+    * broadcast, and only per-id hit counts — map-side-combined longs —
+    * reach the one aggregate shuffle. The corpus text itself never
+    * shuffles. A reference too large to broadcast should drop the hint
+    * and let the join shuffle (not this method's shape: eval sets are
+    * small by definition).
+    *
+    * Documents with fewer than `n` tokens carry no n-gram and cannot be
+    * flagged (grams are not padded); null text rows report 0 hits.
+    */
+  def ngramOverlapOf(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      ref: DataFrame,
+      refContentCol: String,
+      n: Int,
+      minOverlap: Int = 1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    // distinct grams per doc: stage tokens as an attribute first — an
+    // inline tokens() would re-run the regex split once per gram
+    def grams(c: DataFrame, content: String, out: String): DataFrame =
+      c.filter(col(content).isNotNull)
+        .withColumn("__ws", TextOps.tokens(col(content)))
+        .select(col("*"), explode(array_distinct(
+          TextOps.wordNgramsAllOfTokens(col("__ws"), n))).as(out))
+    val refGrams = grams(ref, refContentCol, "__g").select("__g").distinct()
+    val hits = grams(df.select(col(idCol), col(contentCol)), contentCol, "__g")
+      .select(col(idCol), col("__g"))
+      .join(broadcast(refGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    df.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") >= minOverlap)
+  }
+
+  /** C4-style corpus-frequency boilerplate removal: split every document
+    * into consecutive `unitWords`-word tiles, count in how many DISTINCT
+    * documents each tile's text occurs, and strip every occurrence of a
+    * tile that appears in at least `minDocFreq` documents — the
+    * cookie-banner / nav-menu / footer scrubber (C4 removed any LINE
+    * occurring 3+ times in the corpus; the tile generalizes the unit to
+    * corpora without line structure — pass the natural unit size for the
+    * corpus at hand).
+    *
+    * Output: (id, clean_text, n_removed) with `clean_text` the surviving
+    * tiles rejoined in order (token-normalized: lowercased,
+    * whitespace-collapsed — tokenization is the op's domain). A document
+    * that is pure boilerplate comes back with an empty string, not
+    * dropped: dropping is the caller's policy.
+    *
+    * Scale shape: tiles are digested (md5) map-side so the frequency
+    * aggregate shuffles fixed 128-bit keys, never tile text (production
+    * lines can be kilobytes). The boilerplate digest set — corpus-frequency
+    * ≥ `minDocFreq` collapses it — is BROADCAST back for the strip; the
+    * per-doc bad-position lists (only affected docs, only integer
+    * positions) are the other aggregate shuffle. The rebuild recomputes
+    * tiles from each doc's own staged tokens and drops flagged positions in
+    * place; its join of docs against the bad-position lists broadcasts
+    * under AQE when the affected-doc set is small (the common case) and
+    * only in the everything-is-boilerplate worst case re-shuffles the
+    * corpus by id — the inherent floor for a content rewrite.
+    */
+  def removeBoilerplateUnits(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      unitWords: Int,
+      minDocFreq: Int): DataFrame = {
+    require(unitWords >= 1, s"unitWords must be >= 1, got $unitWords")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val u = unitWords
+    def tiles(ws: Column): Column =
+      when(coalesce(size(ws), lit(0)) < 1, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(ws) - 1) / u).cast("int")),
+          k => concat_ws(" ", slice(ws, k * u + 1, lit(u)))))
+    val toks = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__ws"))
+    val units = toks.select(
+      col("__id"), posexplode(tiles(col("__ws"))).as(Seq("__k", "__u")))
+    val bp = units
+      .groupBy(md5(col("__u")).as("__h"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__h")
+    val bad = units
+      .join(broadcast(bp), md5(col("__u")) === col("__h"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__k"))).as("__bad"))
+    // positions 0..ntiles-1; MUST be guarded — sequence(0, -1) yields a
+    // DESCENDING [0, -1], not an empty array, on a zero-token document
+    def positions(ws: Column): Column =
+      when(coalesce(size(ws), lit(0)) < 1, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), floor((size(ws) - 1) / u).cast("int")))
+    toks
+      .join(bad, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        concat_ws(
+          " ",
+          transform(
+            filter(
+              positions(col("__ws")),
+              k => !array_contains(coalesce(col("__bad"), array().cast("array<int>")), k)),
+            k => concat_ws(" ", slice(col("__ws"), k * u + 1, lit(u))))).as("clean_text"),
+        coalesce(size(col("__bad")), lit(0)).cast("long").as("n_removed"))
+  }
 }

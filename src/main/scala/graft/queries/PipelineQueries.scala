@@ -545,6 +545,28 @@ object PipelineQueries {
       .select("doc_id", "source")
   }
 
+  /** N-gram-overlap decontamination (GPT-3 appx C style): a doc is
+    * contaminated when it shares any distinct word 7-gram with the
+    * reference slice (source = src0). The exact-digest gate
+    * (`dedup_against_ref`) only catches verbatim copies; this catches
+    * partial inclusion — how benchmarks actually leak.
+    */
+  val decontamNgram: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    Dedup.ngramOverlapOf(
+      d, "doc_id", "text", d.filter(col("source") === "src0"), "text",
+      n = 7, minOverlap = 1)
+  }
+
+  /** C4-style boilerplate scrub: 5-word tiles occurring in ≥ 3 distinct
+    * documents are stripped from every document (the fixture's small
+    * vocabulary makes repeated tiles natural, like nav/footer lines in a
+    * crawl).
+    */
+  val textBoilerplate: Q = (spark, dir) =>
+    Dedup.removeBoilerplateUnits(
+      docs(spark, dir), "doc_id", "text", unitWords = 5, minDocFreq = 3)
+
   /** Global token-frequency top-100 — vocabulary seeding for tokenizer
     * training. One explode + one count aggregate (map-side partials), and
     * the global top-k fuses into TakeOrderedAndProject: per-partition heaps
@@ -709,6 +731,8 @@ object PipelineQueries {
     "pack_assemble" -> packAssemble,
     "text_redact" -> textRedact,
     "dedup_against_ref" -> dedupAgainstRef,
+    "decontam_ngram" -> decontamNgram,
+    "text_boilerplate" -> textBoilerplate,
     "dedup_bloom" -> dedupBloom,
     "vocab_topk" -> vocabTopk,
     "heavy_hitters" -> heavyHitters,
@@ -981,6 +1005,48 @@ object PipelineQueries {
         |WHERE text IS NULL
         |   OR md5(text) NOT IN (SELECT md5(text) FROM documents
         |                        WHERE source = 'src0' AND text IS NOT NULL)""".stripMargin,
+    // Distinct word 7-grams per doc replayed from scratch; docs shorter
+    // than 7 tokens carry no gram on either engine (no padding).
+    "decontam_ngram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |cg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(0, len(ws) - 7),
+         |    i -> array_to_string(list_slice(ws, i + 1, i + 7), ' ')))) AS g
+         |  FROM toks WHERE len(ws) >= 7),
+         |refg AS (
+         |  SELECT DISTINCT c.g FROM cg c
+         |  JOIN documents d ON c.doc_id = d.doc_id AND d.source = 'src0'),
+         |hits AS (
+         |  SELECT c.doc_id, COUNT(*) AS n FROM cg c
+         |  JOIN refg r ON c.g = r.g GROUP BY c.doc_id)
+         |SELECT d.doc_id, COALESCE(h.n, 0) AS n_hit_grams,
+         |  COALESCE(h.n, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    // Tile / count / strip / reassemble replayed from scratch; grouping by
+    // the tile STRING here ≡ Spark's grouping by md5(tile).
+    "text_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |units AS (
+         |  SELECT doc_id, i AS k,
+         |    array_to_string(list_slice(ws, i * 5 + 1, i * 5 + 5), ' ') AS u
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    0, CAST(floor((len(ws) - 1) / 5.0) AS BIGINT))) AS i) t
+         |  WHERE len(ws) >= 1),
+         |bp AS (
+         |  SELECT u FROM units GROUP BY u HAVING COUNT(DISTINCT doc_id) >= 3),
+         |kept AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(u, ' ' ORDER BY k) AS clean
+         |  FROM units WHERE u NOT IN (SELECT u FROM bp) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_units FROM units GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(k.clean, '') AS clean_text,
+         |  COALESCE(t.n_units, 0) - COALESCE(k.n_kept, 0) AS n_removed
+         |FROM toks d
+         |LEFT JOIN tot t ON d.doc_id = t.doc_id
+         |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
     "vocab_topk" ->
       s"""SELECT token, COUNT(*) AS freq
          |FROM (SELECT unnest($wordsSql) AS token FROM documents)

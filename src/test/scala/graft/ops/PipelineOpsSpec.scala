@@ -796,4 +796,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the doc hitting all three terms outranks the single-topic docs
     assert(got(3L) > got(1L) && got(3L) > got(2L))
   }
+
+  // --- n-gram decontamination + boilerplate scrub --------------------------
+
+  test("ngramOverlapOf flags partial inclusion the exact-digest gate misses") {
+    val eval = Seq((100L, "what is the capital of france paris obviously")).toDF("doc_id", "text")
+    val train = Seq(
+      // quotes the eval 8-gram inside a longer page: NOT an exact copy
+      (1L, "intro text here what is the capital of france paris obviously and more prose"),
+      (2L, "completely unrelated words about spark shuffles and joins everywhere"),
+      (3L, "short doc"), // < n tokens: no gram, cannot be flagged
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val flags = Dedup.ngramOverlapOf(train, "doc_id", "text", eval, "text", n = 7, minOverlap = 1)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(flags.size == 4)
+    // doc 1 shares exactly the 2 distinct 7-grams of the quoted 8-word span
+    assert(flags(1L) == ((2L, true)), s"got ${flags(1L)}")
+    assert(flags(2L) == ((0L, false)))
+    assert(flags(3L) == ((0L, false)))
+    assert(flags(4L) == ((0L, false)), "null text reports zero hits")
+    // exact-digest decontamination misses the same inclusion
+    val exact = Dedup.exceptContentOf(train, "text", eval, "text").select("doc_id")
+      .as[Long].collect().toSet
+    assert(exact.contains(1L), "digest gate keeps the partially-including doc")
+    // the overlap threshold gates: minOverlap above the hit count unflags
+    val strict = Dedup.ngramOverlapOf(train, "doc_id", "text", eval, "text", n = 7, minOverlap = 3)
+      .filter(col("contaminated")).count()
+    assert(strict == 0)
+  }
+
+  test("removeBoilerplateUnits strips corpus-frequent tiles, preserves order") {
+    val bp = "subscribe to our newsletter now" // one 5-word tile
+    val recs = Seq(
+      (1L, s"alpha bravo charlie delta echo $bp"),
+      (2L, s"$bp foxtrot golf hotel india juliett"),
+      (3L, s"kilo lima mike november oscar $bp papa quebec romeo sierra tango"),
+      (4L, "uniform victor whiskey xray yankee"), // untouched
+      (5L, bp) // pure boilerplate -> empty, not dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateUnits(recs, "doc_id", "text", unitWords = 5, minDocFreq = 3)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == (("alpha bravo charlie delta echo", 1L)))
+    assert(got(2L) == (("foxtrot golf hotel india juliett", 1L)))
+    assert(got(3L) == (("kilo lima mike november oscar papa quebec romeo sierra tango", 1L)),
+      "surviving tiles must rejoin in original order")
+    assert(got(4L) == (("uniform victor whiskey xray yankee", 0L)))
+    assert(got(5L) == (("", 1L)), "pure-boilerplate doc returns empty, stays in the corpus")
+    // below the frequency floor nothing is removed (the tile appears 4x,
+    // so minDocFreq = 5 must keep everything)
+    val none = Dedup.removeBoilerplateUnits(recs, "doc_id", "text", unitWords = 5, minDocFreq = 5)
+      .agg(sum("n_removed")).head.getLong(0)
+    assert(none == 0L)
+  }
 }

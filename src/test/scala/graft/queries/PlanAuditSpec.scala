@@ -221,6 +221,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"stage entries must combine map-side:\n$p")
   }
 
+  test("decontam_ngram: ref grams broadcast; the corpus never shuffles") {
+    val p = plan("decontam_ngram")
+    assert(p.contains("BroadcastExchange"), "the eval gram set must broadcast")
+    // exactly two hash exchanges are legitimate, both NOT corpus-sized: the
+    // REF gram distinct (eval-set-sized) and the per-id hit count (partial-
+    // combined longs). Corpus text/grams stream map-side into the broadcast
+    // probe and never cross an exchange.
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchangeLines.exists(_.contains("text")), s"text crossed a hash exchange:\n$p")
+    assert(p.contains("partial_count"), "hit counts must combine map-side")
+  }
+
   test("dedup_against_ref: reference digests aggregate once; corpus path is scan+filter") {
     val p = plan("dedup_against_ref")
     // Two legitimate regimes: a small ref digest set rides the exact
