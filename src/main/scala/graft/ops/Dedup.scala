@@ -499,7 +499,44 @@ object Dedup {
       n: Int,
       threshold: Double,
       targetBlockSize: Int = 4096,
-      maxSplits: Int = 16): DataFrame = {
+      maxSplits: Int = 16): DataFrame =
+    blockedNgramPairs(df, textCol, idCol, blockCol, n, threshold,
+      targetBlockSize, maxSplits, containment = false)
+      .withColumnRenamed("score", "jaccard")
+
+  /** Containment near-dup pairs: score = |A∩B| / min(|A|, |B|) over word
+    * n-gram shingle sets — the ASYMMETRIC companion of [[ngramJaccardPairs]].
+    * Symmetric Jaccard under-scores doc-inside-doc duplication (a short
+    * article quoted whole inside a long page has high containment but low
+    * Jaccard because the union is large); containment is the standard
+    * detector for quotation/expansion/syndication shapes. Same triangular
+    * block decomposition and compiled merge kernel; the Jaccard size
+    * prefilter is deliberately ABSENT (radically different sizes are
+    * exactly the pairs containment exists to keep).
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double,
+      targetBlockSize: Int = 4096,
+      maxSplits: Int = 16): DataFrame =
+    blockedNgramPairs(df, textCol, idCol, blockCol, n, threshold,
+      targetBlockSize, maxSplits, containment = true)
+      .withColumnRenamed("score", "containment")
+
+  private def blockedNgramPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double,
+      targetBlockSize: Int,
+      maxSplits: Int,
+      containment: Boolean): DataFrame = {
     require(targetBlockSize > 0 && maxSplits > 0)
     val sp = df.sparkSession
     import sp.implicits._
@@ -556,18 +593,22 @@ object Dedup {
         val (_, ga, gb) = key
         val out = Vector.newBuilder[(Long, Long, Double)]
         def pair(ia: Long, sa: Array[Long], ib: Long, sb: Array[Long]): Unit = {
-          // size prefilter: jaccard >= t needs |A|/|B| within [t, 1/t]
+          // size prefilter (Jaccard only): j >= t needs |A|/|B| in [t, 1/t].
+          // Containment must NOT prefilter on size — disparate sizes are
+          // precisely its target pairs.
           val minLen = math.min(sa.length, sb.length).toDouble
           val maxLen = math.max(sa.length, sb.length).toDouble
-          if (maxLen > 0 && minLen / maxLen >= threshold) {
+          if (minLen > 0 && (containment || minLen / maxLen >= threshold)) {
             var i = 0; var j = 0; var inter = 0
             while (i < sa.length && j < sb.length) {
               if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
               else if (sa(i) < sb(j)) i += 1
               else j += 1
             }
-            val jac = inter.toDouble / (sa.length + sb.length - inter)
-            if (jac >= threshold) out += ((math.min(ia, ib), math.max(ia, ib), jac))
+            val sc =
+              if (containment) inter.toDouble / minLen
+              else inter.toDouble / (sa.length + sb.length - inter)
+            if (sc >= threshold) out += ((math.min(ia, ib), math.max(ia, ib), sc))
           }
         }
         if (ga == gb) {
@@ -589,8 +630,8 @@ object Dedup {
         }
         out.result().iterator
       }
-      .toDF("id_a", "id_b", "jaccard")
-      .withColumn("jaccard", round(col("jaccard"), 4))
+      .toDF("id_a", "id_b", "score")
+      .withColumn("score", round(col("score"), 4))
   }
 
   /** Digest sets up to this size take [[exceptContentOf]]'s exact broadcast

@@ -63,6 +63,14 @@ object PipelineQueries {
   val dedupNgram: Q = (spark, dir) =>
     Dedup.ngramJaccardPairs(docs(spark, dir), "text", "doc_id", "source", 5, 0.30)
 
+  /** Containment (asymmetric) near-dup pairs within the source blocking:
+    * |A∩B| / min(|A|,|B|) over char-5-gram sets — flags doc-inside-doc
+    * duplication (quotation/expansion/syndication) that symmetric Jaccard
+    * under-scores.
+    */
+  val dedupContainment: Q = (spark, dir) =>
+    Dedup.ngramContainmentPairs(docs(spark, dir), "text", "doc_id", "source", 5, 0.60)
+
   /** Embedding-cosine near-duplicate pairs via hyperplane LSH buckets. */
   val dedupEmbedding: Q = (spark, dir) =>
     Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.30, bits = 4)
@@ -753,6 +761,7 @@ object PipelineQueries {
     "dedup_cross" -> dedupCross,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
+    "dedup_containment" -> dedupContainment,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_components" -> dedupComponents,
     "knn_brute" -> knnBrute,
@@ -1201,6 +1210,21 @@ object PipelineQueries {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.30""".stripMargin,
+    "dedup_containment" ->
+      // same hashed-shingle argument as dedup_ngram; only the denominator
+      // changes: containment divides by the SMALLER set
+      s"""WITH s AS (
+         |  SELECT source, doc_id,
+         |    list_distinct(list_transform(
+         |      generate_series(0, greatest(length(n) - 5, 0)),
+         |      i -> substr(n, i + 1, 5))) AS sh
+         |  FROM (SELECT source, doc_id, $normSql AS n FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        least(len(a.sh), len(b.sh)), 4) AS containment
+         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      least(len(a.sh), len(b.sh)) >= 0.60""".stripMargin,
     "dedup_embedding" ->
       s"""WITH h AS (
          |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,

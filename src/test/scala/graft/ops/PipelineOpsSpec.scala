@@ -797,6 +797,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(3L) > got(1L) && got(3L) > got(2L))
   }
 
+  test("ngramContainmentPairs catches doc-inside-doc that Jaccard misses") {
+    val short = "the quick brown fox jumps over the lazy dog tonight"
+    val long = ("padding words before everything here now listen carefully " * 4) +
+      short + (" trailing content continues for quite a while longer still" * 4)
+    val recs = Seq((1L, short), (2L, long), (3L, "entirely unrelated corpus text"))
+      .toDF("doc_id", "text").withColumn("blk", lit("b"))
+    val cont = Dedup.ngramContainmentPairs(recs, "text", "doc_id", "blk", 5, 0.90)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"the contained doc must pair with its container only, got ${cont.toSeq}")
+    assert(cont.head._3 >= 0.99, "full inclusion scores ~1.0")
+    // symmetric Jaccard under-scores the same pair (large union)
+    val jac = Dedup.ngramJaccardPairs(recs, "text", "doc_id", "blk", 5, 0.90)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, "Jaccard at the same threshold misses the inclusion")
+  }
+
   // --- n-gram decontamination + boilerplate scrub --------------------------
 
   test("ngramOverlapOf flags partial inclusion the exact-digest gate misses") {
