@@ -63,6 +63,28 @@ object PipelineQueries {
   val dedupNgram: Q = (spark, dir) =>
     Dedup.ngramJaccardPairs(docs(spark, dir), "text", "doc_id", "source", 5, 0.30)
 
+  /** Dedup-aware train/val/test split: near-duplicate documents must land
+    * in the SAME split, else eval answers leak into training via paraphrase
+    * copies that a doc-id hash split scatters across splits. Every doc is
+    * labeled with its near-dup cluster (MinHash pairs → connected
+    * components; singletons label themselves) and the deterministic hash
+    * split keys on the CLUSTER label — the composition of three
+    * already-oracled stages, replayed end-to-end by the oracle.
+    */
+  val sampleSplitNodup: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5))
+    d.select(col("doc_id"))
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_label"))
+      .withColumn(
+        "split",
+        Sampling.splitColumn(
+          col("cluster_label"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+  }
+
   /** Containment (asymmetric) near-dup pairs within the source blocking:
     * |A∩B| / min(|A|,|B|) over char-5-gram sets — flags doc-inside-doc
     * duplication (quotation/expansion/syndication) that symmetric Jaccard
@@ -762,6 +784,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_containment" -> dedupContainment,
+    "sample_split_nodup" -> sampleSplitNodup,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_components" -> dedupComponents,
     "knn_brute" -> knnBrute,
@@ -1210,6 +1233,39 @@ object PipelineQueries {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.30""".stripMargin,
+    "sample_split_nodup" -> {
+      // brute-force exact-Jaccard pairs (same recall argument as
+      // dedup_minhash) → recursive-CTE components (same as
+      // dedup_components) → md5 hash split on the cluster label
+      val h = hashKeySql("COALESCE(l.cluster, d.doc_id)", "split")
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(0, len(ws) - 3),
+         |                i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+         |    END AS s
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src)
+         |SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_label,
+         |  CASE WHEN $h < '${Sampling.fractionThreshold(0.8)}' THEN 'train'
+         |       WHEN $h < '${Sampling.fractionThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.id""".stripMargin
+    },
     "dedup_containment" ->
       // same hashed-shingle argument as dedup_ngram; only the denominator
       // changes: containment divides by the SMALLER set

@@ -797,6 +797,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(3L) > got(1L) && got(3L) > got(2L))
   }
 
+  test("cluster-keyed split never strands near-dup pairs across splits") {
+    // the leakage property the composition exists for: every near-dup pair
+    // shares a split — and on the real fixture some clusters are non-trivial
+    val got = graft.queries.PipelineQueries.sampleSplitNodup(spark, dir)
+      .as[(Long, Long, String)].collect()
+    val split = got.map(t => t._1 -> t._3).toMap
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dups for the property to bite")
+    pairs.foreach { case (a, b, _) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    }
+    // a plain id-hash split DOES strand at least one of the same pairs —
+    // the failure mode this operator removes
+    val idSplit = docs.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .as("split")).as[(Long, String)].collect().toMap
+    assert(pairs.exists { case (a, b, _) => idSplit(a) != idSplit(b) },
+      "fixture pairs all co-hash by id — property not demonstrated")
+    // split is keyed by cluster alone: members of one cluster agree
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length == 1)
+    }
+  }
+
   test("ngramContainmentPairs catches doc-inside-doc that Jaccard misses") {
     val short = "the quick brown fox jumps over the lazy dog tonight"
     val long = ("padding words before everything here now listen carefully " * 4) +
