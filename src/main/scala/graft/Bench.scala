@@ -50,6 +50,11 @@ object Bench {
       // median-of-N: a single shared-JVM run is GC/page-cache noise — r2 saw
       // 2.7× swings on untouched queries. Engine storage is released between
       // runs so one query's checkpoints never pressure the next.
+      // (the warm-base session is deliberately NOT released between runs
+      // or queries: its six stabilized base tables are the amortized
+      // build-once state the read-only parity queries measure against —
+      // a bounded, cached, never-growing footprint, unlike the per-query
+      // sessions whose checkpoints would otherwise accumulate)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -90,6 +95,7 @@ object Bench {
     // Short total-only line LAST: small enough that neither sbt's trailer
     // nor a stored-tail truncation can corrupt a last-JSON-line parse.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"BENCH_LOCAL.json"}""")
+    graft.queries.ParityQueries.releaseWarm()
     spark.stop()
   }
 }

@@ -223,13 +223,18 @@ final class CoddSession private (
     c
   }
 
+  private var closed = false
+
   /** Release all executor storage held by this session's relation and view
     * instances (reliable parquet batches stay on disk). The session is empty
     * afterwards; call when done with it — engine state is otherwise pinned in
     * the block manager for the life of the JVM, which at cluster scale leaks
-    * executor storage without bound.
+    * executor storage without bound. Idempotent: a session may be closed
+    * directly AND by a tracking release pass (e.g. the restart query closes
+    * its "crashed" first session explicitly).
     */
-  def close(): Unit = {
+  def close(): Unit = if (!closed) {
+    closed = true
     relations.valuesIterator.foreach(_.instance.close())
     views.valuesIterator.foreach(_.instance.close())
   }

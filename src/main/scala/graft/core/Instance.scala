@@ -538,17 +538,24 @@ object Instance {
     * Sound only when both evaluations provably agree: rejects any
     * nondeterministic expression (rand/uuid/monotonically_increasing_id —
     * also AQE re-partitioning of a Sample), any Generate (explode breaks
-    * the estimate-upper-bound argument), and any typed-closure node
-    * (ObjectProducer/Consumer — map/flatMap/mapPartitions closures are
-    * opaque, so determinism cannot be certified). False = take the
-    * measured path (checkpoint pins one evaluation); never unsound,
-    * only ever slower by one job.
+    * the estimate-upper-bound argument), any Limit/Offset/Tail (the
+    * selected row SET depends on shuffle-fetch order, which Spark
+    * randomizes per read — `distinct().limit(k)` can pick different k
+    * rows on each side even though every expression is deterministic),
+    * and any typed-closure node (ObjectProducer/Consumer —
+    * map/flatMap/mapPartitions closures are opaque, so determinism cannot
+    * be certified). False = take the measured path (checkpoint pins one
+    * evaluation); never unsound, only ever slower by one job.
     */
   private[core] def provablyFusable(ds: Dataset[_]): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     try !ds.queryExecution.analyzed.exists {
       case _: Generate => true
       case _: Sample => true
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case _: Offset => true
+      case _: Tail => true
       case _: ObjectProducer => true
       case _: ObjectConsumer => true
       case p => p.expressions.exists(_.exists(!_.deterministic))

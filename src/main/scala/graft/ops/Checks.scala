@@ -30,24 +30,27 @@ object Checks {
     */
   def profile(df: DataFrame, cols: Seq[String], approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+    // counters are aliased by POSITION, not name: a duplicate entry in
+    // `cols` would make name-based aliases ambiguous at re-resolution, and
+    // a dotted column name would re-parse as struct-field access
+    val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$i"),
         (if (approxDistinct) approx_count_distinct(col(c))
-         else countDistinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+         else countDistinct(col(c))).as(s"__nd_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the 1-row wide result — rows-sized, stays on the executors
-    val perCol = cols.map { c =>
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).as("col_name"),
         col("n_rows"),
-        col(s"__null_$c").as("n_null"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_s"),
-        col(s"__max_$c").as("max_s"))
+        col(s"__null_$i").as("n_null"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_s"),
+        col(s"__max_$i").as("max_s"))
     }
     wide.select(explode(array(perCol: _*)).as("__r")).select("__r.*")
   }

@@ -417,9 +417,14 @@ object Dedup {
     * nibble `k` (hex-string order), so the cross-engine mapping needs no
     * integer parse of the digest. 60 bits = 4 pigeonhole chunks of 15.
     */
+  // one digest instance per executor thread: getInstance does a JCA
+  // provider lookup + allocation, a pure per-row tax in the signature scan
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def simhash60Md5Scala(text: String): Long = {
     val votes = new Array[Int](60)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     text.toLowerCase.split("\\s+").foreach { w =>
       if (w.nonEmpty) {
         md.reset()
@@ -961,11 +966,12 @@ object Dedup {
     * corpora without line structure — pass the natural unit size for the
     * corpus at hand).
     *
-    * Output: (id, clean_text, n_removed) with `clean_text` the surviving
-    * tiles rejoined in order (token-normalized: lowercased,
-    * whitespace-collapsed — tokenization is the op's domain). A document
-    * that is pure boilerplate comes back with an empty string, not
-    * dropped: dropping is the caller's policy.
+    * Output: one row per INPUT row — (id, clean_text, n_removed) with
+    * `clean_text` the surviving tiles rejoined in order (token-normalized:
+    * lowercased, whitespace-collapsed — tokenization is the op's domain).
+    * A document that is pure boilerplate comes back with an empty string;
+    * a null-text document comes back with null text and zero removals.
+    * Dropping rows is the caller's policy, never this op's.
     *
     * Scale shape: tiles are digested (md5) map-side so the frequency
     * aggregate shuffles fixed 128-bit keys, never tile text (production
@@ -1012,10 +1018,10 @@ object Dedup {
     def positions(ws: Column): Column =
       when(coalesce(size(ws), lit(0)) < 1, array().cast("array<int>"))
         .otherwise(sequence(lit(0), floor((size(ws) - 1) / u).cast("int")))
-    toks
+    val cleaned = toks
       .join(bad, Seq("__id"), "left")
       .select(
-        col("__id").as(idCol),
+        col("__id"),
         concat_ws(
           " ",
           transform(
@@ -1024,5 +1030,14 @@ object Dedup {
               k => !array_contains(coalesce(col("__bad"), array().cast("array<int>")), k)),
             k => concat_ws(" ", slice(col("__ws"), k * u + 1, lit(u))))).as("clean_text"),
         coalesce(size(col("__bad")), lit(0)).cast("long").as("n_removed"))
+    // drive the output from EVERY input row: null-text docs (absent from
+    // toks) come back with a null clean_text and zero removals — dropping
+    // rows is the caller's policy, never this op's
+    df.select(col(idCol).as("__id"))
+      .join(cleaned, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 }

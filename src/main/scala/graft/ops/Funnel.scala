@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * Scale shape: one filtered aggregate per stage, each shuffling only that
   * stage's events by user; survivors shrink monotonically down the funnel
   * and ride broadcast joins once small (AQE decides from measured sizes).
-  * Each survivor stage is MATERIALIZED (`localCheckpoint`, the engine's
-  * own epoch discipline) before the next stage builds on it: the N stage
-  * counts would otherwise each re-embed the full plan of stages 1..k, and
-  * without exchange reuse a deep funnel re-scans the events table
-  * O(N²)-ish times per action. Materialized, the events table is scanned
-  * exactly once per stage — N scans total — and the count branches read
-  * only the user-sized checkpoints.
+  * Each survivor stage is CACHED (`persist` MEMORY_AND_DISK) before the
+  * next stage builds on it: the N stage counts would otherwise each
+  * re-embed the full plan of stages 1..k, and without exchange reuse a
+  * deep funnel re-scans the events table O(N²)-ish times per action.
+  * Cached, the events table is scanned exactly once per stage — N scans
+  * total — and the count branches read only the user-sized cached sets.
+  * `persist` (not `localCheckpoint`) on purpose: lineage stays intact, so
+  * an evicted or executor-lost block recomputes instead of failing the
+  * query, and the ContextCleaner reclaims the blocks once the returned
+  * frame is dropped.
   *
   * No reference analog — pipeline-extension layer.
   */
@@ -26,9 +29,9 @@ object Funnel {
 
   /** @param steps event-type names in funnel order (at least one)
     * @return (stage, stage_idx, users) — one row per step, `users` = count
-    *         of users whose ordered entry reached that step. Runs the N
-    *         stage jobs eagerly (survivor materialization); the returned
-    *         3-column frame reads only the checkpointed survivor sets.
+    *         of users whose ordered entry reached that step. The returned
+    *         3-column frame reads only the cached survivor sets (built
+    *         stage by stage on first action).
     */
   def stages(
       df: DataFrame,
@@ -47,7 +50,8 @@ object Funnel {
       }
       // survivors are user-sized (≤ one row per user) and feed both the
       // next stage's gate and this stage's count: pin them once
-      gated.groupBy(u).agg(min(col(tsCol)).as("__entry")).localCheckpoint()
+      gated.groupBy(u).agg(min(col(tsCol)).as("__entry"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val survivorChain = steps.tail.scanLeft(entries(steps.head, None)) {
       case (prev, step) => entries(step, Some(prev))

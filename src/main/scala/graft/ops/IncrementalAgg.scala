@@ -67,6 +67,11 @@ final class IncrementalAgg private (
       merged.write.mode("overwrite").parquet(path)
       val base = new org.apache.hadoop.fs.Path(dir)
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // own commit marker, written AFTER the parquet job returns: recovery
+      // must not depend on Hadoop's _SUCCESS, which object-store configs
+      // commonly disable (mapreduce.fileoutputcommitter.marksuccessfuljobs)
+      fs.create(
+        new org.apache.hadoop.fs.Path(path, IncrementalAgg.CommitMarker), true).close()
       fs.listStatus(base).map(_.getPath).foreach { p =>
         if (IncrementalAgg.stateVersion(p.getName).exists(_ < version)) fs.delete(p, true)
       }
@@ -132,6 +137,7 @@ object IncrementalAgg {
     new IncrementalAgg(spark, keyCols, valueCol, scale, None)
 
   private[ops] val StatePrefix = "state_v"
+  private[ops] val CommitMarker = "_GRAFT_COMMIT"
   private val StateName = "state_v(\\d+)".r
   private[ops] def stateVersion(name: String): Option[Long] = name match {
     case StateName(v) => Some(v.toLong)
@@ -144,11 +150,15 @@ object IncrementalAgg {
     * discipline, adapted to state that is rollup-sized rather than
     * data-sized. Attaching to a `dir` that already holds snapshots resumes
     * from the highest COMMITTED version (the recovery path): a snapshot
-    * counts only if its job-commit `_SUCCESS` marker exists, so a crash
-    * mid-write leaves a partial `state_v<n>` that recovery skips in favor
-    * of the intact `state_v<n-1>` (the next update overwrites the partial
-    * directory). Updates continue from there and supersede it. Single
-    * writer per directory, same contract as `ReliableStore`.
+    * counts only if its commit marker exists — the engine's own
+    * `_GRAFT_COMMIT` (written after the parquet job returns, so it does
+    * not depend on Hadoop's `_SUCCESS`, which object-store configs
+    * commonly disable) or, for snapshots written before the marker
+    * existed, `_SUCCESS`. A crash mid-write leaves a partial `state_v<n>`
+    * with neither marker, which recovery skips in favor of the intact
+    * `state_v<n-1>` (the next update overwrites the partial directory).
+    * Updates continue from there and supersede it. Single writer per
+    * directory, same contract as `ReliableStore`.
     */
   def durable(
       spark: SparkSession,
@@ -163,8 +173,10 @@ object IncrementalAgg {
       val latest = fs.listStatus(base)
         .flatMap(s => stateVersion(s.getPath.getName).map(_ -> s.getPath))
         .filter { case (_, p) =>
-          // only fully committed snapshots are recovery candidates
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+          // only fully committed snapshots are recovery candidates; accept
+          // the legacy _SUCCESS so pre-marker stores stay recoverable
+          fs.exists(new org.apache.hadoop.fs.Path(p, IncrementalAgg.CommitMarker)) ||
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
         }
         .sortBy(_._1)
         .lastOption

@@ -304,11 +304,10 @@ object Similarity {
       idCol: String,
       vecCol: String): Unit = {
     graft.ops.Dedup.requireIntegralId(batch, idCol)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select("cell", "centroid")
-      .collect()
-      .sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
+    // one loader for append and search — the save format cannot drift
+    // between the two read paths
+    val centroids = ivfLoad(spark, path).centroids
+    require(centroids.nonEmpty, s"no centroids under $path — not a saved IVF index")
     val bd = inferDim(batch, vecCol)
     require(bd == centroids.head.length,
       s"batch embedding dim $bd != index dim ${centroids.head.length}")

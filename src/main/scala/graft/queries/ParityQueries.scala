@@ -274,10 +274,21 @@ object ParityQueries {
     */
   val viewRestartIvm: Q = (spark, dir) => {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    // stores live under one fixed parent, reclaimed on the NEXT invocation
+    // (by then the previous result has been fully consumed) — repeated
+    // bench/verify runs must not accumulate a store copy per run
+    val parent = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_restart_store")
+    if (java.nio.file.Files.exists(parent)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(parent).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    java.nio.file.Files.createDirectories(parent)
+    val base = java.nio.file.Files.createTempDirectory(parent, "run").toString
     val all = Tables.events(spark, dir)
     // --- "first process": reliable session, half the events, stabilized view
-    val s1 = new CoddSession(spark, Instance.ReliableStore(base))
+    val s1 = register(new CoddSession(spark, Instance.ReliableStore(base)))
     val ev1 = s1.addRelation[Event]("events")
     s1.insert(ev1, all.filter(_.event_id % 2 == 0))
     val v1 = s1.storeView(

@@ -1074,9 +1074,11 @@ object PipelineQueries {
          |    string_agg(u, ' ' ORDER BY k) AS clean
          |  FROM units WHERE u NOT IN (SELECT u FROM bp) GROUP BY doc_id),
          |tot AS (SELECT doc_id, COUNT(*) AS n_units FROM units GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(k.clean, '') AS clean_text,
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE COALESCE(k.clean, '') END AS clean_text,
          |  COALESCE(t.n_units, 0) - COALESCE(k.n_kept, 0) AS n_removed
-         |FROM toks d
+         |FROM documents d
          |LEFT JOIN tot t ON d.doc_id = t.doc_id
          |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
     "vocab_topk" ->

@@ -67,4 +67,19 @@ class InstanceSpec extends AnyFunSuite {
     assert(i.recent.collect().sorted.toSeq == Seq(1, 2, 3, 4))
     assert(i.pendingCount == 0)
   }
+
+  test("fused-promotion gate rejects order-dependent and opaque plans") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(100).select(col("id"))
+    // limit selects a shuffle-fetch-order-dependent row SET even though
+    // every expression is deterministic: evaluating the staged plan twice
+    // (broadcast build + anti-join probe) could pick different rows
+    assert(!Instance.provablyFusable(base.distinct().limit(10)))
+    assert(!Instance.provablyFusable(base.offset(5)))
+    assert(!Instance.provablyFusable(base.sample(0.5)))
+    assert(!Instance.provablyFusable(base.select(rand().as("r"))))
+    assert(!Instance.provablyFusable(base.as[Long].map(_ + 1).toDF()))
+    // plain deterministic relational plans certify
+    assert(Instance.provablyFusable(base.filter(col("id") > 5).distinct()))
+  }
 }

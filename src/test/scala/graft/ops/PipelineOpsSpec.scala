@@ -610,6 +610,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == full, "recovery must fall back to the latest committed snapshot")
   }
 
+  test("IncrementalAgg.durable recovery works without Hadoop's _SUCCESS marker") {
+    // object-store configs disable marksuccessfuljobs; recovery must key on
+    // the engine's own _GRAFT_COMMIT, written after the parquet job returns
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggstore_nosucc").toString
+    val rows = (1L to 60L).map(i => (i % 3, i * 0.5)).toDF("k", "v")
+    val a1 = IncrementalAgg.durable(spark, Seq("k"), "v", dir, scale = 2)
+    a1.update(rows)
+    a1.close()
+    val snap = new java.io.File(dir).listFiles().filter(_.getName.startsWith("state_v")).head
+    val succ = new java.io.File(snap, "_SUCCESS")
+    assert(new java.io.File(snap, IncrementalAgg.CommitMarker).exists(),
+      "materialize must write its own commit marker")
+    if (succ.exists()) succ.delete() // simulate marksuccessfuljobs=false
+    val a2 = IncrementalAgg.durable(spark, Seq("k"), "v", dir, scale = 2)
+    assert(a2.current().count() == 3, "recovery must not depend on _SUCCESS")
+  }
+
   test("Snapshot.diff classifies all four transitions incl. null content") {
     val before = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
@@ -685,6 +702,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     approx.foreach { r =>
       assert(math.abs(r._4 - expected(r._1)) <= expected(r._1) / 10 + 1, r.toString)
     }
+    // duplicate entries must profile twice, not throw ambiguous-reference
+    // (counters are aliased by position, not by the raw column name)
+    val dup = Checks.profile(raw, Seq("a", "a"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(dup.length == 2 && dup.distinct.length == 1, dup.mkString(","))
   }
 
   test("Funnel.stages counts only strictly-ordered conversions") {
@@ -744,7 +766,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, "acme co"), // dist 2 from #1: over maxDist=1 in any block
       (4L, "beta llc"), (5L, "beta llc"),
       (6L, "aeta llc"), // head typo of #4: prefix block misses, suffix block catches
-      (7L, null: String) // null name: its keys are null, no candidates
+      (7L, null.asInstanceOf[String]) // null name: its keys are null, no candidates
     ).toDF("id", "name")
     val prefix = substring(col("name"), 1, 1)
     val suffix = substring(col("name"), -1, 1)
@@ -875,16 +897,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, s"$bp foxtrot golf hotel india juliett"),
       (3L, s"kilo lima mike november oscar $bp papa quebec romeo sierra tango"),
       (4L, "uniform victor whiskey xray yankee"), // untouched
-      (5L, bp) // pure boilerplate -> empty, not dropped
+      (5L, bp), // pure boilerplate -> empty, not dropped
+      (6L, null.asInstanceOf[String]) // null text -> null out, still present
     ).toDF("doc_id", "text")
     val got = Dedup.removeBoilerplateUnits(recs, "doc_id", "text", unitWords = 5, minDocFreq = 3)
-      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
-    assert(got(1L) == (("alpha bravo charlie delta echo", 1L)))
-    assert(got(2L) == (("foxtrot golf hotel india juliett", 1L)))
-    assert(got(3L) == (("kilo lima mike november oscar papa quebec romeo sierra tango", 1L)),
+      .as[(Long, Option[String], Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == ((Some("alpha bravo charlie delta echo"), 1L)))
+    assert(got(2L) == ((Some("foxtrot golf hotel india juliett"), 1L)))
+    assert(got(3L) == ((Some("kilo lima mike november oscar papa quebec romeo sierra tango"), 1L)),
       "surviving tiles must rejoin in original order")
-    assert(got(4L) == (("uniform victor whiskey xray yankee", 0L)))
-    assert(got(5L) == (("", 1L)), "pure-boilerplate doc returns empty, stays in the corpus")
+    assert(got(4L) == ((Some("uniform victor whiskey xray yankee"), 0L)))
+    assert(got(5L) == ((Some(""), 1L)), "pure-boilerplate doc returns empty, stays in the corpus")
+    assert(got(6L) == ((None, 0L)), "null-text doc stays in the output, untouched")
     // below the frequency floor nothing is removed (the tile appears 4x,
     // so minDocFreq = 5 must keep everything)
     val none = Dedup.removeBoilerplateUnits(recs, "doc_id", "text", unitWords = 5, minDocFreq = 5)
