@@ -542,10 +542,15 @@ object Instance {
     * selected row SET depends on shuffle-fetch order, which Spark
     * randomizes per read — `distinct().limit(k)` can pick different k
     * rows on each side even though every expression is deterministic),
-    * and any typed-closure node (ObjectProducer/Consumer —
-    * map/flatMap/mapPartitions closures are opaque, so determinism cannot
-    * be certified). False = take the measured path (checkpoint pins one
-    * evaluation); never unsound, only ever slower by one job.
+    * and any typed-closure node — ObjectProducer/Consumer (map/flatMap/
+    * mapPartitions) plus the two closure nodes NOT under those traits,
+    * TypedFilter (`ds.filter(f)`) and AppendColumns (`groupByKey`'s key
+    * extractor): closures are opaque, so determinism cannot be certified,
+    * and the reference's own contract is that closures run ONCE per tuple
+    * (its FnMut mappers are never re-evaluated) — an impure closure must
+    * therefore see exactly one evaluation, which only the checkpoint-
+    * pinning measured path guarantees. False = take the measured path;
+    * never unsound, only ever slower by one job.
     */
   private[core] def provablyFusable(ds: Dataset[_]): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -558,6 +563,8 @@ object Instance {
       case _: Tail => true
       case _: ObjectProducer => true
       case _: ObjectConsumer => true
+      case _: TypedFilter => true
+      case _: AppendColumns => true
       case p => p.expressions.exists(_.exists(!_.deterministic))
     } catch { case _: Throwable => false }
   }

@@ -79,6 +79,11 @@ class InstanceSpec extends AnyFunSuite {
     assert(!Instance.provablyFusable(base.sample(0.5)))
     assert(!Instance.provablyFusable(base.select(rand().as("r"))))
     assert(!Instance.provablyFusable(base.as[Long].map(_ + 1).toDF()))
+    // closure nodes OUTSIDE the ObjectProducer/Consumer traits: a typed
+    // filter or groupByKey key extractor can hide an impure closure too
+    assert(!Instance.provablyFusable(base.as[Long].filter((x: Long) => x > 5).toDF()))
+    assert(!Instance.provablyFusable(
+      base.as[Long].groupByKey(_ % 3).count().toDF()))
     // plain deterministic relational plans certify
     assert(Instance.provablyFusable(base.filter(col("id") > 5).distinct()))
   }
