@@ -102,6 +102,24 @@ object TextOps {
     aggregate(tokens(text), lit(0L), (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), lit(p)), lit(p)))
   }
 
+  /** [[rollingHash]] with a cross-engine-replayable token hash: the first
+    * 8 hex chars of md5(w) parsed as an integer (then mod p), instead of
+    * xxhash64. Same polynomial, same modulus, same empty-text result (0) —
+    * every step replays in any SQL engine with md5 (DuckDB folds the same
+    * values with `list_reduce`), which puts the order-sensitive content
+    * hash under the cross-engine oracle. Production corpora should prefer
+    * [[rollingHash]]: xxhash64 is several times faster per token and uses
+    * all 64 hash bits.
+    */
+  def rollingHashReplayable(text: Column): Column = {
+    val p = 1000000007L
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) =>
+        pmod(acc * 31L + pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(p)), lit(p)))
+  }
+
   /** Sentence-ish units: split on periods, trimmed, empties dropped. Stage
     * the result as its own column before feeding [[dupUnitFraction]] — the
     * usual HOF discipline (an inline expression re-splits per reference).

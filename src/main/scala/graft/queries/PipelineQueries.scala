@@ -323,11 +323,16 @@ object PipelineQueries {
       col("doc_id"),
       TextOps.fingerprint(col("text")).as("fp"))
 
-  /** Order-sensitive rolling token hash (xxhash64-based: rows-only). */
+  /** Order-sensitive rolling token hash, md5-token variant — every step
+    * (tokenize, md5-prefix token value, ·31 polynomial mod p) replays in
+    * DuckDB, so the whole row hash-checks; the faster xxhash64 production
+    * variant shares the polynomial and is spec-pinned to the same
+    * structure.
+    */
   val textRolling: Q = (spark, dir) =>
     docs(spark, dir).select(
       col("doc_id"),
-      TextOps.rollingHash(col("text")).as("rolling"))
+      TextOps.rollingHashReplayable(col("text")).as("rolling"))
 
   val docStats: Q = (spark, dir) =>
     docs(spark, dir)
@@ -1218,7 +1223,26 @@ object PipelineQueries {
       s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
-    "text_rolling" -> null, // rolling hash uses xxhash64: rows-only
+    // md5-token rolling hash replayed value-for-value: per-token value =
+    // first 8 md5 hex chars as an integer (nibble-weighted sum) mod p,
+    // folded through the same ·31 polynomial (list_reduce with no init ≡
+    // fold from 0, since 0·31 + t₁ = t₁); empty/null token lists fold to 0
+    "text_rolling" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents),
+         |vals AS (
+         |  SELECT doc_id,
+         |    list_transform(ws, w -> list_sum(list_transform(range(8),
+         |      k -> CAST(strpos('0123456789abcdef', substr(md5(w), CAST(k + 1 AS INT), 1)) - 1 AS BIGINT)
+         |           * ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][CAST(k + 1 AS INT)])))
+         |      % 1000000007) AS vs
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN vs IS NULL THEN NULL
+         |       WHEN len(vs) = 0 THEN 0
+         |       ELSE list_reduce(vs, (a, b) -> (a * 31 + b) % 1000000007)
+         |  END AS rolling
+         |FROM vals""".stripMargin,
     "dedup_ngram" ->
       // exact char-5-gram Jaccard within the source blocking — the engine
       // hashes shingles to longs (collision odds ~|sh|²/2⁶⁴, vacuous at

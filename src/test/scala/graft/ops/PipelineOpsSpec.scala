@@ -367,6 +367,34 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // --- TextOps sanity ------------------------------------------------------
 
+  test("rolling hashes: order-sensitive, zero on empty, replayable ≡ Scala fold") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"), // same tokens, other order
+      (3L, ""), (4L, null.asInstanceOf[String]), (5L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    def run(c: org.apache.spark.sql.Column) =
+      df.select(col("doc_id"), c.as("h")).as[(Long, Option[Long])].collect().toMap
+    for (h <- Seq(run(TextOps.rollingHash(col("text"))),
+                  run(TextOps.rollingHashReplayable(col("text"))))) {
+      assert(h(1L) != h(2L), "token order must change the hash")
+      assert(h(1L) == h(5L), "equal content ⇒ equal hash")
+      assert(h(3L).contains(0L), "empty text folds to 0")
+      assert(h(4L).isEmpty, "null text hashes to null, like every content op")
+    }
+    // the replayable variant against a plain Scala fold of the same spec
+    val p = 1000000007L
+    def scalaRoll(s: String): Long =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).foldLeft(0L) { (acc, w) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        val v = md.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+        (acc * 31L + v % p) % p
+      }
+    val got = run(TextOps.rollingHashReplayable(col("text")))
+    assert(got(1L).contains(scalaRoll("alpha beta gamma")), s"got ${got(1L)}")
+    assert(got(2L).contains(scalaRoll("gamma beta alpha")))
+  }
+
   test("text ops on known strings") {
     val df = Seq(
       (1L, "The cat sat on the mat. It was warm."),
