@@ -524,6 +524,24 @@ object PipelineQueries {
         TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
       "source", "doc_id", "n_tok", 512)
 
+  /** Shard-sink roundtrip: documents written as token-budget shards
+    * (one parquet file per `source=<s>/bin=<n>/` dir), read BACK from the
+    * files, summarized per shard. The oracle recomputes the same summary
+    * from the original table, so the layout write+read must be lossless —
+    * the `source_roundtrip` discipline applied to the training-shard sink.
+    */
+  val sourceShards: Q = (spark, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_shards_out"
+    Sources.writeTokenShards(
+      docs(spark, dir).select(
+        col("source"), col("doc_id"), col("text"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+      "source", "doc_id", "text", "n_tok", budget = 512, path = out)
+    spark.read.parquet(out).select(
+      col("source"), col("bin").cast("long").as("bin"),
+      col("n_docs"), col("n_tokens"), md5(col("text")).as("blob_md5"))
+  }
+
   /** First-fit-decreasing 512-token packing per source stream — the
     * tighter-bins packer ([[Packing.greedyPack]]'s compiled per-stream
     * kernel). The oracle replays FFD exactly in DuckDB: a recursive CTE
@@ -764,6 +782,7 @@ object PipelineQueries {
     "pack_bins" -> packBins,
     "pack_greedy" -> packGreedy,
     "pack_assemble" -> packAssemble,
+    "source_shards" -> sourceShards,
     "text_redact" -> textRedact,
     "dedup_against_ref" -> dedupAgainstRef,
     "decontam_ngram" -> decontamNgram,
@@ -1023,6 +1042,17 @@ object PipelineQueries {
          |SELECT f.source, f.doc_id, t.n_tok, f.bin
          |FROM last f JOIN toks t ON f.source = t.source AND f.doc_id = t.doc_id""".stripMargin,
     "pack_assemble" ->
+      s"""WITH binned AS (
+         |  SELECT source, doc_id, text, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+         |  FROM (SELECT source, doc_id, text, len($wordsSql) AS n_tok FROM documents))
+         |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS blob_md5
+         |FROM binned GROUP BY source, bin""".stripMargin,
+    // the shard files on disk must carry exactly the pack_assemble content:
+    // the oracle recomputes from the ORIGINAL table, never the files
+    "source_shards" ->
       s"""WITH binned AS (
          |  SELECT source, doc_id, text, n_tok,
          |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id

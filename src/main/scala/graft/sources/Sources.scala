@@ -51,6 +51,37 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Token-budget-bounded training shards — the sink the packing family
+    * exists to feed (WebDataset/TFRecord-style: a training job maps one
+    * shard file to one reader). Documents are binned sequentially per
+    * stream ([[graft.ops.Packing.sequentialBins]] — integer-DIV replayable),
+    * each (stream, bin) assembles into ONE blob row
+    * ([[graft.ops.Packing.assembleBins]], id-ordered, deterministic under
+    * any partitioning), and blobs land as `stream=<s>/bin=<n>/` parquet —
+    * one file per shard, because each group exits the assembly aggregate on
+    * a single task. Shard token totals are budget-bounded up to one
+    * document's overhang (sequential binning never splits a document; a doc
+    * crossing the boundary finishes its bin past the line).
+    *
+    * Scale shape: ONE shuffle — the assembly aggregate on (stream, bin) —
+    * then a straight partitioned write; no repartition (the aggregate's
+    * clustering already satisfies the write), no driver materialization.
+    */
+  def writeTokenShards(
+      df: DataFrame,
+      streamCol: String,
+      idCol: String,
+      textCol: String,
+      tokensCol: String,
+      budget: Long,
+      path: String,
+      sep: String = "\n\n"): Unit = {
+    val binned =
+      graft.ops.Packing.sequentialBins(df, streamCol, idCol, tokensCol, budget)
+    graft.ops.Packing.assembleBins(binned, streamCol, idCol, textCol, tokensCol, sep)
+      .write.mode(SaveMode.Overwrite).partitionBy(streamCol, "bin").parquet(path)
+  }
+
   /** Compact a parquet directory into ~`targetBytes` output files —
     * the maintenance pass every incremental sink needs: micro-batches leave
     * a few KB per commit, and at cluster scale millions of tiny files make

@@ -277,4 +277,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).as[(Long, String, String, String, Long)].collect().toSet ==
       docs.as[(Long, String, String, String, Long)].collect().toSet)
   }
+
+  test("writeTokenShards: one file per shard dir, token totals bounded by budget + overhang") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val budget = 256L
+    graft.sources.Sources.writeTokenShards(
+      src, "source", "doc_id", "text", "n_tok", budget, out)
+    // layout: every shard directory holds exactly ONE parquet file
+    val shardDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.isDirectory))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} files — a reader maps one shard to one file")
+    }
+    // budget invariant: a shard exceeds the budget only by its last doc's
+    // overhang (sequential binning never splits a document)
+    val maxDoc = src.agg(max("n_tok")).head.getLong(0)
+    val back = spark.read.parquet(out)
+    back.select("n_tokens").as[Long].collect().foreach { t =>
+      assert(t < budget + maxDoc, s"shard holds $t tokens, budget $budget + maxDoc $maxDoc")
+    }
+    // lossless: every document's tokens are in exactly one shard
+    assert(back.agg(sum("n_tokens")).head.getLong(0) ==
+      src.agg(sum("n_tok")).head.getLong(0))
+    assert(back.agg(sum("n_docs")).head.getLong(0) == src.count())
+  }
 }
