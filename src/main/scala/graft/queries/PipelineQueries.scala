@@ -529,6 +529,10 @@ object PipelineQueries {
     * files, summarized per shard. The oracle recomputes the same summary
     * from the original table, so the layout write+read must be lossless —
     * the `source_roundtrip` discipline applied to the training-shard sink.
+    * Budget 4096 (vs the packers' 512): a shard is a FILE, and real shard
+    * budgets are sized so one shard holds many documents — at 512 the
+    * fixture degenerates into one near-empty file per 2-3 docs and the
+    * commit-protocol rename per file dominates the measurement.
     */
   val sourceShards: Q = (spark, dir) => {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_shards_out"
@@ -536,7 +540,7 @@ object PipelineQueries {
       docs(spark, dir).select(
         col("source"), col("doc_id"), col("text"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
-      "source", "doc_id", "text", "n_tok", budget = 512, path = out)
+      "source", "doc_id", "text", "n_tok", budget = 4096, path = out)
     spark.read.parquet(out).select(
       col("source"), col("bin").cast("long").as("bin"),
       col("n_docs"), col("n_tokens"), md5(col("text")).as("blob_md5"))
@@ -1056,7 +1060,7 @@ object PipelineQueries {
       s"""WITH binned AS (
          |  SELECT source, doc_id, text, n_tok,
          |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS bin
          |  FROM (SELECT source, doc_id, text, len($wordsSql) AS n_tok FROM documents))
          |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
          |  md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS blob_md5
