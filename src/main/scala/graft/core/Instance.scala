@@ -359,7 +359,13 @@ final class Instance[T](
              else toAdd.map(_._1).reduce(_ union _)).distinct()
         toAdd = Vector.empty
         if (stableBatches.isEmpty) firstBatch(staged)
-        else promote(staged, fusable = engineBatch || Instance.provablyFusable(staged))
+        else {
+          val direct = engineBatch || Instance.provablyFusable(staged)
+          promote(
+            staged,
+            fusable = direct,
+            pinnedFusable = !direct && Instance.estimateUpperBoundSafe(staged))
+        }
       }
     commitState()
     result
@@ -435,27 +441,41 @@ final class Instance[T](
     * loads, full EXCEPT (job 2) — exactly the r6 behavior.
     *
     * The fused plan references `staged` TWICE (broadcast build side and
-    * anti-join probe side) without pinning one evaluation, so it is only
-    * sound for plans that evaluate identically on both sides: `fusable`
-    * is true for engine-internal pre-distinct batches (deterministic by
-    * construction — built over materialized recents) and for user plans
-    * [[Instance.provablyFusable]] certifies (no nondeterministic
-    * expressions, no Generate/typed-closure nodes). Generate is ALSO
-    * excluded because a row-expanding node breaks the "estimate is an
-    * upper bound" argument the one-job gate rests on. Everything else
-    * takes the measured path, which checkpoints staged first — exactly
-    * one evaluation, whatever the plan does.
+    * anti-join probe side), so it needs both evaluations to agree AND the
+    * size ESTIMATE to be a trustworthy upper bound. Three regimes:
+    *
+    *  - `fusable` (direct fuse): engine-internal pre-distinct batches
+    *    (deterministic by construction — built over materialized recents)
+    *    and user plans [[Instance.provablyFusable]] certifies (no
+    *    nondeterministic expressions, no Generate/typed-closure nodes) —
+    *    both sides provably evaluate identically, no pinning needed.
+    *  - `pinnedFusable`: plans that CANNOT be certified deterministic
+    *    (typed-closure filters, rand projections) but whose estimate is
+    *    still an upper bound ([[Instance.estimateUpperBoundSafe]] — no
+    *    row- or size-expanding nodes). A LAZY executor-storage checkpoint
+    *    pins exactly one evaluation: the broadcast build job computes and
+    *    caches the blocks, the probe side reads them — same job count as
+    *    the direct fuse, plus only the block writes.
+    *  - everything else (row-expanding plans, estimate unavailable): the
+    *    measured path, which checkpoints + counts staged first — the
+    *    broadcast-vs-EXCEPT choice is then made on MEASURED bytes.
     */
-  private def promote(staged: Dataset[T], fusable: Boolean): Boolean = {
+  private def promote(
+      staged: Dataset[T],
+      fusable: Boolean,
+      pinnedFusable: Boolean = false): Boolean = {
     val est =
-      if (!fusable) BigInt(Long.MaxValue)
+      if (!fusable && !pinnedFusable) BigInt(Long.MaxValue)
       else
         try staged.queryExecution.optimizedPlan.stats.sizeInBytes
         catch { case _: Throwable => BigInt(Long.MaxValue) }
     if (est <= Instance.FusedPromoteMaxBytes) {
-      val raw = materializeDurable(broadcastNovelPlan(staged))
+      val pin = if (fusable) None else Some(materializeTransient(staged))
+      val raw = materializeDurable(broadcastNovelPlan(pin.map(_.ds).getOrElse(staged)))
       val n = raw.ds.count()
       val leaf = measured(raw, n)
+      // novel is fully materialized by the count; the pin is epoch-private
+      pin.foreach(retire)
       if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
       else { retire(leaf); false }
     } else {
@@ -566,6 +586,32 @@ object Instance {
       case _: TypedFilter => true
       case _: AppendColumns => true
       case p => p.expressions.exists(_.exists(!_.deterministic))
+    } catch { case _: Throwable => false }
+  }
+
+  /** Certify that Catalyst's non-CBO size estimate is a trustworthy UPPER
+    * bound for a staged plan — the only property the PINNED fused promotion
+    * still needs once a lazy checkpoint pins one evaluation (determinism
+    * becomes irrelevant: whatever the plan computes, both join references
+    * read the same pinned blocks). Rejects every node that can make output
+    * bytes exceed the estimate: Generate (explode multiplies rows), Sample
+    * (withReplacement can exceed the input), the typed-closure object nodes
+    * (map/flatMap/mapPartitions produce arbitrary row sizes and counts),
+    * and AppendColumns (appends computed columns the child estimate never
+    * saw). TypedFilter passes — its closure only DROPS rows and the schema
+    * is exactly the child's — as do Limit/Offset/Tail (row-reducing; the
+    * pinned evaluation fixes which rows) and nondeterministic expressions
+    * (rand sized like any other double).
+    */
+  private[core] def estimateUpperBoundSafe(ds: Dataset[_]): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    try !ds.queryExecution.analyzed.exists {
+      case _: Generate => true
+      case _: Sample => true
+      case _: ObjectProducer => true
+      case _: ObjectConsumer => true
+      case _: AppendColumns => true
+      case _ => false
     } catch { case _: Throwable => false }
   }
 

@@ -87,4 +87,36 @@ class InstanceSpec extends AnyFunSuite {
     // plain deterministic relational plans certify
     assert(Instance.provablyFusable(base.filter(col("id") > 5).distinct()))
   }
+
+  test("estimate-upper-bound gate: row/size-expanding nodes rejected, reducers pass") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(100).select(col("id"))
+    // expanding nodes: the non-CBO estimate can under-count their output
+    assert(!Instance.estimateUpperBoundSafe(
+      base.select(explode(array(col("id"), col("id"))).as("x"))))
+    assert(!Instance.estimateUpperBoundSafe(base.sample(withReplacement = true, 2.0)))
+    assert(!Instance.estimateUpperBoundSafe(base.as[Long].map(_ + 1).toDF()))
+    assert(!Instance.estimateUpperBoundSafe(base.as[Long].groupByKey(_ % 3).count().toDF()))
+    // row-reducing / schema-preserving plans pass even where the
+    // determinism gate must refuse them — the pinned checkpoint fixes
+    // which rows both join references see
+    assert(Instance.estimateUpperBoundSafe(base.as[Long].filter((x: Long) => x > 5).toDF()))
+    assert(Instance.estimateUpperBoundSafe(base.distinct().limit(10)))
+    assert(Instance.estimateUpperBoundSafe(base.select(rand().as("r"))))
+  }
+
+  test("pinned fused promotion evaluates an uncertifiable staged plan exactly once") {
+    val i = inst
+    i.insert(ds(1, 2, 3)); i.changed(); i.changed() // stable = {1,2,3}
+    val acc = spark.sparkContext.longAccumulator("typedFilterEvals")
+    // TypedFilter closure: impure on purpose — counts its invocations.
+    // Uncertifiable (opaque closure) but estimate-upper-bound-safe, so the
+    // promotion takes the pinned fused path; the lazy checkpoint must pin
+    // ONE evaluation (the old direct fuse would have run it twice).
+    val staged = spark.createDataset(1 to 10).filter { x => acc.add(1); x > 3 }
+    i.insert(staged)
+    assert(i.changed())
+    assert(acc.value == 10L, s"closure ran ${acc.value} times, want one pass over 10 rows")
+    assert(i.recent.collect().sorted.toSeq == (4 to 10))
+  }
 }
