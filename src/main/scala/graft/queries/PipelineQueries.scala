@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, SketchRollup, TextOps}
 import graft.sources.Sources
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -638,27 +638,19 @@ object PipelineQueries {
       .orderBy(col("freq").desc, col("token"))
       .limit(100)
 
-  /** Heavy hitters with a Count-Min sketch beside exact counts: the
-    * constant-memory frequency structure for streams/multi-pass-averse
-    * pipelines (sub-linear state, mergeable across partitions — Spark
-    * builds it with one map-side pass). Output pairs each exact top-20
-    * token with its CMS estimate; rows-only (the sketch's hash family
-    * isn't oracle-replayable) with the CMS guarantee — never an
-    * underestimate, overestimate ≤ ε·N w.h.p. — pinned in the spec.
+  /** φ-heavy hitters (φ = 1/30 of the token stream), Count-Min-verified
+    * two-pass: the CMS prefilters candidates map-side (never an
+    * underestimate, so no true hitter is lost — spec-pinned), the exact
+    * pass confirms. Output counts are EXACT, so the whole result replays
+    * in DuckDB as `GROUP BY HAVING count ≥ ⌈φ·N⌉` — the sketch buys
+    * shuffle reduction, not approximation, which is how a 100 TB pipeline
+    * should use it.
     */
-  val heavyHitters: Q = (spark, dir) => {
-    val toks = docs(spark, dir)
-      .select(explode(TextOps.tokens(col("text"))).as("token"))
-    val cms = toks.stat.countMinSketch("token", 0.01, 0.99, 42)
-    val bc = spark.sparkContext.broadcast(cms)
-    val est = udf((t: String) => bc.value.estimateCount(t))
-    toks
-      .groupBy("token")
-      .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token"))
-      .limit(20)
-      .withColumn("cms_est", est(col("token")))
-  }
+  val heavyHitters: Q = (spark, dir) =>
+    SketchRollup.verifiedHeavyHitters(
+      docs(spark, dir).select(explode(TextOps.tokens(col("text"))).as("token")),
+      "token",
+      phi = 1.0 / 30.0)
 
   /** Per-source contamination AUDIT: how much of each source's content
     * appears in the reference slice — the report you read before dropping
@@ -1126,6 +1118,15 @@ object PipelineQueries {
          |GROUP BY token
          |ORDER BY freq DESC, token
          |LIMIT 100""".stripMargin,
+    // exact φ-heavy hitters: the engine's CMS prefilter is provably
+    // output-invisible (never an underestimate ⇒ every true hitter
+    // survives to the exact pass), so plain GROUP BY HAVING replays it
+    "heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($wordsSql) AS token FROM documents)
+         |SELECT token, COUNT(*) AS freq
+         |FROM toks
+         |GROUP BY token
+         |HAVING COUNT(*) >= ceil((SELECT COUNT(*) FROM toks) / 30.0)""".stripMargin,
     "contamination_report" ->
       """WITH refh AS (
         |  SELECT DISTINCT md5(text) AS h FROM documents

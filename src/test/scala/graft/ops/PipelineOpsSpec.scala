@@ -561,16 +561,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("heavy_hitters: CMS never underestimates, overestimate bounded") {
+  test("heavy_hitters: CMS prefilter is output-invisible (filtered ≡ unfiltered exact)") {
+    val toks = docs.select(org.apache.spark.sql.functions.explode(
+      TextOps.tokens(col("text"))).as("token"))
     val got = graft.queries.PipelineQueries.heavyHitters(spark, dir)
-      .as[(String, Long, Long)].collect()
-    assert(got.length == 20)
-    val n = docs.select(org.apache.spark.sql.functions.explode(
-      TextOps.tokens(col("text")))).count()
-    got.foreach { case (tok, freq, est) =>
-      assert(est >= freq, s"CMS underestimated '$tok': $est < $freq")
-      assert(est <= freq + (3 * 0.01 * n).toLong, s"CMS blew the ε·N bound on '$tok'")
-    }
+      .as[(String, Long)].collect().toMap
+    // the definitionally-exact answer, no sketch anywhere
+    val n = toks.count()
+    val minFreq = math.ceil(n / 30.0).toLong
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .as[(String, Long)].collect().toMap
+    assert(got == exact,
+      s"CMS prefilter changed the answer: got ${got.size} hitters, exact ${exact.size}")
+    assert(exact.nonEmpty, "fixture must exercise the threshold")
+    // and the prefilter must actually drop the tail (the scale lever):
+    // the fixture's 'dup' token sits far below φ·N
+    assert(!got.contains("dup"))
   }
 
   // --- incremental aggregate ----------------------------------------------
