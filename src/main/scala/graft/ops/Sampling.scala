@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling for training-data pipelines:
@@ -62,13 +63,7 @@ object Sampling {
       probCol: Column,
       salt: String = "imp"): DataFrame = {
     val h = hashKey(col(idCol), salt)
-    // Clamp to 2^32-1: for p just below 1 (e.g. the double 1-2^-53) the
-    // product p*2^32 ROUNDS to exactly 2^32, whose hex is 9 digits — lpad
-    // would truncate it to "10000000" and keep ~6% instead of ~100%. The
-    // p >= 1.0 branch does not cover that value.
-    val scaled = least(floor(probCol * 4294967296.0).cast("long"), lit(4294967295L))
-    val thr = lpad(lower(hex(scaled)), 8, "0")
-    df.filter(probCol >= 1.0 || (probCol > 0.0 && h < thr))
+    df.filter(probCol >= 1.0 || (probCol > 0.0 && h < probThreshold(probCol)))
   }
 
   /** Label every row with a split name by hash bucket: `splits` are
@@ -124,6 +119,88 @@ object Sampling {
       .filter(hashKey(col(idCol), salt) < col("__thresh"))
       .drop("__thresh")
   }
+
+  /** Per-group keep rates for a TEMPERATURE-rebalanced mixture (the
+    * multilingual-corpus standard: small sources are up-weighted so the
+    * head languages/domains don't monopolize the token budget). Group g
+    * holding t_g of the corpus's T tokens gets target share
+    * q_g ∝ (t_g/T)^alpha (alpha = 1: proportional — no rebalancing;
+    * alpha → 0: equal shares), and keeps
+    * rate_g = min(1, targetFraction · (q_g/Σq) · (T/t_g)) of its rows.
+    *
+    * Cross-engine determinism: token sums stay in LONG space (exact, any
+    * aggregation order), and the only libm value — (t_g/T)^alpha — is
+    * floored onto a 2⁴⁰ integer grid BEFORE the normalizing sum, so Σq is
+    * an exact long and every downstream division is plain IEEE on
+    * exactly-representable integers (the `text_perplexity` grid
+    * discipline). The rate replays value-for-value in any SQL engine.
+    *
+    * One groups-sized output row per group — broadcast it into the keep
+    * filter; the corpus itself is never shuffled.
+    */
+  def temperatureRates(
+      df: DataFrame,
+      groupCol: String,
+      tokensCol: String,
+      alpha: Double,
+      targetFraction: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha out of [0,1]")
+    require(targetFraction > 0.0 && targetFraction <= 1.0, s"targetFraction $targetFraction out of (0,1]")
+    val grid = 1099511627776.0 // 2^40: q ∈ [0,1] lands on an exact-long grid
+    // NB: names must differ in more than case — the analyzer is
+    // case-insensitive by default, so "__t"/"__T" would be ONE column.
+    val stats = df.groupBy(groupCol).agg(sum(col(tokensCol)).as("__tok"))
+    // Corpus-wide totals via an unpartitioned window over the GROUPS-sized
+    // stats (one tiny task), not a crossJoin back onto stats' own lineage
+    // (which Spark flags as an ambiguous self-join reference).
+    val all = Window.partitionBy()
+    stats
+      .withColumn("__tot", sum(col("__tok")).over(all)) // long: exact in any order
+      .withColumn(
+        "__qi",
+        floor(pow(col("__tok").cast("double") / col("__tot").cast("double"), alpha) * grid).cast("long"))
+      .withColumn("__sq", sum(col("__qi")).over(all)) // long again: exact
+      .select(
+        col(groupCol),
+        least(
+          lit(1.0),
+          lit(targetFraction) * (col("__qi").cast("double") / col("__sq").cast("double")) *
+            (col("__tot").cast("double") / col("__tok").cast("double"))).as("rate"))
+  }
+
+  /** Filter `df` to the temperature-rebalanced mixture: every row keeps
+    * with its group's [[temperatureRates]] rate via the salted-hash draw —
+    * deterministic, partitioning-invariant, engine-replayable. Two passes
+    * over the corpus total (the rates aggregation, then the map-side keep
+    * filter against the broadcast groups-sized rates dim) — the minimum
+    * for rates computed FROM the data. Rows with a null group drop (they
+    * have no share to draw against).
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokensCol: String,
+      alpha: Double,
+      targetFraction: Double,
+      salt: String = "mixT"): DataFrame = {
+    val rates = temperatureRates(df, groupCol, tokensCol, alpha, targetFraction)
+    df.join(broadcast(rates), Seq(groupCol))
+      // rate == 1.0 keeps EVERY row (the clamped "ffffffff" threshold
+      // alone would drop the one-in-2³² row hashing to the exact maximum)
+      .filter(col("rate") >= 1.0 || hashKey(col(idCol), salt) < probThreshold(col("rate")))
+      .drop("rate")
+  }
+
+  /** A probability Column rendered as the 8-hex-digit string threshold
+    * such that `hashKey < probThreshold(p)` keeps a p-fraction in
+    * expectation — the per-row generalization of [[fractionThreshold]].
+    * Clamped to 2³²−1: for p just below 1 the product ROUNDS to exactly
+    * 2³², whose hex is 9 digits — lpad would truncate it to "10000000"
+    * and keep ~6% instead of ~100%.
+    */
+  def probThreshold(probCol: Column): Column =
+    lpad(lower(hex(least(floor(probCol * 4294967296.0).cast("long"), lit(4294967295L)))), 8, "0")
 
   /** Exact k rows per stratum, chosen by hash order — a deterministic
     * stratified sample whose members never change with partitioning. Rides

@@ -513,6 +513,19 @@ object PipelineQueries {
     Sampling.stratified(
       docs(spark, dir).select("doc_id", "source"), Seq("source"), "doc_id", 5)
 
+  /** Temperature-rebalanced mixture at α = 0.5, half the token budget:
+    * per-source keep rates computed FROM the corpus (token share^α,
+    * renormalized), small sources up-weighted — the multilingual-corpus
+    * sampling standard. The integer-grid rate discipline lets the oracle
+    * replay the rates value-for-value and the hash draw verbatim.
+    */
+  val sampleTemperature: Q = (spark, dir) =>
+    Sampling.temperatureMixture(
+      docs(spark, dir).select(
+        col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+      "doc_id", "source", "n_tok", alpha = 0.5, targetFraction = 0.5)
+
   /** Sequential 512-token packing bins per source stream — the
     * concat-and-chop batch builder; integer DIV arithmetic replays
     * bit-exactly in the oracle.
@@ -774,6 +787,7 @@ object PipelineQueries {
     "sample_split_group" -> sampleSplitGroup,
     "sample_weighted" -> sampleWeighted,
     "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature,
     "sample_stratified" -> sampleStratified,
     "pack_bins" -> packBins,
     "pack_greedy" -> packGreedy,
@@ -884,6 +898,29 @@ object PipelineQueries {
       s"""SELECT source, doc_id FROM documents
          |WHERE ${hashKeySql("doc_id", "mix")} < (CASE source $cases END)""".stripMargin
     },
+    // Temperature mixture replayed end-to-end: LONG token sums (exact in
+    // any order), the 2^40-grid-floored temperature weight (the one libm
+    // value), exact-long normalization, then the same IEEE divisions and
+    // the verbatim hash draw — the text_perplexity grid discipline
+    "sample_temperature" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents),
+         |st AS (SELECT source, SUM(n_tok) AS t FROM d GROUP BY source),
+         |tot AS (SELECT SUM(t) AS tt FROM st),
+         |q AS (SELECT source, t,
+         |        CAST(floor(pow(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE), 0.5)
+         |             * 1099511627776.0) AS BIGINT) AS qi
+         |      FROM st, tot),
+         |nq AS (SELECT SUM(qi) AS sq FROM q),
+         |r AS (SELECT source,
+         |        least(1.0, 0.5 * (CAST(qi AS DOUBLE) / CAST(sq AS DOUBLE))
+         |          * (CAST(tt AS DOUBLE) / CAST(t AS DOUBLE))) AS rate
+         |      FROM q, nq, tot)
+         |SELECT d.source, d.doc_id, d.n_tok
+         |FROM d JOIN r USING (source)
+         |WHERE r.rate >= 1.0 OR ${hashKeySql("d.doc_id", "mixT")} <
+         |  lpad(lower(hex(least(CAST(floor(r.rate * 4294967296.0) AS BIGINT),
+         |                       4294967295))), 8, '0')""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, source, rank FROM (
          |  SELECT doc_id, source,

@@ -76,6 +76,40 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(out.join(in, Seq("doc_id", "source"), "left_anti").count() == 0)
   }
 
+  test("temperatureMixture: α=1 proportional, α<1 up-weights small sources, α=0 equalizes tokens") {
+    // skewed synthetic corpus: big source holds 100× the small one's tokens
+    val rows = (1 to 1000).map(i => (i.toLong, "big", 10L)) ++
+      (2001 to 2010).map(i => (i.toLong, "small", 10L))
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    def rates(alpha: Double, tf: Double): Map[String, Double] =
+      Sampling.temperatureRates(df, "source", "n_tok", alpha, tf)
+        .as[(String, Double)].collect().toMap
+    // α=1: q ∝ share cancels — every source keeps exactly targetFraction
+    val r1 = rates(1.0, 0.4)
+    assert(r1.values.forall(r => math.abs(r - 0.4) < 1e-6), s"α=1 rates $r1")
+    // α=0.5: the small source's rate strictly exceeds the big one's
+    val rHalf = rates(0.5, 0.4)
+    assert(rHalf("small") > rHalf("big"), s"α=0.5 must up-weight: $rHalf")
+    // α=0: equal TOKEN allocation per source (where the cap doesn't bind)
+    val r0 = rates(0.0, 0.1)
+    val bigToks = 1000 * 10L * r0("big")
+    val smallToks = 10 * 10L * math.min(1.0, r0("small"))
+    assert(r0("small") == 1.0 || math.abs(bigToks - smallToks) / bigToks < 1e-6,
+      s"α=0 token allocation big=$bigToks small=$smallToks")
+    // the keep filter honors the rates (exact expectation within hash noise)
+    val kept = Sampling.temperatureMixture(df, "doc_id", "source", "n_tok", 0.5, 0.4)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("big") / 1000.0 - rHalf("big")) < 0.05,
+      s"big kept ${kept("big")}/1000 vs rate ${rHalf("big")}")
+    // determinism under physical layout
+    val again = Sampling
+      .temperatureMixture(df.repartition(13), "doc_id", "source", "n_tok", 0.5, 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val first = Sampling.temperatureMixture(df, "doc_id", "source", "n_tok", 0.5, 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(first == again, "temperature draw must not depend on partitioning")
+  }
+
   test("stratified: exactly min(k, |stratum|) per stratum, partitioning-invariant members") {
     val got = Sampling.stratified(docs.select("doc_id", "source"), Seq("source"), "doc_id", 5)
     val per = got.groupBy("source").count().as[(String, Long)].collect()
