@@ -957,6 +957,65 @@ object Dedup {
       .withColumn("contaminated", col("n_hit_grams") >= minOverlap)
   }
 
+  /** Per-document EXACT duplicated-substring signal (the "dedupe text
+    * overlaps" measurement of Lee et al., Deduplicating Training Data
+    * Makes Language Models Better): for every document, the fraction of
+    * its distinct word `n`-grams that occur in at least one OTHER
+    * document. Near-1 scores mark syndicated/quoted/templated text that
+    * document-level dedup keeps (the docs differ) but substring-level
+    * training duplication still hurts.
+    *
+    * Scale shape: grams are digested (md5) map-side, so both shuffles move
+    * fixed 128-bit keys, never gram text — (id, digest) pairs group by
+    * digest for the document-frequency count (map-side partials), the
+    * shared-digest set filters to duplicated grams only, and the per-doc
+    * aggregate re-keys by id. The corpus text itself never shuffles. The
+    * duplicated-gram join is digest-keyed on both sides and reuses the
+    * frequency aggregate's partitioning.
+    *
+    * Counting is per-DOCUMENT (distinct grams; a doc repeating its own
+    * phrase is [[graft.ops.TextOps.dupUnitFraction]]'s intra-doc signal,
+    * not this one). Docs with fewer than `n` tokens have zero grams and
+    * report dup_frac 0; null text likewise. One division of exact integer
+    * counts — bit-exact cross-engine.
+    *
+    * @return (id, n_grams, n_dup_grams, dup_frac) — one row per input row
+    */
+  def dupNgramStats(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df
+      .filter(col(contentCol).isNotNull)
+      .withColumn("__ws", TextOps.tokens(col(contentCol)))
+      .select(col(idCol), explode(array_distinct(
+        TextOps.wordNgramsAllOfTokens(col("__ws"), n))).as("__g"))
+      .select(col(idCol), md5(col("__g")).as("__d"))
+    // grams are per-doc distinct already, so plain count == distinct-doc
+    // count — no distinct aggregation state needed
+    val docFreq = grams.groupBy(col("__d"))
+      .agg(count(lit(1)).as("__df"))
+    val dupSet = docFreq.filter(col("__df") >= 2).select("__d")
+    val perDoc = grams
+      .join(dupSet.withColumn("__dup", lit(1)), Seq("__d"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__dup"), lit(0))).as("n_dup_grams"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn(
+        "dup_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") / col("n_grams")))
+  }
+
   /** C4-style corpus-frequency boilerplate removal: split every document
     * into consecutive `unitWords`-word tiles, count in how many DISTINCT
     * documents each tile's text occurs, and strip every occurrence of a

@@ -202,6 +202,48 @@ object Sampling {
   def probThreshold(probCol: Column): Column =
     lpad(lower(hex(least(floor(probCol * 4294967296.0).cast("long"), lit(4294967295L)))), 8, "0")
 
+  /** Keep the top `frac` fraction of each group by `scoreCol`, EXACTLY —
+    * the per-language/per-domain quality cut of a pretraining pipeline
+    * ("keep the best 20% of every language by quality score"). Group g of
+    * size n_g keeps its ceil(frac·n_g) highest rows under the total order
+    * (score DESC, salted id-hash ASC) — the hash tiebreak makes the
+    * boundary deterministic even when many rows share a score, so the
+    * selection is partitioning-invariant and engine-replayable.
+    *
+    * Scale shape: the full corpus never shuffles. Only a THREE-column
+    * projection (group, score, hash) moves: a per-group window ranks it,
+    * row rank == ceil(frac·n_g) yields ONE boundary row per group, and
+    * that groups-sized dim broadcasts back into a map-side keep filter
+    * (score > boundary, or == with hash ≤ boundary's). Rows with a null
+    * score or null group drop — they have no place in the order.
+    */
+  def topFractionPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: Column,
+      idCol: String,
+      frac: Double,
+      salt: String = "topf"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac $frac out of (0,1]")
+    val scored = df
+      .withColumn("__sc", scoreCol)
+      .withColumn("__hk", hashKey(col(idCol), salt))
+      .filter(col("__sc").isNotNull && col(groupCol).isNotNull)
+    val proj = scored.select(col(groupCol), col("__sc"), col("__hk"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__sc").desc, col("__hk").asc)
+    val wAll = Window.partitionBy(groupCol)
+    val boundary = proj
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") === ceil(lit(frac) * col("__n")).cast("int"))
+      .select(col(groupCol), col("__sc").as("__bs"), col("__hk").as("__bh"))
+    scored
+      .join(broadcast(boundary), Seq(groupCol))
+      .filter(col("__sc") > col("__bs") ||
+        (col("__sc") === col("__bs") && col("__hk") <= col("__bh")))
+      .select(df.columns.map(col).toIndexedSeq: _*) // input column order back
+  }
+
   /** Exact k rows per stratum, chosen by hash order — a deterministic
     * stratified sample whose members never change with partitioning. Rides
     * [[TopK.perKey]]: bounded per-partition heaps, shuffle ≤ partitions·k

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, SketchRollup, TextOps}
+import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, SketchRollup, TextOps, Vocab}
 import graft.sources.Sources
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -526,6 +526,32 @@ object PipelineQueries {
         TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
       "doc_id", "source", "n_tok", alpha = 0.5, targetFraction = 0.5)
 
+  /** Per-language top-20% quality cut (FineWeb-style: score every doc,
+    * keep the best fraction of each language) — exact selection under the
+    * (score DESC, id-hash ASC) total order. Only a three-column projection
+    * shuffles for the per-group boundary; the boundary dim broadcasts into
+    * a map-side keep filter, the corpus never shuffles.
+    */
+  val qualityTopfrac: Q = (spark, dir) =>
+    Sampling.topFractionPerGroup(
+      docs(spark, dir).select("doc_id", "lang", "text"), "lang",
+      TextOps.stopwordRatio(col("text")), "doc_id", 0.2)
+      .select("doc_id", "lang")
+
+  /** One BPE merge-step count: adjacent character-pair frequencies over
+    * the word-frequency vocab, top 50. The only corpus-sized motion is the
+    * word-count partial-agg shuffle; everything after is vocab-sized.
+    */
+  val vocabBpePairs: Q = (spark, dir) =>
+    Vocab.bpePairCounts(docs(spark, dir), "text", 50)
+
+  /** Exact duplicated-substring signal (Lee et al.): per doc, the fraction
+    * of its distinct word 8-grams occurring in ≥ 1 other document. Both
+    * shuffles move 128-bit gram digests, never text.
+    */
+  val textDupgrams: Q = (spark, dir) =>
+    Dedup.dupNgramStats(docs(spark, dir), "doc_id", "text", 8)
+
   /** Sequential 512-token packing bins per source stream — the
     * concat-and-chop batch builder; integer DIV arithmetic replays
     * bit-exactly in the oracle.
@@ -788,6 +814,9 @@ object PipelineQueries {
     "sample_weighted" -> sampleWeighted,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
+    "quality_topfrac" -> qualityTopfrac,
+    "vocab_bpe_pairs" -> vocabBpePairs,
+    "text_dupgrams" -> textDupgrams,
     "sample_stratified" -> sampleStratified,
     "pack_bins" -> packBins,
     "pack_greedy" -> packGreedy,
@@ -921,6 +950,56 @@ object PipelineQueries {
          |WHERE r.rate >= 1.0 OR ${hashKeySql("d.doc_id", "mixT")} <
          |  lpad(lower(hex(least(CAST(floor(r.rate * 4294967296.0) AS BIGINT),
          |                       4294967295))), 8, '0')""".stripMargin,
+    // Per-language top-20% cut: rn ≤ ceil(frac·n) under the (score DESC,
+    // hash ASC) total order is exactly the engine's boundary-broadcast
+    // selection; the score is one int/int division — bit-exact both sides
+    "quality_topfrac" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len($wordsSql) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter($wordsSql, w -> list_contains($enStopSql, w))) AS DOUBLE) / len($wordsSql)
+         |    END AS sc,
+         |    ${hashKeySql("doc_id", "topf")} AS hk
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |r AS (
+         |  SELECT doc_id, lang, sc, hk,
+         |    row_number() OVER (PARTITION BY lang ORDER BY sc DESC, hk ASC) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM s)
+         |SELECT doc_id, lang FROM r WHERE rn <= CAST(ceil(0.2 * n) AS INT)""".stripMargin,
+    // One BPE merge-step count replayed from scratch: word frequencies,
+    // per-word adjacent char pairs (multiset), weighted pair sums
+    "vocab_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
+         |v AS (SELECT word, count(*) AS wfreq FROM w GROUP BY word),
+         |p AS (SELECT unnest(list_transform(range(1, length(word)), i -> substring(word, i, 2))) AS pair,
+         |        wfreq FROM v)
+         |SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pfreq FROM p
+         |GROUP BY pair ORDER BY pfreq DESC, pair LIMIT 50""".stripMargin,
+    // Exact duplicated-8-gram fraction: distinct grams per doc (NO
+    // shorter-than-n fallback — sub-8-token docs carry zero grams, like
+    // the engine's counting-mode shingles), md5-digested, doc-frequency
+    // ≥ 2 marks a gram duplicated; one int/int division at the end
+    "text_dupgrams" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, md5(gram) AS d FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
+         |           ELSE list_distinct(list_transform(range(len(ws) - 7),
+         |                  i -> array_to_string(ws[i + 1:i + 8], ' ')))
+         |      END) AS gram
+         |    FROM (SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL))),
+         |freq AS (SELECT d, count(*) AS dfreq FROM g GROUP BY d),
+         |pd AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN freq.dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM g JOIN freq USING (d) GROUP BY g.doc_id)
+         |SELECT doc.doc_id,
+         |  COALESCE(pd.n_grams, 0) AS n_grams,
+         |  COALESCE(pd.n_dup, 0) AS n_dup_grams,
+         |  CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN 0.0
+         |       ELSE CAST(pd.n_dup AS DOUBLE) / pd.n_grams END AS dup_frac
+         |FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, source, rank FROM (
          |  SELECT doc_id, source,

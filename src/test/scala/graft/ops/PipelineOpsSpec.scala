@@ -950,4 +950,47 @@ class PipelineOpsSpec extends AnyFunSuite {
       .agg(sum("n_removed")).head.getLong(0)
     assert(none == 0L)
   }
+
+  test("dupNgramStats scores cross-doc shared spans, not intra-doc repeats") {
+    val span = "one two three four five six seven eight" // exactly one 8-gram
+    val recs = Seq(
+      (1L, s"$span alpha bravo charlie"),   // shares the span with doc 2
+      (2L, s"delta echo foxtrot $span"),    // shares the span with doc 1
+      (3L, "golf hotel india juliett kilo lima mike november oscar"), // unique
+      (4L, "papa quebec romeo"),            // < 8 tokens: zero grams
+      (5L, null.asInstanceOf[String])       // null text: zero grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramStats(recs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got.size == 5, "one row per input row")
+    // docs 1/2: 4 distinct 8-grams each (11 tokens), exactly 1 shared
+    assert(got(1L) == ((4L, 1L, 0.25)), s"got ${got(1L)}")
+    assert(got(2L) == ((4L, 1L, 0.25)), s"got ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0.0)), "unique doc has no duplicated gram")
+    assert(got(4L) == ((0L, 0L, 0.0)), "sub-n doc carries zero grams")
+    assert(got(5L) == ((0L, 0L, 0.0)), "null text carries zero grams")
+    // intra-doc repetition alone is NOT cross-doc duplication
+    val selfRep = Seq((1L, s"$span $span")).toDF("doc_id", "text")
+    val self = Dedup.dupNgramStats(selfRep, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(self._3 == 0L, s"self-repeating doc must score 0 dup grams, got $self")
+  }
+
+  test("bpePairCounts: weighted multiset pair counts, deterministic cut line") {
+    // vocab: "aba"x3 -> pairs ab, ba (once each per word instance)
+    //        "bb" x2 -> pair bb; "a" x1 -> no pair
+    val recs = Seq((1L, "aba bb aba"), (2L, "aba bb a")).toDF("doc_id", "text")
+    val got = Vocab.bpePairCounts(recs, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("ab" -> 3L, "ba" -> 3L, "bb" -> 2L),
+      s"pair counts + (freq DESC, pair ASC) order: $got")
+    // the cut line is deterministic under ties: k=1 keeps "ab", not "ba"
+    val top1 = Vocab.bpePairCounts(recs, "text", k = 1).as[(String, Long)].collect()
+    assert(top1.toSeq == Seq("ab" -> 3L))
+    // partitioning invariance
+    val re = Vocab.bpePairCounts(recs.toDF.repartition(7), "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(re == got)
+  }
 }

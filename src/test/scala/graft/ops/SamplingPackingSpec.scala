@@ -110,6 +110,30 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(first == again, "temperature draw must not depend on partitioning")
   }
 
+  test("topFractionPerGroup: exact ceil(frac·n) per group, ties broken by hash, null score drops") {
+    val rows = (1 to 100).map(i => (i.toLong, "g1", i.toDouble)) ++
+      (101 to 150).map(i => (i.toLong, "g2", 7.0)) ++ // ALL-tied group
+      Seq((200L, "g3", Double.NaN), (201L, null.asInstanceOf[String], 1.0))
+    val df = rows.toDF("doc_id", "grp", "sc")
+      .withColumn("sc", when(isnan(col("sc")), lit(null)).otherwise(col("sc")))
+    val kept = Sampling.topFractionPerGroup(df, "grp", col("sc"), "doc_id", 0.2)
+      .as[(Long, String, Double)].collect()
+    val byGrp = kept.groupBy(_._2)
+    assert(byGrp("g1").length == 20, s"ceil(0.2*100): ${byGrp("g1").length}")
+    assert(byGrp("g2").length == 10, s"ceil(0.2*50) under total ties: ${byGrp("g2").length}")
+    assert(!byGrp.contains("g3"), "null-score rows drop")
+    assert(!byGrp.contains(null), "null-group rows drop")
+    // g1 keeps exactly the 20 HIGHEST scores (no ties there)
+    assert(byGrp("g1").map(_._1).sorted.toSeq == (81L to 100L))
+    // partitioning invariance (the tied group makes this a real check)
+    val again = Sampling.topFractionPerGroup(df.repartition(13), "grp", col("sc"), "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept.map(_._1).sorted.toSeq)
+    // frac = 1 keeps every scored row
+    val all = Sampling.topFractionPerGroup(df, "grp", col("sc"), "doc_id", 1.0).count()
+    assert(all == 150)
+  }
+
   test("stratified: exactly min(k, |stratum|) per stratum, partitioning-invariant members") {
     val got = Sampling.stratified(docs.select("doc_id", "source"), Seq("source"), "doc_id", 5)
     val per = got.groupBy("source").count().as[(String, Long)].collect()
