@@ -965,13 +965,16 @@ object Dedup {
     * document-level dedup keeps (the docs differ) but substring-level
     * training duplication still hurts.
     *
-    * Scale shape: grams are digested (md5) map-side, so both shuffles move
-    * fixed 128-bit keys, never gram text — (id, digest) pairs group by
-    * digest for the document-frequency count (map-side partials), the
-    * shared-digest set filters to duplicated grams only, and the per-doc
-    * aggregate re-keys by id. The corpus text itself never shuffles. The
-    * duplicated-gram join is digest-keyed on both sides and reuses the
-    * frequency aggregate's partitioning.
+    * Scale shape: the gram table is generated ONCE (tokenize + shingle +
+    * md5 is the dominant CPU at corpus scale — a join-back formulation
+    * would generate it twice) and digested map-side, so the one gram-sized
+    * shuffle moves (id, 128-bit digest) pairs, never gram text: a
+    * count-over-digest window labels every gram row with its document
+    * frequency right where the shuffle landed it, and the per-doc
+    * aggregate partial-combines map-side before re-keying by id (doc-count
+    * sized). The corpus text itself never shuffles. A gram duplicated
+    * across millions of documents just makes one window partition long —
+    * the count streams, no per-key state.
     *
     * Counting is per-DOCUMENT (distinct grams; a doc repeating its own
     * phrase is [[graft.ops.TextOps.dupUnitFraction]]'s intra-doc signal,
@@ -993,17 +996,14 @@ object Dedup {
       .select(col(idCol), explode(array_distinct(
         TextOps.wordNgramsAllOfTokens(col("__ws"), n))).as("__g"))
       .select(col(idCol), md5(col("__g")).as("__d"))
-    // grams are per-doc distinct already, so plain count == distinct-doc
-    // count — no distinct aggregation state needed
-    val docFreq = grams.groupBy(col("__d"))
-      .agg(count(lit(1)).as("__df"))
-    val dupSet = docFreq.filter(col("__df") >= 2).select("__d")
+    // grams are per-doc distinct already, so the per-digest row count IS
+    // the distinct-document frequency — no distinct aggregation state
     val perDoc = grams
-      .join(dupSet.withColumn("__dup", lit(1)), Seq("__d"), "left")
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__d")))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
-        sum(coalesce(col("__dup"), lit(0))).as("n_dup_grams"))
+        sum((col("__df") >= 2).cast("long")).as("n_dup_grams"))
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(

@@ -247,4 +247,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") <= shuffleBudget,
       s"corpus must stream map-side (budget $shuffleBudget):\n$p")
   }
+
+  test("quality_topfrac: boundary dim broadcasts; only the 3-col projection shuffles") {
+    val p = plan("quality_topfrac")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-group boundary row must broadcast into a map-side keep filter")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"one shuffle only — the (group, score, hash) projection for the rank window:\n$p")
+    // the window runs on the projection, never on the full corpus row
+    assert(p.contains("Window"), p)
+  }
+
+  test("vocab_bpe_pairs: corpus-sized motion is ONE partial-agg'd word shuffle; top-k bounded") {
+    val p = plan("vocab_bpe_pairs")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"word-count shuffle + vocab-sized pair shuffle only:\n$p")
+    assert(count(p, "partial_") >= 2, "both aggregates must partial-combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k must be bounded heaps, never a global sort")
+  }
+
+  test("text_dupgrams: grams generated ONCE, digests shuffle, text never does") {
+    val p = plan("text_dupgrams")
+    // one explode for gram generation (the join-back formulation would
+    // plan two — doubling the dominant tokenize+shingle CPU at scale)
+    assert(count(p, "Generate explode") == 1,
+      s"gram generation must appear exactly once:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"digest window shuffle + per-doc agg only:\n$p")
+    // every shuffle key is the 128-bit digest or the id — never text/grams
+    assert(!p.contains("Exchange hashpartitioning(__g"), "gram text must not shuffle")
+  }
 }
