@@ -225,16 +225,21 @@ object Sampling {
       frac: Double,
       salt: String = "topf"): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac $frac out of (0,1]")
+    // No explicit isNotNull(score) filter: predicate pushdown would
+    // substitute the alias and re-embed the (possibly expensive) score
+    // expression into both scan filters. Nulls drop anyway — DESC NULLS
+    // LAST ranks them past every valid row, count(__sc) skips them when
+    // sizing the group (so the boundary rank never lands on one), and the
+    // final three-way comparison is null for them.
     val scored = df
       .withColumn("__sc", scoreCol)
       .withColumn("__hk", hashKey(col(idCol), salt))
-      .filter(col("__sc").isNotNull && col(groupCol).isNotNull)
     val proj = scored.select(col(groupCol), col("__sc"), col("__hk"))
     val w = Window.partitionBy(groupCol).orderBy(col("__sc").desc, col("__hk").asc)
     val wAll = Window.partitionBy(groupCol)
     val boundary = proj
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__n", count(col("__sc")).over(wAll))
       .filter(col("__rn") === ceil(lit(frac) * col("__n")).cast("int"))
       .select(col(groupCol), col("__sc").as("__bs"), col("__hk").as("__bh"))
     scored

@@ -88,6 +88,16 @@ object TextOps {
     when(n === 0, 0.0).otherwise(stopwordScore(text, "en").cast("double") / n)
   }
 
+  /** [[stopwordRatio]] over a STAGED tokens column — `ws` must be an
+    * attribute reference: the inline form re-tokenizes per use site (this
+    * ratio has three), which multiplies regex work everywhere the score
+    * lands in more than one operator (filter + project + both join sides).
+    */
+  def stopwordRatioOfTokens(ws: Column, lang: String = "en"): Column = {
+    val hits = size(filter(ws, w => w.isin(stop(lang).map(x => x: Any): _*)))
+    when(size(ws) === 0, 0.0).otherwise(hits.cast("double") / size(ws))
+  }
+
   /** Canonical-form fingerprint: lowercase, collapse whitespace, md5. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))

@@ -534,8 +534,11 @@ object PipelineQueries {
     */
   val qualityTopfrac: Q = (spark, dir) =>
     Sampling.topFractionPerGroup(
-      docs(spark, dir).select("doc_id", "lang", "text"), "lang",
-      TextOps.stopwordRatio(col("text")), "doc_id", 0.2)
+      // stage tokens once (HOF discipline): the inline ratio would
+      // re-tokenize at every use site — filter, project, both branches
+      docs(spark, dir).select(
+        col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("__ws")),
+      "lang", TextOps.stopwordRatioOfTokens(col("__ws")), "doc_id", 0.2)
       .select("doc_id", "lang")
 
   /** One BPE merge-step count: adjacent character-pair frequencies over
