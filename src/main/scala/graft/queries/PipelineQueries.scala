@@ -811,6 +811,33 @@ object PipelineQueries {
       "source", "doc_id", "n_tok", 512)
   }
 
+  /** FineWeb-style pretraining curation, the round-8 operators composed
+    * end-to-end under ONE oracle: language gate → per-source top-half
+    * quality cut → exact content dedup (min-id survivor) → decontamination
+    * against the src0 reference slice → temperature-rebalanced mixture
+    * (α = 0.5, half the token budget). Every stage is an operator already
+    * proven alone; the composed gate catches what per-stage gates cannot —
+    * column-contract and null-regime drift BETWEEN stages. Scale shape is
+    * inherited stagewise: the corpus shuffles once for the dedup window,
+    * everything else is projection shuffles and broadcast dims.
+    */
+  val pipelinePretrain: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    val en = d.filter(col("lang") === "en").select(
+      col("doc_id"), col("source"), col("text"),
+      TextOps.tokens(col("text")).as("__ws"))
+    val cut = Sampling.topFractionPerGroup(
+      en, "source", TextOps.stopwordRatioOfTokens(col("__ws")), "doc_id", 0.5)
+    val deduped = Dedup.keepFirst(
+      cut.withColumn("__fp", md5(col("text"))), Seq("__fp"), "doc_id")
+    val clean = Dedup.exceptContentOf(
+      deduped, "text", d.filter(col("source") === "src0"), "text")
+    Sampling.temperatureMixture(
+      clean.select(
+        col("doc_id"), col("source"), size(col("__ws")).cast("long").as("n_tok")),
+      "doc_id", "source", "n_tok", alpha = 0.5, targetFraction = 0.5)
+  }
+
   val all: Map[String, Q] = Map(
     "sample_split" -> sampleSplit,
     "sample_split_group" -> sampleSplitGroup,
@@ -836,6 +863,7 @@ object PipelineQueries {
     "quality_gate" -> qualityGate,
     "pipeline_e2e" -> pipelineE2e,
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_pretrain" -> pipelinePretrain,
     "text_chunks" -> textChunks,
     "tfidf_topterms" -> tfidfTopterms,
     "text_perplexity" -> textPerplexity,
@@ -1318,6 +1346,50 @@ object PipelineQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
          |FROM train""".stripMargin
     },
+    // The round-8 curation chain replayed stage-for-stage: each CTE is the
+    // already-proven per-stage oracle, composed in the engine's order
+    "pipeline_pretrain" ->
+      s"""WITH en AS (
+         |  SELECT doc_id, source, text, $wordsSql AS ws FROM documents WHERE lang = 'en'),
+         |sc AS (
+         |  SELECT doc_id, source, text, ws,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(ws, w -> list_contains($enStopSql, w))) AS DOUBLE) / len(ws)
+         |    END AS sc,
+         |    ${hashKeySql("doc_id", "topf")} AS hk
+         |  FROM en),
+         |r AS (
+         |  SELECT doc_id, source, text, ws, sc,
+         |    row_number() OVER (PARTITION BY source ORDER BY sc DESC NULLS LAST, hk ASC) AS rn,
+         |    count(sc) OVER (PARTITION BY source) AS n
+         |  FROM sc),
+         |cut AS (
+         |  SELECT doc_id, source, text, ws FROM r
+         |  WHERE sc IS NOT NULL AND rn <= CAST(ceil(0.5 * n) AS INT)),
+         |dd AS (
+         |  SELECT * FROM cut
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM cut GROUP BY md5(text))),
+         |dc AS (
+         |  SELECT * FROM dd
+         |  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents
+         |                          WHERE source = 'src0' AND text IS NOT NULL)),
+         |tok AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok FROM dc),
+         |st AS (SELECT source, SUM(n_tok) AS t FROM tok GROUP BY source),
+         |tot AS (SELECT SUM(t) AS tt FROM st),
+         |q AS (SELECT source, t,
+         |        CAST(floor(pow(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE), 0.5)
+         |             * 1099511627776.0) AS BIGINT) AS qi
+         |      FROM st, tot),
+         |nq AS (SELECT SUM(qi) AS sq FROM q),
+         |rt AS (SELECT source,
+         |         least(1.0, 0.5 * (CAST(qi AS DOUBLE) / CAST(sq AS DOUBLE))
+         |           * (CAST(tt AS DOUBLE) / CAST(t AS DOUBLE))) AS rate
+         |       FROM q, nq, tot)
+         |SELECT tok.source, tok.doc_id, tok.n_tok
+         |FROM tok JOIN rt USING (source)
+         |WHERE rt.rate >= 1.0 OR ${hashKeySql("tok.doc_id", "mixT")} <
+         |  lpad(lower(hex(least(CAST(floor(rt.rate * 4294967296.0) AS BIGINT),
+         |                       4294967295))), 8, '0')""".stripMargin,
     "text_chunks" ->
       s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          |  array_to_string(list_slice(words, i*24 + 1, i*24 + 32), ' ') AS chunk_text,

@@ -249,6 +249,47 @@ class SamplingPackingSpec extends AnyFunSuite {
     }
   }
 
+  test("property: topFractionPerGroup keeps exactly ceil(frac·n) per group for arbitrary fracs") {
+    import org.scalacheck.{Gen, Prop}
+    // one Spark job per case is slow; a handful of arbitrary fracs over a
+    // fixed skewed frame still pins the exact-count contract
+    val sizes = Map("a" -> 37, "b" -> 4, "c" -> 211)
+    val rows = sizes.toSeq.flatMap { case (g, n) =>
+      (1 to n).map(i => (s"$g$i".hashCode.toLong, g, (i % 7).toDouble))
+    }
+    val df = rows.toDF("doc_id", "grp", "sc")
+    val prop = Prop.forAll(Gen.chooseNum(0.001, 1.0)) { frac =>
+      val per = Sampling.topFractionPerGroup(df, "grp", col("sc"), "doc_id", frac)
+        .groupBy("grp").count().as[(String, Long)].collect().toMap
+      sizes.forall { case (g, n) => per.getOrElse(g, 0L) == math.ceil(frac * n).toLong }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: temperatureRates are valid probabilities and the token budget is honored") {
+    import org.scalacheck.{Gen, Prop}
+    val genGroups = Gen.nonEmptyListOf(Gen.chooseNum(1L, 100000L)).map(_.take(8))
+    val prop = Prop.forAll(genGroups, Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.05, 1.0)) {
+      (toks, alpha, tf) =>
+        val df = toks.zipWithIndex
+          .map { case (t, i) => (i.toLong, s"g$i", t) }.toDF("doc_id", "source", "n_tok")
+        val rates = Sampling.temperatureRates(df, "source", "n_tok", alpha, tf)
+          .as[(String, Double)].collect().toMap
+        val total = toks.sum.toDouble
+        val byG = toks.zipWithIndex.map { case (t, i) => s"g$i" -> t }.toMap
+        // every rate is a probability, and expected kept tokens never
+        // exceed the target budget (the min(1,·) cap only LOWERS the sum)
+        val valid = rates.values.forall(r => r >= 0.0 && r <= 1.0)
+        val kept = rates.map { case (g, r) => byG(g) * r }.sum
+        valid && kept <= tf * total * (1 + 1e-9)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: fractionThreshold is monotone with exact endpoints") {
     import org.scalacheck.{Gen, Prop}
     val genF = Gen.chooseNum(0.0, 1.0)
