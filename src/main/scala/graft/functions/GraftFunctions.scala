@@ -1,14 +1,42 @@
 package graft.functions
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Multiply, Sqrt}
 
 /** SQL-surface registration for the graft native expressions, so
   * `spark.sql("SELECT dot_product(a, b) ...")` and
-  * `cosine_sim(a, b)` work alongside the Column API.
+  * `cosine_sim(a, b)` work alongside the Column API — plus the
+  * text-pipeline scalars (`graft_lang_id`, `graft_token_count`, ...),
+  * which expand to the same built-in-function trees the Column API
+  * builds, so SQL users get identical codegen'd plans.
   */
 object GraftFunctions {
+
+  /** Lift a unary Column function into a FunctionRegistry builder: wrap
+    * the argument Expression as a Column, apply, unwrap. The resulting
+    * tree is ordinary Catalyst (no UDF) — identical to the Column API's.
+    */
+  private def unary(name: String, f: Column => Column)(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+    // expressionNow, not expression: a builder's return value bypasses the
+    // DataFrame path that unwraps the lazy ColumnNodeExpression adapter
+    GraftColumnBridge.expressionNow(f(GraftColumnBridge.column(args.head)))
+  }
+
+  /** (name, unary builder) for every text-pipeline scalar worth a SQL
+    * name. `graft_` prefix keeps the session namespace collision-free.
+    */
+  private val textFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_tokens" -> unary("graft_tokens", graft.ops.TextOps.tokens) _,
+    "graft_token_count" -> unary("graft_token_count", graft.ops.TextOps.tokenCount) _,
+    "graft_lang_id" -> unary("graft_lang_id", graft.ops.TextOps.langId) _,
+    "graft_fingerprint" -> unary("graft_fingerprint", graft.ops.TextOps.fingerprint) _,
+    "graft_normalize" -> unary("graft_normalize", graft.ops.TextOps.normalize) _,
+    "graft_redact_pii" -> unary("graft_redact_pii", graft.ops.TextOps.redactPii) _,
+    "graft_rolling_hash" -> unary("graft_rolling_hash", graft.ops.TextOps.rollingHash) _,
+    "graft_simhash64" -> unary("graft_simhash64", graft.ops.Dedup.simhash64) _,
+    "graft_stopword_ratio" -> unary("graft_stopword_ratio", graft.ops.TextOps.stopwordRatio) _)
 
   private def dotBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
@@ -40,6 +68,7 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("int_dot_product", intDotBuilder, "built-in")
     registry.createOrReplaceTempFunction("int8_unit_codes", int8CodesBuilder, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
+    textFns.foreach { case (n, b) => registry.createOrReplaceTempFunction(n, b, "built-in") }
   }
 
   /** Builder-time form:
@@ -66,6 +95,10 @@ object GraftFunctions {
         (new FunctionIdentifier("cosine_sim"),
           new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
           cosineBuilder _))
+      textFns.foreach { case (n, b) =>
+        e.injectFunction(
+          (new FunctionIdentifier(n), new ExpressionInfo("graft.ops.TextOps", n), b))
+      }
       // whole-operator extension: the native as-of join strategy
       e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     }

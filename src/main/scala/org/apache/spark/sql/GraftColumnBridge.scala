@@ -11,6 +11,15 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode → catalyst conversion. [[expression]] wraps the
+    * Column in a lazy `ColumnNodeExpression` adapter that only DataFrame
+    * plan construction unwraps — an expression RETURNED from a
+    * FunctionRegistry builder bypasses that path, survives analysis as an
+    * opaque leaf, and dies at codegen. Builders must convert eagerly.
+    */
+  def expressionNow(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Analyzed logical plan of a DataFrame (input side of custom plan nodes). */
   def analyzed(ds: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     ds.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed

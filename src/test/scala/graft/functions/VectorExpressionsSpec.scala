@@ -137,4 +137,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(math.abs(row.getDouble(2) - 1.0) < 1e-9) // self-cosine is 1
     }
   }
+
+  test("SQL text scalars expand to the exact Column-API trees (value-equal on real docs)") {
+    GraftFunctions.register(spark)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_token_count(text) AS tc, graft_lang_id(text) AS li,
+        |       graft_fingerprint(text) AS fp, graft_rolling_hash(text) AS rh,
+        |       graft_simhash64(text) AS sh, graft_redact_pii(text) AS rp,
+        |       graft_stopword_ratio(text) AS sr
+        |FROM docs_sql""".stripMargin)
+    val viaCol = d.select(
+      col("doc_id"),
+      graft.ops.TextOps.tokenCount(col("text")).as("tc"),
+      graft.ops.TextOps.langId(col("text")).as("li"),
+      graft.ops.TextOps.fingerprint(col("text")).as("fp"),
+      graft.ops.TextOps.rollingHash(col("text")).as("rh"),
+      graft.ops.Dedup.simhash64(col("text")).as("sh"),
+      graft.ops.TextOps.redactPii(col("text")).as("rp"),
+      graft.ops.TextOps.stopwordRatio(col("text")).as("sr"))
+    assert(viaSql.exceptAll(viaCol).count() == 0 && viaCol.exceptAll(viaSql).count() == 0,
+      "SQL registration must produce the identical values to the Column API")
+    // no UDF anywhere: the SQL path plans the same codegen-able tree
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
 }

@@ -977,6 +977,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(self._3 == 0L, s"self-repeating doc must score 0 dup grams, got $self")
   }
 
+  test("round-8 ops on degenerate inputs: empty corpus, 1-char vocab, single group") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Vocab.bpePairCounts(empty, "text", 5).count() == 0)
+    assert(Dedup.dupNgramStats(empty, "doc_id", "text", 8).count() == 0)
+    assert(Sampling.topFractionPerGroup(
+      empty.withColumn("g", lit("x")).withColumn("s", lit(1.0)),
+      "g", col("s"), "doc_id", 0.5).count() == 0)
+    // a vocabulary of 1-char words has no adjacent pair
+    assert(Vocab.bpePairCounts(Seq((1L, "a b a")).toDF("doc_id", "text"), "text", 5).count() == 0)
+    // single group: q/Σq and T/t_g both cancel to 1 — rate IS the target
+    // fraction, bit-exactly (pow(1,α)=1 lands on the grid with no floor loss)
+    val one = Seq((1L, "g", 10L), (2L, "g", 20L)).toDF("doc_id", "source", "n_tok")
+    val r = Sampling.temperatureRates(one, "source", "n_tok", 0.3, 0.7)
+      .as[(String, Double)].collect()
+    assert(r.toSeq == Seq("g" -> 0.7), s"single-group rate must equal tf exactly: ${r.toSeq}")
+  }
+
   test("bpePairCounts: weighted multiset pair counts, deterministic cut line") {
     // vocab: "aba"x3 -> pairs ab, ba (once each per word instance)
     //        "bb" x2 -> pair bb; "a" x1 -> no pair
