@@ -183,14 +183,31 @@ object Sampling {
       tokensCol: String,
       alpha: Double,
       targetFraction: Double,
-      salt: String = "mixT"): DataFrame = {
-    val rates = temperatureRates(df, groupCol, tokensCol, alpha, targetFraction)
+      salt: String = "mixT"): DataFrame =
+    applyMixtureRates(
+      df, idCol, groupCol,
+      temperatureRates(df, groupCol, tokensCol, alpha, targetFraction), salt)
+
+  /** Apply a precomputed per-group `rate` dim (groupCol, rate ∈ [0,1]) to
+    * `df` via the deterministic salted-hash draw — the second half of
+    * [[temperatureMixture]], split out because it is STATELESS: the rates
+    * broadcast and every keep decision is per-row, so the same call
+    * filters a STREAMING DataFrame (rates from yesterday's corpus
+    * snapshot gating today's arrivals — see
+    * [[graft.streaming.StreamingOps.mixtureStream]]). Rows whose group is
+    * absent from `rates` drop (no share to draw against).
+    */
+  def applyMixtureRates(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      rates: DataFrame,
+      salt: String = "mixT"): DataFrame =
     df.join(broadcast(rates), Seq(groupCol))
       // rate == 1.0 keeps EVERY row (the clamped "ffffffff" threshold
       // alone would drop the one-in-2³² row hashing to the exact maximum)
       .filter(col("rate") >= 1.0 || hashKey(col(idCol), salt) < probThreshold(col("rate")))
       .drop("rate")
-  }
 
   /** A probability Column rendered as the 8-hex-digit string threshold
     * such that `hashKey < probThreshold(p)` keeps a p-fraction in

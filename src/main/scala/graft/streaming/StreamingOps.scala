@@ -149,6 +149,24 @@ object StreamingOps {
       .drop("__fp")
   }
 
+  /** Streaming temperature-mixture gate: apply a per-group `rate` dim
+    * PRECOMPUTED from a static corpus snapshot
+    * ([[graft.ops.Sampling.temperatureRates]]) to arriving documents — the
+    * production shape for incremental ingestion, where the mixture targets
+    * come from the last corpus audit and each new document keeps/drops
+    * the moment it arrives. Stateless: the rates dim broadcasts into a
+    * stream-static join and the salted-hash draw is per-row, so NO stream
+    * state accrues and the decision for a given id is identical in batch
+    * replay (spec-pinned).
+    */
+  def mixtureStream(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      rates: DataFrame,
+      salt: String = "mixT"): DataFrame =
+    graft.ops.Sampling.applyMixtureRates(docs, idCol, groupCol, rates, salt)
+
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -206,6 +206,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == got, "stream and batch decontamination diverge")
   }
 
+  test("streaming mixture gate equals the batch draw under snapshot rates") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // rates from a STATIC skewed snapshot: big source down-weighted
+    val snapshot = ((1 to 200).map(i => (i.toLong, "big", 10L)) ++
+      (1001 to 1020).map(i => (i.toLong, "small", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val rates = graft.ops.Sampling
+      .temperatureRates(snapshot, "source", "n_tok", alpha = 0.5, targetFraction = 0.5)
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().toDF("doc_id", "source")
+    val q = StreamingOps.mixtureStream(in, "doc_id", "source", rates)
+      .writeStream.outputMode("append").format("memory").queryName("mixed").start()
+    val arriving = (2000 to 2199).map(i => (i.toLong, if (i % 10 == 0) "small" else "big")) :+
+      (3000L, "unknown_source") // no rate: must drop
+    stream.addData(arriving: _*)
+    q.processAllAvailable()
+    val got = spark.table("mixed").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    val batch = graft.ops.Sampling
+      .applyMixtureRates(arriving.toDF("doc_id", "source"), "doc_id", "source", rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == batch, s"stream and batch draws diverge: ${got.diff(batch)} ${batch.diff(got)}")
+    assert(!got.contains(3000L), "a group with no rate has no share to draw against")
+    assert(got.nonEmpty && got.size < arriving.size, "gate must be a strict non-empty subset")
+  }
+
   test("ivmSink: streamed inserts maintain a stored view incrementally") {
     implicit val sqlCtx = spark.sqlContext
     import graft.core.Expr._
