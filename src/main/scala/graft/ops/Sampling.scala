@@ -283,4 +283,86 @@ object Sampling {
       df.withColumn("__h", hashKey(col(idCol), salt)),
       strataCols, "__h", idCol, k)
       .drop("__h")
+
+  /** Epoch-repeat mixture materialization: size every group to its share
+    * of a TOKEN budget by REPEATING its documents — the pretraining
+    * mixture shape the keep-rate ops cannot express ([[temperatureRates]]
+    * clamps at 1.0 and only discards; real mixtures also run low-resource
+    * sources for MULTIPLE epochs).
+    *
+    * Group g with integer weight w_g (of weight-sum W) is budgeted
+    * B·w_g/W tokens; holding t_g tokens, its repeat factor is
+    * r_g = B·w_g / (W·t_g). Every row of g materializes floor(r_g) full
+    * copies plus one extra copy kept with the fractional-part probability
+    * via the salted-hash draw — deterministic, id-stable under corpus
+    * growth, partitioning-invariant. r_g < 1 degenerates to a plain
+    * downsample (0 full copies, keep-with-probability r_g). Output rows
+    * carry an `epoch` column (1-based). Groups absent from `weights` and
+    * null-group rows drop (no budget share); a group with w_g but no rows
+    * contributes nothing.
+    *
+    * Cross-engine determinism: B·w_g and W·t_g stay in LONG space (exact
+    * products of exact sums, overflow-guarded in-plan), the full-copy
+    * count is LONG integer division, and the fractional part is ONE IEEE
+    * double division of those two longs — exactly rounded, so the draw
+    * threshold replays bit-for-bit in any IEEE/md5 engine.
+    *
+    * Scale shape: the rates dim is groups-sized, computed in one
+    * partial-agg shuffle over a two-column (group, tokens) projection,
+    * and broadcast back; the repeat itself is a map-side
+    * explode(sequence(1, n)) — the corpus never shuffles and cost is
+    * proportional to OUTPUT size, the floor for an op that writes r_g
+    * copies of everything.
+    */
+  def epochRepeat(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCol: Column,
+      weights: Map[String, Long],
+      budgetTokens: Long,
+      salt: String = "epoch"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be non-empty and positive")
+    val wSum = weights.values.sum
+    require(
+      weights.values.forall(w => w <= Long.MaxValue / budgetTokens),
+      s"budgetTokens·weight overflows long at budget $budgetTokens")
+    val dim = df.sparkSession
+      .createDataFrame(weights.toSeq.sortBy(_._1))
+      .toDF(groupCol, "__w")
+    val totals = df
+      .filter(col(groupCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(sum(tokenCol.cast("long")).as("__tok"))
+      .filter(col("__tok") > 0)
+    // W·t_g can overflow for extreme weight-sums; the group count is
+    // unknown driver-side, so the guard rides the groups-sized plan
+    // (raise_error participates in codegen, costs one compare per GROUP).
+    val maxTok = Long.MaxValue / wSum
+    val rates = totals
+      .join(broadcast(dim), Seq(groupCol))
+      .withColumn(
+        "__den",
+        when(col("__tok") <= maxTok, col("__tok") * wSum)
+          .otherwise(raise_error(format_string(
+            s"epochRepeat: group %s token total %d overflows at weight-sum $wSum",
+            col(groupCol), col("__tok"))).cast("long")))
+      .withColumn("__num", col("__w") * budgetTokens)
+      .select(
+        col(groupCol),
+        expr("__num div __den").as("__full"),
+        (pmod(col("__num"), col("__den")).cast("double") /
+          col("__den").cast("double")).as("__frac"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .withColumn(
+        "__n",
+        col("__full") + when(
+          hashKey(col(idCol), salt) < probThreshold(col("__frac")), 1L).otherwise(0L))
+      .filter(col("__n") >= 1L)
+      // sequence() with start > stop counts DOWN — the n==0 guard above is
+      // load-bearing, not cosmetic
+      .withColumn("epoch", explode(sequence(lit(1), col("__n").cast("int"))))
+      .drop("__full", "__frac", "__n")
+  }
 }

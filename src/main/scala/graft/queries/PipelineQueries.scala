@@ -526,6 +526,23 @@ object PipelineQueries {
         TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
       "doc_id", "source", "n_tok", alpha = 0.5, targetFraction = 0.5)
 
+  /** Epoch-repeat mixture: four sources sized to a 200k-token budget at
+    * 50/30/15/5 weights. Below-budget sources materialize MULTIPLE epochs
+    * (upsampling — the shape the keep-rate mixtures cannot express);
+    * above-budget ones degenerate to a plain downsample. The oracle
+    * replays the exact long arithmetic, the one IEEE division per group,
+    * the hash draw, and the epoch fan-out itself via generate_series.
+    */
+  val sampleEpochs: Q = (spark, dir) =>
+    Sampling.epochRepeat(
+      docs(spark, dir).select(
+        col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+      "doc_id", "source", col("n_tok"),
+      weights = Map("src0" -> 50L, "src1" -> 30L, "src2" -> 15L, "src3" -> 5L),
+      budgetTokens = 200000L)
+      .select("source", "doc_id", "n_tok", "epoch")
+
   /** Per-language top-20% quality cut (FineWeb-style: score every doc,
     * keep the best fraction of each language) — exact selection under the
     * (score DESC, id-hash ASC) total order. Only a three-column projection
@@ -844,6 +861,7 @@ object PipelineQueries {
     "sample_weighted" -> sampleWeighted,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
+    "sample_epochs" -> sampleEpochs,
     "quality_topfrac" -> qualityTopfrac,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "text_dupgrams" -> textDupgrams,
@@ -981,6 +999,33 @@ object PipelineQueries {
          |WHERE r.rate >= 1.0 OR ${hashKeySql("d.doc_id", "mixT")} <
          |  lpad(lower(hex(least(CAST(floor(r.rate * 4294967296.0) AS BIGINT),
          |                       4294967295))), 8, '0')""".stripMargin,
+    // Epoch-repeat mixture replayed end-to-end: LONG budget/token products,
+    // BIGINT integer division (// ≡ Spark div), ONE exactly-rounded IEEE
+    // division for the fractional part, the verbatim hash draw, and the
+    // repeat fan-out itself via a lateral generate_series (empty at n=0,
+    // matching the engine's guarded sequence)
+    "sample_epochs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents
+         |  WHERE source IS NOT NULL),
+         |w(source, wt) AS (VALUES ('src0', CAST(50 AS BIGINT)), ('src1', CAST(30 AS BIGINT)),
+         |                         ('src2', CAST(15 AS BIGINT)), ('src3', CAST(5 AS BIGINT))),
+         |st AS (SELECT source, SUM(n_tok) AS t FROM d GROUP BY source),
+         |r AS (SELECT st.source,
+         |        (wt * 200000) // (t * 100) AS n_full,
+         |        CAST((wt * 200000) % (t * 100) AS DOUBLE) / CAST(t * 100 AS DOUBLE) AS frac
+         |      FROM st JOIN w USING (source)
+         |      WHERE t > 0),
+         |n AS (SELECT d.doc_id, d.source, d.n_tok,
+         |        n_full + (CASE WHEN ${hashKeySql("d.doc_id", "epoch")} <
+         |          lpad(lower(hex(least(CAST(floor(frac * 4294967296.0) AS BIGINT),
+         |                               4294967295))), 8, '0')
+         |        THEN 1 ELSE 0 END) AS n
+         |      FROM d JOIN r USING (source)),
+         |e AS (SELECT source, doc_id, n_tok,
+         |        unnest(generate_series(1, CAST(n AS BIGINT))) AS ep
+         |      FROM n)
+         |SELECT source, doc_id, n_tok, CAST(ep AS INT) AS epoch FROM e""".stripMargin,
     // Per-language top-20% cut: rn ≤ ceil(frac·n) under the (score DESC,
     // hash ASC) total order is exactly the engine's boundary-broadcast
     // selection; the score is one int/int division — bit-exact both sides

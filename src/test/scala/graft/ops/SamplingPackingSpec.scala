@@ -339,6 +339,77 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("epochRepeat: exact copy counts, both regimes, partitioning-invariant") {
+    val weights = Map("src0" -> 50L, "src1" -> 30L, "src2" -> 15L, "src3" -> 5L)
+    val budget = 20000L // src0 repeats multiple epochs; src3 downsamples
+    val df = docs.select(
+      col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val out = Sampling.epochRepeat(df, "doc_id", "source", col("n_tok"), weights, budget)
+      .select("source", "doc_id", "n_tok", "epoch")
+    val rows = out.as[(String, Long, Long, Int)].collect()
+
+    // only weighted groups appear; epochs are 1-based and contiguous per doc
+    assert(rows.map(_._1).toSet.subsetOf(weights.keySet))
+    val byDoc = rows.groupBy(r => (r._1, r._2))
+    assert(byDoc.values.forall(c => c.map(_._4).sorted.toSeq == (1 to c.size)))
+
+    // exact Scala replay of the copy-count arithmetic (long div + one IEEE
+    // division + the salted-hash draw) for EVERY input doc
+    val totals = df.filter(col("source").isin(weights.keySet.toSeq: _*))
+      .groupBy("source").agg(sum("n_tok").as("t")).as[(String, Long)].collect().toMap
+    val wSum = weights.values.sum
+    def md5hex8(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.substring(0, 8)
+    }
+    def expectedCopies(src: String, id: Long): Long = {
+      val num = weights(src) * budget
+      val den = totals(src) * wSum
+      val frac = (num % den).toDouble / den.toDouble
+      val thresh = "%08x".format(
+        math.min(math.floor(frac * 4294967296.0).toLong, 4294967295L))
+      num / den + (if (md5hex8("epoch" + id) < thresh) 1L else 0L)
+    }
+    val inputDocs = df.filter(col("source").isin(weights.keySet.toSeq: _*))
+      .select("source", "doc_id").as[(String, Long)].collect()
+    inputDocs.foreach { case (src, id) =>
+      val got = byDoc.get((src, id)).map(_.length.toLong).getOrElse(0L)
+      assert(got == expectedCopies(src, id), s"copies for ($src,$id)")
+    }
+    // both regimes exercised on this fixture: src0 upsamples, src3 keeps < 1×
+    assert(rows.count(_._1 == "src0") > inputDocs.count(_._1 == "src0"))
+    assert(rows.count(_._1 == "src3") < inputDocs.count(_._1 == "src3"))
+    // materialized token mass lands near each group's budget share
+    weights.foreach { case (src, w) =>
+      val target = budget.toDouble * w / wSum
+      val got = rows.filter(_._1 == src).map(_._3).sum.toDouble
+      // 25 docs/group at sf0.001: the fractional draw's variance dominates
+      assert(math.abs(got - target) / target < 0.35, s"$src tokens $got vs target $target")
+    }
+    // deterministic and partitioning-invariant
+    val again = Sampling
+      .epochRepeat(df.repartition(13), "doc_id", "source", col("n_tok"), weights, budget)
+      .select("source", "doc_id", "n_tok", "epoch")
+      .as[(String, Long, Long, Int)].collect()
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
+
+  test("epochRepeat: null/unweighted groups drop; empty and zero-token groups contribute nothing") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "b", 10L),
+      (4L, null.asInstanceOf[String], 10L), (5L, "z", 0L))
+      .toDF("id", "g", "tok")
+    val out = Sampling.epochRepeat(
+      df, "id", "g", col("tok"), Map("a" -> 1L, "z" -> 1L), budgetTokens = 100L)
+      .select("id", "g", "epoch").as[(Long, String, Int)].collect()
+    // b unweighted, null group, z zero-token: all gone; a repeats 100·(1/2)/20 = 2.5×
+    assert(out.map(_._2).toSet == Set("a"))
+    val perDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(Set(1L, 2L).subsetOf(perDoc.keySet))
+    assert(perDoc.values.forall(n => n == 2 || n == 3), s"expected 2-3 copies, got $perDoc")
+  }
+
   test("redactPii on adversarial strings") {
     val cases = Seq(
       "mail bob.smith@example.com now" -> "mail <EMAIL> now",

@@ -258,6 +258,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("sample_epochs: rates dim broadcasts; corpus never shuffles; repeat is map-side") {
+    val p = plan("sample_epochs")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"weights dim AND rates dim must broadcast into the corpus scan:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"one shuffle only — the groups-sized (group, tokens) partial agg:\n$p")
+    assert(p.contains("Generate explode"),
+      "the epoch fan-out must be a map-side explode, not a join against a series table")
+    assert(count(p, "partial_sum") >= 1, "token totals must partial-combine map-side")
+  }
+
   test("vocab_bpe_pairs: corpus-sized motion is ONE partial-agg'd word shuffle; top-k bounded") {
     val p = plan("vocab_bpe_pairs")
     assert(count(p, "Exchange hashpartitioning") == 2,
