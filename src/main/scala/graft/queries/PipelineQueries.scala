@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, SketchRollup, TextOps, Vocab}
+import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, SketchRollup, TextOps, Vectorize, Vocab}
 import graft.sources.Sources
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -543,6 +543,14 @@ object PipelineQueries {
       budgetTokens = 200000L)
       .select("source", "doc_id", "n_tok", "epoch")
 
+  /** Hashing-trick TF vectors (512-dim) in long form — the
+    * no-vocabulary text featurizer bridging the documents table to the
+    * ANN operators. Counts and squared sums stay in long space; the one
+    * sqrt + division per row replays bit-for-bit.
+    */
+  val vectorizeHashtf: Q = (spark, dir) =>
+    Vectorize.hashTf(docs(spark, dir), "doc_id", "text", 512)
+
   /** Per-language top-20% quality cut (FineWeb-style: score every doc,
     * keep the best fraction of each language) — exact selection under the
     * (score DESC, id-hash ASC) total order. Only a three-column projection
@@ -862,6 +870,7 @@ object PipelineQueries {
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "sample_epochs" -> sampleEpochs,
+    "vectorize_hashtf" -> vectorizeHashtf,
     "quality_topfrac" -> qualityTopfrac,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "text_dupgrams" -> textDupgrams,
@@ -1026,6 +1035,22 @@ object PipelineQueries {
          |        unnest(generate_series(1, CAST(n AS BIGINT))) AS ep
          |      FROM n)
          |SELECT source, doc_id, n_tok, CAST(ep AS INT) AS epoch FROM e""".stripMargin,
+    // Hashing-trick TF replayed end-to-end: same md5_32 bucket (DuckDB
+    // parses the 8-hex prefix via '0x' cast, Spark via conv base-16),
+    // BIGINT counts and squared sums, then one exactly-rounded sqrt +
+    // division per row
+    "vectorize_hashtf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($wordsSql) AS w FROM documents WHERE text IS NOT NULL),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5('htf' || w), 1, 8)) AS BIGINT) % 512 AS dim,
+         |    count(*) AS tf
+         |  FROM toks GROUP BY doc_id, dim),
+         |n AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+         |      FROM tf GROUP BY doc_id)
+         |SELECT tf.doc_id, dim, tf, CAST(tf AS DOUBLE) / nrm AS w
+         |FROM tf JOIN n USING (doc_id)""".stripMargin,
     // Per-language top-20% cut: rn ≤ ceil(frac·n) under the (score DESC,
     // hash ASC) total order is exactly the engine's boundary-broadcast
     // selection; the score is one int/int division — bit-exact both sides

@@ -1010,4 +1010,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(re == got)
   }
+
+  test("hashTf: count conservation, unit norm, collision merge, invariance") {
+    val out = Vectorize.hashTf(docs, "doc_id", "text", 64)
+    val rows = out.as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._2 >= 0 && r._2 < 64))
+    // Σ tf per doc == the doc's token count: collisions MERGE, never drop
+    val tokCounts = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_._3).sum == tokCounts(id), s"token mass lost for doc $id")
+      assert(math.abs(rs.map(r => r._4 * r._4).sum - 1.0) < 1e-9, s"norm != 1 for doc $id")
+      assert(rs.map(_._2).distinct.length == rs.length, s"duplicate dim rows for doc $id")
+    }
+    // at 64 dims the fixture vocabulary must collide: some doc has fewer
+    // rows than distinct tokens (the merge path is actually exercised)
+    val distinctToks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(array_distinct(TextOps.tokens(col("text")))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc.exists { case (id, rs) => rs.length < distinctToks(id).toInt })
+    // identical texts vectorize identically: cosine over the long form is 1
+    val two = Seq((1L, "alpha beta beta gamma"), (2L, "alpha beta beta gamma"))
+      .toDF("id", "text")
+    val v = Vectorize.hashTf(two, "id", "text", 32)
+      .as[(Long, Long, Long, Double)].collect()
+    val va = v.filter(_._1 == 1L).map(r => r._2 -> r._4).toMap
+    val vb = v.filter(_._1 == 2L).map(r => r._2 -> r._4).toMap
+    assert(va == vb)
+    val cos = va.map { case (d, w) => w * vb.getOrElse(d, 0.0) }.sum
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // partitioning invariance
+    val re = Vectorize.hashTf(docs.repartition(13), "doc_id", "text", 64)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(re.sorted.toSeq == rows.sorted.toSeq)
+  }
 }

@@ -269,6 +269,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "partial_sum") >= 1, "token totals must partial-combine map-side")
   }
 
+  test("vectorize_hashtf: token shuffle partial-combines to pair form; text never shuffles") {
+    val p = plan("vectorize_hashtf")
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"(id, dim) tf agg + pair-sized id window only:\n$p")
+    assert(count(p, "partial_count") >= 1,
+      "the corpus-token-sized explode must combiner-reduce map-side before the exchange")
+    assert(!p.contains("Exchange hashpartitioning(text"), "raw text must not shuffle")
+  }
+
   test("vocab_bpe_pairs: corpus-sized motion is ONE partial-agg'd word shuffle; top-k bounded") {
     val p = plan("vocab_bpe_pairs")
     assert(count(p, "Exchange hashpartitioning") == 2,
