@@ -321,7 +321,22 @@ object Sampling {
       tokenCol: Column,
       weights: Map[String, Long],
       budgetTokens: Long,
-      salt: String = "epoch"): DataFrame = {
+      salt: String = "epoch"): DataFrame =
+    applyEpochRates(df, idCol, groupCol,
+      epochRates(df, groupCol, tokenCol, weights, budgetTokens), salt)
+
+  /** The groups-sized repeat-factor dim behind [[epochRepeat]]:
+    * (group, n_full, frac) with r_g = n_full + frac. Public so a stream
+    * can snapshot the rates from a static corpus and apply them row-by-row
+    * ([[graft.streaming.StreamingOps]]) — the same static-rates split
+    * [[temperatureRates]] has.
+    */
+  def epochRates(
+      df: DataFrame,
+      groupCol: String,
+      tokenCol: Column,
+      weights: Map[String, Long],
+      budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be non-empty and positive")
     val wSum = weights.values.sum
@@ -340,7 +355,7 @@ object Sampling {
     // unknown driver-side, so the guard rides the groups-sized plan
     // (raise_error participates in codegen, costs one compare per GROUP).
     val maxTok = Long.MaxValue / wSum
-    val rates = totals
+    totals
       .join(broadcast(dim), Seq(groupCol))
       .withColumn(
         "__den",
@@ -351,18 +366,30 @@ object Sampling {
       .withColumn("__num", col("__w") * budgetTokens)
       .select(
         col(groupCol),
-        expr("__num div __den").as("__full"),
+        expr("__num div __den").as("n_full"),
         (pmod(col("__num"), col("__den")).cast("double") /
-          col("__den").cast("double")).as("__frac"))
+          col("__den").cast("double")).as("frac"))
+  }
+
+  /** Stateless half of [[epochRepeat]]: broadcast a (group, n_full, frac)
+    * rates dim and fan every row out to its epoch copies — per-row draw,
+    * no aggregation, so it runs unchanged on a STREAM under snapshot
+    * rates.
+    */
+  def applyEpochRates(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      rates: DataFrame,
+      salt: String = "epoch"): DataFrame =
     df.join(broadcast(rates), Seq(groupCol))
       .withColumn(
         "__n",
-        col("__full") + when(
-          hashKey(col(idCol), salt) < probThreshold(col("__frac")), 1L).otherwise(0L))
+        col("n_full") + when(
+          hashKey(col(idCol), salt) < probThreshold(col("frac")), 1L).otherwise(0L))
       .filter(col("__n") >= 1L)
       // sequence() with start > stop counts DOWN — the n==0 guard above is
       // load-bearing, not cosmetic
       .withColumn("epoch", explode(sequence(lit(1), col("__n").cast("int"))))
-      .drop("__full", "__frac", "__n")
-  }
+      .drop("n_full", "frac", "__n")
 }

@@ -167,6 +167,22 @@ object StreamingOps {
       salt: String = "mixT"): DataFrame =
     graft.ops.Sampling.applyMixtureRates(docs, idCol, groupCol, rates, salt)
 
+  /** Epoch-repeat mixture on a stream under STATIC snapshot rates
+    * ([[graft.ops.Sampling.epochRates]] over the reference corpus): every
+    * arriving row fans out to its epoch copies the moment it arrives.
+    * Stateless — the groups-sized rates dim broadcasts into a
+    * stream-static join and the draw + explode are per-row, so NO stream
+    * state accrues and the copies for a given id are identical in batch
+    * replay (spec-pinned).
+    */
+  def epochStream(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      rates: DataFrame,
+      salt: String = "epoch"): DataFrame =
+    graft.ops.Sampling.applyEpochRates(docs, idCol, groupCol, rates, salt)
+
   final case class UserEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

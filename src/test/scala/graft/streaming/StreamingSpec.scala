@@ -233,6 +233,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < arriving.size, "gate must be a strict non-empty subset")
   }
 
+  test("streaming epoch fan-out equals the batch repeat under snapshot rates") {
+    implicit val sqlCtx = spark.sqlContext
+    // rates from a STATIC snapshot: "small" repeats multiple epochs,
+    // "big" keeps under 1× — both regimes cross the stream boundary
+    val snapshot = ((1 to 200).map(i => (i.toLong, "big", 10L)) ++
+      (1001 to 1020).map(i => (i.toLong, "small", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val rates = graft.ops.Sampling.epochRates(
+      snapshot, "source", org.apache.spark.sql.functions.col("n_tok"),
+      Map("big" -> 1L, "small" -> 1L), budgetTokens = 800L)
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().toDF("doc_id", "source")
+    val q = StreamingOps.epochStream(in, "doc_id", "source", rates)
+      .writeStream.outputMode("append").format("memory").queryName("epochs").start()
+    val arriving = (2000 to 2099).map(i => (i.toLong, if (i % 10 == 0) "small" else "big")) :+
+      (3000L, "unknown_source") // no rate: must drop
+    stream.addData(arriving: _*)
+    q.processAllAvailable()
+    val got = spark.table("epochs").select("doc_id", "epoch")
+      .as[(Long, Int)].collect().sorted.toSeq
+    q.stop()
+    val batch = graft.ops.Sampling
+      .applyEpochRates(arriving.toDF("doc_id", "source"), "doc_id", "source", rates)
+      .select("doc_id", "epoch").as[(Long, Int)].collect().sorted.toSeq
+    assert(got == batch, "stream and batch epoch fan-outs diverge")
+    assert(!got.exists(_._1 == 3000L), "a group with no rate has no budget share")
+    // both regimes: small-source rows repeat (epoch 2 exists), big rows thin out
+    assert(got.exists(_._2 >= 2), "upsampled source must fan out on the stream")
+    val bigIds = arriving.filter(_._2 == "big").map(_._1).toSet
+    assert(got.count(r => bigIds(r._1)) < bigIds.size, "down-weighted source must thin")
+  }
+
   test("ivmSink: streamed inserts maintain a stored view incrementally") {
     implicit val sqlCtx = spark.sqlContext
     import graft.core.Expr._
