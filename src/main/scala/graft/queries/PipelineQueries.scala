@@ -863,6 +863,27 @@ object PipelineQueries {
       "doc_id", "source", "n_tok", alpha = 0.5, targetFraction = 0.5)
   }
 
+  /** The materialized mixture feeding the packer — the last mile of a
+    * pretraining pipeline (mixture → 512-token training bins per source
+    * stream). The per-stream pack order is the (doc_id, epoch) composite,
+    * encoded as one long key so the running-sum window replays verbatim;
+    * epoch copies of a document pack CONSECUTIVELY, the training-run
+    * reality the composition has to preserve.
+    */
+  val pipelineShards: Q = (spark, dir) => {
+    val mixed = Sampling.epochRepeat(
+      docs(spark, dir).select(
+        col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+      "doc_id", "source", col("n_tok"),
+      weights = Map("src0" -> 50L, "src1" -> 30L, "src2" -> 15L, "src3" -> 5L),
+      budgetTokens = 200000L)
+    Packing.sequentialBins(
+      mixed.withColumn("__ord", col("doc_id") * 100000L + col("epoch")),
+      "source", "__ord", "n_tok", 512)
+      .select("source", "doc_id", "epoch", "n_tok", "bin")
+  }
+
   val all: Map[String, Q] = Map(
     "sample_split" -> sampleSplit,
     "sample_split_group" -> sampleSplitGroup,
@@ -871,6 +892,7 @@ object PipelineQueries {
     "sample_temperature" -> sampleTemperature,
     "sample_epochs" -> sampleEpochs,
     "vectorize_hashtf" -> vectorizeHashtf,
+    "pipeline_shards" -> pipelineShards,
     "quality_topfrac" -> qualityTopfrac,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "text_dupgrams" -> textDupgrams,
@@ -954,6 +976,33 @@ object PipelineQueries {
   private def hashKeySql(idExpr: String, salt: String): String =
     s"substring(md5('$salt' || CAST($idExpr AS VARCHAR)), 1, 8)"
 
+  /** The [[Sampling.epochRepeat]] replay (weights 50/30/15/5, budget
+    * 200k) ending in CTE `e(source, doc_id, n_tok, epoch)` — shared by
+    * the sample_epochs oracle and the composed pipeline_shards oracle.
+    */
+  private lazy val epochsCteSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents
+       |  WHERE source IS NOT NULL),
+       |w(source, wt) AS (VALUES ('src0', CAST(50 AS BIGINT)), ('src1', CAST(30 AS BIGINT)),
+       |                         ('src2', CAST(15 AS BIGINT)), ('src3', CAST(5 AS BIGINT))),
+       |st AS (SELECT source, SUM(n_tok) AS t FROM d GROUP BY source),
+       |r AS (SELECT st.source,
+       |        (wt * 200000) // (t * 100) AS n_full,
+       |        CAST((wt * 200000) % (t * 100) AS DOUBLE) / CAST(t * 100 AS DOUBLE) AS frac
+       |      FROM st JOIN w USING (source)
+       |      WHERE t > 0),
+       |n AS (SELECT d.doc_id, d.source, d.n_tok,
+       |        n_full + (CASE WHEN ${hashKeySql("d.doc_id", "epoch")} <
+       |          lpad(lower(hex(least(CAST(floor(frac * 4294967296.0) AS BIGINT),
+       |                               4294967295))), 8, '0')
+       |        THEN 1 ELSE 0 END) AS n
+       |      FROM d JOIN r USING (source)),
+       |u AS (SELECT source, doc_id, n_tok,
+       |        unnest(generate_series(1, CAST(n AS BIGINT))) AS ep
+       |      FROM n),
+       |e AS (SELECT source, doc_id, n_tok, CAST(ep AS INT) AS epoch FROM u)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sample_split" -> {
       val h = hashKeySql("doc_id", "split")
@@ -1011,30 +1060,20 @@ object PipelineQueries {
     // Epoch-repeat mixture replayed end-to-end: LONG budget/token products,
     // BIGINT integer division (// ≡ Spark div), ONE exactly-rounded IEEE
     // division for the fractional part, the verbatim hash draw, and the
-    // repeat fan-out itself via a lateral generate_series (empty at n=0,
-    // matching the engine's guarded sequence)
+    // repeat fan-out itself via generate_series (empty at n=0, matching
+    // the engine's guarded sequence). CTE shared with pipeline_shards.
     "sample_epochs" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents
-         |  WHERE source IS NOT NULL),
-         |w(source, wt) AS (VALUES ('src0', CAST(50 AS BIGINT)), ('src1', CAST(30 AS BIGINT)),
-         |                         ('src2', CAST(15 AS BIGINT)), ('src3', CAST(5 AS BIGINT))),
-         |st AS (SELECT source, SUM(n_tok) AS t FROM d GROUP BY source),
-         |r AS (SELECT st.source,
-         |        (wt * 200000) // (t * 100) AS n_full,
-         |        CAST((wt * 200000) % (t * 100) AS DOUBLE) / CAST(t * 100 AS DOUBLE) AS frac
-         |      FROM st JOIN w USING (source)
-         |      WHERE t > 0),
-         |n AS (SELECT d.doc_id, d.source, d.n_tok,
-         |        n_full + (CASE WHEN ${hashKeySql("d.doc_id", "epoch")} <
-         |          lpad(lower(hex(least(CAST(floor(frac * 4294967296.0) AS BIGINT),
-         |                               4294967295))), 8, '0')
-         |        THEN 1 ELSE 0 END) AS n
-         |      FROM d JOIN r USING (source)),
-         |e AS (SELECT source, doc_id, n_tok,
-         |        unnest(generate_series(1, CAST(n AS BIGINT))) AS ep
-         |      FROM n)
-         |SELECT source, doc_id, n_tok, CAST(ep AS INT) AS epoch FROM e""".stripMargin,
+      s"""$epochsCteSql
+         |SELECT source, doc_id, n_tok, epoch FROM e""".stripMargin,
+    // The mixture feeding the packer: the epochs CTE above + the pack_bins
+    // running-sum window over the (doc_id, epoch) composite order
+    "pipeline_shards" ->
+      s"""$epochsCteSql
+         |SELECT source, doc_id, epoch, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+         |    ORDER BY doc_id * 100000 + epoch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+         |FROM e""".stripMargin,
     // Hashing-trick TF replayed end-to-end: same md5_32 bucket (DuckDB
     // parses the 8-hex prefix via '0x' cast, Spark via conv base-16),
     // BIGINT counts and squared sums, then one exactly-rounded sqrt +

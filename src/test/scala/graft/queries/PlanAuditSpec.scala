@@ -278,6 +278,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(text"), "raw text must not shuffle")
   }
 
+  test("pipeline_shards: rates agg + per-stream pack window are the only shuffles") {
+    val p = plan("pipeline_shards")
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"groups-sized rates agg + source-partitioned pack window only:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"weights and rates dims must broadcast into the corpus scan:\n$p")
+    assert(p.contains("Generate explode"), "the epoch fan-out must stay map-side")
+  }
+
   test("vocab_bpe_pairs: corpus-sized motion is ONE partial-agg'd word shuffle; top-k bounded") {
     val p = plan("vocab_bpe_pairs")
     assert(count(p, "Exchange hashpartitioning") == 2,
