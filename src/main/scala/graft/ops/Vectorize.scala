@@ -40,10 +40,25 @@ object Vectorize {
       idCol: String,
       textCol: String,
       dim: Int,
+      salt: String = "htf"): DataFrame =
+    tfCounts(df, idCol, textCol, dim, salt).withColumn(
+      "w",
+      col("tf").cast("double") /
+        sqrt(sum(col("tf") * col("tf")).over(Window.partitionBy(idCol)).cast("double")))
+
+  /** The un-normalized long form behind [[hashTf]] — (id, dim, tf) only,
+    * for consumers like [[textKnn]] whose integer arithmetic derives its
+    * own norms (planning the unit-weight window just to drop it would
+    * leave a corpus-sized Window in the plan).
+    */
+  def tfCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int,
       salt: String = "htf"): DataFrame = {
     require(dim > 0, s"dim must be > 0, got $dim")
-    val tf = df
-      .filter(col(textCol).isNotNull)
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__w"))
       .withColumn(
         "dim",
@@ -51,9 +66,50 @@ object Vectorize {
           .cast("long") % dim)
       .groupBy(col(idCol), col("dim"))
       .agg(count(lit(1)).as("tf"))
-    tf.withColumn(
-        "w",
-        col("tf").cast("double") /
-          sqrt(sum(col("tf") * col("tf")).over(Window.partitionBy(idCol)).cast("double")))
+  }
+
+  /** Text-space cosine top-k without embeddings: the query docs' hashed
+    * TF vectors broadcast against the corpus's, meeting on shared
+    * dimensions — similarity search over raw text, the [[Similarity]]
+    * family's shape applied to [[hashTf]] output.
+    *
+    * Determinism is the whole design: the dot product and both norms are
+    * LONG sums of tf products (exact in ANY aggregation order — a
+    * double-weight dot would drift with Spark's partial-agg order), and
+    * cosine is derived per pair from three longs with exactly-rounded
+    * IEEE steps (sqrt·sqrt, one division) — bit-for-bit replayable. Ties
+    * break on candidate id, so the top-k cut is total.
+    *
+    * Scale shape: the query side is queries·dims rows — it BROADCASTS;
+    * the corpus long form never shuffles (map-side hash join on dim),
+    * and only pair-sized partial-combined (query, candidate) dots move.
+    */
+  def textKnn(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    require(k > 0, s"k must be > 0, got $k")
+    val tf = tfCounts(df, idCol, textCol, dim)
+    val norms = tf.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("__n2"))
+    val q = tf.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("dim"), col("tf").as("__qtf"))
+    val dots = tf
+      .join(broadcast(q), Seq("dim"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__qtf") * col("tf")).as("__dot")) // long: exact any order
+    val scored = dots
+      .join(broadcast(norms.select(col(idCol).as("query_id"), col("__n2").as("__qn2"))), Seq("query_id"))
+      .join(norms, Seq(idCol))
+      .withColumn(
+        "cos",
+        col("__dot").cast("double") /
+          (sqrt(col("__qn2").cast("double")) * sqrt(col("__n2").cast("double"))))
+    TopK.perKey(scored, Seq("query_id"), "cos", idCol, k)
+      .select(col("query_id"), col(idCol), col("cos"))
   }
 }

@@ -551,6 +551,14 @@ object PipelineQueries {
   val vectorizeHashtf: Q = (spark, dir) =>
     Vectorize.hashTf(docs(spark, dir), "doc_id", "text", 512)
 
+  /** Text-space cosine top-5 for three query docs over hashed TF vectors —
+    * similarity search over raw text, no embeddings. Dot products and
+    * norms are LONG sums (order-independent), cosine derives per pair
+    * from three longs — bit-exact both engines.
+    */
+  val knnText: Q = (spark, dir) =>
+    Vectorize.textKnn(docs(spark, dir), "doc_id", "text", 512, Seq(0L, 1L, 2L), 5)
+
   /** Per-language top-20% quality cut (FineWeb-style: score every doc,
     * keep the best fraction of each language) — exact selection under the
     * (score DESC, id-hash ASC) total order. Only a three-column projection
@@ -893,6 +901,7 @@ object PipelineQueries {
     "sample_epochs" -> sampleEpochs,
     "vectorize_hashtf" -> vectorizeHashtf,
     "pipeline_shards" -> pipelineShards,
+    "knn_text" -> knnText,
     "quality_topfrac" -> qualityTopfrac,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "text_dupgrams" -> textDupgrams,
@@ -1090,6 +1099,33 @@ object PipelineQueries {
          |      FROM tf GROUP BY doc_id)
          |SELECT tf.doc_id, dim, tf, CAST(tf AS DOUBLE) / nrm AS w
          |FROM tf JOIN n USING (doc_id)""".stripMargin,
+    // Text-space top-k replayed end-to-end: same md5 buckets, LONG dots
+    // and norms (any aggregation order), cosine from three longs via
+    // identical exactly-rounded IEEE steps, ties on candidate id
+    "knn_text" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($wordsSql) AS w FROM documents WHERE text IS NOT NULL),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5('htf' || w), 1, 8)) AS BIGINT) % 512 AS dim,
+         |    count(*) AS tf
+         |  FROM toks GROUP BY doc_id, dim),
+         |nn AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY doc_id),
+         |q AS (SELECT * FROM tf WHERE doc_id IN (0, 1, 2)),
+         |dots AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id, SUM(q.tf * c.tf) AS dot
+         |  FROM q JOIN tf c ON q.dim = c.dim AND c.doc_id <> q.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, d.doc_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(ca.n2 AS DOUBLE))) AS cos
+         |  FROM dots d
+         |  JOIN nn qa ON qa.doc_id = d.query_id
+         |  JOIN nn ca ON ca.doc_id = d.doc_id),
+         |r AS (SELECT query_id, doc_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rn
+         |      FROM scored)
+         |SELECT query_id, doc_id, cos FROM r WHERE rn <= 5""".stripMargin,
     // Per-language top-20% cut: rn ≤ ceil(frac·n) under the (score DESC,
     // hash ASC) total order is exactly the engine's boundary-broadcast
     // selection; the score is one int/int division — bit-exact both sides

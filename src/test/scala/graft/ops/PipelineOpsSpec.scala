@@ -1011,6 +1011,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("textKnn: brute-force cosine ground truth, self-exclusion, bounded k") {
+    val got = Vectorize.textKnn(docs, "doc_id", "text", 64, Seq(0L, 1L), 3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(r => r._1 != r._2), "a query must not match itself")
+    val gotRank = got.groupBy(_._1).view
+      .mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    // plain-Scala replay: same md5_32 buckets, integer dots/norms
+    def bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("htf" + w).getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def vec(s: String): Map[Long, Long] =
+      tokensOf(s).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val texts = docs.filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val vecs = texts.view.mapValues(vec).toMap
+    def cos(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+      val dot = a.map { case (d, w) => w * b.getOrElse(d, 0L) }.sum
+      dot.toDouble / (math.sqrt(a.values.map(w => w * w).sum.toDouble) *
+        math.sqrt(b.values.map(w => w * w).sum.toDouble))
+    }
+    Seq(0L, 1L).foreach { q =>
+      val expect = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .filter(_._2 > 0) // zero-overlap pairs never reach the join
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      assert(gotRank(q) == expect, s"top-3 for query $q")
+    }
+  }
+
   test("hashTf: count conservation, unit norm, collision merge, invariance") {
     val out = Vectorize.hashTf(docs, "doc_id", "text", 64)
     val rows = out.as[(Long, Long, Long, Double)].collect()

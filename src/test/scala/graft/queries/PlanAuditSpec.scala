@@ -287,6 +287,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "the epoch fan-out must stay map-side")
   }
 
+  test("knn_text: query vectors broadcast; corpus joins map-side; no text shuffle") {
+    val p = plan("knn_text")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"query tf AND query norms must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the dim meet must be a broadcast hash join, never a corpus-wide SMJ:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(text"), "raw text must not shuffle")
+    assert(count(p, "partial_count") + count(p, "partial_sum") >= 2,
+      "tf and dot aggregates must partial-combine map-side")
+  }
+
   test("vocab_bpe_pairs: corpus-sized motion is ONE partial-agg'd word shuffle; top-k bounded") {
     val p = plan("vocab_bpe_pairs")
     assert(count(p, "Exchange hashpartitioning") == 2,
