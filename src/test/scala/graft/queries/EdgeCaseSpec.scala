@@ -41,6 +41,22 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got(1L)._2 == 4L && got(2L)._2 == 2L)
   }
 
+  test("epochRepeat and textKnn degrade to empty, not error, on degenerate input") {
+    import graft.ops.Vectorize
+    // empty corpus: rates dim is empty, the join drops everything
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "g", "tok")
+    assert(Sampling.epochRepeat(empty, "id", "g", col("tok"), Map("a" -> 1L), 100L).count() == 0)
+    // all-null groups: no share to draw against
+    val nulls = Seq((1L, null.asInstanceOf[String], 5L)).toDF("id", "g", "tok")
+    assert(Sampling.epochRepeat(nulls, "id", "g", col("tok"), Map("a" -> 1L), 100L).count() == 0)
+    // query ids absent from the corpus: no pairs, empty top-k
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    assert(Vectorize.textKnn(corpus, "doc_id", "text", 16, Seq(99L), 3).count() == 0)
+    // disjoint vocabularies: zero-overlap pairs never reach the join
+    val disjoint = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    assert(Vectorize.textKnn(disjoint, "doc_id", "text", 4096, Seq(1L), 3).count() == 0)
+  }
+
   test("repetition signals tolerate null and empty text") {
     val df = Seq(
       (1L, "a a a b"),
