@@ -68,6 +68,41 @@ object Vectorize {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** TF-IDF-weighted hashed vectors: [[tfCounts]] re-weighted by each
+    * dimension's inverse document frequency — the retrieval-standard
+    * weighting that damps stopword-heavy dimensions, computed per HASHED
+    * dimension (MLlib's HashingTF+IDF shape) so it still needs no
+    * vocabulary.
+    *
+    * idf stays on an integer grid: floor(ln((N+1)/(df_d+1)) · 1e6) as a
+    * LONG (the `text_perplexity` grid discipline — the coarse grid
+    * absorbs libm last-ulp noise), and the weight is the long product
+    * tf · idf_q — no doubles anywhere, so the output replays bit-for-bit
+    * AND downstream long-sum dot products stay order-independent.
+    *
+    * Scale shape: the tf shuffle from [[tfCounts]], then a DIMS-sized
+    * (≤ `dim` rows) df aggregate + 1-row corpus count, both broadcast
+    * back map-side. The corpus never shuffles twice.
+    */
+  def hashTfIdf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int,
+      salt: String = "htf"): DataFrame = {
+    val tf = tfCounts(df, idCol, textCol, dim, salt)
+    val docFreq = tf.groupBy(col("dim")).agg(count(lit(1)).as("__df"))
+    val nDocs = tf.select(col(idCol)).distinct().agg(count(lit(1)).as("__n"))
+    tf.join(broadcast(docFreq), Seq("dim"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "idf_q",
+        floor(log((col("__n") + 1).cast("double") / (col("__df") + 1)) * 1000000.0)
+          .cast("long"))
+      .withColumn("w_q", col("tf") * col("idf_q"))
+      .select(col(idCol), col("dim"), col("tf"), col("idf_q"), col("w_q"))
+  }
+
   /** Text-space cosine top-k without embeddings: the query docs' hashed
     * TF vectors broadcast against the corpus's, meeting on shared
     * dimensions — similarity search over raw text, the [[Similarity]]

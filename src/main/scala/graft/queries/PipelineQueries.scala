@@ -551,6 +551,13 @@ object PipelineQueries {
   val vectorizeHashtf: Q = (spark, dir) =>
     Vectorize.hashTf(docs(spark, dir), "doc_id", "text", 512)
 
+  /** TF-IDF-weighted hashed vectors (512-dim): per-dimension idf on the
+    * 1e-6 integer grid, weights as long products — no doubles anywhere,
+    * bit-replayable, and downstream dots stay order-independent.
+    */
+  val vectorizeTfidf: Q = (spark, dir) =>
+    Vectorize.hashTfIdf(docs(spark, dir), "doc_id", "text", 512)
+
   /** Text-space cosine top-5 for three query docs over hashed TF vectors —
     * similarity search over raw text, no embeddings. Dot products and
     * norms are LONG sums (order-independent), cosine derives per pair
@@ -902,6 +909,7 @@ object PipelineQueries {
     "vectorize_hashtf" -> vectorizeHashtf,
     "pipeline_shards" -> pipelineShards,
     "knn_text" -> knnText,
+    "vectorize_tfidf" -> vectorizeTfidf,
     "quality_topfrac" -> qualityTopfrac,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "text_dupgrams" -> textDupgrams,
@@ -1099,6 +1107,23 @@ object PipelineQueries {
          |      FROM tf GROUP BY doc_id)
          |SELECT tf.doc_id, dim, tf, CAST(tf AS DOUBLE) / nrm AS w
          |FROM tf JOIN n USING (doc_id)""".stripMargin,
+    // TF-IDF re-weighting replayed exactly: same buckets, BIGINT df and
+    // corpus counts, idf floored onto the 1e-6 grid (absorbs libm ln
+    // last-ulp drift), weight = long product — zero doubles in the output
+    "vectorize_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($wordsSql) AS w FROM documents WHERE text IS NOT NULL),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5('htf' || w), 1, 8)) AS BIGINT) % 512 AS dim,
+         |    count(*) AS tf
+         |  FROM toks GROUP BY doc_id, dim),
+         |dfq AS (SELECT dim, count(*) AS df FROM tf GROUP BY dim),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
+         |SELECT doc_id, tf.dim, tf,
+         |  CAST(floor(ln(CAST(n + 1 AS DOUBLE) / (df + 1)) * 1000000.0) AS BIGINT) AS idf_q,
+         |  tf * CAST(floor(ln(CAST(n + 1 AS DOUBLE) / (df + 1)) * 1000000.0) AS BIGINT) AS w_q
+         |FROM tf JOIN dfq ON tf.dim = dfq.dim, nd""".stripMargin,
     // Text-space top-k replayed end-to-end: same md5 buckets, LONG dots
     // and norms (any aggregation order), cosine from three longs via
     // identical exactly-rounded IEEE steps, ties on candidate id

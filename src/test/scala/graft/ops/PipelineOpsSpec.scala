@@ -1043,6 +1043,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hashTfIdf: idf grid replay, ubiquitous dims zero out, invariance") {
+    val corpus = Seq(
+      (1L, "the alpha"), (2L, "the beta"), (3L, "the gamma"), (4L, "the alpha alpha"))
+      .toDF("doc_id", "text")
+    val got = Vectorize.hashTfIdf(corpus, "doc_id", "text", 4096)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    def bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("htf" + w).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 8), 16) % 4096
+    }
+    // Scala replay of the grid: df per dim over the 4-doc corpus
+    val vecs = Map(
+      1L -> Seq("the", "alpha"), 2L -> Seq("the", "beta"),
+      3L -> Seq("the", "gamma"), 4L -> Seq("the", "alpha", "alpha"))
+      .view.mapValues(_.groupBy(bucket).view.mapValues(_.size.toLong).toMap).toMap
+    val dfm = vecs.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    def idfQ(df: Int): Long = math.floor(math.log(5.0 / (df + 1)) * 1000000.0).toLong
+    got.foreach { case (id, dim, tf, idf, w) =>
+      assert(tf == vecs(id)(dim), s"tf for ($id,$dim)")
+      assert(idf == idfQ(dfm(dim)), s"idf for dim $dim")
+      assert(w == tf * idf, s"weight must be the long product for ($id,$dim)")
+    }
+    // "the" appears in all 4 docs: idf_q = floor(ln(5/5)·1e6) = 0 — zeroed
+    val theDim = bucket("the")
+    assert(got.filter(_._2 == theDim).forall(_._5 == 0L))
+    // a dim in one doc gets the max idf of this corpus
+    assert(got.filter(_._2 == bucket("beta")).forall(_._4 == idfQ(1)))
+    // partitioning invariance on the real fixture
+    val a = Vectorize.hashTfIdf(docs, "doc_id", "text", 64)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val b = Vectorize.hashTfIdf(docs.repartition(13), "doc_id", "text", 64)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("hashTf: count conservation, unit norm, collision merge, invariance") {
     val out = Vectorize.hashTf(docs, "doc_id", "text", 64)
     val rows = out.as[(Long, Long, Long, Double)].collect()
