@@ -232,6 +232,30 @@ object RelationalQueries {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
 
+  /** Weekly cohort retention: users bucketed by first-activity week, each
+    * (cohort, weeks-since) cell counting the distinct members still
+    * active — the product-analytics staple. The raw stream collapses to
+    * DISTINCT (user, week) pairs FIRST, so the first-week aggregate, the
+    * join back, and the cell distinct all run on user-week-sized data;
+    * the event stream itself is scanned once per side and never
+    * re-shuffled.
+    */
+  val eventsCohorts: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("__wk"))
+      .distinct()
+    val first = ev.groupBy("user_id").agg(min(col("__wk")).as("__cohort"))
+    ev.join(first, Seq("user_id"))
+      .select(
+        col("__cohort"),
+        expr("CAST(datediff(__wk, __cohort) DIV 7 AS INT)").as("week_offset"))
+      .groupBy(col("__cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
   /** JSON extraction from the props payload. */
   val eventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir).toDF()
@@ -499,6 +523,7 @@ object RelationalQueries {
     "cube_agg" -> cubeAgg,
     "pivot_segment" -> pivotSegment,
     "events_hourly" -> eventsHourly,
+    "events_cohorts" -> eventsCohorts,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -720,6 +745,18 @@ object RelationalQueries {
       """SELECT CAST(props->>'k' AS INTEGER) AS k, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    // Cohort retention: both engines truncate to Monday-start weeks; the
+    // offset is integer day-diff DIV 7 (cohort and activity weeks are both
+    // Mondays, so the diff is an exact multiple)
+    "events_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        |cells AS (
+        |  SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset
+        |  FROM ev JOIN f USING (user_id))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  COUNT(*) AS n_users
+        |FROM cells GROUP BY 1, 2""".stripMargin,
     "asof_clicks" ->
       """SELECT e.event_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e

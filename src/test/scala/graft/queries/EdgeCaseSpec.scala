@@ -57,6 +57,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Vectorize.textKnn(disjoint, "doc_id", "text", 4096, Seq(1L), 3).count() == 0)
   }
 
+  test("cohort cells: gap weeks absent, multi-visit weeks count once") {
+    import java.sql.Timestamp
+    // user 1: weeks 0 and 2 (gap at 1; two visits in week 0 count once)
+    // user 2: joins in week 2, active only then
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-03 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-15 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-16 10:00:00")))
+      .toDF("user_id", "ts")
+    val ev2 = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("__wk")).distinct()
+    val first = ev2.groupBy("user_id").agg(min(col("__wk")).as("__cohort"))
+    val cells = ev2.join(first, Seq("user_id"))
+      .select(
+        date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
+        expr("CAST(datediff(__wk, __cohort) DIV 7 AS INT)").as("week_offset"))
+      .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(cells == Set(
+      ("2024-01-01", 0, 1L), // user 1 week 0, deduped
+      ("2024-01-01", 2, 1L), // user 1 returns; NO (.., 1, ..) cell
+      ("2024-01-15", 0, 1L))) // user 2's own cohort
+  }
+
   test("repetition signals tolerate null and empty text") {
     val df = Seq(
       (1L, "a a a b"),
