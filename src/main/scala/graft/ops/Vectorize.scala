@@ -127,18 +127,59 @@ object Vectorize {
       queryIds: Seq[Long],
       k: Int): DataFrame = {
     require(queryIds.nonEmpty, "need at least one query id")
-    require(k > 0, s"k must be > 0, got $k")
     val tf = tfCounts(df, idCol, textCol, dim)
-    val norms = tf.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("__n2"))
     val q = tf.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col("dim"), col("tf").as("__qtf"))
-    val dots = tf
-      .join(broadcast(q), Seq("dim"))
-      .filter(col(idCol) =!= col("query_id"))
+    knnOverCounts(tf, idCol, q, k, excludeSelf = true)
+  }
+
+  /** Free-text retrieval: search the corpus for literal query STRINGS
+    * rather than member documents — the other half of the retrieval API
+    * ([[textKnn]] searches by example). Query vectors hash identically to
+    * corpus vectors (same salt, same buckets), so a query string equal to
+    * a stored document scores cosine 1. Query ids are the 0-based
+    * positions of `queryTexts`. Same scale shape as [[textKnn]]: the
+    * queries·dims vectors broadcast, the corpus never shuffles raw text.
+    */
+  def textKnnFree(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int,
+      queryTexts: Seq[String],
+      k: Int,
+      salt: String = "htf"): DataFrame = {
+    require(queryTexts.nonEmpty, "need at least one query string")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qDf = queryTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", textCol)
+    val q = tfCounts(qDf, "query_id", textCol, dim, salt)
+      .select(col("query_id"), col("dim"), col("tf").as("__qtf"))
+    knnOverCounts(tfCounts(df, idCol, textCol, dim, salt), idCol, q, k,
+      excludeSelf = false)
+  }
+
+  /** Shared top-k kernel: long-sum dots of a broadcast query long form
+    * against corpus counts, cosine from three longs, ties on candidate
+    * id. `excludeSelf` drops candidate == query_id matches (meaningless
+    * when query ids live in a separate space).
+    */
+  private def knnOverCounts(
+      tf: DataFrame,
+      idCol: String,
+      q: DataFrame,
+      k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val norms = tf.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("__n2"))
+    val qNorms = q.groupBy(col("query_id")).agg(sum(col("__qtf") * col("__qtf")).as("__qn2"))
+    val met = tf.join(broadcast(q), Seq("dim"))
+    val dots = (if (excludeSelf) met.filter(col(idCol) =!= col("query_id")) else met)
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("__qtf") * col("tf")).as("__dot")) // long: exact any order
     val scored = dots
-      .join(broadcast(norms.select(col(idCol).as("query_id"), col("__n2").as("__qn2"))), Seq("query_id"))
+      .join(broadcast(qNorms), Seq("query_id"))
       .join(norms, Seq(idCol))
       .withColumn(
         "cos",

@@ -1079,6 +1079,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("textKnnFree: exact-match string ranks first at cosine 1; member parity") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma"), (11L, "alpha beta delta"), (12L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = Vectorize.textKnnFree(corpus, "doc_id", "text", 1024,
+      Seq("alpha beta gamma", "nothing shared here"), 3)
+      .as[(Long, Long, Double)].collect()
+    val q0 = got.filter(_._1 == 0L).sortBy(r => (-r._3, r._2))
+    assert(q0.head._2 == 10L && math.abs(q0.head._3 - 1.0) < 1e-12,
+      s"identical stored doc must rank first at cos 1, got ${q0.toSeq}")
+    // disjoint-vocabulary query yields nothing (no shared dims at 1024)
+    assert(!got.exists(_._1 == 1L), "zero-overlap query must return no rows")
+    // member-query parity: free-text search with doc 10's text agrees with
+    // textKnn querying BY doc 10, once the self-match is dropped
+    val byMember = Vectorize.textKnn(corpus, "doc_id", "text", 1024, Seq(10L), 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).sortBy(_._1).toSeq
+    val byString = q0.tail.map(r => (r._2, r._3)).sortBy(_._1).toSeq
+    assert(byString == byMember, s"free-text and by-member search diverge")
+  }
+
   test("hashTf: count conservation, unit norm, collision merge, invariance") {
     val out = Vectorize.hashTf(docs, "doc_id", "text", 64)
     val rows = out.as[(Long, Long, Long, Double)].collect()
