@@ -298,6 +298,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "tf and dot aggregates must partial-combine map-side")
   }
 
+  test("vectorize_tfidf: df dim and corpus count broadcast; corpus shuffles once") {
+    val p = plan("vectorize_tfidf")
+    assert(count(p, "BroadcastHashJoin") + count(p, "BroadcastNestedLoopJoin") >= 2,
+      s"the dims-sized df agg and the 1-row corpus count must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here warrants an SMJ:\n$p")
+    assert(count(p, "partial_count") >= 1,
+      "the corpus-token explode must combiner-reduce map-side")
+  }
+
+  test("events_cohorts: stream collapses to distinct user-weeks before any join") {
+    val p = plan("events_cohorts")
+    assert(count(p, "Exchange hashpartitioning") <= 4,
+      s"distinct + first-week agg + join + cell agg only, all user-week-sized:\n$p")
+    assert(count(p, "partial_") >= 2, "distinct and aggregates must partial-combine")
+    assert(!p.contains("Exchange hashpartitioning(event_id"),
+      "raw events must never shuffle — only the (user, week) projection")
+  }
+
   test("vocab_bpe_pairs: corpus-sized motion is ONE partial-agg'd word shuffle; top-k bounded") {
     val p = plan("vocab_bpe_pairs")
     assert(count(p, "Exchange hashpartitioning") == 2,
