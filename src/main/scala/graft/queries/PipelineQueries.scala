@@ -899,6 +899,41 @@ object PipelineQueries {
       .select("source", "doc_id", "epoch", "n_tok", "bin")
   }
 
+  /** Stage-attrition report for the pretrain chain — the observability
+    * artifact every production pipeline ships next to its output: one row
+    * per curation stage with the surviving doc count. Stages replicate
+    * [[pipelinePretrain]] exactly and are materialized ONCE
+    * (localCheckpoint — the `Funnel.stages` discipline), so the six count
+    * branches are six trivially-cheap single-stage jobs instead of
+    * re-running ever-longer plan prefixes.
+    */
+  val pipelineReport: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val en = ck(d.filter(col("lang") === "en").select(
+      col("doc_id"), col("source"), col("text"),
+      TextOps.tokens(col("text")).as("__ws")))
+    val cut = ck(Sampling.topFractionPerGroup(
+      en, "source", TextOps.stopwordRatioOfTokens(col("__ws")), "doc_id", 0.5))
+    val deduped = ck(Dedup.keepFirst(
+      cut.withColumn("__fp", md5(col("text"))), Seq("__fp"), "doc_id"))
+    val clean = ck(Dedup.exceptContentOf(
+      deduped, "text", d.filter(col("source") === "src0"), "text"))
+    val mixed = Sampling.temperatureMixture(
+      clean.select(
+        col("doc_id"), col("source"), size(col("__ws")).cast("long").as("n_tok")),
+      "doc_id", "source", "n_tok", alpha = 0.5, targetFraction = 0.5)
+    def c(stage: String, idx: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), lit(idx).as("stage_idx"), col("n_docs"))
+    c("raw", 0, d)
+      .union(c("lang", 1, en))
+      .union(c("quality", 2, cut))
+      .union(c("dedup", 3, deduped))
+      .union(c("decontam", 4, clean))
+      .union(c("mixture", 5, mixed))
+  }
+
   val all: Map[String, Q] = Map(
     "sample_split" -> sampleSplit,
     "sample_split_group" -> sampleSplitGroup,
@@ -910,6 +945,7 @@ object PipelineQueries {
     "pipeline_shards" -> pipelineShards,
     "knn_text" -> knnText,
     "vectorize_tfidf" -> vectorizeTfidf,
+    "pipeline_report" -> pipelineReport,
     "quality_topfrac" -> qualityTopfrac,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "text_dupgrams" -> textDupgrams,
@@ -992,6 +1028,56 @@ object PipelineQueries {
   /** `hashKey` replayed in DuckDB — same salt concat, same 8-hex prefix. */
   private def hashKeySql(idExpr: String, salt: String): String =
     s"substring(md5('$salt' || CAST($idExpr AS VARCHAR)), 1, 8)"
+
+  /** The pretrain-chain CTE bodies (en → quality cut → dedup →
+    * decontam → mixture rates), shared by the pipeline_pretrain oracle
+    * and the pipeline_report attrition counts.
+    */
+  private lazy val pretrainCtesSql: String =
+    s"""en AS (
+       |  SELECT doc_id, source, text, $wordsSql AS ws FROM documents WHERE lang = 'en'),
+       |sc AS (
+       |  SELECT doc_id, source, text, ws,
+       |    CASE WHEN len(ws) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(ws, w -> list_contains($enStopSql, w))) AS DOUBLE) / len(ws)
+       |    END AS sc,
+       |    ${hashKeySql("doc_id", "topf")} AS hk
+       |  FROM en),
+       |r AS (
+       |  SELECT doc_id, source, text, ws, sc,
+       |    row_number() OVER (PARTITION BY source ORDER BY sc DESC NULLS LAST, hk ASC) AS rn,
+       |    count(sc) OVER (PARTITION BY source) AS n
+       |  FROM sc),
+       |cut AS (
+       |  SELECT doc_id, source, text, ws FROM r
+       |  WHERE sc IS NOT NULL AND rn <= CAST(ceil(0.5 * n) AS INT)),
+       |dd AS (
+       |  SELECT * FROM cut
+       |  WHERE doc_id IN (SELECT MIN(doc_id) FROM cut GROUP BY md5(text))),
+       |dc AS (
+       |  SELECT * FROM dd
+       |  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents
+       |                          WHERE source = 'src0' AND text IS NOT NULL)),
+       |tok AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok FROM dc),
+       |st AS (SELECT source, SUM(n_tok) AS t FROM tok GROUP BY source),
+       |tot AS (SELECT SUM(t) AS tt FROM st),
+       |q AS (SELECT source, t,
+       |        CAST(floor(pow(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE), 0.5)
+       |             * 1099511627776.0) AS BIGINT) AS qi
+       |      FROM st, tot),
+       |nq AS (SELECT SUM(qi) AS sq FROM q),
+       |rt AS (SELECT source,
+       |         least(1.0, 0.5 * (CAST(qi AS DOUBLE) / CAST(sq AS DOUBLE))
+       |           * (CAST(tt AS DOUBLE) / CAST(t AS DOUBLE))) AS rate
+       |       FROM q, nq, tot)""".stripMargin
+
+  /** The pretrain chain's final mixture select over [[pretrainCtesSql]]. */
+  private lazy val pretrainFinalSql: String =
+    s"""SELECT tok.source, tok.doc_id, tok.n_tok
+       |FROM tok JOIN rt USING (source)
+       |WHERE rt.rate >= 1.0 OR ${hashKeySql("tok.doc_id", "mixT")} <
+       |  lpad(lower(hex(least(CAST(floor(rt.rate * 4294967296.0) AS BIGINT),
+       |                       4294967295))), 8, '0')""".stripMargin
 
   /** The [[Sampling.epochRepeat]] replay (weights 50/30/15/5, budget
     * 200k) ending in CTE `e(source, doc_id, n_tok, epoch)` — shared by
@@ -1518,48 +1604,21 @@ object PipelineQueries {
     },
     // The round-8 curation chain replayed stage-for-stage: each CTE is the
     // already-proven per-stage oracle, composed in the engine's order
+    // (shared prefix/final in pretrainCtesSql/pretrainFinalSql — the
+    // attrition report below counts the same chain)
     "pipeline_pretrain" ->
-      s"""WITH en AS (
-         |  SELECT doc_id, source, text, $wordsSql AS ws FROM documents WHERE lang = 'en'),
-         |sc AS (
-         |  SELECT doc_id, source, text, ws,
-         |    CASE WHEN len(ws) = 0 THEN 0.0
-         |         ELSE CAST(len(list_filter(ws, w -> list_contains($enStopSql, w))) AS DOUBLE) / len(ws)
-         |    END AS sc,
-         |    ${hashKeySql("doc_id", "topf")} AS hk
-         |  FROM en),
-         |r AS (
-         |  SELECT doc_id, source, text, ws, sc,
-         |    row_number() OVER (PARTITION BY source ORDER BY sc DESC NULLS LAST, hk ASC) AS rn,
-         |    count(sc) OVER (PARTITION BY source) AS n
-         |  FROM sc),
-         |cut AS (
-         |  SELECT doc_id, source, text, ws FROM r
-         |  WHERE sc IS NOT NULL AND rn <= CAST(ceil(0.5 * n) AS INT)),
-         |dd AS (
-         |  SELECT * FROM cut
-         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM cut GROUP BY md5(text))),
-         |dc AS (
-         |  SELECT * FROM dd
-         |  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents
-         |                          WHERE source = 'src0' AND text IS NOT NULL)),
-         |tok AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok FROM dc),
-         |st AS (SELECT source, SUM(n_tok) AS t FROM tok GROUP BY source),
-         |tot AS (SELECT SUM(t) AS tt FROM st),
-         |q AS (SELECT source, t,
-         |        CAST(floor(pow(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE), 0.5)
-         |             * 1099511627776.0) AS BIGINT) AS qi
-         |      FROM st, tot),
-         |nq AS (SELECT SUM(qi) AS sq FROM q),
-         |rt AS (SELECT source,
-         |         least(1.0, 0.5 * (CAST(qi AS DOUBLE) / CAST(sq AS DOUBLE))
-         |           * (CAST(tt AS DOUBLE) / CAST(t AS DOUBLE))) AS rate
-         |       FROM q, nq, tot)
-         |SELECT tok.source, tok.doc_id, tok.n_tok
-         |FROM tok JOIN rt USING (source)
-         |WHERE rt.rate >= 1.0 OR ${hashKeySql("tok.doc_id", "mixT")} <
-         |  lpad(lower(hex(least(CAST(floor(rt.rate * 4294967296.0) AS BIGINT),
-         |                       4294967295))), 8, '0')""".stripMargin,
+      s"""WITH $pretrainCtesSql
+         |$pretrainFinalSql""".stripMargin,
+    // Stage attrition over the same chain: six counts, one per CTE stage
+    "pipeline_report" ->
+      s"""WITH $pretrainCtesSql,
+         |m AS ($pretrainFinalSql)
+         |SELECT 'raw' AS stage, 0 AS stage_idx, COUNT(*) AS n_docs FROM documents
+         |UNION ALL SELECT 'lang', 1, COUNT(*) FROM en
+         |UNION ALL SELECT 'quality', 2, COUNT(*) FROM cut
+         |UNION ALL SELECT 'dedup', 3, COUNT(*) FROM dd
+         |UNION ALL SELECT 'decontam', 4, COUNT(*) FROM dc
+         |UNION ALL SELECT 'mixture', 5, COUNT(*) FROM m""".stripMargin,
     "text_chunks" ->
       s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          |  array_to_string(list_slice(words, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
