@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-conversion funnel over an event stream: how many users reached
@@ -26,6 +27,37 @@ import org.apache.spark.sql.functions._
   * No reference analog — pipeline-extension layer.
   */
 object Funnel {
+
+  /** Debounce: suppress every event closer than `minGapMicros` to its
+    * per-key predecessor — the telemetry burst cleaner (double-clicks,
+    * retry storms, sensor chatter). An event survives iff it has no
+    * predecessor within the gap under the (ts, id) total order; the id
+    * tiebreak makes equal-timestamp bursts resolve deterministically.
+    * Contract: the gap is measured to the previous RAW event (the
+    * window-expressible standard), not the previous KEPT one — a burst
+    * longer than the gap thins pairwise rather than to one survivor; the
+    * recursive variant is a stateful kernel, not a window.
+    *
+    * Scale shape: one shuffle on the key columns for the lag window,
+    * timestamp math on µs integers (the `events_moving` discipline) — no
+    * join, no state, engine-replayable.
+    */
+  def debounce(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      minGapMicros: Long): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(minGapMicros > 0, s"minGapMicros must be > 0, got $minGapMicros")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    df.withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(
+        col("__prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("__prev_us") >= minGapMicros)
+      .drop("__prev_us")
+  }
 
   /** @param steps event-type names in funnel order (at least one)
     * @return (stage, stage_idx, users) — one row per step, `users` = count

@@ -256,6 +256,18 @@ object RelationalQueries {
         col("week_offset"), col("n_users"))
   }
 
+  /** Debounced event stream: per (user, event_type), suppress events
+    * within 60 s of their predecessor — telemetry burst cleaning. µs
+    * integer gap arithmetic under the (ts, id) total order replays
+    * exactly.
+    */
+  val eventsDebounce: Q = (spark, dir) =>
+    graft.ops.Funnel.debounce(
+      Tables.eventsDf(spark, dir),
+      Seq("user_id", "event_type"), "ts", "event_id",
+      minGapMicros = 60000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
   /** JSON extraction from the props payload. */
   val eventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir).toDF()
@@ -524,6 +536,7 @@ object RelationalQueries {
     "pivot_segment" -> pivotSegment,
     "events_hourly" -> eventsHourly,
     "events_cohorts" -> eventsCohorts,
+    "events_debounce" -> eventsDebounce,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -757,6 +770,14 @@ object RelationalQueries {
         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
         |  COUNT(*) AS n_users
         |FROM cells GROUP BY 1, 2""".stripMargin,
+    "events_debounce" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS pts
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM x
+        |WHERE pts IS NULL OR date_diff('microsecond', pts, ts) >= 60000000""".stripMargin,
     "asof_clicks" ->
       """SELECT e.event_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e

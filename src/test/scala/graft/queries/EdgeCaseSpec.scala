@@ -82,6 +82,27 @@ class EdgeCaseSpec extends AnyFunSuite {
       ("2024-01-15", 0, 1L))) // user 2's own cohort
   }
 
+  test("debounce: pairwise gap, equal-ts tiebreak, per-key independence") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 click burst: 0s, +10s, +70s(from #2: +60s → kept), +75s(dropped)
+      (1L, 1L, "click", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 00:00:10")), // < 60s after #1: dropped
+      (3L, 1L, "click", ts("2024-01-01 00:01:10")), // 60s after #2 exactly: kept
+      (4L, 1L, "click", ts("2024-01-01 00:01:15")), // 5s after #3: dropped
+      // same ts twice: id order decides; the second is zero-gap → dropped
+      (5L, 1L, "view", ts("2024-01-01 00:00:00")),
+      (6L, 1L, "view", ts("2024-01-01 00:00:00")),
+      // other user unaffected by user 1's burst
+      (7L, 2L, "click", ts("2024-01-01 00:00:05")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val kept = graft.ops.Funnel
+      .debounce(ev, Seq("user_id", "event_type"), "ts", "event_id", 60000000L)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 7L), s"got $kept")
+  }
+
   test("repetition signals tolerate null and empty text") {
     val df = Seq(
       (1L, "a a a b"),
