@@ -251,9 +251,17 @@ object RelationalQueries {
         expr("CAST(datediff(__wk, __cohort) DIV 7 AS INT)").as("week_offset"))
       .groupBy(col("__cohort"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+      // cohort size = the offset-0 cell (every member is active in their
+      // own first week by construction); retention is one long/long
+      // division — bit-exact both engines
+      .withColumn(
+        "cohort_size",
+        max(when(col("week_offset") === 0, col("n_users")))
+          .over(Window.partitionBy("__cohort")))
       .select(
         date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
-        col("week_offset"), col("n_users"))
+        col("week_offset"), col("n_users"),
+        (col("n_users").cast("double") / col("cohort_size")).as("retention"))
   }
 
   /** Debounced event stream: per (user, event_type), suppress events
@@ -766,10 +774,15 @@ object RelationalQueries {
         |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
         |cells AS (
         |  SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset
-        |  FROM ev JOIN f USING (user_id))
-        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
-        |  COUNT(*) AS n_users
-        |FROM cells GROUP BY 1, 2""".stripMargin,
+        |  FROM ev JOIN f USING (user_id)),
+        |agg AS (
+        |  SELECT cohort, week_offset, COUNT(*) AS n_users
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset, n_users,
+        |  CAST(n_users AS DOUBLE) /
+        |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
+        |      OVER (PARTITION BY cohort) AS retention
+        |FROM agg""".stripMargin,
     "events_debounce" ->
       """WITH x AS (
         |  SELECT event_id, user_id, event_type, ts,
