@@ -371,6 +371,64 @@ object Sampling {
           col("__den").cast("double")).as("frac"))
   }
 
+  /** Per-group PERCENTILE calibration of a score — the comparability step
+    * before any cross-group cut: a raw quality score means different things
+    * in different languages/domains (stopword ratios run lower in zh than
+    * en), so global thresholds over raw scores silently bias the mixture.
+    * Calibrated, every row carries its group-relative standing
+    * `pct = n_less / (n - 1)` — the fraction of the group's scored rows
+    * strictly below it (percent_rank semantics: ties share the value,
+    * single-row groups get 0.0) — and one global threshold means the same
+    * thing in every group.
+    *
+    * Scale shape: the corpus itself NEVER shuffles. Ranks depend only on a
+    * row's (group, score), so the op aggregates counts per distinct
+    * (group, score) — a two-column-projection partial-agg shuffle — ranks
+    * that score-level dim with a cumulative window, and broadcasts it back
+    * into a map-side join. The dim is (group × distinct scores)-sized:
+    * bounded-cardinality scores (integer-ratio doubles, grid-floored
+    * values — every score this library produces) keep it broadcastable at
+    * any corpus size; for a genuinely continuous score, floor it onto a
+    * grid first (the [[temperatureRates]] discipline) — stated loudly
+    * because a high-cardinality score degrades the dim toward corpus size.
+    *
+    * Cross-engine determinism: `n_less` and `n` are exact longs; the one
+    * division is IEEE on exactly-representable integers — bit-replayable.
+    * Rows with a null group or score drop (they have no standing to
+    * report).
+    *
+    * @return input columns plus `pct` (double in [0,1])
+    */
+  def calibrateByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: Column): DataFrame = {
+    // the join back keys on the score VALUE: double equality is exact and
+    // deterministic here because scores arrive as computed doubles (no NaN
+    // — callers guard 0/0; -0.0 only from a -0.0-producing score, which
+    // ratio/grid scores never emit)
+    val scored = df
+      .withColumn("__sc", scoreCol)
+      .filter(col(groupCol).isNotNull && col("__sc").isNotNull)
+    val counts = scored
+      .groupBy(col(groupCol), col("__sc"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(groupCol).orderBy(col("__sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(groupCol)
+    val dim = counts
+      .withColumn("__less", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(
+        col(groupCol), col("__sc"),
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise(col("__less").cast("double") / (col("__n") - 1L).cast("double"))
+          .as("pct"))
+    scored
+      .join(broadcast(dim), Seq(groupCol, "__sc"))
+      .drop("__sc")
+  }
+
   /** Stateless half of [[epochRepeat]]: broadcast a (group, n_full, frac)
     * rates dim and fan every row out to its epoch copies — per-row draw,
     * no aggregation, so it runs unchanged on a STREAM under snapshot

@@ -581,6 +581,20 @@ object PipelineQueries {
       "lang", TextOps.stopwordRatioOfTokens(col("__ws")), "doc_id", 0.2)
       .select("doc_id", "lang")
 
+  /** Per-language percentile calibration of the stopword-ratio quality
+    * score — the comparability step before any cross-language cut (raw
+    * stopword ratios mean different things in en vs zh). pct is the
+    * fraction of same-language rows strictly below the row's score; the
+    * rank dim is (lang × distinct scores)-sized and broadcasts back, so
+    * the corpus never shuffles.
+    */
+  val qualityCalibrate: Q = (spark, dir) =>
+    Sampling.calibrateByGroup(
+      docs(spark, dir).select(
+        col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("__ws")),
+      "lang", TextOps.stopwordRatioOfTokens(col("__ws")))
+      .select("doc_id", "lang", "pct")
+
   /** One BPE merge-step count: adjacent character-pair frequencies over
     * the word-frequency vocab, top 50. The only corpus-sized motion is the
     * word-count partial-agg shuffle; everything after is vocab-sized.
@@ -947,6 +961,7 @@ object PipelineQueries {
     "vectorize_tfidf" -> vectorizeTfidf,
     "pipeline_report" -> pipelineReport,
     "quality_topfrac" -> qualityTopfrac,
+    "quality_calibrate" -> qualityCalibrate,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "text_dupgrams" -> textDupgrams,
     "sample_stratified" -> sampleStratified,
@@ -1254,6 +1269,24 @@ object PipelineQueries {
          |    count(*) OVER (PARTITION BY lang) AS n
          |  FROM s)
          |SELECT doc_id, lang FROM r WHERE rn <= CAST(ceil(0.2 * n) AS INT)""".stripMargin,
+    // Percentile calibration replayed with a rank() window: min-rank ties
+    // make rank-1 exactly the strictly-below count; one IEEE division of
+    // exact longs — bit-equal to the engine's broadcast score-dim form
+    "quality_calibrate" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len($wordsSql) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter($wordsSql, w -> list_contains($enStopSql, w))) AS DOUBLE) / len($wordsSql)
+         |    END AS sc
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |r AS (
+         |  SELECT doc_id, lang, sc,
+         |    rank() OVER (PARTITION BY lang ORDER BY sc) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM s)
+         |SELECT doc_id, lang,
+         |  CASE WHEN n = 1 THEN 0.0 ELSE CAST(rk - 1 AS DOUBLE) / (n - 1) END AS pct
+         |FROM r""".stripMargin,
     // One BPE merge-step count replayed from scratch: word frequencies,
     // per-word adjacent char pairs (multiset), weighted pair sums
     "vocab_bpe_pairs" ->

@@ -134,6 +134,45 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(all == 150)
   }
 
+  test("calibrateByGroup: percent_rank semantics, ties share pct, singleton 0.0, nulls drop") {
+    val rows = Seq(
+      (1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g1", 20.0), (4L, "g1", 30.0), (5L, "g1", 40.0),
+      (10L, "g2", 7.0), // singleton group
+      (20L, "g3", Double.NaN), (21L, null.asInstanceOf[String], 1.0))
+    val df = rows.toDF("doc_id", "grp", "sc")
+      .withColumn("sc", when(isnan(col("sc")), lit(null)).otherwise(col("sc")))
+    val got = Sampling.calibrateByGroup(df, "grp", col("sc"))
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    // g1 (n=5): strictly-below counts 0,1,1,3,4 over n-1=4
+    assert(got(1L) == 0.0 && got(4L) == 0.75 && got(5L) == 1.0)
+    assert(got(2L) == 0.25 && got(3L) == 0.25, "ties share the pct")
+    assert(got(10L) == 0.0, "single-row group calibrates to 0.0")
+    assert(!got.contains(20L) && !got.contains(21L), "null score/group rows drop")
+    // brute-force replay over the real corpus scores
+    val scored = docs
+      .select(col("doc_id"), col("lang"),
+        TextOps.stopwordRatioOfTokens(TextOps.tokens(col("text"))).as("sc"))
+      .filter(col("sc").isNotNull && col("lang").isNotNull)
+      .as[(Long, String, Double)].collect()
+    val expect = scored.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      g.toSeq.map { case (id, _, sc) =>
+        val less = g.count(_._3 < sc).toLong
+        id -> (if (g.length == 1) 0.0 else less.toDouble / (g.length - 1))
+      }
+    }
+    val corpus = Sampling.calibrateByGroup(
+      docs.select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("__ws")),
+      "lang", TextOps.stopwordRatioOfTokens(col("__ws")))
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    assert(corpus == expect.toMap, "corpus calibration must equal the brute-force ECDF")
+    // the join back rides a broadcast of the score-level dim — the corpus
+    // itself must not shuffle into a sort-merge join
+    val plan = Sampling.calibrateByGroup(df, "grp", col("sc"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"expected broadcast join back, got:\n$plan")
+  }
+
   test("stratified: exactly min(k, |stratum|) per stratum, partitioning-invariant members") {
     val got = Sampling.stratified(docs.select("doc_id", "source"), Seq("source"), "doc_id", 5)
     val per = got.groupBy("source").count().as[(String, Long)].collect()
