@@ -73,6 +73,57 @@ object Packing {
             array_sort(collect_list(struct(col(idCol), col(textCol)))),
             x => x.getField(textCol))).as("text"))
 
+  /** Length-bucketed dynamic batching: group rows into fixed-COUNT batches
+    * of `batchSize` in (tokens DESC, id ASC) order within each stream — the
+    * padded-batch builder for inference/eval serving and sequence-level
+    * training, where a batch is padded to its LONGEST member (unlike the
+    * token-budget packers above, which concatenate). Sorting by length
+    * first is the standard padding-minimizing heuristic: near-equal-length
+    * rows share a batch, so `n·max − Σ` waste collapses versus arrival
+    * order. The (tokens DESC, id ASC) order is total ⇒ batch ids are
+    * deterministic, partitioning-invariant, and SQL-replayable
+    * (`(row_number − 1) DIV batchSize` — integer arithmetic only).
+    *
+    * Scale shape: one shuffle on the stream key, one per-stream window
+    * sort (spillable), batch assignment map-side after it — the
+    * [[sequentialBins]] cost model. Null tokens sort last (DESC NULLS
+    * LAST) and count 0 toward padding, same null regime as the packers.
+    *
+    * @return input rows plus `batch` (0-based within stream)
+    */
+  def lengthBatches(
+      df: DataFrame,
+      streamCol: String,
+      idCol: String,
+      tokensCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val w = Window.partitionBy(streamCol)
+      .orderBy(col(tokensCol).desc_nulls_last, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("batch", expr(s"(__rn - 1L) div ${batchSize}L"))
+      .drop("__rn")
+  }
+
+  /** Per-batch padding accounting over [[lengthBatches]] output — the
+    * report that justifies (or indicts) a batching layout: each (stream,
+    * batch) pads every member to the batch max, so the padded cost is
+    * `n_docs · max_tok` and the waste is `pad_waste = n_docs · max_tok −
+    * sum_tok`. Pure integer aggregation (map-side partials on the
+    * (stream, batch) key), output is batches-sized.
+    */
+  def paddingReport(
+      batched: DataFrame,
+      streamCol: String,
+      tokensCol: String): DataFrame =
+    batched
+      .groupBy(col(streamCol), col("batch"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(coalesce(col(tokensCol), lit(0L))).as("max_tok"),
+        sum(coalesce(col(tokensCol), lit(0L))).as("sum_tok"))
+      .withColumn("pad_waste", col("n_docs") * col("max_tok") - col("sum_tok"))
+
   /** First-fit-decreasing bin packing per stream: docs sorted by token count
     * descending (id ascending on ties — deterministic), each placed in the
     * lowest-numbered bin with room; a doc over budget consumes one whole

@@ -620,6 +620,21 @@ object PipelineQueries {
         TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
       "source", "doc_id", "n_tok", 512)
 
+  /** Length-bucketed dynamic batching report: 16-doc batches per source in
+    * (tokens DESC, id ASC) order, each padded to its longest member —
+    * per-batch counts, max/sum tokens, and padding waste. Pure integer
+    * arithmetic end-to-end; the window + aggregate replay verbatim.
+    */
+  val packBatches: Q = (spark, dir) => {
+    val batched = Packing.lengthBatches(
+      docs(spark, dir).select(
+        col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+      "source", "doc_id", "n_tok", 16)
+    Packing.paddingReport(batched, "source", "n_tok")
+      .select("source", "batch", "n_docs", "max_tok", "sum_tok", "pad_waste")
+  }
+
   /** Shard-sink roundtrip: documents written as token-budget shards
     * (one parquet file per `source=<s>/bin=<n>/` dir), read BACK from the
     * files, summarized per shard. The oracle recomputes the same summary
@@ -966,6 +981,7 @@ object PipelineQueries {
     "text_dupgrams" -> textDupgrams,
     "sample_stratified" -> sampleStratified,
     "pack_bins" -> packBins,
+    "pack_batches" -> packBatches,
     "pack_greedy" -> packGreedy,
     "pack_assemble" -> packAssemble,
     "source_shards" -> sourceShards,
@@ -1332,6 +1348,20 @@ object PipelineQueries {
          |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
          |FROM (SELECT source, doc_id, len($wordsSql) AS n_tok FROM documents)""".stripMargin,
+    // Length-bucketed batching replayed verbatim: the same total order,
+    // integer-division batch ids, and integer padding arithmetic (DuckDB
+    // HUGEINT sums cast back to BIGINT to match the engine's longs)
+    "pack_batches" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents),
+         |b AS (
+         |  SELECT source, n_tok,
+         |    (row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id ASC) - 1) // 16 AS batch
+         |  FROM t)
+         |SELECT source, batch, count(*) AS n_docs, max(n_tok) AS max_tok,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+         |FROM b GROUP BY source, batch""".stripMargin,
     // Brute-force exact-Jaccard replay of the single-corpus near-dup pairs
     // (id_a < id_b) — same recall argument as dedup_cross below.
     "dedup_minhash" ->

@@ -186,6 +186,54 @@ class SamplingPackingSpec extends AnyFunSuite {
       "hash-ordered draw must not depend on physical layout")
   }
 
+  test("lengthBatches: full batches except last, padding beats arrival order, invariant") {
+    val toks = docs.select(
+      col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("t"))
+    val batched = Packing.lengthBatches(toks, "source", "doc_id", "t", 16)
+    val sizes = batched.groupBy("source", "batch").count()
+      .as[(String, Long, Long)].collect()
+    // every batch full except at most one (the last) per stream
+    sizes.groupBy(_._1).foreach { case (src, bs) =>
+      val partial = bs.filter(_._3 != 16L)
+      assert(partial.length <= 1, s"$src has ${partial.length} partial batches")
+      val maxBatch = bs.map(_._2).max
+      partial.foreach { case (_, b, _) => assert(b == maxBatch, s"$src partial batch $b not last") }
+    }
+    // the report's arithmetic is n·max − Σ, and the length-sorted layout
+    // wastes strictly less padding than batching in arrival (id) order
+    val report = Packing.paddingReport(batched, "source", "t")
+    val brute = batched.as[(String, Long, Long, Long)].collect()
+      .groupBy { case (s, _, _, b) => (s, b) }
+      .map { case ((s, b), g) =>
+        (s, b, g.length.toLong, g.map(_._3).max, g.map(_._3).sum) }
+    val gotRep = report.select("source", "batch", "n_docs", "max_tok", "sum_tok", "pad_waste")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(gotRep.map { case (s, b, n, m, sm, _) => (s, b, n, m, sm) }.toSet == brute.toSet)
+    assert(gotRep.forall { case (_, _, n, m, sm, w) => w == n * m - sm && w >= 0 })
+    val sortedWaste = gotRep.map(_._6).sum
+    val arrivalWaste = Packing.paddingReport(
+      toks.withColumn("batch",
+        expr("(row_number() over (partition by source order by doc_id) - 1L) div 16L")),
+      "source", "t").agg(sum("pad_waste")).as[Long].head()
+    assert(sortedWaste < arrivalWaste,
+      s"length-sorted padding $sortedWaste must beat arrival-order $arrivalWaste")
+    // partitioning invariance of the batch assignment
+    val again = Packing.lengthBatches(toks.repartition(13), "source", "doc_id", "t", 16)
+      .select("doc_id", "batch").as[(Long, Long)].collect().toMap
+    assert(again == batched.select("doc_id", "batch").as[(Long, Long)].collect().toMap)
+    // null tokens sort last and pad as zero
+    val withNull = Seq(("s", 1L, Some(5L)), ("s", 2L, None), ("s", 3L, Some(9L)))
+      .toDF("source", "doc_id", "t")
+    val nb = Packing.lengthBatches(withNull, "source", "doc_id", "t", 2)
+      .select("doc_id", "batch").as[(Long, Long)].collect().toMap
+    assert(nb == Map(3L -> 0L, 1L -> 0L, 2L -> 1L), s"null-token row must batch last: $nb")
+    val nrep = Packing.paddingReport(
+      Packing.lengthBatches(withNull, "source", "doc_id", "t", 2), "source", "t")
+      .select("batch", "max_tok", "pad_waste").as[(Long, Long, Long)].collect()
+      .map { case (b, m, w) => b -> ((m, w)) }.toMap
+    assert(nrep(1L) == ((0L, 0L)), "null token counts zero toward padding")
+  }
+
   test("sequentialBins equals the Scala running-total fold") {
     val toks = docs
       .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("t"))
