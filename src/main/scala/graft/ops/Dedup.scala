@@ -903,6 +903,46 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster canonicalization: per duplicate cluster, elect
+    * the REPRESENTATIVE under the deterministic total order
+    * (quality DESC, id ASC) — the curation policy real pipelines want
+    * ([[dedupByClusters]]'s min-id survivor is arbitrary; "keep the
+    * longest / highest-quality copy, drop the syndicated fragments" is the
+    * documented choice in C4/RefinedWeb-style dedup). One row per cluster:
+    * `(cluster, rep_id, rep_quality, n_members)`.
+    *
+    * `quality` carries one (id, quality) row per clustered id; ids missing
+    * from it rank below all present ones (nulls last), so a partial score
+    * table still elects deterministically.
+    *
+    * Scale shape: clusters are pair-graph-sized (already ≪ corpus); one
+    * key join against the score projection and one per-cluster window over
+    * member counts — no corpus-sized motion at all. Election inside a
+    * cluster is a window over its members; cluster sizes are near-dup
+    * community sizes, bounded in practice by the blocking that built the
+    * pair graph.
+    *
+    * No reference analog — pipeline-extension layer.
+    */
+  def canonicalClusters(
+      pairs: DataFrame,
+      quality: DataFrame,
+      idCol: String,
+      qualityCol: String): DataFrame = {
+    val members = duplicateClusters(pairs)
+    val scored = members.join(
+      quality.select(col(idCol).cast("long").as("id"), col(qualityCol).as("__q")),
+      Seq("id"), "left")
+    val elect = Window.partitionBy("cluster")
+      .orderBy(col("__q").desc_nulls_last, col("id").asc)
+    scored
+      .withColumn("__rn", row_number().over(elect))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("id").as("rep_id"),
+        col("__q").as("rep_quality"), col("n_members"))
+  }
+
   /** N-gram-overlap decontamination report — the published eval-leakage
     * gate (GPT-3 appx C / PaLM style): a training document is contaminated
     * when it shares at least `minOverlap` distinct word `n`-grams with the

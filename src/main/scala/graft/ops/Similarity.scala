@@ -413,6 +413,64 @@ object Similarity {
       .drop("__mx")
   }
 
+  /** Deterministic ±1 sign matrix for random projection, derived from md5
+    * over the coordinate pair — any engine with a standard md5 replays the
+    * identical matrix from `(j, i)` alone (first hex nibble < 8 → +1), so
+    * the "random" projection needs no seed exchange, no stored matrix, no
+    * RNG-order coupling. Achlioptas (2001) showed ±1 entries carry the same
+    * Johnson–Lindenstrauss distance-preservation guarantee as Gaussian
+    * ones.
+    */
+  def signMatrix(k: Int, dim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dim) { (j, i) =>
+      md.reset()
+      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+  }
+
+  /** Random-projection dimensionality reduction: project each embedding
+    * onto `k` md5-derived ±1 directions — the JL sketch that turns a
+    * 768-dim float corpus into a k-long integer corpus for cheap coarse
+    * filtering (near-dup pre-screens, diversity sampling, ANN routing)
+    * while approximately preserving pairwise distances.
+    *
+    * Exactness: components land on the 2^20 integer grid FIRST
+    * (`⌊v_i · 2^20⌋` — one IEEE multiply+floor), so each projection is a
+    * pure ±sum of longs — order-independent, overflow-free (dim · 2^20 ·
+    * max|v| ≪ 2^63), bit-replayable in any engine.
+    *
+    * Scale shape: the sign matrix is a k×dim literal folded into the plan
+    * (driver-computed, a few KB); the projection is `k` codegen'd
+    * zip_with/aggregate folds per row — entirely map-side, zero shuffle,
+    * scan-bounded at 100 TB. Output is long-form `(id, dim, value)` like
+    * the vectorizer family, so downstream ops join per-dimension without
+    * array surgery.
+    *
+    * No reference analog — pipeline-extension layer.
+    */
+  def signProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      gridScale: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dim = inferDim(df, vecCol)
+    val signs = signMatrix(k, dim)
+    val proj = signs.map { row =>
+      aggregate(
+        zip_with(col("__qv"), typedLit(row.toSeq), (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+    }
+    df.withColumn(
+        "__qv",
+        transform(col(vecCol), v => floor(v.cast("double") * gridScale.toDouble).cast("long")))
+      .select(col(idCol), posexplode(array(proj: _*)))
+      .toDF(idCol, "dim", "value")
+  }
+
   /** Exact top-k by INTEGER dot product over int8-quantized, unit-normalized
     * vectors — the quantized replay of [[bruteForceTopK]]. Integer scores
     * make ranking fully deterministic (no float tie ambiguity), and because

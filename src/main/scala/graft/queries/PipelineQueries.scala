@@ -107,6 +107,20 @@ object PipelineQueries {
     Dedup.duplicateClusters(
       Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.30, bits = 4))
 
+  /** Quality-aware cluster canonicalization over the MinHash near-dup
+    * graph: per duplicate cluster, elect the representative under
+    * (n_chars DESC, doc_id ASC) — "keep the longest copy, drop the
+    * fragments". The oracle replays pairs (brute-force exact word-3-gram
+    * Jaccard, the dedup_minhash recall argument), components (recursive
+    * transitive closure), and the election window.
+    */
+  val dedupCanonical: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    Dedup.canonicalClusters(
+      Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5),
+      d.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+  }
+
   // ------------------------------------------------------------- similarity
 
   /** Exact cosine top-10 for query vectors (vec_id < 8) over the corpus.
@@ -162,6 +176,13 @@ object PipelineQueries {
     emb(spark, dir).select(
       col("vec_id"),
       sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("norm"))
+
+  /** JL random projection to 16 md5-derived ±1 directions on the 2^20
+    * integer grid — every projected value is an exact long sum, replayed
+    * value-for-value by the oracle's inline md5 sign replay.
+    */
+  val embeddingProject: Q = (spark, dir) =>
+    Similarity.signProject(emb(spark, dir), "vec_id", "embedding", k = 16)
 
   /** Unit-normalization checked by scalar projections (array cells don't
     * survive the driver's pandas hashing, so the oracle compares the first
@@ -1014,6 +1035,8 @@ object PipelineQueries {
     "sample_split_nodup" -> sampleSplitNodup,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_components" -> dedupComponents,
+    "dedup_canonical" -> dedupCanonical,
+    "embedding_project" -> embeddingProject,
     "knn_brute" -> knnBrute,
     "knn_lsh" -> knnLsh,
     "knn_ivf" -> knnIvf,
@@ -1855,6 +1878,56 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src""".stripMargin,
+    "dedup_canonical" ->
+      // dedup_minhash's brute-force exact-Jaccard pair replay →
+      // dedup_components' transitive closure → the (n_chars DESC,
+      // doc_id ASC) election window
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(0, len(ws) - 3),
+         |                i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+         |    END AS sh
+         |  FROM toks),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+         |m AS (
+         |  SELECT l.cluster, l.id, d.n_chars,
+         |    row_number() OVER (PARTITION BY l.cluster
+         |                       ORDER BY d.n_chars DESC NULLS LAST, l.id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY l.cluster) AS n_members
+         |  FROM lab l JOIN documents d ON l.id = d.doc_id)
+         |SELECT cluster, id AS rep_id, n_chars AS rep_quality,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM m WHERE rn = 1""".stripMargin,
+    "embedding_project" ->
+      // the sign matrix replays from md5 over the coordinate pair alone:
+      // first hex nibble < 8 → +1 — no seed, no stored matrix
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(0, 15)) AS dim)
+        |SELECT e.vec_id, d.dim,
+        |  CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |    i -> (CASE WHEN substr(md5(CAST(d.dim AS VARCHAR) || ':' ||
+        |                            CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
+        |               THEN 1 ELSE -1 END) * qv[i])) AS BIGINT) AS value
+        |FROM e CROSS JOIN dims d""".stripMargin,
     "embedding_quantize" ->
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |t AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM s),

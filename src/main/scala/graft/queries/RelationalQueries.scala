@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{AsOfJoin, IncrementalAgg}
+import graft.ops.{AsOfJoin, IncrementalAgg, Labels, Outliers, Snapshot}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -276,6 +276,40 @@ object RelationalQueries {
       minGapMicros = 60000000L)
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** SCD2 dimension build from the event change log: each user's
+    * consecutive runs of an event_type collapse into `[valid_from,
+    * valid_to)` validity intervals with `is_current` on the open run —
+    * [[graft.ops.Snapshot.scd2]]'s gaps-and-islands kernel under the
+    * (ts, event_id) total order, replayed exactly by the oracle's window
+    * chain.
+    */
+  val scd2Users: Q = (spark, dir) =>
+    Snapshot.scd2(Tables.eventsDf(spark, dir), "user_id", "event_type", "ts", "event_id")
+      .select(
+        col("user_id"), col("event_type"),
+        // µs-precision strings: the gate's value hash compares rendered
+        // cells, and a raw LTZ timestamp renders with a zone suffix on one
+        // engine and without on the other
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        col("is_current"), col("n_obs"))
+
+  /** Robust per-type outlier summary (Hampel filter): median/MAD on the
+    * 2^20 integer grid with lower-median rank selection — every number in
+    * the row is a long, so the oracle replays the full decision exactly.
+    */
+  val eventsOutliers: Q = (spark, dir) =>
+    Outliers.robustSummary(Tables.eventsDf(spark, dir), "event_type", "value", k = 3)
+
+  /** Consensus label per order from its lineitem return-flag votes:
+    * majority with the deterministic (votes DESC, label ASC) tie-break —
+    * the annotation-aggregation step of a labeled-training-set build.
+    */
+  val labelMajority: Q = (spark, dir) =>
+    Labels.majority(
+      t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag")),
+      "l_orderkey", "l_returnflag")
+
   /** JSON extraction from the props payload. */
   val eventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir).toDF()
@@ -545,6 +579,9 @@ object RelationalQueries {
     "events_hourly" -> eventsHourly,
     "events_cohorts" -> eventsCohorts,
     "events_debounce" -> eventsDebounce,
+    "scd2_users" -> scd2Users,
+    "events_outliers" -> eventsOutliers,
+    "label_majority" -> labelMajority,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -791,6 +828,79 @@ object RelationalQueries {
         |  FROM events)
         |SELECT event_id, user_id, event_type FROM x
         |WHERE pts IS NULL OR date_diff('microsecond', pts, ts) >= 60000000""".stripMargin,
+    "scd2_users" ->
+      // the same gaps-and-islands chain: run boundaries under the
+      // (ts, event_id) total order, running-sum island ids, interval
+      // stitching by lead() — IS DISTINCT FROM mirrors Spark's null-safe <=>
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER w AS rn,
+        |    lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |r AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM b),
+        |runs AS (
+        |  SELECT user_id, run, MIN(event_type) AS event_type,
+        |    MIN(ts) AS valid_from, COUNT(*) AS n_obs
+        |  FROM r GROUP BY user_id, run),
+        |iv AS (
+        |  SELECT user_id, event_type, valid_from, n_obs,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+        |  FROM runs)
+        |SELECT user_id, event_type,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  (valid_to IS NULL) AS is_current, n_obs
+        |FROM iv""".stripMargin,
+    "events_outliers" ->
+      // lower-median rank selection on the 2^20 grid, MAD the same way,
+      // Hampel flag by exact long cross-multiplication — zero doubles in
+      // the decision, so the replay is bit-exact
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1048576.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, q,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM q),
+        |med AS (SELECT event_type, q AS median_grid, n FROM m WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT q.event_type, abs(q.q - med.median_grid) AS dev,
+        |    med.median_grid, med.n
+        |  FROM q JOIN med USING (event_type)),
+        |m2 AS (
+        |  SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n2
+        |  FROM d),
+        |mad AS (SELECT event_type, dev AS mad_grid FROM m2 WHERE rn = (n2 + 1) // 2)
+        |SELECT d.event_type, MIN(d.n) AS n, MIN(d.median_grid) AS median_grid,
+        |  MIN(mad.mad_grid) AS mad_grid,
+        |  CAST(SUM(CASE WHEN d.dev * 10000 > 3 * 14826 * mad.mad_grid
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
+    "label_majority" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, l_returnflag AS label, count(*) AS votes_top
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |    CAST(sum(votes_top) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |      AS votes_total,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY votes_top DESC, label ASC) AS rn
+        |  FROM c)
+        |SELECT l_orderkey, label, votes_top, votes_total FROM r
+        |WHERE rn = 1""".stripMargin,
     "asof_clicks" ->
       """SELECT e.event_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e

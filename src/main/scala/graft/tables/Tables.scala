@@ -48,14 +48,15 @@ case class Lineitem(
     l_linestatus: String,
     l_shipdate: java.sql.Timestamp)
 
-/** `ts` is epoch **nanoseconds** as Long: the testdata stores
-  * TIMESTAMP(NANOS) which Spark 4 only reads via
-  * `spark.sql.legacy.parquet.nanosAsLong`. Use `timestamp_micros(ts DIV
-  * 1000)` when wall-clock semantics are needed.
+/** `ts` is a microsecond-precision timestamp: the testdata stores
+  * parquet `timestamp[us]` with `isAdjustedToUTC=false`, which Spark 4
+  * reads as TIMESTAMP_NTZ; [[Tables.events]]/[[Tables.eventsDf]] cast it
+  * to the session-zone TIMESTAMP (UTC everywhere in this project), so the
+  * wall-clock content is unchanged and every consumer sees one type.
   */
 case class Event(
     event_id: Long,
-    ts: Long,
+    ts: java.sql.Timestamp,
     user_id: Long,
     event_type: String,
     value: Double,
@@ -98,16 +99,20 @@ object Tables {
   }
   def events(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load[Event](spark, dir, "events")
+    eventsDf(spark, dir)
+      .select(implicitly[org.apache.spark.sql.Encoder[Event]]
+        .schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
+      .as[Event]
   }
 
-  /** Raw events DataFrame with a proper microsecond `ts` timestamp column. */
+  /** Raw events DataFrame with the microsecond `ts` normalized from
+    * TIMESTAMP_NTZ to the session-zone TIMESTAMP (UTC) — wall-clock
+    * preserving, and one timestamp type for every downstream op.
+    */
   def eventsDf(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
   }
   def documents(spark: SparkSession, dir: String): Dataset[Document] = {
     import spark.implicits._; load[Document](spark, dir, "documents")

@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-8 curation/analytics additions: SCD2 interval
+  * build, robust (median/MAD) outlier detection, annotation majority
+  * vote, quality-aware cluster canonicalization, and md5-sign random
+  * projection.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------------ SCD2
+
+  private def scd2Fixture = Seq(
+    // key 1: A,A,B,A — re-appearing value must open a NEW run (3 intervals)
+    (1L, "A", ts("2024-01-01 00:00:00"), 1L),
+    (1L, "A", ts("2024-01-02 00:00:00"), 2L),
+    (1L, "B", ts("2024-01-03 00:00:00"), 3L),
+    (1L, "A", ts("2024-01-04 00:00:00"), 4L),
+    // key 2: single observation — one open run
+    (2L, "X", ts("2024-02-01 00:00:00"), 5L),
+    // key 3: equal timestamps — id breaks the tie (6 before 7)
+    (3L, "P", ts("2024-03-01 00:00:00"), 6L),
+    (3L, "Q", ts("2024-03-01 00:00:00"), 7L)
+  ).toDF("k", "attr", "t", "id")
+
+  test("scd2: runs collapse, re-appearing values reopen, intervals tile") {
+    val out = Snapshot.scd2(scd2Fixture, "k", "attr", "t", "id")
+      .as[(Long, String, java.sql.Timestamp, Long, Option[java.sql.Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    val k1 = out.filter(_._1 == 1L)
+    assert(k1.map(_._2).toSeq == Seq("A", "B", "A"), "A,A,B,A → runs A,B,A")
+    assert(k1.map(_._4).toSeq == Seq(2L, 1L, 1L), "first run collapses two obs")
+    // half-open intervals tile: valid_to == next run's valid_from
+    assert(k1(0)._5.contains(k1(1)._3) && k1(1)._5.contains(k1(2)._3))
+    assert(k1(2)._5.isEmpty && k1(2)._6, "last run open and current")
+    assert(k1.count(_._6) == 1, "exactly one current run per key")
+    val k2 = out.filter(_._1 == 2L)
+    assert(k2.length == 1 && k2.head._6 && k2.head._5.isEmpty)
+    // tie on ts: id 6 (P) precedes id 7 (Q), so P closes at Q's valid_from
+    val k3 = out.filter(_._1 == 3L)
+    assert(k3.map(_._2).toSeq == Seq("P", "Q"))
+    assert(!k3(0)._6 && k3(1)._6)
+  }
+
+  test("scd2: null attribute forms runs like any other value") {
+    val df = Seq(
+      (1L, Option("A"), ts("2024-01-01 00:00:00"), 1L),
+      (1L, Option.empty[String], ts("2024-01-02 00:00:00"), 2L),
+      (1L, Option.empty[String], ts("2024-01-03 00:00:00"), 3L),
+      (1L, Option("A"), ts("2024-01-04 00:00:00"), 4L)
+    ).toDF("k", "attr", "t", "id")
+    val out = Snapshot.scd2(df, "k", "attr", "t", "id")
+      .orderBy("valid_from")
+      .as[(Long, Option[String], java.sql.Timestamp, Long, Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    assert(out.map(_._2).toSeq == Seq(Some("A"), None, Some("A")),
+      "null run collapses (null==null extends) and bounds its neighbors")
+    assert(out.map(_._4).toSeq == Seq(1L, 2L, 1L))
+  }
+
+  // ------------------------------------------------- robust outliers (MAD)
+
+  test("robustSummary: lower median, MAD, and Hampel count are exact") {
+    // group g: values 1..9 and one wild point 1000 (n=10, even)
+    // grid = value · 2^20; lower median of 1..9,1000 at rank 5 → 5
+    // devs: |q-5| → 4,3,2,1,0,1,2,3,4,995 → sorted ranks: lower median
+    // at rank 5 (n=10) → 2; outliers: dev·10⁴ > 3·14826·mad_grid
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 1000.0)).toDF("grp", "v")
+    val row = Outliers.robustSummary(df, "grp", "v", k = 3)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val (_, n, med, mad, outliers) = row
+    assert(n == 10)
+    assert(med == 5L << 20, "lower median of even-count group stays on grid")
+    assert(mad == 2L << 20)
+    // dev=995·2^20: 995·10⁴ > 3·14826·2 ⇔ 9,950,000 > 88,956 → outlier;
+    // dev=4·2^20: 40,000 < 88,956 → not
+    assert(outliers == 1L)
+  }
+
+  test("flagged returns exactly the rows the summary counts") {
+    val df = (1 to 50).map(i => (i.toLong, "g", if (i == 13) 9999.0 else i.toDouble))
+      .toDF("id", "grp", "v")
+    val summary = Outliers.robustSummary(df, "grp", "v").as[(String, Long, Long, Long, Long)]
+      .collect().head
+    val rows = Outliers.flagged(df, "grp", "v", "id").as[(Long, String, Double)].collect()
+    assert(rows.length.toLong == summary._5)
+    assert(rows.exists(_._1 == 13L), "the planted wild point is flagged")
+  }
+
+  test("robustSummary is partitioning-invariant") {
+    val df = (1 to 101).map(i => (s"g${i % 3}", math.sin(i) * 100)).toDF("grp", "v")
+    val a = Outliers.robustSummary(df.repartition(1), "grp", "v").collect().toSet
+    val b = Outliers.robustSummary(df.repartition(7), "grp", "v").collect().toSet
+    assert(a == b)
+  }
+
+  // --------------------------------------------------------- majority vote
+
+  test("majority: winner by count, ties broken by label order") {
+    val votes = Seq(
+      (1L, "cat"), (1L, "cat"), (1L, "dog"),          // clear winner
+      (2L, "dog"), (2L, "cat"),                        // tie → 'cat' (asc)
+      (3L, "owl")                                      // single vote
+    ).toDF("item", "lbl")
+    val out = Labels.majority(votes, "item", "lbl")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "cat", 2L, 3L), (2L, "cat", 1L, 2L), (3L, "owl", 1L, 1L)))
+  }
+
+  test("disputed: exact rational agreement threshold, no doubles") {
+    val votes = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"),  // 2/3 agreement
+      (2L, "a"), (2L, "b")              // 1/2 agreement
+    ).toDF("item", "lbl")
+    // threshold 2/3: strictly-below keeps only item 2
+    val low = Labels.disputed(votes, "item", "lbl", 2L, 3L).as[(Long, String, Long, Long)].collect()
+    assert(low.map(_._1).toSeq == Seq(2L))
+  }
+
+  // ----------------------------------------------------- canonicalization
+
+  test("canonicalClusters elects by (quality DESC, id ASC), nulls last") {
+    // two clusters: {1,2,3} and {10,11}; 2 has top quality; 10/11 tie on
+    // missing quality → min id 10 wins
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = Seq((1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L))).toDF("id", "q")
+    val out = Dedup.canonicalClusters(pairs, quality, "id", "q")
+      .as[(Long, Long, Option[Long], Long)].collect().sortBy(_._1)
+    // cluster 1: 2 and 3 tie at 9 → id 2; cluster 10: both null → id 10
+    assert(out.toSeq == Seq((1L, 2L, Some(9L), 3L), (10L, 10L, None, 2L)))
+  }
+
+  // -------------------------------------------------- md5 sign projection
+
+  test("signProject: exact long sums against an independent replay") {
+    val df = Seq(
+      (1L, Seq(0.5f, -0.25f, 1.0f)),
+      (2L, Seq(0.0f, 0.125f, -1.5f))
+    ).toDF("vid", "vec")
+    val k = 4
+    val out = Similarity.signProject(df, "vid", "vec", k)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 2 * k)
+    assert(out.map(_._2).distinct.sorted.toSeq == (0 until k).toSeq)
+    // independent replay: md5 via java.security directly, grid via BigDecimal
+    def sign(j: Int, i: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+    val vecs = Map(
+      1L -> Seq(0.5f, -0.25f, 1.0f),
+      2L -> Seq(0.0f, 0.125f, -1.5f))
+    out.foreach { case (vid, j, v) =>
+      val want = vecs(vid).zipWithIndex.map { case (x, i) =>
+        sign(j, i) * math.floor(x.toDouble * (1L << 20)).toLong
+      }.sum
+      assert(v == want, s"vid=$vid dim=$j")
+    }
+  }
+
+  test("signProject is deterministic across runs and partitionings") {
+    val df = (1 to 40).map(i => (i.toLong, Seq.tabulate(8)(d => (i * 0.1f + d)))).toDF("vid", "vec")
+    val a = Similarity.signProject(df.repartition(1), "vid", "vec", 6).collect().toSet
+    val b = Similarity.signProject(df.repartition(5), "vid", "vec", 6).collect().toSet
+    assert(a == b && a.size == 240)
+  }
+}
