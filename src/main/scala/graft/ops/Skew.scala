@@ -35,4 +35,38 @@ object Skew {
       .drop("__salt")
       .drop(r(rightKey))
   }
+
+  /** EXACT heavy-key diagnostic: the `topN` hottest values of `keyCol`
+    * with their counts and exact share in parts-per-million — the report
+    * you run BEFORE choosing [[saltedJoin]]'s salt count or a bucketing
+    * layout (the sketch-based heavy-hitters query answers the same
+    * question approximately in one pass; this is the exact companion at
+    * the cost of a key-cardinality aggregate). Share is an integer DIV on
+    * longs — no doubles, replayable anywhere.
+    *
+    * Scale shape: one map-side-combined `groupBy(key)` shuffle collapses
+    * the table to key-cardinality counts; the 1-row total re-aggregates
+    * FROM THOSE COUNTS (the exchange is identical on both consumers, so
+    * Spark reuses it — the table scans once) and broadcasts back; top-N is
+    * a TakeOrdered over the counts, never a global sort of data rows. The
+    * deterministic (n DESC, key ASC) order makes rank stable under reruns.
+    */
+  def keyReport(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0)
+    val counts = df
+      .select(col(keyCol).cast("string").as("key"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts
+      .crossJoin(broadcast(total))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topN)
+      .withColumn(
+        "rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key").asc)))
+      .select(col("rank"), col("key"), col("n"),
+        expr("(n * 1000000) DIV __total").as("ppm"))
+  }
 }

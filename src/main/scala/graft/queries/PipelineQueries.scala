@@ -217,6 +217,28 @@ object PipelineQueries {
   val textLangid: Q = (spark, dir) =>
     docs(spark, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
 
+  /** Frozen linear quality classifier over the TextOps feature bundle —
+    * the "score the whole corpus with the distilled filter" step
+    * ([[graft.ops.Inference]]). Weights are DYADIC rationals (exact in
+    * binary), features are integer counts divided once, and the logit is
+    * a fixed-order IEEE chain — so the scored corpus replays bit-exactly,
+    * label included. Thresholding is on the logit (sigmoid is monotone);
+    * no transcendental ever enters the plan.
+    */
+  val inferenceQuality: Q = (spark, dir) => {
+    import graft.ops.Inference
+    val staged = docs(spark, dir)
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__ws"))
+    val logit = Inference.linearLogit(
+      -1.25,
+      Seq(
+        size(col("__ws")).cast("double") -> 0.00390625, // tokens · 2⁻⁸
+        TextOps.stopwordRatioOfTokens(col("__ws")) -> 3.0,
+        TextOps.avgWordLenOfTokens(col("__ws")) -> 0.125,
+        TextOps.punctCount(col("text")).cast("double") -> -0.03125))
+    staged.select(col("doc_id"), logit.as("logit"), Inference.label(logit).as("label"))
+  }
+
   /** Gopher-style intra-document repetition signals: duplicate-token
     * fraction (map-side HOFs) and the most-frequent bigram's share of all
     * bigrams. The bigram mode is PER-DOCUMENT work, so it runs as a
@@ -1049,6 +1071,7 @@ object PipelineQueries {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "inference_quality" -> inferenceQuality,
     "text_fingerprint" -> textFingerprint,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
@@ -1762,6 +1785,26 @@ object PipelineQueries {
          |FROM documents""".stripMargin,
     "text_langid" ->
       s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+    "inference_quality" ->
+      // the identical left-fold: ((((bias + f1·w1) + f2·w2) + f3·w3) + f4·w4)
+      // with dyadic weights — IEEE addition is order-fixed on both sides
+      s"""WITH l AS (
+         |  SELECT doc_id,
+         |    ((((-1.25)
+         |      + CAST(len($wordsSql) AS DOUBLE) * 0.00390625)
+         |      + (CASE WHEN len($wordsSql) = 0 THEN 0.0
+         |              ELSE CAST(len(list_filter($wordsSql, w -> list_contains($enStopSql, w))) AS DOUBLE)
+         |                   / len($wordsSql) END) * 3.0)
+         |      + (CASE WHEN len($wordsSql) = 0 THEN 0.0
+         |              ELSE CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS DOUBLE)
+         |                   / len($wordsSql) END) * 0.125)
+         |      + CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) * (-0.03125)
+         |      AS logit
+         |  FROM documents)
+         |SELECT doc_id, logit,
+         |  CASE WHEN logit IS NULL THEN NULL
+         |       ELSE CAST(logit > 0 AS INTEGER) END AS label
+         |FROM l""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     // md5-token rolling hash replayed value-for-value: per-token value =

@@ -310,6 +310,13 @@ object RelationalQueries {
       t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag")),
       "l_orderkey", "l_returnflag")
 
+  /** Exact heavy-key report over the event stream's user ids — the
+    * diagnostic run before sizing salts/buckets; integer-ppm shares and a
+    * deterministic (n DESC, key ASC) rank replay exactly.
+    */
+  val skewReport: Q = (spark, dir) =>
+    graft.ops.Skew.keyReport(Tables.eventsDf(spark, dir), "user_id", topN = 20)
+
   /** JSON extraction from the props payload. */
   val eventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir).toDF()
@@ -582,6 +589,7 @@ object RelationalQueries {
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
+    "skew_report" -> skewReport,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -888,6 +896,16 @@ object RelationalQueries {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    "skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS INTEGER) AS rank,
+        |  key, n, (n * 1000000) // total AS ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, key ASC
+        |LIMIT 20""".stripMargin,
     "label_majority" ->
       """WITH c AS (
         |  SELECT l_orderkey, l_returnflag AS label, count(*) AS votes_top

@@ -172,4 +172,41 @@ class CurationOpsSpec extends AnyFunSuite {
     val b = Similarity.signProject(df.repartition(5), "vid", "vec", 6).collect().toSet
     assert(a == b && a.size == 240)
   }
+
+  // ------------------------------------------------------ linear inference
+
+  test("linearLogit folds left in the declared order; label thresholds on 0") {
+    val df = Seq((1L, 2.0, 10.0), (2L, -1.0, 0.0), (3L, 0.0, 0.0)).toDF("id", "f1", "f2")
+    val logit = Inference.linearLogit(-1.0, Seq(col("f1") -> 0.5, col("f2") -> 0.125))
+    val out = df.select(col("id"), logit.as("l"), Inference.label(logit).as("y"))
+      .as[(Long, Double, Int)].collect().sortBy(_._1)
+    // ((-1.0 + 2.0·0.5) + 10.0·0.125) = 1.25 → 1
+    assert(out(0) == ((1L, 1.25, 1)))
+    assert(out(1) == ((2L, -1.5, 0)))
+    assert(out(2) == ((3L, -1.0, 0)))
+  }
+
+  test("label propagates null features as null, not as a silent class") {
+    val df = Seq((1L, Some(4.0)), (2L, None)).toDF("id", "f")
+    val logit = Inference.linearLogit(0.0, Seq(col("f") -> 1.0))
+    val out = df.select(col("id"), Inference.label(logit).as("y"))
+      .as[(Long, Option[Int])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, Some(1)), (2L, None)))
+  }
+
+  // ------------------------------------------------------ heavy-key report
+
+  test("keyReport: exact counts, ppm shares, deterministic rank under ties") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
+      .toDF("k")
+    val out = Skew.keyReport(df, "k", topN = 3)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    // total 13; b and c tie at 3 → key order breaks the tie
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, "a", 6L), (2, "b", 3L), (3, "c", 3L)))
+    assert(out.head._4 == 6L * 1000000 / 13)
+    val all = Skew.keyReport(df.repartition(5), "k", topN = 3)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(all.toSeq == out.toSeq, "partitioning-invariant")
+  }
 }
