@@ -21,14 +21,17 @@ import org.apache.spark.sql.functions._
   * mad` (1.4826 ≈ the normal-consistency constant, carried as the exact
   * rational 14826/10000).
   *
-  * Scale shape — exact medians WITHOUT a per-group full sort: the grid
-  * compresses each group to a VALUE HISTOGRAM first (`groupBy(group, q)`
-  * partial-aggregates map-side, so 100 TB of points shuffles only
-  * distinct-grid-value counts), then rank selection runs a cumulative sum
-  * over the histogram inside a per-group window — partition size = distinct
-  * values, not points. The two medians are two such passes; the per-group
-  * (med, mad) rows then broadcast back into a map-side flag over the raw
-  * stream. Nothing point-sized ever shuffles twice, no driver state.
+  * Scale shape — ONE scan of the table, exact medians WITHOUT a per-group
+  * full sort: the grid compresses the stream to a VALUE HISTOGRAM
+  * (`groupBy(group, q)` partial-aggregates map-side, so 100 TB of points
+  * shuffles only distinct-grid-value counts), and that histogram is
+  * materialized ONCE (`localCheckpoint`, the engine's discipline — it is
+  * distinct-values-sized, not point-sized). Every later stage derives
+  * from it: the median by a cumulative-count window (partition size =
+  * distinct values, not points), the DEVIATION histogram by a broadcast
+  * join + re-aggregation of the histogram itself (never the raw stream),
+  * the MAD from that, and the summary — counts, medians, Hampel tallies —
+  * by weighting histogram bins. The raw table is never read twice.
   *
   * No reference analog — pipeline-extension layer.
   */
@@ -42,29 +45,51 @@ object Outliers {
   private def grid(c: org.apache.spark.sql.Column) =
     floor(c.cast("double") * GridScale.toDouble).cast("long")
 
-  /** Lower median of `valCol` per `groupCol` via histogram rank selection.
-    * Input must be (group, value-long) rows; output one (group, median) row
-    * per group.
+  /** Lower median from a (group, value, count) histogram via rank
+    * selection: the smallest value whose cumulative count reaches
+    * `(n+1) div 2`. One (group, median) row per group.
     */
-  private def lowerMedian(
-      points: DataFrame,
+  private def lowerMedianHist(
+      hist: DataFrame,
       groupCol: String,
-      valCol: String): DataFrame = {
-    val hist = points.groupBy(col(groupCol), col(valCol))
-      .agg(count(lit(1)).as("__c"))
+      valCol: String,
+      cntCol: String): DataFrame = {
     val byVal = Window.partitionBy(groupCol)
       .orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(groupCol)
-    // the lower median is the smallest grid value whose cumulative count
-    // reaches rank (n+1) div 2 — DIV keeps the rank in exact long math
     hist
-      .withColumn("__cum", sum(col("__c")).over(byVal))
-      .withColumn("__n", sum(col("__c")).over(all))
-      .withColumn("__r", expr("(__n + 1) DIV 2"))
-      .filter(col("__cum") - col("__c") < col("__r") && col("__r") <= col("__cum"))
+      .withColumn("__cum", sum(col(cntCol)).over(byVal))
+      .withColumn("__n", sum(col(cntCol)).over(all))
+      .withColumn("__r", expr(s"(__n + 1) DIV 2"))
+      .filter(col("__cum") - col(cntCol) < col("__r") && col("__r") <= col("__cum"))
       .select(col(groupCol), col(valCol).as("__med"))
   }
+
+  /** The materialized (group, grid-value, count) histogram — the ONE pass
+    * over the raw stream that every later stage derives from.
+    */
+  private def valueHist(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), grid(col(valueCol)).as("__q"))
+      .groupBy(col(groupCol), col("__q"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+
+  /** The (group, deviation, count) histogram, derived from the value
+    * histogram alone — histogram-sized work, no raw re-scan.
+    */
+  private def devHist(hist: DataFrame, groupCol: String): DataFrame =
+    hist.join(broadcast(lowerMedianHist(hist, groupCol, "__q", "__c")
+        .withColumnRenamed("__med", "__gmed")), Seq(groupCol))
+      .select(col(groupCol), abs(col("__q") - col("__gmed")).as("__dev"),
+        col("__c"), col("__gmed"))
+      .groupBy(col(groupCol), col("__dev"), col("__gmed"))
+      .agg(sum(col("__c")).as("__c"))
+      .localCheckpoint(true)
 
   /** Per-group robust summary: group, n, median and MAD (both on the 2^20
     * grid), and the Hampel outlier count at threshold `k`. Null values are
@@ -75,33 +100,26 @@ object Outliers {
       groupCol: String,
       valueCol: String,
       k: Int = 3): DataFrame = {
-    val pts = df
-      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol), grid(col(valueCol)).as("__q"))
-    val med = lowerMedian(pts, groupCol, "__q")
-      .withColumnRenamed("__med", "__gmed")
-    // deviations reuse the same histogram trick for the MAD median
-    val dev = pts.join(broadcast(med), Seq(groupCol))
-      .select(col(groupCol), col("__q"),
-        abs(col("__q") - col("__gmed")).as("__dev"), col("__gmed"))
-    val mad = lowerMedian(dev.select(col(groupCol), col("__dev")), groupCol, "__dev")
+    val dh = devHist(valueHist(df, groupCol, valueCol), groupCol)
+    val mad = lowerMedianHist(dh, groupCol, "__dev", "__c")
       .withColumnRenamed("__med", "__gmad")
-    dev.join(broadcast(mad), Seq(groupCol))
+    dh.join(broadcast(mad), Seq(groupCol))
       .groupBy(groupCol)
       .agg(
-        count(lit(1)).as("n"),
+        sum(col("__c")).as("n"),
         first(col("__gmed")).as("median_grid"),
         first(col("__gmad")).as("mad_grid"),
         sum(when(
-          col("__dev") * MadDenom > lit(k) * MadNumer * col("__gmad"), 1L)
+          col("__dev") * MadDenom > lit(k) * MadNumer * col("__gmad"), col("__c"))
           .otherwise(0L)).as("n_outliers"))
   }
 
-  /** Row-level flag form: the input rows of one group joined with their
-    * robust deviation verdict — `idCol` rows where
-    * `|q - med| · 10⁴ > k · 14826 · mad`. The summary is the dashboard
-    * shape; this is the quarantine shape (route the flagged rows out of a
-    * training mix).
+  /** Row-level flag form: the input rows whose deviation trips the Hampel
+    * test — the quarantine shape (route flagged rows out of a training
+    * mix). Derives (med, mad) from the histogram pipeline, then takes ONE
+    * more pass over the raw stream for the row output (inherent: the
+    * result is row-sized); both stats ride in as broadcasts, so the second
+    * pass is a map-side filter.
     */
   def flagged(
       df: DataFrame,
@@ -109,17 +127,17 @@ object Outliers {
       valueCol: String,
       idCol: String,
       k: Int = 3): DataFrame = {
-    val pts = df
-      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(idCol), col(groupCol), col(valueCol), grid(col(valueCol)).as("__q"))
-    val med = lowerMedian(pts.select(col(groupCol), col("__q")), groupCol, "__q")
+    val hist = valueHist(df, groupCol, valueCol)
+    val med = lowerMedianHist(hist, groupCol, "__q", "__c")
       .withColumnRenamed("__med", "__gmed")
-    val dev = pts.join(broadcast(med), Seq(groupCol))
-      .withColumn("__dev", abs(col("__q") - col("__gmed")))
-    val mad = lowerMedian(dev.select(col(groupCol), col("__dev")), groupCol, "__dev")
+    val mad = lowerMedianHist(devHist(hist, groupCol), groupCol, "__dev", "__c")
       .withColumnRenamed("__med", "__gmad")
-    dev.join(broadcast(mad), Seq(groupCol))
-      .filter(col("__dev") * MadDenom > lit(k) * MadNumer * col("__gmad"))
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol), grid(col(valueCol)).as("__q"))
+      .join(broadcast(med), Seq(groupCol))
+      .join(broadcast(mad), Seq(groupCol))
+      .filter(abs(col("__q") - col("__gmed")) * MadDenom >
+        lit(k) * MadNumer * col("__gmad"))
       .select(col(idCol), col(groupCol), col(valueCol))
   }
 }

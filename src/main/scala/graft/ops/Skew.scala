@@ -45,11 +45,14 @@ object Skew {
     * longs — no doubles, replayable anywhere.
     *
     * Scale shape: one map-side-combined `groupBy(key)` shuffle collapses
-    * the table to key-cardinality counts; the 1-row total re-aggregates
-    * FROM THOSE COUNTS (the exchange is identical on both consumers, so
-    * Spark reuses it — the table scans once) and broadcasts back; top-N is
-    * a TakeOrdered over the counts, never a global sort of data rows. The
-    * deterministic (n DESC, key ASC) order makes rank stable under reruns.
+    * the table to key-cardinality counts, which are MATERIALIZED once
+    * (`localCheckpoint` — counts are key-cardinality-sized, not
+    * row-sized); the 1-row total and the top-N both derive from that
+    * materialization, so the table scans exactly once (plan-audited — the
+    * naive two-consumer form re-scans, ReuseExchange notwithstanding).
+    * Top-N is a TakeOrdered over the counts, never a global sort of data
+    * rows. The deterministic (n DESC, key ASC) order makes rank stable
+    * under reruns.
     */
   def keyReport(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     require(topN > 0)
@@ -57,6 +60,7 @@ object Skew {
       .select(col(keyCol).cast("string").as("key"))
       .groupBy("key")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val total = counts.agg(sum(col("n")).as("__total"))
     counts
       .crossJoin(broadcast(total))

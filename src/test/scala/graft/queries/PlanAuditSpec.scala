@@ -325,6 +325,46 @@ class PlanAuditSpec extends AnyFunSuite {
       "the top-k must be bounded heaps, never a global sort")
   }
 
+  test("scd2_users: one key shuffle serves all three window passes and the run agg") {
+    val p = plan("scd2_users")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"gaps-and-islands must reuse the user_id partitioning end-to-end:\n$p")
+  }
+
+  test("label_majority: vote-pair partial agg + key window, rank pushed to group limit") {
+    val p = plan("label_majority")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"(item,label) agg shuffle + item window shuffle only:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "the rn=1 filter must push into WindowGroupLimit (bounded per-key state)")
+  }
+
+  test("inference_quality: scoring the corpus plans ZERO exchanges") {
+    val p = plan("inference_quality")
+    assert(!p.contains("Exchange"), s"inference is scan-speed map work:\n$p")
+  }
+
+  test("embedding_project: projection is one map-side generate, zero exchanges") {
+    val p = plan("embedding_project")
+    assert(!p.contains("Exchange"), s"JL projection must not shuffle:\n$p")
+    assert(count(p, "Generate posexplode") == 1, p)
+  }
+
+  test("skew_report: counts materialize once — the final plan re-reads NO parquet") {
+    val p = plan("skew_report")
+    assert(!p.contains("FileScan parquet"),
+      s"both total and top-N must derive from the one materialized count set:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-N must be a bounded heap")
+  }
+
+  test("events_outliers: all stats derive from checkpointed histograms, stats broadcast") {
+    val p = plan("events_outliers")
+    assert(!p.contains("FileScan parquet"),
+      s"the raw table is scanned once, in the histogram job — never again:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "per-group stats must ride broadcasts")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("text_dupgrams: grams generated ONCE, digests shuffle, text never does") {
     val p = plan("text_dupgrams")
     // one explode for gram generation (the join-back formulation would
