@@ -84,4 +84,50 @@ object Checks {
     df.filter(cols.map(col(_).isNull).reduce(_ || _))
       .agg(count(lit(1)).as("violations"))
   }
+
+  /** Per-group Pearson correlation with EXACT sufficient statistics:
+    * `corr` accumulates `Σx, Σy, Σxy, Σx², Σy²` in floating point, where
+    * the sums' value (and hence the last digits of r) depends on partition
+    * count and reduce order — a correlation that changes when the cluster
+    * resizes. Here the inputs land on the 2^20 integer grid and all five
+    * sums accumulate as DECIMAL(38,0) — exact, order-free, shuffle-stable
+    * — then combine once in a FIXED-ORDER double expression (casts and
+    * sqrt are correctly-rounded IEEE), so r is bit-identical on any
+    * partitioning and any engine.
+    *
+    * Scale shape: one map-side-combined `groupBy` carrying five decimal
+    * partials — the same single-shuffle motion as `corr` itself. Zero- or
+    * single-point groups and zero-variance groups return null r (not NaN,
+    * not a crash).
+    */
+  def corrExact(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      gridScale: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def grid(c: String) = floor(col(c).cast("double") * gridScale.toDouble).cast("long")
+    val d19 = DecimalType(19, 0)
+    val agg0 = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), grid(xCol).as("__x"), grid(yCol).as("__y"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast(d19)).as("__sx"),
+        sum(col("__y").cast(d19)).as("__sy"),
+        sum(col("__x").cast(d19) * col("__y").cast(d19)).as("__sxy"),
+        sum(col("__x").cast(d19) * col("__x").cast(d19)).as("__sxx"),
+        sum(col("__y").cast(d19) * col("__y").cast(d19)).as("__syy"))
+    // fixed-order double combine over the exact decimal sums
+    val nD = col("n").cast("double")
+    val num = nD * col("__sxy").cast("double") - col("__sx").cast("double") * col("__sy").cast("double")
+    val vx = nD * col("__sxx").cast("double") - col("__sx").cast("double") * col("__sx").cast("double")
+    val vy = nD * col("__syy").cast("double") - col("__sy").cast("double") * col("__sy").cast("double")
+    agg0.select(
+      col(groupCol), col("n"),
+      when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy)))
+        .otherwise(lit(null).cast("double")).as("corr"))
+  }
 }

@@ -188,4 +188,54 @@ object Vectorize {
     TopK.perKey(scored, Seq("query_id"), "cos", idCol, k)
       .select(col("query_id"), col(idCol), col("cos"))
   }
+
+  /** Equal-frequency (quantile) binning of a numeric column into `k`
+    * buckets — the featurization standard for skewed magnitudes (prices,
+    * token counts, engagement) where equal-WIDTH bins collapse to one hot
+    * bucket. Boundary `j` is the value at exact rank `⌈j·n/k⌉` under the
+    * grid order; a row's bucket is the number of boundaries strictly
+    * below its value, so TIES ARE STABLE — equal values always share a
+    * bucket (the documented trade: heavy ties make bucket populations
+    * uneven rather than splitting a value across buckets).
+    *
+    * Exactness: values land on the 2^20 grid (one IEEE multiply+floor);
+    * ranks are exact long arithmetic (`(j·n + k−1) DIV k`); assignment
+    * compares longs — the whole (id, value_grid, bucket) output replays
+    * bit-for-bit.
+    *
+    * Scale shape: the grid histogram partial-aggregates map-side and is
+    * MATERIALIZED once (distinct-grid-values-sized — bounded by value
+    * range · 2^20, not by row count); boundaries come from a cumulative
+    * window over that histogram (single-partition over distinct values —
+    * the documented cardinality contract, same as any exact-quantile
+    * pass); the k−1 boundaries then broadcast into a map-side bucket
+    * assignment. Two scans of the raw column total (histogram + assign),
+    * inherent to a row-sized output.
+    */
+  def binEqualFreq(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      k: Int,
+      gridScale: Long = 1L << 20): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    val pts = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(idCol),
+        floor(col(valueCol).cast("double") * gridScale.toDouble).cast("long").as("__v"))
+    val hist = pts.groupBy(col("__v")).agg(count(lit(1)).as("__c")).localCheckpoint(true)
+    val cumW = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = hist
+      .crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__j", explode(sequence(lit(1), lit(k - 1))))
+      .filter(col("__cum") >= expr(s"(__j * __n + ${k - 1}) DIV $k"))
+      .groupBy(col("__j"))
+      .agg(min(col("__v")).as("__b"))
+      .agg(sort_array(collect_list(col("__b"))).as("__bs"))
+    pts
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol), col("__v").as("value_grid"),
+        size(filter(col("__bs"), b => col("__v") > b)).as("bucket"))
+  }
 }

@@ -317,6 +317,32 @@ object RelationalQueries {
   val skewReport: Q = (spark, dir) =>
     graft.ops.Skew.keyReport(Tables.eventsDf(spark, dir), "user_id", topN = 20)
 
+  /** Half-life-decayed per-user engagement (24 h half-life): dyadic decay
+    * as arithmetic shifts of grid longs — recency weighting with zero
+    * libm calls, summed order-free. The reference instant is the stream's
+    * own max timestamp (one 1-row driver probe, like the ANN dim probe).
+    */
+  val eventsDecay: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+    val ref = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    graft.ops.Decay.score(ev, "user_id", "ts", "value", ref, halfLifeHours = 24)
+  }
+
+  /** Equal-frequency binning of order totals into 8 buckets — exact rank
+    * boundaries on the 2^20 grid, tie-stable assignment.
+    */
+  val featureBins: Q = (spark, dir) =>
+    graft.ops.Vectorize.binEqualFreq(
+      t(spark, dir, "orders"), "o_orderkey", "o_totalprice", k = 8)
+
+  /** Pearson correlation of quantity vs extended price per return flag,
+    * from EXACT decimal sufficient statistics — partitioning-stable to
+    * the last bit, unlike the builtin float-accumulating `corr`.
+    */
+  val corrExact: Q = (spark, dir) =>
+    graft.ops.Checks.corrExact(
+      t(spark, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
+
   /** JSON extraction from the props payload. */
   val eventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir).toDF()
@@ -590,6 +616,9 @@ object RelationalQueries {
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
     "skew_report" -> skewReport,
+    "events_decay" -> eventsDecay,
+    "feature_bins" -> featureBins,
+    "corr_exact" -> corrExact,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -896,6 +925,71 @@ object RelationalQueries {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type""".stripMargin,
+    "events_decay" ->
+      // dyadic decay: grid value >> exact-floor-div'd age steps; both
+      // engines shift arithmetically, ages are exact µs longs
+      """WITH r AS (SELECT max(ts) AS ref FROM events),
+        |e AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 1048576.0) AS BIGINT) AS q,
+        |    CAST(LEAST((epoch_us(r.ref) - epoch_us(ts)) // 86400000000, 62)
+        |         AS INTEGER) AS k
+        |  FROM events, r
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL AND ts <= r.ref)
+        |SELECT user_id, CAST(SUM(q >> k) AS BIGINT) AS score,
+        |  count(*) AS n_events
+        |FROM e GROUP BY user_id""".stripMargin,
+    "feature_bins" ->
+      // boundaries at exact ranks ⌈j·n/8⌉ over the grid histogram;
+      // bucket = number of boundaries strictly below the value
+      """WITH q AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |h AS (SELECT v, count(*) AS c FROM q GROUP BY v),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm,
+        |    (SELECT count(*) FROM q) AS n
+        |  FROM h),
+        |j AS (SELECT unnest(generate_series(1, 7)) AS j),
+        |bnd AS (
+        |  SELECT j.j, MIN(cum.v) AS b FROM j, cum
+        |  WHERE cum.cm >= (j.j * cum.n + 7) // 8
+        |  GROUP BY j.j)
+        |SELECT q.o_orderkey, q.v AS value_grid,
+        |  CAST(COALESCE(SUM(CASE WHEN q.v > bnd.b THEN 1 ELSE 0 END), 0)
+        |       AS INTEGER) AS bucket
+        |FROM q LEFT JOIN bnd ON TRUE
+        |GROUP BY q.o_orderkey, q.v""".stripMargin,
+    "corr_exact" ->
+      // exact decimal sufficient statistics, then ONE fixed-order double
+      // combine — casts/sqrt/divide are correctly-rounded IEEE on both
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 1048576.0) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+        |  FROM g GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |       ELSE NULL END AS corr
+        |FROM s""".stripMargin,
     "skew_report" ->
       """WITH c AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n

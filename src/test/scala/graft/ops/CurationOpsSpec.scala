@@ -196,6 +196,66 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ heavy-key report
 
+  // ---------------------------------------------------- half-life decay
+
+  test("decay score halves per elapsed half-life, excludes post-ref events") {
+    val ref = ts("2024-01-10 00:00:00")
+    val df = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 8.0),  // age 0 → full 8·2^20
+      (1L, ts("2024-01-09 00:00:00"), 8.0),  // 24 h → one half-life → 4·2^20
+      (1L, ts("2024-01-07 23:00:00"), 8.0),  // 49 h → two half-lives → 2·2^20
+      (1L, ts("2024-01-11 00:00:00"), 100.0) // after ref → excluded
+    ).toDF("user", "t", "v")
+    val out = Decay.score(df, "user", "t", "v", ref, halfLifeHours = 24)
+      .as[(Long, Long, Long)].collect().head
+    assert(out._3 == 3L, "post-ref event must not count")
+    assert(out._2 == (8L << 20) + (4L << 20) + (2L << 20))
+  }
+
+  test("decay shift floors negative grid values like the oracle's >>") {
+    val ref = ts("2024-01-02 00:00:00")
+    // -3·2^20 >> 1 = -1572864 (arithmetic shift floors toward -inf)
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), -3.0)).toDF("user", "t", "v")
+    val out = Decay.score(df, "user", "t", "v", ref, halfLifeHours = 24)
+      .as[(Long, Long, Long)].collect().head
+    assert(out._2 == (-3L << 20) >> 1)
+  }
+
+  // ------------------------------------------------ equal-frequency bins
+
+  test("binEqualFreq: exact rank boundaries, tie-stable, partition-invariant") {
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Vectorize.binEqualFreq(df, "id", "v", k = 4)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq == Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    // all-equal values: one bucket, never split
+    val ties = (1 to 10).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val tb = Vectorize.binEqualFreq(ties, "id", "v", k = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(tb.map(_._3).distinct.toSeq == Seq(0))
+    val a = Vectorize.binEqualFreq(df.repartition(5), "id", "v", 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == out.toSet)
+  }
+
+  // ------------------------------------------------------ exact Pearson
+
+  test("corrExact: ±1 on exact linear data, null on zero variance, stable bits") {
+    val df = ((1 to 100).map(i => ("up", i.toDouble, 2.0 * i)) ++
+      (1 to 100).map(i => ("down", i.toDouble, -3.0 * i)) ++
+      (1 to 50).map(i => ("flat", i.toDouble, 7.0))).toDF("g", "x", "y")
+    val out = Checks.corrExact(df, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(out("up")._3.get - 1.0) < 1e-12)
+    assert(math.abs(out("down")._3.get + 1.0) < 1e-12)
+    assert(out("flat")._3.isEmpty, "zero variance must be null, not NaN")
+    // bit-stability across partitionings — the reason this op exists
+    val bits = (n: Int) => Checks.corrExact(df.repartition(n), "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3.map(java.lang.Double.doubleToLongBits)).toMap
+    assert(bits(1) == bits(7))
+  }
+
   test("keyReport: exact counts, ppm shares, deterministic rank under ties") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
       .toDF("k")
