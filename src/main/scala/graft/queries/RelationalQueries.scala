@@ -343,6 +343,19 @@ object RelationalQueries {
     graft.ops.Checks.corrExact(
       t(spark, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
 
+  /** Integer-exact PageRank (3 iterations) over the bipartite
+    * order↔part graph from lineitem (node ids namespaced even/odd) —
+    * every iteration replays exactly as an unrolled SQL CTE chain because
+    * scores, damping, and contributions are all integer arithmetic.
+    */
+  val graphPagerank: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(
+      (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
+    val edges = li.select(col("o").as("src"), col("p").as("dst"))
+      .union(li.select(col("p").as("src"), col("o").as("dst")))
+    graft.ops.Graph.pageRankExact(edges, iterations = 3)
+  }
+
   /** JSON extraction from the props payload. */
   val eventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir).toDF()
@@ -468,7 +481,7 @@ object RelationalQueries {
       .orderBy(col("ts_us"))
       .rangeBetween(-3600L * 1000000L, 0L) // trailing hour, inclusive
     Tables.events(spark, dir).toDF()
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", unix_micros(col("ts")))
       .select(
         col("event_id"),
         col("user_id"),
@@ -619,6 +632,7 @@ object RelationalQueries {
     "events_decay" -> eventsDecay,
     "feature_bins" -> featureBins,
     "corr_exact" -> corrExact,
+    "graph_pagerank" -> graphPagerank,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -990,6 +1004,30 @@ object RelationalQueries {
         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |       ELSE NULL END AS corr
         |FROM s""".stripMargin,
+    "graph_pagerank" ->
+      // the same three integer iterations, unrolled: per-edge floor-div
+      // contributions, exact long sums, rational damping by integer DIV
+      """WITH b AS (SELECT l_orderkey * 2 AS o, l_partkey * 2 + 1 AS p FROM lineitem),
+        |e AS (SELECT DISTINCT src, dst FROM
+        |       (SELECT o AS src, p AS dst FROM b UNION ALL SELECT p, o FROM b)),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+        |n AS (SELECT DISTINCT node FROM
+        |       (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |s0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS s FROM n),
+        |i1 AS (SELECT ed.dst AS node, SUM(s0.s // ed.d) AS inp
+        |       FROM ed JOIN s0 ON ed.src = s0.node GROUP BY ed.dst),
+        |s1 AS (SELECT n.node, 164926744166 + (17 * COALESCE(i1.inp, 0)) // 20 AS s
+        |       FROM n LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT ed.dst AS node, SUM(s1.s // ed.d) AS inp
+        |       FROM ed JOIN s1 ON ed.src = s1.node GROUP BY ed.dst),
+        |s2 AS (SELECT n.node, 164926744166 + (17 * COALESCE(i2.inp, 0)) // 20 AS s
+        |       FROM n LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT ed.dst AS node, SUM(s2.s // ed.d) AS inp
+        |       FROM ed JOIN s2 ON ed.src = s2.node GROUP BY ed.dst),
+        |s3 AS (SELECT n.node, 164926744166 + (17 * COALESCE(i3.inp, 0)) // 20 AS s
+        |       FROM n LEFT JOIN i3 USING (node))
+        |SELECT node, CAST(s AS BIGINT) AS score FROM s3""".stripMargin,
     "skew_report" ->
       """WITH c AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n

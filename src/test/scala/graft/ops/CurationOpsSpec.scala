@@ -256,6 +256,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bits(1) == bits(7))
   }
 
+  // ------------------------------------------------- integer PageRank
+
+  test("pageRankExact: hand-checked 2-cycle, hub dominance, partition-invariant") {
+    // 2-cycle: symmetric nodes stay equal; one iteration from uniform
+    // 2^40 gives base + (17·(2^40 DIV 1)) DIV 20 exactly
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val one = Graph.pageRankExact(cyc, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    val base = 3L * (1L << 40) / 20L
+    assert(one(1L) == base + (17L * (1L << 40)) / 20L)
+    assert(one(1L) == one(2L), "symmetric graph → equal ranks")
+    // star: the hub must outrank every leaf after 2 iterations
+    val star = (2L to 6L).flatMap(l => Seq((l, 1L), (1L, l))).toDF("src", "dst")
+    val pr = Graph.pageRankExact(star, iterations = 2).as[(Long, Long)].collect().toMap
+    assert((2L to 6L).forall(l => pr(1L) > pr(l)))
+    val a = Graph.pageRankExact(star.repartition(5), 2).as[(Long, Long)].collect().toMap
+    assert(a == pr, "integer iteration must be partitioning-invariant")
+  }
+
   test("keyReport: exact counts, ppm shares, deterministic rank under ties") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
       .toDF("k")
