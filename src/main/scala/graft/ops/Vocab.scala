@@ -53,4 +53,41 @@ object Vocab {
       .agg(sum(col("wfreq")).as("pfreq"))
       .orderBy(col("pfreq").desc, col("pair"))
       .limit(k)
+
+  /** Vocabulary coverage: per document, total token occurrences and how
+    * many fall OUTSIDE the corpus' own top-`vocabSize` words — the OOV
+    * signal that decides tokenizer vocab sizes and flags
+    * wrong-language/garbage documents (high OOV against the corpus vocab)
+    * before training. Counts ship as the exact (n_tokens, n_oov) long
+    * pair; the rate is the consumer's division.
+    *
+    * Determinism: the vocab cut line orders by (freq DESC, word ASC), so
+    * boundary ties resolve identically everywhere.
+    *
+    * Scale shape: the vocab is `vocabSize` rows (TakeOrdered over the
+    * word-count aggregate) and BROADCASTS into a map-side membership
+    * probe of the exploded token stream; the only corpus-sized shuffles
+    * are the two partial-agg'd counts (word build, per-doc tally). Two
+    * corpus scans total (vocab pass + tally pass) — inherent to deriving
+    * the vocab from the same corpus; pass a pre-built vocab-bearing df
+    * to [[wordCounts]] consumers to amortize across runs. Documents with
+    * no tokens produce no row (explode semantics).
+    */
+  def oovRate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab = wordCounts(df, textCol)
+      .orderBy(col("wfreq").desc, col("word"))
+      .limit(vocabSize)
+      .select(col("word"), lit(1).as("__in"))
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
 }

@@ -217,6 +217,12 @@ object PipelineQueries {
   val textLangid: Q = (spark, dir) =>
     docs(spark, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
 
+  /** Per-document OOV tally against the corpus' own top-100 vocabulary —
+    * exact long counts, deterministic vocab cut line.
+    */
+  val textOov: Q = (spark, dir) =>
+    Vocab.oovRate(docs(spark, dir), "doc_id", "text", vocabSize = 100)
+
   /** Frozen linear quality classifier over the TextOps feature bundle —
     * the "score the whole corpus with the distilled filter" step
     * ([[graft.ops.Inference]]). Weights are DYADIC rationals (exact in
@@ -1071,6 +1077,7 @@ object PipelineQueries {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_oov" -> textOov,
     "inference_quality" -> inferenceQuality,
     "text_fingerprint" -> textFingerprint,
     "text_rolling" -> textRolling,
@@ -1785,6 +1792,20 @@ object PipelineQueries {
          |FROM documents""".stripMargin,
     "text_langid" ->
       s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+    "text_oov" ->
+      // same tokenization, same (freq DESC, word ASC) vocab cut, same
+      // occurrence-counting membership tally
+      s"""WITH w AS (
+         |  SELECT unnest($wordsSql) AS word FROM documents WHERE text IS NOT NULL),
+         |wc AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+         |v AS (SELECT word FROM wc ORDER BY c DESC, word LIMIT 100),
+         |t AS (
+         |  SELECT doc_id, unnest($wordsSql) AS word
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |FROM t LEFT JOIN v ON t.word = v.word
+         |GROUP BY t.doc_id""".stripMargin,
     "inference_quality" ->
       // the identical left-fold: ((((bias + f1·w1) + f2·w2) + f3·w3) + f4·w4)
       // with dyadic weights — IEEE addition is order-fixed on both sides

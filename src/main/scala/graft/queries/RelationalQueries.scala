@@ -516,6 +516,31 @@ object RelationalQueries {
       Tables.events(spark, dir).toDF(),
       "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
 
+  /** Time-to-convert per funnel hop: exact lower median / lower p90 of the
+    * entry-to-entry latency in whole seconds, rank-selected over a
+    * second-granularity histogram — the latency companion of
+    * `events_funnel`.
+    */
+  val funnelLatency: Q = (spark, dir) =>
+    graft.ops.Funnel.transitionStats(
+      Tables.events(spark, dir).toDF(),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  /** Weekly active users with the prior week alongside — the growth-
+    * accounting staple; the ratio is the consumer's long/long division.
+    */
+  val eventsWow: Q = (spark, dir) => {
+    val wk = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("__wk"))
+      .distinct()
+      .groupBy(col("__wk"))
+      .agg(count(lit(1)).as("wau"))
+    wk.withColumn("prev_wau",
+        lag(col("wau"), 1).over(Window.orderBy(col("__wk"))))
+      .select(date_format(col("__wk"), "yyyy-MM-dd").as("week"),
+        col("wau"), col("prev_wau"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -596,6 +621,8 @@ object RelationalQueries {
 
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
+    "funnel_latency" -> funnelLatency,
+    "events_wow" -> eventsWow,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
     "profile_orders" -> profileOrders,
@@ -701,6 +728,46 @@ object RelationalQueries {
         |SELECT 'click', 1, count(*) FROM c
         |UNION ALL
         |SELECT 'purchase', 2, count(*) FROM p""".stripMargin,
+    "funnel_latency" ->
+      // the funnel entry CTEs + second-floored gaps + the same two rank
+      // selections over the latency histogram
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(ts) AS t1 FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts >= t0 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts >= t1 GROUP BY e.user_id),
+        |g AS (
+        |  SELECT 'view' AS stage_from, 'click' AS stage_to, 0 AS step,
+        |    (epoch_us(t1) - epoch_us(t0)) // 1000000 AS gap_s
+        |  FROM v JOIN c USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click', 'purchase', 1,
+        |    (epoch_us(t2) - epoch_us(t1)) // 1000000
+        |  FROM c JOIN p USING (user_id)),
+        |h AS (
+        |  SELECT stage_from, stage_to, step, gap_s, count(*) AS cc
+        |  FROM g GROUP BY stage_from, stage_to, step, gap_s),
+        |w AS (
+        |  SELECT *,
+        |    sum(cc) OVER (PARTITION BY step ORDER BY gap_s
+        |                  ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cc) OVER (PARTITION BY step) AS n
+        |  FROM h)
+        |SELECT stage_from, stage_to, CAST(MAX(n) AS BIGINT) AS n_conv,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap_s END) AS med_gap_s,
+        |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_s END) AS p90_gap_s
+        |FROM w GROUP BY stage_from, stage_to""".stripMargin,
+    "events_wow" ->
+      """WITH wk AS (
+        |  SELECT date_trunc('week', ts) AS w, count(DISTINCT user_id) AS wau
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(w, '%Y-%m-%d') AS week, wau,
+        |  lag(wau) OVER (ORDER BY w) AS prev_wau
+        |FROM wk""".stripMargin,
     "events_enrich" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value

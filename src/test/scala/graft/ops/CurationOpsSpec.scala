@@ -256,6 +256,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bits(1) == bits(7))
   }
 
+  // --------------------------------------------- funnel transition stats
+
+  test("transitionStats: exact lower median/p90 of hop latency, ordered entries only") {
+    def ev(u: Long, t: String, ty: String) = (u, ty, ts(t))
+    val df = Seq(
+      // user 1: view→click 10 s, click→purchase 100 s
+      ev(1, "2024-01-01 00:00:00", "view"), ev(1, "2024-01-01 00:00:10", "click"),
+      ev(1, "2024-01-01 00:01:50", "purchase"),
+      // user 2: view→click 20 s, no purchase
+      ev(2, "2024-01-01 00:00:00", "view"), ev(2, "2024-01-01 00:00:20", "click"),
+      // user 3: click BEFORE view — never enters the click stage
+      ev(3, "2024-01-01 00:00:30", "view"), ev(3, "2024-01-01 00:00:00", "click"),
+      // user 4: view→click 30 s
+      ev(4, "2024-01-01 00:00:00", "view"), ev(4, "2024-01-01 00:00:30", "click")
+    ).toDF("user_id", "event_type", "t")
+    val out = Funnel.transitionStats(df, "user_id", "event_type", "t",
+        Seq("view", "click", "purchase"))
+      .as[(String, String, Long, Long, Long)].collect().sortBy(_._1).reverse
+    // view→click gaps {10,20,30}: n=3, lower med at rank 2 → 20, p90 rank 3 → 30
+    assert(out(0) == (("view", "click", 3L, 20L, 30L)))
+    assert(out(1) == (("click", "purchase", 1L, 100L, 100L)))
+  }
+
+  // ------------------------------------------------- vocabulary coverage
+
+  test("oovRate: occurrence counting, deterministic cut line, token-free docs drop") {
+    val df = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "cc cc dd"),
+      (3L, "")            // no tokens → no row
+    ).toDF("id", "text")
+    // counts: aa=2, cc=3, bb=1, dd=1 → top-2 = {cc, aa}
+    val out = Vocab.oovRate(df, "id", "text", vocabSize = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0) == ((1L, 4L, 1L)), "only bb is OOV for doc 1 under vocab {cc,aa}")
+    assert(out(1) == ((2L, 3L, 1L)), "dd OOV for doc 2")
+  }
+
   // ------------------------------------------------- integer PageRank
 
   test("pageRankExact: hand-checked 2-cycle, hub dominance, partition-invariant") {
