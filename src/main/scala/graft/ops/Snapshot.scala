@@ -67,6 +67,44 @@ object Snapshot {
       .groupBy("status")
       .agg(count(lit(1)).as("n"))
 
+  /** MERGE (upsert/delete) a change batch into a snapshot — the lakehouse
+    * write primitive between [[diff]] (which derives changes) and
+    * [[scd2]] (which histories them): `changes` carries an `opCol` in
+    * {insert, update, delete} plus the key and content columns; the
+    * result is the next snapshot version.
+    *
+    * Semantics: delete drops the base row; insert and update both land
+    * the change row (upsert — an insert over an existing key overwrites,
+    * an update without a base row inserts; the permissive MERGE every
+    * engine converges on). At most one change per key per batch is the
+    * caller's contract — enforce upstream with [[Checks.duplicateKeys]]
+    * over the change batch (two changes to one key in one batch have no
+    * defined order).
+    *
+    * Scale shape: ONE full-outer key join of base against the
+    * batch-sized change set — and because change batches are usually ≪
+    * base, AQE broadcasts the change side and the base never shuffles at
+    * all (the motion floor for exact keyed application). Content columns
+    * move only for rows that change.
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need key columns")
+    val contentCols = base.columns.filterNot(keyCols.contains)
+    val ch = changes.select(
+      keyCols.map(col) ++
+        contentCols.map(c => col(c).as(s"__ch_$c")) :+ col(opCol).as("__op"): _*)
+    base.join(ch, keyCols, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "delete")
+      .select(
+        keyCols.map(col) ++ contentCols.map { c =>
+          when(col("__op").isNotNull, col(s"__ch_$c")).otherwise(col(c)).as(c)
+        }: _*)
+  }
+
   /** Type-2 slowly-changing-dimension build from an attribute change log:
     * collapse each key's consecutive runs of an equal attribute value into
     * validity intervals `[valid_from, valid_to)` with `is_current` on the

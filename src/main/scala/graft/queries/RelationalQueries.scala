@@ -526,6 +526,46 @@ object RelationalQueries {
       Tables.events(spark, dir).toDF(),
       "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
 
+  /** MERGE a deterministic change batch (deletes, updates, inserts keyed
+    * off o_orderkey residues) into the orders snapshot — the lakehouse
+    * upsert primitive under the content gate; one full-outer key join,
+    * change side broadcast-sized.
+    */
+  val snapshotMerge: Q = (spark, dir) => {
+    val base = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val deletes = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"), lit("delete").as("op"))
+    val updates = base.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 1.0).as("o_totalprice"), lit("X").as("o_orderpriority"),
+        lit("update").as("op"))
+    val inserts = base.filter(col("o_orderkey") % 10 === 2)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"),
+        lit("insert").as("op"))
+    Snapshot.applyChanges(
+      base, deletes.unionByName(updates).unionByName(inserts),
+      Seq("o_orderkey"), "op")
+  }
+
+  /** Small-file compaction under the content gate: a deliberately
+    * fragmented 16-file copy of events compacts to the byte target and
+    * reads back into the same aggregate the raw table yields — the
+    * round-trip must be lossless.
+    */
+  val sourceCompact: Q = (spark, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Tables.eventsDf(spark, dir).repartition(16)
+      .write.mode("overwrite").parquet(s"$tmp/frag")
+    graft.sources.Sources.compactParquet(spark, s"$tmp/frag", s"$tmp/packed")
+    spark.read.parquet(s"$tmp/packed")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Weekly active users with the prior week alongside — the growth-
     * accounting staple; the ratio is the consumer's long/long division.
     */
@@ -623,6 +663,8 @@ object RelationalQueries {
     "events_funnel" -> eventsFunnel,
     "funnel_latency" -> funnelLatency,
     "events_wow" -> eventsWow,
+    "snapshot_merge" -> snapshotMerge,
+    "source_compact" -> sourceCompact,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
     "profile_orders" -> profileOrders,
@@ -761,6 +803,29 @@ object RelationalQueries {
         |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap_s END) AS med_gap_s,
         |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_s END) AS p90_gap_s
         |FROM w GROUP BY stage_from, stage_to""".stripMargin,
+    "snapshot_merge" ->
+      // the permissive MERGE: survivors = base minus deleted/updated keys,
+      // plus the update and insert rows verbatim
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority
+        |  FROM orders)
+        |SELECT * FROM base WHERE o_orderkey % 10 NOT IN (0, 1)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 1.0 AS o_totalprice, 'X' AS o_orderpriority
+        |FROM base WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderpriority
+        |FROM base WHERE o_orderkey % 10 = 2""".stripMargin,
+    "source_compact" ->
+      // compaction must be content-lossless: the aggregate over the
+      // compacted copy equals the aggregate over the raw table
+      """SELECT event_type, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_wow" ->
       """WITH wk AS (
         |  SELECT date_trunc('week', ts) AS w, count(DISTINCT user_id) AS wau

@@ -256,6 +256,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bits(1) == bits(7))
   }
 
+  // -------------------------------------------------------- MERGE/upsert
+
+  test("applyChanges: delete drops, update rewrites, upsert is permissive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "ignored", "delete"),
+      (2L, "B", "update"),   // normal update
+      (3L, "C", "insert"),   // insert over existing key → overwrite
+      (4L, "d", "update"),   // update without base row → insert
+      (5L, "e", "insert")
+    ).toDF("k", "v", "op")
+    val out = Snapshot.applyChanges(base, changes, Seq("k"), "op")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(2L -> "B", 3L -> "C", 4L -> "d", 5L -> "e"))
+  }
+
   // --------------------------------------------- funnel transition stats
 
   test("transitionStats: exact lower median/p90 of hop latency, ordered entries only") {
