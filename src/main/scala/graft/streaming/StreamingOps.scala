@@ -52,6 +52,31 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 
+  /** Streaming Hampel gate: flag stream rows whose value deviates from a
+    * STATIC robust baseline ([[graft.ops.Outliers.robustSummary]] over
+    * yesterday's batch) — the deploy shape for online anomaly routing:
+    * stats train offline at full scale, the stream pays one stateless
+    * broadcast join per micro-batch and the exact integer Hampel test per
+    * row. No state store, no watermark; the same long-grid arithmetic as
+    * the batch op, so stream ≡ batch on identical rows (spec-pinned).
+    */
+  def anomalyGateStream(
+      rows: DataFrame,
+      stats: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 3): DataFrame = {
+    val dev = abs(
+      floor(col(valueCol).cast("double") * graft.ops.Outliers.GridScale.toDouble)
+        .cast("long") - col("median_grid"))
+    rows
+      .join(broadcast(stats.select(col(groupCol), col("median_grid"), col("mad_grid"))),
+        Seq(groupCol))
+      .filter(dev * graft.ops.Outliers.MadDenom >
+        lit(k.toLong) * graft.ops.Outliers.MadNumer * col("mad_grid"))
+      .drop("median_grid", "mad_grid")
+  }
+
   /** Bridge a stream into the IVM engine: every micro-batch becomes a
     * monotone insert into a `CoddSession` relation, and the session's
     * stored views refresh incrementally on stabilization — the reference's

@@ -206,6 +206,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == got, "stream and batch decontamination diverge")
   }
 
+  test("streaming anomaly gate flags exactly the batch-op rows under static stats") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // "yesterday's" batch trains the robust baseline
+    val history = ((1 to 40).map(i => (i.toLong, "m", i.toDouble % 7 + 10)) :+
+      (99L, "m", 5000.0)).toDF("id", "metric", "v")
+    val stats = graft.ops.Outliers.robustSummary(history, "metric", "v")
+    // the live stream carries normal and wild points
+    val live = Seq((100L, "m", 12.0), (101L, "m", 9000.0), (102L, "m", 11.5))
+    val stream = MemoryStream[(Long, String, Double)]
+    val in = stream.toDF().toDF("id", "metric", "v")
+    val q = StreamingOps.anomalyGateStream(in, stats, "metric", "v")
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    stream.addData(live: _*)
+    q.processAllAvailable()
+    val got = spark.table("anom").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(101L), s"only the wild point flags; got $got")
+    // batch flagged() over history+live restricted to live rows agrees
+    val batchGot = graft.ops.Outliers
+      .flagged(history.unionByName(live.toDF("id", "metric", "v")), "metric", "v", "id")
+      .select("id").as[Long].collect().toSet
+      .intersect(live.map(_._1).toSet)
+    assert(batchGot == got, "stream gate and batch flag diverge")
+  }
+
   test("streaming mixture gate equals the batch draw under snapshot rates") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
