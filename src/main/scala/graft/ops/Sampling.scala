@@ -284,6 +284,28 @@ object Sampling {
       strataCols, "__h", idCol, k)
       .drop("__h")
 
+  /** Equal-n class balancing: every class downsampled to the SMALLEST
+    * class's size — the classifier-training balancer (a 99:1 skewed label
+    * column otherwise trains a majority-class predictor). Members are
+    * chosen by salted-hash order via [[stratified]], so the balanced set
+    * is deterministic, id-stable and partitioning-invariant; null classes
+    * drop. The min-class size is one tiny driver aggregate (the ANN
+    * dim-probe discipline) — the selection itself stays bounded-heap
+    * distributed, never a per-class sort.
+    */
+  def balanceClasses(
+      df: DataFrame,
+      classCol: String,
+      idCol: String,
+      salt: String = "bal"): DataFrame = {
+    val present = df.filter(col(classCol).isNotNull)
+    val kMin = present.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).head.getLong(0)
+    require(kMin > 0, "no non-null classes to balance")
+    require(kMin <= Int.MaxValue, s"min class size $kMin exceeds Int range")
+    stratified(present, Seq(classCol), idCol, kMin.toInt, salt)
+  }
+
   /** Epoch-repeat mixture materialization: size every group to its share
     * of a TOKEN budget by REPEATING its documents — the pretraining
     * mixture shape the keep-rate ops cannot express ([[temperatureRates]]

@@ -562,6 +562,13 @@ object PipelineQueries {
     Sampling.stratified(
       docs(spark, dir).select("doc_id", "source"), Seq("source"), "doc_id", 5)
 
+  /** Equal-n language balancing: every lang cut to the smallest lang's
+    * count by hash order — deterministic class balancing under the gate.
+    */
+  val sampleBalanced: Q = (spark, dir) =>
+    Sampling.balanceClasses(
+      docs(spark, dir).select("doc_id", "lang"), "lang", "doc_id")
+
   /** Temperature-rebalanced mixture at α = 0.5, half the token budget:
     * per-source keep rates computed FROM the corpus (token share^α,
     * renormalized), small sources up-weighted — the multilingual-corpus
@@ -1029,6 +1036,7 @@ object PipelineQueries {
     "vocab_bpe_pairs" -> vocabBpePairs,
     "text_dupgrams" -> textDupgrams,
     "sample_stratified" -> sampleStratified,
+    "sample_balanced" -> sampleBalanced,
     "pack_bins" -> packBins,
     "pack_batches" -> packBatches,
     "pack_greedy" -> packGreedy,
@@ -1396,6 +1404,17 @@ object PipelineQueries {
          |      ORDER BY ${hashKeySql("doc_id", "strat")} DESC, doc_id) AS INTEGER) AS rank
          |  FROM documents)
          |WHERE rank <= 5""".stripMargin,
+    "sample_balanced" ->
+      s"""WITH n AS (
+         |  SELECT lang, count(*) AS c FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |k AS (SELECT MIN(c) AS kmin FROM n),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${hashKeySql("doc_id", "bal")} DESC, doc_id) AS INTEGER) AS rank
+         |  FROM documents WHERE lang IS NOT NULL)
+         |SELECT doc_id, lang, rank FROM r, k WHERE rank <= k.kmin""".stripMargin,
     "pack_bins" ->
       s"""SELECT source, doc_id, n_tok,
          |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id

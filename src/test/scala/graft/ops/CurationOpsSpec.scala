@@ -256,6 +256,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bits(1) == bits(7))
   }
 
+  // ------------------------------------------------------ class balancing
+
+  test("balanceClasses: every class cut to the smallest, deterministic members") {
+    val df = ((1 to 50).map(i => (i.toLong, Some("big"))) ++
+      (51 to 60).map(i => (i.toLong, Some("mid"))) ++
+      (61 to 63).map(i => (i.toLong, Some("small"))) :+
+      (99L, Option.empty[String])).toDF("id", "cls")
+    val out = Sampling.balanceClasses(df, "cls", "id")
+      .as[(Long, String, Int)].collect()
+    val byClass = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byClass == Map("big" -> 3, "mid" -> 3, "small" -> 3))
+    assert(!out.exists(_._1 == 99L), "null class drops")
+    val again = Sampling.balanceClasses(df.repartition(7), "cls", "id")
+      .as[(Long, String, Int)].collect()
+    assert(again.toSet == out.toSet, "members are partitioning-invariant")
+  }
+
   // -------------------------------------------------------- MERGE/upsert
 
   test("applyChanges: delete drops, update rewrites, upsert is permissive") {
