@@ -223,9 +223,23 @@ object Vectorize {
       .filter(col(valueCol).isNotNull)
       .select(col(idCol),
         floor(col(valueCol).cast("double") * gridScale.toDouble).cast("long").as("__v"))
-    val hist = pts.groupBy(col("__v")).agg(count(lit(1)).as("__c")).localCheckpoint(true)
+    pts
+      .crossJoin(broadcast(equalFreqBounds(pts.select(col("__v")), k)))
+      .select(col(idCol), col("__v").as("value_grid"),
+        size(filter(col("__bs"), b => col("__v") > b)).as("bucket"))
+  }
+
+  /** The k−1 exact-rank boundaries of a grid-value column as ONE row
+    * holding a sorted array `__bs` — broadcastable into any map-side
+    * bucket assignment (`bucket = #{b ∈ __bs : v > b}`). Shared by
+    * [[binEqualFreq]] (bins over its own input) and the drift report
+    * (REFERENCE-derived bins applied to both samples).
+    */
+  private[ops] def equalFreqBounds(gridVals: DataFrame, k: Int): DataFrame = {
+    val hist = gridVals.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val cumW = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bounds = hist
+    hist
       .crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
       .withColumn("__cum", sum(col("__c")).over(cumW))
       .withColumn("__j", explode(sequence(lit(1), lit(k - 1))))
@@ -233,9 +247,48 @@ object Vectorize {
       .groupBy(col("__j"))
       .agg(min(col("__v")).as("__b"))
       .agg(sort_array(collect_list(col("__b"))).as("__bs"))
-    pts
+  }
+
+  /** Distribution-drift report between a REFERENCE sample and a CURRENT
+    * sample of one numeric column: both bin under the reference's own
+    * equal-frequency boundaries, and each bucket row carries the exact
+    * integer total-variation numerator
+    * `|n_cur·N_ref − n_ref·N_cur|` — cross-multiplied longs, no division,
+    * so the drift signal replays bit-exactly (TV distance itself is
+    * `Σ numer / (2·N_ref·N_cur)`, the consumer's one division). Uniform
+    * numerators ≈ no drift; a spiked bucket names WHERE the distribution
+    * moved — the monitoring table behind every training-data freshness
+    * alarm.
+    *
+    * Scale shape: one histogram pass per sample plus the k-row bucket
+    * join; boundaries broadcast; nothing row-sized moves after the
+    * grid collapse.
+    */
+  def driftReport(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      k: Int,
+      gridScale: Long = 1L << 20): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    def gridded(df: DataFrame) = df
+      .filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") * gridScale.toDouble).cast("long").as("__v"))
+    val bounds = equalFreqBounds(gridded(ref), k)
+    def binned(df: DataFrame, out: String) = gridded(df)
       .crossJoin(broadcast(bounds))
-      .select(col(idCol), col("__v").as("value_grid"),
-        size(filter(col("__bs"), b => col("__v") > b)).as("bucket"))
+      .select(size(filter(col("__bs"), b => col("__v") > b)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as(out))
+      .localCheckpoint(true)
+    val r = binned(ref, "n_ref")
+    val c = binned(cur, "n_cur")
+    val totals = r.agg(sum(col("n_ref")).as("__tr"))
+      .crossJoin(c.agg(sum(col("n_cur")).as("__tc")))
+    r.join(c, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        abs(col("n_cur") * col("__tr") - col("n_ref") * col("__tc")).as("tv_numer"))
   }
 }

@@ -566,6 +566,19 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Distribution drift between the even- and odd-key halves of orders:
+    * both halves bin under the REFERENCE half's equal-frequency
+    * boundaries; each bucket carries the exact integer total-variation
+    * numerator — the training-data freshness monitor.
+    */
+  val driftBins: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    graft.ops.Vectorize.driftReport(
+      o.filter(col("o_orderkey") % 2 === 0),
+      o.filter(col("o_orderkey") % 2 === 1),
+      "o_totalprice", k = 8)
+  }
+
   /** Weekly active users with the prior week alongside — the growth-
     * accounting staple; the ratio is the consumer's long/long division.
     */
@@ -665,6 +678,7 @@ object RelationalQueries {
     "events_wow" -> eventsWow,
     "snapshot_merge" -> snapshotMerge,
     "source_compact" -> sourceCompact,
+    "drift_bins" -> driftBins,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
     "profile_orders" -> profileOrders,
@@ -826,6 +840,39 @@ object RelationalQueries {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "drift_bins" ->
+      // reference-half boundaries at exact ranks, both halves assigned by
+      // boundary counting, exact cross-multiplied TV numerators
+      """WITH refq AS (
+        |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = 0),
+        |curq AS (
+        |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = 1),
+        |h AS (SELECT v, count(*) AS c FROM refq GROUP BY v),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm,
+        |    (SELECT count(*) FROM refq) AS n
+        |  FROM h),
+        |j AS (SELECT unnest(generate_series(1, 7)) AS j),
+        |bnd AS (
+        |  SELECT j.j, MIN(cum.v) AS b FROM j, cum
+        |  WHERE cum.cm >= (j.j * cum.n + 7) // 8
+        |  GROUP BY j.j),
+        |rb AS (
+        |  SELECT (SELECT count(*) FROM bnd WHERE bnd.b < q.v) AS bucket,
+        |    count(*) AS n_ref
+        |  FROM refq q GROUP BY 1),
+        |cb AS (
+        |  SELECT (SELECT count(*) FROM bnd WHERE bnd.b < q.v) AS bucket,
+        |    count(*) AS n_cur
+        |  FROM curq q GROUP BY 1),
+        |t AS (SELECT (SELECT count(*) FROM refq) AS tr,
+        |             (SELECT count(*) FROM curq) AS tc)
+        |SELECT CAST(COALESCE(rb.bucket, cb.bucket) AS INTEGER) AS bucket,
+        |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+        |  abs(COALESCE(n_cur, 0) * t.tr - COALESCE(n_ref, 0) * t.tc) AS tv_numer
+        |FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket CROSS JOIN t""".stripMargin,
     "events_wow" ->
       """WITH wk AS (
         |  SELECT date_trunc('week', ts) AS w, count(DISTINCT user_id) AS wau

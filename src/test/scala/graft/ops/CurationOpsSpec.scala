@@ -256,6 +256,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bits(1) == bits(7))
   }
 
+  // ---------------------------------------------------------- drift report
+
+  test("driftReport: identical samples → zero TV numerators; shift localizes") {
+    val ref = (1 to 80).map(i => (i.toLong, (i % 8).toDouble)).toDF("id", "v")
+    val same = Vectorize.driftReport(ref, ref, "v", k = 4)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(same.forall(_._4 == 0L), "self-drift must be exactly zero")
+    assert(same.map(_._2).sum == 80L)
+    // shifted sample: mass moves to the top bucket and the numerator says so
+    val cur = (1 to 80).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val drift = Vectorize.driftReport(ref, cur, "v", k = 4)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(drift.last._3 == 80L, "all current mass in the top bucket")
+    assert(drift.init.forall(_._3 == 0L))
+    assert(drift.last._4 > 0L && drift.init.forall(_._4 > 0L))
+  }
+
   // ------------------------------------------------------ class balancing
 
   test("balanceClasses: every class cut to the smallest, deterministic members") {
