@@ -579,6 +579,19 @@ object RelationalQueries {
       "o_totalprice", k = 8)
   }
 
+  /** A/B readout over a user-parity split of the event stream: per-variant
+    * sizes, purchase conversions, and the exact-statistics Pearson χ² —
+    * decimal squares/margins combined once in a fixed-order double
+    * expression.
+    */
+  val abReport: Q = (spark, dir) => {
+    val units = Tables.eventsDf(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    graft.ops.Experiment.abReport(units, "variant", "converted")
+  }
+
   /** Weekly active users with the prior week alongside — the growth-
     * accounting staple; the ratio is the consumer's long/long division.
     */
@@ -679,6 +692,7 @@ object RelationalQueries {
     "snapshot_merge" -> snapshotMerge,
     "source_compact" -> sourceCompact,
     "drift_bins" -> driftBins,
+    "ab_report" -> abReport,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
     "profile_orders" -> profileOrders,
@@ -873,6 +887,31 @@ object RelationalQueries {
         |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
         |  abs(COALESCE(n_cur, 0) * t.tr - COALESCE(n_ref, 0) * t.tc) AS tv_numer
         |FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket CROSS JOIN t""".stripMargin,
+    "ab_report" ->
+      // exact decimal squares/margins, fixed-order double combine —
+      // (N · (ad−bc)²) / ((n_a·n_b) · (c1·c2)) mirrors the Column tree
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND (conv_a + conv_b) > 0
+        |        AND ((n_a - conv_a) + (n_b - conv_b)) > 0
+        |  THEN CAST(n_a + n_b AS DOUBLE)
+        |       * CAST(CAST(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b AS DECIMAL(19,0))
+        |              * CAST(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b AS DECIMAL(19,0)) AS DOUBLE)
+        |       / (CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) AS DOUBLE)
+        |          * CAST(CAST(conv_a + conv_b AS DECIMAL(19,0))
+        |                 * CAST((n_a - conv_a) + (n_b - conv_b) AS DECIMAL(19,0)) AS DOUBLE))
+        |  ELSE NULL END AS chi2
+        |FROM t""".stripMargin,
     "events_wow" ->
       """WITH wk AS (
         |  SELECT date_trunc('week', ts) AS w, count(DISTINCT user_id) AS wau

@@ -256,6 +256,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bits(1) == bits(7))
   }
 
+  // ------------------------------------------------------------ A/B χ²
+
+  test("abReport: hand-checked chi-square, degenerate tables are null") {
+    // a=30 conv of n_a=100; c=10 conv of n_b=100 → classic 2×2
+    val units = ((1 to 100).map(i => (i.toLong, 0L, if (i <= 30) 1L else 0L)) ++
+      (101 to 200).map(i => (i.toLong, 1L, if (i <= 110) 1L else 0L)))
+      .toDF("id", "variant", "converted")
+    val r = Experiment.abReport(units, "variant", "converted")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert((r._1, r._2, r._3, r._4) == ((100L, 30L, 100L, 10L)))
+    // χ² = N(ad−bc)²/(n_a·n_b·c1·c2) = 200·(30·90−70·10)²/(100·100·40·160)
+    val want = 200.0 * math.pow(30.0 * 90 - 70.0 * 10, 2) / (100.0 * 100 * 40 * 160)
+    assert(math.abs(r._5.get - want) < 1e-9)
+    // all-converted column ⇒ a margin is zero ⇒ null, not NaN
+    val degen = Seq((1L, 0L, 1L), (2L, 1L, 1L)).toDF("id", "variant", "converted")
+    val d = Experiment.abReport(degen, "variant", "converted")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(d._5.isEmpty)
+  }
+
   // ---------------------------------------------------------- drift report
 
   test("driftReport: identical samples → zero TV numerators; shift localizes") {
