@@ -39,10 +39,11 @@ object Experiment {
     val agg = units
       .filter(v.isNotNull && c.isNotNull)
       .agg(
-        sum(when(v === 0 && c === 1, 1L).otherwise(0L)).as("conv_a"),
-        sum(when(v === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(v === 1 && c === 1, 1L).otherwise(0L)).as("conv_b"),
-        sum(when(v === 1, 1L).otherwise(0L)).as("n_b"))
+        // coalesce: an empty unit table reports zeros, not nulls
+        coalesce(sum(when(v === 0 && c === 1, 1L).otherwise(0L)), lit(0L)).as("conv_a"),
+        coalesce(sum(when(v === 0, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(v === 1 && c === 1, 1L).otherwise(0L)), lit(0L)).as("conv_b"),
+        coalesce(sum(when(v === 1, 1L).otherwise(0L)), lit(0L)).as("n_b"))
     // 2×2 cells: a = conv_a, b = n_a − conv_a, c = conv_b, d = n_b − conv_b
     val a = col("conv_a")
     val b = col("n_a") - col("conv_a")

@@ -299,9 +299,12 @@ object Sampling {
       idCol: String,
       salt: String = "bal"): DataFrame = {
     val present = df.filter(col(classCol).isNotNull)
-    val kMin = present.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
-      .agg(min(col("__n"))).head.getLong(0)
-    require(kMin > 0, "no non-null classes to balance")
+    val kRow = present.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).head
+    // no non-null classes at all: the balanced set is empty, not a crash
+    if (kRow.isNullAt(0))
+      return present.withColumn("rank", lit(0)).limit(0)
+    val kMin = kRow.getLong(0)
     require(kMin <= Int.MaxValue, s"min class size $kMin exceeds Int range")
     stratified(present, Seq(classCol), idCol, kMin.toInt, salt)
   }

@@ -115,4 +115,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 0L, 0.0, 0.0)))
     assert(got(3L) == ((3L, 0L, 0.0, 0.0)))
   }
+
+  test("second-wave ops degrade to empty/zero on degenerate input, not error") {
+    import graft.ops._
+    val noRows = Seq.empty[(Long, String, java.sql.Timestamp, Double)]
+      .toDF("id", "k", "t", "v")
+    // SCD2, outliers, majority, transitions: empty in → empty out
+    assert(Snapshot.scd2(noRows, "k", "id", "t", "id").count() == 0)
+    assert(Outliers.robustSummary(noRows, "k", "v").count() == 0)
+    assert(Labels.majority(noRows, "id", "k").count() == 0)
+    // balancing with an all-null class column: empty, not an NPE
+    val allNull = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "cls")
+    assert(Sampling.balanceClasses(allNull, "cls", "id").count() == 0)
+    // A/B over an empty unit table: zero counts, null chi2 — one row
+    val ab = Experiment.abReport(
+      Seq.empty[(Long, Long, Long)].toDF("id", "variant", "converted"),
+      "variant", "converted")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(ab == ((0L, 0L, 0L, 0L, None)))
+    // PageRank on an empty edge list: empty score set
+    assert(Graph.pageRankExact(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), 2).count() == 0)
+  }
 }
