@@ -81,11 +81,13 @@ object Snapshot {
     * over the change batch (two changes to one key in one batch have no
     * defined order).
     *
-    * Scale shape: ONE full-outer key join of base against the
-    * batch-sized change set — and because change batches are usually ≪
-    * base, AQE broadcasts the change side and the base never shuffles at
-    * all (the motion floor for exact keyed application). Content columns
-    * move only for rows that change.
+    * Scale shape: ONE full-outer key join of base against the batch-sized
+    * change set. Full-outer joins cannot broadcast a side in Spark, so
+    * the motion floor is one co-partitioning of both inputs by the key —
+    * the honest cost of exact keyed application that must also surface
+    * never-matched base rows. On a base maintained across batches, key-
+    * bucketed storage ([[graft.sources.Sources.writeBucketed]]) makes the
+    * base's half of that exchange a no-op at every apply.
     */
   def applyChanges(
       base: DataFrame,

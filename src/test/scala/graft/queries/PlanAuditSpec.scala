@@ -365,6 +365,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ab_report: one unit shuffle and the 1-row combine — no join anywhere") {
+    val p = plan("ab_report")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"per-user collapse is the only wide shuffle:\n$p")
+    assert(!p.contains("Join"), "the 2×2 table is conditional sums, never a join")
+  }
+
+  test("snapshot_merge: one co-partitioned full-outer apply, base scanned once") {
+    val p = plan("snapshot_merge")
+    assert(count(p, "FullOuter") == 1, p)
+    // base + assembled change batch: exactly one key exchange per side
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"full outer needs both sides co-partitioned, nothing more:\n$p")
+  }
+
+  test("sample_balanced: bounded-heap selection plans no Window") {
+    val p = plan("sample_balanced")
+    assert(!p.contains("Window"),
+      "per-class ranking must ride the bounded-heap TopK, not a window sort")
+  }
+
   test("text_dupgrams: grams generated ONCE, digests shuffle, text never does") {
     val p = plan("text_dupgrams")
     // one explode for gram generation (the join-back formulation would
