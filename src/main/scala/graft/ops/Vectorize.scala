@@ -249,6 +249,41 @@ object Vectorize {
       .agg(sort_array(collect_list(col("__b"))).as("__bs"))
   }
 
+  /** ECDF (percentile-rank) normalization of a numeric column: every row
+    * gets its empirical cumulative rank in PARTS-PER-MILLION —
+    * `ecdf_ppm = (#{values ≤ v} · 10⁶) DIV n` — the rank-normalize step
+    * that makes features comparable across arbitrary distributions
+    * (quantile normalization, calibration inputs, heavy-tail flattening).
+    * Exact integer output; ties share a rank by construction.
+    *
+    * Scale shape: the same materialized grid-histogram discipline as
+    * [[binEqualFreq]] — one histogram aggregate, a cumulative window over
+    * DISTINCT grid values, then the (value → cum) map broadcasts back
+    * into a map-side join (distinct-values-sized, the documented
+    * cardinality contract). Two scans of the raw column (histogram +
+    * row-level emit), inherent to row-sized output.
+    */
+  def ecdfNormalize(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      gridScale: Long = 1L << 20): DataFrame = {
+    val pts = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(idCol),
+        floor(col(valueCol).cast("double") * gridScale.toDouble).cast("long").as("__v"))
+    val cumW = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pts.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+    val n = cum.agg(sum(col("__c")).as("__n"))
+    pts
+      .join(broadcast(cum.select(col("__v"), col("__cum"))), Seq("__v"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("__v").as("value_grid"),
+        expr("(__cum * 1000000) DIV __n").as("ecdf_ppm"))
+  }
+
   /** Distribution-drift report between a REFERENCE sample and a CURRENT
     * sample of one numeric column: both bin under the reference's own
     * equal-frequency boundaries, and each bucket row carries the exact

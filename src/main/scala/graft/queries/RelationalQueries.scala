@@ -335,6 +335,13 @@ object RelationalQueries {
     graft.ops.Vectorize.binEqualFreq(
       t(spark, dir, "orders"), "o_orderkey", "o_totalprice", k = 8)
 
+  /** ECDF rank-normalization of order totals: every order's exact
+    * percentile rank in ppm — integer arithmetic end to end.
+    */
+  val featureEcdf: Q = (spark, dir) =>
+    graft.ops.Vectorize.ecdfNormalize(
+      t(spark, dir, "orders"), "o_orderkey", "o_totalprice")
+
   /** Pearson correlation of quantity vs extended price per return flag,
     * from EXACT decimal sufficient statistics — partitioning-stable to
     * the last bit, unlike the builtin float-accumulating `corr`.
@@ -728,6 +735,7 @@ object RelationalQueries {
     "skew_report" -> skewReport,
     "events_decay" -> eventsDecay,
     "feature_bins" -> featureBins,
+    "feature_ecdf" -> featureEcdf,
     "corr_exact" -> corrExact,
     "graph_pagerank" -> graphPagerank,
     "events_sessionize" -> eventsSessionize,
@@ -1192,6 +1200,18 @@ object RelationalQueries {
         |       AS INTEGER) AS bucket
         |FROM q LEFT JOIN bnd ON TRUE
         |GROUP BY q.o_orderkey, q.v""".stripMargin,
+    "feature_ecdf" ->
+      """WITH q AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |h AS (SELECT v, count(*) AS c FROM q GROUP BY v),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm,
+        |    (SELECT count(*) FROM q) AS n
+        |  FROM h)
+        |SELECT q.o_orderkey, q.v AS value_grid,
+        |  (cum.cm * 1000000) // cum.n AS ecdf_ppm
+        |FROM q JOIN cum ON q.v = cum.v""".stripMargin,
     "corr_exact" ->
       // exact decimal sufficient statistics, then ONE fixed-order double
       // combine — casts/sqrt/divide are correctly-rounded IEEE on both

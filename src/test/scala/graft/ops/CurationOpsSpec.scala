@@ -276,6 +276,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(d._5.isEmpty)
   }
 
+  // ------------------------------------------------------------ ECDF ppm
+
+  test("ecdfNormalize: exact ppm ranks, ties share, max hits 1e6") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 40.0)).toDF("id", "v")
+    val out = Vectorize.ecdfNormalize(df, "id", "v")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // cum: 10→1, 20→3, 40→4 of n=4
+    assert(out.map(_._3).toSeq == Seq(250000L, 750000L, 750000L, 1000000L))
+    val rep = Vectorize.ecdfNormalize(df.repartition(3), "id", "v")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep == out.toSet)
+  }
+
   // ---------------------------------------------------------- drift report
 
   test("driftReport: identical samples → zero TV numerators; shift localizes") {
