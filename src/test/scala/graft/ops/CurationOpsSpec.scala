@@ -49,6 +49,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!k3(0)._6 && k3(1)._6)
   }
 
+  test("scd2 invariants hold on randomized logs: tiling, coverage, one current") {
+    // deterministic pseudo-random log: 40 keys, strictly increasing
+    // per-key timestamps (ties are covered by the dedicated tie test)
+    val rnd = new scala.util.Random(4242)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = for {
+      k <- 1L to 40L
+      i <- 1 to (5 + rnd.nextInt(40))
+    } yield (k, s"s${rnd.nextInt(4)}",
+      new java.sql.Timestamp(base + i * 3600000L), k * 1000 + i)
+    val df = rows.toDF("k", "attr", "t", "id")
+    val out = Snapshot.scd2(df, "k", "attr", "t", "id")
+      .as[(Long, String, java.sql.Timestamp, Long, Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    val byKey = out.groupBy(_._1)
+    assert(byKey.forall { case (_, runs) => runs.count(_._6) == 1 },
+      "exactly one open run per key")
+    byKey.foreach { case (k, runs) =>
+      val sorted = runs.sortBy(_._3.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // half-open intervals tile: valid_to == the next valid_from
+          assert(a._5.contains(b._3), s"key $k: gap between runs")
+          // adjacent runs always differ in attribute (runs are maximal)
+          assert(a._2 != b._2, s"key $k: runs not maximal")
+        case _ => ()
+      }
+      assert(sorted.last._5.isEmpty, s"key $k: last run must be open")
+      // n_obs sums to the key's observation count (coverage)
+      assert(sorted.map(_._4).sum == rows.count(_._1 == k),
+        s"key $k: observations lost or duplicated")
+    }
+  }
+
   test("scd2: null attribute forms runs like any other value") {
     val df = Seq(
       (1L, Option("A"), ts("2024-01-01 00:00:00"), 1L),
