@@ -599,6 +599,16 @@ object RelationalQueries {
     graft.ops.Experiment.abReport(units, "variant", "converted")
   }
 
+  /** Hour-of-day seasonality profile per event type: the diurnal shape
+    * behind capacity planning and anomaly baselines (compare a live hour
+    * against its own hour-of-day profile, not the global mean). Counts
+    * long, sums decimal-exact.
+    */
+  val eventsSeasonality: Q = (spark, dir) =>
+    Tables.eventsDf(spark, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
+
   /** Weekly active users with the prior week alongside — the growth-
     * accounting staple; the ratio is the consumer's long/long division.
     */
@@ -696,6 +706,7 @@ object RelationalQueries {
     "events_funnel" -> eventsFunnel,
     "funnel_latency" -> funnelLatency,
     "events_wow" -> eventsWow,
+    "events_seasonality" -> eventsSeasonality,
     "snapshot_merge" -> snapshotMerge,
     "source_compact" -> sourceCompact,
     "drift_bins" -> driftBins,
@@ -839,6 +850,11 @@ object RelationalQueries {
         |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap_s END) AS med_gap_s,
         |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_s END) AS p90_gap_s
         |FROM w GROUP BY stage_from, stage_to""".stripMargin,
+    "events_seasonality" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type,
+        |  count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "snapshot_merge" ->
       // the permissive MERGE: survivors = base minus deleted/updated keys,
       // plus the update and insert rows verbatim
