@@ -108,6 +108,65 @@ object Funnel {
     }
   }
 
+  /** First-order Markov transition table over the event stream: for every
+    * ordered pair of event types, how often type B directly follows type A
+    * within a user's stream, plus the transition probability on the exact
+    * ppm grid (`n_trans·10⁶ DIV n_from` — long floor division, engine-
+    * replayable; the long product bounds per-pair transitions at ~9·10¹²,
+    * far above any real stream). The behavior-model prior behind
+    * next-action prediction and anomalous-session scoring.
+    *
+    * Scale shape: ONE shuffle (the per-user lead window on the key), then
+    * the pair aggregate partial-aggregates map-side down to |types|² rows;
+    * the per-source total is a window over that tiny table. Stream ends
+    * (last event per user) contribute no pair — lead() semantics.
+    */
+  def markov(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .select(col(typeCol).as("from_type"), lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val byFrom = Window.partitionBy("from_type")
+    pairs
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("n_from", sum(col("n_trans")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("n_trans * 1000000 DIV n_from").as("p_ppm"))
+  }
+
+  /** Top-k most common length-`len` event-type paths (session path
+    * mining): consecutive runs under the per-user (ts, id) total order,
+    * counted and cut at `k` by the deterministic (count DESC, path ASC)
+    * order. Same single-shuffle shape as [[markov]] — the lead window is
+    * the only corpus-sized exchange; the path aggregate partial-aggregates
+    * map-side and the cut is TakeOrdered (bounded, no global sort).
+    */
+  def topPaths(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      len: Int,
+      k: Int): DataFrame = {
+    require(len >= 2, s"paths need at least 2 steps, got $len")
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val steps = col(typeCol) +: (1 until len).map(i => lead(col(typeCol), i).over(w))
+    df.select(steps.last.as("__last"), concat_ws(" > ", steps: _*).as("path"))
+      .filter(col("__last").isNotNull)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Time-to-convert per funnel transition: for every adjacent stage pair,
     * how many users converted and the exact LOWER median / lower p90 of
     * their entry-to-entry latency in whole seconds — the product question

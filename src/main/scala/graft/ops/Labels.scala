@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Annotation aggregation: collapse many (item, label) votes into one
   * consensus label per item — the step every labeled-training-set build
@@ -49,6 +50,61 @@ object Labels {
       .filter(col("__rn") === 1)
       .select(col(itemCol), col(labelCol).as("label"),
         col("votes_top"), col("votes_total"))
+  }
+
+  /** Cohen's kappa between two annotators: chance-corrected agreement over
+    * the items BOTH rated — the inter-annotator-agreement gate every
+    * labeling campaign runs before trusting its consensus labels
+    * (κ ≲ 0.4 ⇒ re-write the guidelines, don't train on the labels).
+    *
+    * Exactness (the [[Experiment.abReport]] discipline): the L×L
+    * contingency cells aggregate exactly as longs; the chance-agreement
+    * pieces that can overflow (`N·agree`, `N²`, the margin products)
+    * compute as DECIMAL(38,0) — exact — and
+    * `κ = (N·agree − Σ rowAₗ·rowBₗ) / (N² − Σ rowAₗ·rowBₗ)` is ONE
+    * fixed-order double expression of correctly-rounded casts, bit-stable
+    * under any partitioning and replayable cross-engine. A degenerate
+    * denominator (both raters constant) yields null, not NaN.
+    *
+    * Scale shape: one item-keyed join (the only corpus-sized exchange),
+    * collapsed immediately to the |labels|²-sized cell table; margins and
+    * the final combine are windows/aggregates over that tiny table.
+    *
+    * @param a (itemCol, labelCol) — rater A, at most one row per item
+    * @param b rater B, same schema contract
+    * @return one row: (n_items, n_agree, kappa)
+    */
+  def cohenKappa(
+      a: DataFrame,
+      b: DataFrame,
+      itemCol: String,
+      labelCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val cells = a
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(itemCol), col(labelCol).as("__la"))
+      .join(
+        b.filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+          .select(col(itemCol), col(labelCol).as("__lb")),
+        Seq(itemCol))
+      .groupBy(col("__la"), col("__lb"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = cells.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n_items"),
+      coalesce(sum(when(col("__la") === col("__lb"), col("__c")).otherwise(0L)), lit(0L))
+        .as("n_agree"))
+    val pe = cells.groupBy(col("__la")).agg(sum(col("__c")).as("__ra"))
+      .join(
+        cells.groupBy(col("__lb")).agg(sum(col("__c")).as("__rb")),
+        col("__la") === col("__lb"))
+      .agg(coalesce(sum(col("__ra").cast(d38) * col("__rb").cast(d38)), lit(0).cast(d38))
+        .as("__pe"))
+    val n = col("n_items").cast(d38)
+    val numer = (n * col("n_agree").cast(d38) - col("__pe")).cast("double")
+    val denom = (n * n - col("__pe")).cast("double")
+    totals.crossJoin(pe).select(
+      col("n_items"), col("n_agree"),
+      when(denom =!= 0.0, numer / denom).otherwise(lit(null).cast("double")).as("kappa"))
   }
 
   /** Items whose consensus is WEAK: agreement strictly below

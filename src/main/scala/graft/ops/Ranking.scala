@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relevance scoring over a document corpus — the retrieval/weighting step
@@ -109,5 +110,73 @@ object Ranking {
        |SELECT $idCol, round($contribs, 4) AS score
        |FROM tf, stats
        |WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")}""".stripMargin
+  }
+
+  /** ABC / Pareto classification: rank keys by an exact long value (grid
+    * units — cents, tokens, bytes), accumulate the running share under the
+    * deterministic (value DESC, key ASC) total order, and cut classes at
+    * `aPct` / `bPct` of the grand total by exact cross-multiplication
+    * (`(cum−v)·100 < total·pct` — longs, no division, no doubles in the
+    * decision). The inventory/revenue-concentration staple ("which 20% of
+    * parts carry 80% of revenue").
+    *
+    * Class membership uses the "crossing item included" convention: a key
+    * belongs to A iff the cumulative share BEFORE it is strictly under
+    * `aPct` — so class A is exactly the set of keys that make up the first
+    * `aPct`% of value (a single dominant key is A, not C), the Pareto
+    * reading.
+    *
+    * Scale shape — a DISTRIBUTED prefix sum, not a global window: range-
+    * repartition on the order, sort within partitions, pin ONE evaluation
+    * (`persist` — range boundaries come from sampling, so the two
+    * downstream branches must see the same assignment), then per-partition
+    * subtotals (a partitions-sized table) turn into running offsets that
+    * broadcast back; each row's cumulative is its partition offset plus a
+    * PARTITION-LOCAL running-sum window. Every stage is parallel — no
+    * single-reducer sort anywhere. Output values depend only on the total
+    * order, never on where sampling placed the boundaries.
+    *
+    * Contract: `valueCol` must be long-typed grid units with
+    * `Σ value ≤ Long.Max/100` (exact cross-multiplication headroom) and
+    * values ≥ 0; null values are excluded.
+    */
+  def abcClassify(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      aPct: Int = 80,
+      bPct: Int = 95): DataFrame = {
+    require(0 < aPct && aPct < bPct && bPct < 100,
+      s"need 0 < aPct < bPct < 100, got ($aPct, $bPct)")
+    val ordered = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("long").as("__v"))
+      .repartitionByRange(col("__v").desc, col(keyCol).asc)
+      .sortWithinPartitions(col("__v").desc, col(keyCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = ordered.groupBy(col("__pid")).agg(sum(col("__v")).as("__ps"))
+    val offs = parts
+      .withColumn("__off",
+        coalesce(
+          sum(col("__ps")).over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val total = parts.agg(sum(col("__ps")).as("__tot"))
+    val wIn = Window.partitionBy("__pid")
+      .orderBy(col("__v").desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .join(broadcast(offs), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", col("__off") + sum(col("__v")).over(wIn))
+      .select(
+        col(keyCol),
+        col("__v").as("value_grid"),
+        col("__cum").as("cum_grid"),
+        when((col("__cum") - col("__v")) * 100 < col("__tot") * aPct, "A")
+          .when((col("__cum") - col("__v")) * 100 < col("__tot") * bPct, "B")
+          .otherwise("C").as("abc_class"))
   }
 }

@@ -98,6 +98,41 @@ object TextOps {
     when(size(ws) === 0, 0.0).otherwise(hits.cast("double") / size(ws))
   }
 
+  /** Character-class histogram of a document as one struct — letters,
+    * digits, whitespace, other, total. Pure Column (four codegen'd regex
+    * removals + lengths), zero shuffle; stage the struct as its own column
+    * before feeding [[classEntropyOfCounts]] so the counts compute once.
+    */
+  def charClassCounts(text: Column): Column = {
+    val n = length(text).cast("long")
+    val letters = n - length(regexp_replace(text, "[A-Za-z]", "")).cast("long")
+    val digits = n - length(regexp_replace(text, "[0-9]", "")).cast("long")
+    val spaces = n - length(regexp_replace(text, "\\s", "")).cast("long")
+    struct(
+      letters.as("letters"), digits.as("digits"), spaces.as("spaces"),
+      (n - letters - digits - spaces).as("other"), n.as("n"))
+  }
+
+  /** Shannon entropy (nats) over the 4-class character histogram — the
+    * gibberish/minified-content quality signal (natural prose sits near
+    * ~0.8–1.0 nats on this alphabet; base64 blobs, digit dumps and
+    * single-class junk collapse toward 0). The per-class log-likelihoods
+    * are FLOORED onto the 1e-6 integer grid before the weighted sum (the
+    * text_perplexity discipline), so the result is bit-replayable
+    * cross-engine despite libm ln differences. Empty text scores 0.
+    */
+  def classEntropyOfCounts(cs: Column): Column = {
+    val n = cs("n")
+    def term(c: Column): Column =
+      when(c > 0, c * floor(log(c.cast("double") / n) * 1000000.0).cast("long"))
+        .otherwise(0L)
+    when(n === 0, 0.0).otherwise(
+      round(
+        -(term(cs("letters")) + term(cs("digits")) + term(cs("spaces")) + term(cs("other")))
+          .cast("double") / (n.cast("double") * 1000000.0),
+        4))
+  }
+
   /** Canonical-form fingerprint: lowercase, collapse whitespace, md5. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))

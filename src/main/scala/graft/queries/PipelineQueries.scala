@@ -383,6 +383,21 @@ object PipelineQueries {
       col("doc_id"),
       TextOps.rollingHashReplayable(col("text")).as("rolling"))
 
+  /** Character-class Shannon entropy per document — the gibberish /
+    * minified-content / base64-dump quality signal
+    * ([[graft.ops.TextOps.classEntropyOfCounts]]): per-class
+    * log-likelihoods floored onto the 1e-6 integer grid (the perplexity
+    * discipline) so the score replays bit-exactly. Pure Column — zero
+    * shuffle, scan speed.
+    */
+  val textEntropy: Q = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"), TextOps.charClassCounts(col("text")).as("__cs"))
+      .select(
+        col("doc_id"),
+        col("__cs")("n").as("n_chars"),
+        TextOps.classEntropyOfCounts(col("__cs")).as("entropy"))
+
   val docStats: Q = (spark, dir) =>
     docs(spark, dir)
       .groupBy("lang", "source")
@@ -1088,6 +1103,7 @@ object PipelineQueries {
     "text_oov" -> textOov,
     "inference_quality" -> inferenceQuality,
     "text_fingerprint" -> textFingerprint,
+    "text_entropy" -> textEntropy,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
@@ -1847,6 +1863,29 @@ object PipelineQueries {
          |FROM l""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "text_entropy" ->
+      // same 4-class histogram, same 1e-6 log grid, same fixed-order
+      // weighted sum; n = 0 scores 0, NULL text propagates NULL
+      """WITH cs AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS letters,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+        |    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS spaces
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, n, letters, digits, spaces,
+        |    n - letters - digits - spaces AS other
+        |  FROM cs)
+        |SELECT doc_id, n AS n_chars,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE round(
+        |    -(CAST(
+        |        (CASE WHEN letters > 0 THEN letters * CAST(floor(ln(CAST(letters AS DOUBLE) / n) * 1000000.0) AS BIGINT) ELSE 0 END)
+        |      + (CASE WHEN digits > 0 THEN digits * CAST(floor(ln(CAST(digits AS DOUBLE) / n) * 1000000.0) AS BIGINT) ELSE 0 END)
+        |      + (CASE WHEN spaces > 0 THEN spaces * CAST(floor(ln(CAST(spaces AS DOUBLE) / n) * 1000000.0) AS BIGINT) ELSE 0 END)
+        |      + (CASE WHEN other > 0 THEN other * CAST(floor(ln(CAST(other AS DOUBLE) / n) * 1000000.0) AS BIGINT) ELSE 0 END)
+        |      AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * 1000000.0), 4) END AS entropy
+        |FROM t""".stripMargin,
     // md5-token rolling hash replayed value-for-value: per-token value =
     // first 8 md5 hex chars as an integer (nibble-weighted sum) mod p,
     // folded through the same ·31 polynomial (list_reduce with no init ≡

@@ -624,6 +624,84 @@ object RelationalQueries {
         col("wau"), col("prev_wau"))
   }
 
+  /** First-order Markov transition table over the event stream — counts
+    * and exact-ppm probabilities of each (type → next type) hop within a
+    * user's (ts, id)-ordered stream ([[graft.ops.Funnel.markov]]): the
+    * behavior-model prior. One user-keyed window shuffle; everything after
+    * is |types|²-sized.
+    */
+  val eventsTransitions: Q = (spark, dir) =>
+    graft.ops.Funnel.markov(
+      Tables.eventsDf(spark, dir), "user_id", "event_type", "ts", "event_id")
+
+  /** Top-20 most common 3-step event-type paths (session path mining) —
+    * consecutive runs under the per-user total order, deterministic
+    * (count DESC, path ASC) cut ([[graft.ops.Funnel.topPaths]]).
+    */
+  val eventsPaths: Q = (spark, dir) =>
+    graft.ops.Funnel.topPaths(
+      Tables.eventsDf(spark, dir), "user_id", "event_type", "ts", "event_id",
+      len = 3, k = 20)
+
+  /** Inter-annotator agreement: Cohen's kappa between two "raters" — a
+    * lineitem order's first and second line return-flags — over the orders
+    * both rated ([[graft.ops.Labels.cohenKappa]]; exact contingency longs,
+    * DECIMAL(38) chance-agreement pieces, one fixed-order double combine).
+    */
+  val labelKappa: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    Labels.cohenKappa(
+      li.filter(col("l_linenumber") === 1).select("l_orderkey", "l_returnflag"),
+      li.filter(col("l_linenumber") === 2).select("l_orderkey", "l_returnflag"),
+      "l_orderkey", "l_returnflag")
+  }
+
+  /** ABC / Pareto revenue concentration over parts: exact per-part revenue
+    * on the 10⁻⁴ grid, distributed prefix sum under the (revenue DESC,
+    * partkey ASC) total order, classes cut at 80 / 95 % by long
+    * cross-multiplication ([[graft.ops.Ranking.abcClassify]] — no global
+    * single-reducer sort anywhere).
+    */
+  val partsAbc: Q = (spark, dir) => {
+    val rev = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        .cast(DecimalType(18, 4)).as("__rev"))
+      .select(col("l_partkey"), (col("__rev") * 10000).cast("long").as("__grid"))
+    graft.ops.Ranking.abcClassify(rev, "l_partkey", "__grid")
+      .select(
+        col("l_partkey"),
+        (col("value_grid") / 10000.0).as("revenue"),
+        (col("cum_grid") / 10000.0).as("cum_revenue"),
+        col("abc_class"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer value table: per-user
+    * exact aggregates — days since last event against a fixed reference
+    * date, event count, decimal-exact value sum — each rank-normalized to
+    * its ECDF ppm ([[graft.ops.Vectorize.ecdfNormalize]] — the histogram
+    * discipline, no global sort), so downstream segmentation is a pure
+    * integer threshold on the three ppm columns. All joins are user-sized;
+    * the event stream shuffles once (the groupBy key).
+    */
+  val eventsRfm: Q = (spark, dir) => {
+    val base = Tables.eventsDf(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(lit(java.sql.Date.valueOf("2024-02-01")), to_date(max(col("ts"))))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sumDec(col("value"), 2).as("monetary"))
+      .localCheckpoint(false)
+    def ppm(valueCol: String, outCol: String, gridScale: Long) =
+      graft.ops.Vectorize.ecdfNormalize(base, "user_id", valueCol, gridScale)
+        .select(col("user_id"), col("ecdf_ppm").as(outCol))
+    base
+      .join(ppm("recency_days", "r_ppm", 1L), Seq("user_id"))
+      .join(ppm("frequency", "f_ppm", 1L), Seq("user_id"))
+      .join(ppm("monetary", "m_ppm", 1L << 20), Seq("user_id"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -740,6 +818,11 @@ object RelationalQueries {
     "events_hourly" -> eventsHourly,
     "events_cohorts" -> eventsCohorts,
     "events_debounce" -> eventsDebounce,
+    "events_transitions" -> eventsTransitions,
+    "events_paths" -> eventsPaths,
+    "label_kappa" -> labelKappa,
+    "parts_abc" -> partsAbc,
+    "events_rfm" -> eventsRfm,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1113,6 +1196,96 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "events_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY from_type) AS p_ppm
+        |FROM c""".stripMargin,
+    "events_paths" ->
+      // t2 non-null implies t1 non-null (lead monotonicity), so the
+      // concatenation never sees a null
+      """WITH p AS (
+        |  SELECT event_type AS t0,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path, count(*) AS n
+        |FROM p WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "label_kappa" ->
+      // HUGEINT mirrors Spark's DECIMAL(38,0): every piece exact, one
+      // fixed-order double combine at the end
+      """WITH a AS (
+        |  SELECT l_orderkey, l_returnflag AS la FROM lineitem WHERE l_linenumber = 1),
+        |b AS (
+        |  SELECT l_orderkey, l_returnflag AS lb FROM lineitem WHERE l_linenumber = 2),
+        |cells AS (
+        |  SELECT la, lb, count(*) AS c FROM a JOIN b USING (l_orderkey) GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n,
+        |    CAST(COALESCE(sum(CASE WHEN la = lb THEN c ELSE 0 END), 0) AS BIGINT) AS agree
+        |  FROM cells),
+        |pe AS (
+        |  SELECT CAST(COALESCE(sum(CAST(ra.s AS HUGEINT) * rb.s), 0) AS HUGEINT) AS pe
+        |  FROM (SELECT la, sum(c) AS s FROM cells GROUP BY 1) ra
+        |  JOIN (SELECT lb, sum(c) AS s FROM cells GROUP BY 1) rb ON ra.la = rb.lb)
+        |SELECT n AS n_items, agree AS n_agree,
+        |  CASE WHEN CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE) != 0.0
+        |    THEN CAST(CAST(n AS HUGEINT) * agree - pe AS DOUBLE) /
+        |         CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE)
+        |    ELSE NULL END AS kappa
+        |FROM tot, pe""".stripMargin,
+    "parts_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) * 10000 AS BIGINT) AS grid
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, grid,
+        |    sum(grid) OVER (ORDER BY grid DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(grid) OVER () AS tot
+        |  FROM rev)
+        |SELECT l_partkey, grid / 10000.0 AS revenue, cum / 10000.0 AS cum_revenue,
+        |  CASE WHEN (cum - grid) * 100 < tot * 80 THEN 'A'
+        |       WHEN (cum - grid) * 100 < tot * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
+    "events_rfm" ->
+      // three ECDF replays of the feature_ecdf pattern over the per-user
+      // base (grid 1 for the integer dims, 2^20 for monetary)
+      """WITH base AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01') AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM base),
+        |rh AS (SELECT CAST(floor(recency_days * 1.0) AS BIGINT) AS v, count(*) AS c
+        |       FROM base GROUP BY 1),
+        |rc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm FROM rh),
+        |fh AS (SELECT CAST(floor(frequency * 1.0) AS BIGINT) AS v, count(*) AS c
+        |       FROM base GROUP BY 1),
+        |fc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm FROM fh),
+        |mh AS (SELECT CAST(floor(monetary * 1048576.0) AS BIGINT) AS v, count(*) AS c
+        |       FROM base GROUP BY 1),
+        |mc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm FROM mh)
+        |SELECT b.user_id, b.recency_days, b.frequency, b.monetary,
+        |  (rc.cm * 1000000) // n.n AS r_ppm,
+        |  (fc.cm * 1000000) // n.n AS f_ppm,
+        |  (mc.cm * 1000000) // n.n AS m_ppm
+        |FROM base b
+        |CROSS JOIN n
+        |JOIN rc ON CAST(floor(b.recency_days * 1.0) AS BIGINT) = rc.v
+        |JOIN fc ON CAST(floor(b.frequency * 1.0) AS BIGINT) = fc.v
+        |JOIN mc ON CAST(floor(b.monetary * 1048576.0) AS BIGINT) = mc.v""".stripMargin,
     "events_debounce" ->
       """WITH x AS (
         |  SELECT event_id, user_id, event_type, ts,

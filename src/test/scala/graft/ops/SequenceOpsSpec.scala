@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the sequence/agreement/concentration additions: Markov
+  * transition tables, top-k path mining, Cohen's kappa, ABC (Pareto)
+  * classification, and the char-class entropy quality signal.
+  */
+class SequenceOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def evFixture = Seq(
+    // user 1: A,B,A,C under ts order
+    (1L, "A", ts("2024-01-01 00:00:01"), 1L),
+    (1L, "B", ts("2024-01-01 00:00:02"), 2L),
+    (1L, "A", ts("2024-01-01 00:00:03"), 3L),
+    (1L, "C", ts("2024-01-01 00:00:04"), 4L),
+    // user 2: equal timestamps — id breaks the tie: A(5) then B(6)
+    (2L, "B", ts("2024-02-01 00:00:00"), 6L),
+    (2L, "A", ts("2024-02-01 00:00:00"), 5L),
+    // user 3: single event — contributes no pair
+    (3L, "Z", ts("2024-03-01 00:00:00"), 7L)
+  ).toDF("u", "t", "tt", "id")
+
+  test("markov: exact pair counts and floor-ppm probabilities; ties by id") {
+    val out = Funnel.markov(evFixture, "u", "t", "tt", "id")
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // pairs: u1 A→B, B→A, A→C; u2 A→B (tie resolved by id 5<6)
+    assert(out.toSeq == Seq(
+      ("A", "B", 2L, 666666L), // 2/3 of A-transitions
+      ("A", "C", 1L, 333333L),
+      ("B", "A", 1L, 1000000L)))
+  }
+
+  test("markov: empty input yields empty output") {
+    assert(Funnel.markov(evFixture.limit(0), "u", "t", "tt", "id").isEmpty)
+  }
+
+  test("topPaths: consecutive runs, deterministic (count DESC, path ASC) cut") {
+    val out = Funnel.topPaths(evFixture, "u", "t", "tt", "id", len = 2, k = 2)
+      .as[(String, Long)].collect().toSeq
+    // length-2 paths = the markov pairs: A>B ×2 wins, then A>C (asc before B>A)
+    assert(out == Seq(("A > B", 2L), ("A > C", 1L)))
+    val three = Funnel.topPaths(evFixture, "u", "t", "tt", "id", len = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(three == Seq(("A > B > A", 1L), ("B > A > C", 1L)),
+      "only user 1 has length-3 runs")
+    intercept[IllegalArgumentException](
+      Funnel.topPaths(evFixture, "u", "t", "tt", "id", len = 1, k = 1))
+  }
+
+  // --------------------------------------------------------- Cohen's kappa
+
+  test("cohenKappa: hand-checked 2×2, exact chance correction") {
+    val a = Seq((1L, "P"), (2L, "P"), (3L, "N"), (4L, "N")).toDF("item", "lab")
+    val b = Seq((1L, "P"), (2L, "N"), (3L, "N"), (4L, "N")).toDF("item", "lab")
+    val Array((n, agree, kappa)) =
+      Labels.cohenKappa(a, b, "item", "lab").as[(Long, Long, Option[Double])].collect()
+    // cells PP=1 PN=1 NN=2; pe = 2·1 + 2·3 = 8; κ = (12−8)/(16−8) = 0.5
+    assert(n == 4L && agree == 3L && kappa.contains(0.5))
+  }
+
+  test("cohenKappa: degenerate (both raters constant) is null, not NaN") {
+    val a = Seq((1L, "X"), (2L, "X")).toDF("item", "lab")
+    val out = Labels.cohenKappa(a, a, "item", "lab")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(out._1 == 2L && out._2 == 2L && out._3.isEmpty)
+  }
+
+  test("cohenKappa: only co-rated items count; empty overlap is the zero row") {
+    val a = Seq((1L, "P"), (2L, "N")).toDF("item", "lab")
+    val b = Seq((3L, "P")).toDF("item", "lab")
+    val out = Labels.cohenKappa(a, b, "item", "lab")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(out == ((0L, 0L, None)))
+  }
+
+  // ------------------------------------------------------------------- ABC
+
+  private def abcFixture = Seq(
+    ("a", 50L), ("b", 30L), ("c", 10L), ("d", 5L), ("e", 5L)
+  ).toDF("k", "v")
+
+  test("abcClassify: crossing-item convention — A is the set making up the first 80%") {
+    val out = Ranking.abcClassify(abcFixture, "k", "v")
+      .as[(String, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("a", 50L, 50L, "A"), // prev 0 < 80
+      ("b", 30L, 80L, "A"), // prev 50 < 80 — b completes the first 80%
+      ("c", 10L, 90L, "B"), // prev 80: not < 80, < 95
+      ("d", 5L, 95L, "B"), // ties order by key: d before e
+      ("e", 5L, 100L, "C"))) // prev 95: not < 95
+  }
+
+  test("abcClassify: result is partitioning-invariant (order-determined, not boundary-determined)") {
+    val base = Ranking.abcClassify(abcFixture, "k", "v").collect().toSet
+    val re = Ranking.abcClassify(abcFixture.repartition(7), "k", "v").collect().toSet
+    assert(base == re)
+    intercept[IllegalArgumentException](Ranking.abcClassify(abcFixture, "k", "v", 95, 80))
+  }
+
+  test("abcClassify: null values drop; a single dominant key is A, not C") {
+    val df = Seq(("x", Some(10L)), ("y", None)).toDF("k", "v")
+    val out = Ranking.abcClassify(df, "k", "v").as[(String, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(("x", 10L, 10L, "A")))
+  }
+
+  // --------------------------------------------------------------- entropy
+
+  private def entropy(s: String): Double = {
+    val df = Seq((1L, s)).toDF("id", "text")
+      .select(TextOps.charClassCounts(col("text")).as("cs"))
+    df.select(TextOps.classEntropyOfCounts(col("cs"))).as[Double].collect().head
+  }
+
+  test("classEntropy: single-class and empty text score 0; two equal classes score ln 2") {
+    assert(entropy("aaaa") == 0.0)
+    assert(entropy("") == 0.0)
+    assert(entropy("ab12") == 0.6931, "2+2 split = ln 2 on the 1e-6 grid")
+  }
+
+  test("classEntropy: four equal classes score ln 4; counts partition the length") {
+    // ln(1/4)·1e6 floors to −1386295 (ln 4 = 1.3862944): grid floor rounds
+    // the magnitude UP, so the 4-class score lands at 1.3863
+    assert(entropy("a1 !") == 1.3863)
+    val cs = Seq((1L, "a1 !x")).toDF("id", "text")
+      .select(TextOps.charClassCounts(col("text")).as("cs"))
+      .select(col("cs.letters"), col("cs.digits"), col("cs.spaces"), col("cs.other"), col("cs.n"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(cs == ((2L, 1L, 1L, 1L, 5L)))
+  }
+}

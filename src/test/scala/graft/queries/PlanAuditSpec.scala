@@ -397,4 +397,37 @@ class PlanAuditSpec extends AnyFunSuite {
     // every shuffle key is the 128-bit digest or the id — never text/grams
     assert(!p.contains("Exchange hashpartitioning(__g"), "gram text must not shuffle")
   }
+
+  test("events_transitions: one corpus shuffle (user window); later stages are type-sized") {
+    val p = plan("events_transitions")
+    // user window + pair aggregate + per-source window — nothing else,
+    // and the only corpus-sized one is the first
+    assert(count(p, "Exchange hashpartitioning") == 3, p)
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort anywhere")
+  }
+
+  test("events_paths: window shuffle + path agg, top-k is TakeOrdered") {
+    val p = plan("events_paths")
+    assert(p.contains("TakeOrderedAndProject"), "the k-cut must never globally sort")
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("text_entropy: pure map — zero exchanges, one codegen stage") {
+    val p = plan("text_entropy")
+    assert(!p.contains("Exchange"), s"entropy must run at scan speed:\n$p")
+    assert(p.contains("*(1)") && !p.contains("*(2)"),
+      "everything fuses into a single whole-stage-codegen stage")
+  }
+
+  test("parts_abc: distributed prefix sum — range sort, pinned evaluation, pid-local window") {
+    val p = plan("parts_abc")
+    assert(p.contains("Exchange rangepartitioning"), "the order is a distributed range sort")
+    assert(p.contains("InMemoryRelation"),
+      "the ordered set must pin ONE evaluation (sampled range boundaries)")
+    assert(p.contains("windowspecdefinition(__pid"),
+      "the running sum must be partition-local, never a single global window")
+    // the only single-partition exchanges sit on the partitions-sized
+    // subtotal tables (offsets window + grand total)
+    assert(count(p, "Exchange SinglePartition") == 2, p)
+  }
 }
