@@ -54,6 +54,78 @@ object Vocab {
       .orderBy(col("pfreq").desc, col("pair"))
       .limit(k)
 
+  /** Separator for the symbol-sequence encoding of [[bpeLearn]]: every
+    * symbol is wrapped `␟sym␟`, so a pair pattern `␟a␟␟b␟` can never match
+    * across a symbol boundary, and adjacent matches replace correctly
+    * (each match consumes its own delimiters — `␟a␟␟b␟␟a␟␟b␟` rewrites to
+    * `␟ab␟␟ab␟` under leftmost non-overlapping replacement, and `a a a`
+    * merges to `aa a`, the textbook greedy-BPE order). U+001F cannot occur
+    * in whitespace-split tokens.
+    */
+  private val S = "\u001F"
+
+  /** Iterative BPE vocabulary learning (Sennrich et al. 2016): run `steps`
+    * merge rounds, each counting adjacent symbol-pair frequencies over the
+    * (frequency-weighted) word vocabulary, electing the most frequent pair
+    * under the deterministic (count DESC, pair ASC) order, and rewriting
+    * every word's symbol sequence by leftmost non-overlapping replacement —
+    * the exact greedy order reference BPE implementations use.
+    *
+    * Scale shape (the [[wordCounts]] contract): the corpus is scanned ONCE
+    * to build the word-count table, which is pinned; every merge round
+    * touches only VOCAB-sized data — a pair-count aggregate plus a map-side
+    * rewrite — and pulls exactly one elected (pair, count) row to the
+    * driver (the decision is vocab-global by definition; same justified
+    * 1-row pull as the IVF dim probe). Rewrites compose lazily with a
+    * lineage-bounding pin every 8th round (the pageRankExact discipline).
+    * Stops early when no pair remains (every word fully merged).
+    *
+    * @return one row per executed merge: (step, lhs, rhs, pfreq), in step
+    *         order — the merge table a tokenizer ships.
+    */
+  def bpeLearn(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 256, s"steps must be in [1, 256], got $steps")
+    var vocab = wordCounts(df, textCol)
+      .select(regexp_replace(col("word"), "(.)", S + "$1" + S).as("__sym"), col("wfreq"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val syms = split(regexp_replace(col("__sym"), s"^$S|$S$$", ""), s"$S$S")
+      val top = vocab
+        .select(explode(adjacentPairs(syms)).as("__pair"), col("wfreq"))
+        .groupBy(col("__pair"))
+        .agg(sum(col("wfreq")).as("__pf"))
+        .orderBy(col("__pf").desc, col("__pair").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        val Array(a, b) = pair.split(S)
+        merges += ((step, a, b, top(0).getLong(1)))
+        vocab = vocab.withColumn("__sym",
+          replace(col("__sym"), lit(S + a + S + S + b + S), lit(S + a + b + S)))
+        if (step % 8 == 0) vocab = vocab.localCheckpoint(false)
+        step += 1
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "pfreq")
+  }
+
+  /** Adjacent symbol pairs of a symbol array as `a␟b` strings, duplicates
+    * kept (pair count = occurrences × word frequency — the BPE multiset).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(2), size(syms)),
+          i => concat(element_at(syms, i - 1), lit(S), element_at(syms, i))))
+
   /** Vocabulary coverage: per document, total token occurrences and how
     * many fall OUTSIDE the corpus' own top-`vocabSize` words — the OOV
     * signal that decides tokenizer vocab sizes and flags

@@ -673,6 +673,16 @@ object PipelineQueries {
   val vocabBpePairs: Q = (spark, dir) =>
     Vocab.bpePairCounts(docs(spark, dir), "text", 50)
 
+  /** Iterative BPE vocabulary learning: three full merge rounds — elect
+    * the most frequent adjacent symbol pair, rewrite every word by
+    * leftmost non-overlapping replacement, recount
+    * ([[graft.ops.Vocab.bpeLearn]]). One corpus scan total; each round is
+    * vocab-sized. The oracle unrolls the identical three rounds as CTEs —
+    * election, rewrite and recount all replay exactly.
+    */
+  val vocabBpeMerges: Q = (spark, dir) =>
+    Vocab.bpeLearn(docs(spark, dir), "text", steps = 3)
+
   /** Exact duplicated-substring signal (Lee et al.): per doc, the fraction
     * of its distinct word 8-grams occurring in ≥ 1 other document. Both
     * shuffles move 128-bit gram digests, never text.
@@ -1049,6 +1059,7 @@ object PipelineQueries {
     "quality_topfrac" -> qualityTopfrac,
     "quality_calibrate" -> qualityCalibrate,
     "vocab_bpe_pairs" -> vocabBpePairs,
+    "vocab_bpe_merges" -> vocabBpeMerges,
     "text_dupgrams" -> textDupgrams,
     "sample_stratified" -> sampleStratified,
     "sample_balanced" -> sampleBalanced,
@@ -1382,6 +1393,54 @@ object PipelineQueries {
          |FROM r""".stripMargin,
     // One BPE merge-step count replayed from scratch: word frequencies,
     // per-word adjacent char pairs (multiset), weighted pair sums
+    "vocab_bpe_merges" ->
+      // the same three rounds unrolled: symbol sequences wrapped in
+      // chr(31) delimiters, pairs from adjacent symbols (weighted by word
+      // frequency), election by (count DESC, pair ASC), rewrite by plain
+      // leftmost non-overlapping replace — both engines' replace()
+      // semantics
+      s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
+         |v0 AS (
+         |  SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym,
+         |    count(*) AS wfreq
+         |  FROM w GROUP BY word),
+         |p1 AS (
+         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
+         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
+         |        FROM v0)),
+         |b1 AS (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p1 GROUP BY pair
+         |       ORDER BY pf DESC, pair LIMIT 1),
+         |v1 AS (
+         |  SELECT replace(sym,
+         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b1),
+         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b1)) AS sym, wfreq
+         |  FROM v0),
+         |p2 AS (
+         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
+         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
+         |        FROM v1)),
+         |b2 AS (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p2 GROUP BY pair
+         |       ORDER BY pf DESC, pair LIMIT 1),
+         |v2 AS (
+         |  SELECT replace(sym,
+         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b2),
+         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b2)) AS sym, wfreq
+         |  FROM v1),
+         |p3 AS (
+         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
+         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
+         |        FROM v2)),
+         |b3 AS (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p3 GROUP BY pair
+         |       ORDER BY pf DESC, pair LIMIT 1)
+         |SELECT 1 AS step, split_part(pair, chr(31), 1) AS lhs,
+         |  split_part(pair, chr(31), 2) AS rhs, pf AS pfreq FROM b1
+         |UNION ALL
+         |SELECT 2, split_part(pair, chr(31), 1), split_part(pair, chr(31), 2), pf FROM b2
+         |UNION ALL
+         |SELECT 3, split_part(pair, chr(31), 1), split_part(pair, chr(31), 2), pf FROM b3""".stripMargin,
     "vocab_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
          |v AS (SELECT word, count(*) AS wfreq FROM w GROUP BY word),

@@ -272,6 +272,40 @@ object StreamingOps {
       }
   }
 
+  final case class IdEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
+
+  /** Stateful streaming counterpart of [[graft.ops.Funnel.debounce]]: per
+    * (user, type), suppress events closer than `minGapMicros` to the
+    * previous RAW event. State is ONE long per key (the last raw event
+    * time) — the cheapest state shape there is; grows with the live key
+    * set, the same contract as the batch op's window key.
+    *
+    * Same semantics contract as [[funnelStateful]]: events sort by
+    * (ts, id) within each micro-batch, and the result equals the batch
+    * debounce whenever each key's events arrive time-ordered across
+    * batches (the log-stream case, spec-pinned).
+    */
+  def debounceStream(
+      events: Dataset[IdEvent],
+      minGapMicros: Long): Dataset[IdEvent] = {
+    require(minGapMicros > 0, s"minGapMicros must be > 0, got $minGapMicros")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, IdEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), batch: Iterator[IdEvent], state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          var out = Vector.empty[IdEvent]
+          batch.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (last == Long.MinValue || e.ts_us - last >= minGapMicros) out :+= e
+            last = e.ts_us
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** Flat-map variant emitting one record per completed session (30-minute
     * inactivity on the nanosecond event clock, processing-time-free logic:
     * sessions close when a later event proves the gap).

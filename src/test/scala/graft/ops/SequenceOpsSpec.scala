@@ -110,6 +110,31 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("x", 10L, 10L, "A")))
   }
 
+  // ------------------------------------------------------------- BPE learn
+
+  test("bpeLearn: hand-checked merge chain with recounts, early stop when fully merged") {
+    val df = Seq((1L, "low low lower")).toDF("id", "text")
+    val out = Vocab.bpeLearn(df, "text", steps = 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // counts: low×2, lower×1. Round 1: l-o and o-w both 3 → pair order
+    // elects (l,o). Round 2: (lo,w)=3. Round 3: low-e / e-r tie at 1 →
+    // (e,r) first lexicographically. Round 4: (low,er). Then no pairs.
+    assert(out == Seq(
+      (1, "l", "o", 3L),
+      (2, "lo", "w", 3L),
+      (3, "e", "r", 1L),
+      (4, "low", "er", 1L)), "then every word is one symbol — early stop")
+  }
+
+  test("bpeLearn: leftmost non-overlapping rewrite — 'aaa' merges to [aa, a]") {
+    val df = Seq((1L, "aaa")).toDF("id", "text")
+    val out = Vocab.bpeLearn(df, "text", steps = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // round 1: (a,a) counted twice (positional multiset); rewrite is
+    // leftmost, so the word becomes [aa, a], and round 2 merges (aa, a)
+    assert(out == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   // --------------------------------------------------------------- entropy
 
   private def entropy(s: String): Double = {

@@ -91,6 +91,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.view.mapValues(_.size.toLong).toMap == batch)
   }
 
+  test("stateful debounce ≡ batch debounce on a time-ordered stream, state spans batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 100L
+    val evs = Seq(
+      StreamingOps.IdEvent(1L, "click", 1000L, 1L),
+      StreamingOps.IdEvent(1L, "click", 1050L, 2L), // burst: suppressed
+      StreamingOps.IdEvent(1L, "click", 1150L, 3L), // ≥ gap from RAW prev
+      StreamingOps.IdEvent(1L, "view", 1010L, 4L), // other type: own chain
+      // equal timestamps: id order keeps 5, suppresses 6
+      StreamingOps.IdEvent(2L, "click", 2000L, 6L),
+      StreamingOps.IdEvent(2L, "click", 2000L, 5L),
+      // second batch — the cross-batch gap check needs batch-1 state
+      StreamingOps.IdEvent(1L, "click", 1200L, 7L), // 50 < gap from ev 3
+      StreamingOps.IdEvent(1L, "click", 1400L, 8L),
+      StreamingOps.IdEvent(3L, "view", 9000L, 9L))
+    val stream = MemoryStream[StreamingOps.IdEvent]
+    val q = StreamingOps.debounceStream(stream.toDS(), gap)
+      .writeStream.outputMode("append").format("memory").queryName("debounce").start()
+    stream.addData(evs.take(6): _*)
+    q.processAllAvailable()
+    stream.addData(evs.drop(6).reverse: _*) // ts-shuffled within the batch
+    q.processAllAvailable()
+    val got = spark.table("debounce").as[StreamingOps.IdEvent]
+      .collect().map(_.event_id).toSet
+    q.stop()
+    val batchKept = {
+      val df = evs.map(e => (e.user_id, e.event_type, e.ts_us, e.event_id))
+        .toDF("user_id", "event_type", "ts_us", "event_id")
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      graft.ops.Funnel.debounce(df, Seq("user_id", "event_type"), "ts", "event_id", gap)
+        .select("event_id").as[Long].collect().toSet
+    }
+    assert(got == batchKept, s"stream $got vs batch $batchKept")
+    assert(got == Set(1L, 3L, 4L, 5L, 8L, 9L), "hand-checked survivor set")
+  }
+
   test("stateful sessionizer emits completed sessions with correct bounds") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1000L
