@@ -702,6 +702,40 @@ object RelationalQueries {
       .join(ppm("monetary", "m_ppm", 1L << 20), Seq("user_id"))
   }
 
+  /** Market-basket pair mining: the 25 part pairs most often bought in the
+    * same order (canonical a < b, full (support DESC, a, b) tie-break).
+    * The self-join is key-bounded — an order has at most 7 lineitems, so
+    * the within-order pair fan-out is ≤ 21 rows per order at ANY scale
+    * (the dedup_ngram block-bound contract); the cut is TakeOrdered.
+    */
+  val basketPairs: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    li.toDF("__ok", "part_a")
+      .join(li.toDF("__ok", "part_b"), Seq("__ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  /** Inactivity-gap report per user: the largest silence and how many
+    * gaps exceeded one hour — the engagement-health signal behind churn
+    * screens and sensor-outage audits. µs integer gap arithmetic under
+    * the (ts, id) total order; one key shuffle.
+    */
+  val eventsGaps: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.eventsDf(spark, dir)
+      .withColumn("__gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        max(col("__gap_us")).as("max_gap_us"),
+        sum(when(col("__gap_us") >= 3600000000L, 1L).otherwise(0L)).as("n_gaps_1h"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -823,6 +857,8 @@ object RelationalQueries {
     "label_kappa" -> labelKappa,
     "parts_abc" -> partsAbc,
     "events_rfm" -> eventsRfm,
+    "basket_pairs" -> basketPairs,
+    "events_gaps" -> eventsGaps,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1196,6 +1232,23 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "basket_pairs" ->
+      """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY support DESC, part_a, part_b LIMIT 25""".stripMargin,
+    "events_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    date_diff('microsecond',
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+        |  FROM events)
+        |SELECT user_id, max(gap_us) AS max_gap_us,
+        |  CAST(COALESCE(sum(CASE WHEN gap_us >= 3600000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_gaps_1h,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1""".stripMargin,
     "events_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,

@@ -419,6 +419,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "everything fuses into a single whole-stage-codegen stage")
   }
 
+  test("basket_pairs: key-bounded self-join, top-k is TakeOrdered") {
+    val p = plan("basket_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("BroadcastNestedLoop"), "the pair fan-out must ride the equi-join")
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+  }
+
+  test("events_gaps: the window partitioning is reused by the aggregate — ONE shuffle total") {
+    val p = plan("events_gaps")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"groupBy(user_id) must reuse the window's user partitioning:\n$p")
+  }
+
   test("parts_abc: distributed prefix sum — range sort, pinned evaluation, pid-local window") {
     val p = plan("parts_abc")
     assert(p.contains("Exchange rangepartitioning"), "the order is a distributed range sort")
