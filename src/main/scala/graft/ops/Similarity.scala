@@ -78,6 +78,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Look-alike audience expansion: rank every non-seed vector by cosine
+    * similarity to the SEED SET'S CENTROID — the "find more users like
+    * these" primitive behind ad-audience growth and seed-based data
+    * selection (select training docs resembling a curated seed corpus).
+    *
+    * Exactness: the centroid is accumulated on the 2^20 integer grid
+    * (per-component `floor(x·2²⁰)` long sums — order-free, partition-
+    * invariant), and because cosine is scale-invariant the GRID vector
+    * stands in for the mean directly: no division by the seed count ever
+    * happens, so the score is the proven [[dot]]/[[l2Norm]] kernel over
+    * exact inputs — bit-replayable cross-engine.
+    *
+    * Scale shape: seeds collapse to one dim-sized centroid (posexplode +
+    * partial-agg'd per-position sums; the dim-sized collect is the same
+    * justified pull as the IVF training draw) that embeds as a LITERAL in
+    * a map-side scoring projection — the corpus never shuffles, and the
+    * k-cut is TakeOrdered. A zero centroid (empty or cancelling seeds)
+    * yields null scores rather than NaN.
+    */
+  def lookalike(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seedPred: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val grid = df
+      .filter(seedPred)
+      .select(posexplode(
+        transform(col(vecCol), x => floor(x.cast("double") * 1048576.0).cast("long"))))
+    val cent: Array[Double] = grid
+      .groupBy(col("pos"))
+      .agg(sum(col("col")).as("__s"))
+      .orderBy(col("pos"))
+      .select(col("__s").cast("double"))
+      .collect()
+      .map(_.getDouble(0))
+    require(cent.nonEmpty, "lookalike needs at least one seed vector")
+    val cvec = typedLit(cent.toSeq)
+    val cNorm = sqrt(dot(cvec, cvec))
+    df.filter(!seedPred)
+      .select(
+        col(idCol),
+        when(cNorm === 0.0 || l2Norm(col(vecCol)) === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col(vecCol), cvec) / (l2Norm(col(vecCol)) * cNorm))
+          .as("cos"))
+      .orderBy(col("cos").desc_nulls_last, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic random hyperplanes: `bits` rows of `dim` components in
     * [-1, 1), seeded — the classic SimHash-for-vectors construction.
     */

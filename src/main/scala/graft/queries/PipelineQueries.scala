@@ -132,6 +132,13 @@ object PipelineQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
   }
 
+  /** Look-alike audience: top-20 non-seed vectors by cosine to the seed
+    * set's exact-grid centroid ([[graft.ops.Similarity.lookalike]] — the
+    * corpus never shuffles; the centroid embeds as a literal).
+    */
+  val audienceLookalike: Q = (spark, dir) =>
+    Similarity.lookalike(emb(spark, dir), "vec_id", "embedding", col("vec_id") < 8, k = 20)
+
   /** LSH-bucketed approximate top-10 (rows-only; recall measured in spec). */
   val knnLsh: Q = (spark, dir) => {
     val e = emb(spark, dir)
@@ -1100,6 +1107,7 @@ object PipelineQueries {
     "dedup_canonical" -> dedupCanonical,
     "embedding_project" -> embeddingProject,
     "knn_brute" -> knnBrute,
+    "audience_lookalike" -> audienceLookalike,
     "knn_lsh" -> knnLsh,
     "knn_ivf" -> knnIvf,
     "knn_int8" -> knnInt8,
@@ -1850,6 +1858,30 @@ object PipelineQueries {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
         |  FROM s)
         |WHERE rank <= 10""".stripMargin,
+    "audience_lookalike" ->
+      // same 2^20 grid centroid (exact integer sums, cast double), same
+      // sequential-fold dot/norm kernel, same null guard on zero norms
+      """WITH g AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS gv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (
+        |  SELECT pos, CAST(sum(v) AS DOUBLE) AS cv
+        |  FROM (SELECT unnest(gv) AS v, generate_subscripts(gv, 1) AS pos FROM g)
+        |  GROUP BY pos),
+        |cent AS (SELECT list(cv ORDER BY pos) AS cvec FROM c),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN sqrt(list_dot_product(cent.cvec, cent.cvec)) = 0.0
+        |           OR sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(e.embedding AS DOUBLE[]))) = 0.0
+        |         THEN NULL
+        |         ELSE list_dot_product(CAST(e.embedding AS DOUBLE[]), cent.cvec) /
+        |           (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                  CAST(e.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(cent.cvec, cent.cvec))) END AS cos
+        |  FROM embeddings e, cent WHERE NOT (e.vec_id < 8))
+        |SELECT vec_id, cos FROM s ORDER BY cos DESC NULLS LAST, vec_id LIMIT 20""".stripMargin,
     "embedding_norm" ->
       """SELECT vec_id,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm

@@ -277,6 +277,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lookalike: matches a Scala grid-centroid replay; partition-invariant; seeds excluded") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val seeds = vecs.filter(_._1 < 8)
+    // exact-grid centroid: per-component floor(x·2^20) long sums
+    val dim = seeds.head._2.length
+    val cent = (0 until dim).map { i =>
+      seeds.values.map(v => math.floor(v(i).toDouble * 1048576.0).toLong).sum.toDouble
+    }.toArray
+    val cNorm = math.sqrt(cent.map(x => x * x).sum)
+    val expected = vecs.toSeq.filter(_._1 >= 8)
+      .map { case (id, v) =>
+        val d = v.zip(cent).map { case (x, c) => x.toDouble * c }.sum
+        val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        (id, d / (n * cNorm))
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(20).map(_._1)
+    val got = Similarity.lookalike(emb, "vec_id", "embedding", col("vec_id") < 8, 20)
+      .select("vec_id").as[Long].collect().toSeq
+    // ranking must agree (scores differ only in fold order below 1e-12)
+    assert(got == expected)
+    assert(got.forall(_ >= 8), "seed members never appear in their own expansion")
+    val re = Similarity.lookalike(emb.repartition(7), "vec_id", "embedding", col("vec_id") < 8, 20)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(re == got, "grid centroid is partition-invariant")
+    intercept[IllegalArgumentException](
+      Similarity.lookalike(emb, "vec_id", "embedding", col("vec_id") < -1, 20))
+  }
+
   test("lshTopK: well-formed ranks, nonzero recall vs brute force") {
     val brute = Similarity
       .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
