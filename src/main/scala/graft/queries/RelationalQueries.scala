@@ -736,6 +736,30 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Engagement stickiness: per day, distinct daily actives, trailing
+    * 7-day actives, and the DAU/WAU ratio in exact ppm — the
+    * product-health headline. The stream collapses to DISTINCT
+    * (user, day) pairs first; the trailing window is a broadcast range
+    * join against the (time-horizon-bounded) day list, so the fan-out is
+    * ≤ 7× user-days regardless of event volume.
+    */
+  val eventsEngagement: Q = (spark, dir) => {
+    val ud = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("__d"))
+      .distinct()
+    val days = ud.select(col("__d").as("day")).distinct()
+    val dau = ud.groupBy(col("__d").as("day")).agg(count(lit(1)).as("dau"))
+    val wau = broadcast(days)
+      .join(ud, col("__d").between(date_sub(col("day"), 6), col("day")))
+      .select(col("day"), col("user_id")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        expr("dau * 1000000 DIV wau").as("sticky_ppm"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -859,6 +883,7 @@ object RelationalQueries {
     "events_rfm" -> eventsRfm,
     "basket_pairs" -> basketPairs,
     "events_gaps" -> eventsGaps,
+    "events_engagement" -> eventsEngagement,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1232,6 +1257,18 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "events_engagement" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT day, count(*) AS wau FROM (
+        |    SELECT DISTINCT days.day, ud.user_id
+        |    FROM days JOIN ud ON ud.d BETWEEN days.day - 6 AND days.day)
+        |  GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+        |  dau * 1000000 // wau AS sticky_ppm
+        |FROM dau JOIN wau USING (day)""".stripMargin,
     "basket_pairs" ->
       """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
         |FROM lineitem a JOIN lineitem b

@@ -306,6 +306,37 @@ object StreamingOps {
       }
   }
 
+  final case class TransitionHop(user_id: Long, from_type: String, to_type: String)
+
+  /** Stateful streaming counterpart of [[graft.ops.Funnel.markov]]'s pair
+    * extraction: emit one (from, to) hop per consecutive event pair within
+    * a user's stream. State is the last (ts, id, type) triple per user —
+    * constant per key. Downstream, any streaming aggregation (or the
+    * batch pair count) turns hops into the live transition table; the
+    * stream ≡ batch spec pins the counts. Same ordering contract as
+    * [[funnelStateful]]: in-batch sort by (ts, id), time-ordered across
+    * batches.
+    */
+  def markovStream(events: Dataset[IdEvent]): Dataset[TransitionHop] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), TransitionHop](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[IdEvent], state: GroupState[(Long, Long, String)]) =>
+          var last = state.getOption
+          var out = Vector.empty[TransitionHop]
+          batch.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            last.foreach { case (_, _, prevType) =>
+              out :+= TransitionHop(uid, prevType, e.event_type)
+            }
+            last = Some((e.ts_us, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Flat-map variant emitting one record per completed session (30-minute
     * inactivity on the nanosecond event clock, processing-time-free logic:
     * sessions close when a later event proves the gap).

@@ -127,6 +127,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L, 4L, 5L, 8L, 9L), "hand-checked survivor set")
   }
 
+  test("streaming markov hops ≡ batch transition counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      StreamingOps.IdEvent(1L, "A", 1000L, 1L),
+      StreamingOps.IdEvent(1L, "B", 2000L, 2L),
+      StreamingOps.IdEvent(2L, "A", 1500L, 3L),
+      // second batch: user 1 continues (the A→B state must span batches)
+      StreamingOps.IdEvent(1L, "A", 3000L, 4L),
+      StreamingOps.IdEvent(1L, "C", 4000L, 5L),
+      StreamingOps.IdEvent(2L, "B", 2500L, 6L))
+    val stream = MemoryStream[StreamingOps.IdEvent]
+    val q = StreamingOps.markovStream(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("markov").start()
+    stream.addData(evs.take(3): _*)
+    q.processAllAvailable()
+    stream.addData(evs.drop(3).reverse: _*)
+    q.processAllAvailable()
+    val got = spark.table("markov").as[StreamingOps.TransitionHop].collect()
+      .groupBy(h => (h.from_type, h.to_type)).view.mapValues(_.length.toLong).toMap
+    q.stop()
+    val batch = graft.ops.Funnel.markov(
+      evs.map(e => (e.user_id, e.event_type, e.ts_us, e.event_id))
+        .toDF("user_id", "event_type", "ts_us", "event_id")
+        .withColumn("ts", expr("timestamp_micros(ts_us)")),
+      "user_id", "event_type", "ts", "event_id")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got == Map(("A", "B") -> 2L, ("B", "A") -> 1L, ("A", "C") -> 1L))
+  }
+
   test("stateful sessionizer emits completed sessions with correct bounds") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1000L
