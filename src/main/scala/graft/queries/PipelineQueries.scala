@@ -405,6 +405,77 @@ object PipelineQueries {
         col("__cs")("n").as("n_chars"),
         TextOps.classEntropyOfCounts(col("__cs")).as("entropy"))
 
+  /** Flesch reading-ease scoring: words, sentence units, vowel-group
+    * syllable estimates — exact long counts feeding ONE fixed-order
+    * double formula (206.835 − 1.015·w/s − 84.6·syl/w), so the score
+    * replays bit-exactly. The classic prose-difficulty curation signal;
+    * pure Column, zero shuffle.
+    */
+  val textReadability: Q = (spark, dir) =>
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        TextOps.tokens(col("text")).as("__ws"),
+        TextOps.sentenceUnits(col("text")).as("__su"))
+      .select(
+        col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(col("__su")).cast("long").as("n_sentences"),
+        aggregate(col("__ws"), lit(0L),
+          (acc, w) => acc + regexp_count(w, lit("[aeiouy]+")).cast("long"))
+          .as("n_syllables"))
+      .withColumn(
+        "flesch",
+        when(col("n_words") === 0 || col("n_sentences") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+              - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+            4)))
+
+  /** Code-vs-prose heuristic: brace/bracket, semicolon and indented-line
+    * densities — the "strip code out of the prose corpus (or the other
+    * way around)" router every pretrain mix needs. Exact counts; the
+    * verdict is one integer cross-multiplication (≥ 1 hit per 50 chars).
+    */
+  val textCodeDetect: Q = (spark, dir) =>
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars2"),
+        length(regexp_replace(col("text"), "[^{}()\\[\\]]", "")).cast("long")
+          .as("n_braces"),
+        length(regexp_replace(col("text"), "[^;]", "")).cast("long").as("n_semis"),
+        size(filter(split(col("text"), "\n"), l => l.rlike("^  ")))
+          .cast("long").as("n_indent_lines"))
+      .withColumn(
+        "codelike",
+        (col("n_braces") + col("n_semis") + col("n_indent_lines")) * 50 >= col("n_chars2"))
+
+  /** Next-word suggestion table: for the 20 most frequent head words, the
+    * top-3 following words by bigram count (deterministic cut lines both
+    * levels) — the LM-flavored autocomplete staple. Corpus motion is one
+    * bigram aggregate; heads broadcast; the per-head rank window sees
+    * vocab-sized data.
+    */
+  val vocabNextWord: Q = (spark, dir) => {
+    val bgs = docs(spark, dir)
+      .select(TextOps.tokens(col("text")).as("__ws"))
+      .select(explode(arrays_zip(
+        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
+        slice(col("__ws"), lit(2), greatest(size(col("__ws")) - 1, lit(0))))).as("z"))
+      .select(col("z.0").as("w1"), col("z.1").as("w2"))
+    val pair = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val heads = pair.groupBy("w1").agg(sum(col("n")).as("__tot"))
+      .orderBy(col("__tot").desc, col("w1")).limit(20).select("w1")
+    val w = Window.partitionBy("w1").orderBy(col("n").desc, col("w2"))
+    pair.join(broadcast(heads), Seq("w1"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("w1", "w2", "n", "rank")
+  }
+
   val docStats: Q = (spark, dir) =>
     docs(spark, dir)
       .groupBy("lang", "source")
@@ -1123,6 +1194,9 @@ object PipelineQueries {
     "inference_quality" -> inferenceQuality,
     "text_fingerprint" -> textFingerprint,
     "text_entropy" -> textEntropy,
+    "text_readability" -> textReadability,
+    "text_code_detect" -> textCodeDetect,
+    "vocab_next_word" -> vocabNextWord,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
@@ -1954,6 +2028,51 @@ object PipelineQueries {
          |FROM l""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "text_readability" ->
+      // same tokenization, same period-split sentence units, same
+      // vowel-group syllable estimate, same fixed-order Flesch combine
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len($wordsSql) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(list_transform(string_split(text, '.'), u -> trim(u)),
+         |      u -> u != '')) AS BIGINT) AS n_sentences,
+         |    CAST(COALESCE(list_sum(list_transform($wordsSql,
+         |      w -> len(regexp_extract_all(w, '[aeiouy]+')))), 0) AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL
+         |       ELSE round(206.835
+         |         - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) END AS flesch
+         |FROM s""".stripMargin,
+    "text_code_detect" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars2,
+        |    CAST(length(regexp_replace(text, '[^{}()\[\]]', '', 'g')) AS BIGINT) AS n_braces,
+        |    CAST(length(regexp_replace(text, '[^;]', '', 'g')) AS BIGINT) AS n_semis,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '^  '))) AS BIGINT) AS n_indent_lines
+        |  FROM documents)
+        |SELECT doc_id, n_chars2, n_braces, n_semis, n_indent_lines,
+        |  (n_braces + n_semis + n_indent_lines) * 50 >= n_chars2 AS codelike
+        |FROM s""".stripMargin,
+    "vocab_next_word" ->
+      s"""WITH staged AS (SELECT $wordsSql AS ws FROM documents),
+         |bgs AS (
+         |  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+         |  FROM (SELECT ws, unnest(generate_series(0, len(ws) - 2)) AS i
+         |        FROM staged WHERE len(ws) >= 2)),
+         |pair AS (SELECT w1, w2, count(*) AS n FROM bgs GROUP BY 1, 2),
+         |heads AS (
+         |  SELECT w1 FROM (SELECT w1, sum(n) AS tot FROM pair GROUP BY 1)
+         |  ORDER BY tot DESC, w1 LIMIT 20),
+         |ranked AS (
+         |  SELECT pair.w1, w2, n,
+         |    CAST(row_number() OVER (PARTITION BY pair.w1 ORDER BY n DESC, w2)
+         |      AS INTEGER) AS rank
+         |  FROM pair JOIN heads ON pair.w1 = heads.w1)
+         |SELECT w1, w2, n, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "text_entropy" ->
       // same 4-class histogram, same 1e-6 log grid, same fixed-order
       // weighted sum; n = 0 scores 0, NULL text propagates NULL

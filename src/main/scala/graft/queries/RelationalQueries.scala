@@ -760,6 +760,46 @@ object RelationalQueries {
         expr("dau * 1000000 DIV wau").as("sticky_ppm"))
   }
 
+  /** Hour-level traffic anomalies: each (day, hour) bucket is Hampel-
+    * tested against ITS OWN hour-of-day profile (the seasonality-aware
+    * alarm — 3 a.m. traffic judged against other 3 a.m.s, never against
+    * noon), composing the per-day-hour count table with
+    * [[graft.ops.Outliers.flagged]] — medians/MAD by exact rank selection,
+    * zero doubles in the decision.
+    */
+  val eventsAnomalyHours: Q = (spark, dir) => {
+    val cnt = Tables.eventsDf(spark, dir)
+      .groupBy(to_date(col("ts")).as("__day"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("hour_of_day"), col("n"))
+    Outliers.flagged(cnt, "hour_of_day", "n", "day", k = 2)
+  }
+
+  /** Cohort LTV curve: decimal-exact revenue per (first-activity-week
+    * cohort, weeks-since) cell with the running cumulative — the
+    * lifetime-value readout next to [[eventsCohorts]]' retention. Cells
+    * are cohort-week-sized; the cumulative window partitions per cohort.
+    */
+  val eventsLtv: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("__wk"), col("value"))
+    val first = ev.groupBy("user_id").agg(min(col("__wk")).as("__cohort"))
+    val cells = ev.join(first, Seq("user_id"))
+      .groupBy(
+        col("__cohort"),
+        expr("CAST(datediff(__wk, __cohort) DIV 7 AS INT)").as("week_offset"))
+      .agg(sum(dec(col("value"), 2)).cast(DecimalType(18, 2)).as("__rev"))
+    val wCum = Window.partitionBy("__cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.select(
+      date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
+      col("week_offset"),
+      col("__rev").cast("double").as("revenue"),
+      sum(col("__rev")).over(wCum).cast(DecimalType(18, 2)).cast("double").as("cum_revenue"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -884,6 +924,8 @@ object RelationalQueries {
     "basket_pairs" -> basketPairs,
     "events_gaps" -> eventsGaps,
     "events_engagement" -> eventsEngagement,
+    "events_anomaly_hours" -> eventsAnomalyHours,
+    "events_ltv" -> eventsLtv,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1257,6 +1299,52 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "events_anomaly_hours" ->
+      // the events_outliers median/MAD replay, applied to the per-
+      // (day, hour) count table grouped by hour-of-day; counts grid
+      // exactly (n·2^20 is an integer product)
+      """WITH cnt AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    hour(ts) AS hour_of_day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |q AS (
+        |  SELECT day, hour_of_day, n,
+        |    CAST(floor(n * 1048576.0) AS BIGINT) AS q
+        |  FROM cnt),
+        |m AS (
+        |  SELECT hour_of_day, q,
+        |    row_number() OVER (PARTITION BY hour_of_day ORDER BY q) AS rn,
+        |    count(*) OVER (PARTITION BY hour_of_day) AS cn
+        |  FROM q),
+        |med AS (SELECT hour_of_day, q AS gmed FROM m WHERE rn = (cn + 1) // 2),
+        |d AS (
+        |  SELECT q.hour_of_day, abs(q.q - med.gmed) AS dev
+        |  FROM q JOIN med USING (hour_of_day)),
+        |m2 AS (
+        |  SELECT hour_of_day, dev,
+        |    row_number() OVER (PARTITION BY hour_of_day ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY hour_of_day) AS cn
+        |  FROM d),
+        |mad AS (SELECT hour_of_day, dev AS gmad FROM m2 WHERE rn = (cn + 1) // 2)
+        |SELECT q.day, q.hour_of_day, q.n
+        |FROM q JOIN med USING (hour_of_day) JOIN mad USING (hour_of_day)
+        |WHERE abs(q.q - med.gmed) * 10000 > 2 * 14826 * mad.gmad""".stripMargin,
+    "events_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        |cells AS (
+        |  SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+        |    CAST(SUM(v) AS DECIMAL(18,2)) AS rev
+        |  FROM ev JOIN f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY week_offset
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE) AS cum_revenue
+        |FROM cells""".stripMargin,
     "events_engagement" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |days AS (SELECT DISTINCT d AS day FROM ud),

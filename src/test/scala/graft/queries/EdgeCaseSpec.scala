@@ -137,4 +137,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Graph.pageRankExact(
       Seq.empty[(Long, Long)].toDF("src", "dst"), 2).count() == 0)
   }
+
+  test("readability/code-detect kernels: empty and null text degrade to nulls/zeros") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, ""), // empty: zero counts, null flesch (0 words)
+      (2L, null.asInstanceOf[String]), // null text propagates null, never throws
+      (3L, "it was. it was.") // 4 words, 2 sentences, 4 syllable groups
+    ).toDF("doc_id", "text")
+    val r = df
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__ws"),
+        TextOps.sentenceUnits(col("text")).as("__su"))
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("w"),
+        size(col("__su")).cast("long").as("s"),
+        aggregate(col("__ws"), lit(0L),
+          (acc, x) => acc + regexp_count(x, lit("[aeiouy]+")).cast("long")).as("y"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(r(0) == ((1L, Some(0L), Some(0L), Some(0L))))
+    assert(r(1) == ((2L, None, None, None)), "null text → null counts, no crash")
+    assert(r(2) == ((3L, Some(4L), Some(2L), Some(4L))))
+    // entropy: null text → null, not a crash (gate parity with DuckDB)
+    val e = df.select(TextOps.charClassCounts(col("text")).as("cs"))
+      .select(TextOps.classEntropyOfCounts(col("cs")))
+      .as[Option[Double]].collect()
+    assert(e.count(_.isEmpty) == 1)
+  }
 }
