@@ -476,6 +476,16 @@ object PipelineQueries {
       .select("w1", "w2", "n", "rank")
   }
 
+  /** Multimodal exact dedup: media grouped by content digest, electing
+    * the lowest id as canonical — the byte-identical-asset collapse every
+    * multimodal corpus runs before feature extraction (the binary never
+    * shuffles, only its 128-bit digest).
+    */
+  val multimodalDedup: Q = (spark, dir) =>
+    Multimodal.metadata(Multimodal.mediaFromDocuments(spark, dir))
+      .groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
+
   val docStats: Q = (spark, dir) =>
     docs(spark, dir)
       .groupBy("lang", "source")
@@ -1200,6 +1210,7 @@ object PipelineQueries {
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_dedup" -> multimodalDedup,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize
@@ -2379,6 +2390,10 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "multimodal_dedup" ->
+      """SELECT md5(text) AS content_md5, count(*) AS n_copies,
+        |  min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1""".stripMargin,
     "multimodal_resize" ->
       """SELECT media_id, width, height,
         |  CAST(CASE WHEN greatest(width, height) <= 48 THEN width

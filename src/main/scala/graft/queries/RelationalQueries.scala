@@ -800,6 +800,49 @@ object RelationalQueries {
       sum(col("__rev")).over(wCum).cast(DecimalType(18, 2)).cast("double").as("cum_revenue"))
   }
 
+  /** Exact per-type value percentiles (p50/p90/p99) by rank selection over
+    * the materialized 2^20 grid histogram — the QoS/SLA readout, scaling
+    * by distinct values rather than points (the [[graft.ops.Outliers]]
+    * discipline; a percentile_approx would be neither exact nor
+    * replayable).
+    */
+  val eventsPercentiles: Q = (spark, dir) => {
+    val hist = Tables.eventsDf(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value").cast("double") * 1048576.0).cast("long").as("__q"))
+      .groupBy(col("event_type"), col("__q"))
+      .agg(count(lit(1)).as("__c"))
+    val byQ = Window.partitionBy("event_type").orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("event_type")
+    hist
+      .withColumn("__cum", sum(col("__c")).over(byQ))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("__n")).as("n"),
+        min(when(col("__cum") >= expr("(__n + 1) DIV 2"), col("__q"))).as("p50_grid"),
+        min(when(col("__cum") >= expr("(9 * __n + 9) DIV 10"), col("__q"))).as("p90_grid"),
+        min(when(col("__cum") >= expr("(99 * __n + 99) DIV 100"), col("__q"))).as("p99_grid"))
+  }
+
+  /** Partition-pruned lakehouse round trip: events written PARTITIONED BY
+    * event_type, read back with a one-type filter — the scan must touch
+    * only that partition's files (PartitionFilters plan-audited), and the
+    * aggregate must equal the unpartitioned oracle's.
+    */
+  val sourcePartitioned: Q = (spark, dir) => {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_part_events"
+    Tables.eventsDf(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -926,6 +969,8 @@ object RelationalQueries {
     "events_engagement" -> eventsEngagement,
     "events_anomaly_hours" -> eventsAnomalyHours,
     "events_ltv" -> eventsLtv,
+    "events_percentiles" -> eventsPercentiles,
+    "source_partitioned" -> sourcePartitioned,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1299,6 +1344,25 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "events_percentiles" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1048576.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, q,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM q)
+        |SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN rn = (n + 1) // 2 THEN q END) AS p50_grid,
+        |  MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN q END) AS p90_grid,
+        |  MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN q END) AS p99_grid
+        |FROM m GROUP BY event_type""".stripMargin,
+    "source_partitioned" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id""".stripMargin,
     "events_anomaly_hours" ->
       // the events_outliers median/MAD replay, applied to the per-
       // (day, hour) count table grouped by hour-of-day; counts grid

@@ -432,6 +432,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"groupBy(user_id) must reuse the window's user partitioning:\n$p")
   }
 
+  test("source_partitioned: the one-type read prunes at PARTITION level") {
+    val p = plan("source_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"the event_type predicate must prune directories, not filter rows:\n$p")
+  }
+
+  test("events_percentiles: histogram shuffle + type-keyed windows — two exchanges, no global sort") {
+    val p = plan("events_percentiles")
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("parts_abc: distributed prefix sum — range sort, pinned evaluation, pid-local window") {
     val p = plan("parts_abc")
     assert(p.contains("Exchange rangepartitioning"), "the order is a distributed range sort")
