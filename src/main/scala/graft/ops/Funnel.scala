@@ -70,9 +70,37 @@ object Funnel {
       userCol: String,
       typeCol: String,
       tsCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String]): DataFrame =
+    stagesImpl(df, userCol, typeCol, tsCol, steps, None)
+
+  /** [[stages]] with a conversion window: a user's stage-k entry must fall
+    * within `maxGapMicros` of their stage-(k−1) entry — the "converted
+    * WITHIN 24 h" funnel every growth team actually reports (the unbounded
+    * variant overcounts users who wander back weeks later). Same cached
+    * survivor-chain shape; the window is one extra µs predicate on the
+    * stage gate.
+    */
+  def stagesWindowed(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      maxGapMicros: Long): DataFrame = {
+    require(maxGapMicros > 0, s"maxGapMicros must be > 0, got $maxGapMicros")
+    stagesImpl(df, userCol, typeCol, tsCol, steps, Some(maxGapMicros))
+  }
+
+  private def stagesImpl(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      maxGapMicros: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    survivorChain(df, userCol, typeCol, tsCol, steps).zip(steps).zipWithIndex
+    survivorChain(df, userCol, typeCol, tsCol, steps, maxGapMicros)
+      .zip(steps).zipWithIndex
       .map { case ((surv, step), i) =>
         surv.agg(count(lit(1)).as("users"))
           .select(lit(step).as("stage"), lit(i).as("stage_idx"), col("users"))
@@ -89,14 +117,21 @@ object Funnel {
       userCol: String,
       typeCol: String,
       tsCol: String,
-      steps: Seq[String]): Seq[DataFrame] = {
+      steps: Seq[String],
+      maxGapMicros: Option[Long] = None): Seq[DataFrame] = {
     val u = col(userCol)
     def entries(step: String, prev: Option[DataFrame]): DataFrame = {
       val events = df.filter(col(typeCol) === step)
       val gated = prev match {
         case None => events
         case Some(p) =>
-          events.join(p, Seq(userCol)).filter(col(tsCol) >= col("__entry")).drop("__entry")
+          val inOrder = col(tsCol) >= col("__entry")
+          val bound = maxGapMicros match {
+            case Some(g) =>
+              inOrder && unix_micros(col(tsCol)) - unix_micros(col("__entry")) <= g
+            case None => inOrder
+          }
+          events.join(p, Seq(userCol)).filter(bound).drop("__entry")
       }
       // survivors are user-sized (≤ one row per user) and feed both the
       // next stage's gate and this stage's count: pin them once

@@ -843,6 +843,31 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
   }
 
+  /** Master-data golden records end to end: blocked-levenshtein linkage
+    * pairs → union-find duplicate clusters → per-cluster representative
+    * elected by (account balance DESC, id ASC) — the MDM pipeline
+    * composed from [[graft.ops.Linkage.fuzzyPairs]] and
+    * [[graft.ops.Dedup.canonicalClusters]], replayed by a recursive-CTE
+    * transitive closure in the oracle.
+    */
+  val linkageGolden: Q = (spark, dir) => {
+    val cust = t(spark, dir, "customer")
+    val pairs = graft.ops.Linkage.fuzzyPairs(
+      cust, "c_custkey", "c_name", substring(col("c_name"), 10, 7), maxDist = 1)
+      .select("id_a", "id_b")
+    graft.ops.Dedup.canonicalClusters(pairs, cust, "c_custkey", "c_acctbal")
+  }
+
+  /** The 24-hour-window conversion funnel beside [[eventsFunnel]]'s
+    * unbounded one: each stage entry must land within a day of the
+    * previous stage's ([[graft.ops.Funnel.stagesWindowed]]) — the funnel
+    * semantics growth reports actually use.
+    */
+  val eventsFunnelWindowed: Q = (spark, dir) =>
+    graft.ops.Funnel.stagesWindowed(
+      Tables.eventsDf(spark, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), maxGapMicros = 86400000000L)
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -971,6 +996,8 @@ object RelationalQueries {
     "events_ltv" -> eventsLtv,
     "events_percentiles" -> eventsPercentiles,
     "source_partitioned" -> sourcePartitioned,
+    "linkage_golden" -> linkageGolden,
+    "events_funnel_windowed" -> eventsFunnelWindowed,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1344,6 +1371,52 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "linkage_golden" ->
+      // pairs replay (the linkage_fuzzy oracle) → recursive-CTE
+      // transitive closure with min-label (the dedup_components oracle)
+      // → the (quality DESC NULLS LAST, id ASC) election window
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey, c_name, substring(c_name, 10, 7) AS blk, c_acctbal
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |m AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        |j AS (SELECT m.cluster, m.id, c.c_acctbal AS q
+        |      FROM m JOIN c ON m.id = c.c_custkey)
+        |SELECT cluster, id AS rep_id, q AS rep_quality, n_members FROM (
+        |  SELECT cluster, id, q,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY q DESC NULLS LAST, id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM j)
+        |WHERE rn = 1""".stripMargin,
+    "events_funnel_windowed" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(ts) AS t1 FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts >= t0
+        |    AND epoch_us(ts) - epoch_us(t0) <= 86400000000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts >= t1
+        |    AND epoch_us(ts) - epoch_us(t1) <= 86400000000
+        |  GROUP BY e.user_id)
+        |SELECT 'view' AS stage, 0 AS stage_idx, count(*) AS users FROM v
+        |UNION ALL
+        |SELECT 'click', 1, count(*) FROM c
+        |UNION ALL
+        |SELECT 'purchase', 2, count(*) FROM p""".stripMargin,
     "events_percentiles" ->
       """WITH q AS (
         |  SELECT event_type, CAST(floor(value * 1048576.0) AS BIGINT) AS q

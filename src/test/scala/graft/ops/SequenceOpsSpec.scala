@@ -110,6 +110,31 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("x", 10L, 10L, "A")))
   }
 
+  // ------------------------------------------------------- windowed funnel
+
+  test("stagesWindowed: conversions outside the window drop; inside matches unbounded") {
+    val ev = Seq(
+      // user 1 converts within the hour
+      (1L, "view", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "buy", ts("2024-01-01 00:30:00"), 2L),
+      // user 2's buy comes 3 h after the view — outside a 1 h window
+      (2L, "view", ts("2024-01-02 00:00:00"), 3L),
+      (2L, "buy", ts("2024-01-02 03:00:00"), 4L),
+      // user 3: an early buy BEFORE the view never counts either way
+      (3L, "buy", ts("2024-01-03 00:00:00"), 5L),
+      (3L, "view", ts("2024-01-03 01:00:00"), 6L)
+    ).toDF("u", "t", "tt", "id")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Long)].collect().map(r => r._2 -> r._3).toMap
+    val bounded = counts(
+      Funnel.stagesWindowed(ev, "u", "t", "tt", Seq("view", "buy"), 3600000000L))
+    val open = counts(Funnel.stages(ev, "u", "t", "tt", Seq("view", "buy")))
+    assert(bounded == Map(0 -> 3L, 1 -> 1L), "only user 1 converts within 1 h")
+    assert(open == Map(0 -> 3L, 1 -> 2L), "unbounded admits user 2's late buy")
+    intercept[IllegalArgumentException](
+      Funnel.stagesWindowed(ev, "u", "t", "tt", Seq("view"), 0L))
+  }
+
   // ------------------------------------------------------------- BPE learn
 
   test("bpeLearn: hand-checked merge chain with recounts, early stop when fully merged") {
