@@ -868,6 +868,66 @@ object RelationalQueries {
       Tables.eventsDf(spark, dir), "user_id", "event_type", "ts",
       Seq("view", "click", "purchase"), maxGapMicros = 86400000000L)
 
+  /** Behavioral diversity per user: Shannon entropy of the user's
+    * event-type distribution on the 1e-6 log grid (the perplexity
+    * discipline on grouped data) — bots and single-action scripts score
+    * ~0, explorers score high. One key shuffle; the per-user window runs
+    * over ≤ |types| rows.
+    */
+  val eventsUserEntropy: Q = (spark, dir) => {
+    val cnt = Tables.eventsDf(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("__c"))
+    cnt
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy("user_id")))
+      .withColumn("__t",
+        col("__c") * floor(log(col("__c").cast("double") / col("__n")) * 1000000.0)
+          .cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("__n")).as("n_events"),
+        round(-sum(col("__t")).cast("double")
+          / (max(col("__n")).cast("double") * 1000000.0), 4).as("type_entropy"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic between the
+    * finished ('F') and open ('O') order-total distributions: the grid
+    * histograms merge full-outer, both ECDFs accumulate as longs, and
+    * D's numerator is the max of |cumA·nB − cumB·nA| in DECIMAL(38,0) —
+    * zero doubles until the single final division, so the headline drift
+    * number replays bit-exactly (the corr_exact/chi² discipline applied
+    * to distribution distance). Windows run over the distinct-values
+    * histogram, never the rows.
+    */
+  val driftKs: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    def hist(status: String, cc: String) =
+      t(spark, dir, "orders")
+        .filter(col("o_orderstatus") === status && col("o_totalprice").isNotNull)
+        .select(floor(col("o_totalprice") * 1048576.0).cast("long").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as(cc))
+    val merged = hist("F", "__ca").join(hist("O", "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val pinned = merged.localCheckpoint(false)
+    val byV = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pinned
+      .withColumn("__cuma", sum(col("__ca")).over(byV))
+      .withColumn("__cumb", sum(col("__cb")).over(byV))
+    val tot = pinned.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(abs(col("__cuma").cast(d38) * col("__nb").cast(d38)
+          - col("__cumb").cast(d38) * col("__na").cast(d38))).as("__dn"))
+      .select(
+        col("n_a"), col("n_b"),
+        (col("__dn").cast("double")
+          / (col("n_a").cast(d38) * col("n_b").cast(d38)).cast("double")).as("ks_d"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -998,6 +1058,8 @@ object RelationalQueries {
     "source_partitioned" -> sourcePartitioned,
     "linkage_golden" -> linkageGolden,
     "events_funnel_windowed" -> eventsFunnelWindowed,
+    "events_user_entropy" -> eventsUserEntropy,
+    "drift_ks" -> driftKs,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1371,6 +1433,47 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "events_user_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, c,
+        |    sum(c) OVER (PARTITION BY user_id) AS n
+        |  FROM c),
+        |w AS (
+        |  SELECT user_id, n,
+        |    c * CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000.0) AS BIGINT) AS t
+        |  FROM t)
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  round(-CAST(SUM(t) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 1000000.0), 4)
+        |    AS type_entropy
+        |FROM w GROUP BY user_id""".stripMargin,
+    "drift_ks" ->
+      // merged grid histograms, long ECDF accumulation, HUGEINT cross-
+      // multiplied numerator (mirrors Spark's DECIMAL(38,0)), one final
+      // double division
+      """WITH ha AS (
+        |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v, count(*) AS ca
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |hb AS (
+        |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v, count(*) AS cb
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ha.v, hb.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+        |cum AS (
+        |  SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM m),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(MAX(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
+        |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks_d
+        |FROM cum, tot
+        |GROUP BY na, nb""".stripMargin,
     "linkage_golden" ->
       // pairs replay (the linkage_fuzzy oracle) → recursive-CTE
       // transitive closure with min-label (the dedup_components oracle)
