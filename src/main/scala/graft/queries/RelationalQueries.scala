@@ -928,6 +928,48 @@ object RelationalQueries {
           / (col("n_a").cast(d38) * col("n_b").cast(d38)).cast("double")).as("ks_d"))
   }
 
+  /** Experiment ASSIGNMENT with the sample-ratio-mismatch guardrail: users
+    * bucket deterministically via the salted-md5 split
+    * ([[graft.ops.Sampling.splitColumn]] — the sample_split kernel, so
+    * assignment is reproducible anywhere), and the one-row report carries
+    * the SRM χ² against the declared 50/50 — the broken-randomization
+    * alarm every platform checks BEFORE reading [[abReport]]'s effect.
+    * `(nA−nB)²/n` in exact longs until the single division.
+    */
+  val abAssign: Q = (spark, dir) => {
+    val users = Tables.eventsDf(spark, dir).select(col("user_id")).distinct()
+      .withColumn("variant",
+        graft.ops.Sampling.splitColumn(
+          col("user_id"), Seq("A" -> 0.5, "B" -> 0.5), salt = "exp1"))
+    users.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") + col("n_b") > 0,
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double")
+            / (col("n_a") + col("n_b")))
+          .otherwise(lit(null).cast("double")).as("srm_chi2"))
+  }
+
+  /** Daily bounce rate: share of 30-minute sessions containing exactly
+    * one event — the landing-page health metric, built on the same
+    * session-window kernel as [[eventsSessionize]] with the exact-ppm
+    * ratio discipline.
+    */
+  val eventsBounce: Q = (spark, dir) =>
+    Tables.eventsDf(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("__n_ev"))
+      .select(to_date(col("session_window.start")).as("__day"), col("__n_ev"))
+      .groupBy(col("__day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("__n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(
+        date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("n_bounce"),
+        expr("n_bounce * 1000000 DIV n_sessions").as("bounce_ppm"))
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -1060,6 +1102,8 @@ object RelationalQueries {
     "events_funnel_windowed" -> eventsFunnelWindowed,
     "events_user_entropy" -> eventsUserEntropy,
     "drift_ks" -> driftKs,
+    "ab_assign" -> abAssign,
+    "events_bounce" -> eventsBounce,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1433,6 +1477,49 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "ab_assign" ->
+      // the sample_split hex idiom: lexicographic compare of the first 8
+      // md5 hex chars against the 0.5 threshold 0x80000000
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (
+        |  SELECT user_id,
+        |    CASE WHEN substring(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8)
+        |           < '80000000' THEN 'A' ELSE 'B' END AS variant
+        |  FROM u),
+        |t AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b
+        |  FROM v)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a + n_b > 0
+        |    THEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+        |    ELSE NULL END AS srm_chi2
+        |FROM t""".stripMargin,
+    "events_bounce" ->
+      // the events_sessionize gap-islands replay, carried to per-session
+      // event counts and the session-start day
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM g),
+        |i AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, sid, min(ts) AS start, count(*) AS n_ev
+        |  FROM i GROUP BY 1, 2)
+        |SELECT strftime(CAST(start AS DATE), '%Y-%m-%d') AS day,
+        |  count(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // count(*) AS bounce_ppm
+        |FROM sess GROUP BY 1""".stripMargin,
     "events_user_entropy" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS c
