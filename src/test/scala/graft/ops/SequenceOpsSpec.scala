@@ -160,6 +160,125 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(out == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("property: bpeLearn equals a reference Scala BPE on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val S = "\u001F"
+    def brute(freqs: Map[String, Long], steps: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Seq[(Vector[String], Long)] =
+        freqs.toSeq.map { case (w, f) => w.map(_.toString).toVector -> f }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var step = 1
+      var break = false
+      while (step <= steps && !break) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (v, f) =>
+          v.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        if (counts.isEmpty) break = true
+        else {
+          val ((a, b), pf) = counts.toSeq
+            .sortBy { case ((a, b), c) => (-c, a + S + b) }.head
+          out += ((step, a, b, pf))
+          vocab = vocab.map { case (v, f) =>
+            val m = Vector.newBuilder[String]
+            var i = 0
+            while (i < v.length) {
+              if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { m += (a + b); i += 2 }
+              else { m += v(i); i += 1 }
+            }
+            (m.result(), f)
+          }
+          step += 1
+        }
+      }
+      out.toSeq
+    }
+    val genWord = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genCorpus = Gen.nonEmptyListOf(Gen.zip(genWord, Gen.chooseNum(1, 4)))
+      .map(_.take(8))
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val text = corpus.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+      val freqs = corpus.flatMap { case (w, n) => Seq.fill(n)(w) }
+        .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+      val expected = brute(freqs, 6)
+      val got = Vocab.bpeLearn(Seq((1L, text)).toDF("id", "text"), "text", 6)
+        .as[(Int, String, String, Long)].collect().toSeq
+      got == expected
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: abcClassify equals the sequential replay on random inputs") {
+    import org.scalacheck.{Gen, Prop}
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L)).map(_.take(12))) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (s"k$i", v) }
+      val sorted = rows.sortBy { case (k, v) => (-v, k) }
+      val tot = vs.sum
+      var cum = 0L
+      val expected = sorted.map { case (k, v) =>
+        val prev = cum; cum += v
+        val cls = if (prev * 100 < tot * 80) "A"
+          else if (prev * 100 < tot * 95) "B" else "C"
+        (k, v, cum, cls)
+      }.toSet
+      val got = Ranking.abcClassify(rows.toDF("k", "v"), "k", "v")
+        .as[(String, Long, Long, String)].collect().toSet
+      got == expected
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: markov conserves counts — per-source totals and global pair count") {
+    import org.scalacheck.{Gen, Prop}
+    val genEvents = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.oneOf("A", "B", "C"))).map(_.take(30))
+    val prop = Prop.forAll(genEvents) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, t), i) =>
+        (u, t, ts("2024-01-01 00:00:00"), i.toLong)
+      }
+      val df = rows.toDF("u", "t", "tt", "id")
+      val out = Funnel.markov(df, "u", "t", "tt", "id")
+        .as[(String, String, Long, Long)].collect()
+      val perFrom = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val expectedPairs = rows.groupBy(_._1).values.map(g => math.max(0, g.size - 1)).sum
+      out.map(_._3).sum == expectedPairs &&
+        // p_ppm replays as floor(n_trans·10⁶ / n_from) with n_from the
+        // per-source transition total
+        out.forall(r => r._4 == r._3 * 1000000L / perFrom(r._1)) &&
+        perFrom.values.forall(_ > 0)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: cohenKappa is bounded and identical raters score exactly 1") {
+    import org.scalacheck.{Gen, Prop}
+    val genLabels = Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z")).map(_.take(20))
+    val prop = Prop.forAll(genLabels, genLabels) { (la, lb) =>
+      val n = math.min(la.size, lb.size)
+      val a = la.take(n).zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("item", "lab")
+      val b = lb.take(n).zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("item", "lab")
+      val k = Labels.cohenKappa(a, b, "item", "lab")
+        .as[(Long, Long, Option[Double])].collect().head._3
+      val self = Labels.cohenKappa(a, a, "item", "lab")
+        .as[(Long, Long, Option[Double])].collect().head._3
+      k.forall(v => v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12) &&
+        self.forall(_ == 1.0) // None only when rater A is constant
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // --------------------------------------------------------------- entropy
 
   private def entropy(s: String): Double = {
