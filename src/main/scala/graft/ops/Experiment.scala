@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -24,6 +24,75 @@ import org.apache.spark.sql.types.DecimalType
   * No reference analog — pipeline-extension layer.
   */
 object Experiment {
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013): adjust
+    * each unit's post-period metric by its PRE-period covariate —
+    * `y_adj = y − θ·(x − mean(x))` with `θ = Cov(x,y)/Var(x)` — the
+    * standard lever that cuts experiment runtimes by the covariate's R².
+    *
+    * Exactness discipline: metric and covariate land on the integer CENT
+    * grid (`(v·100)::long` — the [[abReport]] exactness frame), and all
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate as
+    * DECIMAL(38,0) INTEGERS — order/partitioning-invariant, and exactly
+    * mirrored by HUGEINT in any replaying engine (integer decimals dodge
+    * the cross-engine precision-38 multiplication rules entirely). The
+    * cent scale cancels exactly in θ's ratio; θ, the grand covariate
+    * mean, and the per-variant adjusted means are fixed-order double
+    * expressions of correctly-rounded integer casts. Zero covariate
+    * variance yields θ = null and adjusted = raw means.
+    *
+    * Scale shape: ONE aggregate over the unit table for the statistics
+    * (1-row broadcast back), one for the per-variant sums — no joins
+    * wider than the variant count.
+    *
+    * @param units one row per unit: variant (long), metric y and
+    *              covariate x (numerics; 2-decimal grid values expected)
+    */
+  def cuped(
+      units: DataFrame,
+      variantCol: String,
+      metricCol: String,
+      covariateCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def cents(c: Column): Column =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    val base = units
+      .filter(col(variantCol).isNotNull && col(metricCol).isNotNull &&
+        col(covariateCol).isNotNull)
+      .select(col(variantCol).as("variant"),
+        cents(col(covariateCol)).as("__x"), cents(col(metricCol)).as("__y"))
+    val stats = base.agg(
+      count(lit(1)).as("__n"),
+      coalesce(sum(col("__x").cast(d38)), lit(0).cast(d38)).as("__sx"),
+      coalesce(sum(col("__y").cast(d38)), lit(0).cast(d38)).as("__sy"),
+      coalesce(sum((col("__x").cast(d38) * col("__y")).cast(d38)), lit(0).cast(d38))
+        .as("__sxy"),
+      coalesce(sum((col("__x").cast(d38) * col("__x")).cast(d38)), lit(0).cast(d38))
+        .as("__sxx"))
+    val perVariant = base.groupBy(col("variant")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(d38)).as("__vx"),
+      sum(col("__y").cast(d38)).as("__vy"))
+    // θ = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx) — integer cents² cancel
+    // exactly, every piece an exact integer, ONE division in double
+    val covNum = (col("__n").cast(d38) * col("__sxy")
+      - (col("__sx") * col("__sy")).cast(d38)).cast("double")
+    val varNum = (col("__n").cast(d38) * col("__sxx")
+      - (col("__sx") * col("__sx")).cast(d38)).cast("double")
+    val theta = when(varNum =!= 0.0, covNum / varNum).otherwise(lit(null).cast("double"))
+    val xBarC = col("__sx").cast("double") / col("__n") // grand covariate mean, cents
+    perVariant.crossJoin(broadcast(stats))
+      .select(
+        col("variant"),
+        col("n"),
+        (col("__vy").cast("double") / (col("n") * 100.0)).as("mean_y"),
+        theta.as("theta"),
+        when(theta.isNull, col("__vy").cast("double") / (col("n") * 100.0))
+          .otherwise(
+            (col("__vy").cast("double") / col("n")
+              - theta * (col("__vx").cast("double") / col("n") - xBarC)) / 100.0)
+          .as("mean_y_adj"))
+  }
 
   /** One-row 2×2 report over a UNIT table: `variantCol` ∈ {0, 1} (long),
     * `convertedCol` ∈ {0, 1} (long). Output: per-variant sizes and

@@ -970,6 +970,27 @@ object RelationalQueries {
         col("n_sessions"), col("n_bounce"),
         expr("n_bounce * 1000000 DIV n_sessions").as("bounce_ppm"))
 
+  /** CUPED variance-reduced readout over the event experiment: each
+    * user's second-half engagement adjusted by their first-half baseline
+    * ([[graft.ops.Experiment.cuped]] — θ from integer-cent sufficient
+    * statistics, the fixed-order-double discipline). The pre-period
+    * covariate typically absorbs most between-user variance, which is
+    * what makes small effects readable.
+    */
+  val abCuped: Q = (spark, dir) => {
+    val cut = ts("2024-01-16 00:00:00")
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val units = Tables.eventsDf(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cut, dec(col("value"), 2)).otherwise(zero))
+          .cast(DecimalType(18, 2)).as("pre_value"),
+        sum(when(col("ts") >= cut, dec(col("value"), 2)).otherwise(zero))
+          .cast(DecimalType(18, 2)).as("post_value"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    graft.ops.Experiment.cuped(units, "variant", "post_value", "pre_value")
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -1104,6 +1125,7 @@ object RelationalQueries {
     "drift_ks" -> driftKs,
     "ab_assign" -> abAssign,
     "events_bounce" -> eventsBounce,
+    "ab_cuped" -> abCuped,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1477,6 +1499,44 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "ab_cuped" ->
+      // integer-cent sufficient statistics in HUGEINT (mirrors Spark's
+      // DECIMAL(38,0)); θ's cent² scale cancels exactly; fixed-order
+      // double combine
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    CAST(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(COALESCE(sum(CAST(x AS HUGEINT)), 0) AS HUGEINT) AS sx,
+        |    CAST(COALESCE(sum(CAST(y AS HUGEINT)), 0) AS HUGEINT) AS sy,
+        |    CAST(COALESCE(sum(CAST(x AS HUGEINT) * y), 0) AS HUGEINT) AS sxy,
+        |    CAST(COALESCE(sum(CAST(x AS HUGEINT) * x), 0) AS HUGEINT) AS sxx
+        |  FROM u),
+        |v AS (
+        |  SELECT variant, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS vx, sum(CAST(y AS HUGEINT)) AS vy
+        |  FROM u GROUP BY 1)
+        |SELECT v.variant, CAST(v.n AS BIGINT) AS n,
+        |  CAST(v.vy AS DOUBLE) / (v.n * 100.0) AS mean_y,
+        |  CASE WHEN CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) != 0.0
+        |       THEN CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+        |            / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+        |       ELSE NULL END AS theta,
+        |  CASE WHEN CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) = 0.0
+        |       THEN CAST(v.vy AS DOUBLE) / (v.n * 100.0)
+        |       ELSE (CAST(v.vy AS DOUBLE) / v.n
+        |             - (CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+        |                / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+        |               * (CAST(v.vx AS DOUBLE) / v.n - CAST(s.sx AS DOUBLE) / s.n)) / 100.0
+        |  END AS mean_y_adj
+        |FROM v, s""".stripMargin,
     "ab_assign" ->
       // the sample_split hex idiom: lexicographic compare of the first 8
       // md5 hex chars against the 0.5 threshold 0x80000000

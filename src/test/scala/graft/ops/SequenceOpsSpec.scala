@@ -279,6 +279,29 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // ----------------------------------------------------------------- CUPED
+
+  test("cuped: θ exact on linear data; pure covariate differences equalize away") {
+    val units = Seq(
+      (0L, 10.0, 1.0), (0L, 20.0, 2.0), (1L, 30.0, 3.0), (1L, 40.0, 4.0)
+    ).toDF("variant", "y", "x")
+    val out = Experiment.cuped(units, "variant", "y", "x")
+      .as[(Long, Long, Double, Option[Double], Double)].collect().sortBy(_._1)
+    // y = 10x exactly ⇒ θ = 10; the entire between-variant difference is
+    // the covariate's, so both adjusted means collapse to the grand mean
+    assert(out.map(_._4).toSeq == Seq(Some(10.0), Some(10.0)))
+    assert(out.map(_._3).toSeq == Seq(15.0, 35.0), "raw means differ")
+    assert(out.map(_._5).toSeq == Seq(25.0, 25.0), "adjusted means equalize")
+  }
+
+  test("cuped: zero covariate variance falls back to raw means with null θ") {
+    val units = Seq((0L, 10.0, 5.0), (1L, 30.0, 5.0)).toDF("variant", "y", "x")
+    val out = Experiment.cuped(units, "variant", "y", "x")
+      .as[(Long, Long, Double, Option[Double], Double)].collect().sortBy(_._1)
+    assert(out.forall(_._4.isEmpty))
+    assert(out.map(r => (r._3, r._5)).toSeq == Seq((10.0, 10.0), (30.0, 30.0)))
+  }
+
   // --------------------------------------------------------------- entropy
 
   private def entropy(s: String): Double = {
