@@ -139,6 +139,36 @@ object PipelineQueries {
   val audienceLookalike: Q = (spark, dir) =>
     Similarity.lookalike(emb(spark, dir), "vec_id", "embedding", col("vec_id") < 8, k = 20)
 
+  /** Embedding-space outliers: vectors whose squared distance to the
+    * corpus' exact-grid centroid Hampel-flags against the global
+    * median/MAD — the "garbage embeddings" screen (encoder failures,
+    * wrong-modality rows) composed from the lookalike centroid and
+    * [[graft.ops.Outliers.flagged]]. d² expands to three proven dot
+    * kernels (|e|² − 2·e·m + |m|², fixed order), so even the doubles
+    * replay bit-exactly; the flag decision is pure integer.
+    */
+  val embeddingOutliers: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val sums = e
+      .select(posexplode(
+        transform(col("embedding"), x => floor(x.cast("double") * 1048576.0).cast("long"))))
+      .groupBy(col("pos"))
+      .agg(sum(col("col")).as("__s"), count(lit(1)).as("__c"))
+      .orderBy(col("pos"))
+      .select(col("__s"), col("__c"))
+      .collect()
+    val n = sums.head.getLong(1)
+    val mvec = typedLit(sums.map(_.getLong(0).toDouble / (n * 1048576.0)).toSeq)
+    val scored = e.select(
+      col("vec_id"),
+      lit(1).as("__g"),
+      (Similarity.dot(col("embedding"), col("embedding"))
+        - lit(2.0) * Similarity.dot(col("embedding"), mvec)
+        + Similarity.dot(mvec, mvec)).as("__d2"))
+    graft.ops.Outliers.flagged(scored, "__g", "__d2", "vec_id", k = 2)
+      .select(col("vec_id"), col("__d2").as("d2"))
+  }
+
   /** LSH-bucketed approximate top-10 (rows-only; recall measured in spec). */
   val knnLsh: Q = (spark, dir) => {
     val e = emb(spark, dir)
@@ -1189,6 +1219,7 @@ object PipelineQueries {
     "embedding_project" -> embeddingProject,
     "knn_brute" -> knnBrute,
     "audience_lookalike" -> audienceLookalike,
+    "embedding_outliers" -> embeddingOutliers,
     "knn_lsh" -> knnLsh,
     "knn_ivf" -> knnIvf,
     "knn_int8" -> knnInt8,
@@ -1943,6 +1974,33 @@ object PipelineQueries {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
         |  FROM s)
         |WHERE rank <= 10""".stripMargin,
+    "embedding_outliers" ->
+      // grid centroid → d² via the three dot kernels in the same fixed
+      // order → 2^20 distance grid → the global median/MAD rank replay
+      """WITH g AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS gv
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT pos, CAST(sum(v) AS DOUBLE) AS s
+        |  FROM (SELECT unnest(gv) AS v, generate_subscripts(gv, 1) AS pos FROM g)
+        |  GROUP BY pos),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |m AS (SELECT list(s / (nn.n * 1048576.0) ORDER BY pos) AS mv FROM c CROSS JOIN nn),
+        |d AS (
+        |  SELECT e.vec_id,
+        |    (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |     - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), m.mv)
+        |     + list_dot_product(m.mv, m.mv)) AS d2
+        |  FROM embeddings e CROSS JOIN m),
+        |q AS (SELECT vec_id, d2, CAST(floor(d2 * 1048576.0) AS BIGINT) AS q FROM d),
+        |mr AS (SELECT q, row_number() OVER (ORDER BY q) AS rn, count(*) OVER () AS cn FROM q),
+        |med AS (SELECT q AS gmed FROM mr WHERE rn = (cn + 1) // 2),
+        |dv AS (SELECT q.vec_id, q.d2, abs(q.q - med.gmed) AS dev FROM q CROSS JOIN med),
+        |m2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn, count(*) OVER () AS cn FROM dv),
+        |mad AS (SELECT dev AS gmad FROM m2 WHERE rn = (cn + 1) // 2)
+        |SELECT dv.vec_id, dv.d2 FROM dv CROSS JOIN mad
+        |WHERE dv.dev * 10000 > 2 * 14826 * mad.gmad""".stripMargin,
     "audience_lookalike" ->
       // same 2^20 grid centroid (exact integer sums, cast double), same
       // sequential-fold dot/norm kernel, same null guard on zero norms

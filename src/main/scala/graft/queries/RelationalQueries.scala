@@ -991,6 +991,37 @@ object RelationalQueries {
     graft.ops.Experiment.cuped(units, "variant", "post_value", "pre_value")
   }
 
+  /** Supply-chain SLA readout: exact p50/p90/p99 of order→ship lead time
+    * in whole days per order priority — integer day diffs through the
+    * same rank-selection histogram as [[eventsPercentiles]] (the day grid
+    * needs no scaling: values ARE the grid). One fact-fact key join, then
+    * histogram-sized work.
+    */
+  val lineitemLeadtime: Q = (spark, dir) => {
+    val hist = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("__q"))
+      .groupBy(col("o_orderpriority"), col("__q"))
+      .agg(count(lit(1)).as("__c"))
+    val byQ = Window.partitionBy("o_orderpriority").orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("o_orderpriority")
+    hist
+      .withColumn("__cum", sum(col("__c")).over(byQ))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("__n")).as("n"),
+        min(when(col("__cum") >= expr("(__n + 1) DIV 2"), col("__q"))).as("p50_days"),
+        min(when(col("__cum") >= expr("(9 * __n + 9) DIV 10"), col("__q"))).as("p90_days"),
+        min(when(col("__cum") >= expr("(99 * __n + 99) DIV 100"), col("__q"))).as("p99_days"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -1126,6 +1157,7 @@ object RelationalQueries {
     "ab_assign" -> abAssign,
     "events_bounce" -> eventsBounce,
     "ab_cuped" -> abCuped,
+    "lineitem_leadtime" -> lineitemLeadtime,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1499,6 +1531,22 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "lineitem_leadtime" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+        |      AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (
+        |  SELECT o_orderpriority, q,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY q) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM q)
+        |SELECT o_orderpriority, CAST(MIN(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN rn = (n + 1) // 2 THEN q END) AS p50_days,
+        |  MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN q END) AS p90_days,
+        |  MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN q END) AS p99_days
+        |FROM m GROUP BY o_orderpriority""".stripMargin,
     "ab_cuped" ->
       // integer-cent sufficient statistics in HUGEINT (mirrors Spark's
       // DECIMAL(38,0)); θ's cent² scale cancels exactly; fixed-order
