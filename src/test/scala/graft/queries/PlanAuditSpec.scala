@@ -444,6 +444,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("text_readability and text_code_detect: pure map — zero exchanges") {
+    val pr = plan("text_readability")
+    assert(!pr.contains("Exchange"), s"readability must run at scan speed:\n$pr")
+    val pc = plan("text_code_detect")
+    assert(!pc.contains("Exchange"), s"code detection must run at scan speed:\n$pc")
+  }
+
+  test("events_user_entropy: the aggregate reuses the window's user partitioning") {
+    val p = plan("events_user_entropy")
+    // (user, type) count agg + user window + user agg — the last two share
+    // the first shuffle's user clustering only partially: ≤ 2 exchanges
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("audience_lookalike: corpus never shuffles; cut is TakeOrdered") {
+    val p = plan("audience_lookalike")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scoring must be map-side against the literal centroid:\n$p")
+  }
+
   test("parts_abc: distributed prefix sum — range sort, pinned evaluation, pid-local window") {
     val p = plan("parts_abc")
     assert(p.contains("Exchange rangepartitioning"), "the order is a distributed range sort")
