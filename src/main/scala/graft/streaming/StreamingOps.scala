@@ -102,6 +102,57 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming MERGE: apply a CDC change stream (delete/update/insert
+    * batches) onto a durable parquet snapshot via `foreachBatch` — the
+    * lakehouse streaming-upsert loop. Each micro-batch runs
+    * [[graft.ops.Snapshot.applyChanges]] against the CURRENT snapshot
+    * version and commits the result as `v<n+1>` with a `_SUCCESS`-gated
+    * rename-free layout (write to a fresh versioned dir, readers take the
+    * max committed version — the IncrementalAgg durability discipline),
+    * so a crash mid-write leaves `v<n>` intact. At-most-one-change-per-key
+    * applies WITHIN a batch (the applyChanges contract); across batches,
+    * later batches see earlier batches' effects — exactly the semantics
+    * of replaying the full log through the batch operator batch by batch.
+    *
+    * @param snapshotDir directory holding `v<n>` parquet snapshot versions
+    *                    (v0 must exist — write the initial base there)
+    */
+  def mergeStream(
+      changes: DataFrame,
+      snapshotDir: String,
+      keyCols: Seq[String],
+      opCol: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keyCols.nonEmpty, "need key columns")
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val (cur, ver) = latestSnapshot(spark, snapshotDir)
+          val next = graft.ops.Snapshot.applyChanges(
+            cur, batch.localCheckpoint(true), keyCols, opCol)
+          next.write.mode("overwrite").parquet(s"$snapshotDir/v${ver + 1}")
+        }
+        ()
+      }
+  }
+
+  /** The highest `_SUCCESS`-committed snapshot version in `dir` and its
+    * frame — partial writes (no marker) are ignored, the recovery
+    * contract shared with IncrementalAgg.durable.
+    */
+  def latestSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Int) = {
+    val versions = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.drop(1).toInt)
+    require(versions.nonEmpty, s"no committed snapshot version under $dir")
+    val v = versions.max
+    (spark.read.parquet(s"$dir/v$v"), v)
+  }
+
   /** Stream-STREAM interval join: pair each left event with right events of
     * the same key whose time falls in `[leftTime - lookback, leftTime]`.
     * Watermarks on BOTH sides plus the time-bound join condition let Spark

@@ -158,6 +158,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(("A", "B") -> 2L, ("B", "A") -> 1L, ("A", "C") -> 1L))
   }
 
+  test("streaming MERGE: versioned snapshot equals batch-by-batch applyChanges replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_stream").toString
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    base.write.parquet(s"$dir/v0")
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.mergeStream(
+      stream.toDF().toDF("k", "v", "op"), dir, Seq("k"), "op")
+      .start()
+    val b1 = Seq((1L, "a2", "update"), (3L, "c", "insert"))
+    val b2 = Seq((2L, "", "delete"), (3L, "c2", "update"))
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val (snap, ver) = StreamingOps.latestSnapshot(spark, dir)
+    assert(ver == 2, "two non-empty batches commit v1 and v2")
+    val got = snap.as[(Long, String)].collect().toSet
+    // batch replay of the same two change batches in order
+    val replay = Seq(b1, b2).foldLeft(base) { (cur, ch) =>
+      graft.ops.Snapshot.applyChanges(cur, ch.toDF("k", "v", "op"), Seq("k"), "op")
+    }.as[(Long, String)].collect().toSet
+    assert(got == replay && got == Set((1L, "a2"), (3L, "c2")))
+    // a partial (uncommitted) write is invisible to recovery
+    new java.io.File(s"$dir/v3").mkdirs()
+    assert(StreamingOps.latestSnapshot(spark, dir)._2 == 2)
+  }
+
   test("stateful sessionizer emits completed sessions with correct bounds") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1000L
