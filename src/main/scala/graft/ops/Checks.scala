@@ -130,4 +130,47 @@ object Checks {
       when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy)))
         .otherwise(lit(null).cast("double")).as("corr"))
   }
+
+  /** Grouped simple-regression trend lines on the exact grid: per group,
+    * the OLS slope and intercept of `yCol` over `xCol` — the bit-stable
+    * "is this metric trending" readout ([[corrExact]]'s sufficient-
+    * statistics frame; z-score trends from a sample would be neither
+    * exact nor partitioning-invariant). The four DECIMAL(19) sums are
+    * order-free; slope `= (nΣxy − ΣxΣy)/(nΣx² − Σx²)` and intercept
+    * `= (Σy − slope·Σx)/n` combine in fixed-order doubles; a zero-variance
+    * x (single distinct grid value) yields nulls. One partial-agg'd
+    * group aggregate — the same motion as any `groupBy().agg`.
+    */
+  def olsExact(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      gridScale: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def grid(c: String) = floor(col(c).cast("double") * gridScale.toDouble).cast("long")
+    val d19 = DecimalType(19, 0)
+    val agg0 = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), grid(xCol).as("__x"), grid(yCol).as("__y"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast(d19)).as("__sx"),
+        sum(col("__y").cast(d19)).as("__sy"),
+        sum(col("__x").cast(d19) * col("__y").cast(d19)).as("__sxy"),
+        sum(col("__x").cast(d19) * col("__x").cast(d19)).as("__sxx"))
+    val nD = col("n").cast("double")
+    val num = nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val vx = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val slope = when(vx =!= 0.0, num / vx).otherwise(lit(null).cast("double"))
+    agg0.select(
+      col(groupCol), col("n"),
+      slope.as("slope_grid"),
+      when(slope.isNotNull,
+        (col("__sy").cast("double") - slope * col("__sx").cast("double")) / nD)
+        .otherwise(lit(null).cast("double")).as("intercept_grid"))
+  }
 }

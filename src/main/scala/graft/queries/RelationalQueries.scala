@@ -350,6 +350,21 @@ object RelationalQueries {
     graft.ops.Checks.corrExact(
       t(spark, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
 
+  /** Bit-stable revenue trend lines: per order priority, the OLS slope
+    * and intercept of order value over days-since-epoch
+    * ([[graft.ops.Checks.olsExact]] — the corr_exact sufficient-statistics
+    * frame solved for the regression line; "is this segment trending"
+    * with partitioning-invariant numbers).
+    */
+  val ordersTrend: Q = (spark, dir) =>
+    graft.ops.Checks.olsExact(
+      t(spark, dir, "orders")
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("1996-01-01")))
+            .as("__days"),
+          col("o_totalprice")),
+      "o_orderpriority", "__days", "o_totalprice")
+
   /** Integer-exact PageRank (3 iterations) over the bipartite
     * order↔part graph from lineitem (node ids namespaced even/odd) —
     * every iteration replays exactly as an unrolled SQL CTE chain because
@@ -1166,6 +1181,7 @@ object RelationalQueries {
     "feature_bins" -> featureBins,
     "feature_ecdf" -> featureEcdf,
     "corr_exact" -> corrExact,
+    "orders_trend" -> ordersTrend,
     "graph_pagerank" -> graphPagerank,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
@@ -2014,6 +2030,41 @@ object RelationalQueries {
         |SELECT q.o_orderkey, q.v AS value_grid,
         |  (cum.cm * 1000000) // cum.n AS ecdf_ppm
         |FROM q JOIN cum ON q.v = cum.v""".stripMargin,
+    "orders_trend" ->
+      // the corr_exact sufficient-statistics replay solved for the OLS
+      // line: slope = (nΣxy − ΣxΣy)/(nΣx² − Σx²), intercept from it
+      """WITH g AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE))
+        |      * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |s AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+        |  FROM g GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0
+        |       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       ELSE NULL END AS slope_grid,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0
+        |       THEN (CAST(sy AS DOUBLE)
+        |             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |       ELSE NULL END AS intercept_grid
+        |FROM s""".stripMargin,
     "corr_exact" ->
       // exact decimal sufficient statistics, then ONE fixed-order double
       // combine — casts/sqrt/divide are correctly-rounded IEEE on both

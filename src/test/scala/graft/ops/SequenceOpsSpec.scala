@@ -302,6 +302,19 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(out.map(r => (r._3, r._5)).toSeq == Seq((10.0, 10.0), (30.0, 30.0)))
   }
 
+  // ------------------------------------------------------------------- OLS
+
+  test("olsExact: exact slope/intercept on linear data; null on zero x-variance") {
+    val df = Seq(("g", 1.0, 5.0), ("g", 2.0, 7.0), ("g", 3.0, 9.0),
+      ("z", 4.0, 1.0), ("z", 4.0, 9.0)).toDF("grp", "x", "y")
+    val out = Checks.olsExact(df, "grp", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double])].collect().sortBy(_._1)
+    // y = 2x + 3 exactly on the grid: slope 2 (scale cancels), intercept
+    // 3 in grid units (3·2^20)
+    assert(out(0) == (("g", 3L, Some(2.0), Some(3.0 * 1048576))))
+    assert(out(1) == (("z", 2L, None, None)), "vertical line has no OLS slope")
+  }
+
   // --------------------------------------------------------------- entropy
 
   private def entropy(s: String): Double = {
