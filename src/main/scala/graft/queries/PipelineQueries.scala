@@ -516,6 +516,39 @@ object PipelineQueries {
       .groupBy(col("content_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
 
+  /** Language-ID evaluation: the confusion matrix of the n-gram-heuristic
+    * classifier against the table's labeled `lang` — the model-eval table
+    * every classifier upgrade is judged on (per-cell exact counts; derive
+    * precision/recall downstream).
+    */
+  val textLangEval: Q = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+
+  /** Vocabulary coverage curve: the share of all token occurrences that
+    * the top-100/1k/10k words cover (exact ppm under the deterministic
+    * (freq DESC, word ASC) rank) — the tokenizer-sizing readout the OOV
+    * rate summarizes pointwise. The rank window runs over the VOCAB, not
+    * the corpus.
+    */
+  val vocabCoverage: Q = (spark, dir) => {
+    val ranked = Vocab.wordCounts(docs(spark, dir), "text")
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("wfreq").desc, col("word"))))
+    ranked.agg(
+      count(lit(1)).as("n_vocab"),
+      sum(col("wfreq")).as("n_tokens"),
+      sum(when(col("__rn") <= 100, col("wfreq")).otherwise(0L)).as("__c100"),
+      sum(when(col("__rn") <= 1000, col("wfreq")).otherwise(0L)).as("__c1k"),
+      sum(when(col("__rn") <= 10000, col("wfreq")).otherwise(0L)).as("__c10k"))
+      .select(col("n_vocab"), col("n_tokens"),
+        expr("__c100 * 1000000 DIV n_tokens").as("cov100_ppm"),
+        expr("__c1k * 1000000 DIV n_tokens").as("cov1k_ppm"),
+        expr("__c10k * 1000000 DIV n_tokens").as("cov10k_ppm"))
+  }
+
   val docStats: Q = (spark, dir) =>
     docs(spark, dir)
       .groupBy("lang", "source")
@@ -1238,6 +1271,8 @@ object PipelineQueries {
     "text_readability" -> textReadability,
     "text_code_detect" -> textCodeDetect,
     "vocab_next_word" -> vocabNextWord,
+    "text_lang_eval" -> textLangEval,
+    "vocab_coverage" -> vocabCoverage,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
@@ -2142,6 +2177,25 @@ object PipelineQueries {
          |      AS INTEGER) AS rank
          |  FROM pair JOIN heads ON pair.w1 = heads.w1)
          |SELECT w1, w2, n, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "text_lang_eval" ->
+      s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
+         |v AS (SELECT word, count(*) AS wfreq FROM w GROUP BY word),
+         |r AS (
+         |  SELECT wfreq,
+         |    row_number() OVER (ORDER BY wfreq DESC, word) AS rn
+         |  FROM v)
+         |SELECT count(*) AS n_vocab,
+         |  CAST(sum(wfreq) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(sum(CASE WHEN rn <= 100 THEN wfreq ELSE 0 END), 0) AS BIGINT)
+         |    * 1000000 // CAST(sum(wfreq) AS BIGINT) AS cov100_ppm,
+         |  CAST(COALESCE(sum(CASE WHEN rn <= 1000 THEN wfreq ELSE 0 END), 0) AS BIGINT)
+         |    * 1000000 // CAST(sum(wfreq) AS BIGINT) AS cov1k_ppm,
+         |  CAST(COALESCE(sum(CASE WHEN rn <= 10000 THEN wfreq ELSE 0 END), 0) AS BIGINT)
+         |    * 1000000 // CAST(sum(wfreq) AS BIGINT) AS cov10k_ppm
+         |FROM r""".stripMargin,
     "text_entropy" ->
       // same 4-class histogram, same 1e-6 log grid, same fixed-order
       // weighted sum; n = 0 scores 0, NULL text propagates NULL

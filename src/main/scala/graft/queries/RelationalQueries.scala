@@ -1037,6 +1037,65 @@ object RelationalQueries {
         min(when(col("__cum") >= expr("(99 * __n + 99) DIV 100"), col("__q"))).as("p99_days"))
   }
 
+  /** Gini coefficient of customer revenue concentration — the inequality
+    * headline beside [[partsAbc]]'s classes. Rank sums come from the
+    * VALUE HISTOGRAM (equal values occupy consecutive ranks, so
+    * Σ rank·value = Σ_v v·(cumBefore·c + c(c+1)/2) — histogram-sized
+    * work, no global row sort), every term exact DECIMAL, one
+    * fixed-order double combine.
+    */
+  val ordersGini: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val hist = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"), 2)).cast(DecimalType(18, 2)).as("__r"))
+      .select((col("__r") * 100).cast("long").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val byV = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(byV))
+      .select(col("__v"), col("__c"),
+        (col("__cum") - col("__c")).as("__cb"),
+        // c(c+1)/2 is always integral — long DIV keeps it exact
+        expr("__c * (__c + 1) DIV 2").as("__tri"))
+      .agg(
+        sum(col("__c")).as("n"),
+        sum(col("__v").cast(d38) * col("__c")).as("__sx"),
+        sum(col("__v").cast(d38) *
+          (col("__cb").cast(d38) * col("__c") + col("__tri").cast(d38))).as("__st"))
+      .select(col("n").as("n_customers"),
+        when(col("__sx") =!= 0,
+          (lit(2).cast(d38) * col("__st") - (col("n") + 1).cast(d38) * col("__sx"))
+            .cast("double")
+            / (col("n").cast(d38) * col("__sx")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("gini"))
+  }
+
+  /** Index of dispersion (variance/mean) of per-minute arrival counts per
+    * event type — the burstiness test (≈1 Poisson, ≫1 bursty, the
+    * capacity-planning discriminator). Exact integer sufficient stats
+    * over ACTIVE minutes, one fixed-order double combine.
+    */
+  val eventsDispersion: Q = (spark, dir) => {
+    val d19 = DecimalType(19, 0)
+    Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("__m"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_minutes"),
+        sum(col("__c").cast(d19)).as("__sc"),
+        sum(col("__c").cast(d19) * col("__c").cast(d19)).as("__scc"))
+      .select(
+        col("event_type"), col("n_minutes"),
+        (col("__sc").cast("double") / col("n_minutes")).as("mean_per_min"),
+        when(col("__sc") =!= 0,
+          (col("n_minutes").cast(d19) * col("__scc") - col("__sc") * col("__sc"))
+            .cast("double")
+            / (col("n_minutes").cast(d19) * col("__sc")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("dispersion"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -1173,6 +1232,8 @@ object RelationalQueries {
     "events_bounce" -> eventsBounce,
     "ab_cuped" -> abCuped,
     "lineitem_leadtime" -> lineitemLeadtime,
+    "orders_gini" -> ordersGini,
+    "events_dispersion" -> eventsDispersion,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1547,6 +1608,45 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "orders_gini" ->
+      // the histogram rank-sum identity in HUGEINT: Σ rank·x =
+      // Σ_v v·(cumBefore·c + c(c+1)/2); G = (2Σrx − (n+1)Σx)/(nΣx)
+      """WITH r AS (
+        |  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY o_custkey),
+        |h AS (SELECT v, count(*) AS c FROM r GROUP BY v),
+        |k AS (
+        |  SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS cb,
+        |    c * (c + 1) // 2 AS tri
+        |  FROM h),
+        |s AS (
+        |  SELECT CAST(sum(c) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(v AS HUGEINT) * (CAST(cb AS HUGEINT) * c + tri)) AS HUGEINT) AS st
+        |  FROM k)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CASE WHEN sx != 0
+        |       THEN CAST(2 * st - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
+        |       ELSE NULL END AS gini
+        |FROM s""".stripMargin,
+    "events_dispersion" ->
+      """WITH m AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS mn, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS sc,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc
+        |  FROM m GROUP BY 1)
+        |SELECT event_type, n AS n_minutes,
+        |  CAST(sc AS DOUBLE) / n AS mean_per_min,
+        |  CASE WHEN sc != 0
+        |       THEN CAST(n * scc - sc * sc AS DOUBLE)
+        |            / CAST(n * sc AS DOUBLE)
+        |       ELSE NULL END AS dispersion
+        |FROM s""".stripMargin,
     "lineitem_leadtime" ->
       """WITH q AS (
         |  SELECT o_orderpriority,
