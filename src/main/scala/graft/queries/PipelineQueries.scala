@@ -549,6 +549,72 @@ object PipelineQueries {
         expr("__c10k * 1000000 DIV n_tokens").as("cov10k_ppm"))
   }
 
+  /** Type-token ratio per document — the lexical-diversity quality
+    * signal (template spam and keyword stuffing score low). Pure Column,
+    * zero shuffle; integer counts divided once.
+    */
+  val textTtr: Q = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__ws"))
+      .select(
+        col("doc_id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__ws"))).cast("long").as("n_types"))
+      .withColumn("ttr",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_types").cast("double") / col("n_tokens")))
+
+  /** Top-20 PMI collocations (bigrams that co-occur far above unigram
+    * chance, support ≥ 5) — the keyphrase-mining staple. The PMI ratio
+    * builds from exact long counts in ONE fixed-order double expression
+    * and lands on the 1e-6 log grid (the perplexity discipline), so the
+    * ranking and the score replay exactly. Corpus motion: the bigram and
+    * unigram aggregates; everything after is vocab-sized.
+    */
+  val textCollocations: Q = (spark, dir) => {
+    val staged = docs(spark, dir)
+      .select(TextOps.tokens(col("text")).as("ws"))
+    val bgs = staged
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))).as("z"))
+      .select(col("z.0").as("w1"), col("z.1").as("w2"))
+    val pair = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = staged.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("u"))
+    val totals = pair.agg(sum(col("c12")).as("npairs"))
+      .crossJoin(uni.agg(sum(col("u")).as("ntok")))
+    pair.filter(col("c12") >= 5)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("u", "u1"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("u", "u2"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_q",
+        floor(log(
+          ((col("c12").cast("double") * col("ntok")) * col("ntok"))
+            / ((col("npairs").cast("double") * col("u1")) * col("u2")))
+          * 1000000.0).cast("long"))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select("w1", "w2", "c12", "pmi_q")
+  }
+
+  /** Mutual k-nearest-neighbor pairs over the first 64 vectors: (a, b)
+    * where each is in the other's cosine top-5 — the symmetric-affinity
+    * edge set density-based clustering builds on (one-sided neighbors
+    * are hubness noise). Composes the proven brute-force ranking with a
+    * self-join on the (query, neighbor) edge list.
+    */
+  val knnMutual: Q = (spark, dir) => {
+    val sub = emb(spark, dir).filter(col("vec_id") < 64)
+    val topk = Similarity.bruteForceTopK(sub, sub, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("n_id"))
+    topk.as("x")
+      .join(topk.as("y"),
+        col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id"))
+      .filter(col("x.q_id") < col("x.n_id"))
+      .select(col("x.q_id").as("id_a"), col("x.n_id").as("id_b"))
+  }
+
   val docStats: Q = (spark, dir) =>
     docs(spark, dir)
       .groupBy("lang", "source")
@@ -1273,6 +1339,9 @@ object PipelineQueries {
     "vocab_next_word" -> vocabNextWord,
     "text_lang_eval" -> textLangEval,
     "vocab_coverage" -> vocabCoverage,
+    "text_ttr" -> textTtr,
+    "text_collocations" -> textCollocations,
+    "knn_mutual" -> knnMutual,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
@@ -2180,6 +2249,55 @@ object PipelineQueries {
     "text_lang_eval" ->
       s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "text_ttr" ->
+      s"""WITH s AS (SELECT doc_id, $wordsSql AS ws FROM documents)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+         |  CASE WHEN len(ws) = 0 THEN 0.0
+         |       ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS ttr
+         |FROM s""".stripMargin,
+    "text_collocations" ->
+      // same bigram staging, same fixed-order PMI ratio, same 1e-6 log
+      // grid; (pmi DESC, w1, w2) is fully tie-broken at the cut
+      s"""WITH staged AS (SELECT $wordsSql AS ws FROM documents),
+         |bgs AS (
+         |  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+         |  FROM (SELECT ws, unnest(generate_series(0, len(ws) - 2)) AS i
+         |        FROM staged WHERE len(ws) >= 2)),
+         |pair AS (SELECT w1, w2, count(*) AS c12 FROM bgs GROUP BY 1, 2),
+         |uni AS (
+         |  SELECT w, count(*) AS u
+         |  FROM (SELECT unnest(ws) AS w FROM staged) GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(c12) AS BIGINT) FROM pair) AS npairs,
+         |    (SELECT CAST(sum(u) AS BIGINT) FROM uni) AS ntok)
+         |SELECT w1, w2, c12,
+         |  CAST(floor(ln(
+         |    ((CAST(c12 AS DOUBLE) * ntok) * ntok)
+         |    / ((CAST(npairs AS DOUBLE) * u1.u) * u2.u)) * 1000000.0) AS BIGINT) AS pmi_q
+         |FROM pair
+         |JOIN uni u1 ON pair.w1 = u1.w
+         |JOIN uni u2 ON pair.w2 = u2.w
+         |CROSS JOIN tot
+         |WHERE c12 >= 5
+         |ORDER BY pmi_q DESC, w1, w2 LIMIT 20""".stripMargin,
+    "knn_mutual" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 64 AND n.vec_id < 64 AND n.vec_id != q.vec_id),
+        |topk AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |    FROM s)
+        |  WHERE rank <= 5)
+        |SELECT x.q_id AS id_a, x.n_id AS id_b
+        |FROM topk x JOIN topk y ON x.q_id = y.n_id AND x.n_id = y.q_id
+        |WHERE x.q_id < x.n_id""".stripMargin,
     "vocab_coverage" ->
       s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
          |v AS (SELECT word, count(*) AS wfreq FROM w GROUP BY word),
