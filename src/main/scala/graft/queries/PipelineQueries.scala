@@ -598,6 +598,40 @@ object PipelineQueries {
       .select("w1", "w2", "c12", "pmi_q")
   }
 
+  /** Corpus embedding diversity WITHOUT the quadratic pair sweep: the
+    * mean pairwise dot product from the one-pass identity
+    * `Σᵢ≠ⱼ eᵢ·eⱼ = ‖Σe‖² − Σ‖e‖²` — on the 2^20 integer grid both sides
+    * are EXACT integers, so the collapse-detection headline (diversity
+    * → 0 as embeddings cluster) replays bit-exactly while touching each
+    * vector once. One dim-sized aggregate + one scalar aggregate.
+    */
+  val embeddingDiversity: Q = (spark, dir) => {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = emb(spark, dir).select(
+      transform(col("embedding"), x => floor(x.cast("double") * 1048576.0).cast("long"))
+        .as("__g"))
+    // ONE pass over the exploded components: per-dim sums AND per-dim
+    // square sums together, then one dim-sized collapse (the count-star
+    // rides parquet metadata, not a data scan)
+    val per = g.select(posexplode(col("__g")))
+      .groupBy(col("pos"))
+      .agg(
+        sum(col("col").cast(d38)).as("__s"),
+        sum(col("col").cast(d38) * col("col")).as("__qd"))
+    val agg = per.agg(
+      coalesce(sum(col("__s") * col("__s")), lit(0).cast(d38)).as("__s2"),
+      coalesce(sum(col("__qd")), lit(0).cast(d38)).as("__q"))
+    val n = g.agg(count(lit(1)).as("n_vectors"))
+    n.crossJoin(agg)
+      .select(
+        col("n_vectors"),
+        when(col("n_vectors") > 1,
+          (col("__s2") - col("__q")).cast("double")
+            / ((col("n_vectors") * (col("n_vectors") - 1)).cast("double")
+              * 1099511627776.0))
+          .otherwise(lit(null).cast("double")).as("mean_pair_dot"))
+  }
+
   /** Mutual k-nearest-neighbor pairs over the first 64 vectors: (a, b)
     * where each is in the other's cosine top-5 — the symmetric-affinity
     * edge set density-based clustering builds on (one-sided neighbors
@@ -1342,6 +1376,7 @@ object PipelineQueries {
     "text_ttr" -> textTtr,
     "text_collocations" -> textCollocations,
     "knn_mutual" -> knnMutual,
+    "embedding_diversity" -> embeddingDiversity,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
@@ -2281,6 +2316,28 @@ object PipelineQueries {
          |CROSS JOIN tot
          |WHERE c12 >= 5
          |ORDER BY pmi_q DESC, w1, w2 LIMIT 20""".stripMargin,
+    "embedding_diversity" ->
+      // ‖Σg‖² and Σ‖g‖² as exact HUGEINTs over the same grid; the 2^40
+      // grid² factor divides out once in double
+      """WITH g AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS gv
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT pos, CAST(sum(v) AS HUGEINT) AS s
+        |  FROM (SELECT unnest(gv) AS v, generate_subscripts(gv, 1) AS pos FROM g)
+        |  GROUP BY pos),
+        |s2 AS (SELECT CAST(COALESCE(sum(s * s), 0) AS HUGEINT) AS s2 FROM c),
+        |q AS (
+        |  SELECT CAST(COALESCE(sum(CAST(v AS HUGEINT) * v), 0) AS HUGEINT) AS q
+        |  FROM (SELECT unnest(gv) AS v FROM g)),
+        |n AS (SELECT count(*) AS n_vectors FROM embeddings)
+        |SELECT n.n_vectors,
+        |  CASE WHEN n.n_vectors > 1
+        |    THEN CAST(s2.s2 - q.q AS DOUBLE)
+        |         / (CAST(n.n_vectors * (n.n_vectors - 1) AS DOUBLE) * 1099511627776.0)
+        |    ELSE NULL END AS mean_pair_dot
+        |FROM n CROSS JOIN s2 CROSS JOIN q""".stripMargin,
     "knn_mutual" ->
       """WITH s AS (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,

@@ -1096,6 +1096,54 @@ object RelationalQueries {
           .otherwise(lit(null).cast("double")).as("dispersion"))
   }
 
+  /** Association-rule LIFT over the basket pairs: how far above chance
+    * two parts co-occur (`lift = P(ab)/(P(a)·P(b))` over distinct
+    * order-part sets), support ≥ 3, top-20 under the deterministic
+    * (lift DESC, a, b) order — the ranking [[basketPairs]]' raw supports
+    * feed. The ratio builds from exact longs in one fixed-order double
+    * and lands on the 1e-6 log grid, so the cut line replays exactly.
+    */
+  val basketLift: Q = (spark, dir) => {
+    val d = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+      .distinct()
+    val pairs = d.toDF("__ok", "part_a")
+      .join(d.toDF("__ok", "part_b"), Seq("__ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("support"))
+    val item = d.groupBy(col("__pk")).agg(count(lit(1)).as("__s"))
+    val tot = d.select(col("__ok")).distinct().agg(count(lit(1)).as("__n"))
+    pairs.filter(col("support") >= 3)
+      .join(item.toDF("part_a", "__sa"), Seq("part_a"))
+      .join(item.toDF("part_b", "__sb"), Seq("part_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_q",
+        floor(log((col("support").cast("double") * col("__n"))
+          / (col("__sa").cast("double") * col("__sb"))) * 1000000.0).cast("long"))
+      .orderBy(col("lift_q").desc, col("part_a"), col("part_b"))
+      .limit(20)
+      .select("part_a", "part_b", "support", "lift_q")
+  }
+
+  /** New-vs-returning daily actives: each day's distinct users split by
+    * whether it is their first-seen day — the growth-accounting
+    * decomposition behind every DAU chart. User-day-sized throughout.
+    */
+  val eventsNewReturning: Q = (spark, dir) => {
+    val ud = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("__d"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min(col("__d")).as("__f"))
+    ud.join(first, Seq("user_id"))
+      .groupBy(col("__d"))
+      .agg(
+        sum(when(col("__d") === col("__f"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__d") > col("__f"), 1L).otherwise(0L)).as("n_returning"))
+      .select(date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("n_returning"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -1234,6 +1282,8 @@ object RelationalQueries {
     "lineitem_leadtime" -> lineitemLeadtime,
     "orders_gini" -> ordersGini,
     "events_dispersion" -> eventsDispersion,
+    "basket_lift" -> basketLift,
+    "events_new_returning" -> eventsNewReturning,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1608,6 +1658,31 @@ object RelationalQueries {
         |    MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |      OVER (PARTITION BY cohort) AS retention
         |FROM agg""".stripMargin,
+    "basket_lift" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS support
+        |  FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |it AS (SELECT pk, count(*) AS s FROM d GROUP BY pk),
+        |tot AS (SELECT count(DISTINCT ok) AS n FROM d)
+        |SELECT part_a, part_b, support,
+        |  CAST(floor(ln((CAST(support AS DOUBLE) * tot.n)
+        |    / (CAST(ia.s AS DOUBLE) * ib.s)) * 1000000.0) AS BIGINT) AS lift_q
+        |FROM p
+        |JOIN it ia ON p.part_a = ia.pk
+        |JOIN it ib ON p.part_b = ib.pk
+        |CROSS JOIN tot
+        |WHERE support >= 3
+        |ORDER BY lift_q DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "events_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN d > fd THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY d""".stripMargin,
     "orders_gini" ->
       // the histogram rank-sum identity in HUGEINT: Σ rank·x =
       // Σ_v v·(cumBefore·c + c(c+1)/2); G = (2Σrx − (n+1)Σx)/(nΣx)
