@@ -632,6 +632,30 @@ object PipelineQueries {
           .otherwise(lit(null).cast("double")).as("mean_pair_dot"))
   }
 
+  /** Near-dup threshold tuning table: candidate-pair counts per 0.05
+    * cosine band (≥ 0.30, the LSH-bucketed kernel) — read this BEFORE
+    * picking a dedup threshold: the knee in the band histogram separates
+    * the duplicate mass from the background. Same bucket shapes as
+    * [[dedupEmbedding]]; the banding is one floor on the already-replayed
+    * rounded cosine.
+    */
+  val dedupThresholdSweep: Q = (spark, dir) =>
+    Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.30, bits = 4)
+      .withColumn("band", floor(col("cos") * 20).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** Byte-budgeted media sharding: media packed into ~1 MiB bins per
+    * source stream ([[graft.ops.Packing.sequentialBins]] on bytes instead
+    * of tokens) — the shard plan a multimodal export hands its writers.
+    */
+  val multimodalBins: Q = (spark, dir) =>
+    Packing.sequentialBins(
+      Multimodal.metadata(Multimodal.mediaFromDocuments(spark, dir))
+        .select(col("source"), col("media_id"), col("n_bytes")),
+      "source", "media_id", "n_bytes", budget = 1L << 20)
+      .select("source", "media_id", "n_bytes", "bin")
+
   /** Mutual k-nearest-neighbor pairs over the first 64 vectors: (a, b)
     * where each is in the other's cosine top-5 — the symmetric-affinity
     * edge set density-based clustering builds on (one-sided neighbors
@@ -1377,6 +1401,8 @@ object PipelineQueries {
     "text_collocations" -> textCollocations,
     "knn_mutual" -> knnMutual,
     "embedding_diversity" -> embeddingDiversity,
+    "dedup_threshold_sweep" -> dedupThresholdSweep,
+    "multimodal_bins" -> multimodalBins,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
@@ -2478,6 +2504,27 @@ object PipelineQueries {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      least(len(a.sh), len(b.sh)) >= 0.60""".stripMargin,
+    "dedup_threshold_sweep" ->
+      // the dedup_embedding pair replay, banded on the rounded cosine
+      s"""WITH h AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+         |    ${bucketSql("CAST(embedding AS DOUBLE[])", 4)} AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |  FROM h a JOIN h b ON a.bucket = b.bucket AND a.id < b.id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30)
+         |SELECT CAST(floor(cos * 20) AS BIGINT) AS band, count(*) AS n_pairs
+         |FROM p GROUP BY 1""".stripMargin,
+    "multimodal_bins" ->
+      """WITH m AS (
+        |  SELECT source, doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+        |  FROM documents)
+        |SELECT source, media_id, n_bytes,
+        |  COALESCE(sum(n_bytes) OVER (PARTITION BY source ORDER BY media_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS bin
+        |FROM m""".stripMargin,
     "dedup_embedding" ->
       s"""WITH h AS (
          |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
