@@ -116,6 +116,30 @@ object Vocab {
     merges.toSeq.toDF("step", "lhs", "rhs", "pfreq")
   }
 
+  /** Apply a learned merge list to the vocabulary — the TOKENIZE half of
+    * the BPE lifecycle ([[bpeLearn]] trains, this segments): every word's
+    * symbol sequence is rewritten by the merges IN TRAINING ORDER (each a
+    * leftmost non-overlapping replacement, the same kernel), and the
+    * per-word symbol count comes back — the quantity token budgets are
+    * denominated in. Vocab-sized map work after the one corpus word-count
+    * scan.
+    *
+    * @return (word, wfreq, n_symbols)
+    */
+  def bpeSegment(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val rewritten = merges.foldLeft(
+      regexp_replace(col("word"), "(.)", S + "$1" + S)) { case (sym, (a, b)) =>
+      replace(sym, lit(S + a + S + S + b + S), lit(S + a + b + S))
+    }
+    wordCounts(df, textCol)
+      .select(col("word"), col("wfreq"),
+        size(split(regexp_replace(rewritten, s"^$S|$S$$", ""), s"$S$S"))
+          .cast("long").as("n_symbols"))
+  }
+
   /** Adjacent symbol pairs of a symbol array as `a␟b` strings, duplicates
     * kept (pair count = occurrences × word frequency — the BPE multiset).
     */

@@ -958,6 +958,20 @@ object PipelineQueries {
   val vocabBpeMerges: Q = (spark, dir) =>
     Vocab.bpeLearn(docs(spark, dir), "text", steps = 3)
 
+  /** The tokenize half of the BPE lifecycle: learn three merges, then
+    * SEGMENT the vocabulary with them — top-20 words with their post-merge
+    * symbol counts ([[graft.ops.Vocab.bpeSegment]]; the oracle re-derives
+    * the same three merges and replays every rewrite).
+    */
+  val vocabBpeApply: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    val merges = Vocab.bpeLearn(d, "text", steps = 3)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    Vocab.bpeSegment(d, "text", merges)
+      .orderBy(col("wfreq").desc, col("word"))
+      .limit(20)
+  }
+
   /** Exact duplicated-substring signal (Lee et al.): per doc, the fraction
     * of its distinct word 8-grams occurring in ≥ 1 other document. Both
     * shuffles move 128-bit gram digests, never text.
@@ -1335,6 +1349,7 @@ object PipelineQueries {
     "quality_calibrate" -> qualityCalibrate,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "vocab_bpe_merges" -> vocabBpeMerges,
+    "vocab_bpe_apply" -> vocabBpeApply,
     "text_dupgrams" -> textDupgrams,
     "sample_stratified" -> sampleStratified,
     "sample_balanced" -> sampleBalanced,
@@ -1730,6 +1745,55 @@ object PipelineQueries {
          |SELECT 2, split_part(pair, chr(31), 1), split_part(pair, chr(31), 2), pf FROM b2
          |UNION ALL
          |SELECT 3, split_part(pair, chr(31), 1), split_part(pair, chr(31), 2), pf FROM b3""".stripMargin,
+    "vocab_bpe_apply" ->
+      // the vocab_bpe_merges chain with `word` carried through the three
+      // rewrites, finished by the symbol count of the segmented form
+      s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
+         |v0 AS (
+         |  SELECT word, regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym,
+         |    count(*) AS wfreq
+         |  FROM w GROUP BY word),
+         |p1 AS (
+         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
+         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
+         |        FROM v0)),
+         |b1 AS (SELECT pair FROM (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p1 GROUP BY pair
+         |       ORDER BY pf DESC, pair LIMIT 1)),
+         |v1 AS (
+         |  SELECT word, replace(sym,
+         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b1),
+         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b1)) AS sym, wfreq
+         |  FROM v0),
+         |p2 AS (
+         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
+         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
+         |        FROM v1)),
+         |b2 AS (SELECT pair FROM (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p2 GROUP BY pair
+         |       ORDER BY pf DESC, pair LIMIT 1)),
+         |v2 AS (
+         |  SELECT word, replace(sym,
+         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b2),
+         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b2)) AS sym, wfreq
+         |  FROM v1),
+         |p3 AS (
+         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
+         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
+         |        FROM v2)),
+         |b3 AS (SELECT pair FROM (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p3 GROUP BY pair
+         |       ORDER BY pf DESC, pair LIMIT 1)),
+         |v3 AS (
+         |  SELECT word, replace(sym,
+         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b3),
+         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b3)) AS sym, wfreq
+         |  FROM v2)
+         |SELECT word, CAST(wfreq AS BIGINT) AS wfreq,
+         |  CAST(len(string_split(trim(sym, chr(31)), chr(31) || chr(31))) AS BIGINT)
+         |    AS n_symbols
+         |FROM v3
+         |ORDER BY wfreq DESC, word LIMIT 20""".stripMargin,
     "vocab_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
          |v AS (SELECT word, count(*) AS wfreq FROM w GROUP BY word),

@@ -160,6 +160,24 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(out == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpeSegment: learned merges shrink symbol counts; order matters") {
+    val df = Seq((1L, "low low lower")).toDF("id", "text")
+    val merges = Vocab.bpeLearn(df, "text", 4)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(r => (r._2, r._3)).toSeq
+    val seg = Vocab.bpeSegment(df, "text", merges)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // after (l,o), (lo,w), (e,r), (low,er): low → 1 symbol, lower → 1
+    assert(seg == Map("low" -> 1L, "lower" -> 1L))
+    val partial = Vocab.bpeSegment(df, "text", merges.take(2))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(partial == Map("low" -> 1L, "lower" -> 3L),
+      "two merges leave lower as [low, e, r]")
+    val none = Vocab.bpeSegment(df, "text", Nil)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(none == Map("low" -> 3L, "lower" -> 5L), "no merges = character count")
+  }
+
   test("property: bpeLearn equals a reference Scala BPE on random corpora") {
     import org.scalacheck.{Gen, Prop}
     val S = "\u001F"
