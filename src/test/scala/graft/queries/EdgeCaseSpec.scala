@@ -138,6 +138,24 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("src", "dst"), 2).count() == 0)
   }
 
+  test("statistical query invariants at sf0.001: gini/dispersion/KS/CUPED in range") {
+    val dir = "/root/testdata/sf0.001"
+    val gini = RelationalQueries.ordersGini(spark, dir)
+      .as[(Long, Option[Double])].collect().head
+    assert(gini._1 > 0 && gini._2.exists(g => g >= 0.0 && g < 1.0),
+      s"gini out of [0,1): $gini")
+    val disp = RelationalQueries.eventsDispersion(spark, dir)
+      .as[(String, Long, Double, Option[Double])].collect()
+    assert(disp.nonEmpty && disp.forall(d => d._3 > 0.0 && d._4.exists(_ >= 0.0)))
+    val ks = RelationalQueries.driftKs(spark, dir)
+      .as[(Long, Long, Double)].collect().head
+    assert(ks._3 >= 0.0 && ks._3 <= 1.0, s"KS distance out of [0,1]: $ks")
+    val cuped = RelationalQueries.abCuped(spark, dir)
+      .as[(Long, Long, Double, Option[Double], Double)].collect()
+    assert(cuped.length == 2 && cuped.forall(_._4.isDefined),
+      "both variants report with a defined theta on real data")
+  }
+
   test("readability/code-detect kernels: empty and null text degrade to nulls/zeros") {
     import graft.ops.TextOps
     val df = Seq(
