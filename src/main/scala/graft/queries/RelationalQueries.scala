@@ -1104,9 +1104,13 @@ object RelationalQueries {
     * and lands on the 1e-6 log grid, so the cut line replays exactly.
     */
   val basketLift: Q = (spark, dir) => {
+    // the distinct order-part set feeds FOUR branches (both self-join
+    // sides, item supports, the order count): pin one evaluation or the
+    // scan + distinct runs four times
     val d = t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
       .distinct()
+      .localCheckpoint(false)
     val pairs = d.toDF("__ok", "part_a")
       .join(d.toDF("__ok", "part_b"), Seq("__ok"))
       .filter(col("part_a") < col("part_b"))
