@@ -419,6 +419,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "everything fuses into a single whole-stage-codegen stage")
   }
 
+  test("basket_lift: the distinct set pins to ONE evaluation; cut is TakeOrdered") {
+    val p = plan("basket_lift")
+    assert(p.contains("InMemoryRelation") || p.contains("Scan ExistingRDD"),
+      s"the four-branch distinct set must not recompute per branch:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("basket_pairs: key-bounded self-join, top-k is TakeOrdered") {
     val p = plan("basket_pairs")
     assert(p.contains("TakeOrderedAndProject"), p)
