@@ -1148,6 +1148,24 @@ object RelationalQueries {
         col("n_new"), col("n_returning"))
   }
 
+  /** Longest consecutive-day activity streak per user — the engagement
+    * gamification metric. Gaps-and-islands on DISTINCT active days: the
+    * island id is `day − row_number` (consecutive days share it), the
+    * answer the max island size; user-day-sized throughout, one key
+    * shuffle.
+    */
+  val eventsStreaks: Q = (spark, dir) => {
+    val ud = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("__d"))
+      .distinct()
+    ud.withColumn("__grp", expr("date_sub(__d, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY __d))"))
+      .groupBy(col("user_id"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("__len")).as("longest_streak"), count(lit(1)).as("n_streaks"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -1288,6 +1306,7 @@ object RelationalQueries {
     "events_dispersion" -> eventsDispersion,
     "basket_lift" -> basketLift,
     "events_new_returning" -> eventsNewReturning,
+    "events_streaks" -> eventsStreaks,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1679,6 +1698,15 @@ object RelationalQueries {
         |CROSS JOIN tot
         |WHERE support >= 3
         |ORDER BY lift_q DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "events_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+        |  FROM ud),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
+        |FROM s GROUP BY user_id""".stripMargin,
     "events_new_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |f AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id)
