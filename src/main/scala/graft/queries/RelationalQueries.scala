@@ -1166,6 +1166,50 @@ object RelationalQueries {
       .agg(max(col("__len")).as("longest_streak"), count(lit(1)).as("n_streaks"))
   }
 
+  /** Return rate per part brand: exact (returned, total) long pairs with
+    * the ppm ratio — the product-quality screen (a brand whose returns
+    * spike is a supplier conversation). One broadcast dim join + one
+    * partial-agg'd aggregate.
+    */
+  val partReturns: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+      .withColumn("return_ppm", expr("n_returned * 1000000 DIV n_items"))
+
+  /** Market concentration per nation: the Herfindahl–Hirschman index of
+    * supplier revenue shares — `HHI = Σ sᵢ²/S²` from exact DECIMAL cent
+    * sufficient statistics combined in ONE fixed-order double (the
+    * corr_exact discipline; decimal division would round at an
+    * engine-specific scale). Pairs with [[ordersGini]]'s inequality view.
+    */
+  val supplierHhi: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val rev = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(dec(col("l_extendedprice"), 2)).cast(DecimalType(18, 2)).as("__r"))
+      .select(col("s_nationkey"), (col("__r") * 100).cast("long").as("__c"))
+    rev
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("__c").cast(d38)).as("__s"),
+        sum(col("__c").cast(d38) * col("__c")).as("__s2"))
+      .join(broadcast(t(spark, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"),
+        when(col("__s") =!= 0,
+          col("__s2").cast("double") * 1000000.0
+            / (col("__s").cast("double") * col("__s").cast("double")))
+          .otherwise(lit(null).cast("double")).as("hhi_ppm"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -1307,6 +1351,8 @@ object RelationalQueries {
     "basket_lift" -> basketLift,
     "events_new_returning" -> eventsNewReturning,
     "events_streaks" -> eventsStreaks,
+    "part_returns" -> partReturns,
+    "supplier_hhi" -> supplierHhi,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1698,6 +1744,32 @@ object RelationalQueries {
         |CROSS JOIN tot
         |WHERE support >= 3
         |ORDER BY lift_q DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "part_returns" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_returned,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    * 1000000 // count(*) AS return_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "supplier_hhi" ->
+      // cent sufficient statistics in HUGEINT, one fixed-order double
+      """WITH rev AS (
+        |  SELECT s_nationkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, s_suppkey),
+        |s AS (
+        |  SELECT s_nationkey, count(*) AS n_suppliers,
+        |    CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sc,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sc2
+        |  FROM rev GROUP BY 1)
+        |SELECT n_name, n_suppliers,
+        |  CASE WHEN sc != 0
+        |    THEN CAST(sc2 AS DOUBLE) * 1000000.0 / (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |    ELSE NULL END AS hhi_ppm
+        |FROM s JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "events_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |g AS (
