@@ -1210,6 +1210,43 @@ object RelationalQueries {
           .otherwise(lit(null).cast("double")).as("hhi_ppm"))
   }
 
+  /** Session-depth distribution: sessions bucketed by event count
+    * (1 / 2 / 3–5 / 6–10 / 11+) — the engagement-shape histogram behind
+    * [[eventsBounce]]'s single-number rate. Session-window kernel, then
+    * banded integer counts.
+    */
+  val eventsSessionHist: Q = (spark, dir) =>
+    Tables.eventsDf(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+      .select(
+        when(col("__n") === 1, "1").when(col("__n") === 2, "2")
+          .when(col("__n") <= 5, "3-5").when(col("__n") <= 10, "6-10")
+          .otherwise("11+").as("depth_band"))
+      .groupBy(col("depth_band"))
+      .agg(count(lit(1)).as("n_sessions"))
+
+  /** Month-over-month revenue growth: decimal-exact monthly totals with
+    * the prior month alongside and the growth ratio as ONE fixed-order
+    * double of the exact cent longs (integer floor-ppm would hit the
+    * Spark-truncates / DuckDB-floors divergence on negative months) —
+    * the classic BI trend table.
+    */
+  val ordersMonthly: Q = (spark, dir) => {
+    val m = t(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("__m"))
+      .agg(sum(dec(col("o_totalprice"), 2)).cast(DecimalType(18, 2)).as("__rev"))
+      .select(col("__m"), (col("__rev") * 100).cast("long").as("__c"))
+    m.withColumn("__prev", lag(col("__c"), 1).over(Window.orderBy("__m")))
+      .select(
+        date_format(col("__m"), "yyyy-MM").as("month"),
+        (col("__c") / 100.0).as("revenue"),
+        (col("__prev") / 100.0).as("prev_revenue"),
+        when(col("__prev").isNotNull && col("__prev") =!= 0,
+          (col("__c") - col("__prev")).cast("double") / col("__prev"))
+          .otherwise(lit(null).cast("double")).as("growth"))
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -1353,6 +1390,8 @@ object RelationalQueries {
     "events_streaks" -> eventsStreaks,
     "part_returns" -> partReturns,
     "supplier_hhi" -> supplierHhi,
+    "events_session_hist" -> eventsSessionHist,
+    "orders_monthly" -> ordersMonthly,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1744,6 +1783,39 @@ object RelationalQueries {
         |CROSS JOIN tot
         |WHERE support >= 3
         |ORDER BY lift_q DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "events_session_hist" ->
+      // gap-islands sessions → per-session counts → bands
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM g),
+        |i AS (
+        |  SELECT user_id,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (SELECT user_id, sid, count(*) AS n FROM i GROUP BY 1, 2)
+        |SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2'
+        |            WHEN n <= 5 THEN '3-5' WHEN n <= 10 THEN '6-10'
+        |            ELSE '11+' END AS depth_band,
+        |  count(*) AS n_sessions
+        |FROM sess GROUP BY 1""".stripMargin,
+    "orders_monthly" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS mo,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT mo, c, lag(c) OVER (ORDER BY mo) AS prev FROM m)
+        |SELECT strftime(mo, '%Y-%m') AS month, c / 100.0 AS revenue,
+        |  prev / 100.0 AS prev_revenue,
+        |  CASE WHEN prev IS NOT NULL AND prev != 0
+        |       THEN CAST(c - prev AS DOUBLE) / prev ELSE NULL END AS growth
+        |FROM l""".stripMargin,
     "part_returns" ->
       """SELECT p_brand, count(*) AS n_items,
         |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), 0) AS BIGINT)
