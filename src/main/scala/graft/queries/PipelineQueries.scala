@@ -656,6 +656,32 @@ object PipelineQueries {
       "source", "media_id", "n_bytes", budget = 1L << 20)
       .select("source", "media_id", "n_bytes", "bin")
 
+  /** Inter-class separation map: pairwise cosine between per-label
+    * embedding centroids — "are my classes separable / drifting
+    * together" at a glance. Centroids accumulate on the exact 2^20 grid
+    * per (label, pos) — cosine's scale invariance makes the raw grid
+    * sums stand in for means (the lookalike trick), so the whole matrix
+    * is the proven dot/norm kernel over exact inputs, label²-sized after
+    * one aggregate.
+    */
+  val embeddingLabelSim: Q = (spark, dir) => {
+    val cents = emb(spark, dir)
+      .select(col("label"), posexplode(
+        transform(col("embedding"), x => floor(x.cast("double") * 1048576.0).cast("long"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("__s"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("__s")))),
+        x => x.getField("__s").cast("double")).as("__cv"))
+    val a = cents.select(col("label").as("label_a"), col("__cv").as("__ca"))
+    val b = cents.select(col("label").as("label_b"), col("__cv").as("__cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (Similarity.dot(col("__ca"), col("__cb"))
+          / (Similarity.l2Norm(col("__ca")) * Similarity.l2Norm(col("__cb"))))
+          .as("cos"))
+  }
+
   /** Mutual k-nearest-neighbor pairs over the first 64 vectors: (a, b)
     * where each is in the other's cosine top-5 — the symmetric-affinity
     * edge set density-based clustering builds on (one-sided neighbors
@@ -1418,6 +1444,7 @@ object PipelineQueries {
     "embedding_diversity" -> embeddingDiversity,
     "dedup_threshold_sweep" -> dedupThresholdSweep,
     "multimodal_bins" -> multimodalBins,
+    "embedding_label_sim" -> embeddingLabelSim,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
@@ -2406,6 +2433,23 @@ object PipelineQueries {
          |CROSS JOIN tot
          |WHERE c12 >= 5
          |ORDER BY pmi_q DESC, w1, w2 LIMIT 20""".stripMargin,
+    "embedding_label_sim" ->
+      // per-label grid centroids (exact sums, list-ordered by pos), then
+      // the same sequential-fold cosine over the raw grid vectors
+      """WITH g AS (
+        |  SELECT label, list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS gv
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, pos, CAST(sum(v) AS DOUBLE) AS s
+        |  FROM (SELECT label, unnest(gv) AS v, generate_subscripts(gv, 1) AS pos FROM g)
+        |  GROUP BY label, pos),
+        |cv AS (SELECT label, list(s ORDER BY pos) AS cvec FROM c GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  list_dot_product(a.cvec, b.cvec) /
+        |  (sqrt(list_dot_product(a.cvec, a.cvec)) * sqrt(list_dot_product(b.cvec, b.cvec)))
+        |    AS cos
+        |FROM cv a JOIN cv b ON a.label < b.label""".stripMargin,
     "embedding_diversity" ->
       // ‖Σg‖² and Σ‖g‖² as exact HUGEINTs over the same grid; the 2^40
       // grid² factor divides out once in double

@@ -1247,6 +1247,23 @@ object RelationalQueries {
           .otherwise(lit(null).cast("double")).as("growth"))
   }
 
+  /** Lag-1 autocorrelation of per-minute arrival counts per event type —
+    * does load persist minute-to-minute (capacity planning) or is it
+    * memoryless? Pairs are consecutive ACTIVE minutes (zero-minutes carry
+    * no row — documented); the statistic reuses
+    * [[graft.ops.Checks.corrExact]]'s bit-stable frame.
+    */
+  val eventsAutocorr: Q = (spark, dir) => {
+    val perMin = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("__m"))
+      .agg(count(lit(1)).as("__c"))
+    val paired = perMin
+      .withColumn("__prev",
+        lag(col("__c"), 1).over(Window.partitionBy("event_type").orderBy("__m")))
+      .filter(col("__prev").isNotNull)
+    graft.ops.Checks.corrExact(paired, "event_type", "__prev", "__c")
+  }
+
   /** Z-order layout under the oracle gate: events are written Z-ORDERED on
     * (user_id, value), read back, and probed with a predicate on BOTH
     * dimensions — the multi-column data-skipping layout
@@ -1392,6 +1409,7 @@ object RelationalQueries {
     "supplier_hhi" -> supplierHhi,
     "events_session_hist" -> eventsSessionHist,
     "orders_monthly" -> ordersMonthly,
+    "events_autocorr" -> eventsAutocorr,
     "scd2_users" -> scd2Users,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -1783,6 +1801,42 @@ object RelationalQueries {
         |CROSS JOIN tot
         |WHERE support >= 3
         |ORDER BY lift_q DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "events_autocorr" ->
+      // per-minute counts, lag pairs over active minutes, then the
+      // corr_exact replay on the 2^20 grid
+      """WITH m AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS mn, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, c,
+        |    lag(c) OVER (PARTITION BY event_type ORDER BY mn) AS prev
+        |  FROM m),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(floor(prev * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(c * 1048576.0) AS BIGINT) AS y
+        |  FROM p WHERE prev IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+        |  FROM g GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |       ELSE NULL END AS corr
+        |FROM s""".stripMargin,
     "events_session_hist" ->
       // gap-islands sessions → per-session counts → bands
       """WITH g AS (
