@@ -682,6 +682,40 @@ object PipelineQueries {
           .as("cos"))
   }
 
+  /** Nearest-centroid label purity: every vector is assigned to its
+    * closest label centroid (cosine, deterministic (cos DESC, label)
+    * tie-break) and scored against its own label — the one-number
+    * "do my embeddings respect my labels" evaluation
+    * ([[embeddingLabelSim]]'s separation map collapsed to accuracy).
+    * Centroids broadcast; the corpus scans once.
+    */
+  val embeddingLabelPurity: Q = (spark, dir) => {
+    val cents = emb(spark, dir)
+      .select(col("label"), posexplode(
+        transform(col("embedding"), x => floor(x.cast("double") * 1048576.0).cast("long"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("__s"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("__s")))),
+        x => x.getField("__s").cast("double")).as("__cv"))
+      .select(col("label").as("__cl"), col("__cv"))
+    val scored = emb(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("__cl"),
+        (Similarity.dot(col("embedding"), col("__cv"))
+          / (Similarity.l2Norm(col("embedding")) * Similarity.l2Norm(col("__cv"))))
+          .as("__cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("__cos").desc, col("__cl"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__cl") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+  }
+
   /** Mutual k-nearest-neighbor pairs over the first 64 vectors: (a, b)
     * where each is in the other's cosine top-5 — the symmetric-affinity
     * edge set density-based clustering builds on (one-sided neighbors
@@ -1445,6 +1479,7 @@ object PipelineQueries {
     "dedup_threshold_sweep" -> dedupThresholdSweep,
     "multimodal_bins" -> multimodalBins,
     "embedding_label_sim" -> embeddingLabelSim,
+    "embedding_label_purity" -> embeddingLabelPurity,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "multimodal_meta" -> multimodalMeta,
@@ -2433,6 +2468,33 @@ object PipelineQueries {
          |CROSS JOIN tot
          |WHERE c12 >= 5
          |ORDER BY pmi_q DESC, w1, w2 LIMIT 20""".stripMargin,
+    "embedding_label_purity" ->
+      // same centroids; per-vector argmax by (cos DESC, label) and the
+      // per-label accuracy tally
+      """WITH g AS (
+        |  SELECT label, list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS gv
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, pos, CAST(sum(v) AS DOUBLE) AS s
+        |  FROM (SELECT label, unnest(gv) AS v, generate_subscripts(gv, 1) AS pos FROM g)
+        |  GROUP BY label, pos),
+        |cv AS (SELECT label AS cl, list(s ORDER BY pos) AS cvec FROM c GROUP BY label),
+        |sc AS (
+        |  SELECT e.vec_id, e.label, cv.cl,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), cv.cvec) /
+        |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(cv.cvec, cv.cvec))) AS cos
+        |  FROM embeddings e CROSS JOIN cv),
+        |top AS (
+        |  SELECT vec_id, label, cl FROM (
+        |    SELECT vec_id, label, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) AS rn
+        |    FROM sc)
+        |  WHERE rn = 1)
+        |SELECT label, count(*) AS n,
+        |  CAST(SUM(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM top GROUP BY label""".stripMargin,
     "embedding_label_sim" ->
       // per-label grid centroids (exact sums, list-ordered by pos), then
       // the same sequential-fold cosine over the raw grid vectors
