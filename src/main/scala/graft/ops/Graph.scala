@@ -85,4 +85,118 @@ object Graph {
     }
     scores
   }
+
+  /** Canonical undirected edge set from any `(src, dst)` list: both
+    * orientations collapse to `(u, v)` with `u < v`, self-loops and
+    * duplicates dropped. The shared front door of [[triangles]] and
+    * [[labelPropagate]].
+    */
+  private def undirected(edges: DataFrame): DataFrame =
+    edges
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected graph (community density, spam-farm detection, graph
+    * quality profiling). Returns `(node, degree, triangles,
+    * clustering_ppm)` for every node, where `clustering_ppm` is the exact
+    * integer `2·T·10⁶ DIV (deg·(deg−1))` (0 when degree < 2) — the
+    * all-integer fraction replays bit-exactly in any engine.
+    *
+    * Scale shape — the distributed node-iterator with DEGREE ORDERING
+    * (Suri & Vassilvitskii's MapReduce formulation): every edge is
+    * oriented from its lower to its higher endpoint under the total order
+    * `(degree, id)`, which bounds each node's OUT-adjacency by O(√E)
+    * regardless of raw degree skew — a celebrity node of degree 10⁶
+    * produces no 10¹² wedge blow-up because its edges all point INTO it.
+    * Wedges come from one equi-self-join of the oriented list on the apex,
+    * the pair is ordered by the same `(degree, id)` order so the closing
+    * edge is a plain EQUI-join lookup (no OR-condition nested loop), and
+    * each triangle surfaces exactly once at its order-minimal vertex. The
+    * oriented list materializes once (localCheckpoint — it is consumed by
+    * three plan arms); everything downstream is hash joins + partial-agg
+    * counts. Edge-sized motion, zero driver state.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = undirected(edges)
+    val deg = e.select(col("u").as("node")).union(e.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // Orient by (degree, id); carry the head's degree so the wedge join
+    // can order its two out-neighbors without a third deg lookup.
+    val o = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("t"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint(true)
+    // Wedge at apex s: out-neighbor pair ordered by (deg, id) ⇒ the
+    // closing edge, if present, is oriented exactly lo→hi.
+    val w = o.as("a")
+      .join(o.as("b"),
+        col("a.s") === col("b.s") &&
+          (col("a.dt") < col("b.dt") ||
+            (col("a.dt") === col("b.dt") && col("a.t") < col("b.t"))))
+      .select(col("a.s").as("x"), col("a.t").as("lo"), col("b.t").as("hi"))
+    val tri = w.join(
+      o.select(col("s").as("lo"), col("t").as("hi")), Seq("lo", "hi"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("lo"), col("hi"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .select(
+        col("node"),
+        col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("d") >= 2,
+          expr("(2 * coalesce(triangles, 0L) * 1000000) DIV (d * (d - 1))"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
+  }
+
+  /** Synchronous label propagation (community detection) over an
+    * undirected graph: every node starts labeled with its own id; each
+    * round, every node adopts the most frequent label among its NEIGHBORS,
+    * ties broken toward the SMALLEST label — a deterministic fixed-round
+    * variant of Raghavan et al.'s LPA, so `iterations` unrolled SQL CTE
+    * rounds replay the result exactly (the oracle does). Returns
+    * `(node, label)`.
+    *
+    * Scale shape: the neighbor list materializes once (localCheckpoint,
+    * 2E rows); each round is one join of the node-sized label set into it,
+    * one partial-agg'd `(node, label)` count, and one struct-max per node
+    * (two-stage agg — no window, no per-node sort). Rounds COMPOSE lazily
+    * like [[pageRankExact]]'s: each label set is consumed exactly once, so
+    * the fixpoint runs as one job. O(E) per round, node-sized state.
+    */
+  def labelPropagate(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = undirected(edges)
+    val nbrs = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v"), col("u")))
+      .localCheckpoint(true)
+    var labels = nbrs.select(col("node")).distinct().withColumn("label", col("node"))
+    var i = 0
+    while (i < iterations) {
+      // max(struct(votes, -label)) = most votes, smallest label on ties.
+      // Node ids are non-negative here (undirected() long-casts user ids);
+      // negation cannot overflow for any id ≥ -Long.MaxValue.
+      labels = nbrs
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy("node", "label")
+        .agg(count(lit(1)).as("__votes"))
+        .groupBy("node")
+        .agg(max(struct(col("__votes"), (-col("label")).as("__nl"))).as("__best"))
+        .select(col("node"), (-col("__best.__nl")).as("label"))
+      i += 1
+    }
+    labels
+  }
 }

@@ -378,6 +378,33 @@ object RelationalQueries {
     graft.ops.Graph.pageRankExact(edges, iterations = 3)
   }
 
+  /** The part co-purchase graph: parts sharing a high-quantity order are
+    * connected. The self-join is KEY-BOUNDED (≤ 7 parts per order ⇒ ≤ 21
+    * pairs) — the basket_pairs shape feeding the graph-structure ops.
+    */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val b = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    b.as("a").join(b.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+  }
+
+  /** Per-part triangle counts + local clustering coefficient over the
+    * co-purchase graph ([[graft.ops.Graph.triangles]] — the degree-ordered
+    * distributed node-iterator; all-integer clustering fraction).
+    */
+  val graphTriangles: Q = (spark, dir) =>
+    graft.ops.Graph.triangles(coPurchaseEdges(spark, dir))
+
+  /** Deterministic label-propagation communities (3 synchronous rounds,
+    * min-label tie-break) over the co-purchase graph — the oracle unrolls
+    * the same rounds as SQL CTEs ([[graft.ops.Graph.labelPropagate]]).
+    */
+  val graphCommunities: Q = (spark, dir) =>
+    graft.ops.Graph.labelPropagate(coPurchaseEdges(spark, dir), iterations = 3)
+
   /** JSON extraction from the props payload. */
   val eventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir).toDF()
@@ -1420,6 +1447,8 @@ object RelationalQueries {
     "corr_exact" -> corrExact,
     "orders_trend" -> ordersTrend,
     "graph_pagerank" -> graphPagerank,
+    "graph_triangles" -> graphTriangles,
+    "graph_communities" -> graphCommunities,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -2524,6 +2553,59 @@ object RelationalQueries {
         |s3 AS (SELECT n.node, 164926744166 + (17 * COALESCE(i3.inp, 0)) // 20 AS s
         |       FROM n LEFT JOIN i3 USING (node))
         |SELECT node, CAST(s AS BIGINT) AS score FROM s3""".stripMargin,
+    "graph_triangles" ->
+      // the same degree-ordered orientation: wedge pairs ordered by
+      // (deg, id), closing edge an equi-lookup, each triangle once
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b2.p AS v
+        |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+        |             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dt
+        |      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |w AS (SELECT a.s AS x, a.t AS lo, b.t AS hi
+        |      FROM o a JOIN o b ON a.s = b.s AND (a.dt, a.t) < (b.dt, b.t)),
+        |tri AS (SELECT x, lo, hi FROM w JOIN o ON w.lo = o.s AND w.hi = o.t),
+        |pn AS (SELECT node, count(*) AS tr FROM
+        |       (SELECT x AS node FROM tri UNION ALL
+        |        SELECT lo FROM tri UNION ALL SELECT hi FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.d AS degree,
+        |  CAST(COALESCE(pn.tr, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN deg.d >= 2
+        |       THEN (2 * COALESCE(pn.tr, 0) * 1000000) // (deg.d * (deg.d - 1))
+        |       ELSE 0 END AS clustering_ppm
+        |FROM deg LEFT JOIN pn USING (node)""".stripMargin,
+    "graph_communities" ->
+      // three synchronous LPA rounds unrolled; most-frequent neighbor
+      // label, smallest label on ties — fully deterministic
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b2.p AS v
+        |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+        |nb AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT node, node AS label FROM nb),
+        |c1 AS (SELECT nb.node, l.label, count(*) AS v FROM nb
+        |       JOIN l0 l ON nb.nbr = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM
+        |       (SELECT node, label, row_number() OVER
+        |          (PARTITION BY node ORDER BY v DESC, label ASC) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |c2 AS (SELECT nb.node, l.label, count(*) AS v FROM nb
+        |       JOIN l1 l ON nb.nbr = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM
+        |       (SELECT node, label, row_number() OVER
+        |          (PARTITION BY node ORDER BY v DESC, label ASC) AS rn FROM c2)
+        |       WHERE rn = 1),
+        |c3 AS (SELECT nb.node, l.label, count(*) AS v FROM nb
+        |       JOIN l2 l ON nb.nbr = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM
+        |       (SELECT node, label, row_number() OVER
+        |          (PARTITION BY node ORDER BY v DESC, label ASC) AS rn FROM c3)
+        |       WHERE rn = 1)
+        |SELECT node, label FROM l3""".stripMargin,
     "skew_report" ->
       """WITH c AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n

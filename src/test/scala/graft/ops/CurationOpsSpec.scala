@@ -431,6 +431,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a == pr, "integer iteration must be partitioning-invariant")
   }
 
+  // ------------------------------------------- triangles / communities
+
+  test("triangles: K3 + pendant — counts, clustering ppm, partition-invariant") {
+    // triangle 1-2-3 plus pendant 4 attached to 3; duplicate + reversed
+    // edges and a self-loop must all collapse
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.triangles(g)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L)))
+    // clustering: deg-2 corner of one triangle = 2·1·1e6/(2·1) = 1e6 (exact)
+    assert(out(0)._4 == 1000000L)
+    assert(out(2)._4 == 2L * 1000000L / 6L, "deg-3 node: 2T/(d(d-1)) floored")
+    assert(out(3)._4 == 0L, "pendant: degree < 2 → 0")
+    val rep = Graph.triangles(g.repartition(5))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq == out.toSeq, "partitioning-invariant")
+  }
+
+  test("triangles: K4 — every node in C(3,2)=3 triangles, clustering 1") {
+    val nodes = 1L to 4L
+    val k4 = (for (a <- nodes; b <- nodes if a < b) yield (a, b)).toDF("src", "dst")
+    val out = Graph.triangles(k4).as[(Long, Long, Long, Long)].collect()
+    assert(out.forall(r => r._2 == 3L && r._3 == 3L && r._4 == 1000000L))
+  }
+
+  test("labelPropagate: clique absorbs min label; bridge stays put; invariant") {
+    // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    // round 1: every triangle node adopts its smallest neighbor's label
+    // (all votes are 1-counts → min label wins)
+    val r1 = Graph.labelPropagate(g, 1).as[(Long, Long)].collect().toMap
+    assert(r1(1L) == 2L && r1(2L) == 1L && r1(3L) == 1L)
+    assert(r1(10L) == 3L && r1(11L) == 10L && r1(12L) == 10L)
+    // round 2 from those labels: 1's nbrs {2→1, 3→1} vote label 1 twice
+    val r2 = Graph.labelPropagate(g, 2).as[(Long, Long)].collect().toMap
+    assert(r2(1L) == 1L && r2(2L) == 1L)
+    val rep = Graph.labelPropagate(g.repartition(5), 2).as[(Long, Long)].collect().toMap
+    assert(rep == r2, "partitioning-invariant")
+  }
+
   test("keyReport: exact counts, ppm shares, deterministic rank under ties") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
       .toDF("k")
