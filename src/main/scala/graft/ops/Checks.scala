@@ -173,4 +173,45 @@ object Checks {
         (col("__sy").cast("double") - slope * col("__sx").cast("double")) / nD)
         .otherwise(lit(null).cast("double")).as("intercept_grid"))
   }
+
+  /** Grouped Spearman rank correlation — the monotone-association readout
+    * robust to outliers and nonlinearity that Pearson misreads. Computed
+    * as [[corrExact]] over EXACT average ranks: for a value with `cb` rows
+    * strictly below it and `c` tied rows, the average rank is
+    * `cb + (c+1)/2`, carried DOUBLED (`2·cb + c + 1`) so ties' half-ranks
+    * stay integers — Pearson is scale-invariant, so the doubling cancels
+    * and the result is the textbook tie-corrected Spearman ρ, bit-stable
+    * across engines and partitionings.
+    *
+    * Scale shape: one `(group, value)` histogram per column (map-side
+    * partials), a running-count window over each histogram — HISTOGRAM-
+    * sized, so intended for bounded-cardinality columns (ratings, bucket
+    * ids, quantities; pre-grid continuous columns first) — and one
+    * broadcast-sized join of ranks back onto the rows, then corrExact's
+    * single five-sum aggregate. No data-sized sort anywhere.
+    */
+  def spearmanExact(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"), col(yCol).as("__y"))
+    def ranks(c: String, out: String) = {
+      val w = Window.partitionBy("__g").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col("__g"), col(c)).agg(count(lit(1)).as("__c"))
+        .select(col("__g"), col(c),
+          (lit(2L) * coalesce(sum(col("__c")).over(w), lit(0L)) +
+            col("__c") + lit(1L)).as(out))
+    }
+    val joined = base
+      .join(ranks("__x", "__drx"), Seq("__g", "__x"))
+      .join(ranks("__y", "__dry"), Seq("__g", "__y"))
+      .withColumnRenamed("__g", groupCol)
+    corrExact(joined, groupCol, "__drx", "__dry", gridScale = 1L)
+      .withColumnRenamed("corr", "spearman")
+  }
 }

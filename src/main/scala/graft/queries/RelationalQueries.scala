@@ -405,6 +405,62 @@ object RelationalQueries {
   val graphCommunities: Q = (spark, dir) =>
     graft.ops.Graph.labelPropagate(coPurchaseEdges(spark, dir), iterations = 3)
 
+  /** Grouped Spearman rank correlation between order quantity and
+    * discount per return flag ([[graft.ops.Checks.spearmanExact]] — exact
+    * doubled average ranks through the corr_exact sufficient-statistics
+    * frame; both columns are bounded-cardinality, the op's design point).
+    */
+  val corrSpearman: Q = (spark, dir) =>
+    graft.ops.Checks.spearmanExact(
+      t(spark, dir, "lineitem"), "l_returnflag", "l_quantity", "l_discount")
+
+  /** Daily open-order backlog — the operations dashboard staple. The
+    * interval-stabbing transform: each order contributes `+1` at its order
+    * date and `−1` the day after its LAST ship date, so per-day overlap
+    * counts collapse to one date-sized running sum — no per-day × per-order
+    * join, no data-sized sort. The final window runs over the DATE-sized
+    * delta set (bounded by the calendar, ~2.4k rows at any data scale).
+    */
+  val ordersBacklog: Q = (spark, dir) => {
+    val ship = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("__sd"))
+    val j = t(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("__od"))
+      .join(ship, col("o_orderkey") === col("l_orderkey"))
+    val deltas = j.select(col("__od").as("__day"), lit(1L).as("__dl"))
+      .union(j.select(date_add(col("__sd"), 1).as("__day"), lit(-1L).as("__dl")))
+      .groupBy(col("__day"))
+      .agg(sum(col("__dl")).as("delta"))
+    val w = Window.orderBy("__day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.select(
+      date_format(col("__day"), "yyyy-MM-dd").as("day"),
+      col("delta"),
+      sum(col("delta")).over(w).as("open_orders"))
+  }
+
+  /** Last-touch marketing attribution: every purchase's revenue credited
+    * to the user's most recent PRECEDING non-purchase event type (or
+    * 'direct' when nothing precedes) — the as-of join reused as the
+    * attribution engine, then one channel-sized rollup. Exact DECIMAL
+    * cents; one key shuffle total ([[graft.ops.AsOfJoin.backward]]).
+    */
+  val eventsAttribution: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    AsOfJoin
+      .backward(purchases, touches, "user_id", "user_id", "ts", "ts",
+        rightPrefix = "c_", inner = false)
+      .groupBy(coalesce(col("c_event_type"), lit("direct")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sumDec(col("value"), 2).as("revenue"))
+  }
+
   /** JSON extraction from the props payload. */
   val eventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir).toDF()
@@ -1449,6 +1505,9 @@ object RelationalQueries {
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_communities" -> graphCommunities,
+    "corr_spearman" -> corrSpearman,
+    "orders_backlog" -> ordersBacklog,
+    "events_attribution" -> eventsAttribution,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -2529,6 +2588,69 @@ object RelationalQueries {
         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |       ELSE NULL END AS corr
         |FROM s""".stripMargin,
+    "corr_spearman" ->
+      // exact doubled average ranks (2·below + ties + 1) from per-column
+      // histograms, then the corr_exact decimal/double formula
+      """WITH b AS (SELECT l_returnflag AS g, l_quantity AS xv, l_discount AS yv
+        |           FROM lineitem
+        |           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |hx AS (SELECT g, xv, count(*) AS c FROM b GROUP BY 1, 2),
+        |rx AS (SELECT g, xv,
+        |         CAST(2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY xv
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS BIGINT) AS dr FROM hx),
+        |hy AS (SELECT g, yv, count(*) AS c FROM b GROUP BY 1, 2),
+        |ry AS (SELECT g, yv,
+        |         CAST(2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY yv
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS BIGINT) AS dr FROM hy),
+        |r AS (SELECT b.g, rx.dr AS x, ry.dr AS y FROM b
+        |      JOIN rx ON b.g = rx.g AND b.xv = rx.xv
+        |      JOIN ry ON b.g = ry.g AND b.yv = ry.yv),
+        |s AS (SELECT g, count(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+        |  FROM r GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |       ELSE NULL END AS spearman
+        |FROM s""".stripMargin,
+    "orders_backlog" ->
+      // +1 at order date, −1 the day after the last ship date, one
+      // date-sized running sum — the interval-stabbing identity
+      """WITH s AS (SELECT l_orderkey AS k, max(CAST(l_shipdate AS DATE)) AS sd
+        |           FROM lineitem GROUP BY 1),
+        |j AS (SELECT CAST(o_orderdate AS DATE) AS od, s.sd
+        |      FROM orders JOIN s ON o_orderkey = s.k),
+        |d AS (SELECT day, CAST(SUM(dl) AS BIGINT) AS delta FROM (
+        |        SELECT od AS day, 1 AS dl FROM j
+        |        UNION ALL SELECT sd + 1, -1 FROM j) GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+        |  CAST(SUM(delta) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS open_orders
+        |FROM d""".stripMargin,
+    "events_attribution" ->
+      """SELECT COALESCE(c.event_type, 'direct') AS channel,
+        |  count(*) AS n_purchases,
+        |  CAST(CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |       AS DOUBLE) AS revenue
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |GROUP BY 1""".stripMargin,
     "graph_pagerank" ->
       // the same three integer iterations, unrolled: per-edge floor-div
       // contributions, exact long sums, rational damping by integer DIV

@@ -292,6 +292,41 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ A/B χ²
 
+  test("spearmanExact: monotone→1 (even nonlinear), anti→-1, ties share ranks") {
+    import graft.ops.Checks
+    // nonlinear but monotone: Pearson < 1, Spearman exactly 1
+    val mono = Seq(("g", 1.0, 1.0), ("g", 2.0, 4.0), ("g", 3.0, 9.0))
+      .toDF("g", "x", "y")
+    // the fixed-order double combine rounds at sqrt — bit-STABLE (the
+    // oracle replays the identical bits) but not algebraically clamped,
+    // so ±1 lands within one ulp, not exactly on it
+    def near(v: Option[Double], want: Double) =
+      v.exists(d => math.abs(d - want) < 1e-12)
+    val r1 = Checks.spearmanExact(mono, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head
+    assert(r1._2 == 3L && near(r1._3, 1.0))
+    // anti-monotone
+    val anti = Seq(("g", 1.0, 30.0), ("g", 2.0, 20.0), ("g", 3.0, 10.0))
+      .toDF("g", "x", "y")
+    assert(near(Checks.spearmanExact(anti, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3, -1.0))
+    // identical tie pattern on both sides is still a perfect rank match:
+    // doubled ranks (2,5,5,8) on x AND y → ρ = 1
+    val ties = Seq(("g", 1.0, 10.0), ("g", 2.0, 20.0), ("g", 2.0, 20.0), ("g", 3.0, 40.0))
+      .toDF("g", "x", "y")
+    assert(near(Checks.spearmanExact(ties, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3, 1.0))
+    // zero variance → null, and partitioning must not change any bit
+    val const = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0)).toDF("g", "x", "y")
+    assert(Checks.spearmanExact(const, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3.isEmpty)
+    val big = (1 to 200).map(i => ("g", (i % 7).toDouble, ((i * 13) % 11).toDouble))
+      .toDF("g", "x", "y")
+    val a = Checks.spearmanExact(big, "g", "x", "y").collect().head
+    val b = Checks.spearmanExact(big.repartition(7), "g", "x", "y").collect().head
+    assert(a == b, "partitioning-invariant bits")
+  }
+
   test("abReport: hand-checked chi-square, degenerate tables are null") {
     // a=30 conv of n_a=100; c=10 conv of n_b=100 → classic 2×2
     val units = ((1 to 100).map(i => (i.toLong, 0L, if (i <= 30) 1L else 0L)) ++
