@@ -179,4 +179,96 @@ object Ranking {
           .when((col("__cum") - col("__v")) * 100 < col("__tot") * bPct, "B")
           .otherwise("C").as("abc_class"))
   }
+
+  /** χ² term–class feature selection: the top-k tokens most associated
+    * with each class (language, source, quality tier) by the 2×2
+    * contingency χ² — the classic supervised vocabulary screen (and a
+    * classifier-feature shortlist). Output: `(class, token, n_in_class,
+    * chi2)`, `topK` rows per class ordered by `(χ² desc, token asc)`.
+    *
+    * Exactness: a/b/c/d cell counts are exact longs from three partial-agg
+    * aggregates; χ² `= N(ad−bc)² / ((a+b)(c+d)·(a+c)(b+d))` combines them
+    * in ONE fixed-order double expression (every step correctly-rounded
+    * IEEE ⇒ bit-identical across engines and partitionings — the
+    * corr_exact discipline), so even the double ORDERING replays.
+    *
+    * Scale shape: token-instance explode → `(class, token)` counts
+    * (map-side partials), a vocabulary-sized token-total rollup joined
+    * back BY TOKEN (vocab-sized shuffle, no corpus motion), class totals
+    * and N as tiny broadcasts, then a per-class top-k that
+    * WindowGroupLimit prunes before any full sort. `minCount` drops the
+    * hapax tail before ranking — at web scale the tail IS the vocabulary,
+    * so the cut is the difference between a vocab-sized and a
+    * tail-dominated shuffle.
+    */
+  def chi2Terms(
+      df: DataFrame,
+      classCol: String,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 10): DataFrame = {
+    val cell = df
+      .filter(col(classCol).isNotNull)
+      .select(col(classCol).as("__g"),
+        explode(TextOps.tokens(col(textCol))).as("__t"))
+      .groupBy("__g", "__t")
+      .agg(count(lit(1)).as("__a"))
+    val rowT = cell.groupBy("__t").agg(sum(col("__a")).as("__rt"))
+    val colT = cell.groupBy("__g").agg(sum(col("__a")).as("__ct"))
+    val tot = colT.agg(sum(col("__ct")).as("__n"))
+    val aD = col("__a").cast("double")
+    val bD = (col("__rt") - col("__a")).cast("double")
+    val cD = (col("__ct") - col("__a")).cast("double")
+    val dD = (col("__n") - col("__rt") - col("__ct") + col("__a")).cast("double")
+    val nD = col("__n").cast("double")
+    val scored = cell
+      .filter(col("__a") >= minCount)
+      .join(rowT, Seq("__t"))
+      .join(broadcast(colT), Seq("__g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("chi2",
+        (nD * ((aD * dD - bD * cD) * (aD * dD - bD * cD))) /
+          (((aD + bD) * (cD + dD)) * ((aD + cD) * (bD + dD))))
+    val w = Window.partitionBy("__g").orderBy(col("chi2").desc, col("__t").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("__g").as(classCol), col("__t").as("token"),
+        col("__a").as("n_in_class"), col("chi2"))
+  }
+
+  /** Inverted-index postings summary: per token above a document-frequency
+    * floor, its document frequency, total term frequency, and the top
+    * `perToken` documents by `(tf desc, doc asc)` — the search-index build
+    * step emitted as rows `(token, df, total_tf, rank, doc, tf)` so the
+    * result stays flat and engine-comparable.
+    *
+    * Scale shape: one explode → `(doc, token)` tf counts (map-side
+    * partials), one token-keyed rollup for df/total, and a per-token
+    * top-k that WindowGroupLimit bounds to `perToken` rows per key before
+    * any sort completes. Vocabulary-sized output; the corpus never
+    * shuffles raw text.
+    */
+  def postings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 3L,
+      perToken: Int = 3): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("__doc"),
+        explode(TextOps.tokens(col(textCol))).as("__t"))
+      .groupBy("__t", "__doc")
+      .agg(count(lit(1)).as("__tf"))
+    val stats = tf.groupBy("__t").agg(
+      count(lit(1)).as("df"),
+      sum(col("__tf")).as("total_tf"))
+    val w = Window.partitionBy("__t").orderBy(col("__tf").desc, col("__doc").asc)
+    tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perToken)
+      .join(stats.filter(col("df") >= minDf), Seq("__t"))
+      .select(col("__t").as("token"), col("df"), col("total_tf"),
+        col("rank").cast("long").as("rank"),
+        col("__doc").as("doc"), col("__tf").as("tf"))
+  }
 }

@@ -1179,6 +1179,21 @@ object PipelineQueries {
       .orderBy(col("freq").desc, col("token"))
       .limit(100)
 
+  /** χ² term–language feature selection: the 10 tokens most associated
+    * with each language ([[graft.ops.Ranking.chi2Terms]] — exact 2×2 cell
+    * counts, one fixed-order double χ², WindowGroupLimit-bounded top-k).
+    */
+  val textChi2Terms: Q = (spark, dir) =>
+    graft.ops.Ranking.chi2Terms(docs(spark, dir), "lang", "text")
+
+  /** Inverted-index postings build: per token (df ≥ 3), document
+    * frequency, total tf, and the top-3 documents by tf
+    * ([[graft.ops.Ranking.postings]] — the search-index construction
+    * step, vocabulary-sized output).
+    */
+  val textPostings: Q = (spark, dir) =>
+    graft.ops.Ranking.postings(docs(spark, dir), "doc_id", "text")
+
   /** φ-heavy hitters (φ = 1/30 of the token stream), Count-Min-verified
     * two-pass: the CMS prefilters candidates map-side (never an
     * underestimate, so no true hitter is lost — spec-pinned), the exact
@@ -1424,6 +1439,8 @@ object PipelineQueries {
     "text_boilerplate" -> textBoilerplate,
     "dedup_bloom" -> dedupBloom,
     "vocab_topk" -> vocabTopk,
+    "text_chi2_terms" -> textChi2Terms,
+    "text_postings" -> textPostings,
     "heavy_hitters" -> heavyHitters,
     "contamination_report" -> contaminationReport,
     "quality_gate" -> qualityGate,
@@ -2146,6 +2163,41 @@ object PipelineQueries {
          |GROUP BY token
          |ORDER BY freq DESC, token
          |LIMIT 100""".stripMargin,
+    // exact 2×2 cells from three rollups, then the identical fixed-order
+    // double χ² — even the double ORDERING replays bit-for-bit
+    "text_chi2_terms" ->
+      s"""WITH toks AS (SELECT lang AS g, unnest($wordsSql) AS tk
+         |              FROM documents WHERE lang IS NOT NULL),
+         |cell AS (SELECT g, tk, count(*) AS a FROM toks GROUP BY 1, 2),
+         |rt AS (SELECT tk, CAST(SUM(a) AS BIGINT) AS rt FROM cell GROUP BY 1),
+         |ct AS (SELECT g, CAST(SUM(a) AS BIGINT) AS ct FROM cell GROUP BY 1),
+         |n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM ct),
+         |s AS (SELECT cell.g, cell.tk, cell.a,
+         |        CAST(cell.a AS DOUBLE) AS ad,
+         |        CAST(rt.rt - cell.a AS DOUBLE) AS bd,
+         |        CAST(ct.ct - cell.a AS DOUBLE) AS cd,
+         |        CAST(n.n - rt.rt - ct.ct + cell.a AS DOUBLE) AS dd,
+         |        CAST(n.n AS DOUBLE) AS nd
+         |      FROM cell JOIN rt USING (tk) JOIN ct USING (g) CROSS JOIN n
+         |      WHERE cell.a >= 5),
+         |c2 AS (SELECT g, tk, a,
+         |        (nd * ((ad*dd - bd*cd) * (ad*dd - bd*cd)))
+         |        / (((ad+bd)*(cd+dd)) * ((ad+cd)*(bd+dd))) AS chi2 FROM s),
+         |r AS (SELECT g, tk, a, chi2, row_number() OVER
+         |        (PARTITION BY g ORDER BY chi2 DESC, tk ASC) AS rn FROM c2)
+         |SELECT g AS lang, tk AS token, a AS n_in_class, chi2
+         |FROM r WHERE rn <= 10""".stripMargin,
+    "text_postings" ->
+      s"""WITH tf AS (SELECT tk, doc, count(*) AS tf FROM
+         |       (SELECT doc_id AS doc, unnest($wordsSql) AS tk FROM documents)
+         |       GROUP BY 1, 2),
+         |st AS (SELECT tk, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+         |       FROM tf GROUP BY 1),
+         |r AS (SELECT tk, doc, tf, row_number() OVER
+         |        (PARTITION BY tk ORDER BY tf DESC, doc ASC) AS rank FROM tf)
+         |SELECT r.tk AS token, st.df, st.total_tf,
+         |  CAST(r.rank AS BIGINT) AS rank, r.doc, CAST(r.tf AS BIGINT) AS tf
+         |FROM r JOIN st USING (tk) WHERE st.df >= 3 AND r.rank <= 3""".stripMargin,
     // exact φ-heavy hitters: the engine's CMS prefilter is provably
     // output-invisible (never an underestimate ⇒ every true hitter
     // survives to the exact pass), so plain GROUP BY HAVING replays it

@@ -461,6 +461,70 @@ object RelationalQueries {
         sumDec(col("value"), 2).as("revenue"))
   }
 
+  /** Seasonal-naive forecast evaluation: every (type, day, hour) traffic
+    * cell predicted by the SAME HOUR ONE WEEK EARLIER, scored by exact
+    * integer absolute error over the evaluable window — the
+    * capacity-planning baseline every fancier forecaster must beat. The
+    * full-outer cell join charges misses in BOTH directions (a cell that
+    * vanished and a cell that appeared both count); cells absent in both
+    * weeks are genuine zeros and stay out of the denominator. Cell-sized
+    * motion (day×hour×type), one tiny bounds broadcast.
+    */
+  val eventsForecast: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+    val c = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"),
+        hour(col("ts")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+    val bounds = ev.agg(
+      min(to_date(col("ts"))).as("__dmin"), max(to_date(col("ts"))).as("__dmax"))
+    val fc = c.select(col("event_type"), date_add(col("__d"), 7).as("__d"),
+      col("__h"), col("__n").as("__f"))
+    c.join(fc, Seq("event_type", "__d", "__h"), "full_outer")
+      .select(col("event_type"), col("__d"), col("__h"),
+        coalesce(col("__n"), lit(0L)).as("__act"),
+        coalesce(col("__f"), lit(0L)).as("__fc"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("__d") >= date_add(col("__dmin"), 7) && col("__d") <= col("__dmax"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("__act")).as("total_actual"),
+        sum(abs(col("__act") - col("__fc"))).as("total_abs_err"))
+      .withColumn("mae_milli", expr("total_abs_err * 1000 DIV n_cells"))
+  }
+
+  /** CUSUM changepoint screen on daily arrivals: per event type, the day
+    * where the cumulative deviation from the type's mean daily rate peaks
+    * in magnitude — "when did the level shift". Deviations stay integer by
+    * the scaling trick `dev = D·count − total` (mean-centering without the
+    * division), so the running sum and the peak election replay exactly.
+    * Observed days only (a day with zero events of a type contributes no
+    * row — documented; dense-grid CUSUM is the same query over a calendar
+    * spine). Day-sized per-type series; the running window and the peak
+    * election share ONE event_type shuffle.
+    */
+  val eventsCusum: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("__c")).as("__tot"), count(lit(1)).as("__days"))
+    val w = Window.partitionBy("event_type").orderBy("__d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("__cusum")).desc, col("__d").asc)
+    daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("__dev", col("__days") * col("__c") - col("__tot"))
+      .withColumn("__cusum", sum(col("__dev")).over(w))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("event_type"),
+        date_format(col("__d"), "yyyy-MM-dd").as("peak_day"),
+        col("__cusum").as("peak_cusum"),
+        col("__days").as("n_days"), col("__tot").as("total_events"))
+  }
+
   /** JSON extraction from the props payload. */
   val eventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir).toDF()
@@ -1508,6 +1572,8 @@ object RelationalQueries {
     "corr_spearman" -> corrSpearman,
     "orders_backlog" -> ordersBacklog,
     "events_attribution" -> eventsAttribution,
+    "events_forecast" -> eventsForecast,
+    "events_cusum" -> eventsCusum,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -2642,6 +2708,43 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS open_orders
         |FROM d""".stripMargin,
+    "events_forecast" ->
+      // lag-7-day same-hour naive forecast; full-outer cell join charges
+      // vanished AND appeared cells; exact integer absolute errors
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS h,
+        |             count(*) AS n FROM events GROUP BY 1, 2, 3),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax
+        |      FROM events),
+        |f AS (SELECT event_type, d + 7 AS d, h, n AS fc FROM c),
+        |j AS (SELECT COALESCE(c.event_type, f.event_type) AS et,
+        |        COALESCE(c.d, f.d) AS d, COALESCE(c.h, f.h) AS h,
+        |        COALESCE(c.n, 0) AS act, COALESCE(f.fc, 0) AS fc
+        |      FROM c FULL OUTER JOIN f
+        |        ON c.event_type = f.event_type AND c.d = f.d AND c.h = f.h)
+        |SELECT et AS event_type, count(*) AS n_cells,
+        |  CAST(SUM(act) AS BIGINT) AS total_actual,
+        |  CAST(SUM(abs(act - fc)) AS BIGINT) AS total_abs_err,
+        |  (CAST(SUM(abs(act - fc)) AS BIGINT) * 1000) // count(*) AS mae_milli
+        |FROM j CROSS JOIN b WHERE d >= dmin + 7 AND d <= dmax
+        |GROUP BY 1""".stripMargin,
+    "events_cusum" ->
+      // dev = D·count − total keeps mean-centering integer; peak by
+      // (|cusum| desc, day asc)
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot,
+        |          count(*) AS days FROM daily GROUP BY 1),
+        |cu AS (SELECT daily.event_type, daily.d, tot.days, tot.tot,
+        |         CAST(SUM(tot.days * daily.c - tot.tot) OVER
+        |           (PARTITION BY daily.event_type ORDER BY daily.d
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cusum
+        |       FROM daily JOIN tot USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(cusum) DESC, d ASC) AS rn FROM cu)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS peak_day,
+        |  cusum AS peak_cusum, days AS n_days, tot AS total_events
+        |FROM r WHERE rn = 1""".stripMargin,
     "events_attribution" ->
       """SELECT COALESCE(c.event_type, 'direct') AS channel,
         |  count(*) AS n_purchases,

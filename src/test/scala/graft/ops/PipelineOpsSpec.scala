@@ -1162,4 +1162,44 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect()
     assert(re.sorted.toSeq == rows.sorted.toSeq)
   }
+
+  test("chi2Terms: class-exclusive term scores highest; shared term scores 0") {
+    // 'solo' only in A, 'bee' only in B, 'both' uniform — with EQUAL
+    // tokens per doc, 'both' is exactly independent of class
+    val docs = (
+      (1 to 5).map(_ => ("A", "solo both")) ++
+        (1 to 5).map(_ => ("B", "bee both"))
+    ).zipWithIndex.map { case ((c, t), i) => (i.toLong, c, t) }
+      .toDF("id", "cls", "text")
+    val out = Ranking.chi2Terms(docs, "cls", "text", minCount = 5, topK = 10)
+      .as[(String, String, Long, Double)].collect()
+    val aTop = out.filter(_._1 == "A").maxBy(_._4)
+    assert(aTop._2 == "solo" && aTop._3 == 5L)
+    // independence: a=5,b=5,c=5,d=5 → ad−bc = 0 → χ² exactly 0
+    assert(out.filter(r => r._2 == "both").forall(_._4 == 0.0))
+    // hand cells for solo in A: a=5,b=0,c=5,d=10; N=20 — expected value
+    // computed with the op's EXACT double operation order
+    val (ad, bd, cd, dd, nd) = (5.0, 0.0, 5.0, 10.0, 20.0)
+    val expected = (nd * ((ad * dd - bd * cd) * (ad * dd - bd * cd))) /
+      (((ad + bd) * (cd + dd)) * ((ad + cd) * (bd + dd)))
+    assert(aTop._4 == expected)
+    val rep = Ranking.chi2Terms(docs.repartition(7), "cls", "text", 5, 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(rep.sorted.toSeq == out.sorted.toSeq, "partitioning-invariant")
+  }
+
+  test("postings: df floor, top-docs by tf with id tie-break, exact counts") {
+    val docs = Seq(
+      (1L, "w w w q"), (2L, "w w q"), (3L, "w q"), (4L, "w q"), (5L, "rare")
+    ).toDF("doc_id", "text")
+    val out = Ranking.postings(docs, "doc_id", "text", minDf = 3, perToken = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(!out.exists(_._1 == "rare"), "df floor drops singletons")
+    val w = out.filter(_._1 == "w").sortBy(_._4)
+    assert(w.map(r => (r._2, r._3)).distinct.toSeq == Seq((4L, 7L)), "df=4, Σtf=7")
+    assert(w.map(r => (r._4, r._5, r._6)).toSeq ==
+      Seq((1L, 1L, 3L), (2L, 2L, 2L)), "ranked by tf desc")
+    val q = out.filter(_._1 == "q").sortBy(_._4)
+    assert(q.map(_._5).toSeq == Seq(1L, 2L), "tf ties break by doc id asc")
+  }
 }
