@@ -785,6 +785,30 @@ object PipelineQueries {
         max(col("doc_id")).as("max_id"))
   }
 
+  /** Schema evolution under the oracle gate: the corpus is written as two
+    * generations with DIFFERENT schemas (v1 lacks `lang`/`n_chars` — the
+    * pre-migration files), read back through the merged-schema path
+    * ([[graft.sources.Sources.readEvolving]]), and aggregated with the
+    * null-filled columns exercised both as a group key (coalesced) and a
+    * summed measure (null-skipped) — exactly what breaks when a reader
+    * mishandles missing-column files. The oracle reconstructs the same
+    * view from the original table.
+    */
+  val sourceEvolution: Q = (spark, dir) => {
+    val base = docs(spark, dir)
+    val path = System.getProperty("java.io.tmpdir") + "/graft_evolving_parquet"
+    base.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      .write.mode("overwrite").parquet(path + "/v=1")
+    base.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(path + "/v=2")
+    Sources.readEvolving(spark, path)
+      .groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).cast("long").as("text_chars"))
+  }
+
   /** Snapshot diff between two deterministic corpus versions — the
     * change-data-capture report ([[graft.ops.Snapshot]]): version B drops
     * every 97th doc, revises every 89th survivor, and adds re-keyed copies
@@ -1452,6 +1476,7 @@ object PipelineQueries {
     "text_perplexity" -> textPerplexity,
     "source_minhash" -> sourceMinhash,
     "source_roundtrip" -> sourceRoundtrip,
+    "source_evolution" -> sourceEvolution,
     "snapshot_diff" -> snapshotDiff,
     "sketch_rollup" -> sketchRollup,
     "approx_parts" -> approxParts,
@@ -2038,6 +2063,16 @@ object PipelineQueries {
         |         ELSE 'changed' END AS status
         |  FROM bh b FULL OUTER JOIN ah a ON b.doc_id = a.doc_id)
         |WHERE status <> 'unchanged'""".stripMargin,
+    "source_evolution" ->
+      // v1 files (even ids) predate lang/n_chars: the merged read
+      // null-fills them, so they land in 'unknown' with a null sum
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'unknown' END AS lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+        |    AS sum_chars,
+        |  CAST(sum(len(text)) AS BIGINT) AS text_chars
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
     "source_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(text)) AS BIGINT) AS sum_chars,

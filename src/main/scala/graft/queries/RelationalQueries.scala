@@ -471,13 +471,18 @@ object RelationalQueries {
     * motion (day×hour×type), one tiny bounds broadcast.
     */
   val eventsForecast: Q = (spark, dir) => {
-    val ev = Tables.eventsDf(spark, dir)
-    val c = ev
+    // The cell table feeds THREE plan arms (actuals, the lag-7 forecast
+    // side, and the date bounds) — pinned once (localCheckpoint, cell-
+    // sized: day×hour×type) so events scan exactly once. Bounds come from
+    // the cells, not a fourth raw scan: every event lands in some cell,
+    // so the min/max day is identical.
+    val c = Tables.eventsDf(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("__d"),
         hour(col("ts")).as("__h"))
       .agg(count(lit(1)).as("__n"))
-    val bounds = ev.agg(
-      min(to_date(col("ts"))).as("__dmin"), max(to_date(col("ts"))).as("__dmax"))
+      .localCheckpoint(true)
+    val bounds = c.agg(
+      min(col("__d")).as("__dmin"), max(col("__d")).as("__dmax"))
     val fc = c.select(col("event_type"), date_add(col("__d"), 7).as("__d"),
       col("__h"), col("__n").as("__f"))
     c.join(fc, Seq("event_type", "__d", "__h"), "full_outer")
@@ -505,9 +510,12 @@ object RelationalQueries {
     * election share ONE event_type shuffle.
     */
   val eventsCusum: Q = (spark, dir) => {
+    // daily feeds both the per-type totals and the running series —
+    // pinned once (day×type-sized) so events scan exactly once
     val daily = Tables.eventsDf(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val tot = daily.groupBy("event_type")
       .agg(sum(col("__c")).as("__tot"), count(lit(1)).as("__days"))
     val w = Window.partitionBy("event_type").orderBy("__d")

@@ -44,6 +44,23 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Schema-evolution read: a parquet dataset whose files were written
+    * under DIFFERENT (compatible) schemas — the long-lived-table reality
+    * where later batches gained columns — reads as the UNION of all file
+    * schemas, missing columns null-filled (`mergeSchema`). Partition
+    * discovery composes: `k=v` subdirectories still surface as partition
+    * columns.
+    *
+    * Scale note: schema merging reads every file's FOOTER (a distributed
+    * metadata job — no data motion, but at 100 TB it is millions of small
+    * reads). The production discipline: pay it once, then pin the merged
+    * schema explicitly (`spark.read.schema(merged)`) or normalize the
+    * layout with a compaction rewrite; this reader is the discovery step,
+    * not the steady state.
+    */
+  def readEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Partitioned parquet layout: directory per `partitionCols` value.
     * Queries filtering on those columns list only matching directories
     * (`PartitionFilters` in the scan, not even `PushedFilters`).

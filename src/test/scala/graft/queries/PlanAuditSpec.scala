@@ -483,4 +483,45 @@ class PlanAuditSpec extends AnyFunSuite {
     // subtotal tables (offsets window + grand total)
     assert(count(p, "Exchange SinglePartition") == 2, p)
   }
+
+  test("graph_triangles: wedge + closing joins are all equi-joins, never nested-loop") {
+    val p = plan("graph_triangles")
+    // the (deg,id)-ordered pair trick exists precisely so the closing-edge
+    // lookup is an equi-join; an OR-shaped condition would plan a BNLJ
+    // whose cost is wedges × edges — the quadratic the orientation avoids
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_chi2_terms: class totals and N broadcast; top-k is group-limited") {
+    val p = plan("text_chi2_terms")
+    assert(p.contains("BroadcastExchange"),
+      s"class totals + corpus N must broadcast, not shuffle the cells:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-class top-k must prune under WindowGroupLimit before the sort:\n$p")
+  }
+
+  test("text_postings: per-token top-k prunes under WindowGroupLimit") {
+    val p = plan("text_postings")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_cusum: daily series pinned once; windows share the type shuffle") {
+    val p = plan("events_cusum")
+    // events scan once into the pinned day×type table; downstream the
+    // only hash exchanges are the type-sized totals agg and the window
+    // sort — the raw table never re-scans
+    assert(!p.contains("Scan parquet"),
+      s"raw events must not re-scan past the pinned daily table:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("windowspecdefinition(event_type"), p)
+  }
+
+  test("events_forecast: cell table pinned once; bounds ride a broadcast") {
+    val p = plan("events_forecast")
+    assert(!p.contains("Scan parquet"),
+      s"raw events must not re-scan past the pinned cell table:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
