@@ -121,9 +121,14 @@ object Graph {
     * counts. Edge-sized motion, zero driver state.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = undirected(edges)
+    // The edge set feeds the degree table and the orientation; the degree
+    // table feeds two orientation joins plus the final report. Pin both
+    // ONCE (edge-/node-sized) — an unpinned plan re-derives the caller's
+    // edge construction (often a self-join) once per arm.
+    val e = undirected(edges).localCheckpoint(true)
     val deg = e.select(col("u").as("node")).union(e.select(col("v")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     // Orient by (degree, id); carry the head's degree so the wedge join
     // can order its two out-neighbors without a third deg lookup.
     val o = e
