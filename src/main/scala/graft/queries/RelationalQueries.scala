@@ -461,6 +461,63 @@ object RelationalQueries {
         sumDec(col("value"), 2).as("revenue"))
   }
 
+  /** Related-part candidates by common-neighbor link prediction over the
+    * co-purchase graph ([[graft.ops.Graph.linkCandidates]] — hub-pruned
+    * wedge sweep, anti-joined against existing edges, bounded-heap
+    * top-50).
+    */
+  val graphLinkpred: Q = (spark, dir) =>
+    graft.ops.Graph.linkCandidates(
+      coPurchaseEdges(spark, dir), maxDegree = 64L, topK = 50)
+
+  /** Kaplan–Meier time-to-first-error survival (reliability analysis):
+    * per user, days from first activity to first `error` event (the
+    * failure), censored at the window end when no error ever occurs. Per
+    * duration: at-risk count, failures, censored, and the cumulative
+    * log-survival on the 1e-6 floor grid (the perplexity discipline —
+    * grid-floored log hazards sum order-independently, so the K-M product
+    * replays as an integer sum; the cumulative goes null from the first
+    * all-fail duration, where the survival is exactly zero).
+    * User-sized until the per-user span aggregate; everything after is
+    * DURATION-sized (≤ window length in days), so the global windows run
+    * over ~30 rows at any data scale.
+    */
+  val eventsSurvival: Q = (spark, dir) => {
+    // spans is USER-sized and feeds both the duration rows and the window
+    // bound — pinned once so raw events scan exactly once
+    val spans = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("__d"), col("event_type"))
+      .groupBy("user_id").agg(
+        min(col("__d")).as("__f"),
+        max(col("__d")).as("__l"),
+        min(when(col("event_type") === "error", col("__d"))).as("__e"))
+      .localCheckpoint(true)
+    val b = spans.agg(max(col("__l")).as("__dmax"))
+    val r = spans.crossJoin(broadcast(b)).select(
+      when(col("__e").isNotNull, datediff(col("__e"), col("__f")))
+        .otherwise(datediff(col("__dmax"), col("__f"))).as("duration_days"),
+      when(col("__e").isNotNull, 1L).otherwise(0L).as("__churn"))
+    val g = r.groupBy("duration_days").agg(
+      sum(col("__churn")).as("__dd"),
+      (count(lit(1)) - sum(col("__churn"))).as("__cc"))
+    val wPrev = Window.orderBy("duration_days").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("duration_days")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCur = Window.orderBy("duration_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("__n",
+        sum(col("__dd") + col("__cc")).over(wAll) -
+          coalesce(sum(col("__dd") + col("__cc")).over(wPrev), lit(0L)))
+      .withColumn("__lt",
+        when(col("__dd") < col("__n"),
+          floor(log((col("__n") - col("__dd")).cast("double") /
+            col("__n").cast("double")) * 1e6).cast("long")))
+      .select(col("duration_days"), col("__n").as("n_at_risk"),
+        col("__dd").as("n_churned"), col("__cc").as("n_censored"),
+        when(sum(when(col("__lt").isNull, 1L).otherwise(0L)).over(wCur) === 0,
+          sum(col("__lt")).over(wCur)).as("log_surv_micro"))
+  }
+
   /** Seasonal-naive forecast evaluation: every (type, day, hour) traffic
     * cell predicted by the SAME HOUR ONE WEEK EARLIER, scored by exact
     * integer absolute error over the evaluable window — the
@@ -1582,6 +1639,8 @@ object RelationalQueries {
     "events_attribution" -> eventsAttribution,
     "events_forecast" -> eventsForecast,
     "events_cusum" -> eventsCusum,
+    "graph_linkpred" -> graphLinkpred,
+    "events_survival" -> eventsSurvival,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -2716,6 +2775,63 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS open_orders
         |FROM d""".stripMargin,
+    "graph_linkpred" ->
+      // hub-pruned wedge sweep; pruned common counts, full-degree
+      // Jaccard denominator, existing edges anti-joined away
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b2.p AS v
+        |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |nb AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |ap AS (SELECT nb.node, nb.nbr FROM nb
+        |       JOIN deg ON nb.node = deg.node AND deg.d <= 64),
+        |cn AS (SELECT a.nbr AS u, b2.nbr AS v, count(*) AS common_neighbors
+        |       FROM ap a JOIN ap b2 ON a.node = b2.node AND a.nbr < b2.nbr
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT cn.* FROM cn LEFT JOIN e
+        |         ON cn.u = e.u AND cn.v = e.v WHERE e.u IS NULL)
+        |SELECT cand.u, cand.v, cand.common_neighbors,
+        |  (cand.common_neighbors * 1000000)
+        |    // (du.d + dv.d - cand.common_neighbors) AS jaccard_ppm
+        |FROM cand JOIN deg du ON cand.u = du.node
+        |          JOIN deg dv ON cand.v = dv.node
+        |ORDER BY cand.common_neighbors DESC, cand.u, cand.v
+        |LIMIT 50""".stripMargin,
+    "events_survival" ->
+      // churn = silent in the window's last week; K-M hazards on the
+      // 1e-6 floor log grid, cumulated only while every hazard is finite
+      """WITH sp AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |        max(CAST(ts AS DATE)) AS l,
+        |        min(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END) AS e
+        |      FROM events GROUP BY 1),
+        |bb AS (SELECT max(l) AS dmax FROM sp),
+        |r AS (SELECT CASE WHEN e IS NOT NULL
+        |               THEN date_diff('day', f, e)
+        |               ELSE date_diff('day', f, dmax) END AS t,
+        |        CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS churn
+        |      FROM sp CROSS JOIN bb),
+        |g AS (SELECT t, CAST(SUM(churn) AS BIGINT) AS dd,
+        |        CAST(count(*) - SUM(churn) AS BIGINT) AS cc FROM r GROUP BY 1),
+        |w AS (SELECT t, dd, cc,
+        |        CAST((SELECT SUM(dd + cc) FROM g)
+        |          - COALESCE(SUM(dd + cc) OVER (ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS n
+        |      FROM g),
+        |lg AS (SELECT t, n, dd, cc,
+        |        CASE WHEN dd < n THEN CAST(floor(
+        |          ln(CAST(n - dd AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
+        |          AS BIGINT) END AS lt FROM w)
+        |SELECT t AS duration_days, n AS n_at_risk, dd AS n_churned,
+        |  cc AS n_censored,
+        |  CASE WHEN SUM(CASE WHEN lt IS NULL THEN 1 ELSE 0 END) OVER
+        |         (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+        |       THEN CAST(SUM(lt) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  END AS log_surv_micro
+        |FROM lg""".stripMargin,
     "events_forecast" ->
       // lag-7-day same-hour naive forecast; full-outer cell join charges
       // vanished AND appeared cells; exact integer absolute errors

@@ -493,6 +493,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r._2 == 3L && r._3 == 3L && r._4 == 1000000L))
   }
 
+  test("linkCandidates: K4 minus an edge predicts it; hub pruning forgoes wedges") {
+    // K4 without edge 1-4: (1,4) share neighbors {2,3} → cn=2,
+    // jaccard = 2e6/(2+2-2) = 1e6; existing edges must never appear
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.linkCandidates(g, maxDegree = 64, topK = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 4L, 2L, 1000000L)))
+    // path 1-2-3: (1,3) via apex 2 → cn=1, jaccard = 1e6/(1+1-1)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.linkCandidates(path, 64, 10).as[(Long, Long, Long, Long)].collect()
+    assert(p.toSeq == Seq((1L, 3L, 1L, 1000000L)))
+    // hub apex above the degree cap: star 1..4 around 9 — no wedges survive
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    assert(Graph.linkCandidates(star, maxDegree = 3, topK = 10).count() == 0L,
+      "pruned hub must forgo its wedges (documented lower-bound contract)")
+    assert(Graph.linkCandidates(star, maxDegree = 4, topK = 10).count() == 6L,
+      "within the cap the same hub yields all C(4,2) pairs")
+  }
+
   test("labelPropagate: clique absorbs min label; bridge stays put; invariant") {
     // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L),
