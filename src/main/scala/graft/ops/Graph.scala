@@ -45,9 +45,13 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     require(dampNumer > 0 && dampDenom > dampNumer, "damping must be in (0,1)")
     val base = (dampDenom - dampNumer) * ScoreScale / dampDenom
+    // e feeds THREE arms (degrees, the degree-annotated edge list, the
+    // node set) — pin the distinct once so the caller's edge construction
+    // and the dedup don't re-run per arm
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
+      .localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val ed = e.join(deg, Seq("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))

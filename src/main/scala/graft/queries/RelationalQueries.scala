@@ -518,6 +518,69 @@ object RelationalQueries {
           sum(col("__lt")).over(wCur)).as("log_surv_micro"))
   }
 
+  /** Time-weighted average of the value signal per user — the metrics/IoT
+    * aggregation where a reading holds until the next one (plain AVG
+    * over-weights bursts). Per-gap products accumulate as exact
+    * DECIMAL(38) cents·µs; ONE final double division (the drift_ks
+    * discipline). The lead window and the user aggregate share a single
+    * user-key shuffle.
+    */
+  val eventsTwa: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy("__t")
+    Tables.eventsDf(spark, dir)
+      .select(col("user_id"),
+        (dec(col("value"), 2) * 100).cast("long").as("__cents"),
+        unix_micros(col("ts")).as("__t"))
+      .withColumn("__gap", lead(col("__t"), 1).over(w) - col("__t"))
+      .filter(col("__gap").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("__cents").cast(d38) * col("__gap").cast(d38)).as("__num"),
+        sum(col("__gap")).as("__den"))
+      .select(col("user_id"), col("n_gaps"),
+        (col("__num").cast("double") / col("__den").cast("double")).as("twa_cents"))
+  }
+
+  /** STL-lite additive decomposition of the daily event series — trend,
+    * day-of-week seasonal, residual — ENTIRELY in integers via scale
+    * carrying: trend is the centered 7-day SUM (only full windows),
+    * detrend ×7 = `7·count − trend_sum`, and the residual ×(7·n_dow)
+    * subtracts the day-of-week mean as `n_dow·detrend − Σ_dow detrend`.
+    * No division anywhere ⇒ bit-exact replay. Date-sized throughout; the
+    * global windows run over the calendar-bounded daily table (pinned
+    * once). dow is a 0–6 epoch-day code (engine-neutral, unlike the
+    * engines' 1-vs-0-based DOW builtins).
+    */
+  val eventsDecompose: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("n_events"))
+    val w7 = Window.orderBy("__d").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("__w7n", count(lit(1)).over(w7))
+      .withColumn("trend7_sum",
+        when(col("__w7n") === 7, sum(col("n_events")).over(w7)))
+      .withColumn("detrend_x7",
+        when(col("trend7_sum").isNotNull,
+          lit(7L) * col("n_events") - col("trend7_sum")))
+      .withColumn("dow_code",
+        (datediff(col("__d"), lit(java.sql.Date.valueOf("1970-01-01"))) % 7)
+          .cast("long"))
+      .localCheckpoint(true)
+    val dow = det.filter(col("detrend_x7").isNotNull)
+      .groupBy("dow_code")
+      .agg(count(lit(1)).as("n_dow"), sum(col("detrend_x7")).as("dow_detrend_sum"))
+    det.join(broadcast(dow), Seq("dow_code"), "left")
+      .select(
+        date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("trend7_sum"), col("detrend_x7"), col("dow_code"),
+        when(col("detrend_x7").isNotNull,
+          col("n_dow") * col("detrend_x7") - col("dow_detrend_sum"))
+          .as("residual_x7n"))
+  }
+
   /** Seasonal-naive forecast evaluation: every (type, day, hour) traffic
     * cell predicted by the SAME HOUR ONE WEEK EARLIER, scored by exact
     * integer absolute error over the evaluable window — the
@@ -1641,6 +1704,8 @@ object RelationalQueries {
     "events_cusum" -> eventsCusum,
     "graph_linkpred" -> graphLinkpred,
     "events_survival" -> eventsSurvival,
+    "events_twa" -> eventsTwa,
+    "events_decompose" -> eventsDecompose,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -2775,6 +2840,45 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS open_orders
         |FROM d""".stripMargin,
+    "events_twa" ->
+      // exact cents·µs products in HUGEINT, one final double division
+      """WITH s AS (SELECT user_id,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |        epoch_us(ts) AS t FROM events),
+        |g AS (SELECT user_id, cents,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS gap
+        |      FROM s),
+        |a AS (SELECT user_id, count(*) AS n_gaps,
+        |        SUM(CAST(cents AS HUGEINT) * CAST(gap AS HUGEINT)) AS num,
+        |        CAST(SUM(gap) AS BIGINT) AS den
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twa_cents
+        |FROM a""".stripMargin,
+    "events_decompose" ->
+      // scale-carried integers: trend = centered 7-day SUM, detrend ×7,
+      // residual ×(7·n_dow); dow = epoch-day code (engine-neutral)
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |               FROM events GROUP BY 1),
+        |t AS (SELECT d, n, count(*) OVER w7 AS w7n,
+        |        CAST(SUM(n) OVER w7 AS BIGINT) AS tsum
+        |      FROM daily
+        |      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT d, n,
+        |        CASE WHEN w7n = 7 THEN tsum END AS trend7_sum,
+        |        CASE WHEN w7n = 7 THEN 7 * n - tsum END AS detrend_x7,
+        |        CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS dow_code
+        |      FROM t),
+        |dw AS (SELECT dow_code, count(*) AS n_dow,
+        |        CAST(SUM(detrend_x7) AS BIGINT) AS dsum
+        |       FROM det WHERE detrend_x7 IS NOT NULL GROUP BY 1)
+        |SELECT strftime(det.d, '%Y-%m-%d') AS day, det.n AS n_events,
+        |  det.trend7_sum,
+        |  CAST(det.detrend_x7 AS BIGINT) AS detrend_x7, det.dow_code,
+        |  CAST(CASE WHEN det.detrend_x7 IS NOT NULL
+        |       THEN dw.n_dow * det.detrend_x7 - dw.dsum END AS BIGINT)
+        |    AS residual_x7n
+        |FROM det LEFT JOIN dw USING (dow_code)""".stripMargin,
     "graph_linkpred" ->
       // hub-pruned wedge sweep; pruned common counts, full-degree
       // Jaccard denominator, existing edges anti-joined away
