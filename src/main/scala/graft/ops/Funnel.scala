@@ -256,4 +256,108 @@ object Funnel {
           .as("p90_gap_s"))
       .drop("__step")
   }
+  /** Markov removal-effect attribution (Anderl et al.'s data-driven
+    * multi-touch model): user journeys truncated at FIRST conversion feed
+    * a first-order transition matrix with absorbing `conv`/`drop` states;
+    * the base conversion probability comes from `iterations` rounds of
+    * value iteration, and each channel's credit is the DROP in conversion
+    * when journeys through that channel are severed (its inbound
+    * transitions redirect to failure — the standard removal effect, no
+    * renormalization). Output per channel: `(channel, base_ppm,
+    * removed_ppm, effect_ppm, attribution_ppm)`.
+    *
+    * Exactness: transition probabilities are exact floor ppm
+    * (`count·10⁶ DIV out`), every value-iteration step is
+    * `pconv + (Σ p·v) DIV 10⁶` in longs, so all five scenarios (base + one
+    * per channel) replay bit-exactly as unrolled SQL CTE chains — the
+    * oracle does exactly that. Floors make each step monotone, so the
+    * fixed-round result is deterministic regardless of join order.
+    *
+    * Scale shape: ONE user-keyed window shuffle builds the journey pairs
+    * (the [[markov]] motion); everything after lives on the TYPES²-sized
+    * probability table (checkpointed once) — 12 rounds × 5 scenarios of
+    * joins over ~36 rows compose lazily into a single tiny job. The
+    * event table never moves twice.
+    */
+  def markovAttribution(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      convType: String,
+      channels: Seq[String],
+      iterations: Int = 12): DataFrame = {
+    require(iterations >= 2, s"value iteration needs >= 2 rounds, got $iterations")
+    require(channels.nonEmpty && !channels.contains(convType),
+      "channels must be non-empty and exclude the conversion type")
+    val fp = df.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__fp"))
+    val j = df
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(typeCol).as("__t"))
+      .filter(col("__t") =!= convType)
+      .join(fp, Seq("__u"), "left")
+      .filter(col("__fp").isNull || col("__ts") < col("__fp"))
+    val w = Window.partitionBy("__u").orderBy(col("__ts"), col("__id"))
+    val trMid = j.select(
+      col("__u"),
+      col("__t").as("src"),
+      coalesce(lead(col("__t"), 1).over(w),
+        when(col("__fp").isNotNull, lit("conv")).otherwise(lit("drop"))).as("dst"),
+      row_number().over(w).as("__rn"))
+    val trans = trMid.select(col("src"), col("dst"))
+      .union(trMid.filter(col("__rn") === 1)
+        .select(lit("start").as("src"), col("src").as("dst")))
+      .union(fp.join(j.select("__u").distinct(), Seq("__u"), "left_anti")
+        .select(lit("start").as("src"), lit("conv").as("dst")))
+    val cnt = trans.groupBy("src", "dst").agg(count(lit(1)).as("__c"))
+    val tot = cnt.groupBy("src").agg(sum(col("__c")).as("__o"))
+    val p = cnt.join(tot, Seq("src"))
+      .select(col("src"), col("dst"), expr("__c * 1000000 DIV __o").as("__p"))
+      .localCheckpoint(true)
+    val states = p.select(col("src").as("state")).distinct().localCheckpoint(true)
+
+    def converge(removed: Option[String]): DataFrame = {
+      val pp = removed.map(c => p.filter(col("dst") =!= c)).getOrElse(p)
+      val pConv = pp.filter(col("dst") === "conv")
+        .select(col("src").as("state"), col("__p").as("__pc"))
+      val pMid = pp
+        .join(states.withColumnRenamed("state", "dst"), Seq("dst"))
+        .select(col("src"), col("dst"), col("__p"))
+      var v = states.join(pConv, Seq("state"), "left")
+        .select(col("state"), coalesce(col("__pc"), lit(0L)).as("__v"))
+      var i = 1
+      while (i < iterations) {
+        val s = pMid
+          .join(v.withColumnRenamed("state", "dst"), Seq("dst"))
+          .groupBy(col("src").as("state"))
+          .agg(sum(col("__p") * col("__v")).as("__s"))
+        v = states
+          .join(pConv, Seq("state"), "left")
+          .join(s, Seq("state"), "left")
+          .select(col("state"),
+            (coalesce(col("__pc"), lit(0L)) +
+              expr("coalesce(__s, 0L) DIV 1000000")).as("__v"))
+        i += 1
+      }
+      v.filter(col("state") === "start").select(col("__v"))
+    }
+
+    val base = broadcast(converge(None).select(col("__v").as("base_ppm")))
+    val removedRows = channels.map { c =>
+      converge(Some(c)).select(lit(c).as("channel"), col("__v").as("removed_ppm"))
+    }.reduce(_ union _)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    removedRows.crossJoin(base)
+      .withColumn("effect_ppm", col("base_ppm") - col("removed_ppm"))
+      .withColumn("__te", sum(col("effect_ppm")).over(wAll))
+      .select(col("channel"), col("base_ppm"), col("removed_ppm"),
+        col("effect_ppm"),
+        when(col("__te") > 0, expr("effect_ppm * 1000000 DIV __te"))
+          .as("attribution_ppm"))
+  }
 }
+

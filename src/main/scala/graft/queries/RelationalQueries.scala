@@ -518,6 +518,89 @@ object RelationalQueries {
           sum(col("__lt")).over(wCur)).as("log_surv_micro"))
   }
 
+  /** Markov removal-effect multi-touch attribution over user journeys
+    * truncated at first purchase ([[graft.ops.Funnel.markovAttribution]]
+    * — integer-ppm transition matrix, 12 value-iteration rounds per
+    * scenario, each channel credited by the conversion drop when its
+    * inbound paths are severed; the oracle unrolls all five scenarios as
+    * CTE chains).
+    */
+  val markovAttributionQ: Q = (spark, dir) =>
+    graft.ops.Funnel.markovAttribution(
+      Tables.eventsDf(spark, dir), "user_id", "event_type", "ts", "event_id",
+      convType = "purchase",
+      channels = Seq("click", "view", "signup", "error"), iterations = 12)
+
+  /** Builds the markov_attribution oracle: the identical transition
+    * construction, then 12 unrolled value-iteration CTE rounds for the
+    * base chain and for each channel-removed chain.
+    */
+  private def markovAttributionOracle: String = {
+    val iters = 12
+    val channels = Seq("click", "view", "signup", "error")
+    // every CTE is MATERIALIZED: DuckDB otherwise INLINES each reference,
+    // and a 12-round chain referenced from scalar subqueries re-evaluates
+    // the whole journey window exponentially often
+    def scenario(tag: String, removed: Option[String]): String = {
+      val filter = removed.map(c => s"WHERE dst <> '$c'").getOrElse("")
+      val sb = new StringBuilder
+      sb ++= s"p$tag AS MATERIALIZED (SELECT src, dst, p FROM p $filter),\n"
+      sb ++= s"pc$tag AS MATERIALIZED (SELECT src AS state, p AS pc FROM p$tag WHERE dst = 'conv'),\n"
+      sb ++= s"pm$tag AS MATERIALIZED (SELECT src, dst, p FROM p$tag WHERE dst IN (SELECT state FROM st)),\n"
+      sb ++= s"v${tag}1 AS MATERIALIZED (SELECT st.state, COALESCE(pc$tag.pc, 0) AS v " +
+        s"FROM st LEFT JOIN pc$tag ON st.state = pc$tag.state),\n"
+      for (k <- 2 to iters)
+        sb ++= s"v$tag$k AS MATERIALIZED (SELECT st.state, COALESCE(pc.pc, 0) + " +
+          s"COALESCE(s.s, 0) // 1000000 AS v FROM st " +
+          s"LEFT JOIN pc$tag pc ON st.state = pc.state " +
+          s"LEFT JOIN (SELECT pm.src AS state, SUM(pm.p * v.v) AS s " +
+          s"FROM pm$tag pm JOIN v$tag${k - 1} v ON pm.dst = v.state " +
+          s"GROUP BY 1) s ON st.state = s.state),\n"
+      sb.toString
+    }
+    val head =
+      """WITH fp AS (SELECT user_id, min(ts) AS fpt FROM events
+        |            WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT e.user_id, e.ts, e.event_id, e.event_type, fp.fpt
+        |      FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+        |      WHERE e.event_type <> 'purchase'
+        |        AND (fp.fpt IS NULL OR e.ts < fp.fpt)),
+        |tr AS (SELECT event_type AS src,
+        |        COALESCE(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |          CASE WHEN fpt IS NOT NULL THEN 'conv' ELSE 'drop' END) AS dst,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |       FROM j),
+        |allt AS (SELECT src, dst FROM tr
+        |         UNION ALL SELECT 'start', src FROM tr WHERE rn = 1
+        |         UNION ALL SELECT 'start', 'conv' FROM fp
+        |           WHERE user_id NOT IN (SELECT DISTINCT user_id FROM j)),
+        |cnt AS MATERIALIZED (SELECT src, dst, count(*) AS c FROM allt GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS o FROM cnt GROUP BY 1),
+        |p AS MATERIALIZED (SELECT cnt.src, cnt.dst,
+        |        CAST((cnt.c * 1000000) // tot.o AS BIGINT) AS p
+        |      FROM cnt JOIN tot ON cnt.src = tot.src),
+        |st AS MATERIALIZED (SELECT DISTINCT src AS state FROM p),
+        |""".stripMargin
+    val scen = scenario("base", None) +
+      channels.map(c => scenario(c, Some(c))).mkString
+    val res =
+      s"""res AS (${channels.map(c =>
+        s"SELECT '$c' AS channel, (SELECT v FROM v$c$iters WHERE state = 'start') AS removed_ppm")
+        .mkString(" UNION ALL ")}),
+         |fin AS MATERIALIZED (SELECT channel,
+         |  (SELECT v FROM vbase$iters WHERE state = 'start') AS base_ppm,
+         |  removed_ppm FROM res)
+         |SELECT channel, CAST(base_ppm AS BIGINT) AS base_ppm,
+         |  CAST(removed_ppm AS BIGINT) AS removed_ppm,
+         |  CAST(base_ppm - removed_ppm AS BIGINT) AS effect_ppm,
+         |  CASE WHEN (SELECT SUM(base_ppm - removed_ppm) FROM fin) > 0
+         |       THEN CAST(((base_ppm - removed_ppm) * 1000000)
+         |         // (SELECT SUM(base_ppm - removed_ppm) FROM fin) AS BIGINT)
+         |  END AS attribution_ppm
+         |FROM fin""".stripMargin
+    head + scen + res
+  }
+
   /** Time-weighted average of the value signal per user — the metrics/IoT
     * aggregation where a reading holds until the next one (plain AVG
     * over-weights bursts). Per-gap products accumulate as exact
@@ -1706,6 +1789,7 @@ object RelationalQueries {
     "events_survival" -> eventsSurvival,
     "events_twa" -> eventsTwa,
     "events_decompose" -> eventsDecompose,
+    "markov_attribution" -> markovAttributionQ,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -2840,6 +2924,7 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS open_orders
         |FROM d""".stripMargin,
+    "markov_attribution" -> markovAttributionOracle,
     "events_twa" ->
       // exact cents·µs products in HUGEINT, one final double division
       """WITH s AS (SELECT user_id,

@@ -37,6 +37,50 @@ class SequenceOpsSpec extends AnyFunSuite {
       ("B", "A", 1L, 1000000L)))
   }
 
+  test("markovAttribution: hand-solved removal effects on a 3-journey chain") {
+    // A: click→purchase; B: view→(drop); C: click→view→purchase
+    // p: start→{click 2/3, view 1/3}; click→{conv 1/2, view 1/2};
+    //    view→{conv 1/2, drop 1/2}
+    val ev = Seq(
+      (1L, "click", ts("2024-01-01 00:00:01"), 1L),
+      (1L, "purchase", ts("2024-01-01 00:00:02"), 2L),
+      (2L, "view", ts("2024-01-02 00:00:01"), 3L),
+      (3L, "click", ts("2024-01-03 00:00:01"), 4L),
+      (3L, "view", ts("2024-01-03 00:00:02"), 5L),
+      (3L, "purchase", ts("2024-01-03 00:00:03"), 6L)
+    ).toDF("u", "t", "tt", "id")
+    val out = Funnel.markovAttribution(ev, "u", "t", "tt", "id",
+      convType = "purchase", channels = Seq("click", "view"), iterations = 12)
+      .as[(String, Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    // fixpoint (reached in 3 rounds): v(click)=750000, v(view)=500000,
+    // base v(start) = (666666·750000 + 333333·500000)//1e6 = 666666
+    // remove view:  start = (666666·500000)//1e6 = 333333 → effect 333333
+    // remove click: start = (333333·500000)//1e6 = 166666 → effect 500000
+    // attribution: total 833333 → click 600000, view 399999 (floors)
+    assert(out(0) == (("click", 666666L, 166666L, 500000L, Some(600000L))))
+    assert(out(1) == (("view", 666666L, 333333L, 333333L, Some(399999L))))
+    // partitioning must not move a single ppm
+    val rep = Funnel.markovAttribution(ev.repartition(5), "u", "t", "tt", "id",
+      "purchase", Seq("click", "view"), 12)
+      .as[(String, Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(rep.toSeq == out.toSeq)
+  }
+
+  test("markovAttribution: converting-only user routes start→conv directly") {
+    // one user who purchases with NO preceding touches: base conversion
+    // is 1e6 and no channel can claim any of it
+    val ev = Seq(
+      (1L, "purchase", ts("2024-01-01 00:00:01"), 1L),
+      (2L, "click", ts("2024-01-02 00:00:01"), 2L)
+    ).toDF("u", "t", "tt", "id")
+    val out = Funnel.markovAttribution(ev, "u", "t", "tt", "id",
+      "purchase", Seq("click"), 4)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    // start→conv 1, start→click 1 → base = 500000; removing click
+    // changes nothing (click leads nowhere) → effect 0, attribution null
+    assert(out.head == (("click", 500000L, 500000L, 0L, None)))
+  }
+
   test("markov: empty input yields empty output") {
     assert(Funnel.markov(evFixture.limit(0), "u", "t", "tt", "id").isEmpty)
   }
