@@ -342,6 +342,84 @@ object RelationalQueries {
     graft.ops.Vectorize.ecdfNormalize(
       t(spark, dir, "orders"), "o_orderkey", "o_totalprice")
 
+  /** Leave-one-out target encoding of market segment by order value —
+    * the categorical-feature encoder that excludes each row's own target
+    * to avoid leakage. Exact DECIMAL cent sums per segment broadcast
+    * back; each row's encoding is ONE fixed-order double
+    * `(sum − own)/(n − 1)` (null for singleton segments). One dim
+    * broadcast + one segment-stat broadcast; the fact table never
+    * shuffles.
+    */
+  val featureTargetEncode: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val rows = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        (dec(col("o_totalprice"), 2) * 100).cast("long").as("__cents"))
+    val stats = rows.groupBy("c_mktsegment").agg(
+      count(lit(1)).as("__n"), sum(col("__cents").cast(d38)).as("__s"))
+    rows.join(broadcast(stats), Seq("c_mktsegment"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        when(col("__n") > 1,
+          (col("__s").cast("double") - col("__cents").cast("double")) /
+            (col("__n").cast("double") - lit(1.0)))
+          .as("te_cents"))
+  }
+
+  /** Winsorization report: order totals clipped at the EXACT p01/p99
+    * rank boundaries (grid-histogram rank selection — the Outliers
+    * frame), rolled up per priority: how many rows each tail clips and
+    * the clipped DECIMAL sum. The histogram is value-distinct-sized; the
+    * boundaries broadcast back; one scan + one rollup.
+    */
+  val featureWinsorize: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        (dec(col("o_totalprice"), 2) * 100).cast("long").as("__c"))
+    val hist = o.groupBy("__c").agg(count(lit(1)).as("__n"))
+    val byV = Window.orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bounds = hist
+      .withColumn("__cum", sum(col("__n")).over(byV))
+      .withColumn("__t", sum(col("__n")).over(tot))
+      .agg(
+        min(when(col("__cum") * 100 >= col("__t"), col("__c"))).as("__p01"),
+        min(when(col("__cum") * 100 >= col("__t") * 99, col("__c"))).as("__p99"))
+    o.crossJoin(broadcast(bounds))
+      .select(col("o_orderpriority"),
+        greatest(least(col("__c"), col("__p99")), col("__p01")).as("__w"),
+        (col("__c") < col("__p01")).cast("long").as("__lo"),
+        (col("__c") > col("__p99")).cast("long").as("__hi"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__lo")).as("n_clipped_low"),
+        sum(col("__hi")).as("n_clipped_high"),
+        sum(col("__w")).as("winsorized_cents"))
+  }
+
+  /** Benford first-digit audit of order totals — the fraud/fabrication
+    * screen: observed leading-digit shares vs Benford's
+    * `log₁₀(1 + 1/d)`, both on the exact ppm grid (the expected share is
+    * a 9-value grid-floored constant, identical in any engine). One
+    * map-side digit extraction + a 9-row aggregate.
+    */
+  val benfordDigits: Q = (spark, dir) => {
+    val d = t(spark, dir, "orders")
+      .select((dec(col("o_totalprice"), 2) * 100).cast("long").as("__c"))
+      .filter(col("__c") > 0)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("long").as("digit"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("obs_ppm", expr("n_obs * 1000000 DIV sum(n_obs) OVER ()"))
+      .withColumn("benford_ppm",
+        floor(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) * 1e6)
+          .cast("long"))
+      .withColumn("excess_ppm", col("obs_ppm") - col("benford_ppm"))
+  }
+
   /** Pearson correlation of quantity vs extended price per return flag,
     * from EXACT decimal sufficient statistics — partitioning-stable to
     * the last bit, unlike the builtin float-accumulating `corr`.
@@ -1790,6 +1868,9 @@ object RelationalQueries {
     "events_twa" -> eventsTwa,
     "events_decompose" -> eventsDecompose,
     "markov_attribution" -> markovAttributionQ,
+    "feature_target_encode" -> featureTargetEncode,
+    "feature_winsorize" -> featureWinsorize,
+    "benford_digits" -> benfordDigits,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -2925,6 +3006,53 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "feature_target_encode" ->
+      // exact HUGEINT cent sums; one fixed-order double per row
+      """WITH r AS (SELECT o_orderkey, c_mktsegment,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders JOIN customer ON o_custkey = c_custkey),
+        |st AS (SELECT c_mktsegment, count(*) AS n,
+        |        SUM(CAST(cents AS HUGEINT)) AS s FROM r GROUP BY 1)
+        |SELECT o_orderkey, r.c_mktsegment,
+        |  CASE WHEN n > 1 THEN (CAST(s AS DOUBLE) - CAST(cents AS DOUBLE))
+        |                       / (CAST(n AS DOUBLE) - 1.0) END AS te_cents
+        |FROM r JOIN st ON r.c_mktsegment = st.c_mktsegment""".stripMargin,
+    "feature_winsorize" ->
+      // exact p01/p99 rank boundaries from the cent histogram
+      """WITH o AS (SELECT o_orderpriority,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM orders),
+        |h AS (SELECT c, count(*) AS n FROM o GROUP BY 1),
+        |cum AS (SELECT c, SUM(n) OVER (ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+        |        SUM(n) OVER () AS t FROM h),
+        |b AS (SELECT min(CASE WHEN cu * 100 >= t THEN c END) AS p01,
+        |             min(CASE WHEN cu * 100 >= t * 99 THEN c END) AS p99
+        |      FROM cum)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN c < p01 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN c > p99 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  CAST(SUM(GREATEST(LEAST(c, p99), p01)) AS BIGINT) AS winsorized_cents
+        |FROM o CROSS JOIN b GROUP BY 1""".stripMargin,
+    "benford_digits" ->
+      // Benford shares are a 9-value grid-floored constant; observed
+      // shares are exact floor ppm
+      """WITH d AS (SELECT CAST(substr(CAST(
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |      FROM orders
+        |      WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+        |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1)
+        |SELECT digit, n_obs,
+        |  (n_obs * 1000000) // (SELECT SUM(n_obs) FROM g) AS obs_ppm,
+        |  CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS benford_ppm,
+        |  (n_obs * 1000000) // (SELECT SUM(n_obs) FROM g)
+        |    - CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS excess_ppm
+        |FROM g""".stripMargin,
     "events_twa" ->
       // exact cents·µs products in HUGEINT, one final double division
       """WITH s AS (SELECT user_id,
