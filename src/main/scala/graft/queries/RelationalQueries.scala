@@ -420,6 +420,71 @@ object RelationalQueries {
       .withColumn("excess_ppm", col("obs_ppm") - col("benford_ppm"))
   }
 
+  /** Quantile normalization MAPPING TABLE: each return flag's quantity
+    * distribution mapped onto the global quantity distribution by exact
+    * ppm rank matching (`mapped = min global value whose cumulative ppm ≥
+    * the group rank`) — the cross-batch feature alignment step
+    * (bioinformatics' quantile normalization). All ranks are exact floor
+    * ppm; the ceiling lookup is a histogram×histogram non-equi join —
+    * BOUNDED because both sides are bounded-cardinality histograms (the
+    * op's design point; pre-grid continuous columns first).
+    */
+  val featureQnorm: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+    val gw = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gAll = Window.partitionBy("g")
+    val grp = li.groupBy("g", "v").agg(count(lit(1)).as("__n"))
+      .withColumn("rank_ppm",
+        expr("sum(__n) OVER (PARTITION BY g ORDER BY v " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 " +
+          "DIV sum(__n) OVER (PARTITION BY g)"))
+      .select("g", "v", "rank_ppm")
+    val glob = li.groupBy("v").agg(count(lit(1)).as("__m"))
+      .withColumn("__gppm",
+        expr("sum(__m) OVER (ORDER BY v " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 " +
+          "DIV sum(__m) OVER ()"))
+      .select(col("v").as("__gv"), col("__gppm"))
+    grp.join(broadcast(glob), col("__gppm") >= col("rank_ppm"))
+      .groupBy(col("g").as("l_returnflag"), col("v").as("quantity"),
+        col("rank_ppm"))
+      .agg(min(col("__gv")).as("mapped_quantity"))
+  }
+
+  /** Error-quarantine ingestion: the corpus lands as CSV with every 37th
+    * row deliberately malformed (non-numeric amount), reads back
+    * PERMISSIVE with a corrupt-record column, and reports good/quarantined
+    * counts plus the sum that survives — the reliability contract every
+    * ingestion edge needs (reject rows, never jobs). The cache is the
+    * documented Spark requirement for referencing the corrupt column;
+    * the report is one aggregate either way.
+    */
+  val sourceQuarantine: Q = (spark, dir) => {
+    import org.apache.spark.sql.types._
+    val path = System.getProperty("java.io.tmpdir") + "/graft_quarantine_csv"
+    t(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"),
+        (dec(col("o_totalprice"), 2) * 100).cast("long").as("__v"))
+      .select(concat(col("id"), lit(","),
+        when(col("id") % 37 === 0, lit("oops"))
+          .otherwise(col("__v").cast("string"))).as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache()
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(col("v")).as("sum_good_cents"))
+  }
+
   /** Pearson correlation of quantity vs extended price per return flag,
     * from EXACT decimal sufficient statistics — partitioning-stable to
     * the last bit, unlike the builtin float-accumulating `corr`.
@@ -1871,6 +1936,8 @@ object RelationalQueries {
     "feature_target_encode" -> featureTargetEncode,
     "feature_winsorize" -> featureWinsorize,
     "benford_digits" -> benfordDigits,
+    "feature_qnorm" -> featureQnorm,
+    "source_quarantine" -> sourceQuarantine,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3036,6 +3103,36 @@ object RelationalQueries {
         |    AS n_clipped_high,
         |  CAST(SUM(GREATEST(LEAST(c, p99), p01)) AS BIGINT) AS winsorized_cents
         |FROM o CROSS JOIN b GROUP BY 1""".stripMargin,
+    "feature_qnorm" ->
+      // exact ppm ranks on both sides; mapped value = ceiling lookup
+      // into the global cumulative histogram
+      """WITH li AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        |            FROM lineitem),
+        |grp AS (SELECT g, v,
+        |         (SUM(count(*)) OVER (PARTITION BY g ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+        |          // SUM(count(*)) OVER (PARTITION BY g) AS rank_ppm
+        |        FROM li GROUP BY g, v),
+        |gh AS (SELECT v AS gv,
+        |         (SUM(count(*)) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+        |          // SUM(count(*)) OVER () AS gppm
+        |        FROM li GROUP BY v)
+        |SELECT g AS l_returnflag, v AS quantity,
+        |  CAST(rank_ppm AS BIGINT) AS rank_ppm,
+        |  CAST(min(gv) AS BIGINT) AS mapped_quantity
+        |FROM grp JOIN gh ON gppm >= rank_ppm
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "source_quarantine" ->
+      // every 37th row is malformed by construction; PERMISSIVE keeps
+      // the row, nulls the field, and fills the corrupt column
+      """SELECT count(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(SUM(CASE WHEN o_orderkey % 37 <> 0 THEN
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+        |    AS BIGINT) AS sum_good_cents
+        |FROM orders""".stripMargin,
     "benford_digits" ->
       // Benford shares are a 9-value grid-floored constant; observed
       // shares are exact floor ppm
