@@ -661,6 +661,52 @@ object RelationalQueries {
           sum(col("__lt")).over(wCur)).as("log_surv_micro"))
   }
 
+  /** Dense calendar spine: every (day, event type) cell across the data's
+    * date range, ZERO-FILLED where nothing happened — the reporting
+    * completeness contract (a silent day must surface as 0, not vanish).
+    * `sequence()` generates the spine from the 1-row bounds; the count
+    * table pins once so events scan exactly once; the spine join is
+    * calendar×types-sized.
+    */
+  val eventsCalendarSpine: Q = (spark, dir) => {
+    val counts = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val days = counts.agg(min(col("__day")).as("__d0"), max(col("__day")).as("__d1"))
+      .select(explode(expr("sequence(__d0, __d1, interval 1 day)")).as("__day"))
+    val types = counts.select("event_type").distinct()
+    days.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "__day"), "left")
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), coalesce(col("__n"), lit(0L)).as("n"))
+  }
+
+  /** Per-source corpus-health dashboard: one row per source with doc
+    * count, language spread, byte-identical duplicate share (md5 within
+    * source), exact character and whitespace-token totals, and the empty
+    * share — the one-look curation report composing the engine's proven
+    * kernels. One scan + one digest aggregate; output is sources-sized.
+    */
+  val pipelineDashboard: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val dup = d.groupBy(col("source"), md5(col("text")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("source")
+      .agg(sum(when(col("__n") > 1, col("__n")).otherwise(0L)).as("__dup_rows"))
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(when(col("text").isNotNull,
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
+        .otherwise(0L)).as("sum_tokens"),
+      sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("n_empty"))
+    base.join(dup, Seq("source"))
+      .withColumn("dup_ppm", expr("__dup_rows * 1000000 DIV n_docs"))
+      .drop("__dup_rows")
+  }
+
   /** Markov removal-effect multi-touch attribution over user journeys
     * truncated at first purchase ([[graft.ops.Funnel.markovAttribution]]
     * — integer-ppm transition matrix, 12 value-iteration rounds per
@@ -1938,6 +1984,8 @@ object RelationalQueries {
     "benford_digits" -> benfordDigits,
     "feature_qnorm" -> featureQnorm,
     "source_quarantine" -> sourceQuarantine,
+    "events_calendar_spine" -> eventsCalendarSpine,
+    "pipeline_dashboard" -> pipelineDashboard,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3073,6 +3121,34 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "events_calendar_spine" ->
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |           AS day FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM c)
+        |SELECT strftime(days.day, '%Y-%m-%d') AS day, ty.event_type,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM days CROSS JOIN ty
+        |LEFT JOIN c ON c.day = days.day AND c.event_type = ty.event_type""".stripMargin,
+    "pipeline_dashboard" ->
+      """WITH dup AS (SELECT source,
+        |        CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |          AS dup_rows
+        |      FROM (SELECT source, md5(text) AS h, count(*) AS n
+        |            FROM documents GROUP BY 1, 2) GROUP BY 1),
+        |b AS (SELECT source, count(*) AS n_docs,
+        |        count(DISTINCT lang) AS n_langs,
+        |        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |        CAST(SUM(CASE WHEN text IS NOT NULL THEN
+        |          len(list_filter(string_split_regex(lower(text), '\s+'),
+        |              w -> w != '')) ELSE 0 END) AS BIGINT) AS sum_tokens,
+        |        CAST(SUM(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_empty
+        |      FROM documents GROUP BY 1)
+        |SELECT b.*, (dup.dup_rows * 1000000) // b.n_docs AS dup_ppm
+        |FROM b JOIN dup USING (source)""".stripMargin,
     "feature_target_encode" ->
       // exact HUGEINT cent sums; one fixed-order double per row
       """WITH r AS (SELECT o_orderkey, c_mktsegment,
