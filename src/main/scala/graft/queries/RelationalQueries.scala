@@ -661,6 +661,57 @@ object RelationalQueries {
           sum(col("__lt")).over(wCur)).as("log_surv_micro"))
   }
 
+  /** Sequence-pattern matching — `A → B with NO C between` (the
+    * MATCH_RECOGNIZE staple Spark's DataFrame API lacks): per user, each
+    * signup either converts CLEANLY (a purchase follows with no error in
+    * between) or not. One REVERSE-frame window pass carries "next
+    * purchase ts" and "next error ts" to every row (`ROWS BETWEEN 1
+    * FOLLOWING AND UNBOUNDED FOLLOWING` conditional mins), so the
+    * three-way pattern costs exactly the one user-key shuffle — no
+    * self-joins, no per-pattern passes. Output per user: signups, clean
+    * conversions, and the exact ppm rate.
+    */
+  val eventsPattern: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.eventsDf(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__np", min(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .withColumn("__ne", min(when(col("event_type") === "error", col("ts"))).over(w))
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_signups"),
+        sum(when(col("__np").isNotNull &&
+          (col("__ne").isNull || col("__ne") > col("__np")), 1L)
+          .otherwise(0L)).as("n_clean_conversions"))
+      .withColumn("clean_ppm", expr("n_clean_conversions * 1000000 DIV n_signups"))
+  }
+
+  /** Full growth accounting of daily actives: every active user-day
+    * classified as NEW (first ever), RESURRECTED (returning after ≥ 7
+    * silent days) or RETAINED — the product-health decomposition behind
+    * "is growth new users or reactivation". One lag window over the
+    * user-day-sized distinct table; day-sized output.
+    */
+  val eventsReactivation: Q = (spark, dir) => {
+    val ud = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("__d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("__d")
+    ud.withColumn("__prev", lag(col("__d"), 1).over(w))
+      .groupBy(col("__d"))
+      .agg(
+        sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__prev").isNotNull &&
+          datediff(col("__d"), col("__prev")) >= 7, 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("__prev").isNotNull &&
+          datediff(col("__d"), col("__prev")) < 7, 1L).otherwise(0L))
+          .as("n_retained"))
+      .select(date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("n_resurrected"), col("n_retained"))
+  }
+
   /** Dense calendar spine: every (day, event type) cell across the data's
     * date range, ZERO-FILLED where nothing happened — the reporting
     * completeness contract (a silent day must surface as 0, not vanish).
@@ -1986,6 +2037,8 @@ object RelationalQueries {
     "source_quarantine" -> sourceQuarantine,
     "events_calendar_spine" -> eventsCalendarSpine,
     "pipeline_dashboard" -> pipelineDashboard,
+    "events_pattern" -> eventsPattern,
+    "events_reactivation" -> eventsReactivation,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3121,6 +3174,38 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "events_pattern" ->
+      // reverse-frame conditional mins carry next-purchase / next-error
+      // to every row; clean = purchase exists and no error precedes it
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np,
+        |  min(CASE WHEN event_type = 'error' THEN ts END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ne
+        |FROM events)
+        |SELECT user_id, count(*) AS n_signups,
+        |  CAST(SUM(CASE WHEN np IS NOT NULL AND (ne IS NULL OR ne > np)
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_conversions,
+        |  (CAST(SUM(CASE WHEN np IS NOT NULL AND (ne IS NULL OR ne > np)
+        |       THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
+        |    AS clean_ppm
+        |FROM s WHERE event_type = 'signup'
+        |GROUP BY 1""".stripMargin,
+    "events_reactivation" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |l AS (SELECT user_id, d,
+        |        lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev
+        |      FROM ud)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND date_diff('day', prev, d) >= 7
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND date_diff('day', prev, d) < 7
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        |FROM l GROUP BY 1""".stripMargin,
     "events_calendar_spine" ->
       """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |           FROM events GROUP BY 1, 2),
