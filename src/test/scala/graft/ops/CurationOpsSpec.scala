@@ -528,6 +528,136 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rep == r2, "partitioning-invariant")
   }
 
+  test("property: triangles equals brute force on random graphs") {
+    import org.scalacheck.{Gen, Prop}
+    val genEdges = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1L, 8L))).map(_.take(16))
+    val prop = Prop.forAll(genEdges) { raw =>
+      val es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      if (es.isEmpty) true
+      else {
+        val nodes = es.flatMap { case (a, b) => Seq(a, b) }
+        val adj = nodes.map(n => n ->
+          es.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }).toMap
+        val expected = nodes.map { n =>
+          val nb = adj(n).toSeq.sorted
+          val t = (for {
+            i <- nb.indices; j <- (i + 1) until nb.size
+            if es.contains((math.min(nb(i), nb(j)), math.max(nb(i), nb(j))))
+          } yield 1).size.toLong
+          val d = nb.size.toLong
+          val cc = if (d >= 2) 2L * t * 1000000L / (d * (d - 1)) else 0L
+          (n, d, t, cc)
+        }
+        val got = Graph.triangles(raw.toDF("src", "dst"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        got == expected
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: labelPropagate equals a reference synchronous LPA") {
+    import org.scalacheck.{Gen, Prop}
+    val genEdges = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 7L), Gen.chooseNum(1L, 7L))).map(_.take(14))
+    val prop = Prop.forAll(genEdges, Gen.chooseNum(1, 3)) { (raw, rounds) =>
+      val es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      if (es.isEmpty) true
+      else {
+        val nodes = es.flatMap { case (a, b) => Seq(a, b) }
+        val adj = nodes.map(n => n ->
+          es.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }).toMap
+        var labels = nodes.map(n => n -> n).toMap
+        (1 to rounds).foreach { _ =>
+          labels = nodes.map { n =>
+            val votes = adj(n).toSeq.map(labels).groupBy(identity)
+              .view.mapValues(_.size).toMap
+            n -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+          }.toMap
+        }
+        val got = Graph.labelPropagate(raw.toDF("src", "dst"), rounds)
+          .as[(Long, Long)].collect().toMap
+        got == labels
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: linkCandidates = brute common-neighbor table when uncapped") {
+    import org.scalacheck.{Gen, Prop}
+    val genEdges = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 7L), Gen.chooseNum(1L, 7L))).map(_.take(12))
+    val prop = Prop.forAll(genEdges) { raw =>
+      val es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      if (es.isEmpty) true
+      else {
+        val nodes = es.flatMap { case (a, b) => Seq(a, b) }
+        val adj = nodes.map(n => n ->
+          es.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }).toMap
+        val expected = (for {
+          u <- nodes; v <- nodes if u < v && !es.contains((u, v))
+          cn = (adj(u) intersect adj(v)).size.toLong if cn > 0
+        } yield (u, v, cn,
+          cn * 1000000L / (adj(u).size + adj(v).size - cn))).toSet
+        val got = Graph.linkCandidates(raw.toDF("src", "dst"),
+          maxDegree = Long.MaxValue, topK = 1000)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        got == expected
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: spearmanExact equals the rank-Pearson reference bit-for-bit") {
+    import org.scalacheck.{Gen, Prop}
+    import graft.ops.Checks
+    val genVals = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 5)))
+    val prop = Prop.forAll(genVals) { vs =>
+      if (vs.size < 2) true
+      else {
+        def dranks(xs: Seq[Int]): Seq[Long] = {
+          val cnt = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val below = cnt.keys.map(v =>
+            v -> xs.count(_ < v).toLong).toMap
+          xs.map(v => 2L * below(v) + cnt(v) + 1L)
+        }
+        val rx = dranks(vs.map(_._1))
+        val ry = dranks(vs.map(_._2))
+        val n = vs.size.toLong
+        val sx = rx.sum; val sy = ry.sum
+        val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+        val sxx = rx.map(a => a * a).sum
+        val syy = ry.map(a => a * a).sum
+        val nD = n.toDouble
+        val num = nD * sxy.toDouble - sx.toDouble * sy.toDouble
+        val vx = nD * sxx.toDouble - sx.toDouble * sx.toDouble
+        val vy = nD * syy.toDouble - sy.toDouble * sy.toDouble
+        val expected =
+          if (vx > 0 && vy > 0) Some(num / (math.sqrt(vx) * math.sqrt(vy)))
+          else None
+        val df = vs.map { case (x, y) => ("g", x.toDouble, y.toDouble) }
+          .toDF("g", "x", "y")
+        val got = Checks.spearmanExact(df, "g", "x", "y")
+          .as[(String, Long, Option[Double])].collect().head
+        got._2 == n && got._3 == expected
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("keyReport: exact counts, ppm shares, deterministic rank under ties") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
       .toDF("k")

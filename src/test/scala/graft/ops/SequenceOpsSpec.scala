@@ -81,6 +81,27 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(out.head == (("click", 500000L, 500000L, 0L, None)))
   }
 
+  test("property: markovAttribution removal effects are monotone and bounded") {
+    import org.scalacheck.{Gen, Prop}
+    val genEvents = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.oneOf("A", "B", "buy"))).map(_.take(24))
+    val prop = Prop.forAll(genEvents) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, t), i) =>
+        (u, t, ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), i.toLong)
+      }
+      val out = Funnel.markovAttribution(rows.toDF("u", "t", "tt", "id"),
+        "u", "t", "tt", "id", "buy", Seq("A", "B"), 8)
+        .as[(String, Long, Long, Long, Option[Long])].collect()
+      // severing paths can only REDUCE conversion; base is a probability;
+      // attribution shares are floor-ppm and sum to ≤ 1e6
+      out.forall(r => r._3 <= r._2 && r._2 <= 1000000L && r._4 >= 0L) &&
+        out.flatMap(_._5).sum <= 1000000L
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("markov: empty input yields empty output") {
     assert(Funnel.markov(evFixture.limit(0), "u", "t", "tt", "id").isEmpty)
   }
