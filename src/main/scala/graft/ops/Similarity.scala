@@ -593,4 +593,63 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Top principal direction of the (uncentered) embedding matrix by
+    * POWER ITERATION, deterministic to the last bit — the
+    * embedding-space health probe (a dominant direction with outsized
+    * energy usually means a collapsed or biased encoder). Returns the
+    * 64-element loading vector on the 2^20 grid as `(k, loading_grid)`.
+    *
+    * Exactness discipline: embeddings land on the 2^20 integer grid
+    * once; each iteration computes per-row dots `d = Σ g·v` in longs
+    * (≤ 2^46), accumulates `w = Σ g·d` as order-free DECIMAL(38) sums,
+    * and renormalizes with ONE IEEE double combine per component
+    * (`⌊w/max|w| · 2^20⌋`) — so the unrolled SQL replay is bit-identical.
+    * The iterate `v` is DIM-sized and travels as plan literals (zero
+    * corpus motion, the lookalike discipline); the per-iteration 1-row
+    * collect is the same justified pull as the IVF training draw. A
+    * degenerate all-zero iterate stops early and keeps the last v.
+    *
+    * Scale shape: `iterations` map-side aggregates over the corpus —
+    * no shuffle beyond each 1-row statistics exchange, no pin (each
+    * round is one scan; at 100 TB you trade 6 scans for no cached
+    * state, the right default for a diagnostic).
+    */
+  def pcaPower(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iterations: Int = 6): DataFrame = {
+    require(dim > 0 && iterations >= 1, "need dim > 0 and iterations >= 1")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val g = df.select(
+      transform(col(vecCol), x => floor(x.cast("double") * 1048576.0).cast("long"))
+        .as("__g"))
+    var v: Array[Long] = Array.fill(dim)(1048576L)
+    var i = 0
+    var degenerate = false
+    while (i < iterations && !degenerate) {
+      val dExpr = (0 until dim)
+        .map(k => element_at(col("__g"), k + 1) * lit(v(k)))
+        .reduce(_ + _)
+      val sums = g.withColumn("__d", dExpr)
+        .agg(
+          sum(element_at(col("__g"), 1).cast(d38) * col("__d").cast(d38)).as("w0"),
+          (1 until dim).map(k =>
+            sum(element_at(col("__g"), k + 1).cast(d38) * col("__d").cast(d38))
+              .as(s"w$k")): _*)
+        .head()
+      val w = (0 until dim).map(k => BigDecimal(sums.getDecimal(k)))
+      val m = w.map(_.abs).max
+      if (m == 0) degenerate = true
+      else v = w.map(x =>
+        math.floor(x.toDouble / m.toDouble * 1048576.0).toLong).toArray
+      i += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, k) => ((k + 1).toLong, x) }
+      .toSeq.toDF("k", "loading_grid")
+  }
 }

@@ -132,6 +132,46 @@ object PipelineQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
   }
 
+  /** Top principal direction of the embedding matrix by exact-grid power
+    * iteration ([[graft.ops.Similarity.pcaPower]] — 6 rounds, DECIMAL(38)
+    * accumulation, one IEEE renormalization per component per round; the
+    * oracle unrolls the same rounds).
+    */
+  val embeddingPca: Q = (spark, dir) =>
+    Similarity.pcaPower(emb(spark, dir), "embedding", dim = 64, iterations = 6)
+
+  /** Builds the embedding_pca oracle: the identical grid encode, then 6
+    * unrolled power-iteration rounds (dots in BIGINT, component sums in
+    * HUGEINT, the same double renormalization), all MATERIALIZED.
+    */
+  private def embeddingPcaOracle: String = {
+    val iters = 6
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS MATERIALIZED (SELECT vec_id,
+             |  list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS g
+             |  FROM embeddings),
+             |ks AS MATERIALIZED (SELECT range AS k FROM range(1, 65)),
+             |v0 AS MATERIALIZED (SELECT range AS k, CAST(1048576 AS BIGINT) AS val
+             |  FROM range(1, 65)),
+             |""".stripMargin
+    for (n <- 1 to iters) {
+      val prev = s"v${n - 1}"
+      sb ++= s"d$n AS MATERIALIZED (SELECT e.vec_id, SUM(e.g[v.k] * v.val) AS d " +
+        s"FROM e0 e CROSS JOIN $prev v GROUP BY e.vec_id),\n"
+      sb ++= s"w$n AS MATERIALIZED (SELECT ks.k, " +
+        s"SUM(CAST(e.g[ks.k] AS HUGEINT) * CAST(d.d AS HUGEINT)) AS w " +
+        s"FROM e0 e JOIN d$n d ON e.vec_id = d.vec_id CROSS JOIN ks GROUP BY ks.k),\n"
+      sb ++= s"m$n AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$n),\n"
+      sb ++= s"v$n AS MATERIALIZED (SELECT k, CAST(floor(CAST(w AS DOUBLE) " +
+        s"/ CAST(m AS DOUBLE) * 1048576.0) AS BIGINT) AS val " +
+        s"FROM w$n CROSS JOIN m$n),\n"
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb ++= s"\nSELECT k, val AS loading_grid FROM v$iters"
+    sb.toString
+  }
+
   /** Look-alike audience: top-20 non-seed vectors by cosine to the seed
     * set's exact-grid centroid ([[graft.ops.Similarity.lookalike]] — the
     * corpus never shuffles; the centroid embeds as a literal).
@@ -1492,6 +1532,7 @@ object PipelineQueries {
     "dedup_canonical" -> dedupCanonical,
     "embedding_project" -> embeddingProject,
     "knn_brute" -> knnBrute,
+    "embedding_pca" -> embeddingPca,
     "audience_lookalike" -> audienceLookalike,
     "embedding_outliers" -> embeddingOutliers,
     "knn_lsh" -> knnLsh,
@@ -2339,8 +2380,9 @@ object PipelineQueries {
          |  unnest(generate_series(0, (len(words) - 1) // 24)) AS t(i)""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "embedding_pca" -> embeddingPcaOracle,
     "knn_brute" ->
-      """WITH s AS (
+"""WITH s AS (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
         |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
         |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *

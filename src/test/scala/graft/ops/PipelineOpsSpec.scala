@@ -277,6 +277,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaPower: recovers an axis-aligned dominant direction; invariant; degenerate keeps v0") {
+    // all variance on axis 1 → loadings (2^20, 0); sign follows the
+    // positive-energy direction from the all-ones start
+    val axis = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(-0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pcaPower(axis, "embedding", dim = 2, iterations = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1048576L), (2L, 0L)))
+    val rep = Similarity.pcaPower(axis.repartition(3), "embedding", 2, 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq == out.toSeq, "partitioning-invariant bits")
+    // all-zero matrix: degenerate — the start vector survives unchanged
+    val zero = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val z = Similarity.pcaPower(zero, "embedding", 2, 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(z.toSeq == Seq((1L, 1048576L), (2L, 1048576L)))
+  }
+
   test("lookalike: matches a Scala grid-centroid replay; partition-invariant; seeds excluded") {
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
     val seeds = vecs.filter(_._1 < 8)
