@@ -661,6 +661,41 @@ object RelationalQueries {
           sum(col("__lt")).over(wCur)).as("log_surv_micro"))
   }
 
+  /** Integer Holt double-exponential smoothing of the daily series per
+    * event type (α = β = ½ as arithmetic SHIFTS — both engines floor
+    * negative shifts identically, the Decay discipline): level tracks the
+    * forecast-corrected signal, trend its drift, and `forecast_next =
+    * level + trend` is tomorrow's call. The recurrence folds
+    * SEQUENTIALLY over the date-sorted day array with the `aggregate`
+    * HOF — day-sized state, one aggregate shuffle total — and the oracle
+    * replays it as a recursive CTE carrying (level, trend) day by day
+    * (the pack_greedy replay pattern).
+    */
+  val eventsSmoothing: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("__d").as("d"), col("__n").as("n"))))
+        .as("__s"))
+      .select(col("event_type"),
+        aggregate(
+          expr("slice(__s, 2, size(__s))"),
+          struct(element_at(col("__s"), 1).getField("n").as("level"),
+            lit(0L).as("trend")),
+          (acc, x) => {
+            val lvl = shiftright(
+              x.getField("n") + acc.getField("level") + acc.getField("trend"), 1)
+            struct(lvl.as("level"),
+              shiftright(acc.getField("trend") + (lvl - acc.getField("level")), 1)
+                .as("trend"))
+          }).as("__h"))
+      .select(col("event_type"),
+        col("__h.level").as("level"),
+        col("__h.trend").as("trend"),
+        (col("__h.level") + col("__h.trend")).as("forecast_next"))
+  }
+
   /** Sequence-pattern matching — `A → B with NO C between` (the
     * MATCH_RECOGNIZE staple Spark's DataFrame API lacks): per user, each
     * signup either converts CLEANLY (a purchase follows with no error in
@@ -2039,6 +2074,7 @@ object RelationalQueries {
     "pipeline_dashboard" -> pipelineDashboard,
     "events_pattern" -> eventsPattern,
     "events_reactivation" -> eventsReactivation,
+    "events_smoothing" -> eventsSmoothing,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3174,6 +3210,27 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "events_smoothing" ->
+      // the same ½-shift Holt recurrence replayed day by day; >> floors
+      // negatives identically in both engines
+      """WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type,
+        |        CAST(ts AS DATE) AS d,
+        |        count(*) AS n FROM events GROUP BY 1, 2),
+        |idx AS MATERIALIZED (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+        |      FROM daily),
+        |mx AS (SELECT event_type, max(i) AS mi FROM idx GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, i, n AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.event_type, x.i,
+        |    (x.n + r.level + r.trend) >> 1,
+        |    (r.trend + (((x.n + r.level + r.trend) >> 1) - r.level)) >> 1
+        |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1)
+        |SELECT r.event_type, r.level, r.trend,
+        |  r.level + r.trend AS forecast_next
+        |FROM rec r JOIN mx ON r.event_type = mx.event_type AND r.i = mx.mi""".stripMargin,
     "events_pattern" ->
       // reverse-frame conditional mins carry next-purchase / next-error
       // to every row; clean = purchase exists and no error precedes it
