@@ -661,6 +661,47 @@ object RelationalQueries {
           sum(col("__lt")).over(wCur)).as("log_surv_micro"))
   }
 
+  /** Day-of-week × hour traffic heatmap in exact ppm — the load-profile
+    * matrix behind capacity planning and anomaly baselines. dow is the
+    * engine-neutral epoch-day code (both engines' DOW builtins disagree
+    * on 0- vs 1-basing). One map-side aggregate; 168 cells out.
+    */
+  val eventsHeatmap: Q = (spark, dir) => {
+    val cells = Tables.eventsDf(spark, dir)
+      .groupBy(
+        (datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))) % 7)
+          .cast("long").as("dow_code"),
+        hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    cells.withColumn("ppm",
+      expr("n * 1000000 DIV sum(n) OVER ()"))
+  }
+
+  /** Order aging snapshot AS OF a reference date (horizon − 90 days):
+    * orders placed but not yet fully shipped at that instant, bucketed by
+    * how long they had been open — the receivables/fulfillment triage
+    * view, and the point-in-time reconstruction pattern (the backlog
+    * query's time series collapsed to one audited snapshot). One join +
+    * one bucket aggregate.
+    */
+  val ordersAging: Q = (spark, dir) => {
+    val ship = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max(to_date(col("l_shipdate"))).as("__sd"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("__od"))
+    val ref = ship.agg(date_sub(max(col("__sd")), 90).as("__r"))
+    o.join(ship, col("o_orderkey") === col("l_orderkey"), "left")
+      .crossJoin(broadcast(ref))
+      .filter(col("__od") <= col("__r") &&
+        (col("__sd").isNull || col("__sd") > col("__r")))
+      .select(
+        when(datediff(col("__r"), col("__od")) <= 30, "0-30")
+          .when(datediff(col("__r"), col("__od")) <= 60, "31-60")
+          .otherwise("61+").as("age_bucket"))
+      .groupBy("age_bucket")
+      .agg(count(lit(1)).as("n_open"))
+  }
+
   /** Integer Holt double-exponential smoothing of the daily series per
     * event type (α = β = ½ as arithmetic SHIFTS — both engines floor
     * negative shifts identically, the Decay discipline): level tracks the
@@ -2075,6 +2116,8 @@ object RelationalQueries {
     "events_pattern" -> eventsPattern,
     "events_reactivation" -> eventsReactivation,
     "events_smoothing" -> eventsSmoothing,
+    "events_heatmap" -> eventsHeatmap,
+    "orders_aging" -> ordersAging,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3210,6 +3253,27 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "events_heatmap" ->
+      """WITH c AS (SELECT
+        |        CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+        |          AS dow_code,
+        |        CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT dow_code, hour_of_day, n,
+        |  (n * 1000000) // (SELECT SUM(n) FROM c) AS ppm
+        |FROM c""".stripMargin,
+    "orders_aging" ->
+      """WITH s AS (SELECT l_orderkey AS k, max(CAST(l_shipdate AS DATE)) AS sd
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT max(sd) - 90 AS ref FROM s),
+        |o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+        |SELECT CASE WHEN date_diff('day', od, ref) <= 30 THEN '0-30'
+        |            WHEN date_diff('day', od, ref) <= 60 THEN '31-60'
+        |            ELSE '61+' END AS age_bucket,
+        |  count(*) AS n_open
+        |FROM o LEFT JOIN s ON o.o_orderkey = s.k CROSS JOIN r
+        |WHERE od <= ref AND (sd IS NULL OR sd > ref)
+        |GROUP BY 1""".stripMargin,
     "events_smoothing" ->
       // the same ½-shift Holt recurrence replayed day by day; >> floors
       // negatives identically in both engines
