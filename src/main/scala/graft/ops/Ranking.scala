@@ -207,12 +207,15 @@ object Ranking {
       textCol: String,
       minCount: Long = 5L,
       topK: Int = 10): DataFrame = {
+    // the cell table feeds FOUR plan arms (scores, token totals, class
+    // totals, N) — pinned once so the corpus tokenizes exactly once
     val cell = df
       .filter(col(classCol).isNotNull)
       .select(col(classCol).as("__g"),
         explode(TextOps.tokens(col(textCol))).as("__t"))
       .groupBy("__g", "__t")
       .agg(count(lit(1)).as("__a"))
+      .localCheckpoint(true)
     val rowT = cell.groupBy("__t").agg(sum(col("__a")).as("__rt"))
     val colT = cell.groupBy("__g").agg(sum(col("__a")).as("__ct"))
     val tot = colT.agg(sum(col("__ct")).as("__n"))
@@ -255,11 +258,14 @@ object Ranking {
       textCol: String,
       minDf: Long = 3L,
       perToken: Int = 3): DataFrame = {
+    // tf feeds both the stats rollup and the rank arm — pinned once so
+    // the corpus tokenizes exactly once
     val tf = df
       .select(col(idCol).as("__doc"),
         explode(TextOps.tokens(col(textCol))).as("__t"))
       .groupBy("__t", "__doc")
       .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
     val stats = tf.groupBy("__t").agg(
       count(lit(1)).as("df"),
       sum(col("__tf")).as("total_tf"))

@@ -640,7 +640,10 @@ object Similarity {
             sum(element_at(col("__g"), k + 1).cast(d38) * col("__d").cast(d38))
               .as(s"w$k")): _*)
         .head()
-      val w = (0 until dim).map(k => BigDecimal(sums.getDecimal(k)))
+      // an EMPTY (or all-null) corpus leaves every sum null — treat it
+      // like the all-zero case and keep the start vector
+      val w = (0 until dim).map(k => Option(sums.getDecimal(k))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0)))
       val m = w.map(_.abs).max
       if (m == 0) degenerate = true
       else v = w.map(x =>

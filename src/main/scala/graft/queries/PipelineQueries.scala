@@ -2107,7 +2107,8 @@ object PipelineQueries {
     "source_evolution" ->
       // v1 files (even ids) predate lang/n_chars: the merged read
       // null-fills them, so they land in 'unknown' with a null sum
-      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'unknown' END AS lang,
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN COALESCE(lang, 'unknown')
+        |       ELSE 'unknown' END AS lang,
         |  count(*) AS n_docs,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
         |    AS sum_chars,

@@ -411,7 +411,6 @@ object RelationalQueries {
       .select((dec(col("o_totalprice"), 2) * 100).cast("long").as("__c"))
       .filter(col("__c") > 0)
       .select(substring(col("__c").cast("string"), 1, 1).cast("long").as("digit"))
-    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
       .withColumn("obs_ppm", expr("n_obs * 1000000 DIV sum(n_obs) OVER ()"))
       .withColumn("benford_ppm",
@@ -432,9 +431,6 @@ object RelationalQueries {
   val featureQnorm: Q = (spark, dir) => {
     val li = t(spark, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
-    val gw = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gAll = Window.partitionBy("g")
     val grp = li.groupBy("g", "v").agg(count(lit(1)).as("__n"))
       .withColumn("rank_ppm",
         expr("sum(__n) OVER (PARTITION BY g ORDER BY v " +
@@ -816,20 +812,28 @@ object RelationalQueries {
     * kernels. One scan + one digest aggregate; output is sources-sized.
     */
   val pipelineDashboard: Q = (spark, dir) => {
-    val d = t(spark, dir, "documents")
-    val dup = d.groupBy(col("source"), md5(col("text")).as("__h"))
-      .agg(count(lit(1)).as("__n"))
+    // TRUE single scan: one (source, md5, lang) partial-agg collapses the
+    // corpus; every dashboard metric (including the per-hash duplicate
+    // share, via a window over the collapsed table) derives from it
+    val g1 = t(spark, dir, "documents")
+      .groupBy(col("source"), md5(col("text")).as("__h"), col("lang"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("n_chars")).as("__chars"),
+        sum(when(col("text").isNotNull,
+          size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
+          .otherwise(0L)).as("__toks"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("__empty"))
+    val wh = Window.partitionBy("source", "__h")
+    g1.withColumn("__nh", sum(col("__n")).over(wh))
       .groupBy("source")
-      .agg(sum(when(col("__n") > 1, col("__n")).otherwise(0L)).as("__dup_rows"))
-    val base = d.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      countDistinct(col("lang")).as("n_langs"),
-      sum(col("n_chars")).as("sum_chars"),
-      sum(when(col("text").isNotNull,
-        size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
-        .otherwise(0L)).as("sum_tokens"),
-      sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("n_empty"))
-    base.join(dup, Seq("source"))
+      .agg(
+        sum(col("__n")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("__chars")).as("sum_chars"),
+        sum(col("__toks")).as("sum_tokens"),
+        sum(col("__empty")).as("n_empty"),
+        sum(when(col("__nh") > 1, col("__n")).otherwise(0L)).as("__dup_rows"))
       .withColumn("dup_ppm", expr("__dup_rows * 1000000 DIV n_docs"))
       .drop("__dup_rows")
   }
@@ -926,9 +930,11 @@ object RelationalQueries {
     */
   val eventsTwa: Q = (spark, dir) => {
     val d38 = DecimalType(38, 0)
-    val w = Window.partitionBy("user_id").orderBy("__t")
+    // (ts, event_id) total order — a ts tie alone would make the gap
+    // assignment nondeterministic (the markov discipline)
+    val w = Window.partitionBy("user_id").orderBy(col("__t"), col("__id"))
     Tables.eventsDf(spark, dir)
-      .select(col("user_id"),
+      .select(col("user_id"), col("event_id").as("__id"),
         (dec(col("value"), 2) * 100).cast("long").as("__cents"),
         unix_micros(col("ts")).as("__t"))
       .withColumn("__gap", lead(col("__t"), 1).over(w) - col("__t"))
@@ -3434,11 +3440,12 @@ object RelationalQueries {
         |FROM g""".stripMargin,
     "events_twa" ->
       // exact cents·µs products in HUGEINT, one final double division
-      """WITH s AS (SELECT user_id,
+      """WITH s AS (SELECT user_id, event_id,
         |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
         |        epoch_us(ts) AS t FROM events),
         |g AS (SELECT user_id, cents,
-        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS gap
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+        |          AS gap
         |      FROM s),
         |a AS (SELECT user_id, count(*) AS n_gaps,
         |        SUM(CAST(cents AS HUGEINT) * CAST(gap AS HUGEINT)) AS num,

@@ -493,18 +493,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("text_chi2_terms: class totals and N broadcast; top-k is group-limited") {
+  test("text_chi2_terms: cell table pinned once; totals broadcast; top-k group-limited") {
     val p = plan("text_chi2_terms")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus must tokenize ONCE into the pinned cell table:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"class totals + corpus N must broadcast, not shuffle the cells:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"per-class top-k must prune under WindowGroupLimit before the sort:\n$p")
   }
 
-  test("text_postings: per-token top-k prunes under WindowGroupLimit") {
+  test("text_postings: tf pinned once; per-token top-k prunes under WindowGroupLimit") {
     val p = plan("text_postings")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus must tokenize ONCE into the pinned tf table:\n$p")
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipeline_dashboard: ONE corpus scan feeds every health metric") {
+    val p = plan("pipeline_dashboard")
+    assert(count(p, "Scan parquet") == 1,
+      s"the dashboard's metrics must all derive from one (source,hash,lang) aggregate:\n$p")
   }
 
   test("events_cusum: daily series pinned once; windows share the type shuffle") {
