@@ -174,6 +174,62 @@ object Checks {
         .otherwise(lit(null).cast("double")).as("intercept_grid"))
   }
 
+  /** Grouped TWO-feature OLS (`y ~ x1 + x2`) solved in closed form by
+    * Cramer's rule over the 3×3 normal equations — multiple regression
+    * with the corr_exact guarantees: the NINE sufficient statistics are
+    * order-free DECIMAL sums on the 2^20 grid, and the determinants
+    * combine in ONE fixed order of IEEE doubles, so coefficients are
+    * bit-stable across engines and partitionings. Returns
+    * `(group, n, b0, b1, b2)` (grid units); a singular system (collinear
+    * or constant features) yields nulls. One partial-agg'd group
+    * aggregate — the same motion as any `groupBy().agg`.
+    */
+  def ols2Exact(
+      df: DataFrame,
+      groupCol: String,
+      x1Col: String,
+      x2Col: String,
+      yCol: String,
+      gridScale: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.DecimalType
+    def grid(c: String) = floor(col(c).cast("double") * gridScale.toDouble).cast("long")
+    val d38 = DecimalType(38, 0)
+    def s(c: Column) = sum(c.cast(d38))
+    val a = df
+      .filter(col(x1Col).isNotNull && col(x2Col).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), grid(x1Col).as("__x1"), grid(x2Col).as("__x2"),
+        grid(yCol).as("__y"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        s(col("__x1")).as("__s1"), s(col("__x2")).as("__s2"),
+        s(col("__y")).as("__sy"),
+        s(col("__x1") * col("__x1")).as("__s11"),
+        s(col("__x2") * col("__x2")).as("__s22"),
+        s(col("__x1") * col("__x2")).as("__s12"),
+        s(col("__x1") * col("__y")).as("__s1y"),
+        s(col("__x2") * col("__y")).as("__s2y"))
+    def D(c: Column) = c.cast("double")
+    // det3 in the fixed order a(ei−fh) − b(di−fg) + c(dh−eg)
+    def det3(a1: Column, b1: Column, c1: Column,
+        a2: Column, b2: Column, c2: Column,
+        a3: Column, b3: Column, c3: Column): Column =
+      a1 * (b2 * c3 - c2 * b3) - b1 * (a2 * c3 - c2 * a3) +
+        c1 * (a2 * b3 - b2 * a3)
+    val (n, s1, s2, sy) = (D(col("n")), D(col("__s1")), D(col("__s2")), D(col("__sy")))
+    val (s11, s22, s12, s1y, s2y) =
+      (D(col("__s11")), D(col("__s22")), D(col("__s12")), D(col("__s1y")), D(col("__s2y")))
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    a.select(col(groupCol), col("n"),
+      when(det =!= 0.0, det0 / det).otherwise(lit(null).cast("double")).as("b0"),
+      when(det =!= 0.0, det1 / det).otherwise(lit(null).cast("double")).as("b1"),
+      when(det =!= 0.0, det2 / det).otherwise(lit(null).cast("double")).as("b2"))
+  }
+
   /** Grouped Spearman rank correlation — the monotone-association readout
     * robust to outliers and nonlinearity that Pearson misreads. Computed
     * as [[corrExact]] over EXACT average ranks: for a value with `cb` rows

@@ -481,6 +481,16 @@ object RelationalQueries {
         sum(col("v")).as("sum_good_cents"))
   }
 
+  /** Two-feature price model per return flag: extended price regressed on
+    * quantity AND discount ([[graft.ops.Checks.ols2Exact]] — the 3×3
+    * normal equations solved by Cramer over nine exact DECIMAL sums;
+    * bit-stable multiple regression).
+    */
+  val lineitemOls2: Q = (spark, dir) =>
+    graft.ops.Checks.ols2Exact(
+      t(spark, dir, "lineitem"),
+      "l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+
   /** Pearson correlation of quantity vs extended price per return flag,
     * from EXACT decimal sufficient statistics — partitioning-stable to
     * the last bit, unlike the builtin float-accumulating `corr`.
@@ -2124,6 +2134,7 @@ object RelationalQueries {
     "events_smoothing" -> eventsSmoothing,
     "events_heatmap" -> eventsHeatmap,
     "orders_aging" -> ordersAging,
+    "lineitem_ols2" -> lineitemOls2,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3259,6 +3270,54 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "lineitem_ols2" ->
+      // nine exact decimal sums; Cramer's determinants in the identical
+      // fixed double order a(ei−fh) − b(di−fg) + c(dh−eg)
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 1048576.0) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 1048576.0) AS BIGINT) AS x2,
+        |    CAST(floor(l_extendedprice * 1048576.0) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    SUM(CAST(x1 AS DECIMAL(19,0))) AS s1,
+        |    SUM(CAST(x2 AS DECIMAL(19,0))) AS s2,
+        |    SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0))) AS s11,
+        |    SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s22,
+        |    SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS s12,
+        |    SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s1y,
+        |    SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s2y
+        |  FROM g GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    -- VARCHAR-mediated casts: DuckDB's direct HUGEINT→DOUBLE is
+        |    -- not correctly rounded past 2^64 (upper·2^64 + lower double-
+        |    -- rounds); strtod is, matching Spark's BigDecimal.toDouble
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS p1,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS p2,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS py,
+        |    CAST(CAST(s11 AS VARCHAR) AS DOUBLE) AS p11,
+        |    CAST(CAST(s22 AS VARCHAR) AS DOUBLE) AS p22,
+        |    CAST(CAST(s12 AS VARCHAR) AS DOUBLE) AS p12,
+        |    CAST(CAST(s1y AS VARCHAR) AS DOUBLE) AS p1y,
+        |    CAST(CAST(s2y AS VARCHAR) AS DOUBLE) AS p2y
+        |  FROM s),
+        |e AS (SELECT l_returnflag, n,
+        |    nd*(p11*p22 - p12*p12) - p1*(p1*p22 - p12*p2)
+        |      + p2*(p1*p12 - p11*p2) AS det,
+        |    py*(p11*p22 - p12*p12) - p1*(p1y*p22 - p12*p2y)
+        |      + p2*(p1y*p12 - p11*p2y) AS det0,
+        |    nd*(p1y*p22 - p12*p2y) - py*(p1*p22 - p12*p2)
+        |      + p2*(p1*p2y - p1y*p2) AS det1,
+        |    nd*(p11*p2y - p1y*p12) - p1*(p1*p2y - p1y*p2)
+        |      + py*(p1*p12 - p11*p2) AS det2
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN det <> 0 THEN det0 / det END AS b0,
+        |  CASE WHEN det <> 0 THEN det1 / det END AS b1,
+        |  CASE WHEN det <> 0 THEN det2 / det END AS b2
+        |FROM e""".stripMargin,
     "events_heatmap" ->
       """WITH c AS (SELECT
         |        CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)

@@ -292,6 +292,31 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ A/B χ²
 
+  test("ols2Exact: recovers an exact plane; collinear features go null; invariant") {
+    import graft.ops.Checks
+    // y = 2 + 3·x1 + 5·x2 on integer points — coefficients recover to
+    // within double rounding of the (huge) determinants
+    val pts = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 1), (3, 2))
+      .map { case (a, b) => ("g", a.toDouble, b.toDouble, 2.0 + 3 * a + 5 * b) }
+      .toDF("g", "x1", "x2", "y")
+    val r = Checks.ols2Exact(pts, "g", "x1", "x2", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(r._2 == 6L)
+    assert(math.abs(r._3.get - 2.0 * 1048576.0) < 1.0, s"b0=${r._3}")
+    assert(math.abs(r._4.get - 3.0) < 1e-9 && math.abs(r._5.get - 5.0) < 1e-9)
+    // collinear x2 = x1 → singular normal equations → nulls, not garbage
+    val col2 = Seq(("g", 1.0, 1.0, 4.0), ("g", 2.0, 2.0, 8.0), ("g", 3.0, 3.0, 12.0))
+      .toDF("g", "x1", "x2", "y")
+    val s = Checks.ols2Exact(col2, "g", "x1", "x2", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(s._3.isEmpty && s._4.isEmpty && s._5.isEmpty)
+    val rep = Checks.ols2Exact(pts.repartition(4), "g", "x1", "x2", "y").collect().head
+    assert(rep == Checks.ols2Exact(pts, "g", "x1", "x2", "y").collect().head,
+      "partitioning-invariant bits")
+  }
+
   test("spearmanExact: monotone→1 (even nonlinear), anti→-1, ties share ranks") {
     import graft.ops.Checks
     // nonlinear but monotone: Pearson < 1, Spearman exactly 1
