@@ -97,6 +97,23 @@ object PipelineQueries {
   val dedupEmbedding: Q = (spark, dir) =>
     Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.30, bits = 4)
 
+  /** SEMANTIC golden records end to end: embedding near-dup pairs →
+    * union-find clusters → per-cluster representative elected by vector
+    * norm (keep the highest-energy member) — the linkage_golden MDM chain
+    * applied to the embedding space, every stage riding an
+    * already-oracle-proven kernel.
+    */
+  val dedupSemantic: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val pairs = Similarity
+      .cosineNearDupPairs(e, "vec_id", "embedding", 0.30, bits = 4)
+      .select("id_a", "id_b")
+    Dedup.canonicalClusters(
+      pairs,
+      e.withColumn("__nrm", Similarity.l2Norm(col("embedding"))),
+      "vec_id", "__nrm")
+  }
+
   /** Duplicate CLUSTERS from the embedding near-dup pair graph: connected
     * components by min-label propagation. Oracle-checked end-to-end — the
     * pair graph replays via hyperplane literals and the component labels
@@ -1528,6 +1545,7 @@ object PipelineQueries {
     "dedup_containment" -> dedupContainment,
     "sample_split_nodup" -> sampleSplitNodup,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
     "dedup_components" -> dedupComponents,
     "dedup_canonical" -> dedupCanonical,
     "embedding_project" -> embeddingProject,
@@ -2855,6 +2873,34 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src""".stripMargin,
+    "dedup_semantic" ->
+      // the dedup_components pair+closure replay, then election by
+      // (norm DESC NULLS LAST, id ASC) — norms fold bit-identically
+      s"""WITH RECURSIVE h AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+         |    ${bucketSql("CAST(embedding AS DOUBLE[])", 4)} AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM h a JOIN h b ON a.bucket = b.bucket AND a.id < b.id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.30),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |m AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+         |j AS (SELECT m.cluster, m.id, h.nrm AS q FROM m JOIN h ON m.id = h.id)
+         |SELECT cluster, id AS rep_id, q AS rep_quality, n_members FROM (
+         |  SELECT cluster, id, q,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY q DESC NULLS LAST, id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM j)
+         |WHERE rn = 1""".stripMargin,
     "dedup_canonical" ->
       // dedup_minhash's brute-force exact-Jaccard pair replay →
       // dedup_components' transitive closure → the (n_chars DESC,

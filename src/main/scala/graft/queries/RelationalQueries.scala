@@ -481,6 +481,22 @@ object RelationalQueries {
         sum(col("v")).as("sum_good_cents"))
   }
 
+  /** Per-priority order-value decile profile via `ntile(10)` under the
+    * deterministic (price, key) total order — count and exact cent bounds
+    * per decile, the distribution summary BI tools draw as box plots.
+    */
+  val windowNtile: Q = (spark, dir) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("__c"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (dec(col("o_totalprice"), 2) * 100).cast("long").as("__c"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("__c")).as("min_cents"), max(col("__c")).as("max_cents"))
+  }
+
   /** Two-feature price model per return flag: extended price regressed on
     * quantity AND discount ([[graft.ops.Checks.ols2Exact]] — the 3×3
     * normal equations solved by Cramer over nine exact DECIMAL sums;
@@ -2135,6 +2151,7 @@ object RelationalQueries {
     "events_heatmap" -> eventsHeatmap,
     "orders_aging" -> ordersAging,
     "lineitem_ols2" -> lineitemOls2,
+    "window_ntile" -> windowNtile,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3270,6 +3287,17 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "window_ntile" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM orders),
+        |d AS (SELECT o_orderpriority, c,
+        |        CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY c, o_orderkey) AS BIGINT) AS decile
+        |      FROM o)
+        |SELECT o_orderpriority, decile, count(*) AS n,
+        |  min(c) AS min_cents, max(c) AS max_cents
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "lineitem_ols2" ->
       // nine exact decimal sums; Cramer's determinants in the identical
       // fixed double order a(ei−fh) − b(di−fg) + c(dh−eg)
