@@ -1260,6 +1260,25 @@ object PipelineQueries {
       .orderBy(col("freq").desc, col("token"))
       .limit(100)
 
+  /** Zipf-law fit of the corpus vocabulary: log-frequency regressed on
+    * log-rank through [[graft.ops.Checks.olsExact]] — a healthy natural
+    * corpus slopes near −1·2²⁰ on the grid; a synthetic or template-heavy
+    * one flattens. The rank window runs over the VOCABULARY (not the
+    * corpus); the regression is the proven one-aggregate exact-OLS frame.
+    */
+  val vocabZipf: Q = (spark, dir) => {
+    val freq = docs(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__f"))
+    val w = Window.orderBy(col("__f").desc, col("token").asc)
+    val ranked = freq
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("g", lit("corpus"))
+      .withColumn("__lx", log(col("__rank").cast("double")))
+      .withColumn("__ly", log(col("__f").cast("double")))
+    graft.ops.Checks.olsExact(ranked, "g", "__lx", "__ly")
+  }
+
   /** χ² term–language feature selection: the 10 tokens most associated
     * with each language ([[graft.ops.Ranking.chi2Terms]] — exact 2×2 cell
     * counts, one fixed-order double χ², WindowGroupLimit-bounded top-k).
@@ -1521,6 +1540,7 @@ object PipelineQueries {
     "dedup_bloom" -> dedupBloom,
     "vocab_topk" -> vocabTopk,
     "text_chi2_terms" -> textChi2Terms,
+    "vocab_zipf" -> vocabZipf,
     "text_postings" -> textPostings,
     "heavy_hitters" -> heavyHitters,
     "contamination_report" -> contaminationReport,
@@ -2258,6 +2278,41 @@ object PipelineQueries {
          |GROUP BY token
          |ORDER BY freq DESC, token
          |LIMIT 100""".stripMargin,
+    "vocab_zipf" ->
+      // rank by (freq DESC, token ASC); grid-floored logs feed the
+      // orders_trend OLS replay
+      s"""WITH f AS (SELECT token, count(*) AS f
+         |  FROM (SELECT unnest($wordsSql) AS token FROM documents) GROUP BY 1),
+         |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, token ASC) AS rnk
+         |      FROM f),
+         |g AS (SELECT 'corpus' AS g,
+         |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1048576.0) AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1048576.0) AS BIGINT) AS y
+         |  FROM r),
+         |s AS (SELECT g, count(*) AS n,
+         |    SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+         |    SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+         |  FROM g GROUP BY g)
+         |SELECT g, n,
+         |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0
+         |       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |       ELSE NULL END AS slope_grid,
+         |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0
+         |       THEN (CAST(sy AS DOUBLE)
+         |             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         |               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         |       ELSE NULL END AS intercept_grid
+         |FROM s""".stripMargin,
     // exact 2×2 cells from three rollups, then the identical fixed-order
     // double χ² — even the double ORDERING replays bit-for-bit
     "text_chi2_terms" ->

@@ -481,6 +481,28 @@ object RelationalQueries {
         sum(col("v")).as("sum_good_cents"))
   }
 
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * quantity clears the threshold, joined back to customers, top-100 by
+    * value — the aggregate-then-semijoin classic. The quantity rollup
+    * partial-aggregates map-side; the big-order set is tiny and
+    * broadcast-joins; the cut is TakeOrdered.
+    */
+  val q18TopOrders: Q = (spark, dir) => {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    t(spark, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Per-priority order-value decile profile via `ntile(10)` under the
     * deterministic (price, key) total order — count and exact cent bounds
     * per decile, the distribution summary BI tools draw as box plots.
@@ -2152,6 +2174,7 @@ object RelationalQueries {
     "orders_aging" -> ordersAging,
     "lineitem_ols2" -> lineitemOls2,
     "window_ntile" -> windowNtile,
+    "q18_top_orders" -> q18TopOrders,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3287,6 +3310,16 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "q18_top_orders" ->
+      """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |             FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "window_ntile" ->
       """WITH o AS (SELECT o_orderpriority, o_orderkey,
         |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
