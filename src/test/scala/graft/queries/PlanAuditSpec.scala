@@ -534,4 +534,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"raw events must not re-scan past the pinned cell table:\n$p")
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("markov_attribution: all five scenarios run off the pinned probability table") {
+    val p = plan("markov_attribution")
+    assert(!p.contains("Scan parquet"),
+      s"events must feed the checkpointed transition table exactly once:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_pattern: the three-way pattern costs exactly one user shuffle") {
+    val p = plan("events_pattern")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"reverse-frame window and the user aggregate must share one exchange:\n$p")
+  }
+
+  test("events_twa: lead window and aggregate share the user partitioning") {
+    val p = plan("events_twa")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("events_survival: spans pin once; no raw events re-scan") {
+    val p = plan("events_survival")
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("q18_top_orders: big-order set broadcasts; the cut is a bounded heap") {
+    val p = plan("q18_top_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must never globally sort:\n$p")
+  }
+
+  test("dedup_semantic: bucketed pair join stays equi; one cluster window") {
+    val p = plan("dedup_semantic")
+    // the n_members count shares the election window's partition, so the
+    // plan keeps ONE cluster window (no WindowGroupLimit — count needs
+    // every member) and no cartesian anywhere
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(cluster"), p)
+  }
 }
