@@ -481,6 +481,56 @@ object RelationalQueries {
         sum(col("v")).as("sum_good_cents"))
   }
 
+  /** Price–volume–mix decomposition of year-over-year revenue per
+    * priority (1996 → 1997): `Δrevenue = volume·avg_A + volume-priced
+    * remainder` — the finance bridge chart. Counts and cent sums are
+    * exact longs/DECIMALs; the two effects combine in ONE fixed order of
+    * IEEE doubles (and sum to ΔR algebraically). One aggregate, 5 rows.
+    */
+  val ordersPvm: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+      .withColumn("__y", year(to_date(col("o_orderdate"))))
+      .filter(col("__y").isin(1996, 1997))
+      .select(col("o_orderpriority"), col("__y"),
+        (dec(col("o_totalprice"), 2) * 100).cast("long").as("__c"))
+    val agg = o.groupBy("o_orderpriority").agg(
+      sum(when(col("__y") === 1996, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__y") === 1997, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__y") === 1996, col("__c")).otherwise(0L)).as("rev_a_cents"),
+      sum(when(col("__y") === 1997, col("__c")).otherwise(0L)).as("rev_b_cents"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (sa, sb) = (col("rev_a_cents").cast("double"), col("rev_b_cents").cast("double"))
+    agg.select(col("o_orderpriority"), col("n_a"), col("n_b"),
+      col("rev_a_cents"), col("rev_b_cents"),
+      when(col("n_a") > 0, (nb - na) * (sa / na))
+        .as("volume_effect_cents"),
+      when(col("n_a") > 0 && col("n_b") > 0, nb * (sb / nb - sa / na))
+        .as("price_effect_cents"))
+  }
+
+  /** TPC-H Q22 shape: per nation, the customers whose balance clears the
+    * GLOBAL positive-balance average — compared CROSS-MULTIPLIED in exact
+    * cents, no division — and who NEVER placed an urgent order (the
+    * high-value accounts the expedite program never touched). One 1-row
+    * stat broadcast + one anti-join; the Exists/NotExists classic,
+    * division-free.
+    */
+  val q22Dormant: Q = (spark, dir) => {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (dec(col("c_acctbal"), 2) * 100).cast("long").as("__bal"))
+    val stat = cust.filter(col("__bal") > 0)
+      .agg(count(lit(1)).as("__n"), sum(col("__bal")).as("__s"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(stat))
+      .filter(col("__bal") * col("__n") > col("__s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("__bal")).as("total_bal_cents"))
+  }
+
   /** TPC-H Q18 shape (large-volume customers): orders whose total
     * quantity clears the threshold, joined back to customers, top-100 by
     * value — the aggregate-then-semijoin classic. The quantity rollup
@@ -2175,6 +2225,8 @@ object RelationalQueries {
     "lineitem_ols2" -> lineitemOls2,
     "window_ntile" -> windowNtile,
     "q18_top_orders" -> q18TopOrders,
+    "orders_pvm" -> ordersPvm,
+    "q22_dormant" -> q22Dormant,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3310,6 +3362,48 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "orders_pvm" ->
+      // exact integer sufficient stats; the two effects in one fixed
+      // double order
+      """WITH o AS (SELECT o_orderpriority,
+        |        year(CAST(o_orderdate AS DATE)) AS y,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM orders
+        |      WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)),
+        |a AS (SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN y = 1996 THEN c ELSE 0 END) AS BIGINT)
+        |      AS rev_a_cents,
+        |    CAST(SUM(CASE WHEN y = 1997 THEN c ELSE 0 END) AS BIGINT)
+        |      AS rev_b_cents
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderpriority, n_a, n_b, rev_a_cents, rev_b_cents,
+        |  CASE WHEN n_a > 0 THEN
+        |    (CAST(n_b AS DOUBLE) - CAST(n_a AS DOUBLE))
+        |      * (CAST(rev_a_cents AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |  END AS volume_effect_cents,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(n_b AS DOUBLE)
+        |      * (CAST(rev_b_cents AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |         - CAST(rev_a_cents AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |  END AS price_effect_cents
+        |FROM a""".stripMargin,
+    "q22_dormant" ->
+      // the global average compared CROSS-MULTIPLIED in exact cents
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        |      FROM customer),
+        |s AS (SELECT count(*) AS n, CAST(SUM(bal) AS BIGINT) AS t
+        |      FROM c WHERE bal > 0),
+        |r AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(SUM(bal) AS BIGINT) AS total_bal_cents
+        |FROM c CROSS JOIN s
+        |WHERE bal * n > t
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM r)
+        |GROUP BY 1""".stripMargin,
     "q18_top_orders" ->
       """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
         |             FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
