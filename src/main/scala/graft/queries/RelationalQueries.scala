@@ -481,6 +481,51 @@ object RelationalQueries {
         sum(col("v")).as("sum_good_cents"))
   }
 
+  /** Trend-adjusted traffic anomalies: the STL-lite detrended series
+    * ([[eventsDecompose]]'s centered-7-day transform) screened by the
+    * Hampel test ([[graft.ops.Outliers.flagged]]) — "which days were
+    * genuinely unusual AFTER accounting for the trend", the
+    * seasonality-aware alarm at day granularity. All-integer decision;
+    * date-sized throughout.
+    */
+  val eventsAnomalyTrend: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+    val w7 = Window.orderBy("__d").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("__w7n", count(lit(1)).over(w7))
+      .withColumn("__t7", when(col("__w7n") === 7, sum(col("__n")).over(w7)))
+      .withColumn("detrend_x7",
+        when(col("__t7").isNotNull, lit(7L) * col("__n") - col("__t7")))
+      .filter(col("detrend_x7").isNotNull)
+      .withColumn("__g", lit("all"))
+    // k = 1 (vs the production default 3): the synthetic series is
+    // near-uniform, and a gate that never fires checks nothing — the
+    // sensitive setting keeps the flag path under the content hash
+    graft.ops.Outliers.flagged(det, "__g", "detrend_x7", "__d", k = 1)
+      .select(date_format(col("__d"), "yyyy-MM-dd").as("day"), col("detrend_x7"))
+  }
+
+  /** The conversion funnel SPLIT BY EXPERIMENT VARIANT — "did the
+    * treatment move the funnel", composing the deterministic salted-md5
+    * assignment ([[graft.ops.Sampling.splitColumn]], the ab_assign
+    * kernel) with the cached survivor-chain funnel
+    * ([[graft.ops.Funnel.stages]]). Two funnel runs over the
+    * variant-filtered stream; six rows out.
+    */
+  val abFunnel: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+      .withColumn("__v", graft.ops.Sampling.splitColumn(
+        col("user_id"), Seq(("A", 0.5), ("B", 0.5)), salt = "exp1"))
+    Seq("A", "B").map { v =>
+      graft.ops.Funnel.stages(
+        ev.filter(col("__v") === v), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+        .withColumn("variant", lit(v))
+    }.reduce(_ unionByName _)
+  }
+
   /** Price–volume–mix decomposition of year-over-year revenue per
     * priority (1996 → 1997): `Δrevenue = volume·avg_A + volume-priced
     * remainder` — the finance bridge chart. Counts and cent sums are
@@ -2227,6 +2272,8 @@ object RelationalQueries {
     "q18_top_orders" -> q18TopOrders,
     "orders_pvm" -> ordersPvm,
     "q22_dormant" -> q22Dormant,
+    "events_anomaly_trend" -> eventsAnomalyTrend,
+    "ab_funnel" -> abFunnel,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3362,6 +3409,53 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "events_anomaly_trend" ->
+      // the decompose detrend CTE + the events_outliers lower-median/MAD
+      // replay on a single global group
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |               FROM events GROUP BY 1),
+        |t AS (SELECT d, n, count(*) OVER w7 AS w7n,
+        |        CAST(SUM(n) OVER w7 AS BIGINT) AS tsum
+        |      FROM daily
+        |      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT d, CAST(7 * n - tsum AS BIGINT) AS dx
+        |        FROM t WHERE w7n = 7),
+        |q AS (SELECT d, dx,
+        |        CAST(floor(CAST(dx AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |      FROM det),
+        |m AS (SELECT q, row_number() OVER (ORDER BY q) AS rn,
+        |        count(*) OVER () AS n FROM q),
+        |med AS (SELECT q AS mg FROM m WHERE rn = (n + 1) // 2),
+        |dd AS (SELECT q.d, q.dx, abs(q.q - med.mg) AS dev
+        |       FROM q CROSS JOIN med),
+        |m2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+        |        count(*) OVER () AS n2 FROM dd),
+        |mad AS (SELECT dev AS madg FROM m2 WHERE rn = (n2 + 1) // 2)
+        |SELECT strftime(dd.d, '%Y-%m-%d') AS day, dd.dx AS detrend_x7
+        |FROM dd CROSS JOIN mad
+        |WHERE dd.dev * 10000 > 1 * 14826 * mad.madg""".stripMargin,
+    "ab_funnel" ->
+      // the ab_assign hex split + the events_funnel min-ts chain per
+      // variant
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |va AS (SELECT user_id,
+        |    CASE WHEN substring(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8)
+        |           < '80000000' THEN 'A' ELSE 'B' END AS variant
+        |  FROM u),
+        |e AS (SELECT ev.user_id, ev.event_type, ev.ts, va.variant
+        |      FROM events ev JOIN va USING (user_id)),
+        |v AS (SELECT variant, user_id, min(ts) AS t0 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT e.variant, e.user_id, min(ts) AS t1
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND ts >= t0 GROUP BY 1, 2),
+        |p AS (SELECT e.variant, e.user_id, min(ts) AS t2
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND ts >= t1 GROUP BY 1, 2)
+        |SELECT variant, 'view' AS stage, 0 AS stage_idx, count(*) AS users
+        |FROM v GROUP BY 1
+        |UNION ALL SELECT variant, 'click', 1, count(*) FROM c GROUP BY 1
+        |UNION ALL SELECT variant, 'purchase', 2, count(*) FROM p GROUP BY 1""".stripMargin,
     "orders_pvm" ->
       // exact integer sufficient stats; the two effects in one fixed
       // double order
