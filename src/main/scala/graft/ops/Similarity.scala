@@ -153,6 +153,32 @@ object Similarity {
     df.select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
 
+  /** Seeded per-partition RESERVOIR draw of ~`target` rows in ONE map-side
+    * pass — the quantizer-training sampler shared by [[ivfBuild]] and
+    * [[pqBuild]] (see ivfBuild's scaladoc for why heads would bias and a
+    * full-corpus fit would be the scale-killer).
+    */
+  private def reservoirDraw(df: DataFrame, target: Int, seed: Long): DataFrame = {
+    val parts = math.max(1, df.rdd.getNumPartitions)
+    val perPart = math.max(1, (target + parts - 1) / parts)
+    df.sparkSession.createDataFrame(
+      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val rnd = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+        val res = new Array[org.apache.spark.sql.Row](perPart)
+        var seen = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (seen < perPart) res(seen.toInt) = r
+          else {
+            val j = rnd.nextLong(seen + 1)
+            if (j < perPart) res(j.toInt) = r
+          }
+          seen += 1
+        }
+        res.iterator.take(math.min(seen, perPart.toLong).toInt)
+      }, df.schema)
+  }
+
   /** IVF/LSH-bucketed approximate top-k: corpus and queries are hashed to
     * hyperplane-sign buckets; each query searches only its own bucket.
     * One shuffle on the bucket id instead of a full cross product —
@@ -285,24 +311,7 @@ object Similarity {
     val trainTarget = 256 * nlist
     val trainBase = corpus.select(
       org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
-    val parts = math.max(1, trainBase.rdd.getNumPartitions)
-    val perPart = math.max(1, (trainTarget + parts - 1) / parts)
-    val train = sp.createDataFrame(
-      trainBase.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val rnd = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
-        val res = new Array[org.apache.spark.sql.Row](perPart)
-        var seen = 0L
-        while (it.hasNext) {
-          val r = it.next()
-          if (seen < perPart) res(seen.toInt) = r
-          else {
-            val j = rnd.nextLong(seen + 1)
-            if (j < perPart) res(j.toInt) = r
-          }
-          seen += 1
-        }
-        res.iterator.take(math.min(seen, perPart.toLong).toInt)
-      }, trainBase.schema)
+    val train = reservoirDraw(trainBase, trainTarget, seed)
     // A coarse quantizer needs cell SHAPE, not convergence: 10 iterations is
     // standard IVF practice, and each iteration is a full pass (= a Spark
     // job) over the training sample — half the default 20 is pure saving.
@@ -654,5 +663,135 @@ object Similarity {
     import spark.implicits._
     v.zipWithIndex.map { case (x, k) => ((k + 1).toLong, x) }
       .toSeq.toDF("k", "loading_grid")
+  }
+
+  /** A trained product-quantization index: `codebooks(s)(c)` is centroid
+    * `c` of subspace `s`; `codes` holds one `nsub`-byte-equivalent code
+    * vector per corpus row — the 8-bytes-per-vector representation that
+    * makes billion-scale ANN fit in RAM.
+    */
+  case class PqIndex(
+      codebooks: Array[Array[Array[Double]]],
+      codes: DataFrame,
+      dim: Int) {
+    def nsub: Int = codebooks.length
+    def k: Int = codebooks.head.length
+  }
+
+  /** Product quantization (Jégou et al.): split each vector into `nsub`
+    * subvectors, k-means each subspace independently (on the SAME bounded
+    * reservoir draw as [[ivfBuild]] — never the full corpus), and encode
+    * every row as its per-subspace nearest-centroid ids. With nsub=8,
+    * k=16 a 64-float vector compresses 64× (8 half-byte codes); search
+    * never touches raw vectors again.
+    *
+    * Scale shape: `nsub` k-means fits over one ≤256·k-row sample, then
+    * ONE compiled map over the corpus against broadcast codebooks — no
+    * shuffle, no raw-vector motion after encode. Like the IVF quantizer,
+    * the fit is seeded-deterministic per run but not SQL-replayable, so
+    * the driver gate is rows-only and the semantics are spec-pinned
+    * (identical vectors share codes; cluster-separated fixtures retrieve
+    * same-cluster neighbors).
+    */
+  def pqBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nsub: Int = 8,
+      k: Int = 16,
+      seed: Long = 42L): PqIndex = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val dim = inferDim(corpus, vecCol)
+    require(nsub > 0 && dim % nsub == 0, s"dim $dim must split evenly into $nsub subvectors")
+    require(k > 1, s"need k > 1 codewords, got $k")
+    val sub = dim / nsub
+    val train = reservoirDraw(corpus.select(col(vecCol).as("vec")), 256 * k, seed)
+      .localCheckpoint(true) // nsub fits re-read the same tiny sample
+    val codebooks = (0 until nsub).map { s =>
+      val feat = train.select(
+        org.apache.spark.ml.functions
+          .array_to_vector(slice(col("vec"), s * sub + 1, sub)).as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed + s).setFeaturesCol("features").setMaxIter(10)
+        .fit(feat).clusterCenters.map(_.toArray)
+    }.toArray
+    val bc = sp.sparkContext.broadcast(codebooks)
+    val codes = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val cbs = bc.value
+        val out = new Array[Int](cbs.length)
+        val sd = v.length / cbs.length
+        var s = 0
+        while (s < cbs.length) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cbs(s).length) {
+            var d = 0.0; var i = 0
+            while (i < sd) {
+              val diff = v(s * sd + i).toDouble - cbs(s)(c)(i)
+              d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          out(s) = best; s += 1
+        }
+        (id, out.toSeq)
+      }
+      .toDF("id", "codes")
+    PqIndex(codebooks, codes, dim)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ index: each query builds
+    * its nsub×k table of exact subspace distances ONCE (driver-side,
+    * queries are the small side by contract), the tables broadcast, and
+    * every corpus code scores by `nsub` table lookups — the reason PQ
+    * search reads 8 bytes per candidate instead of 256. Returns
+    * `(q_id, n_id, rank, adc_dist)`, self-matches excluded, ties broken
+    * by id; the per-query top-k is WindowGroupLimit-bounded.
+    */
+  def pqTopK(
+      index: PqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topK: Int): DataFrame = {
+    val sp = index.codes.sparkSession
+    import sp.implicits._
+    require(topK > 0, s"topK must be positive, got $topK")
+    val sub = index.dim / index.nsub
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qv) =>
+      require(qv.length == index.dim, s"query dim ${qv.length} != index dim ${index.dim}")
+      val t = Array.tabulate(index.nsub, index.k) { (s, c) =>
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val diff = qv(s * sub + i).toDouble - index.codebooks(s)(c)(i)
+          d += diff * diff; i += 1
+        }
+        d
+      }
+      (qid, t)
+    }
+    val bc = sp.sparkContext.broadcast(tables)
+    val scored = index.codes.as[(Long, Seq[Int])]
+      .flatMap { case (id, cs) =>
+        bc.value.iterator.collect { case (qid, t) if qid != id =>
+          var d = 0.0; var s = 0
+          while (s < cs.length) { d += t(s)(cs(s)); s += 1 }
+          (qid, id, d)
+        }
+      }
+      .toDF("q_id", "n_id", "adc_dist")
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("adc_dist"))
   }
 }

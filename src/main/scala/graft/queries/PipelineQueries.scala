@@ -149,6 +149,18 @@ object PipelineQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
   }
 
+  /** Product-quantized ANN: 8 subspaces × 16 codewords (64× compression),
+    * asymmetric-distance top-10 for the query vectors
+    * ([[graft.ops.Similarity.pqBuild]]/[[graft.ops.Similarity.pqTopK]]).
+    * Rows-only at the gate (the k-means fit is seeded but not
+    * SQL-replayable — the knn_ivf precedent); semantics spec-pinned.
+    */
+  val knnPq: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val idx = Similarity.pqBuild(e, "vec_id", "embedding", nsub = 8, k = 16)
+    Similarity.pqTopK(idx, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+  }
+
   /** Top principal direction of the embedding matrix by exact-grid power
     * iteration ([[graft.ops.Similarity.pcaPower]] — 6 rounds, DECIMAL(38)
     * accumulation, one IEEE renormalization per component per round; the
@@ -1571,6 +1583,7 @@ object PipelineQueries {
     "embedding_project" -> embeddingProject,
     "knn_brute" -> knnBrute,
     "embedding_pca" -> embeddingPca,
+    "knn_pq" -> knnPq,
     "audience_lookalike" -> audienceLookalike,
     "embedding_outliers" -> embeddingOutliers,
     "knn_lsh" -> knnLsh,

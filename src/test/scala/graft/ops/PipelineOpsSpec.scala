@@ -277,6 +277,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: identical vectors share codes; ADC retrieves same-cluster neighbors") {
+    // three well-separated clusters in 8 dims, 4 points each
+    def pt(center: Float, jitter: Float) =
+      Seq.tabulate(8)(i => center + (if (i % 2 == 0) jitter else -jitter))
+    val rows = (0 until 12).map { i =>
+      val c = i / 4
+      val center = Seq(-10f, 0f, 10f)(c)
+      (i.toLong, pt(center, 0.1f * (i % 4)), c)
+    }
+    val df = rows.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+    val idx = Similarity.pqBuild(df, "vec_id", "embedding", nsub = 4, k = 3)
+    val codes = idx.codes.as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 12 && codes.values.forall(c =>
+      c.length == 4 && c.forall(x => x >= 0 && x < 3)))
+    // two IDENTICAL vectors must share a code vector
+    val dup = df.union(Seq((99L, pt(-10f, 0f))).toDF("vec_id", "embedding"))
+    val idx2 = Similarity.pqBuild(dup, "vec_id", "embedding", nsub = 4, k = 3)
+    val c2 = idx2.codes.as[(Long, Seq[Int])].collect().toMap
+    assert(c2(99L) == c2(0L), "identical vectors must encode identically")
+    // ADC top-1 stays inside the query's own cluster for every point
+    val top1 = Similarity.pqTopK(idx, df, "vec_id", "embedding", 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top1.length == 12)
+    top1.foreach { case (q, n, _, _) =>
+      assert(q / 4 == n / 4, s"query $q retrieved cross-cluster neighbor $n")
+      assert(q != n, "self-matches excluded")
+    }
+    // ranks are dense from 1 and distances non-decreasing per query
+    val top3 = Similarity.pqTopK(idx, df.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", 3).as[(Long, Long, Long, Double)].collect()
+      .sortBy(_._3)
+    assert(top3.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    assert(top3.sliding(2).forall(p => p(0)._4 <= p(1)._4))
+  }
+
   test("pcaPower: recovers an axis-aligned dominant direction; invariant; degenerate keeps v0") {
     // all variance on axis 1 → loadings (2^20, 0); sign follows the
     // positive-energy direction from the all-ones start
