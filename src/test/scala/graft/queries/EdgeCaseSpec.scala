@@ -180,4 +180,27 @@ class EdgeCaseSpec extends AnyFunSuite {
       .as[Option[Double]].collect()
     assert(e.count(_.isEmpty) == 1)
   }
+
+  test("fourth-wave ops degrade gracefully on degenerate input, not error") {
+    import graft.ops.{Checks, Funnel, Graph, Ranking}
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.triangles(noEdges).count() == 0)
+    assert(Graph.labelPropagate(noEdges, 2).count() == 0)
+    assert(Graph.linkCandidates(noEdges, 64, 10).count() == 0)
+    // spearman with no rows / single value: empty / null ρ
+    val noRows = Seq.empty[(String, Double, Double)].toDF("g", "x", "y")
+    assert(Checks.spearmanExact(noRows, "g", "x", "y").count() == 0)
+    assert(Checks.ols2Exact(noRows, "g", "x", "y", "y").count() == 0)
+    // chi2/postings over an all-null-text corpus: empty, not an NPE
+    val nullDocs = Seq((1L, "A", Option.empty[String])).toDF("id", "cls", "text")
+    assert(Ranking.chi2Terms(nullDocs, "cls", "text", 1, 5).count() == 0)
+    assert(Ranking.postings(nullDocs, "id", "text", 1, 3).count() == 0)
+    // attribution with NO conversions anywhere: base 0, effects 0,
+    // attribution null — never a crash or a negative
+    val ev = Seq((1L, "A", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L))
+      .toDF("u", "t", "tt", "id")
+    val ma = Funnel.markovAttribution(ev, "u", "t", "tt", "id", "buy", Seq("A"), 4)
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(ma == (("A", 0L, 0L, 0L, None)))
+  }
 }
