@@ -481,6 +481,55 @@ object RelationalQueries {
         sum(col("v")).as("sum_good_cents"))
   }
 
+  /** Degree assortativity of the co-purchase graph: Pearson correlation
+    * of endpoint degrees over the SYMMETRIZED edge list (Newman's r) —
+    * do popular parts co-occur with popular parts? Rides
+    * [[graft.ops.Checks.corrExact]] (gridScale 1: degrees are already
+    * integers), so the coefficient is bit-stable. Edge-sized joins only.
+    */
+  val graphAssortativity: Q = (spark, dir) => {
+    val e = coPurchaseEdges(spark, dir)
+      .select(col("src").as("u"), col("dst").as("v"))
+      .distinct() // multi-order pairs collapse: one EDGE, not one co-occurrence
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("node")).union(e.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.select(col("node").as("u"), col("d").as("__du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("__dv")), Seq("v"))
+      .withColumn("g", lit("graph"))
+    graft.ops.Checks.corrExact(sym, "g", "__du", "__dv", gridScale = 1L)
+      .withColumnRenamed("corr", "assortativity")
+  }
+
+  /** Goh–Barabási burstiness of per-type arrivals:
+    * `B = (σ − μ)/(σ + μ)` over inter-event gaps — −1 periodic, 0
+    * Poisson, →1 bursty. The n's cancel, so B combines the exact
+    * DECIMAL(38) gap sums in ONE fixed double order
+    * (`(√(nΣg²−(Σg)²) − Σg)/(√(nΣg²−(Σg)²) + Σg)`); the oracle mirrors
+    * with VARCHAR-mediated casts (the >2^64 correct-rounding discipline).
+    * One type-key shuffle shared by the lag window and the aggregate.
+    */
+  val eventsBurstiness: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy("event_type").orderBy(col("__t"), col("__id"))
+    val g = Tables.eventsDf(spark, dir)
+      .select(col("event_type"), col("event_id").as("__id"),
+        unix_micros(col("ts")).as("__t"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__gap").cast(d38)).as("__sg"),
+        sum(col("__gap").cast(d38) * col("__gap").cast(d38)).as("__sg2"))
+    val nD = col("n").cast("double")
+    val sg = col("__sg").cast("double")
+    val a = nD * col("__sg2").cast("double") - sg * sg
+    g.select(col("event_type"), col("n"),
+      when(a > 0.0 && col("n") > 1,
+        (sqrt(a) - sg) / (sqrt(a) + sg)).as("burstiness"))
+  }
+
   /** Trend-adjusted traffic anomalies: the STL-lite detrended series
     * ([[eventsDecompose]]'s centered-7-day transform) screened by the
     * Hampel test ([[graft.ops.Outliers.flagged]]) — "which days were
@@ -2274,6 +2323,8 @@ object RelationalQueries {
     "q22_dormant" -> q22Dormant,
     "events_anomaly_trend" -> eventsAnomalyTrend,
     "ab_funnel" -> abFunnel,
+    "graph_assortativity" -> graphAssortativity,
+    "events_burstiness" -> eventsBurstiness,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3409,6 +3460,60 @@ object RelationalQueries {
         |    AS open_orders
         |FROM d""".stripMargin,
     "markov_attribution" -> markovAttributionOracle,
+    "graph_assortativity" ->
+      // symmetrized endpoint degrees through the corr_exact formula
+      // (grid scale 1 — degrees are already integers)
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b2.p AS v
+        |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |j AS (SELECT CAST(du.d AS BIGINT) AS x, CAST(dv.d AS BIGINT) AS y
+        |      FROM sym JOIN deg du ON sym.u = du.node
+        |               JOIN deg dv ON sym.v = dv.node),
+        |s AS (SELECT 'graph' AS g, count(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+        |  FROM j)
+        |SELECT g, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |       ELSE NULL END AS assortativity
+        |FROM s""".stripMargin,
+    "events_burstiness" ->
+      // exact HUGEINT gap sums; VARCHAR-mediated casts (the >2^64
+      // correct-rounding discipline); one fixed-order double combine
+      """WITH s AS (SELECT event_type, epoch_us(ts) AS t, event_id FROM events),
+        |g AS (SELECT event_type,
+        |        t - lag(t) OVER (PARTITION BY event_type ORDER BY t, event_id)
+        |          AS gap
+        |      FROM s),
+        |a AS (SELECT event_type, count(*) AS n,
+        |        SUM(CAST(gap AS HUGEINT)) AS sg,
+        |        SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sg2
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |        CAST(CAST(sg AS VARCHAR) AS DOUBLE) AS sgd,
+        |        CAST(CAST(sg2 AS VARCHAR) AS DOUBLE) AS sg2d FROM a)
+        |SELECT event_type, n,
+        |  CASE WHEN (nd * sg2d - sgd * sgd) > 0 AND n > 1
+        |       THEN (sqrt(nd * sg2d - sgd * sgd) - sgd)
+        |            / (sqrt(nd * sg2d - sgd * sgd) + sgd)
+        |  END AS burstiness
+        |FROM d""".stripMargin,
     "events_anomaly_trend" ->
       // the decompose detrend CTE + the events_outliers lower-median/MAD
       // replay on a single global group
