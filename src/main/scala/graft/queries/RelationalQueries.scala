@@ -625,6 +625,53 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_cust"), sum(col("__bal")).as("total_bal_cents"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): the supplier-nation →
+    * customer-nation trade-flow matrix per year, exact DECIMAL revenue —
+    * two broadcast dim chains onto one fact scan; the flow matrix is
+    * nations²×years-sized.
+    */
+  val q7TradeFlows: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val s = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = t(spark, dir, "nation").select("n_nationkey", "n_name")
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("__sk"))
+      .join(broadcast(n.select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("__ck"))
+      .filter(year(to_date(col("o_orderdate"))).isin(1996, 1997))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(to_date(col("o_orderdate"))).as("l_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast(DecimalType(18, 4)).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): the top-20 customers by
+    * revenue LOST to returns in one quarter — dim broadcasts onto the
+    * fact, exact decimal revenue, TakeOrdered cut with id tiebreak.
+    */
+  val q10Returned: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+        to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1997-04-01")))
+      .select("o_orderkey", "o_custkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        .cast(DecimalType(18, 4)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q18 shape (large-volume customers): orders whose total
     * quantity clears the threshold, joined back to customers, top-100 by
     * value — the aggregate-then-semijoin classic. The quantity rollup
@@ -2319,6 +2366,8 @@ object RelationalQueries {
     "lineitem_ols2" -> lineitemOls2,
     "window_ntile" -> windowNtile,
     "q18_top_orders" -> q18TopOrders,
+    "q7_trade_flows" -> q7TradeFlows,
+    "q10_returned" -> q10Returned,
     "orders_pvm" -> ordersPvm,
     "q22_dormant" -> q22Dormant,
     "events_anomaly_trend" -> eventsAnomalyTrend,
@@ -3603,6 +3652,33 @@ object RelationalQueries {
         |WHERE bal * n > t
         |  AND c_custkey NOT IN (SELECT o_custkey FROM r)
         |GROUP BY 1""".stripMargin,
+    "q7_trade_flows" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS l_year,
+        |  count(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q18_top_orders" ->
       """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
         |             FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
