@@ -665,6 +665,89 @@ object Similarity {
       .toSeq.toDF("k", "loading_grid")
   }
 
+  /** Seeded driver-side k-means (k-means++ init, Lloyd refinement) over an
+    * ALREADY-BOUNDED sample — the subspace-codebook fitter of [[pqBuild]].
+    * Deliberately not Spark ML: the input is the ≤256·k-row training draw,
+    * where a distributed fit pays ~10 job launches per subspace for
+    * microseconds of arithmetic. Duplicate-heavy samples with fewer
+    * distinct points than `k` converge to duplicate centroids, which
+    * encode fine (nearest-centroid ties break to the lowest index).
+    */
+  private def lloydFit(
+      pts: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = pts.length
+    val dim = pts.head.length
+    val rnd = new java.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    // k-means++ seeding: first center uniform, then proportional to the
+    // squared distance from the nearest chosen center
+    val centers = new Array[Array[Double]](k)
+    centers(0) = pts(rnd.nextInt(n)).clone()
+    val nearest = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val d = d2(pts(i), centers(c - 1))
+        if (d < nearest(i)) nearest(i) = d
+        total += nearest(i); i += 1
+      }
+      if (total == 0.0) centers(c) = pts(rnd.nextInt(n)).clone()
+      else {
+        var r = rnd.nextDouble() * total
+        var j = 0
+        while (j < n - 1 && r >= nearest(j)) { r -= nearest(j); j += 1 }
+        centers(c) = pts(j).clone()
+      }
+      c += 1
+    }
+    // Lloyd: assign to nearest (ties → lowest index), recompute means;
+    // an emptied cluster keeps its previous centroid
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var cc = 0
+        while (cc < k) {
+          val d = d2(pts(i), centers(cc))
+          if (d < bestD) { bestD = d; best = cc }
+          cc += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var d = 0
+        while (d < dim) { sums(a)(d) += pts(i)(d); d += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (counts(cc) > 0) {
+          var d = 0
+          while (d < dim) { sums(cc)(d) /= counts(cc); d += 1 }
+          centers(cc) = sums(cc)
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** A trained product-quantization index: `codebooks(s)(c)` is centroid
     * `c` of subspace `s`; `codes` holds one `nsub`-byte-equivalent code
     * vector per corpus row — the 8-bytes-per-vector representation that
@@ -706,15 +789,25 @@ object Similarity {
     require(nsub > 0 && dim % nsub == 0, s"dim $dim must split evenly into $nsub subvectors")
     require(k > 1, s"need k > 1 codewords, got $k")
     val sub = dim / nsub
+    // The training draw is ≤256·k rows BY CONSTRUCTION (the same bounded
+    // reservoir as ivfBuild), so collect it ONCE and run all `nsub`
+    // subspace fits driver-side: one Spark job total, where nsub
+    // distributed 10-iteration fits would cost ~nsub·10 jobs of pure
+    // scheduling overhead on a sample this small. The corpus itself is
+    // still touched exactly once (the encode map below).
     val train = reservoirDraw(corpus.select(col(vecCol).as("vec")), 256 * k, seed)
-      .localCheckpoint(true) // nsub fits re-read the same tiny sample
+      .collect()
+      .map(_.getSeq[Float](0))
+      .filter(v => v != null && v.length == dim)
+    require(train.nonEmpty, "cannot train a PQ codebook on an empty corpus")
     val codebooks = (0 until nsub).map { s =>
-      val feat = train.select(
-        org.apache.spark.ml.functions
-          .array_to_vector(slice(col("vec"), s * sub + 1, sub)).as("features"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(k).setSeed(seed + s).setFeaturesCol("features").setMaxIter(10)
-        .fit(feat).clusterCenters.map(_.toArray)
+      val pts = train.map { v =>
+        val a = new Array[Double](sub)
+        var i = 0
+        while (i < sub) { a(i) = v(s * sub + i).toDouble; i += 1 }
+        a
+      }
+      lloydFit(pts, k, iters = 10, seed = seed + s)
     }.toArray
     val bc = sp.sparkContext.broadcast(codebooks)
     val codes = corpus
