@@ -694,6 +694,304 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** TPC-H Q2 shape (min-cost supplier): per small part, the EUROPE
+    * supplier with the cheapest single-line offer — region dims
+    * broadcast onto the fact, one (part, supplier) rollup, argmin via
+    * `row_number` with ties to the lowest supplier key. (The schema has
+    * no partsupp; lineitem supplies the part×supplier offer relation.)
+    */
+  val q2MinCost: Q = (spark, dir) => {
+    val eur = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val p = t(spark, dir, "part").filter(col("p_size") <= 10).select("p_partkey")
+    val offers = t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(min((dec(col("l_extendedprice"), 2) * 100).cast("long")).as("best_offer_cents"))
+    val w = Window.partitionBy("p_partkey")
+      .orderBy(col("best_offer_cents").asc, col("s_suppkey").asc)
+    offers.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("p_partkey", "s_suppkey", "s_name", "n_name", "best_offer_cents")
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): EXISTS rewritten as a
+    * left-semi join against the returned-line order set — no dedup
+    * needed, the semi join short-circuits per probe row.
+    */
+  val q4Priority: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-10-01 00:00:00"))
+    val ret = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): the pushdown showcase — a
+    * pure scan-side conjunctive filter and a 1-row aggregate; every
+    * predicate reaches the parquet reader, nothing joins, nothing
+    * shuffles beyond the single partial-agg exchange.
+    */
+  val q6Forecast: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice") * col("l_discount"), 4))
+          .cast(DecimalType(18, 4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8 shape (national market share): ASIA customers buying
+    * STANDARD parts; NATION_3's supplier revenue share per order year.
+    * Numerator and denominator accumulate as exact decimals in ONE
+    * aggregate (a conditional sum, not a second scan); the share
+    * divides their correctly-rounded double casts — IEEE-deterministic
+    * on both engines.
+    */
+  val q8MarketShare: Q = (spark, dir) => {
+    val p = t(spark, dir, "part").filter(col("p_type") === "STANDARD").select("p_partkey")
+    val asia = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey").as("__sn"), col("n_name"))),
+        col("s_nationkey") === col("__sn"))
+      .select(col("s_suppkey"), col("n_name"))
+    val vol = dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(to_date(col("o_orderdate"))).as("o_year"))
+      .agg(
+        sum(vol).cast(DecimalType(18, 4)).cast("double").as("total_rev"),
+        sum(when(col("n_name") === "NATION_3", vol)
+          .otherwise(dec(lit(0), 4)))
+          .cast(DecimalType(18, 4)).cast("double").as("nation_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): parts named like "red",
+    * profit = revenue − quantity·p_retailprice (the schema has no
+    * partsupp; retail price per unit is the natural supply-cost proxy —
+    * extended price runs ~5× it, so margins stay positive), exact
+    * DECIMAL all the way, grouped supplier-nation × order-year.
+    */
+  val q9Profit: Q = (spark, dir) => {
+    val p = t(spark, dir, "part").filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey").as("__sn"), col("n_name"))),
+        col("s_nationkey") === col("__sn"))
+      .select(col("s_suppkey"), col("n_name"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(to_date(col("o_orderdate"))).as("o_year"))
+      .agg(sum(
+        dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4) -
+          dec(col("l_quantity") * col("p_retailprice"), 2))
+        .cast(DecimalType(18, 4)).cast("double").as("profit"))
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose lineitem revenue
+    * exceeds 1/1500 of the global total — the fraction-of-global HAVING,
+    * compared CROSS-MULTIPLIED in DECIMAL(38) cents: division-free and
+    * overflow-safe where a long product would wrap at warehouse scale.
+    */
+  val q11Important: Q = (spark, dir) => {
+    val pv = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum((dec(col("l_extendedprice"), 2) * 100).cast("long")).as("value_cents"))
+    val tot = pv.agg(sum(col("value_cents")).as("__t"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("value_cents").cast(DecimalType(38, 0)) * 1500 >
+        col("__t").cast(DecimalType(38, 0)))
+      .select(col("l_partkey"), col("value_cents"))
+  }
+
+  /** TPC-H Q12 shape (shipping priority classes): lines shipped more
+    * than 90 days after their order — the date-arithmetic lateness
+    * filter — split urgent/high vs rest per line status in one
+    * conditional-sum aggregate.
+    */
+  val q12LateLines: Q = (spark, dir) => {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 90)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13 (customer distribution): orders per customer (urgent
+    * excluded IN THE JOIN CONDITION, so orderless customers survive
+    * the left join with count 0), then the counts histogrammed — the
+    * double-aggregate classic.
+    */
+  val q13Custdist: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    t(spark, dir, "customer").select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q14 (promotion effect): PROMO-part revenue share in one
+    * month — numerator and denominator as exact decimals in one
+    * aggregate, the percentage a division of their double casts.
+    */
+  val q14Promo: Q = (spark, dir) => {
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("__promo"))
+    val vol = dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-09-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-10-01 00:00:00"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("__promo"), vol).otherwise(dec(lit(0), 4)))
+          .cast(DecimalType(18, 4)).cast("double").as("promo_rev"),
+        sum(vol).cast(DecimalType(18, 4)).cast("double").as("total_rev"))
+      .withColumn("promo_pct", lit(100.0) * col("promo_rev") / col("total_rev"))
+  }
+
+  /** TPC-H Q15 (top supplier): quarter revenue per supplier in exact
+    * 10⁻⁴-currency longs, the max as a 1-row stat broadcast — every
+    * tied supplier surfaces, no ORDER BY cut to hide ties.
+    */
+  val q15TopSupplier: Q = (spark, dir) => {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4) * 10000)
+        .cast("long")).as("rev_e4"))
+    val mx = rev.agg(max(col("rev_e4")).as("__m"))
+    rev.crossJoin(broadcast(mx)).filter(col("rev_e4") === col("__m"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_e4").as("total_rev_e4"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): Brand#3 lines below a
+    * fifth of their part's average quantity — the correlated average
+    * compared CROSS-MULTIPLIED (5·qty·n < Σqty, all integral longs),
+    * division-free and bit-exact. The per-part stats are brand-sized
+    * and broadcast back onto the filtered fact.
+    */
+  val q17SmallQty: Q = (spark, dir) => {
+    val p = t(spark, dir, "part").filter(col("p_brand") === "Brand#3").select("p_partkey")
+    val li = t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val stats = li.groupBy(col("p_partkey").as("__pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("__sq"), count(lit(1)).as("__n"))
+    li.join(broadcast(stats), col("p_partkey") === col("__pk"))
+      .filter(col("l_quantity").cast("long") * col("__n") * 5 < col("__sq"))
+      .agg(sumDec(col("l_extendedprice"), 2).as("total_price"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19 (disjunctive predicate): one broadcast part join, an
+    * OR-of-conjunctions filter Catalyst keeps sargable per branch —
+    * the classic test that disjunctions don't fall back to a cross
+    * product.
+    */
+  val q19Disjunct: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#4" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15)))
+      .agg(
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast(DecimalType(18, 4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q20 shape (excess-volume suppliers): suppliers who moved
+    * more than 50 units of any single PROMO part in 1996 — the
+    * (supplier, part) rollup + HAVING + supplier re-aggregation chain;
+    * the qualifying-pair set is tiny and the supplier dim broadcasts.
+    */
+  val q20PromoSuppliers: Q = (spark, dir) => {
+    val p = t(spark, dir, "part").filter(col("p_type") === "PROMO").select("p_partkey")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("p_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("__q"))
+      .filter(col("__q") > 50)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("__q")).as("total_qty"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "n_parts", "total_qty")
+  }
+
+  /** TPC-H Q21 shape (waiting suppliers): the supplier who was the ONLY
+    * one with returned lines in a multi-supplier finished order. The
+    * two correlated EXISTS collapse into ONE windowed per-order pass —
+    * `#distinct suppliers ≥ 2 ∧ #distinct returned-suppliers = 1` (the
+    * returned line's own supplier is then necessarily that one) — so
+    * the fact shuffles once on the order key instead of self-joining
+    * twice; the DuckDB oracle replays the LITERAL EXISTS/NOT-EXISTS
+    * form, proving the rewrite. Counts distinct waiting ORDERS per
+    * supplier (multi-line returns don't double-count).
+    */
+  val q21Waiting: Q = (spark, dir) => {
+    val w = Window.partitionBy("l_orderkey")
+    val per = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .withColumn("__ns", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("__nr", size(collect_set(
+        when(col("l_returnflag") === "R", col("l_suppkey"))).over(w)))
+    per.filter(col("l_returnflag") === "R" && col("__ns") >= 2 && col("__nr") === 1)
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+  }
+
   /** Per-priority order-value decile profile via `ntile(10)` under the
     * deterministic (price, key) total order — count and exact cent bounds
     * per decile, the distribution summary BI tools draw as box plots.
@@ -2374,6 +2672,20 @@ object RelationalQueries {
     "ab_funnel" -> abFunnel,
     "graph_assortativity" -> graphAssortativity,
     "events_burstiness" -> eventsBurstiness,
+    "q2_mincost" -> q2MinCost,
+    "q4_priority" -> q4Priority,
+    "q6_forecast" -> q6Forecast,
+    "q8_market_share" -> q8MarketShare,
+    "q9_profit" -> q9Profit,
+    "q11_important" -> q11Important,
+    "q12_late_lines" -> q12LateLines,
+    "q13_custdist" -> q13Custdist,
+    "q14_promo" -> q14Promo,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_qty" -> q17SmallQty,
+    "q19_disjunct" -> q19Disjunct,
+    "q20_promo_suppliers" -> q20PromoSuppliers,
+    "q21_waiting" -> q21Waiting,
     "events_sessionize" -> eventsSessionize,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
@@ -3679,6 +3991,174 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "q2_mincost" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT p_partkey, s_suppkey, s_name, n_name,
+        |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS best_offer_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN eur ON l_suppkey = s_suppkey
+        |  WHERE p_size <= 10
+        |  GROUP BY 1, 2, 3, 4),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |    ORDER BY best_offer_cents, s_suppkey) AS rn
+        |  FROM offers)
+        |SELECT p_partkey, s_suppkey, s_name, n_name, best_offer_cents
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """WITH asia AS (
+        |  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |sn AS (SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |base AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol,
+        |    sn.n_name
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN sn ON l_suppkey = sn.s_suppkey
+        |  WHERE p_type = 'STANDARD' AND c_nationkey IN (SELECT n_nationkey FROM asia))
+        |SELECT o_year,
+        |  CAST(CAST(SUM(vol) AS DECIMAL(18,4)) AS DOUBLE) AS total_rev,
+        |  CAST(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END)
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS nation_rev,
+        |  CAST(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END)
+        |    AS DECIMAL(18,4)) AS DOUBLE)
+        |   / CAST(CAST(SUM(vol) AS DECIMAL(18,4)) AS DOUBLE) AS mkt_share
+        |FROM base GROUP BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    - CAST(l_quantity * p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM pv)
+        |SELECT l_partkey, value_cents
+        |FROM pv CROSS JOIN tot
+        |WHERE CAST(value_cents AS DECIMAL(38,0)) * 1500 > CAST(t AS DECIMAL(38,0))""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q13_custdist" ->
+      """WITH per AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM per GROUP BY 1""".stripMargin,
+    "q14_promo" ->
+      """WITH m AS (
+        |  SELECT CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4)) AS promo,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-10-01')
+        |SELECT CAST(CAST(SUM(promo) AS DECIMAL(18,4)) AS DOUBLE) AS promo_rev,
+        |  CAST(CAST(SUM(total) AS DECIMAL(18,4)) AS DOUBLE) AS total_rev,
+        |  100.0 * CAST(CAST(SUM(promo) AS DECIMAL(18,4)) AS DOUBLE)
+        |    / CAST(CAST(SUM(total) AS DECIMAL(18,4)) AS DOUBLE) AS promo_pct
+        |FROM m""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(rev_e4) AS m FROM rev)
+        |SELECT s_suppkey, s_name, rev_e4 AS total_rev_e4
+        |FROM rev CROSS JOIN mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_e4 = m""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |st AS (
+        |  SELECT l_partkey AS pk, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    count(*) AS n
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  count(*) AS n_lines
+        |FROM li JOIN st ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * n * 5 < sq""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q20_promo_suppliers" ->
+      """WITH pp AS (
+        |  SELECT l_suppkey, l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  GROUP BY 1, 2
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 50)
+        |SELECT s_suppkey, s_name, count(*) AS n_parts, CAST(SUM(q) AS BIGINT) AS total_qty
+        |FROM pp JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q21_waiting" ->
+      // the LITERAL correlated EXISTS/NOT-EXISTS form — proves the
+      // windowed per-order aggregate rewrite on the Spark side
+      """SELECT s_suppkey, s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2""".stripMargin,
     "q18_top_orders" ->
       """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
         |             FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)

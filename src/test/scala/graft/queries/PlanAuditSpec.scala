@@ -565,6 +565,109 @@ class PlanAuditSpec extends AnyFunSuite {
       s"top-100 must never globally sort:\n$p")
   }
 
+  test("q2_mincost: dims broadcast; argmin is one rollup + one part window") {
+    val p = plan("q2_mincost")
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(p_partkey"), p)
+  }
+
+  test("q4_priority: EXISTS plans as a semi join, date filter pushed to orders") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must lower to a semi join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
+  test("q6_forecast: every predicate reaches the scan; no grouped shuffle") {
+    val p = plan("q6_forecast")
+    // PushedFilters truncates in toString — assert the untruncated prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"ship/discount/quantity filters must push:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      s"a global aggregate needs no hash exchange:\n$p")
+  }
+
+  test("q8_market_share: dim chain broadcasts; share computes in the one year agg") {
+    val p = plan("q8_market_share")
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "lineitem.parquet") == 1,
+      s"numerator and denominator must share ONE fact scan:\n$p")
+  }
+
+  test("q9_profit: red-part and supplier dims broadcast onto one fact scan") {
+    val p = plan("q9_profit")
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(count(p, "lineitem.parquet") == 1, p)
+  }
+
+  test("q11_important: one partkey rollup; the global total rides a broadcast") {
+    val p = plan("q11_important")
+    // the rollup's lineage appears under BOTH the output and the 1-row
+    // total pre-AQE; ReuseExchange dedupes the identical exchanges at
+    // runtime, so the static bound is 2 (1 after reuse)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q12_late_lines: shipdate window pushed to the scan; no cartesian") {
+    val p = plan("q12_late_lines")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13_custdist: the per-customer count reuses the join partitioning") {
+    val p = plan("q13_custdist")
+    assert(!p.contains("CartesianProduct"), p)
+    // custkey join + custkey count share one partitioning; only the
+    // histogram regroup adds an exchange
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+  }
+
+  test("q14_promo: part broadcast; promo and total share one aggregate") {
+    val p = plan("q14_promo")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      s"conditional sums must fold into the single global aggregate:\n$p")
+    assert(count(p, "lineitem.parquet") == 1, p)
+  }
+
+  test("q15_top_supplier: one supplier rollup; the max rides a broadcast") {
+    val p = plan("q15_top_supplier")
+    // same ReuseExchange shape as q11: the rollup embeds twice pre-AQE
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q17_small_qty: brand parts and per-part stats both broadcast") {
+    val p = plan("q17_small_qty")
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"only the per-part stats rollup may shuffle:\n$p")
+  }
+
+  test("q19_disjunct: the OR-of-conjunctions keeps the equi broadcast join") {
+    val p = plan("q19_disjunct")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"disjunctive predicates must not degrade the join:\n$p")
+  }
+
+  test("q20_promo_suppliers: promo parts broadcast; two bounded rollups") {
+    val p = plan("q20_promo_suppliers")
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("q21_waiting: both EXISTS fold into one order window — lineitem scans once") {
+    val p = plan("q21_waiting")
+    assert(count(p, "lineitem.parquet") == 1,
+      s"the correlated-EXISTS rewrite must not self-join the fact:\n$p")
+    assert(p.contains("windowspecdefinition(l_orderkey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_semantic: bucketed pair join stays equi; one cluster window") {
     val p = plan("dedup_semantic")
     // the n_members count shares the election window's partition, so the
