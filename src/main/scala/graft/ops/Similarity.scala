@@ -309,16 +309,17 @@ object Similarity {
     // exact global uniformity would need the row count we refuse to pay
     // for.)
     val trainTarget = 256 * nlist
-    val trainBase = corpus.select(
-      org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
-    val train = reservoirDraw(trainBase, trainTarget, seed)
-    // A coarse quantizer needs cell SHAPE, not convergence: 10 iterations is
-    // standard IVF practice, and each iteration is a full pass (= a Spark
-    // job) over the training sample — half the default 20 is pure saving.
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("features").setMaxIter(10)
-      .fit(train)
-    val centers = model.clusterCenters.map(_.toArray)
+    // A coarse quantizer needs cell SHAPE, not convergence: 10 Lloyd
+    // iterations is standard IVF practice. The draw is ≤256·nlist rows by
+    // construction, so collect it ONCE and fit driver-side ([[lloydFit]],
+    // k-means++ seeded) — one Spark job total, where a distributed fit
+    // pays ~10 job launches for microseconds of arithmetic per pass.
+    val draw = reservoirDraw(corpus.select(col(vecCol).as("vec")), trainTarget, seed)
+      .collect()
+      .map(_.getSeq[Float](0))
+      .collect { case v if v != null => v.map(_.toDouble).toArray }
+    require(draw.nonEmpty, "cannot train an IVF quantizer on an empty corpus")
+    val centers = lloydFit(draw, nlist, iters = 10, seed = seed)
     IvfIndex(centers, assignCells(corpus, idCol, vecCol, centers))
   }
 
