@@ -78,6 +78,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-NEGATIVE mining for contrastive training: for each anchor, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-boundary negatives that carry gradient signal (easy negatives
+    * are uninformative; same-label hits are positives, not negatives).
+    * Same scale shape as [[bruteForceTopK]]: anchors broadcast, the
+    * corpus streams map-side, and the label inequality rides the join
+    * condition so same-label pairs never reach scoring.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(
+      col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(
+      col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"),
+      col(labelCol).as("n_label"))
+    val scored = c
+      .join(broadcast(q),
+        col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .select(
+        col("q_id"),
+        col("q_label"),
+        col("n_id"),
+        col("n_label"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Look-alike audience expansion: rank every non-seed vector by cosine
     * similarity to the SEED SET'S CENTROID — the "find more users like
     * these" primitive behind ad-audience growth and seed-based data

@@ -149,6 +149,18 @@ object PipelineQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
   }
 
+  /** Hard-negative mining: the top-5 most-similar DIFFERENT-label
+    * vectors per anchor (vec_id < 8) —
+    * [[graft.ops.Similarity.hardNegatives]]; the oracle replays the
+    * label-filtered cosine ranking exactly (the knn_brute kernel
+    * argument).
+    */
+  val knnHardneg: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    Similarity.hardNegatives(
+      e, e.filter(col("vec_id") < 8), "vec_id", "embedding", "label", 5)
+  }
+
   /** Product-quantized ANN: 8 subspaces × 16 codewords (64× compression),
     * asymmetric-distance top-10 for the query vectors
     * ([[graft.ops.Similarity.pqBuild]]/[[graft.ops.Similarity.pqTopK]]).
@@ -1582,6 +1594,7 @@ object PipelineQueries {
     "dedup_canonical" -> dedupCanonical,
     "embedding_project" -> embeddingProject,
     "knn_brute" -> knnBrute,
+    "knn_hardneg" -> knnHardneg,
     "embedding_pca" -> embeddingPca,
     "knn_pq" -> knnPq,
     "audience_lookalike" -> audienceLookalike,
@@ -2468,6 +2481,20 @@ object PipelineQueries {
     "dedup_exact" ->
       "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
     "embedding_pca" -> embeddingPcaOracle,
+    "knn_hardneg" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    n.vec_id AS n_id, n.label AS n_label,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id AND n.label != q.label)
+        |SELECT q_id, q_label, n_id, n_label, cos, rank FROM (
+        |  SELECT q_id, q_label, n_id, n_label, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+        |  FROM s)
+        |WHERE rank <= 5""".stripMargin,
     "knn_brute" ->
 """WITH s AS (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,

@@ -694,6 +694,27 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** Pairwise audience overlap across event types
+    * ([[graft.ops.Overlap.pairwiseJaccard]]): exact intersection sizes
+    * and Jaccard for every intersecting type pair — "which product
+    * surfaces share users", the exact twin of the HLL sketch rollups.
+    */
+  val audienceJaccard: Q = (spark, dir) =>
+    graft.ops.Overlap.pairwiseJaccard(
+      t(spark, dir, "events"), col("event_type"), col("user_id"))
+
+  /** k-anonymity / l-diversity risk report over customers
+    * ([[graft.ops.Privacy.kAnonymityReport]]): (nation, segment) as the
+    * quasi-identifier, the thousand-bucketed account balance as the
+    * sensitive attribute, k=5 / l=2.
+    */
+  val privacyKanon: Q = (spark, dir) =>
+    graft.ops.Privacy.kAnonymityReport(
+      t(spark, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0).cast("long"),
+      k = 5, l = 2)
+
   /** TPC-H Q2 shape (min-cost supplier): per small part, the EUROPE
     * supplier with the cheapest single-line offer — region dims
     * broadcast onto the fact, one (part, supplier) rollup, argmin via
@@ -2672,6 +2693,8 @@ object RelationalQueries {
     "ab_funnel" -> abFunnel,
     "graph_assortativity" -> graphAssortativity,
     "events_burstiness" -> eventsBurstiness,
+    "audience_jaccard" -> audienceJaccard,
+    "privacy_kanon" -> privacyKanon,
     "q2_mincost" -> q2MinCost,
     "q4_priority" -> q4Priority,
     "q6_forecast" -> q6Forecast,
@@ -3991,6 +4014,20 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "audience_jaccard" ->
+      """WITH m AS (SELECT DISTINCT event_type AS g, user_id AS mm FROM events),
+        |i AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter
+        |      FROM m a JOIN m b ON a.mm = b.mm AND a.g < b.g GROUP BY 1, 2),
+        |s AS (SELECT g, count(*) AS n FROM m GROUP BY 1)
+        |SELECT g_a, g_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN s sa ON g_a = sa.g JOIN s sb ON g_b = sb.g""".stripMargin,
+    "privacy_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_div,
+        |  count(*) < 5 AS at_risk_k,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 2 AS at_risk_l
+        |FROM customer GROUP BY 1, 2""".stripMargin,
     "q2_mincost" ->
       """WITH eur AS (
         |  SELECT s_suppkey, s_name, n_name

@@ -683,6 +683,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("pairwiseJaccard: exact overlap, duplicate rows collapse, disjoint pairs absent") {
+    val df = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), ("A", 2L), // duplicate (A,2) must not inflate
+      ("B", 2L), ("B", 3L), ("B", 4L),
+      ("C", 9L) // disjoint from A and B
+    ).toDF("grp", "member")
+    val out = Overlap.pairwiseJaccard(df, col("grp"), col("member"))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(("A", "B", 3L, 3L, 2L, 0.5)),
+      s"only the intersecting pair, sizes deduped: ${out.toSeq}")
+    val rep = Overlap.pairwiseJaccard(df.repartition(5), col("grp"), col("member"))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rep.toSeq == out.toSeq, "partitioning-invariant")
+  }
+
+  test("kAnonymityReport: group sizes, l-diversity, both risk flags; bad args refused") {
+    val df = Seq(
+      ("x", "s1", 100L), ("x", "s1", 101L),            // n=2 < 5, l_div=1 < 2
+      ("y", "s1", 1L), ("y", "s2", 2L), ("y", "s3", 3L), ("y", "s1", 4L),
+      ("y", "s2", 5L)                                  // n=5, l_div=3
+    ).toDF("quasi", "sens", "id")
+    val out = Privacy.kAnonymityReport(df, Seq("quasi"), col("sens"), k = 5, l = 2)
+      .as[(String, Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("x", 2L, 1L, true, true),
+      ("y", 5L, 3L, false, false)), out.toSeq)
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityReport(df, Seq.empty, col("sens"), k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityReport(df, Seq("quasi"), col("sens"), k = 0)
+    }
+  }
+
   test("keyReport: exact counts, ppm shares, deterministic rank under ties") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
       .toDF("k")

@@ -261,6 +261,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: label-filtered brute force; no self, no same-label") {
+    val rows = emb.select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    val got = Similarity
+      .hardNegatives(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "label", 4)
+      .select("q_id", "n_id", "n_label", "rank").as[(Long, Long, Int, Int)].collect()
+    got.foreach { case (q, n, nl, _) =>
+      assert(q != n, "self-matches excluded")
+      assert(byId(q)._3 != nl, s"anchor $q retrieved a SAME-label negative $n")
+    }
+    val byQ = got.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    (0L until 3L).foreach { q =>
+      val (_, qv, ql) = byId(q)
+      val expected = rows.toSeq
+        .filter(r => r._1 != q && r._3 != ql)
+        .map { case (id, v, _) => (id, cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(4).map(_._1)
+      assert(byQ(q) == expected, s"anchor $q")
+    }
+  }
+
   test("bruteForceTopK matches Scala brute force exactly") {
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
     val got = Similarity
