@@ -149,6 +149,48 @@ object PipelineQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
   }
 
+  /** Poisson-bootstrap 95% CI of mean document length per source
+    * ([[graft.ops.Bootstrap.meanCI]] — 64 replicas in ONE aggregation
+    * pass; the oracle re-derives every md5 weight, replica mean, and
+    * order-statistic pick from the same generated threshold literals).
+    */
+  val metricBootstrap: Q = (spark, dir) =>
+    graft.ops.Bootstrap.meanCI(
+      docs(spark, dir), "source", "doc_id", col("n_chars"),
+      replicas = 64, alpha = 0.05, salt = "boot")
+
+  /** Builds the metric_bootstrap oracle from [[graft.ops.Bootstrap]]'s own
+    * threshold constants — the Spark ladder and the SQL ladder cannot
+    * drift.
+    */
+  private def metricBootstrapOracle: String = {
+    val wcase = graft.ops.Bootstrap.poissonWeightSql(
+      "substring(md5('boot_' || CAST(b AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)), 1, 8)")
+    val lo = 0.05 / 2
+    val hi = 1.0 - 0.05 / 2
+    s"""WITH r AS (SELECT range AS b FROM range(0, 64)),
+       |w AS (
+       |  SELECT d.source, r.b, ($wcase) AS wt, d.n_chars
+       |  FROM documents d CROSS JOIN r),
+       |m AS (
+       |  SELECT source, b,
+       |    CASE WHEN SUM(wt) = 0 THEN NULL
+       |         ELSE CAST(SUM(CAST(wt AS HUGEINT) * n_chars) AS DOUBLE)
+       |              / CAST(SUM(CAST(wt AS HUGEINT)) AS DOUBLE) END AS mb
+       |  FROM w GROUP BY 1, 2),
+       |l AS (
+       |  SELECT source, list(mb ORDER BY mb) FILTER (WHERE mb IS NOT NULL) AS lst
+       |  FROM m GROUP BY 1),
+       |p AS (
+       |  SELECT source, count(*) AS n_rows,
+       |    CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) / count(*) AS mean
+       |  FROM documents GROUP BY 1)
+       |SELECT p.source, p.n_rows, p.mean,
+       |  l.lst[GREATEST(1, CAST(floor($lo * len(l.lst)) AS INT))] AS ci_lo,
+       |  l.lst[LEAST(len(l.lst), CAST(ceil($hi * len(l.lst)) AS INT))] AS ci_hi
+       |FROM p JOIN l ON p.source = l.source""".stripMargin
+  }
+
   /** Hard-negative mining: the top-5 most-similar DIFFERENT-label
     * vectors per anchor (vec_id < 8) —
     * [[graft.ops.Similarity.hardNegatives]]; the oracle replays the
@@ -1629,6 +1671,7 @@ object PipelineQueries {
     "embedding_label_purity" -> embeddingLabelPurity,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
+    "metric_bootstrap" -> metricBootstrap,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_features" -> multimodalFeatures,
@@ -2481,6 +2524,7 @@ object PipelineQueries {
     "dedup_exact" ->
       "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
     "embedding_pca" -> embeddingPcaOracle,
+    "metric_bootstrap" -> metricBootstrapOracle,
     "knn_hardneg" ->
       """WITH s AS (
         |  SELECT q.vec_id AS q_id, q.label AS q_label,

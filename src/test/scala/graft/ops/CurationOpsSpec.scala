@@ -717,6 +717,40 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap meanCI: CI brackets the truth, constants collapse, invariant; bad args refused") {
+    val df = ((1 to 400).map(i => ("g", i.toLong, (i % 21).toLong)) ++
+      (1 to 50).map(i => ("const", 1000L + i, 7L)))
+      .toDF("src", "id", "v")
+    val out = Bootstrap.meanCI(df, "src", "id", col("v"), replicas = 32)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n, mean, lo, hi) = out("g")
+    assert(n == 400 && math.abs(mean - 10.0) < 0.5)
+    assert(lo <= hi, "interval must be ordered")
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket the point mean $mean")
+    assert(hi - lo > 0, "nonzero variance must give a nonzero-width interval")
+    // a constant column bootstraps to a degenerate interval at the constant
+    val (_, _, cm, cl, ch) = out("const")
+    assert(cm == 7.0 && cl == 7.0 && ch == 7.0)
+    // deterministic under repartitioning (order-free decimal sums)
+    val rep = Bootstrap.meanCI(df.repartition(7), "src", "id", col("v"), replicas = 32)
+      .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rep == out, "partitioning-invariant bits")
+    // the weight ladder draws Poisson(1)-shaped integers in [0, 8]
+    val ws = spark.range(2000)
+      .select(Bootstrap.poissonWeight(col("id"), 0, "boot").as("w"))
+      .as[Long].collect()
+    assert(ws.forall(w => w >= 0 && w <= 8))
+    assert(math.abs(ws.sum.toDouble / ws.length - 1.0) < 0.1, "mean weight ~ 1")
+    assert(ws.count(_ == 0).toDouble / ws.length > 0.25, "P(0) ~ 1/e")
+    intercept[IllegalArgumentException] {
+      Bootstrap.meanCI(df, "src", "id", col("v"), replicas = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Bootstrap.meanCI(df, "src", "id", col("v"), alpha = 1.5)
+    }
+  }
+
   test("keyReport: exact counts, ppm shares, deterministic rank under ties") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
       .toDF("k")
