@@ -230,6 +230,49 @@ object Graph {
     * like [[pageRankExact]]'s: each label set is consumed exactly once, so
     * the fixpoint runs as one job. O(E) per round, node-sized state.
     */
+  /** k-core decomposition by ITERATIVE PEELING: delete nodes of degree
+    * < k (and their edges), repeat; what survives is the k-core — the
+    * dense backbone behind spam-ring detection, community seeding, and
+    * graph-robustness profiling. Returns the surviving `(node, degree)`
+    * where `degree` counts edges INSIDE the core.
+    *
+    * `rounds` bounds the peel passes; the round-R result is a monotone
+    * SUPERSET of the true core that stabilizes permanently once a round
+    * deletes nothing, so the op early-exits there (one count of the
+    * already-checkpointed edge list per round — the only driver state is
+    * the loop counter). Real graphs peel in a handful of rounds; callers
+    * needing a guarantee raise `rounds` and the spec pins convergence on
+    * its fixtures. The oracle unrolls identical rounds as SQL CTEs.
+    *
+    * Scale shape: each round is one degree aggregate + two semi-joins of
+    * the edge list on the survivor set — edge-sized motion, no node ever
+    * collects; the edge list re-pins per round so lineage stays flat
+    * instead of stacking `rounds` deep.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    var e = undirected(edges).localCheckpoint(true)
+    var prev = e.count()
+    var stable = prev == 0L
+    var i = 0
+    while (i < rounds && !stable) {
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("node").localCheckpoint(true)
+      e = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val n = e.count()
+      stable = n == prev
+      prev = n
+      i += 1
+    }
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
   def labelPropagate(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val e = undirected(edges)

@@ -1102,6 +1102,39 @@ object RelationalQueries {
   val graphCommunities: Q = (spark, dir) =>
     graft.ops.Graph.labelPropagate(coPurchaseEdges(spark, dir), iterations = 3)
 
+  /** 3-core of the co-purchase graph by iterative peeling
+    * ([[graft.ops.Graph.kCore]] — 6 bounded rounds, early exit on
+    * stabilization; the fixture converges in 4 and the oracle unrolls
+    * the same rounds as MATERIALIZED CTEs).
+    */
+  val graphKcore: Q = (spark, dir) =>
+    graft.ops.Graph.kCore(coPurchaseEdges(spark, dir), k = 3, rounds = 6)
+
+  /** Builds the graph_kcore oracle: the peel loop unrolled — degree,
+    * survivor filter, edge restriction per round. Early exit on the Spark
+    * side is invisible to the comparison: once a round deletes nothing
+    * every later unrolled round is the identity.
+    */
+  private def graphKcoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |           FROM lineitem WHERE l_quantity >= 40),
+             |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b2.p AS v
+             |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+               |d$r AS (SELECT node, count(*) AS d FROM
+               |       (SELECT u AS node FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
+               |k$r AS (SELECT node FROM d$r WHERE d >= $k),
+               |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+               |       JOIN k$r x ON e.u = x.node JOIN k$r y ON e.v = y.node)""".stripMargin
+    }
+    sb ++= s"""
+             |SELECT node, count(*) AS degree FROM
+             |  (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds) GROUP BY 1""".stripMargin
+    sb.toString
+  }
+
   /** Grouped Spearman rank correlation between order quantity and
     * discount per return flag ([[graft.ops.Checks.spearmanExact]] — exact
     * doubled average ranks through the corr_exact sufficient-statistics
@@ -2694,6 +2727,7 @@ object RelationalQueries {
     "graph_assortativity" -> graphAssortativity,
     "events_burstiness" -> eventsBurstiness,
     "audience_jaccard" -> audienceJaccard,
+    "graph_kcore" -> graphKcore,
     "privacy_kanon" -> privacyKanon,
     "q2_mincost" -> q2MinCost,
     "q4_priority" -> q4Priority,
@@ -4014,6 +4048,7 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "graph_kcore" -> graphKcoreOracle(k = 3, rounds = 6),
     "audience_jaccard" ->
       """WITH m AS (SELECT DISTINCT event_type AS g, user_id AS mm FROM events),
         |i AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter

@@ -537,6 +537,28 @@ class CurationOpsSpec extends AnyFunSuite {
       "within the cap the same hub yields all C(4,2) pairs")
   }
 
+  test("kCore: chain peels in cascades; clique survives; degenerate inputs; invariant") {
+    // triangle {1,2,3} with a pendant CHAIN 3-4-5: round 1 peels 5 (deg 1),
+    // round 2 peels 4 — the cascade a single pass misses
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val out = Graph.kCore(g, k = 2, rounds = 8)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"only the triangle is 2-core: ${out.toSeq}")
+    // one round keeps node 4 (its degree was 2 before 5 fell) — the
+    // bounded-rounds contract is a monotone superset
+    val r1 = Graph.kCore(g, k = 2, rounds = 1).as[(Long, Long)].collect().sortBy(_._1)
+    assert(r1.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // k above the max degree empties the graph
+    assert(Graph.kCore(g, k = 4, rounds = 8).count() == 0L)
+    // empty input peels to empty without error
+    assert(Graph.kCore(g.filter(col("src") < 0), k = 2, rounds = 3).count() == 0L)
+    val rep = Graph.kCore(g.repartition(5), k = 2, rounds = 8)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq == out.toSeq, "partitioning-invariant")
+    intercept[IllegalArgumentException] { Graph.kCore(g, k = 0, rounds = 3) }
+  }
+
   test("labelPropagate: clique absorbs min label; bridge stays put; invariant") {
     // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L),
