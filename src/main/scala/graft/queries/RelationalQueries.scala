@@ -1800,6 +1800,24 @@ object RelationalQueries {
     agg.current("total_value", "n_events")
   }
 
+  /** Incremental HISTOGRAM view — the IVM structure quantile serving
+    * reads: event values bucketed to a 10-unit grid, maintained by
+    * [[graft.ops.IncrementalAgg]] across three update batches, read out
+    * with the running cumulative count per bucket (rank selection over
+    * the cum table IS an exact grid quantile). The single-partition
+    * window is bucket-vocabulary-sized by construction (≤ range/width
+    * rows), never data-sized.
+    */
+  val viewHistIvm: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+      .withColumn("bucket", floor(col("value") / 10.0).cast("long"))
+    val agg = IncrementalAgg(spark, Seq("bucket"), "value", scale = 2)
+    (0 to 2).foreach(i => agg.update(ev.filter(col("event_id") % 3 === i)))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.current("sum_value", "n").withColumn("cum_n", sum(col("n")).over(w))
+  }
+
   /** Ordered view→click→purchase conversion funnel over the event stream —
     * the product-analytics staple. Entry to stage k = earliest stage-k
     * event at/after the user's stage k-1 entry (see [[graft.ops.Funnel]]).
@@ -2643,6 +2661,7 @@ object RelationalQueries {
     "outer_count" -> outerCount,
     "full_outer" -> fullOuter,
     "view_agg_ivm" -> viewAggIvm,
+    "view_hist_ivm" -> viewHistIvm,
     "events_moving" -> eventsMovingAgg,
     "agg_distinct" -> aggDistinct,
     "rollup_agg" -> rollupAgg,
@@ -3033,6 +3052,15 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "view_hist_ivm" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT bucket, sum_value, n,
+        |  CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        |FROM h""".stripMargin,
     "view_agg_ivm" ->
       """SELECT user_id,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value,
