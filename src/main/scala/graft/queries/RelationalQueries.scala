@@ -204,6 +204,24 @@ object RelationalQueries {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"), sumDec(col("o_totalprice"), 2).as("total"))
 
+  /** Explicit GROUPING SETS with `grouping()` disambiguation — the
+    * general form behind ROLLUP/CUBE (Spark lowers all three to the same
+    * Expand); the grouping flags make the null-as-total rows
+    * distinguishable from genuine null group values.
+    */
+  val groupingSets: Q = (spark, dir) => {
+    t(spark, dir, "orders").createOrReplaceTempView("gs_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority), ())""".stripMargin)
+  }
+
   /** Pivot with a fixed value list (deterministic column order). */
   val pivotSegment: Q = (spark, dir) => {
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
@@ -2666,6 +2684,7 @@ object RelationalQueries {
     "agg_distinct" -> aggDistinct,
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
+    "grouping_sets" -> groupingSets,
     "pivot_segment" -> pivotSegment,
     "events_hourly" -> eventsHourly,
     "events_cohorts" -> eventsCohorts,
@@ -3088,6 +3107,15 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority), ())""".stripMargin,
     "pivot_segment" ->
       """SELECT c_nationkey,
         |  COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
