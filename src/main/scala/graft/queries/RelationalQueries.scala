@@ -1818,6 +1818,69 @@ object RelationalQueries {
     agg.current("total_value", "n_events")
   }
 
+  /** Cumulative audience reach: per event type per day, the running
+    * count of DISTINCT users ever seen — WITHOUT a running-distinct
+    * window (quadratic state): each (type, user)'s FIRST day contributes
+    * one to that day's new-user count, and the running sum of the daily
+    * news IS the reach curve. One distinct-shaped shuffle; the window
+    * runs over the calendar-sized daily table.
+    */
+  val eventsReach: Q = (spark, dir) => {
+    val firstDay = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("__d"))
+    val daily = firstDay.groupBy(col("event_type"), col("__d"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy("event_type").orderBy("__d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("reach", sum(col("new_users")).over(w))
+      .select(col("event_type"), date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("reach"))
+  }
+
+  /** Safety stock per part from daily shipped demand: exact long
+    * sufficient statistics over per-day quantity sums, the unbiased
+    * variance `(n·Σx² − (Σx)²) / (n·(n−1))` assembled in DECIMAL(38)
+    * (division- and overflow-free until the final double ops), and the
+    * z=1.65 (~95% service) buffer as `1.65·√var` — sqrt is IEEE
+    * correctly-rounded, so the whole chain replays bit-exactly. Days
+    * WITHOUT demand do not enter the statistics (per-active-day
+    * variability — the honest reading when zero-fill calendars differ
+    * per part; stated, not hidden).
+    */
+  val ordersSafetyStock: Q = (spark, dir) => {
+    val daily = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("__d"))
+      .agg(sum(col("l_quantity").cast("long")).as("__q"))
+    val d38 = DecimalType(38, 0)
+    daily.groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__q")).as("__s"),
+        sum((col("__q") * col("__q")).cast(d38)).as("__s2"))
+      .filter(col("n_days") >= 2)
+      .select(
+        col("l_partkey"),
+        col("n_days"),
+        (col("__s").cast("double") / col("n_days")).as("mean_daily"),
+        (lit(1.65) * sqrt(
+          (col("n_days").cast(d38) * col("__s2") -
+            (col("__s").cast(d38) * col("__s").cast(d38))).cast("double") /
+            (col("n_days").cast("double") * (col("n_days") - 1).cast("double"))))
+          .as("safety_stock"))
+  }
+
+  /** Long-form segment × nation counts via `stack()` — the UNPIVOT
+    * surface inverting [[pivotSegment]]'s wide table; zero cells
+    * survive the round trip (the pivot's coalesce keeps them).
+    */
+  val unpivotSegments: Q = (spark, dir) =>
+    pivotSegment(spark, dir).select(col("c_nationkey"), expr(
+      "stack(5, 'automobile', automobile, 'building', building, " +
+        "'furniture', furniture, 'household', household, " +
+        "'machinery', machinery) AS (segment, n)"))
+
   /** Incremental HISTOGRAM view — the IVM structure quantile serving
     * reads: event values bucketed to a 10-unit grid, maintained by
     * [[graft.ops.IncrementalAgg]] across three update batches, read out
@@ -2680,6 +2743,9 @@ object RelationalQueries {
     "full_outer" -> fullOuter,
     "view_agg_ivm" -> viewAggIvm,
     "view_hist_ivm" -> viewHistIvm,
+    "events_reach" -> eventsReach,
+    "orders_safety_stock" -> ordersSafetyStock,
+    "unpivot_segments" -> unpivotSegments,
     "events_moving" -> eventsMovingAgg,
     "agg_distinct" -> aggDistinct,
     "rollup_agg" -> rollupAgg,
@@ -3071,6 +3137,40 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_reach" ->
+      """WITH f AS (SELECT event_type, user_id, min(CAST(ts AS DATE)) AS d
+        |           FROM events GROUP BY 1, 2),
+        |dl AS (SELECT event_type, d, count(*) AS new_users FROM f GROUP BY 1, 2)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, new_users,
+        |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS reach
+        |FROM dl""".stripMargin,
+    "orders_safety_stock" ->
+      """WITH dly AS (
+        |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |st AS (
+        |  SELECT l_partkey, count(*) AS n_days,
+        |    CAST(SUM(q) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS s2
+        |  FROM dly GROUP BY 1)
+        |SELECT l_partkey, n_days,
+        |  CAST(s AS DOUBLE) / n_days AS mean_daily,
+        |  1.65 * sqrt(
+        |    CAST(CAST(n_days AS DECIMAL(38,0)) * s2
+        |         - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)) AS DOUBLE)
+        |    / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE))) AS safety_stock
+        |FROM st WHERE n_days >= 2""".stripMargin,
+    "unpivot_segments" ->
+      """WITH nk AS (SELECT DISTINCT c_nationkey FROM customer),
+        |sg AS (SELECT unnest(['automobile','building','furniture',
+        |                      'household','machinery']) AS segment),
+        |c AS (SELECT c_nationkey, lower(c_mktsegment) AS segment, count(*) AS n
+        |      FROM customer GROUP BY 1, 2)
+        |SELECT nk.c_nationkey, sg.segment, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM nk CROSS JOIN sg
+        |LEFT JOIN c ON nk.c_nationkey = c.c_nationkey AND sg.segment = c.segment""".stripMargin,
     "view_hist_ivm" ->
       """WITH h AS (
         |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
