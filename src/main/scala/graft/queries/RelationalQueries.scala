@@ -1818,6 +1818,26 @@ object RelationalQueries {
     agg.current("total_value", "n_events")
   }
 
+  /** Bag-semantic EXCEPT ALL — the multiset counterpart of the engine's
+    * set-semantic Difference parity op: duplicate part keys survive with
+    * multiplicity `max(0, n_R − n_A)`. Spark plans this as one
+    * count-annotated aggregate + generate, not a per-row anti join.
+    */
+  val exceptAll: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_returnflag") === "R").select("l_partkey")
+      .exceptAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+  }
+
+  /** Bag-semantic INTERSECT ALL: part keys kept with multiplicity
+    * `min(n_R, n_A)` — the other half of the multiset algebra.
+    */
+  val intersectAll: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_returnflag") === "R").select("l_partkey")
+      .intersectAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+  }
+
   /** Cumulative audience reach: per event type per day, the running
     * count of DISTINCT users ever seen — WITHOUT a running-distinct
     * window (quadratic state): each (type, user)'s FIRST day contributes
@@ -2744,6 +2764,8 @@ object RelationalQueries {
     "view_agg_ivm" -> viewAggIvm,
     "view_hist_ivm" -> viewHistIvm,
     "events_reach" -> eventsReach,
+    "except_all" -> exceptAll,
+    "intersect_all" -> intersectAll,
     "orders_safety_stock" -> ordersSafetyStock,
     "unpivot_segments" -> unpivotSegments,
     "events_moving" -> eventsMovingAgg,
@@ -3137,6 +3159,14 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "except_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
+    "intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
     "events_reach" ->
       """WITH f AS (SELECT event_type, user_id, min(CAST(ts AS DATE)) AS d
         |           FROM events GROUP BY 1, 2),

@@ -575,6 +575,58 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rep == r2, "partitioning-invariant")
   }
 
+  test("property: kCore equals the driver-side peel fixpoint on random graphs") {
+    import org.scalacheck.{Gen, Prop}
+    val genEdges = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 9L), Gen.chooseNum(1L, 9L))).map(_.take(18))
+    val genK = Gen.chooseNum(1, 4)
+    val prop = Prop.forAll(genEdges, genK) { (raw, k) =>
+      var es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      // brute fixpoint: drop sub-k nodes until stable
+      var changed = true
+      while (changed && es.nonEmpty) {
+        val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter { case (a, b) => keep(a) && keep(b) }
+        changed = next != es
+        es = next
+      }
+      val expected = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap.toSet
+      val got = Graph.kCore(raw.toDF("src", "dst"), k, rounds = 12)
+        .as[(Long, Long)].collect().toSet
+      got == expected
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: pairwiseJaccard equals brute force on random memberships") {
+    import org.scalacheck.{Gen, Prop}
+    val genRows = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("A", "B", "C", "D"), Gen.chooseNum(1L, 12L))).map(_.take(24))
+    val prop = Prop.forAll(genRows) { (raw: List[(String, Long)]) =>
+      val sets = raw.toSet.groupBy((t: (String, Long)) => t._1)
+        .view.mapValues(_.map(_._2)).toMap
+      val gs = sets.keys.toSeq.sorted
+      val expected = (for {
+        i <- gs.indices; j <- (i + 1) until gs.size
+        a = sets(gs(i)); b = sets(gs(j))
+        inter = (a & b).size.toLong if inter > 0
+      } yield (gs(i), gs(j), a.size.toLong, b.size.toLong, inter,
+        inter.toDouble / (a.size + b.size - inter))).toSet
+      val got = Overlap.pairwiseJaccard(raw.toDF("g", "m"), col("g"), col("m"))
+        .as[(String, String, Long, Long, Long, Double)].collect().toSet
+      got == expected
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: triangles equals brute force on random graphs") {
     import org.scalacheck.{Gen, Prop}
     val genEdges = Gen.nonEmptyListOf(
