@@ -169,6 +169,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Encoder-drift probe between two corpus snapshots (crawls, encoder
+    * versions): per label, the cosine between the snapshots' label
+    * CENTROIDS on the 2^20 integer grid — cosine is scale-invariant, so
+    * the grid SUM stands in for the mean (the [[lookalike]] discipline:
+    * no count division ever happens) and the only doubles are the final
+    * dot/norm triple per label, replayed bit-exactly by SQL. A drifting
+    * encoder shows up as sub-1 centroid cosines on stable labels long
+    * before downstream metrics move.
+    *
+    * Scale shape: each snapshot collapses to a label×dim grid-sum table
+    * (posexplode + partial-agg'd long sums — one shuffle each, output
+    * labels·dim rows); the drift report joins the two TINY tables. The
+    * corpus never moves again after its one aggregation pass.
+    */
+  def centroidDrift(
+      a: DataFrame,
+      b: DataFrame,
+      labelCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def grid(df: DataFrame, sumAs: String, nAs: String): DataFrame = {
+      val g = df.select(
+        col(labelCol).as("label"),
+        posexplode(transform(col(vecCol),
+          x => floor(x.cast("double") * 1048576.0).cast("long"))))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as(sumAs))
+      val n = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as(nAs))
+      g.join(n, Seq("label"))
+    }
+    grid(a, "__sa", "n_a")
+      .join(grid(b, "__sb", "n_b"), Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(
+        first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"),
+        // cast BEFORE multiplying: a long×long grid-sum product wraps at
+        // warehouse scale (sums grow with rows·2^20)
+        sum(col("__sa").cast(d38) * col("__sb").cast(d38)).as("__dot"),
+        sum(col("__sa").cast(d38) * col("__sa").cast(d38)).as("__na2"),
+        sum(col("__sb").cast(d38) * col("__sb").cast(d38)).as("__nb2"))
+      .select(
+        col("label"), col("n_a"), col("n_b"),
+        when(col("__na2") === 0 || col("__nb2") === 0, lit(null).cast("double"))
+          .otherwise(col("__dot").cast("double") /
+            (sqrt(col("__na2").cast("double")) * sqrt(col("__nb2").cast("double"))))
+          .as("cos_centroid"))
+  }
+
   /** Deterministic random hyperplanes: `bits` rows of `dim` components in
     * [-1, 1), seeded — the classic SimHash-for-vectors construction.
     */

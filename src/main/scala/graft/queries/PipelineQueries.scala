@@ -149,6 +149,21 @@ object PipelineQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
   }
 
+  /** Per-label centroid drift between the even- and odd-id halves of
+    * the embedding corpus ([[graft.ops.Similarity.centroidDrift]]) —
+    * the "did the encoder move between crawls" probe. Synthetic halves
+    * of one corpus should read ≈ 1.0 per label; the oracle replays the
+    * grid sums, HUGEINT products (VARCHAR-mediated double casts — the
+    * documented DuckDB >2^64 rounding fix), and the final cosine.
+    */
+  val embeddingDrift: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    Similarity.centroidDrift(
+      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1),
+      "label", "embedding")
+  }
+
   /** Poisson-bootstrap 95% CI of mean document length per source
     * ([[graft.ops.Bootstrap.meanCI]] — 64 replicas in ONE aggregation
     * pass; the oracle re-derives every md5 weight, replica mean, and
@@ -1672,6 +1687,7 @@ object PipelineQueries {
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "metric_bootstrap" -> metricBootstrap,
+    "embedding_drift" -> embeddingDrift,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_features" -> multimodalFeatures,
@@ -2525,6 +2541,30 @@ object PipelineQueries {
       "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
     "embedding_pca" -> embeddingPcaOracle,
     "metric_bootstrap" -> metricBootstrapOracle,
+    "embedding_drift" ->
+      """WITH g AS (
+        |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS gv
+        |  FROM embeddings),
+        |ea AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sa
+        |       FROM (SELECT label, unnest(gv) AS v, generate_subscripts(gv, 1) AS pos
+        |             FROM g WHERE vec_id % 2 = 0) GROUP BY 1, 2),
+        |eb AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sb
+        |       FROM (SELECT label, unnest(gv) AS v, generate_subscripts(gv, 1) AS pos
+        |             FROM g WHERE vec_id % 2 = 1) GROUP BY 1, 2),
+        |na AS (SELECT label, count(*) AS n_a FROM g WHERE vec_id % 2 = 0 GROUP BY 1),
+        |nb AS (SELECT label, count(*) AS n_b FROM g WHERE vec_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT ea.label,
+        |        SUM(CAST(sa AS HUGEINT) * sb) AS dot,
+        |        SUM(CAST(sa AS HUGEINT) * sa) AS na2,
+        |        SUM(CAST(sb AS HUGEINT) * sb) AS nb2
+        |      FROM ea JOIN eb ON ea.label = eb.label AND ea.pos = eb.pos GROUP BY 1)
+        |SELECT j.label, na.n_a, nb.n_b,
+        |  CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
+        |       ELSE CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+        |            / (sqrt(CAST(CAST(na2 AS VARCHAR) AS DOUBLE))
+        |               * sqrt(CAST(CAST(nb2 AS VARCHAR) AS DOUBLE))) END AS cos_centroid
+        |FROM j JOIN na ON j.label = na.label JOIN nb ON j.label = nb.label""".stripMargin,
     "knn_hardneg" ->
       """WITH s AS (
         |  SELECT q.vec_id AS q_id, q.label AS q_label,

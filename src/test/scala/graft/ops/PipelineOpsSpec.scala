@@ -261,6 +261,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("centroidDrift: identical halves ~1, orthogonal 0, opposite -1, zero null") {
+    val a = Seq(
+      (1, Seq(1.0f, 0.0f)), (1, Seq(3.0f, 0.0f)), // label 1 along axis 1
+      (2, Seq(0.0f, 2.0f)),                       // label 2 along axis 2
+      (3, Seq(1.0f, 1.0f)),
+      (4, Seq(0.0f, 0.0f))                        // zero centroid
+    ).toDF("label", "embedding")
+    val b = Seq(
+      (1, Seq(2.0f, 0.0f)),                       // same direction
+      (2, Seq(5.0f, 0.0f)),                       // orthogonal to a's label 2
+      (3, Seq(-2.0f, -2.0f)),                     // opposite
+      (4, Seq(1.0f, 1.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.centroidDrift(a, b, "label", "embedding")
+      .as[(Int, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out(1)._2 == 2L && out(1)._3 == 1L)
+    assert(math.abs(out(1)._4.get - 1.0) < 1e-12, "same direction ~ 1")
+    assert(out(2)._4.get == 0.0, "orthogonal centroids are exactly 0")
+    assert(math.abs(out(3)._4.get + 1.0) < 1e-12, "opposite ~ -1")
+    assert(out(4)._4.isEmpty, "zero centroid yields null, not NaN")
+    val rep = Similarity.centroidDrift(a.repartition(3), b.repartition(2), "label", "embedding")
+      .as[(Int, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(rep == out, "partitioning-invariant bits")
+  }
+
   test("hardNegatives: label-filtered brute force; no self, no same-label") {
     val rows = emb.select("vec_id", "embedding", "label")
       .as[(Long, Seq[Float], Int)].collect()
