@@ -190,16 +190,17 @@ object Similarity {
       vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
-    def grid(df: DataFrame, sumAs: String, nAs: String): DataFrame = {
-      val g = df.select(
+    // the vector count rides the grid aggregate: every vector contributes
+    // exactly ONE exploded row per position, so count(*) per (label, pos)
+    // IS the label's vector count — one scan per snapshot, no second pass
+    // (null/empty embeddings explode to nothing and therefore don't count)
+    def grid(df: DataFrame, sumAs: String, nAs: String): DataFrame =
+      df.select(
         col(labelCol).as("label"),
         posexplode(transform(col(vecCol),
           x => floor(x.cast("double") * 1048576.0).cast("long"))))
         .groupBy(col("label"), col("pos"))
-        .agg(sum(col("col")).as(sumAs))
-      val n = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as(nAs))
-      g.join(n, Seq("label"))
-    }
+        .agg(sum(col("col")).as(sumAs), count(lit(1)).as(nAs))
     grid(a, "__sa", "n_a")
       .join(grid(b, "__sb", "n_b"), Seq("label", "pos"))
       .groupBy(col("label"))

@@ -668,6 +668,66 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("metric_bootstrap: all replicas fold into ONE aggregate — no row expansion") {
+    val p = plan("metric_bootstrap")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"B replicas must cost one source shuffle:\n$p")
+    assert(!p.contains("Generate") && !p.contains("Expand"),
+      s"the Poisson weights must not explode rows:\n$p")
+    assert(count(p, "documents.parquet") == 1, p)
+  }
+
+  test("audience_jaccard: pair expansion stays an equi join; sizes broadcast") {
+    val p = plan("audience_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"the group sizes must broadcast back onto the pair table:\n$p")
+  }
+
+  test("knn_hardneg: anchors broadcast; the corpus streams map-side") {
+    val p = plan("knn_hardneg")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "embeddings.parquet") == 2,
+      s"one corpus scan + one anchor scan:\n$p")
+  }
+
+  test("embedding_drift: two snapshot scans, equi joins only") {
+    val p = plan("embedding_drift")
+    assert(count(p, "embeddings.parquet") == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_reach: first-seen rollup + calendar window, bounded exchanges") {
+    val p = plan("events_reach")
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+    assert(p.contains("windowspecdefinition(event_type"), p)
+  }
+
+  test("orders_safety_stock: two rollups, no window, no join") {
+    val p = plan("orders_safety_stock")
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("except_all/intersect_all: multiset algebra plans as aggregates, not joins") {
+    val pe = plan("except_all")
+    assert(!pe.contains("SortMergeJoin") && !pe.contains("BroadcastHashJoin"),
+      s"EXCEPT ALL must lower to the count-annotated aggregate form:\n$pe")
+    val pi = plan("intersect_all")
+    assert(!pi.contains("SortMergeJoin") && !pi.contains("BroadcastHashJoin"), pi)
+  }
+
+  test("grouping_sets/unpivot: Expand and Generate lower as expected") {
+    assert(plan("grouping_sets").contains("Expand"), "GROUPING SETS lowers to Expand")
+    assert(plan("unpivot_segments").contains("Generate"), "stack() lowers to Generate")
+  }
+
+  test("privacy_kanon: one quasi-id aggregate chain") {
+    val p = plan("privacy_kanon")
+    assert(count(p, "customer.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("dedup_semantic: bucketed pair join stays equi; one cluster window") {
     val p = plan("dedup_semantic")
     // the n_members count shares the election window's partition, so the
