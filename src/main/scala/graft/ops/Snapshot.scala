@@ -135,6 +135,41 @@ object Snapshot {
     *
     * No reference analog — pipeline-extension layer.
     */
+  /** Coalesce overlapping-or-touching `[start, end]` intervals per key —
+    * the interval-algebra primitive behind CDC validity-window
+    * compaction, subscription/contract coverage, and uptime accounting.
+    * An interval joins the running span when its start is ≤ the maximum
+    * end seen so far (touching counts as connected — the half-open
+    * coverage reading). Returns one row per merged span:
+    * `(key, span_start, span_end, n_intervals)`.
+    *
+    * Scale shape: ONE key shuffle — the gaps-and-islands pair of windows
+    * (running max of end over earlier rows, then a cumulative new-island
+    * sum) and the final span rollup all share the key partitioning;
+    * Catalyst reuses the exchange exactly as in [[scd2]]. Works for any
+    * orderable start/end type (timestamps, dates, numerics).
+    */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(keyCol), col(startCol), col(endCol))
+      .withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(
+        min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(keyCol), col("span_start"), col("span_end"), col("n_intervals"))
+  }
+
   def scd2(
       log: DataFrame,
       keyCol: String,

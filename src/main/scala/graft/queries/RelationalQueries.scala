@@ -1818,6 +1818,25 @@ object RelationalQueries {
     agg.current("total_value", "n_events")
   }
 
+  /** Customer activity coverage: each order spans order date → last
+    * shipment; overlapping spans merge per customer
+    * ([[graft.ops.Snapshot.mergeIntervals]] — the gaps-and-islands
+    * interval coalesce, one key shuffle, exchange shared by both
+    * windows and the rollup).
+    */
+  val ordersCoverage: Q = (spark, dir) => {
+    val spans = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("e")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate").as("s"), col("e"))
+    Snapshot.mergeIntervals(spans, "o_custkey", "s", "e")
+      .select(col("o_custkey"),
+        date_format(col("span_start"), "yyyy-MM-dd HH:mm:ss").as("span_start"),
+        date_format(col("span_end"), "yyyy-MM-dd HH:mm:ss").as("span_end"),
+        col("n_intervals"))
+  }
+
   /** Bag-semantic EXCEPT ALL — the multiset counterpart of the engine's
     * set-semantic Difference parity op: duplicate part keys survive with
     * multiplicity `max(0, n_R − n_A)`. Spark plans this as one
@@ -2765,6 +2784,7 @@ object RelationalQueries {
     "view_hist_ivm" -> viewHistIvm,
     "events_reach" -> eventsReach,
     "except_all" -> exceptAll,
+    "orders_coverage" -> ordersCoverage,
     "intersect_all" -> intersectAll,
     "orders_safety_stock" -> ordersSafetyStock,
     "unpivot_segments" -> unpivotSegments,
@@ -3159,6 +3179,28 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "orders_coverage" ->
+      """WITH sp AS (
+        |  SELECT o_custkey, o_orderdate AS s, li.e
+        |  FROM orders JOIN (SELECT l_orderkey, max(l_shipdate) AS e
+        |                    FROM lineitem GROUP BY 1) li
+        |    ON o_orderkey = li.l_orderkey),
+        |m AS (
+        |  SELECT o_custkey, s, e,
+        |    max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM sp),
+        |i AS (
+        |  SELECT o_custkey, s, e,
+        |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey ORDER BY s, e
+        |        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m)
+        |SELECT o_custkey,
+        |  strftime(min(s), '%Y-%m-%d %H:%M:%S') AS span_start,
+        |  strftime(max(e), '%Y-%m-%d %H:%M:%S') AS span_end,
+        |  count(*) AS n_intervals
+        |FROM i GROUP BY o_custkey, island""".stripMargin,
     "except_all" ->
       """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
         |EXCEPT ALL

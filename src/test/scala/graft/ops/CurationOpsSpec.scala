@@ -757,6 +757,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, contained absorb, keys isolate") {
+    val df = Seq(
+      // key 1: [1,5] overlaps [3,8], [8,10] TOUCHES (8 == running max) →
+      // one span [1,10]; [20,22] is an island; [21,21] nests inside it
+      (1L, 1L, 5L), (1L, 3L, 8L), (1L, 8L, 10L), (1L, 20L, 22L), (1L, 21L, 21L),
+      // key 2: same numbers must not interact with key 1
+      (2L, 4L, 6L)
+    ).toDF("k", "s", "e")
+    val out = Snapshot.mergeIntervals(df, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10L, 3L), (1L, 20L, 22L, 2L), (2L, 4L, 6L, 1L)), out.toSeq)
+    val rep = Snapshot.mergeIntervals(df.repartition(5), "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(rep.toSeq == out.toSeq, "partitioning-invariant")
+    // a gap of one unit splits ([1,2] then [4,5]: 4 > 2)
+    val gap = Seq((1L, 1L, 2L), (1L, 4L, 5L)).toDF("k", "s", "e")
+    assert(Snapshot.mergeIntervals(gap, "k", "s", "e").count() == 2L)
+  }
+
   test("pairwiseJaccard: exact overlap, duplicate rows collapse, disjoint pairs absent") {
     val df = Seq(
       ("A", 1L), ("A", 2L), ("A", 3L), ("A", 2L), // duplicate (A,2) must not inflate
