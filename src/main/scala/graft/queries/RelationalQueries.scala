@@ -1818,6 +1818,53 @@ object RelationalQueries {
     agg.current("total_value", "n_events")
   }
 
+  /** Pre-join cardinality forecast: |A ⋈ B| on a key is EXACTLY
+    * Σₖ aₖ·bₖ over the two per-key count tables — the shuffle-size
+    * estimate computed WITHOUT running the join (key-vocabulary-sized
+    * motion only), plus the dominant key's contribution — the
+    * pre-flight check that decides broadcast vs salt vs proceed.
+    * Products and the sum ride DECIMAL(38) (a long product wraps at
+    * warehouse scale); ties on the top contributor break to the
+    * larger key on both engines.
+    */
+  val joinEstimate: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val a = Tables.eventsDf(spark, dir).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("na"))
+    val b = t(spark, dir, "orders").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("nb"))
+    a.join(b, Seq("k"))
+      .select(col("k"), (col("na").cast(d38) * col("nb").cast(d38)).as("prod"))
+      .agg(
+        count(lit(1)).as("n_shared_keys"),
+        sum(col("prod")).cast(d38).cast("double").as("est_rows"),
+        max(struct(col("prod"), col("k"))).as("__m"))
+      .select(col("n_shared_keys"), col("est_rows"),
+        col("__m.k").as("top_key"),
+        col("__m.prod").cast("double").as("top_rows"))
+  }
+
+  /** Char-mass weighted median length per source: the length at which
+    * half the corpus CHARACTERS lie below — the weighted-percentile
+    * primitive data-mixing reads (an unweighted median over-represents
+    * tiny documents). Exact long cumulative weights under the
+    * (length, id) total order; the crossing row's length is the lower
+    * weighted median.
+    */
+  val weightedMedian: Q = (spark, dir) => {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy("source")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("__cum", sum(col("n_chars")).over(w))
+      .withColumn("__tot", sum(col("n_chars")).over(tw))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col("source"))
+      .agg(max(col("__tot")).as("total_chars"),
+        min(col("n_chars")).as("char_mass_median"))
+  }
+
   /** Customer activity coverage: each order spans order date → last
     * shipment; overlapping spans merge per customer
     * ([[graft.ops.Snapshot.mergeIntervals]] — the gaps-and-islands
@@ -2785,6 +2832,8 @@ object RelationalQueries {
     "events_reach" -> eventsReach,
     "except_all" -> exceptAll,
     "orders_coverage" -> ordersCoverage,
+    "join_estimate" -> joinEstimate,
+    "weighted_median" -> weightedMedian,
     "intersect_all" -> intersectAll,
     "orders_safety_stock" -> ordersSafetyStock,
     "unpivot_segments" -> unpivotSegments,
@@ -3179,6 +3228,28 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "join_estimate" ->
+      """WITH a AS (SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1),
+        |b AS (SELECT o_custkey AS k, count(*) AS nb FROM orders GROUP BY 1),
+        |j AS (SELECT a.k, CAST(na AS HUGEINT) * nb AS prod FROM a JOIN b USING (k)),
+        |t AS (SELECT count(*) AS n_shared_keys,
+        |        CAST(CAST(CAST(SUM(prod) AS HUGEINT) AS VARCHAR) AS DOUBLE) AS est_rows
+        |      FROM j),
+        |top AS (SELECT k AS top_key,
+        |          CAST(CAST(prod AS VARCHAR) AS DOUBLE) AS top_rows
+        |        FROM j ORDER BY prod DESC, k DESC LIMIT 1)
+        |SELECT n_shared_keys, est_rows, top_key, top_rows
+        |FROM t CROSS JOIN top""".stripMargin,
+    "weighted_median" ->
+      """WITH c AS (
+        |  SELECT source, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS tot
+        |  FROM documents)
+        |SELECT source, CAST(MAX(tot) AS BIGINT) AS total_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS char_mass_median
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
     "orders_coverage" ->
       """WITH sp AS (
         |  SELECT o_custkey, o_orderdate AS s, li.e
