@@ -230,6 +230,30 @@ object Graph {
     * like [[pageRankExact]]'s: each label set is consumed exactly once, so
     * the fixpoint runs as one job. O(E) per round, node-sized state.
     */
+  def labelPropagate(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = undirected(edges)
+    val nbrs = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v"), col("u")))
+      .localCheckpoint(true)
+    var labels = nbrs.select(col("node")).distinct().withColumn("label", col("node"))
+    var i = 0
+    while (i < iterations) {
+      // max(struct(votes, -label)) = most votes, smallest label on ties.
+      // Node ids are non-negative here (undirected() long-casts user ids);
+      // negation cannot overflow for any id ≥ -Long.MaxValue.
+      labels = nbrs
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy("node", "label")
+        .agg(count(lit(1)).as("__votes"))
+        .groupBy("node")
+        .agg(max(struct(col("__votes"), (-col("label")).as("__nl"))).as("__best"))
+        .select(col("node"), (-col("__best.__nl")).as("label"))
+      i += 1
+    }
+    labels
+  }
+
   /** k-core decomposition by ITERATIVE PEELING: delete nodes of degree
     * < k (and their edges), repeat; what survives is the k-core — the
     * dense backbone behind spam-ring detection, community seeding, and
@@ -271,29 +295,5 @@ object Graph {
     }
     e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-  }
-
-  def labelPropagate(edges: DataFrame, iterations: Int): DataFrame = {
-    require(iterations >= 1, "need at least one iteration")
-    val e = undirected(edges)
-    val nbrs = e.select(col("u").as("node"), col("v").as("nbr"))
-      .union(e.select(col("v"), col("u")))
-      .localCheckpoint(true)
-    var labels = nbrs.select(col("node")).distinct().withColumn("label", col("node"))
-    var i = 0
-    while (i < iterations) {
-      // max(struct(votes, -label)) = most votes, smallest label on ties.
-      // Node ids are non-negative here (undirected() long-casts user ids);
-      // negation cannot overflow for any id ≥ -Long.MaxValue.
-      labels = nbrs
-        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
-        .groupBy("node", "label")
-        .agg(count(lit(1)).as("__votes"))
-        .groupBy("node")
-        .agg(max(struct(col("__votes"), (-col("label")).as("__nl"))).as("__best"))
-        .select(col("node"), (-col("__best.__nl")).as("label"))
-      i += 1
-    }
-    labels
   }
 }

@@ -55,23 +55,42 @@ object Similarity {
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
-    // stage per-vector norms on each side: computed once per row, not once
-    // per (query, neighbor) pair
-    val q = queries.select(
+      k: Int): DataFrame =
+    cosineTopK(corpus, queries, idCol, vecCol, k, labelCol = None)
+
+  /** Shared broadcast-anchors cosine-ranking core of [[bruteForceTopK]]
+    * and [[hardNegatives]]: per-vector norms staged once per row (not
+    * once per pair), queries broadcast, the corpus streams map-side,
+    * per-query ranking is one window over k·|Q| candidates. `labelCol`
+    * (when given) carries both labels through and adds the
+    * label-inequality to the join condition — one copy of the pipeline
+    * to keep normalization and tie-breaks in sync.
+    */
+  private def cosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      labelCol: Option[String]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(Seq(
       col(idCol).as("q_id"),
       col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_norm"))
-    val c = corpus.select(
+      l2Norm(col(vecCol)).as("q_norm")) ++
+      labelCol.map(l => col(l).as("q_label")): _*)
+    val c = corpus.select(Seq(
       col(idCol).as("n_id"),
       col(vecCol).as("n_vec"),
-      l2Norm(col(vecCol)).as("n_norm"))
-    val scored = c
-      .join(broadcast(q), col("q_id") =!= col("n_id"))
-      .select(
-        col("q_id"),
-        col("n_id"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
+      l2Norm(col(vecCol)).as("n_norm")) ++
+      labelCol.map(l => col(l).as("n_label")): _*)
+    val cond = labelCol.foldLeft(col("q_id") =!= col("n_id")) { (acc, _) =>
+      acc && col("q_label") =!= col("n_label")
+    }
+    val outCols = Seq(col("q_id")) ++ labelCol.map(_ => col("q_label")) ++
+      Seq(col("n_id")) ++ labelCol.map(_ => col("n_label")) ++
+      Seq((dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
+    val scored = c.join(broadcast(q), cond).select(outCols: _*)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -92,32 +111,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String,
-      k: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    val q = queries.select(
-      col(idCol).as("q_id"),
-      col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_norm"),
-      col(labelCol).as("q_label"))
-    val c = corpus.select(
-      col(idCol).as("n_id"),
-      col(vecCol).as("n_vec"),
-      l2Norm(col(vecCol)).as("n_norm"),
-      col(labelCol).as("n_label"))
-    val scored = c
-      .join(broadcast(q),
-        col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
-      .select(
-        col("q_id"),
-        col("q_label"),
-        col("n_id"),
-        col("n_label"),
-        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+      k: Int): DataFrame =
+    cosineTopK(corpus, queries, idCol, vecCol, k, labelCol = Some(labelCol))
 
   /** Look-alike audience expansion: rank every non-seed vector by cosine
     * similarity to the SEED SET'S CENTROID — the "find more users like
@@ -205,8 +200,10 @@ object Similarity {
       .join(grid(b, "__sb", "n_b"), Seq("label", "pos"))
       .groupBy(col("label"))
       .agg(
-        first(col("n_a")).as("n_a"),
-        first(col("n_b")).as("n_b"),
+        // max, not first: deterministic even on malformed ragged-length
+        // input (well-formed snapshots have identical counts on every pos)
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
         // cast BEFORE multiplying: a long×long grid-sum product wraps at
         // warehouse scale (sums grow with rows·2^20)
         sum(col("__sa").cast(d38) * col("__sb").cast(d38)).as("__dot"),
@@ -406,11 +403,15 @@ object Similarity {
     // construction, so collect it ONCE and fit driver-side ([[lloydFit]],
     // k-means++ seeded) — one Spark job total, where a distributed fit
     // pays ~10 job launches for microseconds of arithmetic per pass.
-    val draw = reservoirDraw(corpus.select(col(vecCol).as("vec")), trainTarget, seed)
+    val raw = reservoirDraw(corpus.select(col(vecCol).as("vec")), trainTarget, seed)
       .collect()
       .map(_.getSeq[Float](0))
-      .collect { case v if v != null => v.map(_.toDouble).toArray }
-    require(draw.nonEmpty, "cannot train an IVF quantizer on an empty corpus")
+      .filter(_ != null)
+    require(raw.nonEmpty, "cannot train an IVF quantizer on an empty corpus")
+    // pin the dimension to the first drawn vector and drop ragged strays —
+    // lloydFit indexes every point by the head's length (pqBuild's guard)
+    val dim = raw.head.length
+    val draw = raw.collect { case v if v.length == dim => v.map(_.toDouble).toArray }
     val centers = lloydFit(draw, nlist, iters = 10, seed = seed)
     IvfIndex(centers, assignCells(corpus, idCol, vecCol, centers))
   }

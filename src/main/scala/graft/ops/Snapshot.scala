@@ -135,6 +135,34 @@ object Snapshot {
     *
     * No reference analog — pipeline-extension layer.
     */
+  def scd2(
+      log: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    // run boundary: first observation of the key, or attr changed vs. the
+    // predecessor under the (ts, id) total order; <=> is null-safe so a
+    // null attribute forms runs like any other value
+    val boundary = when(row_number().over(byTime) === 1, 1L)
+      .when(!(col(attrCol) <=> lag(col(attrCol), 1).over(byTime)), 1L)
+      .otherwise(0L)
+    val runs = log
+      .select(col(keyCol), col(attrCol), col(tsCol), col(idCol))
+      .withColumn("__run", sum(boundary).over(byTime))
+      .groupBy(col(keyCol), col("__run"))
+      .agg(
+        first(col(attrCol)).as(attrCol), // constant within a run
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val byRun = Window.partitionBy(keyCol).orderBy(col("__run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__run")
+  }
+
   /** Coalesce overlapping-or-touching `[start, end]` intervals per key —
     * the interval-algebra primitive behind CDC validity-window
     * compaction, subscription/contract coverage, and uptime accounting.
@@ -168,33 +196,5 @@ object Snapshot {
         max(col(endCol)).as("span_end"),
         count(lit(1)).as("n_intervals"))
       .select(col(keyCol), col("span_start"), col("span_end"), col("n_intervals"))
-  }
-
-  def scd2(
-      log: DataFrame,
-      keyCol: String,
-      attrCol: String,
-      tsCol: String,
-      idCol: String): DataFrame = {
-    val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
-    // run boundary: first observation of the key, or attr changed vs. the
-    // predecessor under the (ts, id) total order; <=> is null-safe so a
-    // null attribute forms runs like any other value
-    val boundary = when(row_number().over(byTime) === 1, 1L)
-      .when(!(col(attrCol) <=> lag(col(attrCol), 1).over(byTime)), 1L)
-      .otherwise(0L)
-    val runs = log
-      .select(col(keyCol), col(attrCol), col(tsCol), col(idCol))
-      .withColumn("__run", sum(boundary).over(byTime))
-      .groupBy(col(keyCol), col("__run"))
-      .agg(
-        first(col(attrCol)).as(attrCol), // constant within a run
-        min(col(tsCol)).as("valid_from"),
-        count(lit(1)).as("n_obs"))
-    val byRun = Window.partitionBy(keyCol).orderBy(col("__run"))
-    runs
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
-      .withColumn("is_current", col("valid_to").isNull)
-      .drop("__run")
   }
 }

@@ -190,15 +190,16 @@ object PipelineQueries {
        |m AS (
        |  SELECT source, b,
        |    CASE WHEN SUM(wt) = 0 THEN NULL
-       |         ELSE CAST(SUM(CAST(wt AS HUGEINT) * n_chars) AS DOUBLE)
-       |              / CAST(SUM(CAST(wt AS HUGEINT)) AS DOUBLE) END AS mb
+       |         ELSE CAST(CAST(SUM(CAST(wt AS HUGEINT) * n_chars) AS VARCHAR) AS DOUBLE)
+       |              / CAST(CAST(SUM(CAST(wt AS HUGEINT)) AS VARCHAR) AS DOUBLE) END AS mb
        |  FROM w GROUP BY 1, 2),
        |l AS (
        |  SELECT source, list(mb ORDER BY mb) FILTER (WHERE mb IS NOT NULL) AS lst
        |  FROM m GROUP BY 1),
        |p AS (
        |  SELECT source, count(*) AS n_rows,
-       |    CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) / count(*) AS mean
+       |    CAST(CAST(SUM(CAST(n_chars AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |      / count(*) AS mean
        |  FROM documents GROUP BY 1)
        |SELECT p.source, p.n_rows, p.mean,
        |  l.lst[GREATEST(1, CAST(floor($lo * len(l.lst)) AS INT))] AS ci_lo,
@@ -2546,25 +2547,23 @@ object PipelineQueries {
         |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS gv
         |  FROM embeddings),
-        |ea AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sa
+        |ea AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sa, count(*) AS ca
         |       FROM (SELECT label, unnest(gv) AS v, generate_subscripts(gv, 1) AS pos
         |             FROM g WHERE vec_id % 2 = 0) GROUP BY 1, 2),
-        |eb AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sb
+        |eb AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sb, count(*) AS cb
         |       FROM (SELECT label, unnest(gv) AS v, generate_subscripts(gv, 1) AS pos
-        |             FROM g WHERE vec_id % 2 = 1) GROUP BY 1, 2),
-        |na AS (SELECT label, count(*) AS n_a FROM g WHERE vec_id % 2 = 0 GROUP BY 1),
-        |nb AS (SELECT label, count(*) AS n_b FROM g WHERE vec_id % 2 = 1 GROUP BY 1),
-        |j AS (SELECT ea.label,
-        |        SUM(CAST(sa AS HUGEINT) * sb) AS dot,
-        |        SUM(CAST(sa AS HUGEINT) * sa) AS na2,
-        |        SUM(CAST(sb AS HUGEINT) * sb) AS nb2
-        |      FROM ea JOIN eb ON ea.label = eb.label AND ea.pos = eb.pos GROUP BY 1)
-        |SELECT j.label, na.n_a, nb.n_b,
-        |  CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
-        |       ELSE CAST(CAST(dot AS VARCHAR) AS DOUBLE)
-        |            / (sqrt(CAST(CAST(na2 AS VARCHAR) AS DOUBLE))
-        |               * sqrt(CAST(CAST(nb2 AS VARCHAR) AS DOUBLE))) END AS cos_centroid
-        |FROM j JOIN na ON j.label = na.label JOIN nb ON j.label = nb.label""".stripMargin,
+        |             FROM g WHERE vec_id % 2 = 1) GROUP BY 1, 2)
+        |SELECT ea.label,
+        |  CAST(MAX(ca) AS BIGINT) AS n_a,
+        |  CAST(MAX(cb) AS BIGINT) AS n_b,
+        |  CASE WHEN SUM(CAST(sa AS HUGEINT) * sa) = 0
+        |         OR SUM(CAST(sb AS HUGEINT) * sb) = 0 THEN NULL
+        |       ELSE CAST(CAST(SUM(CAST(sa AS HUGEINT) * sb) AS VARCHAR) AS DOUBLE)
+        |            / (sqrt(CAST(CAST(SUM(CAST(sa AS HUGEINT) * sa) AS VARCHAR) AS DOUBLE))
+        |               * sqrt(CAST(CAST(SUM(CAST(sb AS HUGEINT) * sb) AS VARCHAR) AS DOUBLE)))
+        |  END AS cos_centroid
+        |FROM ea JOIN eb ON ea.label = eb.label AND ea.pos = eb.pos
+        |GROUP BY 1""".stripMargin,
     "knn_hardneg" ->
       """WITH s AS (
         |  SELECT q.vec_id AS q_id, q.label AS q_label,

@@ -1842,6 +1842,9 @@ object RelationalQueries {
       .select(col("n_shared_keys"), col("est_rows"),
         col("__m.k").as("top_key"),
         col("__m.prod").cast("double").as("top_rows"))
+      // disjoint key sets: drop the all-null aggregate row so both engines
+      // agree on ZERO rows (the oracle's LIMIT-1 top CTE is empty there)
+      .filter(col("n_shared_keys") > 0)
   }
 
   /** Char-mass weighted median length per source: the length at which
@@ -1855,7 +1858,7 @@ object RelationalQueries {
     val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tw = Window.partitionBy("source")
-    spark.read.parquet(s"$dir/documents.parquet")
+    t(spark, dir, "documents")
       .select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("__cum", sum(col("n_chars")).over(w))
       .withColumn("__tot", sum(col("n_chars")).over(tw))
@@ -1944,7 +1947,8 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("n_days"),
         sum(col("__q")).as("__s"),
-        sum((col("__q") * col("__q")).cast(d38)).as("__s2"))
+        // cast BEFORE multiplying — a long square wraps past ~3e9/day
+        sum(col("__q").cast(d38) * col("__q").cast(d38)).as("__s2"))
       .filter(col("n_days") >= 2)
       .select(
         col("l_partkey"),
