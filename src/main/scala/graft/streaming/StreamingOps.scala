@@ -323,6 +323,37 @@ object StreamingOps {
       }
   }
 
+  final case class TypeUser(event_type: String, user_id: Long, ts_ns: Long)
+  final case class FirstSeen(event_type: String, user_id: Long, first_ns: Long)
+
+  /** Streaming counterpart of the batch reach curve (`events_reach`): a
+    * user's FIRST sighting per event type emits exactly once, so counting
+    * emissions per (type, window) downstream IS the incremental
+    * distinct-user reach — no running-distinct state anywhere. Keyed
+    * state is one long per live (type, user) pair, the minimum any exact
+    * reach needs.
+    *
+    * Same ordering contract as [[funnelStateful]]: the emitted first-seen
+    * time equals the batch `min(ts)` whenever each pair's events arrive
+    * time-ordered across batches (the log-stream case, spec-pinned); a
+    * late earlier sighting is not retracted.
+    */
+  def reachStream(events: Dataset[TypeUser]): Dataset[FirstSeen] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.user_id))
+      .flatMapGroupsWithState[Long, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: (String, Long), batch: Iterator[TypeUser], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = batch.map(_.ts_ns).min
+            state.update(first)
+            Iterator.single(FirstSeen(k._1, k._2, first))
+          }
+      }
+  }
+
   final case class IdEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
 
   /** Stateful streaming counterpart of [[graft.ops.Funnel.debounce]]: per

@@ -431,6 +431,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch && got(1L)._1 == "reach me: <EMAIL>")
   }
 
+  test("streaming reach ≡ batch first-seen; re-sightings emit nothing across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      StreamingOps.TypeUser("view", 1L, 100L),
+      StreamingOps.TypeUser("view", 1L, 90L),  // same batch: min wins
+      StreamingOps.TypeUser("view", 2L, 200L),
+      StreamingOps.TypeUser("click", 1L, 150L),
+      // second batch: user 1 re-sighted (no emission), user 3 new
+      StreamingOps.TypeUser("view", 1L, 300L),
+      StreamingOps.TypeUser("view", 3L, 400L))
+    val stream = MemoryStream[StreamingOps.TypeUser]
+    val q = StreamingOps.reachStream(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("reach").start()
+    stream.addData(evs.take(4): _*)
+    q.processAllAvailable()
+    stream.addData(evs.drop(4): _*)
+    q.processAllAvailable()
+    val got = spark.table("reach").as[StreamingOps.FirstSeen].collect()
+      .map(f => (f.event_type, f.user_id) -> f.first_ns).toMap
+    q.stop()
+    assert(got == Map(
+      ("view", 1L) -> 90L, ("view", 2L) -> 200L,
+      ("click", 1L) -> 150L, ("view", 3L) -> 400L), got)
+    // exactly the batch first-seen table on this time-ordered stream
+    val batch = evs.map(e => (e.event_type, e.user_id, e.ts_ns))
+      .toDF("t", "u", "ts").groupBy("t", "u").agg(min(col("ts")).as("f"))
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == batch)
+  }
+
   private implicit class Tup3Ops(rows: Array[(Long, String, String)]) {
     def toMap2: Map[Long, (String, String)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
