@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact order statistics over an unbounded long domain WITHOUT a global
+  * sort and WITHOUT assuming a bounded value grid — the distributed
+  * SELECTION algorithm: each pass histograms the surviving value range
+  * into `fanout` buckets with one map-side aggregate, descends into the
+  * bucket containing the target rank, and finishes with an exact
+  * value-vocabulary count once the range collapses. `log_fanout(range)`
+  * passes total (4 passes cover the full 2^63 domain at fanout 256);
+  * driver state is two longs and a rank.
+  *
+  * This complements the grid-histogram quantiles ([[Outliers]], the
+  * percentile queries): those are one-pass but need a value grid chosen
+  * up front; selection needs no prior knowledge of the distribution and
+  * is still exact on adversarial ranges.
+  */
+object Selection {
+
+  /** The value at 1-based rank `ceil(q·n)` of the ascending order (the
+    * lower quantile; q→0 gives the minimum, q=1 the maximum) for each
+    * requested q. Returns `(q, n_rows, value)` — one row per q, null
+    * value when the input is empty. Nulls in the column are excluded
+    * from ranking (SQL quantile semantics).
+    *
+    * The projected long column is pinned once (localCheckpoint — one
+    * column of the input, the multi-pass descent then never re-derives
+    * the caller's plan); each descent pass is one partial-agg'd scan of
+    * that column. All range arithmetic is BigInt on the driver and
+    * subtraction-safe in the plan (the first pass splits at 0 when the
+    * raw range would overflow a long).
+    */
+  def quantileSelect(
+      df: DataFrame,
+      valueCol: Column,
+      qs: Seq[Double],
+      fanout: Int = 256,
+      finishAt: Long = 65536L): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0,1], got $qs")
+    require(fanout >= 2 && finishAt >= 2, s"need fanout >= 2 and finishAt >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(true)
+    val n = base.count()
+    if (n == 0L) {
+      return qs.map(q => (q, 0L, Option.empty[Long])).toDF("q", "n_rows", "value")
+    }
+    val bounds = base.agg(min(col("v")), max(col("v"))).head()
+    val (gMin, gMax) = (bounds.getLong(0), bounds.getLong(1))
+
+    // rank-k value within [lo, hi], where k is 1-based among rows in range
+    @annotation.tailrec
+    def descend(lo: Long, hi: Long, k: Long): Long = {
+      val range = BigInt(hi) - BigInt(lo)
+      if (range <= BigInt(finishAt)) {
+        // exact finish: vocabulary-sized counts, walked on the driver
+        val counts = base.filter(col("v") >= lo && col("v") <= hi)
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .orderBy(col("v"))
+          .as[(Long, Long)].collect()
+        var rem = k
+        var i = 0
+        while (i < counts.length && rem > counts(i)._2) { rem -= counts(i)._2; i += 1 }
+        counts(i)._1
+      } else if (lo < 0L && hi > 0L && range > BigInt(Long.MaxValue) / 2) {
+        // raw range would overflow (v - lo): split at zero first
+        val neg = base.filter(col("v") >= lo && col("v") < 0L).count()
+        if (k <= neg) descend(lo, -1L, k) else descend(0L, hi, k - neg)
+      } else {
+        val width = (range / fanout + 1).toLong // (v-lo) DIV width < fanout+1, safe
+        // integer DIV, not `/`: Spark's Column `/` is DOUBLE division,
+        // which loses low bits at 2^63 scale and mis-buckets edge values
+        val hist = base.filter(col("v") >= lo && col("v") <= hi)
+          .groupBy(expr(s"(v - ${lo}L) DIV ${width}L").cast("int").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("b"))
+          .as[(Int, Long)].collect()
+        var rem = k
+        var i = 0
+        while (i < hist.length && rem > hist(i)._2) { rem -= hist(i)._2; i += 1 }
+        val b = hist(i)._1.toLong
+        val lo2 = lo + b * width
+        val hi2 = math.min(hi, lo2 + width - 1)
+        descend(lo2, hi2, rem)
+      }
+    }
+
+    val out = qs.map { q =>
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      (q, n, Option(descend(gMin, gMax, k)))
+    }
+    out.toDF("q", "n_rows", "value")
+  }
+}

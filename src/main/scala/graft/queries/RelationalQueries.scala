@@ -1818,6 +1818,17 @@ object RelationalQueries {
     agg.current("total_value", "n_events")
   }
 
+  /** Exact p50/p90/p99 of order value in cents by DISTRIBUTED SELECTION
+    * ([[graft.ops.Selection.quantileSelect]]): bucket-descent passes,
+    * no sort, no pre-chosen value grid — the arbitrary-domain exact
+    * quantile; the oracle replays the rank definition over a full sort.
+    */
+  val quantileSelectQ: Q = (spark, dir) =>
+    graft.ops.Selection.quantileSelect(
+      t(spark, dir, "orders"),
+      (dec(col("o_totalprice"), 2) * 100).cast("long"),
+      Seq(0.5, 0.9, 0.99))
+
   /** Pre-join cardinality forecast: |A ⋈ B| on a key is EXACTLY
     * Σₖ aₖ·bₖ over the two per-key count tables — the shuffle-size
     * estimate computed WITHOUT running the join (key-vocabulary-sized
@@ -2837,6 +2848,7 @@ object RelationalQueries {
     "except_all" -> exceptAll,
     "orders_coverage" -> ordersCoverage,
     "join_estimate" -> joinEstimate,
+    "quantile_select" -> quantileSelectQ,
     "weighted_median" -> weightedMedian,
     "intersect_all" -> intersectAll,
     "orders_safety_stock" -> ordersSafetyStock,
@@ -3232,6 +3244,19 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "quantile_select" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |           FROM orders),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |        count(*) OVER () AS n FROM o)
+        |SELECT CAST(0.5 AS DOUBLE) AS q, n AS n_rows, v AS value FROM r
+        |WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(0.9 AS DOUBLE), n, v FROM r
+        |WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(0.99 AS DOUBLE), n, v FROM r
+        |WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)""".stripMargin,
     "join_estimate" ->
       """WITH a AS (SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1),
         |b AS (SELECT o_custkey AS k, count(*) AS nb FROM orders GROUP BY 1),

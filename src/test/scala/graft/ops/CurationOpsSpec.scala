@@ -757,6 +757,47 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("quantileSelect: matches sort ranks with ties/negatives; empty; overflow-wide ranges") {
+    val vs = Seq(5L, -3L, 5L, 0L, 100L, -3L, 7L, Long.MaxValue / 3, 2L)
+    val out = Selection.quantileSelect(vs.toDF("x"), col("x"),
+      Seq(0.0, 0.5, 1.0), fanout = 4, finishAt = 4)
+      .as[(Double, Long, Option[Long])].collect().map(r => r._1 -> r._3.get).toMap
+    val sorted = vs.sorted
+    def ref(q: Double) = sorted(math.max(1L, math.ceil(q * vs.size).toLong).toInt - 1)
+    assert(out(0.0) == ref(0.0) && out(0.5) == ref(0.5) && out(1.0) == ref(1.0), out)
+    // empty input: one null-valued row per q, n_rows 0
+    val e = Selection.quantileSelect(
+      vs.toDF("x").filter(col("x") > Long.MaxValue - 5), col("x"), Seq(0.5))
+      .as[(Double, Long, Option[Long])].collect()
+    assert(e.toSeq == Seq((0.5, 0L, None)))
+    // a mixed-sign range wider than Long exercises the zero-split guard
+    val wide = Seq(Long.MinValue + 10, -5L, 3L, Long.MaxValue - 10)
+    val w = Selection.quantileSelect(wide.toDF("x"), col("x"),
+      Seq(0.25, 0.5, 0.75, 1.0), fanout = 8, finishAt = 8)
+      .as[(Double, Long, Option[Long])].collect().map(r => r._1 -> r._3.get).toMap
+    assert(w(0.25) == Long.MinValue + 10 && w(0.5) == -5L &&
+      w(0.75) == 3L && w(1.0) == Long.MaxValue - 10, w)
+    intercept[IllegalArgumentException] {
+      Selection.quantileSelect(vs.toDF("x"), col("x"), Seq(1.5))
+    }
+  }
+
+  test("property: quantileSelect equals the sorted reference on random longs") {
+    import org.scalacheck.{Gen, Prop}
+    val genVals = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)).map(_.take(30))
+    val genQ = Gen.chooseNum(0.0, 1.0)
+    val prop = Prop.forAll(genVals, genQ) { (vals: List[Long], q: Double) =>
+      val got = Selection.quantileSelect(vals.toDF("x"), col("x"), Seq(q),
+        fanout = 4, finishAt = 8)
+        .as[(Double, Long, Option[Long])].collect().head._3.get
+      val sorted = vals.sorted
+      got == sorted(math.max(1L, math.ceil(q * vals.size).toLong).toInt - 1)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, contained absorb, keys isolate") {
     val df = Seq(
       // key 1: [1,5] overlaps [3,8], [8,10] TOUCHES (8 == running max) →
