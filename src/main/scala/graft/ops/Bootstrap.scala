@@ -70,34 +70,65 @@ object Bootstrap {
       valueCol: Column,
       replicas: Int = 64,
       alpha: Double = 0.05,
-      salt: String = "boot"): DataFrame = {
+      salt: String = "boot"): DataFrame =
+    ratioCI(df, groupCol, idCol, valueCol, lit(1L), replicas, alpha, salt,
+      pointAs = "mean")
+
+  /** Percentile-bootstrap CI for a per-group RATIO of sums
+    * `Σ num / Σ den` — the metric shape (revenue per order, clicks per
+    * session, price per unit) whose variance has no closed per-row form,
+    * which is exactly what the bootstrap is FOR. [[meanCI]] is the
+    * `den = 1` special case; same one-pass replica motion, same order
+    * statistics, numerator and denominator drawn with the SAME weights
+    * (within-row correlation preserved — resampling them independently
+    * would be wrong). A replica whose denominator draw is zero drops out
+    * of the order statistics, like meanCI's zero-weight replicas.
+    */
+  def ratioCI(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      numCol: Column,
+      denCol: Column,
+      replicas: Int = 64,
+      alpha: Double = 0.05,
+      salt: String = "boot",
+      pointAs: String = "ratio"): DataFrame = {
     require(replicas >= 8 && replicas <= 256, s"need 8 <= replicas <= 256, got $replicas")
     require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
     val d38 = DecimalType(38, 0)
-    val v = valueCol.cast("long")
+    val x = numCol.cast("long")
+    val y = denCol.cast("long")
     val repAggs = (0 until replicas).flatMap { b =>
       val w = poissonWeight(col(idCol), b, salt)
       Seq(
-        sum((w * v).cast(d38)).as(s"__s$b"),
-        sum(w.cast(d38)).as(s"__c$b"))
+        sum((w * x).cast(d38)).as(s"__s$b"),
+        sum((w * y).cast(d38)).as(s"__c$b"))
     }
     val aggs = Seq(
       count(lit(1)).as("n_rows"),
-      sum(v.cast(d38)).as("__tv")) ++ repAggs
+      sum(x.cast(d38)).as("__tx"),
+      sum(y.cast(d38)).as("__ty")) ++ repAggs
     val base = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-    val means = array((0 until replicas).map { b =>
+    val ratios = array((0 until replicas).map { b =>
       when(col(s"__c$b") === 0, lit(null).cast("double"))
         .otherwise(col(s"__s$b").cast("double") / col(s"__c$b").cast("double"))
     }: _*)
-    val sorted = array_sort(filter(means, m => m.isNotNull))
+    val sorted = array_sort(filter(ratios, r => r.isNotNull))
     val n = size(sorted)
     val loIdx = greatest(lit(1), floor(lit(alpha / 2) * n).cast("int"))
     val hiIdx = least(n, ceil(lit(1.0 - alpha / 2) * n).cast("int"))
+    // every replica can drop out (an all-zero denominator group): the
+    // interval is undefined there — null, not an ANSI index error
+    def pick(idx: Column) =
+      when(n === 0, lit(null).cast("double")).otherwise(element_at(sorted, idx))
     base.select(
       col(groupCol),
       col("n_rows"),
-      (col("__tv").cast("double") / col("n_rows")).as("mean"),
-      element_at(sorted, loIdx).as("ci_lo"),
-      element_at(sorted, hiIdx).as("ci_hi"))
+      when(col("__ty") === 0, lit(null).cast("double"))
+        .otherwise(col("__tx").cast("double") / col("__ty").cast("double"))
+        .as(pointAs),
+      pick(loIdx).as("ci_lo"),
+      pick(hiIdx).as("ci_hi"))
   }
 }

@@ -149,6 +149,60 @@ object PipelineQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
   }
 
+  /** Poisson-bootstrap 95% CI of price-per-unit (Σ cents / Σ quantity)
+    * per return flag ([[graft.ops.Bootstrap.ratioCI]]) — the RATIO
+    * metric whose variance has no closed per-row form, drawn with the
+    * SAME weights on numerator and denominator (within-row correlation
+    * preserved). Line id = 8·orderkey + linenumber (linenumber ≤ 7).
+    */
+  val metricBootstrapRatio: Q = (spark, dir) =>
+    graft.ops.Bootstrap.ratioCI(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("__id", col("l_orderkey") * 8 + col("l_linenumber")),
+      "l_returnflag", "__id",
+      (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long"),
+      col("l_quantity"),
+      replicas = 48, salt = "ratio")
+
+  /** Builds the metric_bootstrap_ratio oracle — the meanCI pattern with
+    * weighted numerator AND denominator sums per replica.
+    */
+  private def metricBootstrapRatioOracle: String = {
+    val wcase = graft.ops.Bootstrap.poissonWeightSql(
+      "substring(md5('ratio_' || CAST(b AS VARCHAR) || '_' || " +
+        "CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 8)")
+    val lo = 0.05 / 2
+    val hi = 1.0 - 0.05 / 2
+    s"""WITH r AS (SELECT range AS b FROM range(0, 48)),
+       |w AS (
+       |  SELECT l_returnflag AS g, r.b, ($wcase) AS wt,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+       |    CAST(l_quantity AS BIGINT) AS y
+       |  FROM lineitem CROSS JOIN r),
+       |m AS (
+       |  SELECT g, b,
+       |    CASE WHEN SUM(CAST(wt AS HUGEINT) * y) = 0 THEN NULL
+       |         ELSE CAST(CAST(SUM(CAST(wt AS HUGEINT) * x) AS VARCHAR) AS DOUBLE)
+       |              / CAST(CAST(SUM(CAST(wt AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+       |    END AS rb
+       |  FROM w GROUP BY 1, 2),
+       |l AS (
+       |  SELECT g, list(rb ORDER BY rb) FILTER (WHERE rb IS NOT NULL) AS lst
+       |  FROM m GROUP BY 1),
+       |p AS (
+       |  SELECT l_returnflag AS g, count(*) AS n_rows,
+       |    CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |          AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |      AS ratio
+       |  FROM lineitem GROUP BY 1)
+       |SELECT p.g AS l_returnflag, p.n_rows, p.ratio,
+       |  l.lst[GREATEST(1, CAST(floor($lo * len(l.lst)) AS INT))] AS ci_lo,
+       |  l.lst[LEAST(len(l.lst), CAST(ceil($hi * len(l.lst)) AS INT))] AS ci_hi
+       |FROM p JOIN l ON p.g = l.g""".stripMargin
+  }
+
   /** Per-label centroid drift between the even- and odd-id halves of
     * the embedding corpus ([[graft.ops.Similarity.centroidDrift]]) —
     * the "did the encoder move between crawls" probe. Synthetic halves
@@ -1688,6 +1742,7 @@ object PipelineQueries {
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
     "metric_bootstrap" -> metricBootstrap,
+    "metric_bootstrap_ratio" -> metricBootstrapRatio,
     "embedding_drift" -> embeddingDrift,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_dedup" -> multimodalDedup,
@@ -2542,6 +2597,7 @@ object PipelineQueries {
       "SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
     "embedding_pca" -> embeddingPcaOracle,
     "metric_bootstrap" -> metricBootstrapOracle,
+    "metric_bootstrap_ratio" -> metricBootstrapRatioOracle,
     "embedding_drift" ->
       """WITH g AS (
         |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),

@@ -886,6 +886,21 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap ratioCI: brackets the ratio; zero denominator yields null point") {
+    val df = (1 to 300)
+      .map(i => ("g", i.toLong, (i % 7 + 1).toLong * 10, (i % 7 + 1).toLong))
+      .toDF("src", "id", "x", "y")
+    val out = Bootstrap.ratioCI(df, "src", "id", col("x"), col("y"), replicas = 32)
+      .as[(String, Long, Option[Double], Double, Double)].collect().head
+    // x = 10·y row-wise → the ratio and every replica ratio are exactly 10
+    assert(out._3.contains(10.0) && out._4 == 10.0 && out._5 == 10.0)
+    val zeroDen = (1 to 40).map(i => ("z", i.toLong, 5L, 0L)).toDF("src", "id", "x", "y")
+    val z = Bootstrap.ratioCI(zeroDen, "src", "id", col("x"), col("y"), replicas = 32)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])].collect().head
+    assert(z._3.isEmpty && z._4.isEmpty && z._5.isEmpty,
+      "an all-zero denominator must yield nulls, not NaN/Infinity")
+  }
+
   test("keyReport: exact counts, ppm shares, deterministic rank under ties") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
       .toDF("k")
