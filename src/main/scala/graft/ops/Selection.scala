@@ -96,4 +96,106 @@ object Selection {
     }
     out.toDF("q", "n_rows", "value")
   }
+
+  /** Per-GROUP exact quantile by SIMULTANEOUS bucket descent: every
+    * unfinished group advances one level per pass, so the total pass
+    * count is `log_fanout(max group range)` — NOT groups × passes. Each
+    * pass is one aggregate over (group, bucket) against a broadcast
+    * bounds dim carrying every group's surviving `[lo, width]`; driver
+    * state is three longs per group. Returns `(group, n_rows, value)`
+    * with the same rank-`ceil(q·n)` semantics as [[quantileSelect]].
+    *
+    * Contract: the GROUP VOCABULARY is driver-sized (the per-group
+    * bounds and the final ≤`finishAt`-wide value counts collect — the
+    * same justified pull as every groups-sized report in this library);
+    * the VALUE domain is unbounded, which is the op's point.
+    */
+  def groupedQuantileSelect(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      q: Double,
+      fanout: Int = 256,
+      finishAt: Long = 4096L): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must lie in [0,1], got $q")
+    require(fanout >= 2 && finishAt >= 2, s"need fanout >= 2 and finishAt >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+      .localCheckpoint(true)
+    // (g, lo, hi, k): k = 1-based rank of the target among rows in [lo, hi]
+    var state: Map[String, (Long, Long, Long)] = base
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, n, lo, hi) =>
+        g -> (lo, hi, math.max(1L, math.ceil(q * n).toLong))
+      }.toMap
+    val nRows = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    def rangeOf(lo: Long, hi: Long) = BigInt(hi) - BigInt(lo)
+    def widthOf(lo: Long, hi: Long) = (rangeOf(lo, hi) / fanout + 1).toLong
+
+    var active = state.filter { case (_, (lo, hi, _)) => rangeOf(lo, hi) > BigInt(finishAt) }
+    while (active.nonEmpty) {
+      // mixed-sign over-wide ranges: resolve each with one negative count
+      // (groups hitting this are rare — adversarial full-domain data)
+      val (wide, normal) = active.partition { case (_, (lo, hi, _)) =>
+        lo < 0L && hi > 0L && rangeOf(lo, hi) > BigInt(Long.MaxValue) / 2
+      }
+      if (wide.nonEmpty) {
+        val negCounts = base
+          .join(broadcast(wide.keys.toSeq.toDF("g")), Seq("g"), "left_semi")
+          .filter(col("v") < 0L)
+          .groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .as[(String, Long)].collect().toMap
+        wide.foreach { case (g, (lo, hi, k)) =>
+          val neg = negCounts.getOrElse(g, 0L)
+          state += (g -> (if (k <= neg) (lo, -1L, k) else (0L, hi, k - neg)))
+        }
+      }
+      if (normal.nonEmpty) {
+        val dim = normal.toSeq.map { case (g, (lo, hi, _)) =>
+          (g, lo, hi, widthOf(lo, hi))
+        }.toDF("g", "__lo", "__hi", "__w")
+        val hist = base
+          .join(broadcast(dim), Seq("g"))
+          .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
+          .groupBy(col("g"), expr("(v - __lo) DIV __w").cast("int").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .as[(String, Int, Long)].collect()
+          .groupBy(_._1)
+        normal.foreach { case (g, (lo, hi, k)) =>
+          val buckets = hist(g).sortBy(_._2)
+          var rem = k
+          var i = 0
+          while (i < buckets.length && rem > buckets(i)._3) { rem -= buckets(i)._3; i += 1 }
+          val b = buckets(i)._2.toLong
+          val w = widthOf(lo, hi)
+          val lo2 = lo + b * w
+          state += (g -> (lo2, math.min(hi, lo2 + w - 1), rem))
+        }
+      }
+      active = state.filter { case (_, (lo, hi, _)) => rangeOf(lo, hi) > BigInt(finishAt) }
+    }
+    // one finishing pass for every group: value counts within the
+    // collapsed ranges, walked on the driver
+    val dimF = state.toSeq.map { case (g, (lo, hi, _)) => (g, lo, hi) }
+      .toDF("g", "__lo", "__hi")
+    val finals = base
+      .join(broadcast(dimF), Seq("g"))
+      .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    val out = state.toSeq.map { case (g, (_, _, k)) =>
+      val counts = finals(g).sortBy(_._2)
+      var rem = k
+      var i = 0
+      while (i < counts.length && rem > counts(i)._3) { rem -= counts(i)._3; i += 1 }
+      (g, nRows(g), counts(i)._2)
+    }
+    out.toDF(groupCol, "n_rows", "value")
+  }
 }

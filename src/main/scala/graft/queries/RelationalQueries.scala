@@ -1829,6 +1829,16 @@ object RelationalQueries {
       (dec(col("o_totalprice"), 2) * 100).cast("long"),
       Seq(0.5, 0.9, 0.99))
 
+  /** Exact per-priority p90 of order cents by SIMULTANEOUS grouped
+    * bucket descent ([[graft.ops.Selection.groupedQuantileSelect]]):
+    * every group advances one level per pass — log(range) passes total,
+    * not groups × passes.
+    */
+  val quantileSelectGrouped: Q = (spark, dir) =>
+    graft.ops.Selection.groupedQuantileSelect(
+      t(spark, dir, "orders"), "o_orderpriority",
+      (dec(col("o_totalprice"), 2) * 100).cast("long"), q = 0.9)
+
   /** Pre-join cardinality forecast: |A ⋈ B| on a key is EXACTLY
     * Σₖ aₖ·bₖ over the two per-key count tables — the shuffle-size
     * estimate computed WITHOUT running the join (key-vocabulary-sized
@@ -2849,6 +2859,7 @@ object RelationalQueries {
     "orders_coverage" -> ordersCoverage,
     "join_estimate" -> joinEstimate,
     "quantile_select" -> quantileSelectQ,
+    "quantile_select_grouped" -> quantileSelectGrouped,
     "weighted_median" -> weightedMedian,
     "intersect_all" -> intersectAll,
     "orders_safety_stock" -> ordersSafetyStock,
@@ -3250,13 +3261,24 @@ object RelationalQueries {
         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
         |        count(*) OVER () AS n FROM o)
         |SELECT CAST(0.5 AS DOUBLE) AS q, n AS n_rows, v AS value FROM r
-        |WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |WHERE rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
         |UNION ALL
         |SELECT CAST(0.9 AS DOUBLE), n, v FROM r
-        |WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |WHERE rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
         |UNION ALL
         |SELECT CAST(0.99 AS DOUBLE), n, v FROM r
-        |WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)""".stripMargin,
+        |WHERE rn = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT)""".stripMargin,
+    "quantile_select_grouped" ->
+      // the rank multiplier is forced DOUBLE: DuckDB's bare 0.9 is an
+      // exact DECIMAL whose product rounds differently from the Scala
+      // double ceil(q*n) (0.9's double rounds UP)
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |      FROM orders),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n FROM o)
+        |SELECT g AS o_orderpriority, n AS n_rows, v AS value FROM r
+        |WHERE rn = GREATEST(1, CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT))""".stripMargin,
     "join_estimate" ->
       """WITH a AS (SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1),
         |b AS (SELECT o_custkey AS k, count(*) AS nb FROM orders GROUP BY 1),

@@ -782,6 +782,28 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedQuantileSelect: per-group sorted reference; disparate ranges; constants") {
+    val rows = (1 to 50).map(i => ("a", (i % 11).toLong)) ++      // small range, ties
+      (1 to 30).map(i => ("b", i.toLong * 1000000000L)) ++        // wide range
+      (1 to 9).map(_ => ("c", 42L))                               // constant group
+    val df = rows.toDF("g", "x")
+    for (q <- Seq(0.0, 0.5, 0.9, 1.0)) {
+      val got = Selection.groupedQuantileSelect(df, "g", col("x"), q,
+        fanout = 4, finishAt = 8)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      rows.groupBy(_._1).foreach { case (g, gs) =>
+        val sorted = gs.map(_._2).sorted
+        val k = math.max(1L, math.ceil(q * sorted.size).toLong).toInt
+        assert(got(g) == (sorted.size.toLong, sorted(k - 1)), s"group $g q=$q")
+      }
+    }
+    val rep = Selection.groupedQuantileSelect(df.repartition(7), "g", col("x"), 0.5,
+      fanout = 4, finishAt = 8).as[(String, Long, Long)].collect().toSet
+    assert(rep == Selection.groupedQuantileSelect(df, "g", col("x"), 0.5,
+      fanout = 4, finishAt = 8).as[(String, Long, Long)].collect().toSet,
+      "partitioning-invariant")
+  }
+
   test("property: quantileSelect equals the sorted reference on random longs") {
     import org.scalacheck.{Gen, Prop}
     val genVals = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)).map(_.take(30))
