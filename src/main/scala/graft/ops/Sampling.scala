@@ -46,6 +46,39 @@ object Sampling {
   def sampleFraction(df: DataFrame, idCol: String, f: Double, salt: String = "s"): DataFrame =
     df.filter(hashKey(col(idCol), salt) < lit(fractionThreshold(f)))
 
+  /** EXACT-k uniform sample without replacement: rank rows by the salted
+    * md5 of their id and keep the k smallest (ties → id) — id-stable
+    * randomness with a guaranteed sample SIZE, where [[sampleFraction]]
+    * guarantees only the rate. Plans as ONE TakeOrdered bounded heap
+    * (never a global sort) and replays verbatim in SQL; the stateless
+    * alternative to per-partition reservoir state.
+    */
+  def exactKSample(df: DataFrame, idCol: String, k: Int, salt: String = "ks"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("__hk", hashKey(col(idCol), salt))
+      .orderBy(col("__hk"), col(idCol))
+      .limit(k)
+      .drop("__hk")
+  }
+
+  /** Per-group exact-k: the same hash order INSIDE each group, pruned
+    * map-side under WindowGroupLimit — the balanced-eval-set draw
+    * ("5 random docs per source, reproducibly").
+    */
+  def exactKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int,
+      salt: String = "ks"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(groupCol).orderBy(col("__hk"), col(idCol))
+    df.withColumn("__hk", hashKey(col(idCol), salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__hk", "__rn")
+  }
+
   /** Importance sampling: keep each row with its OWN probability, given as
     * a Column in [0, 1] — the quality-weighted data-mixing primitive
     * (score documents, then sample proportional to the score). Same

@@ -1084,6 +1084,23 @@ object PipelineQueries {
       Sampling.splitColumn(
         col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
 
+  /** EXACT-100 uniform document sample by salted-md5 rank
+    * ([[graft.ops.Sampling.exactKSample]]) — guaranteed SIZE where the
+    * fraction sampler guarantees only the rate; one TakeOrdered heap.
+    */
+  val sampleExactK: Q = (spark, dir) =>
+    Sampling.exactKSample(
+      docs(spark, dir).select("doc_id", "source", "n_chars"), "doc_id", 100)
+
+  /** Balanced eval-set draw: exactly 5 docs per source under the same
+    * hash order ([[graft.ops.Sampling.exactKPerGroup]], WindowGroupLimit
+    * pruned).
+    */
+  val sampleKPerGroup: Q = (spark, dir) =>
+    Sampling.exactKPerGroup(
+      docs(spark, dir).select("doc_id", "source", "n_chars"),
+      "source", "doc_id", 5)
+
   /** GROUP-aware split: hash the source, not the document, so every
     * document of a source lands in the same split — the leakage-safe
     * variant when near-duplicates cluster within groups (same crawl
@@ -1646,6 +1663,8 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "sample_split" -> sampleSplit,
+    "sample_exact_k" -> sampleExactK,
+    "sample_k_per_group" -> sampleKPerGroup,
     "sample_split_group" -> sampleSplitGroup,
     "sample_weighted" -> sampleWeighted,
     "sample_mixture" -> sampleMixture,
@@ -1854,6 +1873,20 @@ object PipelineQueries {
        |e AS (SELECT source, doc_id, n_tok, CAST(ep AS INT) AS epoch FROM u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_exact_k" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (ORDER BY
+        |      substring(md5('ks' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 100""".stripMargin,
+    "sample_k_per_group" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      substring(md5('ks' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
     "sample_split" -> {
       val h = hashKeySql("doc_id", "split")
       s"""SELECT doc_id,

@@ -110,6 +110,34 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(first == again, "temperature draw must not depend on partitioning")
   }
 
+  test("exactKSample/exactKPerGroup: size guarantees, hash-rank reference, invariance") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
+    val got = Sampling.exactKSample(df, "id", 20)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(got.size == 20)
+    // reference: the 20 smallest (md5-hex, id) ranks computed in Scala
+    def hk(i: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("ks" + i).getBytes("UTF-8"))
+      d.take(4).map("%02x".format(_)).mkString
+    }
+    val ref = (1L to 200L).sortBy(i => (hk(i), i)).take(20).toSet
+    assert(got == ref, "hash-rank sample must match the md5 reference")
+    val rep = Sampling.exactKSample(df.repartition(7), "id", 20)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(rep == got, "partitioning-invariant")
+    // k >= n keeps everything; per-group sizes are exact min(k, group size)
+    assert(Sampling.exactKSample(df, "id", 500).count() == 200L)
+    val per = Sampling.exactKPerGroup(df, "g", "id", 7)
+      .as[(Long, String)].collect().groupBy(_._2).view.mapValues(_.length).toMap
+    assert(per == Map("a" -> 7, "b" -> 7))
+    val tiny = Sampling.exactKPerGroup(df.filter(col("id") <= 4), "g", "id", 7)
+      .as[(Long, String)].collect().groupBy(_._2).view.mapValues(_.length).toMap
+    assert(tiny == Map("a" -> 1, "b" -> 3), "small groups keep all rows")
+    intercept[IllegalArgumentException] { Sampling.exactKSample(df, "id", 0) }
+  }
+
   test("topFractionPerGroup: exact ceil(frac·n) per group, ties broken by hash, null score drops") {
     val rows = (1 to 100).map(i => (i.toLong, "g1", i.toDouble)) ++
       (101 to 150).map(i => (i.toLong, "g2", 7.0)) ++ // ALL-tied group

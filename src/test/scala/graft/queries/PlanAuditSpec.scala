@@ -668,6 +668,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sample_exact_k: a bounded heap, never a global sort; per-group prunes under WindowGroupLimit") {
+    val p = plan("sample_exact_k")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact-k must plan as a bounded heap:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    val pg = plan("sample_k_per_group")
+    assert(pg.contains("WindowGroupLimit"),
+      s"per-group exact-k must prune map-side:\n$pg")
+  }
+
   test("metric_bootstrap: all replicas fold into ONE aggregate — no row expansion") {
     val p = plan("metric_bootstrap")
     assert(count(p, "Exchange hashpartitioning") == 1,
