@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation over a scored corpus: the "did the distilled
+  * quality filter actually work" step that closes every classifier loop in
+  * an LLM data pipeline — score a held-out labeled slice ([[Inference]]),
+  * then measure ranking power (ROC AUC), operating-point quality
+  * (confusion matrix, precision/recall curve), probability honesty
+  * (calibration bins) and targeting efficiency (lift/gains by decile).
+  *
+  * Exactness discipline (the [[Inference]] / corr_exact contract): every
+  * metric is assembled from EXACT integer counts — true/false positive
+  * tallies, tie-group sizes, rank sums — combined by ONE fixed-order
+  * double division at the end. No mean-of-double ever enters a hash-gated
+  * output (IEEE addition is order-dependent across partitionings); rank
+  * arithmetic is carried ×2-scaled so tie mid-ranks stay integral.
+  *
+  * Scale shape: the corpus is touched once per metric and immediately
+  * collapses to metric-sized state — a distinct-score histogram (AUC), a
+  * handful of conditional sums (confusion, PR curve), a bin table
+  * (calibration), or a bucket table (lift). The only total order ever
+  * materialized is over the HISTOGRAM/buckets via the distributed
+  * prefix-sum pattern ([[Ranking.abcClassify]]): range-repartition,
+  * per-partition subtotals, broadcast offsets — no single-reducer sort.
+  *
+  * No reference analog — pipeline-extension layer.
+  */
+object Eval {
+
+  /** Exact tie-corrected ROC AUC (Mann–Whitney form) of `scoreCol` as a
+    * ranker for binary `labelCol` (1 = positive; higher score must mean
+    * "more positive"). Ties contribute ½ — the mid-rank convention.
+    *
+    * One row: `(n_pos, n_neg, auc_num2, auc)` where
+    * `auc = auc_num2 / (2·n_pos·n_neg)` and
+    * `auc_num2 = 2·Σ_pos midrank − n_pos·(n_pos+1)` is an EXACT integer
+    * (mid-ranks are half-integers, so the ×2 ledger never rounds): the
+    * one division is the only double op, bit-replayable anywhere. Null
+    * scores/labels are excluded; degenerate single-class inputs yield a
+    * null `auc` (the numerator is still reported).
+    *
+    * Scale: corpus → per-score `(count, positives)` partial-agg histogram;
+    * the below-count prefix sum runs distributed over that histogram
+    * (range-repartition + broadcast offsets, no global window); the final
+    * fold is one 1-row aggregate. Total motion beyond the histogram
+    * shuffle is histogram-sized.
+    */
+  def aucExact(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val hist = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"), sum(col(labelCol).cast("long")).as("__p"))
+      .repartitionByRange(col("__s").asc)
+      .sortWithinPartitions(col("__s").asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = hist.groupBy(col("__pid")).agg(sum(col("__c")).as("__ps"))
+      .withColumn("__off",
+        coalesce(
+          sum(col("__ps")).over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val wIn = Window.partitionBy("__pid").orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .join(broadcast(offs), Seq("__pid"))
+      // rows strictly below this score group = partition offset + partial
+      .withColumn("__below", col("__off") + coalesce(sum(col("__c")).over(wIn), lit(0L)))
+    ranked
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__c") - col("__p")).as("n_neg"),
+        // 2·Σ_pos midrank = Σ_s p_s · (2·below_s + c_s + 1)
+        sum(col("__p") * (col("__below") * 2 + col("__c") + 1)).as("__r2"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        (col("__r2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("auc_num2").cast("double") / (col("n_pos") * col("n_neg") * 2))
+          .otherwise(lit(null).cast("double")))
+  }
+
+  /** Confusion matrix + summary metrics of integer `predCol` (0/1) against
+    * integer `labelCol` (0/1): one row `(tp, fp, fn, tn, acc, prec, rec,
+    * f1)`. One aggregate pass — four conditional sums — then single
+    * divisions; rows with a null label or prediction are excluded (they
+    * are REPORTED by [[Checks]], not silently classified). Empty classes
+    * yield null metrics, never division blow-ups.
+    */
+  def confusion(scored: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val l = col(labelCol).cast("long")
+    val p = col(predCol).cast("long")
+    val cell = (lv: Int, pv: Int) =>
+      sum(when(l === lv && p === pv, 1L).otherwise(0L))
+    scored
+      .filter(l.isNotNull && p.isNotNull)
+      .agg(
+        cell(1, 1).as("tp"), cell(0, 1).as("fp"),
+        cell(1, 0).as("fn"), cell(0, 0).as("tn"))
+      .withColumn("acc",
+        when(col("tp") + col("fp") + col("fn") + col("tn") > 0,
+          (col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("prec",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("rec",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("f1",
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          (col("tp") * 2).cast("double") / (col("tp") * 2 + col("fp") + col("fn")))
+          .otherwise(lit(null).cast("double")))
+  }
+
+  /** Precision/recall curve at FIXED score thresholds (predict positive ⇔
+    * `score ≥ t`): one row per threshold `(thr, n_pred_pos, tp, prec,
+    * rec)`. The whole curve is ONE aggregate pass — 2·|thresholds|
+    * conditional sums (the [[Bootstrap]] replicate-column discipline) —
+    * exploded into rows afterwards; the corpus is scanned once and never
+    * shuffled. Thresholds are caller-fixed (a grid over the score's
+    * range), so the curve is replayable without any data-dependent cut
+    * selection.
+    */
+  def prCurve(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve needs at least one threshold")
+    val l = col(labelCol).cast("long")
+    val s = col(scoreCol)
+    val base = scored.filter(s.isNotNull && l.isNotNull)
+    val sums = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(s >= t, 1L).otherwise(0L)).as(s"__pp$i"),
+        sum(when(s >= t && l === 1L, 1L).otherwise(0L)).as(s"__tp$i"))
+    }
+    val pos = sum(when(l === 1L, 1L).otherwise(0L)).as("__pos")
+    val one = base.agg(sums.head, (sums.tail :+ pos): _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("thr"), col(s"__pp$i").as("n_pred_pos"),
+        col(s"__tp$i").as("tp"), col("__pos").as("__pos"))
+    }
+    one
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.thr"), col("r.n_pred_pos"), col("r.tp"),
+        when(col("r.n_pred_pos") > 0,
+          col("r.tp").cast("double") / col("r.n_pred_pos"))
+          .otherwise(lit(null).cast("double")).as("prec"),
+        when(col("r.__pos") > 0,
+          col("r.tp").cast("double") / col("r.__pos"))
+          .otherwise(lit(null).cast("double")).as("rec"))
+  }
+
+  /** Reliability (calibration) bins over the raw score: bin k covers
+    * `[k·binWidth, (k+1)·binWidth)`, output `(bin, bin_lo, n, n_pos,
+    * pos_rate)`. Binning is `floor(score / binWidth)` with a caller-chosen
+    * DYADIC width (0.5, 0.25 …) so the edge arithmetic is exact in binary
+    * and every engine buckets identically; `pos_rate` is the single
+    * integer division. One partial-agg groupBy — bins-sized output. The
+    * deliberate omission: no mean-score-per-bin column, because a double
+    * sum's value depends on addition order and would break cross-engine
+    * replay — `bin_lo` states the bin location exactly instead.
+    */
+  def calibration(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = col(labelCol).cast("long")
+    scored
+      .filter(col(scoreCol).isNotNull && l.isNotNull)
+      .groupBy(floor(col(scoreCol) / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(l).as("n_pos"))
+      .withColumn("bin_lo", col("bin") * binWidth)
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n"))
+      .select("bin", "bin_lo", "n", "n_pos", "pos_rate")
+  }
+
+  /** Cumulative gains / lift by score bucket: rank the corpus by `(score
+    * desc, tiebreakCol asc)`, cut into `buckets` equal-width rank slices
+    * (`bucket = floor((rank−1)·buckets / N)` — the row_number form, NOT
+    * SQL ntile's first-buckets-get-the-remainder rule, so the definition
+    * replays from arithmetic alone), and report per bucket: size,
+    * positives, cumulative positives, capture (share of all positives
+    * found so far) and lift (bucket precision over base rate) — each ONE
+    * integer-ratio division. The "how deep must the filter dig" report
+    * that decides a quality-threshold operating point.
+    *
+    * Scale: the global rank is the distributed prefix-sum pattern over the
+    * CORPUS ordering ([[Ranking.abcClassify]]): range-repartition on the
+    * sort key, partition-local row counts, broadcast running offsets —
+    * rank = offset + local row_number, no single-reducer sort. Everything
+    * after the rank is a buckets-sized aggregate.
+    */
+  def liftByBucket(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      tiebreakCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ordered = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(tiebreakCol), col(scoreCol).as("__s"),
+        col(labelCol).cast("long").as("__l"))
+      .repartitionByRange(col("__s").desc, col(tiebreakCol).asc)
+      .sortWithinPartitions(col("__s").desc, col(tiebreakCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = ordered.groupBy(col("__pid")).agg(count(lit(1)).as("__pc"))
+    val offs = parts
+      .withColumn("__off",
+        coalesce(
+          sum(col("__pc")).over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val total = parts.agg(sum(col("__pc")).as("__tot"))
+    val wIn = Window.partitionBy("__pid")
+      .orderBy(col("__s").desc, col(tiebreakCol).asc)
+    val perBucket = ordered
+      .join(broadcast(offs), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("__rank", col("__off") + row_number().over(wIn))
+      // integer DIV: Column `/` is double division (the quantile_select
+      // lesson) — DIV keeps the bucket id exact at any N
+      .withColumn("__num", (col("__rank") - 1) * buckets)
+      .groupBy(expr("__num DIV __tot").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("n_pos"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perBucket
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("__tot_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("__tot_n", sum(col("n")).over(wAll))
+      .withColumn("capture",
+        when(col("__tot_pos") > 0,
+          col("cum_pos").cast("double") / col("__tot_pos"))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("lift",
+        when(col("__tot_pos") > 0 && col("n") > 0,
+          (col("n_pos") * col("__tot_n")).cast("double")
+            / (col("n") * col("__tot_pos")))
+          .otherwise(lit(null).cast("double")))
+      .select("bucket", "n", "n_pos", "cum_pos", "capture", "lift")
+  }
+}

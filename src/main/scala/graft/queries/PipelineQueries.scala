@@ -475,6 +475,74 @@ object PipelineQueries {
     staged.select(col("doc_id"), logit.as("logit"), Inference.label(logit).as("label"))
   }
 
+  /** The held-out-eval staging frame behind the [[graft.ops.Eval]] family:
+    * every document scored by the SAME frozen linear classifier as
+    * `inference_quality` (bit-replayable logit), labeled by an independent
+    * ground truth (`lang = 'en'` — the language the classifier's stopword
+    * feature was built from). The fixture model is deliberately WEAK
+    * (AUC ≈ 0.5 on this corpus): the eval machinery, not the model, is
+    * under test — exactness of ranks, counts and ratios must hold at any
+    * model quality.
+    */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Inference
+    val staged = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextOps.tokens(col("text")).as("__ws"))
+    val logit = Inference.linearLogit(
+      -1.25,
+      Seq(
+        size(col("__ws")).cast("double") -> 0.00390625,
+        TextOps.stopwordRatioOfTokens(col("__ws")) -> 3.0,
+        TextOps.avgWordLenOfTokens(col("__ws")) -> 0.125,
+        TextOps.punctCount(col("text")).cast("double") -> -0.03125))
+    staged.select(col("doc_id"),
+      (col("lang") === "en").cast("int").as("label"), logit.as("score"))
+  }
+
+  /** Exact tie-corrected ROC AUC of the frozen classifier against the
+    * language ground truth ([[graft.ops.Eval.aucExact]] — integer rank
+    * ledger, distributed prefix sum over the score histogram, one final
+    * division). 489 distinct logits over 500 docs at sf0.01, so the tie
+    * mid-rank path is genuinely exercised.
+    */
+  val evalAuc: Q = (spark, dir) =>
+    graft.ops.Eval.aucExact(scoredDocs(spark, dir), "label", "score")
+
+  /** Confusion matrix + accuracy/precision/recall/F1 at the logit-0
+    * operating point ([[graft.ops.Eval.confusion]] — four conditional
+    * sums in one pass, single integer-ratio divisions).
+    */
+  val evalConfusion: Q = (spark, dir) => {
+    val s = scoredDocs(spark, dir)
+      .withColumn("pred", (col("score") > 0).cast("int"))
+    graft.ops.Eval.confusion(s, "label", "pred")
+  }
+
+  /** Precision/recall curve over a fixed dyadic threshold grid spanning
+    * the logit range ([[graft.ops.Eval.prCurve]] — the whole curve is ONE
+    * corpus scan of 2·|grid| conditional sums; grid ends sit outside the
+    * observed range so the degenerate all-positive row is exercised).
+    */
+  val evalPrCurve: Q = (spark, dir) =>
+    graft.ops.Eval.prCurve(scoredDocs(spark, dir), "label", "score",
+      Seq(-0.75, -0.625, -0.5, -0.375, -0.25, -0.125, 0.0, 0.125))
+
+  /** Reliability bins over the raw logit at dyadic width 0.125
+    * ([[graft.ops.Eval.calibration]] — exact binning, integer positive
+    * rates, no mean-of-double in the output).
+    */
+  val evalCalibration: Q = (spark, dir) =>
+    graft.ops.Eval.calibration(scoredDocs(spark, dir), "label", "score", 0.125)
+
+  /** Cumulative gains / lift by score decile ([[graft.ops.Eval
+    * .liftByBucket]] — distributed prefix-sum global rank, row_number
+    * bucket arithmetic, integer-ratio capture and lift).
+    */
+  val evalLift: Q = (spark, dir) =>
+    graft.ops.Eval.liftByBucket(scoredDocs(spark, dir), "label", "score",
+      "doc_id", buckets = 10)
+
   /** Gopher-style intra-document repetition signals: duplicate-token
     * fraction (map-side HOFs) and the most-frequent bigram's share of all
     * bigrams. The bigram mode is PER-DOCUMENT work, so it runs as a
@@ -1662,6 +1730,11 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "eval_auc" -> evalAuc,
+    "eval_confusion" -> evalConfusion,
+    "eval_pr_curve" -> evalPrCurve,
+    "eval_calibration" -> evalCalibration,
+    "eval_lift" -> evalLift,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
     "sample_k_per_group" -> sampleKPerGroup,
@@ -1776,6 +1849,31 @@ object PipelineQueries {
     "['the', 'of', 'and', 'to', 'in', 'a', 'is', 'that', 'it', 'was']"
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** The frozen quality classifier's logit as DuckDB SQL — the identical
+    * left-fold `((((bias + f1·w1) + f2·w2) + f3·w3) + f4·w4)` with dyadic
+    * weights; IEEE addition is order-fixed on both sides. Shared by the
+    * `inference_quality` and `eval_*` oracles so score and metrics can
+    * never drift apart.
+    */
+  private val logitSql =
+    s"""((((-1.25)
+       |      + CAST(len($wordsSql) AS DOUBLE) * 0.00390625)
+       |      + (CASE WHEN len($wordsSql) = 0 THEN 0.0
+       |              ELSE CAST(len(list_filter($wordsSql, w -> list_contains($enStopSql, w))) AS DOUBLE)
+       |                   / len($wordsSql) END) * 3.0)
+       |      + (CASE WHEN len($wordsSql) = 0 THEN 0.0
+       |              ELSE CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS DOUBLE)
+       |                   / len($wordsSql) END) * 0.125)
+       |      + CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) * (-0.03125)""".stripMargin
+
+  /** The eval staging CTE: label + score per doc, nulls excluded — the SQL
+    * twin of [[scoredDocs]] plus the [[graft.ops.Eval]] null filter.
+    */
+  private val evalScoredSql =
+    s"""SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS label, $logitSql AS score
+       |  FROM documents
+       |  WHERE lang IS NOT NULL""".stripMargin
 
   /** The deterministic hyperplanes as DuckDB DOUBLE[] literals — Scala
     * Double.toString round-trips exactly, and DuckDB's sequential
@@ -2785,22 +2883,98 @@ object PipelineQueries {
       // the identical left-fold: ((((bias + f1·w1) + f2·w2) + f3·w3) + f4·w4)
       // with dyadic weights — IEEE addition is order-fixed on both sides
       s"""WITH l AS (
-         |  SELECT doc_id,
-         |    ((((-1.25)
-         |      + CAST(len($wordsSql) AS DOUBLE) * 0.00390625)
-         |      + (CASE WHEN len($wordsSql) = 0 THEN 0.0
-         |              ELSE CAST(len(list_filter($wordsSql, w -> list_contains($enStopSql, w))) AS DOUBLE)
-         |                   / len($wordsSql) END) * 3.0)
-         |      + (CASE WHEN len($wordsSql) = 0 THEN 0.0
-         |              ELSE CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS DOUBLE)
-         |                   / len($wordsSql) END) * 0.125)
-         |      + CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) * (-0.03125)
-         |      AS logit
+         |  SELECT doc_id, $logitSql AS logit
          |  FROM documents)
          |SELECT doc_id, logit,
          |  CASE WHEN logit IS NULL THEN NULL
          |       ELSE CAST(logit > 0 AS INTEGER) END AS label
          |FROM l""".stripMargin,
+    "eval_auc" ->
+      // mid-rank Mann–Whitney over the score histogram: the ×2 rank ledger
+      // keeps every quantity integral until the single closing division
+      s"""WITH l0 AS ($evalScoredSql),
+         |l AS (SELECT * FROM l0 WHERE score IS NOT NULL),
+         |h AS (SELECT score AS s, CAST(count(*) AS BIGINT) AS c,
+         |        CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS p
+         |      FROM l GROUP BY 1),
+         |r AS (SELECT s, c, p,
+         |        CAST(COALESCE(SUM(c) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+         |      FROM h),
+         |a AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         |        CAST(SUM(c - p) AS BIGINT) AS n_neg,
+         |        CAST(SUM(p * (2 * below + c + 1)) AS BIGINT) AS r2
+         |      FROM r)
+         |SELECT n_pos, n_neg,
+         |  r2 - n_pos * (n_pos + 1) AS auc_num2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |       THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg)
+         |       ELSE NULL END AS auc
+         |FROM a""".stripMargin,
+    "eval_confusion" ->
+      s"""WITH l0 AS ($evalScoredSql),
+         |l AS (SELECT * FROM l0 WHERE score IS NOT NULL),
+         |c AS (SELECT
+         |  CAST(SUM(CASE WHEN label = 1 AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN label = 0 AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN label = 1 AND NOT score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN label = 0 AND NOT score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM l)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN tp + fp + fn + tn > 0
+         |       THEN CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) ELSE NULL END AS acc,
+         |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE NULL END AS prec,
+         |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE NULL END AS rec,
+         |  CASE WHEN tp * 2 + fp + fn > 0
+         |       THEN CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) ELSE NULL END AS f1
+         |FROM c""".stripMargin,
+    "eval_pr_curve" ->
+      s"""WITH l0 AS ($evalScoredSql),
+         |l AS (SELECT * FROM l0 WHERE score IS NOT NULL),
+         |t(thr) AS (VALUES (-0.75), (-0.625), (-0.5), (-0.375), (-0.25),
+         |                  (-0.125), (0.0), (0.125)),
+         |s AS (SELECT t.thr,
+         |        CAST(SUM(CASE WHEN l.score >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+         |        CAST(SUM(CASE WHEN l.score >= t.thr AND l.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |        CAST(SUM(CASE WHEN l.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |      FROM l CROSS JOIN t GROUP BY 1)
+         |SELECT CAST(thr AS DOUBLE) AS thr, n_pred_pos, tp,
+         |  CASE WHEN n_pred_pos > 0 THEN CAST(tp AS DOUBLE) / n_pred_pos ELSE NULL END AS prec,
+         |  CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / pos ELSE NULL END AS rec
+         |FROM s""".stripMargin,
+    "eval_calibration" ->
+      s"""WITH l0 AS ($evalScoredSql),
+         |l AS (SELECT * FROM l0 WHERE score IS NOT NULL)
+         |SELECT CAST(floor(score / 0.125) AS BIGINT) AS bin,
+         |  CAST(CAST(floor(score / 0.125) AS BIGINT) AS DOUBLE) * 0.125 AS bin_lo,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS n_pos,
+         |  CAST(SUM(CAST(label AS BIGINT)) AS DOUBLE) / count(*) AS pos_rate
+         |FROM l GROUP BY 1""".stripMargin,
+    "eval_lift" ->
+      // row_number bucket arithmetic ((rank−1)·10 DIV N), NOT ntile's
+      // remainder rule — the engine's distributed rank replays exactly
+      s"""WITH l0 AS ($evalScoredSql),
+         |l AS (SELECT * FROM l0 WHERE score IS NOT NULL),
+         |r AS (SELECT label,
+         |        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk,
+         |        CAST(count(*) OVER () AS BIGINT) AS tot
+         |      FROM l),
+         |b AS (SELECT ((rnk - 1) * 10) // tot AS bucket,
+         |        CAST(count(*) AS BIGINT) AS n,
+         |        CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS n_pos
+         |      FROM r GROUP BY 1),
+         |c AS (SELECT bucket, n, n_pos,
+         |        CAST(SUM(n_pos) OVER (ORDER BY bucket
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+         |        CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos,
+         |        CAST(SUM(n) OVER () AS BIGINT) AS tot_n
+         |      FROM b)
+         |SELECT bucket, n, n_pos, cum_pos,
+         |  CASE WHEN tot_pos > 0 THEN CAST(cum_pos AS DOUBLE) / tot_pos ELSE NULL END AS capture,
+         |  CASE WHEN tot_pos > 0 AND n > 0
+         |       THEN CAST(n_pos * tot_n AS DOUBLE) / (n * tot_pos) ELSE NULL END AS lift
+         |FROM c""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "text_readability" ->

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the classifier-evaluation family ([[Eval]]): exact AUC
+  * against a hand-computed tie case and a brute-force pair count,
+  * confusion-matrix arithmetic, PR-curve endpoints, calibration binning,
+  * lift-bucket accounting — and partitioning invariance of the
+  * distributed-prefix-sum paths (the values must depend only on the data,
+  * never on where range sampling placed partition boundaries).
+  */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ AUC
+
+  test("aucExact: hand-computed tie case") {
+    // scores: pos {0.9, 0.5}, neg {0.5, 0.1}
+    // pairs: (0.9 vs 0.5)=1, (0.9 vs 0.1)=1, (0.5 vs 0.5)=0.5, (0.5 vs 0.1)=1
+    // AUC = 3.5/4 = 0.875
+    val df = Seq((1, 0.9), (1, 0.5), (0, 0.5), (0, 0.1)).toDF("label", "score")
+    val r = Eval.aucExact(df, "label", "score").collect().head
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Double]("auc") == 0.875)
+  }
+
+  test("aucExact ≡ brute-force pair count on a randomized fixture") {
+    val rnd = new scala.util.Random(88)
+    // coarse score grid to force many ties
+    val rows = (1 to 400).map { _ =>
+      (if (rnd.nextBoolean()) 1 else 0, rnd.nextInt(12) * 0.25)
+    }
+    val df = rows.toDF("label", "score").repartition(7)
+    val auc = Eval.aucExact(df, "label", "score").collect().head.getAs[Double]("auc")
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    val num = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(auc == num.toDouble / (2L * pos.size * neg.size))
+  }
+
+  test("aucExact: partitioning-invariant, null-excluding, degenerate-safe") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(i => (rnd.nextInt(2), rnd.nextInt(20) * 0.125))
+    val df = rows.toDF("label", "score")
+    val a = Eval.aucExact(df.repartition(1), "label", "score").collect().head
+    val b = Eval.aucExact(df.repartition(13), "label", "score").collect().head
+    assert(a == b, "AUC must not depend on partitioning")
+    // null-score rows are excluded, never folded into the rank ledger
+    val withNulls = df.union(Seq((1, 0.0)).toDF("label", "score")
+      .select(col("label"), lit(null).cast("double").as("score")))
+    assert(Eval.aucExact(withNulls, "label", "score").collect().head == a)
+    // single-class input → null auc, reported counts
+    val onePos = Seq((1, 0.3), (1, 0.9)).toDF("label", "score")
+    val r = Eval.aucExact(onePos, "label", "score").collect().head
+    assert(r.getAs[Long]("n_neg") == 0 && r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  // ------------------------------------------------------- confusion / PR
+
+  test("confusion: cells and ratios on known rows") {
+    val df = Seq(
+      (1, 1), (1, 1), (1, 0), // 2 tp, 1 fn
+      (0, 1), (0, 0), (0, 0), (0, 0) // 1 fp, 3 tn
+    ).toDF("label", "pred")
+    val r = Eval.confusion(df, "label", "pred").collect().head
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 1
+      && r.getAs[Long]("fn") == 1 && r.getAs[Long]("tn") == 3)
+    assert(r.getAs[Double]("acc") == 5.0 / 7)
+    assert(r.getAs[Double]("prec") == 2.0 / 3)
+    assert(r.getAs[Double]("rec") == 2.0 / 3)
+    assert(r.getAs[Double]("f1") == 4.0 / 6)
+    // degenerate: no predicted positives → null precision, not a blow-up
+    val nopos = Seq((1, 0), (0, 0)).toDF("label", "pred")
+    val d = Eval.confusion(nopos, "label", "pred").collect().head
+    assert(d.isNullAt(d.fieldIndex("prec")) && d.getAs[Double]("rec") == 0.0)
+  }
+
+  test("prCurve: endpoints and monotone predicted-positive counts") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 200).map(_ => (rnd.nextInt(2), rnd.nextDouble()))
+      .toDF("label", "score")
+    val thr = Seq(-1.0, 0.25, 0.5, 0.75, 2.0)
+    val out = Eval.prCurve(df, "label", "score", thr)
+      .orderBy("thr").collect()
+    assert(out.map(_.getAs[Double]("thr")).toSeq == thr)
+    // below-range threshold predicts everything positive: recall 1, prec = base rate
+    assert(out.head.getAs[Long]("n_pred_pos") == 200
+      && out.head.getAs[Double]("rec") == 1.0)
+    // above-range threshold predicts nothing: null precision, zero recall
+    assert(out.last.getAs[Long]("n_pred_pos") == 0
+      && out.last.isNullAt(out.last.fieldIndex("prec")))
+    // n_pred_pos is non-increasing in the threshold
+    val pp = out.map(_.getAs[Long]("n_pred_pos"))
+    assert(pp.zip(pp.tail).forall { case (a, b) => a >= b })
+  }
+
+  // --------------------------------------------------- calibration / lift
+
+  test("calibration: dyadic edges bucket exactly, rates are integer ratios") {
+    val df = Seq(
+      (1, 0.0), (0, 0.1), // bin 0 = [0, 0.125)
+      (1, 0.125), // bin 1 exactly on the edge
+      (0, -0.125), (1, -0.1) // bins -1
+    ).toDF("label", "score")
+    val out = Eval.calibration(df, "label", "score", 0.125)
+      .orderBy("bin").collect()
+    assert(out.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+      r.getAs[Long]("n_pos"))).toSeq ==
+      Seq((-1L, 2L, 1L), (0L, 2L, 1L), (1L, 1L, 1L)))
+    assert(out.forall(r => r.getAs[Double]("bin_lo")
+      == r.getAs[Long]("bin") * 0.125))
+    assert(out.head.getAs[Double]("pos_rate") == 0.5)
+  }
+
+  test("liftByBucket: bucket sizes, cumulative capture, partitioning invariance") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 97L).map(i => (i, rnd.nextInt(2), rnd.nextDouble()))
+    val df = rows.toDF("id", "label", "score")
+    val out = Eval.liftByBucket(df, "label", "score", "id", buckets = 10)
+      .orderBy("bucket").collect()
+    // row_number bucketing: sizes differ by at most 1 and sum to N
+    val sizes = out.map(_.getAs[Long]("n"))
+    assert(sizes.sum == 97 && sizes.max - sizes.min <= 1)
+    assert(out.map(_.getAs[Long]("bucket")).toSeq == (0L to 9L))
+    // capture is the cumulative positive share, ending at exactly 1
+    assert(out.last.getAs[Double]("capture") == 1.0)
+    val cum = out.map(_.getAs[Long]("cum_pos"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    // total positives accounted for exactly once
+    assert(out.map(_.getAs[Long]("n_pos")).sum == cum.last)
+    // partitioning must not move any row across buckets
+    val out13 = Eval.liftByBucket(df.repartition(13), "label", "score", "id", 10)
+      .orderBy("bucket").collect()
+    assert(out.toSeq == out13.toSeq)
+  }
+}
