@@ -296,4 +296,61 @@ object Graph {
     e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
   }
+
+  /** Multi-source BFS: exact hop distance from the nearest seed, plus a
+    * deterministic nearest-seed assignment — "attach every node to its
+    * closest labeled hub", the graph half of propagating a small labeled
+    * set (trusted domains, curated clusters, seed entities) across a
+    * similarity graph. Returns `(node, dist, root)` for every node within
+    * `maxHops` of a seed (seeds included at dist 0); `root` is the
+    * SMALLEST seed id among all shortest paths — a total-order tie-break,
+    * so the assignment is unique and replayable.
+    *
+    * Frontier discipline: each hop joins only the NEWLY settled frontier
+    * into the adjacency list, anti-joins out already-settled nodes, and
+    * takes `min(root)` per newly reached node. Min propagates correctly
+    * through rounds because every shortest path's predecessor is, by
+    * induction, in the previous frontier with ITS minimal root already
+    * resolved. Early exit when a round settles nothing (the count is over
+    * the checkpointed frontier — one tiny job per hop).
+    *
+    * Scale shape: per hop, one frontier⋈adjacency equi-join (frontier
+    * shrinks as the graph saturates) + one anti-join against the settled
+    * set + a partial-agg min — edge-sized motion at worst, no node ever
+    * collects; frontier and settled re-pin per round (localCheckpoint) so
+    * lineage stays flat instead of stacking `maxHops` deep. The oracle
+    * unrolls identical rounds as materialized CTEs.
+    */
+  def bfs(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
+    val e = undirected(edges)
+    // both orientations: BFS walks the symmetric closure
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var settled = sources
+      .select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0).as("dist"), col("node").as("root"))
+      .localCheckpoint(true)
+    var frontier = settled
+    var h = 1
+    var exhausted = frontier.isEmpty
+    while (h <= maxHops && !exhausted) {
+      val next = frontier
+        .join(adj, frontier("node") === adj("a"))
+        .select(col("b").as("node"), col("root"))
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .groupBy("node")
+        .agg(min(col("root")).as("root"))
+        .select(col("node"), lit(h).as("dist"), col("root"))
+        .localCheckpoint(true)
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        settled = settled.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      h += 1
+    }
+    settled
+  }
 }

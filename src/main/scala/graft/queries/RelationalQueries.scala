@@ -1128,6 +1128,50 @@ object RelationalQueries {
   val graphKcore: Q = (spark, dir) =>
     graft.ops.Graph.kCore(coPurchaseEdges(spark, dir), k = 3, rounds = 6)
 
+  /** Multi-source BFS over the co-purchase graph: hop distance from the
+    * nearest seed part (seed set = part keys divisible by 101 — ~1% of
+    * nodes, arbitrary but deterministic) plus the min-id nearest-seed
+    * assignment ([[graft.ops.Graph.bfs]], 4 bounded hops; the oracle
+    * unrolls the identical frontier rounds as MATERIALIZED CTEs).
+    */
+  val graphBfs: Q = (spark, dir) => {
+    val e = coPurchaseEdges(spark, dir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    graft.ops.Graph.bfs(e, nodes.filter(col("node") % 101 === 0), maxHops = 4)
+  }
+
+  /** Builds the graph_bfs oracle: the frontier loop unrolled — per round,
+    * newly reached nodes (EXISTS-excluded settled set) with their min
+    * root, appended into the settled set. Spark's early exit is invisible:
+    * an empty frontier makes every later unrolled round empty.
+    */
+  private def graphBfsOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |           FROM lineitem WHERE l_quantity >= 40),
+             |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b2.p AS v
+             |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+             |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+             |      UNION ALL SELECT v, u FROM e0),
+             |s0 AS MATERIALIZED (SELECT node, CAST(0 AS INTEGER) AS dist, node AS root
+             |      FROM (SELECT u AS node FROM e0 UNION SELECT v FROM e0)
+             |      WHERE node % 101 = 0),
+             |f0 AS MATERIALIZED (SELECT * FROM s0)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+               |n$r AS MATERIALIZED (
+               |  SELECT a.b AS node, CAST($r AS INTEGER) AS dist, MIN(f.root) AS root
+               |  FROM f${r - 1} f JOIN adj a ON f.node = a.a
+               |  WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} s WHERE s.node = a.b)
+               |  GROUP BY a.b),
+               |s$r AS MATERIALIZED (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM n$r),
+               |f$r AS MATERIALIZED (SELECT * FROM n$r)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, dist, root FROM s$rounds"
+    sb.toString
+  }
+
   /** Builds the graph_kcore oracle: the peel loop unrolled — degree,
     * survivor filter, edge restriction per round. Early exit on the Spark
     * side is invisible to the comparison: once a round deletes nothing
@@ -2950,6 +2994,7 @@ object RelationalQueries {
     "events_burstiness" -> eventsBurstiness,
     "audience_jaccard" -> audienceJaccard,
     "graph_kcore" -> graphKcore,
+    "graph_bfs" -> graphBfs,
     "privacy_kanon" -> privacyKanon,
     "q2_mincost" -> q2MinCost,
     "q4_priority" -> q4Priority,
@@ -4399,6 +4444,7 @@ object RelationalQueries {
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
     "graph_kcore" -> graphKcoreOracle(k = 3, rounds = 6),
+    "graph_bfs" -> graphBfsOracle(rounds = 4),
     "audience_jaccard" ->
       """WITH m AS (SELECT DISTINCT event_type AS g, user_id AS mm FROM events),
         |i AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter

@@ -559,6 +559,35 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Graph.kCore(g, k = 0, rounds = 3) }
   }
 
+  test("bfs: hop distances, min-root tie-break, hop bound, degenerate inputs") {
+    // path 1-2-3-4-5 plus branch 3-6; seeds {1, 5}
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L)).toDF("src", "dst")
+    def seeds(ids: Long*) = ids.toDF("node")
+    val out = Graph.bfs(g, seeds(1L, 5L), maxHops = 4)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    // node 3 is 2 hops from BOTH seeds → min root 1; node 6 hangs off 3
+    assert(out.toSeq == Seq((1L, 0, 1L), (2L, 1, 1L), (3L, 2, 1L),
+      (4L, 1, 5L), (5L, 0, 5L), (6L, 3, 1L)), s"got ${out.toSeq}")
+    // hop bound truncates: 2 hops from seed 1 only reaches {1,2,3}
+    val b2 = Graph.bfs(g, seeds(1L), maxHops = 2)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(b2.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // maxHops = 0 returns exactly the seed set
+    assert(Graph.bfs(g, seeds(1L, 5L), maxHops = 0).count() == 2L)
+    // unreachable component: 8-9 never appears without a seed in it
+    val g2 = g.union(Seq((8L, 9L)).toDF("src", "dst"))
+    val r = Graph.bfs(g2, seeds(1L), maxHops = 8)
+      .as[(Long, Int, Long)].collect().map(_._1).sorted
+    assert(r.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // empty seed set → empty output, no error
+    assert(Graph.bfs(g, seeds(), maxHops = 3).count() == 0L)
+    // partitioning-invariant (distributed frontier joins move no row)
+    val rep = Graph.bfs(g.repartition(5), seeds(1L, 5L), maxHops = 4)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq == out.toSeq)
+    intercept[IllegalArgumentException] { Graph.bfs(g, seeds(1L), maxHops = -1) }
+  }
+
   test("labelPropagate: clique absorbs min label; bridge stays put; invariant") {
     // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L),
