@@ -256,4 +256,56 @@ object Eval {
           .otherwise(lit(null).cast("double")))
       .select("bucket", "n", "n_pos", "cum_pos", "capture", "lift")
   }
+
+  /** Retrieval quality of an approximate top-k list against an exact
+    * ground-truth top-k list (both `(query, item, rank)` with rank 1..k):
+    * per query, `n_hit` (overlap with the truth set), `recall@k`
+    * (`n_hit / k`, the single division), the system rank of the TRUE
+    * nearest neighbour (`nn_rank`, null when the approximate list missed
+    * it), and `rr_num` — the reciprocal rank carried on the exact
+    * `lcm(1..k)` integer grid (`lcm DIV nn_rank`; every rank divides the
+    * grid, so the value is an exact integer and `MRR = Σ rr_num /
+    * (lcm·|Q|)` needs no order-dependent double sum anywhere).
+    *
+    * The ANN acceptance gate: run the quantized/bucketed path against a
+    * brute-force sample and decide whether its recall clears the bar.
+    *
+    * Scale: both inputs are (|Q|·k)-sized — the expensive part is
+    * PRODUCING them ([[Similarity]]); this op is one equi-join on
+    * `(query, item)` plus a per-query partial agg. Rank columns beyond k
+    * are rejected loudly rather than silently truncated.
+    */
+  def retrievalMetrics(
+      truth: DataFrame,
+      system: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 40, s"need 1 <= k <= 40 (lcm fits a long), got $k")
+    val grid = (1 to k).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    // in-plan guard (the int8TopK discipline): a rank outside 1..k means
+    // the caller's lists disagree with `k` — fail loudly, don't mis-score
+    def ranked(c: org.apache.spark.sql.Column) =
+      when(c < 1 || c > k,
+        raise_error(concat(lit(s"rank outside 1..$k: "), c.cast("string"))))
+        .otherwise(c)
+    val t = truth.select(col(queryCol).as("q"), col(itemCol).as("item"),
+      ranked(col(rankCol).cast("int")).as("trank"))
+    val s = system.select(col(queryCol).as("q"), col(itemCol).as("item"),
+      ranked(col(rankCol).cast("int")).as("srank"))
+    t.join(s, Seq("q", "item"), "left")
+      .groupBy("q")
+      .agg(
+        sum(when(col("srank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        min(when(col("trank") === 1, col("srank"))).as("nn_rank"))
+      .select(
+        col("q").as(queryCol), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"),
+        col("nn_rank"),
+        // grid is divisible by every rank 1..k — the quotient is exact
+        coalesce((lit(grid) / col("nn_rank")).cast("long"), lit(0L)).as("rr_num"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

@@ -543,6 +543,21 @@ object PipelineQueries {
     graft.ops.Eval.liftByBucket(scoredDocs(spark, dir), "label", "score",
       "doc_id", buckets = 10)
 
+  /** Retrieval acceptance gate for the quantized ANN path: recall@10,
+    * true-NN rank and grid-exact reciprocal rank of the int8 integer-dot
+    * search against the float brute-force ground truth, per query
+    * ([[graft.ops.Eval.retrievalMetrics]] — both lists are already
+    * oracle-pinned queries, so the metric replay is end-to-end exact;
+    * `MRR = Σ rr_num / (2520·|Q|)` with no double sum anywhere).
+    */
+  val evalRetrieval: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+    val sys = Similarity.int8TopK(e, q, "vec_id", "embedding", 10)
+    graft.ops.Eval.retrievalMetrics(truth, sys, "q_id", "n_id", "rank", 10)
+  }
+
   /** Gopher-style intra-document repetition signals: duplicate-token
     * fraction (map-side HOFs) and the most-frequent bigram's share of all
     * bigrams. The bigram mode is PER-DOCUMENT work, so it runs as a
@@ -1735,6 +1750,7 @@ object PipelineQueries {
     "eval_pr_curve" -> evalPrCurve,
     "eval_calibration" -> evalCalibration,
     "eval_lift" -> evalLift,
+    "eval_retrieval" -> evalRetrieval,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
     "sample_k_per_group" -> sampleKPerGroup,
@@ -2975,6 +2991,51 @@ object PipelineQueries {
          |  CASE WHEN tot_pos > 0 AND n > 0
          |       THEN CAST(n_pos * tot_n AS DOUBLE) / (n * tot_pos) ELSE NULL END AS lift
          |FROM c""".stripMargin,
+    "eval_retrieval" ->
+      // truth = the knn_brute CTE verbatim, system = the knn_int8 CTE
+      // verbatim, then the (query,item) left join + per-query rollup;
+      // 2520 = lcm(1..10), so every reciprocal rank is an exact integer
+      """WITH sf AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id),
+        |truth AS (SELECT q_id, n_id, rank FROM (
+        |  SELECT q_id, n_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+        |  FROM sf) WHERE rank <= 10),
+        |s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |unitized AS (
+        |  SELECT vec_id, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+        |  FROM s),
+        |qz AS (
+        |  SELECT vec_id,
+        |    list_transform(u, x -> CAST(floor(x *
+        |      (CASE WHEN list_max(list_transform(u, y -> abs(y))) = 0 THEN 1.0
+        |            ELSE 127.0 / list_max(list_transform(u, y -> abs(y))) END) + 0.5)
+        |      AS INTEGER)) AS q
+        |  FROM unitized),
+        |scored AS (
+        |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT) AS dot_q
+        |  FROM qz c JOIN qz qr ON qr.vec_id < 8 AND c.vec_id != qr.vec_id),
+        |sys AS (SELECT q_id, n_id, rank FROM (
+        |  SELECT q_id, n_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 10),
+        |j AS (SELECT t.q_id, t.rank AS trank, y.rank AS srank
+        |      FROM truth t LEFT JOIN sys y ON t.q_id = y.q_id AND t.n_id = y.n_id)
+        |SELECT q_id,
+        |  CAST(SUM(CASE WHEN srank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN srank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall,
+        |  MIN(CASE WHEN trank = 1 THEN srank END) AS nn_rank,
+        |  COALESCE(CAST(2520 / MIN(CASE WHEN trank = 1 THEN srank END) AS BIGINT), 0) AS rr_num
+        |FROM j GROUP BY q_id""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "text_readability" ->

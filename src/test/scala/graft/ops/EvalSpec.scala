@@ -137,4 +137,38 @@ class EvalSpec extends AnyFunSuite {
       .orderBy("bucket").collect()
     assert(out.toSeq == out13.toSeq)
   }
+
+  // ----------------------------------------------------------- retrieval
+
+  test("retrievalMetrics: overlap, grid reciprocal rank, miss handling, guard") {
+    // truth and system top-3 lists for two queries
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // q1 truth
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3) // q2 truth
+    ).toDF("q_id", "n_id", "rank")
+    val system = Seq(
+      (1L, 11L, 1), (1L, 10L, 2), (1L, 99L, 3), // q1: NN at rank 2, 2/3 overlap
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3) // q2: total miss
+    ).toDF("q_id", "n_id", "rank")
+    val out = Eval.retrievalMetrics(truth, system, "q_id", "n_id", "rank", 3)
+      .orderBy("q_id").collect()
+    // lcm(1..3) = 6: rank 2 → rr_num 3; miss → 0
+    assert(out(0).getAs[Long]("n_hit") == 2
+      && out(0).getAs[Double]("recall") == 2.0 / 3
+      && out(0).getAs[Int]("nn_rank") == 2
+      && out(0).getAs[Long]("rr_num") == 3L)
+    assert(out(1).getAs[Long]("n_hit") == 0
+      && out(1).isNullAt(out(1).fieldIndex("nn_rank"))
+      && out(1).getAs[Long]("rr_num") == 0L)
+    // perfect system: recall 1, rr_num = full grid
+    val perfect = Eval.retrievalMetrics(truth, truth, "q_id", "n_id", "rank", 3)
+      .collect()
+    assert(perfect.forall(r => r.getAs[Double]("recall") == 1.0
+      && r.getAs[Long]("rr_num") == 6L))
+    // a rank outside 1..k fails loudly instead of mis-scoring
+    val bad = Seq((1L, 10L, 4)).toDF("q_id", "n_id", "rank")
+    intercept[Exception] {
+      Eval.retrievalMetrics(truth, bad, "q_id", "n_id", "rank", 3).collect()
+    }
+  }
 }
