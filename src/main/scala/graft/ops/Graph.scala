@@ -321,6 +321,84 @@ object Graph {
     * lineage stays flat instead of stacking `maxHops` deep. The oracle
     * unrolls identical rounds as materialized CTEs.
     */
+  /** Bounded-hop weighted shortest paths (multi-source Bellman–Ford with
+    * frontier relaxation): cheapest path cost from the nearest seed over
+    * non-negative integer edge weights, plus the same min-id nearest-seed
+    * assignment as [[bfs]] (smallest seed id among all cheapest paths;
+    * on a cost tie the root only ever decreases). Returns `(node, dist,
+    * root)` for nodes reachable within `rounds` edges; the round-R result
+    * is exactly "cheapest path using ≤ R edges" — a well-defined contract
+    * the oracle can unroll even when the fixture hasn't converged
+    * (kCore's bounded-rounds discipline).
+    *
+    * Frontier (SPFA) relaxation is equivalent to full Bellman–Ford round
+    * by round: a node that didn't improve last round already made every
+    * offer it can make, so re-offering (what the unrolled oracle does)
+    * changes no min. Early exit when a round improves nothing.
+    *
+    * Scale shape: per round, one frontier⋈adjacency join + one
+    * lexicographic-min partial agg over (previous ∪ candidates) + one
+    * improvement anti-filter — edge-sized motion at worst, shrinking with
+    * the frontier; state re-pins per round so lineage stays flat. Weights
+    * must be non-negative integers (exactness and the ≤R-edge contract;
+    * enforced in-plan with `raise_error`).
+    */
+  def shortestPaths(
+      weightedEdges: DataFrame,
+      sources: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"need rounds >= 0, got $rounds")
+    val guarded = when(col("w") < 0,
+      raise_error(concat(lit("negative edge weight: "), col("w").cast("string"))))
+      .otherwise(col("w"))
+    // canonical undirected weighted edges; parallel edges keep the min cost
+    val e = weightedEdges
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"),
+        guarded.cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min(col("w")).as("w"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .union(e.select(col("v").as("a"), col("u").as("b"), col("w")))
+      .localCheckpoint(true)
+    var dist = sources
+      .select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"), col("node").as("root"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var r = 0
+    var active = !frontier.isEmpty
+    while (r < rounds && active) {
+      val cand = frontier
+        .join(adj, frontier("node") === adj("a"))
+        .select(col("b").as("node"), (frontier("dist") + col("w")).as("dist"),
+          col("root"))
+      val merged = dist.union(cand)
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("root"))).as("__m"))
+        .select(col("node"), col("__m.dist").as("dist"), col("__m.root").as("root"))
+        .localCheckpoint(true)
+      // frontier admission compares the FULL lexicographic (dist, root)
+      // state: a root-only improvement must also re-offer, else the
+      // min-id tie-break stops propagating and diverges from full
+      // Bellman–Ford (the offer map is lex-monotone, so SPFA ≡ full
+      // holds round by round on pairs, not on dist alone)
+      val improved = merged
+        .join(dist.select(col("node"), col("dist").as("__od"),
+          col("root").as("__or")), Seq("node"), "left")
+        .filter(col("__od").isNull ||
+          struct(col("dist"), col("root")) < struct(col("__od"), col("__or")))
+        .select("node", "dist", "root")
+        .localCheckpoint(true)
+      active = !improved.isEmpty
+      dist = merged
+      frontier = improved
+      r += 1
+    }
+    dist
+  }
+
   def bfs(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
     val e = undirected(edges)

@@ -1141,6 +1141,53 @@ object RelationalQueries {
     graft.ops.Graph.bfs(e, nodes.filter(col("node") % 101 === 0), maxHops = 4)
   }
 
+  /** Bounded weighted shortest paths over the co-purchase graph
+    * ([[graft.ops.Graph.shortestPaths]] — multi-source Bellman–Ford, 4
+    * relaxation rounds, min-id root tie-break). Edge costs are the
+    * deterministic fixture `1 + (src + dst) % 7` — synthetic, but they
+    * exercise real cost diversity: the cheapest route is frequently NOT
+    * the fewest-hop route, which is exactly what separates this from
+    * [[graphBfs]]. The oracle unrolls full Bellman–Ford rounds; frontier
+    * relaxation is round-by-round equivalent (argued on the op).
+    */
+  val graphSssp: Q = (spark, dir) => {
+    val e = coPurchaseEdges(spark, dir)
+      .withColumn("w", lit(1) + (col("src") + col("dst")) % 7)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    graft.ops.Graph.shortestPaths(e, nodes.filter(col("node") % 101 === 0), rounds = 4)
+  }
+
+  /** Builds the graph_sssp oracle: full Bellman–Ford unrolled — per
+    * round, candidate offers from the whole previous table, the min-cost
+    * fold, then the min-root tie-break at the winning cost.
+    */
+  private def graphSsspOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |           FROM lineitem WHERE l_quantity >= 40),
+             |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b2.p AS v
+             |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+             |ew AS MATERIALIZED (SELECT u, v, 1 + (u + v) % 7 AS w FROM e0),
+             |adj AS MATERIALIZED (SELECT u AS a, v AS b, w FROM ew
+             |      UNION ALL SELECT v, u, w FROM ew),
+             |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist, node AS root
+             |      FROM (SELECT u AS node FROM e0 UNION SELECT v FROM e0)
+             |      WHERE node % 101 = 0)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+               |c$r AS (SELECT a.b AS node, d.dist + a.w AS dist, d.root AS root
+               |       FROM d${r - 1} d JOIN adj a ON d.node = a.a),
+               |u$r AS (SELECT * FROM d${r - 1} UNION ALL SELECT * FROM c$r),
+               |m$r AS (SELECT node, MIN(dist) AS dist FROM u$r GROUP BY 1),
+               |d$r AS MATERIALIZED (SELECT x.node, x.dist, MIN(x.root) AS root
+               |       FROM u$r x JOIN m$r m ON x.node = m.node AND x.dist = m.dist
+               |       GROUP BY 1, 2)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, dist, root FROM d$rounds"
+    sb.toString
+  }
+
   /** Builds the graph_bfs oracle: the frontier loop unrolled — per round,
     * newly reached nodes (EXISTS-excluded settled set) with their min
     * root, appended into the settled set. Spark's early exit is invisible:
@@ -2995,6 +3042,7 @@ object RelationalQueries {
     "audience_jaccard" -> audienceJaccard,
     "graph_kcore" -> graphKcore,
     "graph_bfs" -> graphBfs,
+    "graph_sssp" -> graphSssp,
     "privacy_kanon" -> privacyKanon,
     "q2_mincost" -> q2MinCost,
     "q4_priority" -> q4Priority,
@@ -4445,6 +4493,7 @@ object RelationalQueries {
         |LIMIT 20""".stripMargin,
     "graph_kcore" -> graphKcoreOracle(k = 3, rounds = 6),
     "graph_bfs" -> graphBfsOracle(rounds = 4),
+    "graph_sssp" -> graphSsspOracle(rounds = 4),
     "audience_jaccard" ->
       """WITH m AS (SELECT DISTINCT event_type AS g, user_id AS mm FROM events),
         |i AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter

@@ -588,6 +588,52 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Graph.bfs(g, seeds(1L), maxHops = -1) }
   }
 
+  test("shortestPaths: cheapest beats fewest hops; root ties re-propagate; bounds") {
+    import org.apache.spark.sql.functions.lit
+    def seeds(ids: Long*) = ids.toDF("node")
+    // direct edge costs 10; the two-hop detour costs 2
+    val g = Seq((1L, 9L, 10L), (1L, 2L, 1L), (2L, 9L, 1L)).toDF("src", "dst", "w")
+    val out = Graph.shortestPaths(g, seeds(1L), rounds = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, 1L), (2L, 1L, 1L), (9L, 2L, 1L)),
+      s"got ${out.toSeq}")
+    // rounds = 1 can only use one edge: the direct cost-10 path wins
+    val r1 = Graph.shortestPaths(g, seeds(1L), rounds = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r1.find(_._1 == 9L).get._2 == 10L, "bounded-hop contract")
+    // root-only improvement must re-offer downstream (regression for the
+    // frontier-admission fix): m first settles (1, root 5), then the
+    // equal-cost root-1 path arrives via the zero-weight edge and must
+    // still reach x one round later
+    val g2 = Seq(
+      (5L, 20L, 1L), // seed 5 → m, cost 1 (round 1)
+      (1L, 10L, 0L), // seed 1 → c, cost 0
+      (10L, 20L, 1L), // c → m, total cost 1, smaller root (round 2)
+      (20L, 30L, 1L) // m → x
+    ).toDF("src", "dst", "w")
+    val out2 = Graph.shortestPaths(g2, seeds(1L, 5L), rounds = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out2.find(_._1 == 20L).get == ((20L, 1L, 1L)), s"got ${out2.toSeq}")
+    assert(out2.find(_._1 == 30L).get == ((30L, 2L, 1L)),
+      "root improvement must propagate past m")
+    // parallel edges keep the min cost
+    val g3 = Seq((1L, 2L, 9L), (2L, 1L, 3L)).toDF("src", "dst", "w")
+    assert(Graph.shortestPaths(g3, seeds(1L), rounds = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      == Seq((1L, 0L, 1L), (2L, 3L, 1L)))
+    // negative weight fails loudly in-plan
+    intercept[Exception] {
+      Graph.shortestPaths(Seq((1L, 2L, -1L)).toDF("src", "dst", "w"),
+        seeds(1L), rounds = 2).collect()
+    }
+    // empty seeds → empty result
+    assert(Graph.shortestPaths(g, seeds(), rounds = 3).count() == 0L)
+    // partitioning-invariant
+    val rep = Graph.shortestPaths(g2.repartition(5), seeds(1L, 5L), rounds = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq == out2.toSeq)
+  }
+
   test("labelPropagate: clique absorbs min label; bridge stays put; invariant") {
     // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L),
