@@ -307,5 +307,60 @@ object Eval {
         coalesce((lit(grid) / col("nn_rank")).cast("long"), lit(0L)).as("rr_num"))
   }
 
+  /** Rank-biased overlap (Webber et al.) at persistence p = 1/2 between a
+    * ground-truth and a system top-k list — the rank-SIMILARITY companion
+    * to [[retrievalMetrics]]: recall ignores order, RBO weights agreement
+    * at the top exponentially more. `RBO@k = Σ_{d=1..k} overlap_d /
+    * (2^d · d)` (truncated form, max `1 − 2^-k`).
+    *
+    * Exactness: p = 1/2 makes every geometric weight dyadic, so the whole
+    * sum lives on the `2^k · lcm(1..k)` integer grid. A matched item
+    * contributes to every depth `d ≥ m = max(truth rank, system rank)`;
+    * its total contribution `W(m) = Σ_{d=m..k} 2^(k-d) · lcm/d` is a
+    * k-entry integer lookup table folded into the plan. Per query:
+    * `rbo_num = Σ W(m)` (exact long) and the single closing division.
+    *
+    * Scale: one `(query, item)` equi-join of two (|Q|·k)-sized lists and
+    * a per-query partial agg — nothing corpus-sized.
+    */
+  def rankBiasedOverlap(
+      truth: DataFrame,
+      system: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"need 1 <= k <= 20 (2^k·lcm fits a long), got $k")
+    val weights = rboWeights(k)
+    val denom = (1L << k) * (1 to k).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    def ranked(c: org.apache.spark.sql.Column) =
+      when(c < 1 || c > k,
+        raise_error(concat(lit(s"rank outside 1..$k: "), c.cast("string"))))
+        .otherwise(c)
+    val t = truth.select(col(queryCol).as("q"), col(itemCol).as("item"),
+      ranked(col(rankCol).cast("int")).as("trank"))
+    val s = system.select(col(queryCol).as("q"), col(itemCol).as("item"),
+      ranked(col(rankCol).cast("int")).as("srank"))
+    t.join(s, Seq("q", "item"), "left")
+      .groupBy("q")
+      .agg(sum(when(col("srank").isNotNull,
+        element_at(typedLit(weights), greatest(col("trank"), col("srank"))))
+        .otherwise(0L)).as("rbo_num"))
+      .select(col("q").as(queryCol), col("rbo_num"),
+        (col("rbo_num").cast("double") / denom).as("rbo"))
+  }
+
+  /** `W(m) = Σ_{d=m..k} 2^(k-d) · lcm(1..k)/d`, 1-indexed by m — shared
+    * with the oracle generator so both sides fold identical constants.
+    */
+  def rboWeights(k: Int): Seq[Long] = {
+    val grid = (1 to k).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    (1 to k).map(m => (m to k).map(d => (1L << (k - d)) * (grid / d)).sum)
+  }
+
+  /** The closing denominator `2^k · lcm(1..k)` for [[rankBiasedOverlap]]. */
+  def rboDenom(k: Int): Long =
+    (1L << k) * (1 to k).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

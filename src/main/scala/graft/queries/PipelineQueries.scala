@@ -558,6 +558,21 @@ object PipelineQueries {
     graft.ops.Eval.retrievalMetrics(truth, sys, "q_id", "n_id", "rank", 10)
   }
 
+  /** Rank-biased overlap of the int8 list against the float ground truth
+    * ([[graft.ops.Eval.rankBiasedOverlap]] at p = 1/2, k = 10): the
+    * order-sensitive twin of `eval_retrieval` — a system that returns the
+    * right 10 items in the wrong order scores full recall but loses RBO.
+    * Dyadic weights keep the whole sum on the `2^10·lcm(1..10)` integer
+    * grid; the oracle folds the identical W(m) table.
+    */
+  val evalRbo: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+    val sys = Similarity.int8TopK(e, q, "vec_id", "embedding", 10)
+    graft.ops.Eval.rankBiasedOverlap(truth, sys, "q_id", "n_id", "rank", 10)
+  }
+
   /** Gopher-style intra-document repetition signals: duplicate-token
     * fraction (map-side HOFs) and the most-frequent bigram's share of all
     * bigrams. The bigram mode is PER-DOCUMENT work, so it runs as a
@@ -1751,6 +1766,7 @@ object PipelineQueries {
     "eval_calibration" -> evalCalibration,
     "eval_lift" -> evalLift,
     "eval_retrieval" -> evalRetrieval,
+    "eval_rbo" -> evalRbo,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
     "sample_k_per_group" -> sampleKPerGroup,
@@ -1890,6 +1906,68 @@ object PipelineQueries {
     s"""SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS label, $logitSql AS score
        |  FROM documents
        |  WHERE lang IS NOT NULL""".stripMargin
+
+  /** Shared CTE prefix of the retrieval-eval oracles: the knn_brute float
+    * ground truth and the knn_int8 system list (both verbatim from their
+    * own oracle-pinned queries), left-joined on `(query, item)` into `j`
+    * with both ranks. Ends WITHOUT a final select so each metric oracle
+    * appends its own rollup.
+    */
+  private val annListsSql =
+    """WITH sf AS (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id),
+      |truth AS (SELECT q_id, n_id, rank FROM (
+      |  SELECT q_id, n_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+      |  FROM sf) WHERE rank <= 10),
+      |s AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+      |  FROM embeddings),
+      |unitized AS (
+      |  SELECT vec_id, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+      |  FROM s),
+      |qz AS (
+      |  SELECT vec_id,
+      |    list_transform(u, x -> CAST(floor(x *
+      |      (CASE WHEN list_max(list_transform(u, y -> abs(y))) = 0 THEN 1.0
+      |            ELSE 127.0 / list_max(list_transform(u, y -> abs(y))) END) + 0.5)
+      |      AS INTEGER)) AS q
+      |  FROM unitized),
+      |scored AS (
+      |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+      |    CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT) AS dot_q
+      |  FROM qz c JOIN qz qr ON qr.vec_id < 8 AND c.vec_id != qr.vec_id),
+      |sys AS (SELECT q_id, n_id, rank FROM (
+      |  SELECT q_id, n_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS INTEGER) AS rank
+      |  FROM scored) WHERE rank <= 10),
+      |j AS (SELECT t.q_id, t.rank AS trank, y.rank AS srank
+      |      FROM truth t LEFT JOIN sys y ON t.q_id = y.q_id AND t.n_id = y.n_id)""".stripMargin
+
+  /** Builds the eval_rbo oracle: the [[annListsSql]] lists, each matched
+    * item scored by the SAME `W(max(trank, srank))` integer table the op
+    * folds into its plan ([[graft.ops.Eval.rboWeights]]), one closing
+    * division by `2^k · lcm(1..k)`.
+    */
+  private def evalRboOracle(k: Int): String = {
+    val w = graft.ops.Eval.rboWeights(k)
+    val cases = (1 to k)
+      .map(m => s"WHEN ${m} THEN ${w(m - 1)}").mkString(" ")
+    val num = "SUM(CASE WHEN srank IS NULL THEN 0 ELSE CASE " +
+      "(CASE WHEN trank > srank THEN trank ELSE srank END) " + cases +
+      " ELSE 0 END END)"
+    annListsSql + s"""
+       |SELECT q_id,
+       |  CAST($num AS BIGINT) AS rbo_num,
+       |  CAST($num AS DOUBLE) / ${graft.ops.Eval.rboDenom(k)} AS rbo
+       |FROM j GROUP BY q_id""".stripMargin
+  }
 
   /** The deterministic hyperplanes as DuckDB DOUBLE[] literals — Scala
     * Double.toString round-trips exactly, and DuckDB's sequential
@@ -2995,47 +3073,14 @@ object PipelineQueries {
       // truth = the knn_brute CTE verbatim, system = the knn_int8 CTE
       // verbatim, then the (query,item) left join + per-query rollup;
       // 2520 = lcm(1..10), so every reciprocal rank is an exact integer
-      """WITH sf AS (
-        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
-        |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-        |     sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos
-        |  FROM embeddings q, embeddings n
-        |  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id),
-        |truth AS (SELECT q_id, n_id, rank FROM (
-        |  SELECT q_id, n_id,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
-        |  FROM sf) WHERE rank <= 10),
-        |s AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
-        |  FROM embeddings),
-        |unitized AS (
-        |  SELECT vec_id, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
-        |  FROM s),
-        |qz AS (
-        |  SELECT vec_id,
-        |    list_transform(u, x -> CAST(floor(x *
-        |      (CASE WHEN list_max(list_transform(u, y -> abs(y))) = 0 THEN 1.0
-        |            ELSE 127.0 / list_max(list_transform(u, y -> abs(y))) END) + 0.5)
-        |      AS INTEGER)) AS q
-        |  FROM unitized),
-        |scored AS (
-        |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
-        |    CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT) AS dot_q
-        |  FROM qz c JOIN qz qr ON qr.vec_id < 8 AND c.vec_id != qr.vec_id),
-        |sys AS (SELECT q_id, n_id, rank FROM (
-        |  SELECT q_id, n_id,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS INTEGER) AS rank
-        |  FROM scored) WHERE rank <= 10),
-        |j AS (SELECT t.q_id, t.rank AS trank, y.rank AS srank
-        |      FROM truth t LEFT JOIN sys y ON t.q_id = y.q_id AND t.n_id = y.n_id)
+      (annListsSql + """
         |SELECT q_id,
         |  CAST(SUM(CASE WHEN srank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
         |  CAST(SUM(CASE WHEN srank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall,
         |  MIN(CASE WHEN trank = 1 THEN srank END) AS nn_rank,
         |  COALESCE(CAST(2520 / MIN(CASE WHEN trank = 1 THEN srank END) AS BIGINT), 0) AS rr_num
-        |FROM j GROUP BY q_id""".stripMargin,
+        |FROM j GROUP BY q_id""".stripMargin),
+    "eval_rbo" -> evalRboOracle(10),
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "text_readability" ->

@@ -171,4 +171,38 @@ class EvalSpec extends AnyFunSuite {
       Eval.retrievalMetrics(truth, bad, "q_id", "n_id", "rank", 3).collect()
     }
   }
+
+  test("rankBiasedOverlap: exact dyadic grid matches the textbook sum") {
+    // k=3, lcm(1..3)=6, denom = 2^3*6 = 48; W(m) = sum_{d=m..3} 2^(3-d)*6/d
+    assert(Eval.rboWeights(3) == Seq(32L, 8L, 2L) && Eval.rboDenom(3) == 48L)
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)
+    ).toDF("q_id", "n_id", "rank")
+    // q1: identical list -> max RBO = 1 - 2^-3 = 7/8 (num 42/48)
+    // q2: top-2 swapped -> overlap_d = (0,2,3) -> 2/(4*2)+3/(8*3) = 3/8
+    val system = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 21L, 1), (2L, 20L, 2), (2L, 22L, 3)
+    ).toDF("q_id", "n_id", "rank")
+    val out = Eval.rankBiasedOverlap(truth, system, "q_id", "n_id", "rank", 3)
+      .orderBy("q_id").collect()
+    assert(out(0).getAs[Long]("rbo_num") == 42L
+      && out(0).getAs[Double]("rbo") == 7.0 / 8)
+    assert(out(1).getAs[Long]("rbo_num") == 18L
+      && out(1).getAs[Double]("rbo") == 3.0 / 8)
+    // total miss scores exactly 0, not null
+    val miss = Seq((1L, 97L, 1), (1L, 98L, 2), (1L, 99L, 3),
+      (2L, 97L, 1), (2L, 98L, 2), (2L, 99L, 3)).toDF("q_id", "n_id", "rank")
+    val zero = Eval.rankBiasedOverlap(truth, miss, "q_id", "n_id", "rank", 3)
+      .collect()
+    assert(zero.forall(r => r.getAs[Long]("rbo_num") == 0L
+      && r.getAs[Double]("rbo") == 0.0))
+    // rank outside 1..k fails loudly
+    intercept[Exception] {
+      Eval.rankBiasedOverlap(truth,
+        Seq((1L, 10L, 4)).toDF("q_id", "n_id", "rank"),
+        "q_id", "n_id", "rank", 3).collect()
+    }
+  }
 }
