@@ -1139,4 +1139,107 @@ object Dedup {
         col("clean_text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
+
+  /** EXACT set-similarity self-join by prefix filtering (the All-Pairs /
+    * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08, public
+    * literature): every pair of documents whose distinct word-`n`-gram
+    * sets have Jaccard ≥ `threshold`, with NO blocking column, NO
+    * LSH recall loss, and NO block-quadratic pair stage. Candidate
+    * pruning is LOSSLESS — the result set equals brute force (spec-pinned)
+    * — so this is the exact-threshold companion to [[minhashPairs]]
+    * (probabilistic recall) and [[ngramJaccardPairs]] (quadratic within
+    * caller-chosen blocks).
+    *
+    * Construction. Shingles get a global rarest-first total order by
+    * (document frequency, shingle). Each doc sorts its distinct shingles
+    * in that order; with s = |set|, only the first `s − ⌈t·s⌉ + 1` (the
+    * PREFIX) are posted to the inverted candidate index. A pair with
+    * Jaccard ≥ t shares ≥ ⌈t·max(sa,sb)⌉ elements, which cannot all hide
+    * in both suffixes, so prefix-disjoint pairs are provably below
+    * threshold. Candidates also pass the length filter
+    * `t·sa ≤ sb ∧ t·sb ≤ sa` (ε-guarded so float rounding can only ADMIT
+    * a borderline candidate, never drop one — the verify stage is exact
+    * and false positives cost one intersection each). Verification then
+    * computes |A∩B| once per surviving candidate; one integer division
+    * yields the score, bit-exact cross-engine.
+    *
+    * Why this is the 100 TB shape: frequent shingles — exactly the keys
+    * that make a naive token self-join quadratic — sort LAST and fall
+    * outside every prefix, so they never generate a candidate; each
+    * posting list is bounded by its shingle's own rarity. Total work =
+    * one frequency aggregation over the exploded shingles, one per-doc
+    * re-sort (both ∝ corpus shingle volume, the same bound as shingling
+    * itself), one self-join of the PREFIX postings (∝ (1−t)·volume, with
+    * rare-key lists), and verification ∝ candidates — never all pairs.
+    * The full shingle arrays join back only onto surviving candidates.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    val toks = prefixShingleSets(df, textCol, idCol, threshold, n)
+    val cand = prefixCandidates(toks, threshold)
+    cand
+      .join(toks.select(col("id").as("id_a"), col("set").as("__sa")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("set").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("inter"),
+        size(col("__sa")).as("size_a"), size(col("__sb")).as("size_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Distinct word-`n`-gram sets `(id, set)` for [[prefixJaccardPairs]];
+    * docs shorter than `n` tokens shingle to [] and exit (an empty set has
+    * no Jaccard partner), null text likewise. Split out so the spec can
+    * count candidates against the true-pair set.
+    */
+  private[ops] def prefixShingleSets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      n: Int): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(n >= 1, s"n must be >= 1, got $n")
+    requireIntegralId(df, idCol)
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__ws", TextOps.tokens(col(textCol)))
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(TextOps.wordNgramsAllOfTokens(col("__ws"), n)).as("set"))
+      .filter(size(col("set")) > 0)
+  }
+
+  /** The lossless candidate stage of [[prefixJaccardPairs]]: distinct
+    * `(id_a, id_b)` pairs sharing ≥ 1 rarest-first PREFIX shingle and
+    * passing the ε-guarded length filter. Superset of all true pairs
+    * (spec-pinned), disjoint-prefix pairs provably below threshold.
+    */
+  private[ops] def prefixCandidates(toks: DataFrame, threshold: Double): DataFrame = {
+    val ex = toks.select(col("id"), explode(col("set")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("dfq"))
+    // rarest-first per-doc order: (dfq, shingle) struct sort is a total
+    // order, so the prefix is deterministic under any partitioning
+    val ordered = ex
+      .join(dfreq, "g")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("dfq"), col("g")))).as("st"))
+      .select(col("id"), size(col("st")).as("s"),
+        transform(col("st"), t => t("g")).as("ranked"))
+    // prefix length s − ⌈t·s⌉ + 1; the ε makes an exactly-integral t·s
+    // round DOWN at the ceil (longer prefix — conservative direction)
+    val preLen = (col("s") - ceil(lit(threshold) * col("s") - lit(1e-9)) + 1).cast("int")
+    val post = ordered
+      .select(col("id"), col("s"), explode(slice(col("ranked"), lit(1), preLen)).as("g"))
+    post.select(col("g"), col("id").as("id_a"), col("s").as("s_a"))
+      .join(post.select(col("g"), col("id").as("id_b"), col("s").as("s_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        col("s_b").cast("double") >= lit(threshold) * col("s_a") - lit(1e-9) &&
+        col("s_a").cast("double") >= lit(threshold) * col("s_b") - lit(1e-9))
+      .select("id_a", "id_b")
+      .distinct()
+  }
 }

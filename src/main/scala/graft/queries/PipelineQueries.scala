@@ -93,6 +93,15 @@ object PipelineQueries {
   val dedupContainment: Q = (spark, dir) =>
     Dedup.ngramContainmentPairs(docs(spark, dir), "text", "doc_id", "source", 5, 0.60)
 
+  /** EXACT word-3-gram-set Jaccard pairs (≥ 0.5) by LOSSLESS prefix
+    * filtering ([[graft.ops.Dedup.prefixJaccardPairs]] — the All-Pairs /
+    * PPJoin shape): no blocking column, no LSH recall loss, candidates
+    * pruned by the rarest-first prefix index. The oracle is plain brute
+    * force — equality with it IS the losslessness proof at gate scale.
+    */
+  val dedupPrefixJoin: Q = (spark, dir) =>
+    Dedup.prefixJaccardPairs(docs(spark, dir), "text", "doc_id", 0.5, n = 3)
+
   /** Embedding-cosine near-duplicate pairs via hyperplane LSH buckets. */
   val dedupEmbedding: Q = (spark, dir) =>
     Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.30, bits = 4)
@@ -1823,6 +1832,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_containment" -> dedupContainment,
+    "dedup_prefix_join" -> dedupPrefixJoin,
     "sample_split_nodup" -> sampleSplitNodup,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
@@ -3354,6 +3364,27 @@ object PipelineQueries {
          |       ELSE 'test' END AS split
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.id""".stripMargin
     },
+    "dedup_prefix_join" ->
+      // BRUTE-FORCE all-pairs word-3-gram Jaccard: the engine's prefix
+      // filtering is provably lossless, so equality with this oracle is
+      // the proof executed at gate scale (docs shorter than 3 tokens have
+      // no shingle set and exit on both sides)
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |toks AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(0, len(ws) - 3),
+         |    i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS ts
+         |  FROM w WHERE len(ws) >= 3),
+         |nz AS (SELECT doc_id, ts, len(ts) AS s FROM toks WHERE len(ts) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.ts, b.ts)) AS INTEGER) AS inter,
+         |  CAST(a.s AS INTEGER) AS size_a, CAST(b.s AS INTEGER) AS size_b,
+         |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+         |    (a.s + b.s - len(list_intersect(a.ts, b.ts))) AS jaccard
+         |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+         |      (a.s + b.s - len(list_intersect(a.ts, b.ts))) >= 0.5""".stripMargin,
     "dedup_containment" ->
       // same hashed-shingle argument as dedup_ngram; only the denominator
       // changes: containment divides by the SMALLER set

@@ -250,6 +250,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.subBlocks(1000000, 1000, 16) == 16, "split factor is capped")
   }
 
+  test("prefixJaccardPairs: lossless vs brute force; candidates pruned; guards") {
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    def setOf(s: String): Set[String] = {
+      val ws = tokensOf(s)
+      if (ws.length < 3) Set.empty else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val nonEmpty = texts.filter { case (_, t) => setOf(t).nonEmpty }
+    val expected = (for {
+      Seq(a, b) <- nonEmpty.keys.toSeq.sorted.combinations(2)
+      sa = setOf(texts(a)); sb = setOf(texts(b))
+      inter = sa.intersect(sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id", 0.5, n = 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    // partitioning invariance: the rarest-first order is total
+    val got13 = Dedup.prefixJaccardPairs(docs.repartition(13), "text", "doc_id", 0.5, 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got13 == got)
+    // the point of prefix filtering: candidates ≪ all pairs (docs share a
+    // small vocabulary, so a full token join would be near-quadratic)
+    val toks = Dedup.prefixShingleSets(docs, "text", "doc_id", 0.5, 3)
+    val nCand = Dedup.prefixCandidates(toks, 0.5).count()
+    val nDocs = toks.count()
+    assert(nCand >= expected.size && nCand < nDocs * (nDocs - 1) / 2 / 4,
+      s"candidates $nCand should prune far below ${nDocs * (nDocs - 1) / 2} pairs")
+    // threshold 1.0 keeps only identical sets
+    assert(Dedup.prefixJaccardPairs(docs, "text", "doc_id", 1.0, 3)
+      .select("jaccard").as[Double].collect().forall(_ == 1.0))
+    // non-integral id fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(
+        docs.withColumn("doc_id", col("doc_id").cast("string")), "text", "doc_id", 0.5)
+    }
+  }
+
   // --- Embedding near-dup + ANN -------------------------------------------
 
   test("cosineNearDupPairs: no false positives; subset of brute force") {
