@@ -981,4 +981,96 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("adc_dist"))
   }
+
+  /** Distributed Lloyd k-means over the [[graft.functions.Int8UnitCodes]]
+    * integer codes — EXACT, seedless, and replayable step-for-step by a
+    * SQL oracle: the one clustering formulation this library can put
+    * under the cross-engine hash gate (float k-means is spec territory —
+    * libm and reduction order shift centroids between engines).
+    *
+    * Determinism contract, pinned on both sides of the gate:
+    *  - points are the int8 UNIT codes (cosine geometry on the integer
+    *    grid, the same codes [[int8TopK]] searches);
+    *  - init: the codes of the `k` smallest ids, cluster j = rank j —
+    *    no RNG, no seed exchange;
+    *  - dist² is exact long arithmetic; argmin ties break to the
+    *    SMALLEST cluster index (`array_position` returns the FIRST hit);
+    *  - centroid update is per-dimension floor(sum/n): sums are exact
+    *    longs and the single double division is exact while |sum| < 2⁵³
+    *    (at extreme per-cluster row counts route the sums through
+    *    decimal(38) — same lever as the IVM aggregates);
+    *  - empty clusters keep their previous centroid;
+    *  - `iters` is FIXED, never convergence-tested: every engine and
+    *    every partitioning computes the identical trajectory.
+    *
+    * Scale shape: per iteration ONE pass over the cached code table.
+    * Assignment is a pure codegen'd Column fold over the BROADCAST-LITERAL
+    * centroid table — no join, no shuffle, no UDF. The update shuffles
+    * only map-side-combined `(cluster, dim)` partial sums (≤ k·dim rows
+    * per task) and pulls k·dim aggregated longs to the driver per round —
+    * the same bounded-pull discipline as [[ivfBuild]]'s training draw.
+    * Vectors with null components are dropped up front (a null poisons
+    * every distance); a ragged dimension fails loudly in-plan.
+    *
+    * @return one row per surviving input row: (id, cluster, dist2)
+    */
+  def kmeansCodes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    graft.ops.Dedup.requireIntegralId(df, idCol)
+    val codes = df
+      .filter(col(vecCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("id"),
+        graft.functions.VectorExpressions.int8UnitCodes(col(vecCol))
+          .cast("array<long>").as("x"))
+      .filter(!exists(col("x"), v => v.isNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val initRows = codes.orderBy("id").limit(k).collect()
+    require(initRows.length == k,
+      s"need >= $k vectors to seed $k clusters, got ${initRows.length}")
+    var cent: Array[Array[Long]] = initRows.map(_.getSeq[Long](1).toArray)
+    val dim = cent.head.length
+    require(cent.forall(_.length == dim),
+      s"ragged init vectors: expected dim $dim across the first $k ids")
+    // assignment against a literal centroid table: d2s[j] folds exactly,
+    // array_min + first-position argmin give the deterministic tie-break
+    def assigned(c: Array[Array[Long]]): DataFrame = {
+      val cLit = typedLit(c.map(_.toSeq).toSeq)
+      val guarded = when(
+        size(col("x")) =!= dim,
+        raise_error(concat(lit("embedding dim "), size(col("x")).cast("string"),
+          lit(s" != $dim"))).cast("array<bigint>"))
+        .otherwise(col("x"))
+      codes
+        .withColumn("__gx", guarded)
+        .withColumn("__d2s", transform(cLit, cv =>
+          aggregate(zip_with(col("__gx"), cv, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v)))
+        .select(col("id"), col("x"),
+          (array_position(col("__d2s"), array_min(col("__d2s"))) - 1L)
+            .cast("int").as("cluster"),
+          array_min(col("__d2s")).as("dist2"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = assigned(cent)
+        .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .groupBy("cluster")
+        .agg(sort_array(collect_list(struct(col("pos"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("cv")))).as("st"))
+        .select(col("cluster"), transform(col("st"), t => t("cv")).as("c"))
+        .collect()
+      val next = cent.map(_.clone) // empty clusters keep their centroid
+      sums.foreach { r => next(r.getInt(0)) = r.getSeq[Long](1).toArray }
+      cent = next
+    }
+    assigned(cent).select(col("id").as(idCol), col("cluster"), col("dist2"))
+  }
 }

@@ -387,6 +387,16 @@ object PipelineQueries {
       nlist = 8, nprobe = 3)
   }
 
+  /** Distributed Lloyd k-means on the int8 unit-code integer grid
+    * ([[graft.ops.Similarity.kmeansCodes]], k=8, 3 fixed iterations):
+    * deterministic init (codes of the 8 smallest ids), exact long dist²,
+    * first-min tie-break, floor(sum/n) centroid updates — the oracle
+    * unrolls the identical trajectory iteration by iteration, putting a
+    * CLUSTERING op under the full hash gate (float k-means can't be).
+    */
+  val embeddingKmeans: Q = (spark, dir) =>
+    Similarity.kmeansCodes(emb(spark, dir), "vec_id", "embedding", k = 8, iters = 3)
+
   /** Int8-quantized top-10 by integer dot product over unit-normalized
     * vectors — fully oracle-checked (integer scores leave no float
     * ambiguity), pinning the quantized ANN path end-to-end.
@@ -1847,6 +1857,7 @@ object PipelineQueries {
     "embedding_outliers" -> embeddingOutliers,
     "knn_lsh" -> knnLsh,
     "knn_ivf" -> knnIvf,
+    "embedding_kmeans" -> embeddingKmeans,
     "knn_int8" -> knnInt8,
     "embedding_quantize" -> embeddingQuantize,
     "text_repetition" -> textRepetition,
@@ -1923,19 +1934,13 @@ object PipelineQueries {
     * with both ranks. Ends WITHOUT a final select so each metric oracle
     * appends its own rollup.
     */
-  private val annListsSql =
-    """WITH sf AS (
-      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-      |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
-      |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-      |     sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos
-      |  FROM embeddings q, embeddings n
-      |  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id),
-      |truth AS (SELECT q_id, n_id, rank FROM (
-      |  SELECT q_id, n_id,
-      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
-      |  FROM sf) WHERE rank <= 10),
-      |s AS (
+  /** The int8 unit-code replay CTEs (`s` → `unitized` → `qz`) — the SQL
+    * twin of [[graft.functions.Int8UnitCodes]], shared verbatim by every
+    * oracle that consumes the quantized codes (ANN eval, k-means) so the
+    * quantization replay cannot drift between them.
+    */
+  private val int8CodesCtesSql =
+    """s AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
       |  FROM embeddings),
@@ -1948,7 +1953,21 @@ object PipelineQueries {
       |      (CASE WHEN list_max(list_transform(u, y -> abs(y))) = 0 THEN 1.0
       |            ELSE 127.0 / list_max(list_transform(u, y -> abs(y))) END) + 0.5)
       |      AS INTEGER)) AS q
-      |  FROM unitized),
+      |  FROM unitized)""".stripMargin
+
+  private val annListsSql =
+    s"""WITH sf AS (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id),
+      |truth AS (SELECT q_id, n_id, rank FROM (
+      |  SELECT q_id, n_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+      |  FROM sf) WHERE rank <= 10),
+      |$int8CodesCtesSql,
       |scored AS (
       |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
       |    CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT) AS dot_q
@@ -1977,6 +1996,58 @@ object PipelineQueries {
        |  CAST($num AS BIGINT) AS rbo_num,
        |  CAST($num AS DOUBLE) / ${graft.ops.Eval.rboDenom(k)} AS rbo
        |FROM j GROUP BY q_id""".stripMargin
+  }
+
+  /** Builds the embedding_kmeans oracle: the [[int8CodesCtesSql]] codes,
+    * then `iters` UNROLLED Lloyd rounds (assign aᵢ → per-dim sums uᵢ →
+    * floored means nᵢ → carried centroids c₍ᵢ₊₁₎, empty clusters keeping
+    * the previous row via the LEFT JOIN coalesce), then the final
+    * assignment. Init order, first-min tie-break (row_number over
+    * (d2, cid)) and floor(sum/n) arithmetic mirror
+    * [[graft.ops.Similarity.kmeansCodes]] exactly.
+    */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    def d2Sql(q: String, c: String) =
+      s"""list_sum(list_transform(range($dim),
+         |          i -> ($q.x[CAST(i+1 AS INT)] - $c.c[CAST(i+1 AS INT)])
+         |             * ($q.x[CAST(i+1 AS INT)] - $c.c[CAST(i+1 AS INT)])))""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"WITH $int8CodesCtesSql,\n"
+    sb ++= s"""xs AS (SELECT vec_id, list_transform(q, v -> CAST(v AS BIGINT)) AS x FROM qz),
+              |c0 AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, x AS c
+              |  FROM (SELECT vec_id, x FROM xs ORDER BY vec_id LIMIT $k)),
+              |""".stripMargin
+    for (i <- 0 until iters) {
+      sb ++= s"""a$i AS (
+                |  SELECT vec_id, x, cid AS cluster FROM (
+                |    SELECT vec_id, x, cid,
+                |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                |    FROM (
+                |      SELECT q.vec_id, q.x, c.cid, ${d2Sql("q", "c")} AS d2
+                |      FROM xs q CROSS JOIN c$i c))
+                |  WHERE rn = 1),
+                |u$i AS (
+                |  SELECT cluster, pos, SUM(x[CAST(pos+1 AS INT)]) AS s, COUNT(*) AS n
+                |  FROM a$i CROSS JOIN range($dim) t(pos) GROUP BY cluster, pos),
+                |n$i AS (
+                |  SELECT cluster, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS c
+                |  FROM u$i GROUP BY cluster),
+                |c${i + 1} AS (
+                |  SELECT p.cid, COALESCE(u.c, p.c) AS c
+                |  FROM c$i p LEFT JOIN n$i u ON p.cid = u.cluster),
+                |""".stripMargin
+    }
+    sb ++= s"""fin AS (
+              |  SELECT vec_id, cluster, d2 FROM (
+              |    SELECT vec_id, cid AS cluster, d2,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              |    FROM (
+              |      SELECT q.vec_id, c.cid, ${d2Sql("q", "c")} AS d2
+              |      FROM xs q CROSS JOIN c$iters c))
+              |  WHERE rn = 1)
+              |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM fin""".stripMargin
+    sb.toString
   }
 
   /** The deterministic hyperplanes as DuckDB DOUBLE[] literals — Scala
@@ -3091,6 +3162,7 @@ object PipelineQueries {
         |  COALESCE(CAST(2520 / MIN(CASE WHEN trank = 1 THEN srank END) AS BIGINT), 0) AS rr_num
         |FROM j GROUP BY q_id""".stripMargin),
     "eval_rbo" -> evalRboOracle(10),
+    "embedding_kmeans" -> kmeansOracle(8, 3, 64),
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "text_readability" ->

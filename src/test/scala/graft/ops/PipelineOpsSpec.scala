@@ -250,6 +250,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.subBlocks(1000000, 1000, 16) == 16, "split factor is capped")
   }
 
+  test("kmeansCodes: partition-invariant trajectory, seeds at zero, guards") {
+    val out = Similarity.kmeansCodes(emb, "vec_id", "embedding", 8, 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(out.length == emb.count())
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8 && r._3 >= 0L))
+    // identical trajectory under any partitioning: every step is either a
+    // pure Column map or an order-free aggregate of exact longs
+    val out13 = Similarity.kmeansCodes(emb.repartition(13), "vec_id", "embedding", 8, 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(out13 == out)
+    // iters=0 assigns against the init codes: each seed vector is at
+    // distance 0 (of its own cluster or an identical twin's)
+    val seedIds = emb.orderBy("vec_id").limit(8).select("vec_id").as[Long].collect().toSet
+    val zeroIter = Similarity.kmeansCodes(emb, "vec_id", "embedding", 8, 0)
+      .as[(Long, Int, Long)].collect().filter(r => seedIds.contains(r._1))
+    assert(zeroIter.nonEmpty && zeroIter.forall(_._3 == 0L))
+    // k=1: one cluster holds everything
+    assert(Similarity.kmeansCodes(emb, "vec_id", "embedding", 1, 1)
+      .select("cluster").as[Int].collect().forall(_ == 0))
+    // non-integral id fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCodes(
+        emb.withColumn("vec_id", col("vec_id").cast("string")),
+        "vec_id", "embedding", 4, 1)
+    }
+  }
+
   test("prefixJaccardPairs: lossless vs brute force; candidates pruned; guards") {
     val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
     def setOf(s: String): Set[String] = {
