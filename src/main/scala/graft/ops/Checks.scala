@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks and profiling over arbitrary tables — the
@@ -129,6 +129,111 @@ object Checks {
       col(groupCol), col("n"),
       when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy)))
         .otherwise(lit(null).cast("double")).as("corr"))
+  }
+
+  /** All-pairs Pearson correlation MATRIX over `cols` in ONE pass —
+    * [[corrExact]]'s exact-grid discipline lifted to k columns. Each of
+    * the k(k−1)/2 pairs accumulates its six sufficient statistics over
+    * the rows where BOTH its columns are non-null (the
+    * pairwise-complete-observations contract) as conditional DECIMAL(19)
+    * sums inside a SINGLE aggregate, then combines in the fixed-order
+    * double expression. One scan and a 1-row reduction regardless of k —
+    * a per-pair [[corrExact]] loop would scan the table k(k−1)/2 times
+    * (the [[profile]] single-pass argument, applied to dependence
+    * structure). Bit-stable under any partitioning.
+    *
+    * @return one row per unordered pair: (col_x, col_y, n, corr) —
+    *         corr null when either side is constant or n < 2
+    */
+  def corrMatrix(
+      df: DataFrame,
+      cols: Seq[String],
+      gridScale: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val d19 = DecimalType(19, 0)
+    def grid(c: String) = floor(col(c).cast("double") * gridScale.toDouble).cast("long")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (i, j)
+    val staged = df.select(cols.zipWithIndex.map { case (c, i) => grid(c).as(s"__g$i") }: _*)
+    val aggs = pairs.flatMap { case (i, j) =>
+      val both = col(s"__g$i").isNotNull && col(s"__g$j").isNotNull
+      val x = when(both, col(s"__g$i").cast(d19))
+      val y = when(both, col(s"__g$j").cast(d19))
+      Seq(
+        sum(when(both, 1L)).as(s"__n_${i}_$j"),
+        sum(x).as(s"__sx_${i}_$j"),
+        sum(y).as(s"__sy_${i}_$j"),
+        sum(x * y).as(s"__sxy_${i}_$j"),
+        sum(x * x).as(s"__sxx_${i}_$j"),
+        sum(y * y).as(s"__syy_${i}_$j"))
+    }
+    val rows = pairs.map { case (i, j) =>
+      val n = coalesce(col(s"__n_${i}_$j"), lit(0L))
+      val nD = n.cast("double")
+      def d(s: String) = coalesce(col(s"__${s}_${i}_$j").cast("double"), lit(0.0))
+      val num = nD * d("sxy") - d("sx") * d("sy")
+      val vx = nD * d("sxx") - d("sx") * d("sx")
+      val vy = nD * d("syy") - d("sy") * d("sy")
+      struct(
+        lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"), n.as("n"),
+        when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy)))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }
+    staged
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Mutual information (and normalized MI) between two categorical
+    * columns — the feature-selection / redundancy readout — on the
+    * floored 1e-6 log grid (the text_perplexity discipline: each cell's
+    * `ln` lands on an integer grid BEFORE the weighted sum, so the
+    * result is bit-replayable cross-engine and partitioning-invariant
+    * despite libm differences; the floor can nudge mi a hair below its
+    * true non-negative value — deterministically so).
+    *
+    * `mi_num = Σ_xy c_xy · ⌊ln(N·c_xy / (c_x·c_y))·10⁶⌋` (exact long),
+    * `mi = mi_num / (N·10⁶)`; marginal entropies come from the SAME
+    * cell table (`Σ_y c_xy = c_x` makes the per-cell weighting exact),
+    * and `nmi = mi / √(hx·hy)` in one fixed-order double expression.
+    * Rows with a null on either side are dropped (a null category is a
+    * completeness question — [[incomplete]] — not a dependence one).
+    *
+    * Scale shape: one `groupBy(x, y)` with map-side combine is the only
+    * data-sized motion; the windows and the final 1-row aggregate run
+    * over the CELL table (≤ |X|·|Y| rows — category cross-product
+    * sized, driver-safe by the categorical contract). Ratios are formed
+    * in doubles before multiplying, so no c_x·c_y long overflow at any N.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+    val cells = base
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .withColumn("cx", sum("cxy").over(Window.partitionBy("x")))
+      .withColumn("cy", sum("cxy").over(Window.partitionBy("y")))
+      .withColumn("n", sum("cxy").over(Window.partitionBy()))
+    def lnGrid(r: Column) = floor(log(r) * 1000000.0).cast("long")
+    val agg0 = cells.agg(
+      max("n").as("n"),
+      sum(col("cxy") * lnGrid(col("n").cast("double") * col("cxy").cast("double") /
+        (col("cx").cast("double") * col("cy").cast("double")))).as("mi_num"),
+      (-sum(col("cxy") * lnGrid(col("cx").cast("double") / col("n").cast("double"))))
+        .as("hx_num"),
+      (-sum(col("cxy") * lnGrid(col("cy").cast("double") / col("n").cast("double"))))
+        .as("hy_num"))
+    val nD = col("n").cast("double") * 1000000.0
+    val mi = col("mi_num").cast("double") / nD
+    val hx = col("hx_num").cast("double") / nD
+    val hy = col("hy_num").cast("double") / nD
+    agg0.select(
+      col("n"), col("mi_num"), mi.as("mi"), hx.as("hx"), hy.as("hy"),
+      when(col("hx_num") > 0L && col("hy_num") > 0L, mi / sqrt(hx * hy))
+        .otherwise(lit(null).cast("double")).as("nmi"))
   }
 
   /** Grouped simple-regression trend lines on the exact grid: per group,

@@ -1043,6 +1043,14 @@ object PipelineQueries {
       .select(col("x.q_id").as("id_a"), col("x.n_id").as("id_b"))
   }
 
+  /** Mutual information between document language and source
+    * ([[graft.ops.Checks.mutualInfo]]) — "does source determine
+    * language?" on the floored 1e-6 log grid, so every cell term is an
+    * exact long and the oracle replays mi/hx/hy/nmi bit-for-bit.
+    */
+  val featureMi: Q = (spark, dir) =>
+    graft.ops.Checks.mutualInfo(docs(spark, dir), "lang", "source")
+
   val docStats: Q = (spark, dir) =>
     docs(spark, dir)
       .groupBy("lang", "source")
@@ -1886,6 +1894,7 @@ object PipelineQueries {
     "embedding_label_purity" -> embeddingLabelPurity,
     "text_rolling" -> textRolling,
     "doc_stats" -> docStats,
+    "feature_mi" -> featureMi,
     "metric_bootstrap" -> metricBootstrap,
     "metric_bootstrap_ratio" -> metricBootstrapRatio,
     "embedding_drift" -> embeddingDrift,
@@ -3711,6 +3720,34 @@ object PipelineQueries {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
          |  FROM s)
          |WHERE rank <= 10""".stripMargin,
+    "feature_mi" ->
+      // the mutualInfo construction replayed: cell counts, window
+      // marginals, floored 1e-6 log-grid terms, one fixed-order double
+      // combine (window SUMs are HUGEINT in DuckDB — cast back to BIGINT)
+      """WITH b AS (
+        |  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cxy AS (SELECT x, y, count(*) AS c FROM b GROUP BY 1, 2),
+        |cells AS (SELECT x, y, c,
+        |    SUM(c) OVER (PARTITION BY x) AS cx,
+        |    SUM(c) OVER (PARTITION BY y) AS cy,
+        |    SUM(c) OVER () AS n FROM cxy),
+        |s AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(SUM(c * CAST(floor(ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE) /
+        |      (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) AS mi_num,
+        |    CAST(-SUM(c * CAST(floor(ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS hx_num,
+        |    CAST(-SUM(c * CAST(floor(ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS hy_num
+        |  FROM cells)
+        |SELECT n, mi_num,
+        |  CAST(mi_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mi,
+        |  CAST(hx_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS hx,
+        |  CAST(hy_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS hy,
+        |  CASE WHEN hx_num > 0 AND hy_num > 0 THEN
+        |    (CAST(mi_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) /
+        |    sqrt((CAST(hx_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) *
+        |         (CAST(hy_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)))
+        |  ELSE NULL END AS nmi
+        |FROM s""".stripMargin,
     "doc_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  SUM(n_chars) / COUNT(*) AS avg_chars,

@@ -1065,6 +1065,17 @@ object RelationalQueries {
     graft.ops.Checks.corrExact(
       t(spark, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
 
+  /** One-pass all-pairs correlation matrix over the four lineitem
+    * measures ([[graft.ops.Checks.corrMatrix]]): 6 pairs × 6 exact
+    * decimal sufficient statistics in a SINGLE aggregate — one scan where
+    * a corr-per-pair loop costs six. Same fixed-order double combine as
+    * corr_exact, so every cell is bit-stable.
+    */
+  val corrMatrix: Q = (spark, dir) =>
+    graft.ops.Checks.corrMatrix(
+      t(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   /** Bit-stable revenue trend lines: per order priority, the OLS slope
     * and intercept of order value over days-since-epoch
     * ([[graft.ops.Checks.olsExact]] — the corr_exact sufficient-statistics
@@ -1555,6 +1566,36 @@ object RelationalQueries {
     * construction, then 12 unrolled value-iteration CTE rounds for the
     * base chain and for each channel-removed chain.
     */
+  /** Builds the corr_matrix oracle: per unordered pair, the corr_exact
+    * grid/decimal/double construction verbatim, UNION ALL'd — the oracle
+    * replays k(k−1)/2 independent pair computations while the engine does
+    * them in one aggregate; equal cells prove the fusion lossless.
+    */
+  private def corrMatrixOracle(table: String, cols: Seq[String]): String = {
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (cols(i), cols(j))
+    pairs.map { case (cx, cy) =>
+      s"""SELECT '$cx' AS col_x, '$cy' AS col_y, n,
+         |  CASE WHEN vx > 0 AND vy > 0 THEN num / (sqrt(vx) * sqrt(vy))
+         |       ELSE NULL END AS corr
+         |FROM (
+         |  SELECT n,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+         |  FROM (
+         |    SELECT count(*) AS n,
+         |      SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+         |      SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+         |      SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         |      SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         |      SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+         |    FROM (SELECT CAST(floor(CAST($cx AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
+         |                 CAST(floor(CAST($cy AS DOUBLE) * 1048576.0) AS BIGINT) AS y
+         |          FROM $table)
+         |    WHERE x IS NOT NULL AND y IS NOT NULL))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   private def markovAttributionOracle: String = {
     val iters = 12
     val channels = Seq("click", "view", "signup", "error")
@@ -3002,6 +3043,7 @@ object RelationalQueries {
     "feature_bins" -> featureBins,
     "feature_ecdf" -> featureEcdf,
     "corr_exact" -> corrExact,
+    "corr_matrix" -> corrMatrix,
     "orders_trend" -> ordersTrend,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
@@ -4266,6 +4308,8 @@ object RelationalQueries {
         |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |       ELSE NULL END AS corr
         |FROM s""".stripMargin,
+    "corr_matrix" -> corrMatrixOracle("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "corr_spearman" ->
       // exact doubled average ranks (2·below + ties + 1) from per-column
       // histograms, then the corr_exact decimal/double formula

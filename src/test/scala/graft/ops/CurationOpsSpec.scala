@@ -290,6 +290,58 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bits(1) == bits(7))
   }
 
+  test("corrMatrix: one-pass cells equal per-pair corrExact; pairwise-complete nulls") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 200).map { i =>
+      val a = rnd.nextDouble() * 10
+      (a, 2.0 * a + rnd.nextDouble(), rnd.nextDouble() * 5,
+        if (i % 7 == 0) None else Some(rnd.nextDouble() - a))
+    }
+    val df = rows.toDF("a", "b", "c", "d")
+    val got = Checks.corrMatrix(df, Seq("a", "b", "c", "d"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4.map(java.lang.Double.doubleToLongBits))).toMap
+    assert(got.size == 6)
+    // every cell bit-equals the dedicated single-pair op on the same rows
+    for (((cx, cy), (n, corr)) <- got) {
+      val single = Checks.corrExact(df.withColumn("g", lit(1)), "g", cx, cy)
+        .as[(Int, Long, Option[Double])].collect().head
+      assert(single._2 == n && single._3.map(java.lang.Double.doubleToLongBits) == corr,
+        s"pair ($cx,$cy) diverged from corrExact")
+    }
+    // pairwise-complete: pairs with d use fewer rows than pairs without
+    assert(got(("a", "d"))._1 < got(("a", "b"))._1)
+    // partitioning invariance of the fused pass
+    val bits = (p: Int) => Checks.corrMatrix(df.repartition(p), Seq("a", "b", "c", "d"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2, r._3, r._4.map(java.lang.Double.doubleToLongBits))).toSet
+    assert(bits(1) == bits(13))
+    intercept[IllegalArgumentException] { Checks.corrMatrix(df, Seq("a")) }
+    intercept[IllegalArgumentException] { Checks.corrMatrix(df, Seq("a", "a")) }
+  }
+
+  test("mutualInfo: independence → ~0, determinism → hx, invariant, null-dropped") {
+    // x determines y exactly: mi == hx == hy (same partition structure)
+    val det = (1 to 120).map(i => (s"k${i % 4}", s"v${i % 4}")).toDF("x", "y")
+    val detRow = Checks.mutualInfo(det, "x", "y").collect().head
+    assert(detRow.getAs[Long]("n") == 120)
+    // floor vs -ceil keeps mi and hx one grid unit apart at most
+    assert(math.abs(detRow.getAs[Double]("mi") - detRow.getAs[Double]("hx")) < 1e-5)
+    assert(math.abs(detRow.getAs[Double]("nmi") - 1.0) < 1e-5)
+    // independent uniform cross: every cell c=N/(|X||Y|) → mi_num exactly 0
+    val ind = (for { i <- 0 until 6; j <- 0 until 5; _ <- 0 until 4 }
+      yield (s"x$i", s"y$j")).toDF("x", "y")
+    val indRow = Checks.mutualInfo(ind, "x", "y").collect().head
+    assert(indRow.getAs[Long]("mi_num") == 0L && indRow.getAs[Double]("nmi") == 0.0)
+    // nulls dropped, not a category
+    val withNull = det.union(Seq((null: String, "v0"), ("k0", null: String)).toDF("x", "y"))
+    assert(Checks.mutualInfo(withNull, "x", "y").collect().head.getAs[Long]("n") == 120)
+    // partitioning invariance
+    val bits = (p: Int) => Checks.mutualInfo(det.repartition(p), "x", "y")
+      .collect().head.toSeq.toList
+    assert(bits(1) == bits(13))
+  }
+
   // ------------------------------------------------------------ A/B χ²
 
   test("ols2Exact: recovers an exact plane; collinear features go null; invariant") {
