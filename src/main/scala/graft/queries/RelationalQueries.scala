@@ -1065,6 +1065,34 @@ object RelationalQueries {
     graft.ops.Checks.corrExact(
       t(spark, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
 
+  /** Deterministic synthetic planar coordinates for the geo family: two
+    * md5-derived integers spread every customer over a 100000² grid —
+    * the same engine-neutral md5 randomness as the hash samplers, so the
+    * oracle rebuilds identical points from `c_custkey` alone.
+    */
+  private def geoPoints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(
+      col("c_custkey").as("id"),
+      (conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100000L).as("x"),
+      (conv(substring(md5(col("c_custkey").cast("string")), 9, 8), 16, 10)
+        .cast("long") % 100000L).as("y"))
+
+  /** Exact planar radius self-join ([[graft.ops.Geo.radiusPairs]],
+    * r = 750 grid units): 3×3 cell-neighborhood candidates, exact long
+    * distances — the oracle brute-forces all pairs, so equality proves
+    * the cell blocking lossless at gate scale.
+    */
+  val geoRadiusJoin: Q = (spark, dir) =>
+    graft.ops.Geo.radiusPairs(geoPoints(spark, dir), "id", "x", "y", 750L)
+
+  /** Grid-cell occupancy stats ([[graft.ops.Geo.cellStats]], 12500-unit
+    * cells): count, bounding box, exact centroid numerators per cell —
+    * the spatial heatmap primitive.
+    */
+  val geoCells: Q = (spark, dir) =>
+    graft.ops.Geo.cellStats(geoPoints(spark, dir), "x", "y", 12500L)
+
   /** One-pass all-pairs correlation matrix over the four lineitem
     * measures ([[graft.ops.Checks.corrMatrix]]): 6 pairs × 6 exact
     * decimal sufficient statistics in a SINGLE aggregate — one scan where
@@ -1566,6 +1594,15 @@ object RelationalQueries {
     * construction, then 12 unrolled value-iteration CTE rounds for the
     * base chain and for each channel-removed chain.
     */
+  /** The geo-point derivation as DuckDB SQL — md5 hex parsed via the
+    * '0x' cast, replaying [[geoPoints]]' conv() exactly.
+    */
+  private val geoPointsSql =
+    """SELECT c_custkey AS id,
+      |  CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS x,
+      |  CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 100000 AS y
+      |FROM customer""".stripMargin
+
   /** Builds the corr_matrix oracle: per unordered pair, the corr_exact
     * grid/decimal/double construction verbatim, UNION ALL'd — the oracle
     * replays k(k−1)/2 independent pair computations while the engine does
@@ -3044,6 +3081,8 @@ object RelationalQueries {
     "feature_ecdf" -> featureEcdf,
     "corr_exact" -> corrExact,
     "corr_matrix" -> corrMatrix,
+    "geo_radius_join" -> geoRadiusJoin,
+    "geo_cells" -> geoCells,
     "orders_trend" -> ordersTrend,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
@@ -4310,6 +4349,23 @@ object RelationalQueries {
         |FROM s""".stripMargin,
     "corr_matrix" -> corrMatrixOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "geo_radius_join" ->
+      // brute-force all-pairs over the identical md5-derived points: the
+      // engine's 3x3 cell blocking is lossless, equality proves it
+      s"""WITH p AS ($geoPointsSql)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         |FROM p a JOIN p b ON a.id < b.id
+         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |      <= ${750L * 750L}""".stripMargin,
+    "geo_cells" ->
+      s"""WITH p AS ($geoPointsSql)
+         |SELECT CAST(floor(CAST(x AS DOUBLE) / 12500.0) AS BIGINT) AS cx,
+         |  CAST(floor(CAST(y AS DOUBLE) / 12500.0) AS BIGINT) AS cy,
+         |  count(*) AS n,
+         |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "corr_spearman" ->
       // exact doubled average ranks (2·below + ties + 1) from per-column
       // histograms, then the corr_exact decimal/double formula
