@@ -1140,6 +1140,54 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** Per-document MAXIMAL duplicated-substring spans — the ACTION half of
+    * the substring-duplication measurement [[dupNgramStats]] reports
+    * (Lee et al., Deduplicating Training Data Makes Language Models
+    * Better): every maximal token range covered by word `n`-grams that
+    * also occur in at least one OTHER document, as half-open token
+    * intervals `[span_start, span_end)` — the cut list a substring-level
+    * dedup pass applies. Same-document repeats alone do NOT flag a span
+    * (intra-doc repetition is [[graft.ops.TextOps.dupUnitFraction]]'s
+    * signal); adjacent and overlapping duplicated grams coalesce into one
+    * span ([[Snapshot.mergeIntervals]]' gaps-and-islands — touching
+    * half-open intervals connect).
+    *
+    * Scale shape: gram generation is the dominant CPU (one pass,
+    * Column-only); the document-frequency count ships (128-bit digest,
+    * id) pairs — never gram text — through a map-side-combined distinct +
+    * count; positions join back on the digest; the interval merge is ONE
+    * doc-keyed shuffle whose windows and rollup share the exchange. A
+    * gram shared by millions of docs makes one digest partition long —
+    * the count streams, no per-key state.
+    *
+    * @return (id, span_start, span_end, n_intervals) — token indices,
+    *         half-open; docs with no cross-document duplication are absent
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df
+      .filter(col(contentCol).isNotNull)
+      .withColumn("__ws", TextOps.tokens(col(contentCol)))
+      .select(col(idCol),
+        posexplode(TextOps.wordNgramsAllOfTokens(col("__ws"), n)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), md5(col("__g")).as("__d"))
+    // distinct-document frequency per digest: per-doc distinct first (the
+    // same digest repeated within a doc collapses map-side), then a plain
+    // count — no distinct-aggregation state at the count
+    val dfq = grams
+      .select(col("__d"), col(idCol)).distinct()
+      .groupBy("__d").agg(count(lit(1)).as("__dfq"))
+    val dupPos = grams
+      .join(dfq, "__d")
+      .filter(col("__dfq") >= 2)
+      .select(col(idCol), col("__pos").as("__s"), (col("__pos") + n).as("__e"))
+    Snapshot.mergeIntervals(dupPos, idCol, "__s", "__e")
+  }
+
   /** EXACT set-similarity self-join by prefix filtering (the All-Pairs /
     * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08, public
     * literature): every pair of documents whose distinct word-`n`-gram

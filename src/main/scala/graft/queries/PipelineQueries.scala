@@ -93,6 +93,14 @@ object PipelineQueries {
   val dedupContainment: Q = (spark, dir) =>
     Dedup.ngramContainmentPairs(docs(spark, dir), "text", "doc_id", "source", 5, 0.60)
 
+  /** Maximal cross-document duplicated token spans
+    * ([[graft.ops.Dedup.duplicateSpans]], word 3-grams) — the substring-
+    * dedup cut list; the oracle replays grams, distinct-doc frequencies,
+    * and the gaps-and-islands merge.
+    */
+  val dedupSpans: Q = (spark, dir) =>
+    Dedup.duplicateSpans(docs(spark, dir), "doc_id", "text", 3)
+
   /** EXACT word-3-gram-set Jaccard pairs (≥ 0.5) by LOSSLESS prefix
     * filtering ([[graft.ops.Dedup.prefixJaccardPairs]] — the All-Pairs /
     * PPJoin shape): no blocking column, no LSH recall loss, candidates
@@ -1851,6 +1859,7 @@ object PipelineQueries {
     "dedup_ngram" -> dedupNgram,
     "dedup_containment" -> dedupContainment,
     "dedup_prefix_join" -> dedupPrefixJoin,
+    "dedup_spans" -> dedupSpans,
     "sample_split_nodup" -> sampleSplitNodup,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
@@ -3445,6 +3454,31 @@ object PipelineQueries {
          |       ELSE 'test' END AS split
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.id""".stripMargin
     },
+    "dedup_spans" ->
+      // positioned grams → distinct-doc frequency >= 2 → half-open token
+      // intervals → the orders_coverage islands construction per doc
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT doc_id, pos, ws[pos + 1] || ' ' || ws[pos + 2] || ' ' || ws[pos + 3] AS gram
+         |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS pos
+         |        FROM w WHERE len(ws) >= 3)),
+         |dfq AS (SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY gram),
+         |dup AS (
+         |  SELECT g.doc_id, CAST(g.pos AS INTEGER) AS s, CAST(g.pos + 3 AS INTEGER) AS e
+         |  FROM g JOIN dfq USING (gram) WHERE c >= 2),
+         |m AS (
+         |  SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM dup),
+         |i AS (
+         |  SELECT doc_id, s, e,
+         |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM m)
+         |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_intervals
+         |FROM i GROUP BY doc_id, island""".stripMargin,
     "dedup_prefix_join" ->
       // BRUTE-FORCE all-pairs word-3-gram Jaccard: the engine's prefix
       // filtering is provably lossless, so equality with this oracle is

@@ -277,6 +277,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateSpans: cross-doc ranges merge, intra-doc repeats exempt, disjoint spans split") {
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta unique1 tail1 tail2"),
+      (2L, "prefix2 alpha beta gamma delta epsilon zeta eta other2"),
+      (3L, "solo solo solo solo solo solo"), // repeats only within itself
+      (4L, "totally different words here nothing shared"),
+      (5L, "alpha2 beta2 gamma2 delta2 q1 q2 q3 q4 rho sigma tau omega"),
+      (6L, "alpha2 beta2 gamma2 delta2 x6"),
+      (7L, "rho sigma tau omega y7")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(fixture, "doc_id", "text", 3)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, 7, 5L), // shared 7-token run: gram positions 0..4 coalesce
+      (2L, 1, 8, 5L), // same run shifted by the doc-2 prefix token
+      (5L, 0, 4, 2L), (5L, 8, 12, 2L), // two DISJOINT shared regions stay split
+      (6L, 0, 4, 2L), (7L, 0, 4, 2L)))
+    // doc 3 (intra-doc repetition) and doc 4 (unique) are absent
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
+    // partitioning invariance
+    val got13 = Dedup.duplicateSpans(fixture.repartition(13), "doc_id", "text", 3)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got13 == got)
+  }
+
   test("prefixJaccardPairs: lossless vs brute force; candidates pruned; guards") {
     val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
     def setOf(s: String): Set[String] = {
