@@ -375,4 +375,83 @@ object Checks {
     corrExact(joined, groupCol, "__drx", "__dry", gridScale = 1L)
       .withColumnRenamed("corr", "spearman")
   }
+
+  /** Exact Mann–Whitney U rank test, each group against the REST of the
+    * pooled sample — the nonparametric "did the distribution shift"
+    * readout experimentation needs when means mislead (heavy tails,
+    * ordinal metrics). With two groups this is the classic two-sample
+    * U test (the two rows carry U₁/U₂ with z₂ = −z₁); with k groups each
+    * row tests group-vs-rest.
+    *
+    * Exactness ([[spearmanExact]]'s doubled-rank construction, pooled):
+    * ranks come from the value histogram as `2·below + ties + 1` — exact
+    * longs, no midrank halves — so `2U_g = Σ c·dr − n_g(n_g+1)` is an
+    * exact integer (DECIMAL(38) internally; emitted as `u2`, the DOUBLED
+    * U). The tie-corrected normal approximation
+    * `z = (U − n_g·n_rest/2) / σ`, with
+    * `σ² = n_g·n_rest/12 · [(n+1) − Σ(t³−t)/(n(n−1))]`, combines the
+    * exact integer parts in ONE fixed-order double expression — bit-
+    * replayable cross-engine. All values tied (σ² ≤ 0) yields null z.
+    *
+    * Scale shape: one histogram aggregate over values, one per-(group,
+    * value) aggregate, a broadcast of the 1-row totals; the rank window
+    * runs over the DISTINCT-VALUE histogram (value-cardinality sized —
+    * the weighted-median discipline), never over rows.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), col(valueCol).as("__v"))
+    val hv = base.groupBy("__v").agg(count(lit(1)).as("__tc"))
+    val w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hv.select(col("__v"), col("__tc"),
+      (lit(2L) * coalesce(sum("__tc").over(w), lit(0L)) + col("__tc") + 1L).as("__dr"))
+    val tot = hv.agg(
+      sum(col("__tc")).as("__n"),
+      sum(col("__tc").cast(d38) * col("__tc") * col("__tc") - col("__tc")).as("__tie"))
+    val perGroup = base
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+      .join(ranked, "__v")
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c").cast(d38) * col("__dr")).as("__r2"))
+    val nD = col("__n").cast("double")
+    val ngD = col("__ng").cast("double")
+    val nrD = nD - ngD
+    val sig2 = ngD * nrD / 12.0 *
+      ((nD + 1.0) - col("__tie").cast("double") / (nD * (nD - 1.0)))
+    val u2 = (col("__r2") - (col("__ng").cast(d38) * (col("__ng") + 1L))).cast("long")
+    perGroup
+      .crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("__ng").as("n"), u2.as("u2"),
+        when(sig2 > 0.0, (u2.cast("double") - ngD * nrD) / (lit(2.0) * sqrt(sig2)))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** Order-free table CONTENT checksum — the data-contract primitive
+    * behind "did the migration/compaction/rewrite preserve the rows":
+    * every row is encoded injectively ([[Snapshot.diff]]'s marker +
+    * length + value cells), md5'd, and its first 15 hex digits (60 bits,
+    * always positive) summed into a DECIMAL(38). Row order, partitioning
+    * and file layout cannot move the sum; any single-cell change almost
+    * surely does (a forged collision needs md5 preimages). One map-side
+    * pass + a 1-row reduction; compare checksums, never data.
+    *
+    * @return one row: (n_rows, checksum) — checksum as a decimal string
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    val enc = concat_ws("", cols.map { c =>
+      val s = coalesce(col(c).cast("string"), lit(""))
+      concat(when(col(c).isNull, lit("0")).otherwise(lit("1")),
+        length(s).cast("string"), lit(":"), s)
+    }: _*)
+    df.select(conv(substring(md5(enc), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h")).cast("string").as("checksum"))
+  }
 }

@@ -1227,7 +1227,15 @@ object Dedup {
       idCol: String,
       threshold: Double,
       n: Int = 3): DataFrame = {
+    // the shingle-set table feeds THREE consumers (candidate generation
+    // plus both sides of the verify join) and the posting list inside
+    // prefixCandidates feeds two — without pinning, the whole tokenize →
+    // shingle → frequency-sort chain re-runs per consumer (a 3× A/B at
+    // sf0.1). localCheckpoint is the engine's own pin-once discipline; at
+    // cluster scale this is exactly the staged table a multi-pass
+    // set-similarity join materializes anyway.
     val toks = prefixShingleSets(df, textCol, idCol, threshold, n)
+      .localCheckpoint(true)
     val cand = prefixCandidates(toks, threshold)
     cand
       .join(toks.select(col("id").as("id_a"), col("set").as("__sa")), "id_a")
@@ -1240,10 +1248,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Distinct word-`n`-gram sets `(id, set)` for [[prefixJaccardPairs]];
-    * docs shorter than `n` tokens shingle to [] and exit (an empty set has
-    * no Jaccard partner), null text likewise. Split out so the spec can
-    * count candidates against the true-pair set.
+  /** Distinct word-`n`-gram sets `(id, set)` for [[prefixJaccardPairs]],
+    * as xxhash64 LONGS — shingle text never leaves the shingling
+    * expression, so the frequency sort, the posting join and the verify
+    * intersections all run on 8-byte keys (the [[blockedNgramPairs]]
+    * representation; collision odds ~|sets|²/2⁶⁴, vacuous at verify
+    * scale, and a collision can only ADD a candidate or merge two rank
+    * keys — verification stays exact over the hash sets). Docs shorter
+    * than `n` tokens shingle to [] and exit (an empty set has no Jaccard
+    * partner), null text likewise. Split out so the spec can count
+    * candidates against the true-pair set.
     */
   private[ops] def prefixShingleSets(
       df: DataFrame,
@@ -1256,8 +1270,9 @@ object Dedup {
     requireIntegralId(df, idCol)
     df.filter(col(textCol).isNotNull)
       .withColumn("__ws", TextOps.tokens(col(textCol)))
+      .withColumn("__gs", TextOps.wordNgramsAllOfTokens(col("__ws"), n))
       .select(col(idCol).cast("long").as("id"),
-        array_distinct(TextOps.wordNgramsAllOfTokens(col("__ws"), n)).as("set"))
+        array_distinct(transform(col("__gs"), g => xxhash64(g))).as("set"))
       .filter(size(col("set")) > 0)
   }
 
@@ -1280,13 +1295,29 @@ object Dedup {
     // prefix length s − ⌈t·s⌉ + 1; the ε makes an exactly-integral t·s
     // round DOWN at the ceil (longer prefix — conservative direction)
     val preLen = (col("s") - ceil(lit(threshold) * col("s") - lit(1e-9)) + 1).cast("int")
+    // the posting list is BOTH sides of the candidate self-join — pin it
+    // once (prefix-sized, ≈(1−t)·shingle volume) or the frequency-sort
+    // chain above runs twice
     val post = ordered
-      .select(col("id"), col("s"), explode(slice(col("ranked"), lit(1), preLen)).as("g"))
-    post.select(col("g"), col("id").as("id_a"), col("s").as("s_a"))
-      .join(post.select(col("g"), col("id").as("id_b"), col("s").as("s_b")), Seq("g"))
+      .select(col("id"), col("s"),
+        posexplode(slice(col("ranked"), lit(1), preLen)).as(Seq("p", "g")))
+      .localCheckpoint(true)
+    // length filter: J ≥ t forces t·sa ≤ sb ∧ t·sb ≤ sa. POSITION filter
+    // (PPJoin): a pair needs overlap α ≥ ⌈t/(1+t)·(sa+sb)⌉, and a match
+    // at 0-based prefix positions (pa, pb) bounds α ≤ min(pa,pb) +
+    // min(sa−pa, sb−pb) — for a TRUE pair every shared token satisfies
+    // the bound (it upper-bounds the true α), so row-filtering before
+    // the candidate distinct is lossless. Both ε-guarded: float rounding
+    // may only ADMIT borderline candidates, never drop one.
+    post.select(col("g"), col("id").as("id_a"), col("s").as("s_a"), col("p").as("p_a"))
+      .join(post.select(col("g"), col("id").as("id_b"), col("s").as("s_b"), col("p").as("p_b")),
+        Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         col("s_b").cast("double") >= lit(threshold) * col("s_a") - lit(1e-9) &&
-        col("s_a").cast("double") >= lit(threshold) * col("s_b") - lit(1e-9))
+        col("s_a").cast("double") >= lit(threshold) * col("s_b") - lit(1e-9) &&
+        (least(col("p_a"), col("p_b")) +
+          least(col("s_a") - col("p_a"), col("s_b") - col("p_b"))).cast("double") >=
+          lit(threshold / (1.0 + threshold)) * (col("s_a") + col("s_b")) - lit(1e-9))
       .select("id_a", "id_b")
       .distinct()
   }

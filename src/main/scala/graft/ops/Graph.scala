@@ -41,7 +41,33 @@ object Graph {
       edges: DataFrame,
       iterations: Int,
       dampNumer: Long = 17L,
-      dampDenom: Long = 20L): DataFrame = {
+      dampDenom: Long = 20L): DataFrame =
+    pageRankImpl(edges, None, iterations, dampNumer, dampDenom)
+
+  /** PERSONALIZED integer-exact PageRank: the restart mass — both the
+    * initial score and the per-iteration base term — lands only on the
+    * `seeds` node set (first column of `seeds`, any integral type)
+    * instead of uniformly. The standard recommendation / related-items
+    * ranking: scores measure proximity to the seed set, unreachable
+    * nodes stay at exactly 0. Same integer grid, floor divisions and
+    * rational damping as [[pageRankExact]] — the trajectory replays
+    * bit-for-bit in the unrolled SQL oracle. Seed sets broadcast (they
+    * are small by the restart-set contract).
+    */
+  def personalizedPageRankExact(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      dampNumer: Long = 17L,
+      dampDenom: Long = 20L): DataFrame =
+    pageRankImpl(edges, Some(seeds), iterations, dampNumer, dampDenom)
+
+  private def pageRankImpl(
+      edges: DataFrame,
+      seedsOpt: Option[DataFrame],
+      iterations: Int,
+      dampNumer: Long,
+      dampDenom: Long): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampNumer > 0 && dampDenom > dampNumer, "damping must be in (0,1)")
     val base = (dampDenom - dampNumer) * ScoreScale / dampDenom
@@ -54,17 +80,32 @@ object Graph {
       .localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val ed = e.join(deg, Seq("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+    // seed flag folded onto the node set (constant true for global
+    // PageRank — the optimizer folds the `when` away, so the non-
+    // personalized plan is unchanged)
+    val nodes = (seedsOpt match {
+      case None => allNodes.withColumn("__seed", lit(true))
+      case Some(sd) =>
+        val s = sd
+          .select(col(sd.columns.head).cast("long").as("node"))
+          .distinct()
+          .withColumn("__m", lit(1))
+        allNodes.join(broadcast(s), Seq("node"), "left")
+          .withColumn("__seed", col("__m").isNotNull)
+          .drop("__m")
+    }).localCheckpoint(true)
+    def restart(c: org.apache.spark.sql.Column) =
+      when(col("__seed"), c).otherwise(lit(0L))
     // Iterations COMPOSE lazily: each score set is consumed exactly once
     // (the next iteration's edge join), so no per-iteration barrier is
     // needed — the whole fixpoint runs as ONE job over the checkpointed
     // edge/node sets. Only every 8th iteration checkpoints, bounding plan
     // depth for deep runs without paying a materialization per round
     // (an eager per-iteration checkpoint benched 9× slower at 3 rounds).
-    var scores = nodes.withColumn("score", lit(ScoreScale))
+    var scores = nodes.select(col("node"), restart(lit(ScoreScale)).as("score"))
     var pinned: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
@@ -77,7 +118,7 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .select(
           col("node"),
-          (lit(base) +
+          (restart(lit(base)) +
             expr(s"($dampNumer * coalesce(__in, 0L)) DIV $dampDenom")).as("score"))
       if (i % 8 == 7 && i != iterations - 1) {
         next = next.localCheckpoint(true)

@@ -101,14 +101,14 @@ object PipelineQueries {
   val dedupSpans: Q = (spark, dir) =>
     Dedup.duplicateSpans(docs(spark, dir), "doc_id", "text", 3)
 
-  /** EXACT word-3-gram-set Jaccard pairs (≥ 0.5) by LOSSLESS prefix
+  /** EXACT word-3-gram-set Jaccard pairs (≥ 0.8) by LOSSLESS prefix
     * filtering ([[graft.ops.Dedup.prefixJaccardPairs]] — the All-Pairs /
     * PPJoin shape): no blocking column, no LSH recall loss, candidates
     * pruned by the rarest-first prefix index. The oracle is plain brute
     * force — equality with it IS the losslessness proof at gate scale.
     */
   val dedupPrefixJoin: Q = (spark, dir) =>
-    Dedup.prefixJaccardPairs(docs(spark, dir), "text", "doc_id", 0.5, n = 3)
+    Dedup.prefixJaccardPairs(docs(spark, dir), "text", "doc_id", 0.8, n = 3)
 
   /** Embedding-cosine near-duplicate pairs via hyperplane LSH buckets. */
   val dedupEmbedding: Q = (spark, dir) =>
@@ -3499,7 +3499,7 @@ object PipelineQueries {
          |    (a.s + b.s - len(list_intersect(a.ts, b.ts))) AS jaccard
          |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-         |      (a.s + b.s - len(list_intersect(a.ts, b.ts))) >= 0.5""".stripMargin,
+         |      (a.s + b.s - len(list_intersect(a.ts, b.ts))) >= 0.8""".stripMargin,
     "dedup_containment" ->
       // same hashed-shingle argument as dedup_ngram; only the denominator
       // changes: containment divides by the SMALLER set

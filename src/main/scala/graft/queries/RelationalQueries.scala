@@ -1093,6 +1093,24 @@ object RelationalQueries {
   val geoCells: Q = (spark, dir) =>
     graft.ops.Geo.cellStats(geoPoints(spark, dir), "x", "y", 12500L)
 
+  /** Exact tie-corrected Mann–Whitney U per return flag (each flag vs
+    * the pooled rest, [[graft.ops.Checks.mannWhitney]]): doubled ranks
+    * from the value histogram keep U integral; one fixed-order double
+    * combine yields the z — the nonparametric distribution-shift test.
+    */
+  val utestQuantity: Q = (spark, dir) =>
+    graft.ops.Checks.mannWhitney(
+      t(spark, dir, "lineitem"), "l_returnflag", "l_quantity")
+
+  /** Order-free content checksum of the orders table
+    * ([[graft.ops.Checks.tableChecksum]] over the non-float key columns
+    * — float cells need caller-side gridding for cross-engine digests):
+    * the data-contract "same rows after rewrite" primitive.
+    */
+  val tableChecksumQ: Q = (spark, dir) =>
+    graft.ops.Checks.tableChecksum(
+      t(spark, dir, "orders"), Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+
   /** One-pass all-pairs correlation matrix over the four lineitem
     * measures ([[graft.ops.Checks.corrMatrix]]): 6 pairs × 6 exact
     * decimal sufficient statistics in a SINGLE aggregate — one scan where
@@ -1143,6 +1161,21 @@ object RelationalQueries {
       .distinct()
     b.as("a").join(b.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst"))
+  }
+
+  /** Personalized PageRank over the undirected co-purchase graph
+    * ([[graft.ops.Graph.personalizedPageRankExact]], 3 iterations):
+    * restart mass lands only on the graphBfs seed set (part keys
+    * divisible by 101), so scores measure link-proximity to the seeds —
+    * the related-items ranking. Unreachable parts stay at exactly 0;
+    * the oracle unrolls the identical integer trajectory.
+    */
+  val graphPpr: Q = (spark, dir) => {
+    val e0 = coPurchaseEdges(spark, dir)
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % 101 === 0)
+    graft.ops.Graph.personalizedPageRankExact(e, seeds, iterations = 3)
   }
 
   /** Per-part triangle counts + local clustering coefficient over the
@@ -3083,6 +3116,8 @@ object RelationalQueries {
     "corr_matrix" -> corrMatrix,
     "geo_radius_join" -> geoRadiusJoin,
     "geo_cells" -> geoCells,
+    "utest_quantity" -> utestQuantity,
+    "table_checksum" -> tableChecksumQ,
     "orders_trend" -> ordersTrend,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
@@ -3124,6 +3159,7 @@ object RelationalQueries {
     "graph_kcore" -> graphKcore,
     "graph_bfs" -> graphBfs,
     "graph_sssp" -> graphSssp,
+    "graph_ppr" -> graphPpr,
     "privacy_kanon" -> privacyKanon,
     "q2_mincost" -> q2MinCost,
     "q4_priority" -> q4Priority,
@@ -4358,6 +4394,54 @@ object RelationalQueries {
          |FROM p a JOIN p b ON a.id < b.id
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
          |      <= ${750L * 750L}""".stripMargin,
+    "utest_quantity" ->
+      // pooled doubled ranks from the value histogram (2·below+ties+1),
+      // exact decimal rank sums, ONE fixed-order double z combine —
+      // mirrors Checks.mannWhitney term for term
+      """WITH b AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_quantity AS v
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |hv AS (SELECT v, count(*) AS tc FROM b GROUP BY v),
+        |r AS (SELECT v, tc,
+        |    2 * COALESCE(SUM(tc) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tc + 1 AS dr
+        |  FROM hv),
+        |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS n,
+        |    SUM(CAST(tc AS DECIMAL(38,0)) * tc * tc - tc) AS tie FROM hv),
+        |pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * dr) AS r2
+        |  FROM (SELECT g, v, count(*) AS c FROM b GROUP BY g, v) gv
+        |  JOIN r USING (v) GROUP BY g),
+        |f AS (SELECT g, ng, n, tie,
+        |    CAST(r2 - CAST(ng AS DECIMAL(38,0)) * (ng + 1) AS BIGINT) AS u2
+        |  FROM pg CROSS JOIN tot),
+        |s AS (SELECT g, ng, u2, n,
+        |    CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ng AS DOUBLE)) / 12.0 *
+        |      ((CAST(n AS DOUBLE) + 1.0) -
+        |       CAST(tie AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sig2
+        |  FROM f)
+        |SELECT g AS l_returnflag, ng AS n, u2,
+        |  CASE WHEN sig2 > 0 THEN
+        |    (CAST(u2 AS DOUBLE) - CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ng AS DOUBLE)))
+        |    / (2.0 * sqrt(sig2))
+        |  ELSE NULL END AS z
+        |FROM s""".stripMargin,
+    "table_checksum" ->
+      // the Snapshot-digest injective cell encoding, md5'd per row, first
+      // 15 hex digits summed — order- and layout-free
+      """SELECT count(*) AS n_rows,
+        |  CAST(SUM(CAST(CAST(('0x' || substring(md5(
+        |    (CASE WHEN o_orderkey IS NULL THEN '0' ELSE '1' END) ||
+        |      len(COALESCE(CAST(o_orderkey AS VARCHAR), ''))     || ':' ||
+        |      COALESCE(CAST(o_orderkey AS VARCHAR), '') ||
+        |    (CASE WHEN o_orderstatus IS NULL THEN '0' ELSE '1' END) ||
+        |      len(COALESCE(o_orderstatus, ''))                   || ':' ||
+        |      COALESCE(o_orderstatus, '') ||
+        |    (CASE WHEN o_orderpriority IS NULL THEN '0' ELSE '1' END) ||
+        |      len(COALESCE(o_orderpriority, ''))                 || ':' ||
+        |      COALESCE(o_orderpriority, '')), 1, 15)) AS BIGINT) AS DECIMAL(38,0)))
+        |    AS VARCHAR) AS checksum
+        |FROM orders""".stripMargin,
     "geo_cells" ->
       s"""WITH p AS ($geoPointsSql)
          |SELECT CAST(floor(CAST(x AS DOUBLE) / 12500.0) AS BIGINT) AS cx,
@@ -4594,6 +4678,40 @@ object RelationalQueries {
     "graph_kcore" -> graphKcoreOracle(k = 3, rounds = 6),
     "graph_bfs" -> graphBfsOracle(rounds = 4),
     "graph_sssp" -> graphSsspOracle(rounds = 4),
+    "graph_ppr" ->
+      // the graph_pagerank unroll with seed-conditional restart mass:
+      // init and the 164926744166 base land only on node % 101 = 0
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem WHERE l_quantity >= 40),
+        |ee AS (SELECT DISTINCT a.p AS src, b2.p AS dst
+        |       FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+        |e AS (SELECT DISTINCT src, dst FROM
+        |      (SELECT src, dst FROM ee UNION ALL SELECT dst, src FROM ee)),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+        |n AS (SELECT DISTINCT node, node % 101 = 0 AS sd FROM
+        |      (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |s0 AS (SELECT node, CASE WHEN sd THEN CAST(1099511627776 AS BIGINT)
+        |                         ELSE CAST(0 AS BIGINT) END AS s FROM n),
+        |i1 AS (SELECT ed.dst AS node, SUM(s0.s // ed.d) AS inp
+        |       FROM ed JOIN s0 ON ed.src = s0.node GROUP BY ed.dst),
+        |s1 AS (SELECT n.node, n.sd,
+        |         (CASE WHEN n.sd THEN 164926744166 ELSE 0 END)
+        |           + (17 * COALESCE(i1.inp, 0)) // 20 AS s
+        |       FROM n LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT ed.dst AS node, SUM(s1.s // ed.d) AS inp
+        |       FROM ed JOIN s1 ON ed.src = s1.node GROUP BY ed.dst),
+        |s2 AS (SELECT n.node, n.sd,
+        |         (CASE WHEN n.sd THEN 164926744166 ELSE 0 END)
+        |           + (17 * COALESCE(i2.inp, 0)) // 20 AS s
+        |       FROM n LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT ed.dst AS node, SUM(s2.s // ed.d) AS inp
+        |       FROM ed JOIN s2 ON ed.src = s2.node GROUP BY ed.dst),
+        |s3 AS (SELECT n.node,
+        |         (CASE WHEN n.sd THEN 164926744166 ELSE 0 END)
+        |           + (17 * COALESCE(i3.inp, 0)) // 20 AS s
+        |       FROM n LEFT JOIN i3 USING (node))
+        |SELECT node, CAST(s AS BIGINT) AS score FROM s3""".stripMargin,
     "audience_jaccard" ->
       """WITH m AS (SELECT DISTINCT event_type AS g, user_id AS mm FROM events),
         |i AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter
