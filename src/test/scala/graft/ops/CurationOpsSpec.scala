@@ -342,6 +342,82 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bits(1) == bits(13))
   }
 
+  test("mannWhitney: hand-checked U and z, tie degeneracy, invariance") {
+    // disjoint groups, no ties: A={1,2,3} B={4,5,6} → U_A = 0,
+    // z_A = (0 − 4.5)/2.29128… = −1.96396…, and z_B = −z_A
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("g", "v")
+    val out = Checks.mannWhitney(df, "g", "v").orderBy("g").collect()
+    assert(out.map(_.getAs[Long]("u2")).toSeq == Seq(0L, 18L)) // 2U
+    val zA = out(0).getAs[Double]("z")
+    val expected = (0.0 - 4.5) / math.sqrt(3.0 * 3.0 * 7.0 / 12.0)
+    assert(math.abs(zA - expected) < 1e-12)
+    assert(out(1).getAs[Double]("z") == -zA)
+    // all values identical: σ² = 0 exactly → null z, U at its tie value
+    val tied = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0)).toDF("g", "v")
+    val tRows = Checks.mannWhitney(tied, "g", "v").orderBy("g").collect()
+    assert(tRows.forall(_.isNullAt(3)))
+    // three groups: each row tests group-vs-rest; partitioning invariant
+    val rnd = new scala.util.Random(11)
+    val big = (1 to 300).map(i => (s"g${i % 3}", rnd.nextInt(10).toDouble))
+      .toDF("g", "v")
+    val a = Checks.mannWhitney(big, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val b = Checks.mannWhitney(big.repartition(13), "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(a == b && a.size == 3)
+  }
+
+  test("tableChecksum: order/layout-free, cell-sensitive, boundary-injective") {
+    val df = Seq((1L, "x", "p"), (2L, "y", null: String), (3L, "z", "r"))
+      .toDF("id", "a", "b")
+    def sum(d: org.apache.spark.sql.DataFrame) =
+      Checks.tableChecksum(d, Seq("id", "a", "b")).collect().head
+    val base = sum(df)
+    assert(base.getAs[Long]("n_rows") == 3)
+    // row order and partitioning cannot move the sum
+    assert(sum(df.orderBy(desc("id"))).getString(1) == base.getString(1))
+    assert(sum(df.repartition(7)).getString(1) == base.getString(1))
+    // any single-cell change does
+    val changed = Seq((1L, "x", "p"), (2L, "y", null: String), (3L, "z", "R"))
+      .toDF("id", "a", "b")
+    assert(sum(changed).getString(1) != base.getString(1))
+    // injective cell encoding: ("a1","b") vs ("a","1b") differ; null ≠ ""
+    def two(rows: Seq[(String, String)]) =
+      Checks.tableChecksum(rows.toDF("a", "b"), Seq("a", "b")).collect().head.getString(1)
+    assert(two(Seq(("a1", "b"))) != two(Seq(("a", "1b"))))
+    assert(two(Seq((null, "b"))) != two(Seq(("", "b"))))
+    intercept[IllegalArgumentException] { Checks.tableChecksum(df, Seq.empty) }
+  }
+
+  test("personalizedPageRankExact: chain propagation, zero unreachable, all-seeds ≡ global") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val s = Graph.ScoreScale
+    val base = 3L * s / 20L
+    val out = Graph.personalizedPageRankExact(edges, seeds, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    // seed keeps its restart mass; node 2 receives 17/20 of the seed's
+    // full score; 3 gets nothing yet; 4 (unreachable from the seed) is 0
+    assert(out(1L) == base)
+    assert(out(2L) == 17L * s / 20L)
+    assert(out(3L) == 0L && out(4L) == 0L)
+    // two iterations push mass one hop further
+    val out2 = Graph.personalizedPageRankExact(edges, seeds, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out2(3L) > 0L && out2(4L) == 0L)
+    // seeding EVERY node reproduces global PageRank bit-for-bit
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val ppr = Graph.personalizedPageRankExact(edges, nodes, iterations = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val pr = Graph.pageRankExact(edges, iterations = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ppr == pr)
+  }
+
   // ------------------------------------------------------------ A/B χ²
 
   test("ols2Exact: recovers an exact plane; collinear features go null; invariant") {
