@@ -726,13 +726,21 @@ object Similarity {
     require(dim > 0 && iterations >= 1, "need dim > 0 and iterations >= 1")
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
+    val sp = df.sparkSession
+    import sp.implicits._
+    // the grid table feeds every iteration — pin it once
     val g = df.select(
       transform(col(vecCol), x => floor(x.cast("double") * 1048576.0).cast("long"))
         .as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var v: Array[Long] = Array.fill(dim)(1048576L)
     var i = 0
     var degenerate = false
     while (i < iterations && !degenerate) {
+      // the iterate stays an embedded literal chain: element_at products
+      // participate in whole-stage codegen, where a zip_with/aggregate
+      // HOF pair would fall back to interpreted lambda dispatch per row
+      // (A/B benched slower despite saving the per-round codegen compile)
       val dExpr = (0 until dim)
         .map(k => element_at(col("__g"), k + 1) * lit(v(k)))
         .reduce(_ + _)
@@ -753,8 +761,7 @@ object Similarity {
         math.floor(x.toDouble / m.toDouble * 1048576.0).toLong).toArray
       i += 1
     }
-    val spark = df.sparkSession
-    import spark.implicits._
+    g.unpersist(false)
     v.zipWithIndex.map { case (x, k) => ((k + 1).toLong, x) }
       .toSeq.toDF("k", "loading_grid")
   }
