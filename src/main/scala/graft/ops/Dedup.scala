@@ -1169,12 +1169,15 @@ object Dedup {
       contentCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // the positioned-gram table feeds BOTH the frequency count and the
+    // join-back — pin one evaluation or tokenize+shingle+md5 runs twice
     val grams = df
       .filter(col(contentCol).isNotNull)
       .withColumn("__ws", TextOps.tokens(col(contentCol)))
       .select(col(idCol),
         posexplode(TextOps.wordNgramsAllOfTokens(col("__ws"), n)).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos"), md5(col("__g")).as("__d"))
+      .localCheckpoint(true)
     // distinct-document frequency per digest: per-doc distinct first (the
     // same digest repeated within a doc collapses map-side), then a plain
     // count — no distinct-aggregation state at the count
