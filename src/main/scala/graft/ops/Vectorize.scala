@@ -326,4 +326,43 @@ object Vectorize {
       .select(col("bucket"), col("n_ref"), col("n_cur"),
         abs(col("n_cur") * col("__tr") - col("n_ref") * col("__tc")).as("tv_numer"))
   }
+
+  /** Population Stability Index per bucket — the industry-standard drift
+    * score on [[driftReport]]'s equal-frequency reference buckets:
+    * `PSI = Σ (q_i − p_i)·ln(q_i/p_i)` with p from the reference and q
+    * from the current sample. Exactness: the cross-multiplied
+    * `(n_cur·T_ref − n_ref·T_cur)` difference is exact integer counts,
+    * the log lands on the floored 1e-6 grid BEFORE the product (the
+    * text_perplexity discipline), and one fixed-order double combine
+    * closes each term — bit-replayable cross-engine. Buckets empty on
+    * EITHER side report a NULL term: the standard ε-smoothing choice
+    * belongs to the caller; silently inventing mass would fake the
+    * score (sum the non-null terms for the headline PSI, count the
+    * nulls as the data-coverage warning).
+    *
+    * Scale shape: [[driftReport]]'s two binned passes, then window sums
+    * over the k-row bucket table — nothing data-sized beyond the scans.
+    */
+  def psiReport(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      k: Int,
+      gridScale: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val b = driftReport(ref, cur, valueCol, k, gridScale)
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        sum("n_ref").over(w).as("__tr"), sum("n_cur").over(w).as("__tc"))
+    val num = col("n_cur") * col("__tr") - col("n_ref") * col("__tc")
+    val lnG = floor(log(
+      (col("n_cur").cast("double") * col("__tr").cast("double")) /
+        (col("n_ref").cast("double") * col("__tc").cast("double"))) * 1000000.0)
+      .cast("long")
+    b.select(col("bucket"), col("n_ref"), col("n_cur"),
+      when(col("n_ref") > 0 && col("n_cur") > 0,
+        num.cast("double") * lnG /
+          (col("__tc").cast("double") * col("__tr").cast("double") * lit(1000000.0)))
+        .otherwise(lit(null).cast("double")).as("psi_term"))
+  }
 }

@@ -1627,6 +1627,39 @@ object RelationalQueries {
     * construction, then 12 unrolled value-iteration CTE rounds for the
     * base chain and for each channel-removed chain.
     */
+  /** The drift-bucket construction shared by the drift_bins and
+    * drift_psi oracles: reference-half equal-frequency boundaries at
+    * exact ranks, both halves assigned by boundary counting, totals.
+    */
+  private val driftBinsCtesSql =
+    """WITH refq AS (
+      |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v
+      |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = 0),
+      |curq AS (
+      |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v
+      |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = 1),
+      |h AS (SELECT v, count(*) AS c FROM refq GROUP BY v),
+      |cum AS (
+      |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm,
+      |    (SELECT count(*) FROM refq) AS n
+      |  FROM h),
+      |j AS (SELECT unnest(generate_series(1, 7)) AS j),
+      |bnd AS (
+      |  SELECT j.j, MIN(cum.v) AS b FROM j, cum
+      |  WHERE cum.cm >= (j.j * cum.n + 7) // 8
+      |  GROUP BY j.j),
+      |rb AS (
+      |  SELECT (SELECT count(*) FROM bnd WHERE bnd.b < q.v) AS bucket,
+      |    count(*) AS n_ref
+      |  FROM refq q GROUP BY 1),
+      |cb AS (
+      |  SELECT (SELECT count(*) FROM bnd WHERE bnd.b < q.v) AS bucket,
+      |    count(*) AS n_cur
+      |  FROM curq q GROUP BY 1),
+      |t AS (SELECT (SELECT count(*) FROM refq) AS tr,
+      |             (SELECT count(*) FROM curq) AS tc)
+      |""".stripMargin
+
   /** The geo-point derivation as DuckDB SQL — md5 hex parsed via the
     * '0x' cast, replaying [[geoPoints]]' conv() exactly.
     */
@@ -1900,6 +1933,33 @@ object RelationalQueries {
     graft.plans.AsOfJoinNative
       .backward(errors, clicks, "user_id", "user_id", "ts", "ts", rightPrefix = "c_")
       .select(col("event_id"), col("c_event_id").as("click_id"))
+  }
+
+  /** SCD2 POINT-IN-TIME lookup — the warehouse dimension read: every
+    * purchase event joined to the user's activity state valid AT its
+    * timestamp. The dimension is [[graft.ops.Snapshot.scd2]] over the
+    * non-purchase log; the lookup is the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinNative]] — latest `valid_from ≤ ts`), which
+    * on a tiling SCD2 dimension IS interval stabbing: the containing
+    * half-open `[valid_from, valid_to)` is exactly the row with the
+    * greatest `valid_from ≤ ts`. The oracle replays the literal
+    * interval-stab join, proving the equivalence at gate scale.
+    */
+  val scd2Lookup: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+    val dim = Snapshot
+      .scd2(ev.filter(col("event_type") =!= "purchase"),
+        "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("event_type").as("state"), col("valid_from"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoinNative
+      .backward(purchases, dim, "user_id", "user_id", "ts", "valid_from",
+        rightPrefix = "d_")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("d_state").as("state"),
+        date_format(col("d_valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("state_since"))
   }
 
   /** Skew-salted join facing the oracle: salting must be invisible in the
@@ -2282,6 +2342,45 @@ object RelationalQueries {
       o.filter(col("o_orderkey") % 2 === 0),
       o.filter(col("o_orderkey") % 2 === 1),
       "o_totalprice", k = 8)
+  }
+
+  /** Per-bucket Population Stability Index over the same parity-split
+    * drift fixture ([[graft.ops.Vectorize.psiReport]]): the industry
+    * drift score, exact counts × floored 1e-6 log grid, one fixed-order
+    * double per term; one-sided buckets stay NULL (no silent ε).
+    */
+  val driftPsi: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    graft.ops.Vectorize.psiReport(
+      o.filter(col("o_orderkey") % 2 === 0),
+      o.filter(col("o_orderkey") % 2 === 1),
+      "o_totalprice", k = 8)
+  }
+
+  /** Item-item cosine similarity from basket co-occurrence
+    * (`support/√(s_a·s_b)` — the memory-based collaborative-filtering
+    * score): top-20 under the deterministic (cosine DESC, a, b) order.
+    * Exact integer supports, one IEEE sqrt/divide — replays bitwise.
+    */
+  val basketCosine: Q = (spark, dir) => {
+    val d = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+      .distinct()
+      .localCheckpoint(false)
+    val pairs = d.toDF("__ok", "part_a")
+      .join(d.toDF("__ok", "part_b"), Seq("__ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("support"))
+    val item = d.groupBy(col("__pk")).agg(count(lit(1)).as("__s"))
+    pairs.filter(col("support") >= 3)
+      .join(item.toDF("part_a", "__sa"), Seq("part_a"))
+      .join(item.toDF("part_b", "__sb"), Seq("part_b"))
+      .withColumn("cosine", col("support").cast("double") /
+        sqrt(col("__sa").cast("double") * col("__sb").cast("double")))
+      .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
+      .limit(20)
+      .select("part_a", "part_b", "support", "cosine")
   }
 
   /** A/B readout over a user-parity split of the event stream: per-variant
@@ -3033,6 +3132,8 @@ object RelationalQueries {
     "snapshot_merge" -> snapshotMerge,
     "source_compact" -> sourceCompact,
     "drift_bins" -> driftBins,
+    "drift_psi" -> driftPsi,
+    "basket_cosine" -> basketCosine,
     "ab_report" -> abReport,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
@@ -3106,6 +3207,7 @@ object RelationalQueries {
     "orders_monthly" -> ordersMonthly,
     "events_autocorr" -> eventsAutocorr,
     "scd2_users" -> scd2Users,
+    "scd2_lookup" -> scd2Lookup,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
     "skew_report" -> skewReport,
@@ -3307,36 +3409,25 @@ object RelationalQueries {
     "drift_bins" ->
       // reference-half boundaries at exact ranks, both halves assigned by
       // boundary counting, exact cross-multiplied TV numerators
-      """WITH refq AS (
-        |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v
-        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = 0),
-        |curq AS (
-        |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v
-        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = 1),
-        |h AS (SELECT v, count(*) AS c FROM refq GROUP BY v),
-        |cum AS (
-        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm,
-        |    (SELECT count(*) FROM refq) AS n
-        |  FROM h),
-        |j AS (SELECT unnest(generate_series(1, 7)) AS j),
-        |bnd AS (
-        |  SELECT j.j, MIN(cum.v) AS b FROM j, cum
-        |  WHERE cum.cm >= (j.j * cum.n + 7) // 8
-        |  GROUP BY j.j),
-        |rb AS (
-        |  SELECT (SELECT count(*) FROM bnd WHERE bnd.b < q.v) AS bucket,
-        |    count(*) AS n_ref
-        |  FROM refq q GROUP BY 1),
-        |cb AS (
-        |  SELECT (SELECT count(*) FROM bnd WHERE bnd.b < q.v) AS bucket,
-        |    count(*) AS n_cur
-        |  FROM curq q GROUP BY 1),
-        |t AS (SELECT (SELECT count(*) FROM refq) AS tr,
-        |             (SELECT count(*) FROM curq) AS tc)
-        |SELECT CAST(COALESCE(rb.bucket, cb.bucket) AS INTEGER) AS bucket,
+      (driftBinsCtesSql +
+        """SELECT CAST(COALESCE(rb.bucket, cb.bucket) AS INTEGER) AS bucket,
         |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
         |  abs(COALESCE(n_cur, 0) * t.tr - COALESCE(n_ref, 0) * t.tc) AS tv_numer
-        |FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket CROSS JOIN t""".stripMargin,
+        |FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket CROSS JOIN t""".stripMargin),
+    "drift_psi" ->
+      // the same bucket construction; per-bucket PSI terms on the floored
+      // 1e-6 log grid, one fixed-order double combine, NULL for one-sided
+      // buckets (no ε smoothing — the caller's decision)
+      (driftBinsCtesSql +
+        """SELECT CAST(COALESCE(rb.bucket, cb.bucket) AS INTEGER) AS bucket,
+        |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+        |  CASE WHEN COALESCE(n_ref, 0) > 0 AND COALESCE(n_cur, 0) > 0 THEN
+        |    CAST(n_cur * t.tr - n_ref * t.tc AS DOUBLE)
+        |      * CAST(floor(ln((CAST(n_cur AS DOUBLE) * CAST(t.tr AS DOUBLE)) /
+        |          (CAST(n_ref AS DOUBLE) * CAST(t.tc AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |      / (CAST(t.tc AS DOUBLE) * CAST(t.tr AS DOUBLE) * 1000000.0)
+        |  ELSE NULL END AS psi_term
+        |FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket CROSS JOIN t""".stripMargin),
     "ab_report" ->
       // exact decimal squares/margins, fixed-order double combine —
       // (N · (ad−bc)²) / ((n_a·n_b) · (c1·c2)) mirrors the Column tree
@@ -4242,6 +4333,39 @@ object RelationalQueries {
         |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
         |  (valid_to IS NULL) AS is_current, n_obs
         |FROM iv""".stripMargin,
+    "scd2_lookup" ->
+      // the scd2_users run construction over the non-purchase log, then
+      // the LITERAL interval-stab join — the as-of operator must agree
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER w AS rn,
+        |    lag(event_type) OVER w AS prev
+        |  FROM events WHERE event_type != 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |r AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM b),
+        |runs AS (
+        |  SELECT user_id, run, MIN(event_type) AS state,
+        |    MIN(ts) AS valid_from
+        |  FROM r GROUP BY user_id, run),
+        |iv AS (
+        |  SELECT user_id, state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+        |  FROM runs),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  iv.state,
+        |  strftime(iv.valid_from, '%Y-%m-%d %H:%M:%S.%f') AS state_since
+        |FROM p JOIN iv ON p.user_id = iv.user_id
+        |  AND p.ts >= iv.valid_from
+        |  AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)""".stripMargin,
     "events_outliers" ->
       // lower-median rank selection on the 2^20 grid, MAD the same way,
       // Hampel flag by exact long cross-multiplication — zero doubles in
@@ -4394,6 +4518,16 @@ object RelationalQueries {
          |FROM p a JOIN p b ON a.id < b.id
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
          |      <= ${750L * 750L}""".stripMargin,
+    "basket_cosine" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS support
+        |      FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |i AS (SELECT pk, count(*) AS s FROM d GROUP BY pk)
+        |SELECT part_a, part_b, support,
+        |  CAST(support AS DOUBLE) / sqrt(CAST(ia.s AS DOUBLE) * CAST(ib.s AS DOUBLE)) AS cosine
+        |FROM p JOIN i ia ON part_a = ia.pk JOIN i ib ON part_b = ib.pk
+        |WHERE support >= 3
+        |ORDER BY cosine DESC, part_a, part_b LIMIT 20""".stripMargin,
     "utest_quantity" ->
       // pooled doubled ranks from the value histogram (2·below+ties+1),
       // exact decimal rank sums, ONE fixed-order double z combine —

@@ -530,6 +530,30 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ class balancing
 
+  test("psiReport: identical → zero, shift → positive, one-sided → null, invariant") {
+    import graft.ops.Vectorize
+    val ref = (1 to 400).map(i => Tuple1(i.toDouble)).toDF("v")
+    val same = Vectorize.psiReport(ref, ref, "v", k = 4).collect()
+    // identical distributions: every cross-multiplied numerator is 0
+    assert(same.length == 4 && same.forall(_.getAs[Double]("psi_term") == 0.0))
+    // a shifted current sample drives the summed PSI positive
+    val cur = (201 to 600).map(i => Tuple1(i.toDouble)).toDF("v")
+    val shifted = Vectorize.psiReport(ref, cur, "v", k = 4).collect()
+    val terms = shifted.flatMap(r => Option(r.getAs[java.lang.Double]("psi_term")).map(_.toDouble))
+    assert(terms.sum > 0.1, s"shift must register, got ${terms.sum}")
+    // a bucket present only in cur (values beyond the ref range) is null
+    val far = (10001 to 10100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val oneSided = Vectorize.psiReport(ref, far, "v", k = 4).collect()
+    assert(oneSided.exists(r => r.isNullAt(r.fieldIndex("psi_term"))))
+    // partitioning invariance, bit-level
+    def bits(p: Int) = Vectorize.psiReport(ref.repartition(p), cur.repartition(p), "v", 4)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n_ref"),
+        r.getAs[Long]("n_cur"),
+        Option(r.getAs[java.lang.Double]("psi_term"))
+          .map(d => java.lang.Double.doubleToLongBits(d)))).toSet
+    assert(bits(1) == bits(13))
+  }
+
   test("balanceClasses: every class cut to the smallest, deterministic members") {
     val df = ((1 to 50).map(i => (i.toLong, Some("big"))) ++
       (51 to 60).map(i => (i.toLong, Some("mid"))) ++
