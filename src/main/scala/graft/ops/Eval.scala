@@ -350,6 +350,68 @@ object Eval {
         (col("rbo_num").cast("double") / denom).as("rbo"))
   }
 
+  /** Per-bin Brier decomposition (Murphy): forecasts `σ(score)` land on
+    * the 2²⁰ probability grid (floored — the perplexity discipline keeps
+    * the libm sigmoid cross-engine-safe), bins are `2²⁰/bins`-wide
+    * integer ranges, and each bin row carries its EXACT integer
+    * sufficient statistics plus its contribution to the three Murphy
+    * terms:
+    *
+    *  - `brier_term = Σ(p_q − y)²/N` restricted to the bin (from the
+    *    exact `Σ(p_num − y·2²⁰)²` decimal sum),
+    *  - `rel_term = n_k·(p̄_k − ō_k)²/N` (reliability: forecast vs
+    *    observed rate in the bin),
+    *  - `res_term = n_k·(ō_k − ō)²/N` (resolution: bin rate vs base
+    *    rate).
+    *
+    * Each term is ONE fixed-order double combine over exact integers —
+    * bit-replayable. Summing the rows gives the decomposition
+    * `brier ≈ reliability − resolution + ō(1−ō)` (exact only when
+    * forecasts are constant within bins — the binning residual is the
+    * caller's tradeoff; spec-pinned on a constant-forecast fixture).
+    *
+    * Scale shape: one map-side grid projection, one bins-sized
+    * aggregate, a broadcast 1-row total — nothing corpus-sized moves.
+    */
+  def brierBins(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val S = 1048576L
+    require(bins >= 1 && S % bins == 0, s"bins must divide 2^20, got $bins")
+    val w = S / bins
+    val d38 = DecimalType(38, 0)
+    val y = col(labelCol).cast("long")
+    val sig = lit(1.0) / (lit(1.0) + exp(-col(scoreCol)))
+    val base = scored
+      .filter(col(scoreCol).isNotNull && y.isNotNull)
+      .select(y.as("__y"),
+        // σ < 1 mathematically, but double rounding can reach 1.0: clamp
+        // the grid code into the top bin (mirrored by the oracle)
+        least(floor(sig * S.toDouble).cast("long"), lit(S - 1)).as("__pn"))
+    val err = col("__pn") - col("__y") * S
+    val grouped = base
+      .groupBy(expr(s"__pn DIV $w").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"),
+        sum(col("__pn").cast(d38)).as("__sp"),
+        sum((err * err).cast(d38)).as("__sq"))
+    val tot = base.agg(count(lit(1)).as("__N"), sum("__y").as("__P"))
+    val nD = col("n").cast("double")
+    val nTD = col("__N").cast("double")
+    val pbar = col("__sp").cast("double") / (lit(1048576.0) * nD)
+    val obark = col("n_pos").cast("double") / nD
+    val obar = col("__P").cast("double") / nTD
+    grouped
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("__sq").cast("double") / (lit(1048576.0) * lit(1048576.0) * nTD))
+          .as("brier_term"),
+        ((pbar - obark) * (pbar - obark) * nD / nTD).as("rel_term"),
+        ((obark - obar) * (obark - obar) * nD / nTD).as("res_term"))
+  }
+
   /** `W(m) = Σ_{d=m..k} 2^(k-d) · lcm(1..k)/d`, 1-indexed by m — shared
     * with the oracle generator so both sides fold identical constants.
     */

@@ -562,6 +562,15 @@ object PipelineQueries {
   val evalCalibration: Q = (spark, dir) =>
     graft.ops.Eval.calibration(scoredDocs(spark, dir), "label", "score", 0.125)
 
+  /** Murphy decomposition of the Brier score by 16 probability bins
+    * ([[graft.ops.Eval.brierBins]] — σ(score) floored onto the 2²⁰
+    * grid, exact integer sufficient statistics, one fixed-order double
+    * per term): reliability / resolution contributions next to each
+    * bin's raw Brier mass.
+    */
+  val evalBrier: Q = (spark, dir) =>
+    graft.ops.Eval.brierBins(scoredDocs(spark, dir), "label", "score", bins = 16)
+
   /** Cumulative gains / lift by score decile ([[graft.ops.Eval
     * .liftByBucket]] — distributed prefix-sum global rank, row_number
     * bucket arithmetic, integer-ratio capture and lift).
@@ -1800,6 +1809,7 @@ object PipelineQueries {
     "eval_pr_curve" -> evalPrCurve,
     "eval_calibration" -> evalCalibration,
     "eval_lift" -> evalLift,
+    "eval_brier" -> evalBrier,
     "eval_retrieval" -> evalRetrieval,
     "eval_rbo" -> evalRbo,
     "sample_split" -> sampleSplit,
@@ -3104,6 +3114,35 @@ object PipelineQueries {
          |       THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg)
          |       ELSE NULL END AS auc
          |FROM a""".stripMargin,
+    "eval_brier" ->
+      // σ floored onto the 2^20 grid (clamped into the top bin), exact
+      // per-bin integer sums, the three Murphy terms each one
+      // fixed-order double combine mirroring brierBins
+      s"""WITH l0 AS ($evalScoredSql),
+         |l AS (SELECT * FROM l0 WHERE score IS NOT NULL),
+         |b AS (SELECT CAST(label AS BIGINT) AS y,
+         |        LEAST(CAST(floor((1.0 / (1.0 + exp(-score))) * 1048576.0) AS BIGINT),
+         |              1048575) AS pn
+         |      FROM l),
+         |g AS (SELECT pn // 65536 AS bin, count(*) AS n,
+         |        CAST(SUM(y) AS BIGINT) AS n_pos,
+         |        SUM(CAST(pn AS DECIMAL(38,0))) AS sp,
+         |        SUM(CAST((pn - y * 1048576) * (pn - y * 1048576) AS DECIMAL(38,0))) AS sq
+         |      FROM b GROUP BY 1),
+         |t AS (SELECT count(*) AS nt, CAST(SUM(y) AS BIGINT) AS pt FROM b)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+         |  CAST(sq AS DOUBLE) / (1048576.0 * 1048576.0 * CAST(t.nt AS DOUBLE)) AS brier_term,
+         |  (CAST(sp AS DOUBLE) / (1048576.0 * CAST(n AS DOUBLE))
+         |     - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         |  * (CAST(sp AS DOUBLE) / (1048576.0 * CAST(n AS DOUBLE))
+         |     - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         |  * CAST(n AS DOUBLE) / CAST(t.nt AS DOUBLE) AS rel_term,
+         |  (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+         |     - CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE))
+         |  * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+         |     - CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE))
+         |  * CAST(n AS DOUBLE) / CAST(t.nt AS DOUBLE) AS res_term
+         |FROM g CROSS JOIN t""".stripMargin,
     "eval_confusion" ->
       s"""WITH l0 AS ($evalScoredSql),
          |l AS (SELECT * FROM l0 WHERE score IS NOT NULL),

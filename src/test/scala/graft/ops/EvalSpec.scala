@@ -172,6 +172,36 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("brierBins: Murphy identity on constant-forecast bins; clamp; invariance") {
+    // logit 0 → p = 0.5 exactly (grid 524288, bin 8): constant forecasts
+    // per bin make the decomposition EXACT: brier = rel − res + ō(1−ō)
+    val df = ((1 to 60).map(_ => (1, 0.0)) ++ (1 to 40).map(_ => (0, 0.0)) ++
+      (1 to 10).map(_ => (1, 100.0)) ++ (1 to 90).map(_ => (0, -100.0)))
+      .toDF("label", "score")
+    val rows = Eval.brierBins(df, "label", "score", bins = 16).collect()
+    val brier = rows.map(_.getAs[Double]("brier_term")).sum
+    val rel = rows.map(_.getAs[Double]("rel_term")).sum
+    val res = rows.map(_.getAs[Double]("res_term")).sum
+    val n = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val p = rows.map(_.getAs[Long]("n_pos")).sum / n
+    assert(math.abs(brier - (rel - res + p * (1 - p))) < 1e-9,
+      s"Murphy identity: $brier vs ${rel - res + p * (1 - p)}")
+    // σ(100) floors to the clamped top code → top bin 15, not a 17th bin
+    assert(rows.map(_.getAs[Long]("bin")).max == 15L)
+    // the 0.5 bin: 60/100 positives, brier mass = 100·0.25/200
+    val mid = rows.find(_.getAs[Long]("bin") == 8L).get
+    assert(mid.getAs[Long]("n") == 100L && mid.getAs[Long]("n_pos") == 60L)
+    assert(math.abs(mid.getAs[Double]("brier_term") - 0.125) < 1e-9)
+    // partitioning invariance, bit level
+    def bits(parts: Int) = Eval.brierBins(df.repartition(parts), "label", "score", 16)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("brier_term")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("rel_term")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("res_term")))).toSet
+    assert(bits(1) == bits(7))
+    intercept[IllegalArgumentException] { Eval.brierBins(df, "label", "score", 15) }
+  }
+
   test("rankBiasedOverlap: exact dyadic grid matches the textbook sum") {
     // k=3, lcm(1..3)=6, denom = 2^3*6 = 48; W(m) = sum_{d=m..3} 2^(3-d)*6/d
     assert(Eval.rboWeights(3) == Seq(32L, 8L, 2L) && Eval.rboDenom(3) == 48L)
