@@ -746,4 +746,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("windowspecdefinition(cluster"), p)
   }
+
+  test("geo_radius_join: cell-keyed equi join, no nested-loop anywhere") {
+    val p = plan("geo_radius_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the 3x3 blocking must plan as an equi join:\n$p")
+  }
+
+  test("dedup_prefix_join: posting self-join stays equi; candidates broadcast into verify") {
+    val p = plan("dedup_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("embedding_kmeans: final assignment is a pure map over cached codes — zero exchanges") {
+    val p = plan("embedding_kmeans")
+    assert(!p.contains("Exchange"),
+      s"assignment must fold literal centroids with no join or shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("corr_matrix: k(k-1)/2 pairs reduce in ONE aggregate pass") {
+    val p = plan("corr_matrix")
+    // a single global aggregate: one single-partition exchange, no
+    // hash shuffle, no join — the whole matrix is one scan
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("scd2_lookup: dimension build + native as-of merge, no interval nested loop") {
+    val p = plan("scd2_lookup")
+    assert(p.contains("AsOfJoin"), "the point-in-time read must use the native as-of node\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("table_checksum: one map-side digest pass into a single global aggregate") {
+    val p = plan("table_checksum")
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("eval_brier: bins aggregate once; totals broadcast, corpus never re-shuffles") {
+    val p = plan("eval_brier")
+    assert(count(p, "Exchange hashpartitioning") == 1, s"only the bin aggregate shuffles:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row totals must broadcast\n" + p)
+  }
 }
