@@ -84,4 +84,54 @@ object Linkage {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** EXACT edit-distance ≤ 1 self-join WITHOUT a blocking key — the
+    * deletion-neighborhood signature scheme (FastSS family, public
+    * literature): a string's signatures are itself plus each of its |s|
+    * single-character deletions, and any two strings with `ed ≤ 1`
+    * PROVABLY share one (equal → the string itself; one substitution at
+    * i → both sides' deletion at i; one insert/delete → the longer
+    * side's deletion equals the shorter string). The candidate stage is
+    * therefore lossless — the oracle is plain brute-force levenshtein
+    * and equality IS the proof. Shared signatures can also arise at
+    * ed = 2 (delete i from one, j from the other), so ONE exact banded
+    * levenshtein per candidate removes false positives.
+    *
+    * This closes the recall gap [[fuzzyPairs]] states honestly: no
+    * caller-chosen blocking key to miss cross-block pairs. The price is
+    * (len+1)·N signature postings instead of N blocked rows — the right
+    * trade for short identifier strings (names, SKUs, codes); for long
+    * text use the token-set family.
+    *
+    * Scale shape: signatures hash to 8-byte keys map-side (collisions
+    * only ADD candidates — verification is exact); one shuffle of the
+    * postings; candidate volume is signature-bucket bounded; the string
+    * table joins back only onto candidates.
+    */
+  def editOnePairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    Dedup.requireIntegralId(df, idCol)
+    // feeds the signature explode AND both verify sides — pin one evaluation
+    val s = df
+      .filter(col(strCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
+      .localCheckpoint(true)
+    val deletions = transform(
+      sequence(lit(1), length(col("str"))),
+      i => concat(col("str").substr(lit(1), i - lit(1)),
+        col("str").substr(i + lit(1), length(col("str")))))
+    val post = s.select(col("id"),
+      explode(array_distinct(transform(
+        concat(array(col("str")), deletions), g => xxhash64(g)))).as("sig"))
+    val cand = post.select(col("sig"), col("id").as("id_a"))
+      .join(post.select(col("sig"), col("id").as("id_b")), Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(s.select(col("id").as("id_a"), col("str").as("__a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("str").as("__b")), "id_b")
+      .withColumn("dist", levenshtein(col("__a"), col("__b"), 1))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

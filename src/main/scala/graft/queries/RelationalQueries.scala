@@ -3076,6 +3076,15 @@ object RelationalQueries {
       t(spark, dir, "customer"), "c_custkey", "c_name",
       substring(col("c_name"), 10, 7), maxDist = 1)
 
+  /** Blocking-free edit-distance ≤ 1 name pairs
+    * ([[graft.ops.Linkage.editOnePairs]] — deletion-neighborhood
+    * signatures, provably lossless for ed ≤ 1): the brute-force
+    * levenshtein oracle proves both the signature scheme's recall and
+    * the verify stage's precision at gate scale.
+    */
+  val linkageEd1: Q = (spark, dir) =>
+    graft.ops.Linkage.editOnePairs(t(spark, dir, "customer"), "c_custkey", "c_name")
+
   /** Per-column profile of the orders table — the describe-before-you-trust
     * report ([[graft.ops.Checks.profile]]): row/null/distinct counts and
     * min/max renderings. Doubles are excluded by choice: their string
@@ -3137,6 +3146,7 @@ object RelationalQueries {
     "ab_report" -> abReport,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
+    "linkage_ed1" -> linkageEd1,
     "profile_orders" -> profileOrders,
     "table_checks" -> tableChecks,
     "source_bucketed" -> sourceBucketed,
@@ -4518,6 +4528,13 @@ object RelationalQueries {
          |FROM p a JOIN p b ON a.id < b.id
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
          |      <= ${750L * 750L}""".stripMargin,
+    "linkage_ed1" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "basket_cosine" ->
       """WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS support

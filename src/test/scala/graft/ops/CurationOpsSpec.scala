@@ -530,6 +530,43 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ class balancing
 
+  test("editOnePairs: lossless vs brute force; ed=2 sig-collisions filtered; invariance") {
+    import graft.ops.Linkage
+    val names = Seq(
+      (1L, "smith"), (2L, "smyth"), // substitution
+      (3L, "smiths"), // insertion vs 1
+      (4L, "mith"), // deletion vs 1
+      (5L, "smthy"), // shares deletion "smth" with 2's "smth"? ed(2,5)=2 — must NOT pair
+      (6L, "jones"), (7L, "smith"), // exact duplicate of 1
+      (8L, null.asInstanceOf[String]))
+    val df = names.toDF("id", "name")
+    def brute = (for {
+      Seq((ia, na), (ib, nb)) <- names.filter(_._2 != null).sortBy(_._1).combinations(2)
+      d = {
+        val dp = Array.tabulate(na.length + 1, nb.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to na.length; j <- 1 to nb.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (na(i - 1) == nb(j - 1)) 0 else 1))
+        dp(na.length)(nb.length)
+      }
+      if d <= 1
+    } yield (ia, ib, d)).toSet
+    val got = Linkage.editOnePairs(df, "id", "name")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+    assert(got.contains((1L, 7L, 0)) && got.contains((1L, 2L, 1)) &&
+      got.contains((1L, 3L, 1)) && got.contains((1L, 4L, 1)))
+    assert(!got.exists(p => (p._1, p._2) == (2L, 5L)),
+      "an ed=2 pair sharing a deletion signature must be verified away")
+    val got13 = Linkage.editOnePairs(df.repartition(13), "id", "name")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got13 == got)
+    intercept[IllegalArgumentException] {
+      Linkage.editOnePairs(df.withColumn("id", col("id").cast("string")), "id", "name")
+    }
+  }
+
   test("psiReport: identical → zero, shift → positive, one-sided → null, invariant") {
     import graft.ops.Vectorize
     val ref = (1 to 400).map(i => Tuple1(i.toDouble)).toDF("v")
