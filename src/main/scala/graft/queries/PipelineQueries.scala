@@ -101,6 +101,20 @@ object PipelineQueries {
   val dedupSpans: Q = (spark, dir) =>
     Dedup.duplicateSpans(docs(spark, dir), "doc_id", "text", 3)
 
+  /** End-to-end EXACT near-dup dedup: LOSSLESS prefix-join pairs
+    * (≥ 0.8 word-3-gram Jaccard) → connected components → min-id
+    * survivor per cluster — the fully-deterministic dedup chain with NO
+    * probabilistic stage anywhere (the MinHash chain's exactness
+    * upgrade). The oracle replays brute-force pairs + recursive-CTE
+    * components + the anti-join, end to end.
+    */
+  val pipelineExactDedup: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    val pairs = Dedup.prefixJaccardPairs(d, "text", "doc_id", 0.8, n = 3)
+    Dedup.dedupByClusters(d, "doc_id", pairs)
+      .select("doc_id", "source")
+  }
+
   /** EXACT word-3-gram-set Jaccard pairs (≥ 0.8) by LOSSLESS prefix
     * filtering ([[graft.ops.Dedup.prefixJaccardPairs]] — the All-Pairs /
     * PPJoin shape): no blocking column, no LSH recall loss, candidates
@@ -1870,6 +1884,7 @@ object PipelineQueries {
     "dedup_containment" -> dedupContainment,
     "dedup_prefix_join" -> dedupPrefixJoin,
     "dedup_spans" -> dedupSpans,
+    "pipeline_exact_dedup" -> pipelineExactDedup,
     "sample_split_nodup" -> sampleSplitNodup,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
@@ -3518,6 +3533,34 @@ object PipelineQueries {
          |  FROM m)
          |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_intervals
          |FROM i GROUP BY doc_id, island""".stripMargin,
+    "pipeline_exact_dedup" ->
+      // brute-force exact pairs → recursive-CTE components (min-id
+      // labels) → anti-join of the losers: the whole chain replayed
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |toks AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(0, len(ws) - 3),
+         |    i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS ts
+         |  FROM w WHERE len(ws) >= 3),
+         |nz AS (SELECT doc_id, ts, len(ts) AS s FROM toks WHERE len(ts) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+         |        (a.s + b.s - len(list_intersect(a.ts, b.ts))) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+         |losers AS (SELECT id FROM lab WHERE id != cluster)
+         |SELECT d.doc_id, d.source
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+         |WHERE l.id IS NULL""".stripMargin,
     "dedup_prefix_join" ->
       // BRUTE-FORCE all-pairs word-3-gram Jaccard: the engine's prefix
       // filtering is provably lossless, so equality with this oracle is

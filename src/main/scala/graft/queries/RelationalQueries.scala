@@ -2853,6 +2853,41 @@ object RelationalQueries {
           .otherwise(lit(null).cast("double")).as("gini"))
   }
 
+  /** Schuster periodogram over hourly arrival counts per event type at
+    * candidate periods {12 h, 24 h, 168 h}: spectral power
+    * `P(T) = (Σ c·cos(2πt/T))² + (Σ c·sin(2πt/T))²` normalized by n² —
+    * "is there a daily/half-daily/weekly cycle" as one number per
+    * (type, period). The trig values land on the floored 1e-6 grid
+    * BEFORE the weighted sums (the perplexity discipline — libm-safe),
+    * the sums are exact DECIMAL(38), and ONE fixed-order double combine
+    * closes each row. Scale: the hourly rollup is the only data-sized
+    * aggregate; the spectral pass runs over (type × hour) rows × 3
+    * periods, map-side combined.
+    */
+  val eventsPeriodogram: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val twoPi = 6.283185307179586
+    val hours = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val ang = lit(twoPi) * (col("__h") % col("period")).cast("double") /
+      col("period").cast("double")
+    def grid(c: Column) = floor(c * 1000000.0).cast("long")
+    hours
+      .select(col("*"), explode(typedLit(Seq(12L, 24L, 168L))).as("period"))
+      .select(col("event_type"), col("period"), col("__c"),
+        grid(cos(ang)).as("__cq"), grid(sin(ang)).as("__sq"))
+      .groupBy("event_type", "period")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("__c").cast(d38) * col("__cq")).as("__sc"),
+        sum(col("__c").cast(d38) * col("__sq")).as("__ss"))
+      .select(col("event_type"), col("period"), col("n_hours"),
+        ((col("__sc").cast("double") * col("__sc").cast("double") +
+          col("__ss").cast("double") * col("__ss").cast("double")) /
+          (col("n_hours").cast("double") * col("n_hours").cast("double") *
+            lit(1000000000000.0))).as("power"))
+  }
+
   /** Index of dispersion (variance/mean) of per-minute arrival counts per
     * event type — the burstiness test (≈1 Poisson, ≫1 bursty, the
     * capacity-planning discriminator). Exact integer sufficient stats
@@ -3208,6 +3243,7 @@ object RelationalQueries {
     "lineitem_leadtime" -> lineitemLeadtime,
     "orders_gini" -> ordersGini,
     "events_dispersion" -> eventsDispersion,
+    "events_periodogram" -> eventsPeriodogram,
     "basket_lift" -> basketLift,
     "events_new_returning" -> eventsNewReturning,
     "events_streaks" -> eventsStreaks,
@@ -3920,6 +3956,24 @@ object RelationalQueries {
         |       THEN CAST(2 * st - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
         |       ELSE NULL END AS gini
         |FROM s""".stripMargin,
+    "events_periodogram" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT unnest([CAST(12 AS BIGINT), CAST(24 AS BIGINT), CAST(168 AS BIGINT)]) AS period),
+        |s AS (SELECT event_type, period, c,
+        |    CAST(floor(cos(6.283185307179586 * CAST(hr % period AS DOUBLE)
+        |      / CAST(period AS DOUBLE)) * 1000000.0) AS BIGINT) AS cq,
+        |    CAST(floor(sin(6.283185307179586 * CAST(hr % period AS DOUBLE)
+        |      / CAST(period AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
+        |  FROM h CROSS JOIN p),
+        |g AS (SELECT event_type, period, count(*) AS n_hours,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * cq) AS sc,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * sq) AS ss
+        |  FROM s GROUP BY 1, 2)
+        |SELECT event_type, period, n_hours,
+        |  (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+        |    / (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE) * 1000000000000.0) AS power
+        |FROM g""".stripMargin,
     "events_dispersion" ->
       """WITH m AS (
         |  SELECT event_type, date_trunc('minute', ts) AS mn, count(*) AS c
