@@ -399,6 +399,31 @@ object Checks {
     * the weighted-median discipline), never over rows.
     */
   def mannWhitney(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val (perGroup, tot) = rankLedger(df, groupCol, valueCol)
+    val nD = col("__n").cast("double")
+    val ngD = col("__ng").cast("double")
+    val nrD = nD - ngD
+    val sig2 = ngD * nrD / 12.0 *
+      ((nD + 1.0) - col("__tie").cast("double") / (nD * (nD - 1.0)))
+    val u2 = (col("__r2") - (col("__ng").cast(d38) * (col("__ng") + 1L))).cast("long")
+    perGroup
+      .crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("__ng").as("n"), u2.as("u2"),
+        when(sig2 > 0.0, (u2.cast("double") - ngD * nrD) / (lit(2.0) * sqrt(sig2)))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** The shared pooled-rank sufficient statistics of [[mannWhitney]] and
+    * [[kruskalWallis]]: per group the size and EXACT doubled rank sum
+    * (`Σ c·dr`, DECIMAL(38)), plus the 1-row pooled totals `(n, Σt³−t)`.
+    * The rank window runs over the distinct-value histogram.
+    */
+  private def rankLedger(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
@@ -418,17 +443,48 @@ object Checks {
       .groupBy("__g")
       .agg(sum(col("__c")).as("__ng"),
         sum(col("__c").cast(d38) * col("__dr")).as("__r2"))
+    (perGroup, tot)
+  }
+
+  /** Kruskal–Wallis H (k-group rank ANOVA) with tie correction — "did
+    * ANY group's distribution shift", the omnibus companion to
+    * [[mannWhitney]]'s per-group readout, over the same exact rank
+    * ledger. With doubled rank sums `R2_g = 2R_g`:
+    * `H = 3/(N(N+1)) · Σ_g R2_g²/n_g − 3(N+1)` and the tie-corrected
+    * `H' = H / (1 − Σ(t³−t)/(N³−N))`.
+    *
+    * Determinism: each group's `R2_g²/n_g` is ONE double from exact
+    * integers; the k-term sum folds in SORTED group order through a
+    * collected array (both engines reduce the identical sequence left to
+    * right — the cross-engine answer to "double addition does not
+    * commute"), and the closing combine is fixed-order. For k = 2,
+    * `H' = z²` of [[mannWhitney]] (spec-pinned). All-tied data (the
+    * correction denominator hits 0) yields null.
+    *
+    * @return one row: (k, n, h, h_corrected)
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val (perGroup, tot) = rankLedger(df, groupCol, valueCol)
+    val term = col("__r2").cast("double") * col("__r2").cast("double") /
+      col("__ng").cast("double")
+    val folded = perGroup
+      .select(col("__g"), term.as("__t"))
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("__g"), col("__t")))).as("__arr"))
+      .select(col("k"),
+        aggregate(col("__arr"), lit(0.0), (acc, x) => acc + x.getField("__t"))
+          .as("__s"))
     val nD = col("__n").cast("double")
-    val ngD = col("__ng").cast("double")
-    val nrD = nD - ngD
-    val sig2 = ngD * nrD / 12.0 *
-      ((nD + 1.0) - col("__tie").cast("double") / (nD * (nD - 1.0)))
-    val u2 = (col("__r2") - (col("__ng").cast(d38) * (col("__ng") + 1L))).cast("long")
-    perGroup
+    folded
       .crossJoin(broadcast(tot))
-      .select(col("__g").as(groupCol), col("__ng").as("n"), u2.as("u2"),
-        when(sig2 > 0.0, (u2.cast("double") - ngD * nrD) / (lit(2.0) * sqrt(sig2)))
-          .otherwise(lit(null).cast("double")).as("z"))
+      .select(col("k"), col("__n").as("n"),
+        (lit(3.0) / (nD * (nD + 1.0)) * col("__s") - lit(3.0) * (nD + 1.0)).as("h"),
+        {
+          val corr = lit(1.0) - col("__tie").cast("double") / (nD * nD * nD - nD)
+          when(col("__n") > 1L && corr > 0.0,
+            (lit(3.0) / (nD * (nD + 1.0)) * col("__s") - lit(3.0) * (nD + 1.0)) / corr)
+            .otherwise(lit(null).cast("double")).as("h_corrected")
+        })
   }
 
   /** Order-free table CONTENT checksum — the data-contract primitive

@@ -1102,6 +1102,15 @@ object RelationalQueries {
     graft.ops.Checks.mannWhitney(
       t(spark, dir, "lineitem"), "l_returnflag", "l_quantity")
 
+  /** Kruskal–Wallis omnibus rank test across the three return flags
+    * ([[graft.ops.Checks.kruskalWallis]]): same exact rank ledger as
+    * utest_quantity, per-group terms folded in sorted group order, one
+    * fixed-order H combine with tie correction.
+    */
+  val kruskalQuantity: Q = (spark, dir) =>
+    graft.ops.Checks.kruskalWallis(
+      t(spark, dir, "lineitem"), "l_returnflag", "l_quantity")
+
   /** Order-free content checksum of the orders table
     * ([[graft.ops.Checks.tableChecksum]] over the non-float key columns
     * — float cells need caller-side gridding for cross-engine digests):
@@ -1627,6 +1636,27 @@ object RelationalQueries {
     * construction, then 12 unrolled value-iteration CTE rounds for the
     * base chain and for each channel-removed chain.
     */
+  /** The pooled-rank ledger shared by the utest_quantity and
+    * kruskal_quantity oracles: value histogram, doubled ranks, totals
+    * with the tie sum, per-group exact decimal rank sums.
+    */
+  private val rankLedgerSql =
+    """WITH b AS (
+      |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_quantity AS v
+      |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+      |hv AS (SELECT v, count(*) AS tc FROM b GROUP BY v),
+      |r AS (SELECT v, tc,
+      |    2 * COALESCE(SUM(tc) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tc + 1 AS dr
+      |  FROM hv),
+      |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS n,
+      |    SUM(CAST(tc AS DECIMAL(38,0)) * tc * tc - tc) AS tie FROM hv),
+      |pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+      |    SUM(CAST(c AS DECIMAL(38,0)) * dr) AS r2
+      |  FROM (SELECT g, v, count(*) AS c FROM b GROUP BY g, v) gv
+      |  JOIN r USING (v) GROUP BY g),
+      |""".stripMargin
+
   /** The drift-bucket construction shared by the drift_bins and
     * drift_psi oracles: reference-half equal-frequency boundaries at
     * exact ranks, both halves assigned by boundary counting, totals.
@@ -3265,6 +3295,7 @@ object RelationalQueries {
     "geo_radius_join" -> geoRadiusJoin,
     "geo_cells" -> geoCells,
     "utest_quantity" -> utestQuantity,
+    "kruskal_quantity" -> kruskalQuantity,
     "table_checksum" -> tableChecksumQ,
     "orders_trend" -> ordersTrend,
     "graph_pagerank" -> graphPagerank,
@@ -4603,21 +4634,8 @@ object RelationalQueries {
       // pooled doubled ranks from the value histogram (2·below+ties+1),
       // exact decimal rank sums, ONE fixed-order double z combine —
       // mirrors Checks.mannWhitney term for term
-      """WITH b AS (
-        |  SELECT CAST(l_returnflag AS VARCHAR) AS g, l_quantity AS v
-        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
-        |hv AS (SELECT v, count(*) AS tc FROM b GROUP BY v),
-        |r AS (SELECT v, tc,
-        |    2 * COALESCE(SUM(tc) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tc + 1 AS dr
-        |  FROM hv),
-        |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS n,
-        |    SUM(CAST(tc AS DECIMAL(38,0)) * tc * tc - tc) AS tie FROM hv),
-        |pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
-        |    SUM(CAST(c AS DECIMAL(38,0)) * dr) AS r2
-        |  FROM (SELECT g, v, count(*) AS c FROM b GROUP BY g, v) gv
-        |  JOIN r USING (v) GROUP BY g),
-        |f AS (SELECT g, ng, n, tie,
+      (rankLedgerSql +
+        """f AS (SELECT g, ng, n, tie,
         |    CAST(r2 - CAST(ng AS DECIMAL(38,0)) * (ng + 1) AS BIGINT) AS u2
         |  FROM pg CROSS JOIN tot),
         |s AS (SELECT g, ng, u2, n,
@@ -4630,7 +4648,27 @@ object RelationalQueries {
         |    (CAST(u2 AS DOUBLE) - CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ng AS DOUBLE)))
         |    / (2.0 * sqrt(sig2))
         |  ELSE NULL END AS z
-        |FROM s""".stripMargin,
+        |FROM s""".stripMargin),
+    "kruskal_quantity" ->
+      // the same rank ledger; per-group R2²/n terms folded in SORTED
+      // group order (list_reduce ≡ Spark's aggregate-from-0.0 — the
+      // deterministic double sum), one fixed-order H combine
+      (rankLedgerSql +
+        """terms AS (SELECT g, CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / CAST(ng AS DOUBLE) AS t
+        |  FROM pg),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    list_reduce(list(t ORDER BY g), (a, b) -> a + b) AS s FROM terms)
+        |SELECT k, n,
+        |  3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+        |  CASE WHEN n > 1 AND (1.0 - CAST(tie AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0
+        |  THEN (3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+        |        - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |       / (1.0 - CAST(tie AS DOUBLE) /
+        |          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+        |  ELSE NULL END AS h_corrected
+        |FROM f CROSS JOIN tot""".stripMargin),
     "table_checksum" ->
       // the Snapshot-digest injective cell encoding, md5'd per row, first
       // 15 hex digits summed — order- and layout-free

@@ -370,6 +370,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a == b && a.size == 3)
   }
 
+  test("kruskalWallis: H' == z² for two groups; all-tied null; invariance") {
+    val rnd = new scala.util.Random(23)
+    val two = (1 to 200).map(i =>
+      (if (i % 2 == 0) "A" else "B", rnd.nextInt(12).toDouble)).toDF("g", "v")
+    val kw = Checks.kruskalWallis(two, "g", "v").collect().head
+    val z = Checks.mannWhitney(two, "g", "v").collect().head.getAs[Double]("z")
+    // the classic identity: two-group Kruskal–Wallis is the squared
+    // (tie-corrected) Mann–Whitney z
+    assert(math.abs(kw.getAs[Double]("h_corrected") - z * z) < 1e-9,
+      s"H'=${kw.getAs[Double]("h_corrected")} vs z²=${z * z}")
+    assert(kw.getAs[Long]("k") == 2 && kw.getAs[Long]("n") == 200)
+    // all values tied: the correction denominator vanishes → null
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0)).toDF("g", "v")
+    assert(Checks.kruskalWallis(tied, "g", "v").collect().head
+      .isNullAt(3))
+    // partitioning invariance at the bit level (the ordered fold)
+    val three = (1 to 300).map(i => (s"g${i % 3}", rnd.nextInt(7).toDouble)).toDF("g", "v")
+    def bits(p: Int) = Checks.kruskalWallis(three.repartition(p), "g", "v")
+      .collect().head match {
+      case r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    assert(bits(1) == bits(13))
+  }
+
   test("tableChecksum: order/layout-free, cell-sensitive, boundary-injective") {
     val df = Seq((1L, "x", "p"), (2L, "y", null: String), (3L, "z", "r"))
       .toDF("id", "a", "b")
