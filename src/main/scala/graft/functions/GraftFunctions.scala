@@ -48,6 +48,11 @@ object GraftFunctions {
     IntDotProduct(args(0), args(1))
   }
 
+  private def jaroWinklerBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"jaro_winkler expects 2 arguments, got ${args.length}")
+    JaroWinkler(args(0), args(1))
+  }
+
   private def int8CodesBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 1, s"int8_unit_codes expects 1 argument, got ${args.length}")
     Int8UnitCodes(args(0))
@@ -66,6 +71,7 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("dot_product", dotBuilder, "built-in")
     registry.createOrReplaceTempFunction("int_dot_product", intDotBuilder, "built-in")
+    registry.createOrReplaceTempFunction("jaro_winkler", jaroWinklerBuilder, "built-in")
     registry.createOrReplaceTempFunction("int8_unit_codes", int8CodesBuilder, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
     textFns.foreach { case (n, b) => registry.createOrReplaceTempFunction(n, b, "built-in") }
@@ -87,6 +93,10 @@ object GraftFunctions {
         (new FunctionIdentifier("int_dot_product"),
           new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot_product"),
           intDotBuilder _))
+      e.injectFunction(
+        (new FunctionIdentifier("jaro_winkler"),
+          new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+          jaroWinklerBuilder _))
       e.injectFunction(
         (new FunctionIdentifier("int8_unit_codes"),
           new ExpressionInfo(classOf[Int8UnitCodes].getName, "int8_unit_codes"),

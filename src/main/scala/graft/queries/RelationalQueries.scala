@@ -3141,6 +3141,24 @@ object RelationalQueries {
       t(spark, dir, "customer"), "c_custkey", "c_name",
       substring(col("c_name"), 10, 7), maxDist = 1)
 
+  /** Jaro–Winkler candidate scoring within tight numeric-prefix blocks —
+    * the NATIVE codegen'd [[graft.functions.JaroWinkler]] expression.
+    * The oracle replays with the other engine's OWN independent
+    * jaro_winkler implementation: bitwise agreement between two separate
+    * codebases is the strongest pin a similarity kernel can get
+    * (semantics fuzz-verified, see the expression's scaladoc).
+    */
+  val linkageJw: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 8).as("__blk"))
+    c.as("a")
+      .join(c.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        graft.functions.JaroWinkler.jaroWinkler(col("a.c_name"), col("b.c_name")).as("jw"))
+  }
+
   /** Blocking-free edit-distance ≤ 1 name pairs
     * ([[graft.ops.Linkage.editOnePairs]] — deletion-neighborhood
     * signatures, provably lossless for ed ≤ 1): the brute-force
@@ -3212,6 +3230,7 @@ object RelationalQueries {
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
     "linkage_ed1" -> linkageEd1,
+    "linkage_jw" -> linkageJw,
     "profile_orders" -> profileOrders,
     "table_checks" -> tableChecks,
     "source_bucketed" -> sourceBucketed,
@@ -4613,6 +4632,12 @@ object RelationalQueries {
          |FROM p a JOIN p b ON a.id < b.id
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
          |      <= ${750L * 750L}""".stripMargin,
+    "linkage_jw" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+        |FROM customer a JOIN customer b
+        |  ON substring(a.c_name, 10, 8) = substring(b.c_name, 10, 8)
+        |  AND a.c_custkey < b.c_custkey""".stripMargin,
     "linkage_ed1" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
