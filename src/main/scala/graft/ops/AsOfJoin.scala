@@ -42,7 +42,42 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPrefix: String = "r_",
-      inner: Boolean = true): DataFrame = {
+      inner: Boolean = true): DataFrame =
+    impl(left, right, leftKey, rightKey, leftTime, rightTime, rightPrefix,
+      inner, forwardDir = false)
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row with the
+    * same key whose time is `>=` the left row's time — "the next event
+    * after" (next click after an error, next restock after a stockout,
+    * next heartbeat after an alert). Same union+window machinery and the
+    * same one-shuffle cost model, traversed in DESCENDING time order:
+    * the running `last(right)` at a left row is then the smallest right
+    * time at-or-after it. Tie rule mirrors [[backward]]: at equal
+    * (key, time) the right row matches (`>=`), and among equal right
+    * times the MAXIMUM full right struct wins — deterministic.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPrefix: String = "r_",
+      inner: Boolean = true): DataFrame =
+    impl(left, right, leftKey, rightKey, leftTime, rightTime, rightPrefix,
+      inner, forwardDir = true)
+
+  private def impl(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPrefix: String,
+      inner: Boolean,
+      forwardDir: Boolean): DataFrame = {
     val lStruct = struct(left.columns.map(left(_)).toIndexedSeq: _*)
     val rStruct = struct(right.columns.map(right(_)).toIndexedSeq: _*)
     val l2 = left.select(
@@ -61,10 +96,15 @@ object AsOfJoin {
       lit(null).cast(left.schema).as("__l"),
       rStruct.as("__r"))
     // Deterministic even under duplicate right timestamps: the struct itself
-    // is the final tiebreaker.
+    // is the final tiebreaker. Forward traverses time DESCENDING, so the
+    // running last(right) is the nearest at-or-after instead of at-or-before.
+    // nulls FIRST in both directions: a null-time left row must traverse
+    // before any right row so it matches nothing (asc defaults to
+    // nulls-first; desc must say so explicitly)
+    val tOrd = if (forwardDir) col("__t").desc_nulls_first else col("__t").asc
     val w = Window
       .partitionBy("__k")
-      .orderBy(col("__t").asc, col("__src").asc, col("__r").asc)
+      .orderBy(tOrd, col("__src").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l2
       .unionByName(r2)

@@ -1951,6 +1951,21 @@ object RelationalQueries {
       .select(col("event_id"), col("c_event_id").as("click_id"))
   }
 
+  /** FORWARD as-of: each error's NEXT click at-or-after it
+    * ([[graft.ops.AsOfJoin.forward]] — the union+window machinery
+    * traversed in descending time; same one-shuffle cost model). The
+    * oracle replays the semantic truth directly: the minimum
+    * (ts, event_id) click at-or-after each error.
+    */
+  val asofNext: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    AsOfJoin
+      .forward(errors, clicks, "user_id", "user_id", "ts", "ts", rightPrefix = "c_")
+      .select(col("event_id"), col("c_event_id").as("click_id"))
+  }
+
   /** The same as-of semantics through the NATIVE operator (custom
     * LogicalPlan + Strategy + streaming-merge SparkPlan,
     * [[graft.plans.AsOfJoinNative]]) — one buffered row of state per
@@ -3377,6 +3392,7 @@ object RelationalQueries {
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
     "asof_native" -> asofNative,
+    "asof_next" -> asofNext,
     "skew_join" -> skewJoin
   )
 
@@ -5658,6 +5674,15 @@ object RelationalQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "asof_next" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT event_id, click_id FROM (
+        |  SELECT e.event_id, c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY c.ts, c.event_id DESC) AS rn
+        |  FROM e JOIN c ON e.user_id = c.user_id AND c.ts >= e.ts)
+        |WHERE rn = 1""".stripMargin,
     "asof_native" ->
       """SELECT e.event_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e

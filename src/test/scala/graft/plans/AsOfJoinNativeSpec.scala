@@ -94,6 +94,38 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of: earliest at-or-after, brute-force equal, null discipline") {
+    val left = Seq((1L, 1L, Some(100L)), (2L, 1L, Some(250L)), (3L, 1L, None),
+      (4L, 2L, Some(10L))).toDF("id", "k", "t")
+    val right = Seq((7L, 1L, Some(100L)), (8L, 1L, Some(150L)), (9L, 1L, Some(40L)),
+      (10L, 1L, None)).toDF("rid", "k", "t")
+    val out = AsOfJoin.forward(left, right, "k", "k", "t", "t", inner = false)
+      .select(col("id"), col("r_rid")).as[(Long, Option[Long])].collect().toMap
+    // id 1: equal timestamp matches (>=) → rid 7; id 2: nothing after 250;
+    // id 3: null left time matches nothing; id 4: no right rows for key 2;
+    // rid 10's null time is never a match
+    assert(out == Map(1L -> Some(7L), 2L -> None, 3L -> None, 4L -> None))
+    // inner drops the misses
+    assert(AsOfJoin.forward(left, right, "k", "k", "t", "t")
+      .select(col("id"), col("r_rid")).as[(Long, Long)].collect().toSeq == Seq((1L, 7L)))
+    // brute-force equality on the events fixture
+    val (errors, clicks) = eventSides()
+    val got = AsOfJoin
+      .forward(errors, clicks, "user_id", "user_id", "ts", "ts", rightPrefix = "c_")
+      .select("event_id", "c_event_id").as[(Long, Long)].collect().sorted.toSeq
+    // tie rule: min right ts, then MAX event_id (max right struct) — so
+    // min(struct(ts, negated id)) replays it exactly
+    val e = errors.as("e")
+    val brute = e
+      .join(clicks.as("c"),
+        col("e.user_id") === col("c.user_id") && col("c.ts") >= col("e.ts"))
+      .groupBy(col("e.event_id"))
+      .agg(min(struct(col("c.ts"), (-col("c.event_id")).as("nid"))).as("m"))
+      .select(col("event_id"), (-col("m.nid")).as("click_id"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == brute)
+  }
+
   test("strategy registers via SparkSessionExtensions too") {
     // builder-time path: a throwaway session with the extensions installed
     val s2 = spark.newSession()
