@@ -68,6 +68,34 @@ object AsOfJoin {
     impl(left, right, leftKey, rightKey, leftTime, rightTime, rightPrefix,
       inner, forwardDir = true)
 
+  /** Tolerance-bounded backward as-of — the feature-store read: the latest
+    * right row at-or-before the left row's time, but only if it is no
+    * staler than `maxStaleness` (a match older than the bound counts as NO
+    * match — dropped when `inner`, null right columns otherwise). The
+    * pandas `merge_asof(tolerance=...)` semantics.
+    *
+    * Exact by post-filter, at zero extra data motion: the backward winner
+    * is the NEAREST at-or-before candidate, so every other candidate is
+    * staler — testing only the winner against the bound loses nothing.
+    * Cost model is [[backward]]'s unchanged: one |L|+|R| key shuffle.
+    *
+    * @param maxStaleness subtracted from the left time to form the floor
+    *   (`right.time >= left.time - maxStaleness`); an INTERVAL literal for
+    *   timestamp times, a plain numeric for numeric times.
+    */
+  def backwardTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      maxStaleness: Column,
+      rightPrefix: String = "r_",
+      inner: Boolean = true): DataFrame =
+    impl(left, right, leftKey, rightKey, leftTime, rightTime, rightPrefix,
+      inner, forwardDir = false, staleness = Some((maxStaleness, rightTime)))
+
   private def impl(
       left: DataFrame,
       right: DataFrame,
@@ -77,7 +105,8 @@ object AsOfJoin {
       rightTime: String,
       rightPrefix: String,
       inner: Boolean,
-      forwardDir: Boolean): DataFrame = {
+      forwardDir: Boolean,
+      staleness: Option[(Column, String)] = None): DataFrame = {
     val lStruct = struct(left.columns.map(left(_)).toIndexedSeq: _*)
     val rStruct = struct(right.columns.map(right(_)).toIndexedSeq: _*)
     val l2 = left.select(
@@ -106,10 +135,16 @@ object AsOfJoin {
       .partitionBy("__k")
       .orderBy(tOrd, col("__src").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l2
+    val matchedRaw = l2
       .unionByName(r2)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
+    // staleness bound: nearest-candidate post-filter is exact (scaladoc)
+    val matched = staleness match {
+      case Some((tol, rt)) => matchedRaw.withColumn("__m",
+        when(col(s"__m.$rt") >= col("__t") - tol, col("__m")))
+      case None => matchedRaw
+    }
     val kept = if (inner) matched.filter(col("__m").isNotNull) else matched
     val outCols: Seq[Column] =
       left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++

@@ -1951,6 +1951,22 @@ object RelationalQueries {
       .select(col("event_id"), col("c_event_id").as("click_id"))
   }
 
+  /** Tolerance-bounded as-of ([[graft.ops.AsOfJoin.backwardTolerance]] —
+    * the feature-store "latest value at most Δ old" read): each error's
+    * latest click at-or-before it, kept only when at most 2 days stale.
+    * Exact via nearest-candidate post-filter at zero extra motion; the
+    * oracle wraps the same ASOF JOIN in the staleness predicate.
+    */
+  val asofStale: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    AsOfJoin
+      .backwardTolerance(errors, clicks, "user_id", "user_id", "ts", "ts",
+        expr("INTERVAL 2 DAYS"), rightPrefix = "c_")
+      .select(col("event_id"), col("c_event_id").as("click_id"))
+  }
+
   /** FORWARD as-of: each error's NEXT click at-or-after it
     * ([[graft.ops.AsOfJoin.forward]] — the union+window machinery
     * traversed in descending time; same one-shuffle cost model). The
@@ -3393,6 +3409,7 @@ object RelationalQueries {
     "asof_clicks" -> asofClicks,
     "asof_native" -> asofNative,
     "asof_next" -> asofNext,
+    "asof_stale" -> asofStale,
     "skew_join" -> skewJoin
   )
 
@@ -5674,6 +5691,15 @@ object RelationalQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "asof_stale" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT event_id, click_id FROM (
+        |  SELECT e.event_id, c.event_id AS click_id, e.ts AS ets, c.ts AS cts,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM e JOIN c ON e.user_id = c.user_id AND c.ts <= e.ts)
+        |WHERE rn = 1 AND cts >= ets - INTERVAL 2 DAY""".stripMargin,
     "asof_next" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')

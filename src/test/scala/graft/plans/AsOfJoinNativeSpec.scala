@@ -126,6 +126,26 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == brute)
   }
 
+  test("tolerance as-of: stale winner becomes no-match, fresh one survives") {
+    val left = Seq((1L, 1L, 200L), (2L, 1L, 500L), (3L, 2L, 100L)).toDF("id", "k", "t")
+    val right = Seq((7L, 1L, 190L), (8L, 1L, 350L), (9L, 2L, 10L)).toDF("rid", "k", "t")
+    // bound 100: id 1 matches rid 7 (gap 10); id 2's nearest is rid 8
+    // (gap 150 > 100) → no match even though rid 7 is also ≤ 500 (staler
+    // still); id 3's nearest rid 9 is 90 stale → keeps
+    val out = AsOfJoin
+      .backwardTolerance(left, right, "k", "k", "t", "t", lit(100L), inner = false)
+      .select(col("id"), col("r_rid")).as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(7L), 2L -> None, 3L -> Some(9L)))
+    // inner drops the stale-only row; unbounded tolerance ≡ plain backward
+    assert(AsOfJoin.backwardTolerance(left, right, "k", "k", "t", "t", lit(100L))
+      .count() == 2L)
+    val plain = AsOfJoin.backward(left, right, "k", "k", "t", "t")
+      .select("id", "r_rid").as[(Long, Long)].collect().sorted.toSeq
+    val loose = AsOfJoin.backwardTolerance(left, right, "k", "k", "t", "t", lit(Long.MaxValue / 2))
+      .select("id", "r_rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(plain == loose)
+  }
+
   test("strategy registers via SparkSessionExtensions too") {
     // builder-time path: a throwaway session with the extensions installed
     val s2 = spark.newSession()
