@@ -277,4 +277,64 @@ object Ranking {
         col("rank").cast("long").as("rank"),
         col("__doc").as("doc"), col("__tf").as("tf"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: each input ranking contributes `1 / (k + rank)`
+    * to a document's fused score, so documents near the top of ANY list
+    * surface without any score normalization across heterogeneous scorers
+    * (BM25 logits and dot products never share a scale; ranks always do).
+    *
+    * Exactness: the reciprocal lands on an integer grid —
+    * `grid DIV (k + rank)` with long division — so the fused score is a
+    * SUM of longs: order-independent, bit-replayable cross-engine, no
+    * float summation ambiguity. With the default `grid = 1e9` the grid
+    * error is < 1e-9·k·lists — far below any rank-k reciprocal gap at
+    * sane depths (the smallest gap at depth d is ~1/(k+d)², ≈ 8e-5 at
+    * k=60, d=50).
+    *
+    * Rank discipline: rank inside each list is `row_number` under the
+    * deterministic (`scoreCol` DESC, `idCol` ASC) total order, truncated
+    * at `depth` — absent documents contribute zero, the RRF convention.
+    *
+    * Scale shape: input lists are RESULT sets (top-`depth` per upstream
+    * query), bounded by construction — ranking them is a window over at
+    * most `depth` rows per query group and the fused aggregate moves
+    * `lists × depth` rows per query. The heavy lifting (corpus scans, ANN
+    * probes) lives in the operators that PRODUCE the lists, which keep
+    * their own scale shapes. Pass `queryCol` when fusing many queries'
+    * lists at once: every window and the final top-`topN` cut partition
+    * by it, so fusion stays embarrassingly parallel across queries — the
+    * no-partition single-window shape only ever sees one bounded list.
+    *
+    * Output: (queryCol?, idCol, fused, rank) — top `topN` by
+    * (fused DESC, id ASC).
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      idCol: String,
+      scoreCol: String,
+      kConst: Int = 60,
+      depth: Int = 50,
+      topN: Int = 20,
+      queryCol: Option[String] = None,
+      grid: Long = 1000000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 1 && depth >= 1 && topN >= 1 && grid >= 1, "positive parameters")
+    val parts = queryCol.map(col).toSeq
+    val contribs = lists.map { df =>
+      val w = Window.partitionBy(parts: _*)
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= depth)
+        .select(parts :+ col(idCol) :+
+          expr(s"${grid}L div (${kConst}L + __r)").as("__w"): _*)
+    }
+    val fusedW = Window.partitionBy(parts: _*)
+      .orderBy(col("fused").desc, col(idCol).asc)
+    contribs.reduce(_ unionByName _)
+      .groupBy(parts :+ col(idCol): _*)
+      .agg(sum(col("__w")).as("fused"))
+      .withColumn("rank", row_number().over(fusedW))
+      .filter(col("rank") <= topN)
+  }
 }

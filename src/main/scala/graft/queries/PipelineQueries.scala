@@ -741,6 +741,24 @@ object PipelineQueries {
   val bm25Rank: Q = (spark, dir) =>
     Ranking.bm25(docs(spark, dir), "text", "doc_id", bm25Terms)
 
+  /** Hybrid retrieval — [[graft.ops.Ranking.rrfFuse]] Reciprocal Rank
+    * Fusion of the BM25 lexical ranking (fixed query terms) with the int8
+    * ANN semantic ranking (query = vector 0, the codegen'd
+    * [[graft.ops.Similarity.int8TopK]] path), the way production search
+    * stacks combine keyword and embedding retrieval. Both lists rank
+    * under deterministic (score DESC, id ASC); the reciprocal lands on
+    * the 1e9 long grid (`grid DIV (k + rank)`), so the fused score is an
+    * exact integer sum the oracle replays bit-for-bit.
+    */
+  val searchRrf: Q = (spark, dir) => {
+    val lex = Ranking.bm25(docs(spark, dir), "text", "doc_id", bm25Terms)
+    val e = emb(spark, dir)
+    val sem = Similarity
+      .int8TopK(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 50)
+      .select(col("n_id").as("doc_id"), col("dot_q").as("score"))
+    Ranking.rrfFuse(Seq(lex, sem), "doc_id", "score")
+  }
+
   /** Canonical-form md5 fingerprint — oracle-able (DuckDB md5 over the same
     * normalization); the xxhash64 rolling hash lives in [[textRolling]] so
     * this query's whole row is oracle-checked.
@@ -1904,6 +1922,7 @@ object PipelineQueries {
     "embedding_quantize" -> embeddingQuantize,
     "text_repetition" -> textRepetition,
     "bm25_rank" -> bm25Rank,
+    "search_rrf" -> searchRrf,
     "embedding_norm" -> embeddingNorm,
     "embedding_unit" -> embeddingUnit,
     "text_tokens" -> textTokens,
@@ -3820,6 +3839,24 @@ object PipelineQueries {
          |  round(sum(lp_q) / (count(*) * 1000000.0), 4) AS logp_avg
          |FROM contrib GROUP BY doc_id""".stripMargin,
     "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
+    "search_rrf" ->
+      s"""WITH lex AS (${Ranking.bm25Sql("text", "doc_id", bm25Terms)}),
+         |$int8CodesCtesSql,
+         |sem AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT) AS dot_q
+         |  FROM qz c JOIN qz qr ON qr.vec_id = 0 AND c.vec_id != qr.vec_id),
+         |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lex),
+         |semr AS (SELECT doc_id, row_number() OVER (ORDER BY dot_q DESC, doc_id) AS r FROM sem),
+         |contrib AS (
+         |  SELECT doc_id, 1000000000 // (60 + r) AS w FROM lexr WHERE r <= 50
+         |  UNION ALL
+         |  SELECT doc_id, 1000000000 // (60 + r) AS w FROM semr WHERE r <= 50),
+         |f AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS fused FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, fused, rank FROM (
+         |  SELECT doc_id, fused,
+         |    CAST(row_number() OVER (ORDER BY fused DESC, doc_id) AS INTEGER) AS rank FROM f)
+         |WHERE rank <= 20""".stripMargin,
     "knn_lsh" ->
       s"""WITH h AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -1037,6 +1037,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
+  // --- RRF fusion ----------------------------------------------------------
+
+  test("rrfFuse: hand-computed grid weights, absent-list docs, tiebreak") {
+    import org.apache.spark.sql.functions.{col => c}
+    // list A ranks: d1=1, d2=2, d3=3; list B ranks: d2=1, d4=2
+    val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val b = Seq((2L, 100.0), (4L, 40.0)).toDF("id", "score")
+    val out = Ranking.rrfFuse(Seq(a, b), "id", "score", kConst = 60, depth = 50, topN = 10)
+      .select("id", "fused", "rank").as[(Long, Long, Int)].collect()
+      .sortBy(_._3).toSeq
+    def g(r: Int) = 1000000000L / (60L + r)
+    // d2 appears in both lists (ranks 2 and 1) and must win
+    assert(out == Seq(
+      (2L, g(2) + g(1), 1),
+      (1L, g(1), 2),        // ties with d4 on g-values? no: g(1) > g(2)
+      (4L, g(2), 3),
+      (3L, g(3), 4)))
+    // depth truncation: depth=1 keeps only each list's top doc
+    val shallow = Ranking.rrfFuse(Seq(a, b), "id", "score", depth = 1, topN = 10)
+      .select("id").as[Long].collect().toSet
+    assert(shallow == Set(1L, 2L))
+    // equal scores tiebreak by id asc: ids 7 and 8 share score → 7 ranks first
+    val t = Seq((8L, 3.0), (7L, 3.0)).toDF("id", "score")
+    val tr = Ranking.rrfFuse(Seq(t), "id", "score", topN = 10)
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    assert(tr == Map(7L -> 1, 8L -> 2))
+    // per-query fusion partitions: each query's ranks start at 1
+    val qa = Seq(("q1", 1L, 9.0), ("q1", 2L, 5.0), ("q2", 2L, 9.0)).toDF("q", "id", "score")
+    val qb = Seq(("q1", 2L, 7.0), ("q2", 3L, 7.0)).toDF("q", "id", "score")
+    val qf = Ranking.rrfFuse(Seq(qa, qb), "id", "score", queryCol = Some("q"), topN = 10)
+      .select("q", "id", "fused").as[(String, Long, Long)].collect().toSet
+    assert(qf == Set(
+      ("q1", 2L, g(2) + g(1)), ("q1", 1L, g(1)),
+      ("q2", 2L, g(1)), ("q2", 3L, g(1))))
+    // sanity: grid division really is integer (floor) division
+    assert(Ranking.rrfFuse(Seq(a), "id", "score", topN = 1)
+      .select(c("fused")).as[Long].head() == 1000000000L / 61L)
+  }
+
   // --- BM25 ----------------------------------------------------------------
 
   test("bm25 equals a Scala reference implementation exactly (pre-rounding tolerance)") {
