@@ -62,6 +62,44 @@ object Checks {
       .filter(col("__n") > 1)
       .agg(count(lit(1)).as("violations"))
 
+  /** Candidate-key / uniqueness profile for SEVERAL column combinations in
+    * ONE grouping-sets pass — the data-contract question "which of these
+    * combos actually identifies a row" ([[duplicateKeys]] asks it for one
+    * combo; this answers it for all of them in a single scan+shuffle).
+    *
+    * Output, one row per combo: `key_combo` (participating columns joined
+    * by ',' in table-column order), `n_groups` (distinct key tuples),
+    * `n_dup_groups` (tuples appearing more than once — 0 ⇔ the combo is a
+    * key), `max_group` (worst multiplicity), `n_rows` (total, identical
+    * across combos — a built-in cross-combo consistency check), `is_key`.
+    *
+    * Scale shape: GROUPING SETS is Catalyst's Expand — ONE scan and ONE
+    * shuffle of |combos|·|rows| expanded tuples, against |combos| separate
+    * scan+shuffle passes for the per-combo alternative. For profiling
+    * (a handful of combos over a scan-dominated table) the single pass
+    * wins, and column pruning keeps the expansion to the union of the key
+    * columns. The per-tuple counts then collapse by combo label — a
+    * second, combos-sized aggregate. Null key values group like values
+    * (SQL GROUP BY), so a null-ridden column still profiles honestly.
+    */
+  def keyProfile(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty && combos.forall(_.nonEmpty), "need non-empty combos")
+    val allCols = combos.flatten.distinct
+    // combo label from grouping() flags — engine-agnostic (no reliance on
+    // grouping_id bit order), identical expression in the DuckDB oracle
+    val label = concat_ws(",",
+      allCols.map(c => when(grouping(col(c)) === 0, lit(c))): _*)
+    df.groupingSets(combos.map(_.map(col)), allCols.map(col): _*)
+      .agg(label.as("key_combo"), count(lit(1)).as("__cnt"))
+      .groupBy("key_combo")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        max(col("__cnt")).as("max_group"),
+        sum(col("__cnt")).as("n_rows"))
+      .withColumn("is_key", col("n_dup_groups") === 0)
+  }
+
   /** Number of child rows whose key has no match in `parent` (orphans).
     * Null child keys are orphans too unless `countNullAsOrphan` is false —
     * a null FK is usually a modeling decision, so it's explicit.

@@ -3210,6 +3210,20 @@ object RelationalQueries {
       t(spark, dir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
 
+  /** Candidate-key uniqueness profile over four combos in ONE
+    * grouping-sets pass ([[graft.ops.Checks.keyProfile]]): the true key,
+    * a non-key FK, a coarse pair, and a plausible-but-false composite —
+    * all four verdicts from a single scan+shuffle.
+    */
+  val profileKeys: Q = (spark, dir) =>
+    graft.ops.Checks.keyProfile(
+      t(spark, dir, "orders"),
+      Seq(
+        Seq("o_orderkey"),
+        Seq("o_custkey"),
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_custkey", "o_orderdate")))
+
   /** Expectations suite over the TPC-H core: primary-key uniqueness,
     * two referential checks, completeness — each a rows-sized violation
     * count ([[graft.ops.Checks]]).
@@ -3263,6 +3277,7 @@ object RelationalQueries {
     "linkage_ed1" -> linkageEd1,
     "linkage_jw" -> linkageJw,
     "profile_orders" -> profileOrders,
+    "profile_keys" -> profileKeys,
     "table_checks" -> tableChecks,
     "source_bucketed" -> sourceBucketed,
     "events_enrich" -> eventsEnrich,
@@ -3430,6 +3445,25 @@ object RelationalQueries {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
         .map(one).mkString("\nUNION ALL\n")
     },
+    "profile_keys" ->
+      """WITH g AS (
+        |  SELECT concat_ws(',',
+        |      CASE WHEN grouping(o_orderkey) = 0 THEN 'o_orderkey' END,
+        |      CASE WHEN grouping(o_custkey) = 0 THEN 'o_custkey' END,
+        |      CASE WHEN grouping(o_orderstatus) = 0 THEN 'o_orderstatus' END,
+        |      CASE WHEN grouping(o_orderpriority) = 0 THEN 'o_orderpriority' END,
+        |      CASE WHEN grouping(o_orderdate) = 0 THEN 'o_orderdate' END) AS key_combo,
+        |    count(*) AS cnt
+        |  FROM orders
+        |  GROUP BY GROUPING SETS ((o_orderkey), (o_custkey),
+        |                          (o_orderstatus, o_orderpriority),
+        |                          (o_custkey, o_orderdate)))
+        |SELECT key_combo, count(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  max(cnt) AS max_group,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  (SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0) AS is_key
+        |FROM g GROUP BY key_combo""".stripMargin,
     "table_checks" ->
       """SELECT 'orders_pk_unique' AS check_name, count(*) AS violations
         |FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)

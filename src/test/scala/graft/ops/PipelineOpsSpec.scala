@@ -933,6 +933,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(prof == (("fk", 4L, 1L, 2L, "10", "99")))
   }
 
+  test("Checks.keyProfile: all combos from one scan, verdicts and counts exact") {
+    val df = Seq(
+      (1L, 10L, "x"), (2L, 10L, "x"), (3L, 20L, "y"), (4L, 20L, "x"),
+      (5L, 30L, "y")).toDF("id", "fk", "tag")
+    // one scan however many combos (same accumulator technique as profile)
+    val acc = spark.sparkContext.longAccumulator("keyprofile_rows_read")
+    val mark = udf { (_: Long) => { acc.add(1L); true } }.asNondeterministic()
+    val marked = df.filter(mark(col("id")))
+    val out = Checks.keyProfile(marked,
+      Seq(Seq("id"), Seq("fk"), Seq("fk", "tag")))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(acc.value == 5, s"rows read ${acc.value}: grouping sets must scan once")
+    // id: unique key; fk: 10→2, 20→2, 30→1; (fk,tag): (10,x)→2 others 1
+    assert(out("id") == (("id", 5L, 0L, 1L, 5L, true)))
+    assert(out("fk") == (("fk", 3L, 2L, 2L, 5L, false)))
+    assert(out("fk,tag") == (("fk,tag", 4L, 1L, 2L, 5L, false)))
+    // null key values group like values (SQL GROUP BY)
+    val withNull = Seq((Some(1L), "a"), (None, "a"), (None, "b"), (None, "b"))
+      .toDF("k", "v")
+    val np = Checks.keyProfile(withNull, Seq(Seq("k", "v")))
+      .as[(String, Long, Long, Long, Long, Boolean)].head()
+    assert(np == (("k,v", 3L, 1L, 2L, 4L, false)))
+  }
+
   test("Checks.profile is a single pass regardless of column count") {
     // the nondeterministic marker counts rows each executed scan reads: the
     // old per-column formulation cost 4 scans here, the single-agg form
