@@ -670,6 +670,101 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — greedy
+    * diversified re-ranking of a bounded candidate list: each step picks
+    * the candidate maximizing `wRel·rel − wDiv·maxSim(selected)`, so the
+    * result trades relevance against redundancy (the dedup-aware cousin
+    * of plain top-k; what retrieval stacks run between ANN and the
+    * context window).
+    *
+    * Exact-integer contract: `relCol` is a long (e.g. an int8 dot score)
+    * and similarity is the integer dot of the int8 `codesCol` arrays, so
+    * every greedy decision compares longs — no float argmax ambiguity,
+    * and a recursive-CTE oracle replays the selection bit-for-bit. Ties
+    * break toward the smaller id. The first pick carries no diversity
+    * term (selected set empty ⇒ penalty 0); `maxSim` may be negative, in
+    * which case it raises the score — the MMR formula, not a clamp.
+    *
+    * Scale shape: candidates are RESULT lists (top-`depth` per query),
+    * bounded by construction. Selection is inherently sequential per
+    * query — k·|C| integer dots inside ONE task per query group after a
+    * `collect_list` — and embarrassingly parallel across queries; the
+    * collected list is sorted by id in-task before the loop, so the plan
+    * is partitioning- and arrival-order-invariant. This is the
+    * [[graft.ops.Packing]] per-group-sequential discipline: peak memory
+    * = one candidate list (|C| ≤ depth rows of dim-length codes).
+    *
+    * Output: (queryCol?, idCol, mmr_score, pick) — `pick` is the 1-based
+    * selection order, `mmr_score` the winning score AT selection time.
+    */
+  def mmrSelect(
+      candidates: DataFrame,
+      idCol: String,
+      relCol: String,
+      codesCol: String,
+      k: Int,
+      wRel: Long = 7L,
+      wDiv: Long = 3L,
+      queryCol: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val greedy = udf { (ids: Seq[Long], rels: Seq[Long], qs: Seq[Seq[Int]]) =>
+      val cand = ids.indices
+        .map(i => (ids(i), rels(i), qs(i).toArray))
+        .sortBy(_._1)
+        .toArray
+      val n = cand.length
+      val used = new Array[Boolean](n)
+      // max integer-dot similarity to the selected set; valid once m >= 1
+      val maxSim = new Array[Long](n)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var m = 0
+      while (m < math.min(k, n)) {
+        var bi = -1
+        var bs = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!used(i)) {
+            val s = wRel * cand(i)._2 - (if (m == 0) 0L else wDiv * maxSim(i))
+            if (s > bs) { bs = s; bi = i } // strict: ties keep the smaller id
+          }
+          i += 1
+        }
+        used(bi) = true
+        out += ((cand(bi)._1, bs, m + 1))
+        val qb = cand(bi)._3
+        var j = 0
+        while (j < n) {
+          if (!used(j)) {
+            val qj = cand(j)._3
+            var d = 0L
+            var t = 0
+            val len = math.min(qb.length, qj.length)
+            while (t < len) { d += qb(t).toLong * qj(t).toLong; t += 1 }
+            if (m == 0 || d > maxSim(j)) maxSim(j) = d
+          }
+          j += 1
+        }
+        m += 1
+      }
+      out.toSeq
+    }
+    val parts = queryCol.map(col).toSeq
+    val packed = candidates
+      .groupBy(parts: _*)
+      .agg(collect_list(struct(
+        col(idCol).cast("long").as("i"),
+        col(relCol).cast("long").as("r"),
+        col(codesCol).as("q"))).as("__cand"))
+      .select(parts :+ explode(greedy(
+        transform(col("__cand"), x => x.getField("i")),
+        transform(col("__cand"), x => x.getField("r")),
+        transform(col("__cand"), x => x.getField("q")))).as("__p"): _*)
+    packed.select(parts ++ Seq(
+      col("__p._1").as(idCol),
+      col("__p._2").as("mmr_score"),
+      col("__p._3").as("pick")): _*)
+  }
+
   /** Near-duplicate vector pairs: bucket by hyperplane signs, verify cosine
     * within buckets (embedding-cosine near-dup for dedup pipelines).
     */

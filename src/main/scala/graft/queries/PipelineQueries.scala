@@ -750,6 +750,24 @@ object PipelineQueries {
     * the 1e9 long grid (`grid DIV (k + rank)`), so the fused score is an
     * exact integer sum the oracle replays bit-for-bit.
     */
+  /** MMR diversified re-rank of the int8 ANN candidate list for query
+    * vector 0 ([[graft.ops.Similarity.mmrSelect]]) — every greedy
+    * decision compares longs (wRel·dot − wDiv·maxIntDot), so the oracle's
+    * recursive CTE replays the selection order, scores and all,
+    * bit-for-bit (the [[graft.ops.Packing]] `pack_greedy` discipline).
+    */
+  val searchMmr: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val cands = Similarity
+      .int8TopK(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 50)
+      .select(col("n_id"), col("dot_q"))
+    val codes = e.select(
+      col("vec_id").as("n_id"),
+      graft.functions.VectorExpressions.int8UnitCodes(col("embedding")).as("q"))
+    Similarity.mmrSelect(cands.join(codes, "n_id"), "n_id", "dot_q", "q", 10)
+      .select(col("n_id").as("doc_id"), col("mmr_score"), col("pick"))
+  }
+
   val searchRrf: Q = (spark, dir) => {
     val lex = Ranking.bm25(docs(spark, dir), "text", "doc_id", bm25Terms)
     val e = emb(spark, dir)
@@ -1923,6 +1941,7 @@ object PipelineQueries {
     "text_repetition" -> textRepetition,
     "bm25_rank" -> bm25Rank,
     "search_rrf" -> searchRrf,
+    "search_mmr" -> searchMmr,
     "embedding_norm" -> embeddingNorm,
     "embedding_unit" -> embeddingUnit,
     "text_tokens" -> textTokens,
@@ -3839,6 +3858,33 @@ object PipelineQueries {
          |  round(sum(lp_q) / (count(*) * 1000000.0), 4) AS logp_avg
          |FROM contrib GROUP BY doc_id""".stripMargin,
     "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
+    "search_mmr" ->
+      s"""WITH RECURSIVE $int8CodesCtesSql,
+         |cand AS (
+         |  SELECT c.vec_id AS id,
+         |    CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT) AS rel,
+         |    c.q AS q
+         |  FROM qz c JOIN qz qr ON qr.vec_id = 0 AND c.vec_id != qr.vec_id
+         |  QUALIFY row_number() OVER (ORDER BY rel DESC, id) <= 50),
+         |greedy AS (
+         |  SELECT CAST(0 AS INTEGER) AS pick, CAST(NULL AS BIGINT) AS id,
+         |         CAST(NULL AS BIGINT) AS score, CAST([] AS BIGINT[]) AS chosen
+         |  UNION ALL
+         |  SELECT g.pick + 1, w.id, w.score, list_append(g.chosen, w.id)
+         |  FROM greedy g
+         |  CROSS JOIN LATERAL (
+         |    SELECT d.id,
+         |      7 * d.rel - CASE WHEN len(g.chosen) = 0 THEN 0 ELSE
+         |        3 * (SELECT max(CAST(list_dot_product(CAST(d.q AS DOUBLE[]),
+         |                                              CAST(c2.q AS DOUBLE[])) AS BIGINT))
+         |             FROM cand c2 WHERE list_contains(g.chosen, c2.id)) END AS score
+         |    FROM cand d
+         |    WHERE NOT list_contains(g.chosen, d.id)
+         |    ORDER BY score DESC, d.id
+         |    LIMIT 1) w
+         |  WHERE g.pick < 10)
+         |SELECT id AS doc_id, score AS mmr_score, pick
+         |FROM greedy WHERE pick >= 1""".stripMargin,
     "search_rrf" ->
       s"""WITH lex AS (${Ranking.bm25Sql("text", "doc_id", bm25Terms)}),
          |$int8CodesCtesSql,

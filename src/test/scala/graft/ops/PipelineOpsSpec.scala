@@ -1062,6 +1062,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
+  // --- MMR diversified selection -------------------------------------------
+
+  test("mmrSelect: greedy replay, diversity beats redundancy, order-invariant") {
+    // two near-identical high-rel docs (1, 2) and one orthogonal mid-rel
+    // doc (3): plain top-2 takes {1, 2}; MMR must take {1, 3}
+    val cands = Seq(
+      (1L, 100L, Seq(10, 0)),
+      (2L, 99L, Seq(10, 1)),
+      (3L, 60L, Seq(0, 9))).toDF("id", "rel", "q")
+    val out = Similarity.mmrSelect(cands, "id", "rel", "q", 2)
+      .select("id", "mmr_score", "pick").as[(Long, Long, Int)].collect()
+      .sortBy(_._3).toSeq
+    // pick 1: id 1 (7*100, no diversity term); then sim(2,1)=100, sim(3,1)=0
+    // → id 2 scores 7*99-3*100 = 393, id 3 scores 7*60-0 = 420 → id 3
+    assert(out == Seq((1L, 700L, 1), (3L, 420L, 2)))
+    // partitioning/arrival-order invariance (in-task sort by id)
+    val shuffled = Similarity.mmrSelect(
+      cands.orderBy(col("rel").asc).repartition(7), "id", "rel", "q", 2)
+      .select("id", "mmr_score", "pick").as[(Long, Long, Int)].collect()
+      .sortBy(_._3).toSeq
+    assert(shuffled == out)
+    // k > |C| returns everything; scores stay longs
+    assert(Similarity.mmrSelect(cands, "id", "rel", "q", 99).count() == 3)
+    // negative max-sim RAISES the score (formula, not clamp): doc 3's code
+    // opposes doc 1's, so its round-2 score exceeds its pure-rel score
+    val neg = Seq(
+      (1L, 100L, Seq(10, 0)),
+      (3L, 60L, Seq(-10, 0))).toDF("id", "rel", "q")
+    val n2 = Similarity.mmrSelect(neg, "id", "rel", "q", 2)
+      .select("id", "mmr_score", "pick").as[(Long, Long, Int)].collect()
+      .sortBy(_._3).toSeq
+    assert(n2 == Seq((1L, 700L, 1), (3L, 60L * 7 - 3L * -100L, 2)))
+    // per-query fusion: groups select independently
+    val multi = Seq(
+      ("a", 1L, 10L, Seq(1, 0)), ("a", 2L, 9L, Seq(1, 0)),
+      ("b", 2L, 5L, Seq(0, 1))).toDF("qid", "id", "rel", "q")
+    val byQ = Similarity.mmrSelect(multi, "id", "rel", "q", 1, queryCol = Some("qid"))
+      .select("qid", "id").as[(String, Long)].collect().toSet
+    assert(byQ == Set(("a", 1L), ("b", 2L)))
+  }
+
   // --- RRF fusion ----------------------------------------------------------
 
   test("rrfFuse: hand-computed grid weights, absent-list docs, tiebreak") {
