@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{AsOfJoin, IncrementalAgg, Labels, Outliers, Snapshot}
+import graft.ops.{AsOfJoin, IncrementalAgg, Labels, Outliers, RangeJoin, Snapshot}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2088,6 +2088,29 @@ object RelationalQueries {
       .select("o_orderkey", "band_id")
   }
 
+  /** Interval-overlap join ([[graft.ops.RangeJoin.intervalJoin]]): each
+    * user's per-DAY click span `[first, last+1µs)` against their per-WEEK
+    * error span — which activity days fell inside an error-afflicted
+    * window. Epoch-micros longs keep every overlap comparison exact; the
+    * bucket decomposition (6 h buckets, meet-bucket dedup — each pair
+    * surfaces in exactly ONE bucket, no distinct) is plan-internal, so
+    * the oracle is the plain inequality join.
+    */
+  val rangeIntervals: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+    def spans(tpe: String, unit: String, dayAs: String) = ev
+      .filter(col("event_type") === tpe)
+      .groupBy(col("user_id"), date_trunc(unit, col("ts")).cast("date").as(dayAs))
+      .agg(
+        min(unix_micros(col("ts"))).as("s"),
+        (max(unix_micros(col("ts"))) + 1).as("e"))
+    RangeJoin.intervalJoin(
+      spans("click", "day", "click_day"), spans("error", "week", "error_week"),
+      Seq("user_id"), "s", "e", "s", "e",
+      bucketWidth = 2.16e10, rightPrefix = "e_") // 6-hour buckets in µs
+      .select(col("user_id"), col("click_day"), col("e_error_week").as("error_week"))
+  }
+
   /** Event-stream enrichment against the customer dimension (batch form of
     * the stream-static join in graft.streaming; the streaming spec pins
     * stream == batch on the same data).
@@ -3283,6 +3306,7 @@ object RelationalQueries {
     "events_enrich" -> eventsEnrich,
     "topk_per_key" -> topkPerKey,
     "range_bands" -> rangeBands,
+    "range_intervals" -> rangeIntervals,
     "quantile_price" -> quantilePrice,
     "approx_quantiles" -> approxQuantiles,
     "q1_agg" -> q1Agg,
@@ -3639,6 +3663,15 @@ object RelationalQueries {
       ("""SELECT o_orderkey, band_id FROM orders JOIN (VALUES """ +
         (0 until 10).map(i => s"($i, ${i * 50000.0}, ${(i + 1) * 50000.0})").mkString(", ") +
         """) AS t(band_id, lo, hi) ON o_totalprice >= lo AND o_totalprice < hi"""),
+    "range_intervals" ->
+      """WITH c AS (SELECT user_id, date_trunc('day', ts) AS click_day,
+        |    min(epoch_us(ts)) AS s, max(epoch_us(ts)) + 1 AS e
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |x AS (SELECT user_id, date_trunc('week', ts) AS error_week,
+        |    min(epoch_us(ts)) AS s, max(epoch_us(ts)) + 1 AS e
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT c.user_id, c.click_day, x.error_week
+        |FROM c JOIN x ON c.user_id = x.user_id AND c.s < x.e AND x.s < c.e""".stripMargin,
     "quantile_price" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS median_price,

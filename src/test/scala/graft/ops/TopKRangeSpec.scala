@@ -60,4 +60,35 @@ class TopKRangeSpec extends AnyFunSuite {
       .select("id", "band").as[(Long, Int)].collect().toSet
     assert(got == Set((1L, 0), (2L, 0), (3L, 0)))
   }
+
+  test("intervalJoin: exact overlap pairs, ONE row per pair across buckets") {
+    // bucket width 10; interval A spans 5 buckets, B overlaps it in 3 of
+    // them — the meet-bucket rule must emit the pair exactly once
+    val l = Seq((1L, "a", 0L, 50L), (2L, "a", 60L, 70L), (3L, "b", 0L, 50L))
+      .toDF("lid", "k", "s", "e")
+    val r = Seq((10L, "a", 25L, 55L), (11L, "a", 50L, 61L), (12L, "b", 49L, 50L))
+      .toDF("rid", "k", "s", "e")
+    val got = RangeJoin.intervalJoin(l, r, Seq("k"), "s", "e", "s", "e", 10.0)
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSeq
+    // no duplicates despite multi-bucket overlap
+    assert(got.length == got.distinct.length)
+    val expected = l.join(r.withColumnRenamed("s", "rs").withColumnRenamed("e", "re")
+        .withColumnRenamed("rid", "r_rid"), Seq("k"))
+      .filter(col("s") < col("re") && col("rs") < col("e"))
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == expected)
+    // half-open: [50,61) starts exactly at A's exclusive end → no match
+    // with (1); [49,50) ⊂ [0,50) matches (3)
+    assert(got.toSet == Set((1L, 10L), (2L, 11L), (3L, 12L)))
+    // keys partition: same times, different key never pair — (1,"a") vs (12,"b")
+    // empty keyCols = global interval join
+    val g = RangeJoin.intervalJoin(
+      l.drop("k"), r.drop("k"), Seq.empty, "s", "e", "s", "e", 10.0)
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSet
+    // [0,50) × [50,61) touch but never overlap (half-open), so no (1,11)/(3,11)
+    assert(g == Set((1L, 10L), (2L, 11L), (3L, 10L), (1L, 12L), (3L, 12L)))
+    // zero-length interval matches nothing
+    val z = Seq((9L, "a", 30L, 30L)).toDF("lid", "k", "s", "e")
+    assert(RangeJoin.intervalJoin(z, r, Seq("k"), "s", "e", "s", "e", 10.0).count() == 0)
+  }
 }
