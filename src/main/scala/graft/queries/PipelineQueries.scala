@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, SketchRollup, TextOps, Vectorize, Vocab}
+import graft.ops.{Coverage, Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, SketchRollup, TextOps, Vectorize, Vocab}
 import graft.sources.Sources
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -740,6 +740,21 @@ object PipelineQueries {
   val bm25Terms = Seq("vector", "stream", "window")
   val bm25Rank: Q = (spark, dir) =>
     Ranking.bm25(docs(spark, dir), "text", "doc_id", bm25Terms)
+
+  /** Greedy max-coverage data selection ([[graft.ops.Coverage
+    * .coverageSelect]]): which 12 documents of a bounded pool jointly
+    * cover the most distinct vocabulary. Gains are integer counts and
+    * ties break by id, so the oracle's recursive CTE replays pick order,
+    * marginal gains, and the running covered-universe size exactly.
+    */
+  val selectCoverage: Q = (spark, dir) => {
+    // universe = word 3-gram shingles (the synthetic corpus has ~31
+    // distinct TOKENS — token coverage saturates after two picks)
+    val pool = docs(spark, dir)
+      .filter(col("doc_id") < 120 && col("text").isNotNull)
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("toks"))
+    Coverage.coverageSelect(pool, "doc_id", "toks", 12)
+  }
 
   /** Hybrid retrieval — [[graft.ops.Ranking.rrfFuse]] Reciprocal Rank
     * Fusion of the BM25 lexical ranking (fixed query terms) with the int8
@@ -1942,6 +1957,7 @@ object PipelineQueries {
     "bm25_rank" -> bm25Rank,
     "search_rrf" -> searchRrf,
     "search_mmr" -> searchMmr,
+    "select_coverage" -> selectCoverage,
     "embedding_norm" -> embeddingNorm,
     "embedding_unit" -> embeddingUnit,
     "text_tokens" -> textTokens,
@@ -3858,6 +3874,38 @@ object PipelineQueries {
          |  round(sum(lp_q) / (count(*) * 1000000.0), 4) AS logp_avg
          |FROM contrib GROUP BY doc_id""".stripMargin,
     "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
+    "select_coverage" ->
+      s"""WITH RECURSIVE pool AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(0, len(ws) - 3),
+         |                i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+         |    END AS its
+         |  FROM (SELECT doc_id, $wordsSql AS ws FROM documents
+         |        WHERE doc_id < 120 AND text IS NOT NULL)),
+         |greedy AS (
+         |  SELECT CAST(0 AS INTEGER) AS pick, CAST(NULL AS BIGINT) AS doc_id,
+         |         CAST(NULL AS BIGINT) AS gain, CAST([] AS VARCHAR[]) AS covered,
+         |         CAST([] AS BIGINT[]) AS chosen
+         |  UNION ALL
+         |  SELECT g.pick + 1, w.doc_id, w.gain,
+         |         list_distinct(list_concat(g.covered, w.its)),
+         |         list_append(g.chosen, w.doc_id)
+         |  FROM greedy g
+         |  CROSS JOIN LATERAL (
+         |    -- neither lambdas nor list_intersect (a lambda macro) can
+         |    -- capture the correlated g.covered; a correlated scalar
+         |    -- subquery over unnest + list_contains binds fine
+         |    SELECT d.doc_id, d.its,
+         |      CAST((SELECT count(*) FROM unnest(d.its) AS u(t)
+         |            WHERE NOT list_contains(g.covered, t)) AS BIGINT) AS gain
+         |    FROM pool d
+         |    WHERE NOT list_contains(g.chosen, d.doc_id)
+         |    ORDER BY gain DESC, d.doc_id
+         |    LIMIT 1) w
+         |  WHERE g.pick < 12 AND w.gain > 0)
+         |SELECT doc_id, gain, CAST(len(covered) AS BIGINT) AS covered_total, pick
+         |FROM greedy WHERE pick >= 1""".stripMargin,
     "search_mmr" ->
       s"""WITH RECURSIVE $int8CodesCtesSql,
          |cand AS (

@@ -1062,6 +1062,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
+  // --- greedy max-coverage selection ---------------------------------------
+
+  test("coverageSelect: marginal gains, saturation stop, order-invariance") {
+    // doc 1 covers {a,b,c}; doc 2 covers {c,d}; doc 3 covers {a,b} (subset
+    // of 1); doc 4 covers {e}. Greedy: 1 (gain 3), 2 (gain 1: d), 4 (gain
+    // 1: e — tie with nothing), then 3 has gain 0 → stop at 3 picks
+    val pool = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "d")),
+      (3L, Seq("a", "b")),
+      (4L, Seq("e"))).toDF("id", "items")
+    val out = Coverage.coverageSelect(pool, "id", "items", 10)
+      .select("id", "gain", "covered_total", "pick")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(out == Seq((1L, 3L, 3L, 1), (2L, 1L, 4L, 2), (4L, 1L, 5L, 3)))
+    // gain ties break by smaller id: docs 2 and 4 both gain 1 at step 2 →
+    // 2 wins (and 4 follows)
+    // duplicate items inside a document count once
+    val dup = Seq((1L, Seq("x", "x", "y")), (2L, Seq("z", "z"))).toDF("id", "items")
+    val d = Coverage.coverageSelect(dup, "id", "items", 10)
+      .select("id", "gain").as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 2L, 2L -> 1L))
+    // arrival order / partitioning invariance
+    val shuffled = Coverage.coverageSelect(pool.orderBy(col("id").desc).repartition(5),
+      "id", "items", 10)
+      .select("id", "gain", "covered_total", "pick")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(shuffled == out)
+    // k truncates before saturation
+    assert(Coverage.coverageSelect(pool, "id", "items", 2).count() == 2)
+    // per-group (GreeDi round-one shape): groups select independently
+    val grouped = Seq(
+      ("p0", 1L, Seq("a")), ("p0", 2L, Seq("a")), ("p1", 3L, Seq("b")))
+      .toDF("part", "id", "items")
+    val g = Coverage.coverageSelect(grouped, "id", "items", 5, groupCol = Some("part"))
+      .select("part", "id").as[(String, Long)].collect().toSet
+    assert(g == Set(("p0", 1L), ("p1", 3L))) // 2 adds nothing within p0
+  }
+
   // --- MMR diversified selection -------------------------------------------
 
   test("mmrSelect: greedy replay, diversity beats redundancy, order-invariant") {
