@@ -94,4 +94,68 @@ object TopK {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Skyline (Pareto-optimal set, Börzsönyi et al. 2001): the rows no other
+    * row dominates. `dims` lists (column, minimize?) objectives; row b
+    * dominates row a when b is ≤ a on every minimized dim / ≥ on every
+    * maximized dim, with at least one strict. Rows tied on EVERY dim never
+    * dominate each other — coordinate duplicates all survive. The result is
+    * a SET, so it is deterministic under any partitioning or arrival order.
+    *
+    * Scale shape — the classic two-phase reduction: phase 1 computes a
+    * LOCAL skyline per partition map-side (a running non-dominated buffer;
+    * memory = local skyline size, which for d conflicting objectives over
+    * n rows concentrates around O(log^(d-1) n), thousands not billions);
+    * phase 2 re-runs the same pass over the union of local skylines in one
+    * task. Only local-skyline survivors ever move — at 100 TB the shuffle
+    * is skyline-sized, not data-sized. A final skyline too large for one
+    * task means the objectives barely conflict (near-total order) — pick
+    * fewer/other dims; the all-pairs NOT EXISTS alternative every SQL
+    * engine falls back to is O(n²) over the FULL table and strictly worse.
+    *
+    * Dim columns must be numeric and non-null (null preference is
+    * undefined; rows with a null dim are excluded, loudly documented
+    * here). Values compare as doubles — exact for the numeric types SQL
+    * practice puts in objectives (ints up to 2⁵³, all floats/doubles).
+    */
+  def skyline(df: DataFrame, dims: Seq[(String, Boolean)]): DataFrame = {
+    require(dims.nonEmpty, "skyline needs at least one objective")
+    val schema = df.schema
+    val idx = dims.map { case (c, minimize) => (schema.fieldIndex(c), minimize) }
+    def keyOf(r: Row): Array[Double] = {
+      val a = new Array[Double](idx.length)
+      var i = 0
+      idx.foreach { case (fi, minimize) =>
+        val v = r.get(fi).asInstanceOf[Number].doubleValue()
+        a(i) = if (minimize) v else -v
+        i += 1
+      }
+      a
+    }
+    def dominates(a: Array[Double], b: Array[Double]): Boolean = {
+      var allLe = true
+      var oneLt = false
+      var i = 0
+      while (i < a.length && allLe) {
+        if (a(i) > b(i)) allLe = false
+        else if (a(i) < b(i)) oneLt = true
+        i += 1
+      }
+      allLe && oneLt
+    }
+    def pass(it: Iterator[Row]): Iterator[Row] = {
+      val buf = mutable.ArrayBuffer.empty[(Array[Double], Row)]
+      it.foreach { r =>
+        val k = keyOf(r)
+        if (!buf.exists { case (kb, _) => dominates(kb, k) }) {
+          buf.filterInPlace { case (kb, _) => !dominates(k, kb) }
+          buf += ((k, r))
+        }
+      }
+      buf.iterator.map(_._2)
+    }
+    val enc = Encoders.row(schema)
+    val nonNull = df.filter(dims.map { case (c, _) => col(c).isNotNull }.reduce(_ && _))
+    nonNull.mapPartitions(pass _)(enc).coalesce(1).mapPartitions(pass _)(enc)
+  }
 }

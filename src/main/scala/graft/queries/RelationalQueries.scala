@@ -2074,6 +2074,18 @@ object RelationalQueries {
       t(spark, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
       Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
 
+  /** Skyline ([[graft.ops.TopK.skyline]]): the Pareto frontier of parts
+    * under (minimize price, maximize size) — the "cheap AND large"
+    * preference query no weighted score can express. Two-phase local-
+    * skyline reduction in the engine; the oracle is the textbook
+    * NOT EXISTS dominance formulation (O(n²), affordable at oracle
+    * scale).
+    */
+  val partsSkyline: Q = (spark, dir) =>
+    graft.ops.TopK.skyline(
+      t(spark, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+      Seq(("p_retailprice", true), ("p_size", false)))
+
   /** Interval join via bucket decomposition: orders classified into fixed
     * price bands — equi-join on bucket + residual filter instead of a
     * nested-loop range join.
@@ -3305,6 +3317,7 @@ object RelationalQueries {
     "source_bucketed" -> sourceBucketed,
     "events_enrich" -> eventsEnrich,
     "topk_per_key" -> topkPerKey,
+    "parts_skyline" -> partsSkyline,
     "range_bands" -> rangeBands,
     "range_intervals" -> rangeIntervals,
     "quantile_price" -> quantilePrice,
@@ -3672,6 +3685,12 @@ object RelationalQueries {
         |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
         |SELECT c.user_id, c.click_day, x.error_week
         |FROM c JOIN x ON c.user_id = x.user_id AND c.s < x.e AND x.s < c.e""".stripMargin,
+    "parts_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
     "quantile_price" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS median_price,

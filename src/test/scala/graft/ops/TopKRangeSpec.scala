@@ -61,6 +61,35 @@ class TopKRangeSpec extends AnyFunSuite {
     assert(got == Set((1L, 0), (2L, 0), (3L, 0)))
   }
 
+  test("skyline equals brute-force dominance filter; duplicates and nulls") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 300L).map(i => (i, rnd.nextInt(50).toDouble, rnd.nextInt(50)))
+    val df = pts.toDF("id", "price", "size")
+    // brute force: minimize price, maximize size
+    def dom(a: (Long, Double, Int), b: (Long, Double, Int)) =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    val expected = pts.filter(p => !pts.exists(q => dom(q, p))).map(_._1).toSet
+    val got = TopK.skyline(df, Seq(("price", true), ("size", false)))
+      .select("id").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty && got.size < 300)
+    // partitioning invariance (set semantics)
+    val rep = TopK.skyline(df.repartition(13), Seq(("price", true), ("size", false)))
+      .select("id").as[Long].collect().toSet
+    assert(rep == expected)
+    // coordinate duplicates never dominate each other — both survive
+    val dup = Seq((1L, 1.0, 9), (2L, 1.0, 9), (3L, 2.0, 1)).toDF("id", "price", "size")
+    assert(TopK.skyline(dup, Seq(("price", true), ("size", false)))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // rows with a null objective are excluded
+    val withNull = Seq((Some(1.0), 1, 1L), (None, 9, 2L)).toDF("price", "size", "id")
+    assert(TopK.skyline(withNull, Seq(("price", true), ("size", false)))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // single minimized dim degenerates to "all rows tied at the minimum"
+    val one = Seq((1L, 5.0), (2L, 3.0), (3L, 3.0)).toDF("id", "v")
+    assert(TopK.skyline(one, Seq(("v", true)))
+      .select("id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("intervalJoin: exact overlap pairs, ONE row per pair across buckets") {
     // bucket width 10; interval A spans 5 buckets, B overlaps it in 3 of
     // them — the meet-bucket rule must emit the pair exactly once
