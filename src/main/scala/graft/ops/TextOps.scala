@@ -209,6 +209,46 @@ object TextOps {
       s"regexp_replace($e, '$p', '$r', 'g')"
     }
 
+  /** Payment-card-shaped runs: 13–19 digits allowing single spaces/dashes
+    * between groups. No lookarounds (RE2, the oracle's engine, has none);
+    * greedy quantifiers resolve identically in Java regex and RE2 here.
+    */
+  val cardPattern = "[0-9][0-9 -]{11,17}[0-9]"
+
+  /** Luhn checksum validity of an already-CLEANED digit string (the
+    * mod-10 check every real payment card satisfies — validating
+    * candidates cuts PII false positives by ~10× versus shape alone).
+    * Pure integer Column arithmetic: positions walk from the RIGHT, every
+    * second digit doubles (minus 9 past 9), total ≡ 0 (mod 10). Length
+    * must already be in the card range — combine with a length predicate
+    * as [[cardScan]] does.
+    */
+  def luhnValid(clean: Column): Column = {
+    val n = length(clean)
+    val total = aggregate(
+      sequence(lit(0), n - 1),
+      lit(0),
+      (acc, r) => {
+        val d = clean.substr(n - r, lit(1)).cast("int")
+        acc + when(r % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    (total % 10 === 0) && (n > 0)
+  }
+
+  /** Per-document card-PII counters: `n_card_candidates` (shape matches)
+    * and `n_card_valid` (13–19 digits after cleaning AND Luhn-valid).
+    * Pure Column chain — scan-speed, zero shuffle, whole-stage codegen.
+    */
+  def cardScan(text: Column): (Column, Column) = {
+    val matches = regexp_extract_all(text, lit(cardPattern), lit(0))
+    val valid = filter(matches, m => {
+      val clean = regexp_replace(m, "[^0-9]", "")
+      length(clean).between(13, 19) && luhnValid(clean)
+    })
+    (size(matches).as("n_card_candidates"), size(valid).as("n_card_valid"))
+  }
+
   /** Whitespace-collapsed lowercase form — stage this as its own column
     * before calling [[charShinglesOfNorm]]: an inline expression inside a
     * lambda body is re-evaluated per element (O(len²) interpreted regex),

@@ -1573,6 +1573,24 @@ object PipelineQueries {
         lit(".7 tel 415-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("redacted"))
 
+  /** Luhn-validated card-PII counters ([[graft.ops.TextOps.cardScan]]):
+    * shape matches vs checksum-valid matches per document. The fixture
+    * text carries no digits, so the query plants one 16-digit
+    * pseudo-card per row (deterministic from doc_id — ~10% pass Luhn
+    * naturally, giving both counter values real variance) plus a
+    * too-short run the shape must reject; the oracle replays the same
+    * construction, regex, and mod-10 walk.
+    */
+  val textLuhn: Q = (spark, dir) => {
+    val synth = concat(
+      substring(coalesce(col("text"), lit("")), 1, 30),
+      lit(" pay 4"),
+      lpad((col("doc_id") * 982451653L % 1000000000000000L).cast("string"), 15, "0"),
+      lit(" ref "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"))
+    val (cand, valid) = TextOps.cardScan(synth)
+    docs(spark, dir).select(col("doc_id"), cand, valid)
+  }
+
   /** Eval-set decontamination: drop every document whose content (md5)
     * appears in the reference slice (source = src0). Bloom prefilter +
     * exact confirm — exact result, oracle-checkable.
@@ -1958,6 +1976,7 @@ object PipelineQueries {
     "search_rrf" -> searchRrf,
     "search_mmr" -> searchMmr,
     "select_coverage" -> selectCoverage,
+    "text_luhn" -> textLuhn,
     "embedding_norm" -> embeddingNorm,
     "embedding_unit" -> embeddingUnit,
     "text_tokens" -> textTokens,
@@ -3874,6 +3893,36 @@ object PipelineQueries {
          |  round(sum(lp_q) / (count(*) * 1000000.0), 4) AS logp_avg
          |FROM contrib GROUP BY doc_id""".stripMargin,
     "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
+    "text_luhn" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    substr(coalesce(text, ''), 1, 30) || ' pay 4' ||
+        |    lpad(CAST(doc_id * 982451653 % 1000000000000000 AS VARCHAR), 15, '0') ||
+        |    ' ref ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, regexp_extract_all(t, '[0-9][0-9 -]{11,17}[0-9]') AS ms FROM synth),
+        |cands AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(ms, x -> regexp_replace(x, '[^0-9]', '', 'g'))) AS c2
+        |  FROM m),
+        |lu AS (
+        |  SELECT doc_id, c2,
+        |    list_sum(list_transform(generate_series(0, len(c2) - 1), r ->
+        |      CASE WHEN r % 2 = 1 THEN
+        |        CASE WHEN 2 * CAST(substr(c2, len(c2) - r, 1) AS INTEGER) > 9
+        |             THEN 2 * CAST(substr(c2, len(c2) - r, 1) AS INTEGER) - 9
+        |             ELSE 2 * CAST(substr(c2, len(c2) - r, 1) AS INTEGER) END
+        |      ELSE CAST(substr(c2, len(c2) - r, 1) AS INTEGER) END)) AS s
+        |  FROM cands),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS nc,
+        |    SUM(CASE WHEN len(c2) BETWEEN 13 AND 19 AND s % 10 = 0
+        |             THEN 1 ELSE 0 END) AS nv
+        |  FROM lu GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.nc, 0) AS INTEGER) AS n_card_candidates,
+        |  CAST(coalesce(a.nv, 0) AS INTEGER) AS n_card_valid
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "select_coverage" ->
       s"""WITH RECURSIVE pool AS (
          |  SELECT doc_id,

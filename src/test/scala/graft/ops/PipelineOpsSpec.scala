@@ -1062,6 +1062,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
+  // --- Luhn card scan ------------------------------------------------------
+
+  test("cardScan: Luhn truth vectors, separators, shape rejection") {
+    val rows = Seq(
+      (1L, "pay 4532015112830366 now"), // valid Visa test number
+      (2L, "pay 4532015112830367 now"), // last digit off → shape yes, Luhn no
+      (3L, "pay 4532-0151-1283-0366 ok"), // separators clean away
+      (4L, "ref 123456 and 12345"), // too short → not even a candidate
+      (5L, "a 4532015112830366 b 1234567890123456 c"), // one valid of two
+      (6L, "")).toDF("id", "t")
+    val (c, v) = TextOps.cardScan(col("t"))
+    val out = rows.select(col("id"), c, v).as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1, 1)))
+    assert(out(2L) == ((1, 0)))
+    assert(out(3L) == ((1, 1)))
+    assert(out(4L) == ((0, 0)))
+    assert(out(5L) == ((2, 1)))
+    assert(out(6L) == ((0, 0)))
+    // luhnValid on the classic 79927398713 check vector
+    val lv = Seq(("79927398713", 1L), ("79927398710", 2L)).toDF("s", "id")
+      .select(col("id"), TextOps.luhnValid(col("s")).as("ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(lv == Map(1L -> true, 2L -> false))
+  }
+
   // --- greedy max-coverage selection ---------------------------------------
 
   test("coverageSelect: marginal gains, saturation stop, order-invariance") {
