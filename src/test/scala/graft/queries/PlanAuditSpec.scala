@@ -65,6 +65,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("range_intervals: overlap join is an equi-join on (key, bucket), no NL join") {
+    val p = plan("range_intervals")
+    assert(!p.contains("BroadcastNestedLoop"), "interval join must not fall back to NL")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("profile_keys: all combos from ONE scan via a single Expand") {
+    val p = plan("profile_keys")
+    assert(count(p, "Scan parquet") == 1, "grouping sets must read the table once")
+    assert(count(p, "Expand") == 1, p)
+  }
+
+  test("text_luhn: pure Column scan — zero exchanges") {
+    val p = plan("text_luhn")
+    assert(!p.contains("Exchange"), "card scan is map-side only")
+  }
+
+  test("search_rrf: no cartesian; every nest-loop builds on the tiny broadcast side") {
+    val p = plan("search_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // two deliberate BNLJs: BM25's 1-row stats cross join and int8TopK's
+    // broadcast-queries × streaming-corpus probe — both must BuildRight
+    // (the bounded side); a BuildLeft would broadcast the corpus
+    assert(count(p, "BroadcastNestedLoopJoin") ==
+      count(p, "BroadcastNestedLoopJoin BuildRight"), p)
+  }
+
+  test("parts_skyline: two-phase reduction plans no join at all") {
+    val p = plan("parts_skyline")
+    assert(!p.contains("Join"), "skyline must not plan the O(n²) dominance join")
+    assert(p.contains("Coalesce") || p.contains("coalesce"), p)
+  }
+
   test("knn_brute: query side broadcasts; corpus never hash-shuffles before scoring") {
     val p = plan("knn_brute")
     assert(p.contains("BroadcastExchange"), "query set must broadcast")
