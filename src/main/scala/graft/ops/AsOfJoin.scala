@@ -96,6 +96,27 @@ object AsOfJoin {
     impl(left, right, leftKey, rightKey, leftTime, rightTime, rightPrefix,
       inner, forwardDir = false, staleness = Some((maxStaleness, rightTime)))
 
+  /** Tolerance-bounded FORWARD as-of — the conversion-window / SLA read:
+    * the earliest right row at-or-after the left row's time, but only if
+    * it arrives within `maxWait` ("did a click follow the error within an
+    * hour"). Exact by the same nearest-candidate post-filter argument as
+    * [[backwardTolerance]]: the forward winner is the EARLIEST candidate,
+    * so any other candidate is later still — testing only the winner
+    * against `left.time + maxWait` loses nothing, at zero extra motion.
+    */
+  def forwardTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      maxWait: Column,
+      rightPrefix: String = "r_",
+      inner: Boolean = true): DataFrame =
+    impl(left, right, leftKey, rightKey, leftTime, rightTime, rightPrefix,
+      inner, forwardDir = true, staleness = Some((maxWait, rightTime)))
+
   private def impl(
       left: DataFrame,
       right: DataFrame,
@@ -139,10 +160,14 @@ object AsOfJoin {
       .unionByName(r2)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-    // staleness bound: nearest-candidate post-filter is exact (scaladoc)
+    // staleness/wait bound: nearest-candidate post-filter is exact
+    // (scaladoc); the window direction decides which side the bound sits on
     val matched = staleness match {
-      case Some((tol, rt)) => matchedRaw.withColumn("__m",
-        when(col(s"__m.$rt") >= col("__t") - tol, col("__m")))
+      case Some((tol, rt)) =>
+        val fresh =
+          if (forwardDir) col(s"__m.$rt") <= col("__t") + tol
+          else col(s"__m.$rt") >= col("__t") - tol
+        matchedRaw.withColumn("__m", when(fresh, col("__m")))
       case None => matchedRaw
     }
     val kept = if (inner) matched.filter(col("__m").isNotNull) else matched

@@ -1967,6 +1967,21 @@ object RelationalQueries {
       .select(col("event_id"), col("c_event_id").as("click_id"))
   }
 
+  /** Conversion-window as-of ([[graft.ops.AsOfJoin.forwardTolerance]]):
+    * each error's next click, kept only when it follows within 1 day —
+    * the SLA/recovery-time read. Same nearest-candidate post-filter
+    * exactness as `asof_stale`, mirrored forward.
+    */
+  val asofFollowup: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    AsOfJoin
+      .forwardTolerance(errors, clicks, "user_id", "user_id", "ts", "ts",
+        expr("INTERVAL 1 DAY"), rightPrefix = "c_")
+      .select(col("event_id"), col("c_event_id").as("click_id"))
+  }
+
   /** FORWARD as-of: each error's NEXT click at-or-after it
     * ([[graft.ops.AsOfJoin.forward]] — the union+window machinery
     * traversed in descending time; same one-shuffle cost model). The
@@ -3462,6 +3477,7 @@ object RelationalQueries {
     "asof_native" -> asofNative,
     "asof_next" -> asofNext,
     "asof_stale" -> asofStale,
+    "asof_followup" -> asofFollowup,
     "skew_join" -> skewJoin
   )
 
@@ -5786,6 +5802,15 @@ object RelationalQueries {
         |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
         |  FROM e JOIN c ON e.user_id = c.user_id AND c.ts <= e.ts)
         |WHERE rn = 1 AND cts >= ets - INTERVAL 2 DAY""".stripMargin,
+    "asof_followup" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT event_id, click_id FROM (
+        |  SELECT e.event_id, c.event_id AS click_id, e.ts AS ets, c.ts AS cts,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY c.ts, c.event_id DESC) AS rn
+        |  FROM e JOIN c ON e.user_id = c.user_id AND c.ts >= e.ts)
+        |WHERE rn = 1 AND cts <= ets + INTERVAL 1 DAY""".stripMargin,
     "asof_next" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')

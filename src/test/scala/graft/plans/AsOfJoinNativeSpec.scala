@@ -144,6 +144,14 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     val loose = AsOfJoin.backwardTolerance(left, right, "k", "k", "t", "t", lit(Long.MaxValue / 2))
       .select("id", "r_rid").as[(Long, Long)].collect().sorted.toSeq
     assert(plain == loose)
+    // forward mirror: id 1 (t=200) → next right is rid 8 (t=350), gap 150:
+    // kept at wait 200, dropped at wait 100
+    val fw = AsOfJoin.forwardTolerance(left, right, "k", "k", "t", "t", lit(200L), inner = false)
+      .select(col("id"), col("r_rid")).as[(Long, Option[Long])].collect().toMap
+    assert(fw(1L) == Some(8L) && fw(2L).isEmpty)
+    val fwTight = AsOfJoin.forwardTolerance(left, right, "k", "k", "t", "t", lit(100L), inner = false)
+      .select(col("id"), col("r_rid")).as[(Long, Option[Long])].collect().toMap
+    assert(fwTight(1L).isEmpty)
   }
 
   test("strategy registers via SparkSessionExtensions too") {
