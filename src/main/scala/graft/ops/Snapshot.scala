@@ -163,6 +163,83 @@ object Snapshot {
       .drop("__run")
   }
 
+  /** INCREMENTAL [[scd2]] maintenance: apply an APPEND-ONLY observation
+    * batch to an existing dimension without recomputing history — the
+    * lakehouse "merge CDC into the dimension" step, and the IVM shape of
+    * SCD2 (history rows never move; only each touched key's CURRENT row
+    * and the batch-derived runs change).
+    *
+    * Semantics (given the append-only contract): the batch's runs are
+    * computed by the same gaps-and-islands discipline; a key's first
+    * batch run either EXTENDS the key's current run (equal attribute —
+    * n_obs adds, validity stays open or chains into the next batch run)
+    * or CLOSES it (`valid_to` = first differing observation's time) and
+    * appends; keys new to the dimension append whole. Null attributes
+    * compare null-safely, exactly as in [[scd2]]. The result is
+    * bit-identical to `scd2(full log)` — the `scd2_incremental` gate
+    * replays that equivalence through two successive applies.
+    *
+    * CONTRACT — append-only per key: every batch observation must
+    * postdate (under the `(tsCol, idCol)` order) every observation
+    * already folded into `dim` for that key. Late/out-of-order data
+    * cannot be detected from the collapsed dimension (runs don't retain
+    * last-observation times) and yields undefined intervals — rebuild
+    * from the log instead, or route late keys to a rebuild path.
+    *
+    * Scale shape: batch runs are batch-sized; the dimension joins the
+    * batch's FIRST-run dim (keys-sized, broadcastable) once — history
+    * rows pass through with no per-row work beyond the join probe, and
+    * on a key-bucketed dimension store the probe is shuffle-free. Motion
+    * is O(|dim| scan + |batch|), never O(full log) — the point of
+    * maintaining instead of rebuilding.
+    */
+  def scd2Apply(
+      dim: DataFrame,
+      batch: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("valid_from"))
+    val brIdx = scd2(batch, keyCol, attrCol, tsCol, idCol)
+      .withColumn("__ri", row_number().over(w))
+    // explicit presence markers: attributes may legitimately be NULL (a
+    // null-attr run), so "missing after the left join" must be signalled
+    // by a dedicated flag, never by attr nullness
+    val curDim = dim.filter(col("is_current")).select(
+      col(keyCol), col(attrCol).as("__dattr"),
+      col("valid_from").as("__dfrom"), col("n_obs").as("__dn"),
+      lit(true).as("__dhit"))
+    val ann = brIdx.join(broadcast(curDim), Seq(keyCol), "left")
+    val extendsCur =
+      col("__ri") === 1 && coalesce(col("__dhit"), lit(false)) &&
+        (col(attrCol) <=> col("__dattr"))
+    // every batch run appends, EXCEPT a first run that extends the current
+    // dim run (equal attr) — that one is replaced by the merged row below
+    val appended = ann
+      .filter(!extendsCur)
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("n_obs"),
+        col("valid_to"), col("is_current"))
+    val merged = ann
+      .filter(extendsCur)
+      .select(col(keyCol), col(attrCol), col("__dfrom").as("valid_from"),
+        (col("n_obs") + col("__dn")).as("n_obs"), col("valid_to"), col("is_current"))
+    val firstInfo = ann.filter(col("__ri") === 1).select(
+      col(keyCol), col(attrCol).as("__battr"), col("valid_from").as("__bfrom"),
+      lit(true).as("__bhit"))
+    val touched = coalesce(col("__bhit"), lit(false))
+    // dim pass-through: history rows unchanged; a touched key's current row
+    // is dropped when merged, or closed at the batch's first timestamp
+    val dimAdj = dim.join(broadcast(firstInfo), Seq(keyCol), "left")
+      .filter(!(col("is_current") && touched && (col(attrCol) <=> col("__battr"))))
+      .select(
+        col(keyCol), col(attrCol), col("valid_from"), col("n_obs"),
+        when(col("is_current") && touched, col("__bfrom"))
+          .otherwise(col("valid_to")).as("valid_to"),
+        (col("is_current") && !touched).as("is_current"))
+    dimAdj.unionByName(merged).unionByName(appended)
+  }
+
   /** Coalesce overlapping-or-touching `[start, end]` intervals per key —
     * the interval-algebra primitive behind CDC validity-window
     * compaction, subscription/contract coverage, and uptime accounting.

@@ -312,6 +312,33 @@ object RelationalQueries {
         date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
         col("is_current"), col("n_obs"))
 
+  /** Incremental SCD2 ([[graft.ops.Snapshot.scd2Apply]]): the dimension
+    * built from January's events, then maintained through TWO successive
+    * append-only applies (February, then the rest) — and gated against
+    * the oracle's FULL-LOG rebuild, proving maintain ≡ rebuild through a
+    * composed apply chain (the IVM discipline applied to dimension
+    * history).
+    */
+  val scd2Incremental: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+    // the fixture spans January only — cuts sit INSIDE it so both applies
+    // carry real observations (an empty batch would gate the no-op identity)
+    val c1 = lit("2024-01-10").cast("timestamp")
+    val c2 = lit("2024-01-20").cast("timestamp")
+    val d0 = Snapshot.scd2(
+      ev.filter(col("ts") < c1), "user_id", "event_type", "ts", "event_id")
+    val d1 = Snapshot.scd2Apply(
+      d0, ev.filter(col("ts") >= c1 && col("ts") < c2),
+      "user_id", "event_type", "ts", "event_id")
+    val d2 = Snapshot.scd2Apply(
+      d1, ev.filter(col("ts") >= c2), "user_id", "event_type", "ts", "event_id")
+    d2.select(
+      col("user_id"), col("event_type"),
+      date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+      date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+      col("is_current"), col("n_obs"))
+  }
+
   /** Robust per-type outlier summary (Hampel filter): median/MAD on the
     * 2^20 integer grid with lower-median rank selection — every number in
     * the row is a long, so the oracle replays the full decision exactly.
@@ -3400,6 +3427,7 @@ object RelationalQueries {
     "orders_monthly" -> ordersMonthly,
     "events_autocorr" -> eventsAutocorr,
     "scd2_users" -> scd2Users,
+    "scd2_incremental" -> scd2Incremental,
     "scd2_lookup" -> scd2Lookup,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
@@ -3480,6 +3508,38 @@ object RelationalQueries {
     "asof_followup" -> asofFollowup,
     "skew_join" -> skewJoin
   )
+
+  // full-log SCD2 rebuild in DuckDB — shared by scd2_users (batch
+  // build) and scd2_incremental (maintain-equivalence gate)
+  private val scd2FullLogSql =
+
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER w AS rn,
+        |    lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |r AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM b),
+        |runs AS (
+        |  SELECT user_id, run, MIN(event_type) AS event_type,
+        |    MIN(ts) AS valid_from, COUNT(*) AS n_obs
+        |  FROM r GROUP BY user_id, run),
+        |iv AS (
+        |  SELECT user_id, event_type, valid_from, n_obs,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+        |  FROM runs)
+        |SELECT user_id, event_type,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  (valid_to IS NULL) AS is_current, n_obs
+        |FROM iv""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "source_bucketed" ->
@@ -4551,37 +4611,13 @@ object RelationalQueries {
         |  FROM events)
         |SELECT event_id, user_id, event_type FROM x
         |WHERE pts IS NULL OR date_diff('microsecond', pts, ts) >= 60000000""".stripMargin,
-    "scd2_users" ->
-      // the same gaps-and-islands chain: run boundaries under the
-      // (ts, event_id) total order, running-sum island ids, interval
-      // stitching by lead() — IS DISTINCT FROM mirrors Spark's null-safe <=>
-      """WITH o AS (
-        |  SELECT user_id, event_type, ts, event_id,
-        |    row_number() OVER w AS rn,
-        |    lag(event_type) OVER w AS prev
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |b AS (
-        |  SELECT *, CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
-        |                 THEN 1 ELSE 0 END AS brk
-        |  FROM o),
-        |r AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS run
-        |  FROM b),
-        |runs AS (
-        |  SELECT user_id, run, MIN(event_type) AS event_type,
-        |    MIN(ts) AS valid_from, COUNT(*) AS n_obs
-        |  FROM r GROUP BY user_id, run),
-        |iv AS (
-        |  SELECT user_id, event_type, valid_from, n_obs,
-        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
-        |  FROM runs)
-        |SELECT user_id, event_type,
-        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-        |  (valid_to IS NULL) AS is_current, n_obs
-        |FROM iv""".stripMargin,
+    // the same gaps-and-islands chain: run boundaries under the
+    // (ts, event_id) total order, running-sum island ids, interval
+    // stitching by lead() — IS DISTINCT FROM mirrors Spark's null-safe <=>.
+    "scd2_users" -> scd2FullLogSql,
+    // maintain ≡ rebuild: the incrementally applied dimension must
+    // hash-equal the SAME full-log SQL the batch build is checked against
+    "scd2_incremental" -> scd2FullLogSql,
     "scd2_lookup" ->
       // the scd2_users run construction over the non-purchase log, then
       // the LITERAL interval-stab join — the as-of operator must agree

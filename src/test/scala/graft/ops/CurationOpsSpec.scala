@@ -99,6 +99,56 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(1L, 2L, 1L))
   }
 
+  test("scd2Apply: maintain ≡ rebuild across extend/close/new-key/null splits") {
+    type Run = (Long, Option[String], java.sql.Timestamp, Long, Option[java.sql.Timestamp], Boolean)
+    def runs(df: org.apache.spark.sql.DataFrame): Set[Run] =
+      df.select(col("k"), col("attr"), col("valid_from"), col("n_obs"),
+        col("valid_to"), col("is_current"))
+        .as[(Long, Option[String], java.sql.Timestamp, Long,
+          Option[java.sql.Timestamp], Boolean)]
+        .collect().toSet
+    // log with every boundary case: key 1 EXTENDS (A continues across the
+    // split), key 2 CLOSES (X→Y at the boundary), key 3 is NEW in the
+    // batch, key 4's null run continues (null <=> null extends)
+    val log = Seq(
+      (1L, Option("A"), ts("2024-01-01 00:00:00"), 1L),
+      (1L, Option("A"), ts("2024-01-05 00:00:00"), 2L),
+      (2L, Option("X"), ts("2024-01-02 00:00:00"), 3L),
+      (4L, Option.empty[String], ts("2024-01-03 00:00:00"), 4L),
+      // ---- split here: everything below is the batch
+      (1L, Option("A"), ts("2024-02-01 00:00:00"), 5L),
+      (1L, Option("B"), ts("2024-02-02 00:00:00"), 6L),
+      (2L, Option("Y"), ts("2024-02-03 00:00:00"), 7L),
+      (3L, Option("N"), ts("2024-02-04 00:00:00"), 8L),
+      (3L, Option("M"), ts("2024-02-05 00:00:00"), 9L),
+      (4L, Option.empty[String], ts("2024-02-06 00:00:00"), 10L)
+    ).toDF("k", "attr", "t", "id")
+    val cut = ts("2024-02-01 00:00:00")
+    val dim0 = Snapshot.scd2(log.filter(col("t") < cut), "k", "attr", "t", "id")
+    val applied = Snapshot.scd2Apply(
+      dim0, log.filter(col("t") >= cut), "k", "attr", "t", "id")
+    val full = Snapshot.scd2(log, "k", "attr", "t", "id")
+    assert(runs(applied) == runs(full), "maintain must equal rebuild")
+    // spot-check the extend case kept ONE merged run with summed n_obs
+    val k1a = runs(applied).filter(r => r._1 == 1L && r._2.contains("A"))
+    assert(k1a.size == 1 && k1a.head._4 == 3L, "A-run must merge, 2+1 obs")
+    // randomized: 25 keys, random split point, two successive applies
+    val rnd = new scala.util.Random(99)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = for { k <- 1L to 25L; i <- 1 to (3 + rnd.nextInt(20)) }
+      yield (k, Option(s"s${rnd.nextInt(3)}"),
+        new java.sql.Timestamp(base + i * 86400000L), k * 1000 + i)
+    val df = rows.toDF("k", "attr", "t", "id")
+    val c1 = new java.sql.Timestamp(base + 7L * 86400000L)
+    val c2 = new java.sql.Timestamp(base + 14L * 86400000L)
+    val d0 = Snapshot.scd2(df.filter(col("t") < c1), "k", "attr", "t", "id")
+    val d1 = Snapshot.scd2Apply(d0,
+      df.filter(col("t") >= c1 && col("t") < c2), "k", "attr", "t", "id")
+    val d2 = Snapshot.scd2Apply(d1, df.filter(col("t") >= c2), "k", "attr", "t", "id")
+    assert(runs(d2) == runs(Snapshot.scd2(df, "k", "attr", "t", "id")),
+      "two-apply chain must equal the full rebuild")
+  }
+
   // ------------------------------------------------- robust outliers (MAD)
 
   test("robustSummary: lower median, MAD, and Hampel count are exact") {
