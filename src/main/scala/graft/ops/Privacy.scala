@@ -38,4 +38,48 @@ object Privacy {
       .withColumn("at_risk_k", col("n") < k)
       .withColumn("at_risk_l", col("l_div") < l)
   }
+
+  /** Deterministic FORMAT-PRESERVING pseudonymization of a short
+    * identifier column (account numbers, phones, member ids): each digit
+    * maps to a digit, each letter to a letter of the same case, and every
+    * other character (dashes, dots, '@') passes through — so downstream
+    * parsers, length checks, and UIs keep working on the masked value.
+    *
+    * Determinism & linkability: the shift for position i is derived from
+    * `md5(salt ‖ value ‖ ':' ‖ i)`, so equal inputs map to equal tokens
+    * (joins on the pseudonym still link records — the point of
+    * pseudonymization over redaction) and different salts give unlinkable
+    * domains. NOT cryptographic FPE (md5 is not a PRP and the salt sits
+    * in the expression) — this is the governance-tier masking for
+    * datasets that must stay joinable, not an encryption substitute; for
+    * adversarial settings use a real FF1/FF3 implementation with managed
+    * keys.
+    *
+    * Scale shape: pure Column chain (one md5 per character of a SHORT id
+    * — bounded per row), zero shuffle, whole-stage codegen; identical
+    * arithmetic replays in the DuckDB oracle (ascii-mapped hex bytes, no
+    * engine-specific conv()).
+    */
+  def pseudonymize(value: Column, salt: String): Column = {
+    // 0..255 from the first two md5 hex chars, via ascii arithmetic that
+    // both engines evaluate identically
+    def hex(c: Column): Column =
+      when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+    val masked = transform(
+      sequence(lit(1), length(value)),
+      i => {
+        val ch = value.substr(i, lit(1))
+        val h = md5(concat(lit(salt), value, lit(":"), (i - 1).cast("string")))
+        val shift = hex(h.substr(lit(1), lit(1))) * 16 + hex(h.substr(lit(2), lit(1)))
+        val digit = (ascii(ch) - 48 + shift) % 10 + 48
+        val lower = (ascii(ch) - 97 + shift) % 26 + 97
+        val upper = (ascii(ch) - 65 + shift) % 26 + 65
+        when(ch.between("0", "9"), chr(digit))
+          .when(ch.between("a", "z"), chr(lower))
+          .when(ch.between("A", "Z"), chr(upper))
+          .otherwise(ch)
+      })
+    when(value.isNull, lit(null).cast("string"))
+      .otherwise(array_join(masked, ""))
+  }
 }

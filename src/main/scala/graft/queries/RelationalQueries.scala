@@ -760,6 +760,19 @@ object RelationalQueries {
       floor(col("c_acctbal") / 1000.0).cast("long"),
       k = 5, l = 2)
 
+  /** Format-preserving pseudonymization
+    * ([[graft.ops.Privacy.pseudonymize]]) of a synthesized account id per
+    * customer: digits→digits, letters→same-case letters, separators kept.
+    * The oracle replays the per-character md5 shift arithmetic exactly
+    * (ascii-mapped hex — no engine-specific base conversion).
+    */
+  val privacyPseudo: Q = (spark, dir) =>
+    t(spark, dir, "customer").select(
+      col("c_custkey"),
+      graft.ops.Privacy.pseudonymize(
+        concat(lit("ID-"), lpad(col("c_custkey").cast("string"), 8, "0"), lit("-Z")),
+        "graft-demo-salt").as("token"))
+
   /** TPC-H Q2 shape (min-cost supplier): per small part, the EUROPE
     * supplier with the cheapest single-line offer — region dims
     * broadcast onto the fact, one (part, supplier) rollup, argmin via
@@ -3485,6 +3498,7 @@ object RelationalQueries {
     "graph_sssp" -> graphSssp,
     "graph_ppr" -> graphPpr,
     "privacy_kanon" -> privacyKanon,
+    "privacy_pseudo" -> privacyPseudo,
     "q2_mincost" -> q2MinCost,
     "q4_priority" -> q4Priority,
     "q6_forecast" -> q6Forecast,
@@ -5159,6 +5173,31 @@ object RelationalQueries {
         |SELECT g_a, g_b, sa.n AS n_a, sb.n AS n_b, n_inter,
         |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
         |FROM i JOIN s sa ON g_a = sa.g JOIN s sb ON g_b = sb.g""".stripMargin,
+    "privacy_pseudo" ->
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |    'ID-' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') || '-Z' AS v
+        |  FROM customer),
+        |chars AS (
+        |  SELECT c_custkey, v, i, substr(v, i, 1) AS ch,
+        |    md5('graft-demo-salt' || v || ':' || CAST(i - 1 AS VARCHAR)) AS h
+        |  FROM src, unnest(generate_series(1, len(v))) AS t(i)),
+        |shifted AS (
+        |  SELECT c_custkey, i, ch,
+        |    (CASE WHEN ascii(substr(h, 1, 1)) <= 57 THEN ascii(substr(h, 1, 1)) - 48
+        |          ELSE ascii(substr(h, 1, 1)) - 87 END) * 16 +
+        |    (CASE WHEN ascii(substr(h, 2, 1)) <= 57 THEN ascii(substr(h, 2, 1)) - 48
+        |          ELSE ascii(substr(h, 2, 1)) - 87 END) AS s
+        |  FROM chars),
+        |masked AS (
+        |  SELECT c_custkey, i,
+        |    CASE WHEN ch BETWEEN '0' AND '9' THEN chr((ascii(ch) - 48 + s) % 10 + 48)
+        |         WHEN ch BETWEEN 'a' AND 'z' THEN chr((ascii(ch) - 97 + s) % 26 + 97)
+        |         WHEN ch BETWEEN 'A' AND 'Z' THEN chr((ascii(ch) - 65 + s) % 26 + 65)
+        |         ELSE ch END AS mc
+        |  FROM shifted)
+        |SELECT c_custkey, string_agg(mc, '' ORDER BY i) AS token
+        |FROM masked GROUP BY c_custkey""".stripMargin,
     "privacy_kanon" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
         |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_div,

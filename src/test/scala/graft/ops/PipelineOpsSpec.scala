@@ -1062,6 +1062,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
+  // --- format-preserving pseudonymization ----------------------------------
+
+  test("pseudonymize: format kept, deterministic, salt-separated, null-safe") {
+    import graft.ops.Privacy
+    val df = Seq("AC-12345-xy", "AC-12345-xy", "AC-99999-zz", "415.555.0199")
+      .toDF("v")
+      .select(col("v"), Privacy.pseudonymize(col("v"), "s1").as("t1"),
+        Privacy.pseudonymize(col("v"), "s2").as("t2"))
+    val rows = df.as[(String, String, String)].collect()
+    rows.foreach { case (v, t1, t2) =>
+      assert(t1.length == v.length && t2.length == v.length)
+      v.zip(t1).foreach { case (a, b) =>
+        if (a.isDigit) assert(b.isDigit, s"$v -> $t1")
+        else if (a.isLower) assert(b.isLower)
+        else if (a.isUpper) assert(b.isUpper)
+        else assert(a == b, "separators must pass through")
+      }
+      assert(t1 != v, "token must differ from the original")
+      assert(t1 != t2, "different salts must give unlinkable tokens")
+    }
+    // determinism + linkability: equal inputs -> equal tokens
+    assert(rows(0)._2 == rows(1)._2 && rows(0)._3 == rows(1)._3)
+    assert(rows(0)._2 != rows(2)._2)
+    // null passes through as null
+    val n = Seq(Option.empty[String]).toDF("v")
+      .select(Privacy.pseudonymize(col("v"), "s1")).as[Option[String]].head()
+    assert(n.isEmpty)
+  }
+
   // --- Luhn card scan ------------------------------------------------------
 
   test("cardScan: Luhn truth vectors, separators, shape rejection") {
