@@ -137,6 +137,39 @@ object StreamingOps {
       }
   }
 
+  /** Streaming SCD2 dimension maintenance: each micro-batch of CDC
+    * observations folds into the dimension via
+    * [[graft.ops.Snapshot.scd2Apply]] and commits as the next
+    * `_SUCCESS`-gated snapshot version — the same durable-store
+    * discipline as [[mergeStream]], applied to dimension HISTORY instead
+    * of current-state upserts. `v0` must hold the initial dimension
+    * (possibly `scd2(empty log)` = an empty frame with the run schema).
+    *
+    * Contract inherited from scd2Apply: the feed is append-only per key
+    * under `(tsCol, idCol)` — the natural shape of a CDC/event stream
+    * consumed in arrival order. The StreamingSpec gate pins
+    * stream-maintained ≡ full-log rebuild across micro-batches.
+    */
+  def scd2Stream(
+      obs: DataFrame,
+      snapshotDir: String,
+      keyCol: String,
+      attrCol: String,
+      tsCol: String,
+      idCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    obs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val (cur, ver) = latestSnapshot(spark, snapshotDir)
+          val next = graft.ops.Snapshot.scd2Apply(
+            cur, batch.localCheckpoint(true), keyCol, attrCol, tsCol, idCol)
+          next.write.mode("overwrite").parquet(s"$snapshotDir/v${ver + 1}")
+        }
+        ()
+      }
+
   /** The highest `_SUCCESS`-committed snapshot version in `dir` and its
     * frame — partial writes (no marker) are ignored, the recovery
     * contract shared with IncrementalAgg.durable.

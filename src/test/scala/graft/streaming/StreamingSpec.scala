@@ -185,6 +185,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingOps.latestSnapshot(spark, dir)._2 == 2)
   }
 
+  test("streaming SCD2: stream-maintained dimension equals the full-log rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_stream").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // initial dimension: the empty run frame (scd2 of an empty log)
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp, Long)].toDF("k", "attr", "t", "id")
+    graft.ops.Snapshot.scd2(empty, "k", "attr", "t", "id")
+      .write.parquet(s"$dir/v0")
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = StreamingOps.scd2Stream(
+      stream.toDF().toDF("k", "attr", "t", "id"), dir, "k", "attr", "t", "id").start()
+    // three append-only batches: extends, closes, and a new key
+    val b1 = Seq((1L, "A", at(1), 1L), (2L, "X", at(2), 2L))
+    val b2 = Seq((1L, "A", at(3), 3L), (2L, "Y", at(4), 4L))
+    val b3 = Seq((1L, "B", at(5), 5L), (3L, "N", at(6), 6L))
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable()
+    stream.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val (snap, ver) = StreamingOps.latestSnapshot(spark, dir)
+    assert(ver == 3, "three non-empty batches commit v1..v3")
+    type Run = (Long, String, java.sql.Timestamp, Long, Option[java.sql.Timestamp], Boolean)
+    val got = snap
+      .select(col("k"), col("attr"), col("valid_from"), col("n_obs"),
+        col("valid_to"), col("is_current"))
+      .as[(Long, String, java.sql.Timestamp, Long, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSet
+    val full = graft.ops.Snapshot
+      .scd2((b1 ++ b2 ++ b3).toDF("k", "attr", "t", "id"), "k", "attr", "t", "id")
+      .select(col("k"), col("attr"), col("valid_from"), col("n_obs"),
+        col("valid_to"), col("is_current"))
+      .as[(Long, String, java.sql.Timestamp, Long, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSet
+    assert(got == full, "streamed dimension must equal the full-log rebuild")
+    // the extend really merged: key 1's A run carries 2 observations
+    assert(got.exists(r => r._1 == 1L && r._2 == "A" && r._4 == 2L && !r._6))
+  }
+
   test("stateful sessionizer emits completed sessions with correct bounds") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1000L
