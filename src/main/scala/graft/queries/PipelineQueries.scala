@@ -608,6 +608,24 @@ object PipelineQueries {
     graft.ops.Eval.retrievalMetrics(truth, sys, "q_id", "n_id", "rank", 10)
   }
 
+  /** Matryoshka-truncation probe: overlap@10 per query between the int8
+    * search over the FULL embedding and over its 16-dim PREFIX (truncate
+    * → renormalize → quantize, the MRL deployment question "how much
+    * retrieval survives a 4× dimension cut"). Both lists ride the
+    * oracle-pinned int8 path, so the overlap counts replay exactly.
+    */
+  val evalMrl: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val e16 = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val full = Similarity.int8TopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      .select(col("q_id"), col("n_id"))
+    val pref = Similarity.int8TopK(e16, e16.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      .select(col("q_id"), col("n_id"))
+    full.join(pref, Seq("q_id", "n_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("int").as("n_overlap"))
+  }
+
   /** Rank-biased overlap of the int8 list against the float ground truth
     * ([[graft.ops.Eval.rankBiasedOverlap]] at p = 1/2, k = 10): the
     * order-sensitive twin of `eval_retrieval` — a system that returns the
@@ -1894,6 +1912,7 @@ object PipelineQueries {
     "eval_lift" -> evalLift,
     "eval_brier" -> evalBrier,
     "eval_retrieval" -> evalRetrieval,
+    "eval_mrl" -> evalMrl,
     "eval_rbo" -> evalRbo,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
@@ -3893,6 +3912,38 @@ object PipelineQueries {
          |  round(sum(lp_q) / (count(*) * 1000000.0), 4) AS logp_avg
          |FROM contrib GROUP BY doc_id""".stripMargin,
     "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
+    "eval_mrl" ->
+      s"""WITH $int8CodesCtesSql,
+         |s16 AS (
+         |  SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding[1:16] AS DOUBLE[]),
+         |                          CAST(embedding[1:16] AS DOUBLE[]))) AS n
+         |  FROM embeddings),
+         |unitized16 AS (
+         |  SELECT vec_id, CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+         |  FROM s16),
+         |qz16 AS (
+         |  SELECT vec_id,
+         |    list_transform(u, x -> CAST(floor(x *
+         |      (CASE WHEN list_max(list_transform(u, y -> abs(y))) = 0 THEN 1.0
+         |            ELSE 127.0 / list_max(list_transform(u, y -> abs(y))) END) + 0.5)
+         |      AS INTEGER)) AS q
+         |  FROM unitized16),
+         |fullr AS (SELECT q_id, n_id FROM (
+         |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+         |    row_number() OVER (PARTITION BY qr.vec_id ORDER BY
+         |      CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT)
+         |        DESC, c.vec_id) AS rk
+         |  FROM qz c JOIN qz qr ON qr.vec_id < 8 AND c.vec_id != qr.vec_id) WHERE rk <= 10),
+         |prefr AS (SELECT q_id, n_id FROM (
+         |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+         |    row_number() OVER (PARTITION BY qr.vec_id ORDER BY
+         |      CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT)
+         |        DESC, c.vec_id) AS rk
+         |  FROM qz16 c JOIN qz16 qr ON qr.vec_id < 8 AND c.vec_id != qr.vec_id) WHERE rk <= 10)
+         |SELECT f.q_id, CAST(count(*) AS INTEGER) AS n_overlap
+         |FROM fullr f JOIN prefr p ON f.q_id = p.q_id AND f.n_id = p.n_id
+         |GROUP BY f.q_id""".stripMargin,
     "text_luhn" ->
       """WITH synth AS (
         |  SELECT doc_id,
