@@ -425,4 +425,69 @@ object Eval {
     (1L << k) * (1 to k).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** EXACT isotonic calibration by Pool-Adjacent-Violators (Ayer et al.
+    * 1955; [[calibration]]'s fixed bins answer "is the score honest in
+    * these buckets", this fits the OPTIMAL monotone calibration map) —
+    * the least-squares-optimal non-decreasing step function from an
+    * integer-grid score to an empirical positive rate.
+    *
+    * Exactness: observations pre-aggregate per distinct score (ties
+    * collapse up front, so arrival order never matters), and every merge
+    * decision compares pool RATES as cross-multiplied longs —
+    * `pos_prev·n_cur ≥ pos_cur·n_prev` — no division anywhere. Equal
+    * rates merge too (canonical maximal level sets: one pool per level,
+    * a unique normal form both engines reproduce). Output per pool:
+    * `(score_lo, score_hi, n, pos)` — the fitted rate is the exact
+    * fraction pos/n; fitted rates are STRICTLY increasing across pools.
+    *
+    * Scale shape: the corpus collapses to the distinct-score histogram in
+    * one distributed aggregation (map-side partials); PAV itself is
+    * inherently sequential and runs in ONE task over that bounded
+    * histogram (scores live on a grid by the [[Inference]] discipline —
+    * hundreds of levels, not rows), embarrassingly parallel across
+    * `groupCol` (per-model / per-segment calibration). Cross-multiply
+    * bound: pos·n per group must fit a long — calibration sets up to ~3B
+    * rows per group, beyond any realistic labeled slice.
+    */
+  def isotonicFit(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      groupCol: Option[String] = None): DataFrame = {
+    val parts = groupCol.map(col).toSeq
+    val pools = df
+      .groupBy(parts :+ col(scoreCol).cast("long").as("__s"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(labelCol).cast("long")).as("__p"))
+    val pav = udf { (ss: Seq[Long], ns: Seq[Long], ps: Seq[Long]) =>
+      val order = ss.indices.sortBy(ss(_))
+      val los = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val his = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val n = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val p = scala.collection.mutable.ArrayBuffer.empty[Long]
+      order.foreach { i =>
+        los += ss(i); his += ss(i); n += ns(i); p += ps(i)
+        var merging = true
+        while (merging && los.length >= 2) {
+          val k = los.length
+          if (p(k - 2) * n(k - 1) >= p(k - 1) * n(k - 2)) {
+            n(k - 2) += n(k - 1); p(k - 2) += p(k - 1); his(k - 2) = his(k - 1)
+            los.remove(k - 1); his.remove(k - 1); n.remove(k - 1); p.remove(k - 1)
+          } else merging = false
+        }
+      }
+      los.indices.map(i => (los(i), his(i), n(i), p(i)))
+    }
+    pools
+      .groupBy(parts: _*)
+      .agg(collect_list(struct(
+        col("__s").as("s"), col("__n").as("n"), col("__p").as("p"))).as("__pl"))
+      .select(parts :+ explode(pav(
+        transform(col("__pl"), x => x.getField("s")),
+        transform(col("__pl"), x => x.getField("n")),
+        transform(col("__pl"), x => x.getField("p")))).as("__o"): _*)
+      .select(parts ++ Seq(
+        col("__o._1").as("score_lo"), col("__o._2").as("score_hi"),
+        col("__o._3").as("n"), col("__o._4").as("pos")): _*)
+  }
 }

@@ -626,6 +626,20 @@ object PipelineQueries {
       .agg(count(lit(1)).cast("int").as("n_overlap"))
   }
 
+  /** Exact PAV isotonic calibration ([[graft.ops.Eval.isotonicFit]]) of
+    * a 20-level grid score against a binary label: the optimal monotone
+    * calibration map as exact integer pools. The oracle replays the PAV
+    * STACK MACHINE in a recursive CTE — one push or one merge per step,
+    * violation tested by the same cross-multiplied longs — so pool
+    * boundaries, sizes, and positive counts match bit-for-bit.
+    */
+  val evalIsotonic: Q = (spark, dir) =>
+    graft.ops.Eval.isotonicFit(
+      emb(spark, dir).select(
+        floor(element_at(col("embedding"), 1).cast("double") * 20).cast("long").as("s"),
+        (col("label") < 5).cast("long").as("y")),
+      "s", "y")
+
   /** Rank-biased overlap of the int8 list against the float ground truth
     * ([[graft.ops.Eval.rankBiasedOverlap]] at p = 1/2, k = 10): the
     * order-sensitive twin of `eval_retrieval` — a system that returns the
@@ -1913,6 +1927,7 @@ object PipelineQueries {
     "eval_brier" -> evalBrier,
     "eval_retrieval" -> evalRetrieval,
     "eval_mrl" -> evalMrl,
+    "eval_isotonic" -> evalIsotonic,
     "eval_rbo" -> evalRbo,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
@@ -3912,6 +3927,47 @@ object PipelineQueries {
          |  round(sum(lp_q) / (count(*) * 1000000.0), 4) AS logp_avg
          |FROM contrib GROUP BY doc_id""".stripMargin,
     "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
+    "eval_isotonic" ->
+      """WITH RECURSIVE pools AS (
+        |  SELECT s, n, p, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rn FROM (
+        |    SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 20) AS BIGINT) AS s,
+        |      count(*) AS n,
+        |      CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |    FROM embeddings GROUP BY 1)),
+        |tot AS (SELECT max(rn) AS m FROM pools),
+        |pav AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |         CAST([] AS BIGINT[]) AS los, CAST([] AS BIGINT[]) AS his,
+        |         CAST([] AS BIGINT[]) AS ns, CAST([] AS BIGINT[]) AS ps
+        |  UNION ALL
+        |  SELECT CASE WHEN g.viol THEN g.i ELSE g.i + 1 END,
+        |    CASE WHEN g.viol THEN g.los[1:len(g.los)-1]
+        |         ELSE list_append(g.los, np.s) END,
+        |    CASE WHEN g.viol THEN list_append(g.his[1:len(g.his)-2], g.his[len(g.his)])
+        |         ELSE list_append(g.his, np.s) END,
+        |    CASE WHEN g.viol THEN
+        |           list_append(g.ns[1:len(g.ns)-2], g.ns[len(g.ns)-1] + g.ns[len(g.ns)])
+        |         ELSE list_append(g.ns, np.n) END,
+        |    CASE WHEN g.viol THEN
+        |           list_append(g.ps[1:len(g.ps)-2], g.ps[len(g.ps)-1] + g.ps[len(g.ps)])
+        |         ELSE list_append(g.ps, np.p) END
+        |  FROM (SELECT pav.*,
+        |          (len(los) >= 2 AND
+        |           ps[len(ps)-1] * ns[len(ns)] >= ps[len(ps)] * ns[len(ns)-1]) AS viol
+        |        FROM pav) g
+        |  CROSS JOIN tot
+        |  LEFT JOIN pools np ON np.rn = g.i + 1
+        |  WHERE g.viol OR g.i < tot.m),
+        |fin AS (
+        |  SELECT * FROM (
+        |    SELECT g.*,
+        |      (len(los) >= 2 AND
+        |       ps[len(ps)-1] * ns[len(ns)] >= ps[len(ps)] * ns[len(ns)-1]) AS viol2
+        |    FROM pav g CROSS JOIN tot WHERE g.i = tot.m)
+        |  WHERE NOT viol2)
+        |SELECT los[t.j] AS score_lo, his[t.j] AS score_hi,
+        |  ns[t.j] AS n, ps[t.j] AS pos
+        |FROM fin, unnest(generate_series(1, len(los))) AS t(j)""".stripMargin,
     "eval_mrl" ->
       s"""WITH $int8CodesCtesSql,
          |s16 AS (

@@ -1062,6 +1062,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
+  // --- PAV isotonic calibration --------------------------------------------
+
+  test("isotonicFit: hand case, strict rate monotonicity, mass conservation") {
+    import graft.ops.Eval
+    // scores 1..4 with rates 1/2, 1/1, 0/2, 1/1: PAV must merge the
+    // violating middle into one pool
+    val df = Seq(
+      (1L, 1L), (1L, 0L),
+      (2L, 1L),
+      (3L, 0L), (3L, 0L),
+      (4L, 1L)).toDF("s", "y")
+    val out = Eval.isotonicFit(df, "s", "y")
+      .select("score_lo", "score_hi", "n", "pos")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // pools: [1,1] 1/2 then {2,3,4}: 1/1 vs 0/2 merge -> 1/3 vs 1/2 at
+    // score1? recompute: push 1(1/2); push 2(1/1) ok (1/2 < 1/1);
+    // push 3(0/2): 1/1 >= 0/2 merge -> (2-3:1/3); 1/2 >= 1/3 merge ->
+    // (1-3: 2/5); push 4(1/1): 2/5 < 1 ok. Final: (1,3,5,2),(4,4,1,1)
+    assert(out == Seq((1L, 3L, 5L, 2L), (4L, 4L, 1L, 1L)))
+    // invariants on a randomized set: rates strictly increase, pools tile
+    // the score range in order, total n/pos conserved; partitioning-invariant
+    val rnd = new scala.util.Random(11)
+    val big = (1 to 4000).map { _ =>
+      val s = rnd.nextInt(60).toLong
+      (s, if (rnd.nextInt(100) < 20 + s) 1L else 0L)
+    }
+    val bigDf = big.toDF("s", "y")
+    val fit = Eval.isotonicFit(bigDf.repartition(13), "s", "y")
+      .select("score_lo", "score_hi", "n", "pos")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fit.map(_._3).sum == big.length && fit.map(_._4).sum == big.map(_._2).sum)
+    fit.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 < b._1, "pools must tile in score order")
+        assert(a._4 * b._3 < b._4 * a._3, "fitted rates must strictly increase")
+      case _ => ()
+    }
+    // PAV optimality cross-check vs an independent O(n²) reference
+    def refPav(pools0: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      var ps = pools0.sortBy(_._1).map(t => (t._1, t._1, t._2, t._3)).toVector
+      var changed = true
+      while (changed) {
+        changed = false
+        val i = ps.indices.dropRight(1).find(i => ps(i)._4 * ps(i + 1)._3 >= ps(i + 1)._4 * ps(i)._3)
+        i.foreach { j =>
+          val m = (ps(j)._1, ps(j + 1)._2, ps(j)._3 + ps(j + 1)._3, ps(j)._4 + ps(j + 1)._4)
+          ps = (ps.take(j) :+ m) ++ ps.drop(j + 2)
+          changed = true
+        }
+      }
+      ps
+    }
+    val pools0 = big.groupBy(_._1).toSeq.map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._2).sum)
+    }
+    assert(fit == refPav(pools0), "stack PAV must equal the fixpoint reference")
+    // per-group fitting stays independent
+    val g = Seq(("a", 1L, 1L), ("a", 2L, 0L), ("b", 1L, 0L), ("b", 2L, 1L))
+      .toDF("g", "s", "y")
+    val byG = Eval.isotonicFit(g, "s", "y", groupCol = Some("g"))
+      .select("g", "score_lo", "score_hi", "n", "pos")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(byG == Set(("a", 1L, 2L, 2L, 1L), ("b", 1L, 1L, 1L, 0L), ("b", 2L, 2L, 1L, 1L)))
+  }
+
   // --- format-preserving pseudonymization ----------------------------------
 
   test("pseudonymize: format kept, deterministic, salt-separated, null-safe") {
