@@ -450,6 +450,52 @@ object Eval {
     * bound: pos·n per group must fit a long — calibration sets up to ~3B
     * rows per group, beyond any realistic labeled slice.
     */
+  /** Split-conformal prediction thresholds (Vovk; Papadopoulos et al.):
+    * for each miscoverage level α = num/den (exact fraction — no float α
+    * ever meets an integer rank), the threshold is the calibration set's
+    * nonconformity score at 1-based rank `⌈(n_cal+1)·(1−α)⌉`, computed by
+    * integer arithmetic `((n+1)(den−num) + den − 1) div den`; a test
+    * point is covered when its score is ≤ that threshold. Output per α:
+    * `(alpha_num, alpha_den, n_cal, k_rank, threshold, n_test,
+    * n_covered)` — the finite-sample guarantee says coverage ≥ 1−α in
+    * expectation, and the driver gate replays every number exactly.
+    *
+    * Scale shape: scores are integer-grid longs; the calibration set is
+    * a bounded labeled slice by nature, so the rank is read off one
+    * sorted window over it (for a calibration set too large to sort in
+    * one task, [[Selection.quantileSelect]]'s bucket descent is the
+    * drop-in — same rank semantics, no global sort). The test side only
+    * ever answers two counting aggregates. The per-α driver actions pull
+    * SCALARS (a threshold, a count) — the operator's output is
+    * α-levels-sized by definition.
+    */
+  def conformalSplit(
+      cal: DataFrame,
+      test: DataFrame,
+      scoreCol: String,
+      alphas: Seq[(Int, Int)]): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall { case (a, d) => a > 0 && a < d },
+      "each alpha must be a fraction in (0,1)")
+    val spark = cal.sparkSession
+    import spark.implicits._
+    val calS = cal.select(col(scoreCol).cast("long").as("s"))
+      .filter(col("s").isNotNull).localCheckpoint(true)
+    val nCal = calS.count()
+    require(nCal > 0, "empty calibration set")
+    val ranked = calS
+      .withColumn("__rk", row_number().over(Window.orderBy(col("s"))))
+      .localCheckpoint(true)
+    val testS = test.select(col(scoreCol).cast("long").as("s"))
+      .filter(col("s").isNotNull).localCheckpoint(true)
+    val nTest = testS.count()
+    alphas.map { case (an, ad) =>
+      val k = ((nCal + 1) * (ad - an) + ad - 1) / ad
+      val thr = ranked.filter(col("__rk") === math.min(k, nCal)).head().getLong(0)
+      (an, ad, nCal, k, thr, nTest, testS.filter(col("s") <= thr).count())
+    }.toDF("alpha_num", "alpha_den", "n_cal", "k_rank", "threshold",
+      "n_test", "n_covered")
+  }
+
   def isotonicFit(
       df: DataFrame,
       scoreCol: String,

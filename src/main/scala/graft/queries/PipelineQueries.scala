@@ -640,6 +640,19 @@ object PipelineQueries {
         (col("label") < 5).cast("long").as("y")),
       "s", "y")
 
+  /** Split-conformal thresholds ([[graft.ops.Eval.conformalSplit]]) at
+    * α = 1/10 and 1/20 over even/odd embedding splits — exact integer
+    * rank selection, coverage counted on the held-out half.
+    */
+  val evalConformal: Q = (spark, dir) => {
+    val e = emb(spark, dir).select(
+      col("vec_id"),
+      floor(element_at(col("embedding"), 1).cast("double") * 1000).cast("long").as("s"))
+    graft.ops.Eval.conformalSplit(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "s", Seq((1, 10), (1, 20)))
+  }
+
   /** Rank-biased overlap of the int8 list against the float ground truth
     * ([[graft.ops.Eval.rankBiasedOverlap]] at p = 1/2, k = 10): the
     * order-sensitive twin of `eval_retrieval` — a system that returns the
@@ -1928,6 +1941,7 @@ object PipelineQueries {
     "eval_retrieval" -> evalRetrieval,
     "eval_mrl" -> evalMrl,
     "eval_isotonic" -> evalIsotonic,
+    "eval_conformal" -> evalConformal,
     "eval_rbo" -> evalRbo,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
@@ -3927,6 +3941,24 @@ object PipelineQueries {
          |  round(sum(lp_q) / (count(*) * 1000000.0), 4) AS logp_avg
          |FROM contrib GROUP BY doc_id""".stripMargin,
     "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
+    "eval_conformal" ->
+      """WITH cal AS (
+        |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS s
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |tst AS (
+        |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS s
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |r AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rk FROM cal),
+        |n AS (SELECT count(*) AS nc FROM cal),
+        |th AS (
+        |  SELECT a.an, a.ad, n.nc,
+        |    ((n.nc + 1) * (a.ad - a.an) + a.ad - 1) // a.ad AS k
+        |  FROM (VALUES (1, 10), (1, 20)) AS a(an, ad), n)
+        |SELECT th.an AS alpha_num, th.ad AS alpha_den, th.nc AS n_cal,
+        |  th.k AS k_rank, r.s AS threshold,
+        |  (SELECT count(*) FROM tst) AS n_test,
+        |  (SELECT count(*) FROM tst WHERE tst.s <= r.s) AS n_covered
+        |FROM th JOIN r ON r.rk = least(th.k, th.nc)""".stripMargin,
     "eval_isotonic" ->
       """WITH RECURSIVE pools AS (
         |  SELECT s, n, p, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rn FROM (

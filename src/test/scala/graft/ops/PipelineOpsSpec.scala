@@ -1062,6 +1062,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
+  // --- split-conformal thresholds ------------------------------------------
+
+  test("conformalSplit: exact rank, clamp, and finite-sample coverage") {
+    import graft.ops.Eval
+    // cal scores 1..9: at α=1/10, k = ceil(10·9/10) = 9 → threshold 9;
+    // at α=1/2, k = ceil(10·1/2) = 5 → threshold 5
+    val cal = (1L to 9L).toDF("s")
+    val test = (1L to 20L).toDF("s")
+    val out = Eval.conformalSplit(cal, test, "s", Seq((1, 10), (1, 2)))
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out((1, 10)) == ((1, 10, 9L, 9L, 9L, 20L, 9L)))
+    assert(out((1, 2)) == ((1, 2, 9L, 5L, 5L, 20L, 5L)))
+    // k beyond n_cal clamps to the max score (prediction set ⊇ everything
+    // the calibration ever saw): tiny n with tiny α
+    val tiny = Seq(3L, 1L).toDF("s")
+    val t = Eval.conformalSplit(tiny, test, "s", Seq((1, 100)))
+      .as[(Int, Int, Long, Long, Long, Long, Long)].head()
+    assert(t._4 == 3L && t._5 == 3L, "k=3 > n_cal=2 clamps to rank 2 value 3")
+    // exchangeable draw: empirical coverage lands near 1−α
+    val rnd = new scala.util.Random(5)
+    val all = (1 to 2000).map(_ => rnd.nextInt(100000).toLong)
+    val (c, ts) = all.splitAt(1000)
+    val cv = Eval.conformalSplit(c.toDF("s"), ts.toDF("s"), "s", Seq((1, 10)))
+      .as[(Int, Int, Long, Long, Long, Long, Long)].head()
+    val rate = cv._7.toDouble / cv._6
+    assert(rate > 0.85 && rate < 0.95, s"coverage $rate should be near 0.9")
+  }
+
   // --- PAV isotonic calibration --------------------------------------------
 
   test("isotonicFit: hand case, strict rate monotonicity, mass conservation") {
