@@ -3262,6 +3262,18 @@ object RelationalQueries {
       t(spark, dir, "customer"), "c_custkey", "c_name",
       substring(col("c_name"), 10, 7), maxDist = 1)
 
+  /** Sorted-neighborhood linkage
+    * ([[graft.ops.Linkage.sortedNeighborhoodPairs]]): customer names
+    * sorted by their REVERSED form (so trailing-digit neighbors sort
+    * adjacent even when leading digits differ), window 5, levenshtein
+    * ≤ 1 — the positional-recall blocking paradigm. The oracle replays
+    * rank, offset pairing, and distance with DuckDB's own levenshtein.
+    */
+  val linkageSorted: Q = (spark, dir) =>
+    graft.ops.Linkage.sortedNeighborhoodPairs(
+      t(spark, dir, "customer"), "c_custkey", "c_name",
+      reverse(col("c_name")), window = 5, maxDist = 1)
+
   /** Jaro–Winkler candidate scoring within tight numeric-prefix blocks —
     * the NATIVE codegen'd [[graft.functions.JaroWinkler]] expression.
     * The oracle replays with the other engine's OWN independent
@@ -3364,6 +3376,7 @@ object RelationalQueries {
     "ab_report" -> abReport,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
+    "linkage_sorted" -> linkageSorted,
     "linkage_ed1" -> linkageEd1,
     "linkage_jw" -> linkageJw,
     "profile_orders" -> profileOrders,
@@ -3614,6 +3627,17 @@ object RelationalQueries {
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "linkage_sorted" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    CAST(row_number() OVER (ORDER BY reverse(c_name), c_custkey) AS BIGINT) AS rk
+        |  FROM customer WHERE c_name IS NOT NULL),
+        |cand AS (
+        |  SELECT a.id AS ia, a.name AS na, b.id AS ib, b.name AS nb
+        |  FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 5)
+        |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+        |  CAST(levenshtein(na, nb) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin,
     "source_zorder" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value

@@ -1062,6 +1062,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
+  // --- sorted-neighborhood linkage -----------------------------------------
+
+  test("sortedNeighborhoodPairs: positional recall, window bound, id order") {
+    import graft.ops.Linkage
+    // names with a LEADING typo ("Xmith"/"Smith"): prefix blocking would
+    // separate them; sorted by REVERSED name they are adjacent
+    val df = Seq(
+      (1L, "Smith"), (2L, "Xmith"), // dist 1, adjacent under reverse sort
+      (3L, "Jones"), (4L, "Janes"), // dist 1
+      (5L, "Zzzzz") // far from everything
+    ).toDF("id", "name")
+    val out = Linkage.sortedNeighborhoodPairs(
+      df, "id", "name", reverse(col("name")), window = 4, maxDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(out.contains((1L, 2L, 1)), "leading-typo pair must be found")
+    assert(out.contains((3L, 4L, 1)))
+    assert(out.forall { case (a, b, _) => a < b })
+    // window=1 with 5 rows: at most 4 candidate pairs ever compared;
+    // a pair >window apart in sort order is invisible even at dist 0
+    val tight = Seq((1L, "aa"), (2L, "ab"), (3L, "ac"), (4L, "aa")).toDF("id", "name")
+    val w1 = Linkage.sortedNeighborhoodPairs(
+      tight, "id", "name", col("name"), window = 1, maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // sort order: aa(1), aa(4), ab(2), ac(3) → rank pairs (1,4),(4,2),(2,3)
+    assert(w1 == Set((1L, 4L), (2L, 4L), (2L, 3L)))
+    // brute-force agreement at a window covering everything
+    val all = Linkage.sortedNeighborhoodPairs(
+      df, "id", "name", reverse(col("name")), window = 10, maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      a <- 1L to 5L; b <- (a + 1) to 5L
+      na = df.filter(col("id") === a).head.getString(1)
+      nb = df.filter(col("id") === b).head.getString(1)
+      if na.zip(nb).count { case (x, y) => x != y } +
+        math.abs(na.length - nb.length) <= 1
+    } yield (a, b)).toSet
+    assert(all == brute, "full window must equal all-pairs at dist <= 1")
+  }
+
   // --- split-conformal thresholds ------------------------------------------
 
   test("conformalSplit: exact rank, clamp, and finite-sample coverage") {
