@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale corpus pipelines: tokenization,
@@ -247,6 +247,68 @@ object TextOps {
       length(clean).between(13, 19) && luhnValid(clean)
     })
     (size(matches).as("n_card_candidates"), size(valid).as("n_card_valid"))
+  }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — fully relational, no
+    * UDF: candidate phrases are maximal stopword-free token runs
+    * (gaps-and-islands on the stopword positions), each word's score is
+    * `deg/freq` over the document's candidates (deg = summed length of
+    * the phrases its occurrences sit in), and a phrase scores the sum of
+    * its words' scores. Scores live on the exact integer grid
+    * `(10⁶·deg) div freq` — integer division of exact counts, so ranking
+    * and the driver hash replay cross-engine with no float division.
+    * Identical phrase texts within a document collapse to one candidate
+    * (same words ⇒ same score, so the dedup is lossless).
+    *
+    * Scale shape: one positioned-token explode, the per-doc run window,
+    * and two doc-keyed aggregations — everything partitions by document
+    * id, so the whole extraction is embarrassingly parallel with
+    * corpus-sized shuffles of (id, word) pairs only; top-`k` per doc is
+    * a bounded window over candidates-per-doc.
+    */
+  def rakePhrases(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int,
+      lang: String = "en"): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val stops = stop(lang)
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+      col(idCol).as("__id"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val wDoc = Window.partitionBy("__id").orderBy("__pos")
+    val words = toks
+      .withColumn("__stop", col("__w").isin(stops.map(x => x: Any): _*))
+      .withColumn("__run", sum(col("__stop").cast("long")).over(wDoc))
+      .filter(!col("__stop"))
+    val phrases = words
+      .groupBy("__id", "__run")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos").as("p"), col("__w").as("w")))),
+            x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("__plen"))
+    val occ = words.select("__id", "__run", "__w")
+      .join(phrases.select("__id", "__run", "__plen"), Seq("__id", "__run"))
+    val stats = occ
+      .groupBy("__id", "__w")
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .withColumn("__ws", expr("(1000000 * __deg) div __freq"))
+    val scored = occ
+      .join(stats.select("__id", "__w", "__ws"), Seq("__id", "__w"))
+      .groupBy("__id", "__run")
+      .agg(sum(col("__ws")).as("score"))
+      .join(phrases.select("__id", "__run", "phrase"), Seq("__id", "__run"))
+      .select(col("__id"), col("phrase"), col("score"))
+      .distinct()
+    val rankW = Window.partitionBy("__id").orderBy(col("score").desc, col("phrase").asc)
+    scored
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topK)
+      .select(col("__id").as(idCol), col("phrase"), col("score"), col("rank"))
   }
 
   /** Whitespace-collapsed lowercase form — stage this as its own column

@@ -1636,6 +1636,14 @@ object PipelineQueries {
     docs(spark, dir).select(col("doc_id"), cand, valid)
   }
 
+  /** RAKE keyphrases per document ([[graft.ops.TextOps.rakePhrases]],
+    * top-3): stopword-free runs as candidates, `(10⁶·deg) div freq` word
+    * scores — the oracle replays the whole relational chain including
+    * integer-grid division.
+    */
+  val textRake: Q = (spark, dir) =>
+    TextOps.rakePhrases(docs(spark, dir), "doc_id", "text", topK = 3)
+
   /** Eval-set decontamination: drop every document whose content (md5)
     * appears in the reference slice (source = src0). Bloom prefilter +
     * exact confirm — exact result, oracle-checkable.
@@ -2025,6 +2033,7 @@ object PipelineQueries {
     "search_mmr" -> searchMmr,
     "select_coverage" -> selectCoverage,
     "text_luhn" -> textLuhn,
+    "text_rake" -> textRake,
     "embedding_norm" -> embeddingNorm,
     "embedding_unit" -> embeddingUnit,
     "text_tokens" -> textTokens,
@@ -3941,6 +3950,42 @@ object PipelineQueries {
          |  round(sum(lp_q) / (count(*) * 1000000.0), 4) AS logp_avg
          |FROM contrib GROUP BY doc_id""".stripMargin,
     "bm25_rank" -> Ranking.bm25Sql("text", "doc_id", bm25Terms),
+    "text_rake" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t.p, ws[t.p] AS w,
+         |    (ws[t.p] IN ('the','of','and','to','in','a','is','that','it','was')) AS st
+         |  FROM toks, unnest(generate_series(1, len(ws))) AS t(p)),
+         |runs AS (
+         |  SELECT doc_id, p, w,
+         |    SUM(CASE WHEN st THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS run, st
+         |  FROM pos),
+         |words AS (SELECT doc_id, run, p, w FROM runs WHERE NOT st),
+         |phrases AS (
+         |  SELECT doc_id, run, string_agg(w, ' ' ORDER BY p) AS phrase,
+         |    count(*) AS plen
+         |  FROM words GROUP BY doc_id, run),
+         |occ AS (
+         |  SELECT wd.doc_id, wd.run, wd.w, ph.plen
+         |  FROM words wd JOIN phrases ph ON wd.doc_id = ph.doc_id AND wd.run = ph.run),
+         |stats AS (
+         |  SELECT doc_id, w, (1000000 * CAST(SUM(plen) AS BIGINT)) // count(*) AS wsc
+         |  FROM occ GROUP BY doc_id, w),
+         |pscore AS (
+         |  SELECT o.doc_id, o.run, CAST(SUM(s.wsc) AS BIGINT) AS score
+         |  FROM occ o JOIN stats s ON o.doc_id = s.doc_id AND o.w = s.w
+         |  GROUP BY o.doc_id, o.run),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id, ph.phrase, p.score
+         |  FROM pscore p JOIN phrases ph ON p.doc_id = ph.doc_id AND p.run = ph.run)
+         |SELECT doc_id, phrase, score, rank FROM (
+         |  SELECT doc_id, phrase, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, phrase) AS INTEGER) AS rank
+         |  FROM cand)
+         |WHERE rank <= 3""".stripMargin,
     "eval_conformal" ->
       """WITH cal AS (
         |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS s

@@ -1062,6 +1062,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L, 1), (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 1)))
   }
 
+  // --- RAKE keyphrases -----------------------------------------------------
+
+  test("rakePhrases: hand-computed deg/freq scores, run splits, dedup") {
+    // doc 1: "deep learning of deep networks" →
+    //   stopword 'of' splits runs: ["deep learning", "deep networks"]
+    //   freq: deep=2, learning=1, networks=1; deg: deep=2+2=4,
+    //   learning=2, networks=2
+    //   wscore: deep=2e6, learning=2e6, networks=2e6
+    //   phrase scores: both 4e6 → tie broken by phrase text asc
+    val df = Seq(
+      (1L, "deep learning of deep networks"),
+      (2L, "alpha beta alpha beta") // one run of 4; identical dedup N/A
+    ).toDF("doc_id", "text")
+    val out = TextOps.rakePhrases(df, "doc_id", "text", topK = 3)
+      .select("doc_id", "phrase", "score", "rank")
+      .as[(Long, String, Long, Int)].collect().groupBy(_._1)
+    val d1 = out(1L).sortBy(_._4).toSeq
+    assert(d1 == Seq(
+      (1L, "deep learning", 4000000L, 1),
+      (1L, "deep networks", 4000000L, 2)))
+    // doc 2: one phrase "alpha beta alpha beta"; freq a=2 b=2, deg a=8 b=8
+    // wscore 4e6 each; phrase score = 4 occurrences × 4e6 = 16e6
+    val d2 = out(2L).toSeq
+    assert(d2 == Seq((2L, "alpha beta alpha beta", 16000000L, 1)))
+    // duplicate phrase text collapses to one candidate
+    val dup = Seq((3L, "red car of red car")).toDF("doc_id", "text")
+    val d3 = TextOps.rakePhrases(dup, "doc_id", "text", 5)
+      .select("phrase").as[String].collect().toSeq
+    assert(d3 == Seq("red car"))
+  }
+
   // --- sorted-neighborhood linkage -----------------------------------------
 
   test("sortedNeighborhoodPairs: positional recall, window bound, id order") {
