@@ -3274,6 +3274,31 @@ object RelationalQueries {
       t(spark, dir, "customer"), "c_custkey", "c_name",
       reverse(col("c_name")), window = 5, maxDist = 1)
 
+  /** Right-to-be-forgotten erasure plan: for a deterministic "forget
+    * set" of customers (md5-sampled — the [[graft.ops.Sampling]] salt
+    * discipline), the per-table cascade row counts an erasure job must
+    * delete: customer rows, their orders (FK o_custkey), and those
+    * orders' lineitems (FK l_orderkey). Semi-join counting only — the
+    * governance dry-run every deletion pipeline prints before touching
+    * data; each hop is one key semi-join, fact tables never shuffle
+    * more than their key columns.
+    */
+  val privacyErasure: Q = (spark, dir) => {
+    val forget = t(spark, dir, "customer")
+      .filter(substring(md5(concat(lit("forget:"), col("c_custkey"))), 1, 1) === "0")
+      .select(col("c_custkey")).localCheckpoint(true)
+    val orders = t(spark, dir, "orders")
+      .join(forget, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey").localCheckpoint(true)
+    val li = t(spark, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    forget.agg(count(lit(1)).as("n_delete")).select(lit("customer").as("table_name"), col("n_delete"))
+      .unionByName(orders.agg(count(lit(1)).as("n_delete"))
+        .select(lit("orders").as("table_name"), col("n_delete")))
+      .unionByName(li.agg(count(lit(1)).as("n_delete"))
+        .select(lit("lineitem").as("table_name"), col("n_delete")))
+  }
+
   /** Jaro–Winkler candidate scoring within tight numeric-prefix blocks —
     * the NATIVE codegen'd [[graft.functions.JaroWinkler]] expression.
     * The oracle replays with the other engine's OWN independent
@@ -3512,6 +3537,7 @@ object RelationalQueries {
     "graph_ppr" -> graphPpr,
     "privacy_kanon" -> privacyKanon,
     "privacy_pseudo" -> privacyPseudo,
+    "privacy_erasure" -> privacyErasure,
     "q2_mincost" -> q2MinCost,
     "q4_priority" -> q4Priority,
     "q6_forecast" -> q6Forecast,
@@ -5197,6 +5223,18 @@ object RelationalQueries {
         |SELECT g_a, g_b, sa.n AS n_a, sb.n AS n_b, n_inter,
         |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
         |FROM i JOIN s sa ON g_a = sa.g JOIN s sb ON g_b = sb.g""".stripMargin,
+    "privacy_erasure" ->
+      """WITH forget AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE substr(md5('forget:' || CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+        |ords AS (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM forget))
+        |SELECT 'customer' AS table_name, count(*) AS n_delete FROM forget
+        |UNION ALL
+        |SELECT 'orders', count(*) FROM ords
+        |UNION ALL
+        |SELECT 'lineitem', count(*) FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM ords)""".stripMargin,
     "privacy_pseudo" ->
       """WITH src AS (
         |  SELECT c_custkey,
