@@ -92,6 +92,27 @@ class PlanAuditSpec extends AnyFunSuite {
       count(p, "BroadcastNestedLoopJoin BuildRight"), p)
   }
 
+  test("linkage_sorted: rank pairing is an equi-join, never a nested loop") {
+    val p = plan("linkage_sorted")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "offset pairing must stay an equi-join on the computed rank")
+  }
+
+  test("privacy_erasure: the cascade hop in-plan is a semi join") {
+    // the customer→orders hops sit behind localCheckpoint (materialized in
+    // their own jobs, same LeftSemi shape); the final plan carries the
+    // lineitem hop
+    val p = plan("privacy_erasure")
+    assert(count(p, "LeftSemi") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("scd2_incremental: batch-key dims broadcast into the dimension pass") {
+    val p = plan("scd2_incremental")
+    assert(p.contains("BroadcastExchange"),
+      "firstInfo/curDim must broadcast — the dimension side never reshuffles for them")
+  }
+
   test("parts_skyline: two-phase reduction plans no join at all") {
     val p = plan("parts_skyline")
     assert(!p.contains("Join"), "skyline must not plan the O(n²) dominance join")
