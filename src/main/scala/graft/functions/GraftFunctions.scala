@@ -53,6 +53,11 @@ object GraftFunctions {
     JaroWinkler(args(0), args(1))
   }
 
+  private def damerauBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"damerau_levenshtein expects 2 arguments, got ${args.length}")
+    DamerauLevenshtein(args(0), args(1))
+  }
+
   private def int8CodesBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 1, s"int8_unit_codes expects 1 argument, got ${args.length}")
     Int8UnitCodes(args(0))
@@ -72,6 +77,7 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("dot_product", dotBuilder, "built-in")
     registry.createOrReplaceTempFunction("int_dot_product", intDotBuilder, "built-in")
     registry.createOrReplaceTempFunction("jaro_winkler", jaroWinklerBuilder, "built-in")
+    registry.createOrReplaceTempFunction("damerau_levenshtein", damerauBuilder, "built-in")
     registry.createOrReplaceTempFunction("int8_unit_codes", int8CodesBuilder, "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
     textFns.foreach { case (n, b) => registry.createOrReplaceTempFunction(n, b, "built-in") }
@@ -97,6 +103,10 @@ object GraftFunctions {
         (new FunctionIdentifier("jaro_winkler"),
           new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
           jaroWinklerBuilder _))
+      e.injectFunction(
+        (new FunctionIdentifier("damerau_levenshtein"),
+          new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+          damerauBuilder _))
       e.injectFunction(
         (new FunctionIdentifier("int8_unit_codes"),
           new ExpressionInfo(classOf[Int8UnitCodes].getName, "int8_unit_codes"),

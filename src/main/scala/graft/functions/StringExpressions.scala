@@ -107,3 +107,98 @@ object JaroWinkler {
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }
+
+/** Native Catalyst TRUE Damerau–Levenshtein distance (Lowrance & Wagner
+  * 1975) over two string columns — edit distance whose operations are
+  * insert, delete, substitute, AND transpose-with-drift: unlike the
+  * restricted/OSA variant (which Spark's `levenshtein` family cannot
+  * express at all), a transposed pair may later be edited between, so
+  * `CA → ABC` costs 2, not 3. The semantics are pinned to the oracle
+  * engine's OWN independent `damerau_levenshtein` (bitwise-equal ints;
+  * fuzz-verified on thousands of random pairs before wiring) — two
+  * separate codebases agreeing on every value is the strongest pin an
+  * edit kernel can get.
+  *
+  * Cost: the full (m+2)×(n+2) DP matrix per pair — the transposition
+  * rule reaches arbitrarily far back, so no two-row trick applies. Use
+  * behind blocking exactly like the [[JaroWinkler]] and banded
+  * levenshtein siblings: per-pair cost is O(m·n) on SHORT identifier
+  * strings by contract. Comparison is by UTF-16 code unit (the ASCII
+  * contract shared with [[JaroWinkler]]).
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"damerau_levenshtein expects (string, string), got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.dist(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.DamerauLevenshtein.dist($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): DamerauLevenshtein = copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+
+  /** Column-API front door. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      DamerauLevenshtein(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** The shared kernel (interpreted eval AND the codegen call target). */
+  def dist(a: UTF8String, b: UTF8String): Int = distStr(a.toString, b.toString)
+
+  def distStr(s1: String, s2: String): Int = {
+    val m = s1.length
+    val n = s2.length
+    if (m == 0) return n
+    if (n == 0) return m
+    val inf = m + n
+    val h = Array.ofDim[Int](m + 2, n + 2)
+    h(0)(0) = inf
+    var i = 0
+    while (i <= m) { h(i + 1)(0) = inf; h(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= n) { h(0)(j + 1) = inf; h(1)(j + 1) = j; j += 1 }
+    // last row index (1-based) where each character appeared in s1
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= m) {
+      var db = 0
+      j = 1
+      while (j <= n) {
+        val i1v = da.get(s2.charAt(j - 1))
+        val i1 = if (i1v == null) 0 else i1v.intValue()
+        val j1 = db
+        var cost = 1
+        if (s1.charAt(i - 1) == s2.charAt(j - 1)) { cost = 0; db = j }
+        val sub = h(i)(j) + cost
+        val ins = h(i + 1)(j) + 1
+        val del = h(i)(j + 1) + 1
+        val tra = h(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        h(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, tra))
+        j += 1
+      }
+      da.put(s1.charAt(i - 1), i)
+      i += 1
+    }
+    h(m + 1)(n + 1)
+  }
+}

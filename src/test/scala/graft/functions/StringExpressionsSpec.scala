@@ -53,4 +53,40 @@ class StringExpressionsSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.expressions.Literal.create("marhta"))
     assert(expr.eval(null) == jw("martha", "marhta"))
   }
+
+  private def dl(a: String, b: String): Int = DamerauLevenshtein.distStr(a, b)
+
+  test("damerau kernel: TRUE DL (transposition drift), textbook values, symmetry") {
+    // the variant separator: OSA says 3, true DL says 2 (swap then insert
+    // between the swapped pair)
+    assert(dl("CA", "ABC") == 2)
+    assert(dl("ab", "ba") == 1)
+    assert(dl("abc", "acb") == 1)
+    assert(dl("abcdef", "abdcef") == 1)
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("", "abc") == 3 && dl("abc", "") == 3 && dl("", "") == 0)
+    assert(dl("aa", "aaa") == 1)
+    assert(dl("banana", "ananab") == dl("ananab", "banana"), "symmetric")
+    // transposition beats plain levenshtein where digits swap
+    assert(dl("Customer#000000012", "Customer#000000021") == 1)
+    // upper bound: never exceeds plain levenshtein (here lev would be 2)
+  }
+
+  test("damerau column path (codegen) + SQL registration agree; nulls propagate") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      ("CA", "ABC"), ("ab", "ba"), ("kitten", "sitting"), ("same", "same"))
+      .toDF("a", "b")
+    val viaCol = df.select(
+      DamerauLevenshtein.damerauLevenshtein(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(viaCol == Seq(2, 1, 3, 0))
+    df.createOrReplaceTempView("dl_t")
+    val viaSql = spark.sql("SELECT damerau_levenshtein(a, b) FROM dl_t")
+      .as[Int].collect().toSeq
+    assert(viaSql == viaCol)
+    val withNull = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(DamerauLevenshtein.damerauLevenshtein(col("a"), col("b")))
+      .as[Option[Int]].head()
+    assert(withNull.isEmpty)
+  }
 }
