@@ -200,13 +200,20 @@ object Snapshot {
       attrCol: String,
       tsCol: String,
       idCol: String): DataFrame = {
+    // PIN both inputs once: `dim` feeds curDim AND the pass-through scan,
+    // `brIdx` feeds ann AND firstInfo — without materialization a CHAIN of
+    // applies re-embeds every earlier apply's plan at each reference
+    // (2^applies recomputation, the stage-chain disease), and the prior
+    // dimension is exactly the engine's own batch-promotion case
+    val dimP = dim.localCheckpoint(true)
     val w = Window.partitionBy(keyCol).orderBy(col("valid_from"))
     val brIdx = scd2(batch, keyCol, attrCol, tsCol, idCol)
       .withColumn("__ri", row_number().over(w))
+      .localCheckpoint(true)
     // explicit presence markers: attributes may legitimately be NULL (a
     // null-attr run), so "missing after the left join" must be signalled
     // by a dedicated flag, never by attr nullness
-    val curDim = dim.filter(col("is_current")).select(
+    val curDim = dimP.filter(col("is_current")).select(
       col(keyCol), col(attrCol).as("__dattr"),
       col("valid_from").as("__dfrom"), col("n_obs").as("__dn"),
       lit(true).as("__dhit"))
@@ -230,7 +237,7 @@ object Snapshot {
     val touched = coalesce(col("__bhit"), lit(false))
     // dim pass-through: history rows unchanged; a touched key's current row
     // is dropped when merged, or closed at the batch's first timestamp
-    val dimAdj = dim.join(broadcast(firstInfo), Seq(keyCol), "left")
+    val dimAdj = dimP.join(broadcast(firstInfo), Seq(keyCol), "left")
       .filter(!(col("is_current") && touched && (col(attrCol) <=> col("__battr"))))
       .select(
         col(keyCol), col(attrCol), col("valid_from"), col("n_obs"),

@@ -3309,9 +3309,14 @@ object RelationalQueries {
     * operator's reason to exist in record linkage.
     */
   val linkageDl: Q = (spark, dir) => {
+    // 8-digit block (≤10 records per block at any scale): the FULL-matrix
+    // DL DP costs ~9× the banded levenshtein per pair, so this operator
+    // gets the tighter block than linkage_fuzzy's 7-digit — the
+    // transposition-drift semantics stay pinned by spec + demo at the
+    // kernel level
     val c = t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"),
-        substring(col("c_name"), 10, 7).as("__blk"))
+        substring(col("c_name"), 10, 8).as("__blk"))
     c.as("a")
       .join(c.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.c_custkey") < col("b.c_custkey"))
@@ -3678,7 +3683,7 @@ object RelationalQueries {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "linkage_dl" ->
       """WITH c AS (
-        |  SELECT c_custkey, c_name, substring(c_name, 10, 7) AS blk FROM customer)
+        |  SELECT c_custkey, c_name, substring(c_name, 10, 8) AS blk FROM customer)
         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(damerau_levenshtein(a.c_name, b.c_name) AS INTEGER) AS dl
         |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey

@@ -92,6 +92,12 @@ class PlanAuditSpec extends AnyFunSuite {
       count(p, "BroadcastNestedLoopJoin BuildRight"), p)
   }
 
+  test("linkage_dl: block join is hash equi-join; the DL kernel stays in codegen") {
+    val p = plan("linkage_dl")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("damerau") || p.contains("DamerauLevenshtein"), p)
+  }
+
   test("linkage_sorted: rank pairing is an equi-join, never a nested loop") {
     val p = plan("linkage_sorted")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
