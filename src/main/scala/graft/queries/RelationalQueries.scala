@@ -294,6 +294,21 @@ object RelationalQueries {
       minGapMicros = 60000000L)
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** Token-bucket rate-limit replay ([[graft.ops.RateLimit.tokenBucket]]):
+    * which events a 2-token-burst, one-token-per-4 h limiter would have
+    * admitted per user — the quota/abuse policy audit. Clamped running
+    * state no window expresses: a sequential HOF fold per user's
+    * time-sorted events (one shuffle), int64 µs arithmetic throughout;
+    * the oracle replays the bucket event by event in a recursive CTE.
+    */
+  val eventsRatelimit: Q = (spark, dir) =>
+    graft.ops.RateLimit.tokenBucket(
+      Tables.eventsDf(spark, dir),
+      Seq("user_id"), "ts", "event_id",
+      capacity = 2, refillMicros = 14400000000L)
+      .select(col("user_id"), col("event_id"),
+        col("admitted").cast("int").as("admitted"))
+
   /** SCD2 dimension build from the event change log: each user's
     * consecutive runs of an event_type collapse into `[valid_from,
     * valid_to)` validity intervals with `is_current` on the open run —
@@ -3474,6 +3489,7 @@ object RelationalQueries {
     "events_hourly" -> eventsHourly,
     "events_cohorts" -> eventsCohorts,
     "events_debounce" -> eventsDebounce,
+    "events_ratelimit" -> eventsRatelimit,
     "events_transitions" -> eventsTransitions,
     "events_paths" -> eventsPaths,
     "label_kappa" -> labelKappa,
@@ -4710,6 +4726,31 @@ object RelationalQueries {
         |  FROM events)
         |SELECT event_id, user_id, event_type FROM x
         |WHERE pts IS NULL OR date_diff('microsecond', pts, ts) >= 60000000""".stripMargin,
+    // the token bucket replayed event by event: the recursive CTE carries
+    // (tokens, t) per user under the (ts, event_id) total order; capS =
+    // 2 tokens × 14400000000 µs, cost = one refill quantum — all int64,
+    // bit-exact against the HOF fold
+    "events_ratelimit" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, rn, event_id, t,
+        |    CAST(28800000000 - 14400000000 AS BIGINT) AS tokens,
+        |    1 AS admitted
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id, e.t,
+        |    least(28800000000, s.tokens + (e.t - s.t))
+        |      - CASE WHEN least(28800000000, s.tokens + (e.t - s.t))
+        |                  >= 14400000000 THEN 14400000000 ELSE 0 END,
+        |    CASE WHEN least(28800000000, s.tokens + (e.t - s.t))
+        |              >= 14400000000 THEN 1 ELSE 0 END
+        |  FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, event_id, CAST(admitted AS INTEGER) AS admitted
+        |FROM st""".stripMargin,
     // the same gaps-and-islands chain: run boundaries under the
     // (ts, event_id) total order, running-sum island ids, interval
     // stitching by lead() — IS DISTINCT FROM mirrors Spark's null-safe <=>.
