@@ -307,6 +307,60 @@ object Eval {
         coalesce((lit(grid) / col("nn_rank")).cast("long"), lit(0L)).as("rr_num"))
   }
 
+  /** nDCG@k of a system top-k list against an exact ground-truth top-k
+    * list (both `(query, item, rank)`, rank 1..k) — the graded,
+    * position-discounted companion to [[retrievalMetrics]]: a system that
+    * finds all k items but inverts their order keeps recall = 1 and loses
+    * nDCG. Relevance is the standard rank-derived grade `rel = k+1 −
+    * truth_rank`; the discount is the classic `1/log2(r+1)`.
+    *
+    * Exactness: the irrational discounts are carried as the INTEGER table
+    * `W(r) = ⌊2²⁰ / log2(r+1)⌋`, frozen at plan build (spec-pinned
+    * literals, so both engines fold the same constants — no cross-libm
+    * floor anywhere in the data path). Per query `dcg_num = Σ_matched
+    * rel·W(system_rank)` and `idcg_num = Σ_truth rel·W(truth_rank)` (the
+    * ideal order IS truth-rank order, rel being monotone in it) are exact
+    * longs; `ndcg_ppm = 10⁶·dcg_num DIV idcg_num` is the single division.
+    *
+    * Scale: one `(query, item)` equi-join of two (|Q|·k)-sized lists and
+    * a per-query partial agg — nothing corpus-sized.
+    */
+  def ndcg(
+      truth: DataFrame,
+      system: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 63, s"need 1 <= k <= 63, got $k")
+    val weights = ndcgWeights(k)
+    def ranked(c: org.apache.spark.sql.Column) =
+      when(c < 1 || c > k,
+        raise_error(concat(lit(s"rank outside 1..$k: "), c.cast("string"))))
+        .otherwise(c)
+    val t = truth.select(col(queryCol).as("q"), col(itemCol).as("item"),
+      ranked(col(rankCol).cast("int")).as("trank"))
+    val s = system.select(col(queryCol).as("q"), col(itemCol).as("item"),
+      ranked(col(rankCol).cast("int")).as("srank"))
+    val rel = (lit(k + 1) - col("trank")).cast("long")
+    t.join(s, Seq("q", "item"), "left")
+      .groupBy("q")
+      .agg(
+        sum(when(col("srank").isNotNull,
+          rel * element_at(typedLit(weights), col("srank")))
+          .otherwise(0L)).as("dcg_num"),
+        sum(rel * element_at(typedLit(weights), col("trank"))).as("idcg_num"))
+      .select(col("q").as(queryCol), col("dcg_num"), col("idcg_num"),
+        expr("dcg_num * 1000000 DIV idcg_num").as("ndcg_ppm"))
+  }
+
+  /** `⌊2²⁰ / log2(r+1)⌋` for r = 1..k — plan-time constants; the k = 10
+    * prefix is pinned literal-for-literal by the spec so the oracle's
+    * hardcoded table provably matches.
+    */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(r => (1048576.0 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
   /** Rank-biased overlap (Webber et al.) at persistence p = 1/2 between a
     * ground-truth and a system top-k list — the rank-SIMILARITY companion
     * to [[retrievalMetrics]]: recall ignores order, RBO weights agreement

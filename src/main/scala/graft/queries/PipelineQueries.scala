@@ -668,6 +668,21 @@ object PipelineQueries {
     graft.ops.Eval.rankBiasedOverlap(truth, sys, "q_id", "n_id", "rank", 10)
   }
 
+  /** nDCG@10 of the int8 list against the float ground truth
+    * ([[graft.ops.Eval.ndcg]]): the GRADED order-sensitive metric closing
+    * the retrieval-eval triad — recall (set), RBO (order), nDCG (order ×
+    * graded relevance). Discounts ride the frozen `⌊2²⁰/log2(r+1)⌋`
+    * integer table (spec-pinned literals), so dcg/idcg are exact longs
+    * and `ndcg_ppm` one integer division.
+    */
+  val evalNdcg: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+    val sys = Similarity.int8TopK(e, q, "vec_id", "embedding", 10)
+    graft.ops.Eval.ndcg(truth, sys, "q_id", "n_id", "rank", 10)
+  }
+
   /** Gopher-style intra-document repetition signals: duplicate-token
     * fraction (map-side HOFs) and the most-frequent bigram's share of all
     * bigrams. The bigram mode is PER-DOCUMENT work, so it runs as a
@@ -1951,6 +1966,7 @@ object PipelineQueries {
     "eval_isotonic" -> evalIsotonic,
     "eval_conformal" -> evalConformal,
     "eval_rbo" -> evalRbo,
+    "eval_ndcg" -> evalNdcg,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
     "sample_k_per_group" -> sampleKPerGroup,
@@ -2168,6 +2184,29 @@ object PipelineQueries {
        |SELECT q_id,
        |  CAST($num AS BIGINT) AS rbo_num,
        |  CAST($num AS DOUBLE) / ${graft.ops.Eval.rboDenom(k)} AS rbo
+       |FROM j GROUP BY q_id""".stripMargin
+  }
+
+  /** Builds the eval_ndcg oracle: the [[annListsSql]] lists; each truth
+    * row contributes `rel·W(trank)` to idcg and, when matched,
+    * `rel·W(srank)` to dcg — the SAME frozen integer discount table the
+    * op folds ([[graft.ops.Eval.ndcgWeights]], spec-pinned literals).
+    */
+  private def evalNdcgOracle(k: Int): String = {
+    val w = graft.ops.Eval.ndcgWeights(k)
+    def tbl(rankExpr: String) =
+      s"CASE $rankExpr " +
+        (1 to k).map(r => s"WHEN $r THEN ${w(r - 1)}").mkString(" ") +
+        " ELSE 0 END"
+    val rel = s"CAST(${k + 1} - trank AS BIGINT)"
+    annListsSql + s"""
+       |SELECT q_id,
+       |  CAST(SUM(CASE WHEN srank IS NULL THEN 0
+       |           ELSE $rel * ${tbl("srank")} END) AS BIGINT) AS dcg_num,
+       |  CAST(SUM($rel * ${tbl("trank")}) AS BIGINT) AS idcg_num,
+       |  CAST(SUM(CASE WHEN srank IS NULL THEN 0
+       |           ELSE $rel * ${tbl("srank")} END) * 1000000
+       |       // SUM($rel * ${tbl("trank")}) AS BIGINT) AS ndcg_ppm
        |FROM j GROUP BY q_id""".stripMargin
   }
 
@@ -3364,6 +3403,7 @@ object PipelineQueries {
         |  COALESCE(CAST(2520 / MIN(CASE WHEN trank = 1 THEN srank END) AS BIGINT), 0) AS rr_num
         |FROM j GROUP BY q_id""".stripMargin),
     "eval_rbo" -> evalRboOracle(10),
+    "eval_ndcg" -> evalNdcgOracle(10),
     "embedding_kmeans" -> kmeansOracle(8, 3, 64),
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",

@@ -202,6 +202,41 @@ class EvalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Eval.brierBins(df, "label", "score", 15) }
   }
 
+  test("ndcg: pinned weight table, perfect/inverted/missing lists") {
+    // the oracle hardcodes this table — pin it literal for literal
+    // (independently computed: floor(2^20 / log2(r+1)), r = 1..10)
+    assert(Eval.ndcgWeights(10) == Seq(1048576L, 661577L, 524288L, 451597L,
+      405644L, 373510L, 349525L, 330788L, 315652L, 303106L))
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3)
+    ).toDF("q_id", "n_id", "rank")
+    val w = Eval.ndcgWeights(3) // (1048576, 661577, 524288)
+    val system = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // perfect
+      (2L, 22L, 1), (2L, 21L, 2), (2L, 20L, 3), // fully inverted
+      (3L, 97L, 1), (3L, 98L, 2), (3L, 99L, 3)  // total miss
+    ).toDF("q_id", "n_id", "rank")
+    val out = Eval.ndcg(truth, system, "q_id", "n_id", "rank", 3)
+      .orderBy("q_id").collect()
+    val idcg = 3 * w(0) + 2 * w(1) + 1 * w(2)
+    assert(out(0).getAs[Long]("dcg_num") == idcg
+      && out(0).getAs[Long]("ndcg_ppm") == 1000000L)
+    // inverted: rel 3 lands at rank 3, rel 1 at rank 1
+    val invDcg = 3 * w(2) + 2 * w(1) + 1 * w(0)
+    assert(out(1).getAs[Long]("dcg_num") == invDcg
+      && out(1).getAs[Long]("idcg_num") == idcg
+      && out(1).getAs[Long]("ndcg_ppm") == invDcg * 1000000L / idcg)
+    assert(out(2).getAs[Long]("dcg_num") == 0L
+      && out(2).getAs[Long]("ndcg_ppm") == 0L)
+    // rank outside 1..k fails loudly
+    intercept[Exception] {
+      Eval.ndcg(truth, Seq((1L, 10L, 4)).toDF("q_id", "n_id", "rank"),
+        "q_id", "n_id", "rank", 3).collect()
+    }
+  }
+
   test("rankBiasedOverlap: exact dyadic grid matches the textbook sum") {
     // k=3, lcm(1..3)=6, denom = 2^3*6 = 48; W(m) = sum_{d=m..3} 2^(3-d)*6/d
     assert(Eval.rboWeights(3) == Seq(32L, 8L, 2L) && Eval.rboDenom(3) == 48L)
