@@ -117,6 +117,87 @@ object AsOfJoin {
     impl(left, right, leftKey, rightKey, leftTime, rightTime, rightPrefix,
       inner, forwardDir = true, staleness = Some((maxWait, rightTime)))
 
+  /** Time-INTERPOLATED as-of read — the feature-store read for continuous
+    * signals (sensor values, prices, gauges) where carrying the stale
+    * previous observation ([[backward]]) biases everything between two
+    * readings: each left row gets the straight-line value between its
+    * surrounding right observations,
+    * `v = (v_prev·(t_next − t) + v_next·(t − t_prev)) / (t_next − t_prev)`.
+    *
+    * Exactness: times are int64 µs, values arrive as an integer GRID
+    * (caller scales: cents, millidegrees — the engine-wide discipline),
+    * and the division floors via `(num − pmod(num, dT)) / dT`, which
+    * matches DuckDB's floor `//` for ANY numerator sign. An exact-hit
+    * left row (t = t_prev) reduces algebraically to `v_prev` — no special
+    * case; `t_prev = t_next` (one observation at both ends) is the one
+    * guarded branch. No prev or no next ⇒ null (edges don't extrapolate;
+    * `value_interp` is null exactly where a plot would show no line).
+    * Overflow contract: `|v_grid| · max_gap_µs` must fit int64 — at a
+    * 30-day gap that allows grids to ~3.5×10⁶, loudly documented here
+    * because silent wraparound is the one failure the oracle gate could
+    * miss if both engines wrapped identically (they don't — DuckDB
+    * promotes to INT128).
+    *
+    * Scale shape: the [[backward]] union+window technique run BOTH
+    * directions off ONE key shuffle (two window sorts share the
+    * exchange) — |L|+|R| rows move once, no join, no range explosion.
+    * Ties on equal (key, time) resolve to the max grid value in both
+    * directions (deterministic, oracle-replayed).
+    */
+  def interpolated(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueGrid: Column): DataFrame = {
+    val lStruct = struct(left.columns.map(left(_)).toIndexedSeq: _*)
+    val l2 = left.select(
+      left(leftKey).as("__k"),
+      unix_micros(left(leftTime)).as("__t"),
+      lit(1).as("__src"),
+      lStruct.as("__l"),
+      lit(null).cast("long").as("__v"))
+    val r2 = right.filter(right(rightTime).isNotNull).select(
+      right(rightKey).as("__k"),
+      unix_micros(right(rightTime)).as("__t"),
+      lit(0).as("__src"),
+      lit(null).cast(left.schema).as("__l"),
+      rightValueGrid.cast("long").as("__v"))
+    // right rows sort before left at equal (t) in BOTH traversals, so an
+    // exact-hit observation is visible to its own timestamp's reads;
+    // __v asc makes last() pick the max value among duplicate times
+    val wPrev = Window.partitionBy("__k")
+      .orderBy(col("__t").asc_nulls_first, col("__src").asc, col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("__k")
+      .orderBy(col("__t").desc_nulls_first, col("__src").asc, col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obsT = when(col("__src") === 0, col("__t"))
+    // num is an exact multiple of dT after the pmod subtraction, so the
+    // integral DIV is exact and sign-safe (truncate == floor on exact
+    // multiples) — a plain `/` would round through double past 2^53
+    val interp = expr(
+      """CASE WHEN __prev_t IS NULL OR __next_t IS NULL THEN CAST(NULL AS BIGINT)
+        |     WHEN __next_t = __prev_t THEN __prev_v
+        |     ELSE (__num - pmod(__num, __next_t - __prev_t))
+        |          DIV (__next_t - __prev_t) END""".stripMargin)
+    l2.unionByName(r2)
+      .withColumn("__prev_v", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__prev_t", last(obsT, ignoreNulls = true).over(wPrev))
+      .withColumn("__next_v", last(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__next_t", last(obsT, ignoreNulls = true).over(wNext))
+      .filter(col("__src") === 1)
+      .withColumn("__num",
+        col("__prev_v") * (col("__next_t") - col("__t")) +
+          col("__next_v") * (col("__t") - col("__prev_t")))
+      .select(left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++ Seq(
+        col("__prev_t").as("prev_t_us"), col("__prev_v").as("prev_v"),
+        col("__next_t").as("next_t_us"), col("__next_v").as("next_v"),
+        interp.cast("long").as("value_interp")): _*)
+  }
+
   private def impl(
       left: DataFrame,
       right: DataFrame,

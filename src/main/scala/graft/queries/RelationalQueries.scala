@@ -2052,6 +2052,24 @@ object RelationalQueries {
       .select(col("event_id"), col("c_event_id").as("click_id"))
   }
 
+  /** Time-INTERPOLATED as-of ([[graft.ops.AsOfJoin.interpolated]]): each
+    * click reads the straight-line purchase value between its user's
+    * surrounding purchases — the continuous-signal feature read where
+    * carrying the stale previous value biases. Cent-grid values × µs
+    * times; the pmod-floored division replays DuckDB's `//` exactly.
+    */
+  val asofInterp: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).toDF()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOfJoin.interpolated(clicks, purchases, "user_id", "user_id", "ts", "ts",
+      floor(col("value") * 100).cast("long"))
+      .select("event_id", "prev_t_us", "prev_v", "next_t_us", "next_v",
+        "value_interp")
+  }
+
   /** The same as-of semantics through the NATIVE operator (custom
     * LogicalPlan + Strategy + streaming-merge SparkPlan,
     * [[graft.plans.AsOfJoinNative]]) — one buffered row of state per
@@ -3601,6 +3619,7 @@ object RelationalQueries {
     "asof_clicks" -> asofClicks,
     "asof_native" -> asofNative,
     "asof_next" -> asofNext,
+    "asof_interp" -> asofInterp,
     "asof_stale" -> asofStale,
     "asof_followup" -> asofFollowup,
     "skew_join" -> skewJoin
@@ -6033,6 +6052,30 @@ object RelationalQueries {
         |      ORDER BY c.ts, c.event_id DESC) AS rn
         |  FROM e JOIN c ON e.user_id = c.user_id AND c.ts >= e.ts)
         |WHERE rn = 1""".stripMargin,
+    "asof_interp" ->
+      // prev = latest purchase <= t (ties: max cent value), next = earliest
+      // >= t (same tiebreak); interp floors exactly like the op's pmod DIV
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS t,
+        |        CAST(floor(value * 100) AS BIGINT) AS v
+        |      FROM events WHERE event_type = 'purchase'),
+        |prev AS (SELECT event_id, t AS prev_t_us, v AS prev_v FROM (
+        |  SELECT c.event_id, p.t, p.v,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |                       ORDER BY p.t DESC, p.v DESC) AS rn
+        |  FROM c JOIN p ON c.user_id = p.user_id AND p.t <= c.t) WHERE rn = 1),
+        |nxt AS (SELECT event_id, t AS next_t_us, v AS next_v FROM (
+        |  SELECT c.event_id, p.t, p.v,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |                       ORDER BY p.t ASC, p.v DESC) AS rn
+        |  FROM c JOIN p ON c.user_id = p.user_id AND p.t >= c.t) WHERE rn = 1)
+        |SELECT c.event_id, prev_t_us, prev_v, next_t_us, next_v,
+        |  CASE WHEN prev_t_us IS NULL OR next_t_us IS NULL THEN NULL
+        |       WHEN next_t_us = prev_t_us THEN prev_v
+        |       ELSE (prev_v * (next_t_us - c.t) + next_v * (c.t - prev_t_us))
+        |            // (next_t_us - prev_t_us) END AS value_interp
+        |FROM c LEFT JOIN prev USING (event_id) LEFT JOIN nxt USING (event_id)""".stripMargin,
     "asof_native" ->
       """SELECT e.event_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e

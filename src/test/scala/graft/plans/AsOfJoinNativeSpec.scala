@@ -154,6 +154,40 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(fwTight(1L).isEmpty)
   }
 
+  test("interpolated: line values, exact hits, edges null, floor matches //") {
+    def tdf(rows: Seq[(String, Long, Long)], names: String*) =
+      rows.toDF(names: _*).select(
+        col(names(0)), timestamp_micros(col(names(1))).as(names(1)), col(names(2)))
+    val obs = tdf(Seq(
+      ("a", 0L, 100L), ("a", 100L, 200L), // rising segment
+      ("b", 0L, 200L), ("b", 100L, 100L), // falling segment
+      ("c", 0L, 0L), ("c", 3L, 1L),       // non-divisible floor
+      ("d", 0L, -1L), ("d", 3L, 0L)       // negative numerator floor
+    ), "k", "t", "v")
+    val q = tdf(Seq(
+      ("a", 25L, 1L), ("a", 0L, 2L), ("a", 100L, 3L),  // mid, both hits
+      ("a", -10L, 4L), ("a", 200L, 5L),                 // edges
+      ("b", 75L, 6L), ("c", 1L, 7L), ("d", 1L, 8L)
+    ), "k", "t", "id")
+    val out = AsOfJoin.interpolated(q, obs, "k", "k", "t", "t", col("v"))
+      .select(col("id"), col("value_interp"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) == Some(125L), "linear midpoint")
+    assert(out(2L) == Some(100L) && out(3L) == Some(200L), "exact hits")
+    assert(out(4L).isEmpty && out(5L).isEmpty, "edges don't extrapolate")
+    assert(out(6L) == Some(125L), "falling segment interpolates too")
+    // num = 1, dT = 3: floor(1/3) = 0; num = -2, dT = 3: floor = -1
+    // (DuckDB 1//3 = 0, -2//3 = -1 — the pmod DIV must agree)
+    assert(out(7L) == Some(0L) && out(8L) == Some(-1L), "floor semantics")
+    // duplicate-time observations: max value wins on both sides
+    val dup = tdf(Seq(("e", 0L, 5L), ("e", 0L, 9L), ("e", 10L, 9L)), "k", "t", "v")
+    val qe = tdf(Seq(("e", 0L, 1L), ("e", 5L, 2L)), "k", "t", "id")
+    val oute = AsOfJoin.interpolated(qe, dup, "k", "k", "t", "t", col("v"))
+      .select(col("id"), col("value_interp"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(oute(1L) == Some(9L) && oute(2L) == Some(9L))
+  }
+
   test("strategy registers via SparkSessionExtensions too") {
     // builder-time path: a throwaway session with the extensions installed
     val s2 = spark.newSession()
