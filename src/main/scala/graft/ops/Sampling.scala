@@ -508,4 +508,45 @@ object Sampling {
       // load-bearing, not cosmetic
       .withColumn("epoch", explode(sequence(lit(1), col("__n").cast("int"))))
       .drop("n_full", "frac", "__n")
+
+  /** Token-budget quota fill — the deterministic data-mixing cut: each
+    * group (source/domain) contributes its best rows, in `scoreCol`-desc
+    * order, until that group's token quota is exhausted; the first row
+    * that would OVERSHOOT the quota is excluded (strict prefix — budgets
+    * are ceilings, not targets). The greedy prefix is exactly a running
+    * sum ≤ quota under the (score desc, id asc) total order, so unlike
+    * true bin packing it IS window-expressible: one shuffle per key, no
+    * iteration, deterministic under any partitioning.
+    *
+    * Scale shape: one groupCol-keyed window (the quota table broadcasts);
+    * at 100 TB the cumulative sum streams per partition — no per-key
+    * state beyond the running long. Rows from groups absent in `quotas`
+    * are dropped (an explicit mixing recipe lists every source it wants).
+    *
+    * @param quotas (group value, token ceiling) pairs — the mixing recipe
+    * @return admitted rows: input columns + `cum_cost` (tokens through
+    *         and including this row)
+    */
+  def budgetFill(
+      df: DataFrame,
+      groupCol: String,
+      costCol: Column,
+      scoreCol: Column,
+      idCol: String,
+      quotas: Seq[(String, Long)]): DataFrame = {
+    require(quotas.nonEmpty, "need at least one (group, quota) pair")
+    require(quotas.forall(_._2 >= 0), s"quotas must be >= 0: $quotas")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = broadcast(quotas.toDF(groupCol, "__quota"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__sc").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__sc", scoreCol)
+      .withColumn("__cost", costCol.cast("long"))
+      .join(q, groupCol)
+      .withColumn("cum_cost", sum(col("__cost")).over(w))
+      .filter(col("cum_cost") <= col("__quota"))
+      .select(df.columns.map(col).toIndexedSeq :+ col("cum_cost"): _*)
+  }
 }

@@ -1393,6 +1393,22 @@ object PipelineQueries {
       scored, "doc_id", least(lit(1.0), col("n_words") / 200.0))
   }
 
+  /** Token-budget quota fill ([[graft.ops.Sampling.budgetFill]]): each
+    * language contributes its longest docs (n_chars desc, doc_id tiebreak)
+    * until its token ceiling fills — the deterministic mixing cut that
+    * turns "40% en / 20% de…" recipes into an exact row set. zh is
+    * deliberately absent from the recipe (absent groups drop).
+    */
+  val sampleBudget: Q = (spark, dir) =>
+    Sampling.budgetFill(
+      docs(spark, dir).toDF(),
+      "lang",
+      coalesce(TextOps.tokenCount(col("text")), lit(0)),
+      coalesce(col("n_chars"), lit(0L)),
+      "doc_id",
+      Seq("en" -> 6000L, "de" -> 2000L, "fr" -> 2000L, "es" -> 2000L))
+      .select("doc_id", "lang", "cum_cost")
+
   /** Mixture weights for [[sampleMixture]]: even-numbered sources kept at
     * 0.9, odd at 0.3 — shared between the Spark query and the oracle CASE.
     */
@@ -1973,6 +1989,7 @@ object PipelineQueries {
     "sample_split_group" -> sampleSplitGroup,
     "sample_weighted" -> sampleWeighted,
     "sample_mixture" -> sampleMixture,
+    "sample_budget" -> sampleBudget,
     "sample_temperature" -> sampleTemperature,
     "sample_epochs" -> sampleEpochs,
     "vectorize_hashtf" -> vectorizeHashtf,
@@ -2395,6 +2412,23 @@ object PipelineQueries {
          |WHERE p >= 1.0 OR (p > 0 AND
          |  ${hashKeySql("doc_id", "imp")} <
          |  lpad(lower(hex(least(CAST(floor(p * 4294967296.0) AS BIGINT), 4294967295))), 8, '0'))""".stripMargin,
+    "sample_budget" ->
+      // same tokenizer, same (n_chars DESC, doc_id) order, same strict
+      // running-sum ceiling; zh absent from the recipe VALUES
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    COALESCE(n_chars, 0) AS sc,
+         |    CAST(COALESCE(len($wordsSql), 0) AS BIGINT) AS cost
+         |  FROM documents),
+         |q(lang, quota) AS (VALUES
+         |  ('en', 6000), ('de', 2000), ('fr', 2000), ('es', 2000)),
+         |c AS (
+         |  SELECT d.doc_id, d.lang, q.quota,
+         |    SUM(cost) OVER (PARTITION BY d.lang
+         |      ORDER BY sc DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+         |  FROM d JOIN q USING (lang))
+         |SELECT doc_id, lang, cum_cost FROM c WHERE cum_cost <= quota""".stripMargin,
     "sample_mixture" -> {
       val cases = mixWeights.toSeq.sortBy(_._1)
         .map { case (s, f) => s"WHEN '$s' THEN '${Sampling.fractionThreshold(f)}'" }

@@ -525,6 +525,35 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(perDoc.values.forall(n => n == 2 || n == 3), s"expected 2-3 copies, got $perDoc")
   }
 
+  test("budgetFill: strict prefix per group, ceilings hold, absent groups drop") {
+    val df = Seq(
+      // group a, quota 10: scores 9,8,7 with costs 4,4,4 → rows 1,2 fill
+      // 8; row 3 would reach 12 > 10 → cut (strict prefix: later cheaper
+      // rows stay out too because the running sum already passed)
+      ("a", 1L, 9L, 4L), ("a", 2L, 8L, 4L), ("a", 3L, 7L, 4L),
+      ("a", 4L, 6L, 1L), // cum 13 — still out despite fitting 10-8
+      // group b, quota 5: exact fill at the boundary is admitted
+      ("b", 5L, 9L, 3L), ("b", 6L, 8L, 2L), ("b", 7L, 7L, 1L),
+      // group c: absent from the recipe
+      ("c", 8L, 9L, 1L)
+    ).toDF("g", "id", "sc", "cost")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.budgetFill(d, "g", col("cost"), col("sc"), "id",
+        Seq("a" -> 10L, "b" -> 5L))
+        .select(col("id"), col("cum_cost")).as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val out = run(df)
+    assert(out == Seq((1L, 4L), (2L, 8L), (5L, 3L), (6L, 5L)))
+    assert(run(df.repartition(7)) == out, "partitioning-invariant")
+    // score ties broken by id: equal scores admit the smaller id first
+    val tie = Seq(("a", 2L, 5L, 3L), ("a", 1L, 5L, 3L)).toDF("g", "id", "sc", "cost")
+    assert(Sampling.budgetFill(tie, "g", col("cost"), col("sc"), "id",
+      Seq("a" -> 3L)).select("id").as[Long].collect().toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Sampling.budgetFill(df, "g", col("cost"), col("sc"), "id", Seq.empty)
+    }
+  }
+
   test("redactPii on adversarial strings") {
     val cases = Seq(
       "mail bob.smith@example.com now" -> "mail <EMAIL> now",
