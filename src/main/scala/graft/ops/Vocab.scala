@@ -186,4 +186,52 @@ object Vocab {
         count(lit(1)).as("n_tokens"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 — the n-gram-LM smoothing standard) with the
+    * discount frozen at d = 3/4 so EVERYTHING is exact integer
+    * arithmetic:
+    *
+    * `P(w|v) = max(c(vw) − d, 0)/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/N`
+    *
+    * over one common denominator `4·c(v)·N` (N = distinct bigram types):
+    * `num = max(4·c(vw) − 3, 0)·N + 3·N₁₊(v·)·N₁₊(·w)`, emitted as
+    * `p_kn_ppm = 10⁶·num DIV den`. The continuation counts are what make
+    * KN right for pretraining-corpus LMs: a word that appears often but
+    * only after one head ("francisco") gets a LOW unseen-context
+    * probability.
+    *
+    * Scale shape: corpus motion is the ONE bigram aggregate; the pair
+    * table is pinned (it feeds head stats, tail stats, the type count,
+    * and the output join) and everything after it is vocab-sized. The
+    * 1-row type count broadcasts; head/tail joins are vocab-keyed.
+    * Overflow: `4·max c(v)·N` must fit int64 — corpus size × bigram
+    * types, honest to ~10¹⁸ (beyond that, shard by head word).
+    *
+    * @return (w1, w2, n, p_kn_ppm) for bigrams with c(vw) ≥ `minCount`
+    */
+  def kneserNeyBigrams(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val bgs = df
+      .select(TextOps.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1))).as("z"))
+      .select(col("z.0").as("w1"), col("z.1").as("w2"))
+    val pair = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val heads = pair.groupBy("w1")
+      .agg(sum(col("n")).as("__c_head"), count(lit(1)).as("__n_cont_head"))
+    val tails = pair.groupBy("w2").agg(count(lit(1)).as("__n_cont_tail"))
+    val tot = pair.agg(count(lit(1)).as("__ntot"))
+    pair.filter(col("n") >= minCount)
+      .join(heads, "w1")
+      .join(tails, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n"),
+        expr("""(greatest(4 * n - 3, 0L) * __ntot
+               | + 3 * __n_cont_head * __n_cont_tail) * 1000000
+               |DIV (4 * __c_head * __ntot)""".stripMargin).as("p_kn_ppm"))
+  }
 }

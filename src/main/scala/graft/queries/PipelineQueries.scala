@@ -958,6 +958,15 @@ object PipelineQueries {
       .select("w1", "w2", "n", "rank")
   }
 
+  /** Interpolated Kneser–Ney bigram LM ([[graft.ops.Vocab.kneserNeyBigrams]],
+    * d = 3/4): exact-integer smoothed probabilities for every bigram seen
+    * ≥ 5 times — the n-gram-LM table a perplexity filter or DSIR-style
+    * selector scores against. The oracle folds the identical
+    * one-denominator rational.
+    */
+  val vocabKneserNey: Q = (spark, dir) =>
+    Vocab.kneserNeyBigrams(docs(spark, dir).toDF(), "text", minCount = 5L)
+
   /** Multimodal exact dedup: media grouped by content digest, electing
     * the lowest id as canonical — the byte-identical-asset collapse every
     * multimodal corpus runs before feature extraction (the binary never
@@ -2079,6 +2088,7 @@ object PipelineQueries {
     "text_readability" -> textReadability,
     "text_code_detect" -> textCodeDetect,
     "vocab_next_word" -> vocabNextWord,
+    "vocab_kneser_ney" -> vocabKneserNey,
     "text_lang_eval" -> textLangEval,
     "vocab_coverage" -> vocabCoverage,
     "text_ttr" -> textTtr,
@@ -3486,6 +3496,29 @@ object PipelineQueries {
          |      AS INTEGER) AS rank
          |  FROM pair JOIN heads ON pair.w1 = heads.w1)
          |SELECT w1, w2, n, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "vocab_kneser_ney" ->
+      // same bigram construction; head totals, continuation counts and the
+      // type count fold into ONE rational per row: num = max(4c-3,0)*N +
+      // 3*N1(v.)*N1(.w), den = 4*c(v)*N, ppm = 1e6*num // den
+      s"""WITH staged AS (SELECT $wordsSql AS ws FROM documents),
+         |bgs AS (
+         |  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+         |  FROM (SELECT ws, unnest(generate_series(0, len(ws) - 2)) AS i
+         |        FROM staged WHERE len(ws) >= 2)),
+         |pair AS (SELECT w1, w2, count(*) AS n FROM bgs GROUP BY 1, 2),
+         |heads AS (SELECT w1, sum(n) AS c_head, count(*) AS n_cont_head
+         |          FROM pair GROUP BY 1),
+         |tails AS (SELECT w2, count(*) AS n_cont_tail FROM pair GROUP BY 1),
+         |tot AS (SELECT count(*) AS ntot FROM pair)
+         |SELECT p.w1, p.w2, p.n,
+         |  (greatest(4 * p.n - 3, 0) * ntot
+         |   + 3 * n_cont_head * n_cont_tail) * 1000000
+         |  // (4 * c_head * ntot) AS p_kn_ppm
+         |FROM pair p
+         |JOIN heads h ON p.w1 = h.w1
+         |JOIN tails t ON p.w2 = t.w2
+         |CROSS JOIN tot
+         |WHERE p.n >= 5""".stripMargin,
     "text_lang_eval" ->
       s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,

@@ -1757,4 +1757,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     val q = out.filter(_._1 == "q").sortBy(_._4)
     assert(q.map(_._5).toSeq == Seq(1L, 2L), "tf ties break by doc id asc")
   }
+
+  test("kneserNeyBigrams: hand-solved KN rationals; discount mass routes by continuation") {
+    // corpus bigrams: (a,b) x2, (c,b) x1, (a,d) x1
+    // c(a)=3, c(c)=1; N1+(a.)=2, N1+(c.)=1; N1+(.b)=2, N1+(.d)=1; N=3
+    val df = Seq("a b", "a b", "c b", "a d").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Vocab.kneserNeyBigrams(df, "text", minCount = 1L)
+      .select("w1", "w2", "p_kn_ppm").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // P(b|a) = 1.25/3 + (3/4)(2/3)(2/3) = 3/4 exactly
+    assert(out(("a", "b")) == 750000L)
+    // P(d|a) = 0.25/3 + (3/4)(2/3)(1/3) = 1/4 exactly
+    assert(out(("a", "d")) == 250000L)
+    // P(b|c) = 0.25/1 + (3/4)(1/1)(2/3) = 3/4 exactly
+    assert(out(("c", "b")) == 750000L)
+    // KN's point: seen-mass + backoff-mass per head is exactly 1 -
+    // P(b|a) + P(d|a) + unseen mass routed via continuation = 1; with all
+    // vocab words seen as tails the two outputs already sum to 1 for head a
+    assert(out(("a", "b")) + out(("a", "d")) == 1000000L)
+    // minCount cuts: only the twice-seen bigram survives at 2
+    val cut = Vocab.kneserNeyBigrams(df, "text", minCount = 2L)
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    assert(cut == Seq(("a", "b")))
+    intercept[IllegalArgumentException](Vocab.kneserNeyBigrams(df, "text", 0L))
+  }
 }
