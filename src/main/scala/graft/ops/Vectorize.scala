@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -364,5 +364,52 @@ object Vectorize {
         num.cast("double") * lnG /
           (col("__tc").cast("double") * col("__tr").cast("double") * lit(1000000.0)))
         .otherwise(lit(null).cast("double")).as("psi_term"))
+  }
+
+  /** Weight-of-evidence encoding of a categorical feature against a
+    * binary target — the credit-scoring standard (`WOE_c =
+    * ln((pos_c/POS)/(neg_c/NEG))`) plus each category's Information-Value
+    * term (`IV = Σ (pos_c/POS − neg_c/NEG)·WOE_c`, the feature-selection
+    * score read off the same table).
+    *
+    * Exactness: counts are exact longs; WOE rides the engine's 2²⁰
+    * grid-floored-ln discipline (ONE libm call per category on a
+    * correctly-rounded double ratio — the text_perplexity argument), and
+    * the IV term is then pure integer arithmetic: `iv_term_grid =
+    * (pos_c·NEG − neg_c·POS)·woe_grid DIV (POS·NEG)` — the two factors
+    * always share a sign (both flip with the share ratio at exactly the
+    * same point), so the quotient is nonnegative and truncate == floor.
+    * One-sided categories (pos or neg = 0) emit null WOE rather than a
+    * smoothed lie — the caller chooses a smoothing policy explicitly.
+    *
+    * Scale shape: one category aggregate + a 1-row total broadcast —
+    * category-sized output, nothing row-sized moves twice. Null targets
+    * are excluded (scored rows only); null categories group as their own
+    * level (SQL grouping semantics — often the most predictive "missing"
+    * bucket).
+    */
+  def woeEncode(df: DataFrame, catCol: String, target: Column): DataFrame = {
+    val base = df.filter(target.isNotNull)
+      .select(col(catCol), target.cast("long").as("__y"))
+    val stats = base.groupBy(catCol).agg(
+      count(lit(1)).as("n"),
+      sum(col("__y")).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = stats.agg(
+      sum(col("n_pos")).as("__pos"), sum(col("n_neg")).as("__neg"))
+    stats.crossJoin(broadcast(tot))
+      .select(col(catCol), col("n"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          floor(log(
+            (col("n_pos").cast("double") * col("__neg").cast("double")) /
+              (col("n_neg").cast("double") * col("__pos").cast("double")))
+            * lit(1048576.0)).cast("long"))
+          .as("woe_grid"),
+        col("__pos"), col("__neg"))
+      .withColumn("iv_term_grid",
+        expr("""CASE WHEN woe_grid IS NULL THEN NULL
+               |ELSE (n_pos * __neg - n_neg * __pos) * woe_grid
+               |     DIV (__pos * __neg) END""".stripMargin))
+      .drop("__pos", "__neg")
   }
 }

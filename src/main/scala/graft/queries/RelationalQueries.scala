@@ -427,6 +427,17 @@ object RelationalQueries {
           .as("te_cents"))
   }
 
+  /** Weight-of-evidence + Information-Value table of order priority
+    * against the fulfilled flag ([[graft.ops.Vectorize.woeEncode]]):
+    * exact category counts, 2²⁰ grid-floored WOE, and pure-integer IV
+    * terms — the credit-scoring encoder and its feature-selection score
+    * in one category-sized pass.
+    */
+  val featureWoe: Q = (spark, dir) =>
+    graft.ops.Vectorize.woeEncode(
+      t(spark, dir, "orders"), "o_orderpriority",
+      col("o_orderstatus") === "F")
+
   /** Winsorization report: order totals clipped at the EXACT p01/p99
     * rank boundaries (grid-histogram rank selection — the Outliers
     * frame), rolled up per priority: how many rows each tail clips and
@@ -3570,6 +3581,7 @@ object RelationalQueries {
     "events_decompose" -> eventsDecompose,
     "markov_attribution" -> markovAttributionQ,
     "feature_target_encode" -> featureTargetEncode,
+    "feature_woe" -> featureWoe,
     "feature_winsorize" -> featureWinsorize,
     "benford_digits" -> benfordDigits,
     "feature_qnorm" -> featureQnorm,
@@ -5700,6 +5712,28 @@ object RelationalQueries {
         |      FROM documents GROUP BY 1)
         |SELECT b.*, (dup.dup_rows * 1000000) // b.n_docs AS dup_ppm
         |FROM b JOIN dup USING (source)""".stripMargin,
+    "feature_woe" ->
+      // same counts, same double ratio into ln, same 2^20 floor; the IV
+      // term repeats the floored grid long in pure integer arithmetic
+      """WITH s AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |  GROUP BY 1),
+        |s2 AS (SELECT *, n - n_pos AS n_neg FROM s),
+        |t AS (SELECT SUM(n_pos) AS pos, SUM(n_neg) AS neg FROM s2),
+        |g AS (
+        |  SELECT o_orderpriority, n, n_pos, n_neg, pos, neg,
+        |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |      CAST(floor(ln((CAST(n_pos AS DOUBLE) * CAST(neg AS DOUBLE))
+        |       / (CAST(n_neg AS DOUBLE) * CAST(pos AS DOUBLE))) * 1048576.0) AS BIGINT)
+        |    END AS woe_grid
+        |  FROM s2 CROSS JOIN t)
+        |SELECT o_orderpriority, n, n_pos, n_neg, woe_grid,
+        |  CASE WHEN woe_grid IS NULL THEN NULL
+        |       ELSE (n_pos * neg - n_neg * pos) * woe_grid // (pos * neg)
+        |  END AS iv_term_grid
+        |FROM g""".stripMargin,
     "feature_target_encode" ->
       // exact HUGEINT cent sums; one fixed-order double per row
       """WITH r AS (SELECT o_orderkey, c_mktsegment,

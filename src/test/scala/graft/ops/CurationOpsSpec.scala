@@ -1276,4 +1276,33 @@ class CurationOpsSpec extends AnyFunSuite {
       .as[(Int, String, Long, Long)].collect().sortBy(_._1)
     assert(all.toSeq == out.toSeq, "partitioning-invariant")
   }
+
+  test("woeEncode: hand-solved WOE/IV grids, one-sided nulls, null handling") {
+    // A: 3 pos / 1 neg; B: 1 pos / 3 neg; C: 2 pos / 0 neg; POS=6 NEG=4
+    val rows = Seq(
+      ("A", 1), ("A", 1), ("A", 1), ("A", 0),
+      ("B", 1), ("B", 0), ("B", 0), ("B", 0),
+      ("C", 1), ("C", 1)
+    ).map { case (c, y) => (c, y) }.toDF("cat", "y")
+    val out = Vectorize.woeEncode(rows, "cat", col("y") === 1)
+      .select("cat", "n", "n_pos", "woe_grid", "iv_term_grid")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // independently computed: floor(ln(12/6)*2^20), floor(ln(4/18)*2^20)
+    assert(out("A")._4 == Some(726817L) && out("A")._5 == Some(181704L))
+    assert(out("B")._4 == Some(-1577140L) && out("B")._5 == Some(919998L))
+    assert(out("C")._4.isEmpty && out("C")._5.isEmpty, "one-sided -> null")
+    // null targets drop; null categories form their own level
+    val withNulls = Seq(
+      (Some("A"), Some(1)), (Some("A"), None),
+      (None, Some(1)), (None, Some(0))
+    ).toDF("cat", "y")
+    val o2 = Vectorize.woeEncode(withNulls, "cat", col("y") === 1)
+      .select("cat", "n").as[(Option[String], Long)].collect().toMap
+    assert(o2(Some("A")) == 1L, "null target excluded")
+    assert(o2(None) == 2L, "null category is its own bucket")
+    // IV terms are never negative (shared-sign argument)
+    assert(Vectorize.woeEncode(rows, "cat", col("y") === 1)
+      .filter(col("iv_term_grid") < 0).count() == 0)
+  }
 }
