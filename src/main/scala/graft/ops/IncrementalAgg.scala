@@ -30,7 +30,8 @@ final class IncrementalAgg private (
     keyCols: Seq[String],
     valueCol: String,
     scale: Int,
-    store: Option[String]) {
+    store: Option[String],
+    retain: Int = 1) {
 
   // Accumulate at the FULL widened precision: Spark's sum over decimal
   // yields decimal(38, scale), and re-narrowing the running __sum to a
@@ -73,7 +74,11 @@ final class IncrementalAgg private (
       fs.create(
         new org.apache.hadoop.fs.Path(path, IncrementalAgg.CommitMarker), true).close()
       fs.listStatus(base).map(_.getPath).foreach { p =>
-        if (IncrementalAgg.stateVersion(p.getName).exists(_ < version)) fs.delete(p, true)
+        // retention window: versions older than the trailing `retain`
+        // snapshots go; retain = 1 is the classic latest-only store,
+        // retain > 1 keeps a time-travel window (readVersion)
+        if (IncrementalAgg.stateVersion(p.getName).exists(_ <= version - retain))
+          fs.delete(p, true)
       }
       spark.read.schema(merged.schema).parquet(path)
   }
@@ -165,8 +170,10 @@ object IncrementalAgg {
       keyCols: Seq[String],
       valueCol: String,
       dir: String,
-      scale: Int = 2): IncrementalAgg = {
-    val agg = new IncrementalAgg(spark, keyCols, valueCol, scale, Some(dir))
+      scale: Int = 2,
+      retain: Int = 1): IncrementalAgg = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val agg = new IncrementalAgg(spark, keyCols, valueCol, scale, Some(dir), retain)
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) {
@@ -185,5 +192,50 @@ object IncrementalAgg {
       }
     }
     agg
+  }
+
+  /** Committed snapshot versions present under `dir`, ascending — the
+    * time-travel window a `retain > 1` store keeps on disk. A version
+    * counts only with its commit marker (or legacy `_SUCCESS`), the same
+    * completeness rule recovery applies.
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base)
+      .flatMap(s => stateVersion(s.getPath.getName).map(_ -> s.getPath))
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+      .map(_._1).sorted.toSeq
+  }
+
+  /** TIME TRAVEL: the rollup exactly as it stood after epoch `v` — the
+    * "what did the dashboard say last Tuesday" read, answered from the
+    * retained snapshot rather than a raw-log replay. Whole-state-per-epoch
+    * versioning makes this read trivially consistent: one committed
+    * directory IS one epoch's world, no log compaction or manifest
+    * reconstruction. Fails loudly when `v` fell outside the retention
+    * window (or never committed) — a silent fallback to another version
+    * is the one wrong answer a time-travel read can give.
+    */
+  def readVersion(
+      spark: SparkSession,
+      dir: String,
+      v: Long,
+      scale: Int = 2,
+      sumAs: String = "total",
+      countAs: String = "n"): DataFrame = {
+    require(versions(spark, dir).contains(v),
+      s"version $v not committed under $dir (have: ${versions(spark, dir)})")
+    val df = spark.read.parquet(s"$dir/$StatePrefix$v")
+    val keys = df.columns.filterNot(c => c == "__sum" || c == "__cnt")
+    df.select(
+      keys.map(col).toIndexedSeq :+
+        col("__sum").cast(org.apache.spark.sql.types.DecimalType(38, scale))
+          .cast("double").as(sumAs) :+
+        col("__cnt").as(countAs): _*)
   }
 }

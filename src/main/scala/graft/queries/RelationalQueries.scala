@@ -2275,6 +2275,24 @@ object RelationalQueries {
     agg.current("total_value", "n_events")
   }
 
+  /** TIME TRAVEL over the durable versioned rollup
+    * ([[graft.ops.IncrementalAgg.readVersion]]): three epochs land in a
+    * `retain = 3` store, then the query reads the state as of EPOCH 2 —
+    * the "what did the dashboard say before the last load" read. The
+    * oracle recomputes epoch 2's world (batches 0–1) from the raw log;
+    * whole-state-per-epoch versioning must make them indistinguishable.
+    */
+  val snapshotTimetravel: Q = (spark, dir) => {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_timetravel").toString
+    val ev = Tables.events(spark, dir).toDF()
+    val agg = IncrementalAgg.durable(
+      spark, Seq("event_type"), "value", store, scale = 2, retain = 3)
+    (0 to 2).foreach(i => agg.update(ev.filter(col("event_id") % 3 === i)))
+    IncrementalAgg.readVersion(spark, store, 2L, scale = 2,
+      sumAs = "total_value", countAs = "n_events")
+  }
+
   /** Exact p50/p90/p99 of order value in cents by DISTRIBUTED SELECTION
     * ([[graft.ops.Selection.quantileSelect]]): bucket-descent passes,
     * no sort, no pre-chosen value grid — the arbitrary-domain exact
@@ -3498,6 +3516,7 @@ object RelationalQueries {
     "outer_count" -> outerCount,
     "full_outer" -> fullOuter,
     "view_agg_ivm" -> viewAggIvm,
+    "snapshot_timetravel" -> snapshotTimetravel,
     "view_hist_ivm" -> viewHistIvm,
     "events_reach" -> eventsReach,
     "except_all" -> exceptAll,
@@ -4117,6 +4136,13 @@ object RelationalQueries {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY user_id""".stripMargin,
+    "snapshot_timetravel" ->
+      // epoch 2's world = insert batches 0 and 1 of the % 3 split; the
+      // decimal discipline matches the store's DECIMAL(38,2) accumulation
+      """SELECT event_type,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n_events
+        |FROM events WHERE event_id % 3 <= 1 GROUP BY event_type""".stripMargin,
     "full_outer" ->
       """SELECT s_suppkey, s_nationkey, c_custkey, c_nationkey
         |FROM (SELECT s_suppkey, s_nationkey FROM supplier) s

@@ -844,6 +844,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(snaps.length == 1, snaps.mkString(","))
   }
 
+  test("IncrementalAgg retention window: time travel reads any kept epoch, loud outside") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggstore_tt").toString
+    val rows = (1L to 90L).map(i => (i, i % 4, (i * 41 % 701) / 100.0)).toDF("id", "k", "v")
+    val a = IncrementalAgg.durable(spark, Seq("k"), "v", dir, scale = 2, retain = 2)
+    (0 to 2).foreach(i => a.update(rows.filter(col("id") % 3 === i)))
+    // retain = 2 after three epochs → versions 2 and 3 on disk, 1 GC'd
+    assert(IncrementalAgg.versions(spark, dir) == Seq(2L, 3L))
+    // time-traveled epoch 2 equals a full recompute over batches 0..1
+    def recompute(p: org.apache.spark.sql.Column) = rows.filter(p).groupBy("k")
+      .agg(sum(col("v").cast("decimal(38,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val v2 = IncrementalAgg.readVersion(spark, dir, 2L)
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(v2 == recompute(col("id") % 3 <= 1))
+    // the latest retained version equals the live rollup
+    val v3 = IncrementalAgg.readVersion(spark, dir, 3L)
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val live = a.current().as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(v3 == live && v3 == recompute(lit(true)))
+    // outside the window (GC'd) or never written: loud failure, no fallback
+    intercept[IllegalArgumentException](IncrementalAgg.readVersion(spark, dir, 1L))
+    intercept[IllegalArgumentException](IncrementalAgg.readVersion(spark, dir, 9L))
+    intercept[IllegalArgumentException](
+      IncrementalAgg.durable(spark, Seq("k"), "v", dir, scale = 2, retain = 0))
+  }
+
   test("IncrementalAgg.durable recovery skips a torn (no _SUCCESS) snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggstore_torn").toString
     val rows = (1L to 80L).map(i => (i, i % 4, (i * 31 % 503) / 100.0)).toDF("id", "k", "v")
