@@ -527,6 +527,81 @@ object Sampling {
     * @return admitted rows: input columns + `cum_cost` (tokens through
     *         and including this row)
     */
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public method):
+    * score every document by how much its HASHED-unigram profile looks
+    * like a target domain rather than the raw corpus, then keep the top
+    * `topK`. The classic data-selection move when the target domain is
+    * small (curated wiki, code, a language) and the raw corpus is 100 TB
+    * of crawl.
+    *
+    * Features are md5-derived token buckets (cross-engine-replayable, the
+    * fixed-vocab hashing trick that makes the estimator corpus-size-free);
+    * per bucket the log-likelihood ratio
+    * `λ_b = ⌊2²⁰·ln( ((ct_b+1)·(Nr+B)) / ((cr_b+1)·(Nt+B)) )⌋`
+    * (add-one smoothing, one grid-floored ln per BUCKET — 64 libm calls
+    * total, the WOE discipline), and each doc's importance is the exact
+    * integer `Σ_b c_b(doc)·λ_b`. Deterministic top-k by (importance desc,
+    * id) — resampling replaced by rank selection, the reproducible-cut
+    * variant.
+    *
+    * Scale shape: one tokenize+explode pass aggregated to (doc, bucket)
+    * counts (map-side combine: ≤ B rows per doc survive), two B-sized
+    * bucket profiles, a BROADCAST λ join (B rows), one doc-keyed sum and
+    * a bounded top-k. The corpus text never shuffles; nothing row-scale
+    * moves twice.
+    *
+    * @param isTarget row predicate marking the target-domain exemplars
+    * @return (idCol, n_tokens, imp_grid, rank) — rank 1..topK
+    */
+  def dsirSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 64,
+      topK: Int = 50): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(TextOps.tokens(col(textCol))).as("__w"))
+      .select(col(idCol), col("__tgt"),
+        (conv(substring(md5(col("__w")), 1, 4), 16, 10).cast("long")
+          % buckets).as("__b"))
+    val docBucket = toks.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"), first(col("__tgt")).as("__tgt"))
+      .localCheckpoint(true)
+    val raw = docBucket.groupBy("__b").agg(sum(col("__c")).as("__cr"))
+    val tgt = docBucket.filter(col("__tgt"))
+      .groupBy("__b").agg(sum(col("__c")).as("__ct"))
+    val tots = docBucket.agg(
+      sum(col("__c")).as("__nr"),
+      sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__nt"))
+    val lambda = raw
+      .join(tgt, Seq("__b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("__b"),
+        floor(log(
+          ((coalesce(col("__ct"), lit(0L)) + 1).cast("double") *
+            (col("__nr") + buckets).cast("double")) /
+            ((col("__cr") + 1).cast("double") *
+              (col("__nt") + buckets).cast("double")))
+          * lit(1048576.0)).cast("long").as("__lam"))
+    val scored = docBucket
+      .join(broadcast(lambda), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("__lam")).as("imp_grid"))
+    // sort+limit compiles to TakeOrderedAndProject (per-partition heaps,
+    // driver merges topK) — the single-partition rank window only ever
+    // sees the topK survivors
+    val top = scored.orderBy(col("imp_grid").desc, col(idCol).asc).limit(topK)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("imp_grid").desc, col(idCol).asc)))
+  }
+
   def budgetFill(
       df: DataFrame,
       groupCol: String,

@@ -1402,6 +1402,17 @@ object PipelineQueries {
       scored, "doc_id", least(lit(1.0), col("n_words") / 200.0))
   }
 
+  /** DSIR-style importance selection ([[graft.ops.Sampling.dsirSelect]]):
+    * the 50 documents whose hashed-unigram profile most resembles the
+    * English subcorpus relative to the whole corpus — add-one-smoothed
+    * log-likelihood-ratio buckets on the 2²⁰ ln grid, exact integer doc
+    * scores, deterministic rank cut. The oracle rebuilds the md5 buckets
+    * digit by digit (ascii-mapped hex) and folds the identical rational.
+    */
+  val sampleDsir: Q = (spark, dir) =>
+    Sampling.dsirSelect(docs(spark, dir).toDF(), "doc_id", "text",
+      col("lang") === "en", buckets = 64, topK = 50)
+
   /** Token-budget quota fill ([[graft.ops.Sampling.budgetFill]]): each
     * language contributes its longest docs (n_chars desc, doc_id tiebreak)
     * until its token ceiling fills — the deterministic mixing cut that
@@ -1999,6 +2010,7 @@ object PipelineQueries {
     "sample_weighted" -> sampleWeighted,
     "sample_mixture" -> sampleMixture,
     "sample_budget" -> sampleBudget,
+    "sample_dsir" -> sampleDsir,
     "sample_temperature" -> sampleTemperature,
     "sample_epochs" -> sampleEpochs,
     "vectorize_hashtf" -> vectorizeHashtf,
@@ -2422,6 +2434,32 @@ object PipelineQueries {
          |WHERE p >= 1.0 OR (p > 0 AND
          |  ${hashKeySql("doc_id", "imp")} <
          |  lpad(lower(hex(least(CAST(floor(p * 4294967296.0) AS BIGINT), 4294967295))), 8, '0'))""".stripMargin,
+    "sample_dsir" ->
+      // md5 hex -> bucket via ascii-mapped digits (the privacy_pseudo
+      // trick); same add-one rational into ONE grid-floored ln per bucket
+      s"""WITH w AS (
+         |  SELECT doc_id, lang = 'en' AS tgt, unnest($wordsSql) AS wd
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, tgt, ((ascii(substr(md5(wd),1,1)) - CASE WHEN ascii(substr(md5(wd),1,1)) >= 97 THEN 87 ELSE 48 END) * 4096 + (ascii(substr(md5(wd),2,1)) - CASE WHEN ascii(substr(md5(wd),2,1)) >= 97 THEN 87 ELSE 48 END) * 256 + (ascii(substr(md5(wd),3,1)) - CASE WHEN ascii(substr(md5(wd),3,1)) >= 97 THEN 87 ELSE 48 END) * 16 + (ascii(substr(md5(wd),4,1)) - CASE WHEN ascii(substr(md5(wd),4,1)) >= 97 THEN 87 ELSE 48 END)) % 64 AS bk FROM w),
+         |db AS (SELECT doc_id, bk, count(*) AS c, any_value(tgt) AS tgt
+         |       FROM b GROUP BY 1, 2),
+         |raw AS (SELECT bk, sum(c) AS cr FROM db GROUP BY 1),
+         |tg AS (SELECT bk, sum(c) AS ct FROM db WHERE tgt GROUP BY 1),
+         |tots AS (SELECT sum(c) AS nr,
+         |                sum(CASE WHEN tgt THEN c ELSE 0 END) AS nt FROM db),
+         |lam AS (SELECT raw.bk,
+         |    CAST(floor(ln(
+         |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(nr + 64 AS DOUBLE))
+         |      / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 64 AS DOUBLE)))
+         |      * 1048576.0) AS BIGINT) AS lam
+         |  FROM raw LEFT JOIN tg ON raw.bk = tg.bk CROSS JOIN tots),
+         |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |             CAST(sum(c * lam) AS BIGINT) AS imp_grid
+         |      FROM db JOIN lam ON db.bk = lam.bk GROUP BY 1)
+         |SELECT doc_id, n_tokens, imp_grid,
+         |  CAST(row_number() OVER (ORDER BY imp_grid DESC, doc_id)
+         |       AS INTEGER) AS rank
+         |FROM s ORDER BY imp_grid DESC, doc_id LIMIT 50""".stripMargin,
     "sample_budget" ->
       // same tokenizer, same (n_chars DESC, doc_id) order, same strict
       // running-sum ceiling; zh absent from the recipe VALUES

@@ -565,4 +565,34 @@ class SamplingPackingSpec extends AnyFunSuite {
       .select(TextOps.redactPii(col("t"))).as[String].collect().toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("dsirSelect: target-like docs enrich to the top; deterministic under partitioning") {
+    // target exemplars speak "qqq www"; raw background speaks "aaa bbb".
+    // candidate docs: 5 target-flavored, 5 background-flavored — the
+    // likelihood-ratio score must rank every target-flavored doc first
+    val docs =
+      (1L to 5L).map(i => (i, "qqq www qqq www qqq", true)) ++      // exemplars
+        (11L to 15L).map(i => (i, "qqq www qqq www", false)) ++     // target-like
+        (21L to 25L).map(i => (i, "aaa bbb aaa bbb", false))        // background
+    val df = docs.toDF("id", "text", "is_tgt")
+    val out = Sampling.dsirSelect(df, "id", "text", col("is_tgt"),
+      buckets = 64, topK = 10)
+      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    val topTen = out.map(_._1).toSeq
+    // the 5 exemplars and the 5 target-like docs outrank all background
+    assert(topTen.toSet == ((1L to 5L) ++ (11L to 15L)).toSet, topTen.toString)
+    // partitioning invariance: identical scores and ranks
+    val out2 = Sampling.dsirSelect(df.repartition(7), "id", "text",
+      col("is_tgt"), buckets = 64, topK = 10)
+      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq == out2.toSeq)
+    // null text is inert; guards fire
+    val withNull = df.union(Seq((99L, null: String, false)).toDF("id", "text", "is_tgt"))
+    assert(!Sampling.dsirSelect(withNull, "id", "text", col("is_tgt"), 64, 20)
+      .select("id").as[Long].collect().contains(99L))
+    intercept[IllegalArgumentException](
+      Sampling.dsirSelect(df, "id", "text", col("is_tgt"), buckets = 1))
+    intercept[IllegalArgumentException](
+      Sampling.dsirSelect(df, "id", "text", col("is_tgt"), topK = 0))
+  }
 }
