@@ -382,11 +382,13 @@ object Vectorize {
     * One-sided categories (pos or neg = 0) emit null WOE rather than a
     * smoothed lie — the caller chooses a smoothing policy explicitly.
     *
-    * Scale shape: one category aggregate + a 1-row total broadcast —
-    * category-sized output, nothing row-sized moves twice. Null targets
-    * are excluded (scored rows only); null categories group as their own
-    * level (SQL grouping semantics — often the most predictive "missing"
-    * bucket).
+    * Scale shape: ONE scan into one category aggregate; the POS/NEG
+    * totals come from an unbounded window over the CATEGORY-SIZED stats
+    * frame (a separate total aggregate would re-embed the whole scan —
+    * the plan audit caught exactly that), so the single-partition window
+    * sees #categories rows, never data. Null targets are excluded
+    * (scored rows only); null categories group as their own level (SQL
+    * grouping semantics — often the most predictive "missing" bucket).
     */
   def woeEncode(df: DataFrame, catCol: String, target: Column): DataFrame = {
     val base = df.filter(target.isNotNull)
@@ -395,9 +397,10 @@ object Vectorize {
       count(lit(1)).as("n"),
       sum(col("__y")).as("n_pos"))
       .withColumn("n_neg", col("n") - col("n_pos"))
-    val tot = stats.agg(
-      sum(col("n_pos")).as("__pos"), sum(col("n_neg")).as("__neg"))
-    stats.crossJoin(broadcast(tot))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats
+      .withColumn("__pos", sum(col("n_pos")).over(all))
+      .withColumn("__neg", sum(col("n_neg")).over(all))
       .select(col(catCol), col("n"), col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           floor(log(

@@ -851,4 +851,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "the 1-row totals must broadcast\n" + p)
   }
+
+  // ------------------------------------------------------------- wave 10
+
+  test("events_ratelimit: ONE key shuffle feeds the sequential fold; no join") {
+    val p = plan("events_ratelimit")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"the groupBy(user) is the only exchange:\n$p")
+    assert(!p.contains("Join"), "the fold needs no join\n" + p)
+    assert(!p.contains("Window"), "clamped state must not fake itself as a window\n" + p)
+  }
+
+  test("asof_interp: both directions ride ONE union shuffle — no join, no range explosion") {
+    val p = plan("asof_interp")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"one key exchange shared by both window sorts:\n$p")
+    assert(!p.contains("Join"), "interpolation must not plan a range join\n" + p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("sample_budget: quota table broadcasts; one key shuffle for the running sum") {
+    val p = plan("sample_budget")
+    assert(p.contains("BroadcastHashJoin"), "the recipe must broadcast\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("sample_dsir: lambda table broadcasts; global cut is TakeOrdered, not a sort") {
+    val p = plan("sample_dsir")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must compile to per-partition heaps\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), "B-sized joins must broadcast\n" + p)
+  }
+
+  test("feature_woe: ONE scan, one category aggregate; totals fold in a stats-sized window") {
+    val p = plan("feature_woe")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(count(p, "FileScan") == 1,
+      "a second totals aggregate would re-embed the scan\n" + p)
+    assert(!p.contains("Join"), "no join needed at all\n" + p)
+  }
+
+  test("vocab_kneser_ney: everything after the pinned pair table is vocab-sized; type count broadcasts") {
+    val p = plan("vocab_kneser_ney")
+    // pair table is pinned (scan shows a checkpointed RDD, not documents)
+    assert(!p.contains("FileScan parquet") || !p.contains("documents"),
+      "the bigram aggregate must be pinned, not recomputed per consumer\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
