@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -185,6 +185,44 @@ object Eval {
       .withColumn("bin_lo", col("bin") * binWidth)
       .withColumn("pos_rate", col("n_pos").cast("double") / col("n"))
       .select("bin", "bin_lo", "n", "n_pos", "pos_rate")
+  }
+
+  /** Expected Calibration Error over grid forecasts — the single number
+    * the [[calibration]] table rolls up to: with forecasts as integers
+    * `p_num ∈ [0, scale)` and `bins` equal grid ranges,
+    * `ECE = Σ_k (n_k/N)·|acc_k − conf̄_k| = Σ_k |scale·n_pos_k − Σp_num_k|
+    * / (N·scale)` — the per-bin weights cancel into ONE exact integer
+    * numerator (`ece_num`, a sum of longs) and ONE closing double
+    * division. No per-bin float averages anywhere, so the number is
+    * partitioning- and engine-invariant.
+    *
+    * Scale shape: one partial-agg'd bins groupBy + a bins-sized rollup.
+    *
+    * @param probNum integer forecast column on the `[0, scale)` grid
+    *                (caller grids: `floor(p·scale)` clamped below scale)
+    * @return one row: (n_rows, n_bins, ece_num, ece)
+    */
+  def ece(
+      scored: DataFrame,
+      labelCol: String,
+      probNum: Column,
+      scale: Long,
+      bins: Int): DataFrame = {
+    require(bins >= 1 && scale % bins == 0, s"bins must divide scale, got $bins/$scale")
+    val w = scale / bins
+    val y = col(labelCol).cast("long")
+    scored
+      .filter(probNum.isNotNull && y.isNotNull)
+      .select(y.as("__y"), probNum.cast("long").as("__pn"))
+      .groupBy(expr(s"__pn DIV $w").as("__bin"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"),
+        sum(col("__pn")).as("__conf"))
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_bins"),
+        sum(abs(lit(scale) * col("__np") - col("__conf"))).as("ece_num"))
+      .withColumn("ece",
+        col("ece_num").cast("double") / (col("n_rows").cast("double") * scale))
   }
 
   /** Cumulative gains / lift by score bucket: rank the corpus by `(score

@@ -653,6 +653,22 @@ object PipelineQueries {
       "s", Seq((1, 10), (1, 20)))
   }
 
+  /** Expected Calibration Error ([[graft.ops.Eval.ece]]) of a synthetic
+    * grid forecast (first embedding dim shifted onto [0,1), clamped to
+    * the 2²⁰ grid) against the binary label — the single-number rollup of
+    * `eval_calibration`: per-bin weights cancel into one exact integer
+    * numerator; the only double is the closing division.
+    */
+  val evalEce: Q = (spark, dir) => {
+    val S = 1048576L
+    val pn = least(greatest(
+      floor((element_at(col("embedding"), 1).cast("double") + 0.5) * S.toDouble)
+        .cast("long"), lit(0L)), lit(S - 1))
+    graft.ops.Eval.ece(
+      emb(spark, dir).select(pn.as("__pn"), (col("label") < 5).as("y")),
+      "y", col("__pn"), S, bins = 16)
+  }
+
   /** Rank-biased overlap of the int8 list against the float ground truth
     * ([[graft.ops.Eval.rankBiasedOverlap]] at p = 1/2, k = 10): the
     * order-sensitive twin of `eval_retrieval` — a system that returns the
@@ -2003,6 +2019,7 @@ object PipelineQueries {
     "eval_conformal" -> evalConformal,
     "eval_rbo" -> evalRbo,
     "eval_ndcg" -> evalNdcg,
+    "eval_ece" -> evalEce,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
     "sample_k_per_group" -> sampleKPerGroup,
@@ -3485,6 +3502,24 @@ object PipelineQueries {
         |  COALESCE(CAST(2520 / MIN(CASE WHEN trank = 1 THEN srank END) AS BIGINT), 0) AS rr_num
         |FROM j GROUP BY q_id""".stripMargin),
     "eval_rbo" -> evalRboOracle(10),
+    "eval_ece" ->
+      // same shifted/clamped grid forecast; |scale*np - conf| folds the
+      // per-bin weights into one integer numerator
+      """WITH b AS (
+        |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+        |    least(greatest(CAST(floor((CAST(embedding[1] AS DOUBLE) + 0.5)
+        |      * 1048576.0) AS BIGINT), 0), 1048575) AS pn
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND len(embedding) >= 1),
+        |g AS (SELECT pn // 65536 AS bin, count(*) AS n, SUM(y) AS np,
+        |             SUM(pn) AS conf
+        |      FROM b GROUP BY 1)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  count(*) AS n_bins,
+        |  CAST(SUM(abs(1048576 * np - conf)) AS BIGINT) AS ece_num,
+        |  CAST(SUM(abs(1048576 * np - conf)) AS DOUBLE)
+        |    / (CAST(SUM(n) AS DOUBLE) * 1048576.0) AS ece
+        |FROM g""".stripMargin,
     "eval_ndcg" -> evalNdcgOracle(10),
     "embedding_kmeans" -> kmeansOracle(8, 3, 64),
     "text_fingerprint" ->

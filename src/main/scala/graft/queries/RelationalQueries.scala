@@ -1225,6 +1225,17 @@ object RelationalQueries {
     graft.ops.Graph.pageRankExact(edges, iterations = 3)
   }
 
+  /** Integer-exact HITS (2 rounds, [[graft.ops.Graph.hitsExact]]) over
+    * the directed order→part graph: hub orders (broad baskets of central
+    * parts) and authority parts (in many central baskets) as pure
+    * path-counting longs — the oracle unrolls the identical a/h joins.
+    */
+  val graphHits: Q = (spark, dir) =>
+    graft.ops.Graph.hitsExact(
+      t(spark, dir, "lineitem").select(
+        (col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")),
+      iterations = 2)
+
   /** The part co-purchase graph: parts sharing a high-quantity order are
     * connected. The self-join is KEY-BOUNDED (≤ 7 parts per order ⇒ ≤ 21
     * pairs) — the basket_pairs shape feeding the graph-structure ops.
@@ -2666,6 +2677,30 @@ object RelationalQueries {
       "l_orderkey", "l_returnflag")
   }
 
+  /** Preference-pair mining ([[graft.ops.Labels.preferencePairs]]): per
+    * language, best-vs-worst doc pairs by char-count grid with margin ≥ 1
+    * — the deterministic DPO-style pair construction; symmetric-extremes
+    * matching, rank-partner equi-join, no quadratic stage.
+    */
+  val labelPrefPairs: Q = (spark, dir) =>
+    Labels.preferencePairs(
+      t(spark, dir, "documents").select("doc_id", "lang", "n_chars"),
+      "lang", "doc_id", coalesce(col("n_chars"), lit(0L)), minMargin = 1L)
+
+  /** Krippendorff's alpha over ALL of each order's return-flag "ratings"
+    * ([[graft.ops.Labels.krippendorffAlpha]]): the missing-data-tolerant
+    * agreement coefficient — every order contributes however many lines
+    * it has (kappa's complete-grid requirement dropped). Exact integer
+    * disagreement ledgers on the lcm(1..7) grid; one closing division.
+    */
+  val labelAlpha: Q = (spark, dir) =>
+    Labels.krippendorffAlpha(
+      t(spark, dir, "lineitem").select("l_orderkey", "l_returnflag"),
+      "l_orderkey", "l_returnflag",
+      // the synthetic orders run to 17 lines (sf0.1); L = lcm(1..16) =
+      // 720720 keeps do_num = (n-1)*do_L inside int64 at 600k ratings
+      maxRaters = 17)
+
   /** ABC / Pareto revenue concentration over parts: exact per-part revenue
     * on the 10⁻⁴ grid, distributed prefix sum under the (revenue DESC,
     * partkey ASC) total order, classes cut at 80 / 95 % by long
@@ -3541,6 +3576,8 @@ object RelationalQueries {
     "events_transitions" -> eventsTransitions,
     "events_paths" -> eventsPaths,
     "label_kappa" -> labelKappa,
+    "label_alpha" -> labelAlpha,
+    "label_pref_pairs" -> labelPrefPairs,
     "parts_abc" -> partsAbc,
     "events_rfm" -> eventsRfm,
     "basket_pairs" -> basketPairs,
@@ -3587,6 +3624,7 @@ object RelationalQueries {
     "table_checksum" -> tableChecksumQ,
     "orders_trend" -> ordersTrend,
     "graph_pagerank" -> graphPagerank,
+    "graph_hits" -> graphHits,
     "graph_triangles" -> graphTriangles,
     "graph_communities" -> graphCommunities,
     "corr_spearman" -> corrSpearman,
@@ -4708,6 +4746,41 @@ object RelationalQueries {
         |SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path, count(*) AS n
         |FROM p WHERE t2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "label_pref_pairs" ->
+      // same (score desc, id) ranks; partner = n + 1 - rn; margin gate
+      """WITH r AS (
+        |  SELECT lang, doc_id, COALESCE(n_chars, 0) AS sc,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY COALESCE(n_chars, 0) DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT a.lang, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+        |  a.sc - b.sc AS margin
+        |FROM r a JOIN r b
+        |  ON a.lang = b.lang AND b.rn = a.n + 1 - a.rn AND a.rn * 2 < a.n + 1
+        |WHERE a.sc - b.sc >= 1""".stripMargin,
+    "label_alpha" ->
+      // same integer ledgers: 720720 = lcm(1..16) absorbs every 1/(m-1);
+      // alpha is the single closing double division
+      """WITH cnt AS (
+        |  SELECT l_orderkey AS u, l_returnflag AS v, count(*) AS c
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT u, sum(c) AS m FROM cnt GROUP BY 1 HAVING sum(c) >= 2),
+        |p AS (SELECT cnt.u, v, c, m.m FROM cnt JOIN m USING (u)),
+        |d AS (SELECT SUM((720720 // (m - 1)) * c * (m - c)) AS do_L,
+        |             SUM(c) AS n FROM p),
+        |un AS (SELECT count(*) AS n_units FROM m),
+        |de AS (SELECT SUM(nc * (n - nc)) AS deSum
+        |       FROM (SELECT v, SUM(c) AS nc FROM p GROUP BY 1) CROSS JOIN d)
+        |SELECT d.n AS n, un.n_units,
+        |  (d.n - 1) * d.do_L AS do_num,
+        |  720720 * de.deSum AS de_num,
+        |  CASE WHEN 720720 * de.deSum > 0
+        |       THEN 1.0 - CAST((d.n - 1) * d.do_L AS DOUBLE)
+        |                  / CAST(720720 * de.deSum AS DOUBLE) END AS alpha
+        |FROM d CROSS JOIN un CROSS JOIN de""".stripMargin,
     "label_kappa" ->
       // HUGEINT mirrors Spark's DECIMAL(38,0): every piece exact, one
       // fixed-order double combine at the end
@@ -5980,6 +6053,23 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |GROUP BY 1""".stripMargin,
+    "graph_hits" ->
+      // two unrolled a <- E'h; h <- Ea rounds from h0 = 1 on every source
+      """WITH e AS (SELECT DISTINCT l_orderkey * 2 AS src,
+        |                           l_partkey * 2 + 1 AS dst FROM lineitem),
+        |h0 AS (SELECT src AS node, CAST(1 AS BIGINT) AS h
+        |       FROM (SELECT DISTINCT src FROM e)),
+        |a1 AS (SELECT e.dst AS node, SUM(h0.h) AS a
+        |       FROM e JOIN h0 ON e.src = h0.node GROUP BY 1),
+        |h1 AS (SELECT e.src AS node, SUM(a1.a) AS h
+        |       FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+        |a2 AS (SELECT e.dst AS node, SUM(h1.h) AS a
+        |       FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+        |h2 AS (SELECT e.src AS node, SUM(a2.a) AS h
+        |       FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1)
+        |SELECT COALESCE(h2.node, a2.node) AS node,
+        |  COALESCE(h2.h, 0) AS hub, COALESCE(a2.a, 0) AS auth
+        |FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node""".stripMargin,
     "graph_pagerank" ->
       // the same three integer iterations, unrolled: per-edge floor-div
       // contributions, exact long sums, rational damping by integer DIV

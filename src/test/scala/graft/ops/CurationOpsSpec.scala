@@ -1305,4 +1305,97 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Vectorize.woeEncode(rows, "cat", col("y") === 1)
       .filter(col("iv_term_grid") < 0).count() == 0)
   }
+
+  test("hitsExact: hand-walked a/h rounds; sources get hub, sinks get auth") {
+    // o1->{p1,p2}, o2->p1; h0=1. a1: p1=2, p2=1. h1: o1=3, o2=2.
+    // a2: p1=h1(o1)+h1(o2)=5, p2=3. h2: o1=5+3=8, o2=5.
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("src", "dst")
+    val out = Graph.hitsExact(e, iterations = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(
+      1L -> (8L, 0L), 2L -> (5L, 0L),
+      101L -> (0L, 5L), 102L -> (0L, 3L)))
+    // duplicate edges collapse; partitioning-invariant
+    val dup = e.union(e).repartition(5)
+    val out2 = Graph.hitsExact(dup, iterations = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out2 == out)
+    intercept[IllegalArgumentException](Graph.hitsExact(e, 0))
+  }
+
+  test("ece: zero for perfectly calibrated bins, exact gap otherwise") {
+    // one bin (bins=1): 4 forecasts of 1/4 (pn = S/4), one positive ->
+    // conf sum = S, scale*np = S -> ece_num 0
+    val S = 1048576L
+    val good = Seq((S / 4, 1), (S / 4, 0), (S / 4, 0), (S / 4, 0))
+      .toDF("pn", "y")
+    val g = Eval.ece(good, "y", col("pn"), S, bins = 1).collect()(0)
+    assert(g.getAs[Long]("ece_num") == 0L && g.getAs[Double]("ece") == 0.0)
+    // two positives: |2S - S| = S over 4S -> ece = 1/4 exactly
+    val off = Seq((S / 4, 1), (S / 4, 1), (S / 4, 0), (S / 4, 0)).toDF("pn", "y")
+    val o = Eval.ece(off, "y", col("pn"), S, bins = 1).collect()(0)
+    assert(o.getAs[Long]("ece_num") == S && o.getAs[Double]("ece") == 0.25)
+    // per-bin weights cancel: splitting the same rows across bins keeps
+    // the identity ece = sum|...|/(N*scale) (here: two half-grid bins)
+    val split = Seq((100L, 1), (100L, 0), (S - 100, 1), (S - 100, 0)).toDF("pn", "y")
+    val sp = Eval.ece(split, "y", col("pn"), S, bins = 2).collect()(0)
+    val expected = (math.abs(S - 200).toDouble + math.abs(S - 2 * (S - 100)).toDouble) / (4.0 * S)
+    assert(sp.getAs[Long]("n_bins") == 2L && sp.getAs[Double]("ece") == expected)
+    intercept[IllegalArgumentException](Eval.ece(good, "y", col("pn"), S, bins = 7))
+  }
+
+  test("krippendorffAlpha: textbook anchors — 0 at chance, 1 at perfect, null degenerate") {
+    def run(rows: Seq[(Long, String)], maxR: Int = 8) =
+      Labels.krippendorffAlpha(rows.toDF("u", "v"), "u", "v", maxR).collect()(0)
+    // [A,A] + [A,B] + singleton [B]: D_o = D_e -> alpha exactly 0;
+    // hand ledger (L=420): do_L=840, do_num=(4-1)*840=2520, de_num=420*6
+    val chance = run(Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B"), (3L, "B")))
+    assert(chance.getAs[Long]("n") == 4L, "singleton unit must not pair")
+    assert(chance.getAs[Long]("n_units") == 2L)
+    assert(chance.getAs[Long]("do_num") == 2520L
+      && chance.getAs[Long]("de_num") == 2520L)
+    assert(chance.getAs[Double]("alpha") == 0.0)
+    // perfect within-unit agreement -> alpha = 1 (D_o = 0)
+    val perfect = run(Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B")))
+    assert(perfect.getAs[Double]("alpha") == 1.0)
+    // one global value -> D_e = 0 -> null, not NaN
+    val degen = run(Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A")))
+    assert(degen.isNullAt(degen.fieldIndex("alpha")))
+    // a unit over maxRaters fails loudly in-plan
+    intercept[Exception] {
+      run((1 to 9).map(i => (1L, s"v$i")) :+ (2L -> "A") :+ (2L -> "B")).toString
+    }
+  }
+
+  test("preferencePairs: symmetric extremes, odd middles unpaired, margin gate") {
+    val df = Seq(
+      ("g", 1L, 10L), ("g", 2L, 7L), ("g", 3L, 5L), ("g", 4L, 3L), // even
+      ("h", 5L, 10L), ("h", 6L, 5L), ("h", 7L, 2L),                // odd
+      ("z", 8L, 5L), ("z", 9L, 5L)                                 // zero margin
+    ).toDF("g", "id", "sc")
+    val out = Labels.preferencePairs(df, "g", "id", col("sc"), minMargin = 1L)
+      .select("g", "chosen_id", "rejected_id", "margin")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("g", 1L, 4L, 7L), ("g", 2L, 3L, 2L),
+      ("h", 5L, 7L, 8L)), out.toString)
+    // the extremes matching maximizes total margin over all perfect
+    // matchings (brute force on 6 scores)
+    val scores = Seq(11L, 8L, 6L, 5L, 2L, 1L)
+    def total(m: Seq[(Long, Long)]) = m.map { case (a, b) => (a - b).abs }.sum
+    def matchings(xs: List[Long]): Seq[Seq[(Long, Long)]] = xs match {
+      case Nil => Seq(Seq.empty)
+      case h :: t => t.flatMap { p =>
+        matchings(t.filterNot(_ == p)).map((h, p) +: _)
+      }
+    }
+    val best = matchings(scores.toList).map(total).max
+    val six = scores.zipWithIndex.map { case (sc, i) => ("s", i.toLong, sc) }
+      .toDF("g", "id", "sc")
+    val got = Labels.preferencePairs(six, "g", "id", col("sc"), 1L)
+      .select("margin").as[Long].collect().sum
+    assert(got == best, s"extremes matching must hit the max-total-margin $best")
+    intercept[IllegalArgumentException](
+      Labels.preferencePairs(df, "g", "id", col("sc"), 0L))
+  }
 }
