@@ -893,6 +893,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "no join needed at all\n" + p)
   }
 
+  test("eval_ece: one bins exchange; the rollup is bins-sized") {
+    val p = plan("eval_ece")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("label_pref_pairs: partner match is an equi-join of the pinned ranked table") {
+    val p = plan("label_pref_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "rank pairing must stay an equi-join\n" + p)
+    assert(!p.contains("FileScan"),
+      "both join sides must read the pinned ranked table, not re-rank\n" + p)
+  }
+
+  test("label_alpha: the corpus shuffles once (the unit-value aggregate); the rest is pinned") {
+    val p = plan("label_alpha")
+    assert(!p.contains("FileScan"),
+      "every consumer must read the pinned count table\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("vocab_kneser_ney: everything after the pinned pair table is vocab-sized; type count broadcasts") {
     val p = plan("vocab_kneser_ney")
     // pair table is pinned (scan shows a checkpointed RDD, not documents)
