@@ -421,6 +421,42 @@ object StreamingOps {
       }
   }
 
+  final case class BucketVerdict(user_id: Long, event_id: Long, admitted: Boolean)
+
+  /** Stateful streaming counterpart of [[graft.ops.RateLimit.tokenBucket]]:
+    * the LIVE limiter — per-user (tokens, last_ts) state in token-scaled
+    * µs units, one verdict per event the moment it arrives. State is two
+    * longs per key. Same ordering contract as [[funnelStateful]]: events
+    * sort by (ts, id) within each micro-batch and the verdicts equal the
+    * batch replay whenever each user's events arrive time-ordered across
+    * batches (spec-pinned, including state carried over batch cuts).
+    */
+  def tokenBucketStream(
+      events: Dataset[IdEvent],
+      capacity: Int,
+      refillMicros: Long): Dataset[BucketVerdict] = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(refillMicros > 0, s"refillMicros must be > 0, got $refillMicros")
+    val capS = capacity * refillMicros
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), BucketVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[IdEvent], state: GroupState[(Long, Long)]) =>
+          var (tokens, last) = state.getOption.getOrElse((capS, 0L))
+          val out = batch.toVector.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            val avail = math.min(capS, tokens + (e.ts_us - last))
+            val adm = avail >= refillMicros
+            tokens = if (adm) avail - refillMicros else avail
+            last = e.ts_us
+            BucketVerdict(uid, e.event_id, adm)
+          }
+          state.update((tokens, last))
+          out.iterator
+      }
+  }
+
   final case class TransitionHop(user_id: Long, from_type: String, to_type: String)
 
   /** Stateful streaming counterpart of [[graft.ops.Funnel.markov]]'s pair

@@ -503,4 +503,37 @@ class StreamingSpec extends AnyFunSuite {
   private implicit class Tup3Ops(rows: Array[(Long, String, String)]) {
     def toMap2: Map[Long, (String, String)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
+
+  test("streaming token bucket ≡ batch replay; bucket state survives batch cuts") {
+    implicit val sqlCtx = spark.sqlContext
+    // capacity 2, refill 100 µs — drain, partial refill, clamp; the batch
+    // cut lands mid-burst so the verdicts need batch-1 state
+    val evs = Seq(
+      StreamingOps.IdEvent(1L, "e", 0L, 1L),
+      StreamingOps.IdEvent(1L, "e", 10L, 2L),
+      StreamingOps.IdEvent(1L, "e", 20L, 3L),    // rejected: bucket drained
+      StreamingOps.IdEvent(2L, "e", 0L, 4L),
+      // --- batch cut ---
+      StreamingOps.IdEvent(1L, "e", 130L, 5L),   // needs batch-1 tokens/last
+      StreamingOps.IdEvent(1L, "e", 1000L, 6L),  // clamped refill
+      StreamingOps.IdEvent(1L, "e", 1001L, 7L),
+      StreamingOps.IdEvent(1L, "e", 1002L, 8L))  // rejected again
+    val stream = MemoryStream[StreamingOps.IdEvent]
+    val q = StreamingOps.tokenBucketStream(stream.toDS(), capacity = 2, refillMicros = 100L)
+      .writeStream.outputMode("append").format("memory").queryName("bucket").start()
+    stream.addData(evs.take(4): _*)
+    q.processAllAvailable()
+    stream.addData(evs.drop(4).reverse: _*) // ts-shuffled within the batch
+    q.processAllAvailable()
+    val got = spark.table("bucket").as[StreamingOps.BucketVerdict].collect()
+      .map(v => v.event_id -> v.admitted).toMap
+    q.stop()
+    val batch = graft.ops.RateLimit.tokenBucket(
+      evs.map(e => (e.user_id, e.ts_us, e.event_id)).toDF("u", "us", "id")
+        .select(col("u"), timestamp_micros(col("us")).as("t"), col("id")),
+      Seq("u"), "t", "id", capacity = 2, refillMicros = 100L)
+      .select(col("id"), col("admitted")).as[(Long, Boolean)].collect().toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got(3L) == false && got(5L) == true && got(8L) == false)
+  }
 }
