@@ -548,4 +548,66 @@ object Checks {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("__h")).cast("string").as("checksum"))
   }
+
+  /** Welch's unequal-variance t-test, each group against the REST — the
+    * parametric companion of [[mannWhitney]] (means with heteroskedastic
+    * groups; the A/B default when the metric is roughly symmetric).
+    *
+    * Exactness (the abReport/kappa discipline): values arrive on an
+    * integer grid, so per-group `(n, Σx, Σx²)` aggregate exactly as
+    * DECIMAL(38); the variance-over-n terms are the exact rationals
+    * `A_g = (n_g·Σx² − (Σx)²) / (n_g²·(n_g−1))`, and
+    * `t = ((S_g·n_r − S_r·n_g)/(n_g·n_r)) / √(A_g + A_r)` plus the
+    * Welch–Satterthwaite `df = (A_g+A_r)² / (A_g²/(n_g−1) + A_r²/(n_r−1))`
+    * combine those exact integers in ONE fixed-order double expression —
+    * bit-replayable cross-engine. Degenerate groups (n < 2 either side,
+    * or zero variance both sides) yield null t, never NaN.
+    *
+    * Scale shape: ONE scan into one group aggregate; rest-statistics come
+    * from totals folded in an unbounded window over the GROUP-SIZED stats
+    * frame (the feature_woe lesson — a separate totals aggregate would
+    * re-embed the scan).
+    */
+  def welchT(df: DataFrame, groupCol: String, valueGrid: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val x = valueGrid.cast("long")
+    val stats = df
+      .filter(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(d38)).as("__s"),
+        sum((x * x).cast(d38)).as("__q"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = (c: Column) => c.cast("double")
+    val wst = stats
+      .withColumn("__nr", sum(col("n")).over(all) - col("n"))
+      .withColumn("__sr", (sum(col("__s")).over(all) - col("__s")).cast(d38))
+      .withColumn("__qr", (sum(col("__q")).over(all) - col("__q")).cast(d38))
+    // guarded up front: a singleton side divides by n-1 = 0 under ANSI
+    // before the t-level when() could mask it
+    val ag = when(col("n") >= 2,
+      (d(col("__q")) * d(col("n")) - d(col("__s")) * d(col("__s"))) /
+        (d(col("n")) * d(col("n")) * (d(col("n")) - 1.0)))
+    val ar = when(col("__nr") >= 2,
+      (d(col("__qr")) * d(col("__nr")) - d(col("__sr")) * d(col("__sr"))) /
+        (d(col("__nr")) * d(col("__nr")) * (d(col("__nr")) - 1.0)))
+    wst
+      .withColumn("__ag", ag)
+      .withColumn("__ar", ar)
+      .select(col(groupCol), col("n"),
+        (d(col("__s")) / d(col("n"))).as("mean"),
+        when(col("n") >= 2 && col("__nr") >= 2 && (col("__ag") + col("__ar")) > 0.0,
+          // cross-products stay in double (exact below 2^53 — grid·rows
+          // contract) so the SQL replay needs no decimal-width gymnastics
+          ((d(col("__s")) * d(col("__nr")) - d(col("__sr")) * d(col("n"))) /
+            (d(col("n")) * d(col("__nr")))) / sqrt(col("__ag") + col("__ar")))
+          .otherwise(lit(null).cast("double")).as("t"),
+        when(col("n") >= 2 && col("__nr") >= 2 && (col("__ag") + col("__ar")) > 0.0,
+          ((col("__ag") + col("__ar")) * (col("__ag") + col("__ar"))) /
+            (col("__ag") * col("__ag") / (d(col("n")) - 1.0) +
+              col("__ar") * col("__ar") / (d(col("__nr")) - 1.0)))
+          .otherwise(lit(null).cast("double")).as("df_welch"))
+  }
 }

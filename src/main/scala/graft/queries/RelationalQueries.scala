@@ -1159,6 +1159,16 @@ object RelationalQueries {
   val geoCells: Q = (spark, dir) =>
     graft.ops.Geo.cellStats(geoPoints(spark, dir), "x", "y", 12500L)
 
+  /** Welch's unequal-variance t per return flag (each flag vs the rest,
+    * [[graft.ops.Checks.welchT]]): exact DECIMAL sufficient statistics on
+    * the integral quantity grid, one fixed-order double combine for t and
+    * the Welch-Satterthwaite df - the parametric twin of utest_quantity.
+    */
+  val ttestQuantity: Q = (spark, dir) =>
+    graft.ops.Checks.welchT(
+      t(spark, dir, "lineitem"), "l_returnflag",
+      col("l_quantity").cast("long"))
+
   /** Exact tie-corrected Mann–Whitney U per return flag (each flag vs
     * the pooled rest, [[graft.ops.Checks.mannWhitney]]): doubled ranks
     * from the value histogram keep U integral; one fixed-order double
@@ -3620,6 +3630,7 @@ object RelationalQueries {
     "geo_radius_join" -> geoRadiusJoin,
     "geo_cells" -> geoCells,
     "utest_quantity" -> utestQuantity,
+    "ttest_quantity" -> ttestQuantity,
     "kruskal_quantity" -> kruskalQuantity,
     "table_checksum" -> tableChecksumQ,
     "orders_trend" -> ordersTrend,
@@ -5096,6 +5107,47 @@ object RelationalQueries {
         |FROM p JOIN i ia ON part_a = ia.pk JOIN i ib ON part_b = ib.pk
         |WHERE support >= 3
         |ORDER BY cosine DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "ttest_quantity" ->
+      // same DECIMAL(38) (n, S, Q) per flag, rest via totals; identical
+      // double op order for mean, A terms, t, and the Satterthwaite df
+      """WITH st AS (
+        |  SELECT l_returnflag AS g, count(*) AS n,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |        AS DECIMAL(38,0))) AS q
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT g, n, s, q,
+        |    SUM(n) OVER () - n AS nr,
+        |    SUM(s) OVER () - s AS sr,
+        |    SUM(q) OVER () - q AS qr
+        |  FROM st),
+        |a AS (
+        |  SELECT g, n, s, nr, sr,
+        |    (CAST(q AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         * (CAST(n AS DOUBLE) - 1.0)) AS ag,
+        |    (CAST(qr AS DOUBLE) * CAST(nr AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |      / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)
+        |         * (CAST(nr AS DOUBLE) - 1.0)) AS ar
+        |  FROM w)
+        |SELECT g AS l_returnflag, n,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  CASE WHEN n >= 2 AND nr >= 2 AND (ag + ar) > 0.0 THEN
+        |    ((CAST(s AS DOUBLE) * CAST(nr AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(n AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) * CAST(nr AS DOUBLE))) / sqrt(ag + ar)
+        |  END AS t,
+        |  CASE WHEN n >= 2 AND nr >= 2 AND (ag + ar) > 0.0 THEN
+        |    ((ag + ar) * (ag + ar))
+        |    / (ag * ag / (CAST(n AS DOUBLE) - 1.0)
+        |       + ar * ar / (CAST(nr AS DOUBLE) - 1.0))
+        |  END AS df_welch
+        |FROM a""".stripMargin,
     "utest_quantity" ->
       // pooled doubled ranks from the value histogram (2·below+ties+1),
       // exact decimal rank sums, ONE fixed-order double z combine —

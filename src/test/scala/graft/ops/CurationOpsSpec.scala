@@ -1398,4 +1398,36 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Labels.preferencePairs(df, "g", "id", col("sc"), 0L))
   }
+
+  test("welchT: hand-solved two-group case; degenerate guards") {
+    // a = [1,2,3] (mean 2, var 1), b = [4,6] (mean 5, var 2)
+    // A_a = 1/3, A_b = 1; t_a = -3/sqrt(4/3); df = (4/3)^2/((1/9)/2 + 1)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 6L))
+      .toDF("g", "x")
+    val out = Checks.welchT(df, "g", col("x"))
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val aA = 1.0 / 3.0; val aB = 1.0
+    val tA = ((6.0 * 2.0 - 10.0 * 3.0) / (3.0 * 2.0)) / math.sqrt(aA + aB)
+    val dfA = ((aA + aB) * (aA + aB)) / (aA * aA / 2.0 + aB * aB / 1.0)
+    assert(out("a")._3 == 2.0 && out("b")._3 == 5.0)
+    assert(out("a")._4.contains(tA) && out("a")._5.contains(dfA))
+    // two groups: the rest of b IS a, so t flips sign exactly
+    assert(out("b")._4.contains(-tA))
+    // degenerate: singleton group -> null t (n < 2); zero-variance both
+    // sides -> null
+    val single = Checks.welchT(
+      Seq(("a", 1L), ("b", 4L), ("b", 6L), ("b", 8L)).toDF("g", "x"),
+      "g", col("x"))
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r._4).toMap
+    assert(single("a").isEmpty && single("b").isEmpty,
+      "a singleton poisons both group-vs-rest rows (rest of b includes it)")
+    val flat = Checks.welchT(
+      Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "x"),
+      "g", col("x"))
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(flat.forall(_._4.isEmpty), "zero variance everywhere -> null, not NaN")
+  }
 }
