@@ -504,12 +504,15 @@ object Graph {
     var a = e.sparkSession.emptyDataFrame
     var i = 0
     while (i < iterations) {
+      // only `a` is ever consumed twice (the h update + the final output
+      // join on the last round) — pinning it bounds lineage to one round;
+      // the h half-round pipelines into the next a unpinned (half the
+      // materialization jobs of pin-everything)
       a = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
         .localCheckpoint(true)
       h = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
-        .localCheckpoint(true)
       i += 1
     }
     h.join(a, Seq("node"), "full_outer")
