@@ -2314,6 +2314,26 @@ object RelationalQueries {
       sumAs = "total_value", countAs = "n_events")
   }
 
+  /** CDC between two RETAINED store versions — the `table_changes()`
+    * read: diff the per-user rollup as of epoch 1 against epoch 3
+    * ([[graft.ops.IncrementalAgg.readVersion]] × 2 into
+    * [[graft.ops.Snapshot.diff]]). The oracle recomputes both worlds
+    * from the raw log; every status must match.
+    */
+  val snapshotChanges: Q = (spark, dir) => {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_changes").toString
+    val ev = Tables.events(spark, dir).toDF()
+    val keyed = ev.withColumn("event_date", to_date(col("ts")))
+    val agg = IncrementalAgg.durable(
+      spark, Seq("user_id", "event_date"), "value", store, scale = 2, retain = 3)
+    (0 to 2).foreach(i => agg.update(keyed.filter(col("event_id") % 3 === i)))
+    Snapshot.diff(
+      IncrementalAgg.readVersion(spark, store, 1L, scale = 2),
+      IncrementalAgg.readVersion(spark, store, 3L, scale = 2),
+      Seq("user_id", "event_date"), Seq("total", "n"))
+  }
+
   /** Exact p50/p90/p99 of order value in cents by DISTRIBUTED SELECTION
     * ([[graft.ops.Selection.quantileSelect]]): bucket-descent passes,
     * no sort, no pre-chosen value grid — the arbitrary-domain exact
@@ -2554,6 +2574,21 @@ object RelationalQueries {
     * reads back into the same aggregate the raw table yields — the
     * round-trip must be lossless.
     */
+  /** File-level manifest gate ([[graft.sources.Sources.fileManifest]]):
+    * orders hash-repartitioned into 8 parquet files, then the per-file
+    * (rows, min/max key) manifest read back from the files themselves.
+    * The oracle opens the SAME files via read_parquet(filename=true) —
+    * both engines must agree on what physically landed on disk.
+    */
+  val sourceManifest: Q = (spark, dir) => {
+    val out = "/tmp/graft_manifest"
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(out)
+    graft.sources.Sources.fileManifest(spark, out, "o_orderkey")
+  }
+
   val sourceCompact: Q = (spark, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     Tables.eventsDf(spark, dir).repartition(16)
@@ -3529,6 +3564,7 @@ object RelationalQueries {
     "events_seasonality" -> eventsSeasonality,
     "snapshot_merge" -> snapshotMerge,
     "source_compact" -> sourceCompact,
+    "source_manifest" -> sourceManifest,
     "drift_bins" -> driftBins,
     "drift_psi" -> driftPsi,
     "basket_cosine" -> basketCosine,
@@ -3562,6 +3598,7 @@ object RelationalQueries {
     "full_outer" -> fullOuter,
     "view_agg_ivm" -> viewAggIvm,
     "snapshot_timetravel" -> snapshotTimetravel,
+    "snapshot_changes" -> snapshotChanges,
     "view_hist_ivm" -> viewHistIvm,
     "events_reach" -> eventsReach,
     "except_all" -> exceptAll,
@@ -3889,6 +3926,14 @@ object RelationalQueries {
         |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
         |  o_totalprice, o_orderpriority
         |FROM base WHERE o_orderkey % 10 = 2""".stripMargin,
+    "source_manifest" ->
+      // the oracle opens the PHYSICAL files the query just wrote
+      """SELECT CAST(regexp_extract(filename, 'part-(\d+)', 1) AS INTEGER)
+        |    AS part_idx,
+        |  count(*) AS n_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM read_parquet('/tmp/graft_manifest/*.parquet', filename = true)
+        |GROUP BY 1""".stripMargin,
     "source_compact" ->
       // compaction must be content-lossless: the aggregate over the
       // compacted copy equals the aggregate over the raw table
@@ -4185,6 +4230,29 @@ object RelationalQueries {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY user_id""".stripMargin,
+    "snapshot_changes" ->
+      // epoch 1 = batch 0 only; epoch 3 = the full log; statuses compared
+      // on the same decimal-exact rollup values
+      """WITH v1 AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2))
+        |         AS DOUBLE) AS t,
+        |    COUNT(*) AS n
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2),
+        |v3 AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2))
+        |         AS DOUBLE) AS t,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT COALESCE(v1.user_id, v3.user_id) AS user_id,
+        |  COALESCE(v1.event_date, v3.event_date) AS event_date,
+        |  CASE WHEN v1.user_id IS NULL THEN 'added'
+        |       WHEN v3.user_id IS NULL THEN 'removed'
+        |       WHEN v1.t = v3.t AND v1.n = v3.n THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v3
+        |  ON v1.user_id = v3.user_id AND v1.event_date = v3.event_date""".stripMargin,
     "snapshot_timetravel" ->
       // epoch 2's world = insert batches 0 and 1 of the % 3 split; the
       // decimal discipline matches the store's DECIMAL(38,2) accumulation

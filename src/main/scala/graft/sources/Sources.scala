@@ -301,4 +301,34 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Per-file manifest of a parquet directory — the stats collection a
+    * lakehouse table format (Iceberg/Delta manifests, public designs)
+    * keeps so planners can prune files without opening them: per output
+    * file, its row count and the min/max of the clustering key. Derived
+    * by READING THE FILES THEMSELVES (`input_file_name` grouping), so the
+    * manifest is the ground truth of what actually landed on disk — and
+    * the DuckDB oracle independently opens the same files, making the
+    * gate a genuine cross-engine FILE-LEVEL check, not a logical replay.
+    *
+    * The part index comes from the `part-NNNNN` component of the file
+    * name (deterministic under hash repartitioning); the attempt-uuid
+    * suffix is not exposed (non-deterministic by design).
+    *
+    * Scale shape: one scan of the directory, partial-aggregated map-side
+    * to one row per file — manifest-sized output, the same motion the
+    * real stats collectors use.
+    */
+  def fileManifest(
+      spark: SparkSession,
+      dir: String,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(dir)
+      .groupBy(regexp_extract(input_file_name(), "part-(\\d+)", 1)
+        .cast("int").as("part_idx"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"))
+  }
 }
