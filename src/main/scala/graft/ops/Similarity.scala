@@ -1175,4 +1175,77 @@ object Similarity {
     }
     assigned(cent).select(col("id").as(idCol), col("cluster"), col("dist2"))
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal, the classic 2-approximation) over the int8 unit codes —
+    * the diversity-first data-selection step: each pick is the point
+    * FARTHEST from everything already kept, so k points cover the
+    * embedding space with the smallest achievable radius (up to 2×). The
+    * dedup-complement of [[kmeansCodes]]: k-means finds the dense middles,
+    * k-center finds the edges a curated eval set must not miss.
+    *
+    * Determinism contract (the kmeansCodes discipline): int8 unit codes,
+    * exact long `d² = Σ(a−b)²`, start = smallest id, each round's pick =
+    * argmax min-distance-to-selected with (d² DESC, id ASC) tie-break —
+    * the trajectory replays pick for pick in the recursive-CTE oracle.
+    *
+    * Scale shape: per round ONE pass over the cached code table (the
+    * selected set folds as a broadcast literal — no join), pulling ONE
+    * row. k rounds total; k is small by the coreset contract.
+    *
+    * @return (pick, vec_id, d2_pick) — pick 1..k in selection order;
+    *         d2_pick = the min-d² to the prior picks that won the round
+    *         (null for the seed pick)
+    */
+  def kcenterSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.ops.Dedup.requireIntegralId(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val codes = df
+      .filter(col(vecCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("id"),
+        graft.functions.VectorExpressions.int8UnitCodes(col(vecCol))
+          .cast("array<long>").as("x"))
+      .filter(!exists(col("x"), v => v.isNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = codes.orderBy("id").limit(1).collect()
+    require(first.nonEmpty, "need at least one vector")
+    val dim = first(0).getSeq[Long](1).length
+    var sel = Vector((first(0).getLong(0), first(0).getSeq[Long](1).toArray,
+      None: Option[Long]))
+    while (sel.length < k) {
+      val cLit = typedLit(sel.map(_._2.toSeq))
+      val ids = sel.map(_._1)
+      val guarded = when(
+        size(col("x")) =!= dim,
+        raise_error(concat(lit("embedding dim "), size(col("x")).cast("string"),
+          lit(s" != $dim"))).cast("array<bigint>"))
+        .otherwise(col("x"))
+      val win = codes
+        .filter(!col("id").isin(ids: _*))
+        .withColumn("__gx", guarded)
+        .select(col("id"), col("x"),
+          array_min(transform(cLit, cv =>
+            aggregate(zip_with(col("__gx"), cv, (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, v) => acc + v))).as("__d2"))
+        .orderBy(col("__d2").desc, col("id").asc)
+        .limit(1)
+        .collect()
+      if (win.isEmpty) // fewer than k distinct vectors: return what exists
+        return sel.zipWithIndex
+          .map { case ((id, _, d2), i) => (i + 1, id, d2) }
+          .toDF("pick", "vec_id", "d2_pick")
+      sel = sel :+ ((win(0).getLong(0), win(0).getSeq[Long](1).toArray,
+        Some(win(0).getLong(2))))
+    }
+    sel.zipWithIndex
+      .map { case ((id, _, d2), i) => (i + 1, id, d2) }
+      .toDF("pick", "vec_id", "d2_pick")
+  }
 }

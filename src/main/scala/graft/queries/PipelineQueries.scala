@@ -653,6 +653,14 @@ object PipelineQueries {
       "s", Seq((1, 10), (1, 20)))
   }
 
+  /** Greedy k-center coreset ([[graft.ops.Similarity.kcenterSelect]],
+    * k = 8): the 8 most mutually-distant embeddings on the exact int8
+    * grid — diversity-first selection; the oracle replays the farthest-
+    * point traversal pick for pick in a recursive CTE.
+    */
+  val selectKcenter: Q = (spark, dir) =>
+    Similarity.kcenterSelect(emb(spark, dir).toDF(), "vec_id", "embedding", k = 8)
+
   /** Expected Calibration Error ([[graft.ops.Eval.ece]]) of a synthetic
     * grid forecast (first embedding dim shifted onto [0,1), clamped to
     * the 2²⁰ grid) against the binary label — the single-number rollup of
@@ -2020,6 +2028,7 @@ object PipelineQueries {
     "eval_rbo" -> evalRbo,
     "eval_ndcg" -> evalNdcg,
     "eval_ece" -> evalEce,
+    "select_kcenter" -> selectKcenter,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
     "sample_k_per_group" -> sampleKPerGroup,
@@ -4319,6 +4328,35 @@ object PipelineQueries {
          |  WHERE g.pick < 12 AND w.gain > 0)
          |SELECT doc_id, gain, CAST(len(covered) AS BIGINT) AS covered_total, pick
          |FROM greedy WHERE pick >= 1""".stripMargin,
+    "select_kcenter" ->
+      // farthest-point traversal from min(vec_id): each round's winner is
+      // argmax over candidates of min d2 to the chosen list, (d2 DESC, id)
+      s"""WITH RECURSIVE $int8CodesCtesSql,
+         |seed AS (SELECT min(vec_id) AS id FROM qz),
+         |greedy AS (
+         |  SELECT CAST(1 AS INTEGER) AS pick,
+         |    (SELECT id FROM seed) AS vec_id,
+         |    CAST(NULL AS BIGINT) AS d2_pick,
+         |    [(SELECT id FROM seed)] AS chosen
+         |  UNION ALL
+         |  SELECT g.pick + 1, w.vec_id, w.d2, list_append(g.chosen, w.vec_id)
+         |  FROM greedy g
+         |  CROSS JOIN LATERAL (
+         |    SELECT c.vec_id,
+         |      (SELECT min(
+         |         CAST(list_dot_product(CAST(c.q AS DOUBLE[]),
+         |                               CAST(c.q AS DOUBLE[])) AS BIGINT)
+         |         + CAST(list_dot_product(CAST(p.q AS DOUBLE[]),
+         |                                 CAST(p.q AS DOUBLE[])) AS BIGINT)
+         |         - 2 * CAST(list_dot_product(CAST(c.q AS DOUBLE[]),
+         |                                     CAST(p.q AS DOUBLE[])) AS BIGINT))
+         |       FROM qz p WHERE list_contains(g.chosen, p.vec_id)) AS d2
+         |    FROM qz c
+         |    WHERE NOT list_contains(g.chosen, c.vec_id)
+         |    ORDER BY d2 DESC, c.vec_id
+         |    LIMIT 1) w
+         |  WHERE g.pick < 8)
+         |SELECT pick, vec_id, d2_pick FROM greedy""".stripMargin,
     "search_mmr" ->
       s"""WITH RECURSIVE $int8CodesCtesSql,
          |cand AS (

@@ -1430,4 +1430,28 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect()
     assert(flat.forall(_._4.isEmpty), "zero variance everywhere -> null, not NaN")
   }
+
+  test("kcenterSelect: hand-walked farthest-point traversal; short-input degrades") {
+    // unit-quantized 2-d codes: a=(127,0) b=(0,127) c=(-127,0) d=(127,127)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f)), (4L, Seq(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kcenterSelect(df, "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // start id1; then c (d2 254^2), then b (32258), then d (16129)
+    assert(out == Seq(
+      (1, 1L, None), (2, 3L, Some(64516L)),
+      (3, 2L, Some(32258L)), (4, 4L, Some(16129L))), out.toString)
+    // partitioning invariance
+    val rep = Similarity.kcenterSelect(df.repartition(3), "vec_id", "embedding", 4)
+      .as[(Int, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rep == out)
+    // k beyond the corpus returns every vector once, order preserved
+    val short = Similarity.kcenterSelect(df, "vec_id", "embedding", k = 10)
+      .as[(Int, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(short.map(_._2).toSet == Set(1L, 2L, 3L, 4L) && short.length == 4)
+    intercept[IllegalArgumentException](
+      Similarity.kcenterSelect(df, "vec_id", "embedding", 0))
+  }
 }
