@@ -82,4 +82,57 @@ object Privacy {
     when(value.isNull, lit(null).cast("string"))
       .otherwise(array_join(masked, ""))
   }
+
+  /** Noised count release — the governance mechanism behind
+    * differentially-private count tables (Laplace(1/ε) via the inverse
+    * CDF), with the randomness drawn from md5(salt, key) so a release is
+    * REPRODUCIBLE and auditable. Stated plainly: a fixed seed is NOT
+    * differential privacy (an adversary who knows the salt can subtract
+    * the noise); this is the deterministic mechanism demo + release
+    * pipeline — swap the hash for fresh entropy at deployment and the
+    * arithmetic, sensitivity-1 scaling, and gate-checked plumbing carry
+    * over unchanged.
+    *
+    * Exactness: u = first 8 md5 hex chars over 16⁸ (a 32-bit uniform);
+    * the Laplace magnitude `−ln(arg)` rides the 2²⁰ grid-floored-ln
+    * discipline (ONE libm call per group on a correctly-rounded double
+    * ratio), ε = `epsNumer/epsDenom` scales it in pure integer arithmetic
+    * (nonnegative, so DIV == floor), and the released value is
+    * `n ± mag/2²⁰` with the single closing division.
+    *
+    * Scale shape: one group aggregate; the noise is a per-GROUP scalar
+    * expression — output-sized work after the count.
+    *
+    * @return (keyCols*, n, released_grid, released)
+    */
+  def noisedCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      epsNumer: Long,
+      epsDenom: Long,
+      salt: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(epsNumer > 0 && epsDenom > 0, s"epsilon must be > 0")
+    val U = 4294967296L // 16^8
+    val keyStr = concat_ws("\u001f",
+      lit(salt) +: keyCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__u", conv(substring(md5(keyStr), 1, 8), 16, 10).cast("long"))
+    // u < 1/2: X = b*ln(2u) <= 0 (arg odd-shifted off zero); u >= 1/2:
+    // X = -b*ln(2-2u) >= 0 — magnitude = -ln(arg/U) in both branches
+    val argN = when(col("__u") * 2 < U, col("__u") * 2 + 1)
+      .otherwise((lit(U) - col("__u")) * 2)
+    val magGrid = floor(
+      log(lit(U.toDouble) / argN.cast("double")) * lit(1048576.0)).cast("long")
+    val magScaled = expr(s"__mag * $epsDenom DIV $epsNumer")
+    counts
+      .withColumn("__mag", magGrid)
+      .withColumn("released_grid",
+        when(col("__u") * 2 < U, col("n") * 1048576L - magScaled)
+          .otherwise(col("n") * 1048576L + magScaled))
+      .withColumn("released", col("released_grid").cast("double") / 1048576.0)
+      .select(keyCols.map(col) :+ col("n") :+
+        col("released_grid") :+ col("released"): _*)
+  }
 }

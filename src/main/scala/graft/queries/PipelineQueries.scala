@@ -653,6 +653,17 @@ object PipelineQueries {
       "s", Seq((1, 10), (1, 20)))
   }
 
+  /** Seeded-Laplace noised count release ([[graft.ops.Privacy.noisedCounts]],
+    * ε = 1): per (type, day) event counts with reproducible inverse-CDF
+    * noise on the 2²⁰ ln grid — the DP-mechanism plumbing demo (the
+    * scaladoc states plainly why a fixed seed is not DP).
+    */
+  val privacyNoised: Q = (spark, dir) =>
+    graft.ops.Privacy.noisedCounts(
+      graft.tables.Tables.eventsDf(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("event_date")),
+      Seq("event_type", "event_date"), epsNumer = 1L, epsDenom = 1L, salt = "dp")
+
   /** Greedy k-center coreset ([[graft.ops.Similarity.kcenterSelect]],
     * k = 8): the 8 most mutually-distant embeddings on the exact int8
     * grid — diversity-first selection; the oracle replays the farthest-
@@ -2029,6 +2040,7 @@ object PipelineQueries {
     "eval_ndcg" -> evalNdcg,
     "eval_ece" -> evalEce,
     "select_kcenter" -> selectKcenter,
+    "privacy_noised" -> privacyNoised,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
     "sample_k_per_group" -> sampleKPerGroup,
@@ -4328,6 +4340,33 @@ object PipelineQueries {
          |  WHERE g.pick < 12 AND w.gain > 0)
          |SELECT doc_id, gain, CAST(len(covered) AS BIGINT) AS covered_total, pick
          |FROM greedy WHERE pick >= 1""".stripMargin,
+    "privacy_noised" ->
+      // same md5-uniform, same odd-shifted inverse-CDF arg, same
+      // grid-floored ln; DuckDB reads the hex via CAST('0x...' AS BIGINT)
+      """WITH c AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *, CAST(('0x' || substr(md5(
+        |      'dp' || chr(31) || COALESCE(CAST(event_type AS VARCHAR), '')
+        |           || chr(31) || COALESCE(CAST(event_date AS VARCHAR), '')),
+        |    1, 8)) AS BIGINT) AS uu
+        |  FROM c),
+        |g AS (
+        |  SELECT *, CASE WHEN uu * 2 < 4294967296 THEN uu * 2 + 1
+        |                 ELSE (4294967296 - uu) * 2 END AS argn
+        |  FROM u),
+        |m AS (
+        |  SELECT *, CAST(floor(ln(4294967296.0 / CAST(argn AS DOUBLE))
+        |                       * 1048576.0) AS BIGINT) AS mag
+        |  FROM g)
+        |SELECT event_type, event_date, n,
+        |  CASE WHEN uu * 2 < 4294967296 THEN n * 1048576 - mag
+        |       ELSE n * 1048576 + mag END AS released_grid,
+        |  CAST(CASE WHEN uu * 2 < 4294967296 THEN n * 1048576 - mag
+        |       ELSE n * 1048576 + mag END AS DOUBLE)
+        |    / 1048576.0 AS released
+        |FROM m""".stripMargin,
     "select_kcenter" ->
       // farthest-point traversal from min(vec_id): each round's winner is
       // argmax over candidates of min d2 to the chosen list, (d2 DESC, id)

@@ -1454,4 +1454,30 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.kcenterSelect(df, "vec_id", "embedding", 0))
   }
+
+  test("noisedCounts: reproducible, eps-scaled, both noise signs, exact grid") {
+    val df = (1L to 2000L).map(i => (s"g${i % 200}", i)).toDF("g", "id")
+    def run(epsN: Long, epsD: Long, salt: String) =
+      Privacy.noisedCounts(df, Seq("g"), epsN, epsD, salt)
+        .select("g", "n", "released_grid")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(1L, 1L, "s")
+    assert(a == run(1L, 1L, "s"), "same salt -> identical release")
+    assert(a != run(1L, 1L, "t"), "different salt -> different noise")
+    // noise magnitude halves EXACTLY at eps = 2 (integer DIV of the grid)
+    val half = run(2L, 1L, "s").map(r => r._1 -> r._3).toMap
+    val aMap = a.map(r => (r._1, (r._2, r._3))).toMap
+    a.foreach { case (g, n, rg) =>
+      val mag = (rg - n * 1048576L).abs
+      val magHalf = (half(g) - n * 1048576L).abs
+      assert(magHalf == mag / 2, s"eps=2 must halve the grid magnitude: $g")
+    }
+    // both signs occur and the mean |noise| is near the Laplace b = 1
+    val mags = a.map { case (_, n, rg) => rg - n * 1048576L }
+    assert(mags.exists(_ > 0) && mags.exists(_ < 0))
+    val meanAbs = mags.map(_.abs.toDouble / 1048576.0).sum / mags.length
+    assert(meanAbs > 0.6 && meanAbs < 1.5, s"mean |Laplace(1)| drifted: $meanAbs")
+    intercept[IllegalArgumentException](Privacy.noisedCounts(df, Seq.empty, 1, 1, "s"))
+    intercept[IllegalArgumentException](Privacy.noisedCounts(df, Seq("g"), 0, 1, "s"))
+  }
 }
