@@ -181,6 +181,35 @@ object TextOps {
     when(size(units) === 0, lit(0.0))
       .otherwise((size(units) - size(array_distinct(units))).cast("double") / size(units))
 
+
+  /** Gopher-style rule mask (Rae et al. 2021, public filtering rules,
+    * thresholds adapted): per document, an integer BITMASK of violated
+    * quality rules — the full-report form of a quality gate (a first-fail
+    * verdict hides how often each rule fires; per-rule counts are what a
+    * corpus dashboard tracks). Rules over the staged token array:
+    *
+    *  - bit 0: word count outside [minWords, 100 000]
+    *  - bit 1: mean word length outside [3, 10]
+    *  - bit 2: fewer than 2 DISTINCT english stopwords present (the
+    *    "is this prose at all" check)
+    *  - bit 3: duplicate-word fraction > 0.3 (templated spam)
+    *
+    * `mask = 0` is the pass. All comparisons are integer-or-single-
+    * division arithmetic — bit-exact cross-engine. Null/empty token
+    * arrays trip bit 0 (and bit 2), never error.
+    */
+  def gopherRuleMask(ws: Column, minWords: Int = 50): Column = {
+    val nw = size(ws)
+    val awl = avgWordLenOfTokens(ws)
+    val stops = size(array_intersect(array_distinct(ws),
+      typedLit(stop("en"))))
+    val dupf = dupUnitFraction(ws)
+    when(nw < minWords || nw > 100000, 1).otherwise(0) +
+      when(awl < 3.0 || awl > 10.0, 2).otherwise(0) +
+      when(stops < 2, 4).otherwise(0) +
+      when(dupf > 0.3, 8).otherwise(0)
+  }
+
   /** PII scrub patterns, applied in order (emails before IPs before
     * phone-like digit runs, so the broad digit pattern never eats an
     * address the earlier passes would have labeled). Deliberately restricted

@@ -366,6 +366,47 @@ object Vectorize {
         .otherwise(lit(null).cast("double")).as("psi_term"))
   }
 
+  /** Jensen–Shannon drift between the same two samples [[psiReport]]
+    * compares — the BOUNDED symmetric divergence (≤ ln 2) that stays
+    * finite when a bucket empties on one side, exactly where PSI's
+    * unbounded log-ratio blows up or nulls out. Same equal-frequency
+    * reference buckets; per bucket, with counts (a, b) and totals (A, B):
+    * `js_term = ½·[ a/A·ln(2aB/(aB+bA)) + b/B·ln(2bA/(aB+bA)) ]` — each
+    * ln argument is a ratio of EXACT integer products (< 2⁵³, cast-exact
+    * into the one libm call per side on the 10⁶ floor grid), each side
+    * contributes 0 (not null) when its count is 0, and the final term is
+    * one fixed-order double combine. Σ js_term ∈ [0, ln 2] is the
+    * drift score.
+    *
+    * Scale shape: identical to [[psiReport]] — bucket-sized everything
+    * after the two histogram aggregates.
+    */
+  def jsReport(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      k: Int,
+      gridScale: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val b = driftReport(ref, cur, valueCol, k, gridScale)
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        sum("n_ref").over(w).as("__tr"), sum("n_cur").over(w).as("__tc"))
+    val mixed = col("n_ref") * col("__tc") + col("n_cur") * col("__tr")
+    def side(n: Column, tot: Column, cross: Column) = {
+      val lnG = floor(log(
+        (lit(2.0) * n.cast("double") * cross.cast("double")) /
+          mixed.cast("double")) * 1000000.0).cast("long")
+      when(n > 0,
+        n.cast("double") * lnG /
+          (tot.cast("double") * lit(1000000.0)))
+        .otherwise(lit(0.0))
+    }
+    b.select(col("bucket"), col("n_ref"), col("n_cur"),
+      (lit(0.5) * (side(col("n_ref"), col("__tr"), col("__tc")) +
+        side(col("n_cur"), col("__tc"), col("__tr")))).as("js_term"))
+  }
+
   /** Weight-of-evidence encoding of a categorical feature against a
     * binary target — the credit-scoring standard (`WOE_c =
     * ln((pos_c/POS)/(neg_c/NEG))`) plus each category's Information-Value

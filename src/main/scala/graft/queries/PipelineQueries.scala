@@ -1887,6 +1887,19 @@ object PipelineQueries {
         .otherwise("ok").as("verdict"))
   }
 
+  /** Gopher-rule quality bitmask ([[graft.ops.TextOps.gopherRuleMask]],
+    * minWords = 20): every violated rule reported per document — the
+    * dashboard form of the quality gate (per-rule fire counts), pass =
+    * mask 0. All integer-or-single-division arithmetic.
+    */
+  val qualityRules: Q = (spark, dir) =>
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextOps.gopherRuleMask(
+        coalesce(TextOps.tokens(col("text")), array().cast("array<string>")),
+        minWords = 20).as("rule_mask"))
+      .withColumn("pass", (col("rule_mask") === 0).cast("int"))
+
   /** Sliding-window token chunking (size 32, overlap 8) — the map-side
     * generator every pretraining pipeline runs before tokenization.
     */
@@ -2081,6 +2094,7 @@ object PipelineQueries {
     "heavy_hitters" -> heavyHitters,
     "contamination_report" -> contaminationReport,
     "quality_gate" -> qualityGate,
+    "quality_rules" -> qualityRules,
     "pipeline_e2e" -> pipelineE2e,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_pretrain" -> pipelinePretrain,
@@ -3153,6 +3167,32 @@ object PipelineQueries {
         |WHERE text IS NULL
         |   OR md5(text) NOT IN (SELECT md5(text) FROM documents
         |                        WHERE source = 'src0' AND text IS NOT NULL)""".stripMargin,
+    "quality_rules" ->
+      // same tokens, same thresholds, same bit weights
+      s"""WITH w AS (
+         |  SELECT doc_id, COALESCE($wordsSql, []) AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ws) AS nw,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform(ws, x -> length(x)))
+         |              AS DOUBLE) / len(ws) END AS awl,
+         |    len(list_filter(list_distinct(ws),
+         |        w -> list_contains($enStopSql, w))) AS stops,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+         |              / len(ws) END AS dupf
+         |  FROM w)
+         |SELECT doc_id,
+         |  (CASE WHEN nw < 20 OR nw > 100000 THEN 1 ELSE 0 END
+         |   + CASE WHEN awl < 3.0 OR awl > 10.0 THEN 2 ELSE 0 END
+         |   + CASE WHEN stops < 2 THEN 4 ELSE 0 END
+         |   + CASE WHEN dupf > 0.3 THEN 8 ELSE 0 END) AS rule_mask,
+         |  CASE WHEN (CASE WHEN nw < 20 OR nw > 100000 THEN 1 ELSE 0 END
+         |   + CASE WHEN awl < 3.0 OR awl > 10.0 THEN 2 ELSE 0 END
+         |   + CASE WHEN stops < 2 THEN 4 ELSE 0 END
+         |   + CASE WHEN dupf > 0.3 THEN 8 ELSE 0 END) = 0
+         |  THEN 1 ELSE 0 END AS pass
+         |FROM m""".stripMargin,
     "quality_gate" ->
       s"""WITH staged AS (
          |  SELECT doc_id, $wordsSql AS ws,

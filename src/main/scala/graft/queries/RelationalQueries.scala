@@ -2626,6 +2626,20 @@ object RelationalQueries {
       "o_totalprice", k = 8)
   }
 
+  /** Jensen–Shannon drift over the same even/odd split as `drift_psi`
+    * ([[graft.ops.Vectorize.jsReport]]): the BOUNDED symmetric divergence
+    * that stays finite where PSI nulls out on one-sided buckets — exact
+    * integer-product ln arguments on the 10⁻⁶ grid, zero-sided buckets
+    * contribute 0.
+    */
+  val driftJs: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    graft.ops.Vectorize.jsReport(
+      o.filter(col("o_orderkey") % 2 === 0),
+      o.filter(col("o_orderkey") % 2 === 1),
+      "o_totalprice", k = 8)
+  }
+
   /** Item-item cosine similarity from basket co-occurrence
     * (`support/√(s_a·s_b)` — the memory-based collaborative-filtering
     * score): top-20 under the deterministic (cosine DESC, a, b) order.
@@ -2663,6 +2677,25 @@ object RelationalQueries {
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
       .withColumn("variant", pmod(col("user_id"), lit(2)))
     graft.ops.Experiment.abReport(units, "variant", "converted")
+  }
+
+  /** Hourly OHLC bars per event type — the finance-style candlestick
+    * rollup: open/close by the (ts, event_id) total order (`min_by`/
+    * `max_by` struct ordering — ids are unique, so the pick is exact),
+    * high/low as plain extremes, raw doubles passing through bitwise.
+    * One partial-agg'd groupBy; the oracle replays open/close with rank
+    * windows.
+    */
+  val eventsOhlc: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+    val ord = struct(col("ts"), col("event_id"))
+    ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_hour"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n"))
   }
 
   /** Hour-of-day seasonality profile per event type: the diurnal shape
@@ -3562,11 +3595,13 @@ object RelationalQueries {
     "funnel_latency" -> funnelLatency,
     "events_wow" -> eventsWow,
     "events_seasonality" -> eventsSeasonality,
+    "events_ohlc" -> eventsOhlc,
     "snapshot_merge" -> snapshotMerge,
     "source_compact" -> sourceCompact,
     "source_manifest" -> sourceManifest,
     "drift_bins" -> driftBins,
     "drift_psi" -> driftPsi,
+    "drift_js" -> driftJs,
     "basket_cosine" -> basketCosine,
     "ab_report" -> abReport,
     "source_zorder" -> sourceZorder,
@@ -3905,6 +3940,23 @@ object RelationalQueries {
         |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap_s END) AS med_gap_s,
         |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_s END) AS p90_gap_s
         |FROM w GROUP BY stage_from, stage_to""".stripMargin,
+    "events_ohlc" ->
+      // open/close replayed with rank windows under the (ts, id) total
+      // order; high/low/n are plain aggregates
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT event_type, bar_hour,
+        |  MIN(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MIN(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "events_seasonality" ->
       """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type,
         |  count(*) AS n,
@@ -3948,6 +4000,28 @@ object RelationalQueries {
         """SELECT CAST(COALESCE(rb.bucket, cb.bucket) AS INTEGER) AS bucket,
         |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
         |  abs(COALESCE(n_cur, 0) * t.tr - COALESCE(n_ref, 0) * t.tc) AS tv_numer
+        |FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket CROSS JOIN t""".stripMargin),
+    "drift_js" ->
+      // same buckets; per side a/A * floor-grid ln(2*a*B / (aB + bA)),
+      // zero-count sides contribute 0.0 (JS stays finite)
+      (driftBinsCtesSql +
+        """SELECT CAST(COALESCE(rb.bucket, cb.bucket) AS INTEGER) AS bucket,
+        |  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+        |  0.5 * (
+        |    CASE WHEN COALESCE(n_ref, 0) > 0 THEN
+        |      CAST(n_ref AS DOUBLE)
+        |      * CAST(floor(ln((2.0 * CAST(n_ref AS DOUBLE) * CAST(t.tc AS DOUBLE))
+        |          / CAST(COALESCE(n_ref, 0) * t.tc + COALESCE(n_cur, 0) * t.tr
+        |                 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      / (CAST(t.tr AS DOUBLE) * 1000000.0)
+        |    ELSE 0.0 END +
+        |    CASE WHEN COALESCE(n_cur, 0) > 0 THEN
+        |      CAST(n_cur AS DOUBLE)
+        |      * CAST(floor(ln((2.0 * CAST(n_cur AS DOUBLE) * CAST(t.tr AS DOUBLE))
+        |          / CAST(COALESCE(n_ref, 0) * t.tc + COALESCE(n_cur, 0) * t.tr
+        |                 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      / (CAST(t.tc AS DOUBLE) * 1000000.0)
+        |    ELSE 0.0 END) AS js_term
         |FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket CROSS JOIN t""".stripMargin),
     "drift_psi" ->
       // the same bucket construction; per-bucket PSI terms on the floored
