@@ -1480,4 +1480,53 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Privacy.noisedCounts(df, Seq.empty, 1, 1, "s"))
     intercept[IllegalArgumentException](Privacy.noisedCounts(df, Seq("g"), 0, 1, "s"))
   }
+
+  test("jsReport: 0 on identical samples, caps at ln 2 on disjoint ones") {
+    val a = (1L to 400L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
+    val same = Vectorize.jsReport(a, a, "v", k = 4)
+      .agg(sum("js_term")).as[Double].collect()(0)
+    assert(math.abs(same) < 1e-3, s"identical samples must score ~0: $same")
+    // disjoint supports: every bucket one-sided -> each side ln2 exactly
+    // (on the floored grid), total = ln 2 within grid resolution
+    val lo = (1L to 200L).map(i => (i, 1.0)).toDF("id", "v")
+    val hi = (1L to 200L).map(i => (i, 1000.0)).toDF("id", "v")
+    val js = Vectorize.jsReport(lo, hi, "v", k = 4)
+      .agg(sum("js_term")).as[Double].collect()(0)
+    assert(math.abs(js - math.log(2.0)) < 1e-3, s"disjoint must reach ln2: $js")
+    // PSI's one-sided buckets are null there; JS never is
+    assert(Vectorize.jsReport(lo, hi, "v", 4).filter(col("js_term").isNull).count() == 0)
+  }
+
+  test("gopherRuleMask: each rule flips its own bit; empty tokens trip 0 and 2") {
+    def mask(text: String, minWords: Int = 3) =
+      Seq(Tuple1(text)).toDF("t")
+        .select(TextOps.gopherRuleMask(
+          coalesce(TextOps.tokens(col("t")), array().cast("array<string>")),
+          minWords).as("m"))
+        .as[Int].collect()(0)
+    assert(mask("the quick brown fox jumps over that lazy sleeping dog") == 0,
+      "clean prose passes")
+    assert(mask("the was") == 1, "short doc -> bit 0 alone (len 3.0, 2 stopwords)")
+    assert((mask("the is xx yy zz aa") & 2) == 2, "tiny mean word len -> bit 1")
+    assert((mask("zebra quark vortex jumble nymph") & 4) == 4,
+      "no stopwords -> bit 2")
+    assert((mask("the the the the is is word word word word") & 8) == 8,
+      "duplicate spam -> bit 3")
+    assert(mask("") == (1 | 2 | 4), "empty: short, zero-len words, no stopwords — never an error")
+  }
+
+  test("events OHLC semantics: open/close follow the (ts, id) order") {
+    val rows = Seq(
+      (1L, 100L, "a", 5.0), (2L, 100L, "a", 9.0), // tie on ts: id orders
+      (3L, 200L, "a", 1.0), (4L, 300L, "a", 7.0)
+    ).toDF("event_id", "us", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), col("value"))
+    val ord = org.apache.spark.sql.functions.struct(col("ts"), col("event_id"))
+    val r = rows.groupBy("event_type")
+      .agg(min_by(col("value"), ord).as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), max_by(col("value"), ord).as("close"))
+      .as[(String, Double, Double, Double, Double)].collect()(0)
+    assert(r == (("a", 5.0, 9.0, 1.0, 7.0)))
+  }
 }
