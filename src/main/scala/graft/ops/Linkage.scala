@@ -189,4 +189,40 @@ object Linkage {
         greatest(col("ia"), col("ib")).as("id_b"),
         col("dist"))
   }
+
+  /** Fellegi–Sunter (1969, the probabilistic record-linkage standard)
+    * agreement weights as PLAN-TIME integer constants: for a field with
+    * match probability m = mNum/mDen (P(agree | same entity)) and chance
+    * probability u = uNum/uDen (P(agree | different entities)), the
+    * log-likelihood-ratio weights on the 2²⁰ grid are
+    * `w_agree = ⌊2²⁰·ln(m/u)⌋` and `w_disagree = ⌊2²⁰·ln((1−m)/(1−u))⌋`.
+    * Both are computed ONCE from exact rational ratios at plan build (the
+    * eval_ndcg frozen-constant pattern — the oracle builder calls this
+    * same function, so the literals cannot drift), and a record pair's
+    * match score is then pure integer addition over its agreement
+    * pattern — exact, partitioning-invariant, engine-replayable.
+    */
+  def fsWeights(mNum: Long, mDen: Long, uNum: Long, uDen: Long): (Long, Long) = {
+    require(mNum > 0 && uNum > 0 && mNum < mDen && uNum < uDen,
+      s"need 0 < u,m < 1 as proper fractions, got m=$mNum/$mDen u=$uNum/$uDen")
+    require(mNum * uDen > uNum * mDen, s"need m > u (an informative field)")
+    val wa = math.floor(math.log(
+      (mNum * uDen).toDouble / (mDen * uNum).toDouble) * 1048576.0).toLong
+    val wd = math.floor(math.log(
+      ((mDen - mNum) * uDen).toDouble / (mDen * (uDen - uNum)).toDouble)
+      * 1048576.0).toLong
+    (wa, wd)
+  }
+
+  /** The pair score for an agreement pattern: Σ over fields of
+    * `w_agree` when the field agrees, `w_disagree` when it disagrees, 0
+    * when either side is missing (the FS missing-data convention — an
+    * unobserved comparison carries no evidence).
+    */
+  def fsScore(fields: Seq[(Column, (Long, Long))]): Column = {
+    require(fields.nonEmpty, "need at least one field")
+    fields.map { case (agree, (wa, wd)) =>
+      when(agree.isNull, 0L).when(agree, wa).otherwise(wd)
+    }.reduce(_ + _)
+  }
 }

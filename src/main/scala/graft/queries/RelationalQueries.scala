@@ -1601,6 +1601,53 @@ object RelationalQueries {
         (col("__h.level") + col("__h.trend")).as("forecast_next"))
   }
 
+  /** Integer Holt–Winters: the [[eventsSmoothing]] ½-shift recurrence
+    * extended with ADDITIVE WEEKLY seasonality (α = β = γ = ½ as
+    * arithmetic shifts; dow = days-since-epoch mod 7, engine-neutral) —
+    * the capacity-planning forecast that knows Mondays from Sundays.
+    * State per type = (level, trend, s[0..6]); the fold is sequential
+    * over the date-sorted day array (day-sized state, one aggregate
+    * shuffle); the oracle carries all nine state columns day by day in
+    * a recursive CTE. `forecast_next = level + trend + s[(dow_last+1)%7]`.
+    */
+  val eventsHoltWinters: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("event_type"),
+        struct(col("__d").as("d"),
+          pmod(datediff(col("__d"), lit(java.sql.Date.valueOf("1970-01-01"))),
+            lit(7)).cast("int").as("k"),
+          col("__n").as("n")).as("__e"))
+    val folded = daily.groupBy("event_type")
+      .agg(array_sort(collect_list(col("__e"))).as("__s"))
+      .select(col("event_type"),
+        element_at(col("__s"), -1).getField("k").as("__klast"),
+        aggregate(
+          expr("slice(__s, 2, size(__s))"),
+          struct(
+            element_at(col("__s"), 1).getField("n").as("level"),
+            lit(0L).as("trend"),
+            typedLit(Seq.fill(7)(0L)).as("s")),
+          (acc, x) => {
+            val sk = element_at(acc.getField("s"), x.getField("k") + 1)
+            val lvl = shiftright(
+              (x.getField("n") - sk) + acc.getField("level") + acc.getField("trend"), 1)
+            val tr = shiftright(
+              acc.getField("trend") + (lvl - acc.getField("level")), 1)
+            val sNew = shiftright((x.getField("n") - lvl) + sk, 1)
+            struct(lvl.as("level"), tr.as("trend"),
+              transform(acc.getField("s"),
+                (v, i) => when(i === x.getField("k"), sNew).otherwise(v)).as("s"))
+          }).as("__h"))
+    folded.select(col("event_type"),
+      col("__h.level").as("level"), col("__h.trend").as("trend"),
+      (col("__h.level") + col("__h.trend") +
+        element_at(col("__h.s"), pmod(col("__klast") + 1, lit(7)) + 1))
+        .as("forecast_next"),
+      col("__h.s").as("seasonals"))
+  }
+
   /** Sequence-pattern matching — `A → B with NO C between` (the
     * MATCH_RECOGNIZE staple Spark's DataFrame API lacks): per user, each
     * signup either converts CLEANLY (a purchase follows with no error in
@@ -3519,6 +3566,32 @@ object RelationalQueries {
         graft.functions.JaroWinkler.jaroWinkler(col("a.c_name"), col("b.c_name")).as("jw"))
   }
 
+  /** Fellegi–Sunter probabilistic linkage scores
+    * ([[graft.ops.Linkage.fsWeights]]/fsScore): nation-blocked customer
+    * pairs scored by exact integer log-likelihood-ratio weights over
+    * three field agreements (segment, name 2-suffix, balance-thousand
+    * bucket); positive total evidence survives. The oracle builder calls
+    * the SAME weight function, so the frozen constants cannot drift.
+    */
+  val linkageFs: Q = (spark, dir) => {
+    val (waS, wdS) = graft.ops.Linkage.fsWeights(4, 5, 1, 5)
+    val (waP, wdP) = graft.ops.Linkage.fsWeights(9, 10, 1, 100)
+    val (waB, wdB) = graft.ops.Linkage.fsWeights(7, 10, 1, 10)
+    val c = t(spark, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+      expr("right(c_name, 2)").as("p3"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bb"))
+    val a = c.toDF("ia", "nk", "sa", "pa", "ba")
+    val b = c.toDF("ib", "nk", "sb", "pb", "bbx")
+    a.join(b, Seq("nk")).filter(col("ia") < col("ib"))
+      .withColumn("fs_grid", graft.ops.Linkage.fsScore(Seq(
+        (col("sa") === col("sb"), (waS, wdS)),
+        (col("pa") === col("pb"), (waP, wdP)),
+        (col("ba") === col("bbx"), (waB, wdB)))))
+      .filter(col("fs_grid") > 0)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("fs_grid"))
+  }
+
   /** Blocking-free edit-distance ≤ 1 name pairs
     * ([[graft.ops.Linkage.editOnePairs]] — deletion-neighborhood
     * signatures, provably lossless for ed ≤ 1): the brute-force
@@ -3607,6 +3680,7 @@ object RelationalQueries {
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
     "linkage_sorted" -> linkageSorted,
+    "linkage_fs" -> linkageFs,
     "linkage_dl" -> linkageDl,
     "linkage_ed1" -> linkageEd1,
     "linkage_jw" -> linkageJw,
@@ -3731,6 +3805,7 @@ object RelationalQueries {
     "events_pattern" -> eventsPattern,
     "events_reactivation" -> eventsReactivation,
     "events_smoothing" -> eventsSmoothing,
+    "events_holt_winters" -> eventsHoltWinters,
     "events_heatmap" -> eventsHeatmap,
     "orders_aging" -> ordersAging,
     "lineitem_ols2" -> lineitemOls2,
@@ -3808,6 +3883,70 @@ object RelationalQueries {
         |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
         |  (valid_to IS NULL) AS is_current, n_obs
         |FROM iv""".stripMargin
+
+  /** Builds the linkage_fs oracle from the SAME frozen FS weights. */
+  private def linkageFsOracle: String = {
+    val (waS, wdS) = graft.ops.Linkage.fsWeights(4, 5, 1, 5)
+    val (waP, wdP) = graft.ops.Linkage.fsWeights(9, 10, 1, 100)
+    val (waB, wdB) = graft.ops.Linkage.fsWeights(7, 10, 1, 10)
+    def term(l: String, r: String, wa: Long, wd: Long) =
+      s"CASE WHEN ($l = $r) IS NULL THEN 0 WHEN $l = $r THEN $wa ELSE $wd END"
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey, c_mktsegment,
+       |    right(c_name, 2) AS p3,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bb
+       |  FROM customer)
+       |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |  ${term("a.c_mktsegment", "b.c_mktsegment", waS, wdS)}
+       |  + ${term("a.p3", "b.p3", waP, wdP)}
+       |  + ${term("a.bb", "b.bb", waB, wdB)} AS fs_grid
+       |FROM c a JOIN c b
+       |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       |WHERE ${term("a.c_mktsegment", "b.c_mktsegment", waS, wdS)}
+       |  + ${term("a.p3", "b.p3", waP, wdP)}
+       |  + ${term("a.bb", "b.bb", waB, wdB)} > 0""".stripMargin
+  }
+
+  /** Builds the events_holt_winters oracle: the nine-column recursive
+    * replay (level, trend, s0..s6) with the shared subexpressions SK and
+    * L1 inlined per column — generated, so the seven seasonal updates
+    * cannot drift from each other.
+    */
+  private def holtWintersOracle: String = {
+    val sk = "CASE x.k " +
+      (0 until 7).map(j => s"WHEN $j THEN r.s$j").mkString(" ") + " END"
+    val l1 = s"(((x.n - ($sk)) + r.level + r.trend) >> 1)"
+    val sCols0 = (0 until 7).map(j => s"CAST(0 AS BIGINT) AS s$j").mkString(", ")
+    val sColsU = (0 until 7).map(j =>
+      s"CASE WHEN x.k = $j THEN (((x.n - $l1) + ($sk)) >> 1) ELSE r.s$j END AS s$j")
+      .mkString(",\n    ")
+    val fcast = "CASE (r.k + 1) % 7 " +
+      (0 until 7).map(j => s"WHEN $j THEN r.s$j").mkString(" ") + " END"
+    val lst = "[" + (0 until 7).map(j => s"r.s$j").mkString(", ") + "]"
+    s"""WITH RECURSIVE daily AS MATERIALIZED (
+       |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |idx AS MATERIALIZED (
+       |  SELECT event_type, CAST(n AS BIGINT) AS n,
+       |    CAST((d - DATE '1970-01-01') % 7 AS INTEGER) AS k,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+       |  FROM daily),
+       |mx AS (SELECT event_type, max(i) AS mi FROM idx GROUP BY 1),
+       |rec AS (
+       |  SELECT event_type, i, k, n AS level, CAST(0 AS BIGINT) AS trend,
+       |    $sCols0
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT r.event_type, x.i, x.k,
+       |    $l1 AS level,
+       |    ((r.trend + ($l1 - r.level)) >> 1) AS trend,
+       |    $sColsU
+       |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1)
+       |SELECT r.event_type, r.level, r.trend,
+       |  r.level + r.trend + ($fcast) AS forecast_next,
+       |  $lst AS seasonals
+       |FROM rec r JOIN mx ON r.event_type = mx.event_type AND r.i = mx.mi""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "source_bucketed" ->
@@ -5924,6 +6063,8 @@ object RelationalQueries {
         |FROM o LEFT JOIN s ON o.o_orderkey = s.k CROSS JOIN r
         |WHERE od <= ref AND (sd IS NULL OR sd > ref)
         |GROUP BY 1""".stripMargin,
+    "events_holt_winters" -> holtWintersOracle,
+    "linkage_fs" -> linkageFsOracle,
     "events_smoothing" ->
       // the same ½-shift Holt recurrence replayed day by day; >> floors
       // negatives identically in both engines
