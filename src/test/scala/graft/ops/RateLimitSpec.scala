@@ -89,4 +89,38 @@ class RateLimitSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       RateLimit.tokenBucket(df, Seq("k"), "t", "id", 2, 0L))
   }
+
+  test("property: admitted count never exceeds burst + minted tokens, any stream") {
+    val rnd = new scala.util.Random(77)
+    val rows = (1L to 400L).map { i =>
+      (s"k${rnd.nextInt(5)}", math.abs(rnd.nextLong() % 100000L), i)
+    }
+    val out = RateLimit.tokenBucket(
+      rows.toDF("k", "us", "id").select(
+        col("k"), timestamp_micros(col("us")).as("t"), col("id")),
+      Seq("k"), "t", "id", capacity = 3, refillMicros = 500L)
+      .groupBy("k")
+      .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("adm"))
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val span = g.map(_._2).max - g.map(_._2).min
+      val bound = 3L + span / 500L + 1L
+      assert(out(k) <= bound, s"$k admitted ${out(k)} > bound $bound")
+    }
+    // and a full-refill gap is always admitted (the demo invariant, pinned)
+    val verdicts = RateLimit.tokenBucket(
+      rows.toDF("k", "us", "id").select(
+        col("k"), timestamp_micros(col("us")).as("t"), col("id")),
+      Seq("k"), "t", "id", capacity = 3, refillMicros = 500L)
+      .select("k", "id", "admitted").as[(String, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val sorted = g.sortBy(r => (r._2, r._3))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) if b._2 - a._2 >= 3 * 500L =>
+          assert(verdicts((k, b._3)), s"full-refill gap must admit ${b._3}")
+        case _ =>
+      }
+    }
+  }
 }

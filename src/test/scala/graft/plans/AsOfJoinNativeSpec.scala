@@ -197,4 +197,27 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
       .backward(errors, clicks, "user_id", "user_id", "ts", "ts")
       .count() > 0)
   }
+
+  test("property: interpolated value always lies between its endpoints") {
+    val rnd = new scala.util.Random(99)
+    val obs = (1L to 300L).map { i =>
+      (s"k${i % 5}", math.abs(rnd.nextLong() % 100000L), rnd.nextInt(2001).toLong - 1000L)
+    }
+    val qs = (1L to 300L).map { i =>
+      (s"k${i % 5}", math.abs(rnd.nextLong() % 100000L), i)
+    }
+    def tdf(rows: Seq[(String, Long, Long)], names: String*) =
+      rows.toDF(names: _*).select(
+        col(names(0)), timestamp_micros(col(names(1))).as(names(1)), col(names(2)))
+    val out = AsOfJoin.interpolated(
+      tdf(qs, "k", "t", "id"), tdf(obs, "k", "t", "v"), "k", "k", "t", "t", col("v"))
+      .filter(col("value_interp").isNotNull)
+      .select(col("prev_v"), col("next_v"), col("value_interp"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (p, n, v) =>
+      assert(v >= math.min(p, n) && v <= math.max(p, n),
+        s"interp $v escapes [$p, $n]")
+    }
+  }
 }
