@@ -1324,4 +1324,70 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm, public literature): per document, hash every
+    * word k-gram and keep the MINIMUM hash of each sliding window of `w`
+    * consecutive grams — the guarantee is that any shared run of at
+    * least w+k−1 tokens between two documents shares at least one
+    * selected fingerprint, at ~1/w the storage of full shingling. The
+    * positional variant of [[minhashPairs]]: MinHash estimates set
+    * overlap, winnowing LOCALIZES shared substrings.
+    *
+    * Determinism: gram hashes are md5-derived 60-bit longs (cross-engine
+    * replayable, unlike xxhash); window selection is `min(struct(hash,
+    * pos))` — the leftmost of equal hashes — so the fingerprint set is a
+    * pure function of the text. Shared-fingerprint PAIR counting drops
+    * fingerprints seen in more than `maxDf` documents first (boilerplate
+    * phrases are exactly the hot keys that would square the join — the
+    * prefix-join rare-key argument, applied as an explicit knob).
+    *
+    * Scale shape: gram hashing is one scan; the window min runs per-doc
+    * (doc-keyed shuffle); fingerprints are ~grams/w; the pair join ships
+    * (hash, doc) pairs with df-bounded lists. Content never shuffles.
+    *
+    * @return (id_a, id_b, n_shared) — pairs sharing >= `minShared`
+    *         selected fingerprints
+    */
+  def winnowingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      maxDf: Int = 10,
+      minShared: Int = 2): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    require(maxDf >= 2 && minShared >= 1, s"need maxDf >= 2, minShared >= 1")
+    requireIntegralId(df, idCol)
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .filter(col(textCol).isNotNull)
+      .withColumn("__ws", TextOps.tokens(col(textCol)))
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(TextOps.wordNgramsAllOfTokens(col("__ws"), k))
+          .as(Seq("__pos", "__g")))
+      .select(col("id"), col("__pos"),
+        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__h"))
+    val win = Window.partitionBy("id").orderBy("__pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = grams
+      .withColumn("__sel", min(struct(col("__h"), col("__pos"))).over(win))
+      // the last w-1 windows are partial (shorter than w): dropping them
+      // keeps the guarantee clean — every kept window saw w grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("__pos") <= col("__n") - w)
+      .select(col("id"), col("__sel.__h").as("h"))
+      .distinct()
+    val rare = fps.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val posts = fps.join(rare.select("h"), "h")
+    posts.toDF("h", "id_a")
+      .join(posts.toDF("h", "id_b"), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
 }

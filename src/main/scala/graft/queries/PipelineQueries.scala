@@ -124,6 +124,18 @@ object PipelineQueries {
   val dedupPrefixJoin: Q = (spark, dir) =>
     Dedup.prefixJaccardPairs(docs(spark, dir), "text", "doc_id", 0.8, n = 3)
 
+  /** Winnowing / MOSS shared-fingerprint pairs
+    * ([[graft.ops.Dedup.winnowingPairs]], k = 3, w = 4): the positional
+    * near-dup detector — window-min md5-gram fingerprints localize shared
+    * runs of >= w+k-1 tokens; pairs sharing >= 2 selected fingerprints
+    * (df-capped at 10 to drop boilerplate keys) survive. Fully
+    * window-replayable in the oracle (min(ROW(h, pos)) OVER the same
+    * frame).
+    */
+  val dedupWinnowing: Q = (spark, dir) =>
+    Dedup.winnowingPairs(docs(spark, dir).toDF(), "doc_id", "text",
+      k = 3, w = 4, maxDf = 10, minShared = 2)
+
   /** Embedding-cosine near-duplicate pairs via hyperplane LSH buckets. */
   val dedupEmbedding: Q = (spark, dir) =>
     Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.30, bits = 4)
@@ -2114,6 +2126,7 @@ object PipelineQueries {
     "dedup_ngram" -> dedupNgram,
     "dedup_containment" -> dedupContainment,
     "dedup_prefix_join" -> dedupPrefixJoin,
+    "dedup_winnowing" -> dedupWinnowing,
     "dedup_spans" -> dedupSpans,
     "pipeline_exact_dedup" -> pipelineExactDedup,
     "sample_split_nodup" -> sampleSplitNodup,
@@ -3932,6 +3945,34 @@ object PipelineQueries {
          |SELECT d.doc_id, d.source
          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
          |WHERE l.id IS NULL""".stripMargin,
+    "dedup_winnowing" ->
+      // same grams (0-based pos), same 60-bit md5 hash, same window min
+      // with the leftmost-of-equal-hashes struct tie, same partial-window
+      // drop, df cap, and pair rollup
+      s"""WITH staged AS (SELECT doc_id, $wordsSql AS ws FROM documents
+         |                WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    CAST(('0x' || substr(md5(ws[i + 1] || ' ' || ws[i + 2] || ' '
+         |                             || ws[i + 3]), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 3)) AS i
+         |        FROM staged WHERE len(ws) >= 3)),
+         |sel AS (
+         |  SELECT doc_id,
+         |    min(ROW(h, pos)) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         |    pos,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM g),
+         |fps AS (
+         |  SELECT DISTINCT doc_id, m[1] AS h
+         |  FROM sel WHERE pos <= n - 4),
+         |rare AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 10)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM fps a JOIN rare USING (h) JOIN fps b USING (h)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin,
     "dedup_prefix_join" ->
       // BRUTE-FORCE all-pairs word-3-gram Jaccard: the engine's prefix
       // filtering is provably lossless, so equality with this oracle is

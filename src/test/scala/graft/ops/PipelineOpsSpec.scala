@@ -1810,4 +1810,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cut == Seq(("a", "b")))
     intercept[IllegalArgumentException](Vocab.kneserNeyBigrams(df, "text", 0L))
   }
+
+  test("winnowingPairs: shared runs >= w+k-1 tokens always share a fingerprint") {
+    // two docs sharing a 6-token run (w=4, k=3 -> guarantee at >= 6):
+    // must pair; a doc with no overlap must not
+    val common = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two $common three four"),
+      (2L, s"$common five six seven eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(df, "doc_id", "text",
+      k = 3, w = 4, maxDf = 10, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed shared fingerprint: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "no false pair for 3")
+    // the df cap drops boilerplate: a fingerprint in ALL docs pairs nobody
+    val boiler = (1L to 6L).map(i => (i, s"common boiler plate text here d$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowingPairs(boiler, "doc_id", "text",
+      k = 3, w = 2, maxDf = 3, minShared = 1).count()
+    assert(capped == 0L, "df-capped fingerprints must not generate pairs")
+    // partitioning invariance
+    val a = Dedup.winnowingPairs(df, "doc_id", "text", 3, 4, 10, 1)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val b = Dedup.winnowingPairs(df.repartition(5), "doc_id", "text", 3, 4, 10, 1)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Dedup.winnowingPairs(df, "doc_id", "text", 0, 4))
+  }
 }
