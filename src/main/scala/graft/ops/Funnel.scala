@@ -359,5 +359,46 @@ object Funnel {
         when(col("__te") > 0, expr("effect_ppm * 1000000 DIV __te"))
           .as("attribution_ppm"))
   }
-}
 
+  /** Stationary distribution of the [[markov]] chain by integer power
+    * iteration: from the uniform start, `iterations` rounds of
+    * `π'(t) = Σ_s ⌊π(s)·p_ppm(s,t) / 10⁶⌋` — every term floored
+    * INDIVIDUALLY (order-independent, partitioning-invariant), so the
+    * trajectory replays exactly in unrolled SQL. The long-run behavior
+    * prior behind session simulators and attribution baselines. Mass
+    * leaks monotonically through the floors and through states with no
+    * outgoing transitions (documented: ranks and ratios are the product,
+    * not a probability that sums to 10⁶).
+    *
+    * Scale shape: the transition table is |types|²-sized and pins once;
+    * each iteration is a join+agg over that tiny table — the corpus is
+    * touched exactly once (inside [[markov]]).
+    */
+  def markovStationary(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val trans = markov(df, userCol, typeCol, tsCol, idCol)
+      .select(col("from_type"), col("to_type"), col("p_ppm"))
+      .localCheckpoint(true)
+    val states = trans.select(col("from_type").as("state"))
+      .union(trans.select(col("to_type").as("state")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = states.count()
+    var pi = states.withColumn("pi_ppm", lit(1000000L / n))
+    for (_ <- 1 to iterations) {
+      pi = trans
+        .join(pi, trans("from_type") === pi("state"))
+        .groupBy(col("to_type").as("state"))
+        .agg(sum(expr("pi_ppm * p_ppm DIV 1000000")).as("pi_ppm"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("state"), col("pi_ppm"))
+  }
+
+}

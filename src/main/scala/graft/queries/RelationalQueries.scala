@@ -1675,6 +1675,16 @@ object RelationalQueries {
       .withColumn("clean_ppm", expr("n_clean_conversions * 1000000 DIV n_signups"))
   }
 
+  /** Stationary distribution of the event-type Markov chain
+    * ([[graft.ops.Funnel.markovStationary]], 3 integer power iterations
+    * from uniform): the long-run session-behavior prior; the oracle
+    * unrolls the identical per-term-floored matrix-vector products.
+    */
+  val eventsMarkovPi: Q = (spark, dir) =>
+    graft.ops.Funnel.markovStationary(
+      Tables.eventsDf(spark, dir), "user_id", "event_type", "ts", "event_id",
+      iterations = 3)
+
   /** Full growth accounting of daily actives: every active user-day
     * classified as NEW (first ever), RESURRECTED (returning after ≥ 7
     * silent days) or RETAINED — the product-health decomposition behind
@@ -3730,6 +3740,7 @@ object RelationalQueries {
     "events_debounce" -> eventsDebounce,
     "events_ratelimit" -> eventsRatelimit,
     "events_transitions" -> eventsTransitions,
+    "events_markov_pi" -> eventsMarkovPi,
     "events_paths" -> eventsPaths,
     "label_kappa" -> labelKappa,
     "label_alpha" -> labelAlpha,
@@ -5015,6 +5026,31 @@ object RelationalQueries {
         |    AS n_gaps_1h,
         |  count(*) AS n_events
         |FROM g GROUP BY 1""".stripMargin,
+    "events_markov_pi" ->
+      // 3 unrolled rounds of per-term-floored pi*P from the uniform start
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n_trans
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tr AS (SELECT from_type, to_type,
+        |         n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY from_type) AS p_ppm
+        |       FROM c),
+        |st AS (SELECT DISTINCT s FROM (
+        |  SELECT from_type AS s FROM tr UNION SELECT to_type FROM tr)),
+        |p0 AS (SELECT s AS state,
+        |         1000000 // (SELECT count(*) FROM st) AS pi_ppm FROM st),
+        |p1 AS (SELECT to_type AS state,
+        |         SUM(pi_ppm * p_ppm // 1000000) AS pi_ppm
+        |       FROM tr JOIN p0 ON tr.from_type = p0.state GROUP BY 1),
+        |p2 AS (SELECT to_type AS state,
+        |         SUM(pi_ppm * p_ppm // 1000000) AS pi_ppm
+        |       FROM tr JOIN p1 ON tr.from_type = p1.state GROUP BY 1),
+        |p3 AS (SELECT to_type AS state,
+        |         SUM(pi_ppm * p_ppm // 1000000) AS pi_ppm
+        |       FROM tr JOIN p2 ON tr.from_type = p2.state GROUP BY 1)
+        |SELECT state, pi_ppm FROM p3""".stripMargin,
     "events_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,
