@@ -129,4 +129,74 @@ object Experiment {
         n.cast("double") * sq.cast("double") / (rows * cols))
         .otherwise(lit(null).cast("double")).as("chi2"))
   }
+
+  /** Difference-in-differences estimate over a parallel-period design:
+    * units carry (variant 0/1, period 0 = pre / 1 = post, an integer
+    * metric grid), and
+    * `DiD = (m_t,post − m_t,pre) − (m_c,post − m_c,pre)` — the standard
+    * launch readout when assignment wasn't randomized but trends were
+    * parallel. All four cell means come from exact long (sum, n) pairs;
+    * the estimate is ONE fixed-order double combine of the four exact
+    * ratios (empty cells ⇒ null, never NaN).
+    *
+    * Scale shape: one aggregate pass — 8 conditional sums; nothing else
+    * moves.
+    *
+    * @return one row: per-cell n/sum plus `did` on the metric's grid
+    */
+  def didReport(
+      units: DataFrame,
+      variantCol: String,
+      periodCol: String,
+      metricGrid: Column): DataFrame = {
+    val v = col(variantCol)
+    val p = col(periodCol)
+    val m = metricGrid.cast("long")
+    def cell(vv: Int, pp: Int, what: Column) =
+      coalesce(sum(when(v === vv && p === pp, what)), lit(0L))
+    val agg = units
+      .filter(v.isNotNull && p.isNotNull && m.isNotNull)
+      .agg(
+        cell(0, 0, lit(1L)).as("n_c_pre"), cell(0, 0, m).as("s_c_pre"),
+        cell(0, 1, lit(1L)).as("n_c_post"), cell(0, 1, m).as("s_c_post"),
+        cell(1, 0, lit(1L)).as("n_t_pre"), cell(1, 0, m).as("s_t_pre"),
+        cell(1, 1, lit(1L)).as("n_t_post"), cell(1, 1, m).as("s_t_post"))
+    def mean(sc: String, nc: String) =
+      col(sc).cast("double") / col(nc).cast("double")
+    agg.withColumn("did",
+      when(col("n_c_pre") > 0 && col("n_c_post") > 0 &&
+        col("n_t_pre") > 0 && col("n_t_post") > 0,
+        (mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")) -
+          (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre")))
+        .otherwise(lit(null).cast("double")))
+  }
+
+  /** Two-proportion sample-size calculator (the pre-launch power
+    * analysis): with baseline rate p̂ = conv/n from the corpus and a
+    * target minimum-detectable ABSOLUTE effect `mdePpm` (ppm grid),
+    * `n_required = ⌈2·(z_α/2 + z_β)²·p̄(1−p̄) / δ²⌉` per variant at
+    * α = 0.05, power = 0.8 (z constants frozen as the literals 1.959964
+    * and 0.841621 — plan-time, oracle-shared). The baseline statistics
+    * are exact longs; the sizing formula is one fixed-order double
+    * expression (a DESIGN number — its inputs are what must be exact).
+    */
+  def powerSample(
+      units: DataFrame,
+      convertedCol: String,
+      mdePpm: Long): DataFrame = {
+    require(mdePpm > 0, s"mdePpm must be > 0, got $mdePpm")
+    val c = col(convertedCol)
+    val agg = units.filter(c.isNotNull)
+      .agg(count(lit(1)).as("n"), coalesce(sum(c.cast("long")), lit(0L)).as("conv"))
+    val zSum = 1.959964 + 0.841621
+    val pBar = (col("conv").cast("double") / col("n").cast("double")) +
+      (mdePpm.toDouble / 2000000.0)
+    val delta = mdePpm.toDouble / 1000000.0
+    agg.select(col("n"), col("conv"),
+      (col("conv").cast("double") / col("n").cast("double")).as("baseline_rate"),
+      when(col("n") > 0,
+        ceil(lit(2.0 * zSum * zSum) * pBar * (lit(1.0) - pBar) /
+          lit(delta * delta)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("n_required"))
+  }
 }

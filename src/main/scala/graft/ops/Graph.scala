@@ -520,4 +520,50 @@ object Graph {
         coalesce(col("h"), lit(0L)).as("hub"),
         coalesce(col("a"), lit(0L)).as("auth"))
   }
+
+  /** Newman modularity of a community assignment over an undirected
+    * unique-pair edge list: per community
+    * `q_num = 4·e_intra·m − deg_sum²` over the common denominator
+    * `(2m)²`, so `Q = Σ q_num / 4m²` — the partition-quality score that
+    * makes label-propagation's output judgeable. Exact integers up to
+    * the single closing division per row; the global Q is the consumer's
+    * one sum.
+    *
+    * Scale shape: two label joins of the edge list (intra count), one
+    * degree aggregate, community-sized output; the 1-row edge total
+    * broadcasts.
+    *
+    * @param labels (node, label) — e.g. [[labelPropagate]]'s output
+    * @return (community, n_nodes, e_intra, deg_sum, q_num, q_term)
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col("node").cast("long").as("node"), col("label"))
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val m = e.agg(count(lit(1)).as("__m"))
+    val intra = e
+      .join(lab.toDF("node", "__la"), e("u") === col("node")).drop("node")
+      .join(lab.toDF("node", "__lb"), e("v") === col("node")).drop("node")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("community"))
+      .agg(count(lit(1)).as("e_intra"))
+    lab.join(deg, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("deg_sum"))
+      .join(intra, Seq("community"), "left")
+      .withColumn("e_intra", coalesce(col("e_intra"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("e_intra"), col("deg_sum"),
+        (lit(4L) * col("e_intra") * col("__m") - col("deg_sum") * col("deg_sum"))
+          .as("q_num"),
+        ((lit(4L) * col("e_intra") * col("__m") -
+          col("deg_sum") * col("deg_sum")).cast("double") /
+          (lit(4.0) * col("__m").cast("double") * col("__m").cast("double")))
+          .as("q_term"))
+  }
+
 }

@@ -1288,6 +1288,18 @@ object RelationalQueries {
   val graphCommunities: Q = (spark, dir) =>
     graft.ops.Graph.labelPropagate(coPurchaseEdges(spark, dir), iterations = 3)
 
+  /** Newman modularity of the 3-round LPA partition
+    * ([[graft.ops.Graph.modularity]] over
+    * [[graft.ops.Graph.labelPropagate]]'s labels): per community,
+    * `q_num = 4·e_intra·m − deg_sum²` exact integers over `(2m)²` — the
+    * partition-quality score that makes the communities judgeable.
+    */
+  val graphModularity: Q = (spark, dir) => {
+    val e = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    graft.ops.Graph.modularity(
+      e, graft.ops.Graph.labelPropagate(e, iterations = 3))
+  }
+
   /** 3-core of the co-purchase graph by iterative peeling
     * ([[graft.ops.Graph.kCore]] — 6 bounded rounds, early exit on
     * stabilization; the fixture converges in 4 and the oracle unrolls
@@ -2723,6 +2735,31 @@ object RelationalQueries {
       .select("part_a", "part_b", "support", "cosine")
   }
 
+  /** Difference-in-differences launch readout
+    * ([[graft.ops.Experiment.didReport]]): variant = user parity, period
+    * = first vs second half of the month, metric = event value in cents —
+    * four exact cells, one combine.
+    */
+  val abDid: Q = (spark, dir) =>
+    graft.ops.Experiment.didReport(
+      Tables.eventsDf(spark, dir)
+        .select(pmod(col("user_id"), lit(2)).as("variant"),
+          (dayofmonth(col("ts")) > 15).cast("int").as("period"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "variant", "period", col("cents"))
+
+  /** Pre-launch power analysis ([[graft.ops.Experiment.powerSample]]):
+    * per-variant sample size to detect a 5-point absolute conversion
+    * lift at alpha 0.05 / power 0.8, from the corpus' exact baseline.
+    */
+  val abPower: Q = (spark, dir) =>
+    graft.ops.Experiment.powerSample(
+      Tables.eventsDf(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted")),
+      "converted", mdePpm = 50000L)
+
   /** A/B readout over a user-parity split of the event stream: per-variant
     * sizes, purchase conversions, and the exact-statistics Pearson χ² —
     * decimal squares/margins combined once in a fixed-order double
@@ -3687,6 +3724,8 @@ object RelationalQueries {
     "drift_js" -> driftJs,
     "basket_cosine" -> basketCosine,
     "ab_report" -> abReport,
+    "ab_did" -> abDid,
+    "ab_power" -> abPower,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
     "linkage_sorted" -> linkageSorted,
@@ -3795,6 +3834,7 @@ object RelationalQueries {
     "graph_hits" -> graphHits,
     "graph_triangles" -> graphTriangles,
     "graph_communities" -> graphCommunities,
+    "graph_modularity" -> graphModularity,
     "corr_spearman" -> corrSpearman,
     "orders_backlog" -> ordersBacklog,
     "events_attribution" -> eventsAttribution,
@@ -3894,6 +3934,36 @@ object RelationalQueries {
         |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
         |  (valid_to IS NULL) AS is_current, n_obs
         |FROM iv""".stripMargin
+
+  /** The unrolled 3-round LPA CTE chain shared by the graph_communities
+    * and graph_modularity oracles (labels in `l3`, edges in `e`,
+    * neighbor list in `nb`).
+    */
+  private val lpaCtesSql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |           FROM lineitem WHERE l_quantity >= 40),
+      |e AS (SELECT DISTINCT a.p AS u, b2.p AS v
+      |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+      |nb AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+      |l0 AS (SELECT DISTINCT node, node AS label FROM nb),
+      |c1 AS (SELECT nb.node, l.label, count(*) AS v FROM nb
+      |       JOIN l0 l ON nb.nbr = l.node GROUP BY 1, 2),
+      |l1 AS (SELECT node, label FROM
+      |       (SELECT node, label, row_number() OVER
+      |          (PARTITION BY node ORDER BY v DESC, label ASC) AS rn FROM c1)
+      |       WHERE rn = 1),
+      |c2 AS (SELECT nb.node, l.label, count(*) AS v FROM nb
+      |       JOIN l1 l ON nb.nbr = l.node GROUP BY 1, 2),
+      |l2 AS (SELECT node, label FROM
+      |       (SELECT node, label, row_number() OVER
+      |          (PARTITION BY node ORDER BY v DESC, label ASC) AS rn FROM c2)
+      |       WHERE rn = 1),
+      |c3 AS (SELECT nb.node, l.label, count(*) AS v FROM nb
+      |       JOIN l2 l ON nb.nbr = l.node GROUP BY 1, 2),
+      |l3 AS (SELECT node, label FROM
+      |       (SELECT node, label, row_number() OVER
+      |          (PARTITION BY node ORDER BY v DESC, label ASC) AS rn FROM c3)
+      |       WHERE rn = 1)""".stripMargin
 
   /** Builds the linkage_fs oracle from the SAME frozen FS weights. */
   private def linkageFsOracle: String = {
@@ -4187,6 +4257,49 @@ object RelationalQueries {
         |      / (CAST(t.tc AS DOUBLE) * CAST(t.tr AS DOUBLE) * 1000000.0)
         |  ELSE NULL END AS psi_term
         |FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket CROSS JOIN t""".stripMargin),
+    "ab_did" ->
+      // same 8 conditional sums, same fixed-order four-mean combine
+      """WITH u AS (
+        |  SELECT user_id % 2 AS v,
+        |    CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END AS p,
+        |    CAST(floor(value * 100) AS BIGINT) AS m
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (
+        |  SELECT
+        |    SUM(CASE WHEN v = 0 AND p = 0 THEN 1 ELSE 0 END) AS n_c_pre,
+        |    SUM(CASE WHEN v = 0 AND p = 0 THEN m ELSE 0 END) AS s_c_pre,
+        |    SUM(CASE WHEN v = 0 AND p = 1 THEN 1 ELSE 0 END) AS n_c_post,
+        |    SUM(CASE WHEN v = 0 AND p = 1 THEN m ELSE 0 END) AS s_c_post,
+        |    SUM(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END) AS n_t_pre,
+        |    SUM(CASE WHEN v = 1 AND p = 0 THEN m ELSE 0 END) AS s_t_pre,
+        |    SUM(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) AS n_t_post,
+        |    SUM(CASE WHEN v = 1 AND p = 1 THEN m ELSE 0 END) AS s_t_post
+        |  FROM u)
+        |SELECT n_c_pre, s_c_pre, n_c_post, s_c_post,
+        |  n_t_pre, s_t_pre, n_t_post, s_t_post,
+        |  CASE WHEN n_c_pre > 0 AND n_c_post > 0 AND n_t_pre > 0 AND n_t_post > 0
+        |  THEN (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |        - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+        |     - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |        - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+        |  END AS did
+        |FROM a""".stripMargin,
+    "ab_power" ->
+      // same frozen z literals, same pbar/delta combine
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS n, SUM(c) AS conv FROM u)
+        |SELECT n, conv,
+        |  CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS baseline_rate,
+        |  CASE WHEN n > 0 THEN CAST(ceil(
+        |    (2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621))
+        |    * (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) + (50000.0 / 2000000.0))
+        |    * (1.0 - (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) + (50000.0 / 2000000.0)))
+        |    / ((50000.0 / 1000000.0) * (50000.0 / 1000000.0))) AS BIGINT)
+        |  END AS n_required
+        |FROM a""".stripMargin,
     "ab_report" ->
       // exact decimal squares/margins, fixed-order double combine —
       // (N · (ad−bc)²) / ((n_a·n_b) · (c1·c2)) mirrors the Column tree
@@ -6493,31 +6606,29 @@ object RelationalQueries {
     "graph_communities" ->
       // three synchronous LPA rounds unrolled; most-frequent neighbor
       // label, smallest label on ties — fully deterministic
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |           FROM lineitem WHERE l_quantity >= 40),
-        |e AS (SELECT DISTINCT a.p AS u, b2.p AS v
-        |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
-        |nb AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
-        |l0 AS (SELECT DISTINCT node, node AS label FROM nb),
-        |c1 AS (SELECT nb.node, l.label, count(*) AS v FROM nb
-        |       JOIN l0 l ON nb.nbr = l.node GROUP BY 1, 2),
-        |l1 AS (SELECT node, label FROM
-        |       (SELECT node, label, row_number() OVER
-        |          (PARTITION BY node ORDER BY v DESC, label ASC) AS rn FROM c1)
-        |       WHERE rn = 1),
-        |c2 AS (SELECT nb.node, l.label, count(*) AS v FROM nb
-        |       JOIN l1 l ON nb.nbr = l.node GROUP BY 1, 2),
-        |l2 AS (SELECT node, label FROM
-        |       (SELECT node, label, row_number() OVER
-        |          (PARTITION BY node ORDER BY v DESC, label ASC) AS rn FROM c2)
-        |       WHERE rn = 1),
-        |c3 AS (SELECT nb.node, l.label, count(*) AS v FROM nb
-        |       JOIN l2 l ON nb.nbr = l.node GROUP BY 1, 2),
-        |l3 AS (SELECT node, label FROM
-        |       (SELECT node, label, row_number() OVER
-        |          (PARTITION BY node ORDER BY v DESC, label ASC) AS rn FROM c3)
-        |       WHERE rn = 1)
-        |SELECT node, label FROM l3""".stripMargin,
+      (lpaCtesSql + """
+        |SELECT node, label FROM l3""".stripMargin),
+    "graph_modularity" ->
+      // the SAME unrolled LPA labels; per community 4*e_in*m - deg_sum^2
+      // over (2m)^2, one closing division per row
+      (lpaCtesSql + """,
+        |deg AS (SELECT node, count(*) AS d FROM nb GROUP BY 1),
+        |m AS (SELECT count(*) AS me FROM e),
+        |intra AS (
+        |  SELECT la.label AS community, count(*) AS e_in
+        |  FROM e JOIN l3 la ON e.u = la.node JOIN l3 lb ON e.v = lb.node
+        |  WHERE la.label = lb.label GROUP BY 1),
+        |ds AS (
+        |  SELECT l3.label AS community, count(*) AS n_nodes,
+        |         SUM(deg.d) AS deg_sum
+        |  FROM l3 JOIN deg ON l3.node = deg.node GROUP BY 1)
+        |SELECT community, n_nodes,
+        |  COALESCE(e_in, 0) AS e_intra, deg_sum,
+        |  4 * COALESCE(e_in, 0) * me - deg_sum * deg_sum AS q_num,
+        |  CAST(4 * COALESCE(e_in, 0) * me - deg_sum * deg_sum AS DOUBLE)
+        |    / (4.0 * CAST(me AS DOUBLE) * CAST(me AS DOUBLE)) AS q_term
+        |FROM ds LEFT JOIN intra USING (community) CROSS JOIN m""".stripMargin),
+
     "skew_report" ->
       """WITH c AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
