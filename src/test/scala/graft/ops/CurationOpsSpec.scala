@@ -1529,4 +1529,52 @@ class CurationOpsSpec extends AnyFunSuite {
       .as[(String, Double, Double, Double, Double)].collect()(0)
     assert(r == (("a", 5.0, 9.0, 1.0, 7.0)))
   }
+
+  test("didReport: hand-solved four-cell design; empty cell nulls") {
+    // control pre 10 -> post 12 (+2); treatment pre 20 -> post 25 (+5)
+    val rows = Seq(
+      (0, 0, 10L), (0, 0, 10L), (0, 1, 12L),
+      (1, 0, 20L), (1, 1, 25L), (1, 1, 25L)
+    ).toDF("variant", "period", "m")
+    val r = Experiment.didReport(rows, "variant", "period", col("m")).collect()(0)
+    assert(r.getAs[Double]("did") == 3.0)
+    assert(r.getAs[Long]("n_c_pre") == 2L && r.getAs[Long]("s_t_post") == 50L)
+    val missing = Experiment.didReport(
+      rows.filter(!(col("variant") === 0 && col("period") === 1)),
+      "variant", "period", col("m")).collect()(0)
+    assert(missing.isNullAt(missing.fieldIndex("did")), "empty cell -> null")
+  }
+
+  test("powerSample: textbook sizing at a 10% baseline, 5pp MDE") {
+    val units = (1L to 1000L).map(i => (i, if (i <= 100) 1 else 0)).toDF("id", "c")
+    val r = Experiment.powerSample(units, "c", mdePpm = 50000L).collect()(0)
+    assert(r.getAs[Double]("baseline_rate") == 0.1)
+    val z = 1.959964 + 0.841621; val pb = 0.1 + 0.025; val d = 0.05
+    val expect = math.ceil(2.0 * z * z * pb * (1.0 - pb) / (d * d)).toLong
+    assert(r.getAs[Long]("n_required") == expect, s"got ${r.getAs[Long]("n_required")}")
+    // larger effects need fewer samples (monotonicity)
+    val big = Experiment.powerSample(units, "c", mdePpm = 100000L)
+      .collect()(0).getAs[Long]("n_required")
+    assert(big < expect)
+    intercept[IllegalArgumentException](Experiment.powerSample(units, "c", 0L))
+  }
+
+  test("modularity: two triangles + bridge score the textbook 35/98 each") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val out = Graph.modularity(e, labels)
+      .select("community", "n_nodes", "e_intra", "deg_sum", "q_num")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // m = 7; per community: e_in 3, deg_sum 7 -> q_num = 84 - 49 = 35
+    assert(out == Seq((1L, 3L, 3L, 7L, 35L), (4L, 3L, 3L, 7L, 35L)), out.toString)
+    // global Q = 70 / 196
+    val q = Graph.modularity(e, labels).agg(sum("q_term")).as[Double].collect()(0)
+    assert(math.abs(q - 70.0 / 196.0) < 1e-12)
+    // the all-one-community partition scores 0 exactly (e_in = m)
+    val one = labels.select(col("node"), lit(9L).as("label"))
+    val q1 = Graph.modularity(e, one).agg(sum("q_term")).as[Double].collect()(0)
+    assert(q1 == 0.0)
+  }
 }
