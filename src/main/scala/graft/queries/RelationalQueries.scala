@@ -250,6 +250,27 @@ object RelationalQueries {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
 
+  /** Session-gap sensitivity sweep: total session counts at FIVE candidate
+    * inactivity gaps from ONE lag pass — a new session starts where the
+    * µs gap to the previous event exceeds g, so `n_sessions(g) = Σ starts`
+    * falls out of the same lag column five times (one scan, one user
+    * shuffle; the operations-tuning table behind choosing the 30-minute
+    * default). Counts are exact longs; monotone nonincreasing in g by
+    * construction.
+    */
+  val eventsSessionSweep: Q = (spark, dir) => {
+    val gaps = Seq(5L, 15L, 30L, 60L, 120L).map(_ * 60000000L)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lagged = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("__gap",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+    def starts(g: Long) =
+      sum(when(col("__gap").isNull || col("__gap") > g, 1L).otherwise(0L))
+        .as(s"s_${g / 60000000L}m")
+    lagged.agg(starts(gaps.head), gaps.tail.map(starts): _*)
+  }
+
   /** Weekly cohort retention: users bucketed by first-activity week, each
     * (cohort, weeks-since) cell counting the distinct members still
     * active — the product-analytics staple. The raw stream collapses to
@@ -2643,6 +2664,24 @@ object RelationalQueries {
     * reads back into the same aggregate the raw table yields — the
     * round-trip must be lossless.
     */
+  /** Schema-evolution diff ([[graft.sources.Sources.schemaDiff]]): v2 of
+    * a written table adds a column, drops one, and retypes another; the
+    * report classifies every column. The oracle reads the SAME parquet
+    * footers via parquet_schema and maps physical types to the same
+    * canonical labels — a metadata-level cross-engine gate.
+    */
+  val sourceSchemaDiff: Q = (spark, dir) => {
+    val v1 = "/tmp/graft_schema_v1"
+    val v2 = "/tmp/graft_schema_v2"
+    val o = t(spark, dir, "orders")
+    o.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .limit(100).write.mode("overwrite").parquet(v1)
+    o.select(col("o_orderkey").cast("int").as("o_orderkey"),
+      col("o_orderstatus"), lit("web").as("o_channel"))
+      .limit(100).write.mode("overwrite").parquet(v2)
+    graft.sources.Sources.schemaDiff(spark, v1, v2)
+  }
+
   /** File-level manifest gate ([[graft.sources.Sources.fileManifest]]):
     * orders hash-repartitioned into 8 parquet files, then the per-file
     * (rows, min/max key) manifest read back from the files themselves.
@@ -3719,6 +3758,7 @@ object RelationalQueries {
     "snapshot_merge" -> snapshotMerge,
     "source_compact" -> sourceCompact,
     "source_manifest" -> sourceManifest,
+    "source_schema_diff" -> sourceSchemaDiff,
     "drift_bins" -> driftBins,
     "drift_psi" -> driftPsi,
     "drift_js" -> driftJs,
@@ -3893,6 +3933,7 @@ object RelationalQueries {
     "q20_promo_suppliers" -> q20PromoSuppliers,
     "q21_waiting" -> q21Waiting,
     "events_sessionize" -> eventsSessionize,
+    "events_session_sweep" -> eventsSessionSweep,
     "events_json" -> eventsJson,
     "asof_clicks" -> asofClicks,
     "asof_native" -> asofNative,
@@ -4198,6 +4239,29 @@ object RelationalQueries {
         |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
         |  o_totalprice, o_orderpriority
         |FROM base WHERE o_orderkey % 10 = 2""".stripMargin,
+    "source_schema_diff" ->
+      // same footers via parquet_schema; physical -> canonical labels
+      """WITH a AS (
+        |  SELECT name,
+        |    CASE type WHEN 'INT64' THEN 'bigint' WHEN 'INT32' THEN 'int'
+        |         WHEN 'BYTE_ARRAY' THEN 'string' WHEN 'DOUBLE' THEN 'double'
+        |    END AS ty
+        |  FROM parquet_schema('/tmp/graft_schema_v1/*.parquet')
+        |  WHERE num_children IS NULL),
+        |b AS (
+        |  SELECT name,
+        |    CASE type WHEN 'INT64' THEN 'bigint' WHEN 'INT32' THEN 'int'
+        |         WHEN 'BYTE_ARRAY' THEN 'string' WHEN 'DOUBLE' THEN 'double'
+        |    END AS ty
+        |  FROM parquet_schema('/tmp/graft_schema_v2/*.parquet')
+        |  WHERE num_children IS NULL)
+        |SELECT DISTINCT COALESCE(a.name, b.name) AS column,
+        |  a.ty AS type_a, b.ty AS type_b,
+        |  CASE WHEN a.name IS NULL THEN 'added'
+        |       WHEN b.name IS NULL THEN 'removed'
+        |       WHEN a.ty = b.ty THEN 'unchanged'
+        |       ELSE 'retyped' END AS status
+        |FROM a FULL OUTER JOIN b ON a.name = b.name""".stripMargin,
     "source_manifest" ->
       // the oracle opens the PHYSICAL files the query just wrote
       """SELECT CAST(regexp_extract(filename, 'part-(\d+)', 1) AS INTEGER)
@@ -4641,6 +4705,20 @@ object RelationalQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_session_sweep" ->
+      // the same lag column read five times; a null gap (first event) is
+      // always a session start
+      """WITH g AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT
+        |  SUM(CASE WHEN gap IS NULL OR gap > 300000000 THEN 1 ELSE 0 END) AS s_5m,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 900000000 THEN 1 ELSE 0 END) AS s_15m,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS s_30m,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 ELSE 0 END) AS s_60m,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 7200000000 THEN 1 ELSE 0 END) AS s_120m
+        |FROM g""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts,

@@ -331,4 +331,33 @@ object Sources {
         min(col(keyCol)).as("min_key"),
         max(col(keyCol)).as("max_key"))
   }
+
+  /** Schema diff between two parquet directories — the evolution report a
+    * governance review reads before enabling merged-schema reads: every
+    * column classified added / removed / retyped / unchanged, with types
+    * normalized to a small canonical vocabulary (bigint / int / string /
+    * double) so the comparison is engine-neutral (the DuckDB oracle maps
+    * parquet physical types to the SAME labels). Pure metadata — two
+    * footer reads, no data motion; the result is a LITERAL table (exact
+    * by construction, the schema IS the value under test).
+    */
+  def schemaDiff(spark: SparkSession, dirA: String, dirB: String): DataFrame = {
+    import spark.implicits._
+    def fields(dir: String): Map[String, String] =
+      spark.read.parquet(dir).schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+    val a = fields(dirA)
+    val b = fields(dirB)
+    (a.keySet ++ b.keySet).toSeq.sorted.map { c =>
+      val (ta, tb) = (a.get(c), b.get(c))
+      val status = (ta, tb) match {
+        case (None, Some(_))                  => "added"
+        case (Some(_), None)                  => "removed"
+        case (Some(x), Some(y)) if x == y     => "unchanged"
+        case _                                => "retyped"
+      }
+      (c, ta.orNull, tb.orNull, status)
+    }.toDF("column", "type_a", "type_b", "status")
+  }
+
 }
