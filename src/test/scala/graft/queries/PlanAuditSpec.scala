@@ -914,6 +914,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("linkage_fs: nation-blocked scoring stays an equi-join; no nested loop") {
+    val p = plan("linkage_fs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count(p, "FileScan") <= 2, "one scan per join side at most\n" + p)
+  }
+
+  test("events_session_sweep: five gap counts ride ONE lag pass — one key shuffle, no join") {
+    val p = plan("events_session_sweep")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(count(p, "FileScan") == 1, "five thresholds must share the scan\n" + p)
+  }
+
+  test("dedup_winnowing: posting self-join stays equi; window min runs per doc") {
+    val p = plan("dedup_winnowing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("events_markov_pi: the corpus is scanned once (inside the pinned transition table)") {
+    val p = plan("events_markov_pi")
+    assert(!p.contains("FileScan"),
+      "iterations must read the pinned |types|^2 table, not re-derive it\n" + p)
+  }
+
   test("vocab_kneser_ney: everything after the pinned pair table is vocab-sized; type count broadcasts") {
     val p = plan("vocab_kneser_ney")
     // pair table is pinned (scan shows a checkpointed RDD, not documents)
