@@ -1256,6 +1256,24 @@ object RelationalQueries {
     graft.ops.Graph.pageRankExact(edges, iterations = 3)
   }
 
+  /** Log-log price elasticity of demand per brand: the OLS slope of
+    * ln(quantity) on ln(unit price) over lineitems
+    * ([[graft.ops.Checks.olsExact]] on grid-floored lns — the vocab_zipf
+    * discipline applied to econometrics; slope ≈ %Δqty per %Δprice).
+    * One broadcast dim join + the sufficient-statistics aggregate.
+    */
+  val partsElasticity: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(col("l_partkey"),
+        log(col("l_extendedprice") / col("l_quantity")).as("__lnp"),
+        log(col("l_quantity")).as("__lnq"))
+    val p = broadcast(t(spark, dir, "part").select("p_partkey", "p_brand"))
+    graft.ops.Checks.olsExact(
+      li.join(p, col("l_partkey") === col("p_partkey")),
+      "p_brand", "__lnp", "__lnq")
+  }
+
   /** Integer-exact HITS (2 rounds, [[graft.ops.Graph.hitsExact]]) over
     * the directed order→part graph: hub orders (broad baskets of central
     * parts) and authority parts (in many central baskets) as pure
@@ -3870,6 +3888,7 @@ object RelationalQueries {
     "kruskal_quantity" -> kruskalQuantity,
     "table_checksum" -> tableChecksumQ,
     "orders_trend" -> ordersTrend,
+    "parts_elasticity" -> partsElasticity,
     "graph_pagerank" -> graphPagerank,
     "graph_hits" -> graphHits,
     "graph_triangles" -> graphTriangles,
@@ -5516,6 +5535,39 @@ object RelationalQueries {
         |SELECT q.o_orderkey, q.v AS value_grid,
         |  (cum.cm * 1000000) // cum.n AS ecdf_ppm
         |FROM q JOIN cum ON q.v = cum.v""".stripMargin,
+    "parts_elasticity" ->
+      // same ln doubles into the same 2^20 floor grid, same OLS replay
+      """WITH g AS (
+        |  SELECT p_brand,
+        |    CAST(floor(ln(l_extendedprice / l_quantity) * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(ln(l_quantity) * 1048576.0) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |s AS (
+        |  SELECT p_brand, count(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+        |  FROM g GROUP BY p_brand)
+        |SELECT p_brand, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0
+        |       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       ELSE NULL END AS slope_grid,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0
+        |       THEN (CAST(sy AS DOUBLE)
+        |             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |       ELSE NULL END AS intercept_grid
+        |FROM s""".stripMargin,
     "orders_trend" ->
       // the corr_exact sufficient-statistics replay solved for the OLS
       // line: slope = (nΣxy − ΣxΣy)/(nΣx² − Σx²), intercept from it
