@@ -628,4 +628,53 @@ object Eval {
         col("__o._1").as("score_lo"), col("__o._2").as("score_hi"),
         col("__o._3").as("n"), col("__o._4").as("pos")): _*)
   }
+
+  /** ROUGE-2 between paired texts (Lin 2004, the summarization-eval
+    * standard): clipped bigram-multiset overlap
+    * `ov = Σ_g min(c_a(g), c_b(g))`, with precision `ov/n_a`, recall
+    * `ov/n_b` and `f1_ppm = 2·ov·10⁶ DIV (n_a + n_b)` — all exact
+    * integers divided once. The generation-eval primitive (summary vs
+    * reference, draft vs edit, near-dup audit).
+    *
+    * Scale shape: one (doc, bigram) count aggregate, two pair joins on
+    * (id, bigram digests never leave the hash), per-pair rollup — motion
+    * ∝ bigram volume of the PAIRED docs only.
+    *
+    * @param pairs (id_a, id_b) — which texts to compare
+    * @return (id_a, id_b, overlap, n_a, n_b, f1_ppm); pairs where either
+    *         side has no bigrams emit overlap 0 and null f1
+    */
+  def rouge2(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextOps.wordNgramsAllOfTokens(
+          TextOps.tokens(col(textCol)), 2)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = grams.groupBy("id").agg(sum(col("c")).as("n"))
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val ov = p
+      .join(grams.toDF("id_a", "g", "__ca"), Seq("id_a"))
+      .join(grams.toDF("__idb2", "g2", "__cb"),
+        col("id_b") === col("__idb2") && col("g") === col("g2"))
+      .select(col("id_a"), col("id_b"), least(col("__ca"), col("__cb")).as("__m"))
+      .groupBy("id_a", "id_b").agg(sum(col("__m")).as("overlap"))
+    p.join(ov, Seq("id_a", "id_b"), "left")
+      .join(tot.toDF("id_a", "n_a"), Seq("id_a"), "left")
+      .join(tot.toDF("id_b", "n_b"), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("f1_ppm",
+        expr("""CASE WHEN n_a + n_b = 0 THEN NULL
+               |ELSE 2 * overlap * 1000000 DIV (n_a + n_b) END""".stripMargin))
+  }
+
 }

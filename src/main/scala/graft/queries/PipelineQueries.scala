@@ -440,6 +440,28 @@ object PipelineQueries {
     Similarity.int8TopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
   }
 
+  /** Shard-and-merge distributed top-k: the int8 search runs
+    * independently over the even and odd corpus shards, the per-shard
+    * lists union and re-rank under the same (dot DESC, id) order — and
+    * the result must equal the FULL single-corpus search (exact scores
+    * make merge lossless; the oracle IS knn_int8's full-search SQL, so
+    * the gate executes the theorem). The serving pattern behind every
+    * sharded vector index.
+    */
+  val knnSharded: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val shards = Seq(0, 1).map(r =>
+      Similarity.int8TopK(
+        e.filter(pmod(col("vec_id"), lit(2)) === r), q,
+        "vec_id", "embedding", 10))
+    val w = Window.partitionBy("q_id").orderBy(col("dot_q").desc, col("n_id"))
+    shards.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id", "dot_q", "rank")
+  }
+
   /** Per-vector int8 quantization, projected to scalars for the oracle
     * (array cells don't survive the driver's hashing): scale plus first/
     * last codes and exact integer aggregates over the code array.
@@ -618,6 +640,19 @@ object PipelineQueries {
     val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
     val sys = Similarity.int8TopK(e, q, "vec_id", "embedding", 10)
     graft.ops.Eval.retrievalMetrics(truth, sys, "q_id", "n_id", "rank", 10)
+  }
+
+  /** ROUGE-2 over a deterministic doc pairing ([[graft.ops.Eval.rouge2]],
+    * doc d vs doc d+250): clipped bigram overlap, exact integer P/R
+    * numerators, one f1 division — the generation-eval primitive under
+    * the gate.
+    */
+  val evalRouge: Q = (spark, dir) => {
+    val d = docs(spark, dir).toDF()
+    val pairs = d.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 250).as("id_b"))
+      .filter(col("id_a") < 250)
+    graft.ops.Eval.rouge2(d, "doc_id", "text", pairs)
   }
 
   /** Matryoshka-truncation probe: overlap@10 per query between the int8
@@ -2064,6 +2099,7 @@ object PipelineQueries {
     "eval_rbo" -> evalRbo,
     "eval_ndcg" -> evalNdcg,
     "eval_ece" -> evalEce,
+    "eval_rouge" -> evalRouge,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "sample_split" -> sampleSplit,
@@ -2145,6 +2181,7 @@ object PipelineQueries {
     "knn_ivf" -> knnIvf,
     "embedding_kmeans" -> embeddingKmeans,
     "knn_int8" -> knnInt8,
+    "knn_sharded" -> knnSharded,
     "embedding_quantize" -> embeddingQuantize,
     "text_repetition" -> textRepetition,
     "bm25_rank" -> bm25Rank,
@@ -2232,6 +2269,36 @@ object PipelineQueries {
     * oracle that consumes the quantized codes (ANN eval, k-means) so the
     * quantization replay cannot drift between them.
     */
+  /** The knn_int8 oracle — shared verbatim by knn_sharded: the
+    * shard-and-merge query must equal the FULL search, so its oracle
+    * IS the full search (the exactness theorem executed at the gate).
+    */
+  private val knnInt8OracleSql =
+    """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |unitized AS (
+        |  SELECT vec_id,
+        |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+        |  FROM s),
+        |qz AS (
+        |  SELECT vec_id,
+        |    list_transform(u, x -> CAST(floor(x *
+        |      (CASE WHEN list_max(list_transform(u, y -> abs(y))) = 0 THEN 1.0
+        |            ELSE 127.0 / list_max(list_transform(u, y -> abs(y))) END) + 0.5)
+        |      AS INTEGER)) AS q
+        |  FROM unitized),
+        |scored AS (
+        |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT) AS dot_q
+        |  FROM qz c JOIN qz qr ON qr.vec_id < 8 AND c.vec_id != qr.vec_id)
+        |SELECT q_id, n_id, dot_q, rank FROM (
+        |  SELECT q_id, n_id, dot_q,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin
+
   private val int8CodesCtesSql =
     """s AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -3595,6 +3662,32 @@ object PipelineQueries {
         |    / (CAST(SUM(n) AS DOUBLE) * 1048576.0) AS ece
         |FROM g""".stripMargin,
     "eval_ndcg" -> evalNdcgOracle(10),
+    "eval_rouge" ->
+      // same bigrams, same clipped-min overlap, same single division
+      s"""WITH g AS (
+         |  SELECT doc_id AS id, ws[i + 1] || ' ' || ws[i + 2] AS gm,
+         |         count(*) AS c
+         |  FROM (SELECT doc_id, $wordsSql AS ws FROM documents
+         |        WHERE text IS NOT NULL),
+         |       (SELECT unnest(generate_series(0, len(ws) - 2)) AS i)
+         |  GROUP BY 1, 2),
+         |t AS (SELECT id, SUM(c) AS n FROM g GROUP BY 1),
+         |p AS (SELECT doc_id AS id_a, doc_id + 250 AS id_b
+         |      FROM documents WHERE doc_id < 250),
+         |ov AS (
+         |  SELECT p.id_a, p.id_b, SUM(least(a.c, b.c)) AS overlap
+         |  FROM p JOIN g a ON a.id = p.id_a JOIN g b
+         |    ON b.id = p.id_b AND a.gm = b.gm
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b,
+         |  COALESCE(ov.overlap, 0) AS overlap,
+         |  COALESCE(ta.n, 0) AS n_a, COALESCE(tb.n, 0) AS n_b,
+         |  CASE WHEN COALESCE(ta.n, 0) + COALESCE(tb.n, 0) = 0 THEN NULL
+         |       ELSE 2 * COALESCE(ov.overlap, 0) * 1000000
+         |            // (COALESCE(ta.n, 0) + COALESCE(tb.n, 0)) END AS f1_ppm
+         |FROM p LEFT JOIN ov ON p.id_a = ov.id_a AND p.id_b = ov.id_b
+         |LEFT JOIN t ta ON ta.id = p.id_a
+         |LEFT JOIN t tb ON tb.id = p.id_b""".stripMargin,
     "embedding_kmeans" -> kmeansOracle(8, 3, 64),
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
@@ -4149,31 +4242,8 @@ object PipelineQueries {
         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
         |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
         |FROM q""".stripMargin,
-    "knn_int8" ->
-      """WITH s AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
-        |  FROM embeddings),
-        |unitized AS (
-        |  SELECT vec_id,
-        |    CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
-        |  FROM s),
-        |qz AS (
-        |  SELECT vec_id,
-        |    list_transform(u, x -> CAST(floor(x *
-        |      (CASE WHEN list_max(list_transform(u, y -> abs(y))) = 0 THEN 1.0
-        |            ELSE 127.0 / list_max(list_transform(u, y -> abs(y))) END) + 0.5)
-        |      AS INTEGER)) AS q
-        |  FROM unitized),
-        |scored AS (
-        |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
-        |    CAST(list_dot_product(CAST(qr.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT) AS dot_q
-        |  FROM qz c JOIN qz qr ON qr.vec_id < 8 AND c.vec_id != qr.vec_id)
-        |SELECT q_id, n_id, dot_q, rank FROM (
-        |  SELECT q_id, n_id, dot_q,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS INTEGER) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10""".stripMargin,
+    "knn_int8" -> knnInt8OracleSql,
+    "knn_sharded" -> knnInt8OracleSql,
     "text_repetition" ->
       s"""WITH staged AS (
          |  SELECT doc_id, coalesce($wordsSql, CAST([] AS VARCHAR[])) AS ws

@@ -270,4 +270,27 @@ class EvalSpec extends AnyFunSuite {
         "q_id", "n_id", "rank", 3).collect()
     }
   }
+
+  test("rouge2: clipped bigram overlap; identical=1, disjoint=0, clipping binds") {
+    val docs = Seq(
+      (1L, "a b c d"),        // bigrams: ab, bc, cd
+      (2L, "a b c d"),        // identical
+      (3L, "x y z w"),        // disjoint
+      (4L, "a b a b a b"),    // ab x3, ba x2 — clipping vs doc 1
+      (5L, "")                // empty
+    ).toDF("doc_id", "text")
+    def run(pairs: Seq[(Long, Long)]) =
+      Eval.rouge2(docs, "doc_id", "text",
+        pairs.toDF("id_a", "id_b"))
+        .select("id_a", "id_b", "overlap", "n_a", "n_b", "f1_ppm")
+        .as[(Long, Long, Long, Long, Long, Option[Long])]
+        .collect().map(r => (r._1, r._2) -> r).toMap
+    val out = run(Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 5L)))
+    assert(out((1L, 2L))._3 == 3L && out((1L, 2L))._6 == Some(1000000L))
+    assert(out((1L, 3L))._3 == 0L && out((1L, 3L))._6 == Some(0L))
+    // doc1 has ab x1; doc4 has ab x3 -> clipped to 1; f1 = 2*1e6/(3+5)
+    assert(out((1L, 4L))._3 == 1L && out((1L, 4L))._6 == Some(250000L))
+    assert(out((5L, 5L))._3 == 0L && out((5L, 5L))._6.isEmpty,
+      "no bigrams on either side -> null f1")
+  }
 }
