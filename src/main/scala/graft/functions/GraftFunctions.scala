@@ -36,7 +36,14 @@ object GraftFunctions {
     "graft_redact_pii" -> unary("graft_redact_pii", graft.ops.TextOps.redactPii) _,
     "graft_rolling_hash" -> unary("graft_rolling_hash", graft.ops.TextOps.rollingHash) _,
     "graft_simhash64" -> unary("graft_simhash64", graft.ops.Dedup.simhash64) _,
-    "graft_stopword_ratio" -> unary("graft_stopword_ratio", graft.ops.TextOps.stopwordRatio) _)
+    "graft_stopword_ratio" -> unary("graft_stopword_ratio", graft.ops.TextOps.stopwordRatio) _,
+    // the Gopher rule bitmask straight from SQL (mask 0 = pass)
+    "graft_quality_mask" -> unary("graft_quality_mask", (t: Column) =>
+      graft.ops.TextOps.gopherRuleMask(
+        org.apache.spark.sql.functions.coalesce(
+          graft.ops.TextOps.tokens(t),
+          org.apache.spark.sql.functions.array()
+            .cast("array<string>")))) _)
 
   private def dotBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")

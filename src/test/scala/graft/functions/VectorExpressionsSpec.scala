@@ -146,7 +146,8 @@ class VectorExpressionsSpec extends AnyFunSuite {
       """SELECT doc_id, graft_token_count(text) AS tc, graft_lang_id(text) AS li,
         |       graft_fingerprint(text) AS fp, graft_rolling_hash(text) AS rh,
         |       graft_simhash64(text) AS sh, graft_redact_pii(text) AS rp,
-        |       graft_stopword_ratio(text) AS sr
+        |       graft_stopword_ratio(text) AS sr,
+        |       graft_quality_mask(text) AS qm
         |FROM docs_sql""".stripMargin)
     val viaCol = d.select(
       col("doc_id"),
@@ -156,7 +157,10 @@ class VectorExpressionsSpec extends AnyFunSuite {
       graft.ops.TextOps.rollingHash(col("text")).as("rh"),
       graft.ops.Dedup.simhash64(col("text")).as("sh"),
       graft.ops.TextOps.redactPii(col("text")).as("rp"),
-      graft.ops.TextOps.stopwordRatio(col("text")).as("sr"))
+      graft.ops.TextOps.stopwordRatio(col("text")).as("sr"),
+      graft.ops.TextOps.gopherRuleMask(
+        coalesce(graft.ops.TextOps.tokens(col("text")),
+          array().cast("array<string>"))).as("qm"))
     assert(viaSql.exceptAll(viaCol).count() == 0 && viaCol.exceptAll(viaSql).count() == 0,
       "SQL registration must produce the identical values to the Column API")
     // no UDF anywhere: the SQL path plans the same codegen-able tree
