@@ -700,6 +700,34 @@ object PipelineQueries {
       "s", Seq((1, 10), (1, 20)))
   }
 
+  /** k-anonymity generalization ladder: the acctbal quasi-identifier
+    * coarsens through 100 / 1 000 / 10 000-unit buckets and full
+    * suppression, and each level reports its group count and SMALLEST
+    * group — the table a data-release review reads to pick the minimal
+    * generalization meeting k ≥ 5. One scan: the four levels explode from
+    * each row (4× level-tagged rows, map-side combined), so choosing a
+    * privacy level never rescans the corpus.
+    */
+  val privacyGeneralize: Q = (spark, dir) => {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val leveled = c.select(col("c_nationkey"), col("c_mktsegment"),
+      explode(array(
+        struct(lit(0).as("level"),
+          floor(col("c_acctbal") / 100).cast("long").as("qb")),
+        struct(lit(1).as("level"),
+          floor(col("c_acctbal") / 1000).cast("long").as("qb")),
+        struct(lit(2).as("level"),
+          floor(col("c_acctbal") / 10000).cast("long").as("qb")),
+        struct(lit(3).as("level"), lit(0L).as("qb")))).as("__l"))
+    leveled
+      .groupBy(col("__l.level").as("level"), col("c_nationkey"),
+        col("c_mktsegment"), col("__l.qb"))
+      .agg(count(lit(1)).as("__k"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_groups"), min(col("__k")).as("k_min"))
+      .withColumn("meets_k", (col("k_min") >= 5).cast("int"))
+  }
+
   /** Seeded-Laplace noised count release ([[graft.ops.Privacy.noisedCounts]],
     * ε = 1): per (type, day) event counts with reproducible inverse-CDF
     * noise on the 2²⁰ ln grid — the DP-mechanism plumbing demo (the
@@ -2102,6 +2130,7 @@ object PipelineQueries {
     "eval_rouge" -> evalRouge,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
+    "privacy_generalize" -> privacyGeneralize,
     "sample_split" -> sampleSplit,
     "sample_exact_k" -> sampleExactK,
     "sample_k_per_group" -> sampleKPerGroup,
@@ -4491,6 +4520,22 @@ object PipelineQueries {
          |  WHERE g.pick < 12 AND w.gain > 0)
          |SELECT doc_id, gain, CAST(len(covered) AS BIGINT) AS covered_total, pick
          |FROM greedy WHERE pick >= 1""".stripMargin,
+    "privacy_generalize" ->
+      // the same four exploded levels, same floors, same k-min rollup
+      """WITH l AS (
+        |  SELECT c_nationkey, c_mktsegment, u.level,
+        |    CASE u.level
+        |      WHEN 0 THEN CAST(floor(c_acctbal / 100) AS BIGINT)
+        |      WHEN 1 THEN CAST(floor(c_acctbal / 1000) AS BIGINT)
+        |      WHEN 2 THEN CAST(floor(c_acctbal / 10000) AS BIGINT)
+        |      ELSE 0 END AS qb
+        |  FROM customer, (SELECT unnest([0, 1, 2, 3]) AS level) u),
+        |g AS (
+        |  SELECT level, c_nationkey, c_mktsegment, qb, count(*) AS k
+        |  FROM l GROUP BY 1, 2, 3, 4)
+        |SELECT level, count(*) AS n_groups, min(k) AS k_min,
+        |  CASE WHEN min(k) >= 5 THEN 1 ELSE 0 END AS meets_k
+        |FROM g GROUP BY level""".stripMargin,
     "privacy_noised" ->
       // same md5-uniform, same odd-shifted inverse-CDF arg, same
       // grid-floored ln; DuckDB reads the hex via CAST('0x...' AS BIGINT)

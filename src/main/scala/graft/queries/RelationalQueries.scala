@@ -1652,6 +1652,31 @@ object RelationalQueries {
         (col("__h.level") + col("__h.trend")).as("forecast_next"))
   }
 
+  /** Discrete power-law tail exponent of per-user activity (Clauset et
+    * al.'s continuous MLE `α̂ = 1 + n/Σln(x/xmin)` at xmin = 5): the
+    * heavy-tail diagnostic behind skew budgeting. Per-user counts are
+    * exact; each ln rides the 2²⁰ floor grid (one libm call per DISTINCT
+    * count via the histogram — value-cardinality work, not row work);
+    * α̂ is the single closing division.
+    */
+  val eventsPowerlaw: Q = (spark, dir) => {
+    val counts = Tables.eventsDf(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("__x"))
+      .filter(col("__x") >= 5)
+      .groupBy("__x").agg(count(lit(1)).as("__m"))
+      .select(col("__x"), col("__m"),
+        floor(log(col("__x").cast("double") / 5.0) * 1048576.0)
+          .cast("long").as("__lng"))
+    counts.agg(
+      sum(col("__m")).as("n_tail"),
+      sum(col("__m") * col("__lng")).as("sum_ln_grid"))
+      .withColumn("alpha_hat",
+        when(col("sum_ln_grid") > 0,
+          lit(1.0) + col("n_tail").cast("double") * 1048576.0 /
+            col("sum_ln_grid").cast("double"))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Integer Holt–Winters: the [[eventsSmoothing]] ½-shift recurrence
     * extended with ADDITIVE WEEKLY seasonality (α = β = γ = ½ as
     * arithmetic shifts; dow = days-since-epoch mod 7, engine-neutral) —
@@ -3916,6 +3941,7 @@ object RelationalQueries {
     "events_reactivation" -> eventsReactivation,
     "events_smoothing" -> eventsSmoothing,
     "events_holt_winters" -> eventsHoltWinters,
+    "events_powerlaw" -> eventsPowerlaw,
     "events_heatmap" -> eventsHeatmap,
     "orders_aging" -> ordersAging,
     "lineitem_ols2" -> lineitemOls2,
@@ -6343,6 +6369,20 @@ object RelationalQueries {
         |WHERE od <= ref AND (sd IS NULL OR sd > ref)
         |GROUP BY 1""".stripMargin,
     "events_holt_winters" -> holtWintersOracle,
+    "events_powerlaw" ->
+      // same histogram, same grid-floored ln per distinct count
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |h AS (SELECT x, count(*) AS m FROM c WHERE x >= 5 GROUP BY 1),
+        |g AS (SELECT x, m,
+        |        CAST(floor(ln(CAST(x AS DOUBLE) / 5.0) * 1048576.0) AS BIGINT)
+        |          AS lng
+        |      FROM h)
+        |SELECT SUM(m) AS n_tail, SUM(m * lng) AS sum_ln_grid,
+        |  CASE WHEN SUM(m * lng) > 0
+        |       THEN 1.0 + CAST(SUM(m) AS DOUBLE) * 1048576.0
+        |            / CAST(SUM(m * lng) AS DOUBLE) END AS alpha_hat
+        |FROM g""".stripMargin,
     "linkage_fs" -> linkageFsOracle,
     "events_smoothing" ->
       // the same ½-shift Holt recurrence replayed day by day; >> floors
