@@ -684,4 +684,71 @@ object Eval {
                |ELSE 2 * overlap * 1000000 DIV (n_a + n_b) END""".stripMargin))
   }
 
+
+  /** BLEU-2 between paired texts (Papineni et al. 2002) — candidate
+    * `id_a` scored against reference `id_b`: clipped modified precisions
+    * for unigrams and bigrams, brevity penalty `min(1, e^(1−r/c))`, and
+    * `bleu = BP·√(p1·p2)`. All counts exact integers; the penalty's one
+    * exp and the closing sqrt are single fixed-order double calls on
+    * exact ratios (the sigmoid/cosine trust argument). Zero n-gram
+    * matches or an empty candidate yield 0/null without blow-ups.
+    *
+    * Scale shape: the [[rouge2]] motion twice (unigram + bigram count
+    * tables over the PAIRED docs only, pair-sized broadcast semi-join).
+    *
+    * @return (id_a, id_b, c_len, r_len, m1, m2, bleu)
+    */
+  def bleu2(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val wanted = pairs.select(col("id_a").cast("long").as("__wid"))
+      .union(pairs.select(col("id_b").cast("long").as("__wid")))
+      .distinct()
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .join(broadcast(wanted), col(idCol).cast("long") === col("__wid"), "left_semi")
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(col(textCol)).as("__ws"))
+      .localCheckpoint(true)
+    def counts(n: Int) = toks
+      .select(col("id"),
+        explode(TextOps.wordNgramsAllOfTokens(col("__ws"), n)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    def clipped(n: Int, as: String) = p
+      .join(counts(n).toDF("id_a", "g", "__ca"), Seq("id_a"))
+      .join(counts(n).toDF("__idb2", "g2", "__cb"),
+        col("id_b") === col("__idb2") && col("g") === col("g2"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("__ca"), col("__cb"))).as(as))
+    val lens = toks.select(col("id"), size(col("__ws")).cast("long").as("len"))
+    val out = p
+      .join(clipped(1, "m1"), Seq("id_a", "id_b"), "left")
+      .join(clipped(2, "m2"), Seq("id_a", "id_b"), "left")
+      .join(lens.toDF("id_a", "c_len"), Seq("id_a"), "left")
+      .join(lens.toDF("id_b", "r_len"), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("c_len"), lit(0L)).as("c_len"),
+        coalesce(col("r_len"), lit(0L)).as("r_len"),
+        coalesce(col("m1"), lit(0L)).as("m1"),
+        coalesce(col("m2"), lit(0L)).as("m2"))
+    // the one libm exp floors onto the 2^20 grid (raw exp differs by an
+    // ULP across engines — the discipline everything else follows); sqrt
+    // and the arithmetic are IEEE-correctly-rounded and engine-identical
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(floor(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double"))
+        * lit(1048576.0)) / lit(1048576.0))
+    out.withColumn("bleu",
+      when(col("c_len") > 1 && col("m1") > 0 && col("m2") > 0,
+        bp * sqrt(
+          (col("m1").cast("double") / col("c_len").cast("double")) *
+            (col("m2").cast("double") / (col("c_len") - 1).cast("double"))))
+        .otherwise(when(col("c_len") > 0, lit(0.0))
+          .otherwise(lit(null).cast("double"))))
+  }
+
 }

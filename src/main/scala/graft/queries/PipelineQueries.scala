@@ -642,6 +642,20 @@ object PipelineQueries {
     graft.ops.Eval.retrievalMetrics(truth, sys, "q_id", "n_id", "rank", 10)
   }
 
+  /** BLEU-2 over the same doc pairing as `eval_rouge`
+    * ([[graft.ops.Eval.bleu2]]): clipped modified precisions, brevity
+    * penalty, geometric mean — candidate d scored against reference
+    * d+250. Exact integer numerators; the exp and sqrt are single
+    * fixed-order calls on exact ratios.
+    */
+  val evalBleu: Q = (spark, dir) => {
+    val d = docs(spark, dir).toDF()
+    val pairs = d.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 250).as("id_b"))
+      .filter(col("id_a") < 250)
+    graft.ops.Eval.bleu2(d, "doc_id", "text", pairs)
+  }
+
   /** ROUGE-2 over a deterministic doc pairing ([[graft.ops.Eval.rouge2]],
     * doc d vs doc d+250): clipped bigram overlap, exact integer P/R
     * numerators, one f1 division — the generation-eval primitive under
@@ -2128,6 +2142,7 @@ object PipelineQueries {
     "eval_ndcg" -> evalNdcg,
     "eval_ece" -> evalEce,
     "eval_rouge" -> evalRouge,
+    "eval_bleu" -> evalBleu,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "privacy_generalize" -> privacyGeneralize,
@@ -3691,6 +3706,45 @@ object PipelineQueries {
         |    / (CAST(SUM(n) AS DOUBLE) * 1048576.0) AS ece
         |FROM g""".stripMargin,
     "eval_ndcg" -> evalNdcgOracle(10),
+    "eval_bleu" ->
+      // same clipped counts for n = 1, 2; same BP exp and geometric mean
+      s"""WITH staged AS (
+         |  SELECT doc_id AS id, $wordsSql AS ws FROM documents
+         |  WHERE text IS NOT NULL),
+         |g1 AS (SELECT id, u AS gm, count(*) AS c
+         |       FROM (SELECT id, unnest(ws) AS u FROM staged) GROUP BY 1, 2),
+         |g2 AS (SELECT id, ws[i + 1] || ' ' || ws[i + 2] AS gm, count(*) AS c
+         |       FROM staged,
+         |            (SELECT unnest(generate_series(0, len(ws) - 2)) AS i)
+         |       GROUP BY 1, 2),
+         |t AS (SELECT id, len(ws) AS len FROM staged),
+         |p AS (SELECT doc_id AS id_a, doc_id + 250 AS id_b
+         |      FROM documents WHERE doc_id < 250),
+         |m1 AS (SELECT p.id_a, p.id_b, SUM(least(a.c, b.c)) AS m1
+         |       FROM p JOIN g1 a ON a.id = p.id_a
+         |       JOIN g1 b ON b.id = p.id_b AND a.gm = b.gm GROUP BY 1, 2),
+         |m2 AS (SELECT p.id_a, p.id_b, SUM(least(a.c, b.c)) AS m2
+         |       FROM p JOIN g2 a ON a.id = p.id_a
+         |       JOIN g2 b ON b.id = p.id_b AND a.gm = b.gm GROUP BY 1, 2),
+         |o AS (
+         |  SELECT p.id_a, p.id_b,
+         |    COALESCE(ta.len, 0) AS c_len, COALESCE(tb.len, 0) AS r_len,
+         |    COALESCE(m1.m1, 0) AS m1, COALESCE(m2.m2, 0) AS m2
+         |  FROM p LEFT JOIN m1 ON p.id_a = m1.id_a AND p.id_b = m1.id_b
+         |  LEFT JOIN m2 ON p.id_a = m2.id_a AND p.id_b = m2.id_b
+         |  LEFT JOIN t ta ON ta.id = p.id_a
+         |  LEFT JOIN t tb ON tb.id = p.id_b)
+         |SELECT id_a, id_b, c_len, r_len, m1, m2,
+         |  CASE WHEN c_len > 1 AND m1 > 0 AND m2 > 0 THEN
+         |    (CASE WHEN c_len >= r_len THEN 1.0
+         |          ELSE floor(exp(1.0 - CAST(r_len AS DOUBLE)
+         |                         / CAST(c_len AS DOUBLE)) * 1048576.0)
+         |               / 1048576.0
+         |     END)
+         |    * sqrt((CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE))
+         |           * (CAST(m2 AS DOUBLE) / CAST(c_len - 1 AS DOUBLE)))
+         |  WHEN c_len > 0 THEN 0.0 END AS bleu
+         |FROM o""".stripMargin,
     "eval_rouge" ->
       // same bigrams, same clipped-min overlap, same single division
       s"""WITH g AS (

@@ -293,4 +293,27 @@ class EvalSpec extends AnyFunSuite {
     assert(out((5L, 5L))._3 == 0L && out((5L, 5L))._6.isEmpty,
       "no bigrams on either side -> null f1")
   }
+
+  test("bleu2: hand-solved precisions, brevity penalty, degenerate zeros") {
+    val docs = Seq(
+      (1L, "a b c d"),       // candidate, 4 tokens
+      (2L, "a b c d"),       // identical reference -> bleu 1
+      (3L, "a b x y z"),     // partial: m1=2 (a,b), m2=1 (ab); r longer
+      (4L, "p q")            // no overlap
+    ).toDF("doc_id", "text")
+    def run(pairs: Seq[(Long, Long)]) =
+      Eval.bleu2(docs, "doc_id", "text", pairs.toDF("id_a", "id_b"))
+        .select("id_a", "id_b", "m1", "m2", "bleu")
+        .as[(Long, Long, Long, Long, Option[Double])]
+        .collect().map(r => (r._1, r._2) -> r).toMap
+    val out = run(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(out((1L, 2L))._5 == Some(1.0), "identical pair scores exactly 1")
+    // candidate len 4 vs reference len 5: BP = floor-grid exp(1 - 5/4);
+    // p1 = 2/4, p2 = 1/3
+    val bp = math.floor(math.exp(1.0 - 5.0 / 4.0) * 1048576.0) / 1048576.0
+    val expect = bp * math.sqrt((2.0 / 4.0) * (1.0 / 3.0))
+    assert(out((1L, 3L))._3 == 2L && out((1L, 3L))._4 == 1L)
+    assert(out((1L, 3L))._5 == Some(expect))
+    assert(out((1L, 4L))._5 == Some(0.0), "zero n-gram overlap scores 0")
+  }
 }
