@@ -1693,6 +1693,25 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Tokenizer fertility per language ([[graft.ops.Vocab.bpeSegment]]
+    * over the 3-step learned merges): subwords-per-word in ppm — the
+    * "how much does this tokenizer tax each language" table every
+    * multilingual vocab decision reads. Exact integer sums; one DIV.
+    */
+  val vocabFertility: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    val merges = Vocab.bpeLearn(d, "text", steps = 3)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = Vocab.bpeSegment(d, "text", merges).select("word", "n_symbols")
+    d.toDF().select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("__f"))
+      .join(seg, "word")
+      .groupBy("lang")
+      .agg(sum(col("__f")).as("n_words"),
+        sum(col("__f") * col("n_symbols")).as("n_subwords"))
+      .withColumn("fertility_ppm", expr("n_subwords * 1000000 DIV n_words"))
+  }
+
   /** Exact duplicated-substring signal (Lee et al.): per doc, the fraction
     * of its distinct word 8-grams occurring in ≥ 1 other document. Both
     * shuffles move 128-bit gram digests, never text.
@@ -2166,6 +2185,7 @@ object PipelineQueries {
     "vocab_bpe_pairs" -> vocabBpePairs,
     "vocab_bpe_merges" -> vocabBpeMerges,
     "vocab_bpe_apply" -> vocabBpeApply,
+    "vocab_fertility" -> vocabFertility,
     "text_dupgrams" -> textDupgrams,
     "sample_stratified" -> sampleStratified,
     "sample_balanced" -> sampleBalanced,
@@ -2342,6 +2362,53 @@ object PipelineQueries {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS INTEGER) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin
+
+  /** The unrolled 3-step BPE learn+segment CTE chain (segmented vocab
+    * in `v3`) shared by the vocab_bpe_apply and vocab_fertility
+    * oracles.
+    */
+  private val bpeSegCtesSql =
+    s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
+         |v0 AS (
+         |  SELECT word, regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym,
+         |    count(*) AS wfreq
+         |  FROM w GROUP BY word),
+         |p1 AS (
+         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
+         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
+         |        FROM v0)),
+         |b1 AS (SELECT pair FROM (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p1 GROUP BY pair
+         |       ORDER BY pf DESC, pair LIMIT 1)),
+         |v1 AS (
+         |  SELECT word, replace(sym,
+         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b1),
+         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b1)) AS sym, wfreq
+         |  FROM v0),
+         |p2 AS (
+         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
+         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
+         |        FROM v1)),
+         |b2 AS (SELECT pair FROM (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p2 GROUP BY pair
+         |       ORDER BY pf DESC, pair LIMIT 1)),
+         |v2 AS (
+         |  SELECT word, replace(sym,
+         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b2),
+         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b2)) AS sym, wfreq
+         |  FROM v1),
+         |p3 AS (
+         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
+         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
+         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
+         |        FROM v2)),
+         |b3 AS (SELECT pair FROM (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p3 GROUP BY pair
+         |       ORDER BY pf DESC, pair LIMIT 1)),
+         |v3 AS (
+         |  SELECT word, replace(sym,
+         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b3),
+         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b3)) AS sym, wfreq
+         |  FROM v2)""".stripMargin
 
   private val int8CodesCtesSql =
     """s AS (
@@ -2845,55 +2912,33 @@ object PipelineQueries {
          |SELECT 2, split_part(pair, chr(31), 1), split_part(pair, chr(31), 2), pf FROM b2
          |UNION ALL
          |SELECT 3, split_part(pair, chr(31), 1), split_part(pair, chr(31), 2), pf FROM b3""".stripMargin,
+    "vocab_fertility" ->
+      // the shared segment chain joined to per-lang word counts
+      (bpeSegCtesSql + """,
+         |lw AS (
+         |  SELECT lang, u AS word, count(*) AS f
+         |  FROM (SELECT lang, unnest(list_filter(
+         |          string_split_regex(lower(text), '\s+'), x -> x != '')) AS u
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |sg AS (
+         |  SELECT word,
+         |    CAST(len(string_split(trim(sym, chr(31)), chr(31) || chr(31)))
+         |         AS BIGINT) AS n_symbols
+         |  FROM v3)
+         |SELECT lang, CAST(SUM(f) AS BIGINT) AS n_words,
+         |  CAST(SUM(f * n_symbols) AS BIGINT) AS n_subwords,
+         |  SUM(f * n_symbols) * 1000000 // SUM(f) AS fertility_ppm
+         |FROM lw JOIN sg USING (word)
+         |GROUP BY lang""".stripMargin),
     "vocab_bpe_apply" ->
-      // the vocab_bpe_merges chain with `word` carried through the three
-      // rewrites, finished by the symbol count of the segmented form
-      s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
-         |v0 AS (
-         |  SELECT word, regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym,
-         |    count(*) AS wfreq
-         |  FROM w GROUP BY word),
-         |p1 AS (
-         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
-         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
-         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
-         |        FROM v0)),
-         |b1 AS (SELECT pair FROM (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p1 GROUP BY pair
-         |       ORDER BY pf DESC, pair LIMIT 1)),
-         |v1 AS (
-         |  SELECT word, replace(sym,
-         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b1),
-         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b1)) AS sym, wfreq
-         |  FROM v0),
-         |p2 AS (
-         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
-         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
-         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
-         |        FROM v1)),
-         |b2 AS (SELECT pair FROM (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p2 GROUP BY pair
-         |       ORDER BY pf DESC, pair LIMIT 1)),
-         |v2 AS (
-         |  SELECT word, replace(sym,
-         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b2),
-         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b2)) AS sym, wfreq
-         |  FROM v1),
-         |p3 AS (
-         |  SELECT unnest(list_transform(range(2, len(syms) + 1),
-         |      i -> syms[i - 1] || chr(31) || syms[i])) AS pair, wfreq
-         |  FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms, wfreq
-         |        FROM v2)),
-         |b3 AS (SELECT pair FROM (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pf FROM p3 GROUP BY pair
-         |       ORDER BY pf DESC, pair LIMIT 1)),
-         |v3 AS (
-         |  SELECT word, replace(sym,
-         |    (SELECT chr(31) || replace(pair, chr(31), chr(31) || chr(31)) || chr(31) FROM b3),
-         |    (SELECT chr(31) || replace(pair, chr(31), '') || chr(31) FROM b3)) AS sym, wfreq
-         |  FROM v2)
+      // the shared segment chain, finished by the top-20 cut
+      (bpeSegCtesSql + """
          |SELECT word, CAST(wfreq AS BIGINT) AS wfreq,
          |  CAST(len(string_split(trim(sym, chr(31)), chr(31) || chr(31))) AS BIGINT)
          |    AS n_symbols
          |FROM v3
-         |ORDER BY wfreq DESC, word LIMIT 20""".stripMargin,
+         |ORDER BY wfreq DESC, word LIMIT 20""".stripMargin),
     "vocab_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
          |v AS (SELECT word, count(*) AS wfreq FROM w GROUP BY word),
