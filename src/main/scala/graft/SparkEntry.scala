@@ -19,7 +19,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    * `dynamicOracles` holds SQL whose literals (seeded quantizer fits) are
+    * captured while the corresponding query runs — this def is evaluated
+    * by Verify AFTER all queries, so a full run always includes them.
     */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
+    ParityQueries.oracles ++ RelationalQueries.oracles ++
+      PipelineQueries.oracles ++ graft.queries.DynamicOracles.snapshot
 }

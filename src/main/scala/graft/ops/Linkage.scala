@@ -148,12 +148,14 @@ object Linkage {
     * sorted rank r pairs with ranks r+1..r+window, produced by exploding
     * the offsets and joining `rank_b = rank_a + k` — no inequality join,
     * no per-pair shuffle beyond one hash join on the computed rank key.
-    * The global rank here is one `row_number` window (single-partition
-    * sort of (key, id) PAIRS, not rows); at 100 TB swap in the
-    * range-partitioned prefix-sum ranking ([[Ranking.abcClassify]]'s
-    * discipline) — same ranks, no single-task sort — and note the honest
-    * halo reading: partition by rank range with a `window`-sized overlap
-    * and the pairs stay partition-local.
+    * The global rank is a DISTRIBUTED range-partitioned prefix sum
+    * ([[Ranking.abcClassify]]'s discipline): range-repartition on
+    * (key, id), pin ONE evaluation (range boundaries come from sampling),
+    * count per partition (a partitions-sized table), broadcast the running
+    * offsets back, and each row's global rank is its offset plus a
+    * PARTITION-LOCAL row_number — identical ranks, no single-task sort
+    * anywhere (plan-audited). The rank equi-join then ships each record
+    * `window` times — the halo — and pairs stay hash-local to the rank key.
     *
     * Output: (id_a, id_b, dist) with id_a < id_b enforced AFTER the rank
     * pairing (the sort order and the id order may disagree), distance
@@ -166,17 +168,38 @@ object Linkage {
       sortKey: Column,
       window: Int,
       maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(window >= 1 && maxDist >= 0, s"need window >= 1, maxDist >= 0")
     Dedup.requireIntegralId(df, idCol)
     val s = df
       .filter(col(nameCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(nameCol).as("name"),
         sortKey.as("__k"))
-    val ranked = s
-      .withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__k"), col("id"))))
+    val ordered = s
+      .repartitionByRange(col("__k").asc, col("id").asc)
+      .sortWithinPartitions(col("__k").asc, col("id").asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition row counts → running offsets: a partitions-sized table,
+    // so its ordering window is over #partitions rows, never corpus rows
+    val offs = ordered
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__pc"))
+      .withColumn("__off",
+        coalesce(
+          sum(col("__pc")).over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val wIn = Window.partitionBy("__pid").orderBy(col("__k").asc, col("id").asc)
+    // persist (not checkpoint): probes + the rank join both consume the
+    // ranks; a recompute is safe because `ordered` above is the pinned
+    // stage, and keeping the lineage lets the plan audit SEE the
+    // partition-local window (no single-task sort) in the final plan
+    val ranked = ordered
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn("__r", col("__off") + row_number().over(wIn))
       .select("id", "name", "__r")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = ranked.select(
       col("id").as("ia"), col("name").as("na"),
       explode(sequence(col("__r") + 1, col("__r") + window)).as("__r"))

@@ -1,0 +1,24 @@
+package graft.queries
+
+/** Oracle SQL whose text exists only AFTER its query runs — literals from
+  * seeded-deterministic quantizer fits (knn_ivf centroids, knn_pq
+  * codebooks) and physical side-output paths (source_manifest's file dir,
+  * which is scale-factor-specific so a sf0.001 spec run can never clobber
+  * the sf0.01 gate's files).
+  *
+  * `graft.Verify` executes every query BEFORE dumping
+  * [[graft.SparkEntry.oracleSql]] (a def), so a full run always dumps the
+  * captured entries; a filtered debug run that skips a capturing query
+  * simply omits its entry (the driver then records rows-only — never
+  * stale literals).
+  */
+object DynamicOracles {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def put(name: String, sql: String): Unit = m.put(name, sql)
+
+  def snapshot: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    m.asScala.toMap
+  }
+}

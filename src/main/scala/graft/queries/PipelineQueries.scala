@@ -319,12 +319,15 @@ object PipelineQueries {
   /** Product-quantized ANN: 8 subspaces × 16 codewords (64× compression),
     * asymmetric-distance top-10 for the query vectors
     * ([[graft.ops.Similarity.pqBuild]]/[[graft.ops.Similarity.pqTopK]]).
-    * Rows-only at the gate (the k-means fit is seeded but not
-    * SQL-replayable — the knn_ivf precedent); semantics spec-pinned.
+    * HASH-GATED since round 9: the fit is seeded-deterministic, so the
+    * trained codebooks embed as SQL literals captured from THIS run (the
+    * knn_lsh hyperplane-literal trick) and DuckDB replays encode + ADC
+    * bit-exactly — see [[knnPqOracleSql]] / [[dynamicOracles]].
     */
   val knnPq: Q = (spark, dir) => {
     val e = emb(spark, dir)
     val idx = Similarity.pqBuild(e, "vec_id", "embedding", nsub = 8, k = 16)
+    DynamicOracles.put("knn_pq", knnPqOracleSql(idx.codebooks, topK = 10))
     Similarity.pqTopK(idx, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
   }
 
@@ -411,14 +414,21 @@ object PipelineQueries {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10, bits = 4)
   }
 
-  /** IVF (k-means cells) approximate top-10 — rows-only (the quantizer is
-    * not DuckDB-replayable); the spec pins nprobe==nlist bitwise to brute
-    * force and bounds recall for partial probes.
+  /** IVF (k-means cells) approximate top-10 — HASH-GATED since round 9:
+    * the coarse quantizer's fit is seeded-deterministic, so the trained
+    * centroids embed as SQL literals captured from THIS run and DuckDB
+    * replays cell assignment, probe routing, and cosine ranking
+    * bit-exactly ([[knnIvfOracleSql]]). The spec additionally pins
+    * nprobe==nlist bitwise to brute force and bounds recall for partial
+    * probes.
     */
   val knnIvf: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10,
-      nlist = 8, nprobe = 3)
+    val idx = Similarity.ivfBuild(e, "vec_id", "embedding", nlist = 8, seed = 42L)
+    DynamicOracles.put("knn_ivf",
+      knnIvfOracleSql(idx.centroids, nprobe = 3, k = 10))
+    Similarity.ivfSearch(idx, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      10, nprobe = 3)
   }
 
   /** Distributed Lloyd k-means on the int8 unit-code integer grid
@@ -2639,6 +2649,132 @@ object PipelineQueries {
        |      FROM n),
        |e AS (SELECT source, doc_id, n_tok, CAST(ep AS INT) AS epoch FROM u)""".stripMargin
 
+  /** SQL literal that DuckDB parses back to the EXACT double: Java's
+    * `Double.toString` prints the shortest decimal that uniquely identifies
+    * the value, and the STRING→DOUBLE cast (strtod) rounds it to nearest —
+    * round-trip is lossless. The string detour is load-bearing: a bare
+    * numeric literal types as DECIMAL, and DuckDB's DECIMAL→DOUBLE
+    * conversion DOUBLE-ROUNDS once the scaled mantissa exceeds 2⁵³
+    * (measured: `0.11586502199306299::DOUBLE` ≠
+    * `CAST('0.11586502199306299' AS DOUBLE)` — the latter is the exact
+    * double).
+    */
+  private def dLit(d: Double): String =
+    s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+
+  /** Sequential-fold squared L2 between `vecExpr[off+1 .. off+sub]` and the
+    * literal list `cExpr` — replays the engine's `s += dd*dd` loop term for
+    * term (list_transform preserves order; list_reduce left-folds from the
+    * first element, and `0.0 + t == t` for the non-negative first term).
+    */
+  private def d2Sql(vecExpr: String, off: String, cExpr: String, sub: Int): String =
+    s"list_reduce(list_transform(range($sub), j -> " +
+      s"($vecExpr[$off + j + 1] - $cExpr[j + 1]) * " +
+      s"($vecExpr[$off + j + 1] - $cExpr[j + 1])), (a, b) -> a + b)"
+
+  /** The knn_ivf oracle, built from the centroids the query's OWN run
+    * fitted (reference: the knn_lsh hyperplane-literal replay). Replays
+    * exactly: corpus cell = argmin d² (ties → lowest cell, the
+    * `nearestCells` sort), query probes = `nprobe` nearest cells, cosine =
+    * the proven list_dot_product triple, rank = (cos DESC, n_id).
+    */
+  private[queries] def knnIvfOracleSql(
+      centroids: Array[Array[Double]],
+      nprobe: Int,
+      k: Int): String = {
+    val dim = centroids.head.length
+    // CAST to DOUBLE[] is load-bearing: DuckDB types a bare decimal literal
+    // as DECIMAL, and DECIMAL arithmetic drifts 1 ulp off the engine's
+    // doubles; the cast parses each 17-digit literal exactly, then rounds
+    // to nearest — which is the original double by toString's round-trip
+    val rows = centroids.zipWithIndex
+      .map { case (c, i) =>
+        s"($i, CAST([${c.map(dLit).mkString(", ")}] AS DOUBLE[]))" }
+      .mkString(",\n  ")
+    s"""WITH cent(cell, cv) AS (VALUES
+       |  $rows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (
+       |  SELECT e.vec_id, cent.cell, ${d2Sql("v", "0", "cv", dim)} AS d2
+       |  FROM e CROSS JOIN cent),
+       |r AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |  FROM d),
+       |corp AS (
+       |  SELECT r.cell, e.vec_id AS n_id, e.v AS n_vec,
+       |    sqrt(list_dot_product(e.v, e.v)) AS n_norm
+       |  FROM e JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+       |q AS (
+       |  SELECT vec_id AS q_id, v AS q_vec,
+       |    sqrt(list_dot_product(v, v)) AS q_norm
+       |  FROM e WHERE vec_id < 8),
+       |probe AS (
+       |  SELECT vec_id AS q_id, cell FROM r
+       |  WHERE vec_id < 8 AND rn <= $nprobe),
+       |s AS (
+       |  SELECT p.q_id, c.n_id,
+       |    list_dot_product(q.q_vec, c.n_vec) / (q.q_norm * c.n_norm) AS cos
+       |  FROM probe p JOIN corp c USING (cell) JOIN q ON q.q_id = p.q_id
+       |  WHERE c.n_id != p.q_id)
+       |SELECT q_id, n_id, cos, rank FROM (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+       |      AS INTEGER) AS rank
+       |  FROM s)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** The knn_pq oracle, built from the codebooks the query's OWN run
+    * fitted. Replays exactly: per-subspace code = argmin d² over the 16
+    * codewords (strict `<` in the encoder → ties to the lowest code), ADC
+    * = the query's subspace-distance table summed over subspaces in
+    * ascending-s order (the engine's `d += t(s)(code_s)` left fold),
+    * rank = (adc_dist ASC, n_id).
+    */
+  private[queries] def knnPqOracleSql(
+      codebooks: Array[Array[Array[Double]]],
+      topK: Int): String = {
+    val nsub = codebooks.length
+    val sub = codebooks.head.head.length
+    // CAST to DOUBLE[]: same 1-ulp DECIMAL-literal trap as the IVF builder —
+    // and here the codebook values reach the OUTPUT (adc_dist), so the
+    // drift is a hash miss, not just a routing wobble
+    val rows = (for {
+      s <- 0 until nsub
+      c <- codebooks(s).indices
+    } yield s"($s, $c, CAST([${codebooks(s)(c).map(dLit).mkString(", ")}] AS DOUBLE[]))")
+      .mkString(",\n  ")
+    s"""WITH cb(s, c, cv) AS (VALUES
+       |  $rows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (
+       |  SELECT e.vec_id, cb.s, cb.c,
+       |    ${d2Sql("e.v", s"cb.s * $sub", "cv", sub)} AS d2
+       |  FROM e CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM d)
+       |  WHERE rn = 1),
+       |qt AS (SELECT vec_id AS q_id, s, c, d2 FROM d WHERE vec_id < 8),
+       |pair AS (
+       |  SELECT qt.q_id, codes.vec_id AS n_id, qt.s, qt.d2
+       |  FROM codes JOIN qt ON codes.s = qt.s AND codes.code = qt.c
+       |  WHERE codes.vec_id != qt.q_id),
+       |adc AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(d2 ORDER BY s), (a, b) -> a + b) AS adc_dist
+       |  FROM pair GROUP BY q_id, n_id)
+       |SELECT q_id, n_id, rank, adc_dist FROM (
+       |  SELECT q_id, n_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id)
+       |      AS BIGINT) AS rank
+       |  FROM adc)
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sample_exact_k" ->
       """SELECT doc_id, source, n_chars FROM (
@@ -2719,7 +2855,8 @@ object PipelineQueries {
          |      ORDER BY sc DESC, doc_id ASC
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
          |  FROM d JOIN q USING (lang))
-         |SELECT doc_id, lang, cum_cost FROM c WHERE cum_cost <= quota""".stripMargin,
+         |SELECT doc_id, lang, CAST(cum_cost AS BIGINT) AS cum_cost
+         |FROM c WHERE cum_cost <= quota""".stripMargin,
     "sample_mixture" -> {
       val cases = mixWeights.toSeq.sortBy(_._1)
         .map { case (s, f) => s"WHEN '$s' THEN '${Sampling.fractionThreshold(f)}'" }
@@ -2928,7 +3065,8 @@ object PipelineQueries {
          |  FROM v3)
          |SELECT lang, CAST(SUM(f) AS BIGINT) AS n_words,
          |  CAST(SUM(f * n_symbols) AS BIGINT) AS n_subwords,
-         |  SUM(f * n_symbols) * 1000000 // SUM(f) AS fertility_ppm
+         |  CAST(SUM(f * n_symbols) * 1000000 // SUM(f) AS BIGINT)
+         |    AS fertility_ppm
          |FROM lw JOIN sg USING (word)
          |GROUP BY lang""".stripMargin),
     "vocab_bpe_apply" ->
@@ -3774,7 +3912,8 @@ object PipelineQueries {
          |o AS (
          |  SELECT p.id_a, p.id_b,
          |    COALESCE(ta.len, 0) AS c_len, COALESCE(tb.len, 0) AS r_len,
-         |    COALESCE(m1.m1, 0) AS m1, COALESCE(m2.m2, 0) AS m2
+         |    CAST(COALESCE(m1.m1, 0) AS BIGINT) AS m1,
+         |    CAST(COALESCE(m2.m2, 0) AS BIGINT) AS m2
          |  FROM p LEFT JOIN m1 ON p.id_a = m1.id_a AND p.id_b = m1.id_b
          |  LEFT JOIN m2 ON p.id_a = m2.id_a AND p.id_b = m2.id_b
          |  LEFT JOIN t ta ON ta.id = p.id_a
@@ -3808,11 +3947,13 @@ object PipelineQueries {
          |    ON b.id = p.id_b AND a.gm = b.gm
          |  GROUP BY 1, 2)
          |SELECT p.id_a, p.id_b,
-         |  COALESCE(ov.overlap, 0) AS overlap,
-         |  COALESCE(ta.n, 0) AS n_a, COALESCE(tb.n, 0) AS n_b,
+         |  CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+         |  CAST(COALESCE(ta.n, 0) AS BIGINT) AS n_a,
+         |  CAST(COALESCE(tb.n, 0) AS BIGINT) AS n_b,
          |  CASE WHEN COALESCE(ta.n, 0) + COALESCE(tb.n, 0) = 0 THEN NULL
-         |       ELSE 2 * COALESCE(ov.overlap, 0) * 1000000
-         |            // (COALESCE(ta.n, 0) + COALESCE(tb.n, 0)) END AS f1_ppm
+         |       ELSE CAST(2 * COALESCE(ov.overlap, 0) * 1000000
+         |            // (COALESCE(ta.n, 0) + COALESCE(tb.n, 0)) AS BIGINT)
+         |  END AS f1_ppm
          |FROM p LEFT JOIN ov ON p.id_a = ov.id_a AND p.id_b = ov.id_b
          |LEFT JOIN t ta ON ta.id = p.id_a
          |LEFT JOIN t tb ON tb.id = p.id_b""".stripMargin,
@@ -3879,9 +4020,9 @@ object PipelineQueries {
          |tails AS (SELECT w2, count(*) AS n_cont_tail FROM pair GROUP BY 1),
          |tot AS (SELECT count(*) AS ntot FROM pair)
          |SELECT p.w1, p.w2, p.n,
-         |  (greatest(4 * p.n - 3, 0) * ntot
+         |  CAST((greatest(4 * p.n - 3, 0) * ntot
          |   + 3 * n_cont_head * n_cont_tail) * 1000000
-         |  // (4 * c_head * ntot) AS p_kn_ppm
+         |  // (4 * c_head * ntot) AS BIGINT) AS p_kn_ppm
          |FROM pair p
          |JOIN heads h ON p.w1 = h.w1
          |JOIN tails t ON p.w2 = t.w2
@@ -4059,10 +4200,10 @@ object PipelineQueries {
          |      % 1000000007) AS vs
          |  FROM toks)
          |SELECT doc_id,
-         |  CASE WHEN vs IS NULL THEN NULL
+         |  CAST(CASE WHEN vs IS NULL THEN NULL
          |       WHEN len(vs) = 0 THEN 0
          |       ELSE list_reduce(vs, (a, b) -> (a * 31 + b) % 1000000007)
-         |  END AS rolling
+         |  END AS BIGINT) AS rolling
          |FROM vals""".stripMargin,
     "dedup_ngram" ->
       // exact char-5-gram Jaccard within the source blocking — the engine
@@ -4248,8 +4389,9 @@ object PipelineQueries {
         |  SELECT source, doc_id AS media_id, octet_length(encode(text)) AS n_bytes
         |  FROM documents)
         |SELECT source, media_id, n_bytes,
-        |  COALESCE(sum(n_bytes) OVER (PARTITION BY source ORDER BY media_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS bin
+        |  CAST(COALESCE(sum(n_bytes) OVER (PARTITION BY source ORDER BY media_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576
+        |    AS BIGINT) AS bin
         |FROM m""".stripMargin,
     "dedup_embedding" ->
       s"""WITH h AS (
@@ -4353,7 +4495,7 @@ object PipelineQueries {
         |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
         |  FROM embeddings),
         |dims AS (SELECT unnest(generate_series(0, 15)) AS dim)
-        |SELECT e.vec_id, d.dim,
+        |SELECT e.vec_id, CAST(d.dim AS INTEGER) AS dim,
         |  CAST(list_sum(list_transform(generate_series(1, len(qv)),
         |    i -> (CASE WHEN substr(md5(CAST(d.dim AS VARCHAR) || ':' ||
         |                            CAST(i - 1 AS VARCHAR)), 1, 1) < '8'

@@ -1716,12 +1716,16 @@ object RelationalQueries {
               transform(acc.getField("s"),
                 (v, i) => when(i === x.getField("k"), sNew).otherwise(v)).as("s"))
           }).as("__h"))
-    folded.select(col("event_type"),
+    // The seasonal state is flattened to seven scalar columns (s0..s6)
+    // rather than one array column: the driver's pandas harness cannot
+    // lexsort list-typed cells, so arrays are banned from oracle-gated
+    // output schemas (see OracleSchemaSpec).
+    folded.select(Seq(col("event_type"),
       col("__h.level").as("level"), col("__h.trend").as("trend"),
       (col("__h.level") + col("__h.trend") +
         element_at(col("__h.s"), pmod(col("__klast") + 1, lit(7)) + 1))
-        .as("forecast_next"),
-      col("__h.s").as("seasonals"))
+        .as("forecast_next")) ++
+      (0 until 7).map(j => element_at(col("__h.s"), j + 1).as(s"s$j")): _*)
   }
 
   /** Sequence-pattern matching — `A → B with NO C between` (the
@@ -2729,14 +2733,25 @@ object RelationalQueries {
     * orders hash-repartitioned into 8 parquet files, then the per-file
     * (rows, min/max key) manifest read back from the files themselves.
     * The oracle opens the SAME files via read_parquet(filename=true) —
-    * both engines must agree on what physically landed on disk.
+    * both engines must agree on what physically landed on disk. The out
+    * dir is SCALE-FACTOR-SPECIFIC and the oracle is captured at run time
+    * with that path ([[DynamicOracles]]): a sf0.001 spec run can no
+    * longer clobber the files the sf0.01 gate's oracle reads (the round-8
+    * stale-dir false-FAIL).
     */
   val sourceManifest: Q = (spark, dir) => {
-    val out = "/tmp/graft_manifest"
+    val out = s"/tmp/graft_manifest_${new java.io.File(dir).getName}"
     t(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").parquet(out)
+    DynamicOracles.put("source_manifest",
+      s"""SELECT CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS INTEGER)
+         |    AS part_idx,
+         |  count(*) AS n_rows,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM read_parquet('$out/*.parquet', filename = true)
+         |GROUP BY 1""".stripMargin)
     graft.sources.Sources.fileManifest(spark, out, "o_orderkey")
   }
 
@@ -4064,9 +4079,9 @@ object RelationalQueries {
        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bb
        |  FROM customer)
        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-       |  ${term("a.c_mktsegment", "b.c_mktsegment", waS, wdS)}
+       |  CAST(${term("a.c_mktsegment", "b.c_mktsegment", waS, wdS)}
        |  + ${term("a.p3", "b.p3", waP, wdP)}
-       |  + ${term("a.bb", "b.bb", waB, wdB)} AS fs_grid
+       |  + ${term("a.bb", "b.bb", waB, wdB)} AS BIGINT) AS fs_grid
        |FROM c a JOIN c b
        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
        |WHERE ${term("a.c_mktsegment", "b.c_mktsegment", waS, wdS)}
@@ -4089,7 +4104,9 @@ object RelationalQueries {
       .mkString(",\n    ")
     val fcast = "CASE (r.k + 1) % 7 " +
       (0 until 7).map(j => s"WHEN $j THEN r.s$j").mkString(" ") + " END"
-    val lst = "[" + (0 until 7).map(j => s"r.s$j").mkString(", ") + "]"
+    // flattened s0..s6 output (no LIST column — pandas-hostile in the
+    // driver harness)
+    val sOut = (0 until 7).map(j => s"r.s$j AS s$j").mkString(", ")
     s"""WITH RECURSIVE daily AS MATERIALIZED (
        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
        |  FROM events GROUP BY 1, 2),
@@ -4111,7 +4128,7 @@ object RelationalQueries {
        |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1)
        |SELECT r.event_type, r.level, r.trend,
        |  r.level + r.trend + ($fcast) AS forecast_next,
-       |  $lst AS seasonals
+       |  $sOut
        |FROM rec r JOIN mx ON r.event_type = mx.event_type AND r.i = mx.mi""".stripMargin
   }
 
@@ -4307,14 +4324,8 @@ object RelationalQueries {
         |       WHEN a.ty = b.ty THEN 'unchanged'
         |       ELSE 'retyped' END AS status
         |FROM a FULL OUTER JOIN b ON a.name = b.name""".stripMargin,
-    "source_manifest" ->
-      // the oracle opens the PHYSICAL files the query just wrote
-      """SELECT CAST(regexp_extract(filename, 'part-(\d+)', 1) AS INTEGER)
-        |    AS part_idx,
-        |  count(*) AS n_rows,
-        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-        |FROM read_parquet('/tmp/graft_manifest/*.parquet', filename = true)
-        |GROUP BY 1""".stripMargin,
+    // "source_manifest" is a DynamicOracles capture (run-time path) — see
+    // the sourceManifest query.
     "source_compact" ->
       // compaction must be content-lossless: the aggregate over the
       // compacted copy equals the aggregate over the raw table
@@ -4375,14 +4386,14 @@ object RelationalQueries {
         |  FROM events WHERE value IS NOT NULL),
         |a AS (
         |  SELECT
-        |    SUM(CASE WHEN v = 0 AND p = 0 THEN 1 ELSE 0 END) AS n_c_pre,
-        |    SUM(CASE WHEN v = 0 AND p = 0 THEN m ELSE 0 END) AS s_c_pre,
-        |    SUM(CASE WHEN v = 0 AND p = 1 THEN 1 ELSE 0 END) AS n_c_post,
-        |    SUM(CASE WHEN v = 0 AND p = 1 THEN m ELSE 0 END) AS s_c_post,
-        |    SUM(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END) AS n_t_pre,
-        |    SUM(CASE WHEN v = 1 AND p = 0 THEN m ELSE 0 END) AS s_t_pre,
-        |    SUM(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) AS n_t_post,
-        |    SUM(CASE WHEN v = 1 AND p = 1 THEN m ELSE 0 END) AS s_t_post
+        |    CAST(SUM(CASE WHEN v = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        |    CAST(SUM(CASE WHEN v = 0 AND p = 0 THEN m ELSE 0 END) AS BIGINT) AS s_c_pre,
+        |    CAST(SUM(CASE WHEN v = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        |    CAST(SUM(CASE WHEN v = 0 AND p = 1 THEN m ELSE 0 END) AS BIGINT) AS s_c_post,
+        |    CAST(SUM(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        |    CAST(SUM(CASE WHEN v = 1 AND p = 0 THEN m ELSE 0 END) AS BIGINT) AS s_t_pre,
+        |    CAST(SUM(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        |    CAST(SUM(CASE WHEN v = 1 AND p = 1 THEN m ELSE 0 END) AS BIGINT) AS s_t_post
         |  FROM u)
         |SELECT n_c_pre, s_c_pre, n_c_post, s_c_post,
         |  n_t_pre, s_t_pre, n_t_post, s_t_post,
@@ -4399,7 +4410,7 @@ object RelationalQueries {
         |  SELECT user_id,
         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
         |  FROM events GROUP BY 1),
-        |a AS (SELECT count(*) AS n, SUM(c) AS conv FROM u)
+        |a AS (SELECT count(*) AS n, CAST(SUM(c) AS BIGINT) AS conv FROM u)
         |SELECT n, conv,
         |  CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS baseline_rate,
         |  CASE WHEN n > 0 THEN CAST(ceil(
@@ -4517,7 +4528,7 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
     "window_rank" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -4758,11 +4769,11 @@ object RelationalQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |  FROM events)
         |SELECT
-        |  SUM(CASE WHEN gap IS NULL OR gap > 300000000 THEN 1 ELSE 0 END) AS s_5m,
-        |  SUM(CASE WHEN gap IS NULL OR gap > 900000000 THEN 1 ELSE 0 END) AS s_15m,
-        |  SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS s_30m,
-        |  SUM(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 ELSE 0 END) AS s_60m,
-        |  SUM(CASE WHEN gap IS NULL OR gap > 7200000000 THEN 1 ELSE 0 END) AS s_120m
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS s_5m,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS s_15m,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS s_30m,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS s_60m,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 7200000000 THEN 1 ELSE 0 END) AS BIGINT) AS s_120m
         |FROM g""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
@@ -5214,7 +5225,7 @@ object RelationalQueries {
         |    count(*) OVER (PARTITION BY hour_of_day) AS cn
         |  FROM d),
         |mad AS (SELECT hour_of_day, dev AS gmad FROM m2 WHERE rn = (cn + 1) // 2)
-        |SELECT q.day, q.hour_of_day, q.n
+        |SELECT q.day, CAST(q.hour_of_day AS INTEGER) AS hour_of_day, q.n
         |FROM q JOIN med USING (hour_of_day) JOIN mad USING (hour_of_day)
         |WHERE abs(q.q - med.gmed) * 10000 > 2 * 14826 * mad.gmad""".stripMargin,
     "events_ltv" ->
@@ -5286,7 +5297,7 @@ object RelationalQueries {
         |p3 AS (SELECT to_type AS state,
         |         SUM(pi_ppm * p_ppm // 1000000) AS pi_ppm
         |       FROM tr JOIN p2 ON tr.from_type = p2.state GROUP BY 1)
-        |SELECT state, pi_ppm FROM p3""".stripMargin,
+        |SELECT state, CAST(pi_ppm AS BIGINT) AS pi_ppm FROM p3""".stripMargin,
     "events_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,
@@ -5296,7 +5307,7 @@ object RelationalQueries {
         |  SELECT from_type, to_type, count(*) AS n_trans
         |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n_trans,
-        |  n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY from_type) AS p_ppm
+        |  CAST(n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
         |FROM c""".stripMargin,
     "events_paths" ->
       // t2 non-null implies t1 non-null (lead monotonicity), so the
@@ -5338,9 +5349,9 @@ object RelationalQueries {
         |un AS (SELECT count(*) AS n_units FROM m),
         |de AS (SELECT SUM(nc * (n - nc)) AS deSum
         |       FROM (SELECT v, SUM(c) AS nc FROM p GROUP BY 1) CROSS JOIN d)
-        |SELECT d.n AS n, un.n_units,
-        |  (d.n - 1) * d.do_L AS do_num,
-        |  720720 * de.deSum AS de_num,
+        |SELECT CAST(d.n AS BIGINT) AS n, un.n_units,
+        |  CAST((d.n - 1) * d.do_L AS BIGINT) AS do_num,
+        |  CAST(720720 * de.deSum AS BIGINT) AS de_num,
         |  CASE WHEN 720720 * de.deSum > 0
         |       THEN 1.0 - CAST((d.n - 1) * d.do_L AS DOUBLE)
         |                  / CAST(720720 * de.deSum AS DOUBLE) END AS alpha
@@ -5389,7 +5400,8 @@ object RelationalQueries {
       // base (grid 1 for the integer dims, 2^20 for monetary)
       """WITH base AS (
         |  SELECT user_id,
-        |    date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01') AS recency_days,
+        |    CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01')
+        |      AS INTEGER) AS recency_days,
         |    count(*) AS frequency,
         |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS monetary
         |  FROM events GROUP BY 1),
@@ -5404,9 +5416,9 @@ object RelationalQueries {
         |       FROM base GROUP BY 1),
         |mc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm FROM mh)
         |SELECT b.user_id, b.recency_days, b.frequency, b.monetary,
-        |  (rc.cm * 1000000) // n.n AS r_ppm,
-        |  (fc.cm * 1000000) // n.n AS f_ppm,
-        |  (mc.cm * 1000000) // n.n AS m_ppm
+        |  CAST((rc.cm * 1000000) // n.n AS BIGINT) AS r_ppm,
+        |  CAST((fc.cm * 1000000) // n.n AS BIGINT) AS f_ppm,
+        |  CAST((mc.cm * 1000000) // n.n AS BIGINT) AS m_ppm
         |FROM base b
         |CROSS JOIN n
         |JOIN rc ON CAST(floor(b.recency_days * 1.0) AS BIGINT) = rc.v
@@ -5559,7 +5571,7 @@ object RelationalQueries {
         |    (SELECT count(*) FROM q) AS n
         |  FROM h)
         |SELECT q.o_orderkey, q.v AS value_grid,
-        |  (cum.cm * 1000000) // cum.n AS ecdf_ppm
+        |  CAST((cum.cm * 1000000) // cum.n AS BIGINT) AS ecdf_ppm
         |FROM q JOIN cum ON q.v = cum.v""".stripMargin,
     "parts_elasticity" ->
       // same ln doubles into the same 2^20 floor grid, same OLS replay
@@ -6191,8 +6203,8 @@ object RelationalQueries {
         |WHERE CAST(value_cents AS DECIMAL(38,0)) * 1500 > CAST(t AS DECIMAL(38,0))""".stripMargin,
     "q12_late_lines" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
         |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
@@ -6354,7 +6366,7 @@ object RelationalQueries {
         |        CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n
         |      FROM events GROUP BY 1, 2)
         |SELECT dow_code, hour_of_day, n,
-        |  (n * 1000000) // (SELECT SUM(n) FROM c) AS ppm
+        |  CAST((n * 1000000) // (SELECT SUM(n) FROM c) AS BIGINT) AS ppm
         |FROM c""".stripMargin,
     "orders_aging" ->
       """WITH s AS (SELECT l_orderkey AS k, max(CAST(l_shipdate AS DATE)) AS sd
@@ -6378,7 +6390,8 @@ object RelationalQueries {
         |        CAST(floor(ln(CAST(x AS DOUBLE) / 5.0) * 1048576.0) AS BIGINT)
         |          AS lng
         |      FROM h)
-        |SELECT SUM(m) AS n_tail, SUM(m * lng) AS sum_ln_grid,
+        |SELECT CAST(SUM(m) AS BIGINT) AS n_tail,
+        |  CAST(SUM(m * lng) AS BIGINT) AS sum_ln_grid,
         |  CASE WHEN SUM(m * lng) > 0
         |       THEN 1.0 + CAST(SUM(m) AS DOUBLE) * 1048576.0
         |            / CAST(SUM(m * lng) AS DOUBLE) END AS alpha_hat
@@ -6482,9 +6495,11 @@ object RelationalQueries {
         |       / (CAST(n_neg AS DOUBLE) * CAST(pos AS DOUBLE))) * 1048576.0) AS BIGINT)
         |    END AS woe_grid
         |  FROM s2 CROSS JOIN t)
-        |SELECT o_orderpriority, n, n_pos, n_neg, woe_grid,
+        |SELECT o_orderpriority, n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg, woe_grid,
         |  CASE WHEN woe_grid IS NULL THEN NULL
-        |       ELSE (n_pos * neg - n_neg * pos) * woe_grid // (pos * neg)
+        |       ELSE CAST((n_pos * neg - n_neg * pos) * woe_grid
+        |                 // (pos * neg) AS BIGINT)
         |  END AS iv_term_grid
         |FROM g""".stripMargin,
     "feature_target_encode" ->
@@ -6557,12 +6572,13 @@ object RelationalQueries {
         |      WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
         |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1)
         |SELECT digit, n_obs,
-        |  (n_obs * 1000000) // (SELECT SUM(n_obs) FROM g) AS obs_ppm,
+        |  CAST((n_obs * 1000000) // (SELECT SUM(n_obs) FROM g) AS BIGINT)
+        |    AS obs_ppm,
         |  CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000)
         |    AS BIGINT) AS benford_ppm,
-        |  (n_obs * 1000000) // (SELECT SUM(n_obs) FROM g)
+        |  CAST((n_obs * 1000000) // (SELECT SUM(n_obs) FROM g)
         |    - CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000)
-        |      AS BIGINT) AS excess_ppm
+        |      AS BIGINT) AS BIGINT) AS excess_ppm
         |FROM g""".stripMargin,
     "events_twa" ->
       // exact cents·µs products in HUGEINT, one final double division
@@ -6653,7 +6669,8 @@ object RelationalQueries {
         |        CASE WHEN dd < n THEN CAST(floor(
         |          ln(CAST(n - dd AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
         |          AS BIGINT) END AS lt FROM w)
-        |SELECT t AS duration_days, n AS n_at_risk, dd AS n_churned,
+        |SELECT CAST(t AS INTEGER) AS duration_days, n AS n_at_risk,
+        |  dd AS n_churned,
         |  cc AS n_censored,
         |  CASE WHEN SUM(CASE WHEN lt IS NULL THEN 1 ELSE 0 END) OVER
         |         (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
@@ -6722,7 +6739,8 @@ object RelationalQueries {
         |h2 AS (SELECT e.src AS node, SUM(a2.a) AS h
         |       FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1)
         |SELECT COALESCE(h2.node, a2.node) AS node,
-        |  COALESCE(h2.h, 0) AS hub, COALESCE(a2.a, 0) AS auth
+        |  CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+        |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
         |FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node""".stripMargin,
     "graph_pagerank" ->
       // the same three integer iterations, unrolled: per-edge floor-div
@@ -6793,8 +6811,9 @@ object RelationalQueries {
         |         SUM(deg.d) AS deg_sum
         |  FROM l3 JOIN deg ON l3.node = deg.node GROUP BY 1)
         |SELECT community, n_nodes,
-        |  COALESCE(e_in, 0) AS e_intra, deg_sum,
-        |  4 * COALESCE(e_in, 0) * me - deg_sum * deg_sum AS q_num,
+        |  COALESCE(e_in, 0) AS e_intra, CAST(deg_sum AS BIGINT) AS deg_sum,
+        |  CAST(4 * COALESCE(e_in, 0) * me - deg_sum * deg_sum AS BIGINT)
+        |    AS q_num,
         |  CAST(4 * COALESCE(e_in, 0) * me - deg_sum * deg_sum AS DOUBLE)
         |    / (4.0 * CAST(me AS DOUBLE) * CAST(me AS DOUBLE)) AS q_term
         |FROM ds LEFT JOIN intra USING (community) CROSS JOIN m""".stripMargin),

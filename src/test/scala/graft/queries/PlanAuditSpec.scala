@@ -104,6 +104,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "offset pairing must stay an equi-join on the computed rank")
   }
 
+  test("linkage_sorted: global rank is a partition-local window, no single-task sort") {
+    val p = plan("linkage_sorted")
+    // the record-table row_number must be partitioned by __pid (the
+    // range-partitioned prefix-sum ranking); an unpartitioned row_number
+    // here is the corpus-sized single-task window this audit exists to ban
+    val rn = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty, s"expected the rank window in-plan:\n$p")
+    assert(rn.forall(_.contains("__pid")),
+      s"row_number window not partitioned by __pid:\n${rn.mkString("\n")}")
+  }
+
   test("privacy_erasure: the cascade hop in-plan is a semi join") {
     // the customer→orders hops sit behind localCheckpoint (materialized in
     // their own jobs, same LeftSemi shape); the final plan carries the
