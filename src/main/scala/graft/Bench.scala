@@ -96,6 +96,7 @@ object Bench {
     // nor a stored-tail truncation can corrupt a last-JSON-line parse.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"BENCH_LOCAL.json"}""")
     graft.queries.ParityQueries.releaseWarm()
+    graft.queries.RelationalQueries.releaseShared()
     spark.stop()
   }
 }

@@ -308,10 +308,15 @@ object TextOps {
       col(idCol).as("__id"),
       posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
     val wDoc = Window.partitionBy("__id").orderBy("__pos")
+    // words feeds TWO arms (phrases, occ) and occ feeds two more (stats,
+    // scored) — pinned, or the tokenize+window chain re-derives once per
+    // arm (~4 corpus scans measured in-bench before round 9)
     val words = toks
       .withColumn("__stop", col("__w").isin(stops.map(x => x: Any): _*))
       .withColumn("__run", sum(col("__stop").cast("long")).over(wDoc))
       .filter(!col("__stop"))
+      .select("__id", "__run", "__pos", "__w")
+      .localCheckpoint(true)
     val phrases = words
       .groupBy("__id", "__run")
       .agg(
@@ -320,8 +325,10 @@ object TextOps {
             array_sort(collect_list(struct(col("__pos").as("p"), col("__w").as("w")))),
             x => x.getField("w")), " ").as("phrase"),
         count(lit(1)).as("__plen"))
+      .localCheckpoint(true)
     val occ = words.select("__id", "__run", "__w")
       .join(phrases.select("__id", "__run", "__plen"), Seq("__id", "__run"))
+      .localCheckpoint(true)
     val stats = occ
       .groupBy("__id", "__w")
       .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
