@@ -13,9 +13,21 @@ package graft.queries
   * stale literals).
   */
 object DynamicOracles {
+  /** The DECLARED capture set — every query that registers its oracle at
+    * run time must be listed here (put() enforces it), so the registry
+    * arithmetic in SURVEY.md stays spec-checkable: oracle-gated total =
+    * static oracles + this set.
+    */
+  val declared: Set[String] = Set("knn_ivf", "knn_pq", "source_manifest")
+
   private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def put(name: String, sql: String): Unit = m.put(name, sql)
+  def put(name: String, sql: String): Unit = {
+    require(declared.contains(name),
+      s"dynamic oracle '$name' is not in DynamicOracles.declared — " +
+        "declare it so the registry inventory stays spec-checkable")
+    m.put(name, sql)
+  }
 
   def snapshot: Map[String, String] = {
     import scala.jdk.CollectionConverters._
