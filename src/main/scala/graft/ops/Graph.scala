@@ -256,6 +256,48 @@ object Graph {
       .limit(topK)
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): candidate pairs
+    * score `Σ_z 1/ln(deg z)` over their common neighbors z — rare shared
+    * neighbors carry more signal than hubs, the standard upgrade over the
+    * raw common-neighbor count of [[linkCandidates]]. Each apex node's
+    * weight rides the 2²⁰ grid (`⌊2²⁰/ln d⌋`, one libm call per apex ROW
+    * of the node-sized degree table — never per pair), so pair scores are
+    * exact integer sums and the (score DESC, u, v) cut replays
+    * cross-engine.
+    *
+    * Scale shape — identical to [[linkCandidates]]: wedges enumerate only
+    * through apex nodes with `deg ≤ maxDegree` (the hub-pruning contract:
+    * a hub's O(d²) wedge fan-out is the scale-killer, and hubs are the
+    * least informative apexes by construction — their weight is the
+    * smallest), existing edges leave by anti-join, the top-k is
+    * TakeOrdered. Apex nodes in a pair have deg ≥ 2, so `ln d > 0` for
+    * every weight that reaches a score.
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      maxDegree: Long = 64L,
+      topK: Int = 50): DataFrame = {
+    val e = undirected(edges).localCheckpoint(true)
+    val deg = e.select(col("u").as("node")).union(e.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val nbrs = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v"), col("u")))
+    val apex = nbrs
+      .join(deg.filter(col("d") <= maxDegree && col("d") >= 2), Seq("node"))
+      .select(col("node"), col("nbr"),
+        floor(lit(1048576.0) / log(col("d").cast("double"))).cast("long").as("__w"))
+    val scored = apex.as("a")
+      .join(apex.as("b"),
+        col("a.node") === col("b.node") && col("a.nbr") < col("b.nbr"))
+      .groupBy(col("a.nbr").as("u"), col("b.nbr").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("a.__w")).as("aa_grid"))
+    scored.join(e, Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_grid").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("common_neighbors"), col("aa_grid"))
+  }
+
   /** Synchronous label propagation (community detection) over an
     * undirected graph: every node starts labeled with its own id; each
     * round, every node adopts the most frequent label among its NEIGHBORS,

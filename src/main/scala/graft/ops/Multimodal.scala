@@ -101,6 +101,53 @@ object Multimodal {
         s"ELSE height * $maxDim DIV greatest(width, height) END AS BIGINT) AS out_h")
   }
 
+  /** Paired-embedding alignment screen — the CLIP-style caption↔image QA
+    * gate: for each pair `(id, id + offset)` (two towers' embeddings of
+    * the same item — here the two halves of the embeddings fixture), the
+    * TRUE cosine must beat a derangement control (the NEXT item's right
+    * tower, `((id+1) mod n) + offset`). Pairs whose true cosine loses to
+    * a mismatched partner are exactly the mislabeled/duplicate-caption
+    * rows a contrastive training set must drop. Output per pair:
+    * `(id_a, id_b, cos_pair, cos_control, aligned)` with `aligned` an
+    * exact int (cosines are the proven sequential-fold dot triple —
+    * bit-replayable, so even the comparison is engine-exact).
+    *
+    * Scale shape: two hash equi-joins on the id arithmetic (no similarity
+    * search, no fan-out) — the control partner is a FIXED derangement, so
+    * the screen costs O(pairs) at any corpus size; a stronger screen
+    * composes [[graft.ops.Similarity.bruteForceTopK]] when rank-aware
+    * checking is worth its candidate generation.
+    */
+  def pairAlignment(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n: Long,
+      offset: Long): DataFrame = {
+    require(n > 1, s"need at least two pairs, got $n")
+    val e = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"),
+      Similarity.l2Norm(col(vecCol)).as("nrm"))
+    val left = e.filter(col("id") < n)
+      .select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val right = e.filter(col("id") >= offset && col("id") < offset + n)
+    left
+      .join(right.select((col("id") - offset).as("id_a"), col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("id_a"))
+      .join(right.select(
+        pmod(col("id") - offset - 1 + n, lit(n)).as("id_a"),
+        col("v").as("vc"), col("nrm").as("nc")), Seq("id_a"))
+      .select(
+        col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos_pair"),
+        (Similarity.dot(col("va"), col("vc")) / (col("na") * col("nc")))
+          .as("cos_control"))
+      .withColumn("aligned",
+        (col("cos_pair") > col("cos_control")).cast("int"))
+  }
+
   /** Frame sampling: one row per sampled frame index, every `stride`-th
     * frame of each medium (frame counts from the decode stub). A map-side
     * generator — the fan-out step before per-frame decode/embedding in a

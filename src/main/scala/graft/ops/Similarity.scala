@@ -1084,6 +1084,102 @@ object Similarity {
         col("adc_dist"))
   }
 
+  /** IVF+PQ composite ANN (Jégou et al. — the FAISS `IVFPQ` shape, THE
+    * billion-scale index): an IVF coarse quantizer routes each query to
+    * its `nprobe` nearest cells, and within those cells candidates score
+    * by PQ asymmetric distance over their `nsub`-byte codes — the search
+    * reads ~nprobe/nlist of the corpus and 8 bytes per candidate instead
+    * of the raw vectors. Composes [[ivfBuild]] (cell routing) with
+    * [[pqBuild]]'s codebooks (scoring); both fits are seeded-deterministic
+    * over the same bounded reservoir, so the whole search is replayable —
+    * the knn_ivfpq oracle embeds BOTH literal sets and replays routing,
+    * encode, and the ADC left-fold exactly.
+    *
+    * Scale shape: two bounded-draw fits + ONE compiled corpus map for
+    * cells+codes (no shuffle); search joins the query's probe list to the
+    * cell-partitioned code table (a saved index prunes at file level,
+    * [[IvfIndex.save]]), scores by broadcast distance tables, and the
+    * per-query top-k is WindowGroupLimit-bounded. Returns
+    * `(q_id, n_id, rank, adc_dist)` like [[pqTopK]].
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 3,
+      nsub: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L): DataFrame =
+    ivfPqSearch(
+      ivfBuild(corpus, idCol, vecCol, nlist, seed),
+      pqBuild(corpus, idCol, vecCol, nsub, ksub, seed),
+      queries, idCol, vecCol, k, nprobe)
+
+  /** Search half of [[ivfPqTopK]] over PREBUILT indexes — build once,
+    * search many (and the shape that lets a caller capture the fitted
+    * literals for replay).
+    */
+  def ivfPqSearch(
+      ivf: IvfIndex,
+      pq: PqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val sub = pq.dim / pq.nsub
+    // one cell+code table: the assigned cells join the codes on id — both
+    // came from the same compiled corpus maps, id-partitioned
+    val indexed = ivf.assigned.select(col("cell"), col("n_id"))
+      .join(pq.codes.select(col("id").as("n_id"), col("codes")), Seq("n_id"))
+      .localCheckpoint(true)
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+    val nprobeCapped = math.min(nprobe, ivf.centroids.length)
+    val tables: Array[(Long, Array[Int], Array[Array[Double]])] = qs.map {
+      case (qid, qv) =>
+        require(qv.length == pq.dim, s"query dim ${qv.length} != index dim ${pq.dim}")
+        val cells = ivf.centroids.indices.map { i =>
+          val c = ivf.centroids(i)
+          var s = 0.0; var j = 0
+          while (j < c.length) { val dd = qv(j) - c(j); s += dd * dd; j += 1 }
+          (s, i)
+        }.sorted.take(nprobeCapped).map(_._2).toArray
+        val t = Array.tabulate(pq.nsub, pq.k) { (s, c) =>
+          var d = 0.0; var i = 0
+          while (i < sub) {
+            val diff = qv(s * sub + i).toDouble - pq.codebooks(s)(c)(i)
+            d += diff * diff; i += 1
+          }
+          d
+        }
+        (qid, cells, t)
+    }
+    val bc = sp.sparkContext.broadcast(tables)
+    val scored = indexed.as[(Long, Int, Seq[Int])]
+      .flatMap { case (id, cell, cs) =>
+        bc.value.iterator.collect {
+          case (qid, cells, t) if qid != id && cells.contains(cell) =>
+            var d = 0.0; var s = 0
+            while (s < cs.length) { d += t(s)(cs(s)); s += 1 }
+            (qid, id, d)
+        }
+      }
+      .toDF("q_id", "n_id", "adc_dist")
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("adc_dist"))
+  }
+
   /** Distributed Lloyd k-means over the [[graft.functions.Int8UnitCodes]]
     * integer codes — EXACT, seedless, and replayable step-for-step by a
     * SQL oracle: the one clustering formulation this library can put

@@ -18,7 +18,8 @@ object DynamicOracles {
     * arithmetic in SURVEY.md stays spec-checkable: oracle-gated total =
     * static oracles + this set.
     */
-  val declared: Set[String] = Set("knn_ivf", "knn_pq", "source_manifest")
+  val declared: Set[String] =
+    Set("knn_ivf", "knn_pq", "knn_ivfpq", "source_manifest")
 
   private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

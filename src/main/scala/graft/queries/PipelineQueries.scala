@@ -414,6 +414,23 @@ object PipelineQueries {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10, bits = 4)
   }
 
+  /** IVF+PQ composite ANN ([[graft.ops.Similarity.ivfPqTopK]] — the FAISS
+    * IVFPQ shape): coarse cells route each query to 3 of 8 cells, PQ
+    * asymmetric distance scores the candidates from their 8-subspace
+    * codes. Hash-gated: BOTH fitted literal sets (centroids + codebooks)
+    * are captured from this run and the oracle replays routing, encode,
+    * and the ADC left-fold ([[knnIvfPqOracleSql]]).
+    */
+  val knnIvfPq: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val ivf = Similarity.ivfBuild(e, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val pq = Similarity.pqBuild(e, "vec_id", "embedding", nsub = 8, k = 16, seed = 42L)
+    DynamicOracles.put("knn_ivfpq",
+      knnIvfPqOracleSql(ivf.centroids, pq.codebooks, nprobe = 3, k = 10))
+    Similarity.ivfPqSearch(ivf, pq, e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 10, nprobe = 3)
+  }
+
   /** IVF (k-means cells) approximate top-10 — HASH-GATED since round 9:
     * the coarse quantizer's fit is seeded-deterministic, so the trained
     * centroids embed as SQL literals captured from THIS run and DuckDB
@@ -1122,6 +1139,37 @@ object PipelineQueries {
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
 
+  /** McNemar's paired test (the correct significance test when TWO
+    * classifiers score the SAME items — accuracy deltas alone ignore the
+    * pairing): classifier A = the n-gram language-ID heuristic, baseline
+    * B = always-predict-'en' (the majority class), truth = the `lang`
+    * column. Only the DISCORDANT cells matter: b = A right ∧ B wrong,
+    * c = A wrong ∧ B right; the continuity-corrected statistic
+    * `(max(|b−c|−1, 0))²/(b+c)` rides the 1e6 integer grid (exact counts,
+    * one integer DIV — fully hash-replayable; compare grid 3 841 459 ≈
+    * the χ²₁ 5% line). One corpus scan, four conditional sums, one row.
+    */
+  val evalMcnemar: Q = (spark, dir) => {
+    val scored = docs(spark, dir)
+      .filter(col("lang").isNotNull && col("text").isNotNull)
+      .select(
+        (TextOps.langId(col("text")) === col("lang")).cast("int").as("__a"),
+        (col("lang") === "en").cast("int").as("__b"))
+    scored.agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("__a") === 1 && col("__b") === 0, 1L).otherwise(0L))
+          .as("b_discordant"),
+        sum(when(col("__a") === 0 && col("__b") === 1, 1L).otherwise(0L))
+          .as("c_discordant"))
+      .withColumn("mcnemar_grid",
+        when(col("b_discordant") + col("c_discordant") > 0,
+          expr("""greatest(abs(b_discordant - c_discordant) - 1, 0)
+                 | * greatest(abs(b_discordant - c_discordant) - 1, 0)
+                 | * 1000000
+                 | div (b_discordant + c_discordant)""".stripMargin))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** Vocabulary coverage curve: the share of all token occurrences that
     * the top-100/1k/10k words cover (exact ppm under the deterministic
     * (freq DESC, word ASC) rank) — the tokenizer-sizing readout the OOV
@@ -1351,6 +1399,16 @@ object PipelineQueries {
     Multimodal
       .metadata(Multimodal.mediaFromDocuments(spark, dir))
       .select("media_id", "n_bytes", "content_md5")
+
+  /** Two-tower alignment screen ([[graft.ops.Multimodal.pairAlignment]]):
+    * the embeddings fixture's halves stand in for the caption / image
+    * towers; every pair's true cosine must beat its derangement control.
+    */
+  val multimodalAlignment: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val n = e.count() / 2
+    Multimodal.pairAlignment(e, "vec_id", "embedding", n, n)
+  }
 
   /** mapPartitions batch decode (stubbed codec) — oracle replays the stub's
     * arithmetic on octet_length, validating the full binary→feature path.
@@ -2172,6 +2230,7 @@ object PipelineQueries {
     "eval_ece" -> evalEce,
     "eval_rouge" -> evalRouge,
     "eval_bleu" -> evalBleu,
+    "eval_mcnemar" -> evalMcnemar,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "privacy_generalize" -> privacyGeneralize,
@@ -2253,6 +2312,7 @@ object PipelineQueries {
     "embedding_outliers" -> embeddingOutliers,
     "knn_lsh" -> knnLsh,
     "knn_ivf" -> knnIvf,
+    "knn_ivfpq" -> knnIvfPq,
     "embedding_kmeans" -> embeddingKmeans,
     "knn_int8" -> knnInt8,
     "knn_sharded" -> knnSharded,
@@ -2294,6 +2354,7 @@ object PipelineQueries {
     "metric_bootstrap_ratio" -> metricBootstrapRatio,
     "embedding_drift" -> embeddingDrift,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_alignment" -> multimodalAlignment,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
@@ -2773,6 +2834,72 @@ object PipelineQueries {
        |      AS BIGINT) AS rank
        |  FROM adc)
        |WHERE rank <= $topK""".stripMargin
+  }
+
+  /** The knn_ivfpq oracle: BOTH literal sets, the IVF routing CTEs (cell
+    * argmin + nprobe ranks) and the PQ encode/ADC CTEs, joined so only
+    * probed-cell candidates score — the replay of [[graft.ops.Similarity
+    * .ivfPqSearch]] term for term.
+    */
+  private[queries] def knnIvfPqOracleSql(
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int,
+      k: Int): String = {
+    val dim = centroids.head.length
+    val nsub = codebooks.length
+    val sub = codebooks.head.head.length
+    val centRows = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.map(dLit).mkString(", ")}])" }
+      .mkString(",\n  ")
+    val cbRows = (for {
+      s <- 0 until nsub
+      c <- codebooks(s).indices
+    } yield s"($s, $c, [${codebooks(s)(c).map(dLit).mkString(", ")}])")
+      .mkString(",\n  ")
+    s"""WITH cent(cell, cv) AS (VALUES
+       |  $centRows),
+       |cb(s, c, cw) AS (VALUES
+       |  $cbRows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dc AS (
+       |  SELECT e.vec_id, cent.cell, ${d2Sql("v", "0", "cv", dim)} AS d2
+       |  FROM e CROSS JOIN cent),
+       |rc AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |  FROM dc),
+       |asg AS (SELECT vec_id, cell FROM rc WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, cell FROM rc
+       |          WHERE vec_id < 8 AND rn <= $nprobe),
+       |dq AS (
+       |  SELECT e.vec_id, cb.s, cb.c,
+       |    ${d2Sql("e.v", s"cb.s * $sub", "cw", sub)} AS d2
+       |  FROM e CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+       |    FROM dq)
+       |  WHERE rn = 1),
+       |qt AS (SELECT vec_id AS q_id, s, c, d2 FROM dq WHERE vec_id < 8),
+       |pair AS (
+       |  SELECT p.q_id, a.vec_id AS n_id, qt.s, qt.d2
+       |  FROM probe p
+       |  JOIN asg a ON a.cell = p.cell
+       |  JOIN codes co ON co.vec_id = a.vec_id
+       |  JOIN qt ON qt.q_id = p.q_id AND qt.s = co.s AND qt.c = co.code
+       |  WHERE a.vec_id != p.q_id),
+       |adc AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(d2 ORDER BY s), (a, b) -> a + b) AS adc_dist
+       |  FROM pair GROUP BY q_id, n_id)
+       |SELECT q_id, n_id, rank, adc_dist FROM (
+       |  SELECT q_id, n_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id)
+       |      AS BIGINT) AS rank
+       |  FROM adc)
+       |WHERE rank <= $k""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -4031,6 +4158,26 @@ object PipelineQueries {
     "text_lang_eval" ->
       s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "eval_mcnemar" ->
+      // same discordant cells, same continuity-corrected integer grid
+      s"""WITH s AS (
+         |  SELECT CAST(${TextOps.langIdSql("text")} = lang AS INTEGER) AS a,
+         |    CAST(lang = 'en' AS INTEGER) AS b
+         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |t AS (
+         |  SELECT count(*) AS n_items,
+         |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS b_discordant,
+         |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c_discordant
+         |  FROM s)
+         |SELECT n_items, b_discordant, c_discordant,
+         |  CASE WHEN b_discordant + c_discordant > 0 THEN
+         |    CAST(greatest(abs(b_discordant - c_discordant) - 1, 0)
+         |         * greatest(abs(b_discordant - c_discordant) - 1, 0)
+         |         * 1000000 // (b_discordant + c_discordant) AS BIGINT)
+         |  END AS mcnemar_grid
+         |FROM t""".stripMargin,
     "text_ttr" ->
       s"""WITH s AS (SELECT doc_id, $wordsSql AS ws FROM documents)
          |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
@@ -4931,6 +5078,28 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "multimodal_alignment" ->
+      // true-pair cosine vs the fixed derangement control; the proven
+      // list_dot_product triple replays both doubles bit-exactly
+      """WITH t AS (SELECT count(*) // 2 AS n FROM embeddings),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))) AS nrm
+        |      FROM embeddings),
+        |l AS (SELECT vec_id AS id_a, v AS va, nrm AS na FROM e, t
+        |      WHERE vec_id < n),
+        |r AS (SELECT vec_id, v, nrm FROM e, t
+        |      WHERE vec_id >= n AND vec_id < 2 * n)
+        |SELECT l.id_a, p.vec_id AS id_b,
+        |  list_dot_product(l.va, p.v) / (l.na * p.nrm) AS cos_pair,
+        |  list_dot_product(l.va, c.v) / (l.na * c.nrm) AS cos_control,
+        |  CAST(list_dot_product(l.va, p.v) / (l.na * p.nrm)
+        |       > list_dot_product(l.va, c.v) / (l.na * c.nrm)
+        |    AS INTEGER) AS aligned
+        |FROM l
+        |JOIN t ON TRUE
+        |JOIN r p ON p.vec_id = l.id_a + t.n
+        |JOIN r c ON (c.vec_id - t.n - 1 + t.n) % t.n = l.id_a""".stripMargin,
     "multimodal_dedup" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id

@@ -1528,6 +1528,16 @@ object RelationalQueries {
     graft.ops.Graph.linkCandidates(
       coPurchaseEdges(spark, dir), maxDegree = 64L, topK = 50)
 
+  /** Adamic–Adar link prediction over the co-purchase graph
+    * ([[graft.ops.Graph.adamicAdar]]): hub-discounted common-neighbor
+    * scores on the 2²⁰ grid — the ranking that prefers pairs sharing
+    * RARE neighbors. Same wedge sweep as [[graphLinkpred]], different
+    * (better) arithmetic on the apex.
+    */
+  val graphAdamicAdar: Q = (spark, dir) =>
+    graft.ops.Graph.adamicAdar(
+      coPurchaseEdges(spark, dir), maxDegree = 64L, topK = 50)
+
   /** Kaplan–Meier time-to-first-error survival (reliability analysis):
     * per user, days from first activity to first `error` event (the
     * failure), censored at the window end when no error ever occurs. Per
@@ -1650,6 +1660,98 @@ object RelationalQueries {
         col("__h.level").as("level"),
         col("__h.trend").as("trend"),
         (col("__h.level") + col("__h.trend")).as("forecast_next"))
+  }
+
+  /** Theil–Sen robust trend slope (the median of all pairwise day-slopes)
+    * of each type's daily series — the outlier-immune replacement for the
+    * OLS trend line in [[ordersTrend]]'s family: one anomalous day can
+    * drag a least-squares slope arbitrarily, but moves the pairwise
+    * MEDIAN by at most one rank. Each pairwise slope is the exact
+    * rational `(y_j−y_i)/(d_j−d_i)` floored onto the 2²⁰ grid with the
+    * explicit floor-division identity `(num − pmod(num, den)) div den`
+    * (num may be negative; Spark's `div` truncates where DuckDB's `//`
+    * floors — the shared-sign discipline from the memory of round 8),
+    * and the median is the deterministic rank `(n+1) div 2` under
+    * (slope, i, j). Day-sized: the corpus collapses to per-type daily
+    * counts first, so the O(days²) pair set is bounded by the time
+    * horizon at ANY corpus scale.
+    */
+  val eventsTheilSen: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__y"))
+      .select(col("event_type"),
+        datediff(col("__d"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("__dd"),
+        col("__y"))
+      .localCheckpoint(true)
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.__dd") < col("b.__dd"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.__y") - col("a.__y")) * 1048576L).as("__num"),
+        (col("b.__dd") - col("a.__dd")).as("__den"),
+        col("a.__dd").as("__ia"), col("b.__dd").as("__ib"))
+      .withColumn("slope_grid",
+        expr("(__num - pmod(__num, __den)) div __den"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope_grid"), col("__ia"), col("__ib"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(expr("__rn = (n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("slope_grid").as("median_slope_grid"))
+  }
+
+  /** Croston's method (1972) for INTERMITTENT demand — the forecasting
+    * standard when most days are zero (spare parts, rare events, tail
+    * SKUs), where plain smoothing decays toward zero between demands:
+    * smooth the nonzero demand SIZES (z) and the INTER-DEMAND intervals
+    * (p) separately, each with the ½-shift update of [[eventsSmoothing]],
+    * and forecast the per-day rate z/p. The demand series here is the
+    * daily count of high-value events (cents ≡ 0 mod 997 — a sparse
+    * deterministic slice) per event type; updates happen only on demand
+    * days; `p₁ = 1` by convention and intervals are exact day diffs.
+    * Everything is integer (shifts + one closing DIV onto the 1e6 grid),
+    * so the oracle replays the recurrence demand-by-demand in a recursive
+    * CTE. Day-sized state, one aggregate shuffle — the smoothing scale
+    * shape.
+    */
+  val eventsCroston: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .filter(col("value").isNotNull &&
+        pmod(floor(col("value") * 100).cast("long"), lit(997L)) === 0L)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("event_type"),
+        struct(
+          datediff(col("__d"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long").as("d"),
+          col("__n").as("n")).as("__e"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(col("__e"))).as("__s"))
+      .select(col("event_type"), size(col("__s")).as("n_demands"),
+        aggregate(
+          expr("slice(__s, 2, size(__s))"),
+          struct(
+            element_at(col("__s"), 1).getField("n").as("z"),
+            lit(1L).as("p"),
+            element_at(col("__s"), 1).getField("d").as("prev")),
+          (acc, x) => {
+            val q = x.getField("d") - acc.getField("prev")
+            struct(
+              shiftright(x.getField("n") + acc.getField("z"), 1).as("z"),
+              shiftright(q + acc.getField("p"), 1).as("p"),
+              x.getField("d").as("prev"))
+          }).as("__h"))
+      .select(col("event_type"), col("n_demands"),
+        col("__h.z").as("z_size"), col("__h.p").as("p_interval"),
+        when(col("__h.p") > 0,
+          expr("__h.z * 1000000 div __h.p")).otherwise(lit(null).cast("long"))
+          .as("rate_ppm"))
   }
 
   /** Discrete power-law tail exponent of per-user activity (Clauset et
@@ -3958,6 +4060,7 @@ object RelationalQueries {
     "events_forecast" -> eventsForecast,
     "events_cusum" -> eventsCusum,
     "graph_linkpred" -> graphLinkpred,
+    "graph_adamic_adar" -> graphAdamicAdar,
     "events_survival" -> eventsSurvival,
     "events_twa" -> eventsTwa,
     "events_decompose" -> eventsDecompose,
@@ -3974,6 +4077,8 @@ object RelationalQueries {
     "events_reactivation" -> eventsReactivation,
     "events_smoothing" -> eventsSmoothing,
     "events_holt_winters" -> eventsHoltWinters,
+    "events_croston" -> eventsCroston,
+    "events_theil_sen" -> eventsTheilSen,
     "events_powerlaw" -> eventsPowerlaw,
     "events_heatmap" -> eventsHeatmap,
     "orders_aging" -> ordersAging,
@@ -6399,6 +6504,64 @@ object RelationalQueries {
         |WHERE od <= ref AND (sd IS NULL OR sd > ref)
         |GROUP BY 1""".stripMargin,
     "events_holt_winters" -> holtWintersOracle,
+    "events_croston" ->
+      // the same ½-shift z/p recurrence replayed demand day by demand day
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) % 997 = 0
+        |  GROUP BY 1, 2),
+        |idx AS MATERIALIZED (
+        |  SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    CAST(d - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+        |  FROM daily),
+        |mx AS (SELECT event_type, max(i) AS mi FROM idx GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, i, n AS z, CAST(1 AS BIGINT) AS p, dd AS prev
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.event_type, x.i,
+        |    (x.n + r.z) >> 1,
+        |    ((x.dd - r.prev) + r.p) >> 1,
+        |    x.dd
+        |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1)
+        |SELECT r.event_type, CAST(mx.mi AS INTEGER) AS n_demands,
+        |  r.z AS z_size, r.p AS p_interval,
+        |  CASE WHEN r.p > 0 THEN CAST(r.z * 1000000 // r.p AS BIGINT)
+        |  END AS rate_ppm
+        |FROM rec r JOIN mx ON r.event_type = mx.event_type AND r.i = mx.mi"""
+        .stripMargin,
+    "events_theil_sen" ->
+      // all pairwise rational slopes on the 2^20 FLOOR grid; DuckDB's
+      // integer `//` TRUNCATES toward zero (measured: -110376 vs the
+      // floored -110377), so the oracle floors explicitly with the same
+      // nonneg-mod identity the engine uses
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    (CAST(b.y AS BIGINT) - CAST(a.y AS BIGINT)) * 1048576 AS num,
+        |    CAST(b.d - a.d AS BIGINT) AS den,
+        |    CAST(a.d - DATE '1970-01-01' AS BIGINT) AS ia,
+        |    CAST(b.d - DATE '1970-01-01' AS BIGINT) AS ib
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |g AS (
+        |  SELECT event_type, ia, ib,
+        |    CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+        |      AS slope_grid
+        |  FROM p),
+        |r AS (
+        |  SELECT event_type, slope_grid,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_grid, ia, ib) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM g)
+        |SELECT event_type, cnt AS n_pairs, slope_grid AS median_slope_grid
+        |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
     "events_powerlaw" ->
       // same histogram, same grid-floored ln per distinct count
       """WITH c AS (
@@ -6661,6 +6824,30 @@ object RelationalQueries {
         |FROM cand JOIN deg du ON cand.u = du.node
         |          JOIN deg dv ON cand.v = dv.node
         |ORDER BY cand.common_neighbors DESC, cand.u, cand.v
+        |LIMIT 50""".stripMargin,
+    "graph_adamic_adar" ->
+      // the same hub-pruned wedge sweep with per-apex grid weights
+      // ⌊2²⁰/ln d⌋; pair scores are exact integer sums
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b2.p AS v
+        |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |nb AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |ap AS (SELECT nb.node, nb.nbr,
+        |         CAST(floor(1048576.0 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT) AS w
+        |       FROM nb JOIN deg ON nb.node = deg.node
+        |       WHERE deg.d <= 64 AND deg.d >= 2),
+        |cn AS (SELECT a.nbr AS u, b2.nbr AS v,
+        |         count(*) AS common_neighbors,
+        |         CAST(SUM(a.w) AS BIGINT) AS aa_grid
+        |       FROM ap a JOIN ap b2 ON a.node = b2.node AND a.nbr < b2.nbr
+        |       GROUP BY 1, 2)
+        |SELECT cn.u, cn.v, cn.common_neighbors, cn.aa_grid
+        |FROM cn LEFT JOIN e ON cn.u = e.u AND cn.v = e.v
+        |WHERE e.u IS NULL
+        |ORDER BY cn.aa_grid DESC, cn.u, cn.v
         |LIMIT 50""".stripMargin,
     "events_survival" ->
       // churn = silent in the window's last week; K-M hazards on the

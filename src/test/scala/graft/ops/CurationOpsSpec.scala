@@ -802,6 +802,48 @@ class CurationOpsSpec extends AnyFunSuite {
       "within the cap the same hub yields all C(4,2) pairs")
   }
 
+  test("adamicAdar: K4-minus-edge hand score; rare apex outranks hub apex") {
+    // K4 without edge 1-4: apexes 2 and 3 each have deg 3 →
+    // w = floor(2^20 / ln 3); score = 2w, cn = 2
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val w3 = math.floor(1048576.0 / math.log(3.0)).toLong
+    val out = Graph.adamicAdar(g, maxDegree = 64, topK = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 4L, 2L, 2 * w3)))
+    // two candidate pairs, one via a deg-2 apex, one via a deg-4 hub: the
+    // rare apex must score higher (1/ln 2 > 1/ln 4)
+    val g2 = Seq(
+      (1L, 2L), (2L, 3L), // apex 2: deg 2 → pair (1,3)
+      (4L, 9L), (5L, 9L), (6L, 9L), (7L, 9L) // apex 9: deg 4 → pairs among 4..7
+    ).toDF("src", "dst")
+    val rows = Graph.adamicAdar(g2, maxDegree = 64, topK = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    val top = rows.head
+    assert((top._1, top._2) == (1L, 3L), s"rare apex must rank first: ${rows.toSeq}")
+    assert(top._4 == math.floor(1048576.0 / math.log(2.0)).toLong)
+    // existing edges never appear
+    assert(rows.forall { case (u, v, _, _) =>
+      !Set((1L, 2L), (2L, 3L)).contains((u, v)) })
+  }
+
+  test("pairAlignment: identical pair wins its control; output shape; derangement wraps") {
+    import graft.ops.Multimodal
+    // vectors 0..2 pair with 10..12; 0↔10 and 1↔11 identical (cos 1),
+    // 2↔12 orthogonal (cos 0) so its control (10, cos 1·?) can beat it
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 0f)),
+      (10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)), (12L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Multimodal.pairAlignment(vecs, "vec_id", "embedding", n = 3, offset = 10)
+      .orderBy("id_a")
+      .as[(Long, Long, Double, Double, Int)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((0L, 10L), (1L, 11L), (2L, 12L)))
+    // pair 0: cos(e0,e10)=1, control is e11 (next) → cos 0 → aligned
+    assert(out(0)._3 == 1.0 && out(0)._4 == 0.0 && out(0)._5 == 1)
+    // pair 2: cos(e2,e12)=0, control wraps to e10 → cos 1 → misaligned
+    assert(out(2)._3 == 0.0 && out(2)._4 == 1.0 && out(2)._5 == 0)
+  }
+
   test("kCore: chain peels in cascades; clique survives; degenerate inputs; invariant") {
     // triangle {1,2,3} with a pendant CHAIN 3-4-5: round 1 peels 5 (deg 1),
     // round 2 peels 4 — the cascade a single pass misses

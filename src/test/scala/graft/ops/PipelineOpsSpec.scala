@@ -530,6 +530,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall $recall with 3/8 probes")
   }
 
+  test("ivfPqTopK: exhaustive probes equal pqTopK exactly; partial probes well-formed") {
+    // nprobe == nlist routes every candidate — the composite must
+    // degenerate to plain PQ ADC search (same codes, same tables)
+    val pqIdx = Similarity.pqBuild(emb, "vec_id", "embedding", nsub = 8, k = 16)
+    val pqFull = Similarity
+      .pqTopK(pqIdx, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val exhaustive = Similarity
+      .ivfPqTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 8)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(exhaustive == pqFull)
+    // partial probes: dense contiguous per-query ranks, no self-matches
+    val approx = Similarity
+      .ivfPqTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 3)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect()
+    assert(approx.forall(p => p._1 != p._2), "self-match leaked")
+    assert(approx.groupBy(_._1).forall(g =>
+      g._2.map(_._3).sorted.toSeq == (1L to g._2.length)))
+  }
+
   test("ivfTopK: reservoir training draw is seed-deterministic") {
     def run() = Similarity
       .ivfTopK(emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding", 5,
