@@ -180,6 +180,42 @@ object Experiment {
     * are exact longs; the sizing formula is one fixed-order double
     * expression (a DESIGN number — its inputs are what must be exact).
     */
+  /** Wald SPRT per-outcome log-likelihood-ratio weights on the 2²⁰ grid,
+    * for H₀: p = p0 vs H₁: p = p1 given as exact fractions — computed
+    * ONCE at plan build from the rationals (the [[graft.ops.Linkage
+    * .fsWeights]] frozen-constant pattern: the oracle builder calls this
+    * SAME function, so the literals cannot drift). Returns
+    * `(wConvert, wNonConvert)` = `(⌊2²⁰·ln(p1/p0)⌋, ⌊2²⁰·ln((1−p1)/(1−p0))⌋)`.
+    */
+  def sprtWeights(
+      p0Num: Long, p0Den: Long, p1Num: Long, p1Den: Long): (Long, Long) = {
+    require(p0Num > 0 && p1Num > 0 && p0Num < p0Den && p1Num < p1Den,
+      "p0, p1 must be proper fractions")
+    require(p1Num * p0Den > p0Num * p1Den, "need p1 > p0 (a one-sided lift test)")
+    val wc = math.floor(math.log(
+      (p1Num * p0Den).toDouble / (p1Den * p0Num).toDouble) * 1048576.0).toLong
+    val wn = math.floor(math.log(
+      ((p1Den - p1Num) * p0Den).toDouble /
+        (p1Den * (p0Den - p0Num)).toDouble) * 1048576.0).toLong
+    (wc, wn)
+  }
+
+  /** Wald SPRT decision bounds on the same 2²⁰ grid for error rates
+    * α = aNum/aDen (type I) and β = bNum/bDen (type II):
+    * `(upper, lower)` = `(⌊2²⁰·ln((1−β)/α)⌋, ⌊2²⁰·ln(β/(1−α))⌋)` — cross
+    * the upper bound and H₁ is accepted, the lower and H₀ is.
+    */
+  def sprtBounds(
+      aNum: Long, aDen: Long, bNum: Long, bDen: Long): (Long, Long) = {
+    require(aNum > 0 && bNum > 0 && aNum < aDen && bNum < bDen,
+      "alpha, beta must be proper fractions")
+    val up = math.floor(math.log(
+      ((bDen - bNum) * aDen).toDouble / (bDen * aNum).toDouble) * 1048576.0).toLong
+    val lo = math.floor(math.log(
+      (bNum * aDen).toDouble / (bDen * (aDen - aNum)).toDouble) * 1048576.0).toLong
+    (up, lo)
+  }
+
   def powerSample(
       units: DataFrame,
       convertedCol: String,

@@ -3,7 +3,7 @@ package graft.queries
 import graft.ops.{Coverage, Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, SketchRollup, TextOps, Vectorize, Vocab}
 import graft.sources.Sources
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over the documents/embeddings
@@ -1139,6 +1139,42 @@ object PipelineQueries {
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
 
+  /** Codex-style pass@k (Chen et al. 2021, the unbiased estimator
+    * `1 − C(n−c, k)/C(n, k)`): per task (docs bucketed by `doc_id % 10` —
+    * attempts), c = attempts passing the length gate, and pass@{1,3,5}
+    * computed EXACTLY — the falling-factorial products ride DECIMAL(38)
+    * (the sufficient-statistics discipline: 250-attempt tasks overflow
+    * int64 at k=5) and the single closing division is exact because the
+    * scaled numerator is reduced to a multiple of the denominator first
+    * (`(x − pmod(x, den)) / den` — decimal floor division, both sides
+    * nonnegative). Tasks with n < k stay NULL rather than lying. One
+    * scan, task-sized output.
+    */
+  val evalPassAtK: Q = (spark, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val one = lit(java.math.BigDecimal.ONE).cast(d38)
+    def fallProd(term: Column => Column, k: Int): Column =
+      aggregate(sequence(lit(0L), lit(k - 1L)), one,
+        (acc, i) => (acc * term(i).cast(d38)).cast(d38))
+    def passPpm(k: Int): Column = {
+      val num = fallProd(i => greatest(col("n_correct") * -1 +
+        col("n_attempts") - i, lit(0L)), k)
+      val den = fallProd(i => col("n_attempts") - i, k)
+      val x = (lit(1000000L).cast(d38) * num).cast(d38)
+      when(col("n_attempts") >= k,
+        (lit(1000000L) - ((x - pmod(x, den)) / den).cast("long")))
+        .otherwise(lit(null).cast("long")).as(s"pass${k}_ppm")
+    }
+    docs(spark, dir)
+      .select((col("doc_id") % 10).as("task"),
+        (coalesce(col("n_chars"), lit(0L)) >= 200).cast("int").as("__ok"))
+      .groupBy("task")
+      .agg(count(lit(1)).as("n_attempts"), sum(col("__ok")).as("n_correct"))
+      .select(col("task"), col("n_attempts"), col("n_correct"),
+        passPpm(1), passPpm(3), passPpm(5))
+  }
+
   /** McNemar's paired test (the correct significance test when TWO
     * classifiers score the SAME items — accuracy deltas alone ignore the
     * pairing): classifier A = the n-gram language-ID heuristic, baseline
@@ -2231,6 +2267,7 @@ object PipelineQueries {
     "eval_rouge" -> evalRouge,
     "eval_bleu" -> evalBleu,
     "eval_mcnemar" -> evalMcnemar,
+    "eval_pass_at_k" -> evalPassAtK,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "privacy_generalize" -> privacyGeneralize,
@@ -4158,6 +4195,29 @@ object PipelineQueries {
     "text_lang_eval" ->
       s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "eval_pass_at_k" -> {
+      // falling factorials in HUGEINT (exact), one trunc-division per k
+      // (both sides nonnegative, so trunc ≡ floor ≡ the engine's exact
+      // reduced-multiple division)
+      def term(k: Int) =
+        s"""CASE WHEN n >= $k THEN CAST(1000000 -
+           |    (1000000 * list_reduce(list_transform(range($k),
+           |       i -> CAST(greatest(n - c - i, 0) AS HUGEINT)), (x, y) -> x * y))
+           |    // list_reduce(list_transform(range($k),
+           |       i -> CAST(n - i AS HUGEINT)), (x, y) -> x * y)
+           |  AS BIGINT) END AS pass${k}_ppm""".stripMargin
+      s"""WITH s AS (
+         |  SELECT doc_id % 10 AS task,
+         |    CAST(COALESCE(n_chars, 0) >= 200 AS INTEGER) AS ok
+         |  FROM documents),
+         |a AS (SELECT task, count(*) AS n, CAST(SUM(ok) AS BIGINT) AS c
+         |      FROM s GROUP BY 1)
+         |SELECT task, n AS n_attempts, c AS n_correct,
+         |  ${term(1)},
+         |  ${term(3)},
+         |  ${term(5)}
+         |FROM a""".stripMargin
+    },
     "eval_mcnemar" ->
       // same discordant cells, same continuity-corrected integer grid
       s"""WITH s AS (

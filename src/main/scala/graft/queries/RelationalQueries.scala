@@ -1662,6 +1662,60 @@ object RelationalQueries {
         (col("__h.level") + col("__h.trend")).as("forecast_next"))
   }
 
+  /** Integer Haar wavelet decomposition of each type's daily series (the
+    * multi-resolution energy signature behind burst detection and
+    * seasonality triage — which TIME SCALE carries the variance): the
+    * 32-day window from the corpus' first day, zero-padded through a day
+    * spine, transforms level by level with the lifting-style integer Haar
+    * (`approx = (a+b)>>1`, `detail = (a−b)>>1` — arithmetic shifts floor
+    * identically in both engines, the [[eventsSmoothing]] discipline),
+    * and each level reports its exact detail ENERGY `Σ detail²`. Five
+    * unrolled levels; the oracle replays them as five list_transform
+    * CTEs. Day-sized state per type at any corpus scale.
+    */
+  val eventsHaar: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+    val base = ev.agg(min(to_date(col("ts"))).as("__d0"))
+    val daily = ev
+      .crossJoin(broadcast(base))
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), col("__d0")).cast("long").as("__i"))
+      .filter(col("__i") >= 0 && col("__i") < 32)
+      .groupBy("event_type", "__i").agg(count(lit(1)).as("__n"))
+    // zero-padded 32-vector per type: scatter the (idx, n) pairs into a
+    // constant-length array — no spine join, one aggregate
+    val packed = daily.groupBy("event_type")
+      .agg(collect_list(struct(col("__i").as("i"), col("__n").as("n"))).as("__xs"))
+      .select(col("event_type"),
+        transform(sequence(lit(0L), lit(31L)), j =>
+          coalesce(
+            element_at(
+              map_from_arrays(
+                expr("transform(__xs, x -> x.i)"), expr("transform(__xs, x -> x.n)")),
+              j),
+            lit(0L))).as("a0"))
+    val levels = (1 to 5).foldLeft(packed) { (df, k) =>
+      val half = 32 >> k
+      df
+        .withColumn(s"d$k",
+          transform(sequence(lit(0), lit(half - 1)), i =>
+            shiftright(
+              element_at(col(s"a${k - 1}"), i * 2 + 1) -
+                element_at(col(s"a${k - 1}"), i * 2 + 2), 1)))
+        .withColumn(s"a$k",
+          transform(sequence(lit(0), lit(half - 1)), i =>
+            shiftright(
+              element_at(col(s"a${k - 1}"), i * 2 + 1) +
+                element_at(col(s"a${k - 1}"), i * 2 + 2), 1)))
+    }
+    levels.select(col("event_type"),
+      posexplode(array((1 to 5).map(k =>
+        aggregate(col(s"d$k"), lit(0L), (acc, x) => acc + x * x)): _*)))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("int").as("level"),
+        col("col").as("detail_energy"))
+  }
+
   /** Theil–Sen robust trend slope (the median of all pairwise day-slopes)
     * of each type's daily series — the outlier-immune replacement for the
     * OLS trend line in [[ordersTrend]]'s family: one anomalous day can
@@ -2980,6 +3034,53 @@ object RelationalQueries {
           .as("converted")),
       "converted", mdePpm = 50000L)
 
+  /** Wald SPRT sequential monitoring per variant (H₀: p = 0.10 vs
+    * H₁: p = 0.15, α = 0.05, β = 0.2) — the always-valid alternative to
+    * fixed-horizon peeking: under the deterministic user_id enrollment
+    * order, the cumulative log-likelihood ratio walks on the 2²⁰ integer
+    * grid (per-outcome weights and both decision bounds are PLAN-TIME
+    * frozen constants from [[graft.ops.Experiment.sprtWeights]]/
+    * [[graft.ops.Experiment.sprtBounds]] — the oracle builder calls the
+    * SAME functions) and the decision is the FIRST bound crossing.
+    * Output per variant: sizes, the decision, the enrollment index at
+    * decision, and the closing LLR. The cumulative window partitions by
+    * variant (user-sized); a 100 TB enrollment log would rank with the
+    * abcClassify prefix-sum instead of one window partition per variant —
+    * the sequential semantics force a total order either way.
+    */
+  val abSprt: Q = (spark, dir) => {
+    val (wc, wn) = graft.ops.Experiment.sprtWeights(1, 10, 3, 20)
+    val (up, lo) = graft.ops.Experiment.sprtBounds(1, 20, 1, 5)
+    val u = Tables.eventsDf(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("__c"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("variant"),
+        col("user_id"), col("__c"))
+    val w = Window.partitionBy("variant").orderBy("user_id")
+    val walked = u
+      .withColumn("__llr",
+        sum(when(col("__c") === 1, lit(wc)).otherwise(lit(wn))).over(w))
+      .withColumn("__rn", row_number().over(w))
+    walked.groupBy("variant")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("__c")).cast("long").as("n_conversions"),
+        min(when(col("__llr") >= up, col("__rn"))).as("__iu"),
+        min(when(col("__llr") <= lo, col("__rn"))).as("__il"),
+        max(struct(col("__rn"), col("__llr"))).getField("__llr")
+          .as("llr_final_grid"))
+      .select(col("variant"), col("n_users"), col("n_conversions"),
+        when(col("__iu").isNotNull &&
+          (col("__il").isNull || col("__iu") <= col("__il")), "accept_h1")
+          .when(col("__il").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"),
+        when(col("__iu").isNotNull &&
+          (col("__il").isNull || col("__iu") <= col("__il")), col("__iu"))
+          .when(col("__il").isNotNull, col("__il"))
+          .otherwise(lit(null).cast("int")).as("n_at_decision"),
+        col("llr_final_grid"))
+  }
+
   /** A/B readout over a user-parity split of the event stream: per-variant
     * sizes, purchase conversions, and the exact-statistics Pearson χ² —
     * decimal squares/margins combined once in a fixed-order double
@@ -3944,6 +4045,7 @@ object RelationalQueries {
     "ab_report" -> abReport,
     "ab_did" -> abDid,
     "ab_power" -> abPower,
+    "ab_sprt" -> abSprt,
     "source_zorder" -> sourceZorder,
     "linkage_fuzzy" -> linkageFuzzy,
     "linkage_sorted" -> linkageSorted,
@@ -4079,6 +4181,7 @@ object RelationalQueries {
     "events_holt_winters" -> eventsHoltWinters,
     "events_croston" -> eventsCroston,
     "events_theil_sen" -> eventsTheilSen,
+    "events_haar" -> eventsHaar,
     "events_powerlaw" -> eventsPowerlaw,
     "events_heatmap" -> eventsHeatmap,
     "orders_aging" -> ordersAging,
@@ -4217,6 +4320,42 @@ object RelationalQueries {
     * L1 inlined per column — generated, so the seven seasonal updates
     * cannot drift from each other.
     */
+  /** Builds the ab_sprt oracle with the SAME frozen grid constants the
+    * Column tree uses (sprtWeights/sprtBounds — the fsWeights pattern).
+    */
+  private def abSprtOracle: String = {
+    val (wc, wn) = graft.ops.Experiment.sprtWeights(1, 10, 3, 20)
+    val (up, lo) = graft.ops.Experiment.sprtBounds(1, 20, 1, 5)
+    s"""WITH u AS (
+       |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+       |  FROM events GROUP BY 1),
+       |w AS (
+       |  SELECT variant, user_id, c,
+       |    CAST(SUM(CASE WHEN c = 1 THEN $wc ELSE $wn END) OVER
+       |      (PARTITION BY variant ORDER BY user_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS llr,
+       |    CAST(row_number() OVER (PARTITION BY variant ORDER BY user_id)
+       |      AS INTEGER) AS rn
+       |  FROM u),
+       |a AS (
+       |  SELECT variant, count(*) AS n_users,
+       |    CAST(SUM(c) AS BIGINT) AS n_conversions,
+       |    min(CASE WHEN llr >= $up THEN rn END) AS iu,
+       |    min(CASE WHEN llr <= $lo THEN rn END) AS il,
+       |    CAST(arg_max(llr, rn) AS BIGINT) AS llr_final_grid
+       |  FROM w GROUP BY 1)
+       |SELECT variant, n_users, n_conversions,
+       |  CASE WHEN iu IS NOT NULL AND (il IS NULL OR iu <= il) THEN 'accept_h1'
+       |       WHEN il IS NOT NULL THEN 'accept_h0' ELSE 'continue'
+       |  END AS decision,
+       |  CAST(CASE WHEN iu IS NOT NULL AND (il IS NULL OR iu <= il) THEN iu
+       |       WHEN il IS NOT NULL THEN il END AS INTEGER) AS n_at_decision,
+       |  llr_final_grid
+       |FROM a""".stripMargin
+  }
+
   private def holtWintersOracle: String = {
     val sk = "CASE x.k " +
       (0 until 7).map(j => s"WHEN $j THEN r.s$j").mkString(" ") + " END"
@@ -4527,6 +4666,7 @@ object RelationalQueries {
         |        - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
         |  END AS did
         |FROM a""".stripMargin,
+    "ab_sprt" -> abSprtOracle,
     "ab_power" ->
       // same frozen z literals, same pbar/delta combine
       """WITH u AS (
@@ -6533,6 +6673,43 @@ object RelationalQueries {
         |  END AS rate_ppm
         |FROM rec r JOIN mx ON r.event_type = mx.event_type AND r.i = mx.mi"""
         .stripMargin,
+    "events_haar" -> {
+      // five unrolled integer-Haar levels over the zero-padded 32-day
+      // list; >> floors negatives identically; Σd² is order-free exact
+      val lvls = (1 to 5).map { k =>
+        val half = 32 >> k
+        val carry = (1 until k).map(j => s"d$j,").mkString(" ")
+        s"""l$k AS (SELECT event_type, $carry
+           |  list_transform(range($half), i -> (a${k - 1}[2*i+1] + a${k - 1}[2*i+2]) >> 1) AS a$k,
+           |  list_transform(range($half), i -> (a${k - 1}[2*i+1] - a${k - 1}[2*i+2]) >> 1) AS d$k
+           |  FROM l${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+         |daily AS (
+         |  SELECT event_type, CAST(CAST(ts AS DATE) - d0 AS BIGINT) AS i,
+         |    count(*) AS n
+         |  FROM events, b
+         |  WHERE CAST(ts AS DATE) - d0 >= 0 AND CAST(ts AS DATE) - d0 < 32
+         |  GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT t.event_type, r.range AS i
+         |  FROM (SELECT DISTINCT event_type FROM daily) t, range(32) r),
+         |fullg AS (
+         |  SELECT s.event_type, s.i, COALESCE(d.n, 0) AS n
+         |  FROM spine s LEFT JOIN daily d
+         |    ON s.event_type = d.event_type AND s.i = d.i),
+         |l0 AS (
+         |  SELECT event_type, list(CAST(n AS BIGINT) ORDER BY i) AS a0
+         |  FROM fullg GROUP BY 1),
+         |$lvls,
+         |en AS (SELECT event_type, [
+         |  ${(1 to 5).map(k => s"list_sum(list_transform(d$k, x -> x * x))").mkString(",\n  ")}
+         |  ] AS es FROM l5)
+         |SELECT event_type, CAST(u.l AS INTEGER) AS level,
+         |  CAST(es[u.l] AS BIGINT) AS detail_energy
+         |FROM en CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS l) u"""
+        .stripMargin
+    },
     "events_theil_sen" ->
       // all pairwise rational slopes on the 2^20 FLOOR grid; DuckDB's
       // integer `//` TRUNCATES toward zero (measured: -110376 vs the

@@ -1601,6 +1601,21 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Experiment.powerSample(units, "c", 0L))
   }
 
+  test("sprtWeights/sprtBounds: Wald textbook constants on the 2^20 grid") {
+    // H0 p=0.1 vs H1 p=0.15: wc = ln(1.5), wn = ln(0.85/0.9)
+    val (wc, wn) = Experiment.sprtWeights(1, 10, 3, 20)
+    assert(wc == math.floor(math.log(1.5) * 1048576.0).toLong)
+    assert(wn == math.floor(math.log(0.85 / 0.9) * 1048576.0).toLong)
+    assert(wc > 0 && wn < 0, "conversion must push up, non-conversion down")
+    // alpha=0.05, beta=0.2: upper = ln(0.8/0.05), lower = ln(0.2/0.95)
+    val (up, lo) = Experiment.sprtBounds(1, 20, 1, 5)
+    assert(up == math.floor(math.log(0.8 / 0.05) * 1048576.0).toLong)
+    assert(lo == math.floor(math.log(0.2 / 0.95) * 1048576.0).toLong)
+    assert(lo < 0 && 0 < up, "the continue region must contain the origin")
+    intercept[IllegalArgumentException](Experiment.sprtWeights(3, 20, 1, 10))
+    intercept[IllegalArgumentException](Experiment.sprtBounds(0, 20, 1, 5))
+  }
+
   test("modularity: two triangles + bridge score the textbook 35/98 each") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
       (3L, 4L)).toDF("src", "dst")
