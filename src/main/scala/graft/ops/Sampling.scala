@@ -457,6 +457,43 @@ object Sampling {
     *
     * @return input columns plus `pct` (double in [0,1])
     */
+  /** Curriculum staging (Bengio et al. 2009 applied to corpus ordering):
+    * rank every document by an exact integer DIFFICULTY score and cut the
+    * ascending order into `stages` equal-count stages — train on stage 0
+    * first, widen as training progresses. The stage is computed from the
+    * exact cumulative histogram (`stage = ((#{≤ d} − 1) · S) div n` — the
+    * ecdfNormalize discipline: no global sort, no window over corpus
+    * rows; ties share their difficulty block's closing rank, so equal
+    * difficulty can never straddle a stage boundary in a
+    * partition-dependent way).
+    *
+    * Scale shape: one histogram aggregate over DISTINCT difficulty
+    * values, a cumulative window over that (value-cardinality-sized)
+    * table, then a broadcast map-side join back — two scans of the
+    * column, zero corpus shuffles.
+    */
+  def curriculumStages(
+      df: DataFrame,
+      idCol: String,
+      difficulty: Column,
+      stages: Int): DataFrame = {
+    require(stages >= 2, s"need at least two stages, got $stages")
+    val pts = df
+      .select(col(idCol), difficulty.cast("long").as("difficulty"))
+      .filter(col("difficulty").isNotNull)
+    val cumW = Window.orderBy("difficulty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pts.groupBy(col("difficulty")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+    val n = cum.agg(sum(col("__c")).as("__n"))
+    pts
+      .join(broadcast(cum.select(col("difficulty"), col("__cum"))), Seq("difficulty"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("difficulty"),
+        expr(s"CAST(((__cum - 1) * $stages) DIV __n AS INT)").as("stage"))
+  }
+
   def calibrateByGroup(
       df: DataFrame,
       groupCol: String,

@@ -1657,6 +1657,16 @@ object PipelineQueries {
       Seq("en" -> 6000L, "de" -> 2000L, "fr" -> 2000L, "es" -> 2000L))
       .select("doc_id", "lang", "cum_cost")
 
+  /** Curriculum staging over token-count difficulty
+    * ([[graft.ops.Sampling.curriculumStages]]): four equal-count stages,
+    * shortest documents first — the ordering a curriculum schedule feeds
+    * from.
+    */
+  val sampleCurriculum: Q = (spark, dir) =>
+    Sampling.curriculumStages(
+      docs(spark, dir).toDF(), "doc_id",
+      coalesce(TextOps.tokenCount(col("text")), lit(0)), stages = 4)
+
   /** Mixture weights for [[sampleMixture]]: even-numbered sources kept at
     * 0.9, odd at 0.3 — shared between the Spark query and the oracle CASE.
     */
@@ -2278,6 +2288,7 @@ object PipelineQueries {
     "sample_weighted" -> sampleWeighted,
     "sample_mixture" -> sampleMixture,
     "sample_budget" -> sampleBudget,
+    "sample_curriculum" -> sampleCurriculum,
     "sample_dsir" -> sampleDsir,
     "sample_temperature" -> sampleTemperature,
     "sample_epochs" -> sampleEpochs,
@@ -3021,6 +3032,22 @@ object PipelineQueries {
          |  FROM d JOIN q USING (lang))
          |SELECT doc_id, lang, CAST(cum_cost AS BIGINT) AS cum_cost
          |FROM c WHERE cum_cost <= quota""".stripMargin,
+    "sample_curriculum" ->
+      // same exact cumulative-histogram stage cut
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(COALESCE(len($wordsSql), 0) AS BIGINT) AS difficulty
+         |  FROM documents),
+         |h AS (SELECT difficulty, count(*) AS c FROM d GROUP BY 1),
+         |cum AS (
+         |  SELECT difficulty,
+         |    SUM(c) OVER (ORDER BY difficulty
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+         |    SUM(c) OVER () AS n
+         |  FROM h)
+         |SELECT d.doc_id, d.difficulty,
+         |  CAST(((cum.cm - 1) * 4) // cum.n AS INTEGER) AS stage
+         |FROM d JOIN cum USING (difficulty)""".stripMargin,
     "sample_mixture" -> {
       val cases = mixWeights.toSeq.sortBy(_._1)
         .map { case (s, f) => s"WHEN '$s' THEN '${Sampling.fractionThreshold(f)}'" }

@@ -3194,6 +3194,174 @@ object RelationalQueries {
       // 720720 keeps do_num = (n-1)*do_L inside int64 at 600k ratings
       maxRaters = 17)
 
+  /** Wald–Wolfowitz runs test for randomness of the daily volume series:
+    * dichotomize days against the exact deterministic median day (rank
+    * `(n+1) div 2` under the (count, day) total order; median-equal days
+    * drop, the standard convention), count RUNS of consecutive same-side
+    * days, and score `z = (R − μ)/σ` from exact long sufficient
+    * statistics in ONE fixed-order double expression (`sqrt` and `/` are
+    * correctly rounded — the corr_exact discipline):
+    * `z = ((R−1)·N − 2·n1·n2) · √(N−1) / √(2n1n2·(2n1n2 − N))`.
+    * Too FEW runs = trending/clustered days; too many = oscillation.
+    * Day-sized throughout.
+    */
+  val eventsRunsTest: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val med = daily
+      .withColumn("__r", row_number().over(Window.orderBy(col("__n"), col("__d"))))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy()))
+      .filter(expr("__r = (__cnt + 1) div 2"))
+      .select(col("__n").as("__med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("__n") =!= col("__med"))
+      .select(col("__d"), when(col("__n") > col("__med"), 1).otherwise(-1).as("__s"))
+    val wd = Window.orderBy("__d")
+    val stats = signed
+      .withColumn("__chg",
+        when(lag(col("__s"), 1).over(wd).isNull ||
+          lag(col("__s"), 1).over(wd) =!= col("__s"), 1L).otherwise(0L))
+      .agg(
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("__s") === -1, 1L).otherwise(0L)).as("n_below"),
+        sum(col("__chg")).as("n_runs"))
+    stats.select(col("n_above"), col("n_below"), col("n_runs"),
+      when(col("n_above") > 0 && col("n_below") > 0 &&
+        lit(2L) * col("n_above") * col("n_below") >
+          col("n_above") + col("n_below"),
+        ((col("n_runs") - 1) * (col("n_above") + col("n_below")) -
+          lit(2L) * col("n_above") * col("n_below")).cast("double") *
+          sqrt((col("n_above") + col("n_below") - 1).cast("double")) /
+          sqrt((lit(2L) * col("n_above") * col("n_below") *
+            (lit(2L) * col("n_above") * col("n_below") -
+              col("n_above") - col("n_below"))).cast("double")))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** t-closeness risk report (Li et al. 2007 — the distributional upgrade
+    * over k-anonymity/l-diversity, both already in [[graft.ops.Privacy]]'s
+    * family): per quasi-identifier group (market segment), the ordered
+    * Earth-Mover's Distance between the group's sensitive-attribute
+    * distribution (order priority, ordinal 1..5) and the GLOBAL one —
+    * `t = Σ_{j<k} |cumQ_j/N_Q − cumP_j/N_P| / (k−1)`, computed as one
+    * exact cross-multiplied integer numerator per group
+    * (`Σ |cumQ_j·N_P − cumP_j·N_Q|`) and a single closing double
+    * division. A group whose order-priority mix leaks (t above threshold)
+    * is exactly what t-closeness exists to flag. Category-sized
+    * intermediates (5 levels × groups).
+    */
+  val privacyTCloseness: Q = (spark, dir) => {
+    val rows = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("__j"))
+    // dense (segment × level) spine: a segment missing a level entirely
+    // still owes that level's |cumQ·NP − cumP·NQ| term (cumQ carries flat)
+    val raw = rows.groupBy("segment", "__j").agg(count(lit(1)).as("__c"))
+    val levels = raw.select("segment").distinct()
+      .crossJoin(spark.range(1, 6).select(col("id").cast("int").as("__j")))
+      .join(raw, Seq("segment", "__j"), "left")
+      .na.fill(0L, Seq("__c"))
+      .localCheckpoint(true)
+    val wSeg = Window.partitionBy("segment").orderBy("__j")
+    val q = levels
+      .withColumn("__cumq", sum(col("__c")).over(wSeg))
+      .withColumn("__nq",
+        sum(col("__c")).over(Window.partitionBy("segment")))
+    val glob = levels.groupBy("__j").agg(sum(col("__c")).as("__gc"))
+      .withColumn("__cump", sum(col("__gc")).over(Window.orderBy("__j")))
+      .withColumn("__np", sum(col("__gc")).over(Window.partitionBy()))
+      .select(col("__j"), col("__cump"), col("__np"))
+    q.join(broadcast(glob), Seq("__j"))
+      .filter(col("__j") < 5)
+      .groupBy(col("segment"))
+      .agg(max(col("__nq")).as("n_rows"),
+        sum(abs(col("__cumq") * col("__np") - col("__cump") * col("__nq")))
+          .as("t_num"),
+        max(col("__np")).as("__np"))
+      .select(col("segment"), col("n_rows"), col("t_num"),
+        (col("t_num").cast("double") /
+          (col("n_rows").cast("double") * col("__np").cast("double") * 4.0))
+          .as("t_closeness"))
+  }
+
+  /** Fleiss' kappa (1971) — multi-rater agreement at FIXED panel size,
+    * completing the agreement family next to Cohen's two-rater kappa
+    * (label_kappa) and Krippendorff's missing-tolerant alpha
+    * (label_alpha): items are orders with EXACTLY four lineitems (the
+    * fixed n = 4 raters Fleiss requires), categories are return flags.
+    * With n = 4 every per-item agreement `P_i = (Σ_j n_ij² − 4)/12` has
+    * the common denominator 12, so `κ = (P̄−P_e)/(1−P_e)` reduces to ONE
+    * exact integer numerator and denominator —
+    * `(4N·pn − 3·ΣT_j²) / (48N² − 3·ΣT_j²)` where pn = Σ_i(Σ_j n_ij²−4)
+    * — and a single closing double division. Two aggregates; cell-sized
+    * intermediates.
+    */
+  val labelFleiss: Q = (spark, dir) => {
+    val four = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__m"))
+      .filter(col("__m") === 4)
+      .select("l_orderkey")
+    val cells = t(spark, dir, "lineitem")
+      .join(four, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val perItem = cells.groupBy("l_orderkey")
+      .agg((sum(col("__c") * col("__c")) - 4).as("__pi"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__pi")).as("pbar_num"))
+    val totals = cells.groupBy("l_returnflag")
+      .agg(sum(col("__c")).as("__t"))
+      .agg(sum(col("__t") * col("__t")).as("t2_sum"))
+    perItem.crossJoin(broadcast(totals))
+      .select(col("n_items"), col("pbar_num"), col("t2_sum"),
+        when(lit(48L) * col("n_items") * col("n_items") -
+          lit(3L) * col("t2_sum") =!= 0,
+          (lit(4L) * col("n_items") * col("pbar_num") -
+            lit(3L) * col("t2_sum")).cast("double") /
+            (lit(48L) * col("n_items") * col("n_items") -
+              lit(3L) * col("t2_sum")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("fleiss_kappa"))
+  }
+
+  /** XYZ demand-variability classification (the inventory-planning
+    * companion to [[partsAbc]]'s value axis): per part, monthly demand
+    * quantities over the FULL month horizon (absent months count as zero
+    * through the global month count — the classic XYZ convention), and
+    * the squared coefficient of variation as an exact rational
+    * `cv² = (n·Σx² − S²)/S²` from long sufficient statistics. Classes cut
+    * by pure cross-multiplication: X (steady) iff `4·(nΣx²−S²) < S²`
+    * (cv < ½), Y iff `nΣx²−S² < S²` (cv < 1), else Z (erratic) — no
+    * division anywhere in the decision. One aggregate + a 1-row month
+    * broadcast; part-sized output.
+    */
+  val partsXyz: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        trunc(to_date(col("l_shipdate")), "month").as("__m"),
+        col("l_quantity").cast("long").as("__q"))
+    val months = li.select(col("__m")).distinct().agg(count(lit(1)).as("__n"))
+    val per = li.groupBy("l_partkey", "__m").agg(sum(col("__q")).as("__x"))
+    per.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_months_active"),
+        sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__q2"))
+      .crossJoin(broadcast(months))
+      .select(col("l_partkey"), col("n_months_active"),
+        col("__s").as("demand_total"),
+        (col("__n") * col("__q2") - col("__s") * col("__s")).as("cv2_num"),
+        (col("__s") * col("__s")).as("cv2_den"),
+        when((col("__n") * col("__q2") - col("__s") * col("__s")) * 4 <
+          col("__s") * col("__s"), "X")
+          .when(col("__n") * col("__q2") - col("__s") * col("__s") <
+            col("__s") * col("__s"), "Y")
+          .otherwise("Z").as("xyz_class"))
+  }
+
   /** ABC / Pareto revenue concentration over parts: exact per-part revenue
     * on the 10⁻⁴ grid, distributed prefix sum under the (revenue DESC,
     * partkey ASC) total order, classes cut at 80 / 95 % by long
@@ -4137,6 +4305,10 @@ object RelationalQueries {
     "scd2_lookup" -> scd2Lookup,
     "events_outliers" -> eventsOutliers,
     "label_majority" -> labelMajority,
+    "label_fleiss" -> labelFleiss,
+    "parts_xyz" -> partsXyz,
+    "events_runs_test" -> eventsRunsTest,
+    "privacy_t_closeness" -> privacyTCloseness,
     "skew_report" -> skewReport,
     "events_decay" -> eventsDecay,
     "feature_bins" -> featureBins,
@@ -4667,6 +4839,109 @@ object RelationalQueries {
         |  END AS did
         |FROM a""".stripMargin,
     "ab_sprt" -> abSprtOracle,
+    "parts_xyz" ->
+      // same long sufficient statistics, same cross-multiplied class cuts
+      """WITH li AS (
+        |  SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |mn AS (SELECT count(*) AS n FROM (SELECT DISTINCT m FROM li)),
+        |per AS (SELECT l_partkey, m, CAST(SUM(q) AS BIGINT) AS x
+        |        FROM li GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT l_partkey, count(*) AS n_months_active,
+        |    CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS q2
+        |  FROM per GROUP BY 1)
+        |SELECT l_partkey, n_months_active, s AS demand_total,
+        |  CAST(mn.n * q2 - s * s AS BIGINT) AS cv2_num,
+        |  CAST(s * s AS BIGINT) AS cv2_den,
+        |  CASE WHEN (mn.n * q2 - s * s) * 4 < s * s THEN 'X'
+        |       WHEN mn.n * q2 - s * s < s * s THEN 'Y'
+        |       ELSE 'Z' END AS xyz_class
+        |FROM agg CROSS JOIN mn""".stripMargin,
+    "label_fleiss" ->
+      // the reduced single-rational kappa over exact cell counts
+      """WITH four AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) = 4),
+        |cells AS (
+        |  SELECT l.l_orderkey, l.l_returnflag, count(*) AS c
+        |  FROM lineitem l JOIN four USING (l_orderkey) GROUP BY 1, 2),
+        |pi AS (SELECT l_orderkey, SUM(c * c) - 4 AS p FROM cells GROUP BY 1),
+        |a AS (SELECT count(*) AS n_items, CAST(SUM(p) AS BIGINT) AS pbar_num
+        |      FROM pi),
+        |tt AS (SELECT CAST(SUM(t * t) AS BIGINT) AS t2_sum FROM (
+        |  SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS t
+        |  FROM cells GROUP BY 1))
+        |SELECT n_items, pbar_num, t2_sum,
+        |  CASE WHEN 48 * n_items * n_items - 3 * t2_sum != 0 THEN
+        |    CAST(4 * n_items * pbar_num - 3 * t2_sum AS DOUBLE)
+        |    / CAST(48 * n_items * n_items - 3 * t2_sum AS DOUBLE)
+        |  END AS fleiss_kappa
+        |FROM a CROSS JOIN tt""".stripMargin,
+    "events_runs_test" ->
+      // same deterministic median day, same run counting, same one-shot
+      // double combine (sqrt and / are correctly rounded on equal longs)
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1),
+        |m AS (SELECT n AS med FROM (
+        |  SELECT n, row_number() OVER (ORDER BY n, d) AS r,
+        |    count(*) OVER () AS cnt
+        |  FROM daily) WHERE r = (cnt + 1) // 2),
+        |s AS (SELECT d, CASE WHEN n > med THEN 1 ELSE -1 END AS sgn
+        |      FROM daily, m WHERE n != med),
+        |c AS (SELECT sgn,
+        |        CASE WHEN lag(sgn) OVER (ORDER BY d) IS NULL
+        |               OR lag(sgn) OVER (ORDER BY d) != sgn
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM s),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(chg) AS BIGINT) AS n_runs FROM c)
+        |SELECT n_above, n_below, n_runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0
+        |        AND 2 * n_above * n_below > n_above + n_below THEN
+        |    CAST((n_runs - 1) * (n_above + n_below)
+        |         - 2 * n_above * n_below AS DOUBLE)
+        |    * sqrt(CAST(n_above + n_below - 1 AS DOUBLE))
+        |    / sqrt(CAST(2 * n_above * n_below
+        |        * (2 * n_above * n_below - n_above - n_below) AS DOUBLE))
+        |  END AS z
+        |FROM a""".stripMargin,
+    "privacy_t_closeness" ->
+      // dense level spine; exact cross-multiplied EMD numerators
+      """WITH rows_ AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS j
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |raw AS (SELECT segment, j, count(*) AS c FROM rows_ GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT s.segment, CAST(r.range AS INTEGER) AS j
+        |  FROM (SELECT DISTINCT segment FROM raw) s, range(1, 6) r),
+        |lv AS (
+        |  SELECT spine.segment, spine.j, COALESCE(raw.c, 0) AS c
+        |  FROM spine LEFT JOIN raw
+        |    ON spine.segment = raw.segment AND spine.j = raw.j),
+        |q AS (
+        |  SELECT segment, j,
+        |    SUM(c) OVER (PARTITION BY segment ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq,
+        |    SUM(c) OVER (PARTITION BY segment) AS nq
+        |  FROM lv),
+        |g AS (
+        |  SELECT j,
+        |    SUM(gc) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS cump,
+        |    SUM(gc) OVER () AS np
+        |  FROM (SELECT j, SUM(c) AS gc FROM lv GROUP BY 1)),
+        |t AS (
+        |  SELECT q.segment, CAST(max(q.nq) AS BIGINT) AS n_rows,
+        |    CAST(SUM(abs(q.cumq * g.np - g.cump * q.nq)) AS BIGINT) AS t_num,
+        |    CAST(max(g.np) AS BIGINT) AS np
+        |  FROM q JOIN g ON q.j = g.j WHERE q.j < 5 GROUP BY 1)
+        |SELECT segment, n_rows, t_num,
+        |  CAST(t_num AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) * CAST(np AS DOUBLE) * 4.0) AS t_closeness
+        |FROM t""".stripMargin,
     "ab_power" ->
       // same frozen z literals, same pbar/delta combine
       """WITH u AS (
