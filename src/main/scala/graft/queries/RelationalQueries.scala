@@ -3797,6 +3797,90 @@ object RelationalQueries {
             lit(1000000000000.0))).as("power"))
   }
 
+  /** The 1e6-grid sin/cos lookup tables for a `period`-phase cycle,
+    * computed ONCE at plan build and shared verbatim between the Column
+    * tree and the oracle-SQL builder (the fsWeights/sprtWeights
+    * frozen-constant pattern). Freezing beats in-plan libm here: at
+    * period 24 the true sine hits 0.5 EXACTLY (π/6), where two libm
+    * implementations legitimately disagree by 1 ulp across the floor
+    * boundary — measured live at the gate before this was frozen.
+    */
+  private def trigGrids(period: Int): (Seq[Long], Seq[Long]) = {
+    val s = (0 until period).map(k =>
+      math.floor(math.sin(2.0 * math.Pi * k / period) * 1000000.0).toLong)
+    val c = (0 until period).map(k =>
+      math.floor(math.cos(2.0 * math.Pi * k / period) * 1000000.0).toLong)
+    (s, c)
+  }
+
+  /** Cyclic sin/cos encodings of hour-of-day and day-of-week — the
+    * feature transform that keeps 23:00 adjacent to 00:00 where a raw
+    * ordinal puts them 23 apart. The 24 + 7 grid trig values are
+    * PLAN-TIME FROZEN constants ([[trigGrids]]) looked up by phase —
+    * zero libm in the plan, pure map-side Column work, zero shuffle.
+    */
+  val featureCyclic: Q = (spark, dir) => {
+    val (hs, hc) = trigGrids(24)
+    val (ds, dc) = trigGrids(7)
+    Tables.eventsDf(spark, dir)
+      .select(col("event_id"),
+        hour(col("ts")).cast("int").as("hour_of_day"),
+        pmod(datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))), lit(7))
+          .cast("int").as("dow_code"))
+      .select(col("event_id"), col("hour_of_day"), col("dow_code"),
+        element_at(typedLit(hs), col("hour_of_day") + 1).as("hour_sin_q"),
+        element_at(typedLit(hc), col("hour_of_day") + 1).as("hour_cos_q"),
+        element_at(typedLit(ds), col("dow_code") + 1).as("dow_sin_q"),
+        element_at(typedLit(dc), col("dow_code") + 1).as("dow_cos_q"))
+  }
+
+  /** Rescaled-range (R/S) Hurst diagnostics of the daily volume series —
+    * long-range dependence vs mean reversion (H > ½ trends, H < ½
+    * reverts; the slope of ln(R/S) against ln(w) over the dyadic window
+    * ladder is Ĥ). Per window size w ∈ {4, 8, 16}: complete blocks of w
+    * days; within a block the cumulative deviation `Z_t = w·Σ₁..t x − t·S`
+    * is an EXACT long (the mean division deferred by scaling through w),
+    * so `R/S = (maxZ − minZ)/√(w·Σx² − S²)` is one correctly-rounded
+    * sqrt+division from exact longs, and each block's ln lands on the 2²⁰
+    * floor grid before summing (order-free integer sums). Output: the
+    * per-w R/S curve `(w, n_blocks, sum_ln_rs_grid)`. Day-sized
+    * throughout — the windows run over ≤ horizon rows at any corpus
+    * scale.
+    */
+  val eventsHurst: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__x"))
+      .withColumn("__rn", row_number().over(Window.orderBy("__d")))
+      .localCheckpoint(true)
+    val blocks = daily
+      .select(col("__rn"), col("__x"), explode(typedLit(Seq(4L, 8L, 16L))).as("w"))
+      .select(col("w"), col("__x"),
+        expr("(__rn - 1) div w").as("__b"),
+        expr("(__rn - 1) % w + 1").as("__t"))
+    val wCum = Window.partitionBy("w", "__b").orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.partitionBy("w", "__b")
+    val z = blocks
+      .withColumn("__cnt", count(lit(1)).over(wBlk))
+      .filter(col("__cnt") === col("w")) // complete blocks only
+      .withColumn("__s", sum(col("__x")).over(wBlk))
+      .withColumn("__q2", sum(col("__x") * col("__x")).over(wBlk))
+      .withColumn("__z", col("w") * sum(col("__x")).over(wCum) -
+        col("__t") * col("__s"))
+    z.groupBy("w", "__b")
+      .agg(
+        (max(col("__z")) - min(col("__z"))).as("__r"),
+        (max(col("w") * col("__q2") - col("__s") * col("__s"))).as("__d2"))
+      .filter(col("__r") > 0 && col("__d2") > 0)
+      .select(col("w"),
+        floor(log(col("__r").cast("double") / sqrt(col("__d2").cast("double")))
+          * 1048576.0).cast("long").as("__ln"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__ln")).as("sum_ln_rs_grid"))
+  }
+
   /** Index of dispersion (variance/mean) of per-minute arrival counts per
     * event type — the burstiness test (≈1 Poisson, ≫1 bursty, the
     * capacity-planning discriminator). Exact integer sufficient stats
@@ -4308,6 +4392,8 @@ object RelationalQueries {
     "label_fleiss" -> labelFleiss,
     "parts_xyz" -> partsXyz,
     "events_runs_test" -> eventsRunsTest,
+    "feature_cyclic" -> featureCyclic,
+    "events_hurst" -> eventsHurst,
     "privacy_t_closeness" -> privacyTCloseness,
     "skew_report" -> skewReport,
     "events_decay" -> eventsDecay,
@@ -4908,6 +4994,49 @@ object RelationalQueries {
         |        * (2 * n_above * n_below - n_above - n_below) AS DOUBLE))
         |  END AS z
         |FROM a""".stripMargin,
+    "feature_cyclic" -> {
+      // the SAME frozen lookup tables the Column tree embeds
+      val (hs, hc) = trigGrids(24)
+      val (ds, dc) = trigGrids(7)
+      def lst(xs: Seq[Long]) = xs.mkString("[", ", ", "]")
+      s"""SELECT event_id, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         |  CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER)
+         |    AS dow_code,
+         |  CAST((${lst(hs)})[hour(ts) + 1] AS BIGINT) AS hour_sin_q,
+         |  CAST((${lst(hc)})[hour(ts) + 1] AS BIGINT) AS hour_cos_q,
+         |  CAST((${lst(ds)})[(CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 1]
+         |    AS BIGINT) AS dow_sin_q,
+         |  CAST((${lst(dc)})[(CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 1]
+         |    AS BIGINT) AS dow_cos_q
+         |FROM events""".stripMargin
+    },
+    "events_hurst" ->
+      // exact scaled cumulative deviations; one sqrt+div per block from
+      // exact longs; grid-floored ln summed order-free
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1),
+        |idx AS (SELECT CAST(x AS BIGINT) AS x,
+        |        row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |e AS (SELECT ws.w, x, (rn - 1) // ws.w AS b, (rn - 1) % ws.w + 1 AS t
+        |      FROM idx, (SELECT unnest(CAST([4, 8, 16] AS BIGINT[])) AS w) ws),
+        |z AS (SELECT w, b, t, x,
+        |        count(*) OVER (PARTITION BY w, b) AS cnt,
+        |        SUM(x) OVER (PARTITION BY w, b) AS s,
+        |        SUM(x * x) OVER (PARTITION BY w, b) AS q2,
+        |        w * SUM(x) OVER (PARTITION BY w, b ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - t * SUM(x) OVER (PARTITION BY w, b) AS zt
+        |      FROM e),
+        |blk AS (SELECT w, b, max(zt) - min(zt) AS r,
+        |          max(w * q2 - s * s) AS d2
+        |        FROM z WHERE cnt = w GROUP BY 1, 2),
+        |lng AS (SELECT w,
+        |          CAST(floor(ln(CAST(r AS DOUBLE) / sqrt(CAST(d2 AS DOUBLE)))
+        |            * 1048576.0) AS BIGINT) AS lnv
+        |        FROM blk WHERE r > 0 AND d2 > 0)
+        |SELECT w, count(*) AS n_blocks,
+        |  CAST(SUM(lnv) AS BIGINT) AS sum_ln_rs_grid
+        |FROM lng GROUP BY w""".stripMargin,
     "privacy_t_closeness" ->
       // dense level spine; exact cross-multiplied EMD numerators
       """WITH rows_ AS (

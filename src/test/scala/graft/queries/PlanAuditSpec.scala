@@ -104,6 +104,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "offset pairing must stay an equi-join on the computed rank")
   }
 
+  test("wave 22-24 additions: equi-joins only, no nested loops, no cartesians") {
+    // knn_ivfpq scores via broadcast tables inside a compiled map;
+    // adamic_adar/theil_sen/alignment pair through hash equi-joins
+    for (name <- Seq("knn_ivfpq", "graph_adamic_adar", "events_theil_sen",
+      "multimodal_alignment")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"), s"$name plans a nested loop:\n$p")
+    }
+    // parts_xyz / label_fleiss attach a ONE-ROW broadcast stat (the month
+    // count / category totals) — a BroadcastNestedLoopJoin over one row is
+    // the standard stat-attach shape, but the heavy side must never
+    // cartesian against anything row-sized
+    for (name <- Seq("parts_xyz", "label_fleiss")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("sample_curriculum: stage map joins broadcast, histogram window is value-sized") {
+    val p = plan("sample_curriculum")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (difficulty -> cum) map must broadcast back map-side")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no global sort belongs in curriculum staging")
+  }
+
   test("linkage_sorted: global rank is a partition-local window, no single-task sort") {
     val p = plan("linkage_sorted")
     // the record-table row_number must be partitioned by __pid (the
