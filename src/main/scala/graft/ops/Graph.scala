@@ -131,6 +131,54 @@ object Graph {
     scores
   }
 
+  /** Integer-exact Katz centrality (Katz 1953): `x = Σ_k αᵏ·Aᵏ·1` as the
+    * fixed-round recurrence `x' = S + α·(Aᵀx)` with the attenuation a
+    * RATIONAL `attNumer/attDenom` applied by floor division — every score
+    * is an exact long on the 2⁴⁰ grid, so the unrolled SQL oracle replays
+    * the trajectory bit-for-bit (the [[pageRankExact]] discipline minus
+    * the degree normalization: Katz counts attenuated PATHS, so hubs
+    * transmit their full score). α MUST be below 1/λ_max for the infinite
+    * series to converge; fixed rounds sidestep the spectral estimate and
+    * keep the result deterministic regardless.
+    *
+    * Scale shape: identical to PageRank — one edge-key join + partial-agg
+    * sum per round, rounds COMPOSE lazily into one job, node-sized state.
+    * At extreme hub degrees the long headroom shrinks (score ≤ 2⁴⁰·Σdᵏαᵏ);
+    * route the contribution sum through decimal(38) there — the IVM
+    * aggregate lever.
+    */
+  def katzExact(
+      edges: DataFrame,
+      iterations: Int,
+      attNumer: Long = 1L,
+      attDenom: Long = 5L): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(attNumer > 0 && attDenom > attNumer, "attenuation must be in (0,1)")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var scores = nodes.select(col("node"), lit(ScoreScale).as("score"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = e
+        .join(scores.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("score")).as("__in"))
+      scores = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(ScoreScale) +
+            expr(s"($attNumer * coalesce(__in, 0L)) DIV $attDenom")).as("score"))
+      i += 1
+    }
+    scores.select(col("node"), col("score").as("katz"))
+  }
+
   /** Canonical undirected edge set from any `(src, dst)` list: both
     * orientations collapse to `(u, v)` with `u < v`, self-loops and
     * duplicates dropped. The shared front door of [[triangles]] and

@@ -1139,6 +1139,59 @@ object PipelineQueries {
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
 
+  /** Bradley–Terry strength ratings from pairwise contests — the
+    * arena-style model-ranking machinery (and the reward-model view of
+    * preference data): consecutive documents of DIFFERENT languages
+    * contest, the longer text wins (ties break to the smaller language
+    * string), and two unrolled minorization–maximization rounds (Hunter
+    * 2004: `r_i ← W_i / Σ_j n_ij/(r_i + r_j)`) run ENTIRELY on the 1e6
+    * integer grid — each reciprocal term is one exact long floor division
+    * `⌊n_ij·10¹² / (r_i + r_j)⌋`, so the trajectory replays bit-for-bit.
+    * Everything after the one contest aggregate is language-pair-sized.
+    */
+  val evalBradleyTerry: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_chars"), lit(0L)).as("__s"))
+    val aWins = col("a.__s") > col("b.__s") ||
+      (col("a.__s") === col("b.__s") && col("a.lang") < col("b.lang"))
+    val contests = d.as("a")
+      .join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 &&
+          col("a.lang") =!= col("b.lang"))
+      .select(
+        when(aWins, col("a.lang")).otherwise(col("b.lang")).as("winner"),
+        when(aWins, col("b.lang")).otherwise(col("a.lang")).as("loser"))
+    val pw = contests.groupBy(col("winner").as("i"), col("loser").as("j"))
+      .agg(count(lit(1)).as("w"))
+    val sym = pw.select(col("i"), col("j"), col("w"))
+      .union(pw.select(col("j"), col("i"), lit(0L)))
+      .groupBy("i", "j").agg(sum(col("w")).as("wij"))
+      .localCheckpoint(true)
+    val m = sym.as("x")
+      .join(sym.as("y"), col("x.i") === col("y.j") && col("x.j") === col("y.i"))
+      .select(col("x.i").as("i"), col("x.j").as("j"),
+        (col("x.wij") + col("y.wij")).as("n"))
+      .localCheckpoint(true)
+    val wi = sym.groupBy("i").agg(sum(col("wij")).as("wi"))
+    val nc = m.groupBy("i").agg(sum(col("n")).as("n_contests"))
+    var r = wi.select(col("i").as("lang"), lit(1000000L).as("r"))
+    for (_ <- 1 to 2) {
+      val den = m
+        .join(r.select(col("lang").as("i"), col("r").as("ri")), Seq("i"))
+        .join(r.select(col("lang").as("j"), col("r").as("rj")), Seq("j"))
+        .select(col("i"), expr("(n * 1000000000000) DIV (ri + rj)").as("t"))
+        .groupBy("i").agg(sum(col("t")).as("den"))
+      r = wi.join(den, Seq("i"))
+        .select(col("i").as("lang"), expr("(wi * 1000000000000) DIV den").as("r"))
+    }
+    r.join(nc.withColumnRenamed("i", "lang"), Seq("lang"))
+      .join(wi.withColumnRenamed("i", "lang"), Seq("lang"))
+      .select(col("lang"), col("n_contests"), col("wi").as("n_wins"),
+        col("r").as("rating_ppm"))
+  }
+
   /** Codex-style pass@k (Chen et al. 2021, the unbiased estimator
     * `1 − C(n−c, k)/C(n, k)`): per task (docs bucketed by `doc_id % 10` —
     * attempts), c = attempts passing the length gate, and pass@{1,3,5}
@@ -2278,6 +2331,7 @@ object PipelineQueries {
     "eval_bleu" -> evalBleu,
     "eval_mcnemar" -> evalMcnemar,
     "eval_pass_at_k" -> evalPassAtK,
+    "eval_bradley_terry" -> evalBradleyTerry,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "privacy_generalize" -> privacyGeneralize,
@@ -4222,6 +4276,49 @@ object PipelineQueries {
     "text_lang_eval" ->
       s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "eval_bradley_terry" ->
+      // the same two unrolled integer MM rounds, reciprocal terms as
+      // exact long floor divisions
+      """WITH d AS (
+        |  SELECT doc_id, lang, COALESCE(n_chars, 0) AS s
+        |  FROM documents WHERE lang IS NOT NULL),
+        |c AS (
+        |  SELECT
+        |    CASE WHEN a.s > b.s OR (a.s = b.s AND a.lang < b.lang)
+        |         THEN a.lang ELSE b.lang END AS winner,
+        |    CASE WHEN a.s > b.s OR (a.s = b.s AND a.lang < b.lang)
+        |         THEN b.lang ELSE a.lang END AS loser
+        |  FROM d a JOIN d b
+        |    ON b.doc_id = a.doc_id + 1 AND a.lang != b.lang),
+        |pw AS (SELECT winner AS i, loser AS j, count(*) AS w
+        |       FROM c GROUP BY 1, 2),
+        |sym AS (SELECT i, j, CAST(SUM(w) AS BIGINT) AS wij FROM (
+        |          SELECT i, j, w FROM pw
+        |          UNION ALL SELECT j, i, 0 FROM pw) GROUP BY 1, 2),
+        |m AS (SELECT x.i, x.j, x.wij + y.wij AS n
+        |      FROM sym x JOIN sym y ON x.i = y.j AND x.j = y.i),
+        |wi AS (SELECT i, CAST(SUM(wij) AS BIGINT) AS w FROM sym GROUP BY 1),
+        |nc AS (SELECT i, CAST(SUM(n) AS BIGINT) AS n_contests FROM m GROUP BY 1),
+        |r0 AS (SELECT i AS lang, CAST(1000000 AS BIGINT) AS r FROM wi),
+        |t1 AS (SELECT m.i,
+        |         CAST(SUM((m.n * 1000000000000) // (ra.r + rb.r)) AS BIGINT)
+        |           AS den
+        |       FROM m JOIN r0 ra ON m.i = ra.lang
+        |       JOIN r0 rb ON m.j = rb.lang GROUP BY 1),
+        |r1 AS (SELECT wi.i AS lang,
+        |         CAST((wi.w * 1000000000000) // t1.den AS BIGINT) AS r
+        |       FROM wi JOIN t1 ON wi.i = t1.i),
+        |t2 AS (SELECT m.i,
+        |         CAST(SUM((m.n * 1000000000000) // (ra.r + rb.r)) AS BIGINT)
+        |           AS den
+        |       FROM m JOIN r1 ra ON m.i = ra.lang
+        |       JOIN r1 rb ON m.j = rb.lang GROUP BY 1),
+        |r2 AS (SELECT wi.i AS lang,
+        |         CAST((wi.w * 1000000000000) // t2.den AS BIGINT) AS r
+        |       FROM wi JOIN t2 ON wi.i = t2.i)
+        |SELECT r2.lang, nc.n_contests, wi.w AS n_wins, r2.r AS rating_ppm
+        |FROM r2 JOIN wi ON r2.lang = wi.i JOIN nc ON r2.lang = nc.i"""
+        .stripMargin,
     "eval_pass_at_k" -> {
       // falling factorials in HUGEINT (exact), one trunc-division per k
       // (both sides nonnegative, so trunc ≡ floor ≡ the engine's exact

@@ -1256,6 +1256,19 @@ object RelationalQueries {
     graft.ops.Graph.pageRankExact(edges, iterations = 3)
   }
 
+  /** Integer-exact Katz centrality over the same bipartite order–part
+    * graph ([[graft.ops.Graph.katzExact]], 3 rounds, α = 1/5):
+    * attenuated PATH counting — the centrality that rewards being close
+    * to many nodes rather than merely linked by hubs-normalized mass.
+    */
+  val graphKatz: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(
+      (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
+    val edges = li.select(col("o").as("src"), col("p").as("dst"))
+      .union(li.select(col("p").as("src"), col("o").as("dst")))
+    graft.ops.Graph.katzExact(edges, iterations = 3, attNumer = 1L, attDenom = 5L)
+  }
+
   /** Log-log price elasticity of demand per brand: the OLS slope of
     * ln(quantity) on ln(unit price) over lineitems
     * ([[graft.ops.Checks.olsExact]] on grid-floored lns — the vocab_zipf
@@ -4410,6 +4423,7 @@ object RelationalQueries {
     "orders_trend" -> ordersTrend,
     "parts_elasticity" -> partsElasticity,
     "graph_pagerank" -> graphPagerank,
+    "graph_katz" -> graphKatz,
     "graph_hits" -> graphHits,
     "graph_triangles" -> graphTriangles,
     "graph_communities" -> graphCommunities,
@@ -7552,6 +7566,28 @@ object RelationalQueries {
         |s3 AS (SELECT n.node, 164926744166 + (17 * COALESCE(i3.inp, 0)) // 20 AS s
         |       FROM n LEFT JOIN i3 USING (node))
         |SELECT node, CAST(s AS BIGINT) AS score FROM s3""".stripMargin,
+    "graph_katz" ->
+      // the same three unrolled rounds WITHOUT degree normalization:
+      // x' = 2^40 + (Σ_in x) // 5, every score an exact long
+      """WITH b AS (SELECT l_orderkey * 2 AS o, l_partkey * 2 + 1 AS p FROM lineitem),
+        |e AS (SELECT DISTINCT src, dst FROM
+        |       (SELECT o AS src, p AS dst FROM b UNION ALL SELECT p, o FROM b)),
+        |n AS (SELECT DISTINCT node FROM
+        |       (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |s0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS s FROM n),
+        |i1 AS (SELECT e.dst AS node, SUM(s0.s) AS inp
+        |       FROM e JOIN s0 ON e.src = s0.node GROUP BY 1),
+        |s1 AS (SELECT n.node, 1099511627776 + (1 * COALESCE(i1.inp, 0)) // 5 AS s
+        |       FROM n LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, SUM(s1.s) AS inp
+        |       FROM e JOIN s1 ON e.src = s1.node GROUP BY 1),
+        |s2 AS (SELECT n.node, 1099511627776 + (1 * COALESCE(i2.inp, 0)) // 5 AS s
+        |       FROM n LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, SUM(s2.s) AS inp
+        |       FROM e JOIN s2 ON e.src = s2.node GROUP BY 1),
+        |s3 AS (SELECT n.node, 1099511627776 + (1 * COALESCE(i3.inp, 0)) // 5 AS s
+        |       FROM n LEFT JOIN i3 USING (node))
+        |SELECT node, CAST(s AS BIGINT) AS katz FROM s3""".stripMargin,
     "graph_triangles" ->
       // the same degree-ordered orientation: wedge pairs ordered by
       // (deg, id), closing edge an equi-lookup, each triangle once
