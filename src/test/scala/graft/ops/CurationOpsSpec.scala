@@ -1601,6 +1601,36 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Experiment.powerSample(units, "c", 0L))
   }
 
+  test("curriculumStages: equal-count stages, tie block shares a stage") {
+    val df = (1L to 8L).map(i => (i, i * 10)).toDF("id", "diff")
+    val out = Sampling.curriculumStages(df, "id", col("diff"), stages = 4)
+      .orderBy("id").as[(Long, Long, Int)].collect()
+    assert(out.map(_._3).toSeq == Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    // all-tied difficulties: the whole block shares its closing rank's
+    // stage — a tie can never straddle stages
+    val tied = (1L to 6L).map(i => (i, 7L)).toDF("id", "diff")
+    val ts = Sampling.curriculumStages(tied, "id", col("diff"), stages = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(ts.map(_._3).distinct.toSeq == Seq(2))
+    intercept[IllegalArgumentException](
+      Sampling.curriculumStages(df, "id", col("diff"), stages = 1))
+  }
+
+  test("katzExact: path-graph trajectory by hand; attenuation bounds") {
+    val s = Graph.ScoreScale
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.katzExact(e, iterations = 3, attNumer = 1L, attDenom = 5L)
+      .orderBy("node").as[(Long, Long)].collect()
+    // x1 never receives; x2 = S + S//5 stabilizes after round 1;
+    // x3 = S + (S + S//5)//5 after round 2
+    assert(out.toSeq == Seq(
+      (1L, s),
+      (2L, s + s / 5),
+      (3L, s + (s + s / 5) / 5)))
+    intercept[IllegalArgumentException](
+      Graph.katzExact(e, iterations = 1, attNumer = 5L, attDenom = 5L))
+  }
+
   test("sprtWeights/sprtBounds: Wald textbook constants on the 2^20 grid") {
     // H0 p=0.1 vs H1 p=0.15: wc = ln(1.5), wn = ln(0.85/0.9)
     val (wc, wn) = Experiment.sprtWeights(1, 10, 3, 20)
