@@ -1139,6 +1139,37 @@ object PipelineQueries {
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
 
+  /** End-to-end DPO/RLHF preference-data prep — the composition a
+    * post-training data pipeline actually runs, each stage an
+    * already-gated operator: max-margin preference pairs per language
+    * ([[graft.ops.Labels.preferencePairs]] — the label_pref_pairs
+    * construction), DECONTAMINATION of the chosen side against the
+    * held-out eval slice by content digest (any pair whose chosen text
+    * appears verbatim in eval leaks the benchmark — dropped), and a
+    * pair-atomic 90/10 train/val split keyed on chosen_id
+    * ([[graft.ops.Sampling.splitColumn]] — both halves of a pair can
+    * never straddle the split). Output: per (split, lang) pair counts
+    * and exact margin mass.
+    */
+  val pipelineDpo: Q = (spark, dir) => {
+    val d = docs(spark, dir).toDF()
+    val pairs = graft.ops.Labels.preferencePairs(
+      d.select("doc_id", "lang", "n_chars"), "lang", "doc_id",
+      coalesce(col("n_chars"), lit(0L)), minMargin = 1L)
+    val digests = d.select(col("doc_id"), md5(col("text")).as("__h"))
+    val evalSet = digests.filter(col("doc_id") % 97 === 0)
+      .select(col("__h")).distinct()
+    val clean = pairs
+      .join(digests.select(col("doc_id").as("chosen_id"), col("__h")),
+        Seq("chosen_id"))
+      .join(evalSet, Seq("__h"), "left_anti")
+    clean
+      .withColumn("split", Sampling.splitColumn(col("chosen_id"),
+        Seq("train" -> 0.9, "val" -> 0.1), "dpo"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("margin")).as("sum_margin"))
+  }
+
   /** Bradley–Terry strength ratings from pairwise contests — the
     * arena-style model-ranking machinery (and the reward-model view of
     * preference data): consecutive documents of DIFFERENT languages
@@ -2332,6 +2363,7 @@ object PipelineQueries {
     "eval_mcnemar" -> evalMcnemar,
     "eval_pass_at_k" -> evalPassAtK,
     "eval_bradley_terry" -> evalBradleyTerry,
+    "pipeline_dpo" -> pipelineDpo,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "privacy_generalize" -> privacyGeneralize,
@@ -4276,6 +4308,35 @@ object PipelineQueries {
     "text_lang_eval" ->
       s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "pipeline_dpo" -> {
+      val h = hashKeySql("chosen_id", "dpo")
+      s"""WITH r AS (
+         |  SELECT lang, doc_id, COALESCE(n_chars, 0) AS sc,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY COALESCE(n_chars, 0) DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.lang, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+         |    a.sc - b.sc AS margin
+         |  FROM r a JOIN r b
+         |    ON a.lang = b.lang AND b.rn = a.n + 1 - a.rn AND a.rn * 2 < a.n + 1
+         |  WHERE a.sc - b.sc >= 1),
+         |dg AS (SELECT doc_id, md5(text) AS hh FROM documents),
+         |ev AS (SELECT DISTINCT hh FROM dg WHERE doc_id % 97 = 0),
+         |clean AS (
+         |  SELECT p.lang, p.chosen_id, p.margin
+         |  FROM p JOIN dg ON p.chosen_id = dg.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.hh = dg.hh)),
+         |s AS (
+         |  SELECT lang, margin,
+         |    CASE WHEN $h < '${Sampling.fractionThreshold(0.9)}' THEN 'train'
+         |         ELSE 'val' END AS split
+         |  FROM clean)
+         |SELECT split, lang, count(*) AS n_pairs,
+         |  CAST(SUM(margin) AS BIGINT) AS sum_margin
+         |FROM s GROUP BY 1, 2""".stripMargin
+    },
     "eval_bradley_terry" ->
       // the same two unrolled integer MM rounds, reciprocal terms as
       // exact long floor divisions

@@ -1373,6 +1373,19 @@ object RelationalQueries {
     graft.ops.Graph.bfs(e, nodes.filter(col("node") % 101 === 0), maxHops = 4)
   }
 
+  /** Seeded harmonic closeness over the co-purchase graph
+    * ([[graft.ops.Graph.seededHarmonic]]) — the same `% 101` seed set the
+    * BFS query walks, but each seed's distance tracked independently and
+    * folded into `Σ 1e6 div d` per node.
+    */
+  val graphCloseness: Q = (spark, dir) => {
+    val e = coPurchaseEdges(spark, dir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    graft.ops.Graph.seededHarmonic(
+      e, nodes.filter(col("node") % 101 === 0), maxHops = 4)
+  }
+
   /** Bounded weighted shortest paths over the co-purchase graph
     * ([[graft.ops.Graph.shortestPaths]] — multi-source Bellman–Ford, 4
     * relaxation rounds, min-id root tie-break). Edge costs are the
@@ -1425,6 +1438,40 @@ object RelationalQueries {
     * root, appended into the settled set. Spark's early exit is invisible:
     * an empty frontier makes every later unrolled round empty.
     */
+  /** Builds the graph_closeness oracle: the per-(node, root) layered BFS
+    * unrolled round by round (the [[graphBfsOracle]] skeleton with the
+    * root kept in the settle key instead of min-collapsed), then the
+    * harmonic fold `Σ 1e6 // d`.
+    */
+  private def graphClosenessOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |           FROM lineitem WHERE l_quantity >= 40),
+             |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b2.p AS v
+             |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+             |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+             |      UNION ALL SELECT v, u FROM e0),
+             |s0 AS MATERIALIZED (SELECT node, node AS root, CAST(0 AS INTEGER) AS dist
+             |      FROM (SELECT u AS node FROM e0 UNION SELECT v FROM e0)
+             |      WHERE node % 101 = 0),
+             |f0 AS MATERIALIZED (SELECT * FROM s0)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+               |n$r AS MATERIALIZED (
+               |  SELECT DISTINCT a.b AS node, f.root, CAST($r AS INTEGER) AS dist
+               |  FROM f${r - 1} f JOIN adj a ON f.node = a.a
+               |  WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} s
+               |                    WHERE s.node = a.b AND s.root = f.root)),
+               |s$r AS MATERIALIZED (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM n$r),
+               |f$r AS MATERIALIZED (SELECT * FROM n$r)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node, count(*) AS n_reached,
+              |  CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_grid
+              |FROM s$rounds WHERE dist > 0 GROUP BY node""".stripMargin
+    sb.toString
+  }
+
   private def graphBfsOracle(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -4424,6 +4471,7 @@ object RelationalQueries {
     "parts_elasticity" -> partsElasticity,
     "graph_pagerank" -> graphPagerank,
     "graph_katz" -> graphKatz,
+    "graph_closeness" -> graphCloseness,
     "graph_hits" -> graphHits,
     "graph_triangles" -> graphTriangles,
     "graph_communities" -> graphCommunities,
@@ -6717,6 +6765,7 @@ object RelationalQueries {
         |LIMIT 20""".stripMargin,
     "graph_kcore" -> graphKcoreOracle(k = 3, rounds = 6),
     "graph_bfs" -> graphBfsOracle(rounds = 4),
+    "graph_closeness" -> graphClosenessOracle(rounds = 4),
     "graph_sssp" -> graphSsspOracle(rounds = 4),
     "graph_ppr" ->
       // the graph_pagerank unroll with seed-conditional restart mass:
