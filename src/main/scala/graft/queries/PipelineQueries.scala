@@ -1139,6 +1139,60 @@ object PipelineQueries {
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
 
+  /** Heaps'-law vocabulary growth (V ≈ K·N^β — the sublinear law every
+    * natural corpus obeys; β is the tokenizer-sizing and
+    * dedup-health diagnostic: β drifting toward 1 means the corpus keeps
+    * minting "new" words, i.e. junk): at dyadic doc-id checkpoints t,
+    * N(t) = tokens in docs below t and V(t) = distinct words FIRST SEEN
+    * below t (one word-sized min-doc table — no per-prefix distinct
+    * recount), both exact longs; ln N / ln V ride the 2²⁰ floor grid and
+    * β comes from the exact integer OLS over the ≤ 17 checkpoint points
+    * as one closing double division. The threshold fan-out is a
+    * broadcast theta-join bounded by the checkpoint count (≤ 17× rows —
+    * the events_engagement bounded-fan contract).
+    */
+  val textHeaps: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__ws"))
+    val docTok = d
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("__nt"))
+      .localCheckpoint(true)
+    val firsts = d.select(col("doc_id"), explode(col("__ws")).as("__w"))
+      .groupBy("__w").agg(min(col("doc_id")).as("__fd"))
+      .localCheckpoint(true)
+    val maxId = docTok.agg(max(col("doc_id")).as("__mx"))
+    val ts = spark.range(1)
+      .select(explode(typedLit((4 to 20).map(k => 1L << k))).as("t"))
+      .crossJoin(broadcast(maxId))
+      .filter(col("t") <= col("__mx")).select("t")
+      .localCheckpoint(true)
+    val n = broadcast(ts).join(docTok, col("doc_id") < col("t"))
+      .groupBy("t").agg(sum(col("__nt")).as("n_tokens"))
+    val v = broadcast(ts).join(firsts, col("__fd") < col("t"))
+      .groupBy("t").agg(count(lit(1)).as("v_words"))
+    val pts = n.join(v, Seq("t"))
+      .filter(col("n_tokens") > 0 && col("v_words") > 0)
+      .select(col("t"), col("n_tokens"), col("v_words"),
+        floor(log(col("n_tokens").cast("double")) * 1048576.0)
+          .cast("long").as("ln_n_grid"),
+        floor(log(col("v_words").cast("double")) * 1048576.0)
+          .cast("long").as("ln_v_grid"))
+      .localCheckpoint(true)
+    val st = pts.agg(
+      count(lit(1)).as("__k"),
+      sum(col("ln_n_grid")).as("__sx"),
+      sum(col("ln_v_grid")).as("__sy"),
+      sum(col("ln_n_grid") * col("ln_v_grid")).as("__sxy"),
+      sum(col("ln_n_grid") * col("ln_n_grid")).as("__sxx"))
+    pts.crossJoin(broadcast(st))
+      .select(col("t"), col("n_tokens"), col("v_words"),
+        col("ln_n_grid"), col("ln_v_grid"),
+        when(col("__k") * col("__sxx") - col("__sx") * col("__sx") =!= 0,
+          (col("__k") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            (col("__k") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("beta"))
+  }
+
   /** End-to-end DPO/RLHF preference-data prep — the composition a
     * post-training data pipeline actually runs, each stage an
     * already-gated operator: max-margin preference pairs per language
@@ -2364,6 +2418,7 @@ object PipelineQueries {
     "eval_pass_at_k" -> evalPassAtK,
     "eval_bradley_terry" -> evalBradleyTerry,
     "pipeline_dpo" -> pipelineDpo,
+    "text_heaps" -> textHeaps,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "privacy_generalize" -> privacyGeneralize,
@@ -4308,6 +4363,40 @@ object PipelineQueries {
     "text_lang_eval" ->
       s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "text_heaps" ->
+      // same dyadic checkpoints, same first-seen-below-t vocabulary
+      // counts, same exact-grid OLS for beta
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |dt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nt FROM d),
+         |fw AS (SELECT u AS w, min(doc_id) AS fd
+         |       FROM (SELECT doc_id, unnest(ws) AS u FROM d) GROUP BY 1),
+         |mx AS (SELECT max(doc_id) AS m FROM dt),
+         |ts AS (SELECT CAST(1 << CAST(r.range AS INTEGER) AS BIGINT) AS t
+         |       FROM range(4, 21) r, mx
+         |       WHERE (1 << CAST(r.range AS INTEGER)) <= mx.m),
+         |n AS (SELECT ts.t, CAST(SUM(dt.nt) AS BIGINT) AS n_tokens
+         |      FROM ts JOIN dt ON dt.doc_id < ts.t GROUP BY 1),
+         |v AS (SELECT ts.t, count(*) AS v_words
+         |      FROM ts JOIN fw ON fw.fd < ts.t GROUP BY 1),
+         |pts AS (
+         |  SELECT n.t, n.n_tokens, v.v_words,
+         |    CAST(floor(ln(CAST(n.n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      AS ln_n_grid,
+         |    CAST(floor(ln(CAST(v.v_words AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      AS ln_v_grid
+         |  FROM n JOIN v ON n.t = v.t
+         |  WHERE n.n_tokens > 0 AND v.v_words > 0),
+         |st AS (
+         |  SELECT count(*) AS k, CAST(SUM(ln_n_grid) AS BIGINT) AS sx,
+         |    CAST(SUM(ln_v_grid) AS BIGINT) AS sy,
+         |    CAST(SUM(ln_n_grid * ln_v_grid) AS BIGINT) AS sxy,
+         |    CAST(SUM(ln_n_grid * ln_n_grid) AS BIGINT) AS sxx
+         |  FROM pts)
+         |SELECT pts.t, pts.n_tokens, pts.v_words, pts.ln_n_grid, pts.ln_v_grid,
+         |  CASE WHEN k * sxx - sx * sx != 0 THEN
+         |    CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)
+         |  END AS beta
+         |FROM pts CROSS JOIN st""".stripMargin,
     "pipeline_dpo" -> {
       val h = hashKeySql("chosen_id", "dpo")
       s"""WITH r AS (

@@ -3388,6 +3388,61 @@ object RelationalQueries {
           .otherwise(lit(null).cast("double")).as("fleiss_kappa"))
   }
 
+  /** Laspeyres and Paasche price indices between the corpus' FIRST and
+    * LAST shipping months — the inflation-accounting pair (base-weighted
+    * vs current-weighted) over parts traded in BOTH periods. Unit prices
+    * are the exact floor `revenue_cents div quantity` grid per part-month
+    * (one deterministic division), the four basket sums are exact longs,
+    * and each index is `1e6·Σp_t·q_w // Σp_b·q_w` — integer throughout.
+    * One aggregate + a part-keyed self-join of two month slices.
+    */
+  val ordersPriceIndex: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        trunc(to_date(col("l_shipdate")), "month").as("__m"),
+        col("l_quantity").cast("long").as("__q"),
+        dec(col("l_extendedprice"), 2).as("__r"))
+    val bounds = li.agg(min(col("__m")).as("__m0"), max(col("__m")).as("__m1"))
+    val per = li.crossJoin(broadcast(bounds))
+      .filter(col("__m") === col("__m0") || col("__m") === col("__m1"))
+      .groupBy(col("l_partkey"), (col("__m") === col("__m0")).as("__base"))
+      .agg(sum(col("__q")).as("q"),
+        (sum(col("__r")).cast(DecimalType(18, 2)) * 100).cast("long").as("rc"))
+      .withColumn("p", expr("rc div q"))
+      .localCheckpoint(true)
+    val b = per.filter(col("__base")).select(col("l_partkey"),
+      col("q").as("q0"), col("p").as("p0"))
+    val c = per.filter(!col("__base")).select(col("l_partkey"),
+      col("q").as("q1"), col("p").as("p1"))
+    b.join(c, Seq("l_partkey"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p1") * col("q0")).as("__l_num"),
+        sum(col("p0") * col("q0")).as("__l_den"),
+        sum(col("p1") * col("q1")).as("__p_num"),
+        sum(col("p0") * col("q1")).as("__p_den"))
+      .select(col("n_parts"),
+        expr("(__l_num * 1000000) div __l_den").as("laspeyres_ppm"),
+        expr("(__p_num * 1000000) div __p_den").as("paasche_ppm"))
+  }
+
+  /** Rare-category collapse (the encoder-cardinality guard: categories
+    * below the support floor merge into one `__other__` bucket so a
+    * one-hot/target encoder never mints million-column tails): part types
+    * under 15 rows collapse; output per FINAL category its row count and
+    * how many source categories merged into it. One count aggregate +
+    * one regroup — category-sized throughout.
+    */
+  val featureRareCollapse: Q = (spark, dir) => {
+    t(spark, dir, "part")
+      .groupBy(col("p_type")).agg(count(lit(1)).as("__c"))
+      .select(
+        when(col("__c") < 15, "__other__").otherwise(col("p_type"))
+          .as("category"),
+        col("__c"))
+      .groupBy("category")
+      .agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_merged"))
+  }
+
   /** XYZ demand-variability classification (the inventory-planning
     * companion to [[partsAbc]]'s value axis): per part, monthly demand
     * quantities over the FULL month horizon (absent months count as zero
@@ -4451,6 +4506,8 @@ object RelationalQueries {
     "label_majority" -> labelMajority,
     "label_fleiss" -> labelFleiss,
     "parts_xyz" -> partsXyz,
+    "orders_price_index" -> ordersPriceIndex,
+    "feature_rare_collapse" -> featureRareCollapse,
     "events_runs_test" -> eventsRunsTest,
     "feature_cyclic" -> featureCyclic,
     "events_hurst" -> eventsHurst,
@@ -4987,6 +5044,39 @@ object RelationalQueries {
         |  END AS did
         |FROM a""".stripMargin,
     "ab_sprt" -> abSprtOracle,
+    "orders_price_index" ->
+      // same floor unit-price grid, same exact basket sums, same
+      // integer-ppm divisions
+      """WITH li AS (
+        |  SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS r
+        |  FROM lineitem),
+        |bd AS (SELECT min(m) AS m0, max(m) AS m1 FROM li),
+        |per AS (
+        |  SELECT l_partkey, (m = bd.m0) AS base, CAST(SUM(q) AS BIGINT) AS q,
+        |    CAST(CAST(SUM(r) AS DECIMAL(18,2)) * 100 AS BIGINT) AS rc
+        |  FROM li, bd WHERE m = bd.m0 OR m = bd.m1 GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, base, q, rc // q AS p FROM per),
+        |b AS (SELECT l_partkey, q AS q0, p AS p0 FROM pp WHERE base),
+        |c AS (SELECT l_partkey, q AS q1, p AS p1 FROM pp WHERE NOT base),
+        |a AS (SELECT count(*) AS n_parts,
+        |        CAST(SUM(p1 * q0) AS BIGINT) AS lnum,
+        |        CAST(SUM(p0 * q0) AS BIGINT) AS lden,
+        |        CAST(SUM(p1 * q1) AS BIGINT) AS pnum,
+        |        CAST(SUM(p0 * q1) AS BIGINT) AS pden
+        |      FROM b JOIN c USING (l_partkey))
+        |SELECT n_parts,
+        |  CAST((lnum * 1000000) // lden AS BIGINT) AS laspeyres_ppm,
+        |  CAST((pnum * 1000000) // pden AS BIGINT) AS paasche_ppm
+        |FROM a""".stripMargin,
+    "feature_rare_collapse" ->
+      """WITH c AS (SELECT p_type, count(*) AS c FROM part GROUP BY 1),
+        |g AS (SELECT CASE WHEN c < 15 THEN '__other__' ELSE p_type END
+        |        AS category, c FROM c)
+        |SELECT category, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_merged
+        |FROM g GROUP BY 1""".stripMargin,
     "parts_xyz" ->
       // same long sufficient statistics, same cross-multiplied class cuts
       """WITH li AS (
