@@ -4021,6 +4021,75 @@ object RelationalQueries {
           .otherwise(lit(null).cast("double")).as("dispersion"))
   }
 
+  /** DIRECTED association rules over the shared distinct basket
+    * projection ([[distinctOrderPart]] — the third consumer of the
+    * JVM-cached base): for each ordered pair A→B with support ≥ 3, the
+    * rule's CONFIDENCE `P(B|A) = support(AB)/support(A)` in exact ppm —
+    * the quantity [[basketLift]]'s symmetric score deliberately ignores
+    * (lift can't tell "diapers→beer" from "beer→diapers"; confidence
+    * can). Top-25 under (confidence DESC, antecedent, consequent); the
+    * grid-log lift rides along for chance-adjustment.
+    */
+  val basketRules: Q = (spark, dir) => {
+    val d = distinctOrderPart(spark, dir)
+    val supp = d.groupBy(col("__pk")).agg(count(lit(1)).as("__s"))
+    val tot = d.select(col("__ok")).distinct().agg(count(lit(1)).as("__n"))
+    d.toDF("__ok", "antecedent")
+      .join(d.toDF("__ok", "consequent"), Seq("__ok"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 3)
+      .join(supp.toDF("antecedent", "__sa"), Seq("antecedent"))
+      .join(supp.toDF("consequent", "__sb"), Seq("consequent"))
+      .crossJoin(broadcast(tot))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr("support * 1000000 div __sa").as("confidence_ppm"),
+        floor(log((col("support").cast("double") * col("__n"))
+          / (col("__sa").cast("double") * col("__sb"))) * 1000000.0)
+          .cast("long").as("lift_q"))
+      .orderBy(col("confidence_ppm").desc, col("antecedent"), col("consequent"))
+      .limit(25)
+  }
+
+  /** Exact Lorenz curve of per-user event concentration at decile ranks —
+    * the distribution audit behind the Gini number ([[ordersGini]] gives
+    * the scalar; the curve is what gets plotted and what skew budgeting
+    * reads): users ordered by (count, id), and at each decile rank
+    * `r_d = (d·n) div 10` the cumulative event share in exact ppm. The
+    * rank cut interpolates INSIDE a count-value block arithmetically
+    * (`cum_before + (r_d − users_before)·c` — exact longs), so the whole
+    * curve comes from the value-cardinality histogram: no corpus-sized
+    * window anywhere.
+    */
+  val eventsLorenz: Q = (spark, dir) => {
+    val counts = Tables.eventsDf(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true)
+    val wc = Window.orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = counts
+      .withColumn("__cumU", sum(col("__m")).over(wc))
+      .withColumn("__cumE", sum(col("__m") * col("__c")).over(wc))
+      .crossJoin(broadcast(counts.agg(
+        sum(col("__m")).as("__n"), sum(col("__m") * col("__c")).as("__tot"))))
+      .localCheckpoint(true)
+    val deciles = blocks.sparkSession.range(1, 11)
+      .select(col("id").cast("int").as("decile"))
+    broadcast(deciles)
+      .join(blocks,
+        expr("(decile * __n) div 10") > col("__cumU") - col("__m") &&
+          expr("(decile * __n) div 10") <= col("__cumU"))
+      .select(col("decile"),
+        expr("(decile * __n) div 10").as("rank_cut"),
+        ((col("__cumE") - (col("__cumU") - expr("(decile * __n) div 10")) *
+          col("__c")) * 1000000).as("__num"),
+        col("__tot"))
+      .select(col("decile"), col("rank_cut"),
+        expr("__num div __tot").as("lorenz_ppm"))
+  }
+
   /** Association-rule LIFT over the basket pairs: how far above chance
     * two parts co-occur (`lift = P(ab)/(P(a)·P(b))` over distinct
     * order-part sets), support ≥ 3, top-20 under the deterministic
@@ -4507,6 +4576,8 @@ object RelationalQueries {
     "label_fleiss" -> labelFleiss,
     "parts_xyz" -> partsXyz,
     "orders_price_index" -> ordersPriceIndex,
+    "basket_rules" -> basketRules,
+    "events_lorenz" -> eventsLorenz,
     "feature_rare_collapse" -> featureRareCollapse,
     "events_runs_test" -> eventsRunsTest,
     "feature_cyclic" -> featureCyclic,
@@ -5044,6 +5115,45 @@ object RelationalQueries {
         |  END AS did
         |FROM a""".stripMargin,
     "ab_sprt" -> abSprtOracle,
+    "basket_rules" ->
+      // same distinct projection, same exact confidence ppm, the
+      // basket_lift grid-log for the lift column
+      """WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |supp AS (SELECT pk, count(*) AS s FROM d GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT ok) AS n FROM d),
+        |p AS (SELECT a.pk AS antecedent, b.pk AS consequent,
+        |        count(*) AS support
+        |      FROM d a JOIN d b ON a.ok = b.ok AND a.pk != b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT antecedent, consequent, support,
+        |  CAST(support * 1000000 // sa.s AS BIGINT) AS confidence_ppm,
+        |  CAST(floor(ln((CAST(support AS DOUBLE) * n)
+        |    / (CAST(sa.s AS DOUBLE) * sb.s)) * 1000000.0) AS BIGINT) AS lift_q
+        |FROM p JOIN supp sa ON antecedent = sa.pk
+        |JOIN supp sb ON consequent = sb.pk CROSS JOIN tot
+        |ORDER BY confidence_ppm DESC, antecedent, consequent
+        |LIMIT 25""".stripMargin,
+    "events_lorenz" ->
+      // same value-cardinality histogram, same in-block arithmetic
+      // interpolation at the exact decile ranks
+      """WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |h AS (SELECT c, count(*) AS m FROM uc GROUP BY 1),
+        |b AS (SELECT c, m,
+        |        SUM(m) OVER (ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumU,
+        |        SUM(m * c) OVER (ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumE,
+        |        SUM(m) OVER () AS n, SUM(m * c) OVER () AS tot
+        |      FROM h),
+        |dd AS (SELECT CAST(r.range AS INTEGER) AS decile FROM range(1, 11) r)
+        |SELECT decile,
+        |  CAST((decile * n) // 10 AS BIGINT) AS rank_cut,
+        |  CAST(((cumE - (cumU - (decile * n) // 10) * c) * 1000000) // tot
+        |    AS BIGINT) AS lorenz_ppm
+        |FROM dd JOIN b
+        |  ON (decile * n) // 10 > cumU - m AND (decile * n) // 10 <= cumU"""
+        .stripMargin,
     "orders_price_index" ->
       // same floor unit-price grid, same exact basket sums, same
       // integer-ppm divisions
