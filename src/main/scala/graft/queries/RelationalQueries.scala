@@ -3477,6 +3477,40 @@ object RelationalQueries {
           .otherwise("Z").as("xyz_class"))
   }
 
+  /** ABC class MIGRATION between the corpus' first and last shipping
+    * months — the classification-drift audit behind every inventory
+    * review ("which A-parts slid to C?"): [[graft.ops.Ranking
+    * .abcClassify]] runs independently over each month's exact revenue
+    * grid (same distributed prefix-sum, same cross-multiplied cuts), and
+    * the migration matrix counts parts per (class_from, class_to) cell —
+    * parts absent from a month classify as '-' (entered/exited). ≤ 16
+    * output rows at any scale.
+    */
+  val partsAbcMigration: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        trunc(to_date(col("l_shipdate")), "month").as("__m"),
+        dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("__r"))
+    val bounds = li.agg(min(col("__m")).as("__m0"), max(col("__m")).as("__m1"))
+    def slice(which: Column): DataFrame = {
+      val rev = li.crossJoin(broadcast(bounds))
+        .filter(col("__m") === which)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("__r")).cast(DecimalType(18, 4)).as("__rev"))
+        .select(col("l_partkey"), (col("__rev") * 10000).cast("long").as("__grid"))
+      graft.ops.Ranking.abcClassify(rev, "l_partkey", "__grid")
+        .select(col("l_partkey"), col("abc_class"))
+    }
+    val a = slice(col("__m0")).withColumnRenamed("abc_class", "class_from")
+    val b = slice(col("__m1")).withColumnRenamed("abc_class", "class_to")
+    a.join(b, Seq("l_partkey"), "full_outer")
+      .select(
+        coalesce(col("class_from"), lit("-")).as("class_from"),
+        coalesce(col("class_to"), lit("-")).as("class_to"))
+      .groupBy("class_from", "class_to")
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
   /** ABC / Pareto revenue concentration over parts: exact per-part revenue
     * on the 10⁻⁴ grid, distributed prefix sum under the (revenue DESC,
     * partkey ASC) total order, classes cut at 80 / 95 % by long
@@ -4575,6 +4609,7 @@ object RelationalQueries {
     "label_majority" -> labelMajority,
     "label_fleiss" -> labelFleiss,
     "parts_xyz" -> partsXyz,
+    "parts_abc_migration" -> partsAbcMigration,
     "orders_price_index" -> ordersPriceIndex,
     "basket_rules" -> basketRules,
     "events_lorenz" -> eventsLorenz,
@@ -4771,6 +4806,41 @@ object RelationalQueries {
   /** Builds the ab_sprt oracle with the SAME frozen grid constants the
     * Column tree uses (sprtWeights/sprtBounds — the fsWeights pattern).
     */
+  /** Builds the parts_abc_migration oracle: the parts_abc replay run
+    * twice (one per boundary month) and full-outer-joined into the
+    * migration matrix.
+    */
+  private def abcMigrationOracle: String = {
+    def slice(m: String, alias: String) =
+      s"""${alias}rev AS (
+         |  SELECT l_partkey,
+         |    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         |      AS DECIMAL(18,4)) * 10000 AS BIGINT) AS grid
+         |  FROM lineitem, bd
+         |  WHERE date_trunc('month', CAST(l_shipdate AS DATE)) = bd.$m
+         |  GROUP BY 1),
+         |${alias}c AS (
+         |  SELECT l_partkey,
+         |    CASE WHEN (sum(grid) OVER w - grid) * 100 < sum(grid) OVER () * 80
+         |           THEN 'A'
+         |         WHEN (sum(grid) OVER w - grid) * 100 < sum(grid) OVER () * 95
+         |           THEN 'B'
+         |         ELSE 'C' END AS cls
+         |  FROM ${alias}rev
+         |  WINDOW w AS (ORDER BY grid DESC, l_partkey
+         |               ROWS UNBOUNDED PRECEDING))""".stripMargin
+    s"""WITH bd AS (
+       |  SELECT min(date_trunc('month', CAST(l_shipdate AS DATE))) AS m0,
+       |         max(date_trunc('month', CAST(l_shipdate AS DATE))) AS m1
+       |  FROM lineitem),
+       |${slice("m0", "a")},
+       |${slice("m1", "b")}
+       |SELECT COALESCE(ac.cls, '-') AS class_from,
+       |  COALESCE(bc.cls, '-') AS class_to, count(*) AS n_parts
+       |FROM ac FULL OUTER JOIN bc USING (l_partkey)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   private def abSprtOracle: String = {
     val (wc, wn) = graft.ops.Experiment.sprtWeights(1, 10, 3, 20)
     val (up, lo) = graft.ops.Experiment.sprtBounds(1, 20, 1, 5)
@@ -5115,6 +5185,7 @@ object RelationalQueries {
         |  END AS did
         |FROM a""".stripMargin,
     "ab_sprt" -> abSprtOracle,
+    "parts_abc_migration" -> abcMigrationOracle,
     "basket_rules" ->
       // same distinct projection, same exact confidence ppm, the
       // basket_lift grid-log for the lift column
