@@ -123,6 +123,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("wave 27-30 additions: no cartesians; bounded fan-outs stay broadcast") {
+    for (name <- Seq("graph_closeness", "pipeline_dpo", "basket_rules",
+      "events_lorenz", "orders_price_index", "parts_abc_migration")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+    // text_heaps' checkpoint fan-out is a theta join bounded by the <= 17
+    // thresholds — it must run with the THRESHOLD side broadcast, never
+    // shuffling the corpus for it
+    val p = plan("text_heaps")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the threshold theta-join must broadcast the 17-row side")
+  }
+
   test("sample_curriculum: stage map joins broadcast, histogram window is value-sized") {
     val p = plan("sample_curriculum")
     assert(p.contains("BroadcastHashJoin"),
