@@ -60,6 +60,7 @@ object Bench {
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.queries.ParityQueries.releaseSessions()
+        graft.ops.Linkage.releaseShared()
         (dt, n)
       }
       if (doGc) {

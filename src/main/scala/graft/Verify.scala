@@ -30,7 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally graft.queries.ParityQueries.releaseSessions()
+      finally {
+        graft.queries.ParityQueries.releaseSessions()
+        graft.ops.Linkage.releaseShared()
+      }
     }
     graft.queries.ParityQueries.releaseWarm()
     graft.queries.RelationalQueries.releaseShared()

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  /** Persisted frames whose lifetime must extend past the operator call
+    * (the caller consumes them lazily). [[releaseShared]] drains them;
+    * Bench/Verify call it at shutdown alongside the other shared caches.
+    */
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Unpersist every frame pinned by operators in this module. */
+  def releaseShared(): Unit = {
+    pinned.forEach(df => df.unpersist(blocking = false))
+    pinned.clear()
+  }
+
   /** Pairs (id_a < id_b) sharing `blockKey` with
     * `levenshtein(name_a, name_b) <= maxDist`, plus the exact distance.
     */
@@ -200,6 +213,15 @@ object Linkage {
       .withColumn("__r", col("__off") + row_number().over(wIn))
       .select("id", "name", "__r")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the rank cache once, then release the upstream pin
+    // immediately: in a long bench JVM repeated invocations would
+    // otherwise accumulate MEMORY_AND_DISK blocks until ContextCleaner
+    // happens to collect the references. `ranked` must outlive this call
+    // (the caller consumes it lazily), so it goes through the release
+    // registry drained by Bench/Verify at shutdown instead.
+    ranked.count()
+    ordered.unpersist(blocking = false)
+    pinned.add(ranked)
     val probes = ranked.select(
       col("id").as("ia"), col("name").as("na"),
       explode(sequence(col("__r") + 1, col("__r") + window)).as("__r"))

@@ -967,10 +967,14 @@ object Similarity {
     * Scale shape: `nsub` k-means fits over one ≤256·k-row sample, then
     * ONE compiled map over the corpus against broadcast codebooks — no
     * shuffle, no raw-vector motion after encode. Like the IVF quantizer,
-    * the fit is seeded-deterministic per run but not SQL-replayable, so
-    * the driver gate is rows-only and the semantics are spec-pinned
-    * (identical vectors share codes; cluster-separated fixtures retrieve
-    * same-cluster neighbors).
+    * the fit is seeded-deterministic per run but not replayable from the
+    * SQL text alone, so the `knn_pq` / `knn_ivfpq` gates capture the
+    * fitted codebooks as literals at run time ([[graft.queries
+    * .DynamicOracles]]): the query `put()`s oracle SQL embedding the
+    * exact per-subspace centroid grids, and DuckDB re-derives codes and
+    * distances from those literals — a full hash gate, with the fixture
+    * semantics (identical vectors share codes; cluster-separated
+    * fixtures retrieve same-cluster neighbors) additionally spec-pinned.
     */
   def pqBuild(
       corpus: DataFrame,

@@ -1266,7 +1266,11 @@ object PipelineQueries {
       val den = m
         .join(r.select(col("lang").as("i"), col("r").as("ri")), Seq("i"))
         .join(r.select(col("lang").as("j"), col("r").as("rj")), Seq("j"))
-        .select(col("i"), expr("(n * 1000000000000) DIV (ri + rj)").as("t"))
+        // greatest(·,1): a zero-rated pair (two languages with zero total
+        // wins contesting each other) must not hit DIV 0 — Spark would
+        // yield NULL while DuckDB // errors; the guard is mirrored in the
+        // oracle so both engines replay the same trajectory.
+        .select(col("i"), expr("(n * 1000000000000) DIV greatest(ri + rj, 1)").as("t"))
         .groupBy("i").agg(sum(col("t")).as("den"))
       r = wi.join(den, Seq("i"))
         .select(col("i").as("lang"), expr("(wi * 1000000000000) DIV den").as("r"))
@@ -1287,6 +1291,14 @@ object PipelineQueries {
     * (`(x − pmod(x, den)) / den` — decimal floor division, both sides
     * nonnegative). Tasks with n < k stay NULL rather than lying. One
     * scan, task-sized output.
+    *
+    * Scale ceiling: the k=5 falling-factorial product is ~n⁵·10⁶, which
+    * exceeds DECIMAL(38) (and DuckDB HUGEINT) once n_attempts ≳ 4·10⁷ per
+    * task — past that Spark decimal arithmetic yields NULL silently while
+    * DuckDB errors loudly. At 100 TB, cap attempts per task (sample to
+    * ≤10⁶ — the estimator is already an average over subsets) or bucket
+    * tasks finer before this aggregate; the int64 note above covers only
+    * the 250-attempt overflow, not this ceiling.
     */
   val evalPassAtK: Q = (spark, dir) => {
     import org.apache.spark.sql.types.DecimalType
@@ -4451,7 +4463,7 @@ object PipelineQueries {
         |nc AS (SELECT i, CAST(SUM(n) AS BIGINT) AS n_contests FROM m GROUP BY 1),
         |r0 AS (SELECT i AS lang, CAST(1000000 AS BIGINT) AS r FROM wi),
         |t1 AS (SELECT m.i,
-        |         CAST(SUM((m.n * 1000000000000) // (ra.r + rb.r)) AS BIGINT)
+        |         CAST(SUM((m.n * 1000000000000) // greatest(ra.r + rb.r, 1)) AS BIGINT)
         |           AS den
         |       FROM m JOIN r0 ra ON m.i = ra.lang
         |       JOIN r0 rb ON m.j = rb.lang GROUP BY 1),
@@ -4459,7 +4471,7 @@ object PipelineQueries {
         |         CAST((wi.w * 1000000000000) // t1.den AS BIGINT) AS r
         |       FROM wi JOIN t1 ON wi.i = t1.i),
         |t2 AS (SELECT m.i,
-        |         CAST(SUM((m.n * 1000000000000) // (ra.r + rb.r)) AS BIGINT)
+        |         CAST(SUM((m.n * 1000000000000) // greatest(ra.r + rb.r, 1)) AS BIGINT)
         |           AS den
         |       FROM m JOIN r1 ra ON m.i = ra.lang
         |       JOIN r1 rb ON m.j = rb.lang GROUP BY 1),

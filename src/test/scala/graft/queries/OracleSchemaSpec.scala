@@ -35,7 +35,12 @@ class OracleSchemaSpec extends AnyFunSuite {
 
   test("every oracle-gated query output schema is flat and decimal-free") {
     val queries = graft.SparkEntry.queries
-    val gated = graft.SparkEntry.oracleSql.keySet
+    // oracleSql is snapshotted BEFORE any query lambda runs, so the
+    // run-captured oracles (DynamicOracles) are absent from it here —
+    // include their declared names explicitly or they'd never be
+    // schema-checked despite being oracle-gated at the driver.
+    val gated =
+      graft.SparkEntry.oracleSql.keySet ++ graft.queries.DynamicOracles.declared
     val missing = gated.diff(queries.keySet)
     assert(missing.isEmpty, s"oracles without a query: $missing")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
