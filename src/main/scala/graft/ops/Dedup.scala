@@ -33,6 +33,25 @@ object Dedup {
       sequence(lit(0), lit(numHashes - 1)),
       j => array_min(transform(shingles, s => xxhash64(s, j))))
 
+  /** [[minhashSignature]]'s md5-derived replayable twin — the
+    * [[simhashPairsReplayable]] pattern applied to MinHash: permutation
+    * `j` hashes a shingle to the first 15 hex nibbles (60 bits, always
+    * nonnegative in a long) of `md5(shingle # j)`, so every component is
+    * recomputable in any engine with md5 — which is what puts the
+    * group-union MinHash query (`source_minhash`) under a full
+    * cross-engine hash gate. Production corpora should prefer
+    * [[minhashSignature]]: xxhash64 is several times faster per shingle
+    * than MessageDigest md5, and the signature scan IS the corpus scan
+    * at 100 TB. Same staging contract: `shingles` MUST be an attribute
+    * reference, not an inline expression.
+    */
+  def minhashSignatureMd5(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles, s =>
+        conv(substring(md5(concat(s, lit("#"), j.cast("string"))), 1, 15), 16, 10)
+          .cast("long"))))
+
   /** LSH banding: split the signature into `bands` bands and hash each,
     * producing (band_idx, band_hash) rows. Docs sharing any band bucket are
     * candidate near-duplicates.

@@ -1677,20 +1677,26 @@ object PipelineQueries {
   }
 
   /** Group-level MinHash via the custom typed Aggregator: per-source corpus
-    * signature (element-wise min of doc signatures). Rows-only: the oracle
-    * cannot replay xxhash64; pinned exactly by spec instead.
+    * signature (element-wise min of doc signatures). Hash-gated: the
+    * per-shingle hash is [[Dedup.minhashSignatureMd5]] (first 15 hex
+    * nibbles of `md5(shingle # j)` — the dedup_simhash replayable
+    * pattern), so DuckDB recomputes min-per-permutation over the same
+    * shingles directly per source — which equals the element-wise min of
+    * the per-doc signatures the Aggregator reduces (the min-of-mins
+    * identity the Aggregator exists to exploit).
     */
   val sourceMinhash: Q = (spark, dir) => {
     // tokens staged as an attribute: an inline tokens(text) inside the
     // shingle lambda re-tokenizes per shingle (O(words²) regex per row)
     val shingled = docs(spark, dir)
+      .filter(col("text").isNotNull)
       .select(col("source"), TextOps.tokens(col("text")).as("toks"))
       .select(
         col("source"),
         TextOps.wordShinglesOfTokens(col("toks"), 3).as("shingles"))
     val sigs = shingled.select(
       col("source"),
-      Dedup.minhashSignature(col("shingles"), 16).cast("array<bigint>").as("sig"))
+      Dedup.minhashSignatureMd5(col("shingles"), 16).cast("array<bigint>").as("sig"))
     sigs
       .groupBy("source")
       .agg(graft.functions.MinHashAggregator.groupSignature(col("sig"), 16).as("group_sig"))
@@ -1701,29 +1707,54 @@ object PipelineQueries {
 
   /** Sketch-based distinct counting next to the exact answer — the
     * constant-memory path for 100 TB cardinalities (HLL++: one small buffer
-    * per group, order-independent merges). Rows-only: sketch estimates are
-    * engine-specific; the spec bounds the relative error instead.
+    * per group, order-independent merges). Hash-gated via the ACCEPTANCE
+    * VERDICT: the estimate itself is engine-specific and cannot
+    * cross-engine hash-match, but its error CONTRACT can — the query emits
+    * the exact side plus a per-group boolean `within_5pct` (HLL++ at
+    * default rsd 0.05), and the oracle computes the exact side and asserts
+    * the verdict TRUE. A drifting sketch flips the boolean and fails the
+    * hash gate — the bound moved from spec prose into the driver's gate.
     */
   val approxParts: Q = (spark, dir) =>
     spark.read
       .parquet(s"$dir/lineitem.parquet")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey")).as("__approx"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("__approx") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("within_5pct"))
 
   /** Mergeable sketch rollup: a per-(source, lang) HLL sketch table of
     * distinct texts, rolled up to per-source estimates by sketch UNION —
-    * no rescan ([[graft.ops.SketchRollup]]). Rows-only (sketch estimates
-    * are engine-specific); the lossless-merge property and error bound are
-    * spec-pinned.
+    * no rescan ([[graft.ops.SketchRollup]]). Hash-gated via the ACCEPTANCE
+    * VERDICTS (the approx_parts pattern): the output carries the exact
+    * side plus two per-source booleans — `within_5pct` (rollup estimate
+    * within HLL error of the exact distinct count) and `merge_lossless`
+    * (union-of-fine ≡ direct-coarse estimate EXACTLY, the property that
+    * makes a persisted sketch table trustworthy) — and the oracle computes
+    * the exact side and asserts both verdicts TRUE.
     */
   val sketchRollup: Q = (spark, dir) => {
-    val fine = graft.ops.SketchRollup.build(
-      docs(spark, dir).filter(col("text").isNotNull), Seq("source", "lang"), "text")
-    graft.ops.SketchRollup.rollup(fine, Seq("source"))
-      .select(col("source"), col("distinct_est").cast("long").as("distinct_est"), col("n_rows"))
+    val base = docs(spark, dir).filter(col("text").isNotNull)
+    val fine = graft.ops.SketchRollup.build(base, Seq("source", "lang"), "text")
+    val rolled = graft.ops.SketchRollup.rollup(fine, Seq("source"))
+      .select(col("source"), col("distinct_est"), col("n_rows"))
+    val direct = graft.ops.SketchRollup.build(base, Seq("source"), "text")
+      .select(col("source"), hll_sketch_estimate(col("sketch")).as("__direct"))
+    val exact = base.groupBy("source")
+      .agg(countDistinct(col("text")).as("exact_distinct"))
+    rolled
+      .join(direct, Seq("source"))
+      .join(exact, Seq("source"))
+      .select(
+        col("source"), col("n_rows"), col("exact_distinct"),
+        (abs(col("distinct_est") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("within_5pct"),
+        (col("distinct_est") === col("__direct")).as("merge_lossless"))
   }
 
   // ------------------------------------------------- sampling / packing
@@ -3537,6 +3568,41 @@ object PipelineQueries {
     // and sign fold), then ALL pairs are Hamming-tested — no blocking. The
     // Spark side's 4-chunk pigeonhole blocking is exact for Hamming ≤ 3,
     // so blocked ≡ brute force and the full pair set hash-matches.
+    // min over ALL of a source's shingles ≡ element-wise min of per-doc
+    // signatures (the min-of-mins identity) — so the oracle needs no
+    // per-doc stage; 15 hex nibbles of md5 parse via the '0x' cast
+    "source_minhash" ->
+      s"""WITH toks AS (
+         |  SELECT source, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT source,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(0, len(ws) - 3),
+         |                i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+         |    END AS s
+         |  FROM toks),
+         |e AS (SELECT source, unnest(s) AS sg FROM sh),
+         |m AS (
+         |  SELECT source, r.j,
+         |    min(CAST('0x' || substr(md5(sg || '#' || CAST(r.j AS VARCHAR)), 1, 15)
+         |        AS BIGINT)) AS mh
+         |  FROM e CROSS JOIN range(16) r(j) GROUP BY 1, 2)
+         |SELECT source,
+         |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS group_sig
+         |FROM m GROUP BY source""".stripMargin,
+    // acceptance-verdict gates: the oracle computes the exact side and
+    // asserts the engine's error-contract booleans TRUE — a drifting
+    // sketch flips the verdict and fails the hash
+    "approx_parts" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  count(*) AS n, TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "sketch_rollup" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_5pct, TRUE AS merge_lossless
+        |FROM documents WHERE text IS NOT NULL GROUP BY source""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),

@@ -2527,17 +2527,32 @@ object RelationalQueries {
   /** Sketch quantiles next to the exact ones: `percentile` buffers EVERY
     * group value in its final reducer — fine for parity, an OOM at 100 TB —
     * while `approx_percentile` keeps a constant-size mergeable sketch with
-    * map-side partials (rank error ≤ 1/accuracy). Rows-only (sketch
-    * internals are engine-specific); the spec brackets each estimate
-    * between exact quantiles at q ± rank tolerance.
+    * map-side partials (rank error ≤ 1/accuracy). Hash-gated via the
+    * ACCEPTANCE VERDICT (the approx_parts pattern): the output carries the
+    * exact BRACKETS (quantiles at q ± 0.01 — generous vs the 1e-4 rank
+    * error, robust to ties; `percentile` ≡ DuckDB `quantile_cont`, the
+    * quantilePrice-proven identity) plus per-group booleans asserting each
+    * estimate lies inside its bracket; the oracle computes the brackets
+    * exactly and asserts the verdicts TRUE.
     */
   val approxQuantiles: Q = (spark, dir) =>
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(
-        expr("approx_percentile(o_totalprice, 0.5D, 10000)").as("median_approx"),
-        expr("approx_percentile(o_totalprice, 0.9D, 10000)").as("p90_approx"),
+        expr("approx_percentile(o_totalprice, 0.5D, 10000)").as("__m"),
+        expr("approx_percentile(o_totalprice, 0.9D, 10000)").as("__p"),
+        expr("percentile(o_totalprice, 0.49D)").as("lo_50"),
+        expr("percentile(o_totalprice, 0.51D)").as("hi_50"),
+        expr("percentile(o_totalprice, 0.89D)").as("lo_90"),
+        expr("percentile(o_totalprice, 0.91D)").as("hi_90"),
         count(lit(1)).as("n"))
+      .select(
+        col("o_orderpriority"),
+        col("lo_50"), col("hi_50"),
+        (col("__m") >= col("lo_50") && col("__m") <= col("hi_50")).as("median_ok"),
+        col("lo_90"), col("hi_90"),
+        (col("__p") >= col("lo_90") && col("__p") <= col("hi_90")).as("p90_ok"),
+        col("n"))
 
   /** Top-3 orders per customer through the bounded-heap operator — same
     * semantics as `window_rank` but shuffling only partial winners.
@@ -5487,6 +5502,19 @@ object RelationalQueries {
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
         |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // acceptance-verdict gate: exact brackets via quantile_cont (the
+    // quantile_price-proven ≡ of Spark `percentile`), TRUE verdicts — the
+    // sketch estimate is engine-specific, its bracket contract is not
+    "approx_quantiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.49) AS lo_50,
+        |  quantile_cont(o_totalprice, 0.51) AS hi_50,
+        |  TRUE AS median_ok,
+        |  quantile_cont(o_totalprice, 0.89) AS lo_90,
+        |  quantile_cont(o_totalprice, 0.91) AS hi_90,
+        |  TRUE AS p90_ok,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q1_agg" ->
