@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed inclusive prefix sums over a TOTAL order — the drop-in
+  * replacement for `sum(x).over(Window.orderBy(key))`, which Spark plans
+  * as a SINGLE-TASK global sort ("No Partition Defined for Window"): fine
+  * for a bounded histogram, a cliff once the frame is corpus-sized. This
+  * is the range-partitioned prefix-sum pattern proven in
+  * [[Linkage.sortedNeighborhoodPairs]]'s distributed rank, extracted so
+  * every cumulative-histogram consumer (ECDF ranks, equal-frequency
+  * boundaries, KS/Lorenz/Gini cum-sums, winsorize bounds) shares one
+  * audited kernel.
+  *
+  * Shape: one range shuffle on the key (parallel sort), a #partitions-
+  * sized offsets frame whose own ordering window is partitions-sized (the
+  * bounded-window contract the WindowAuditSpec audit enforces), offsets
+  * broadcast back, then a PARTITION-LOCAL running sum. No global
+  * single-task stage at any scale.
+  *
+  * Contract: `keyCol` must be UNIQUE per row (callers pass a
+  * `groupBy(key)` histogram — exactly the inputs the global windows had),
+  * so inclusive prefix sums are well-defined without frame ties and the
+  * result is bit-identical to the single-task window it replaces.
+  */
+object Ranks {
+
+  /** Adds, for each `(valueCol, outCol)` pair, the inclusive running sum
+    * of `valueCol` under `orderBy(keyCol ASC)`. Input should be pinned
+    * (localCheckpoint) by the caller when it is expensive to recompute:
+    * the plan is consumed twice (offsets + main branch).
+    */
+  def runningSums(
+      df: DataFrame,
+      keyCol: String,
+      sums: Seq[(String, String)]): DataFrame = {
+    require(sums.nonEmpty, "need at least one (value, out) column pair")
+    val ordered = df
+      .repartitionByRange(col(keyCol).asc)
+      .sortWithinPartitions(col(keyCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition totals -> exclusive prefix offsets: a partitions-sized
+    // frame, so ITS unpartitioned window is bounded by construction
+    val totals = sums.map { case (v, o) => sum(col(v)).as(s"__t_$o") }
+    val offs = ordered
+      .groupBy(col("__pid"))
+      .agg(totals.head, totals.tail: _*)
+      .select(col("__pid") +: sums.map { case (_, o) =>
+        coalesce(
+          sum(col(s"__t_$o")).over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as(s"__off_$o")
+      }: _*)
+    val local = Window.partitionBy("__pid").orderBy(col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.foldLeft(ordered.join(broadcast(offs), Seq("__pid"))) {
+      case (acc, (v, o)) =>
+        acc.withColumn(o, col(s"__off_$o") + sum(col(v)).over(local))
+    }.drop("__pid" +: sums.map { case (_, o) => s"__off_$o" }: _*)
+  }
+
+  /** Single-column convenience form. */
+  def runningSum(df: DataFrame, keyCol: String, valueCol: String, outCol: String): DataFrame =
+    runningSums(df, keyCol, Seq(valueCol -> outCol))
+}

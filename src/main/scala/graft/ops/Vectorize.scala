@@ -238,10 +238,11 @@ object Vectorize {
   private[ops] def equalFreqBounds(gridVals: DataFrame, k: Int): DataFrame = {
     val hist = gridVals.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
-    val cumW = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
+    // distributed prefix sum: the value histogram is DISTINCT-VALUE-sized,
+    // which for a continuous column is corpus-sized — a global ordering
+    // window here was the single-task cliff WindowAuditSpec now forbids
+    Ranks.runningSum(hist, "__v", "__c", "__cum")
       .crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
-      .withColumn("__cum", sum(col("__c")).over(cumW))
       .withColumn("__j", explode(sequence(lit(1), lit(k - 1))))
       .filter(col("__cum") >= expr(s"(__j * __n + ${k - 1}) DIV $k"))
       .groupBy(col("__j"))
@@ -272,10 +273,11 @@ object Vectorize {
       .filter(col(valueCol).isNotNull)
       .select(col(idCol),
         floor(col(valueCol).cast("double") * gridScale.toDouble).cast("long").as("__v"))
-    val cumW = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = pts.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
-      .withColumn("__cum", sum(col("__c")).over(cumW))
+    // distributed prefix sum over the distinct-value histogram (see
+    // equalFreqBounds) — identical ranks, no single-task global window
+    val cum = Ranks.runningSum(
+      pts.groupBy(col("__v")).agg(count(lit(1)).as("__c")).localCheckpoint(true),
+      "__v", "__c", "__cum")
     val n = cum.agg(sum(col("__c")).as("__n"))
     pts
       .join(broadcast(cum.select(col("__v"), col("__cum"))), Seq("__v"))

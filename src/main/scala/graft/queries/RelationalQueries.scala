@@ -469,13 +469,13 @@ object RelationalQueries {
     val o = t(spark, dir, "orders")
       .select(col("o_orderpriority"),
         (dec(col("o_totalprice"), 2) * 100).cast("long").as("__c"))
-    val hist = o.groupBy("__c").agg(count(lit(1)).as("__n"))
-    val byV = Window.orderBy("__c")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val bounds = hist
-      .withColumn("__cum", sum(col("__n")).over(byV))
-      .withColumn("__t", sum(col("__n")).over(tot))
+    val hist = o.groupBy("__c").agg(count(lit(1)).as("__n")).localCheckpoint(true)
+    // distributed prefix sum over the distinct-cent histogram (Ranks) —
+    // continuous prices make the histogram corpus-sized, so the old
+    // global ordering window (and the global-total window beside it)
+    // were single-task stages
+    val bounds = graft.ops.Ranks.runningSum(hist, "__c", "__n", "__cum")
+      .crossJoin(broadcast(hist.agg(sum(col("__n")).as("__t"))))
       .agg(
         min(when(col("__cum") * 100 >= col("__t"), col("__c"))).as("__p01"),
         min(when(col("__cum") * 100 >= col("__t") * 99, col("__c"))).as("__p99"))
@@ -3781,10 +3781,10 @@ object RelationalQueries {
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
     val pinned = merged.localCheckpoint(false)
-    val byV = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = pinned
-      .withColumn("__cuma", sum(col("__ca")).over(byV))
-      .withColumn("__cumb", sum(col("__cb")).over(byV))
+    // distributed prefix sums: the merged value histogram is distinct-
+    // price-sized (≈ corpus-sized for a continuous column) — see Ranks
+    val cum = graft.ops.Ranks.runningSums(
+      pinned, "__v", Seq("__ca" -> "__cuma", "__cb" -> "__cumb"))
     val tot = pinned.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     cum.crossJoin(broadcast(tot))
       .agg(
@@ -3906,9 +3906,10 @@ object RelationalQueries {
       .agg(sum(dec(col("o_totalprice"), 2)).cast(DecimalType(18, 2)).as("__r"))
       .select((col("__r") * 100).cast("long").as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val byV = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
-      .withColumn("__cum", sum(col("__c")).over(byV))
+    // distributed prefix sum over the distinct-revenue histogram (Ranks):
+    // customer revenues are effectively all-distinct, so the old global
+    // ordering window was corpus-sized single-task work
+    graft.ops.Ranks.runningSum(hist.localCheckpoint(true), "__v", "__c", "__cum")
       .select(col("__v"), col("__c"),
         (col("__cum") - col("__c")).as("__cb"),
         // c(c+1)/2 is always integral — long DIV keeps it exact
