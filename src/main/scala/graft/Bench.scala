@@ -6,7 +6,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // iteration aid: regex over query names to bench a subset (full run when unset)
-    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").filter(_.nonEmpty).map(_.r)
+    // one UNTIMED run per query before the timed ones: in small filtered
+    // runs the first slots otherwise absorb the JIT/codegen warmup the
+    // full bench amortizes across its alphabet (measured: dedup_minhash
+    // 19.4/9.2/7.8 s in a cold 14-query subset vs 0.68 s in-bench)
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "0") == "1"
+    // where the full per-query JSON lands (overridable so the isolated
+    // child JVMs below never clobber the parent's record)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // set in child JVMs: disables recursive attribution
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_ISOLATED")
     // Per-QUERY GC defaults ON — this is query isolation, not tuning:
     // ContextCleaner frees shuffle files / broadcasts / RDD blocks only
     // after their weak refs are GC'd, so in a shared JVM running 60+
@@ -55,6 +65,11 @@ object Bench {
       // build-once state the read-only parity queries measure against —
       // a bounded, cached, never-growing footprint, unlike the per-query
       // sessions whose checkpoints would otherwise accumulate)
+      if (warmup) {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        graft.queries.ParityQueries.releaseSessions()
+        graft.ops.Linkage.releaseShared()
+      }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -81,23 +96,115 @@ object Bench {
           s" ${times.last._2} rows)")
       name -> med
     }.toMap
+    // Self-attribution (VERDICT r9 item 3): the shared JVM couples slots
+    // through GC debt, code-cache state and ContextCleaner backlog — twice
+    // now (r8 views, r9 sources) a slot that "regressed" in-bench was
+    // exonerated by a manual fresh-JVM median. Automate that: any slot
+    // whose median moved >1.5x vs the previous round's record re-runs in
+    // an ISOLATED child JVM (warmup + median-of-3) and the bench reports
+    // both numbers, so the next verdict needs no exoneration prose.
+    val isolated: Map[String, Double] =
+      if (isChild || filter.nonEmpty) Map.empty
+      else {
+        val prev = latestRoundRecord()
+        val flagged = results.toSeq
+          .flatMap { case (name, med) =>
+            prev.get(name).collect {
+              case p if p > 0 && med > 1.5 * p && med >= 0.5 => (name, med / p)
+            }
+          }
+          .sortBy(-_._2).take(6).map(_._1)
+        flagged.flatMap { name =>
+          System.err.println(s"[bench] $name moved >1.5x vs previous round; re-running isolated")
+          isolatedMedian(name, sfDir, cpus)
+            .map { m => System.err.println(f"[bench] $name isolated med $m%8.2f s"); name -> m }
+        }.toMap
+      }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val iso =
+      if (isolated.isEmpty) ""
+      else isolated.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString(""","isolated":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$iso,"sf":"$sfDir"}"""
     // The full JSON goes to BOTH stdout and a stable file: six rounds of
     // driver-side "parsed": null proved sbt wraps/appends around the stdout
     // line ([success] trailer, tail truncation mid-JSON), so the per-query
     // map must survive somewhere tooling can always read it.
     println(fullJson)
-    val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    val out = java.nio.file.Paths.get(outPath)
     java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
     // Short total-only line LAST: small enough that neither sbt's trailer
     // nor a stored-tail truncation can corrupt a last-JSON-line parse.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"BENCH_LOCAL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"$outPath"}""")
     graft.queries.ParityQueries.releaseWarm()
     graft.queries.RelationalQueries.releaseShared()
     spark.stop()
+  }
+
+  /** Per-query medians of the newest `BENCH_r*.json` in the working
+    * directory (the driver's per-round records) — the baseline the
+    * attribution pass compares against. Empty when none exists.
+    */
+  private def latestRoundRecord(): Map[String, Double] = {
+    val dir = new java.io.File(".")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    files.lastOption.map(f => parseQueries(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+      .getOrElse(Map.empty)
+  }
+
+  /** Minimal parse of the `"queries":{"name":sec,…}` map out of a bench
+    * JSON line (no JSON library on the runtime classpath — the shape is
+    * machine-written by this object, so a regex is sound).
+    */
+  private def parseQueries(json: String): Map[String, Double] = {
+    val body = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    """"([A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Median-of-3 (after one untimed warmup) of `name` in a FRESH child
+    * JVM with the same classpath/classes — the isolation the manual
+    * exoneration runs used, automated. None on spawn/parse failure or a
+    * 15-minute timeout (attribution must never hang the bench).
+    */
+  private def isolatedMedian(name: String, sfDir: String, cpus: String): Option[Double] = {
+    val outF = java.nio.file.Files.createTempFile(s"graft_iso_$name", ".json")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(System.getProperty("java.home") + "/bin/java") ++ opens ++ Seq(
+      "-Xmx16g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"), "graft.Bench")
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_BENCH_ISOLATED", "1")
+      env.put("SPARK_GRAFT_BENCH_FILTER", "^" + java.util.regex.Pattern.quote(name) + "$")
+      env.put("SPARK_GRAFT_BENCH_RUNS", "3")
+      env.put("SPARK_GRAFT_BENCH_WARMUP", "1")
+      env.put("SPARK_GRAFT_BENCH_OUT", outF.toString)
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      val p = pb.start()
+      if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+        p.destroyForcibly(); return None
+      }
+      parseQueries(new String(java.nio.file.Files.readAllBytes(outF), "UTF-8")).get(name)
+    } catch { case _: Throwable => None }
+    finally { try java.nio.file.Files.deleteIfExists(outF) catch { case _: Throwable => () } }
   }
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: replicates the driver's sf0.1 testdata
+  * N× (default 10× → "sf1") into a scratch directory, preserving every
+  * distributional property the scaling measurements depend on — so the
+  * SCALE.md time-vs-rows exponents measure the ENGINE, not an artifact of
+  * synthetic data.
+  *
+  * Replica construction (replica 0 is the base data verbatim):
+  *  - **Keys** shift by `r · |base table|` per replica — key spaces stay
+  *    dense, FK integrity holds within a replica, and replicas never join
+  *    across (exactly how a 10× corpus would look: more customers, more
+  *    orders, same dimension tables). region/nation stay fixed (they are
+  *    the bounded dimension tables at every scale).
+  *  - **Names** (`c_name`/`s_name`) are re-derived from the NEW key with
+  *    the base's own `Customer#%09d` format, so name-blocked linkage
+  *    (SNM, fuzzy blocks) sees a true 10× entity population, not 10
+  *    copies of every name (which would explode block sizes quadratically
+  *    — the artifact this generator exists to avoid).
+  *  - **Document text**: per-replica rotation of the (small, synthetic)
+  *    vocabulary — token `v[i] → v[(i + r) mod |V|]`. Within a replica
+  *    every pairwise Jaccard/shingle/simhash relation is ISOMORPHIC to the
+  *    base corpus (a bijection on words induces one on shingles), so
+  *    near-dup pair counts replicate exactly linearly; across replicas
+  *    shingles differ everywhere (a length-3 shingle matches only under
+  *    equal rotation), so no cross-replica candidate mass appears. This is
+  *    the honest 10× dedup workload: 10× docs, 10× near-dup pairs.
+  *  - **Embeddings**: per-replica cyclic rotation of the 64 components —
+  *    norms and all within-replica dot products are preserved exactly
+  *    (rotation is orthogonal), cross-replica similarities decorrelate.
+  *  - **Events** keep their timestamps (10× event density, 10× users —
+  *    per-user/session state sizes unchanged, per-window counts 10×: the
+  *    realistic stream growth shape).
+  *
+  * Driver-side scratch tooling (like `tools/check.py`): not part of the
+  * library surface, never touches `/root/testdata` (writes only to the
+  * given output dir). The one `.collect()` pulls the 31-word document
+  * vocabulary — bounded by construction.
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val R = broadcast(spark.range(reps).toDF("__r"))
+    def rep(t: String): DataFrame =
+      spark.read.parquet(s"$base/$t.parquet").crossJoin(R)
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      System.err.println(s"[genscale] wrote $t")
+    }
+
+    // bounded dimension tables: fixed at every scale
+    write(spark.read.parquet(s"$base/region.parquet"), "region")
+    write(spark.read.parquet(s"$base/nation.parquet"), "nation")
+
+    def shifted(c: String, stride: Long) = (col(c) + col("__r") * stride).as(c)
+
+    write(rep("customer").select(
+      shifted("c_custkey", 15000L),
+      format_string("Customer#%09d", col("c_custkey") + col("__r") * 15000L).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
+
+    write(rep("supplier").select(
+      shifted("s_suppkey", 1000L),
+      format_string("Supplier#%09d", col("s_suppkey") + col("__r") * 1000L).as("s_name"),
+      col("s_nationkey"), col("s_acctbal")), "supplier")
+
+    write(rep("part").select(
+      shifted("p_partkey", 20000L),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice")), "part")
+
+    write(rep("orders").select(
+      shifted("o_orderkey", 150000L), shifted("o_custkey", 15000L),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders")
+
+    write(rep("lineitem").select(
+      shifted("l_orderkey", 150000L), shifted("l_partkey", 20000L),
+      shifted("l_suppkey", 1000L),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")), "lineitem")
+
+    write(rep("events").select(
+      shifted("event_id", 100000L), col("ts"), shifted("user_id", 1500L),
+      col("event_type"), col("value"), col("props")), "events")
+
+    // documents: per-replica vocabulary rotation (see scaladoc)
+    val docsBase = spark.read.parquet(s"$base/documents.parquet")
+    val vocab: Array[String] = docsBase
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .orderBy("w").collect().map(_.getString(0))
+    val v = typedLit(vocab.toSeq)
+    val nv = vocab.length
+    val rotated = transform(
+      split(col("text"), " "),
+      w => element_at(v, ((array_position(v, w) - 1 + col("__r")) % nv + 1).cast("int")))
+    val newText = when(col("text").isNull, lit(null).cast("string"))
+      .when(col("__r") === 0, col("text"))
+      .otherwise(concat_ws(" ", rotated))
+    write(rep("documents")
+      .withColumn("__t", newText)
+      .select(
+        shifted("doc_id", 5000L),
+        col("__t").as("text"), col("lang"), col("source"),
+        when(col("__t").isNull, lit(null).cast("long"))
+          .otherwise(length(col("__t")).cast("long")).as("n_chars")), "documents")
+
+    // embeddings: per-replica cyclic component rotation (orthogonal)
+    val dim = 64
+    val rotVec = transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => element_at(col("embedding"),
+        (((i + col("__r")) % dim) + 1).cast("int")))
+    write(rep("embeddings").select(
+      shifted("vec_id", 2000L),
+      when(col("__r") === 0, col("embedding"))
+        .otherwise(rotVec.cast("array<float>")).as("embedding"),
+      col("label")), "embeddings")
+
+    spark.stop()
+  }
+}
