@@ -325,7 +325,8 @@ final class Instance[T](
   def changed(): Boolean = synchronized {
     recentBatch.foreach { r =>
       var merged: Run[T] = r
-      while (stableBatches.nonEmpty && stableBatches.last.count <= 2 * merged.count) {
+      while (stableBatches.nonEmpty &&
+        stableBatches.last.count <= Instance.CompactionFactor * merged.count) {
         val last = stableBatches.last
         stableBatches = stableBatches.init
         // Batches are disjoint: plain union, no distinct needed; logical
@@ -532,6 +533,20 @@ object Instance {
     * materialization amortizes to O(1) per `MaxUnionDepth` merges.
     */
   val MaxUnionDepth = 4
+
+  /** Geometric-compaction factor: fold `recent` into the trailing stable
+    * batch while `last.count <= factor * recent.count`. The reference
+    * adopts 2 (instance.rs:177-187) and so do we — and round 10 MEASURED
+    * it at sf1 (SCALE.md "IVM epoch budget"): factor 2 keeps stable-run
+    * count logarithmic in epochs at the flattest epoch-cost curve;
+    * factor 1 over-compacts (more logical-union folds re-materialize per
+    * [[MaxUnionDepth]], costing extra jobs), factor 4 under-compacts
+    * (longer stable chains make every promotion anti-join wider). Kept
+    * as a system property (`graft.compaction.factor`) so the experiment
+    * is re-runnable; production leaves the default.
+    */
+  val CompactionFactor: Long =
+    sys.props.get("graft.compaction.factor").map(_.toLong).getOrElse(2L)
 
   /** Broadcast budget for the promotion semi-join, against the MEASURED
     * block size of the staged checkpoint (deserialized, i.e. an overestimate

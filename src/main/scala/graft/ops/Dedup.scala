@@ -1259,7 +1259,16 @@ object Dedup {
     val toks = prefixShingleSets(df, textCol, idCol, threshold, n)
       .localCheckpoint(true)
     val cand = prefixCandidates(toks, threshold)
+    // Explicit-parallelism exchange before the verify joins: candidate
+    // rows are ~16 BYTES but cost an array_intersect over full shingle
+    // sets each — AQE's bytes-based coalescing (64 MB advisory) would
+    // collapse this CPU-bound stage to 2-3 tasks at sf1 (measured:
+    // verify 5 s -> 58 s under parallelismFirst=false). An explicit
+    // numPartitions repartition is exempt from AQE coalescing, and the
+    // id_a hash partitioning is reused by the first verify join.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     cand
+      .repartition(par, col("id_a"))
       .join(toks.select(col("id").as("id_a"), col("set").as("__sa")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("set").as("__sb")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -1331,7 +1340,13 @@ object Dedup {
     // the bound (it upper-bounds the true α), so row-filtering before
     // the candidate distinct is lossless. Both ε-guarded: float rounding
     // may only ADMIT borderline candidates, never drop one.
-    post.select(col("g"), col("id").as("id_a"), col("s").as("s_a"), col("p").as("p_a"))
+    // explicit-parallelism exchange for the same reason as the verify
+    // join (see prefixJaccardPairs): posting rows are tiny in bytes but
+    // the hot-key self-join is CPU-bound — don't let bytes-based AQE
+    // coalescing starve it
+    val par = post.sparkSession.sparkContext.defaultParallelism
+    post.repartition(par, col("g"))
+      .select(col("g"), col("id").as("id_a"), col("s").as("s_a"), col("p").as("p_a"))
       .join(post.select(col("g"), col("id").as("id_b"), col("s").as("s_b"), col("p").as("p_b")),
         Seq("g"))
       .filter(col("id_a") < col("id_b") &&
