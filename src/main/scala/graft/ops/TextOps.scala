@@ -413,4 +413,68 @@ object TextOps {
       seen.toArray
     }
   }
+
+  /** Moving-Average Type-Token Ratio (Covington & McFall 2010 — the
+    * length-robust lexical-diversity measure; raw TTR shrinks with
+    * document length, MATTR averages TTR over every fixed-size token
+    * window so long and short documents compare honestly). Exact integer
+    * output: `mattr_ppm = (Σ_w distinct_w) · 10⁶ DIV (window · n_windows)`;
+    * documents shorter than the window take one whole-document window
+    * (`distinct · 10⁶ DIV n`). Token-free documents exit.
+    *
+    * Runs as a COMPILED per-row kernel (the [[wordShinglesScala]]
+    * discipline) with an O(n) sliding multiset — the Column-HOF form
+    * would re-tokenize per window: `slice(ws, i, w)` sits inside the
+    * per-position lambda, so CollapseProject inlines the tokenizer into
+    * it (the measured 3× trap from the prefix-join shingle probe).
+    * One scan, zero shuffles, doc-sized output.
+    */
+  def mattrPerDoc(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val n = toks.length
+        if (n == 0) None
+        else if (n <= window) {
+          val distinct = toks.toSet.size.toLong
+          Some((id, n.toLong, 1L, distinct * 1000000L / n))
+        } else {
+          val counts = new scala.collection.mutable.HashMap[String, Int]
+          var live = 0L
+          var i = 0
+          while (i < window) {
+            val c = counts.getOrElse(toks(i), 0)
+            if (c == 0) live += 1
+            counts.update(toks(i), c + 1)
+            i += 1
+          }
+          var sumDistinct = live
+          while (i < n) {
+            val out = toks(i - window)
+            val co = counts(out)
+            if (co == 1) { counts.remove(out); live -= 1 }
+            else counts.update(out, co - 1)
+            val in = toks(i)
+            val ci = counts.getOrElse(in, 0)
+            if (ci == 0) live += 1
+            counts.update(in, ci + 1)
+            sumDistinct += live
+            i += 1
+          }
+          val nWindows = (n - window + 1).toLong
+          Some((id, n.toLong, nWindows,
+            sumDistinct * 1000000L / (window.toLong * nWindows)))
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_windows", "mattr_ppm")
+  }
 }

@@ -1139,6 +1139,17 @@ object PipelineQueries {
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
 
+  /** Moving-Average Type-Token Ratio per document
+    * ([[graft.ops.TextOps.mattrPerDoc]] — Covington & McFall 2010): the
+    * length-robust lexical-diversity score, exact integer ppm from an
+    * O(n) sliding-multiset compiled kernel (the Column-HOF form would
+    * re-tokenize per window — the measured CollapseProject trap). One
+    * scan, zero shuffles, doc-sized output; DuckDB replays the window
+    * distinct-sum with list slicing.
+    */
+  val textMattr: Q = (spark, dir) =>
+    TextOps.mattrPerDoc(docs(spark, dir), "doc_id", "text", window = 50)
+
   /** Heaps'-law vocabulary growth (V ≈ K·N^β — the sublinear law every
     * natural corpus obeys; β is the tokenizer-sizing and
     * dedup-health diagnostic: β drifting toward 1 means the corpus keeps
@@ -2462,6 +2473,7 @@ object PipelineQueries {
     "eval_bradley_terry" -> evalBradleyTerry,
     "pipeline_dpo" -> pipelineDpo,
     "text_heaps" -> textHeaps,
+    "text_mattr" -> textMattr,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "privacy_generalize" -> privacyGeneralize,
@@ -4441,6 +4453,23 @@ object PipelineQueries {
     "text_lang_eval" ->
       s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "text_mattr" ->
+      // window distinct-sums via 1-based inclusive list slices; all
+      // integer, one trunc division (nonnegative => floor)
+      s"""WITH t AS (
+         |  SELECT doc_id, $wordsSql AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |d AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0)
+         |SELECT doc_id,
+         |  CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN n <= 50 THEN 1 ELSE n - 50 + 1 END AS BIGINT)
+         |    AS n_windows,
+         |  CAST(CASE WHEN n <= 50
+         |    THEN len(list_distinct(ws)) * 1000000 // n
+         |    ELSE list_sum(list_transform(generate_series(0, n - 50),
+         |           i -> len(list_distinct(ws[i + 1 : i + 50])))) * 1000000
+         |         // (50 * (n - 50 + 1)) END AS BIGINT) AS mattr_ppm
+         |FROM d""".stripMargin,
     "text_heaps" ->
       // same dyadic checkpoints, same first-seen-below-t vocabulary
       // counts, same exact-grid OLS for beta

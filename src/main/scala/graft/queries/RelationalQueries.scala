@@ -1598,6 +1598,15 @@ object RelationalQueries {
     graft.ops.Graph.adamicAdar(
       coPurchaseEdges(spark, dir), maxDegree = 64L, topK = 50)
 
+  /** Resource-allocation link prediction over the co-purchase graph
+    * ([[graft.ops.Graph.resourceAllocation]] — `Σ_z 1/deg(z)` with
+    * `2²⁰ DIV d` apex weights, the hub-punishing sibling of
+    * [[graphAdamicAdar]]; pure integer arithmetic, no libm at all).
+    */
+  val graphRa: Q = (spark, dir) =>
+    graft.ops.Graph.resourceAllocation(
+      coPurchaseEdges(spark, dir), maxDegree = 64L, topK = 50)
+
   /** Kaplan–Meier time-to-first-error survival (reliability analysis):
     * per user, days from first activity to first `error` event (the
     * failure), censored at the window end when no error ever occurs. Per
@@ -2370,6 +2379,81 @@ object RelationalQueries {
         date_format(col("__d"), "yyyy-MM-dd").as("peak_day"),
         col("__cusum").as("peak_cusum"),
         col("__days").as("n_days"), col("__tot").as("total_events"))
+  }
+
+  /** Mann–Kendall trend test on daily arrivals per event type (Mann 1945,
+    * Kendall 1975 — the standard nonparametric monotone-trend test; no
+    * distributional assumption, robust to the spikes that wreck OLS
+    * slopes). `S = Σ_{i<j} sgn(x_j − x_i)` is an exact integer over
+    * day pairs; the tie-corrected variance NUMERATOR
+    * `n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)` stays integer; the continuity-
+    * corrected z lands on the 2²⁰ grid through IEEE-exact steps only
+    * (one /18.0, one sqrt, one divide, one ×2²⁰ — identical operand
+    * order in the oracle). Day-pair work is horizon² per type AFTER the
+    * one corpus collapse to daily counts — ~30 days ⇒ ~435 pairs,
+    * scale-free in event volume.
+    */
+  val eventsMannKendall: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val s = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.__d") < col("b.__d"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.__c") - col("a.__c"))).cast("long").as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("__c"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy("event_type")
+      .agg(
+        sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tie"),
+        sum(col("__t")).as("n_days"))
+    s.join(ties, Seq("event_type"))
+      .withColumn("var_num",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - __tie"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var_num"),
+        when(col("var_num") > 0 && col("s_stat") =!= 0,
+          floor((col("s_stat").cast("double") - signum(col("s_stat").cast("double"))) /
+            sqrt(col("var_num").cast("double") / 18.0) * 1048576.0).cast("long"))
+          .otherwise(lit(0L)).as("z_grid"))
+  }
+
+  /** Dyadic-α EWMA level per event type and day — the exponentially
+    * weighted control-chart line next to [[eventsCusum]]'s changepoint
+    * peak: `s_t = s_{t−1} − ⌊s_{t−1}/4⌋ + ⌊x_t·2²⁰/4⌋` (α = 1/4 as
+    * arithmetic shifts on the 2²⁰ grid — the [[eventsDecay]] dyadic
+    * discipline, zero libm, every state an exact long; the oracle
+    * replays the recurrence as a rank-recursive CTE). The corpus
+    * collapses to daily counts in one pass; the fold runs per type over
+    * a HORIZON-sized sorted array (bounded by the day span, not event
+    * volume — the curriculum-histogram contract).
+    */
+  val eventsEwma: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("__d"), col("__c")))).as("__xs"))
+    series
+      .select(col("event_type"), explode(expr(
+        """aggregate(__xs,
+          |  named_struct('prev', CAST(-1 AS BIGINT),
+          |    'ser', CAST(array() AS array<struct<day:date, x:bigint, s:bigint>>)),
+          |  (acc, e) -> named_struct(
+          |    'prev',
+          |    CASE WHEN acc.prev < 0 THEN e.__c * 1048576
+          |         ELSE acc.prev - (acc.prev DIV 4) + ((e.__c * 1048576) DIV 4) END,
+          |    'ser', concat(acc.ser, array(named_struct(
+          |      'day', e.__d, 'x', e.__c,
+          |      's',
+          |      CASE WHEN acc.prev < 0 THEN e.__c * 1048576
+          |           ELSE acc.prev - (acc.prev DIV 4) + ((e.__c * 1048576) DIV 4) END)))),
+          |  acc -> acc.ser)""".stripMargin)).as("__e"))
+      .select(col("event_type"),
+        date_format(col("__e.day"), "yyyy-MM-dd").as("day"),
+        col("__e.x").as("n_events"),
+        col("__e.s").as("ewma_grid"))
   }
 
   /** JSON extraction from the props payload. */
@@ -3927,6 +4011,49 @@ object RelationalQueries {
           .otherwise(lit(null).cast("double")).as("gini"))
   }
 
+  /** 1-D Wasserstein (earth-mover) distance between the fulfilled ('F')
+    * and open ('O') order-value distributions — the transport-cost view
+    * of drift that [[driftKs]]'s sup-norm misses (KS sees the worst
+    * single gap; EMD integrates ALL of it): in one dimension
+    * `EMD = ∫|F_A − F_B| dx = Σ_i |cumA_i·n_B − cumB_i·n_A|·(v_{i+1} −
+    * v_i) / (n_A·n_B)` over the merged cent histogram. The numerator is
+    * exact DECIMAL(38) integer arithmetic; the single closing division is
+    * the reduced-multiple decimal floor (the eval_pass_at_k discipline),
+    * so the 2²⁰-grid result replays bit-for-bit. Both cumulative sums
+    * ride [[graft.ops.Ranks.runningSums]] and the adjacent-value gaps
+    * ride [[graft.ops.Ranks.nextKey]] — the value histogram is corpus-
+    * sized for a continuous column, so neither stage may global-window.
+    */
+  val ordersEmd: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    def hist(status: String, cc: String) =
+      t(spark, dir, "orders")
+        .filter(col("o_orderstatus") === status)
+        .select((dec(col("o_totalprice"), 2) * 100).cast("long").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as(cc))
+    val merged = hist("F", "__ca").join(hist("O", "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .localCheckpoint(true)
+    val cum = graft.ops.Ranks.runningSums(
+      merged, "__v", Seq("__ca" -> "__cuma", "__cb" -> "__cumb"))
+    val adj = graft.ops.Ranks.nextKey(cum, "__v", "__nv")
+    val tot = merged.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    adj
+      .filter(col("__nv").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        ((col("__nv") - col("__v")).cast(d38) *
+          abs(col("__cuma").cast(d38) * col("__nb") -
+            col("__cumb").cast(d38) * col("__na"))).cast(d38).as("__term"))
+      .groupBy("__na", "__nb")
+      .agg(sum(col("__term")).cast(d38).as("__num"))
+      .select(col("__na").as("n_f"), col("__nb").as("n_o"),
+        expr("CAST((__num * 1048576 - pmod(__num * 1048576, __na * __nb))" +
+          " / (__na * __nb) AS BIGINT)").as("emd_cents_grid"))
+  }
+
   /** Schuster periodogram over hourly arrival counts per event type at
     * candidate periods {12 h, 24 h, 168 h}: spectral power
     * `P(T) = (Σ c·cos(2πt/T))² + (Σ c·sin(2πt/T))²` normalized by n² —
@@ -4608,6 +4735,7 @@ object RelationalQueries {
     "ab_cuped" -> abCuped,
     "lineitem_leadtime" -> lineitemLeadtime,
     "orders_gini" -> ordersGini,
+    "orders_emd" -> ordersEmd,
     "events_dispersion" -> eventsDispersion,
     "events_periodogram" -> eventsPeriodogram,
     "basket_lift" -> basketLift,
@@ -4660,8 +4788,11 @@ object RelationalQueries {
     "events_attribution" -> eventsAttribution,
     "events_forecast" -> eventsForecast,
     "events_cusum" -> eventsCusum,
+    "events_mann_kendall" -> eventsMannKendall,
+    "events_ewma" -> eventsEwma,
     "graph_linkpred" -> graphLinkpred,
     "graph_adamic_adar" -> graphAdamicAdar,
+    "graph_ra" -> graphRa,
     "events_survival" -> eventsSurvival,
     "events_twa" -> eventsTwa,
     "events_decompose" -> eventsDecompose,
@@ -5967,6 +6098,33 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN d > fd THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
         |FROM ud JOIN f USING (user_id)
         |GROUP BY d""".stripMargin,
+    "orders_emd" ->
+      // 1-D Wasserstein over the merged cent histogram: cum sums +
+      // LEAD gaps, exact HUGEINT numerator, one trunc division
+      // (nonnegative, so // ≡ the engine's reduced-multiple floor)
+      """WITH pts AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         o_orderstatus AS st
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |h AS (SELECT v,
+        |        CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |        CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |      FROM pts GROUP BY 1),
+        |c AS (SELECT v,
+        |        SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |        SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+        |        LEAD(v) OVER (ORDER BY v) AS nv
+        |      FROM h),
+        |t AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+        |             CAST(SUM(cb) AS HUGEINT) AS nb FROM h),
+        |n AS (SELECT na, nb,
+        |        SUM(CAST(nv - v AS HUGEINT) *
+        |            abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+        |          AS num
+        |      FROM c, t WHERE nv IS NOT NULL GROUP BY na, nb)
+        |SELECT CAST(na AS BIGINT) AS n_f, CAST(nb AS BIGINT) AS n_o,
+        |  CAST((num * 1048576) // (na * nb) AS BIGINT) AS emd_cents_grid
+        |FROM n""".stripMargin,
     "orders_gini" ->
       // the histogram rank-sum identity in HUGEINT: Σ rank·x =
       // Σ_v v·(cumBefore·c + c(c+1)/2); G = (2Σrx − (n+1)Σx)/(nΣx)
@@ -7769,6 +7927,29 @@ object RelationalQueries {
         |          JOIN deg dv ON cand.v = dv.node
         |ORDER BY cand.common_neighbors DESC, cand.u, cand.v
         |LIMIT 50""".stripMargin,
+    "graph_ra" ->
+      // the same hub-pruned wedge sweep with PURE-INTEGER apex weights
+      // 2²⁰ // d (resource allocation — no libm anywhere)
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b2.p AS v
+        |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |nb AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |ap AS (SELECT nb.node, nb.nbr, CAST(1048576 // deg.d AS BIGINT) AS w
+        |       FROM nb JOIN deg ON nb.node = deg.node
+        |       WHERE deg.d <= 64 AND deg.d >= 2),
+        |cn AS (SELECT a.nbr AS u, b2.nbr AS v,
+        |         count(*) AS common_neighbors,
+        |         CAST(SUM(a.w) AS BIGINT) AS ra_grid
+        |       FROM ap a JOIN ap b2 ON a.node = b2.node AND a.nbr < b2.nbr
+        |       GROUP BY 1, 2)
+        |SELECT cn.u, cn.v, cn.common_neighbors, cn.ra_grid
+        |FROM cn LEFT JOIN e ON cn.u = e.u AND cn.v = e.v
+        |WHERE e.u IS NULL
+        |ORDER BY cn.ra_grid DESC, cn.u, cn.v
+        |LIMIT 50""".stripMargin,
     "graph_adamic_adar" ->
       // the same hub-pruned wedge sweep with per-apex grid weights
       // ⌊2²⁰/ln d⌋; pair scores are exact integer sums
@@ -7846,6 +8027,50 @@ object RelationalQueries {
         |  (CAST(SUM(abs(act - fc)) AS BIGINT) * 1000) // count(*) AS mae_milli
         |FROM j CROSS JOIN b WHERE d >= dmin + 7 AND d <= dmax
         |GROUP BY 1""".stripMargin,
+    "events_mann_kendall" ->
+      // exact integer S over day pairs, tie-corrected variance numerator,
+      // continuity-corrected z through the identical IEEE op order
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |s AS (SELECT a.event_type,
+        |        CAST(SUM(sign(b.c - a.c)) AS BIGINT) AS s_stat
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND a.d < b.d GROUP BY 1),
+        |ties AS (SELECT event_type,
+        |           CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie,
+        |           CAST(SUM(t) AS BIGINT) AS n_days
+        |         FROM (SELECT event_type, c, count(*) AS t
+        |               FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |m AS (SELECT s.event_type, n_days, s_stat,
+        |        CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie AS BIGINT)
+        |          AS var_num
+        |      FROM s JOIN ties USING (event_type))
+        |SELECT event_type, n_days, s_stat, var_num,
+        |  CASE WHEN var_num > 0 AND s_stat != 0
+        |    THEN CAST(floor((CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE)))
+        |      / sqrt(CAST(var_num AS DOUBLE) / 18.0) * 1048576.0) AS BIGINT)
+        |    ELSE 0 END AS z_grid
+        |FROM m""".stripMargin,
+    "events_ewma" ->
+      // the dyadic recurrence s' = s − s//4 + (x·2²⁰)//4 replayed as a
+      // rank-recursive CTE (all operands nonnegative: // ≡ DIV)
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, d, c,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |          AS INT) AS rn
+        |      FROM daily),
+        |f AS (
+        |  SELECT event_type, d, c, rn, CAST(c * 1048576 AS BIGINT) AS s
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.d, r.c, r.rn,
+        |    CAST(f.s - f.s // 4 + (r.c * 1048576) // 4 AS BIGINT)
+        |  FROM f JOIN r ON r.event_type = f.event_type AND r.rn = f.rn + 1)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(c AS BIGINT) AS n_events, s AS ewma_grid
+        |FROM f""".stripMargin,
     "events_cusum" ->
       // dev = D·count − total keeps mean-centering integer; peak by
       // (|cusum| desc, day asc)
