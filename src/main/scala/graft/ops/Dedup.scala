@@ -388,9 +388,6 @@ object Dedup {
       kernel: String => Long,
       bits: Int): DataFrame = {
     requireIntegralId(df, idCol)
-    require(maxHamming <= 3, s"4-chunk pigeonhole blocking is exact only for maxHamming <= 3")
-    val chunkBits = bits / 4
-    val mask = (1L << chunkBits) - 1
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sp = df.sparkSession
     import sp.implicits._
@@ -404,6 +401,23 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, text) => (id, kernel(text)) }
       .toDF("id", "sh")
+    hammingPairs(sh, maxHamming, bits)
+  }
+
+  /** The blocking+verify half of the simhash pairing, reusable for ANY
+    * per-row bit signature (simhash, perceptual dHash, …): 4-chunk
+    * pigeonhole candidate join over a pre-hashed `(id, sh)` frame, exact
+    * popcount verify, id-ordered distinct pairs. Exact for
+    * `maxHamming ≤ 3`: a pair differing in ≤ 3 bits agrees on at least
+    * one of 4 chunks.
+    */
+  private[ops] def hammingPairs(
+      sh: DataFrame,
+      maxHamming: Int,
+      bits: Int): DataFrame = {
+    require(maxHamming <= 3, s"4-chunk pigeonhole blocking is exact only for maxHamming <= 3")
+    val chunkBits = bits / 4
+    val mask = (1L << chunkBits) - 1
     val chunked = sh.select(
       col("id"),
       col("sh"),

@@ -148,6 +148,56 @@ object Multimodal {
         (col("cos_pair") > col("cos_control")).cast("int"))
   }
 
+  /** 60-bit difference hash (dHash — the classic perceptual image hash:
+    * resample to a tiny grid, emit one bit per adjacent-sample
+    * comparison; gradient SIGNS survive re-encoding/resizing where raw
+    * bytes don't). The "resample" here reads 61 evenly spaced payload
+    * bytes (`p_i = ⌊i·n/61⌋` — a real deployment swaps this sampler for
+    * the decoded-pixel grid; the bit construction, blocking and verify
+    * stay identical), bit i = sample_i > sample_{i+1}. 60 bits = 4
+    * pigeonhole chunks of 15, and every step is replayable from the
+    * payload bytes in any engine with `ord`/`substr` — which puts the
+    * whole perceptual-dedup path under the cross-engine gate.
+    *
+    * Sampling is a FIXED stride-4 walk wrapped modulo the payload length
+    * (`p_i = 4i mod n`), not a length-scaled grid: fixed positions keep
+    * similar payload HEADS hashing alike (the property a perceptual hash
+    * exists for), where length-scaled positions shift every sample when
+    * one byte is inserted — measured on the fixture: length-scaled
+    * sampling produced ZERO pairs, the fixed walk pairs the
+    * shared-profile payloads.
+    */
+  def dhash60Scala(content: Array[Byte]): Long = {
+    val n = content.length
+    require(n > 0, "dhash of an empty payload")
+    var h = 0L
+    var i = 0
+    while (i < 60) {
+      val b1 = content((i * 4) % n) & 0xff
+      val b2 = content(((i + 1) * 4) % n) & 0xff
+      if (b1 > b2) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Perceptual near-duplicate pairs over the media payloads: per-row
+    * compiled [[dhash60Scala]] signatures, then the exact 4-chunk
+    * pigeonhole Hamming join shared with the simhash family
+    * ([[Dedup.hammingPairs]] — blocked ≡ brute force for the ≤ 3
+    * radius). Empty payloads exit (no signature). Scale shape: one
+    * compiled signature scan, id+hash-only shuffles, candidates bounded
+    * by signature-bucket sizes.
+    */
+  def dhashPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    val sh = media
+      .filter(r => r.content != null && r.content.nonEmpty)
+      .map(r => (r.media_id, dhash60Scala(r.content)))
+      .toDF("id", "sh")
+    Dedup.hammingPairs(sh, maxHamming, bits = 60)
+  }
+
   /** Frame sampling: one row per sampled frame index, every `stride`-th
     * frame of each medium (frame counts from the decode stub). A map-side
     * generator — the fan-out step before per-frame decode/embedding in a

@@ -1128,6 +1128,42 @@ object PipelineQueries {
       .groupBy(col("content_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
 
+  /** Perceptual near-duplicate pairs over the media payloads
+    * ([[graft.ops.Multimodal.dhashPairs]] — 60-bit dHash from 61 evenly
+    * sampled payload bytes, then the simhash family's exact 4-chunk
+    * pigeonhole Hamming join). The byte sampler stands in for a decoded
+    * pixel grid (stub discipline); every step replays from the payload
+    * in SQL, so unlike the digest dedup ([[multimodalDedup]]) this
+    * catches SIMILAR payloads, not only identical ones, under a full
+    * hash gate.
+    */
+  val multimodalDhash: Q = (spark, dir) =>
+    Multimodal.dhashPairs(Multimodal.mediaFromDocuments(spark, dir), maxHamming = 3)
+
+  /** Simpson lexical-diversity index per document (1 − Σ nᵢ(nᵢ−1) /
+    * (N(N−1)) — the probability two random tokens differ; the
+    * repeated-token sibling of [[textMattr]]'s windowed view): exact
+    * integer ppm via one (doc, word) count aggregate, single-token
+    * documents exit (the index needs N ≥ 2). Two shuffles, both on
+    * (doc, word) / doc keys — never wider than the tokenized corpus.
+    */
+  val textSimpson: Q = (spark, dir) => {
+    val words = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("__w"))
+    words.groupBy("doc_id", "__w").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("__c * (__c - 1)")).as("__rep"))
+      .filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1000000L) -
+          expr("(__rep * 1000000) DIV (n_tokens * (n_tokens - 1))"))
+          .as("simpson_ppm"))
+  }
+
   /** Language-ID evaluation: the confusion matrix of the n-gram-heuristic
     * classifier against the table's labeled `lang` — the model-eval table
     * every classifier upgrade is judged on (per-cell exact counts; derive
@@ -2474,6 +2510,7 @@ object PipelineQueries {
     "pipeline_dpo" -> pipelineDpo,
     "text_heaps" -> textHeaps,
     "text_mattr" -> textMattr,
+    "text_simpson" -> textSimpson,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "privacy_generalize" -> privacyGeneralize,
@@ -2600,6 +2637,7 @@ object PipelineQueries {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_alignment" -> multimodalAlignment,
     "multimodal_dedup" -> multimodalDedup,
+    "multimodal_dhash" -> multimodalDhash,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize
@@ -4453,6 +4491,38 @@ object PipelineQueries {
     "text_lang_eval" ->
       s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "multimodal_dhash" ->
+      // the stride-4 wraparound byte dHash replayed with ord/substr (payload =
+      // UTF-8 text, ascii-only fixture), then brute-force all-pairs
+      // Hamming — blocked ≡ brute for the ≤3 radius (simhash argument)
+      """WITH d AS (
+        |  SELECT doc_id AS id, text, length(text) AS n
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |h AS (SELECT id,
+        |        CAST(list_sum(list_transform(range(60), i ->
+        |          CASE WHEN ord(substr(text, CAST((i * 4) % n AS INT) + 1, 1))
+        |                  > ord(substr(text, CAST(((i + 1) * 4) % n AS INT) + 1, 1))
+        |               THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+        |      FROM d)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    "text_simpson" ->
+      // exact (doc, word) counts; one integer division per doc
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($wordsSql) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |        count(*) AS n_distinct,
+         |        CAST(SUM(c * (c - 1)) AS BIGINT) AS rep
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  CAST(1000000 - (rep * 1000000) // (n_tokens * (n_tokens - 1))
+         |    AS BIGINT) AS simpson_ppm
+         |FROM a WHERE n_tokens >= 2""".stripMargin,
     "text_mattr" ->
       // window distinct-sums via 1-based inclusive list slices; all
       // integer, one trunc division (nonnegative => floor)

@@ -2081,6 +2081,54 @@ object RelationalQueries {
       convType = "purchase",
       channels = Seq("click", "view", "signup", "error"), iterations = 12)
 
+  /** First-order Markov conditional entropy of the event stream, per
+    * source state: how predictable is the NEXT event type given the
+    * current one — the behavioral-predictability profile behind the
+    * attribution chain above (uniform next-steps ⇒ high entropy; a
+    * funnel ⇒ low). Transitions come from the per-user (ts, id)-ordered
+    * lag; each term rides the grid-floored ln of the exact transition
+    * ratio (`⌊ln(c/n)·2²⁰⌋` — the perplexity discipline), weighted by
+    * exact counts, and the per-state entropy closes with one integer
+    * division. Transition-pair-sized after one key-shuffled lag.
+    */
+  val eventsMarkovEntropy: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.eventsDf(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("state"), col("__next"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = trans.groupBy("state").agg(sum(col("__c")).as("n_transitions"))
+    trans.join(totals, Seq("state"))
+      .select(col("state"), col("n_transitions"),
+        (col("__c") * (-floor(log(col("__c").cast("double") /
+          col("n_transitions").cast("double")) * 1048576.0)).cast("long"))
+          .as("__term"))
+      .groupBy("state", "n_transitions")
+      .agg(sum(col("__term")).as("__num"))
+      .select(col("state"), col("n_transitions"),
+        expr("__num DIV n_transitions").as("entropy_grid"))
+  }
+
+  /** Economic order quantity per part (Harris 1913 — the square-root
+    * inventory rule: `EOQ = √(2DS/H)` with frozen order cost S = 100 and
+    * holding cost H = 2, so `EOQ = √(100·D)`): demand D is the exact
+    * integer unit sum per part; the single sqrt is IEEE-correctly-
+    * rounded on the identical operand, then floored onto the 2²⁰ grid.
+    * One aggregate, part-sized output — the replenishment sibling of
+    * [[ordersSafetyStock]].
+    */
+  val partsEoq: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("demand"),
+        count(lit(1)).as("n_lines"))
+      .select(col("l_partkey"), col("demand"), col("n_lines"),
+        floor(sqrt((col("demand") * 100L).cast("double")) * 1048576.0)
+          .cast("long").as("eoq_grid"))
+
   /** Builds the markov_attribution oracle: the identical transition
     * construction, then 12 unrolled value-iteration CTE rounds for the
     * base chain and for each channel-removed chain.
@@ -4717,6 +4765,7 @@ object RelationalQueries {
     "label_kappa" -> labelKappa,
     "label_alpha" -> labelAlpha,
     "label_pref_pairs" -> labelPrefPairs,
+    "parts_eoq" -> partsEoq,
     "parts_abc" -> partsAbc,
     "events_rfm" -> eventsRfm,
     "basket_pairs" -> basketPairs,
@@ -4789,6 +4838,7 @@ object RelationalQueries {
     "events_forecast" -> eventsForecast,
     "events_cusum" -> eventsCusum,
     "events_mann_kendall" -> eventsMannKendall,
+    "events_markov_entropy" -> eventsMarkovEntropy,
     "events_ewma" -> eventsEwma,
     "graph_linkpred" -> graphLinkpred,
     "graph_adamic_adar" -> graphAdamicAdar,
@@ -8027,6 +8077,37 @@ object RelationalQueries {
         |  (CAST(SUM(abs(act - fc)) AS BIGINT) * 1000) // count(*) AS mae_milli
         |FROM j CROSS JOIN b WHERE d >= dmin + 7 AND d <= dmax
         |GROUP BY 1""".stripMargin,
+    "events_markov_entropy" ->
+      // identical (ts,id)-ordered lag, counts, grid-floored ln terms,
+      // one integer division per state
+      """WITH tr AS (
+        |  SELECT event_type AS state,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS nxt
+        |  FROM events),
+        |c AS (SELECT state, nxt, count(*) AS c FROM tr
+        |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT state, CAST(SUM(c) AS BIGINT) AS n_transitions
+        |      FROM c GROUP BY 1),
+        |m AS (SELECT c.state, t.n_transitions,
+        |        CAST(SUM(c.c * (-CAST(floor(ln(CAST(c.c AS DOUBLE)
+        |          / CAST(t.n_transitions AS DOUBLE)) * 1048576.0) AS BIGINT)))
+        |          AS BIGINT) AS num
+        |      FROM c JOIN t USING (state) GROUP BY 1, 2)
+        |SELECT state, n_transitions,
+        |  CAST(num // n_transitions AS BIGINT) AS entropy_grid
+        |FROM m""".stripMargin,
+    "parts_eoq" ->
+      // exact integer demand, one IEEE sqrt on the identical operand,
+      // 2^20 floor
+      """WITH a AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS demand, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, demand, n_lines,
+        |  CAST(floor(sqrt(CAST(demand * 100 AS DOUBLE)) * 1048576.0) AS BIGINT)
+        |    AS eoq_grid
+        |FROM a""".stripMargin,
     "events_mann_kendall" ->
       // exact integer S over day pairs, tie-corrected variance numerator,
       // continuity-corrected z through the identical IEEE op order
