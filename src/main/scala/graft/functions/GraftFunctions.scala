@@ -36,6 +36,7 @@ object GraftFunctions {
     "graft_redact_pii" -> unary("graft_redact_pii", graft.ops.TextOps.redactPii) _,
     "graft_rolling_hash" -> unary("graft_rolling_hash", graft.ops.TextOps.rollingHash) _,
     "graft_simhash64" -> unary("graft_simhash64", graft.ops.Dedup.simhash64) _,
+    "graft_dhash60" -> unary("graft_dhash60", graft.ops.Multimodal.dhash60) _,
     "graft_stopword_ratio" -> unary("graft_stopword_ratio", graft.ops.TextOps.stopwordRatio) _,
     // the Gopher rule bitmask straight from SQL (mask 0 = pass)
     "graft_quality_mask" -> unary("graft_quality_mask", (t: Column) =>

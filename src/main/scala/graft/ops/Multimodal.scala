@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
@@ -179,6 +179,24 @@ object Multimodal {
       i += 1
     }
     h
+  }
+
+  /** Column form of [[dhash60Scala]] over a STRING payload — the SQL
+    * surface (`graft_dhash60`). Identical bits for ascii payloads (the
+    * kernel reads bytes, `ascii()` reads code points — equal below
+    * 0x80); the compiled kernel remains the hot path for binary media.
+    * Null or empty payloads yield null.
+    */
+  def dhash60(payload: Column): Column = {
+    val n = length(payload)
+    def sample(pos: Column): Column = ascii(payload.substr(pos + 1, lit(1)))
+    val bits = transform(
+      sequence(lit(0), lit(59)),
+      i => when(
+        sample(pmod(i * 4, n)) > sample(pmod((i + 1) * 4, n)),
+        call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L)))
+    when(payload.isNull || n === 0, lit(null).cast("long"))
+      .otherwise(aggregate(bits, lit(0L), (acc, b) => acc + b))
   }
 
   /** Perceptual near-duplicate pairs over the media payloads: per-row

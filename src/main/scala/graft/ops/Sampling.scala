@@ -661,4 +661,49 @@ object Sampling {
       .filter(col("cum_cost") <= col("__quota"))
       .select(df.columns.map(col).toIndexedSeq :+ col("cum_cost"): _*)
   }
+
+  /** Neyman optimal allocation (Neyman 1934 — the textbook answer to
+    * "how many samples per stratum": `n_h ∝ N_h·σ_h`, which minimizes
+    * the estimator variance at a fixed total budget; proportional
+    * allocation over-samples homogeneous strata). The per-stratum weight
+    * `N_h·σ_h = √(N_h·Σx² − (Σx)²)` comes straight off the exact-long
+    * sufficient statistics (one IEEE sqrt, floored onto the 2²⁰ grid),
+    * and the integer allocation is exact LARGEST-REMAINDER rounding: base
+    * shares by integer division, the `budget − Σbase` leftover units go
+    * to the largest remainders (ties to the smaller stratum name) — so
+    * `Σ alloc = budget` EXACTLY, deterministically, engine-replayable.
+    *
+    * Scale shape: one sufficient-statistics aggregate over the corpus;
+    * everything after is strata-sized (the ordering window runs over
+    * #strata rows — the bounded-window contract).
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      value: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val stats = df
+      .filter(value.isNotNull)
+      .select(col(stratumCol).as("stratum"), value.cast("long").as("__x"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_stratum"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__s2"))
+      .select(col("stratum"), col("n_stratum"),
+        floor(sqrt(expr("n_stratum * __s2 - __s * __s").cast("double"))
+          * 1048576.0).cast("long").as("w_grid"))
+    val tot = stats.agg(sum(col("w_grid")).as("__wt"),
+      count(lit(1)).as("__k"))
+    val based = stats.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_stratum"), col("w_grid"),
+        expr(s"($budget * w_grid) DIV __wt").as("__base"),
+        expr(s"($budget * w_grid) % __wt").as("__rem"))
+    val spare = based.agg((lit(budget) - sum(col("__base"))).as("__spare"))
+    val w = Window.orderBy(col("__rem").desc, col("stratum").asc)
+    based.crossJoin(broadcast(spare))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("stratum"), col("n_stratum"), col("w_grid"),
+        (col("__base") + when(col("__rk") <= col("__spare"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

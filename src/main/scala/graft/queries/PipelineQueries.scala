@@ -1140,6 +1140,58 @@ object PipelineQueries {
   val multimodalDhash: Q = (spark, dir) =>
     Multimodal.dhashPairs(Multimodal.mediaFromDocuments(spark, dir), maxHamming = 3)
 
+  /** Burrows' Delta between sources (Burrows 2002 — the standard
+    * stylometric authorship distance: mean absolute z-score difference of
+    * the top-k word frequencies): per source, word frequencies in exact
+    * integer ppm; per word, the variance NUMERATOR `n·Σf² − (Σf)²` stays
+    * an exact long (the ttest sufficient-statistics discipline), and the
+    * means CANCEL in the pairwise difference, so each term is
+    * `⌊|f₁−f₂|·n·2²⁰ / √var_num⌋` — one exact-long numerator, one IEEE
+    * sqrt, one division, one floor, identical operand order in the
+    * oracle. Zero-variance words (same frequency everywhere) carry no
+    * stylistic signal and exit before the k count. Everything after the
+    * one (source, word) count aggregate is (sources × k)-sized.
+    */
+  val textBurrows: Q = (spark, dir) => {
+    val k = 30
+    val words = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("__w"))
+    val counts = words.groupBy("source", "__w").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val totals = counts.groupBy("source").agg(sum(col("__c")).as("__t"))
+    val top = counts.groupBy("__w").agg(sum(col("__c")).as("__g"))
+      .orderBy(col("__g").desc, col("__w")).limit(k)
+      .select(col("__w"))
+    // dense (source × top-word) frequency grid: absent pairs are f = 0
+    val f = totals.crossJoin(broadcast(top))
+      .join(counts, Seq("source", "__w"), "left")
+      .select(col("source"), col("__w"),
+        expr("coalesce(__c, 0) * 1000000 DIV __t").as("__f"))
+      .localCheckpoint(true)
+    val stats = f.groupBy("__w")
+      .agg(count(lit(1)).as("__n"), sum(col("__f")).as("__sf"),
+        sum(col("__f") * col("__f")).as("__sf2"))
+      .select(col("__w"), col("__n"),
+        expr("__n * __sf2 - __sf * __sf").as("__vn"))
+      .filter(col("__vn") > 0)
+    // explicit renames: f, a, b and stats all descend from one frame, so
+    // alias-qualified references stay ambiguous after the checkpoint
+    val fa = f.select(col("source").as("source_a"), col("__w"), col("__f").as("__fa"))
+    val fb = f.select(col("source").as("source_b"), col("__w"), col("__f").as("__fb"))
+    fa.join(fb, Seq("__w"))
+      .filter(col("source_a") < col("source_b"))
+      .join(stats.select(col("__w"), col("__n"), col("__vn")), Seq("__w"))
+      .select(col("source_a"), col("source_b"),
+        floor((abs(col("__fa") - col("__fb")) * col("__n") * 1048576L)
+          .cast("double") / sqrt(col("__vn").cast("double")))
+          .cast("long").as("__term"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("k_words"), sum(col("__term")).as("__s"))
+      .select(col("source_a"), col("source_b"), col("k_words"),
+        expr("__s DIV k_words").as("delta_grid"))
+  }
+
   /** Simpson lexical-diversity index per document (1 − Σ nᵢ(nᵢ−1) /
     * (N(N−1)) — the probability two random tokens differ; the
     * repeated-token sibling of [[textMattr]]'s windowed view): exact
@@ -2511,6 +2563,7 @@ object PipelineQueries {
     "text_heaps" -> textHeaps,
     "text_mattr" -> textMattr,
     "text_simpson" -> textSimpson,
+    "text_burrows" -> textBurrows,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
     "privacy_generalize" -> privacyGeneralize,
@@ -4509,6 +4562,32 @@ object PipelineQueries {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    "text_burrows" ->
+      // ppm frequency grid over the top-30 words, exact-long variance
+      // numerators, one sqrt+divide per (pair, word) term, identical
+      // operand order; zero-variance words exit before the k count
+      s"""WITH w AS (
+         |  SELECT source, unnest($wordsSql) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+         |tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY 1),
+         |top AS (SELECT w FROM (SELECT w, SUM(c) AS g FROM c GROUP BY 1)
+         |        ORDER BY g DESC, w LIMIT 30),
+         |f AS (SELECT tt.source, top.w,
+         |        CAST(COALESCE(c.c, 0) * 1000000 // tt.t AS BIGINT) AS f
+         |      FROM tt CROSS JOIN top
+         |      LEFT JOIN c ON c.source = tt.source AND c.w = top.w),
+         |st AS (SELECT w, count(*) AS n,
+         |         CAST(count(*) * SUM(f * f) - SUM(f) * SUM(f) AS BIGINT) AS vn
+         |       FROM f GROUP BY 1 HAVING count(*) * SUM(f * f) - SUM(f) * SUM(f) > 0),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        CAST(floor(CAST(abs(a.f - b.f) * st.n * 1048576 AS DOUBLE)
+         |          / sqrt(CAST(st.vn AS DOUBLE))) AS BIGINT) AS term
+         |      FROM f a JOIN f b ON a.w = b.w AND a.source < b.source
+         |      JOIN st ON st.w = a.w)
+         |SELECT source_a, source_b, count(*) AS k_words,
+         |  CAST(SUM(term) // count(*) AS BIGINT) AS delta_grid
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "text_simpson" ->
       // exact (doc, word) counts; one integer division per doc
       s"""WITH w AS (

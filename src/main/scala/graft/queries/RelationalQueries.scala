@@ -2111,6 +2111,21 @@ object RelationalQueries {
         expr("__num DIV n_transitions").as("entropy_grid"))
   }
 
+  /** Neyman optimal allocation of a 1000-sample survey budget across
+    * market segments by account-balance variability
+    * ([[graft.ops.Sampling.neymanAllocation]] — `n_h ∝ N_h·σ_h` with
+    * exact largest-remainder rounding so the allocations sum to the
+    * budget EXACTLY): the design-of-experiments front door to the
+    * sampling family — first decide how many per stratum (here), then
+    * draw them deterministically ([[graft.ops.Sampling.exactKPerGroup]]).
+    * Balances ride exact cent longs; one corpus aggregate, strata-sized
+    * after.
+    */
+  val sampleNeyman: Q = (spark, dir) =>
+    graft.ops.Sampling.neymanAllocation(
+      t(spark, dir, "customer"), "c_mktsegment",
+      (dec(col("c_acctbal"), 2) * 100).cast("long"), budget = 1000L)
+
   /** Economic order quantity per part (Harris 1913 — the square-root
     * inventory rule: `EOQ = √(2DS/H)` with frozen order cost S = 100 and
     * holding cost H = 2, so `EOQ = √(100·D)`): demand D is the exact
@@ -4766,6 +4781,7 @@ object RelationalQueries {
     "label_alpha" -> labelAlpha,
     "label_pref_pairs" -> labelPrefPairs,
     "parts_eoq" -> partsEoq,
+    "sample_neyman" -> sampleNeyman,
     "parts_abc" -> partsAbc,
     "events_rfm" -> eventsRfm,
     "basket_pairs" -> basketPairs,
@@ -8097,6 +8113,34 @@ object RelationalQueries {
         |SELECT state, n_transitions,
         |  CAST(num // n_transitions AS BIGINT) AS entropy_grid
         |FROM m""".stripMargin,
+    "sample_neyman" ->
+      // exact-long sufficient stats, one sqrt onto the 2^20 grid, exact
+      // largest-remainder rounding (ties to the smaller stratum name)
+      """WITH s AS (
+        |  SELECT c_mktsegment AS stratum,
+        |    count(*) AS n_stratum,
+        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sx2
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+        |w AS (SELECT stratum, n_stratum,
+        |        CAST(floor(sqrt(CAST(n_stratum * sx2 - sx * sx AS DOUBLE))
+        |          * 1048576.0) AS BIGINT) AS w_grid
+        |      FROM s),
+        |t AS (SELECT CAST(SUM(w_grid) AS BIGINT) AS wt FROM w),
+        |b AS (SELECT stratum, n_stratum, w_grid,
+        |        CAST((1000 * w_grid) // t.wt AS BIGINT) AS base,
+        |        CAST((1000 * w_grid) % t.wt AS BIGINT) AS rem
+        |      FROM w, t),
+        |sp AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS spare FROM b),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, stratum ASC)
+        |        AS rk FROM b)
+        |SELECT stratum, n_stratum, w_grid,
+        |  CAST(base + CASE WHEN rk <= sp.spare THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r, sp""".stripMargin,
     "parts_eoq" ->
       // exact integer demand, one IEEE sqrt on the identical operand,
       // 2^20 floor
