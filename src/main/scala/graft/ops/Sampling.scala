@@ -692,12 +692,17 @@ object Sampling {
       .select(col("stratum"), col("n_stratum"),
         floor(sqrt(expr("n_stratum * __s2 - __s * __s").cast("double"))
           * 1048576.0).cast("long").as("w_grid"))
+      // strata-sized, but its lineage is the corpus aggregate and THREE
+      // consumers follow (totals, bases, spare) — pin one evaluation or
+      // the sufficient-statistics scan runs three times (plan-audited)
+      .localCheckpoint(true)
     val tot = stats.agg(sum(col("w_grid")).as("__wt"),
       count(lit(1)).as("__k"))
     val based = stats.crossJoin(broadcast(tot))
       .select(col("stratum"), col("n_stratum"), col("w_grid"),
         expr(s"($budget * w_grid) DIV __wt").as("__base"),
         expr(s"($budget * w_grid) % __wt").as("__rem"))
+      .localCheckpoint(true)
     val spare = based.agg((lit(budget) - sum(col("__base"))).as("__spare"))
     val w = Window.orderBy(col("__rem").desc, col("stratum").asc)
     based.crossJoin(broadcast(spare))

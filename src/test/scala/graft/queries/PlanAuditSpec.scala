@@ -999,4 +999,44 @@ class PlanAuditSpec extends AnyFunSuite {
       "the bigram aggregate must be pinned, not recomputed per consumer\n" + p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  // ------------------------------------------------------- waves 31-33
+
+  test("text_mattr: one compiled scan, zero exchanges") {
+    val p = plan("text_mattr")
+    assert(!p.contains("Exchange"), s"the sliding kernel must not shuffle:\n$p")
+  }
+
+  test("orders_emd: prefix sums and gaps stay range-partitioned — no global single-task window") {
+    val p = plan("orders_emd")
+    assert(p.contains("Exchange rangepartitioning"),
+      "Ranks must range-shuffle the merged histogram\n" + p)
+    // every Window in the plan is either partition-local (__pid) or over
+    // the partitions-sized offsets frame; the corpus-sized global form
+    // is the WindowAuditSpec contract, pinned there by measurement
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_ra: wedge sweep joins stay equi; top-k is TakeOrdered") {
+    val p = plan("graph_ra")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "the cut must not global-sort\n" + p)
+  }
+
+  test("multimodal_dhash: compiled signature scan; candidate join is an equi-join on (chunk, bits)") {
+    val p = plan("multimodal_dhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_mann_kendall: the day-pair sweep runs over the pinned daily rollup, not the corpus") {
+    val p = plan("events_mann_kendall")
+    assert(!p.contains("FileScan"),
+      "day pairs must join the pinned day×type table, not re-scan events\n" + p)
+  }
+
+  test("sample_neyman: one corpus aggregate; the remainder window is strata-sized") {
+    val p = plan("sample_neyman")
+    assert(count(p, "FileScan") <= 1, s"one sufficient-statistics scan only:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
