@@ -414,6 +414,30 @@ object PipelineQueries {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10, bits = 4)
   }
 
+  /** Recall@10 of the LSH index against exact brute force — the
+    * index-quality report every ANN deployment watches, computed
+    * ENTIRELY under the hash gate: both sides are already replayable
+    * (brute = the knn_brute cosine ranking; LSH = the knn_lsh
+    * hyperplane-literal buckets), so the per-query hit count is
+    * cross-engine EXACT, not an acceptance verdict. One bucket join +
+    * one k-row-per-query broadcast join; query-sized output.
+    */
+  val knnLshRecall: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 10, bits = 4)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("q_id"), col("n_id"))
+      .join(lsh, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("q_id"), col("n_true"), col("n_hit"),
+        expr("(n_hit * 1000000) DIV n_true").as("recall_ppm"))
+  }
+
   /** IVF+PQ composite ANN ([[graft.ops.Similarity.ivfPqTopK]] — the FAISS
     * IVFPQ shape): coarse cells route each query to 3 of 8 cells, PQ
     * asymmetric distance scores the candidates from their 8-subspace
@@ -2645,6 +2669,7 @@ object PipelineQueries {
     "audience_lookalike" -> audienceLookalike,
     "embedding_outliers" -> embeddingOutliers,
     "knn_lsh" -> knnLsh,
+    "knn_lsh_recall" -> knnLshRecall,
     "knn_ivf" -> knnIvf,
     "knn_ivfpq" -> knnIvfPq,
     "embedding_kmeans" -> embeddingKmeans,
@@ -5615,6 +5640,39 @@ object PipelineQueries {
          |  SELECT doc_id, fused,
          |    CAST(row_number() OVER (ORDER BY fused DESC, doc_id) AS INTEGER) AS rank FROM f)
          |WHERE rank <= 20""".stripMargin,
+    "knn_lsh_recall" ->
+      // composition of the knn_brute and knn_lsh oracles: both top-10
+      // sets replay exactly, so the intersection count is exact too
+      s"""WITH h AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+         |    ${bucketSql("CAST(embedding AS DOUBLE[])", 4)} AS bucket
+         |  FROM embeddings),
+         |ls AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                 n.vec_id) AS rank
+         |    FROM h n JOIN h q ON n.bucket = q.bucket
+         |    WHERE q.vec_id < 8 AND n.vec_id != q.vec_id)
+         |  WHERE rank <= 10),
+         |br AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                 n.vec_id) AS rank
+         |    FROM h n, h q
+         |    WHERE q.vec_id < 8 AND n.vec_id != q.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT br.q_id, count(*) AS n_true,
+         |  CAST(SUM(CASE WHEN ls.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST((SUM(CASE WHEN ls.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS recall_ppm
+         |FROM br LEFT JOIN ls ON br.q_id = ls.q_id AND br.n_id = ls.n_id
+         |GROUP BY br.q_id""".stripMargin,
     "knn_lsh" ->
       s"""WITH h AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -2111,6 +2111,76 @@ object RelationalQueries {
         expr("__num DIV n_transitions").as("entropy_grid"))
   }
 
+  /** Duplicate-payment screen (the classic audit query): order pairs from
+    * the SAME customer within 7 days whose amounts agree within 25 % —
+    * double-billing, double-submission, or replayed batches (exact-amount
+    * duplicates are screened by [[tableFkOrphans]]' sibling checks; real
+    * fraud screens use a tolerance because fees/taxes perturb the
+    * resubmission). Candidates form by the interval-bucket decomposition
+    * ([[rangeBands]]' discipline): each order probes its own and the next
+    * 7-day bucket, so the join is EQUI on (customer, bucket) — never a
+    * per-customer cross product — and a |gap| ≤ 7 pair provably lands in
+    * at least one probed bucket; the amount tolerance is an exact integer
+    * residual filter (`|a−b|·4 ≤ min(a,b)`). The brute-force oracle makes
+    * the decomposition's losslessness a checked theorem.
+    */
+  val ordersDupPayments: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (dec(col("o_totalprice"), 2) * 100).cast("long").as("__cents"),
+        to_date(col("o_orderdate")).as("__d"))
+      .withColumn("__wk", expr("datediff(__d, DATE '1990-01-01') DIV 7"))
+    val probes = o.select(col("o_orderkey").as("ka"), col("o_custkey"),
+      col("__cents").as("va"), col("__d").as("da"),
+      explode(array(col("__wk"), col("__wk") + 1)).as("__b"))
+    val build = o.select(col("o_orderkey").as("kb"), col("o_custkey"),
+      col("__cents").as("vb"), col("__d").as("db"), col("__wk").as("__b"))
+    probes.join(build, Seq("o_custkey", "__b"))
+      .filter(col("ka") =!= col("kb") &&
+        abs(datediff(col("db"), col("da"))) <= 7 &&
+        abs(col("va") - col("vb")) * 4 <= least(col("va"), col("vb")))
+      .select(col("o_custkey"),
+        least(col("ka"), col("kb")).as("order_a"),
+        greatest(col("ka"), col("kb")).as("order_b"),
+        least(col("va"), col("vb")).as("amount_lo_cents"),
+        greatest(col("va"), col("vb")).as("amount_hi_cents"),
+        abs(datediff(col("db"), col("da"))).as("day_gap"))
+      .dropDuplicates("order_a", "order_b")
+  }
+
+  /** Referential-integrity audit across every foreign key of the star
+    * schema: child-row and ORPHAN counts per relationship (rows whose FK
+    * has no parent) — the data-quality gate a warehouse load runs before
+    * anything downstream trusts a join. Each relationship is one
+    * broadcast-able anti-join against its (dimension-sized) parent key
+    * set; the fixture is FK-clean, so the zeros are the assertion.
+    */
+  val tableFkOrphans: Q = (spark, dir) => {
+    def audit(fk: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).as("__k"))
+      val orphans = c.join(
+        parent.select(col(pkey).as("__k")).distinct(), Seq("__k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(fk).as("fk"), col("n_child"), col("n_orphans"))
+    }
+    val li = t(spark, dir, "lineitem")
+    Seq(
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey", t(spark, dir, "orders"), "o_orderkey"),
+      audit("lineitem.l_partkey->part", li, "l_partkey", t(spark, dir, "part"), "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", li, "l_suppkey", t(spark, dir, "supplier"), "s_suppkey"),
+      audit("orders.o_custkey->customer", t(spark, dir, "orders"), "o_custkey",
+        t(spark, dir, "customer"), "c_custkey"),
+      audit("customer.c_nationkey->nation", t(spark, dir, "customer"), "c_nationkey",
+        t(spark, dir, "nation"), "n_nationkey"),
+      audit("supplier.s_nationkey->nation", t(spark, dir, "supplier"), "s_nationkey",
+        t(spark, dir, "nation"), "n_nationkey"),
+      audit("nation.n_regionkey->region", t(spark, dir, "nation"), "n_regionkey",
+        t(spark, dir, "region"), "r_regionkey"))
+      .reduce(_ unionByName _)
+  }
+
   /** Neyman optimal allocation of a 1000-sample survey budget across
     * market segments by account-balance variability
     * ([[graft.ops.Sampling.neymanAllocation]] — `n_h ∝ N_h·σ_h` with
@@ -4782,6 +4852,8 @@ object RelationalQueries {
     "label_pref_pairs" -> labelPrefPairs,
     "parts_eoq" -> partsEoq,
     "sample_neyman" -> sampleNeyman,
+    "orders_dup_payments" -> ordersDupPayments,
+    "table_fk_orphans" -> tableFkOrphans,
     "parts_abc" -> partsAbc,
     "events_rfm" -> eventsRfm,
     "basket_pairs" -> basketPairs,
@@ -8113,6 +8185,52 @@ object RelationalQueries {
         |SELECT state, n_transitions,
         |  CAST(num // n_transitions AS BIGINT) AS entropy_grid
         |FROM m""".stripMargin,
+    "orders_dup_payments" ->
+      // plain brute-force pair scan: equality proves the engine's
+      // week-bucket decomposition lossless
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+        |  least(a.cents, b.cents) AS amount_lo_cents,
+        |  greatest(a.cents, b.cents) AS amount_hi_cents,
+        |  CAST(abs(date_diff('day', a.d, b.d)) AS INTEGER) AS day_gap
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |WHERE abs(date_diff('day', a.d, b.d)) <= 7
+        |  AND abs(a.cents - b.cents) * 4 <= least(a.cents, b.cents)""".stripMargin,
+    "table_fk_orphans" ->
+      // one NOT-IN audit per relationship; the zeros ARE the assertion
+      """SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_child,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphans
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part', count(*),
+        |  CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier', count(*),
+        |  CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', count(*),
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation', count(*),
+        |  CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation', count(*),
+        |  CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region', count(*),
+        |  CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "sample_neyman" ->
       // exact-long sufficient stats, one sqrt onto the 2^20 grid, exact
       // largest-remainder rounding (ties to the smaller stratum name)

@@ -1039,4 +1039,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "FileScan") <= 1, s"one sufficient-statistics scan only:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("orders_dup_payments: the pair join is EQUI on (customer, bucket) — no per-customer cross product") {
+    val p = plan("orders_dup_payments")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("table_fk_orphans: seven audits, zero cartesian products") {
+    val p = plan("table_fk_orphans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), "orphans must screen via anti-join\n" + p)
+  }
 }
