@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Error bounds for the sketch-based queries (`approx_parts`,
-  * `approx_quantiles`) — the constant-memory 100 TB companions of the exact
-  * aggregates. Sketch internals are engine-specific, so these are spec
-  * gates, not oracles: each estimate is bounded against the exact answer.
+  * `approx_quantiles`, `sketch_rollup`) — the constant-memory 100 TB
+  * companions of the exact aggregates. Since round 10 the queries are
+  * ALSO hash-gated via acceptance verdicts (exact side + error-contract
+  * booleans the oracle asserts TRUE); these specs pin the underlying
+  * bounds independently, at tighter tolerances than the gate's.
   */
 class SketchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
