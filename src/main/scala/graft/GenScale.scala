@@ -67,37 +67,59 @@ object GenScale {
     write(spark.read.parquet(s"$base/region.parquet"), "region")
     write(spark.read.parquet(s"$base/nation.parquet"), "nation")
 
+    // Strides are DERIVED from the base's actual key ranges, not assumed:
+    // stride = max - min + 1 makes replica key ranges contiguous and
+    // non-overlapping for ANY base dir (for the driver's 1-based dense
+    // keys this reproduces the table size exactly), so FK integrity and
+    // the dense-key / no-cross-replica-join properties the SCALE.md
+    // exponents depend on hold even when the base is not sf0.1. One tiny
+    // (min, max) aggregate per key domain, computed once.
+    def stride(t: String, c: String): Long = {
+      val r = spark.read.parquet(s"$base/$t.parquet")
+        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+      require(!r.isNullAt(0), s"$t.$c: empty key domain")
+      r.getLong(1) - r.getLong(0) + 1L
+    }
+    val custS = stride("customer", "c_custkey")
+    val suppS = stride("supplier", "s_suppkey")
+    val partS = stride("part", "p_partkey")
+    val ordS = stride("orders", "o_orderkey")
+    val evS = stride("events", "event_id")
+    val userS = stride("events", "user_id")
+    val docS = stride("documents", "doc_id")
+    val vecS = stride("embeddings", "vec_id")
+
     def shifted(c: String, stride: Long) = (col(c) + col("__r") * stride).as(c)
 
     write(rep("customer").select(
-      shifted("c_custkey", 15000L),
-      format_string("Customer#%09d", col("c_custkey") + col("__r") * 15000L).as("c_name"),
+      shifted("c_custkey", custS),
+      format_string("Customer#%09d", col("c_custkey") + col("__r") * custS).as("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
 
     write(rep("supplier").select(
-      shifted("s_suppkey", 1000L),
-      format_string("Supplier#%09d", col("s_suppkey") + col("__r") * 1000L).as("s_name"),
+      shifted("s_suppkey", suppS),
+      format_string("Supplier#%09d", col("s_suppkey") + col("__r") * suppS).as("s_name"),
       col("s_nationkey"), col("s_acctbal")), "supplier")
 
     write(rep("part").select(
-      shifted("p_partkey", 20000L),
+      shifted("p_partkey", partS),
       col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
       col("p_retailprice")), "part")
 
     write(rep("orders").select(
-      shifted("o_orderkey", 150000L), shifted("o_custkey", 15000L),
+      shifted("o_orderkey", ordS), shifted("o_custkey", custS),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")), "orders")
 
     write(rep("lineitem").select(
-      shifted("l_orderkey", 150000L), shifted("l_partkey", 20000L),
-      shifted("l_suppkey", 1000L),
+      shifted("l_orderkey", ordS), shifted("l_partkey", partS),
+      shifted("l_suppkey", suppS),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate")), "lineitem")
 
     write(rep("events").select(
-      shifted("event_id", 100000L), col("ts"), shifted("user_id", 1500L),
+      shifted("event_id", evS), col("ts"), shifted("user_id", userS),
       col("event_type"), col("value"), col("props")), "events")
 
     // documents: per-replica vocabulary rotation (see scaladoc)
@@ -118,7 +140,7 @@ object GenScale {
     write(rep("documents")
       .withColumn("__t", newText)
       .select(
-        shifted("doc_id", 5000L),
+        shifted("doc_id", docS),
         col("__t").as("text"), col("lang"), col("source"),
         when(col("__t").isNull, lit(null).cast("long"))
           .otherwise(length(col("__t")).cast("long")).as("n_chars")), "documents")
@@ -130,7 +152,7 @@ object GenScale {
       i => element_at(col("embedding"),
         (((i + col("__r")) % dim) + 1).cast("int")))
     write(rep("embeddings").select(
-      shifted("vec_id", 2000L),
+      shifted("vec_id", vecS),
       when(col("__r") === 0, col("embedding"))
         .otherwise(rotVec.cast("array<float>")).as("embedding"),
       col("label")), "embeddings")

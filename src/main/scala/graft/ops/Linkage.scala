@@ -21,15 +21,32 @@ import org.apache.spark.sql.functions._
 object Linkage {
 
   /** Persisted frames whose lifetime must extend past the operator call
-    * (the caller consumes them lazily). [[releaseShared]] drains them;
+    * (the caller consumes them lazily), ONE SLOT PER OPERATOR: a repeat
+    * invocation unpersists the previous pin before installing its own, so
+    * a library caller looping over [[sortedNeighborhoodPairs]] holds at
+    * most one cached rank table per operator at any time — never an
+    * unbounded block accumulation. [[releaseShared]] drains the slots;
     * Bench/Verify call it at shutdown alongside the other shared caches.
+    *
+    * The one-slot rule's contract: results of a PREVIOUS call to the same
+    * operator must be fully consumed before the next call, or the earlier
+    * result recomputes its rank stage from lineage (correct, just uncached).
     */
   private val pinned =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Install `df` as operator `slot`'s live pin, releasing the previous
+    * occupant's storage (blocking=false — in-flight consumers of the old
+    * frame fall back to lineage recompute, never to wrong results).
+    */
+  private def pin(slot: String, df: DataFrame): Unit = {
+    val prev = pinned.put(slot, df)
+    if (prev != null && (prev ne df)) prev.unpersist(blocking = false)
+  }
 
   /** Unpersist every frame pinned by operators in this module. */
   def releaseShared(): Unit = {
-    pinned.forEach(df => df.unpersist(blocking = false))
+    pinned.forEach((_, df) => df.unpersist(blocking = false))
     pinned.clear()
   }
 
@@ -173,6 +190,14 @@ object Linkage {
     * Output: (id_a, id_b, dist) with id_a < id_b enforced AFTER the rank
     * pairing (the sort order and the id order may disagree), distance
     * gated by the banded levenshtein exactly as the sibling operators.
+    *
+    * Caching contract: the rank table is persisted (MEMORY_AND_DISK) so
+    * the probe and build sides of the rank join share one evaluation, and
+    * it OUTLIVES this call because the returned frame is lazy. The pin
+    * lives in a per-operator slot — a repeat call releases the previous
+    * call's pin automatically — and long-lived callers should invoke
+    * [[releaseShared]] when done with the results (Bench/Verify do, at
+    * shutdown) to drop the last one.
     */
   def sortedNeighborhoodPairs(
       df: DataFrame,
@@ -221,7 +246,7 @@ object Linkage {
     // registry drained by Bench/Verify at shutdown instead.
     ranked.count()
     ordered.unpersist(blocking = false)
-    pinned.add(ranked)
+    pin("sortedNeighborhoodPairs", ranked)
     val probes = ranked.select(
       col("id").as("ia"), col("name").as("na"),
       explode(sequence(col("__r") + 1, col("__r") + window)).as("__r"))

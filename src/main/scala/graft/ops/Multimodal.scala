@@ -43,6 +43,12 @@ object Multimodal {
 
   /** Build a media table from the documents fixture: text bytes stand in
     * for an image payload (UTF-8 encode), mime/source carried as metadata.
+    *
+    * Parity contract: the dhash gate's DuckDB oracle samples CODE POINTS
+    * (`ord(substr(...))`) while [[dhash60Scala]] samples UTF-8 BYTES —
+    * equal exactly when the fixture text is pure ASCII, which
+    * Wave33Spec's fixture-contract test asserts for sf0.001 and sf0.01
+    * (a non-ASCII fixture fails that test loudly, not the gate quietly).
     */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._

@@ -28,9 +28,18 @@ import org.apache.spark.sql.functions._
 object Ranks {
 
   /** Adds, for each `(valueCol, outCol)` pair, the inclusive running sum
-    * of `valueCol` under `orderBy(keyCol ASC)`. Input should be pinned
-    * (localCheckpoint) by the caller when it is expensive to recompute:
-    * the plan is consumed twice (offsets + main branch).
+    * of `valueCol` under `orderBy(keyCol ASC)`.
+    *
+    * CORRECTNESS PRECONDITION: `df` must be DETERMINISTIC (replayable to
+    * the same rows — parquet scans, exact aggregates thereof). The
+    * range-shuffled plan is consumed twice (offsets branch + main
+    * branch); Spark usually reuses the exchange, but when it does not, a
+    * nondeterministic input could draw DIFFERENT range boundaries per
+    * branch, mis-aligning `__pid` between offsets and rows and silently
+    * corrupting the prefix sums. Inputs containing sampling, rand(), or
+    * floating reductions whose row SET can vary must be pinned
+    * (`localCheckpoint`) by the caller first — for deterministic-but-
+    * expensive inputs pinning remains a performance choice only.
     */
   def runningSums(
       df: DataFrame,

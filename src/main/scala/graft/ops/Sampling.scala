@@ -667,7 +667,12 @@ object Sampling {
     * the estimator variance at a fixed total budget; proportional
     * allocation over-samples homogeneous strata). The per-stratum weight
     * `N_h·σ_h = √(N_h·Σx² − (Σx)²)` comes straight off the exact-long
-    * sufficient statistics (one IEEE sqrt, floored onto the 2²⁰ grid),
+    * sufficient statistics — the variance numerator is assembled in
+    * DECIMAL(38,0) (the eval_pass_at_k discipline), because with cent
+    * values up to ~10⁶ the long product `N_h·Σx²` overflows Int64 past
+    * ~30 k rows/stratum and Spark would wrap SILENTLY under non-ANSI
+    * arithmetic (one IEEE sqrt on the exact value, floored onto the 2²⁰
+    * grid) —
     * and the integer allocation is exact LARGEST-REMAINDER rounding: base
     * shares by integer division, the `budget − Σbase` leftover units go
     * to the largest remainders (ties to the smaller stratum name) — so
@@ -690,8 +695,12 @@ object Sampling {
       .agg(count(lit(1)).as("n_stratum"), sum(col("__x")).as("__s"),
         sum(col("__x") * col("__x")).as("__s2"))
       .select(col("stratum"), col("n_stratum"),
-        floor(sqrt(expr("n_stratum * __s2 - __s * __s").cast("double"))
-          * 1048576.0).cast("long").as("w_grid"))
+        // DECIMAL(38,0) sufficient-statistics product: exact up to 10^38,
+        // vs Int64's 9.2e18 which n*Σx² exceeds at ~30k cent-valued rows
+        floor(sqrt(expr(
+          """(CAST(n_stratum AS DECIMAL(38,0)) * __s2
+            | - CAST(__s AS DECIMAL(38,0)) * __s)""".stripMargin)
+          .cast("double")) * 1048576.0).cast("long").as("w_grid"))
       // strata-sized, but its lineage is the corpus aggregate and THREE
       // consumers follow (totals, bases, spare) — pin one evaluation or
       // the sufficient-statistics scan runs three times (plan-audited)

@@ -8232,8 +8232,11 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "sample_neyman" ->
-      // exact-long sufficient stats, one sqrt onto the 2^20 grid, exact
-      // largest-remainder rounding (ties to the smaller stratum name)
+      // exact sufficient stats with the variance numerator in HUGEINT
+      // (int128 — DuckDB's twin of the Spark side's DECIMAL(38,0); plain
+      // BIGINT overflows at ~30k cent-valued rows/stratum), one sqrt onto
+      // the 2^20 grid, exact largest-remainder rounding (ties to the
+      // smaller stratum name)
       """WITH s AS (
         |  SELECT c_mktsegment AS stratum,
         |    count(*) AS n_stratum,
@@ -8244,7 +8247,8 @@ object RelationalQueries {
         |      AS BIGINT) AS sx2
         |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
         |w AS (SELECT stratum, n_stratum,
-        |        CAST(floor(sqrt(CAST(n_stratum * sx2 - sx * sx AS DOUBLE))
+        |        CAST(floor(sqrt(CAST(CAST(n_stratum AS HUGEINT) * sx2
+        |            - CAST(sx AS HUGEINT) * sx AS DOUBLE))
         |          * 1048576.0) AS BIGINT) AS w_grid
         |      FROM s),
         |t AS (SELECT CAST(SUM(w_grid) AS BIGINT) AS wt FROM w),

@@ -11,19 +11,27 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * and every number must match the registry arithmetic. Whoever adds a
   * query updates the line; this spec makes forgetting impossible.
+  * README.md carries the SAME line (r10 verdict item 6: README's prose
+  * count drifted to a stale 376) and is pinned by the same test — the
+  * two documents cannot drift from the registry or from each other.
   */
 class InventorySpec extends AnyFunSuite {
 
   private val pat =
     """Registry: (\d+) queries [-—] (\d+) oracle-gated \((\d+) static \+ (\d+) run-captured\), (\d+) rows-only\.""".r
 
-  test("SURVEY.md registry line matches SparkEntry") {
+  for (doc <- Seq("SURVEY.md", "README.md"))
+    test(s"$doc registry line matches SparkEntry") {
+      checkDoc(doc)
+    }
+
+  private def checkDoc(doc: String): Unit = {
     val survey = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(doc)),
       "UTF-8")
     val hits = pat.findAllMatchIn(survey).toSeq
     assert(hits.size == 1,
-      s"SURVEY.md must contain exactly one registry line, found ${hits.size}")
+      s"$doc must contain exactly one registry line, found ${hits.size}")
     val m = hits.head
     val (n, g, s, d, r) =
       (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt,
@@ -37,10 +45,10 @@ class InventorySpec extends AnyFunSuite {
     assert(dynamic.subsetOf(queries), s"declared captures without a query: ${dynamic.diff(queries)}")
     assert(static.intersect(dynamic).isEmpty,
       s"oracle both static and run-captured: ${static.intersect(dynamic)}")
-    assert(n == queries.size, s"SURVEY says $n queries, registry has ${queries.size}")
-    assert(s == static.size, s"SURVEY says $s static oracles, registry has ${static.size}")
-    assert(d == dynamic.size, s"SURVEY says $d run-captured oracles, registry has ${dynamic.size}")
-    assert(g == s + d, s"SURVEY gated total $g != $s + $d")
-    assert(r == n - g, s"SURVEY rows-only $r != $n - $g")
+    assert(n == queries.size, s"$doc says $n queries, registry has ${queries.size}")
+    assert(s == static.size, s"$doc says $s static oracles, registry has ${static.size}")
+    assert(d == dynamic.size, s"$doc says $d run-captured oracles, registry has ${dynamic.size}")
+    assert(g == s + d, s"$doc gated total $g != $s + $d")
+    assert(r == n - g, s"$doc rows-only $r != $n - $g")
   }
 }

@@ -62,6 +62,43 @@ class Wave33Spec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("neymanAllocation: no Int64 wrap on large cent-valued strata (DECIMAL(38) path)") {
+    // 60k rows at ~1e6 cents: n*Σx² ≈ 6e16·1e6 = 6e22 ≫ Long.MaxValue
+    // (9.2e18). Pre-fix, non-ANSI long arithmetic wrapped silently →
+    // negative variance → sqrt(NaN) → garbage. The DECIMAL(38,0) path
+    // must produce finite positive weights and a budget-exact allocation.
+    val big = spark.range(60000).select(
+      when(col("id") % 2 === 0, "even").otherwise("odd").as("seg"),
+      (lit(900000L) + (col("id") % 200000L)).as("v"))
+    val out = graft.ops.Sampling.neymanAllocation(big, "seg", col("v"), 1000L)
+      .select("stratum", "w_grid", "alloc").as[(String, Long, Long)].collect()
+    assert(out.length == 2)
+    out.foreach { case (s, w, a) =>
+      assert(w > 0L, s"stratum $s weight must be positive, got $w (overflow?)")
+      assert(a > 0L, s"stratum $s allocation must be positive, got $a")
+    }
+    assert(out.map(_._3).sum == 1000L, "allocations must sum to the budget")
+  }
+
+  test("fixture contract: documents.text is pure ASCII at sf0.001 and sf0.01") {
+    // The multimodal_dhash gate couples the compiled kernel (UTF-8 BYTES)
+    // to its DuckDB oracle (code points via ord/substr); the two agree
+    // exactly when every character is < 0x80 AND byte length == char
+    // length. This test makes that parity contract explicit: if a future
+    // fixture adds non-ASCII text, this fails loudly instead of the gate
+    // mysteriously hash-mismatching.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = spark.read.parquet(s"$d/documents.parquet")
+        .filter(col("text").isNotNull)
+        .filter(
+          length(encode(col("text"), "UTF-8")) =!= length(col("text")) ||
+            col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(bad == 0L, s"$d/documents has $bad non-ASCII texts — the " +
+        "dhash byte/codepoint parity contract no longer holds")
+    }
+  }
+
   test("graft_dhash60 SQL scalar ≡ the compiled kernel on ascii payloads") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("text").isNotNull && length(col("text")) > 0)
