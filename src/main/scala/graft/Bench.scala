@@ -54,6 +54,25 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
     graft.queries.ParityQueries.releaseSessions()
+    // CALIBRATION slot (VERDICT r10 item 1): a fixed registry-independent
+    // CPU-bound probe timed before the queries. Round 10's diffuse 11%
+    // "drift" (245 -> 272 s on 376 common slots) was invisible to the
+    // >1.5x per-slot flag by design, and a back-to-back idle-machine
+    // replay of both commits exonerated the code (r10 was 3% FASTER).
+    // This number makes the machine's speed part of every record: uniform
+    // drift with a matching calibration shift is environment; uniform
+    // drift on a steady calibration is code — no replay needed next time.
+    val calibration: Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 200000000L, 1L, cpus.toInt)
+          .selectExpr("sum(id % 7 + id / 3)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // untimed JIT pass
+      Seq(once(), once(), once()).sorted.apply(1)
+    }
+    System.err.println(f"[bench] calibration slot med $calibration%.3f s")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.findFirstIn(name).nonEmpty) }
       .map { case (name, fn) =>
@@ -128,7 +147,8 @@ object Bench {
         .mkString(""","isolated":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calibration,""" +
+        s""""queries":$qs$iso,"sf":"$sfDir"}"""
     // The full JSON goes to BOTH stdout and a stable file: six rounds of
     // driver-side "parsed": null proved sbt wraps/appends around the stdout
     // line ([success] trailer, tail truncation mid-JSON), so the per-query

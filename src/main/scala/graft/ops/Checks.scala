@@ -610,4 +610,68 @@ object Checks {
               col("__ar") * col("__ar") / (d(col("__nr")) - 1.0)))
           .otherwise(lit(null).cast("double")).as("df_welch"))
   }
+
+  /** Kendall's τ-b per group between two DISCRETE columns (Kendall 1945,
+    * tie-corrected form) via the CONTINGENCY-TABLE reduction — the
+    * rank-correlation sibling of [[spearman]] that counts concordant vs
+    * discordant PAIRS, robust to any monotone rescaling of either axis.
+    *
+    * The naive definition is an O(n²) pair sweep — a scale cliff. When
+    * both variables are discrete with bounded domains (k_x · k_y cells),
+    * every pair statistic is a function of the contingency table alone:
+    * `C = Σ n_ij · Σ_{i'>i, j'>j} n_i'j'` (concordant),
+    * `D = Σ n_ij · Σ_{i'>i, j'<j} n_i'j'` (discordant),
+    * tie terms `n1 = Σ_x t_x(t_x−1)/2`, `n2 = Σ_y u_y(u_y−1)/2`, and
+    * `τ_b = (C−D)/√((n0−n1)(n0−n2))` with `n0 = n(n−1)/2`. One corpus
+    * aggregate builds the cells; everything after is CELL-PAIR work —
+    * O(k²) per group, scale-free in row count. Sufficient statistics ride
+    * DECIMAL(38,0) (`(n0−n1)(n0−n2)` overflows Int64 past n ≈ 3·10⁹ —
+    * the [[Sampling.neymanAllocation]] discipline) and τ_b lands on the
+    * 2²⁰ grid through one IEEE sqrt + one divide on identical operands.
+    *
+    * `xCol`/`yCol` must be integral bucket columns (hour-of-day, fixed
+    * value bins, ordinal grades); the result is EXACT τ-b of the
+    * discretized variables — the discretization is the caller's stated
+    * model, not an approximation knob.
+    */
+  def kendallTauB(
+      df: DataFrame,
+      groupCol: String,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val cells = df
+      .select(col(groupCol).as("g"), xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("g", "x", "y")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // cell-sized; consumed by pairs + both margins
+    val pairStats = cells.as("a")
+      .join(cells.as("b"),
+        col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+      .groupBy(col("a.g").as("g"))
+      .agg(
+        sum(when(col("a.y") < col("b.y"),
+          col("a.c").cast("decimal(38,0)") * col("b.c")).otherwise(lit(0)))
+          .as("c_pairs"),
+        sum(when(col("a.y") > col("b.y"),
+          col("a.c").cast("decimal(38,0)") * col("b.c")).otherwise(lit(0)))
+          .as("d_pairs"))
+    val margins = cells.groupBy("g").agg(sum(col("c")).as("n"))
+    val tx = cells.groupBy("g", "x").agg(sum(col("c")).as("t"))
+      .groupBy("g").agg(expr("sum(t * (t - 1)) DIV 2").as("n1"))
+    val ty = cells.groupBy("g", "y").agg(sum(col("c")).as("u"))
+      .groupBy("g").agg(expr("sum(u * (u - 1)) DIV 2").as("n2"))
+    margins.join(tx, "g").join(ty, "g").join(pairStats, "g")
+      .select(col("g").as(groupCol), col("n"),
+        col("c_pairs").cast("long").as("c_pairs"),
+        col("d_pairs").cast("long").as("d_pairs"),
+        col("n1"), col("n2"),
+        floor(
+          (col("c_pairs") - col("d_pairs")).cast("double") * 1048576.0 /
+            sqrt(expr(
+              """(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - n1)
+                | * (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - n2)"""
+                .stripMargin).cast("double")))
+          .cast("long").as("tau_b_grid"))
+  }
 }

@@ -720,4 +720,31 @@ object Sampling {
         (col("__base") + when(col("__rk") <= col("__spare"), 1L).otherwise(0L))
           .as("alloc"))
   }
+
+  /** Systematic sampling (the survey-methods classic: sort by a key, take
+    * every k-th element from a fixed start — one pass, exact 1/k rate,
+    * and when the sort key is uncorrelated with the measure it behaves
+    * like SRS while guaranteeing even coverage of the key range, which
+    * Bernoulli draws do not). Returns the selected rows plus their
+    * 1-based `rank` in key order; rows whose `(rank − 1) mod k == offset`
+    * survive.
+    *
+    * Deterministic BY KEY, not by partitioning: the rank is the
+    * distributed range-partitioned prefix sum ([[graft.ops.Ranks]] — the
+    * kernel every ECDF/quantile consumer shares), never a single-task
+    * global window, so the same inputs select the same rows at any
+    * parallelism and any scale. `keyCol` must be unique (the Ranks
+    * contract); one range shuffle total.
+    */
+  def systematicSample(
+      df: DataFrame,
+      keyCol: String,
+      k: Int,
+      offset: Int = 0): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(offset >= 0 && offset < k, s"need 0 <= offset < $k, got $offset")
+    Ranks.runningSum(df.withColumn("__one", lit(1L)), keyCol, "__one", "rank")
+      .drop("__one")
+      .filter(pmod(col("rank") - 1, lit(k.toLong)) === offset)
+  }
 }

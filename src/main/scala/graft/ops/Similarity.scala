@@ -1222,6 +1222,23 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame = {
+    val (_, cent, assigned) = kmeansFit(df, idCol, vecCol, k, iters)
+    assigned(cent).select(col("id").as(idCol), col("cluster"), col("dist2"))
+  }
+
+  /** The deterministic k-means fit shared by [[kmeansCodes]] and
+    * [[kmeansSilhouette]]: int8 unit codes, first-k-ids seeding, exact
+    * long d², floor-mean centroid updates — returns the cached code
+    * table, the fitted centroids, and the assignment builder. The
+    * trajectory is bit-replayable (the kmeans oracle unrolls it), so two
+    * callers running the same fit land on identical centroids.
+    */
+  private def kmeansFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): (DataFrame, Array[Array[Long]], Array[Array[Long]] => DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     graft.ops.Dedup.requireIntegralId(df, idCol)
@@ -1273,7 +1290,57 @@ object Similarity {
       sums.foreach { r => next(r.getInt(0)) = r.getSeq[Long](1).toArray }
       cent = next
     }
-    assigned(cent).select(col("id").as(idCol), col("cluster"), col("dist2"))
+    (codes, cent, assigned)
+  }
+
+  /** Simplified (centroid-based) silhouette per k-means cluster
+    * (Rousseeuw 1987's diagnostic in the O(n·k) form production systems
+    * actually run — the O(n²) pairwise original is the scale cliff this
+    * avoids): per point, `a` = d² to its OWN centroid, `b` = min d² to
+    * any OTHER centroid, `s = (b−a)/max(a,b)` on the 2²⁰ grid. With
+    * argmin assignment `a` is the global minimum, so `s ∈ [0, 2²⁰]`:
+    * near 2²⁰ = tight, well-separated cluster; near 0 = the point sits
+    * on a boundary. Both-zero distances (a point equal to two centroids)
+    * define s = 0. All distances are exact longs off the same fit as
+    * [[kmeansCodes]] (shared deterministic trajectory), so per-cluster
+    * means replay verbatim in the unrolled oracle.
+    *
+    * Scale shape: the k-means fit plus ONE more pass over the cached
+    * code table against the k-row centroid literal — no joins, no pairs;
+    * output is k rows.
+    */
+  def kmeansSilhouette(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val (codes, cent, _) = kmeansFit(df, idCol, vecCol, k, iters)
+    val cLit = typedLit(cent.map(_.toSeq).toSeq)
+    codes
+      .withColumn("__d2s", transform(cLit, cv =>
+        aggregate(zip_with(col("x"), cv, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)))
+      .select(
+        col("id"),
+        (array_position(col("__d2s"), array_min(col("__d2s"))) - 1L)
+          .cast("int").as("cluster"),
+        array_min(col("__d2s")).as("__a"),
+        col("__d2s"),
+        array_position(col("__d2s"), array_min(col("__d2s"))).cast("int").as("__p"))
+      .withColumn("__b",
+        array_min(concat(
+          slice(col("__d2s"), lit(1), col("__p") - 1),
+          slice(col("__d2s"), col("__p") + 1, lit(k) - col("__p")))))
+      .withColumn("__s",
+        when(greatest(col("__a"), col("__b")) === 0L, lit(0L))
+          .otherwise(expr("(__b - __a) * 1048576 DIV greatest(__a, __b)")))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s")).as("__sum"))
+      .select(col("cluster"), col("n"),
+        expr("__sum DIV n").as("mean_sil_grid"))
   }
 
   /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point

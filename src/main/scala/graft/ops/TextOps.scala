@@ -477,4 +477,75 @@ object TextOps {
       }
       .toDF(idCol, "n_tokens", "n_windows", "mattr_ppm")
   }
+
+  /** Yule's K per group (Yule 1944 — the classic repeat-rate measure of
+    * lexical richness; unlike TTR/MATTR it is length-INSENSITIVE in
+    * expectation, the property that makes it usable across documents of
+    * wildly different sizes): `K = 10⁴·(Σ_m m²·V_m − N)/N²` where `V_m`
+    * counts types occurring exactly m times and `N` is total tokens.
+    * `Σ m²·V_m = Σ_types count²` comes off the exact (group, word) counts;
+    * the one division lands on the 10⁴·2²⁰ grid with the numerator and
+    * `N²` assembled in DECIMAL(38,0) (the [[Sampling.neymanAllocation]]
+    * overflow discipline — `N²` alone exceeds Int64 past N ≈ 3·10⁹, and
+    * the grid-scaled numerator far earlier).
+    *
+    * Scale shape: one token explode, one (group, word) count, one group
+    * aggregate — the [[Vocab]] family's two-shuffle profile; output is
+    * group-sized. Higher K = more repetitive (boilerplate screens);
+    * groups with N < 2 are excluded (K undefined).
+    */
+  def yuleK(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__m"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__m")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__m") * col("__m")).as("s2"))
+      .filter(col("n_tokens") >= 2)
+      .select(col(groupCol), col("n_tokens"), col("n_types"), col("s2"),
+        expr(
+          """CAST((CAST(10485760000 AS DECIMAL(38,0)) * (s2 - n_tokens))
+            | DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)
+            | AS BIGINT)""".stripMargin).as("yule_k_grid"))
+
+  /** Per-document n-gram NOVELTY against the whole corpus in doc-id order
+    * (the freshness screen a training-data pipeline runs before paying
+    * for a document: how much of it is text the corpus has not already
+    * seen in any EARLIER document): a document's distinct word n-grams
+    * are `novel` when their globally FIRST occurrence (minimum doc id) is
+    * this document. Returns `(id, n_grams, n_novel, novelty_ppm)` with
+    * the exact integer fraction; documents with fewer than n tokens
+    * carry zero grams and are excluded.
+    *
+    * Scale shape: one gram explode with per-doc DISTINCT (map-side), one
+    * gram-keyed min-aggregate (the only corpus shuffle — gram-sized,
+    * exactly [[Dedup.ngramJaccardPairs]]'s posting volume), one count per
+    * doc on each side, one id-keyed join of two doc-sized frames. No
+    * windows, no pairs, no iteration.
+    */
+  def ngramNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    // tokens staged as a multi-consumer attribute (size + slices) so the
+    // regex split runs once per DOC, not once per gram (the lambda-
+    // inlining trap measured in SCALE.md)
+    val grams = df
+      .filter(col(textCol).isNotNull)
+      .withColumn("__ws", tokens(col(textCol)))
+      .select(col(idCol).cast("long").as("__id"),
+        explode(array_distinct(wordNgramsAllOfTokens(col("__ws"), n))).as("__g"))
+    val perDoc = grams.groupBy("__id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("__g").agg(min(col("__id")).as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0) * 1000000 DIV n_grams").as("novelty_ppm"))
+  }
 }

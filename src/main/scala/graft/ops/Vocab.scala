@@ -234,4 +234,53 @@ object Vocab {
                | + 3 * __n_cont_head * __n_cont_tail) * 1000000
                |DIV (4 * __c_head * __ntot)""".stripMargin).as("p_kn_ppm"))
   }
+
+  /** Good–Turing frequency re-estimation (Good 1953 — the smoothing that
+    * answers "how much probability mass belongs to n-grams we have NOT
+    * seen": observed count r is adjusted to `r* = (r+1)·N_{r+1}/N_r`,
+    * where `N_r` counts TYPES seen exactly r times; the singleton mass
+    * `N_1/N` estimates the unseen-mass). Runs over word `n`-grams — the
+    * LM event space the smoothing exists for: unigram counts on a
+    * bounded vocabulary have NO sparse frontier (every word frequent →
+    * zero rows, the hollow-gate trap), while the n-gram space is
+    * combinatorial and its low-count ladder is exactly what GT corrects.
+    * Returns one row per low frequency `r ∈ [1, maxR]` present:
+    * `(r, n_r, n_r_next, rstar_grid)` with `r*` exact on the 2²⁰ grid
+    * (`(r+1)·N_{r+1}·2²⁰ DIV N_r` — pure integer arithmetic, no libm).
+    * `n_r_next` is N_{r+1} via an explicit r+1 self-join (NOT a lead
+    * window: absent frequencies must read as 0, not skip to the next
+    * observed one).
+    *
+    * Scale shape: one gram explode + count (the [[wordCounts]] shuffle
+    * shape), one count-of-counts aggregate (≤ maxR+1 groups after the
+    * map-side filter), then joins over a ≤ maxR+1-row frame. Output is
+    * maxR-sized at any corpus scale; the re-estimate only MEANS anything
+    * for small r (N_r is noisy once sparse), which is why the frontier
+    * is capped.
+    */
+  def goodTuring(df: DataFrame, textCol: String, n: Int = 3, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1, s"need maxR >= 1, got $maxR")
+    require(n >= 1, s"need n >= 1, got $n")
+    // tokens staged as a multi-consumer attribute (size + slices): the
+    // regex split runs once per doc, not once per gram
+    val freqOfFreq = df
+      .filter(col(textCol).isNotNull)
+      .withColumn("__ws", TextOps.tokens(col(textCol)))
+      .select(explode(TextOps.wordNgramsAllOfTokens(col("__ws"), n)).as("__g"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("wfreq"))
+      .filter(col("wfreq") <= maxR + 1)
+      .groupBy(col("wfreq").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(true) // tiny (≤ maxR+1 rows); consumed twice below
+    freqOfFreq
+      .filter(col("r") <= maxR)
+      .join(
+        freqOfFreq.select((col("r") - 1).as("r"), col("n_r").as("n_r_next")),
+        Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        expr("(r + 1) * coalesce(n_r_next, 0) * 1048576 DIV n_r")
+          .as("rstar_grid"))
+  }
 }

@@ -115,6 +115,52 @@ object PipelineQueries {
       .select("doc_id", "source")
   }
 
+  /** The full dedup CASCADE as one funnel report — the stage-by-stage
+    * survivor accounting every production corpus-curation run publishes
+    * (exact → near-dup → perceptual, cheapest first so each stage sees
+    * only the previous stage's survivors): stage 1 exact (md5 digest,
+    * keep min doc_id per text), stage 2 lossless prefix-Jaccard clusters
+    * (≥ 0.8 word-3-gram, [[pipelineExactDedup]]'s chain), stage 3
+    * md5-replayable SimHash (Hamming ≤ 3,
+    * [[graft.ops.Dedup.simhashPairsReplayable]]). One row per stage:
+    * `(stage, docs_in, docs_out, removed)`. Every stage is a kernel the
+    * gate already proves in isolation; the oracle replays the whole
+    * chain — exact digest groups, brute-force Jaccard + recursive-CTE
+    * components, the bit-for-bit SimHash twin — so the COMPOSITION is
+    * hash-gated, not just the parts.
+    *
+    * Scale shape: survivors materialize once per stage (localCheckpoint —
+    * exactly the inter-stage materialization a real pipeline does), each
+    * stage's pair work rides its own audited kernel; the funnel itself is
+    * three 1-row aggregates stacked.
+    */
+  val pipelineDedupCascade: Q = (spark, dir) => {
+    val d0 = docs(spark, dir).toDF()
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text")
+      .localCheckpoint(true)
+    val keep1 = d0.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s1 = d0.join(keep1, "doc_id").localCheckpoint(true)
+    val s2 = Dedup
+      .dedupByClusters(s1, "doc_id",
+        Dedup.prefixJaccardPairs(s1, "text", "doc_id", 0.8, n = 3))
+      .localCheckpoint(true)
+    val s3 = Dedup.dedupByClusters(s2, "doc_id",
+      Dedup.simhashPairsReplayable(s2, "text", "doc_id", maxHamming = 3))
+    d0.agg(count(lit(1)).as("n0"))
+      .crossJoin(s1.agg(count(lit(1)).as("n1")))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .selectExpr(
+        """stack(3,
+          |  'stage1_exact', n0, n1,
+          |  'stage2_prefix_jaccard', n1, n2,
+          |  'stage3_simhash', n2, n3) AS (stage, docs_in, docs_out)"""
+          .stripMargin)
+      .withColumn("removed", col("docs_in") - col("docs_out"))
+  }
+
   /** EXACT word-3-gram-set Jaccard pairs (≥ 0.8) by LOSSLESS prefix
     * filtering ([[graft.ops.Dedup.prefixJaccardPairs]] — the All-Pairs /
     * PPJoin shape): no blocking column, no LSH recall loss, candidates
@@ -481,6 +527,16 @@ object PipelineQueries {
     */
   val embeddingKmeans: Q = (spark, dir) =>
     Similarity.kmeansCodes(emb(spark, dir), "vec_id", "embedding", k = 8, iters = 3)
+
+  /** Per-cluster simplified silhouette over the SAME k-means fit as
+    * [[embeddingKmeans]] ([[graft.ops.Similarity.kmeansSilhouette]] —
+    * `(b−a)/max(a,b)` on the 2²⁰ grid from exact integer d², O(n·k) not
+    * O(n²)): the cluster-quality readout that says whether the k-means
+    * partition is worth serving. The oracle unrolls the identical fit
+    * (the kmeans replay) plus the one extra distance pass.
+    */
+  val embeddingSilhouette: Q = (spark, dir) =>
+    Similarity.kmeansSilhouette(emb(spark, dir), "vec_id", "embedding", k = 8, iters = 3)
 
   /** Int8-quantized top-10 by integer dot product over unit-normalized
     * vectors — fully oracle-checked (integer scores leave no float
@@ -1239,6 +1295,37 @@ object PipelineQueries {
           expr("(__rep * 1000000) DIV (n_tokens * (n_tokens - 1))"))
           .as("simpson_ppm"))
   }
+
+  /** Yule's K repeat-rate per source ([[graft.ops.TextOps.yuleK]] —
+    * the length-insensitive lexical-richness measure next to
+    * [[textSimpson]]'s per-doc concentration and [[textMattr]]'s
+    * windowed TTR: `10⁴·(Σ m²V_m − N)/N²` on the 10⁴·2²⁰ grid, the
+    * sufficient-statistics product in DECIMAL(38,0)/HUGEINT). Higher K =
+    * more repetitive — the source-level boilerplate screen.
+    */
+  val textYuleK: Q = (spark, dir) =>
+    TextOps.yuleK(docs(spark, dir).toDF(), "source", "text")
+
+  /** Good–Turing frequency re-estimation over corpus word TRIGRAMS
+    * ([[graft.ops.Vocab.goodTuring]] — `r* = (r+1)·N_{r+1}/N_r` on the
+    * 2²⁰ grid for r ≤ 10): the smoothing table an n-gram LM builds
+    * before assigning unseen-mass. Trigrams, not unigrams, because the
+    * bounded synthetic vocabulary has no sparse unigram frontier (every
+    * word frequent → zero rows — the hollow-gate trap); the trigram
+    * space is combinatorial and its singleton ladder is GT's whole
+    * subject (~9.4k singleton trigrams at sf0.01).
+    */
+  val vocabGoodTuring: Q = (spark, dir) =>
+    graft.ops.Vocab.goodTuring(docs(spark, dir).toDF(), "text", n = 3, maxR = 10)
+
+  /** Per-document word-3-gram novelty in doc-id order
+    * ([[graft.ops.TextOps.ngramNovelty]] — the fraction of a document's
+    * distinct grams whose globally FIRST occurrence is this document):
+    * the freshness screen before paying to keep a document; near-1 =
+    * genuinely new text, near-0 = the corpus already said this.
+    */
+  val textNovelty: Q = (spark, dir) =>
+    TextOps.ngramNovelty(docs(spark, dir).toDF(), "doc_id", "text", n = 3)
 
   /** Language-ID evaluation: the confusion matrix of the n-gram-heuristic
     * classifier against the table's labeled `lang` — the model-eval table
@@ -2587,6 +2674,9 @@ object PipelineQueries {
     "text_heaps" -> textHeaps,
     "text_mattr" -> textMattr,
     "text_simpson" -> textSimpson,
+    "text_yule_k" -> textYuleK,
+    "vocab_good_turing" -> vocabGoodTuring,
+    "text_novelty" -> textNovelty,
     "text_burrows" -> textBurrows,
     "select_kcenter" -> selectKcenter,
     "privacy_noised" -> privacyNoised,
@@ -2656,6 +2746,7 @@ object PipelineQueries {
     "dedup_winnowing" -> dedupWinnowing,
     "dedup_spans" -> dedupSpans,
     "pipeline_exact_dedup" -> pipelineExactDedup,
+    "pipeline_dedup_cascade" -> pipelineDedupCascade,
     "sample_split_nodup" -> sampleSplitNodup,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
@@ -2673,6 +2764,7 @@ object PipelineQueries {
     "knn_ivf" -> knnIvf,
     "knn_ivfpq" -> knnIvfPq,
     "embedding_kmeans" -> embeddingKmeans,
+    "embedding_silhouette" -> embeddingSilhouette,
     "knn_int8" -> knnInt8,
     "knn_sharded" -> knnSharded,
     "embedding_quantize" -> embeddingQuantize,
@@ -2931,11 +3023,17 @@ object PipelineQueries {
     * (d2, cid)) and floor(sum/n) arithmetic mirror
     * [[graft.ops.Similarity.kmeansCodes]] exactly.
     */
-  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
-    def d2Sql(q: String, c: String) =
-      s"""list_sum(list_transform(range($dim),
-         |          i -> ($q.x[CAST(i+1 AS INT)] - $c.c[CAST(i+1 AS INT)])
-         |             * ($q.x[CAST(i+1 AS INT)] - $c.c[CAST(i+1 AS INT)])))""".stripMargin
+  private def kmeansD2Sql(dim: Int)(q: String, c: String) =
+    s"""list_sum(list_transform(range($dim),
+       |          i -> ($q.x[CAST(i+1 AS INT)] - $c.c[CAST(i+1 AS INT)])
+       |             * ($q.x[CAST(i+1 AS INT)] - $c.c[CAST(i+1 AS INT)])))""".stripMargin
+
+  /** Everything up to and including the fitted-centroid CTE `c<iters>` —
+    * shared by the kmeans oracle and the silhouette oracle so the two
+    * gates replay the IDENTICAL fit.
+    */
+  private def kmeansCtesPrefix(k: Int, iters: Int, dim: Int): String = {
+    val d2Sql = kmeansD2Sql(dim) _
     val sb = new StringBuilder
     sb ++= s"WITH $int8CodesCtesSql,\n"
     sb ++= s"""xs AS (SELECT vec_id, list_transform(q, v -> CAST(v AS BIGINT)) AS x FROM qz),
@@ -2963,16 +3061,49 @@ object PipelineQueries {
                 |  FROM c$i p LEFT JOIN n$i u ON p.cid = u.cluster),
                 |""".stripMargin
     }
-    sb ++= s"""fin AS (
-              |  SELECT vec_id, cluster, d2 FROM (
-              |    SELECT vec_id, cid AS cluster, d2,
-              |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-              |    FROM (
-              |      SELECT q.vec_id, c.cid, ${d2Sql("q", "c")} AS d2
-              |      FROM xs q CROSS JOIN c$iters c))
-              |  WHERE rn = 1)
-              |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM fin""".stripMargin
     sb.toString
+  }
+
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    val d2Sql = kmeansD2Sql(dim) _
+    kmeansCtesPrefix(k, iters, dim) +
+      s"""fin AS (
+         |  SELECT vec_id, cluster, d2 FROM (
+         |    SELECT vec_id, cid AS cluster, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM (
+         |      SELECT q.vec_id, c.cid, ${d2Sql("q", "c")} AS d2
+         |      FROM xs q CROSS JOIN c$iters c))
+         |  WHERE rn = 1)
+         |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM fin""".stripMargin
+  }
+
+  /** The silhouette tail over the same fit: per point, `a` = min d²
+    * (own centroid, first-min cid tie-break), `b` = min d² over the
+    * OTHER centroids, `s = (b−a)·2²⁰ // max(a,b)` (0 when both zero),
+    * aggregated per cluster.
+    */
+  private def kmeansSilhouetteOracle(k: Int, iters: Int, dim: Int): String = {
+    val d2Sql = kmeansD2Sql(dim) _
+    kmeansCtesPrefix(k, iters, dim) +
+      s"""ds AS (SELECT q.vec_id, c.cid, ${d2Sql("q", "c")} AS d2
+         |       FROM xs q CROSS JOIN c$iters c),
+         |own AS (SELECT vec_id, cid AS cluster, d2 AS a FROM (
+         |          SELECT vec_id, cid, d2,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |          FROM ds) WHERE rn = 1),
+         |oth AS (SELECT ds.vec_id, MIN(ds.d2) AS b
+         |        FROM ds JOIN own ON ds.vec_id = own.vec_id
+         |          AND ds.cid != own.cluster
+         |        GROUP BY 1),
+         |sil AS (SELECT own.vec_id, own.cluster,
+         |          CASE WHEN greatest(own.a, oth.b) = 0 THEN 0
+         |               ELSE (oth.b - own.a) * 1048576 // greatest(own.a, oth.b)
+         |          END AS sg
+         |        FROM own JOIN oth ON own.vec_id = oth.vec_id)
+         |SELECT cluster, count(*) AS n,
+         |  CAST(SUM(sg) // count(*) AS BIGINT) AS mean_sil_grid
+         |FROM sil GROUP BY 1""".stripMargin
   }
 
   /** The deterministic hyperplanes as DuckDB DOUBLE[] literals — Scala
@@ -4496,6 +4627,7 @@ object PipelineQueries {
          |LEFT JOIN t ta ON ta.id = p.id_a
          |LEFT JOIN t tb ON tb.id = p.id_b""".stripMargin,
     "embedding_kmeans" -> kmeansOracle(8, 3, 64),
+    "embedding_silhouette" -> kmeansSilhouetteOracle(8, 3, 64),
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "text_readability" ->
@@ -4627,6 +4759,58 @@ object PipelineQueries {
          |  CAST(1000000 - (rep * 1000000) // (n_tokens * (n_tokens - 1))
          |    AS BIGINT) AS simpson_ppm
          |FROM a WHERE n_tokens >= 2""".stripMargin,
+    "text_yule_k" ->
+      // exact (source, word) counts; the 10^4*2^20-grid division with
+      // HUGEINT sufficient statistics (the DECIMAL(38,0) twin)
+      s"""WITH w AS (
+         |  SELECT source, unnest($wordsSql) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT source, w, count(*) AS m FROM w GROUP BY 1, 2),
+         |a AS (SELECT source, CAST(SUM(m) AS BIGINT) AS n_tokens,
+         |        count(*) AS n_types, CAST(SUM(m * m) AS BIGINT) AS s2
+         |      FROM c GROUP BY 1)
+         |SELECT source, n_tokens, n_types, s2,
+         |  CAST((CAST(10485760000 AS HUGEINT) * (s2 - n_tokens))
+         |    // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+         |    AS yule_k_grid
+         |FROM a WHERE n_tokens >= 2""".stripMargin,
+    "vocab_good_turing" ->
+      // corpus TRIGRAM counts -> freq-of-freq; N_{r+1} via explicit r+1
+      // left join (absent frequencies read 0, not next-observed)
+      s"""WITH t AS (
+         |  SELECT doc_id, $wordsSql AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT unnest(list_transform(
+         |        generate_series(1, len(ws) - 2),
+         |        i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))) AS w
+         |      FROM t WHERE len(ws) >= 3),
+         |wc AS (SELECT w, count(*) AS f FROM w GROUP BY 1),
+         |ff AS (SELECT f AS r, count(*) AS n_r FROM wc
+         |       WHERE f <= 11 GROUP BY 1)
+         |SELECT a.r, a.n_r,
+         |  CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r_next,
+         |  CAST((a.r + 1) * COALESCE(b.n_r, 0) * 1048576 // a.n_r AS BIGINT)
+         |    AS rstar_grid
+         |FROM ff a LEFT JOIN ff b ON b.r = a.r + 1
+         |WHERE a.r <= 10""".stripMargin,
+    "text_novelty" ->
+      // distinct word 3-grams per doc; a gram is novel to the doc holding
+      // its global min doc_id
+      s"""WITH t AS (
+         |  SELECT doc_id, $wordsSql AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        generate_series(1, len(ws) - 2),
+         |        i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])))) AS gr
+         |      FROM t WHERE len(ws) >= 3),
+         |pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+         |fo AS (SELECT gr, min(doc_id) AS doc_id FROM g GROUP BY 1),
+         |nv AS (SELECT doc_id, count(*) AS n_novel FROM fo GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_grams,
+         |  CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST(COALESCE(nv.n_novel, 0) * 1000000 // pd.n_grams AS BIGINT)
+         |    AS novelty_ppm
+         |FROM pd LEFT JOIN nv USING (doc_id)""".stripMargin,
     "text_mattr" ->
       // window distinct-sums via 1-based inclusive list slices; all
       // integer, one trunc division (nonnegative => floor)
@@ -5041,6 +5225,76 @@ object PipelineQueries {
          |  FROM m)
          |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_intervals
          |FROM i GROUP BY doc_id, island""".stripMargin,
+    "pipeline_dedup_cascade" ->
+      // the whole three-stage funnel replayed: exact digest groups →
+      // brute-force Jaccard pairs + recursive components on stage-1
+      // survivors → the bit-for-bit md5 SimHash twin + components on
+      // stage-2 survivors; counts stacked exactly like the engine
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |k1 AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY md5(text)),
+         |s1 AS (SELECT d0.doc_id, d0.text FROM d0 JOIN k1 USING (doc_id)),
+         |w AS (SELECT doc_id, $wordsSql AS ws FROM s1),
+         |toks AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(0, len(ws) - 3),
+         |    i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS ts
+         |  FROM w WHERE len(ws) >= 3),
+         |nz AS (SELECT doc_id, ts, len(ts) AS s FROM toks WHERE len(ts) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+         |        (a.s + b.s - len(list_intersect(a.ts, b.ts))) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+         |los2 AS (SELECT id FROM lab WHERE id != cluster),
+         |s2 AS (SELECT s1.doc_id, s1.text FROM s1
+         |       LEFT JOIN los2 ON s1.doc_id = los2.id WHERE los2.id IS NULL),
+         |hs AS (SELECT doc_id, list_transform($wordsSql,
+         |         w2 -> md5(w2)) AS hl FROM s2),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(60), j ->
+         |      CASE WHEN 2 * len(list_filter(hl, h ->
+         |          ((strpos('0123456789abcdef',
+         |              substring(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |            >> CAST(j % 4 AS INT)) & 1 = 1)) > len(hl)
+         |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |      ELSE CAST(0 AS BIGINT) END)) AS sh
+         |  FROM hs),
+         |p3 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |e3 AS (SELECT id_a AS src, id_b AS dst FROM p3
+         |       UNION ALL SELECT id_b, id_a FROM p3),
+         |r3 AS (
+         |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM e3)
+         |  UNION
+         |  SELECT r.src, e.dst FROM r3 r JOIN e3 e ON r.dst = e.src),
+         |l3 AS (SELECT src AS id, MIN(dst) AS cluster FROM r3 GROUP BY src),
+         |los3 AS (SELECT id FROM l3 WHERE id != cluster),
+         |s3 AS (SELECT s2.doc_id FROM s2
+         |       LEFT JOIN los3 ON s2.doc_id = los3.id WHERE los3.id IS NULL),
+         |c AS (SELECT (SELECT count(*) FROM d0) AS n0,
+         |             (SELECT count(*) FROM s1) AS n1,
+         |             (SELECT count(*) FROM s2) AS n2,
+         |             (SELECT count(*) FROM s3) AS n3)
+         |SELECT 'stage1_exact' AS stage, CAST(n0 AS BIGINT) AS docs_in,
+         |  CAST(n1 AS BIGINT) AS docs_out, CAST(n0 - n1 AS BIGINT) AS removed
+         |FROM c
+         |UNION ALL
+         |SELECT 'stage2_prefix_jaccard', CAST(n1 AS BIGINT),
+         |  CAST(n2 AS BIGINT), CAST(n1 - n2 AS BIGINT) FROM c
+         |UNION ALL
+         |SELECT 'stage3_simhash', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT),
+         |  CAST(n2 - n3 AS BIGINT) FROM c""".stripMargin,
     "pipeline_exact_dedup" ->
       // brute-force exact pairs → recursive-CTE components (min-id
       // labels) → anti-join of the losers: the whole chain replayed

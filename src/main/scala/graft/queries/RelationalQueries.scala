@@ -2552,6 +2552,76 @@ object RelationalQueries {
           .otherwise(lit(0L)).as("z_grid"))
   }
 
+  /** Kendall's τ-b between hour-of-day and value decile per event type
+    * ([[graft.ops.Checks.kendallTauB]] — the contingency-table reduction:
+    * C/D pair counts, tie terms and the tie-corrected denominator all
+    * come off the 24×10 cell table, O(k²) per type and scale-free in
+    * event volume; the naive O(n²) pair sweep never exists). Buckets are
+    * plan-time constants (hour 0–23; `least(⌊value/10⌋, 9)` deciles of
+    * the fixture's 0–490 value range), so the statistic is the EXACT τ-b
+    * of the bucketed variables, replayed verbatim by the oracle. The
+    * rank-correlation sibling of [[corrSpearman]]'s: answers "do high
+    * values cluster in late hours" without assuming linearity.
+    */
+  val eventsKendall: Q = (spark, dir) =>
+    graft.ops.Checks.kendallTauB(
+      // null values filtered HERE, not via the op's null guard: Spark and
+      // DuckDB both make least(NULL, 9) = 9, so a null value would slip
+      // into the top decile instead of dropping
+      Tables.eventsDf(spark, dir).filter(col("value").isNotNull),
+      "event_type",
+      hour(col("ts")),
+      least(floor(col("value") / 10.0), lit(9.0)))
+
+  /** Page–Hinkley change detection on the daily arrival series per event
+    * type (Page 1954; Hinkley 1971 — the sequential drift detector
+    * stream-learning systems run beside [[eventsCusum]]: cumulate
+    * deviations from the RUNNING mean, alarm when the cumulation climbs
+    * `λ` above its own running minimum). All state is exact integers on
+    * the 2²⁰ grid: running mean `⌊2²⁰·S_t/t⌋` by integer division
+    * (nonneg operands — floor ≡ truncate in both engines), deviation
+    * `2²⁰·x_t − mean`, `U_t` its running sum, `ph_t = U_t − min_{s≤t} U_s`.
+    * Output per type: horizon, peak PH (and its day, ties → earliest),
+    * the detector's verdict at `λ = 50` daily events. The corpus
+    * collapses to daily counts in one pass; every window below is
+    * horizon-sized and type-partitioned (the bounded-window contract).
+    */
+  val eventsPageHinkley: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy("event_type").orderBy("__d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeq = Window.partitionBy("event_type").orderBy("__d")
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(col("__ph").desc, col("__d").asc)
+    daily
+      .withColumn("__s", sum(col("__c")).over(wCum))
+      .withColumn("__t", row_number().over(wSeq))
+      .withColumn("__mean", expr("(1048576 * __s) DIV __t"))
+      .withColumn("__dev", lit(1048576L) * col("__c") - col("__mean"))
+      .withColumn("__u", sum(col("__dev")).over(wCum))
+      .withColumn("__ph", col("__u") - min(col("__u")).over(wCum))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("event_type"),
+        col("__t").cast("long").as("n_days"),
+        date_format(col("__d"), "yyyy-MM-dd").as("peak_day"),
+        col("__ph").as("peak_ph_grid"),
+        (col("__ph") > lit(50L * 1048576L)).as("drift_detected"))
+  }
+
+  /** Systematic 1-in-20 customer sample in key order
+    * ([[graft.ops.Sampling.systematicSample]] — every 20th rank, exact
+    * 5% rate with even coverage of the key range; the rank is the
+    * distributed range-partitioned prefix sum, never a single-task
+    * global window, so selection is identical at any parallelism).
+    */
+  val sampleSystematic: Q = (spark, dir) =>
+    graft.ops.Sampling.systematicSample(
+      t(spark, dir, "customer").select("c_custkey", "c_mktsegment"),
+      "c_custkey", k = 20, offset = 0)
+
   /** Dyadic-α EWMA level per event type and day — the exponentially
     * weighted control-chart line next to [[eventsCusum]]'s changepoint
     * peak: `s_t = s_{t−1} − ⌊s_{t−1}/4⌋ + ⌊x_t·2²⁰/4⌋` (α = 1/4 as
@@ -4928,6 +4998,9 @@ object RelationalQueries {
     "events_mann_kendall" -> eventsMannKendall,
     "events_markov_entropy" -> eventsMarkovEntropy,
     "events_ewma" -> eventsEwma,
+    "events_kendall" -> eventsKendall,
+    "events_page_hinkley" -> eventsPageHinkley,
+    "sample_systematic" -> sampleSystematic,
     "graph_linkpred" -> graphLinkpred,
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_ra" -> graphRa,
@@ -8298,6 +8371,72 @@ object RelationalQueries {
         |      / sqrt(CAST(var_num AS DOUBLE) / 18.0) * 1048576.0) AS BIGINT)
         |    ELSE 0 END AS z_grid
         |FROM m""".stripMargin,
+    "events_kendall" ->
+      // contingency-table tau-b: C/D from cell pairs, tie terms from the
+      // margins, HUGEINT sufficient statistics (the DECIMAL(38,0) twin),
+      // one sqrt + one divide in the identical IEEE op order
+      """WITH cells AS (
+        |  SELECT event_type AS g, hour(ts) AS x,
+        |    CAST(least(floor(value / 10.0), 9.0) AS BIGINT) AS y,
+        |    count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.g,
+        |         CAST(SUM(CASE WHEN a.y < b.y
+        |           THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS BIGINT)
+        |           AS c_pairs,
+        |         CAST(SUM(CASE WHEN a.y > b.y
+        |           THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS BIGINT)
+        |           AS d_pairs
+        |       FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+        |       GROUP BY 1),
+        |mg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |t1 AS (SELECT g, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+        |       FROM (SELECT g, x, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |t2 AS (SELECT g, CAST(SUM(u * (u - 1) // 2) AS BIGINT) AS n2
+        |       FROM (SELECT g, y, SUM(c) AS u FROM cells GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT mg.g AS event_type, mg.n, cd.c_pairs, cd.d_pairs,
+        |  t1.n1, t2.n2,
+        |  CAST(floor(CAST(cd.c_pairs - cd.d_pairs AS DOUBLE) * 1048576.0
+        |    / sqrt(CAST((CAST(mg.n AS HUGEINT) * (mg.n - 1) // 2 - t1.n1)
+        |        * (CAST(mg.n AS HUGEINT) * (mg.n - 1) // 2 - t2.n2)
+        |        AS DOUBLE))) AS BIGINT) AS tau_b_grid
+        |FROM mg JOIN t1 USING (g) JOIN t2 USING (g) JOIN cd USING (g)"""
+        .stripMargin,
+    "events_page_hinkley" ->
+      // running mean by integer division (nonneg: // ≡ DIV), U its
+      // cumulated deviation, PH = U - running min U; peak by
+      // (ph desc, day asc)
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, d, c,
+        |          CAST(SUM(c) OVER w AS BIGINT) AS s,
+        |          CAST(row_number() OVER
+        |            (PARTITION BY event_type ORDER BY d) AS BIGINT) AS t
+        |        FROM daily
+        |        WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dev AS (SELECT *, 1048576 * c - (1048576 * s) // t AS dv FROM ser),
+        |u AS (SELECT *, CAST(SUM(dv) OVER w AS BIGINT) AS uu FROM dev
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ph AS (SELECT *, uu - CAST(MIN(uu) OVER w AS BIGINT) AS p FROM u
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY p DESC, d ASC) AS rn FROM ph)
+        |SELECT event_type, CAST(t AS BIGINT) AS n_days,
+        |  strftime(d, '%Y-%m-%d') AS peak_day,
+        |  CAST(p AS BIGINT) AS peak_ph_grid,
+        |  p > 50 * 1048576 AS drift_detected
+        |FROM r WHERE rn = 1""".stripMargin,
+    "sample_systematic" ->
+      // rank in key order, every 20th from rank 1
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS rank
+        |FROM customer
+        |QUALIFY (rank - 1) % 20 = 0""".stripMargin,
     "events_ewma" ->
       // the dyadic recurrence s' = s − s//4 + (x·2²⁰)//4 replayed as a
       // rank-recursive CTE (all operands nonnegative: // ≡ DIV)
