@@ -704,6 +704,59 @@ object Graph {
         coalesce(col("a"), lit(0L)).as("auth"))
   }
 
+  /** Weisfeiler–Lehman color refinement (Weisfeiler & Lehman 1968; the
+    * 1-WL vertex-refinement pass behind graph-isomorphism sketching and
+    * WL graph kernels): round 0 colors every node by its degree; each
+    * round recolors `md5(old ‖ '|' ‖ sorted neighbor colors)`. The
+    * returned COLOR HISTOGRAM `(wl_color, n_nodes)` after `rounds`
+    * rounds is the canonical structural fingerprint — two graphs whose
+    * histograms differ are non-isomorphic, and within one graph the
+    * classes partition nodes by their radius-`rounds` neighborhood shape
+    * (structural-role mining, graph dedup, motif profiling).
+    *
+    * Exactness: colors are md5 hex strings — the neighbor multiset is
+    * serialized SORTED (binary order on ASCII hex/digits, identical in
+    * any engine) and comma-joined, so every round replays verbatim in
+    * SQL via `string_agg(lab, ',' ORDER BY lab)`.
+    *
+    * Scale shape: the deduped edge list pins once; each round is one
+    * color join into edges + one `collect_list` groupBy whose per-node
+    * list is degree-bounded — O(E) shuffle per round, node-sized state,
+    * same Pregel motion as [[pageRankExact]]. Hub-degree contract: a
+    * degree-d node serializes a d-term string per round; at web-graph
+    * skew, cap or hash-chunk the multiset before joining (not needed on
+    * bounded-degree fixtures).
+    *
+    * @param edges directed pairs; pass both orientations for undirected
+    *              semantics (every node must appear as a src)
+    */
+  def wlColors(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one refinement round")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    // round-0 color: degree as a decimal string (every node appears as a
+    // src by the both-orientations contract, so this covers the node set)
+    var lab = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("string").as("lab"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val nb = e
+        .join(lab.select(col("node").as("dst"), col("lab").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(concat_ws(",", array_sort(collect_list(col("__nl")))).as("__m"))
+      // each round consumes the previous colors twice (self + neighbor
+      // sides of the join) — the pin bounds lineage to one round
+      lab = lab.join(nb, Seq("node"))
+        .select(col("node"), md5(concat_ws("|", col("lab"), col("__m"))).as("lab"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    lab.groupBy(col("lab").as("wl_color")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Newman modularity of a community assignment over an undirected
     * unique-pair edge list: per community
     * `q_num = 4·e_intra·m − deg_sum²` over the common denominator

@@ -2651,7 +2651,143 @@ object PipelineQueries {
       .union(c("mixture", 5, mixed))
   }
 
+  // ——— wave 38: TextRank, source-overlap matrix, Gopher rule screen ———
+
+  // the repo's 10-word en stoplist as plain values (twin of enStopSql)
+  private val enStops: Seq[Any] =
+    Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "was")
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) over the corpus
+    * co-occurrence graph: adjacent-token pairs (window 1, both
+    * orientations, deduped) feed three rounds of the integer-exact
+    * PageRank recurrence ([[graft.ops.Graph.pageRankExact]]'s 2⁴⁰-grid
+    * arithmetic inlined over STRING nodes — word ids would add a
+    * global rank pass for nothing), and the top 20 words by
+    * `(score desc, word asc)` are the corpus keywords. The oracle
+    * unrolls the same three rounds join-for-join.
+    *
+    * Scale shape: the edge list is vocabulary-pair-sized (≪ token
+    * count after dedup), pins once, and each round is one edge-key join
+    * + partial-agg sum — [[graft.ops.Graph]]'s Pregel motion; the final
+    * top-k is a 20-row TakeOrdered, never a full sort.
+    */
+  val textTextrank: Q = (spark, dir) => {
+    val toks = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = toks
+      .select(explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+          |  (a, b) -> struct(a, b))""".stripMargin)).as("e"))
+      .select(col("e.a").as("wa"), col("e.b").as("wb"))
+      .filter(col("wa") =!= col("wb"))
+      // the standard TextRank candidate filter: stopwords out of the
+      // graph (they out-degree every content word and win otherwise)
+      .filter(!col("wa").isin(enStops: _*) && !col("wb").isin(enStops: _*))
+    val e = pairs.select(col("wa").as("src"), col("wb").as("dst"))
+      .union(pairs.select(col("wb").as("src"), col("wa").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val ed = e.join(deg, Seq("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var scores = nodes.select(col("node"), lit(1099511627776L).as("score"))
+    var i = 0
+    while (i < 3) {
+      val contrib = ed
+        .join(scores.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("score DIV __deg").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+      scores = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(164926744166L) + expr("(17 * coalesce(__in, 0L)) DIV 20"))
+            .as("score"))
+      i += 1
+    }
+    scores.orderBy(col("score").desc, col("node").asc).limit(20)
+      .select(col("node").as("word"), col("score"))
+  }
+
+  /** Pairwise corpus-overlap matrix between sources via the md5-replayable
+    * group MinHash ([[sourceMinhash]]'s signature, compared
+    * component-wise): `jaccard_est_grid = agree·2²⁰ DIV 16` estimates the
+    * shingle-set Jaccard between each source pair — the corpus-overlap
+    * dashboard read before mixing sources into a training run
+    * (syndication/mirror detection at the SOURCE level, where doc-level
+    * dedup is too late). Signatures are source-count-sized; the pair join
+    * is a broadcast of a handful of rows, never a corpus operation.
+    */
+  val sourceOverlapMatrix: Q = (spark, dir) => {
+    val sigs = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        TextOps.wordShinglesOfTokens(col("toks"), 3).as("shingles"))
+      .select(col("source"),
+        Dedup.minhashSignatureMd5(col("shingles"), 16)
+          .cast("array<bigint>").as("sig"))
+      .groupBy("source")
+      .agg(graft.functions.MinHashAggregator.groupSignature(col("sig"), 16)
+        .as("gs"))
+    val comp = sigs.select(col("source"), posexplode(col("gs")).as(Seq("__j", "__v")))
+    comp.toDF("source_a", "__j", "__va")
+      .join(comp.toDF("source_b", "__j", "__vb"), Seq("__j"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(when(col("__va") === col("__vb"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("jaccard_est_grid", expr("(n_agree * 1048576) DIV 16"))
+  }
+
+  /** The Gopher quality-rule screen (Rae et al. 2021 §A1.1 — the published
+    * heuristic filter suite behind MassiveText and most corpora since),
+    * one boolean per rule + the conjunction verdict, ALL as cross-
+    * multiplied integer compares so no ratio ever divides: word count in
+    * [50, 100 000]; mean word length in [3, 10] (`3n ≤ Σlen ≤ 10n`); hash
+    * ratio ≤ 0.1 (`10·n# ≤ n`); ellipsis ratio ≤ 0.3 (`10·n… ≤ 3n`);
+    * alphabetic-word fraction ≥ 0.8 (`10·nα ≥ 8n`); ≥ 2 stopword hits
+    * (the repo's 10-word en list). Distinct from [[textQuality]], which
+    * emits raw features: this is the named industry FILTER with its
+    * verdicts, the thing a curation run actually branches on. Pure
+    * Column arithmetic, zero shuffle, corpus-parallel.
+    */
+  val textGopherRules: Q = (spark, dir) =>
+    docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__ws"))
+      .select(
+        col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        expr("CAST(aggregate(__ws, 0L, (acc, w) -> acc + length(w)) AS BIGINT)")
+          .as("sum_wlen"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long").as("n_hash"),
+        ((length(col("text"))
+          - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("n_ellipsis"),
+        size(filter(col("__ws"), w => w.rlike("[a-z]"))).cast("long")
+          .as("n_alpha_words"),
+        size(filter(col("__ws"), w => w.isin("the", "of", "and", "to", "in",
+          "a", "is", "that", "it", "was"))).cast("long").as("n_stop"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r_mean_wlen",
+        col("n_words") > 0L && lit(3L) * col("n_words") <= col("sum_wlen")
+          && col("sum_wlen") <= lit(10L) * col("n_words"))
+      .withColumn("r_hash_ratio", lit(10L) * col("n_hash") <= col("n_words"))
+      .withColumn("r_ellipsis_ratio",
+        lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_words"))
+      .withColumn("r_alpha_frac",
+        lit(10L) * col("n_alpha_words") >= lit(8L) * col("n_words"))
+      .withColumn("r_stopwords", col("n_stop") >= 2L)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_wlen") && col("r_hash_ratio")
+          && col("r_ellipsis_ratio") && col("r_alpha_frac") && col("r_stopwords"))
+
   val all: Map[String, Q] = Map(
+    "text_textrank" -> textTextrank,
+    "source_overlap_matrix" -> sourceOverlapMatrix,
+    "text_gopher_rules" -> textGopherRules,
     "eval_auc" -> evalAuc,
     "eval_confusion" -> evalConfusion,
     "eval_pr_curve" -> evalPrCurve,
@@ -3849,6 +3985,97 @@ object PipelineQueries {
          |SELECT source,
          |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS group_sig
          |FROM m GROUP BY source""".stripMargin,
+    "source_overlap_matrix" ->
+      // the source_minhash group signature replay, compared component-
+      // wise per source pair; agree·2^20 // 16 estimates shingle Jaccard
+      s"""WITH toks AS (
+         |  SELECT source, $wordsSql AS ws FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT source,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(0, len(ws) - 3),
+         |                i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+         |    END AS s
+         |  FROM toks),
+         |e AS (SELECT source, unnest(s) AS sg FROM sh),
+         |m AS (
+         |  SELECT source, r.j,
+         |    min(CAST('0x' || substr(md5(sg || '#' || CAST(r.j AS VARCHAR)), 1, 15)
+         |        AS BIGINT)) AS mh
+         |  FROM e CROSS JOIN range(16) r(j) GROUP BY 1, 2)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  (CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1048576) // 16 AS jaccard_est_grid
+         |FROM m a JOIN m b ON a.j = b.j AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+    "text_textrank" ->
+      // adjacent-token co-occurrence edges, then the graph_pagerank
+      // integer recurrence unrolled three rounds over STRING nodes
+      s"""WITH toks AS (
+         |  SELECT ws FROM (SELECT $wordsSql AS ws FROM documents
+         |                  WHERE text IS NOT NULL)
+         |  WHERE len(ws) >= 2),
+         |pl AS (
+         |  SELECT unnest(list_transform(generate_series(0, len(ws) - 2),
+         |           i -> [ws[i + 1], ws[i + 2]])) AS p
+         |  FROM toks),
+         |pr AS (SELECT p[1] AS wa, p[2] AS wb FROM pl
+         |       WHERE p[1] != p[2]
+         |         AND NOT list_contains($enStopSql, p[1])
+         |         AND NOT list_contains($enStopSql, p[2])),
+         |e AS (SELECT DISTINCT src, dst FROM
+         |      (SELECT wa AS src, wb AS dst FROM pr UNION ALL SELECT wb, wa FROM pr)),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |s0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS s FROM n),
+         |i1 AS (SELECT ed.dst AS node, SUM(s0.s // ed.d) AS inp
+         |       FROM ed JOIN s0 ON ed.src = s0.node GROUP BY 1),
+         |s1 AS (SELECT n.node, 164926744166 + (17 * COALESCE(i1.inp, 0)) // 20 AS s
+         |       FROM n LEFT JOIN i1 USING (node)),
+         |i2 AS (SELECT ed.dst AS node, SUM(s1.s // ed.d) AS inp
+         |       FROM ed JOIN s1 ON ed.src = s1.node GROUP BY 1),
+         |s2 AS (SELECT n.node, 164926744166 + (17 * COALESCE(i2.inp, 0)) // 20 AS s
+         |       FROM n LEFT JOIN i2 USING (node)),
+         |i3 AS (SELECT ed.dst AS node, SUM(s2.s // ed.d) AS inp
+         |       FROM ed JOIN s2 ON ed.src = s2.node GROUP BY 1),
+         |s3 AS (SELECT n.node, 164926744166 + (17 * COALESCE(i3.inp, 0)) // 20 AS s
+         |       FROM n LEFT JOIN i3 USING (node))
+         |SELECT node AS word, CAST(s AS BIGINT) AS score FROM s3
+         |ORDER BY score DESC, word ASC LIMIT 20""".stripMargin,
+    "text_gopher_rules" ->
+      // every rule a cross-multiplied integer compare — no ratio divides;
+      // '...' count via non-overlapping regex removal on both sides
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len($wordsSql) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform($wordsSql, w -> length(w))), 0)
+         |      AS BIGINT) AS sum_wlen,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |    CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g')))
+         |      // 3 AS BIGINT) AS n_ellipsis,
+         |    CAST(len(list_filter($wordsSql, w -> regexp_matches(w, '[a-z]')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter($wordsSql, w -> list_contains($enStopSql, w)))
+         |      AS BIGINT) AS n_stop
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, n_words, sum_wlen, n_hash, n_ellipsis, n_alpha_words, n_stop,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         |  (n_words > 0 AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+         |    AS r_mean_wlen,
+         |  (10 * n_hash <= n_words) AS r_hash_ratio,
+         |  (10 * n_ellipsis <= 3 * n_words) AS r_ellipsis_ratio,
+         |  (10 * n_alpha_words >= 8 * n_words) AS r_alpha_frac,
+         |  (n_stop >= 2) AS r_stopwords,
+         |  ((n_words >= 50 AND n_words <= 100000)
+         |    AND (n_words > 0 AND 3 * n_words <= sum_wlen
+         |         AND sum_wlen <= 10 * n_words)
+         |    AND (10 * n_hash <= n_words)
+         |    AND (10 * n_ellipsis <= 3 * n_words)
+         |    AND (10 * n_alpha_words >= 8 * n_words)
+         |    AND (n_stop >= 2)) AS gopher_pass
+         |FROM f""".stripMargin,
     // acceptance-verdict gates: the oracle computes the exact side and
     // asserts the engine's error-contract booleans TRUE — a drifting
     // sketch flips the verdict and fails the hash

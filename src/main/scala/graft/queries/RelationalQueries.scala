@@ -4844,6 +4844,220 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice"), 2).as("sum_price"))
   }
 
+  // ——— wave 37: drift/association/effect-size/robust-outlier/motif/WL ———
+
+  /** Two-sample Cramér–von Mises on order totals, F vs O status — the
+    * SUM-of-squared-ECDF-gap drift statistic, [[driftKs]]'s complement:
+    * KS sees the single worst gap (sharp local shifts), CvM integrates
+    * the gap over the whole distribution (diffuse shifts KS under-powers).
+    * Same merged-grid-histogram + distributed-prefix-sum motion as
+    * drift_ks; the per-value cross-multiplied gap `cuma·nb − cumb·na`
+    * squares and sums weighted by pooled multiplicity in DECIMAL(38,0)
+    * (exact — max ~na²·nb²·N ≪ 10³⁸ at sf1), ONE final fixed-order double
+    * division: T = U / (na·nb·N²).
+    */
+  val driftCvm: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    def hist(status: String, cc: String) =
+      t(spark, dir, "orders")
+        .filter(col("o_orderstatus") === status && col("o_totalprice").isNotNull)
+        .select(floor(col("o_totalprice") * 1048576.0).cast("long").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as(cc))
+    val merged = hist("F", "__ca").join(hist("O", "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val pinned = merged.localCheckpoint(false)
+    val cum = graft.ops.Ranks.runningSums(
+      pinned, "__v", Seq("__ca" -> "__cuma", "__cb" -> "__cumb"))
+    val tot = pinned.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__d",
+        col("__cuma").cast(d38) * col("__nb").cast(d38)
+          - col("__cumb").cast(d38) * col("__na").cast(d38))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        sum((col("__ca") + col("__cb")).cast(d38) * col("__d") * col("__d"))
+          .cast(d38).as("__u"))
+      .select(col("n_a"), col("n_b"),
+        (col("__u").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")
+            * ((col("n_a") + col("n_b")).cast("double")
+              * (col("n_a") + col("n_b")).cast("double")))).as("cvm_t"))
+  }
+
+  /** Cramér's V between event type and ISO weekday — the normalized-χ²
+    * association strength between two categoricals ("is traffic shape
+    * day-of-week dependent, and how much"), the profiling sibling of
+    * [[eventsKendall]]'s ordinal τ-b. Cells collapse the corpus once;
+    * per-cell χ² contributions land on the 2²⁰ grid through a fixed
+    * IEEE chain over exactly-cast integers (the events_user_entropy
+    * floor-per-row-then-sum-longs discipline), so the cell sum is an
+    * exact long and V needs ONE closing sqrt. Weekday is Monday-based
+    * 1–7 (`weekday(ts)+1` ≡ DuckDB `isodow` — Spark's `dayofweek` and
+    * DuckDB's `dayofweek` disagree on the week start; this pair doesn't).
+    */
+  val eventsCramersV: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val cells = Tables.eventsDf(spark, dir)
+      .select(col("event_type").as("__g"), expr("weekday(ts) + 1").as("__w"))
+      .groupBy("__g", "__w").agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true)
+    val rowT = cells.groupBy("__g").agg(sum(col("__o")).as("__r"))
+    val colT = cells.groupBy("__w").agg(sum(col("__o")).as("__c"))
+    val dims = cells.agg(
+      countDistinct(col("__g")).as("__ng"),
+      countDistinct(col("__w")).as("__nw"),
+      sum(col("__o")).as("__n"))
+    cells
+      .join(broadcast(rowT), Seq("__g"))
+      .join(broadcast(colT), Seq("__w"))
+      .crossJoin(broadcast(dims))
+      .withColumn("__d",
+        (col("__n").cast(d38) * col("__o").cast(d38)
+          - col("__r").cast(d38) * col("__c").cast(d38)).cast("double"))
+      .withColumn("__den",
+        col("__n").cast("double") * col("__r").cast("double")
+          * col("__c").cast("double"))
+      .withColumn("__cell",
+        floor(col("__d") * col("__d") / col("__den") * 1048576.0).cast("long"))
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__ng")).as("n_types"),
+        max(col("__nw")).as("n_days"),
+        sum(col("__cell")).as("chi2_grid"))
+      .withColumn("cramers_v",
+        sqrt(col("chi2_grid").cast("double") / 1048576.0
+          / (col("n").cast("double")
+            * (least(col("n_types"), col("n_days")) - 1).cast("double"))))
+  }
+
+  /** SAX motif words per event type (Lin et al. 2003 — Symbolic Aggregate
+    * approXimation, the time-series indexing/motif primitive): daily
+    * arrivals → weekly PAA means on the 2²⁰ grid (sum·2²⁰ DIV days — the
+    * piecewise aggregate step) → per-type EQUI-DEPTH quartile symbols
+    * (`ntile(4)` over `(paa, week)` — the data-driven breakpoint variant;
+    * the classic normal-breakpoint table needs a z-normalization whose
+    * mean/σ don't replay exactly) → the type's trajectory as one a–d
+    * word. Day-sized windows per type throughout; the corpus collapses to
+    * daily counts in the first aggregate.
+    */
+  val eventsSax: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val wk = daily
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("__d")))
+      .withColumn("__wk", expr("CAST((__rn - 1) DIV 7 AS BIGINT)"))
+      .groupBy(col("event_type"), col("__wk"))
+      .agg(expr("(SUM(__c) * 1048576) DIV COUNT(*)").as("__paa"))
+    wk.withColumn("__sym",
+        ntile(4).over(
+          Window.partitionBy("event_type").orderBy(col("__paa"), col("__wk"))))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_weeks"),
+        expr("""concat_ws('',
+          transform(array_sort(collect_list(struct(__wk, __sym))),
+            s -> char(96 + s.__sym)))""").as("sax_word"))
+  }
+
+  /** Cliff's delta between experiment arms on per-user spend (Cliff 1993 —
+    * the ordinal effect size: P(A>B) − P(A<B), robust where Cohen's d is
+    * wrecked by the heavy-tailed spend distributions experiments actually
+    * produce). Arms come from the [[abAssign]] md5 split (same salt —
+    * this IS that experiment's effect-size readout); the pair counts
+    * come from the pooled per-user-total histogram and ONE distributed
+    * prefix-sum pass (`gt = Σ_v caᵥ·(#B strictly below v)`) — never the
+    * O(n_A·n_B) pair sweep. All-long exact (gt ≤ n_A·n_B ≪ 2⁶³); the
+    * grid delta takes one fixed-order double floor.
+    */
+  val abCliffsDelta: Q = (spark, dir) => {
+    val per = Tables.eventsDf(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("__arm",
+        graft.ops.Sampling.splitColumn(
+          col("user_id"), Seq("A" -> 0.5, "B" -> 0.5), salt = "exp1"))
+      .groupBy(col("user_id"), col("__arm"))
+      .agg(sum(floor(col("value") * 100.0).cast("long")).as("__x"))
+    val hist = per.groupBy(col("__x"))
+      .agg(
+        sum(when(col("__arm") === "A", 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__arm") === "B", 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint(false)
+    val cum = graft.ops.Ranks.runningSums(
+      hist, "__x", Seq("__ca" -> "__cuma", "__cb" -> "__cumb"))
+    val tot = hist.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        sum(col("__ca") * (col("__cumb") - col("__cb"))).as("gt_pairs"),
+        sum(col("__cb") * (col("__cuma") - col("__ca"))).as("lt_pairs"))
+      .withColumn("delta_grid",
+        floor((col("gt_pairs") - col("lt_pairs")).cast("double") * 1048576.0
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .cast("long"))
+  }
+
+  /** MAD-based robust outlier screen per event type: lower median of
+    * value cents, MAD (lower median of |x − med|), and the count beyond
+    * 2.5 robust z (|x−med|·10⁴ > 37065·MAD — the 1.4826 normal-
+    * consistency constant as the exact rational 14826/10⁴, so the fence
+    * is an integer compare). The robust twin of z-score screens: one
+    * extreme day can't drag the fence the way it drags a mean/σ. Both
+    * medians and the outlier count come off ONE value histogram per type
+    * (distinct-cents-sized) — the corpus collapses once and is never
+    * rescanned.
+    */
+  val qualityMadOutliers: Q = (spark, dir) => {
+    val hist = Tables.eventsDf(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 100.0).cast("long").as("__v"))
+      .groupBy("event_type", "__v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val tot = hist.groupBy("event_type").agg(sum(col("__c")).as("__n"))
+    val w = Window.partitionBy("event_type").orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.join(broadcast(tot), Seq("event_type"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .filter(col("__cum") >= expr("(__n + 1) DIV 2"))
+      .groupBy("event_type")
+      .agg(min(col("__v")).as("med_cents"), max(col("__n")).as("n"))
+    // deviation histogram DERIVES from the value histogram (no rescan)
+    val dev = hist.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("__v") - col("med_cents")).as("__dv"))
+      .agg(sum(col("__c")).as("__dc"))
+    val wd = Window.partitionBy("event_type").orderBy(col("__dv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev.join(broadcast(med), Seq("event_type"))
+      .withColumn("__cum", sum(col("__dc")).over(wd))
+      .filter(col("__cum") >= expr("(n + 1) DIV 2"))
+      .groupBy("event_type")
+      .agg(min(col("__dv")).as("mad_cents"))
+    dev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("med_cents"), col("mad_cents"))
+      .agg(sum(when(col("__dv") * 10000L > lit(37065L) * col("mad_cents"),
+        col("__dc")).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Weisfeiler–Lehman color histogram of the order–part bipartite graph
+    * ([[graft.ops.Graph.wlColors]], 2 rounds) — the structural
+    * fingerprint: classes partition nodes by radius-2 neighborhood shape
+    * (orders by their basket profile, parts by their order-mix profile).
+    * md5 colors over sorted neighbor multisets replay verbatim in SQL.
+    */
+  val graphWl: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(
+      (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
+    val edges = li.select(col("o").as("src"), col("p").as("dst"))
+      .union(li.select(col("p").as("src"), col("o").as("dst")))
+    graft.ops.Graph.wlColors(edges, rounds = 2)
+  }
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "funnel_latency" -> funnelLatency,
@@ -4937,6 +5151,12 @@ object RelationalQueries {
     "events_funnel_windowed" -> eventsFunnelWindowed,
     "events_user_entropy" -> eventsUserEntropy,
     "drift_ks" -> driftKs,
+    "drift_cvm" -> driftCvm,
+    "events_cramers_v" -> eventsCramersV,
+    "events_sax" -> eventsSax,
+    "ab_cliffs_delta" -> abCliffsDelta,
+    "quality_mad_outliers" -> qualityMadOutliers,
+    "graph_wl" -> graphWl,
     "ab_assign" -> abAssign,
     "events_bounce" -> eventsBounce,
     "ab_cuped" -> abCuped,
@@ -6531,6 +6751,158 @@ object RelationalQueries {
         |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks_d
         |FROM cum, tot
         |GROUP BY na, nb""".stripMargin,
+    "drift_cvm" ->
+      // the drift_ks merged-grid-histogram replay, with the gap SQUARED,
+      // weighted by pooled multiplicity, and summed in HUGEINT (the
+      // DECIMAL(38,0) twin); one fixed-order closing double division
+      """WITH ha AS (
+        |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v, count(*) AS ca
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |hb AS (
+        |  SELECT CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS v, count(*) AS cb
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ha.v, hb.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+        |cum AS (
+        |  SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM m),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(SUM(CAST(ca + cb AS HUGEINT)
+        |      * (CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+        |      * (CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |      * (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))) AS cvm_t
+        |FROM cum, tot
+        |GROUP BY na, nb""".stripMargin,
+    "events_cramers_v" ->
+      // per-cell chi2 contribution floored onto the 2^20 grid through a
+      // fixed IEEE chain over exactly-cast integers, summed in BIGINT;
+      // isodow ≡ Spark weekday(ts)+1 (both Monday-based 1-7)
+      """WITH cells AS (
+        |  SELECT event_type AS g, isodow(ts) AS w, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT g, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT w, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |dm AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS ng,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS nw,
+        |         CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |cell AS (
+        |  SELECT n, ng, nw,
+        |    CAST(floor(
+        |      CAST(CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c AS DOUBLE)
+        |      * CAST(CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |      * 1048576.0) AS BIGINT) AS cg
+        |  FROM cells JOIN rt USING (g) JOIN ct USING (w) CROSS JOIN dm)
+        |SELECT n, ng AS n_types, nw AS n_days,
+        |  CAST(SUM(cg) AS BIGINT) AS chi2_grid,
+        |  sqrt(CAST(SUM(cg) AS DOUBLE) / 1048576.0
+        |    / (CAST(n AS DOUBLE) * CAST(least(ng, nw) - 1 AS DOUBLE))) AS cramers_v
+        |FROM cell GROUP BY n, ng, nw""".stripMargin,
+    "events_sax" ->
+      // weekly PAA by integer division (nonneg: // ≡ DIV), equi-depth
+      // quartile symbols via ntile over the deterministic (paa, week)
+      // order, the word assembled in week order
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, d, c,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        |      FROM daily),
+        |wk AS (SELECT event_type, CAST((rn - 1) // 7 AS BIGINT) AS wk,
+        |         (SUM(c) * 1048576) // COUNT(*) AS paa
+        |       FROM r GROUP BY 1, 2),
+        |s AS (SELECT event_type, wk,
+        |        ntile(4) OVER (PARTITION BY event_type ORDER BY paa, wk) AS sym
+        |      FROM wk)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_weeks,
+        |  string_agg(chr(CAST(96 + sym AS INTEGER)), '' ORDER BY wk) AS sax_word
+        |FROM s GROUP BY 1""".stripMargin,
+    "ab_cliffs_delta" ->
+      // the ab_assign md5-split arms on per-user spend totals; pair
+      // counts from ONE pooled-histogram prefix-sum pass (gt = sum of
+      // ca * (#B strictly below)); all-long exact, one double floor
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CASE WHEN substring(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8)
+        |           < '80000000' THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |h AS (
+        |  SELECT x,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM per GROUP BY 1),
+        |cum AS (
+        |  SELECT x, ca, cb,
+        |    CAST(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+        |  FROM h),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM h)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(SUM(ca * (cumb - cb)) AS BIGINT) AS gt_pairs,
+        |  CAST(SUM(cb * (cuma - ca)) AS BIGINT) AS lt_pairs,
+        |  CAST(floor(
+        |    CAST(SUM(ca * (cumb - cb)) - SUM(cb * (cuma - ca)) AS DOUBLE) * 1048576.0
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS delta_grid
+        |FROM cum, tot
+        |GROUP BY na, nb""".stripMargin,
+    "quality_mad_outliers" ->
+      // two lower medians off ONE value histogram (value, then absolute
+      // deviation), the 2.5-robust-z fence as the integer compare
+      // dv * 10^4 > 37065 * mad
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS v, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cumv AS (
+        |  SELECT h.event_type, v, c, n,
+        |    CAST(sum(c) OVER (PARTITION BY h.event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM h JOIN tot USING (event_type)),
+        |med AS (
+        |  SELECT event_type, CAST(MIN(v) AS BIGINT) AS med_cents,
+        |    CAST(MAX(n) AS BIGINT) AS n
+        |  FROM cumv WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |dev AS (
+        |  SELECT h.event_type, abs(v - med_cents) AS dv, CAST(SUM(c) AS BIGINT) AS dc
+        |  FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        |cumd AS (
+        |  SELECT dev.event_type, dv, dc, med.n,
+        |    CAST(sum(dc) OVER (PARTITION BY dev.event_type ORDER BY dv
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM dev JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, CAST(MIN(dv) AS BIGINT) AS mad_cents
+        |  FROM cumd WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        |SELECT dev.event_type, med.n, med.med_cents, mad.mad_cents,
+        |  CAST(SUM(CASE WHEN dv * 10000 > 37065 * mad_cents THEN dc ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "graph_wl" ->
+      // two WL refinement rounds replayed verbatim: degree strings, then
+      // md5(old || '|' || sorted comma-joined neighbor colors) twice;
+      // string_agg(ORDER BY lab) ≡ Spark's array_sort(collect_list)
+      """WITH li AS (SELECT l_orderkey * 2 AS o, l_partkey * 2 + 1 AS p FROM lineitem),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT o AS src, p AS dst FROM li UNION ALL SELECT p, o FROM li)),
+        |l0 AS (SELECT src AS node, CAST(count(*) AS VARCHAR) AS lab
+        |       FROM e GROUP BY 1),
+        |a1 AS (SELECT e.src AS node, string_agg(l.lab, ',' ORDER BY l.lab) AS m
+        |       FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1),
+        |l1 AS (SELECT l0.node, md5(l0.lab || '|' || a1.m) AS lab
+        |       FROM l0 JOIN a1 USING (node)),
+        |a2 AS (SELECT e.src AS node, string_agg(l.lab, ',' ORDER BY l.lab) AS m
+        |       FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1),
+        |l2 AS (SELECT l1.node, md5(l1.lab || '|' || a2.m) AS lab
+        |       FROM l1 JOIN a2 USING (node))
+        |SELECT lab AS wl_color, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM l2 GROUP BY 1""".stripMargin,
     "linkage_golden" ->
       // pairs replay (the linkage_fuzzy oracle) → recursive-CTE
       // transitive closure with min-label (the dedup_components oracle)
