@@ -5058,6 +5058,149 @@ object RelationalQueries {
     graft.ops.Graph.wlColors(edges, rounds = 2)
   }
 
+  // ——— wave 39: tail index, lineage chain, newsvendor, bullwhip ———
+
+  /** Hill tail-index estimator on the top-200 order totals (Hill 1975 —
+    * the standard power-law tail diagnostic: α̂ = (k−1)/Σ(ln xᵢ − ln x₍ₖ₎);
+    * small α̂ = heavy tail, the regime where mean-based spend forecasts
+    * and non-robust samplers break). Selection is a distributed
+    * TakeOrdered under the total order `(value desc, key asc)` — never a
+    * global sort or an unpartitioned window; the 200 survivors are
+    * driver-bounded. Logs ride the vocab_zipf 2²⁰ grid (both engines'
+    * `ln` on the identical parquet double), the excess sum is an exact
+    * long, and the α̂ grid takes one integer division.
+    */
+  val ordersHillTail: Q = (spark, dir) => {
+    val k = 200
+    val top = t(spark, dir, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"),
+        floor(log(col("o_totalprice")) * 1048576.0).cast("long").as("__l"))
+      .orderBy(col("__l").desc, col("o_orderkey").asc)
+      .limit(k)
+      .localCheckpoint(true)
+    val thr = top.agg(min(col("__l")).as("__lk"))
+    top.crossJoin(broadcast(thr))
+      .agg(
+        count(lit(1)).as("k"),
+        max(col("__lk")).as("ln_xk_grid"),
+        sum(col("__l") - col("__lk")).as("sum_excess_grid"))
+      .withColumn("hill_alpha_grid",
+        expr("((k - 1) * 1048576 * 1048576) DIV greatest(sum_excess_grid, 1)"))
+  }
+
+  /** Tamper-evident lineage ledger over monthly order snapshots: each
+    * month's content digest is the order-INDEPENDENT sum of per-row md5
+    * keys (15 hex chars → long, summed in DECIMAL(38) — a set digest any
+    * engine reproduces without sorting the corpus), and the months chain
+    * `chainₖ = md5(chainₖ₋₁ ‖ '|' ‖ digestₖ)` from a fixed genesis — the
+    * append-only audit spine: recomputing the chain over claimed-
+    * identical data exposes any silent mutation of ANY historical month.
+    * The corpus collapses to month-sized digests in one aggregate; the
+    * chain folds over the horizon-bounded month list on the driver
+    * (months ≤ horizon — the day-sized-analytics contract), never over
+    * rows.
+    */
+  val lineageHashChain: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val monthly = t(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        conv(substring(md5(concat_ws("|",
+          col("o_orderkey").cast("string"), col("o_orderstatus"))), 1, 15),
+          16, 10).cast("long").as("__h"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__h").cast(d38)).cast(d38).as("__sd"))
+      .select(col("month"), col("n_rows"), col("__sd").cast("string").as("set_digest"))
+    val months = monthly.orderBy("month").collect() // horizon-bounded
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    var chain = "genesis"
+    val rows = months.map { r =>
+      chain = md5hex(chain + "|" + r.getAs[String]("set_digest"))
+      (r.getAs[String]("month"), r.getAs[Long]("n_rows"),
+        r.getAs[String]("set_digest"), chain)
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("month", "n_rows", "set_digest", "chain_digest")
+  }
+
+  /** Newsvendor stock level per order priority at the 0.8 critical
+    * fractile (cu/(cu+co) = 4/5 — the one-period inventory classic):
+    * optimal S = the smallest daily demand with 5·ECDF ≥ 4·n (integer
+    * compare, no ratio), plus the cost exposure the choice implies —
+    * expected overage `Σ max(0, S−d)` and underage `Σ max(0, d−S)` units
+    * across the horizon. Distinct from the plain grouped quantile: this
+    * is the DECISION operator, stock plus its two-sided cost audit.
+    * Demand collapses to (priority, day) counts once; everything after
+    * is horizon-sized.
+    */
+  val ordersNewsvendor: Q = (spark, dir) => {
+    val daily = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("__d"))
+      .agg(count(lit(1)).as("__dem"))
+      .localCheckpoint(true)
+    val hist = daily.groupBy(col("priority"), col("__dem"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = hist.groupBy("priority").agg(sum(col("__c")).as("__n"))
+    val w = Window.partitionBy("priority").orderBy(col("__dem"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stock = hist.join(broadcast(tot), Seq("priority"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .filter(col("__cum") * 5 >= col("__n") * 4)
+      .groupBy("priority")
+      .agg(min(col("__dem")).as("stock"), max(col("__n")).as("n_days"))
+    hist.join(broadcast(stock), Seq("priority"))
+      .groupBy(col("priority"), col("n_days"), col("stock"))
+      .agg(
+        sum(when(col("__dem") < col("stock"),
+          (col("stock") - col("__dem")) * col("__c")).otherwise(0L))
+          .as("overage_units"),
+        sum(when(col("__dem") > col("stock"),
+          (col("__dem") - col("stock")) * col("__c")).otherwise(0L))
+          .as("underage_units"))
+  }
+
+  /** Bullwhip ratio (Lee et al. 1997): variance of monthly ORDERED
+    * quantity over variance of monthly SHIPPED quantity on the months
+    * both series cover — the demand-amplification diagnostic every
+    * supply chain monitors (ratio > 1 = upstream orders swing harder
+    * than real flow). Both variance NUMERATORS `n·Σx² − (Σx)²` assemble
+    * in DECIMAL(38) (quantities are exact integral doubles); the common
+    * `n(n−1)` cancels, so the ratio is ONE double division of two exact
+    * decimals. Two corpus scans collapse to month-sized series.
+    */
+  val lineitemBullwhip: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val li = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val ordered = li
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("l_quantity").cast("long")).as("__qa"))
+    val shipped = li
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("l_quantity").cast("long")).as("__qb"))
+    ordered.join(shipped, Seq("month"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("__qa").cast(d38)).cast(d38).as("__sa"),
+        sum((col("__qa").cast(d38) * col("__qa").cast(d38))).cast(d38).as("__sa2"),
+        sum(col("__qb").cast(d38)).cast(d38).as("__sb"),
+        sum((col("__qb").cast(d38) * col("__qb").cast(d38))).cast(d38).as("__sb2"))
+      .select(col("n_months"),
+        (col("n_months").cast(d38) * col("__sa2") - col("__sa") * col("__sa"))
+          .cast(d38).as("__va"),
+        (col("n_months").cast(d38) * col("__sb2") - col("__sb") * col("__sb"))
+          .cast(d38).as("__vb"))
+      .select(col("n_months"),
+        col("__va").cast("double").as("var_num_ordered"),
+        col("__vb").cast("double").as("var_num_shipped"),
+        (col("__va").cast("double") / col("__vb").cast("double"))
+          .as("bullwhip_ratio"))
+  }
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "funnel_latency" -> funnelLatency,
@@ -5151,6 +5294,10 @@ object RelationalQueries {
     "events_funnel_windowed" -> eventsFunnelWindowed,
     "events_user_entropy" -> eventsUserEntropy,
     "drift_ks" -> driftKs,
+    "orders_hill_tail" -> ordersHillTail,
+    "lineage_hash_chain" -> lineageHashChain,
+    "orders_newsvendor" -> ordersNewsvendor,
+    "lineitem_bullwhip" -> lineitemBullwhip,
     "drift_cvm" -> driftCvm,
     "events_cramers_v" -> eventsCramersV,
     "events_sax" -> eventsSax,
@@ -6751,6 +6898,93 @@ object RelationalQueries {
         |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks_d
         |FROM cum, tot
         |GROUP BY na, nb""".stripMargin,
+    "orders_hill_tail" ->
+      // top-200 under the total order (grid-ln desc, key asc); excess sum
+      // in exact longs; one integer division onto the 2^20 grid
+      """WITH l AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(ln(o_totalprice) * 1048576.0) AS BIGINT) AS l
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |top AS (SELECT o_orderkey, l FROM l ORDER BY l DESC, o_orderkey ASC LIMIT 200),
+        |thr AS (SELECT MIN(l) AS lk FROM top)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(MAX(lk) AS BIGINT) AS ln_xk_grid,
+        |  CAST(SUM(l - lk) AS BIGINT) AS sum_excess_grid,
+        |  ((count(*) - 1) * 1048576 * 1048576)
+        |    // greatest(CAST(SUM(l - lk) AS BIGINT), 1) AS hill_alpha_grid
+        |FROM top, thr""".stripMargin,
+    "lineage_hash_chain" ->
+      // order-independent per-month set digests (15-hex md5 keys summed
+      // in HUGEINT — the DECIMAL(38) twin), then the genesis-rooted md5
+      // chain replayed as a rank-recursive CTE
+      """WITH RECURSIVE m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    count(*) AS n_rows,
+        |    CAST(SUM(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+        |      || '|' || o_orderstatus), 1, 15) AS BIGINT)) AS VARCHAR) AS set_digest
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT month, n_rows, set_digest,
+        |        CAST(row_number() OVER (ORDER BY month) AS INT) AS rn FROM m),
+        |c AS (
+        |  SELECT month, n_rows, set_digest, rn,
+        |    md5('genesis' || '|' || set_digest) AS chain
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.month, r.n_rows, r.set_digest, r.rn,
+        |    md5(c.chain || '|' || r.set_digest)
+        |  FROM c JOIN r ON r.rn = c.rn + 1)
+        |SELECT month, n_rows, set_digest, chain AS chain_digest FROM c""".stripMargin,
+    "orders_newsvendor" ->
+      // critical fractile 4/5 as the integer compare 5*cum >= 4*n on the
+      // per-priority demand histogram; the two-sided unit costs replay
+      // off the same histogram
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+        |    count(*) AS dem
+        |  FROM orders GROUP BY 1, 2),
+        |h AS (SELECT priority, dem, count(*) AS c FROM daily GROUP BY 1, 2),
+        |tot AS (SELECT priority, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT h.priority, dem, c, n,
+        |    CAST(sum(c) OVER (PARTITION BY h.priority ORDER BY dem
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM h JOIN tot USING (priority)),
+        |st AS (SELECT priority, CAST(MIN(dem) AS BIGINT) AS stock,
+        |         CAST(MAX(n) AS BIGINT) AS n_days
+        |       FROM cum WHERE cum * 5 >= n * 4 GROUP BY 1)
+        |SELECT h.priority, st.n_days, st.stock,
+        |  CAST(SUM(CASE WHEN dem < stock THEN (stock - dem) * c ELSE 0 END)
+        |    AS BIGINT) AS overage_units,
+        |  CAST(SUM(CASE WHEN dem > stock THEN (dem - stock) * c ELSE 0 END)
+        |    AS BIGINT) AS underage_units
+        |FROM h JOIN st USING (priority)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "lineitem_bullwhip" ->
+      // month-sized ordered/shipped series; variance numerators in
+      // HUGEINT (the DECIMAL(38) twin); the common n(n-1) cancels in the
+      // single closing double division
+      """WITH li AS (
+        |  SELECT l.l_quantity AS q, o.o_orderdate, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |a AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |        CAST(SUM(CAST(q AS BIGINT)) AS BIGINT) AS qa
+        |      FROM li GROUP BY 1),
+        |b AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |        CAST(SUM(CAST(q AS BIGINT)) AS BIGINT) AS qb
+        |      FROM li GROUP BY 1),
+        |j AS (SELECT a.month, qa, qb FROM a JOIN b USING (month)),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        SUM(CAST(qa AS HUGEINT)) AS sa,
+        |        SUM(CAST(qa AS HUGEINT) * qa) AS sa2,
+        |        SUM(CAST(qb AS HUGEINT)) AS sb,
+        |        SUM(CAST(qb AS HUGEINT) * qb) AS sb2
+        |      FROM j)
+        |SELECT n AS n_months,
+        |  CAST(CAST(n AS HUGEINT) * sa2 - sa * sa AS DOUBLE) AS var_num_ordered,
+        |  CAST(CAST(n AS HUGEINT) * sb2 - sb * sb AS DOUBLE) AS var_num_shipped,
+        |  CAST(CAST(n AS HUGEINT) * sa2 - sa * sa AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sb2 - sb * sb AS DOUBLE) AS bullwhip_ratio
+        |FROM s""".stripMargin,
     "drift_cvm" ->
       // the drift_ks merged-grid-histogram replay, with the gap SQUARED,
       // weighted by pooled multiplicity, and summed in HUGEINT (the
