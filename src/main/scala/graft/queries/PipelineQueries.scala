@@ -2784,7 +2784,33 @@ object PipelineQueries {
         col("r_word_count") && col("r_mean_wlen") && col("r_hash_ratio")
           && col("r_ellipsis_ratio") && col("r_alpha_frac") && col("r_stopwords"))
 
+  /** Collision audit of the 512-dim hashing trick [[vectorizeHashtf]]
+    * rides on: how many DISTINCT vocabulary terms share each hashed
+    * dimension, rolled up as the collision histogram
+    * `(n_terms → n_buckets, total_tf)` — the saturation read that tells
+    * you when the hash space is too small for the vocabulary (the mass
+    * sitting in many-term buckets is the mass whose similarity signal is
+    * being aliased away). Same salt/dim/md5 mapping as the vectorizer,
+    * so the audit describes the PRODUCTION space, not a lookalike.
+    * Vocabulary-sized work: one term aggregate, one bucket aggregate,
+    * one histogram rollup.
+    */
+  val vectorizeHashCollisions: Q = (spark, dir) => {
+    val terms = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__tf"))
+      .withColumn("__dim",
+        conv(substring(md5(concat(lit("htf"), col("__w"))), 1, 8), 16, 10)
+          .cast("long") % 512)
+    terms.groupBy(col("__dim"))
+      .agg(count(lit(1)).as("__nt"), sum(col("__tf")).as("__btf"))
+      .groupBy(col("__nt").as("n_terms"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("__btf")).as("total_tf"))
+  }
+
   val all: Map[String, Q] = Map(
+    "vectorize_hash_collisions" -> vectorizeHashCollisions,
     "text_textrank" -> textTextrank,
     "source_overlap_matrix" -> sourceOverlapMatrix,
     "text_gopher_rules" -> textGopherRules,
@@ -3690,6 +3716,22 @@ object PipelineQueries {
          |      FROM tf GROUP BY doc_id)
          |SELECT tf.doc_id, dim, tf, CAST(tf AS DOUBLE) / nrm AS w
          |FROM tf JOIN n USING (doc_id)""".stripMargin,
+    "vectorize_hash_collisions" ->
+      // the vectorize_hashtf bucket mapping replayed over the DISTINCT
+      // vocabulary, rolled up to the collision histogram
+      s"""WITH toks AS (
+         |  SELECT unnest($wordsSql) AS w FROM documents WHERE text IS NOT NULL),
+         |t AS (SELECT w, count(*) AS tf FROM toks GROUP BY 1),
+         |d AS (
+         |  SELECT CAST(('0x' || substring(md5('htf' || w), 1, 8)) AS BIGINT)
+         |    % 512 AS dim, tf
+         |  FROM t),
+         |b AS (SELECT dim, CAST(count(*) AS BIGINT) AS nt,
+         |        CAST(SUM(tf) AS BIGINT) AS btf
+         |      FROM d GROUP BY 1)
+         |SELECT nt AS n_terms, count(*) AS n_buckets,
+         |  CAST(SUM(btf) AS BIGINT) AS total_tf
+         |FROM b GROUP BY 1""".stripMargin,
     // TF-IDF re-weighting replayed exactly: same buckets, BIGINT df and
     // corpus counts, idf floored onto the 1e-6 grid (absorbs libm ln
     // last-ulp drift), weight = long product — zero doubles in the output

@@ -5201,6 +5201,95 @@ object RelationalQueries {
           .as("bullwhip_ratio"))
   }
 
+  // ——— wave 40: k-map risk, Kendall's W concordance ———
+
+  /** k-map re-identification risk (Sweeney 2002's population variant of
+    * k-anonymity): each released quasi-identifier combo is scored by its
+    * count in the POPULATION, not the sample — the attacker links
+    * against the phone book, so within-sample k-anonymity overstates
+    * safety whenever the sample is a skewed slice. Released slice =
+    * BUILDING customers; population = all customers; QI =
+    * (nation, acctbal kilobucket), the [[privacyKanon]] schema. Output:
+    * per released combo, its sample count, population k, and the
+    * `k_pop < 5` risk flag. Two combo-sized aggregates off one scan
+    * shape; the combo join is dimension-sized.
+    */
+  val privacyKmap: Q = (spark, dir) => {
+    val qi = t(spark, dir, "customer").select(
+      col("c_mktsegment"),
+      col("c_nationkey").as("qi_nation"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("qi_bal"))
+    val pop = qi.groupBy("qi_nation", "qi_bal")
+      .agg(count(lit(1)).as("k_pop"))
+    qi.filter(col("c_mktsegment") === "BUILDING")
+      .groupBy("qi_nation", "qi_bal")
+      .agg(count(lit(1)).as("n_sample"))
+      .join(pop, Seq("qi_nation", "qi_bal"))
+      .withColumn("risky", col("k_pop") < 5)
+  }
+
+  /** Kendall's coefficient of concordance W (Kendall & Babington Smith
+    * 1939) across the first three lineitem "raters" scoring each
+    * complete order by quantity — the do-the-raters-agree statistic for
+    * ORDINAL ratings, where Fleiss/kappa (nominal) discard the order.
+    * Midrank ties ride the DOUBLED-rank integer grid
+    * (`2·midrank = 2·rank_min + t − 1`, computed from each rater's
+    * 50-value quantity HISTOGRAM — never a corpus-length ranking
+    * window), the spread `S' = Σ(R'ᵢ − m(n+1))²` and the tie terms
+    * `ΣΣ(t³−t)` assemble in DECIMAL(38), and the closing
+    * `W = 3S' / (m²(n³−n) − m·ΣT)` is one fixed-order double division.
+    */
+  val labelKendallW: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val m = 3
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_linenumber") <= m)
+      .select(col("l_orderkey"), col("l_linenumber").as("__rater"),
+        col("l_quantity").cast("long").as("__q"))
+    // complete design: orders rated exactly once by each of the m raters
+    val complete = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("__c"), countDistinct(col("__rater")).as("__nr"))
+      .filter(col("__c") === m && col("__nr") === m)
+      .select("l_orderkey")
+    val rated = li.join(complete, Seq("l_orderkey"), "left_semi")
+      .localCheckpoint(true)
+    val hist = rated.groupBy("__rater", "__q").agg(count(lit(1)).as("__t"))
+    val wH = Window.partitionBy("__rater").orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mid2 = hist
+      .withColumn("__cb", coalesce(sum(col("__t")).over(wH), lit(0L)))
+      .select(col("__rater"), col("__q"),
+        (lit(2L) * col("__cb") + col("__t") + 1L).as("__mid2"))
+    val items = rated.join(broadcast(mid2), Seq("__rater", "__q"))
+      .groupBy("l_orderkey").agg(sum(col("__mid2")).as("__r2"))
+      .localCheckpoint(true)
+    val ties = hist
+      .agg(sum(col("__t").cast(d38) * col("__t") * col("__t") - col("__t"))
+        .cast(d38).as("__st"))
+    items.crossJoin(broadcast(ties))
+      .agg(
+        count(lit(1)).as("n_items"),
+        max(col("__st")).as("__stm"),
+        sum(col("__r2").cast(d38) * col("__r2")).cast(d38).as("__sr2"),
+        sum(col("__r2").cast(d38)).cast(d38).as("__sr"))
+      .select(col("n_items"),
+        // S' = Σ R'² − (Σ R')²/n  computed division-free as
+        // n·ΣR'² − (ΣR')², over the common n: W multiplies through
+        (col("n_items").cast(d38) * col("__sr2") - col("__sr") * col("__sr"))
+          .cast(d38).as("__ns"),
+        col("__stm"))
+      .select(col("n_items"),
+        col("__ns").cast("double").as("s_scaled_num"),
+        // W = 3·(nS')/n / (m²(n³−n) − mΣT)  with S' = __ns/n:
+        // = 3·__ns / (n·(m²(n³−n) − m·ΣT)) — one fixed-order chain
+        (lit(3.0) * col("__ns").cast("double")
+          / (col("n_items").cast("double")
+            * (lit(1.0 * m * m) * (col("n_items").cast("double")
+              * col("n_items").cast("double") * col("n_items").cast("double")
+              - col("n_items").cast("double"))
+              - lit(1.0 * m) * col("__stm").cast("double")))).as("kendall_w"))
+  }
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "funnel_latency" -> funnelLatency,
@@ -5295,6 +5384,8 @@ object RelationalQueries {
     "events_user_entropy" -> eventsUserEntropy,
     "drift_ks" -> driftKs,
     "orders_hill_tail" -> ordersHillTail,
+    "privacy_kmap" -> privacyKmap,
+    "label_kendall_w" -> labelKendallW,
     "lineage_hash_chain" -> lineageHashChain,
     "orders_newsvendor" -> ordersNewsvendor,
     "lineitem_bullwhip" -> lineitemBullwhip,
@@ -6898,6 +6989,55 @@ object RelationalQueries {
         |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks_d
         |FROM cum, tot
         |GROUP BY na, nb""".stripMargin,
+    "privacy_kmap" ->
+      // released-slice combos scored by POPULATION count — the k-map
+      // linkage risk the within-sample k-anonymity report understates
+      """WITH qi AS (
+        |  SELECT c_mktsegment, c_nationkey AS qi_nation,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS qi_bal
+        |  FROM customer),
+        |pop AS (SELECT qi_nation, qi_bal, count(*) AS k_pop
+        |        FROM qi GROUP BY 1, 2),
+        |samp AS (SELECT qi_nation, qi_bal, count(*) AS n_sample
+        |         FROM qi WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2)
+        |SELECT samp.qi_nation, samp.qi_bal, n_sample, k_pop,
+        |  k_pop < 5 AS risky
+        |FROM samp JOIN pop USING (qi_nation, qi_bal)""".stripMargin,
+    "label_kendall_w" ->
+      // doubled midranks off each rater's 50-value quantity histogram
+      // (2*cum_before + t + 1), HUGEINT sufficient statistics, the
+      // single closing fixed-order double division
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber AS rater,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem WHERE l_linenumber <= 3),
+        |complete AS (
+        |  SELECT l_orderkey FROM li GROUP BY 1
+        |  HAVING count(*) = 3 AND count(DISTINCT rater) = 3),
+        |rated AS (SELECT li.* FROM li JOIN complete USING (l_orderkey)),
+        |h AS (SELECT rater, q, count(*) AS t FROM rated GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT rater, q,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY rater ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS mid2
+        |  FROM h),
+        |items AS (
+        |  SELECT l_orderkey, CAST(SUM(mid2) AS BIGINT) AS r2
+        |  FROM rated JOIN m2 USING (rater, q) GROUP BY 1),
+        |ties AS (SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS st FROM h),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        SUM(CAST(r2 AS HUGEINT) * r2) AS sr2,
+        |        SUM(CAST(r2 AS HUGEINT)) AS sr
+        |      FROM items)
+        |SELECT n AS n_items,
+        |  CAST(CAST(n AS HUGEINT) * sr2 - sr * sr AS DOUBLE) AS s_scaled_num,
+        |  3.0 * CAST(CAST(n AS HUGEINT) * sr2 - sr * sr AS DOUBLE)
+        |    / (CAST(n AS DOUBLE)
+        |      * (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          - CAST(n AS DOUBLE))
+        |        - 3.0 * CAST(st AS DOUBLE))) AS kendall_w
+        |FROM s, ties""".stripMargin,
     "orders_hill_tail" ->
       // top-200 under the total order (grid-ln desc, key asc); excess sum
       // in exact longs; one integer division onto the 2^20 grid
