@@ -837,12 +837,23 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 20,
       singleTaskLimit: Long = SingleTaskEdgeLimit): DataFrame = {
+    // Pin the PAIRS first: the symmetric union below consumes the input
+    // plan TWICE, and without this pin the whole upstream pair
+    // generation (an LSH bucket join, the prefix-join candidate+verify
+    // stages, ...) executes once per branch — measured in round 11 as
+    // pipeline_exact_dedup running 80 s at sf1 while its standalone
+    // prefix-join core ran 56 s (partial exchange reuse hid the rest).
+    // Pairs are cluster-graph-sized, so the extra materialization is
+    // noise next to one re-execution of the generator.
+    val p = pairs
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+      .localCheckpoint(true)
     // Checkpoint the symmetric edge list ONCE: both regimes read it more
-    // than once, and without materialization every read re-executes the
-    // whole upstream pair-generation plan (e.g. the LSH bucket join).
-    val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    // than once, and without materialization every read re-executes its
+    // upstream plan.
+    val edges = p
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     if (edges.count() <= singleTaskLimit) {
       val sp = pairs.sparkSession

@@ -5290,6 +5290,131 @@ object RelationalQueries {
               - lit(1.0 * m) * col("__stm").cast("double")))).as("kendall_w"))
   }
 
+  // ——— wave 41: Cohen's d, weighted kappa, Ljung–Box ———
+
+  /** Cohen's d between the [[abAssign]] arms on per-user spend — the
+    * PARAMETRIC effect size next to [[abCliffsDelta]]'s ordinal one
+    * (report both: d for power planning, δ for heavy-tail honesty).
+    * Sufficient statistics ride DECIMAL(38) cents; means, pooled
+    * variance and d close through ONE fixed-order IEEE chain mirrored
+    * verbatim by the oracle.
+    */
+  val abCohensD: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val per = Tables.eventsDf(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("__arm",
+        graft.ops.Sampling.splitColumn(
+          col("user_id"), Seq("A" -> 0.5, "B" -> 0.5), salt = "exp1"))
+      .groupBy(col("user_id"), col("__arm"))
+      .agg(sum(floor(col("value") * 100.0).cast("long")).as("__x"))
+    val s = per.groupBy("__arm")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(d38)).cast(d38).as("__s"),
+        sum(col("__x").cast(d38) * col("__x")).cast(d38).as("__s2"))
+    val a = s.filter(col("__arm") === "A")
+      .select(col("__n").as("n_a"), col("__s").as("__sa"), col("__s2").as("__sa2"))
+    val b = s.filter(col("__arm") === "B")
+      .select(col("__n").as("n_b"), col("__s").as("__sb"), col("__s2").as("__sb2"))
+    a.crossJoin(broadcast(b))
+      .withColumn("__va",
+        (col("n_a").cast(d38) * col("__sa2") - col("__sa") * col("__sa"))
+          .cast("double")
+          / (col("n_a").cast("double") * (col("n_a") - 1).cast("double")))
+      .withColumn("__vb",
+        (col("n_b").cast(d38) * col("__sb2") - col("__sb") * col("__sb"))
+          .cast("double")
+          / (col("n_b").cast("double") * (col("n_b") - 1).cast("double")))
+      .withColumn("mean_a", col("__sa").cast("double") / col("n_a").cast("double"))
+      .withColumn("mean_b", col("__sb").cast("double") / col("n_b").cast("double"))
+      .withColumn("cohens_d",
+        (col("mean_a") - col("mean_b"))
+          / sqrt(((col("n_a") - 1).cast("double") * col("__va")
+            + (col("n_b") - 1).cast("double") * col("__vb"))
+            / (col("n_a") + col("n_b") - 2).cast("double")))
+      .select("n_a", "n_b", "mean_a", "mean_b", "cohens_d")
+  }
+
+  /** Linear-weighted Cohen's kappa between the first two lineitem raters
+    * on quantity DECILES — the ordinal-label agreement score where plain
+    * kappa ([[labelKappa]]) throws away nearness (a 3-vs-4 disagreement
+    * should cost less than 0-vs-4). With linear weights the whole
+    * statistic reduces to `κ_w = 1 − n·D_obs / D_exp` over the INTEGER
+    * disagreement moments `D_obs = Σ|i−j|·O_ij` (long) and
+    * `D_exp = Σ|i−j|·r_i·c_j` (DECIMAL(38)) — one closing division, no
+    * per-cell ratios. Confusion-matrix-sized work after one item join.
+    */
+  val labelWeightedKappa: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val li = t(spark, dir, "lineitem")
+    def rater(ln: Int, out: String) =
+      li.filter(col("l_linenumber") === ln)
+        .select(col("l_orderkey"),
+          least(floor(col("l_quantity") / 10.0), lit(4.0)).cast("long").as(out))
+    val cells = rater(1, "__ia").join(rater(2, "__ib"), Seq("l_orderkey"))
+      .groupBy("__ia", "__ib").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val tot = cells.agg(sum(col("__c")).as("n_items"),
+      sum(abs(col("__ia") - col("__ib")) * col("__c")).as("d_obs"))
+    val exp = cells.groupBy("__ia").agg(sum(col("__c")).as("__r"))
+      .crossJoin(cells.groupBy("__ib").agg(sum(col("__c")).as("__cc")))
+      .agg(sum(abs(col("__ia") - col("__ib")).cast(d38)
+        * col("__r").cast(d38) * col("__cc").cast(d38)).cast(d38).as("__de"))
+    tot.crossJoin(broadcast(exp))
+      .select(col("n_items"), col("d_obs"),
+        col("__de").cast("double").as("d_exp"),
+        (lit(1.0) - (col("n_items").cast(d38) * col("d_obs").cast(d38))
+          .cast("double") / col("__de").cast("double")).as("kappa_w"))
+  }
+
+  /** Ljung–Box portmanteau test on daily arrivals per event type (lags
+    * 1–5): `Q = n(n+2)·Σ ρ̂ₖ²/(n−k)` — "is this series white noise",
+    * the standard residual-autocorrelation gate before trusting a
+    * forecast like [[eventsForecast]]'s. Mean-centering stays integer by
+    * the CUSUM trick (`dev = n·c − S`), each lag's autocovariance is an
+    * exact DECIMAL(38) dot of shifted dev series (one horizon-sized
+    * self-join on day rank), each ρ̂ₖ² lands on the 2²⁰ grid through a
+    * fixed IEEE chain, and Q is an exact long multiple. Day-sized work
+    * per type after the one corpus collapse.
+    */
+  val eventsLjungBox: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+    val dev = daily
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("__d")))
+      .join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("__rn"), col("__n"),
+        (col("__n") * col("__c") - col("__s")).cast(d38).as("__dev"))
+      .localCheckpoint(true)
+    val den = dev.groupBy("event_type", "__n")
+      .agg(sum(col("__dev") * col("__dev")).cast(d38).as("__den"))
+    val lags = dev.select(col("event_type"), explode(sequence(lit(1), lit(5))).as("__k"),
+      col("__rn"), col("__dev"))
+    val num = lags.as("a")
+      .join(dev.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("b.__rn") === col("a.__rn") + col("a.__k"))
+      .groupBy(col("a.event_type").as("event_type"), col("a.__k").as("__k"))
+      .agg(sum(col("a.__dev") * col("b.__dev")).cast(d38).as("__num"))
+    num.join(broadcast(den), Seq("event_type"))
+      .filter(col("__n") > col("__k"))
+      .withColumn("__term",
+        floor((col("__num").cast("double") / col("__den").cast("double"))
+          * (col("__num").cast("double") / col("__den").cast("double"))
+          * 1048576.0 / (col("__n") - col("__k")).cast("double")).cast("long"))
+      .groupBy(col("event_type"), col("__n").as("n_days"))
+      .agg(sum(col("__term")).as("__sum"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * (col("n_days") + 2) * col("__sum")).as("q_grid"))
+      // χ²(5, 0.95) = 11.0705 → 11.0705·2²⁰ ≈ 11608445 on the Q grid
+      .withColumn("lb_reject", col("q_grid") > 11608445L)
+  }
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "funnel_latency" -> funnelLatency,
@@ -5386,6 +5511,9 @@ object RelationalQueries {
     "orders_hill_tail" -> ordersHillTail,
     "privacy_kmap" -> privacyKmap,
     "label_kendall_w" -> labelKendallW,
+    "ab_cohens_d" -> abCohensD,
+    "label_weighted_kappa" -> labelWeightedKappa,
+    "events_ljung_box" -> eventsLjungBox,
     "lineage_hash_chain" -> lineageHashChain,
     "orders_newsvendor" -> ordersNewsvendor,
     "lineitem_bullwhip" -> lineitemBullwhip,
@@ -6989,6 +7117,86 @@ object RelationalQueries {
         |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks_d
         |FROM cum, tot
         |GROUP BY na, nb""".stripMargin,
+    "ab_cohens_d" ->
+      // the ab_assign arms on per-user spend; HUGEINT sufficient
+      // statistics, one fixed-order IEEE chain for means/variances/d
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CASE WHEN substring(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8)
+        |           < '80000000' THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |        SUM(CAST(x AS HUGEINT)) AS sx,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sx2
+        |      FROM per GROUP BY 1),
+        |a AS (SELECT n AS n_a, sx AS sa, sx2 AS sa2 FROM s WHERE arm = 'A'),
+        |b AS (SELECT n AS n_b, sx AS sb, sx2 AS sb2 FROM s WHERE arm = 'B')
+        |SELECT n_a, n_b,
+        |  CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |  CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |  (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / sqrt((CAST(n_a - 1 AS DOUBLE)
+        |        * (CAST(CAST(n_a AS HUGEINT) * sa2 - sa * sa AS DOUBLE)
+        |          / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)))
+        |      + CAST(n_b - 1 AS DOUBLE)
+        |        * (CAST(CAST(n_b AS HUGEINT) * sb2 - sb * sb AS DOUBLE)
+        |          / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))))
+        |    / CAST(n_a + n_b - 2 AS DOUBLE)) AS cohens_d
+        |FROM a, b""".stripMargin,
+    "label_weighted_kappa" ->
+      // linear weights reduce to the integer disagreement moments:
+      // kappa_w = 1 - n*D_obs / D_exp, one closing division
+      """WITH r1 AS (
+        |  SELECT l_orderkey,
+        |    CAST(least(floor(l_quantity / 10.0), 4.0) AS BIGINT) AS ia
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |r2 AS (
+        |  SELECT l_orderkey,
+        |    CAST(least(floor(l_quantity / 10.0), 4.0) AS BIGINT) AS ib
+        |  FROM lineitem WHERE l_linenumber = 2),
+        |cells AS (SELECT ia, ib, count(*) AS c
+        |          FROM r1 JOIN r2 USING (l_orderkey) GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_items,
+        |          CAST(SUM(abs(ia - ib) * c) AS BIGINT) AS d_obs FROM cells),
+        |ex AS (SELECT SUM(CAST(abs(r.ia - c2.ib) AS HUGEINT) * r.rr * c2.nc) AS de
+        |       FROM (SELECT ia, CAST(SUM(c) AS BIGINT) AS rr FROM cells GROUP BY 1) r
+        |       CROSS JOIN (SELECT ib, CAST(SUM(c) AS BIGINT) AS nc
+        |                   FROM cells GROUP BY 1) c2)
+        |SELECT n_items, d_obs, CAST(de AS DOUBLE) AS d_exp,
+        |  1.0 - CAST(CAST(n_items AS HUGEINT) * d_obs AS DOUBLE)
+        |    / CAST(de AS DOUBLE) AS kappa_w
+        |FROM tot, ex""".stripMargin,
+    "events_ljung_box" ->
+      // integer mean-centering (dev = n*c - S), HUGEINT lag dots, per-lag
+      // rho^2 onto the 2^20 grid through the identical IEEE chain, Q an
+      // exact long multiple; chi2(5, .95)*2^20 ~ 11608445
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS s,
+        |          CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT daily.event_type,
+        |    CAST(row_number() OVER (PARTITION BY daily.event_type ORDER BY d)
+        |      AS BIGINT) AS rn,
+        |    tot.n, CAST(tot.n * daily.c - tot.s AS HUGEINT) AS dv
+        |  FROM daily JOIN tot USING (event_type)),
+        |den AS (SELECT event_type, n, SUM(dv * dv) AS den FROM dev GROUP BY 1, 2),
+        |num AS (SELECT a.event_type, k.k, SUM(a.dv * b.dv) AS num
+        |        FROM dev a CROSS JOIN range(1, 6) k(k)
+        |        JOIN dev b ON b.event_type = a.event_type AND b.rn = a.rn + k.k
+        |        GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT num.event_type, den.n,
+        |    CAST(floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |      * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |      * 1048576.0 / CAST(den.n - num.k AS DOUBLE)) AS BIGINT) AS term
+        |  FROM num JOIN den USING (event_type) WHERE den.n > num.k)
+        |SELECT event_type, n AS n_days,
+        |  CAST(n * (n + 2) * SUM(term) AS BIGINT) AS q_grid,
+        |  n * (n + 2) * SUM(term) > 11608445 AS lb_reject
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     "privacy_kmap" ->
       // released-slice combos scored by POPULATION count — the k-map
       // linkage risk the within-sample k-anonymity report understates
