@@ -5415,6 +5415,93 @@ object RelationalQueries {
       .withColumn("lb_reject", col("q_grid") > 11608445L)
   }
 
+  // ——— wave 42: OTIF, rich club, freshness SLA ———
+
+  /** On-time rate per supplier (the supply-chain delivery KPI): share of
+    * lineitems shipped within the declared 60-day SLA of their order
+    * date, as an exact ppm ratio plus the raw counts — the vendor
+    * scorecard feeding [[ordersSafetyStock]]-style buffers (the fixture
+    * has no commit date, so the SLA is a declared constant). One
+    * broadcast-sized date join, one supplier-keyed aggregate, integer
+    * ppm (no ratio divides until the single closing DIV).
+    */
+  val supplierOtif: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(datediff(col("l_shipdate"), col("o_orderdate")) <= 60,
+          1L).otherwise(0L)).as("n_on_time"))
+      .withColumn("otif_ppm", expr("(n_on_time * 1000000) DIV n_lines"))
+      .withColumn("meets_95", col("otif_ppm") >= 950000L)
+
+  /** Rich-club coefficient of the order–part graph at degree thresholds
+    * 2/4/8/16 (Zhou & Mondragón 2004): among nodes of degree > k, the
+    * realized fraction of possible edges — "do the hubs preferentially
+    * interconnect", the topology read behind influence concentration and
+    * router-core analysis. φ(k) stays an exact ppm:
+    * `2·E_k·10⁶ DIV (N_k·(N_k−1))`. Degrees come from one edge
+    * aggregate; each threshold is one semi-joined edge count — edge-sized
+    * work per threshold, no enumeration of possible pairs.
+    */
+  val graphRichClub: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem").select(
+      (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
+    val e = li.select(col("o").as("u"), col("p").as("v")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+      .localCheckpoint(true)
+    import spark.implicits._
+    val ks = Seq(2L, 4L, 8L, 16L)
+    ks.map { k =>
+      val rich = deg.filter(col("__d") > k).select("node")
+      val nk = rich.count()
+      val ek = e
+        .join(rich.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(rich.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .count()
+      (k, nk, ek,
+        if (nk > 1) 2L * ek * 1000000L / (nk * (nk - 1)) else 0L)
+    }.toDF("k", "n_nodes", "n_edges", "phi_ppm")
+  }
+
+  /** Freshness audit per event type against the corpus watermark: minute-
+    * bucketed staleness (watermark − ts) percentiles p50/p95 plus the
+    * share within a 24 h SLA — the pipeline-latency health read, anchored
+    * to max(ts) so it is deterministic (never wall-clock). Percentiles
+    * come off the bounded minute-bucket histogram per type (the
+    * [[qualityMadOutliers]] prefix pattern — staleness buckets are
+    * horizon-bounded, never corpus-sized).
+    */
+  val qualityFreshness: Q = (spark, dir) => {
+    val ev = Tables.eventsDf(spark, dir)
+    val wm = ev.agg(max(unix_micros(col("ts"))).as("__wm"))
+    val hist = ev.crossJoin(broadcast(wm))
+      .select(col("event_type"),
+        expr("(__wm - unix_micros(ts)) DIV 60000000").as("__stale_min"))
+      .groupBy("event_type", "__stale_min").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val tot = hist.groupBy("event_type").agg(sum(col("__c")).as("__n"))
+    val w = Window.partitionBy("event_type").orderBy(col("__stale_min"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.join(broadcast(tot), Seq("event_type"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .localCheckpoint(true)
+    val p50 = cum.filter(col("__cum") * 2 >= col("__n"))
+      .groupBy("event_type").agg(min(col("__stale_min")).as("p50_stale_min"))
+    val p95 = cum.filter(col("__cum") * 20 >= col("__n") * 19)
+      .groupBy("event_type").agg(min(col("__stale_min")).as("p95_stale_min"))
+    val sla = hist.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"), col("__n").as("n_events"))
+      .agg(sum(when(col("__stale_min") <= 1440L, col("__c")).otherwise(0L))
+        .as("n_within_24h"))
+    sla.join(p50, Seq("event_type")).join(p95, Seq("event_type"))
+      .withColumn("sla_ppm", expr("(n_within_24h * 1000000) DIV n_events"))
+  }
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "funnel_latency" -> funnelLatency,
@@ -5514,6 +5601,9 @@ object RelationalQueries {
     "ab_cohens_d" -> abCohensD,
     "label_weighted_kappa" -> labelWeightedKappa,
     "events_ljung_box" -> eventsLjungBox,
+    "supplier_otif" -> supplierOtif,
+    "graph_rich_club" -> graphRichClub,
+    "quality_freshness" -> qualityFreshness,
     "lineage_hash_chain" -> lineageHashChain,
     "orders_newsvendor" -> ordersNewsvendor,
     "lineitem_bullwhip" -> lineitemBullwhip,
@@ -7117,6 +7207,68 @@ object RelationalQueries {
         |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks_d
         |FROM cum, tot
         |GROUP BY na, nb""".stripMargin,
+    "supplier_otif" ->
+      // on-time per supplier vs the 60-day SLA from the order date,
+      // exact ppm (// ≡ DIV, nonneg); datediff ≡ date subtraction
+      """SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_on_time,
+        |  (CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // count(*) AS otif_ppm,
+        |  (CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // count(*) >= 950000 AS meets_95
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "graph_rich_club" ->
+      // degrees once, per-threshold semi-joined edge count, exact ppm;
+      // empty clubs keep their zero row via the ks LEFT JOIN
+      """WITH li AS (SELECT l_orderkey * 2 AS o, l_partkey * 2 + 1 AS p
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT o AS u, p AS v FROM li),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |         (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k),
+        |rich AS (SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k),
+        |nk AS (SELECT ks.k, CAST(COUNT(rich.node) AS BIGINT) AS n_nodes
+        |       FROM ks LEFT JOIN rich USING (k) GROUP BY 1),
+        |ek AS (SELECT ru.k, CAST(count(*) AS BIGINT) AS n_edges
+        |       FROM e JOIN rich ru ON ru.node = e.u
+        |       JOIN rich rv ON rv.node = e.v AND rv.k = ru.k
+        |       GROUP BY 1)
+        |SELECT nk.k, nk.n_nodes, CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN nk.n_nodes > 1
+        |    THEN (2 * COALESCE(ek.n_edges, 0) * 1000000)
+        |      // (nk.n_nodes * (nk.n_nodes - 1))
+        |    ELSE 0 END AS phi_ppm
+        |FROM nk LEFT JOIN ek USING (k)""".stripMargin,
+    "quality_freshness" ->
+      // minute-bucketed staleness vs the corpus watermark; percentile
+      // picks off the bounded per-type histogram prefix
+      """WITH wm AS (SELECT MAX(epoch_us(ts)) AS wm FROM events),
+        |h AS (SELECT event_type, (wm - epoch_us(ts)) // 60000000 AS sm,
+        |        count(*) AS c
+        |      FROM events, wm GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT h.event_type, sm, c, n,
+        |    CAST(sum(c) OVER (PARTITION BY h.event_type ORDER BY sm
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM h JOIN tot USING (event_type)),
+        |p50 AS (SELECT event_type, CAST(MIN(sm) AS BIGINT) AS p50_stale_min
+        |        FROM cum WHERE cum * 2 >= n GROUP BY 1),
+        |p95 AS (SELECT event_type, CAST(MIN(sm) AS BIGINT) AS p95_stale_min
+        |        FROM cum WHERE cum * 20 >= n * 19 GROUP BY 1),
+        |sla AS (SELECT h.event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |          CAST(SUM(CASE WHEN sm <= 1440 THEN c ELSE 0 END) AS BIGINT)
+        |            AS n_within_24h
+        |        FROM h JOIN tot USING (event_type) GROUP BY 1)
+        |SELECT event_type, n_events, n_within_24h, p50_stale_min, p95_stale_min,
+        |  (n_within_24h * 1000000) // n_events AS sla_ppm
+        |FROM sla JOIN p50 USING (event_type) JOIN p95 USING (event_type)"""
+        .stripMargin,
     "ab_cohens_d" ->
       // the ab_assign arms on per-user spend; HUGEINT sufficient
       // statistics, one fixed-order IEEE chain for means/variances/d
