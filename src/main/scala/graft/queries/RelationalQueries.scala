@@ -5502,6 +5502,92 @@ object RelationalQueries {
       .withColumn("sla_ppm", expr("(n_within_24h * 1000000) DIV n_events"))
   }
 
+  // ——— wave 43: Shewhart control chart, Gwet's AC1 ———
+
+  /** Shewhart c-chart on daily arrivals per event type: center line and
+    * ±3σ control limits from the type's own history (for counts,
+    * σ = √c̄ — the Poisson c-chart), each day flagged OUT OF CONTROL by
+    * an integer-grid compare (`c·n vs limit_grid` cross-multiplied so no
+    * per-day ratio divides) — the SPC monitor that pages before a drift
+    * test would. Day-sized output; one corpus collapse, one broadcast of
+    * the per-type stats.
+    */
+  val eventsControlChart: Q = (spark, dir) => {
+    val daily = Tables.eventsDf(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val stats = daily.groupBy("event_type")
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+      // c-chart limits on the 2^20 grid: (s/n ± 3*sqrt(s/n)) * n stays
+      // division-free as s ± 3*sqrt(s*n) after multiplying through by n
+      .withColumn("__ucl_grid",
+        floor((col("__s").cast("double")
+          + lit(3.0) * sqrt(col("__s").cast("double") * col("__n").cast("double")))
+          * 1048576.0).cast("long"))
+      .withColumn("__lcl_grid",
+        greatest(lit(0L),
+          floor((col("__s").cast("double")
+            - lit(3.0) * sqrt(col("__s").cast("double") * col("__n").cast("double")))
+            * 1048576.0).cast("long")))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"),
+        date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("__c").as("n_events"),
+        col("__n").as("n_days"),
+        (col("__c") * col("__n") * 1048576L > col("__ucl_grid")).as("above_ucl"),
+        (col("__c") * col("__n") * 1048576L < col("__lcl_grid")).as("below_lcl"))
+      .withColumn("out_of_control", col("above_ucl") || col("below_lcl"))
+  }
+
+  /** Gwet's AC1 between the first two lineitem raters on quantity
+    * deciles (Gwet 2008) — the chance-corrected agreement that stays
+    * stable under skewed label prevalence, where Cohen's kappa
+    * ([[labelKappa]]) collapses (the "kappa paradox"). Chance agreement
+    * uses the MEAN marginals: `Pe = Σ π_q(1−π_q)/(Q−1)` with
+    * `π_q = (r_q + c_q)/2n` — assembled division-free as exact
+    * DECIMAL(38) numerators over the common denominator `4n²(Q−1)`;
+    * ONE closing double division for AC1. Confusion-matrix-sized work.
+    */
+  val labelGwetAc1: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val li = t(spark, dir, "lineitem")
+    def rater(ln: Int, out: String) =
+      li.filter(col("l_linenumber") === ln)
+        .select(col("l_orderkey"),
+          least(floor(col("l_quantity") / 10.0), lit(4.0)).cast("long").as(out))
+    val cells = rater(1, "__ia").join(rater(2, "__ib"), Seq("l_orderkey"))
+      .groupBy("__ia", "__ib").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val tot = cells.agg(sum(col("__c")).as("n_items"),
+      sum(when(col("__ia") === col("__ib"), col("__c")).otherwise(0L))
+        .as("n_agree"))
+    val marg = cells.groupBy(col("__ia").as("__q")).agg(sum(col("__c")).as("__r"))
+      .join(cells.groupBy(col("__ib").as("__q")).agg(sum(col("__c")).as("__cc")),
+        Seq("__q"), "full_outer")
+      .select(coalesce(col("__r"), lit(0L)).as("__r"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+      // Σ (r+c)·(2n−(r+c)) — the 4n²·π(1−π) numerator pieces
+      .crossJoin(broadcast(cells.agg(sum(col("__c")).as("__nn"))))
+      .agg(sum((col("__r") + col("__cc")).cast(d38)
+        * (lit(2L) * col("__nn") - col("__r") - col("__cc")).cast(d38))
+        .cast(d38).as("__pe_num"))
+    val q = cells.select(col("__ia").as("__q"))
+      .union(cells.select(col("__ib"))).distinct().count()
+    tot.crossJoin(broadcast(marg))
+      .select(col("n_items"), col("n_agree"),
+        // Pa = agree/n; Pe = pe_num / (4n²(Q−1)); AC1 = (Pa−Pe)/(1−Pe)
+        ((col("n_agree").cast("double") / col("n_items").cast("double")
+          - col("__pe_num").cast("double")
+            / (lit(4.0) * col("n_items").cast("double")
+              * col("n_items").cast("double") * lit((q - 1).toDouble)))
+          / (lit(1.0)
+            - col("__pe_num").cast("double")
+              / (lit(4.0) * col("n_items").cast("double")
+                * col("n_items").cast("double") * lit((q - 1).toDouble))))
+          .as("gwet_ac1"))
+  }
+
   val all: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "funnel_latency" -> funnelLatency,
@@ -5604,6 +5690,8 @@ object RelationalQueries {
     "supplier_otif" -> supplierOtif,
     "graph_rich_club" -> graphRichClub,
     "quality_freshness" -> qualityFreshness,
+    "events_control_chart" -> eventsControlChart,
+    "label_gwet_ac1" -> labelGwetAc1,
     "lineage_hash_chain" -> lineageHashChain,
     "orders_newsvendor" -> ordersNewsvendor,
     "lineitem_bullwhip" -> lineitemBullwhip,
@@ -7207,6 +7295,64 @@ object RelationalQueries {
         |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks_d
         |FROM cum, tot
         |GROUP BY na, nb""".stripMargin,
+    "events_control_chart" ->
+      // Poisson c-chart: grid limits s ± 3*sqrt(s*n), per-day verdicts by
+      // the cross-multiplied compare c*n*2^20 vs limit_grid
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(floor((CAST(SUM(c) AS DOUBLE)
+        |           + 3.0 * sqrt(CAST(SUM(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)))
+        |           * 1048576.0) AS BIGINT) AS ucl,
+        |         greatest(CAST(0 AS BIGINT), CAST(floor((CAST(SUM(c) AS DOUBLE)
+        |           - 3.0 * sqrt(CAST(SUM(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)))
+        |           * 1048576.0) AS BIGINT)) AS lcl
+        |       FROM daily GROUP BY 1)
+        |SELECT daily.event_type, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(c AS BIGINT) AS n_events, st.n AS n_days,
+        |  c * st.n * 1048576 > st.ucl AS above_ucl,
+        |  c * st.n * 1048576 < st.lcl AS below_lcl,
+        |  (c * st.n * 1048576 > st.ucl) OR (c * st.n * 1048576 < st.lcl)
+        |    AS out_of_control
+        |FROM daily JOIN st USING (event_type)""".stripMargin,
+    "label_gwet_ac1" ->
+      // mean-marginal chance agreement over the common denominator
+      // 4n^2(Q-1); HUGEINT numerator, one closing double division
+      """WITH r1 AS (
+        |  SELECT l_orderkey,
+        |    CAST(least(floor(l_quantity / 10.0), 4.0) AS BIGINT) AS ia
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |r2 AS (
+        |  SELECT l_orderkey,
+        |    CAST(least(floor(l_quantity / 10.0), 4.0) AS BIGINT) AS ib
+        |  FROM lineitem WHERE l_linenumber = 2),
+        |cells AS (SELECT ia, ib, count(*) AS c
+        |          FROM r1 JOIN r2 USING (l_orderkey) GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_items,
+        |          CAST(SUM(CASE WHEN ia = ib THEN c ELSE 0 END) AS BIGINT)
+        |            AS n_agree FROM cells),
+        |qn AS (SELECT CAST(count(*) AS BIGINT) AS q FROM
+        |        (SELECT ia AS v FROM cells UNION SELECT ib FROM cells)),
+        |marg AS (
+        |  SELECT COALESCE(r.rr, 0) AS rr, COALESCE(c2.nc, 0) AS nc
+        |  FROM (SELECT ia AS v, CAST(SUM(c) AS BIGINT) AS rr
+        |        FROM cells GROUP BY 1) r
+        |  FULL OUTER JOIN (SELECT ib AS v, CAST(SUM(c) AS BIGINT) AS nc
+        |                   FROM cells GROUP BY 1) c2 USING (v)),
+        |pe AS (SELECT SUM(CAST(rr + nc AS HUGEINT)
+        |         * (2 * (SELECT n_items FROM tot) - rr - nc)) AS pe_num
+        |       FROM marg)
+        |SELECT n_items, n_agree,
+        |  (CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE)
+        |    - CAST(pe_num AS DOUBLE)
+        |      / (4.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+        |        * CAST(q - 1 AS DOUBLE)))
+        |  / (1.0
+        |    - CAST(pe_num AS DOUBLE)
+        |      / (4.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+        |        * CAST(q - 1 AS DOUBLE))) AS gwet_ac1
+        |FROM tot, qn, pe""".stripMargin,
     "supplier_otif" ->
       // on-time per supplier vs the 60-day SLA from the order date,
       // exact ppm (// ≡ DIV, nonneg); datediff ≡ date subtraction
