@@ -747,11 +747,12 @@ object Graph {
         .join(lab.select(col("node").as("dst"), col("lab").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(concat_ws(",", array_sort(collect_list(col("__nl")))).as("__m"))
-      // each round consumes the previous colors twice (self + neighbor
-      // sides of the join) — the pin bounds lineage to one round
-      lab = lab.join(nb, Seq("node"))
+      // each round's colors are consumed twice by the NEXT round (self +
+      // neighbor sides of the join) — pin all but the final round, whose
+      // colors only the closing histogram reads once
+      val next = lab.join(nb, Seq("node"))
         .select(col("node"), md5(concat_ws("|", col("lab"), col("__m"))).as("lab"))
-        .localCheckpoint(true)
+      lab = if (i < rounds - 1) next.localCheckpoint(true) else next
       i += 1
     }
     lab.groupBy(col("lab").as("wl_color")).agg(count(lit(1)).as("n_nodes"))

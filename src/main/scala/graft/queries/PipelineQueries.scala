@@ -2719,17 +2719,15 @@ object PipelineQueries {
     * is a broadcast of a handful of rows, never a corpus operation.
     */
   val sourceOverlapMatrix: Q = (spark, dir) => {
-    val sigs = docs(spark, dir)
-      .filter(col("text").isNotNull)
-      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+    // REUSE the source_minhash query end-to-end: its (source, group_sig)
+    // output carries exactly the signature components this matrix
+    // compares, so the corpus pipeline exists once in the codebase and
+    // the pair join reads a source-count-sized frame. Pinned because the
+    // self-join consumes it twice (the duplicateClusters lesson).
+    val sigs = sourceMinhash(spark, dir)
       .select(col("source"),
-        TextOps.wordShinglesOfTokens(col("toks"), 3).as("shingles"))
-      .select(col("source"),
-        Dedup.minhashSignatureMd5(col("shingles"), 16)
-          .cast("array<bigint>").as("sig"))
-      .groupBy("source")
-      .agg(graft.functions.MinHashAggregator.groupSignature(col("sig"), 16)
-        .as("gs"))
+        split(col("group_sig"), ",").cast("array<bigint>").as("gs"))
+      .localCheckpoint(true)
     val comp = sigs.select(col("source"), posexplode(col("gs")).as(Seq("__j", "__v")))
     comp.toDF("source_a", "__j", "__va")
       .join(comp.toDF("source_b", "__j", "__vb"), Seq("__j"))
