@@ -84,18 +84,18 @@ object Bench {
       // build-once state the read-only parity queries measure against —
       // a bounded, cached, never-growing footprint, unlike the per-query
       // sessions whose checkpoints would otherwise accumulate)
-      // SPARK_GRAFT_BENCH_CONSUME=rows evaluates the plan AS WRITTEN
+      // Plan-as-written consumption is the DEFAULT as of round 12
       // (toRdd.count() — no column pruning from the consumer), closing
       // the r11 honesty finding: plain .count() lets Catalyst prune
       // output-only expensive columns (source_minhash measured 0.47 s
-      // while its signature pipeline really costs ~10 s). Default stays
-      // the legacy count() until the full re-baseline — every historical
-      // record carries count() semantics and per-slot comparability
-      // matters more than one round of nicer absolute numbers.
+      // counted vs ~11 s as written). The full registry was re-baselined
+      // under these semantics in r12 (BENCH_LOCAL.json; CHANGELOG note —
+      // per-slot history restarts at r12). SPARK_GRAFT_BENCH_CONSUME=count
+      // keeps the legacy consumer for comparisons against pre-r12 records.
       def consume(df: org.apache.spark.sql.DataFrame): Long =
-        if (sys.env.get("SPARK_GRAFT_BENCH_CONSUME").contains("rows"))
-          df.queryExecution.toRdd.count()
-        else df.count()
+        if (sys.env.get("SPARK_GRAFT_BENCH_CONSUME").contains("count"))
+          df.count()
+        else df.queryExecution.toRdd.count()
       if (warmup) {
         try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
         graft.queries.ParityQueries.releaseSessions()
@@ -176,27 +176,51 @@ object Bench {
     spark.stop()
   }
 
-  /** Per-query medians of the newest `BENCH_r*.json` in the working
-    * directory (the driver's per-round records) — the baseline the
-    * attribution pass compares against. Empty when none exists.
+  /** Previous-round per-query medians the attribution pass compares
+    * against: the newest `BENCH_r*.json` (the driver's per-round record)
+    * overlaid by the git-committed `BENCH_LOCAL.json` where both carry a
+    * slot. BENCH_LOCAL wins because it is COMPLETE (the bench writes the
+    * full per-query map there every run) while the driver file stores
+    * only a 2000-char truncated `tail` of stdout — round 11's 26.4 s
+    * `pipeline_exact_dedup` driver slot went unexonerated precisely
+    * because the old parser understood only the bench's own format and
+    * returned an empty previous-round map for driver files. Empty when
+    * neither record exists.
     */
-  private def latestRoundRecord(): Map[String, Double] = {
+  private[graft] def latestRoundRecord(): Map[String, Double] = {
+    def readText(f: java.io.File): String =
+      try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      catch { case _: Throwable => "" }
     val dir = new java.io.File(".")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val driver = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-    files.lastOption.map(f => parseQueries(
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
-      .getOrElse(Map.empty)
+      .lastOption.map(f => parseQueries(readText(f))).getOrElse(Map.empty)
+    val local = {
+      val f = new java.io.File("BENCH_LOCAL.json")
+      if (f.isFile) parseQueries(readText(f)) else Map.empty[String, Double]
+    }
+    driver ++ local
   }
 
-  /** Minimal parse of the `"queries":{"name":sec,…}` map out of a bench
-    * JSON line (no JSON library on the runtime classpath — the shape is
-    * machine-written by this object, so a regex is sound).
+  /** Per-query `name → seconds` out of EITHER bench-record shape (no JSON
+    * library on the runtime classpath — both shapes are machine-written,
+    * so regexes are sound):
+    *  - this object's own record: the `"queries":{"name":sec,…}` map;
+    *  - the driver's per-round record: `{n, rc, cpus, sf, tail, parsed}`
+    *    where `tail` is a truncated stdout fragment holding flat
+    *    `\"name\":sec` pairs (quotes escaped because tail is a JSON
+    *    string value; the leading pair is usually cut mid-number and is
+    *    skipped by the name-anchored regex).
+    * Non-query numeric keys a flat scan picks up (`n`, `rc`, `cpus`,
+    * `sf`, `value`, `calibration_sec`) are harmless: lookups are by
+    * registry query name.
     */
-  private def parseQueries(json: String): Map[String, Double] = {
-    val body = """"queries"\s*:\s*\{([^}]*)\}""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-    """"([A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+  private[graft] def parseQueries(json: String): Map[String, Double] = {
+    val pair = """\\?"([A-Za-z0-9_]+)\\?"\s*:\s*([0-9]+(?:\.[0-9]+)?(?:[Ee][+-]?[0-9]+)?)""".r
+    val own = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1))
+    val body = own.getOrElse(json)
+    pair.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 

@@ -855,6 +855,10 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    // p served only to feed the (eager) edges checkpoint above — release
+    // it now, matching the unpersist discipline edges/cand/labels follow,
+    // so no pair-sized block outlives the call.
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(p)
     if (edges.count() <= singleTaskLimit) {
       val sp = pairs.sparkSession
       import sp.implicits._

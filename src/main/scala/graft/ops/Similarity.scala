@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default cap on the query-set size of the ADC searches ([[pqTopK]],
+    * [[ivfPqSearch]]): those paths materialize one nsub×ksub double table
+    * per query on the DRIVER and broadcast the lot, so the query side must
+    * stay bounded — 4096 queries ≈ 4 MB of tables at the default 8×16
+    * geometry, far under any driver heap, while a corpus-sized query set
+    * would OOM it. Exceeding the cap throws (loudly, after probing only
+    * cap+1 rows); callers who know their |Q| and heap can raise it
+    * per-call.
+    */
+  val DefaultMaxAdcQueries: Int = 4096
+
   /** Σ aᵢ·bᵢ in double; inputs may be float arrays (cast exact).
     * Delegates to the codegen'd native expression — same sequential double
     * accumulation as the higher-order `zip_with`+`aggregate` form (bitwise
@@ -1045,19 +1056,33 @@ object Similarity {
     * search reads 8 bytes per candidate instead of 256. Returns
     * `(q_id, n_id, rank, adc_dist)`, self-matches excluded, ties broken
     * by id; the per-query top-k is WindowGroupLimit-bounded.
+    *
+    * CONTRACT: the query set is the SMALL, bounded side — its ADC tables
+    * live on the driver and broadcast (`maxQueries`, default
+    * [[Similarity.DefaultMaxAdcQueries]]; nsub·k doubles per query). A
+    * corpus-sized query set (e.g. PQ-accelerated all-pairs dedup) must
+    * NOT come through this API — it would OOM the driver — so the bound
+    * fails loudly, probing only `maxQueries + 1` rows to do it. Raise
+    * `maxQueries` deliberately when you know |Q| and the driver heap.
     */
   def pqTopK(
       index: PqIndex,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      topK: Int): DataFrame = {
+      topK: Int,
+      maxQueries: Int = DefaultMaxAdcQueries): DataFrame = {
     val sp = index.codes.sparkSession
     import sp.implicits._
     require(topK > 0, s"topK must be positive, got $topK")
     val sub = index.dim / index.nsub
     val qs = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect()
+      .as[(Long, Seq[Float])].limit(maxQueries + 1).collect()
+    require(qs.length <= maxQueries,
+      s"pqTopK: query set exceeds maxQueries=$maxQueries — per-query ADC " +
+        "tables are driver-resident by contract; route corpus-sized query " +
+        "sets through the banded dedup/LSH paths or raise maxQueries " +
+        "deliberately")
     val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qv) =>
       require(qv.length == index.dim, s"query dim ${qv.length} != index dim ${index.dim}")
       val t = Array.tabulate(index.nsub, index.k) { (s, c) =>
@@ -1125,6 +1150,11 @@ object Similarity {
   /** Search half of [[ivfPqTopK]] over PREBUILT indexes — build once,
     * search many (and the shape that lets a caller capture the fitted
     * literals for replay).
+    *
+    * Same bounded-query CONTRACT as [[pqTopK]]: per-query probe lists +
+    * ADC tables are driver-resident and broadcast, so the query set must
+    * stay ≤ `maxQueries` (fails loudly past the bound, probing only
+    * `maxQueries + 1` rows).
     */
   def ivfPqSearch(
       ivf: IvfIndex,
@@ -1133,7 +1163,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      maxQueries: Int = DefaultMaxAdcQueries): DataFrame = {
     val sp = queries.sparkSession
     import sp.implicits._
     require(k > 0, s"k must be positive, got $k")
@@ -1144,7 +1175,12 @@ object Similarity {
       .join(pq.codes.select(col("id").as("n_id"), col("codes")), Seq("n_id"))
       .localCheckpoint(true)
     val qs = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect()
+      .as[(Long, Seq[Float])].limit(maxQueries + 1).collect()
+    require(qs.length <= maxQueries,
+      s"ivfPqSearch: query set exceeds maxQueries=$maxQueries — per-query " +
+        "ADC tables are driver-resident by contract; route corpus-sized " +
+        "query sets through the banded dedup/LSH paths or raise maxQueries " +
+        "deliberately")
     val nprobeCapped = math.min(nprobe, ivf.centroids.length)
     val tables: Array[(Long, Array[Int], Array[Array[Double]])] = qs.map {
       case (qid, qv) =>

@@ -2742,8 +2742,12 @@ object PipelineQueries {
     * one boolean per rule + the conjunction verdict, ALL as cross-
     * multiplied integer compares so no ratio ever divides: word count in
     * [50, 100 000]; mean word length in [3, 10] (`3n ≤ Σlen ≤ 10n`); hash
-    * ratio ≤ 0.1 (`10·n# ≤ n`); ellipsis ratio ≤ 0.3 (`10·n… ≤ 3n`);
-    * alphabetic-word fraction ≥ 0.8 (`10·nα ≥ 8n`); ≥ 2 stopword hits
+    * SYMBOL ratio ≤ 0.1 (`10·n# ≤ n`); ellipsis SYMBOL ratio ≤ 0.1
+    * (`10·n… ≤ n` — Rae et al. put both symbols under the same 0.1
+    * symbol-to-word bar); fraction of LINES ending with an ellipsis
+    * ≤ 0.3 (`10·nℓ… ≤ 3·nℓ` — the rule the 0.3 threshold actually
+    * belongs to); alphabetic-word fraction ≥ 0.8 (`10·nα ≥ 8n`);
+    * ≥ 2 stopword hits
     * (the repo's 10-word en list). Distinct from [[textQuality]], which
     * emits raw features: this is the named industry FILTER with its
     * verdicts, the thing a curation run actually branches on. Pure
@@ -2763,6 +2767,9 @@ object PipelineQueries {
         ((length(col("text"))
           - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
           .cast("long").as("n_ellipsis"),
+        size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+        size(filter(split(col("text"), "\n", -1),
+          l => endswith(rtrim(l), lit("...")))).cast("long").as("n_ell_lines"),
         size(filter(col("__ws"), w => w.rlike("[a-z]"))).cast("long")
           .as("n_alpha_words"),
         size(filter(col("__ws"), w => w.isin("the", "of", "and", "to", "in",
@@ -2774,13 +2781,16 @@ object PipelineQueries {
           && col("sum_wlen") <= lit(10L) * col("n_words"))
       .withColumn("r_hash_ratio", lit(10L) * col("n_hash") <= col("n_words"))
       .withColumn("r_ellipsis_ratio",
-        lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_words"))
+        lit(10L) * col("n_ellipsis") <= col("n_words"))
+      .withColumn("r_ellipsis_lines",
+        lit(10L) * col("n_ell_lines") <= lit(3L) * col("n_lines"))
       .withColumn("r_alpha_frac",
         lit(10L) * col("n_alpha_words") >= lit(8L) * col("n_words"))
       .withColumn("r_stopwords", col("n_stop") >= 2L)
       .withColumn("gopher_pass",
         col("r_word_count") && col("r_mean_wlen") && col("r_hash_ratio")
-          && col("r_ellipsis_ratio") && col("r_alpha_frac") && col("r_stopwords"))
+          && col("r_ellipsis_ratio") && col("r_ellipsis_lines")
+          && col("r_alpha_frac") && col("r_stopwords"))
 
   /** Collision audit of the 512-dim hashing trick [[vectorizeHashtf]]
     * rides on: how many DISTINCT vocabulary terms share each hashed
@@ -4095,24 +4105,30 @@ object PipelineQueries {
          |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
          |    CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g')))
          |      // 3 AS BIGINT) AS n_ellipsis,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS n_ell_lines,
          |    CAST(len(list_filter($wordsSql, w -> regexp_matches(w, '[a-z]')))
          |      AS BIGINT) AS n_alpha_words,
          |    CAST(len(list_filter($wordsSql, w -> list_contains($enStopSql, w)))
          |      AS BIGINT) AS n_stop
          |  FROM documents WHERE text IS NOT NULL)
-         |SELECT doc_id, n_words, sum_wlen, n_hash, n_ellipsis, n_alpha_words, n_stop,
+         |SELECT doc_id, n_words, sum_wlen, n_hash, n_ellipsis, n_lines,
+         |  n_ell_lines, n_alpha_words, n_stop,
          |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
          |  (n_words > 0 AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
          |    AS r_mean_wlen,
          |  (10 * n_hash <= n_words) AS r_hash_ratio,
-         |  (10 * n_ellipsis <= 3 * n_words) AS r_ellipsis_ratio,
+         |  (10 * n_ellipsis <= n_words) AS r_ellipsis_ratio,
+         |  (10 * n_ell_lines <= 3 * n_lines) AS r_ellipsis_lines,
          |  (10 * n_alpha_words >= 8 * n_words) AS r_alpha_frac,
          |  (n_stop >= 2) AS r_stopwords,
          |  ((n_words >= 50 AND n_words <= 100000)
          |    AND (n_words > 0 AND 3 * n_words <= sum_wlen
          |         AND sum_wlen <= 10 * n_words)
          |    AND (10 * n_hash <= n_words)
-         |    AND (10 * n_ellipsis <= 3 * n_words)
+         |    AND (10 * n_ellipsis <= n_words)
+         |    AND (10 * n_ell_lines <= 3 * n_lines)
          |    AND (10 * n_alpha_words >= 8 * n_words)
          |    AND (n_stop >= 2)) AS gopher_pass
          |FROM f""".stripMargin,

@@ -4852,9 +4852,16 @@ object RelationalQueries {
     * the gap over the whole distribution (diffuse shifts KS under-powers).
     * Same merged-grid-histogram + distributed-prefix-sum motion as
     * drift_ks; the per-value cross-multiplied gap `cuma·nb − cumb·na`
-    * squares and sums weighted by pooled multiplicity in DECIMAL(38,0)
-    * (exact — max ~na²·nb²·N ≪ 10³⁸ at sf1), ONE final fixed-order double
-    * division: T = U / (na·nb·N²).
+    * squares and sums weighted by pooled multiplicity in DECIMAL(38,0),
+    * ONE final fixed-order double division: T = U / (na·nb·N²).
+    *
+    * Exactness contract (enforced, not assumed): the accumulator is
+    * bounded by `na²·nb²·(na+nb)`, which must stay < 10³⁸ for
+    * DECIMAL(38,0) to hold it — true through ~sf30 (na≈nb≈N/2 ⇒
+    * N ≲ 7·10⁷ pooled rows) and `require`d at plan-build time from the
+    * sample sizes (a 1-row aggregate the stat needs anyway), because
+    * past the bound non-ANSI Spark would return a silent NULL while
+    * DuckDB HUGEINT raises — the engines must fail the same way, loudly.
     */
   val driftCvm: Q = (spark, dir) => {
     val d38 = DecimalType(38, 0)
@@ -4870,21 +4877,28 @@ object RelationalQueries {
     val pinned = merged.localCheckpoint(false)
     val cum = graft.ops.Ranks.runningSums(
       pinned, "__v", Seq("__ca" -> "__cuma", "__cb" -> "__cumb"))
-    val tot = pinned.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
-    cum.crossJoin(broadcast(tot))
+    val totRow = pinned
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb")).head()
+    val na = totRow.getLong(0)
+    val nb = totRow.getLong(1)
+    require(
+      BigInt(na).pow(2) * BigInt(nb).pow(2) * BigInt(na + nb)
+        < BigInt(10).pow(38),
+      s"driftCvm: na^2*nb^2*(na+nb) exceeds DECIMAL(38,0) at na=$na nb=$nb " +
+        "— the exact accumulator would overflow (Spark NULLs, DuckDB raises); " +
+        "rescale the grid or subsample before computing CvM at this size")
+    cum
       .withColumn("__d",
-        col("__cuma").cast(d38) * col("__nb").cast(d38)
-          - col("__cumb").cast(d38) * col("__na").cast(d38))
+        col("__cuma").cast(d38) * lit(nb).cast(d38)
+          - col("__cumb").cast(d38) * lit(na).cast(d38))
       .agg(
-        max(col("__na")).as("n_a"),
-        max(col("__nb")).as("n_b"),
         sum((col("__ca") + col("__cb")).cast(d38) * col("__d") * col("__d"))
           .cast(d38).as("__u"))
-      .select(col("n_a"), col("n_b"),
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
         (col("__u").cast("double")
-          / (col("n_a").cast("double") * col("n_b").cast("double")
-            * ((col("n_a") + col("n_b")).cast("double")
-              * (col("n_a") + col("n_b")).cast("double")))).as("cvm_t"))
+          / (lit(na).cast("double") * lit(nb).cast("double")
+            * (lit(na + nb).cast("double")
+              * lit(na + nb).cast("double")))).as("cvm_t"))
   }
 
   /** Cramér's V between event type and ISO weekday — the normalized-χ²
@@ -5520,14 +5534,17 @@ object RelationalQueries {
     val stats = daily.groupBy("event_type")
       .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
       // c-chart limits on the 2^20 grid: (s/n ± 3*sqrt(s/n)) * n stays
-      // division-free as s ± 3*sqrt(s*n) after multiplying through by n
+      // division-free as s ± 3*sqrt(s*n) after multiplying through by n.
+      // UCL floors (integer LHS, strict >: floor is exact); LCL must CEIL —
+      // with floor, a day sitting exactly at floor(lcl·2^20) when lcl·2^20
+      // is fractional is truly below the limit but strict < misses it.
       .withColumn("__ucl_grid",
         floor((col("__s").cast("double")
           + lit(3.0) * sqrt(col("__s").cast("double") * col("__n").cast("double")))
           * 1048576.0).cast("long"))
       .withColumn("__lcl_grid",
         greatest(lit(0L),
-          floor((col("__s").cast("double")
+          ceil((col("__s").cast("double")
             - lit(3.0) * sqrt(col("__s").cast("double") * col("__n").cast("double")))
             * 1048576.0).cast("long")))
     daily.join(broadcast(stats), Seq("event_type"))
@@ -7305,7 +7322,7 @@ object RelationalQueries {
         |         CAST(floor((CAST(SUM(c) AS DOUBLE)
         |           + 3.0 * sqrt(CAST(SUM(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)))
         |           * 1048576.0) AS BIGINT) AS ucl,
-        |         greatest(CAST(0 AS BIGINT), CAST(floor((CAST(SUM(c) AS DOUBLE)
+        |         greatest(CAST(0 AS BIGINT), CAST(ceil((CAST(SUM(c) AS DOUBLE)
         |           - 3.0 * sqrt(CAST(SUM(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)))
         |           * 1048576.0) AS BIGINT)) AS lcl
         |       FROM daily GROUP BY 1)

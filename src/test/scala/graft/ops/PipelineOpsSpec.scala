@@ -450,6 +450,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top3.sliding(2).forall(p => p(0)._4 <= p(1)._4))
   }
 
+  test("pq/ivfpq ADC: corpus-sized query sets refuse loudly (driver contract)") {
+    // per-query ADC tables are DRIVER-resident by contract — past
+    // maxQueries the APIs must throw (probing only cap+1 rows), never OOM
+    def pt(center: Float, j: Float) =
+      Seq.tabulate(8)(i => center + (if (i % 2 == 0) j else -j))
+    val df = (0 until 12).map(i =>
+      (i.toLong, pt(Seq(-10f, 0f, 10f)(i / 4), 0.1f * (i % 4))))
+      .toDF("vec_id", "embedding")
+    val pqIdx = Similarity.pqBuild(df, "vec_id", "embedding", nsub = 4, k = 3)
+    val ePq = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(pqIdx, df, "vec_id", "embedding", 1, maxQueries = 4)
+    }
+    assert(ePq.getMessage.contains("maxQueries"))
+    val ivfIdx = Similarity.ivfBuild(df, "vec_id", "embedding", nlist = 3)
+    val eIvf = intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearch(ivfIdx, pqIdx, df, "vec_id", "embedding",
+        k = 1, nprobe = 3, maxQueries = 4)
+    }
+    assert(eIvf.getMessage.contains("maxQueries"))
+    // at the bound the search still runs (12 queries ≤ 12)
+    val ok = Similarity.pqTopK(pqIdx, df, "vec_id", "embedding", 1,
+      maxQueries = 12)
+    assert(ok.count() == 12)
+  }
+
   test("pcaPower: recovers an axis-aligned dominant direction; invariant; degenerate keeps v0") {
     // all variance on axis 1 → loadings (2^20, 0); sign follows the
     // positive-energy direction from the all-ones start
