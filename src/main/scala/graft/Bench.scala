@@ -30,9 +30,17 @@ object Bench {
     // every run ~11% (views worst), per-QUERY GC keeps nogc-level medians
     // with the outlier pathology gone.
     val doGc = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1"
+    // Shuffle partitions default to the core count; the override exists for
+    // the SCALE.md scaled-partitions experiments (r11 found two sf3 time
+    // exponents >1 under a FIXED 16-partition harness while logical work
+    // measured linear — the hypothesis is per-partition volume growth, and
+    // testing it needs partitions to scale with data while cores stay put,
+    // exactly as a real cluster would get 3x the reducers at 3x the data).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // AQE coalescing by TARGET SIZE, not parallelism-first (the setting
       // Spark's own tuning guide recommends for production): delta-sized
       // engine shuffles collapse to one reduce task instead of 32 tiny

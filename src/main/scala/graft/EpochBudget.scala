@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * a long-lived 100x deployment, where a view's base relation sees
   * thousands of insert epochs.
   *
-  * Two view shapes (VERDICT r10 item 5 added the second):
+  * Three view shapes (VERDICT r10 item 5 added the second, r11 item 6 the
+  * third):
   *  - `filter`: one relation + one filter/project view — the cheap
   *    per-epoch shape, isolates the compaction policy itself.
   *  - `join`: the THREE-TERM DELTA JOIN (δL⋈Rˢ ∪ Lˢ⋈δR ∪ δL⋈δR,
@@ -17,20 +18,29 @@ import org.apache.spark.sql.SparkSession
   *    delta, so a wrong compaction factor compounds instead of adding.
   *    Dimension (customer) loads once; the fact side (orders) arrives in
   *    `batches` equal insert->stabilize epochs.
+  *  - `fanout`: ONE relation feeding N dependent views (the DAG axis the
+  *    chain/join shapes miss): `stabilizeRelation` loops
+  *    `while (changed()) dependents.foreach(viewDeltaStep)`
+  *    (CoddSession.scala:265-272), so every epoch pays one delta step per
+  *    dependent view. The claim under test: per-epoch cost is LINEAR in N
+  *    with delta-sized work per view (each step reads only the relation's
+  *    recent set, never the other views). N comes from the 4th arg.
   *
   * Prints per-epoch wall times (and the total). The compaction factor
   * under test comes from `-Dgraft.compaction.factor` (default 2);
   * SCALE.md records the sweep over factors x batch counts x shapes at
   * sf1.
   *
-  * Usage: runMain graft.EpochBudget <sfDir> <batches> [filter|join]
+  * Usage: runMain graft.EpochBudget <sfDir> <batches> [filter|join|restart|fanout] [nviews]
   */
 object EpochBudget {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/tmp/graft_sf1"
     val batches = if (args.length > 1) args(1).toInt else 10
     val shape = if (args.length > 2) args(2) else "filter"
-    require(Seq("filter", "join", "restart").contains(shape), s"unknown shape $shape")
+    require(Seq("filter", "join", "restart", "fanout").contains(shape),
+      s"unknown shape $shape")
+    val nviews = if (args.length > 3) args(3).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,6 +112,30 @@ object EpochBudget {
             f""""recovery_sec":$recSec%.2f,"view_rows":$n2}""")
         spark.stop()
         return
+      case "fanout" =>
+        // one relation, N dependent views: each epoch's stabilization loop
+        // delivers the relation's delta to every dependent (one viewDeltaStep
+        // per view per changed() round). Distinct thresholds/projections per
+        // view so Catalyst cannot collapse the N plans into one.
+        val all = graft.tables.Tables.events(spark, dir).cache()
+        val rows = all.count()
+        val ev = db.addRelation[graft.tables.Event]("events")
+        val vs = (0 until nviews).map { i =>
+          val lo = 5.0 + i * 3.0
+          if (i % 2 == 0)
+            db.storeView(ev.select(_.value > lo).project(e => (e.user_id, e.event_type)))
+          else
+            db.storeView(ev.select(_.value <= lo).project(e => (e.event_id % 1000, e.event_type)))
+        }
+        rows -> (0 until batches).map { b =>
+          val batch = all.filter(_.event_id % batches == b)
+          val t0 = System.nanoTime()
+          db.insert(ev, batch)
+          // evaluating ONE view stabilizes the relation, which steps ALL
+          // dependents — the epoch cost below includes every view's delta
+          db.evaluate(vs.head).count()
+          (System.nanoTime() - t0) / 1e9
+        }
       case _ =>
         // three-term delta join: dimension once, fact in epochs
         val cust = db.addRelation[graft.tables.Customer]("customer")
@@ -125,9 +159,10 @@ object EpochBudget {
     db.close()
     val total = times.sum
     val tail = times.takeRight(5).map(t => f"$t%.2f").mkString("/")
+    val nv = if (shape == "fanout") s""""nviews":$nviews,""" else ""
     println(
       f"""{"experiment":"epoch_budget","shape":"$shape","factor":$factor,""" +
-        f""""batches":$batches,"rows":$n,"total_sec":$total%.2f,""" +
+        f""""batches":$batches,$nv"rows":$n,"total_sec":$total%.2f,""" +
         f""""mean_sec":${total / batches}%.3f,"last5":"$tail"}""")
     spark.stop()
   }
