@@ -259,8 +259,8 @@ object PipelineQueries {
     */
   private def metricBootstrapRatioOracle: String = {
     val wcase = graft.ops.Bootstrap.poissonWeightSql(
-      "substring(md5('ratio_' || CAST(b AS VARCHAR) || '_' || " +
-        "CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 8)")
+      "substring(md5('ratio_' || CAST(b // 4 AS VARCHAR) || '_' || " +
+        "CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), (b % 4) * 8 + 1, 8)")
     val lo = 0.05 / 2
     val hi = 1.0 - 0.05 / 2
     s"""WITH r AS (SELECT range AS b FROM range(0, 48)),
@@ -323,7 +323,8 @@ object PipelineQueries {
     */
   private def metricBootstrapOracle: String = {
     val wcase = graft.ops.Bootstrap.poissonWeightSql(
-      "substring(md5('boot_' || CAST(b AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)), 1, 8)")
+      "substring(md5('boot_' || CAST(b // 4 AS VARCHAR) || '_' || " +
+        "CAST(doc_id AS VARCHAR)), (b % 4) * 8 + 1, 8)")
     val lo = 0.05 / 2
     val hi = 1.0 - 0.05 / 2
     s"""WITH r AS (SELECT range AS b FROM range(0, 64)),
@@ -1898,7 +1899,8 @@ object PipelineQueries {
   val sourceMinhash: Q = (spark, dir) => {
     // tokens staged as an attribute: an inline tokens(text) inside the
     // shingle lambda re-tokenizes per shingle (O(words²) regex per row)
-    val shingled = docs(spark, dir)
+    val shingled = graft.ops.Partitioning
+      .densify(docs(spark, dir), col("doc_id"))
       .filter(col("text").isNotNull)
       .select(col("source"), TextOps.tokens(col("text")).as("toks"))
       .select(
