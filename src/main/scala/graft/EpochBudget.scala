@@ -131,9 +131,12 @@ object EpochBudget {
           val batch = all.filter(_.event_id % batches == b)
           val t0 = System.nanoTime()
           db.insert(ev, batch)
-          // evaluating ONE view stabilizes the relation, which steps ALL
-          // dependents — the epoch cost below includes every view's delta
-          db.evaluate(vs.head).count()
+          // stabilize EVERY view: stepping a dependent only STAGES its
+          // delta plan (viewDeltaStep -> insertDistinct); the work
+          // materializes when that view's own changed() runs inside ITS
+          // evaluate. Evaluating just one view would leave the other N-1
+          // deltas lazy and measure a 1-view epoch regardless of N.
+          vs.foreach(v => db.evaluate(v).count())
           (System.nanoTime() - t0) / 1e9
         }
       case _ =>

@@ -275,9 +275,14 @@ object Funnel {
     *
     * Scale shape: ONE user-keyed window shuffle builds the journey pairs
     * (the [[markov]] motion); everything after lives on the TYPES²-sized
-    * probability table (checkpointed once) — 12 rounds × 5 scenarios of
-    * joins over ~36 rows compose lazily into a single tiny job. The
-    * event table never moves twice.
+    * probability table — at most `(|channels|+3)²` rows by construction,
+    * which is COLLECTED and value-iterated on the driver (the repo's
+    * bounded-driver-fold discipline, like the lineage hash chain): the
+    * round-12 plan-as-written bench showed the lazily-composed
+    * alternative — 12 rounds × (1+|channels|) scenarios of unrolled tiny
+    * joins — costs 6+ s of pure planning/scheduling on a ~36-row matrix
+    * while the driver fold is microseconds of identical integer
+    * arithmetic. The event table never moves twice.
     */
   def markovAttribution(
       df: DataFrame,
@@ -314,50 +319,51 @@ object Funnel {
         .select(lit("start").as("src"), lit("conv").as("dst")))
     val cnt = trans.groupBy("src", "dst").agg(count(lit(1)).as("__c"))
     val tot = cnt.groupBy("src").agg(sum(col("__c")).as("__o"))
-    val p = cnt.join(tot, Seq("src"))
+    // the ONLY distributed work: one pass over events (above) down to the
+    // (|channels|+3)²-bounded probability table — collect it and run the
+    // 12-round × (1+|channels|)-scenario value iteration on the driver
+    // with the identical integer arithmetic (floor ppm, sum-then-DIV)
+    val p: Array[(String, String, Long)] = cnt.join(tot, Seq("src"))
       .select(col("src"), col("dst"), expr("__c * 1000000 DIV __o").as("__p"))
-      .localCheckpoint(true)
-    val states = p.select(col("src").as("state")).distinct().localCheckpoint(true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states: Seq[String] = p.map(_._1).distinct.sorted.toSeq
 
-    def converge(removed: Option[String]): DataFrame = {
-      val pp = removed.map(c => p.filter(col("dst") =!= c)).getOrElse(p)
-      val pConv = pp.filter(col("dst") === "conv")
-        .select(col("src").as("state"), col("__p").as("__pc"))
-      val pMid = pp
-        .join(states.withColumnRenamed("state", "dst"), Seq("dst"))
-        .select(col("src"), col("dst"), col("__p"))
-      var v = states.join(pConv, Seq("state"), "left")
-        .select(col("state"), coalesce(col("__pc"), lit(0L)).as("__v"))
+    def converge(removed: Option[String]): Option[Long] = {
+      val pp = removed.fold(p)(c => p.filter(_._2 != c))
+      val pConv = pp.filter(_._2 == "conv").map(t => t._1 -> t._3).toMap
+      val pMid = pp.filter(t => states.contains(t._2))
+      var v: Map[String, Long] =
+        states.map(s => s -> pConv.getOrElse(s, 0L)).toMap
       var i = 1
       while (i < iterations) {
-        val s = pMid
-          .join(v.withColumnRenamed("state", "dst"), Seq("dst"))
-          .groupBy(col("src").as("state"))
-          .agg(sum(col("__p") * col("__v")).as("__s"))
-        v = states
-          .join(pConv, Seq("state"), "left")
-          .join(s, Seq("state"), "left")
-          .select(col("state"),
-            (coalesce(col("__pc"), lit(0L)) +
-              expr("coalesce(__s, 0L) DIV 1000000")).as("__v"))
+        val s = pMid.groupBy(_._1).map { case (src, ts) =>
+          src -> ts.map(t => t._3 * v(t._2)).sum
+        }
+        v = states.map(st =>
+          st -> (pConv.getOrElse(st, 0L) + s.getOrElse(st, 0L) / 1000000L)).toMap
         i += 1
       }
-      v.filter(col("state") === "start").select(col("__v"))
+      v.get("start")
     }
 
-    val base = broadcast(converge(None).select(col("__v").as("base_ppm")))
-    val removedRows = channels.map { c =>
-      converge(Some(c)).select(lit(c).as("channel"), col("__v").as("removed_ppm"))
-    }.reduce(_ union _)
-    val wAll = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    removedRows.crossJoin(base)
-      .withColumn("effect_ppm", col("base_ppm") - col("removed_ppm"))
-      .withColumn("__te", sum(col("effect_ppm")).over(wAll))
-      .select(col("channel"), col("base_ppm"), col("removed_ppm"),
-        col("effect_ppm"),
-        when(col("__te") > 0, expr("effect_ppm * 1000000 DIV __te"))
-          .as("attribution_ppm"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    converge(None) match {
+      case None =>
+        Seq.empty[(String, Long, Long, Long, Option[Long])]
+          .toDF("channel", "base_ppm", "removed_ppm", "effect_ppm",
+            "attribution_ppm")
+      case Some(basePpm) =>
+        val rows = channels.map { c =>
+          val removedPpm = converge(Some(c)).getOrElse(0L)
+          (c, basePpm, removedPpm, basePpm - removedPpm)
+        }
+        val te = rows.map(_._4).sum
+        rows.map { case (c, b, r, e) =>
+          (c, b, r, e, if (te > 0) Some(e * 1000000L / te) else None)
+        }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm",
+          "attribution_ppm")
+    }
   }
 
   /** Stationary distribution of the [[markov]] chain by integer power
