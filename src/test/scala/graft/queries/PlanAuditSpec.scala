@@ -791,12 +791,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-group exact-k must prune map-side:\n$pg")
   }
 
-  test("metric_bootstrap: all replicas fold into ONE aggregate — no row expansion") {
+  test("metric_bootstrap: long-form replicas — pipelined explode, group-sized shuffles") {
+    // round-12 contract (ops/Bootstrap.scala): the B weights ride ONE
+    // pipelined chunk-explode whose per-(group, chunk) partial aggregate
+    // collapses map-side — the explode never materializes B× the data,
+    // and the generated code stays inside whole-stage codegen (the old
+    // 2B-column wide form exceeded codegen limits and ran interpreted).
     val p = plan("metric_bootstrap")
-    assert(count(p, "Exchange hashpartitioning") == 1,
-      s"B replicas must cost one source shuffle:\n$p")
-    assert(!p.contains("Generate") && !p.contains("Expand"),
-      s"the Poisson weights must not explode rows:\n$p")
+    assert(count(p, "Generate posexplode") == 1,
+      s"weights must ride one pipelined chunk explode:\n$p")
+    // shuffles carry (group, chunk)-keyed partials and the group rollup —
+    // both group-sized; the densify exchange repartitions the small scan
+    assert(count(p, "Exchange hashpartitioning") <= 3,
+      s"only group-sized shuffles plus the densify exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Expand"), p)
     assert(count(p, "documents.parquet") == 1, p)
   }
 
