@@ -58,14 +58,30 @@ object GenScale {
     val R = broadcast(spark.range(reps).toDF("__r"))
     def rep(t: String): DataFrame =
       spark.read.parquet(s"$base/$t.parquet").crossJoin(R)
+    // Fact tables are REPARTITIONED before writing (round-12 generator
+    // lesson 3): the crossJoin(broadcast(R)) pipeline collapses to the
+    // base scan's partitioning — ONE output file with ONE giant row
+    // group for a small base — and a single-row-group parquet defeats
+    // Spark's split-based scan parallelism downstream (the scan
+    // advertises maxPartitionBytes splits, but only the split holding
+    // the row-group start reads data: `getNumPartitions` said 16 while
+    // a partition histogram showed all 6 M sf1 lineitem rows in ONE
+    // task). Every scan-adjacent stage of every sfN measurement was
+    // silently single-task until its first shuffle. `files` output
+    // files ≈ what a real warehouse writer produces at this volume.
+    val files = math.max(16, reps)
     def write(df: DataFrame, t: String): Unit = {
+      df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      System.err.println(s"[genscale] wrote $t")
+    }
+    def writeDim(df: DataFrame, t: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       System.err.println(s"[genscale] wrote $t")
     }
 
-    // bounded dimension tables: fixed at every scale
-    write(spark.read.parquet(s"$base/region.parquet"), "region")
-    write(spark.read.parquet(s"$base/nation.parquet"), "nation")
+    // bounded dimension tables: fixed at every scale, tiny — keep as-is
+    writeDim(spark.read.parquet(s"$base/region.parquet"), "region")
+    writeDim(spark.read.parquet(s"$base/nation.parquet"), "nation")
 
     // Strides are DERIVED from the base's actual key ranges, not assumed:
     // stride = max - min + 1 makes replica key ranges contiguous and
