@@ -69,7 +69,10 @@ object GenScale {
     // task). Every scan-adjacent stage of every sfN measurement was
     // silently single-task until its first shuffle. `files` output
     // files ≈ what a real warehouse writer produces at this volume.
-    val files = math.max(16, reps)
+    // The floor tracks the SESSION's parallelism (r12 advisor): a
+    // hardcoded 16 silently reintroduces the under-parallelized-scan
+    // artifact on any harness running more cores than the r12 box.
+    val files = math.max(spark.sparkContext.defaultParallelism, reps)
     def write(df: DataFrame, t: String): Unit = {
       df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
       System.err.println(s"[genscale] wrote $t")

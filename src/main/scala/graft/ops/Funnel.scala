@@ -275,9 +275,13 @@ object Funnel {
     *
     * Scale shape: ONE user-keyed window shuffle builds the journey pairs
     * (the [[markov]] motion); everything after lives on the TYPES²-sized
-    * probability table — at most `(|channels|+3)²` rows by construction,
-    * which is COLLECTED and value-iterated on the driver (the repo's
-    * bounded-driver-fold discipline, like the lineage hash chain): the
+    * probability table — bounded by the DISTINCT EVENT TYPES in the data
+    * (src/dst range over every non-conversion type plus start/conv/drop,
+    * not just the `channels` argument), which is COLLECTED and
+    * value-iterated on the driver (the repo's bounded-driver-fold
+    * discipline, like the lineage hash chain). The collect carries a loud
+    * size guard: a high-cardinality `typeCol` (an id mistaken for a type
+    * column) fails with a routing hint instead of OOMing the driver. The
     * round-12 plan-as-written bench showed the lazily-composed
     * alternative — 12 rounds × (1+|channels|) scenarios of unrolled tiny
     * joins — costs 6+ s of pure planning/scheduling on a ~36-row matrix
@@ -320,12 +324,23 @@ object Funnel {
     val cnt = trans.groupBy("src", "dst").agg(count(lit(1)).as("__c"))
     val tot = cnt.groupBy("src").agg(sum(col("__c")).as("__o"))
     // the ONLY distributed work: one pass over events (above) down to the
-    // (|channels|+3)²-bounded probability table — collect it and run the
+    // types²-bounded probability table — collect it and run the
     // 12-round × (1+|channels|)-scenario value iteration on the driver
-    // with the identical integer arithmetic (floor ppm, sum-then-DIV)
-    val p: Array[(String, String, Long)] = cnt.join(tot, Seq("src"))
+    // with the identical integer arithmetic (floor ppm, sum-then-DIV).
+    // The probe reads cap+1 rows so a high-cardinality typeCol fails
+    // loudly BEFORE a full collect can OOM the driver.
+    val maxEdges = 1 << 20
+    val probe = cnt.join(tot, Seq("src"))
       .select(col("src"), col("dst"), expr("__c * 1000000 DIV __o").as("__p"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val p: Array[(String, String, Long)] = {
+      val rows = probe.limit(maxEdges + 1).collect()
+      require(rows.length <= maxEdges,
+        s"markovAttribution: transition matrix exceeds $maxEdges edges — " +
+          s"'$typeCol' looks like a high-cardinality column, not an event-type " +
+          "domain. Bucket it to a bounded type vocabulary first (the matrix is " +
+          "types², and the driver fold is only sound for a bounded type domain).")
+      rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    }
     val states: Seq[String] = p.map(_._1).distinct.sorted.toSeq
 
     def converge(removed: Option[String]): Option[Long] = {

@@ -1,6 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Small-input parallelism guard for CPU-DENSE stages (hash cascades,
   * per-token kernels, signature pipelines): a few-megabyte parquet scan
@@ -11,21 +15,70 @@ import org.apache.spark.sql.{Column, DataFrame}
   * it only re-plans around SHUFFLES, and a scan→project→partial-agg
   * prefix has none.
   *
-  * `densify` hash-repartitions to `defaultParallelism` ONLY when the
-  * input arrives in fewer partitions: at warehouse scale a real scan
-  * already carries orders of magnitude more partitions than cores and
-  * this is a no-op (checked from the compiled physical plan — a
-  * driver-side inspection, no job). The shuffled bytes in the guarded
-  * case are by definition small (few partitions ⇒ small scan).
+  * `densify` hash-repartitions to `defaultParallelism` ONLY when a
+  * SCAN-SHAPED input (scans + narrow transforms, no shuffle) arrives in
+  * fewer partitions: at warehouse scale a real scan already carries orders
+  * of magnitude more partitions than cores and this is a no-op. The
+  * shuffled bytes in the guarded case are by definition small (few
+  * partitions ⇒ small scan).
+  *
+  * The probe inspects the COMPILED physical plan only — scan partition
+  * counts come from the scan nodes' own split planning (`inputRDD`, a
+  * driver-side construction over the already-listed files). It never
+  * materializes the adaptive plan: under AQE, touching `df.rdd` (or
+  * `queryExecution.toRdd`) on a plan whose lineage contains shuffles
+  * EXECUTES every upstream query stage at probe time, and that work is not
+  * reused by the returned plan's own execution — a caller passing a
+  * joined/aggregated input would pay its pipeline twice. Plans that
+  * contain a shuffle are instead passed through untouched: their output
+  * already runs at the configured shuffle parallelism, which is the
+  * cluster-sized knob this guard must never second-guess.
   */
 object Partitioning {
 
-  /** Repartition `df` on `keys` to `defaultParallelism` when it arrives in
-    * fewer partitions; identity otherwise. Hash partitioning (not
-    * round-robin) keeps the exchange sort-free and deterministic.
+  /** Repartition `df` on `keys` to `defaultParallelism` when it is
+    * scan-shaped and arrives in fewer partitions; identity otherwise.
+    * Hash partitioning (not round-robin) keeps the exchange sort-free and
+    * deterministic. Identity cases (no plan change, no job, no upstream
+    * execution):
+    *  - the plan contains a shuffle (post-shuffle parallelism is already
+    *    `spark.sql.shuffle.partitions` / AQE-coalesced);
+    *  - a leaf the probe cannot size driver-side (cached relations, RDD
+    *    scans — widening those could inject a full-data shuffle);
+    *  - the summed scan splits already reach `defaultParallelism`.
     */
   def densify(df: DataFrame, keys: Column*): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par, keys: _*) else df
+    // compiled plan with exchanges inserted, never executed: under AQE the
+    // wrapper's initialPlan is built at construction, before any stage runs
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val hasShuffle =
+      plan.collectFirst { case e: ShuffleExchangeLike => e }.nonEmpty
+    if (hasShuffle) df
+    else
+      scanPartitions(plan) match {
+        case Some(parts) if parts < par => df.repartition(par, keys: _*)
+        case _                          => df
+      }
+  }
+
+  /** Sum of the leaves' partition counts, None when any leaf cannot be
+    * sized without running a job. `inputRDD` on the scan nodes builds the
+    * split plan driver-side from the (already-listed) file metadata — no
+    * Spark job. A local (driver-side Seq) table counts as 1: it is small
+    * by construction and exactly the shape the guard exists for.
+    */
+  private def scanPartitions(plan: SparkPlan): Option[Int] = {
+    val leaves = plan.collectLeaves()
+    val counts = leaves.map {
+      case f: FileSourceScanExec  => Some(f.inputRDD.getNumPartitions)
+      case b: BatchScanExec       => Some(b.inputRDD.getNumPartitions)
+      case _: LocalTableScanExec  => Some(1)
+      case _                      => None
+    }
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 }

@@ -802,8 +802,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"weights must ride one pipelined chunk explode:\n$p")
     // shuffles carry (group, chunk)-keyed partials and the group rollup —
     // both group-sized; the densify exchange repartitions the small scan
-    assert(count(p, "Exchange hashpartitioning") <= 3,
-      s"only group-sized shuffles plus the densify exchange:\n$p")
+    // when its guard fires. EXACT counts per regime (r12 advisor: an
+    // unconditional <= 3 would silently absorb an accidental extra
+    // shuffle in the guard-off regime)
+    val densified = p.contains("Exchange hashpartitioning(__ids")
+    val expected = if (densified) 3 else 2
+    assert(count(p, "Exchange hashpartitioning") == expected,
+      s"exactly the group-sized shuffles${if (densified) " plus the densify exchange" else ""}:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Expand"), p)
     assert(count(p, "documents.parquet") == 1, p)
   }
