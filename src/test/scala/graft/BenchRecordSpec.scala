@@ -50,4 +50,68 @@ class BenchRecordSpec extends AnyFunSuite {
     val merged = driver ++ local
     assert(merged == Map("a" -> 2.0, "b" -> 1.0, "c" -> 4.0))
   }
+
+  test("short total line carries calibration_sec (box health survives driver truncation)") {
+    // the driver stores only a truncated stdout tail; the short LAST line
+    // must parse both the total and the calibration so cross-round totals
+    // are always comparable (r12: 421.0 s vs 289.9 s was 45% box drift)
+    val short =
+      """{"metric":"total","value":289.9,"unit":"sec","calibration_sec":0.117,""" +
+        """"sf":"/root/testdata/sf0.1","detail":"BENCH_LOCAL.json"}"""
+    val m = Bench.parseQueries(short)
+    assert(m("value") == 289.9)
+    assert(m("calibration_sec") == 0.117)
+  }
+
+  // ---- drift-aware attribution (VERDICT r12 item 1) ----
+
+  test("uniform environmental drift: calibration agrees, flags normalized away") {
+    // the r12 driver shape: every slot ~1.3x, calibration 1.3x — the old
+    // flat >1.5x flag would have flooded; normalized, nothing flags
+    val prev = Map("a" -> 2.0, "b" -> 4.0, "c" -> 6.0, "calibration_sec" -> 0.117)
+    val now = Map("a" -> 2.6, "b" -> 5.2, "c" -> 7.8)
+    val att = Bench.attribution(now, prev, calibration = 0.152)
+    assert(att.normalized, "matching calibration + median ratios = environmental")
+    assert(att.runDrift.exists { case (c, m) =>
+      math.abs(c - 1.3) < 0.01 && math.abs(m - 1.3) < 0.01 })
+    assert(att.flagged.isEmpty, s"uniform drift must not flag: ${att.flagged}")
+  }
+
+  test("residual outlier on a drifted box still flags") {
+    val prev = Map("a" -> 2.0, "b" -> 4.0, "c" -> 6.0, "d" -> 2.0,
+      "calibration_sec" -> 0.117)
+    // box 1.3x slow, but d is 3x — 2.3x after normalization
+    val now = Map("a" -> 2.6, "b" -> 5.2, "c" -> 7.8, "d" -> 6.0)
+    val att = Bench.attribution(now, prev, calibration = 0.152)
+    assert(att.normalized)
+    assert(att.flagged == Seq("d"), s"only the residual outlier flags: ${att.flagged}")
+  }
+
+  test("uniform CODE slowdown (steady calibration) is NOT normalized away") {
+    // every slot 1.6x but the box is steady: a regression, not drift
+    val prev = Map("a" -> 2.0, "b" -> 4.0, "c" -> 6.0, "calibration_sec" -> 0.117)
+    val now = Map("a" -> 3.2, "b" -> 6.4, "c" -> 9.6)
+    val att = Bench.attribution(now, prev, calibration = 0.118)
+    assert(!att.normalized, "median 1.6x vs calibration 1.0x must not normalize")
+    assert(att.flagged.toSet == Set("a", "b", "c"),
+      s"a uniform code slowdown flags everything: ${att.flagged}")
+  }
+
+  test("every flagged slot beyond the isolation budget stays listed, worst first") {
+    val prev = (1 to 9).map(i => s"q$i" -> 1.0).toMap + ("calibration_sec" -> 0.1)
+    // nine slots at increasing ratios 2.1x..2.9x, steady box
+    val now = (1 to 9).map(i => s"q$i" -> (2.0 + i * 0.1)).toMap
+    val att = Bench.attribution(now, prev, calibration = 0.1)
+    assert(att.flagged.size == 9, "all movers are recorded, never silently capped")
+    assert(att.toIsolate.size == 6, "the isolation budget stays bounded")
+    assert(att.flagged.head == "q9" && att.toIsolate == att.flagged.take(6),
+      "budget goes to the worst ratios")
+  }
+
+  test("sub-0.5s slots and absent-previous slots never flag") {
+    val prev = Map("tiny" -> 0.05, "known" -> 1.0, "calibration_sec" -> 0.1)
+    val now = Map("tiny" -> 0.3, "known" -> 1.1, "brand_new" -> 9.9)
+    val att = Bench.attribution(now, prev, calibration = 0.1)
+    assert(att.flagged.isEmpty)
+  }
 }
