@@ -31,14 +31,20 @@ import org.apache.spark.sql.SparkSession
   * SCALE.md records the sweep over factors x batch counts x shapes at
   * sf1.
   *
-  * Usage: runMain graft.EpochBudget <sfDir> <batches> [filter|join|restart|fanout] [nviews]
+  *  - `fanout_one` (round 13): the same N-view fan-out driven by
+  *    `stabilizeAll` — every view promotion batched into ONE Spark action
+  *    per DAG round, one union-of-counts consumption action — to measure
+  *    how much of fanout's ~0.24 s/view marginal cost was per-job
+  *    scheduling floor rather than delta work.
+  *
+  * Usage: runMain graft.EpochBudget <sfDir> <batches> [filter|join|restart|fanout|fanout_one] [nviews]
   */
 object EpochBudget {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/tmp/graft_sf1"
     val batches = if (args.length > 1) args(1).toInt else 10
     val shape = if (args.length > 2) args(2) else "filter"
-    require(Seq("filter", "join", "restart", "fanout").contains(shape),
+    require(Seq("filter", "join", "restart", "fanout", "fanout_one").contains(shape),
       s"unknown shape $shape")
     val nviews = if (args.length > 3) args(3).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -139,6 +145,33 @@ object EpochBudget {
           vs.foreach(v => db.evaluate(v).count())
           (System.nanoTime() - t0) / 1e9
         }
+      case "fanout_one" =>
+        // the r12 fanout's follow-up (VERDICT r12 item 3): same N views,
+        // same batches, but the epoch is ONE stabilizeAll (all view
+        // promotions in one batched action) plus ONE union-of-counts
+        // consumption action — vs fanout's N sequential evaluate().count()
+        // epochs, whose marginal ~0.24 s/view was pure per-job floor.
+        val all = graft.tables.Tables.events(spark, dir).cache()
+        val rows = all.count()
+        val ev = db.addRelation[graft.tables.Event]("events")
+        val vs = (0 until nviews).map { i =>
+          val lo = 5.0 + i * 3.0
+          if (i % 2 == 0)
+            db.storeView(ev.select(_.value > lo).project(e => (e.user_id, e.event_type)))
+          else
+            db.storeView(ev.select(_.value <= lo).project(e => (e.event_id % 1000, e.event_type)))
+        }
+        rows -> (0 until batches).map { b =>
+          val batch = all.filter(_.event_id % batches == b)
+          val t0 = System.nanoTime()
+          db.insert(ev, batch)
+          db.stabilizeAll()
+          // consume every view's content in ONE action, so the epoch's
+          // verification cost matches fanout's per-view counts in kind
+          vs.map(v => db.evaluate(v).toDF().groupBy().count())
+            .reduce(_ union _).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
       case _ =>
         // three-term delta join: dimension once, fact in epochs
         val cust = db.addRelation[graft.tables.Customer]("customer")
@@ -162,7 +195,7 @@ object EpochBudget {
     db.close()
     val total = times.sum
     val tail = times.takeRight(5).map(t => f"$t%.2f").mkString("/")
-    val nv = if (shape == "fanout") s""""nviews":$nviews,""" else ""
+    val nv = if (shape.startsWith("fanout")) s""""nviews":$nviews,""" else ""
     println(
       f"""{"experiment":"epoch_budget","shape":"$shape","factor":$factor,""" +
         f""""batches":$batches,$nv"rows":$n,"total_sec":$total%.2f,""" +

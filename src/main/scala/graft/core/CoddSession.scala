@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 import scala.collection.immutable.SortedSet
 import scala.collection.mutable
@@ -292,6 +292,65 @@ final class CoddSession private (
     val v = views(ref)
     // delta rules all end distinct — promotion may skip the re-distinct
     v.instance.insertDistinct(collectRecent(v.expr, newMemo))
+  }
+
+  /** Stabilize EVERY relation and view, batching each round of view
+    * promotions into ONE Spark action (SCALE.md r13 §fanout). The
+    * sequential path pays one job per dependent view per epoch — and the
+    * r12 fan-out measurement showed the per-view marginal cost (~0.24 s at
+    * N=32) converging to Spark's per-job scheduling floor, not to delta
+    * work. Here every view on the current DAG frontier PLANS its promotion
+    * ([[Instance.prepareChanged]] — a lazy checkpoint, no action), then a
+    * single union-of-counts action materializes all of them at once: N
+    * delta-sized maintenance plans ride one job's scheduling overhead, and
+    * on a cluster their tiny stages pack the executors in parallel instead
+    * of serializing on the driver.
+    *
+    * Rounds walk the view DAG exactly as cascaded [[evaluate]]s would:
+    * relations first (staging their dependents' deltas), then each round
+    * promotes the staged frontier and stages the NEXT level's deltas, so a
+    * chain of depth d costs d batched actions, and a flat N-view fan-out
+    * exactly one. Shapes the deferred path does not cover (durable stores,
+    * measured-path promotions) fall back inline per instance — identical
+    * semantics, just without the batching.
+    */
+  def stabilizeAll(): Unit = {
+    relations.keys.toSeq.sorted.foreach(stabilizeRelation)
+    var continue = true
+    while (continue) {
+      val frontier = views.toSeq.sortBy(_._1).filter { case (_, v) =>
+        v.instance.pendingCount > 0 || v.instance.hasRecent
+      }
+      if (frontier.isEmpty) continue = false
+      else {
+        val prepped = frontier.map { case (id, v) => (id, v.instance.prepareChanged()) }
+        val deferred = prepped.collect { case (id, Right(p)) => (id, p) }
+        val counts: Map[Int, Long] =
+          if (deferred.isEmpty) Map.empty
+          else if (deferred.size == 1)
+            Map(deferred.head._1 -> deferred.head._2.leaf.ds.count())
+          else {
+            // one action: each deferred promotion contributes a single
+            // (view id, count) row; computing the union materializes every
+            // lazy checkpoint in the same job
+            import org.apache.spark.sql.functions.{count => fcount}
+            val u = deferred.map { case (id, p) =>
+              p.leaf.ds.toDF().groupBy().agg(fcount(lit(1)).as("__n"))
+                .select(lit(id).as("__id"), col("__n"))
+            }.reduce(_ union _)
+            u.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          }
+        val changed = prepped.flatMap {
+          case (id, Left(c))  => if (c) Some(id) else None
+          case (id, Right(p)) =>
+            if (views(id).instance.commitPrepared(p, counts(id))) Some(id) else None
+        }
+        // termination: prepare always folds recent, commit sets it only on
+        // changed views, and only changed views stage new dependent work —
+        // an all-quiet round leaves the next frontier empty
+        changed.foreach(id => views(id).dependents.foreach(viewDeltaStep))
+      }
+    }
   }
 
   // ---------------------------------------------------- delta (recent) rules

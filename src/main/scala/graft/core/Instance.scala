@@ -321,8 +321,117 @@ final class Instance[T](
     *     stable (broadcast-semi, delta-proportional), and make the genuinely
     *     new tuples the new `recent`;
     *  3. commit the durable manifest and return whether `recent` is non-empty.
+    *
+    * Split into [[prepareChanged]] (plan the promotion, no materializing
+    * action) + [[commitPrepared]] (bookkeeping under the caller-computed
+    * count) so [[graft.core.CoddSession.stabilizeAll]] can materialize
+    * MANY instances' promotions in one Spark action; run back-to-back
+    * here, the pair is the exact pre-split epoch (the count over the lazy
+    * checkpoint is the same one fused job).
     */
   def changed(): Boolean = synchronized {
+    prepareChanged() match {
+      case Left(done) => done
+      case Right(p)   => commitPrepared(p, p.leaf.ds.count())
+    }
+  }
+
+  /** Phase 1 of an epoch: fold `recent` (compaction), drain `toAdd`, and
+    * BUILD the promotion. `Right(prepared)` carries a LAZY transient leaf
+    * — the first action over `prepared.leaf.ds` (a count, possibly unioned
+    * with other instances' counts) materializes the checkpoint; the caller
+    * must then feed the measured count to [[commitPrepared]]. `Left(r)` =
+    * the epoch completed inline: nothing was staged, or the shape is one
+    * the deferred path does not cover — durable stores (their
+    * materialization is a parquet write, an action of its own), lazy first
+    * ingest, and non-fusable/over-budget promotions (the measured path
+    * needs its own count before the broadcast-vs-EXCEPT choice) — all of
+    * which run exactly the undeferred epoch.
+    */
+  private[core] def prepareChanged(): Either[Boolean, Instance.Prepared[T]] = synchronized {
+    foldRecent()
+    if (toAdd.isEmpty) { commitState(); Left(false) }
+    else {
+      // a single pre-distinct batch (the common view-delta epoch) needs no
+      // staged re-distinct; anything else unions and dedups
+      val engineBatch = toAdd.size == 1 && toAdd.head._2
+      val staged =
+        if (engineBatch) toAdd.head._1
+        else
+          (if (toAdd.size == 1) toAdd.head._1
+           else toAdd.map(_._1).reduce(_ union _)).distinct()
+      toAdd = Vector.empty
+      val direct = engineBatch || Instance.provablyFusable(staged)
+      val pinnedSafe = !direct && Instance.estimateUpperBoundSafe(staged)
+      def inline(): Either[Boolean, Instance.Prepared[T]] = {
+        val r =
+          if (stableBatches.isEmpty) firstBatch(staged)
+          else promote(staged, fusable = direct, pinnedFusable = pinnedSafe)
+        commitState()
+        Left(r)
+      }
+      if (policy != Instance.LocalCheckpoint) inline()
+      else if (stableBatches.isEmpty) {
+        if (lazyFirstBatch) inline()
+        else
+          Right(Instance.Prepared(
+            materializeTransient(
+              GraftColumnBridge.withSession(staged, Instance.planSession(session))),
+            None))
+      } else {
+        // mirror [[promote]]'s fused-regime gate exactly: a deferred
+        // promotion must be the same one-job plan the inline path builds
+        val est =
+          if (!direct && !pinnedSafe) BigInt(Long.MaxValue)
+          else
+            try staged.queryExecution.optimizedPlan.stats.sizeInBytes
+            catch { case _: Throwable => BigInt(Long.MaxValue) }
+        if (est > Instance.FusedPromoteMaxBytes) inline()
+        else {
+          // compile the deferred plan under the AQE-OFF twin session: a
+          // lazy checkpoint's toRdd on an ADAPTIVE plan executes every
+          // non-result stage at prepare time (one eager action per view —
+          // exactly the serialization stabilizeAll exists to remove);
+          // classically compiled, the RDD builds lazily and all stages run
+          // inside the caller's single batched action. commitPrepared
+          // re-homes the materialized batch to the user's session.
+          val twin = Instance.planSession(session)
+          val pin =
+            if (direct) None
+            else Some(materializeTransient(GraftColumnBridge.withSession(staged, twin)))
+          val novel = broadcastNovelPlan(pin.map(_.ds).getOrElse(staged))
+          Right(Instance.Prepared(
+            materializeTransient(GraftColumnBridge.withSession(novel, twin)),
+            pin))
+        }
+      }
+    }
+  }
+
+  /** Phase 2: bookkeeping for a [[prepareChanged]] `Right`, given the
+    * count the caller's action measured. Identical to the tail of the
+    * fused promotion: attach measured stats, retire the epoch-private
+    * pin, install the batch as `recent` (or retire it when empty), commit
+    * the manifest (a no-op here — the deferred path only exists under
+    * [[Instance.LocalCheckpoint]]).
+    */
+  private[core] def commitPrepared(p: Instance.Prepared[T], n: Long): Boolean = synchronized {
+    // re-home the materialized checkpoint to the user's session: the
+    // deferred plan compiled under the AQE-off twin, but everything built
+    // OVER this batch from here on must execute under the session the
+    // user configured
+    val home = p.leaf.copy(ds = GraftColumnBridge.withSession(p.leaf.ds, session))
+    val leaf = measured(home, n)
+    p.pin.foreach(retire)
+    val result =
+      if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
+      else { retire(leaf); false }
+    commitState()
+    result
+  }
+
+  /** Epoch step 1: fold `recent` into `stable` under geometric compaction. */
+  private def foldRecent(): Unit =
     recentBatch.foreach { r =>
       var merged: Run[T] = r
       while (stableBatches.nonEmpty &&
@@ -347,30 +456,6 @@ final class Instance[T](
       stableBatches :+= merged
       recentBatch = None
     }
-    val result =
-      if (toAdd.isEmpty) false
-      else {
-        // a single pre-distinct batch (the common view-delta epoch) needs no
-        // staged re-distinct; anything else unions and dedups
-        val engineBatch = toAdd.size == 1 && toAdd.head._2
-        val staged =
-          if (engineBatch) toAdd.head._1
-          else
-            (if (toAdd.size == 1) toAdd.head._1
-             else toAdd.map(_._1).reduce(_ union _)).distinct()
-        toAdd = Vector.empty
-        if (stableBatches.isEmpty) firstBatch(staged)
-        else {
-          val direct = engineBatch || Instance.provablyFusable(staged)
-          promote(
-            staged,
-            fusable = direct,
-            pinnedFusable = !direct && Instance.estimateUpperBoundSafe(staged))
-        }
-      }
-    commitState()
-    result
-  }
 
   /** First batch into an empty store. Under a transient policy with
     * [[lazyFirstBatch]] (base relations ingesting from sources) the batch is
@@ -528,6 +613,14 @@ object Instance {
       depth: Int,
       leaves: Vector[Leaf[T]])
 
+  /** A promotion planned by [[Instance.prepareChanged]] but not yet
+    * materialized: `leaf` is the LAZY transient checkpoint of the novel
+    * set (the caller's action computes and caches it), `pin` the
+    * epoch-private staged checkpoint of a non-certified plan (retired at
+    * commit, exactly like the inline fused promotion's pin).
+    */
+  private[core] final case class Prepared[T](leaf: Leaf[T], pin: Option[Leaf[T]])
+
   /** Max logical-union lineage depth of a stable run before it is
     * re-materialized: folds below this depth cost zero Spark jobs; the
     * materialization amortizes to O(1) per `MaxUnionDepth` merges.
@@ -634,6 +727,16 @@ object Instance {
     * the lazy first-ingest run, freed with `Dataset.unpersist`.
     */
   private[core] val CachedLeafId: Int = -2
+
+  /** One AQE-off twin per user session (see
+    * [[org.apache.spark.sql.GraftColumnBridge.sessionWithoutAqe]]),
+    * shared by every instance on that session — cloning per instance
+    * would duplicate SessionState hundreds of times.
+    */
+  private val noAqeSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private[core] def planSession(s: SparkSession): SparkSession =
+    noAqeSessions.computeIfAbsent(s, GraftColumnBridge.sessionWithoutAqe(_))
 
   private[core] val ManifestName = "_MANIFEST"
 

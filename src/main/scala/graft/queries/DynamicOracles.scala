@@ -19,7 +19,7 @@ object DynamicOracles {
     * static oracles + this set.
     */
   val declared: Set[String] =
-    Set("knn_ivf", "knn_pq", "knn_ivfpq", "source_manifest")
+    Set("knn_ivf", "knn_pq", "knn_ivfpq", "source_manifest", "source_rowgroups")
 
   private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

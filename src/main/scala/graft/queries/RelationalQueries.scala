@@ -3273,6 +3273,52 @@ object RelationalQueries {
     graft.sources.Sources.fileManifest(spark, out, "o_orderkey")
   }
 
+  /** Row-group layout audit ([[graft.sources.Sources.rowGroupReport]]):
+    * orders written with a deliberately SMALL row-group budget (64 KiB)
+    * into 4 hash-partitioned files, then the per-file (groups, rows,
+    * largest group, footer byte totals) report read back from the parquet
+    * FOOTERS alone. The oracle reads the SAME footers via DuckDB's
+    * parquet_metadata — a metadata-level cross-engine gate, like
+    * source_manifest but one level deeper (row groups, not files: the
+    * unit Spark's scan parallelism is actually bounded by — SCALE.md
+    * r12 generator lesson 3). `sortWithinPartitions` pins the writer's
+    * buffering order so group boundaries are deterministic per run; the
+    * out dir is scale-factor-specific and the oracle is captured at run
+    * time with that path ([[DynamicOracles]]).
+    */
+  val sourceRowgroups: Q = (spark, dir) => {
+    val out = s"/tmp/graft_rowgroups_${new java.io.File(dir).getName}"
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .repartition(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(out)
+    DynamicOracles.put("source_rowgroups",
+      s"""WITH rg AS (
+         |  SELECT DISTINCT file_name, row_group_id, row_group_num_rows,
+         |    row_group_bytes
+         |  FROM parquet_metadata('$out/*.parquet')),
+         |comp AS (
+         |  SELECT file_name, row_group_id,
+         |    CAST(sum(total_compressed_size) AS BIGINT) AS comp_bytes
+         |  FROM parquet_metadata('$out/*.parquet') GROUP BY 1, 2)
+         |SELECT
+         |  CAST(regexp_extract(rg.file_name, 'part-(\\d+)', 1) AS INTEGER)
+         |    AS part_idx,
+         |  count(*) AS n_row_groups,
+         |  CAST(sum(rg.row_group_num_rows) AS BIGINT) AS n_rows,
+         |  CAST(max(rg.row_group_num_rows) AS BIGINT) AS max_group_rows,
+         |  CAST(sum(rg.row_group_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(sum(comp.comp_bytes) AS BIGINT) AS compressed_bytes
+         |FROM rg
+         |JOIN comp ON rg.file_name = comp.file_name
+         |  AND rg.row_group_id = comp.row_group_id
+         |GROUP BY 1""".stripMargin)
+    graft.sources.Sources.rowGroupReport(spark, out)
+  }
+
   val sourceCompact: Q = (spark, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     Tables.eventsDf(spark, dir).repartition(16)
@@ -5614,6 +5660,7 @@ object RelationalQueries {
     "snapshot_merge" -> snapshotMerge,
     "source_compact" -> sourceCompact,
     "source_manifest" -> sourceManifest,
+    "source_rowgroups" -> sourceRowgroups,
     "source_schema_diff" -> sourceSchemaDiff,
     "drift_bins" -> driftBins,
     "drift_psi" -> driftPsi,

@@ -332,6 +332,66 @@ object Sources {
         max(col(keyCol)).as("max_key"))
   }
 
+  /** Row-group layout audit over a parquet directory — per file: how many
+    * row groups, how many rows, the LARGEST group, and the footer's
+    * uncompressed/compressed byte totals. Productizes the round-12
+    * generator lesson (SCALE.md "generator lesson 3"): Spark's scan
+    * parallelism is bounded by ROW GROUPS, not bytes — a scan advertises
+    * `maxPartitionBytes` splits, but parquet reads whole row groups, so
+    * only the split containing a group's start produces rows. An upstream
+    * writer emitting monolithic row groups (one giant group per file)
+    * silently serializes every consumer, and nothing in the consumer's UI
+    * says so (`getNumPartitions` reports the advertised splits). This
+    * report is the diagnosis: `n_row_groups = 1` with a large
+    * `max_group_rows` on a big file is exactly that defect, visible
+    * before any query pays for it.
+    *
+    * Scale shape: pure FOOTER reads, no data scan — the file list is
+    * distributed over executors (`mapPartitions` over paths, filesystem
+    * config riding a broadcast), so a million-file warehouse audits at
+    * full cluster parallelism; output is files-sized.
+    */
+  def rowGroupReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(base).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.endsWith(".parquet") || n.startsWith("part-")) && !n.startsWith("_") &&
+        !n.startsWith(".")
+      }
+      .map(_.toString).sorted.toSeq
+    val confOf = org.apache.spark.sql.GraftColumnBridge.hadoopConfAccessor(spark)
+    val perGroup = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { paths =>
+        val conf = confOf()
+        paths.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val name = p.substring(p.lastIndexOf('/') + 1)
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getBlocks.asScala
+              .map(b => (name, b.getRowCount, b.getTotalByteSize, b.getCompressedSize))
+              .toVector
+          } finally r.close()
+        }
+      }
+      .toDF("file", "group_rows", "group_bytes", "group_compressed")
+    perGroup
+      .groupBy(regexp_extract(col("file"), "part-(\\d+)", 1).cast("int").as("part_idx"))
+      .agg(
+        count(lit(1)).as("n_row_groups"),
+        sum("group_rows").as("n_rows"),
+        max("group_rows").as("max_group_rows"),
+        sum("group_bytes").as("total_bytes"),
+        sum("group_compressed").as("compressed_bytes"))
+  }
+
   /** Schema diff between two parquet directories — the evolution report a
     * governance review reads before enabling merged-schema reads: every
     * column classified added / removed / retyped / unchanged, with types

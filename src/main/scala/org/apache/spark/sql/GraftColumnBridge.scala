@@ -30,6 +30,47 @@ object GraftColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A twin session over the SAME SparkContext (shared RDD blocks, shared
+    * cache manager, cloned state) with ADAPTIVE EXECUTION OFF. Lazily
+    * checkpointing a plan calls `queryExecution.toRdd`, and an adaptive
+    * plan EXECUTES every non-result stage right there — one eager action
+    * per plan, which defeats any caller trying to materialize many plans
+    * in one batched action. Compiled classically, `toRdd` is pure plan
+    * construction and ALL stages run inside whichever single action first
+    * computes the RDD.
+    */
+  def sessionWithoutAqe(spark: SparkSession): SparkSession = {
+    val c = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+    c
+  }
+
+  /** Re-bind a Dataset's logical plan to another session of the same
+    * SparkContext, so a plan can compile under a differently-configured
+    * twin (see [[sessionWithoutAqe]]) and its materialized result can be
+    * re-homed afterwards.
+    */
+  def withSession[T](ds: Dataset[T], s: SparkSession): Dataset[T] =
+    classic.Dataset.ofRows(
+      s.asInstanceOf[classic.SparkSession],
+      ds.asInstanceOf[classic.Dataset[T]].logicalPlan).as(ds.encoder)
+
+  /** A serializable, broadcast-backed accessor for the session's Hadoop
+    * configuration — for executor-side metadata work (parquet footer
+    * reads) that must see the SAME filesystem configuration (S3
+    * credentials, endpoint overrides) the driver resolved paths with.
+    * `Configuration` itself is not serializable; Spark's internal wrapper
+    * is `private[spark]`, so this bridge hands out a closure over the
+    * broadcast instead.
+    */
+  def hadoopConfAccessor(
+      spark: SparkSession): () => org.apache.hadoop.conf.Configuration = {
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    () => bc.value.value
+  }
+
   /** The block-manager RDD behind a `localCheckpoint`ed Dataset, if any —
     * checkpointing rewrites the plan to a bare [[LogicalRDD]] leaf.
     */

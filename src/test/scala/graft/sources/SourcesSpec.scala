@@ -307,4 +307,35 @@ class SourcesSpec extends AnyFunSuite {
       src.agg(sum("n_tok")).head.getLong(0))
     assert(back.agg(sum("n_docs")).head.getLong(0) == src.count())
   }
+
+  test("rowGroupReport: diagnoses the monolithic-row-group layout from footers alone") {
+    // the SCALE.md generator-lesson-3 defect: ONE file with ONE giant row
+    // group serializes every consumer. The report must read it as exactly
+    // that — without scanning a single data page — and must read a
+    // small-block multi-group layout as split.
+    val rows = (1L to 20000L).map(i => (i, s"payload_$i", i * 1.5))
+      .toDF("k", "s", "v")
+    val mono = tmp("rg_mono") + "/t"
+    rows.coalesce(1).write.mode("overwrite").parquet(mono)
+    val split = tmp("rg_split") + "/t"
+    rows.repartition(2, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024)
+      .parquet(split)
+
+    val m = Sources.rowGroupReport(spark, mono).collect()
+    assert(m.length == 1 && m.head.getLong(1) == 1L,
+      s"one file, one row group expected: ${m.mkString(",")}")
+    assert(m.head.getLong(3) == 20000L, "the monolithic group holds every row")
+
+    val s = Sources.rowGroupReport(spark, split)
+      .orderBy("part_idx").collect()
+    assert(s.length == 2, s"two files expected: ${s.mkString(",")}")
+    assert(s.map(_.getLong(2)).sum == 20000L, "row totals must match the data")
+    assert(s.forall(_.getLong(1) >= 2),
+      s"64 KiB blocks must split each file into multiple groups: ${s.mkString(",")}")
+    assert(s.forall(r => r.getLong(3) < r.getLong(2)),
+      "max group must be a strict fraction of the file's rows")
+    assert(s.forall(r => r.getLong(5) > 0 && r.getLong(4) >= r.getLong(5)),
+      "footer byte totals: uncompressed >= compressed > 0")
+  }
 }
