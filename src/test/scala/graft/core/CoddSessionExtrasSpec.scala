@@ -76,4 +76,42 @@ class CoddSessionExtrasSpec extends AnyFunSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(5), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: stabilizeAll == per-view stabilization over random schedules") {
+    // the batched epoch (one action per DAG round) must be a pure
+    // execution-strategy change: random insert schedules over a join
+    // view AND a dependent view-over-view, one session driven by
+    // stabilizeAll, a twin by sequential evaluate — identical content at
+    // every epoch
+    val genBatch = Gen.listOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0, 20)))
+    val genSchedule = Gen.listOfN(3, Gen.zip(genBatch, genBatch))
+    val prop = Prop.forAllNoShrink(genSchedule) { schedule =>
+      def build(db: CoddSession) = {
+        val r = db.addRelation[(Int, Int)]("r")
+        val s = db.addRelation[(Int, Int)]("s")
+        val v1 = db.storeView(
+          r.withKey(_._1).join(s.withKey(_._1)).on((k, l, rr) => (k, l._2 + rr._2)))
+        val v2 = db.storeView(v1.select(_._2 % 3 != 1).project(_._2))
+        (r, s, v1, v2)
+      }
+      val seqDb = new CoddSession(spark)
+      val batDb = new CoddSession(spark)
+      val (sr, ss, sv1, sv2) = build(seqDb)
+      val (br, bs, bv1, bv2) = build(batDb)
+      var ok = true
+      schedule.foreach { case (rb, sb) =>
+        if (rb.nonEmpty) { seqDb.insert(sr, rb); batDb.insert(br, rb) }
+        if (sb.nonEmpty) { seqDb.insert(ss, sb); batDb.insert(bs, sb) }
+        seqDb.evaluate(sv1).count(); seqDb.evaluate(sv2).count()
+        batDb.stabilizeAll()
+        ok &&= seqDb.evaluateSorted(sv1) == batDb.evaluateSorted(bv1)
+        ok &&= seqDb.evaluateSorted(sv2) == batDb.evaluateSorted(bv2)
+      }
+      seqDb.close(); batDb.close()
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
