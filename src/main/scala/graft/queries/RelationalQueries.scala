@@ -3305,6 +3305,7 @@ object RelationalQueries {
          |    CAST(sum(total_compressed_size) AS BIGINT) AS comp_bytes
          |  FROM parquet_metadata('$out/*.parquet') GROUP BY 1, 2)
          |SELECT
+         |  '' AS part_dir,
          |  CAST(regexp_extract(rg.file_name, 'part-(\\d+)', 1) AS INTEGER)
          |    AS part_idx,
          |  count(*) AS n_row_groups,
@@ -3315,7 +3316,7 @@ object RelationalQueries {
          |FROM rg
          |JOIN comp ON rg.file_name = comp.file_name
          |  AND rg.row_group_id = comp.row_group_id
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin)
     graft.sources.Sources.rowGroupReport(spark, out)
   }
 

@@ -346,6 +346,14 @@ object Sources {
     * `max_group_rows` on a big file is exactly that defect, visible
     * before any query pays for it.
     *
+    * Output: one row per data file keyed `(part_dir, part_idx)` —
+    * `part_dir` is the file's directory relative to `dir` (empty for a
+    * flat layout), because partitioned layouts restart `part-NNNNN`
+    * numbering inside every `k=v` subdirectory and the index alone would
+    * merge files across partitions. The listing is RECURSIVE for the
+    * same reason: a non-recursive probe would return an empty report for
+    * exactly the partitioned tables most worth auditing.
+    *
     * Scale shape: pure FOOTER reads, no data scan — the file list is
     * distributed over executors (`mapPartitions` over paths, filesystem
     * config riding a broadcast), so a million-file warehouse audits at
@@ -356,13 +364,23 @@ object Sources {
     import spark.implicits._
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(base).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        (n.endsWith(".parquet") || n.startsWith("part-")) && !n.startsWith("_") &&
-        !n.startsWith(".")
+    // RECURSIVE listing: partitioned layouts keep their data files under
+    // k=v subdirectories, and a non-recursive probe would return an EMPTY
+    // report for exactly the tables most worth auditing — a silent miss
+    def listFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isDirectory) listFiles(s.getPath)
+        else if (n.endsWith(".parquet") || n.startsWith("part-")) Seq(s.getPath)
+        else Seq.empty
       }
-      .map(_.toString).sorted.toSeq
+    val files = listFiles(base).map(_.toString).sorted
+    // per-file identity = path RELATIVE to the audited dir: under a
+    // partitioned layout every k=v subdirectory restarts part numbering
+    // at part-00000, so the part index alone would silently merge files
+    // from different partitions
+    val qBase = fs.makeQualified(base).toString
     val confOf = org.apache.spark.sql.GraftColumnBridge.hadoopConfAccessor(spark)
     val perGroup = spark.createDataset(files)
       .repartition(math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism)))
@@ -373,17 +391,21 @@ object Sources {
             .fromPath(new org.apache.hadoop.fs.Path(p), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
-            val name = p.substring(p.lastIndexOf('/') + 1)
+            val rel = p.stripPrefix(qBase).stripPrefix("/")
             import scala.jdk.CollectionConverters._
             r.getFooter.getBlocks.asScala
-              .map(b => (name, b.getRowCount, b.getTotalByteSize, b.getCompressedSize))
+              .map(b => (rel, b.getRowCount, b.getTotalByteSize, b.getCompressedSize))
               .toVector
           } finally r.close()
         }
       }
       .toDF("file", "group_rows", "group_bytes", "group_compressed")
     perGroup
-      .groupBy(regexp_extract(col("file"), "part-(\\d+)", 1).cast("int").as("part_idx"))
+      .groupBy(
+        when(col("file").contains("/"),
+          regexp_extract(col("file"), "^(.*)/[^/]*$", 1)).otherwise("")
+          .as("part_dir"),
+        regexp_extract(col("file"), "part-(\\d+)", 1).cast("int").as("part_idx"))
       .agg(
         count(lit(1)).as("n_row_groups"),
         sum("group_rows").as("n_rows"),

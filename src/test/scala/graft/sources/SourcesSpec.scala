@@ -323,19 +323,34 @@ class SourcesSpec extends AnyFunSuite {
       .parquet(split)
 
     val m = Sources.rowGroupReport(spark, mono).collect()
-    assert(m.length == 1 && m.head.getLong(1) == 1L,
+    assert(m.length == 1 && m.head.getLong(2) == 1L,
       s"one file, one row group expected: ${m.mkString(",")}")
-    assert(m.head.getLong(3) == 20000L, "the monolithic group holds every row")
+    assert(m.head.getLong(4) == 20000L, "the monolithic group holds every row")
+    assert(m.head.getString(0) == "", "flat layout: empty part_dir")
 
     val s = Sources.rowGroupReport(spark, split)
       .orderBy("part_idx").collect()
     assert(s.length == 2, s"two files expected: ${s.mkString(",")}")
-    assert(s.map(_.getLong(2)).sum == 20000L, "row totals must match the data")
-    assert(s.forall(_.getLong(1) >= 2),
+    assert(s.map(_.getLong(3)).sum == 20000L, "row totals must match the data")
+    assert(s.forall(_.getLong(2) >= 2),
       s"64 KiB blocks must split each file into multiple groups: ${s.mkString(",")}")
-    assert(s.forall(r => r.getLong(3) < r.getLong(2)),
+    assert(s.forall(r => r.getLong(4) < r.getLong(3)),
       "max group must be a strict fraction of the file's rows")
-    assert(s.forall(r => r.getLong(5) > 0 && r.getLong(4) >= r.getLong(5)),
+    assert(s.forall(r => r.getLong(6) > 0 && r.getLong(5) >= r.getLong(6)),
       "footer byte totals: uncompressed >= compressed > 0")
+  }
+
+  test("rowGroupReport: partitioned layouts list recursively, keyed per partition dir") {
+    // k=v subdirectories restart part-00000 numbering: a non-recursive
+    // listing would report NOTHING, and an index-only key would merge
+    // files across partitions — both silent misses this spec pins
+    val rows = (1L to 9000L).map(i => (i, i % 3, s"v_$i")).toDF("k", "p", "s")
+    val dir = tmp("rg_part") + "/t"
+    rows.repartition(1).write.mode("overwrite").partitionBy("p").parquet(dir)
+    val r = Sources.rowGroupReport(spark, dir).collect()
+    assert(r.length == 3, s"one row per partition file: ${r.mkString(",")}")
+    assert(r.map(_.getString(0)).toSet == Set("p=0", "p=1", "p=2"),
+      s"part_dir must carry the partition directory: ${r.mkString(",")}")
+    assert(r.map(_.getLong(3)).sum == 9000L, "row totals across partitions")
   }
 }
