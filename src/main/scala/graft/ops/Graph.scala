@@ -71,32 +71,46 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     require(dampNumer > 0 && dampDenom > dampNumer, "damping must be in (0,1)")
     val base = (dampDenom - dampNumer) * ScoreScale / dampDenom
-    // e feeds THREE arms (degrees, the degree-annotated edge list, the
-    // node set) — pin the distinct once so the caller's edge construction
-    // and the dedup don't re-run per arm
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val ed = e.join(deg, Seq("src")).localCheckpoint(true)
-    val allNodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // ONE pinned frame replaces the r12 e/deg/ed trio (three shuffles +
+    // three checkpoint jobs): a single explicit src-hash exchange feeds
+    // the dedup (distinct over (src,dst) needs only src-clustering), the
+    // degree annotation (a count window over the SAME key — no join, no
+    // second shuffle) and the checkpoint; the declared layout then makes
+    // every iteration's score join exchange-free on the edge side
+    // (guide §2.4 — localCheckpoint alone records UnknownPartitioning,
+    // which had been re-exchanging the edge list once per round).
+    val ed = Partitioning.declarePinnedHash(
+      edges
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .repartition(par, col("src"))
+        .distinct()
+        .withColumn("__deg",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .localCheckpoint(true),
+      "src")
+    val allNodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node")))
+      .repartition(par, col("node"))
       .distinct()
     // seed flag folded onto the node set (constant true for global
     // PageRank — the optimizer folds the `when` away, so the non-
-    // personalized plan is unchanged)
-    val nodes = (seedsOpt match {
-      case None => allNodes.withColumn("__seed", lit(true))
-      case Some(sd) =>
-        val s = sd
-          .select(col(sd.columns.head).cast("long").as("node"))
-          .distinct()
-          .withColumn("__m", lit(1))
-        allNodes.join(broadcast(s), Seq("node"), "left")
-          .withColumn("__seed", col("__m").isNotNull)
-          .drop("__m")
-    }).localCheckpoint(true)
+    // personalized plan is unchanged). The broadcast seed join and the
+    // flag projection both preserve the node-hash layout, so the pin's
+    // declaration stays truthful.
+    val nodes = Partitioning.declarePinnedHash(
+      (seedsOpt match {
+        case None => allNodes.withColumn("__seed", lit(true))
+        case Some(sd) =>
+          val s = sd
+            .select(col(sd.columns.head).cast("long").as("node"))
+            .distinct()
+            .withColumn("__m", lit(1))
+          allNodes.join(broadcast(s), Seq("node"), "left")
+            .withColumn("__seed", col("__m").isNotNull)
+            .drop("__m")
+      }).localCheckpoint(true),
+      "node")
     def restart(c: org.apache.spark.sql.Column) =
       when(col("__seed"), c).otherwise(lit(0L))
     // Iterations COMPOSE lazily: each score set is consumed exactly once
@@ -121,7 +135,9 @@ object Graph {
           (restart(lit(base)) +
             expr(s"($dampNumer * coalesce(__in, 0L)) DIV $dampDenom")).as("score"))
       if (i % 8 == 7 && i != iterations - 1) {
-        next = next.localCheckpoint(true)
+        // the score set leaves the nodes⟕contrib join node-hash-placed;
+        // re-declaring keeps deep runs' subsequent rounds exchange-free too
+        next = Partitioning.declarePinnedHash(next.localCheckpoint(true), "node")
         pinned.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint)
         pinned = Some(next)
       }
@@ -154,14 +170,24 @@ object Graph {
       attDenom: Long = 5L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(attNumer > 0 && attDenom > attNumer, "attenuation must be in (0,1)")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // pins declare their hash layout (see pageRankImpl) — the per-round
+    // contribution join runs exchange-free on both sides, leaving one
+    // shuffle per round (the dst aggregation, the Pregel motion itself)
+    val e = Partitioning.declarePinnedHash(
+      edges
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .repartition(par, col("src"))
+        .distinct()
+        .localCheckpoint(true),
+      "src")
+    val nodes = Partitioning.declarePinnedHash(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .repartition(par, col("node"))
+        .distinct()
+        .localCheckpoint(true),
+      "node")
     var scores = nodes.select(col("node"), lit(ScoreScale).as("score"))
     var i = 0
     while (i < iterations) {
@@ -192,6 +218,27 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
 
+  /** [[undirected]] pinned `key`-hash-placed in ONE exchange: the explicit
+    * repartition doubles as the dedup shuffle (clustering by either
+    * endpoint suffices for a (u,v) distinct), the eager checkpoint
+    * materializes the layout, and the declaration (see
+    * [[Partitioning.declarePinnedHash]]) lets downstream `key`-keyed
+    * joins/aggregates skip re-exchanging the edge list.
+    */
+  private def undirectedPinned(edges: DataFrame, key: String): DataFrame = {
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    Partitioning.declarePinnedHash(
+      edges
+        .select(
+          least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .repartition(par, col(key))
+        .distinct()
+        .localCheckpoint(true),
+      key)
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected graph (community density, spam-farm detection, graph
     * quality profiling). Returns `(node, degree, triangles,
@@ -217,24 +264,36 @@ object Graph {
     // The edge set feeds the degree table and the orientation; the degree
     // table feeds two orientation joins plus the final report. Pin both
     // ONCE (edge-/node-sized) — an unpinned plan re-derives the caller's
-    // edge construction (often a self-join) once per arm.
-    val e = undirected(edges).localCheckpoint(true)
-    val deg = e.select(col("u").as("node")).union(e.select(col("v")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    // edge construction (often a self-join) once per arm. All three pins
+    // declare their hash layout (see Partitioning.declarePinnedHash): the
+    // u-side orientation join and the wedge self-join then run with ZERO
+    // exchange, leaving only the v-side re-key and the closing-edge
+    // (lo,hi) join — the motions degree-ordering fundamentally needs.
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val e = undirectedPinned(edges, "u")
+    val deg = Partitioning.declarePinnedHash(
+      e.select(col("u").as("node")).union(e.select(col("v")))
+        .repartition(par, col("node"))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true),
+      "node")
     // Orient by (degree, id); carry the head's degree so the wedge join
-    // can order its two out-neighbors without a third deg lookup.
-    val o = e
-      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
-      .select(
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("u")).otherwise(col("v")).as("s"),
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("v")).otherwise(col("u")).as("t"),
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("dv")).otherwise(col("du")).as("dt"))
-      .localCheckpoint(true)
+    // can order its two out-neighbors without a third deg lookup. The pin
+    // is s-hash-placed so the wedge self-join co-partitions both sides.
+    val o = Partitioning.declarePinnedHash(
+      e
+        .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("s"),
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("t"),
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("dv")).otherwise(col("du")).as("dt"))
+        .repartition(par, col("s"))
+        .localCheckpoint(true),
+      "s")
     // Wedge at apex s: out-neighbor pair ordered by (deg, id) ⇒ the
     // closing edge, if present, is oriented exactly lo→hi.
     val w = o.as("a")
@@ -281,14 +340,26 @@ object Graph {
       edges: DataFrame,
       maxDegree: Long = 64L,
       topK: Int = 50): DataFrame = {
-    val e = undirected(edges).localCheckpoint(true)
-    val deg = e.select(col("u").as("node")).union(e.select(col("v")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    // pins declare their hash layout (see Partitioning.declarePinnedHash);
+    // the apex table additionally pins so the wedge self-join reads ONE
+    // materialized node-hash-placed copy — zero exchange on either side,
+    // and the nbrs∪deg construction no longer re-runs per self-join arm
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val e = undirectedPinned(edges, "u")
+    val deg = Partitioning.declarePinnedHash(
+      e.select(col("u").as("node")).union(e.select(col("v")))
+        .repartition(par, col("node"))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true),
+      "node")
     val nbrs = e.select(col("u").as("node"), col("v").as("nbr"))
       .union(e.select(col("v"), col("u")))
-    val apex = nbrs.join(deg.filter(col("d") <= maxDegree), Seq("node"))
-      .select("node", "nbr")
+    val apex = Partitioning.declarePinnedHash(
+      nbrs.repartition(par, col("node"))
+        .join(deg.filter(col("d") <= maxDegree), Seq("node"))
+        .select("node", "nbr")
+        .localCheckpoint(true),
+      "node")
     val cn = apex.as("a")
       .join(apex.as("b"),
         col("a.node") === col("b.node") && col("a.nbr") < col("b.nbr"))
@@ -325,16 +396,24 @@ object Graph {
       edges: DataFrame,
       maxDegree: Long = 64L,
       topK: Int = 50): DataFrame = {
-    val e = undirected(edges).localCheckpoint(true)
-    val deg = e.select(col("u").as("node")).union(e.select(col("v")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    // same pinned-and-declared shape as linkCandidates — see there
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val e = undirectedPinned(edges, "u")
+    val deg = Partitioning.declarePinnedHash(
+      e.select(col("u").as("node")).union(e.select(col("v")))
+        .repartition(par, col("node"))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true),
+      "node")
     val nbrs = e.select(col("u").as("node"), col("v").as("nbr"))
       .union(e.select(col("v"), col("u")))
-    val apex = nbrs
-      .join(deg.filter(col("d") <= maxDegree && col("d") >= 2), Seq("node"))
-      .select(col("node"), col("nbr"),
-        floor(lit(1048576.0) / log(col("d").cast("double"))).cast("long").as("__w"))
+    val apex = Partitioning.declarePinnedHash(
+      nbrs.repartition(par, col("node"))
+        .join(deg.filter(col("d") <= maxDegree && col("d") >= 2), Seq("node"))
+        .select(col("node"), col("nbr"),
+          floor(lit(1048576.0) / log(col("d").cast("double"))).cast("long").as("__w"))
+        .localCheckpoint(true),
+      "node")
     val scored = apex.as("a")
       .join(apex.as("b"),
         col("a.node") === col("b.node") && col("a.nbr") < col("b.nbr"))
@@ -365,15 +444,23 @@ object Graph {
       edges: DataFrame,
       maxDegree: Long = 64L,
       topK: Int = 50): DataFrame = {
-    val e = undirected(edges).localCheckpoint(true)
-    val deg = e.select(col("u").as("node")).union(e.select(col("v")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    // same pinned-and-declared shape as linkCandidates — see there
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val e = undirectedPinned(edges, "u")
+    val deg = Partitioning.declarePinnedHash(
+      e.select(col("u").as("node")).union(e.select(col("v")))
+        .repartition(par, col("node"))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true),
+      "node")
     val nbrs = e.select(col("u").as("node"), col("v").as("nbr"))
       .union(e.select(col("v"), col("u")))
-    val apex = nbrs
-      .join(deg.filter(col("d") <= maxDegree && col("d") >= 2), Seq("node"))
-      .select(col("node"), col("nbr"), expr("1048576 DIV d").as("__w"))
+    val apex = Partitioning.declarePinnedHash(
+      nbrs.repartition(par, col("node"))
+        .join(deg.filter(col("d") <= maxDegree && col("d") >= 2), Seq("node"))
+        .select(col("node"), col("nbr"), expr("1048576 DIV d").as("__w"))
+        .localCheckpoint(true),
+      "node")
     val scored = apex.as("a")
       .join(apex.as("b"),
         col("a.node") === col("b.node") && col("a.nbr") < col("b.nbr"))
@@ -522,16 +609,29 @@ object Graph {
       raise_error(concat(lit("negative edge weight: "), col("w").cast("string"))))
       .otherwise(col("w"))
     // canonical undirected weighted edges; parallel edges keep the min cost
-    val e = weightedEdges
-      .select(
-        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"),
-        guarded.cast("long").as("w"))
-      .filter(col("u") =!= col("v"))
-      .groupBy("u", "v").agg(min(col("w")).as("w"))
-    val adj = e.select(col("u").as("a"), col("v").as("b"), col("w"))
-      .union(e.select(col("v").as("a"), col("u").as("b"), col("w")))
-      .localCheckpoint(true)
+    // the explicit u exchange doubles as the (u,v) min-cost grouping's
+    // placement (u-clustering suffices) and pins the pair set once — the
+    // symmetric union would otherwise run the grouping per orientation
+    // arm; the adjacency pin is a-hash-placed and declared so every
+    // round's frontier⋈adjacency join reads the 2E side exchange-free
+    val par = weightedEdges.sparkSession.sparkContext.defaultParallelism
+    val e = Partitioning.declarePinnedHash(
+      weightedEdges
+        .select(
+          least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("v"),
+          guarded.cast("long").as("w"))
+        .filter(col("u") =!= col("v"))
+        .repartition(par, col("u"))
+        .groupBy("u", "v").agg(min(col("w")).as("w"))
+        .localCheckpoint(true),
+      "u")
+    val adj = Partitioning.declarePinnedHash(
+      e.select(col("u").as("a"), col("v").as("b"), col("w"))
+        .union(e.select(col("v").as("a"), col("u").as("b"), col("w")))
+        .repartition(par, col("a"))
+        .localCheckpoint(true),
+      "a")
     var dist = sources
       .select(col("node").cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"), col("node").as("root"))
@@ -571,11 +671,18 @@ object Graph {
 
   def bfs(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
-    val e = undirected(edges)
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // pin unique pairs once (the symmetric union reads them twice), then
+    // pin the adjacency a-hash-placed and declared: every hop's
+    // frontier⋈adjacency join reads the 2E side exchange-free
+    val e = undirectedPinned(edges, "u")
     // both orientations: BFS walks the symmetric closure
-    val adj = e.select(col("u").as("a"), col("v").as("b"))
-      .union(e.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true)
+    val adj = Partitioning.declarePinnedHash(
+      e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+        .repartition(par, col("a"))
+        .localCheckpoint(true),
+      "a")
     var settled = sources
       .select(col("node").cast("long").as("node")).distinct()
       .select(col("node"), lit(0).as("dist"), col("node").as("root"))
@@ -623,10 +730,15 @@ object Graph {
       seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
-    val e = undirected(edges)
-    val adj = e.select(col("u").as("a"), col("v").as("b"))
-      .union(e.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true)
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // same pinned-and-declared adjacency as [[bfs]]
+    val e = undirectedPinned(edges, "u")
+    val adj = Partitioning.declarePinnedHash(
+      e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+        .repartition(par, col("a"))
+        .localCheckpoint(true),
+      "a")
     var settled = seeds
       .select(col(seeds.columns.head).cast("long").as("node")).distinct()
       .select(col("node"), col("node").as("root"), lit(0).as("dist"))
@@ -677,24 +789,43 @@ object Graph {
     */
   def hitsExact(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    var h = e.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1L).as("h"))
-      .localCheckpoint(true)
-    var a = e.sparkSession.emptyDataFrame
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // TWO pinned copies of the edge list, one per join orientation: the
+    // a-half-round joins scores on src, the h-half-round on dst, and a
+    // single layout would re-exchange the edges every other half-round.
+    // The second pin costs one edge-sized shuffle ONCE; with the declared
+    // layouts every half-round's edge side is then exchange-free for the
+    // whole fixpoint (guide §2.4).
+    val eSrc = Partitioning.declarePinnedHash(
+      edges
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .repartition(par, col("src"))
+        .distinct()
+        .localCheckpoint(true),
+      "src")
+    val eDst = Partitioning.declarePinnedHash(
+      eSrc.repartition(par, col("dst")).localCheckpoint(true),
+      "dst")
+    // src values are already src-clustered, so the h₀ dedup needs no
+    // exchange and lands node-hash-placed for the first a-half-round
+    var h = Partitioning.declarePinnedHash(
+      eSrc.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1L).as("h"))
+        .localCheckpoint(true),
+      "node")
+    var a = eSrc.sparkSession.emptyDataFrame
     var i = 0
     while (i < iterations) {
       // only `a` is ever consumed twice (the h update + the final output
       // join on the last round) — pinning it bounds lineage to one round;
       // the h half-round pipelines into the next a unpinned (half the
-      // materialization jobs of pin-everything)
-      a = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+      // materialization jobs of pin-everything). a's checkpoint is NOT
+      // layout-declared: its exchange is ENSURE_REQUIREMENTS-inserted and
+      // AQE may coalesce it, so a hash declaration could be false.
+      a = eSrc.join(h.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
         .localCheckpoint(true)
-      h = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+      h = eDst.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
       i += 1
     }
@@ -732,15 +863,29 @@ object Graph {
     */
   def wlColors(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one refinement round")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // the per-round neighbor join probes colors BY DST — pin the edge list
+    // dst-hash-placed so every round's edge side is exchange-free; colors
+    // are pinned node-hash-placed (node = src by the both-orientations
+    // contract), which co-partitions BOTH sides of the round's two joins
+    // (see pageRankImpl on why the declaration is needed at all)
+    val e = Partitioning.declarePinnedHash(
+      edges
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .repartition(par, col("dst"))
+        .distinct()
+        .localCheckpoint(true),
+      "dst")
     // round-0 color: degree as a decimal string (every node appears as a
-    // src by the both-orientations contract, so this covers the node set)
-    var lab = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("string").as("lab"))
-      .localCheckpoint(true)
+    // src by the both-orientations contract, so this covers the node set);
+    // the explicit src exchange keeps the pin's declaration truthful
+    var lab = Partitioning.declarePinnedHash(
+      e.select(col("src"))
+        .repartition(par, col("src"))
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("string").as("lab"))
+        .localCheckpoint(true),
+      "node")
     var i = 0
     while (i < rounds) {
       val nb = e
@@ -749,10 +894,16 @@ object Graph {
         .agg(concat_ws(",", array_sort(collect_list(col("__nl")))).as("__m"))
       // each round's colors are consumed twice by the NEXT round (self +
       // neighbor sides of the join) — pin all but the final round, whose
-      // colors only the closing histogram reads once
+      // colors only the closing histogram reads once. The pin re-asserts
+      // the node layout with an explicit exchange (node-sized) so the
+      // NEXT round's two joins stay co-partitioned.
       val next = lab.join(nb, Seq("node"))
         .select(col("node"), md5(concat_ws("|", col("lab"), col("__m"))).as("lab"))
-      lab = if (i < rounds - 1) next.localCheckpoint(true) else next
+      lab =
+        if (i < rounds - 1)
+          Partitioning.declarePinnedHash(
+            next.repartition(par, col("node")).localCheckpoint(true), "node")
+        else next
       i += 1
     }
     lab.groupBy(col("lab").as("wl_color")).agg(count(lit(1)).as("n_nodes"))

@@ -65,6 +65,40 @@ object Partitioning {
       }
   }
 
+  /** Pin `df` hash-partitioned on `keys`: ONE explicit exchange to
+    * `defaultParallelism` partitions, an eager localCheckpoint of the
+    * result, and a rewrap that re-declares the materialized blocks' hash
+    * partitioning on the checkpoint leaf (localCheckpoint under AQE records
+    * `UnknownPartitioning`, so without the rewrap every consumer keyed on
+    * `keys` re-exchanges already-placed data). For iterative ops this turns
+    * "one pinned-side shuffle per round" into "one shuffle per fixpoint" —
+    * guide §2.4's remove-shuffles-outright applied to the Pregel loops.
+    * The explicit partition count is exempt from AQE coalescing by design:
+    * these pins feed CPU-bound per-round joins where bytes-based coalescing
+    * would starve parallelism (the densify rationale).
+    */
+  def pinByKey(df: DataFrame, keys: String*): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    declarePinnedHash(
+      df.repartition(par, keys.map(org.apache.spark.sql.functions.col): _*)
+        .localCheckpoint(true),
+      keys: _*)
+  }
+
+  /** Declare an existing eager checkpoint's hash layout (see
+    * [[org.apache.spark.sql.GraftColumnBridge.withDeclaredHashPartitioning]]).
+    * CALLER CONTRACT: the checkpointed plan must be an explicit
+    * `repartition(defaultParallelism, keys)` with only partitioning-
+    * PRESERVING operators above it (filter / project / aggregate / window
+    * keyed on the same `keys` — anything EnsureRequirements satisfies
+    * without a new exchange). Used where the pin's exchange is fused with
+    * other per-key work (dedup, degree windows) so [[pinByKey]]'s plain
+    * repartition would pay a second shuffle.
+    */
+  def declarePinnedHash(ckpt: DataFrame, keys: String*): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge
+      .withDeclaredHashPartitioning(ckpt, keys)
+
   /** Sum of the leaves' partition counts, None when any leaf cannot be
     * sized without running a job. `inputRDD` on the scan nodes builds the
     * split plan driver-side from the (already-listed) file metadata — no

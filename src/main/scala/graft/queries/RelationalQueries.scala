@@ -1248,26 +1248,30 @@ object RelationalQueries {
     * every iteration replays exactly as an unrolled SQL CTE chain because
     * scores, damping, and contributions are all integer arithmetic.
     */
-  val graphPagerank: Q = (spark, dir) => {
-    val li = t(spark, dir, "lineitem").select(
-      (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
-    val edges = li.select(col("o").as("src"), col("p").as("dst"))
-      .union(li.select(col("p").as("src"), col("o").as("dst")))
-    graft.ops.Graph.pageRankExact(edges, iterations = 3)
-  }
+  val graphPagerank: Q = (spark, dir) =>
+    graft.ops.Graph.pageRankExact(bipartiteBothWays(spark, dir), iterations = 3)
+
+  /** Both orientations of the order↔part bipartite graph in ONE lineitem
+    * scan: the union-of-two-projections formulation scanned the parquet
+    * twice (each union arm plans its own scan); a per-row 2-way explode
+    * emits the same edge multiset from one pass.
+    */
+  private def bipartiteBothWays(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
+      .select(explode(array(
+        struct(col("o").as("src"), col("p").as("dst")),
+        struct(col("p").as("src"), col("o").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** Integer-exact Katz centrality over the same bipartite order–part
     * graph ([[graft.ops.Graph.katzExact]], 3 rounds, α = 1/5):
     * attenuated PATH counting — the centrality that rewards being close
     * to many nodes rather than merely linked by hubs-normalized mass.
     */
-  val graphKatz: Q = (spark, dir) => {
-    val li = t(spark, dir, "lineitem").select(
-      (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
-    val edges = li.select(col("o").as("src"), col("p").as("dst"))
-      .union(li.select(col("p").as("src"), col("o").as("dst")))
-    graft.ops.Graph.katzExact(edges, iterations = 3, attNumer = 1L, attDenom = 5L)
-  }
+  val graphKatz: Q = (spark, dir) =>
+    graft.ops.Graph.katzExact(
+      bipartiteBothWays(spark, dir), iterations = 3, attNumer = 1L, attDenom = 5L)
 
   /** Log-log price elasticity of demand per brand: the OLS slope of
     * ln(quantity) on ln(unit price) over lineitems
@@ -5111,13 +5115,8 @@ object RelationalQueries {
     * (orders by their basket profile, parts by their order-mix profile).
     * md5 colors over sorted neighbor multisets replay verbatim in SQL.
     */
-  val graphWl: Q = (spark, dir) => {
-    val li = t(spark, dir, "lineitem").select(
-      (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
-    val edges = li.select(col("o").as("src"), col("p").as("dst"))
-      .union(li.select(col("p").as("src"), col("o").as("dst")))
-    graft.ops.Graph.wlColors(edges, rounds = 2)
-  }
+  val graphWl: Q = (spark, dir) =>
+    graft.ops.Graph.wlColors(bipartiteBothWays(spark, dir), rounds = 2)
 
   // ——— wave 39: tail index, lineage chain, newsvendor, bullwhip ———
 

@@ -120,6 +120,42 @@ object GraftColumnBridge {
     * choices, the engine's fused-promotion gate). Returns the input
     * unchanged when the plan is not a bare checkpoint leaf.
     */
+  /** Rewrap a `localCheckpoint`ed Dataset so its [[LogicalRDD]] leaf DECLARES
+    * the hash partitioning its blocks were materialized under.
+    * `Dataset.localCheckpoint` under AQE records `UnknownPartitioning` on the
+    * checkpoint leaf (the adaptive wrapper's `outputPartitioning` is not the
+    * final plan's), so every downstream join/aggregate keyed on the pinned
+    * layout re-exchanges data that is already correctly placed — for an
+    * iterative op that means one avoidable shuffle of the pinned side PER
+    * ROUND. The caller ASSERTS the physical layout (an explicit
+    * `repartition(n, keys)` at the top of the checkpointed plan, or only
+    * partitioning-preserving operators — filter/project/aggregate/window on
+    * the same keys — above one); a false declaration silently mis-joins, so
+    * this is only called via [[graft.ops.Partitioning]]'s pin helpers, whose
+    * specs pin content equality against the undeclared plan. Returns the
+    * input unchanged when the plan is not a bare checkpoint leaf.
+    */
+  def withDeclaredHashPartitioning[T](ds: Dataset[T], keys: Seq[String]): Dataset[T] =
+    ds match {
+      case c: classic.Dataset[T @unchecked] =>
+        c.queryExecution.analyzed match {
+          case lr: LogicalRDD =>
+            val attrs = keys.map { k =>
+              lr.output.find(_.name == k).getOrElse(
+                throw new IllegalArgumentException(
+                  s"withDeclaredHashPartitioning: no column '$k' in ${lr.output.map(_.name)}"))
+            }
+            val hp = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+              attrs, lr.rdd.getNumPartitions)
+            val plan = LogicalRDD(
+              lr.output, lr.rdd, hp, lr.outputOrdering, lr.isStreaming, lr.stream)(
+              c.sparkSession, None, None)
+            classic.Dataset.ofRows(c.sparkSession, plan).as(ds.encoder)
+          case _ => ds
+        }
+      case _ => ds
+    }
+
   def withMeasuredStats[T](ds: Dataset[T], bytes: Long, rows: Long): Dataset[T] =
     ds match {
       case c: classic.Dataset[T @unchecked] if bytes >= 0 =>
