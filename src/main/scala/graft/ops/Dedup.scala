@@ -1285,8 +1285,12 @@ object Dedup {
     // sf0.1). localCheckpoint is the engine's own pin-once discipline; at
     // cluster scale this is exactly the staged table a multi-pass
     // set-similarity join materializes anyway.
-    val toks = prefixShingleSets(df, textCol, idCol, threshold, n)
-      .localCheckpoint(true)
+    // the declared id layout (the kernel repartitions by id before its
+    // compiled map — see prefixShingleSets) makes BOTH verify joins read
+    // the heavy shingle-set side exchange-free
+    val toks = Partitioning.declarePinnedHash(
+      prefixShingleSets(df, textCol, idCol, threshold, n).localCheckpoint(true),
+      "id")
     val cand = prefixCandidates(toks, threshold)
     // Explicit-parallelism exchange before the verify joins: candidate
     // rows are ~16 BYTES but cost an array_intersect over full shingle
@@ -1328,12 +1332,66 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(n >= 1, s"n must be >= 1, got $n")
     requireIntegralId(df, idCol)
+    // COMPILED per-row kernel (the shingleHashes discipline): the Column
+    // form — tokens → wordNgramsAllOfTokens → transform(xxhash64) →
+    // array_distinct — is a stack of higher-order functions whose lambdas
+    // dispatch INTERPRETED per shingle, and it dominated the operator's
+    // profile (shingle stage 4.0 s of a 6.2 s warm prefix-join at sf0.1;
+    // compiled ≈ 6×). Same tokenization, same gram strings, same
+    // xxhash64(seed 42) family; element ORDER inside a set differs
+    // (sorted here, first-occurrence there) — no consumer observes it
+    // (size / array_intersect size / a (dfq, g) struct sort downstream).
+    // The id-hash repartition doubles as the small-input parallelism
+    // guard (densify rationale) AND the layout the caller's pin declares.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sp = df.sparkSession
+    import sp.implicits._
     df.filter(col(textCol).isNotNull)
-      .withColumn("__ws", TextOps.tokens(col(textCol)))
-      .withColumn("__gs", TextOps.wordNgramsAllOfTokens(col("__ws"), n))
-      .select(col(idCol).cast("long").as("id"),
-        array_distinct(transform(col("__gs"), g => xxhash64(g))).as("set"))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .repartition(par, col("id"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, wordShingleHashSet(text, n)) }
+      .toDF("id", "set")
       .filter(size(col("set")) > 0)
+  }
+
+  /** Sorted distinct xxhash64 values of the word-`n`-gram shingles of
+    * `text` in compiled code — the word-gram sibling of [[shingleHashes]].
+    * Tokenization matches [[TextOps.tokens]] (lowercase, `\s+` split,
+    * empties dropped); docs shorter than `n` tokens shingle to [] (the
+    * [[TextOps.wordNgramsAllOfTokens]] counting-mode contract); gram
+    * strings are space-joined token windows hashed with the Column
+    * default XXH64 seed 42.
+    */
+  private[ops] def wordShingleHashSet(text: String, n: Int): Array[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array.emptyLongArray
+    else {
+      val count = toks.length - n + 1
+      val hs = new Array[Long](count)
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var r = 0; var w = 0
+      while (r < hs.length) {
+        if (w == 0 || hs(w - 1) != hs(r)) { hs(w) = hs(r); w += 1 }
+        r += 1
+      }
+      if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+    }
   }
 
   /** The lossless candidate stage of [[prefixJaccardPairs]]: distinct
