@@ -1078,11 +1078,21 @@ object Dedup {
       contentCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // compiled gram kernel — see [[duplicateSpans]]; per-doc distinct
+    // happens in the kernel (same strings, order irrelevant downstream)
+    val sp = df.sparkSession
+    import sp.implicits._
+    val par = sp.sparkContext.defaultParallelism
     val grams = df
       .filter(col(contentCol).isNotNull)
-      .withColumn("__ws", TextOps.tokens(col(contentCol)))
-      .select(col(idCol), explode(array_distinct(
-        TextOps.wordNgramsAllOfTokens(col("__ws"), n))).as("__g"))
+      .select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .repartition(par)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, TextOps.wordNgramsAllScala(text, n).distinct)
+      }
+      .toDF(idCol, "__gs")
+      .select(col(idCol), explode(col("__gs")).as("__g"))
       .select(col(idCol), md5(col("__g")).as("__d"))
     // grams are per-doc distinct already, so the per-digest row count IS
     // the distinct-document frequency — no distinct aggregation state
@@ -1217,13 +1227,23 @@ object Dedup {
       contentCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    requireIntegralId(df, idCol)
     // the positioned-gram table feeds BOTH the frequency count and the
-    // join-back — pin one evaluation or tokenize+shingle+md5 runs twice
+    // join-back — pin one evaluation or tokenize+shingle+md5 runs twice.
+    // Gram generation runs COMPILED ([[TextOps.wordNgramsAllScala]] — the
+    // Column-HOF form re-tokenized once per gram, see that kernel's doc);
+    // md5 stays a Column so digests are the engine's own bit-for-bit.
+    val sp = df.sparkSession
+    import sp.implicits._
+    val par = sp.sparkContext.defaultParallelism
     val grams = df
       .filter(col(contentCol).isNotNull)
-      .withColumn("__ws", TextOps.tokens(col(contentCol)))
-      .select(col(idCol),
-        posexplode(TextOps.wordNgramsAllOfTokens(col("__ws"), n)).as(Seq("__pos", "__g")))
+      .select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .repartition(par)
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextOps.wordNgramsAllScala(text, n)) }
+      .toDF(idCol, "__gs")
+      .select(col(idCol), posexplode(col("__gs")).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos"), md5(col("__g")).as("__d"))
       .localCheckpoint(true)
     // distinct-document frequency per digest: per-doc distinct first (the
@@ -1481,25 +1501,24 @@ object Dedup {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
     require(maxDf >= 2 && minShared >= 1, s"need maxDf >= 2, minShared >= 1")
     requireIntegralId(df, idCol)
-    import org.apache.spark.sql.expressions.Window
-    val grams = df
+    // the WHOLE per-document selection — tokenize, k-grams, md5-60-bit
+    // hashes, window minima, per-doc distinct — runs as one compiled
+    // kernel ([[winnowingFingerprints]]): selection is a pure per-doc
+    // function, so the former doc-keyed window shuffle + two window
+    // passes bought nothing a map can't do, and the Column gram stage
+    // re-tokenized per gram (see [[TextOps.wordNgramsAllScala]]).
+    // Fingerprint semantics are bit-identical (spec + oracle pinned).
+    val sp = df.sparkSession
+    import sp.implicits._
+    val par = sp.sparkContext.defaultParallelism
+    val fps = df
       .filter(col(textCol).isNotNull)
-      .withColumn("__ws", TextOps.tokens(col(textCol)))
-      .select(col(idCol).cast("long").as("id"),
-        posexplode(TextOps.wordNgramsAllOfTokens(col("__ws"), k))
-          .as(Seq("__pos", "__g")))
-      .select(col("id"), col("__pos"),
-        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__h"))
-    val win = Window.partitionBy("id").orderBy("__pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    val fps = grams
-      .withColumn("__sel", min(struct(col("__h"), col("__pos"))).over(win))
-      // the last w-1 windows are partial (shorter than w): dropping them
-      // keeps the guarantee clean — every kept window saw w grams
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
-      .filter(col("__pos") <= col("__n") - w)
-      .select(col("id"), col("__sel.__h").as("h"))
-      .distinct()
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .repartition(par)
+      .as[(Long, String)]
+      .map { case (id, text) => (id, winnowingFingerprints(text, k, w)) }
+      .toDF("id", "__hs")
+      .select(col("id"), explode(col("__hs")).as("h"))
     val rare = fps.groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
     val posts = fps.join(rare.select("h"), "h")
@@ -1509,6 +1528,53 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Compiled winnowing selection for [[winnowingPairs]] — per document:
+    * word k-gram strings (the [[TextOps.wordNgramsAllScala]] tokenization),
+    * 60-bit hashes equal to the Column form's
+    * `conv(substring(md5(gram),1,15),16,10)` (the first 15 hex nibbles of
+    * the md5 digest), the minimum hash of every FULL window of `w`
+    * consecutive grams (windows starting at 0..m−w — the partial trailing
+    * windows are dropped, matching the `pos ≤ n−w` filter), distinct, in
+    * first-selection order. Ties inside a window need no position
+    * tie-break here because only the hash value is emitted.
+    */
+  private[ops] def winnowingFingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val m = toks.length - k + 1
+    if (m < w) Array.emptyLongArray
+    else {
+      val hs = new Array[Long](m)
+      val md = md5Local.get()
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        hs(i) = (h << 4) | ((d(7) & 0xffL) >>> 4)
+        i += 1
+      }
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var p = 0
+      while (p <= m - w) {
+        var best = hs(p)
+        var q = p + 1
+        while (q < p + w) { if (hs(q) < best) best = hs(q); q += 1 }
+        out += best
+        p += 1
+      }
+      out.toArray
+    }
   }
 
 }

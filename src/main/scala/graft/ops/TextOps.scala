@@ -404,6 +404,35 @@ object TextOps {
   /** Compiled replica of [[wordShingles]] (same tokenization, same
     * shorter-than-n fallback, distinct set) for per-row hot paths.
     */
+  /** Compiled replica of `tokens → wordNgramsAllOfTokens`: ALL word
+    * n-grams as space-joined strings, duplicates KEPT, document order,
+    * empty when the doc has fewer than n tokens. Exists because the
+    * Column-HOF form re-tokenizes once per gram: CollapseProject inlines
+    * the staged tokenizer into the per-gram lambda (the measured 3× trap
+    * from the prefix-join shingle probe — see [[mattrPerDoc]]), and the
+    * lambda itself dispatches interpreted per element.
+    */
+  def wordNgramsAllScala(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty[String]
+    else {
+      val out = new Array[String](toks.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+
   def wordShinglesScala(text: String, n: Int): Array[String] = {
     val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) Array(toks.mkString(" "))
