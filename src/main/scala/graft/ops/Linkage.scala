@@ -140,7 +140,15 @@ object Linkage {
     */
   def editOnePairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     Dedup.requireIntegralId(df, idCol)
-    // feeds the signature explode AND both verify sides — pin one evaluation
+    // pin one evaluation of the (id, str) projection; the postings CARRY
+    // the string (short identifier strings are this op's documented
+    // domain, so a ~20-byte payload per posting beats joining the string
+    // table back onto a candidate set that is often 50× larger — the r12
+    // shape paid two candidate-sized join shuffles for it). Dedup runs
+    // AFTER the banded levenshtein: a pair surfaces once per shared
+    // signature (duplicate verifications are O(len) each, far cheaper
+    // than a candidate-sized distinct exchange), and the survivor set the
+    // dropDuplicates shuffles is edit-distance-1-sized — tiny.
     val s = df
       .filter(col(strCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
@@ -149,20 +157,18 @@ object Linkage {
       sequence(lit(1), length(col("str"))),
       i => concat(col("str").substr(lit(1), i - lit(1)),
         col("str").substr(i + lit(1), length(col("str")))))
-    val post = s.select(col("id"),
+    val post = s.select(col("id"), col("str"),
       explode(array_distinct(transform(
         concat(array(col("str")), deletions), g => xxhash64(g)))).as("sig"))
-    val cand = post.select(col("sig"), col("id").as("id_a"))
-      .join(post.select(col("sig"), col("id").as("id_b")), Seq("sig"))
+      .localCheckpoint(true)
+    post.select(col("sig"), col("id").as("id_a"), col("str").as("__a"))
+      .join(post.select(col("sig"), col("id").as("id_b"), col("str").as("__b")),
+        Seq("sig"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cand
-      .join(s.select(col("id").as("id_a"), col("str").as("__a")), "id_a")
-      .join(s.select(col("id").as("id_b"), col("str").as("__b")), "id_b")
       .withColumn("dist", levenshtein(col("__a"), col("__b"), 1))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Sorted-neighborhood linkage (Hernández & Stolfo 1995) — the THIRD

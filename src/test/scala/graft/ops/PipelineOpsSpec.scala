@@ -1033,11 +1033,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(np == (("k,v", 3L, 1L, 2L, 4L, false)))
   }
 
-  test("Checks.profile is a single pass regardless of column count") {
-    // the nondeterministic marker counts rows each executed scan reads: the
-    // old per-column formulation cost 4 scans here, the single-agg form
-    // must cost exactly one (the exact-distinct Expand multiplies rows
-    // ABOVE the scan, not reads of it)
+  test("Checks.profile: stats ride one pass; exact distincts one pruned pass per column") {
+    // the nondeterministic marker counts rows each executed scan reads:
+    // exact mode costs one stats pass plus one column-pruned pass per
+    // column (k+1 scans — the Expand-free shape; the old single-agg
+    // multi-countDistinct form expanded to (k+1)·rows and double-sorted
+    // them, measured 2.4× slower at sf0.1)
     val acc = spark.sparkContext.longAccumulator("profile_rows_read")
     val mark = udf { (_: Long) => { acc.add(1L); true } }.asNondeterministic()
     val raw = (1L to 500L).map(i => (i, i % 7, s"s${i % 13}", i % 2 == 0))
@@ -1045,10 +1046,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val df = raw.filter(mark(col("a")))
     val exact = Checks.profile(df, Seq("a", "b", "c", "d"))
       .as[(String, Long, Long, Long, String, String)].collect()
-    assert(acc.value == 500, s"rows read ${acc.value}: profile must scan once for 4 columns")
+    assert(acc.value == 500L * 5,
+      s"rows read ${acc.value}: exact profile must cost the stats pass + 4 pruned passes")
     val expected = Map("a" -> 500L, "b" -> 7L, "c" -> 13L, "d" -> 2L)
     exact.foreach(r => assert(r._4 == expected(r._1), r.toString))
-    // approx mode (the expand-free 100 TB path): still one pass, estimates
+    // approx mode (the single-scan 100 TB path): one pass, estimates
     // within HLL++ error
     acc.reset()
     val approx = Checks.profile(df, Seq("a", "b", "c", "d"), approxDistinct = true)
