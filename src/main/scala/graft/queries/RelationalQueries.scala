@@ -3388,10 +3388,19 @@ object RelationalQueries {
   private def distinctOrderPart(spark: SparkSession, dir: String): DataFrame =
     sharedBasket.computeIfAbsent((spark, dir),
       { case (s, d) =>
-        t(s, d, "lineitem")
-          .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
-          .distinct()
-          .localCheckpoint(true)
+        // __ok-hash-placed in the dedup exchange itself and DECLARED
+        // (Partitioning.declarePinnedHash): the four basket queries'
+        // pair self-joins then read both sides co-partitioned — zero
+        // exchange before the pair aggregation — and the basket count
+        // dedups without re-keying
+        val par = s.sparkContext.defaultParallelism
+        graft.ops.Partitioning.declarePinnedHash(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+            .repartition(par, col("__ok"))
+            .distinct()
+            .localCheckpoint(true),
+          "__ok")
       })
 
   /** Drop the shared cached projections (checkpoint storage is reclaimed
@@ -3917,7 +3926,13 @@ object RelationalQueries {
     * (the dedup_ngram block-bound contract); the cut is TakeOrdered.
     */
   val basketPairs: Q = (spark, dir) => {
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // one explicit basket-key exchange shared by BOTH self-join sides
+    // (identical subtrees — the shuffle is written once and read twice),
+    // so the join itself adds no exchange
+    val par = spark.sparkContext.defaultParallelism
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("__ok"), col("l_partkey"))
+      .repartition(par, col("__ok"))
     li.toDF("__ok", "part_a")
       .join(li.toDF("__ok", "part_b"), Seq("__ok"))
       .filter(col("part_a") < col("part_b"))
