@@ -302,49 +302,90 @@ object TextOps {
       topK: Int,
       lang: String = "en"): DataFrame = {
     require(topK >= 1, "topK must be positive")
-    val stops = stop(lang)
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(
-      col(idCol).as("__id"),
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
-    val wDoc = Window.partitionBy("__id").orderBy("__pos")
-    // words feeds TWO arms (phrases, occ) and occ feeds two more (stats,
-    // scored) — pinned, or the tokenize+window chain re-derives once per
-    // arm (~4 corpus scans measured in-bench before round 9)
-    val words = toks
-      .withColumn("__stop", col("__w").isin(stops.map(x => x: Any): _*))
-      .withColumn("__run", sum(col("__stop").cast("long")).over(wDoc))
-      .filter(!col("__stop"))
-      .select("__id", "__run", "__pos", "__w")
-      .localCheckpoint(true)
-    val phrases = words
-      .groupBy("__id", "__run")
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("__pos").as("p"), col("__w").as("w")))),
-            x => x.getField("w")), " ").as("phrase"),
-        count(lit(1)).as("__plen"))
-      .localCheckpoint(true)
-    val occ = words.select("__id", "__run", "__w")
-      .join(phrases.select("__id", "__run", "__plen"), Seq("__id", "__run"))
-      .localCheckpoint(true)
-    val stats = occ
-      .groupBy("__id", "__w")
-      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
-      .withColumn("__ws", expr("(1000000 * __deg) div __freq"))
-    val scored = occ
-      .join(stats.select("__id", "__w", "__ws"), Seq("__id", "__w"))
-      .groupBy("__id", "__run")
-      .agg(sum(col("__ws")).as("score"))
-      .join(phrases.select("__id", "__run", "phrase"), Seq("__id", "__run"))
-      .select(col("__id"), col("phrase"), col("score"))
-      .distinct()
-    val rankW = Window.partitionBy("__id").orderBy(col("score").desc, col("phrase").asc)
-    scored
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= topK)
-      .select(col("__id").as(idCol), col("phrase"), col("score"), col("rank"))
+    val stops = stop(lang).toSet
+    // RAKE is a pure PER-DOCUMENT function (stop-word run segmentation,
+    // per-doc word freq/deg, per-phrase score, per-doc rank) — the r12
+    // formulation spread it over three checkpoints, four joins and two
+    // windows, all keyed by doc id, i.e. six shuffles for work a single
+    // compiled map does per row (3.05 s → sub-second at sf0.1). Integer
+    // arithmetic is replicated exactly (floor divisions on longs); the
+    // rank's phrase tie-break compares UTF-8 BYTES, matching the
+    // engine's binary string order even off-ASCII.
+    val sp = df.sparkSession
+    import sp.implicits._
+    val par = sp.sparkContext.defaultParallelism
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .repartition(par)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        rakeTopPhrases(text, stops, topK).map {
+          case (phrase, score, rank) => (id, phrase, score, rank)
+        }
+      }
+      .toDF(idCol, "phrase", "score", "rank")
+  }
+
+  /** Compiled RAKE scorer for one document — see [[rakePhrases]] for the
+    * semantics it replicates bit-for-bit: tokens split on `\s+` after
+    * lowercasing, candidate phrases are maximal stop-word-free runs
+    * (joined in position order), word score `ws = (10⁶·deg) div freq`
+    * over the doc's occurrences, phrase score the sum of its occurrences'
+    * word scores, duplicate (phrase, score) rows collapsed, rank by
+    * (score DESC, phrase ASC in UTF-8 byte order), top `k` kept.
+    */
+  private def rakeTopPhrases(
+      text: String,
+      stops: Set[String],
+      k: Int): Seq[(String, Long, Int)] = {
+    if (text == null) return Seq.empty
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return Seq.empty
+    // runs of consecutive non-stop words, keyed like the window form
+    // (run id = stops seen so far); each run keeps its words in order
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    toks.foreach { w =>
+      if (stops.contains(w)) {
+        if (cur.nonEmpty) { runs += cur.toArray; cur = scala.collection.mutable.ArrayBuffer.empty }
+      } else cur += w
+    }
+    if (cur.nonEmpty) runs += cur.toArray
+    if (runs.isEmpty) return Seq.empty
+    // per-word freq / deg over ALL occurrences in candidate phrases
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    val deg = scala.collection.mutable.HashMap.empty[String, Long]
+    runs.foreach { r =>
+      val plen = r.length.toLong
+      r.foreach { w =>
+        freq.update(w, freq.getOrElse(w, 0L) + 1L)
+        deg.update(w, deg.getOrElse(w, 0L) + plen)
+      }
+    }
+    val ws = freq.keysIterator.map(w => w -> (1000000L * deg(w)) / freq(w)).toMap
+    // phrase score = sum of occurrence word scores; duplicate phrases
+    // collapse (identical words ⇒ identical score by construction)
+    val scored = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    runs.foreach { r =>
+      val phrase = r.mkString(" ")
+      if (!scored.contains(phrase)) scored.update(phrase, r.map(ws).sum)
+    }
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    scored.toSeq
+      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1)))
+      .take(k)
+      .zipWithIndex
+      .map { case ((p, s), i) => (p, s, i + 1) }
   }
 
   /** Whitespace-collapsed lowercase form — stage this as its own column
