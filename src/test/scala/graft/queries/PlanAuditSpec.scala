@@ -993,10 +993,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "FileScan") == 1, "five thresholds must share the scan\n" + p)
   }
 
-  test("dedup_winnowing: posting self-join stays equi; window min runs per doc") {
+  test("dedup_winnowing: posting self-join stays equi; selection is one compiled map") {
     val p = plan("dedup_winnowing")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("Window"), p)
+    // r13: the whole per-doc selection (grams, md5 hashes, window minima,
+    // per-doc distinct) runs inside one compiled map — a WindowExec (and
+    // its doc-keyed exchange + sort) in the plan would mean the selection
+    // regressed to the shuffled formulation
+    assert(!p.contains("Window"), s"winnowing selection must stay map-side:\n$p")
+    assert(p.contains("MapElements") || p.contains("SerializeFromObject"),
+      s"expected the compiled selection kernel in the plan:\n$p")
   }
 
   test("events_markov_pi: the corpus is scanned once (inside the pinned transition table)") {
