@@ -172,8 +172,10 @@ final class CoddSession private (
     * `collect_stable ∪ collect_recent` after stabilization).
     */
   def evaluate[T](expr: Expr[T]): Dataset[T] = {
-    expr.relDeps.toSeq.sorted.foreach(stabilizeRelation)
-    expr.viewDeps.toSeq.sorted.foreach(stabilizeView)
+    if (sequentialStabilization) {
+      expr.relDeps.toSeq.sorted.foreach(stabilizeRelation)
+      expr.viewDeps.toSeq.sorted.foreach(stabilizeView)
+    } else stabilizeFused(expr.relDeps, expr.viewDeps)
     val s = collectStable(expr)
     val memo = newMemo
     // After stabilization every leaf's recent is provably empty (the driver
@@ -245,12 +247,14 @@ final class CoddSession private (
     * stored views appear as `view_<id>`. Returns the lazy DataFrame.
     */
   def sql(query: String): DataFrame = {
+    if (sequentialStabilization) {
+      relations.keys.toSeq.sorted.foreach(stabilizeRelation)
+      views.keys.toSeq.sorted.foreach(stabilizeView)
+    } else stabilizeFused(relations.keys, views.keys)
     relations.keys.toSeq.sorted.foreach { n =>
-      stabilizeRelation(n)
       relations(n).instance.stable.toDF().createOrReplaceTempView(n)
     }
     views.keys.toSeq.sorted.foreach { id =>
-      stabilizeView(id)
       views(id).instance.stable.toDF().createOrReplaceTempView(s"view_$id")
     }
     spark.sql(query)
@@ -314,42 +318,123 @@ final class CoddSession private (
     * measured-path promotions) fall back inline per instance — identical
     * semantics, just without the batching.
     */
-  def stabilizeAll(): Unit = {
-    relations.keys.toSeq.sorted.foreach(stabilizeRelation)
-    var continue = true
-    while (continue) {
-      val frontier = views.toSeq.sortBy(_._1).filter { case (_, v) =>
-        v.instance.pendingCount > 0 || v.instance.hasRecent
-      }
-      if (frontier.isEmpty) continue = false
-      else {
-        val prepped = frontier.map { case (id, v) => (id, v.instance.prepareChanged()) }
-        val deferred = prepped.collect { case (id, Right(p)) => (id, p) }
-        val counts: Map[Int, Long] =
-          if (deferred.isEmpty) Map.empty
-          else if (deferred.size == 1)
-            Map(deferred.head._1 -> deferred.head._2.leaf.ds.count())
-          else {
-            // one action: each deferred promotion contributes a single
-            // (view id, count) row; computing the union materializes every
-            // lazy checkpoint in the same job
-            import org.apache.spark.sql.functions.{count => fcount}
-            val u = deferred.map { case (id, p) =>
-              p.leaf.ds.toDF().groupBy().agg(fcount(lit(1)).as("__n"))
-                .select(lit(id).as("__id"), col("__n"))
-            }.reduce(_ union _)
-            u.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  def stabilizeAll(): Unit =
+    if (sequentialStabilization) {
+      relations.keys.toSeq.sorted.foreach(stabilizeRelation)
+      views.keys.toSeq.sorted.foreach(stabilizeView)
+    } else stabilizeFused(relations.keys, views.keys)
+
+  /** Escape hatch for the spec's sequential-vs-fused property tests: when
+    * set, [[evaluate]]/[[sql]]/[[stabilizeAll]] run the original
+    * per-instance epoch loops ([[stabilizeRelation]]/[[stabilizeView]])
+    * instead of [[stabilizeFused]]. Semantics are identical by contract;
+    * only the job batching differs.
+    */
+  private[graft] var sequentialStabilization = false
+
+  /** Batched stabilization of a dependency CLOSURE — the sequential
+    * per-instance epoch loops fused so that ONE Spark action per DAG
+    * round materializes every promotion on the frontier (SCALE.md r13
+    * §fanout, extended r14 to CROSS-LEVEL fusion): a relation's batch
+    * promotion, its dependent views' delta promotions, and chained views'
+    * promotions all ride one union-of-counts job. The walk is
+    * topological (relations, then views in ascending id order — a view
+    * can only depend on earlier-created views), and each deferred
+    * promotion is installed as a PROVISIONAL `recent`
+    * ([[Instance.installOptimistic]]) so the next level's delta plans
+    * compose over it lazily; the single action then executes the whole
+    * cascade bottom-up (shared lazy checkpoints materialize once — block
+    * puts are first-wins, every consumer reads the winner).
+    *
+    * Semantics match the sequential path exactly:
+    *  - simultaneous dependee deltas reach a view as ONE staged 3-term
+    *    rule application instead of two 1-term ones — same union by the
+    *    semi-naive identity δ(L⋈R) = δL⋈Rˢ ∪ Lˢ⋈δR ∪ δL⋈δR;
+    *  - dependents OUTSIDE the closure get their delta staged only after
+    *    a non-zero commit (their staged plans must never capture a leaf
+    *    a zero-count commit retires), reading the committed recent —
+    *    exactly what the sequential `viewDeltaStep` captures;
+    *  - instances whose epoch cannot defer (durable stores, over-budget
+    *    promotions) run inline inside the walk, exactly as before.
+    */
+  private def stabilizeFused(rels0: Iterable[String], views0: Iterable[Int]): Unit = {
+    // dependee closure (what sequential stabilizeView recursion reaches)
+    val vset = mutable.SortedSet.empty[Int]
+    def addV(id: Int): Unit = views.get(id).foreach { v =>
+      if (vset.add(id)) v.dependeeViews.foreach(addV)
+    }
+    views0.foreach(addV)
+    val rset = mutable.SortedSet.empty[String]
+    rels0.foreach(n => if (relations.contains(n)) rset += n)
+    vset.foreach(id => views(id).dependeeRels.foreach(n => if (relations.contains(n)) rset += n))
+    // honor the re-entrancy guards the sequential loops use
+    val rs = rset.toSeq.filterNot(relations(_).stabilizing)
+    val vs = vset.toSeq.filterNot(views(_).stabilizing)
+    rs.foreach(relations(_).stabilizing = true)
+    vs.foreach(views(_).stabilizing = true)
+    try {
+      val slots: Seq[Either[String, Int]] = rs.map(Left(_)) ++ vs.map(Right(_))
+      def instOf(s: Either[String, Int]): Instance[Any] =
+        s.fold(relations(_).instance, views(_).instance)
+      def depsOf(s: Either[String, Int]): SortedSet[Int] =
+        s.fold(relations(_).dependents, views(_).dependents)
+      var continue = true
+      while (continue) {
+        // dependent views owed a delta step by this round's changes:
+        // in-closure ones are staged just before their own walk slot (ONE
+        // composed 3-term step per view per round); the rest after commit
+        val toStage = mutable.SortedSet.empty[Int]
+        val prepared = mutable.Buffer.empty[(Either[String, Int], Instance.Prepared[Any])]
+        var anyWork = false
+        slots.foreach { s =>
+          s.foreach { id => if (toStage.remove(id)) viewDeltaStep(id) }
+          val inst = instOf(s)
+          if (inst.pendingCount > 0 || inst.hasRecent) {
+            anyWork = true
+            inst.prepareChanged() match {
+              case Left(true)  => toStage ++= depsOf(s)
+              case Left(false) => ()
+              case Right(p) =>
+                inst.installOptimistic(p)
+                prepared += ((s, p))
+                toStage ++= depsOf(s)
+            }
           }
-        val changed = prepped.flatMap {
-          case (id, Left(c))  => if (c) Some(id) else None
-          case (id, Right(p)) =>
-            if (views(id).instance.commitPrepared(p, counts(id))) Some(id) else None
         }
-        // termination: prepare always folds recent, commit sets it only on
-        // changed views, and only changed views stage new dependent work —
-        // an all-quiet round leaves the next frontier empty
-        changed.foreach(id => views(id).dependents.foreach(viewDeltaStep))
+        if (!anyWork) continue = false
+        else {
+          val counts: Map[Int, Long] =
+            if (prepared.isEmpty) Map.empty
+            else if (prepared.size == 1)
+              Map(0 -> prepared.head._2.leaf.ds.count())
+            else {
+              // one action: each deferred promotion contributes a single
+              // (slot index, count) row; computing the union materializes
+              // every lazy checkpoint — the whole cascade — in one job
+              import org.apache.spark.sql.functions.{count => fcount}
+              val u = prepared.zipWithIndex.map { case ((_, p), i) =>
+                p.leaf.ds.toDF().groupBy().agg(fcount(lit(1)).as("__n"))
+                  .select(lit(i).as("__i"), col("__n"))
+              }.reduce(_ union _)
+              u.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            }
+          prepared.zipWithIndex.foreach { case ((s, p), i) =>
+            instOf(s).commitPrepared(p, counts(i))
+          }
+          // out-of-closure dependents: stage only when a dependee really
+          // changed (post-commit `hasRecent` is exactly that signal)
+          toStage.foreach { id =>
+            val v = views(id)
+            val live =
+              v.dependeeRels.exists(n => relations.get(n).exists(_.instance.hasRecent)) ||
+                v.dependeeViews.exists(i => views.get(i).exists(_.instance.hasRecent))
+            if (live) viewDeltaStep(id)
+          }
+        }
       }
+    } finally {
+      rs.foreach(relations(_).stabilizing = false)
+      vs.foreach(views(_).stabilizing = false)
     }
   }
 

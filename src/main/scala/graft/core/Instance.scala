@@ -337,16 +337,17 @@ final class Instance[T](
   }
 
   /** Phase 1 of an epoch: fold `recent` (compaction), drain `toAdd`, and
-    * BUILD the promotion. `Right(prepared)` carries a LAZY transient leaf
-    * — the first action over `prepared.leaf.ds` (a count, possibly unioned
-    * with other instances' counts) materializes the checkpoint; the caller
-    * must then feed the measured count to [[commitPrepared]]. `Left(r)` =
-    * the epoch completed inline: nothing was staged, or the shape is one
-    * the deferred path does not cover — durable stores (their
-    * materialization is a parquet write, an action of its own), lazy first
-    * ingest, and non-fusable/over-budget promotions (the measured path
-    * needs its own count before the broadcast-vs-EXCEPT choice) — all of
-    * which run exactly the undeferred epoch.
+    * BUILD the promotion. `Right(prepared)` carries a PERSISTED (cache-
+    * manager) leaf whose plan has not compiled or executed at all — the
+    * first action over `prepared.leaf.ds` (a count, possibly unioned with
+    * other instances' counts) executes the promotion and populates the
+    * cache in one pass; the caller must then feed the measured count to
+    * [[commitPrepared]]. `Left(r)` = the epoch completed inline: nothing
+    * was staged, or the shape is one the deferred path does not cover —
+    * durable stores (their materialization is a parquet write, an action
+    * of its own) and non-fusable/over-budget promotions (the measured
+    * path needs its own count before the broadcast-vs-EXCEPT choice) —
+    * all of which run exactly the undeferred epoch.
     */
   private[core] def prepareChanged(): Either[Boolean, Instance.Prepared[T]] = synchronized {
     foldRecent()
@@ -370,17 +371,33 @@ final class Instance[T](
         commitState()
         Left(r)
       }
+      def estOf(ds: Dataset[T]): Long =
+        try ds.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong
+        catch { case _: Throwable => -1L }
+      // Deferral is PERSIST-based (r14): a cache-manager persist() stages
+      // NOTHING at prepare — no plan compile, no withAction, no broadcast
+      // futures (Dataset.localCheckpoint runs plan.execute() inside a
+      // withAction, which both allocates an execution per instance and
+      // BLOCKS on every BroadcastExchange future right there, serializing
+      // the real promotion work at prepare time). The caller's single
+      // batched action then executes the whole cascade under the USER
+      // session — AQE coalescing and broadcast handling intact — and the
+      // scan that counts each promotion populates its cache. The cached
+      // batch's lineage stays intact (safe recompute ordering is handled
+      // by [[foldRecent]]'s cached-run flattening rules).
+      def cachedLeaf(ds: Dataset[T]): Leaf[T] =
+        Leaf(
+          withPlanNonce(ds).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          Instance.CachedLeafId)
       if (policy != Instance.LocalCheckpoint) inline()
-      else if (stableBatches.isEmpty) {
-        if (lazyFirstBatch) inline()
-        else
-          Right(Instance.Prepared(
-            materializeTransient(
-              GraftColumnBridge.withSession(staged, Instance.planSession(session))),
-            None))
-      } else {
+      else if (stableBatches.isEmpty)
+        Right(Instance.Prepared(
+          cachedLeaf(staged), None,
+          depth = Instance.MaxUnionDepth, estBytes = estOf(staged)))
+      else {
         // mirror [[promote]]'s fused-regime gate exactly: a deferred
-        // promotion must be the same one-job plan the inline path builds
+        // promotion must be the same one-action plan the inline path builds
         val est =
           if (!direct && !pinnedSafe) BigInt(Long.MaxValue)
           else
@@ -388,30 +405,62 @@ final class Instance[T](
             catch { case _: Throwable => BigInt(Long.MaxValue) }
         if (est > Instance.FusedPromoteMaxBytes) inline()
         else {
-          // compile the deferred plan under the AQE-OFF twin session: a
-          // lazy checkpoint's toRdd on an ADAPTIVE plan executes every
-          // non-result stage at prepare time (one eager action per view —
-          // exactly the serialization stabilizeAll exists to remove);
-          // classically compiled, the RDD builds lazily and all stages run
-          // inside the caller's single batched action. commitPrepared
-          // re-homes the materialized batch to the user's session.
-          val twin = Instance.planSession(session)
-          val pin =
-            if (direct) None
-            else Some(materializeTransient(GraftColumnBridge.withSession(staged, twin)))
+          // the persisted pin plays the lazy checkpoint's role for
+          // non-certified plans: the novel plan references it twice
+          // (broadcast build + anti-join probe), and within the one
+          // batched action the first materialization wins the block
+          // store — both references read the same rows
+          val pin = if (direct) None else Some(cachedLeaf(staged))
           val novel = broadcastNovelPlan(pin.map(_.ds).getOrElse(staged))
           Right(Instance.Prepared(
-            materializeTransient(GraftColumnBridge.withSession(novel, twin)),
-            pin))
+            cachedLeaf(novel), pin,
+            depth = Instance.MaxUnionDepth,
+            estBytes = est.min(BigInt(Long.MaxValue)).toLong))
         }
       }
     }
   }
 
+  /** Uniquify a plan before cache-manager registration: persist/unpersist
+    * key on the CANONICALIZED analyzed plan, so two value-equal batches
+    * (the same Dataset inserted in two epochs, two identical literal
+    * batches) would share one cache entry — and retiring one would drop
+    * the other's blocks, forcing a recompute that an impure typed closure
+    * must never see. The tautological filter over a fresh literal keeps
+    * the analyzed plan unique per materialization and constant-folds to
+    * nothing in the physical plan.
+    */
+  private def withPlanNonce(ds: Dataset[T]): Dataset[T] =
+    ds.where(org.apache.spark.sql.functions.lit(
+      "graft_batch_" + java.util.UUID.randomUUID().toString).isNotNull)
+
+  /** Install a PREPARED-but-uncounted promotion as the provisional
+    * `recent` so dependent views can stage delta plans over it BEFORE the
+    * batched action runs — the r14 cross-level fusion: a relation's
+    * promotion, its dependent views' delta promotions, and chained views'
+    * promotions all materialize in ONE Spark action instead of one per
+    * DAG level. The staged plans capture the leaf's Dataset by reference,
+    * so the later [[commitPrepared]] (which re-homes and re-stats the
+    * same blocks, or clears `recent` on an empty count) never invalidates
+    * them. Provisional statistics come from the staged plan's estimate:
+    * without them the checkpoint leaf reports the unknown-leaf default
+    * and every downstream size gate (fused-promotion budget, broadcast
+    * choice) misfires to the conservative path.
+    */
+  private[core] def installOptimistic(p: Instance.Prepared[T]): Unit = synchronized {
+    val ds =
+      if (p.estBytes >= 0 && p.leaf.durableId < 0 && p.leaf.durableId != Instance.CachedLeafId)
+        GraftColumnBridge.withMeasuredStats(
+          p.leaf.ds, p.estBytes, math.max(1L, p.estBytes / 16L))
+      else p.leaf.ds
+    recentBatch = Some(Run(ds, -1L, p.depth, Vector(p.leaf)))
+  }
+
   /** Phase 2: bookkeeping for a [[prepareChanged]] `Right`, given the
     * count the caller's action measured. Identical to the tail of the
     * fused promotion: attach measured stats, retire the epoch-private
-    * pin, install the batch as `recent` (or retire it when empty), commit
+    * pin, install the batch as `recent` (or retire it when empty — also
+    * clearing any [[installOptimistic]] provisional install), commit
     * the manifest (a no-op here — the deferred path only exists under
     * [[Instance.LocalCheckpoint]]).
     */
@@ -424,15 +473,25 @@ final class Instance[T](
     val leaf = measured(home, n)
     p.pin.foreach(retire)
     val result =
-      if (n > 0) { recentBatch = Some(Run(leaf.ds, n, 0, Vector(leaf))); true }
-      else { retire(leaf); false }
+      if (n > 0) { recentBatch = Some(Run(leaf.ds, n, p.depth, Vector(leaf))); true }
+      else { retire(leaf); recentBatch = None; false }
     commitState()
     result
   }
 
-  /** Epoch step 1: fold `recent` into `stable` under geometric compaction. */
+  /** Epoch step 1: fold `recent` into `stable` under geometric compaction.
+    *
+    * Cached (persist-deferred) runs carry their FULL origin plan — unlike
+    * checkpoint leaves their lineage is not flat — so two rules bound the
+    * nesting Catalyst re-analyzes each epoch: a cached run re-materializes
+    * on its first merge (it enters at [[Instance.MaxUnionDepth]]), and
+    * stable never holds more than ONE cached run (a second one, even
+    * unmerged, flattens eagerly — a cheap job reading the warm cache).
+    */
   private def foldRecent(): Unit =
     recentBatch.foreach { r =>
+      def cachedRun(x: Run[T]): Boolean =
+        x.leaves.exists(_.durableId == Instance.CachedLeafId)
       var merged: Run[T] = r
       while (stableBatches.nonEmpty &&
         stableBatches.last.count <= Instance.CompactionFactor * merged.count) {
@@ -446,7 +505,8 @@ final class Instance[T](
           math.max(last.depth, merged.depth) + 1,
           last.leaves ++ merged.leaves)
       }
-      if (merged.depth > Instance.MaxUnionDepth) {
+      if (merged.depth > Instance.MaxUnionDepth ||
+        (cachedRun(merged) && stableBatches.exists(cachedRun))) {
         // eager: the replacement must be fully materialized while its
         // inputs are still certainly readable
         val leaf = measured(materializeDurable(merged.ds, eager = true), merged.count)
@@ -617,9 +677,20 @@ object Instance {
     * materialized: `leaf` is the LAZY transient checkpoint of the novel
     * set (the caller's action computes and caches it), `pin` the
     * epoch-private staged checkpoint of a non-certified plan (retired at
-    * commit, exactly like the inline fused promotion's pin).
+    * commit, exactly like the inline fused promotion's pin). `depth` is
+    * the union-lineage depth the committed Run records (MaxUnionDepth for
+    * the cached lazy first ingest — its lineage is intact, so the first
+    * compaction merge must re-materialize). `estBytes` is the staged
+    * plan's size ESTIMATE — [[installOptimistic]] exposes it as
+    * provisional leaf statistics so delta plans staged over the
+    * uncommitted batch see a sane size instead of the unknown-leaf
+    * default.
     */
-  private[core] final case class Prepared[T](leaf: Leaf[T], pin: Option[Leaf[T]])
+  private[core] final case class Prepared[T](
+      leaf: Leaf[T],
+      pin: Option[Leaf[T]],
+      depth: Int = 0,
+      estBytes: Long = -1L)
 
   /** Max logical-union lineage depth of a stable run before it is
     * re-materialized: folds below this depth cost zero Spark jobs; the

@@ -95,6 +95,7 @@ class CoddSessionExtrasSpec extends AnyFunSuite {
         (r, s, v1, v2)
       }
       val seqDb = new CoddSession(spark)
+      seqDb.sequentialStabilization = true // genuine per-instance loops
       val batDb = new CoddSession(spark)
       val (sr, ss, sv1, sv2) = build(seqDb)
       val (br, bs, bv1, bv2) = build(batDb)

@@ -60,6 +60,7 @@ class StabilizeAllSpec extends AnyFunSuite {
 
   test("batched epochs match a sequential twin session exactly (join view)") {
     val seqDb = fresh
+    seqDb.sequentialStabilization = true // genuine per-instance loops
     val batDb = fresh
     def build(db: CoddSession) = {
       val o = db.addRelation[(Int, Int)]("orders")
@@ -103,6 +104,93 @@ class StabilizeAllSpec extends AnyFunSuite {
     db.stabilizeAll()
     assert(db.evaluateSorted(v) == (6 to 10))
     db.close()
+  }
+
+  /** Distinct SQL executions `body` runs, scoped by a unique job group
+    * (a bare-RDD sentinel in the same group flushes the FIFO bus).
+    */
+  private def probeExecutions(body: => Unit): Int = {
+    val group = s"stabilize_probe_${java.util.UUID.randomUUID()}"
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val sentinel = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (group == j.properties.getProperty("spark.jobGroup.id")) {
+          Option(j.properties.getProperty("spark.sql.execution.id")) match {
+            case Some(id) => execIds.add(id)
+            case None     => sentinel.incrementAndGet()
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "stabilize probe window")
+      body
+      spark.sparkContext.range(0, 1).count() // FIFO sentinel, same group
+      spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (sentinel.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      execIds.size
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("fused evaluate: a rel→view→view epoch stabilizes in ONE action (r14)") {
+    // evaluate's stabilization fuses the relation's batch promotion, the
+    // dependent view's delta promotion and the chained view's promotion
+    // into one union-of-counts action; the consumer count is the only
+    // other execution. The sequential path ran one action per DAG level.
+    val db = fresh
+    val r = db.addRelation[Int]("r")
+    val v1 = db.storeView(r.select(_ % 2 == 0))
+    val v2 = db.storeView(v1.project(_ / 2))
+    db.insert(r, 1 to 40)
+    val e1 = probeExecutions { db.evaluate(v2).count() }
+    assert(e1 == 2, s"epoch 1 must be 1 stabilization action + 1 consumer count, saw $e1")
+    assert(db.evaluateSorted(v2) == (1 to 20))
+    db.insert(r, 30 to 60)
+    val e2 = probeExecutions { db.evaluate(v2).count() }
+    // epoch 2: ONE fused promotion action (relation novel + v1 delta + v2
+    // delta all in it), then the fold round flattens each instance's two
+    // cached runs into a checkpoint (3 small jobs reading warm caches —
+    // the bounded-lineage rule), then the consumer count. The sequential
+    // path pays 3 promotion actions instead of 1 before the same folds.
+    assert(e2 == 5, s"epoch 2 must be 1 fused action + 3 cached-run flattens + 1 count, saw $e2")
+    assert(db.evaluateSorted(v2) == (1 to 30))
+    // a duplicate-only epoch: zero-novel commits must unwind cleanly
+    db.insert(r, 30 to 60)
+    assert(db.evaluateSorted(v2) == (1 to 30))
+    db.close()
+  }
+
+  test("fused evaluate matches a sequential twin across mixed epochs (join view)") {
+    val seqDb = fresh
+    seqDb.sequentialStabilization = true
+    val batDb = fresh
+    def build(db: CoddSession) = {
+      val o = db.addRelation[(Int, Int)]("orders")
+      val c = db.addRelation[(Int, String)]("cust")
+      val v = db.storeView(
+        o.select(_._2 > 100).withKey(_._1)
+          .join(c.withKey(_._1)).on((k, ord, cu) => (k, cu._2, ord._2)))
+      (o, c, v)
+    }
+    val (so, sc, sv) = build(seqDb)
+    val (bo, bc, bv) = build(batDb)
+    // BOTH relations receive batches in the SAME epoch — the fused round
+    // promotes them together and the view's one staged delta must apply
+    // the full 3-term rule (δL⋈Rˢ ∪ Lˢ⋈δR ∪ δL⋈δR)
+    val epochs = Seq(
+      ((1 to 15).map(i => (i, s"c$i")), (1 to 30).map(i => (i % 15 + 1, i * 10))),
+      ((10 to 25).map(i => (i, s"c$i")), (1 to 10).map(i => (i + 10, 50 + i * 20))),
+      (Seq((1, "c1")), Seq((1, 110), (1, 110), (2, 999))))
+    epochs.foreach { case (cb, ob) =>
+      seqDb.insert(sc, cb); seqDb.insert(so, ob)
+      batDb.insert(bc, cb); batDb.insert(bo, ob)
+      val s = seqDb.evaluate(sv).collect().toSet
+      val b = batDb.evaluate(bv).collect().toSet
+      assert(b == s, "fused evaluate diverged from the sequential twin")
+    }
+    seqDb.close(); batDb.close()
   }
 
   test("one batched round runs ONE action for a flat 8-view fan-out") {
