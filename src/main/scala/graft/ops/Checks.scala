@@ -33,6 +33,26 @@ object Checks {
     */
   def profile(df: DataFrame, cols: Seq[String], approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // The exact path below executes its input k+1 times (one stats pass +
+    // one column-pruned distinct per column). Over a directly-scannable
+    // columnar source that is ≈ one scan of bytes (each column's pages read
+    // once) — the intended shape. A DERIVED input (joins/aggregates
+    // upstream, or a row-based source) would re-run its whole pipeline
+    // k+1 times, so it is pinned ONCE here; the probe is driver-side only
+    // (densify's discipline: no jobs, no adaptive-plan materialization).
+    val input = {
+      def derived(d: DataFrame) = {
+        val plan = d.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case p => p
+        }
+        plan.collectFirst {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }.nonEmpty
+      }
+      if (!approxDistinct && derived(df)) df.localCheckpoint(true) else df
+    }
     // counters are aliased by POSITION, not name: a duplicate entry in
     // `cols` would make name-based aliases ambiguous at re-resolution, and
     // a dotted column name would re-parse as struct-field access
@@ -44,7 +64,7 @@ object Checks {
         (if (approxDistinct) Seq(approx_count_distinct(col(c)).as(s"__nd_$i"))
          else Seq.empty)
     }
-    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val stats = input.agg(aggs.head, aggs.tail: _*)
     // EXACT distinct counts run as one column-pruned distinct+count per
     // column instead of several countDistinct in one agg: multi-distinct
     // plans through Catalyst's Expand — k+1 copies of every row — and the
@@ -60,7 +80,7 @@ object Checks {
       else
         cols.zipWithIndex
           .map { case (c, i) =>
-            df.select(col(c)).filter(col(c).isNotNull).distinct()
+            input.select(col(c)).filter(col(c).isNotNull).distinct()
               .agg(count(lit(1)).as(s"__nd_$i"))
           }
           .foldLeft(stats)(_.crossJoin(_))

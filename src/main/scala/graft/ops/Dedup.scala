@@ -388,16 +388,16 @@ object Dedup {
       kernel: String => Long,
       bits: Int): DataFrame = {
     requireIntegralId(df, idCol)
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val sp = df.sparkSession
     import sp.implicits._
     // typed map: compiled per-row hashing that no optimizer rule can clone
     // into pushed-down predicates (see simhash64Scala); null text carries no
-    // tokens to hash, so those rows exit here instead of NPE-ing the kernel
-    val sh = df
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .repartition(par)
+    // tokens to hash, so those rows exit here instead of NPE-ing the kernel.
+    // densify (widen-only) is the small-input parallelism guard — a fixed
+    // repartition(defaultParallelism) would SHRINK a wide scan at 100 TB.
+    val sh = Partitioning.densify(
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
       .map { case (id, text) => (id, kernel(text)) }
       .toDF("id", "sh")
@@ -1078,15 +1078,17 @@ object Dedup {
       contentCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // the typed kernel carries the id as Long — non-integral ids must fail
+    // loudly, not cast to null (the duplicateSpans contract)
+    requireIntegralId(df, idCol)
     // compiled gram kernel — see [[duplicateSpans]]; per-doc distinct
-    // happens in the kernel (same strings, order irrelevant downstream)
+    // happens in the kernel (same strings, order irrelevant downstream).
+    // densify (widen-only): parallelism guard that never shrinks a wide scan
     val sp = df.sparkSession
     import sp.implicits._
-    val par = sp.sparkContext.defaultParallelism
-    val grams = df
-      .filter(col(contentCol).isNotNull)
-      .select(col(idCol).cast("long"), col(contentCol).cast("string"))
-      .repartition(par)
+    val grams = Partitioning.densify(
+      df.filter(col(contentCol).isNotNull)
+        .select(col(idCol).cast("long"), col(contentCol).cast("string")))
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, TextOps.wordNgramsAllScala(text, n).distinct)
@@ -1235,11 +1237,10 @@ object Dedup {
     // md5 stays a Column so digests are the engine's own bit-for-bit.
     val sp = df.sparkSession
     import sp.implicits._
-    val par = sp.sparkContext.defaultParallelism
-    val grams = df
-      .filter(col(contentCol).isNotNull)
-      .select(col(idCol).cast("long"), col(contentCol).cast("string"))
-      .repartition(par)
+    // densify (widen-only): parallelism guard that never shrinks a wide scan
+    val grams = Partitioning.densify(
+      df.filter(col(contentCol).isNotNull)
+        .select(col(idCol).cast("long"), col(contentCol).cast("string")))
       .as[(Long, String)]
       .map { case (id, text) => (id, TextOps.wordNgramsAllScala(text, n)) }
       .toDF(idCol, "__gs")
@@ -1318,10 +1319,11 @@ object Dedup {
     // collapse this CPU-bound stage to 2-3 tasks at sf1 (measured:
     // verify 5 s -> 58 s under parallelismFirst=false). An explicit
     // numPartitions repartition is exempt from AQE coalescing, and the
-    // id_a hash partitioning is reused by the first verify join.
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    // id_a hash partitioning is reused by the first verify join; the count
+    // floors at the configured shuffle parallelism (exchangeCount) so the
+    // candidate set is never squeezed below cluster width.
     cand
-      .repartition(par, col("id_a"))
+      .repartition(Partitioning.exchangeCount(cand), col("id_a"))
       .join(toks.select(col("id").as("id_a"), col("set").as("__sa")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("set").as("__sb")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -1362,13 +1364,15 @@ object Dedup {
     // (sorted here, first-occurrence there) — no consumer observes it
     // (size / array_intersect size / a (dfq, g) struct sort downstream).
     // The id-hash repartition doubles as the small-input parallelism
-    // guard (densify rationale) AND the layout the caller's pin declares.
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    // guard (densify rationale) AND the layout the caller's pin declares;
+    // its count floors at the input's own parallelism (exchangeCount) so
+    // a wide scan is never SHRUNK to core count at warehouse scale.
     val sp = df.sparkSession
     import sp.implicits._
-    df.filter(col(textCol).isNotNull)
+    val staged = df.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .repartition(par, col("id"))
+    staged
+      .repartition(Partitioning.exchangeCount(staged), col("id"))
       .as[(Long, String)]
       .map { case (id, text) => (id, wordShingleHashSet(text, n)) }
       .toDF("id", "set")
@@ -1450,9 +1454,8 @@ object Dedup {
     // explicit-parallelism exchange for the same reason as the verify
     // join (see prefixJaccardPairs): posting rows are tiny in bytes but
     // the hot-key self-join is CPU-bound — don't let bytes-based AQE
-    // coalescing starve it
-    val par = post.sparkSession.sparkContext.defaultParallelism
-    post.repartition(par, col("g"))
+    // coalescing starve it (count floored at shuffle parallelism)
+    post.repartition(Partitioning.exchangeCount(post), col("g"))
       .select(col("g"), col("id").as("id_a"), col("s").as("s_a"), col("p").as("p_a"))
       .join(post.select(col("g"), col("id").as("id_b"), col("s").as("s_b"), col("p").as("p_b")),
         Seq("g"))
@@ -1510,11 +1513,10 @@ object Dedup {
     // Fingerprint semantics are bit-identical (spec + oracle pinned).
     val sp = df.sparkSession
     import sp.implicits._
-    val par = sp.sparkContext.defaultParallelism
-    val fps = df
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .repartition(par)
+    // densify (widen-only): parallelism guard that never shrinks a wide scan
+    val fps = Partitioning.densify(
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .map { case (id, text) => (id, winnowingFingerprints(text, k, w)) }
       .toDF("id", "__hs")

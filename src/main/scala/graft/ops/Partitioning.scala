@@ -65,35 +65,43 @@ object Partitioning {
       }
   }
 
-  /** Pin `df` hash-partitioned on `keys`: ONE explicit exchange to
-    * `defaultParallelism` partitions, an eager localCheckpoint of the
-    * result, and a rewrap that re-declares the materialized blocks' hash
-    * partitioning on the checkpoint leaf (localCheckpoint under AQE records
-    * `UnknownPartitioning`, so without the rewrap every consumer keyed on
-    * `keys` re-exchanges already-placed data). For iterative ops this turns
-    * "one pinned-side shuffle per round" into "one shuffle per fixpoint" —
-    * guide §2.4's remove-shuffles-outright applied to the Pregel loops.
-    * The explicit partition count is exempt from AQE coalescing by design:
-    * these pins feed CPU-bound per-round joins where bytes-based coalescing
-    * would starve parallelism (the densify rationale).
+  /** Partition count for an EXPLICIT exchange that must always run (pinned
+    * layouts feeding [[declarePinnedHash]], AQE-coalescing-exempt CPU-bound
+    * stages): at least `defaultParallelism`, and never a SHRINK of the
+    * input — the count floors at the input's own scan split count
+    * (scan-shaped plans, probed driver-side exactly like [[densify]]) or
+    * at the configured shuffle parallelism (plans already carrying a
+    * shuffle). On the local bench all three are the core count, so plans
+    * are byte-identical; at warehouse scale a many-thousand-partition scan
+    * keeps its parallelism instead of collapsing to core count — a
+    * fixed-count `repartition(defaultParallelism)` there is a full shuffle
+    * of the corpus into ~10 GB tasks (guide §2 unnecessary-shuffle, §5
+    * spill/OOM).
     */
-  def pinByKey(df: DataFrame, keys: String*): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    declarePinnedHash(
-      df.repartition(par, keys.map(org.apache.spark.sql.functions.col): _*)
-        .localCheckpoint(true),
-      keys: _*)
+  def exchangeCount(df: DataFrame): Int = {
+    val sp = df.sparkSession
+    val par = sp.sparkContext.defaultParallelism
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val floor =
+      if (plan.collectFirst { case e: ShuffleExchangeLike => e }.nonEmpty)
+        sp.conf.get("spark.sql.shuffle.partitions").toInt
+      else scanPartitions(plan).getOrElse(par)
+    math.max(par, floor)
   }
 
   /** Declare an existing eager checkpoint's hash layout (see
     * [[org.apache.spark.sql.GraftColumnBridge.withDeclaredHashPartitioning]]).
     * CALLER CONTRACT: the checkpointed plan must be an explicit
-    * `repartition(defaultParallelism, keys)` with only partitioning-
-    * PRESERVING operators above it (filter / project / aggregate / window
-    * keyed on the same `keys` — anything EnsureRequirements satisfies
-    * without a new exchange). Used where the pin's exchange is fused with
-    * other per-key work (dedup, degree windows) so [[pinByKey]]'s plain
-    * repartition would pay a second shuffle.
+    * `repartition(n, keys)` (count from [[exchangeCount]], or
+    * `defaultParallelism` where the input is provably delta-sized) with
+    * only partitioning-PRESERVING operators above it (filter / project /
+    * aggregate / window keyed on the same `keys` — anything
+    * EnsureRequirements satisfies without a new exchange). The pin's
+    * exchange is always fused with other per-key work (dedup, degree
+    * windows), so a separate plain repartition would pay a second shuffle.
     */
   def declarePinnedHash(ckpt: DataFrame, keys: String*): DataFrame =
     org.apache.spark.sql.GraftColumnBridge
@@ -111,6 +119,10 @@ object Partitioning {
       case f: FileSourceScanExec  => Some(f.inputRDD.getNumPartitions)
       case b: BatchScanExec       => Some(b.inputRDD.getNumPartitions)
       case _: LocalTableScanExec  => Some(1)
+      // materialized checkpoints (LogicalRDD) carry their blocks' own
+      // count — already-wide pins must not be mistaken for unsizeable
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        Some(r.inputRDD.getNumPartitions)
       case _                      => None
     }
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None

@@ -830,8 +830,6 @@ object Similarity {
       dim: Int,
       iterations: Int = 6): DataFrame = {
     require(dim > 0 && iterations >= 1, "need dim > 0 and iterations >= 1")
-    import org.apache.spark.sql.types.DecimalType
-    val d38 = DecimalType(38, 0)
     val sp = df.sparkSession
     import sp.implicits._
     // the grid table feeds every iteration — pin it once
@@ -843,24 +841,65 @@ object Similarity {
     var i = 0
     var degenerate = false
     while (i < iterations && !degenerate) {
-      // the iterate stays an embedded literal chain: element_at products
-      // participate in whole-stage codegen, where a zip_with/aggregate
-      // HOF pair would fall back to interpreted lambda dispatch per row
-      // (A/B benched slower despite saving the per-round codegen compile)
-      val dExpr = (0 until dim)
-        .map(k => element_at(col("__g"), k + 1) * lit(v(k)))
-        .reduce(_ + _)
-      val sums = g.withColumn("__d", dExpr)
-        .agg(
-          sum(element_at(col("__g"), 1).cast(d38) * col("__d").cast(d38)).as("w0"),
-          (1 until dim).map(k =>
-            sum(element_at(col("__g"), k + 1).cast(d38) * col("__d").cast(d38))
-              .as(s"w$k")): _*)
-        .head()
-      // an EMPTY (or all-null) corpus leaves every sum null — treat it
+      // COMPILED 128-bit per-partition accumulator (r14; guide §4): the
+      // former shape — a 64-term codegen'd product chain feeding 64
+      // DECIMAL(38) sum buffers — paid a fresh whole-stage-codegen compile
+      // of a huge expression per iteration plus interpreted Decimal adds
+      // per (row × component). Here each partition folds `w_k += g_k · d`
+      // into two-long (hi, lo) signed-128 accumulators in plain JVM
+      // arithmetic and emits ONE row; the driver merges per-partition
+      // sums as BigInt. Headroom: |g_k·d| ≤ 2^72 with corpus-sized row
+      // counts on top stays far below 2^127, so the sums are EXACT and
+      // order-free — bit-identical to the DECIMAL(38) aggregate
+      // (partitioning-invariance is spec-pinned). Null semantics match
+      // the Column form: a null vector, or any null element, poisons the
+      // row's dot product and the row contributes nothing anywhere.
+      val vLoc = v
+      val d = dim
+      val partSums = g
+        .mapPartitions { it =>
+          val hi = new Array[Long](d)
+          val lo = new Array[Long](d)
+          it.foreach { row =>
+            if (!row.isNullAt(0)) {
+              val arr = row.getSeq[Any](0)
+              var ok = true
+              var s = 0L
+              var j = 0
+              while (ok && j < d) {
+                val e = arr(j)
+                if (e == null) ok = false
+                else s += e.asInstanceOf[Long] * vLoc(j)
+                j += 1
+              }
+              if (ok) {
+                var k = 0
+                while (k < d) {
+                  val gk = arr(k).asInstanceOf[Long]
+                  val pLo = gk * s
+                  val pHi = Math.multiplyHigh(gk, s)
+                  val nl = lo(k) + pLo
+                  if (java.lang.Long.compareUnsigned(nl, lo(k)) < 0) hi(k) += pHi + 1L
+                  else hi(k) += pHi
+                  lo(k) = nl
+                  k += 1
+                }
+              }
+            }
+          }
+          Iterator.single((hi, lo))
+        }
+        .collect()
+      // an EMPTY (or all-null) corpus sums to zero everywhere — treat it
       // like the all-zero case and keep the start vector
-      val w = (0 until dim).map(k => Option(sums.getDecimal(k))
-        .map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+      val w = (0 until dim).map { k =>
+        var acc = BigInt(0)
+        partSums.foreach { case (phi, plo) =>
+          acc += (BigInt(phi(k)) << 64) +
+            BigInt(java.lang.Long.toUnsignedString(plo(k)))
+        }
+        BigDecimal(acc)
+      }
       val m = w.map(_.abs).max
       if (m == 0) degenerate = true
       else v = w.map(x =>

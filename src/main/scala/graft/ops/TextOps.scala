@@ -302,6 +302,9 @@ object TextOps {
       topK: Int,
       lang: String = "en"): DataFrame = {
     require(topK >= 1, "topK must be positive")
+    // the typed kernel carries the id as Long — non-integral ids must fail
+    // loudly, not cast to null (the Dedup.duplicateSpans contract)
+    Dedup.requireIntegralId(df, idCol)
     val stops = stop(lang).toSet
     // RAKE is a pure PER-DOCUMENT function (stop-word run segmentation,
     // per-doc word freq/deg, per-phrase score, per-doc rank) — the r12
@@ -313,9 +316,9 @@ object TextOps {
     // engine's binary string order even off-ASCII.
     val sp = df.sparkSession
     import sp.implicits._
-    val par = sp.sparkContext.defaultParallelism
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .repartition(par)
+    // densify (widen-only): parallelism guard that never shrinks a wide scan
+    Partitioning.densify(
+      df.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         rakeTopPhrases(text, stops, topK).map {

@@ -93,6 +93,86 @@ class PartitioningSpec extends AnyFunSuite {
       "post-shuffle parallelism is already configured — identity")
   }
 
+  // ------------------------------------------------------- exchangeCount
+  // The widen-only floor for explicit exchanges: never below
+  // defaultParallelism, never a SHRINK of the input.
+
+  test("exchangeCount floors a wide scan-shaped input at its own split count") {
+    val par = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_xc").toString
+    (1L to 2000L).toDF("id").repartition(par + 3).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val scanParts = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDD.getNumPartitions
+    }.get
+    assert(Partitioning.exchangeCount(df) == math.max(par, scanParts),
+      "a many-split scan must keep its parallelism, not collapse to core count")
+  }
+
+  test("exchangeCount of a narrow input is defaultParallelism; shuffle-bearing floors at shuffle partitions") {
+    val par = spark.sparkContext.defaultParallelism
+    val narrow = (1L to 100L).toDF("id").coalesce(1)
+    assert(Partitioning.exchangeCount(narrow) == par)
+    val shuffled = (1L to 2000L).map(i => (i % 50, i)).toDF("k", "v").groupBy("k").count()
+    val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(Partitioning.exchangeCount(shuffled) == math.max(par, sp))
+  }
+
+  test("exchangeCount sizes a materialized checkpoint leaf by its blocks") {
+    val par = spark.sparkContext.defaultParallelism
+    val ck = (1L to 2000L).toDF("id").repartition(par + 5).localCheckpoint(true)
+    try assert(Partitioning.exchangeCount(ck) == par + 5,
+      "an already-wide pin must not be mistaken for an unsizeable leaf")
+    finally org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(ck)
+  }
+
+  // --------------------------------------------------- declarePinnedHash
+  // The wrong-results-if-misused primitive: a declared layout must (a)
+  // remove the consumer-side exchange EnsureRequirements would insert and
+  // (b) leave every result byte-identical to the undeclared plan.
+
+  test("declarePinnedHash removes the consumer exchange and preserves content") {
+    val par = spark.sparkContext.defaultParallelism
+    val base = (1L to 5000L).map(i => (i % 97, i)).toDF("k", "v")
+    val pinnedPlan = base.repartition(par, col("k")).localCheckpoint(true)
+    try {
+      val declared = Partitioning.declarePinnedHash(pinnedPlan, "k")
+      val other = (0L to 96L).map(k => (k, s"g$k")).toDF("k", "name")
+        .repartition(par, col("k"))
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case p => p
+        }
+        plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }.size
+      }
+      // aggregate keyed on the pin: declared plan needs NO new exchange
+      // above the checkpoint leaf; the undeclared one re-exchanges
+      val aggDeclared = declared.groupBy("k").agg(sum("v").as("s"))
+      val aggUndeclared = pinnedPlan.groupBy("k").agg(sum("v").as("s"))
+      assert(exchanges(aggDeclared) == exchanges(aggUndeclared) - 1,
+        "the declaration must remove exactly the aggregate's re-exchange")
+      assert(
+        aggDeclared.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+          aggUndeclared.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+        "declared and undeclared aggregates must agree row-for-row")
+      // join keyed on the pin: content equality against the undeclared
+      // plan (merge hint: a broadcast would bypass partitioning entirely
+      // and hide the declaration's effect)
+      val jDeclared = declared.join(other.hint("merge"), "k").select("k", "v", "name")
+      val jUndeclared = pinnedPlan.join(other.hint("merge"), "k").select("k", "v", "name")
+      assert(jDeclared.collect().map(_.toString).sorted.toSeq ==
+        jUndeclared.collect().map(_.toString).sorted.toSeq,
+        "a layout-breaking declaration would mis-join — content must match")
+      assert(exchanges(jDeclared) < exchanges(jUndeclared),
+        "the declared side of the join must reuse the pinned layout")
+    } finally org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(pinnedPlan)
+  }
+
   test("a leaf the probe cannot size driver-side passes through untouched") {
     // widening a cached relation could inject a full-data shuffle on a
     // big input; the guard must refuse to guess and return the input
