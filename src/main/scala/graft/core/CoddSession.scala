@@ -333,18 +333,19 @@ final class CoddSession private (
   private[graft] var sequentialStabilization = false
 
   /** Batched stabilization of a dependency CLOSURE — the sequential
-    * per-instance epoch loops fused so that ONE Spark action per DAG
-    * round materializes every promotion on the frontier (SCALE.md r13
-    * §fanout, extended r14 to CROSS-LEVEL fusion): a relation's batch
-    * promotion, its dependent views' delta promotions, and chained views'
-    * promotions all ride one union-of-counts job. The walk is
-    * topological (relations, then views in ascending id order — a view
-    * can only depend on earlier-created views), and each deferred
-    * promotion is installed as a PROVISIONAL `recent`
+    * per-instance epoch loops fused so that ONE Spark action per
+    * dependency WAVE materializes every INDEPENDENT promotion on the
+    * frontier (SCALE.md r13 §fanout, generalized r14: relations promote
+    * in the same batched rounds as views, and `evaluate`/`sql` ride the
+    * batching too, not just `stabilizeAll`). The walk is topological
+    * (relations, then views in ascending id order — a view can only
+    * depend on earlier-created views), and each deferred promotion is
+    * installed as a PROVISIONAL `recent`
     * ([[Instance.installOptimistic]]) so the next level's delta plans
-    * compose over it lazily; the single action then executes the whole
-    * cascade bottom-up (shared lazy checkpoints materialize once — block
-    * puts are first-wins, every consumer reads the winner).
+    * compose over it lazily; slots whose prepared plan reads another
+    * prepared slot's still-lazy leaf materialize one wave later, so a
+    * chain costs one action per level (exactly the sequential path's
+    * count) while a flat N-instance fan-out still costs one.
     *
     * Semantics match the sequential path exactly:
     *  - simultaneous dependee deltas reach a view as ONE staged 3-term
@@ -403,20 +404,46 @@ final class CoddSession private (
         }
         if (!anyWork) continue = false
         else {
-          val counts: Map[Int, Long] =
-            if (prepared.isEmpty) Map.empty
-            else if (prepared.size == 1)
-              Map(0 -> prepared.head._2.leaf.ds.count())
-            else {
-              // one action: each deferred promotion contributes a single
-              // (slot index, count) row; computing the union materializes
-              // every lazy checkpoint — the whole cascade — in one job
-              import org.apache.spark.sql.functions.{count => fcount}
-              val u = prepared.zipWithIndex.map { case ((_, p), i) =>
-                p.leaf.ds.toDF().groupBy().agg(fcount(lit(1)).as("__n"))
-                  .select(lit(i).as("__i"), col("__n"))
-              }.reduce(_ union _)
-              u.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          // One action per dependency WAVE, not one for everything: a
+          // prepared view whose plan READS another slot's still-lazy leaf
+          // must not share that leaf's materializing action — two union
+          // branches would race to compute the same checkpoint (duplicated
+          // work, block-lock stalls; view_chain_ivm measured +63% with
+          // wild variance under a single all-in action). Wave 0 holds the
+          // independent promotions (the whole flat fan-out — stabilizeAll's
+          // case — stays ONE action); wave k+1 holds slots depending on a
+          // wave-k leaf, so every read hits materialized blocks.
+          val preparedIdx: Map[Either[String, Int], Int] =
+            prepared.zipWithIndex.map { case ((s, _), i) => (s, i) }.toMap
+          val wave = new Array[Int](prepared.size)
+          prepared.zipWithIndex.foreach { case ((s, _), i) =>
+            val depWaves = s.fold(
+              _ => Seq.empty[Int],
+              id => {
+                val v = views(id)
+                (v.dependeeRels.toSeq.map(Left(_): Either[String, Int]) ++
+                  v.dependeeViews.toSeq.map(Right(_): Either[String, Int]))
+                  .flatMap(preparedIdx.get).map(wave)
+              })
+            wave(i) = if (depWaves.isEmpty) 0 else depWaves.max + 1
+          }
+          val counts = mutable.Map.empty[Int, Long]
+          prepared.zipWithIndex.groupBy { case (_, i) => wave(i) }
+            .toSeq.sortBy(_._1).foreach { case (_, slice) =>
+              if (slice.size == 1) {
+                val ((_, p), i) = slice.head
+                counts(i) = p.leaf.ds.count()
+              } else {
+                // one action: each deferred promotion contributes a single
+                // (slot index, count) row; computing the union materializes
+                // every lazy checkpoint of the wave in one job
+                import org.apache.spark.sql.functions.{count => fcount}
+                val u = slice.map { case ((_, p), i) =>
+                  p.leaf.ds.toDF().groupBy().agg(fcount(lit(1)).as("__n"))
+                    .select(lit(i).as("__i"), col("__n"))
+                }.reduce(_ union _)
+                u.collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
+              }
             }
           prepared.zipWithIndex.foreach { case ((s, p), i) =>
             instOf(s).commitPrepared(p, counts(i))

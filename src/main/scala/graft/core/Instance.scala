@@ -375,29 +375,24 @@ final class Instance[T](
         try ds.queryExecution.optimizedPlan.stats.sizeInBytes
           .min(BigInt(Long.MaxValue)).toLong
         catch { case _: Throwable => -1L }
-      // Deferral is PERSIST-based (r14): a cache-manager persist() stages
-      // NOTHING at prepare — no plan compile, no withAction, no broadcast
-      // futures (Dataset.localCheckpoint runs plan.execute() inside a
-      // withAction, which both allocates an execution per instance and
-      // BLOCKS on every BroadcastExchange future right there, serializing
-      // the real promotion work at prepare time). The caller's single
-      // batched action then executes the whole cascade under the USER
-      // session — AQE coalescing and broadcast handling intact — and the
-      // scan that counts each promotion populates its cache. The cached
-      // batch's lineage stays intact (safe recompute ordering is handled
-      // by [[foldRecent]]'s cached-run flattening rules).
-      def cachedLeaf(ds: Dataset[T]): Leaf[T] =
-        Leaf(
-          withPlanNonce(ds).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-          Instance.CachedLeafId)
       if (policy != Instance.LocalCheckpoint) inline()
-      else if (stableBatches.isEmpty)
-        Right(Instance.Prepared(
-          cachedLeaf(staged), None,
-          depth = Instance.MaxUnionDepth, estBytes = estOf(staged)))
-      else {
+      else if (stableBatches.isEmpty) {
+        // The lazy first ingest stays INLINE (persist+count under the
+        // user's AQE session). Deferring it was tried in r14 and reverted:
+        // the cache's child plan compiles ADAPTIVE, so a dependent's
+        // twin-checkpoint prepare executes the whole ingest eagerly at
+        // RDD-construction time — the exact serialization deferral exists
+        // to remove — and a fully persist-based deferral measured slower
+        // with wild variance on the view family (OPTIMIZATION_r14.md).
+        if (lazyFirstBatch) inline()
+        else
+          Right(Instance.Prepared(
+            materializeTransient(
+              GraftColumnBridge.withSession(staged, Instance.planSession(session))),
+            None, estBytes = estOf(staged)))
+      } else {
         // mirror [[promote]]'s fused-regime gate exactly: a deferred
-        // promotion must be the same one-action plan the inline path builds
+        // promotion must be the same one-job plan the inline path builds
         val est =
           if (!direct && !pinnedSafe) BigInt(Long.MaxValue)
           else
@@ -405,34 +400,28 @@ final class Instance[T](
             catch { case _: Throwable => BigInt(Long.MaxValue) }
         if (est > Instance.FusedPromoteMaxBytes) inline()
         else {
-          // the persisted pin plays the lazy checkpoint's role for
-          // non-certified plans: the novel plan references it twice
-          // (broadcast build + anti-join probe), and within the one
-          // batched action the first materialization wins the block
-          // store — both references read the same rows
-          val pin = if (direct) None else Some(cachedLeaf(staged))
+          // compile the deferred plan under the AQE-OFF twin session: a
+          // lazy checkpoint's toRdd on an ADAPTIVE plan executes every
+          // non-result stage at prepare time (one eager action per view —
+          // exactly the serialization the batched rounds exist to remove);
+          // classically compiled, only the plan's BroadcastExchange
+          // futures run at prepare (they block at RDD construction — an
+          // r14 persist-based variant that deferred even those measured
+          // SLOWER with much higher variance on the view family and was
+          // reverted; see OPTIMIZATION_r14.md). commitPrepared re-homes
+          // the materialized batch to the user's session.
+          val twin = Instance.planSession(session)
+          val pin =
+            if (direct) None
+            else Some(materializeTransient(GraftColumnBridge.withSession(staged, twin)))
           val novel = broadcastNovelPlan(pin.map(_.ds).getOrElse(staged))
           Right(Instance.Prepared(
-            cachedLeaf(novel), pin,
-            depth = Instance.MaxUnionDepth,
-            estBytes = est.min(BigInt(Long.MaxValue)).toLong))
+            materializeTransient(GraftColumnBridge.withSession(novel, twin)),
+            pin, estBytes = est.min(BigInt(Long.MaxValue)).toLong))
         }
       }
     }
   }
-
-  /** Uniquify a plan before cache-manager registration: persist/unpersist
-    * key on the CANONICALIZED analyzed plan, so two value-equal batches
-    * (the same Dataset inserted in two epochs, two identical literal
-    * batches) would share one cache entry — and retiring one would drop
-    * the other's blocks, forcing a recompute that an impure typed closure
-    * must never see. The tautological filter over a fresh literal keeps
-    * the analyzed plan unique per materialization and constant-folds to
-    * nothing in the physical plan.
-    */
-  private def withPlanNonce(ds: Dataset[T]): Dataset[T] =
-    ds.where(org.apache.spark.sql.functions.lit(
-      "graft_batch_" + java.util.UUID.randomUUID().toString).isNotNull)
 
   /** Install a PREPARED-but-uncounted promotion as the provisional
     * `recent` so dependent views can stage delta plans over it BEFORE the

@@ -134,31 +134,34 @@ class StabilizeAllSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("fused evaluate: a rel→view→view epoch stabilizes in ONE action (r14)") {
-    // evaluate's stabilization fuses the relation's batch promotion, the
-    // dependent view's delta promotion and the chained view's promotion
-    // into one union-of-counts action; the consumer count is the only
-    // other execution. The sequential path ran one action per DAG level.
+  test("fused evaluate: one action per dependency wave; a fan-out epoch is ONE action (r14)") {
+    // A chain pays one action per DAG level (the sequential count — a
+    // dependent's plan must never race its dependee's still-lazy leaf in
+    // one union action), but SIBLING views fuse: rel→(v1,v2) epochs run
+    // the relation wave, then ONE action for both views, then the
+    // consumer count.
     val db = fresh
     val r = db.addRelation[Int]("r")
     val v1 = db.storeView(r.select(_ % 2 == 0))
-    val v2 = db.storeView(v1.project(_ / 2))
+    val v2 = db.storeView(r.select(_ % 2 == 1))
+    val both = v1.union(v2)
     db.insert(r, 1 to 40)
-    val e1 = probeExecutions { db.evaluate(v2).count() }
-    assert(e1 == 2, s"epoch 1 must be 1 stabilization action + 1 consumer count, saw $e1")
-    assert(db.evaluateSorted(v2) == (1 to 20))
+    val e1 = probeExecutions { db.evaluate(both).count() }
+    assert(e1 == 3, s"epoch 1 must be rel wave + fused sibling wave + 1 count, saw $e1")
+    assert(db.evaluateSorted(v1) == (2 to 40 by 2))
     db.insert(r, 30 to 60)
-    val e2 = probeExecutions { db.evaluate(v2).count() }
-    // epoch 2: ONE fused promotion action (relation novel + v1 delta + v2
-    // delta all in it), then the fold round flattens each instance's two
-    // cached runs into a checkpoint (3 small jobs reading warm caches —
-    // the bounded-lineage rule), then the consumer count. The sequential
-    // path pays 3 promotion actions instead of 1 before the same folds.
-    assert(e2 == 5, s"epoch 2 must be 1 fused action + 3 cached-run flattens + 1 count, saw $e2")
-    assert(db.evaluateSorted(v2) == (1 to 30))
+    val e2 = probeExecutions { db.evaluate(both).count() }
+    // epoch 2: each of the 3 promotions still runs its prepare-time
+    // checkpoint execution (the broadcast-dedup futures fire at RDD
+    // construction — inherent to Dataset.localCheckpoint), but the THREE
+    // per-instance count actions of the sequential path collapse into
+    // TWO wave actions (rel, then both views fused), plus the cached
+    // first batch's flatten and the consumer count: 3 + 2 + 1 + 1.
+    assert(e2 == 7, s"epoch 2 must be 3 prepares + 2 wave actions + flatten + 1 count, saw $e2")
+    assert(db.evaluateSorted(v2) == (1 to 60 by 2))
     // a duplicate-only epoch: zero-novel commits must unwind cleanly
     db.insert(r, 30 to 60)
-    assert(db.evaluateSorted(v2) == (1 to 30))
+    assert(db.evaluateSorted(v1) == (2 to 60 by 2))
     db.close()
   }
 
