@@ -97,15 +97,17 @@ class BenchRecordSpec extends AnyFunSuite {
       s"a uniform code slowdown flags everything: ${att.flagged}")
   }
 
-  test("every flagged slot beyond the isolation budget stays listed, worst first") {
+  test("the whole flagged list queues for isolation, worst first (adaptive budget)") {
     val prev = (1 to 9).map(i => s"q$i" -> 1.0).toMap + ("calibration_sec" -> 0.1)
     // nine slots at increasing ratios 2.1x..2.9x, steady box
     val now = (1 to 9).map(i => s"q$i" -> (2.0 + i * 0.1)).toMap
     val att = Bench.attribution(now, prev, calibration = 0.1)
     assert(att.flagged.size == 9, "all movers are recorded, never silently capped")
-    assert(att.toIsolate.size == 6, "the isolation budget stays bounded")
-    assert(att.flagged.head == "q9" && att.toIsolate == att.flagged.take(6),
-      "budget goes to the worst ratios")
+    // r14: the flat top-6 budget left 32 r13 slots unexonerated; the
+    // runner now drains the whole list under a wall-clock cap instead,
+    // so attribution queues everything worst-first
+    assert(att.toIsolate == att.flagged, "isolation queue drains the whole flagged list")
+    assert(att.flagged.head == "q9", "worst ratio first")
   }
 
   test("sub-0.5s slots and absent-previous slots never flag") {
