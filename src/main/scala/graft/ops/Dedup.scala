@@ -393,9 +393,10 @@ object Dedup {
     // typed map: compiled per-row hashing that no optimizer rule can clone
     // into pushed-down predicates (see simhash64Scala); null text carries no
     // tokens to hash, so those rows exit here instead of NPE-ing the kernel.
-    // densify (widen-only) is the small-input parallelism guard — a fixed
-    // repartition(defaultParallelism) would SHRINK a wide scan at 100 TB.
-    val sh = Partitioning.densify(
+    // densifyCpu: widen-only on scans, explicit AQE-exempt width on derived
+    // inputs (a fixed repartition(defaultParallelism) shrank wide scans at
+    // 100 TB; plain densify let AQE collapse this CPU-dense stage to 1 task)
+    val sh = Partitioning.densifyCpu(
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
@@ -1083,10 +1084,11 @@ object Dedup {
     requireIntegralId(df, idCol)
     // compiled gram kernel — see [[duplicateSpans]]; per-doc distinct
     // happens in the kernel (same strings, order irrelevant downstream).
-    // densify (widen-only): parallelism guard that never shrinks a wide scan
+    // densifyCpu: widen-only on scans, explicit AQE-exempt width on derived
+    // inputs — see that helper's doc for the cascade measurement
     val sp = df.sparkSession
     import sp.implicits._
-    val grams = Partitioning.densify(
+    val grams = Partitioning.densifyCpu(
       df.filter(col(contentCol).isNotNull)
         .select(col(idCol).cast("long"), col(contentCol).cast("string")))
       .as[(Long, String)]
@@ -1237,8 +1239,9 @@ object Dedup {
     // md5 stays a Column so digests are the engine's own bit-for-bit.
     val sp = df.sparkSession
     import sp.implicits._
-    // densify (widen-only): parallelism guard that never shrinks a wide scan
-    val grams = Partitioning.densify(
+    // densifyCpu: widen-only on scans, explicit AQE-exempt width on derived
+    // inputs — see that helper's doc for the cascade measurement
+    val grams = Partitioning.densifyCpu(
       df.filter(col(contentCol).isNotNull)
         .select(col(idCol).cast("long"), col(contentCol).cast("string")))
       .as[(Long, String)]
@@ -1513,8 +1516,9 @@ object Dedup {
     // Fingerprint semantics are bit-identical (spec + oracle pinned).
     val sp = df.sparkSession
     import sp.implicits._
-    // densify (widen-only): parallelism guard that never shrinks a wide scan
-    val fps = Partitioning.densify(
+    // densifyCpu: widen-only on scans, explicit AQE-exempt width on derived
+    // inputs — see that helper's doc for the cascade measurement
+    val fps = Partitioning.densifyCpu(
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]

@@ -65,6 +65,36 @@ object Partitioning {
       }
   }
 
+  /** Parallelism guard for CPU-DENSE per-row kernels (hash cascades,
+    * per-token compiled maps) whose cost per byte dwarfs a scan's:
+    *  - scan-shaped input: [[densify]] semantics — widen a narrow scan to
+    *    `defaultParallelism`, pass a wide one through untouched (no
+    *    exchange at warehouse scale);
+    *  - shuffle-bearing input: an EXPLICIT round-robin exchange at
+    *    `max(defaultParallelism, spark.sql.shuffle.partitions)` — explicit
+    *    counts are exempt from AQE coalescing, which sizes partitions by
+    *    BYTES and would collapse a kB-sized but CPU-bound stage to one
+    *    task (measured r14: pipeline_dedup_cascade's simhash stage over
+    *    stage-2 survivors, 5.9 s → 8.2 s when the exchange was dropped).
+    * Never shrinks: the count floors at the configured shuffle width, the
+    * cluster-sized knob, not at local core count.
+    */
+  def densifyCpu(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    if (plan.collectFirst { case e: ShuffleExchangeLike => e }.nonEmpty)
+      df.repartition(
+        math.max(par, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+    else
+      scanPartitions(plan) match {
+        case Some(parts) if parts < par => df.repartition(par)
+        case _                          => df
+      }
+  }
+
   /** Partition count for an EXPLICIT exchange that must always run (pinned
     * layouts feeding [[declarePinnedHash]], AQE-coalescing-exempt CPU-bound
     * stages): at least `defaultParallelism`, and never a SHRINK of the

@@ -316,8 +316,9 @@ object TextOps {
     // engine's binary string order even off-ASCII.
     val sp = df.sparkSession
     import sp.implicits._
-    // densify (widen-only): parallelism guard that never shrinks a wide scan
-    Partitioning.densify(
+    // densifyCpu: widen-only on scans, explicit AQE-exempt width on derived
+    // inputs — see that helper's doc for the cascade measurement
+    Partitioning.densifyCpu(
       df.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>

@@ -3403,10 +3403,16 @@ object RelationalQueries {
           "__ok")
       })
 
-  /** Drop the shared cached projections (checkpoint storage is reclaimed
-    * by the ContextCleaner once unreferenced).
+  /** Drop the shared cached projections AND free their checkpoint blocks
+    * eagerly (r14: the bench releases per QUERY now — leaving reclamation
+    * to the ContextCleaner let orphaned blocks pile up between GCs).
+    * Callers release only after the returned DataFrames are consumed.
     */
-  def releaseShared(): Unit = sharedBasket.clear()
+  def releaseShared(): Unit = {
+    sharedBasket.values().forEach(df =>
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(df))
+    sharedBasket.clear()
+  }
 
   /** Item-item cosine similarity from basket co-occurrence
     * (`support/√(s_a·s_b)` — the memory-based collaborative-filtering
