@@ -41,15 +41,22 @@ object Checks {
     // k+1 times, so it is pinned ONCE here; the probe is driver-side only
     // (densify's discipline: no jobs, no adaptive-plan materialization).
     val input = {
+      // LOGICAL-plan probe (no physical compile — compiling a plan that
+      // carries nondeterministic expressions re-evaluates subtrees in
+      // some shapes): any node that plans to a shuffle or re-executes an
+      // expensive upstream marks the input as derived
       def derived(d: DataFrame) = {
-        val plan = d.queryExecution.executedPlan match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.initialPlan
-          case p => p
+        import org.apache.spark.sql.catalyst.plans.logical._
+        org.apache.spark.sql.GraftColumnBridge.analyzed(d).exists {
+          case _: Join => true
+          case _: Aggregate => true
+          case _: Window => true
+          case _: Distinct => true
+          case _: Deduplicate => true
+          case _: RepartitionOperation => true
+          case _: Sort => true
+          case _ => false
         }
-        plan.collectFirst {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-        }.nonEmpty
       }
       if (!approxDistinct && derived(df)) df.localCheckpoint(true) else df
     }

@@ -1064,6 +1064,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val dup = Checks.profile(raw, Seq("a", "a"))
       .as[(String, Long, Long, Long, String, String)].collect()
     assert(dup.length == 2 && dup.distinct.length == 1, dup.mkString(","))
+    // a DERIVED input (aggregate upstream) pins ONCE: the k+1 exact passes
+    // read the checkpoint, so the marked upstream executes exactly once —
+    // not k+1 times (the r13 advisory's finding)
+    acc.reset()
+    val derived = df.groupBy("a", "b", "c", "d").count().drop("count")
+    Checks.profile(derived, Seq("a", "b")).collect()
+    assert(acc.value == 500,
+      s"derived-input exact profile executed its upstream ${acc.value / 500.0} times; must pin once")
   }
 
   test("Funnel.stages counts only strictly-ordered conversions") {
